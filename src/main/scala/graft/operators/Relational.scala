@@ -1,0 +1,489 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.1 relational core: the reference's spout→bolt→sink pipeline
+  * (tokenize → keyed count → top-N → global sort, see
+  * reference WordCountSample.hs:70-260) generalized into a full
+  * declarative operator set. Every query is a DataFrame plan so
+  * Catalyst handles pushdown/pruning/join strategy; dims are
+  * broadcast-hinted; aggregations get map-side partial agg for free
+  * (the monoid-merge trick of Processor.hs:43-54, codegen'd).
+  *
+  * Output conventions (driver hash-compare parity with DuckDB):
+  * doubles rounded, integers cast to long, timestamps formatted as
+  * strings, deterministic total ORDER BY.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** DuckDB-parity rounding: duckdb round(x,n) is std::round(x*10^n)/10^n
+    * on the raw double, while Spark round(x,n) re-parses the shortest
+    * decimal string (BigDecimal) — they disagree whenever the true
+    * product sits on a .xx5 boundary. Rounding at integer scale is
+    * identical in both engines (half-away-from-zero on the same
+    * scaled double), so every rounded output uses round(x*scale)/scale
+    * on BOTH sides.
+    */
+  private def r2(c: org.apache.spark.sql.Column) = round(c * 100) / 100
+  private def r4(c: org.apache.spark.sql.Column) = round(c * 10000) / 10000
+
+  // --- q01: tokenize + explode + keyed count (wordsSpout + countBolt) ---
+  val q01_wordcount: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(100)
+
+  // --- q02: global top-N (topNBolt + mergeSortBolt) ---
+  val q02_topn_global: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), r2(col("o_totalprice")).as("price"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+      .limit(50)
+
+  // --- q03: per-group top-N via rank window ---
+  val q03_topn_group: Q = (s, d) => {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        r2(col("o_totalprice")).as("price"), col("rn"))
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
+  // --- q04: TPC-H Q1 pricing summary (monoid agg) ---
+  val q04_agg: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= to_timestamp(lit("2000-12-01")))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        r2(sum("l_quantity")).as("sum_qty"),
+        r2(sum("l_extendedprice")).as("sum_base_price"),
+        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+        r2(avg("l_quantity")).as("avg_qty"),
+        r2(avg("l_extendedprice")).as("avg_price"),
+        r4(avg("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  // --- q05: filter + projection (pushdown reaches the scan) ---
+  val q05_filter_project: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1999-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("2000-01-01")) &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("linenum"),
+        r2(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("disc_price"))
+      .orderBy("l_orderkey", "linenum")
+
+  // --- q06: broadcast dim join (customer ⋈ nation ⋈ region) ---
+  val q06_join_broadcast: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("n_cust"), r2(avg("c_acctbal")).as("avg_bal"))
+      .orderBy("r_name", "n_name")
+
+  // --- q07: fact-fact shuffle join ---
+  val q07_join_shuffle: Q = (s, d) =>
+    Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+      .join(Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .orderBy("o_orderpriority")
+
+  // --- q08: 3-way join + agg + top-N (TPC-H Q3 shape) ---
+  val q08_multi_join: Q = (s, d) =>
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderdate") < to_timestamp(lit("1998-07-01")))
+        .select("o_orderkey", "o_custkey", "o_orderdate"),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > to_timestamp(lit("1998-07-01")))
+        .select("l_orderkey", "l_extendedprice", "l_discount"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+
+  // --- q09: left outer join + distribution (TPC-H Q13 shape) ---
+  val q09_outer_join: Q = (s, d) =>
+    Tables.customer(s, d).select("c_custkey")
+      .join(Tables.orders(s, d).select("o_custkey", "o_orderkey"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  // --- q10: semi join (EXISTS) ---
+  val q10_semi_join: Q = (s, d) =>
+    Tables.orders(s, d)
+      .join(Tables.lineitem(s, d).filter(col("l_quantity") > 45).select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+
+  // --- q11: anti join (NOT EXISTS): parts with no recent shipment ---
+  val q11_anti_join: Q = (s, d) =>
+    Tables.part(s, d)
+      .join(Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= to_timestamp(lit("2001-01-01")))
+          .select("l_partkey"),
+        col("p_partkey") === col("l_partkey"), "left_anti")
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy("p_brand")
+
+  // --- q12: distinct counts ---
+  val q12_distinct: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_returnflag"), col("l_linestatus")).as("n_flag_status"),
+        count(lit(1)).as("n_rows"))
+
+  // --- q13: rollup / grouping sets ---
+  val q13_rollup: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(r2(sum("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy("rf", "ls")
+
+  // --- q14: post-aggregation filter (HAVING) ---
+  val q14_having: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_partkey")
+      .agg(r2(sum("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .filter(col("sum_qty") > 100)
+      .orderBy("l_partkey")
+
+  // --- q15: conditional aggregation ---
+  val q15_case_agg: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        r2(sum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(0.0))).as("f_total"),
+        count(when(col("o_orderstatus") === "O", lit(1))).as("o_cnt"),
+        r2(avg(when(col("o_orderstatus") === "F", col("o_totalprice")))).as("f_avg"))
+      .orderBy("o_orderpriority")
+
+  // --- q16: window functions: running sum / lag / row_number ---
+  val q16_window_funcs: Q = (s, d) => {
+    val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("run_sum", r2(sum("value").over(run)))
+      .withColumn("prev_val", r2(coalesce(lag("value", 1).over(ord), lit(-1.0))))
+      .withColumn("rn", row_number().over(ord).cast("long"))
+      .select("event_id", "user_id", "run_sum", "prev_val", "rn")
+      .orderBy("event_id")
+  }
+
+  // --- q17: gap-based sessionization (batch analog of the stream op) ---
+  val q17_sessionize: Q = (s, d) => {
+    val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(ord))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1).otherwise(0))
+      .withColumn("sess_id", sum("new_s").over(run))
+      .groupBy("user_id", "sess_id")
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        max("n_events").as("max_events"),
+        r4(avg("n_events")).as("avg_events"))
+      .orderBy("user_id")
+  }
+
+  // --- q18: tumbling time-window aggregation (bolt over time buckets) ---
+  val q18_time_window: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), r2(sum("value")).as("total"))
+      .orderBy("hour_ts", "event_type")
+
+  // --- q19: correlated scalar subquery (TPC-H Q17 shape) ---
+  val q19_scalar_subquery: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val thresholds = li.groupBy(col("l_partkey").as("t_partkey"))
+      .agg((avg("l_quantity") * 0.5).as("thr"))
+    li.join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#13").select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(thresholds, col("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity") < col("thr"))
+      .agg(r2(sum("l_extendedprice") / 7.0).as("avg_yearly"))
+  }
+
+  // --- q20: union all + agg (topology fan-in) ---
+  val q20_union: Q = (s, d) => {
+    val o = Tables.orders(s, d).select("o_orderstatus", "o_totalprice", "o_orderpriority")
+    o.filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderstatus", "o_totalprice")
+      .unionAll(o.filter(col("o_totalprice") > 200000).select("o_orderstatus", "o_totalprice"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), r2(sum("o_totalprice")).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  // --- q21: string transform pipeline (spout convertFn analog) ---
+  val q21_string_funcs: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        length(col("c_name")).cast("long").as("name_len"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        regexp_replace(col("c_mktsegment"), "A", "_").as("seg_repl"),
+        concat(col("c_mktsegment"), lit(":"), col("c_custkey").cast("string")).as("tag"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("padded"))
+      .orderBy("c_custkey")
+
+  // --- q22: date extraction / bucketing ---
+  val q22_date_funcs: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+        quarter(col("o_orderdate")).cast("long").as("q"))
+      .agg(count(lit(1)).as("n"), r2(sum("o_totalprice")).as("total"))
+      .orderBy("y", "q")
+
+  // --- q23: exact interpolated percentiles ---
+  val q23_percentiles: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        r2(expr("percentile(l_quantity, 0.25)")).as("p25"),
+        r2(expr("percentile(l_quantity, 0.5)")).as("p50"),
+        r2(expr("percentile(l_quantity, 0.75)")).as("p75"),
+        r2(expr("percentile(l_extendedprice, 0.95)")).as("price_p95"))
+      .orderBy("l_returnflag")
+
+  // --- q24: argmax per group (min_by/max_by semantics, deterministic) ---
+  val q24_first_last: Q = (s, d) => {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, d)
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_orderkey").as("top_orderkey"),
+        r2(col("l_extendedprice")).as("top_price"))
+      .orderBy("l_returnflag")
+  }
+
+  // --- q25: semi-structured JSON extraction ---
+  val q25_json: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(r4(avg("k")).as("avg_k"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  val registry: Map[String, Q] = Map(
+    "q01_wordcount" -> q01_wordcount,
+    "q02_topn_global" -> q02_topn_global,
+    "q03_topn_group" -> q03_topn_group,
+    "q04_agg" -> q04_agg,
+    "q05_filter_project" -> q05_filter_project,
+    "q06_join_broadcast" -> q06_join_broadcast,
+    "q07_join_shuffle" -> q07_join_shuffle,
+    "q08_multi_join" -> q08_multi_join,
+    "q09_outer_join" -> q09_outer_join,
+    "q10_semi_join" -> q10_semi_join,
+    "q11_anti_join" -> q11_anti_join,
+    "q12_distinct" -> q12_distinct,
+    "q13_rollup" -> q13_rollup,
+    "q14_having" -> q14_having,
+    "q15_case_agg" -> q15_case_agg,
+    "q16_window_funcs" -> q16_window_funcs,
+    "q17_sessionize" -> q17_sessionize,
+    "q18_time_window" -> q18_time_window,
+    "q19_scalar_subquery" -> q19_scalar_subquery,
+    "q20_union" -> q20_union,
+    "q21_string_funcs" -> q21_string_funcs,
+    "q22_date_funcs" -> q22_date_funcs,
+    "q23_percentiles" -> q23_percentiles,
+    "q24_first_last" -> q24_first_last,
+    "q25_json" -> q25_json)
+
+  val oracles: Map[String, String] = Map(
+    "q01_wordcount" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents) t
+        |WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word LIMIT 100""".stripMargin,
+    "q02_topn_global" ->
+      """SELECT o_orderkey, round((o_totalprice) * 100) / 100 AS price
+        |FROM orders ORDER BY price DESC, o_orderkey LIMIT 50""".stripMargin,
+    "q03_topn_group" ->
+      """SELECT o_orderpriority, o_orderkey, round((o_totalprice) * 100) / 100 AS price, rn FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |                ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 5 ORDER BY o_orderpriority, rn""".stripMargin,
+    "q04_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round((sum(l_quantity)) * 100) / 100 AS sum_qty,
+        |  round((sum(l_extendedprice)) * 100) / 100 AS sum_base_price,
+        |  round((sum(l_extendedprice * (1 - l_discount))) * 100) / 100 AS sum_disc_price,
+        |  round((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100) / 100 AS sum_charge,
+        |  round((avg(l_quantity)) * 100) / 100 AS avg_qty,
+        |  round((avg(l_extendedprice)) * 100) / 100 AS avg_price,
+        |  round((avg(l_discount)) * 10000) / 10000 AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q05_filter_project" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS linenum,
+        |  round((l_extendedprice * (1 - l_discount)) * 100) / 100 AS disc_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1999-01-01' AND l_shipdate < TIMESTAMP '2000-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        |ORDER BY l_orderkey, linenum""".stripMargin,
+    "q06_join_broadcast" ->
+      """SELECT r_name, n_name, count(*) AS n_cust, round((avg(c_acctbal)) * 100) / 100 AS avg_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q07_join_shuffle" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  round((sum(l_extendedprice * (1 - l_discount))) * 100) / 100 AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q08_multi_join" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  round((sum(l_extendedprice * (1 - l_discount))) * 100) / 100 AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-07-01' AND l_shipdate > TIMESTAMP '1998-07-01'
+        |GROUP BY o_orderkey, orderdate ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q09_outer_join" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q10_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q11_anti_join" ->
+      """SELECT p_brand, count(*) AS n_parts FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_partkey = p_partkey AND l_shipdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q12_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps,
+        |  count(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status, count(*) AS n_rows
+        |FROM lineitem""".stripMargin,
+    "q13_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |  round((sum(l_quantity)) * 100) / 100 AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls""".stripMargin,
+    "q14_having" ->
+      """SELECT l_partkey, round((sum(l_quantity)) * 100) / 100 AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY l_partkey HAVING round((sum(l_quantity)) * 100) / 100 > 100
+        |ORDER BY l_partkey""".stripMargin,
+    "q15_case_agg" ->
+      """SELECT o_orderpriority,
+        |  round((sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END)) * 100) / 100 AS f_total,
+        |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_cnt,
+        |  round((avg(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)) * 100) / 100 AS f_avg
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q16_window_funcs" ->
+      """SELECT event_id, user_id,
+        |  round((sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100) / 100 AS run_sum,
+        |  round((coalesce(lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), -1.0)) * 100) / 100 AS prev_val,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q17_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM g),
+        |c AS (SELECT user_id, sess_id, count(*) AS n_events FROM s GROUP BY user_id, sess_id)
+        |SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_events,
+        |  round((avg(n_events)) * 10000) / 10000 AS avg_events
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q18_time_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts, event_type,
+        |  count(*) AS n, round((sum(value)) * 100) / 100 AS total
+        |FROM events GROUP BY hour_ts, event_type ORDER BY hour_ts, event_type""".stripMargin,
+    "q19_scalar_subquery" ->
+      """SELECT round((sum(l_extendedprice) / 7.0) * 100) / 100 AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#13'
+        |  AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+        |                    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin,
+    "q20_union" ->
+      """SELECT o_orderstatus, count(*) AS n, round((sum(o_totalprice)) * 100) / 100 AS total FROM (
+        |  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice FROM orders WHERE o_totalprice > 200000) t
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q21_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS uname, CAST(length(c_name) AS BIGINT) AS name_len,
+        |  substr(c_name, 1, 8) AS prefix, regexp_replace(c_mktsegment, 'A', '_', 'g') AS seg_repl,
+        |  c_mktsegment || ':' || CAST(c_custkey AS VARCHAR) AS tag,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q22_date_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y, CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |  count(*) AS n, round((sum(o_totalprice)) * 100) / 100 AS total
+        |FROM orders GROUP BY y, q ORDER BY y, q""".stripMargin,
+    "q23_percentiles" ->
+      """SELECT l_returnflag,
+        |  round((quantile_cont(l_quantity, 0.25)) * 100) / 100 AS p25,
+        |  round((quantile_cont(l_quantity, 0.5)) * 100) / 100 AS p50,
+        |  round((quantile_cont(l_quantity, 0.75)) * 100) / 100 AS p75,
+        |  round((quantile_cont(l_extendedprice, 0.95)) * 100) / 100 AS price_p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q24_first_last" ->
+      """SELECT l_returnflag, l_orderkey AS top_orderkey, round((l_extendedprice) * 100) / 100 AS top_price
+        |FROM (SELECT l_returnflag, l_orderkey, l_extendedprice,
+        |        row_number() OVER (PARTITION BY l_returnflag
+        |            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |      FROM lineitem) t
+        |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+    "q25_json" ->
+      """SELECT event_type, round((avg(CAST(json_extract_string(props, '$.k') AS BIGINT))) * 10000) / 10000 AS avg_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+}
