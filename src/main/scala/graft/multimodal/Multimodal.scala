@@ -1,0 +1,91 @@
+package graft.multimodal
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.5 multimodal columns: media payloads travel as opaque `binary`
+  * columns with typed metadata alongside; decode / feature-extract
+  * runs per-partition so a real decoder (image/audio lib) would be
+  * loaded once per executor, not per row.
+  *
+  * The container has no media libraries, so [[FakeDecoder]] stands in
+  * for the decode step with a deterministic byte-histogram "feature";
+  * the Spark-side plumbing — schema, batch shape, partition-wise
+  * execution, feature vector contract — is real and tested.
+  */
+object Multimodal {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Decode contract: binary payload -> fixed-shape float feature. */
+  trait MediaDecoder extends Serializable {
+    def featureDim: Int
+    def decode(bytes: Array[Byte]): Array[Float]
+  }
+
+  /** Deterministic stand-in for a real image/audio decoder: a
+    * 16-bin byte histogram, L1-normalized. A production build swaps
+    * in a JNI/FFI decoder here (e.g. libjpeg / ffmpeg bindings);
+    * everything downstream is shape-compatible.
+    */
+  object FakeDecoder extends MediaDecoder {
+    val featureDim = 16
+    def decode(bytes: Array[Byte]): Array[Float] = {
+      val h = new Array[Float](featureDim)
+      var i = 0
+      while (i < bytes.length) { h((bytes(i) & 0xff) >> 4) += 1f; i += 1 }
+      val n = math.max(bytes.length, 1).toFloat
+      var j = 0
+      while (j < featureDim) { h(j) /= n; j += 1 }
+      h
+    }
+  }
+
+  // --- mm01: binary payload + typed metadata (oracle-checkable) ---
+  val mm01_binary_meta: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"),
+        octet_length(col("payload")).cast("long").as("byte_len"),
+        sha2(col("payload"), 256).as("sha"))
+      .orderBy("doc_id")
+
+  // --- mm02: per-partition decode -> feature vectors (rows-only) ---
+  val mm02_decode_stub: Q = (s, d) => {
+    val spark = s
+    val src = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_bytes", LongType),
+      StructField("feature", ArrayType(FloatType)),
+      StructField("feat_l2", DoubleType)))
+    val dec: MediaDecoder = FakeDecoder
+    val rdd = src.rdd.mapPartitions { rows =>
+      // decoder init happens once per partition (where a real codec
+      // would allocate its native context)
+      rows.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        val f = dec.decode(bytes)
+        val l2 = math.sqrt(f.map(x => x.toDouble * x).sum)
+        Row(id, bytes.length.toLong, f.toSeq, math.round(l2 * 10000) / 10000.0)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+      .select(col("doc_id"), col("n_bytes"), col("feat_l2"),
+        size(col("feature")).cast("long").as("feat_dim"))
+      .orderBy("doc_id")
+  }
+
+  val registry: Map[String, Q] = Map(
+    "mm01_binary_meta" -> mm01_binary_meta,
+    "mm02_decode_stub" -> mm02_decode_stub)
+
+  val oracles: Map[String, String] = Map(
+    "mm01_binary_meta" ->
+      """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len,
+        |  sha256(text) AS sha
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,97 @@
+package graft.similarity
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.3 approximate-nearest-neighbor search over the `embeddings`
+  * table (`Array[Float]`, 64-dim).
+  *
+  * ann01 is the exact brute-force baseline (oracle-checkable);
+  * ann02 is the IVF scale path: coarse-quantize every vector to its
+  * nearest centroid once (small broadcast join), then probe only the
+  * nProbe nearest cells per query — candidate volume drops from n to
+  * ~n*nProbe/nCells, and the probe join shuffles on cell id, which
+  * is how this survives a 1000-executor 100 TB corpus.
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def r4(c: Column) = round(c * 10000) / 10000
+  private def r6(c: Column) = round(c * 1000000) / 1000000
+
+  /** Cosine between `va`/`vb` (array<double>) with a sequential
+    * double fold — bit-identical to the DuckDB oracle's
+    * list_inner_product over DOUBLE[].
+    */
+  val cosineExpr: String =
+    """aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x) /
+      |(sqrt(aggregate(transform(va, x -> x * x), 0D, (acc, x) -> acc + x)) *
+      | sqrt(aggregate(transform(vb, x -> x * x), 0D, (acc, x) -> acc + x)))""".stripMargin
+
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
+
+  // --- ann01: exact brute-force cosine top-k (k=5, queries = vec_id < 10) ---
+  val ann01_brute_topk: Q = (s, d) => {
+    val e = vecs(s, d)
+    val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("v").as("va"))
+    val c = e.select(col("vec_id").as("n_id"), col("v").as("vb"))
+    val scored = q.join(c, col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), r6(expr(cosineExpr)).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("n_id"), r4(col("cos")).as("cos_r"))
+      .orderBy("q_id", "rank")
+  }
+
+  // --- ann02: IVF top-k (centroids from label means; nProbe=2) ---
+  // Rows-only: approximate by design (recall < 1 vs ann01).
+  val ann02_ivf_topk: Q = (s, d) => {
+    val e = vecs(s, d)
+    // "train": one centroid per label cell — elementwise mean
+    val cents = e
+      .select(col("label").as("cell"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("cell", "i").agg(avg("x").as("m"))
+      .groupBy("cell").agg(array_sort(collect_list(struct(col("i"), col("m")))).as("pairs"))
+      .select(col("cell"), expr("transform(pairs, p -> p.m)").as("vb"))
+    // assign every query to its nProbe=2 nearest cells
+    val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("v").as("va"))
+    val wCell = Window.partitionBy("q_id").orderBy(col("cell_cos").desc, col("cell"))
+    val probed = q.join(broadcast(cents), lit(true))
+      .select(col("q_id"), col("va"), col("cell"), expr(cosineExpr).as("cell_cos"))
+      .withColumn("cr", row_number().over(wCell))
+      .filter(col("cr") <= 2)
+      .select("q_id", "va", "cell")
+    // probe: exact cosine only against vectors in the probed cells
+    val cands = e.select(col("vec_id").as("n_id"), col("v").as("vb"), col("label").as("cell"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    probed.join(cands, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), r6(expr(cosineExpr)).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("n_id"), r4(col("cos")).as("cos_r"))
+      .orderBy("q_id", "rank")
+  }
+
+  val registry: Map[String, Q] = Map(
+    "ann01_brute_topk" -> ann01_brute_topk,
+    "ann02_ivf_topk" -> ann02_ivf_topk)
+
+  val oracles: Map[String, String] = Map(
+    "ann01_brute_topk" ->
+      """SELECT q_id, rank, n_id, round(cos * 10000) / 10000 AS cos_r FROM (
+        |  SELECT q_id, n_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+        |  FROM (
+        |    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |      round((list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        |        (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+        |         sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))) * 1000000) / 1000000 AS cos
+        |    FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id <> a.vec_id) s) r
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
+}

@@ -1,0 +1,150 @@
+package graft.text
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.4 text analysis over `documents` — the LLM-pipeline text ops:
+  * token counting, quality scoring, language ID, fingerprinting.
+  *
+  * All scalar work uses codegen'd native functions / higher-order
+  * array functions (no UDFs), so each op is a single narrow-scan
+  * projection: embarrassingly parallel, no shuffle except final
+  * presentation sort — the shape that survives 100 TB.
+  */
+object TextAnalysis {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def r4(c: Column) = round(c * 10000) / 10000
+
+  /** Word tokens: lowercase, split on non-word runs, drop empties.
+    * Identical semantics in the DuckDB oracle via
+    * list_filter(string_split_regex(...)).
+    */
+  val toksExpr = "filter(split(lower(text), '\\\\W+'), x -> x != '')"
+
+  // --- tx01: token counting ---
+  val tx01_tokens: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(toksExpr).as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("long").as("n_uniq"))
+      .orderBy("doc_id")
+
+  // --- tx02: quality scoring (length / punctuation / stopword ratios) ---
+  val tx02_quality: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), expr(toksExpr).as("t"))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("t")).cast("long").as("n_tokens"),
+        r4(length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast("double") /
+          nullif(length(col("text")), lit(0))).as("punct_ratio"),
+        r4(expr("size(filter(t, x -> x IN ('the','a','an','of','and','to','in','is')))").cast("double") /
+          nullif(size(col("t")), lit(0))).as("stop_ratio"),
+        r4(expr("aggregate(t, 0L, (acc, x) -> acc + length(x))").cast("double") /
+          nullif(size(col("t")), lit(0))).as("avg_word_len"))
+      .orderBy("doc_id")
+
+  // --- tx03: marker-word language ID (n-gram heuristic) ---
+  private val markers = Map(
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"))
+
+  val tx03_langid: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), expr(toksExpr).as("t"))
+    val scored = markers.foldLeft(base) { case (df, (lang, ws)) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      df.withColumn(s"s_$lang",
+        expr(s"size(filter(t, x -> x IN ($inList)))").cast("long"))
+    }
+    scored.select(col("doc_id"),
+      when(col("s_en") > 0 && col("s_en") >= col("s_de") &&
+           col("s_en") >= col("s_fr") && col("s_en") >= col("s_es"), "en")
+        .when(col("s_de") > 0 && col("s_de") >= col("s_fr") &&
+              col("s_de") >= col("s_es"), "de")
+        .when(col("s_fr") > 0 && col("s_fr") >= col("s_es"), "fr")
+        .when(col("s_es") > 0, "es")
+        .otherwise("und").as("pred_lang"),
+      col("s_en"), col("s_de"), col("s_fr"), col("s_es"))
+      .orderBy("doc_id")
+  }
+
+  /** Whitespace-normalized text for fingerprinting: lowercase, collapse
+    * whitespace runs, trim.
+    */
+  def normText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  // --- tx04: document fingerprint (md5 of normalized text) ---
+  val tx04_fingerprint: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5(normText(col("text")).cast("binary")).as("fp"))
+      .orderBy("doc_id")
+
+  // --- tx05: 64-bit rolling-hash shingle fingerprints ---
+  // Rows-only (hash seeds aren't SQL-portable): per doc, hash every
+  // 5-token window with a chained xxhash64 fold, keep the
+  // min/max/count as the doc's locality fingerprint.
+  val tx05_rolling_fp: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(toksExpr).as("t"))
+      .select(col("doc_id"), expr(
+        """transform(
+          |  if(size(t) < 5, array(), sequence(1, size(t) - 4)),
+          |  i -> aggregate(slice(t, i, 5), 0L,
+          |         (acc, x) -> xxhash64(acc, x)))""".stripMargin).as("whs"))
+      .filter(size(col("whs")) > 0)
+      .select(col("doc_id"),
+        array_min(col("whs")).as("fp_min"),
+        array_max(col("whs")).as("fp_max"),
+        size(col("whs")).cast("long").as("n_windows"))
+      .orderBy("doc_id")
+
+  val registry: Map[String, Q] = Map(
+    "tx01_tokens" -> tx01_tokens,
+    "tx02_quality" -> tx02_quality,
+    "tx03_langid" -> tx03_langid,
+    "tx04_fingerprint" -> tx04_fingerprint,
+    "tx05_rolling_fp" -> tx05_rolling_fp)
+
+  private val sqlToks =
+    "list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')"
+
+  val oracles: Map[String, String] = Map(
+    "tx01_tokens" ->
+      s"""SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_uniq
+         |FROM (SELECT doc_id, $sqlToks AS t FROM documents) x ORDER BY doc_id""".stripMargin,
+    "tx02_quality" ->
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, len(t) AS n_tokens,
+         |  round((CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+         |         / nullif(length(text), 0)) * 10000) / 10000 AS punct_ratio,
+         |  round((CAST(len(list_filter(t, x -> x IN ('the','a','an','of','and','to','in','is'))) AS DOUBLE)
+         |         / nullif(len(t), 0)) * 10000) / 10000 AS stop_ratio,
+         |  round((CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+         |         / nullif(len(t), 0)) * 10000) / 10000 AS avg_word_len
+         |FROM (SELECT doc_id, text, $sqlToks AS t FROM documents) x ORDER BY doc_id""".stripMargin,
+    "tx03_langid" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id,
+         |    len(list_filter(t, x -> x IN ('the','a','and','of','is'))) AS s_en,
+         |    len(list_filter(t, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+         |    len(list_filter(t, x -> x IN ('le','la','les','et','est'))) AS s_fr,
+         |    len(list_filter(t, x -> x IN ('el','los','las','y','es'))) AS s_es
+         |  FROM (SELECT doc_id, $sqlToks AS t FROM documents) x)
+         |SELECT doc_id,
+         |  CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |       WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |       WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+         |       WHEN s_es > 0 THEN 'es'
+         |       ELSE 'und' END AS pred_lang,
+         |  s_en, s_de, s_fr, s_es
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    "tx04_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
