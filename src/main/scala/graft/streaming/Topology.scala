@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryProgress}
+
+/** The reference's topology model (Topology.hs, HardcodedTopology.hs)
+  * re-expressed Spark-first: a topology is a named chain
+  * spout → bolts → sink that compiles to ONE streaming DataFrame
+  * plan, so Catalyst plans the whole DAG (instead of hand-wired
+  * processes + sockets as in Processor/Pool.hs).
+  *
+  * What the reference wires explicitly, Spark provides declaratively:
+  *  - fields grouping (hash of tuple key, WordCountSample.hs:243-252)
+  *    → the hash exchange under any `groupBy`
+  *  - global grouping (`const 0`) → single-partition sort / global agg
+  *  - bolt parallelism → spark.sql.shuffle.partitions / AQE
+  *  - low-water-mark maps (Payload.hs) → watermarks
+  *  - partition/offset clocks + snapshots (Clock.hs, SnapshotStore)
+  *    → checkpointed offset log + state store, surfaced as [[Clock]]
+  */
+final case class Spout(name: String, open: SparkSession => DataFrame)
+
+final case class Bolt(name: String, transform: DataFrame => DataFrame)
+
+final case class Sink(name: String, start: DataFrame => StreamingQuery)
+
+final case class Topology(spout: Spout, bolts: Seq[Bolt], sink: Sink) {
+  def withBolt(b: Bolt): Topology = copy(bolts = bolts :+ b)
+
+  /** Compile and launch: the returned query is the running topology. */
+  def run(spark: SparkSession): StreamingQuery = {
+    val wired = bolts.foldLeft(spout.open(spark))((df, b) => b.transform(df))
+    sink.start(wired)
+  }
+}
+
+/** The reference's progress vector (Clock.hs:14-15): partition → offset.
+  * Here partitions are the streaming source's partition descriptors and
+  * offsets come from the checkpointed offset log — the same "how far
+  * has every input advanced" contract, maintained transactionally by
+  * Structured Streaming instead of a Zookeeper negotiator.
+  */
+final case class Clock(offsets: Map[String, String]) {
+  /** clockGt (Clock.hs:18-24): element-wise strictly-greater with
+    * identical key sets — comparable only for numeric offsets.
+    */
+  def gt(other: Clock): Boolean =
+    offsets.keySet == other.offsets.keySet && offsets.forall { case (k, v) =>
+      (for (a <- toLong(v); b <- other.offsets.get(k).flatMap(toLong))
+        yield a > b).getOrElse(false)
+    }
+  private def toLong(s: String): Option[Long] = s.toLongOption
+}
+
+object Clock {
+  /** Extract the topology's clock from the latest progress. */
+  def fromProgress(p: StreamingQueryProgress): Clock =
+    if (p == null) Clock(Map.empty)
+    else Clock(p.sources.zipWithIndex.map { case (s, i) =>
+      s"source-$i" -> String.valueOf(s.endOffset)
+    }.toMap)
+
+  def of(q: StreamingQuery): Clock = fromProgress(q.lastProgress)
+}

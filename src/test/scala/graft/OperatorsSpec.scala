@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Batch-operator smoke + cross-operator consistency at sf0.001.
+  * (Value-level correctness is enforced by the DuckDB oracle gate —
+  * tools/check.py / the driver's CORRECTNESS run; these specs cover
+  * the contract and the non-oracle operators.)
+  */
+class OperatorsSpec extends SparkSpecBase {
+
+  test("driver contract: entry returns rows; every oracle key has a query") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    val qs = SparkEntry.queries.keySet
+    val missing = SparkEntry.oracleSql.keySet -- qs
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("every registered query runs and returns rows at sf0.001") {
+    val empties = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      if (n == 0) Some(name) else None
+    }
+    assert(empties.isEmpty, s"queries with 0 rows: $empties")
+  }
+
+  test("minhash LSH candidates recover the exact-Jaccard near-dup pairs") {
+    val exact = dedup.Dedup.dd02_ngram_jaccard(spark, sfDir)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = dedup.Dedup.dd04_minhash_lsh(spark, sfDir)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH verifies candidates with exact Jaccard, so it can only miss
+    // pairs (recall <= 1), never invent them
+    assert(lsh.subsetOf(exact))
+    assert(lsh.size >= (exact.size * 0.8).toInt, s"LSH recall too low: ${lsh.size}/${exact.size}")
+  }
+
+  test("IVF ANN overlaps the brute-force top-k") {
+    val exact = similarity.Similarity.ann01_brute_topk(spark, sfDir)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = similarity.Similarity.ann02_ivf_topk(spark, sfDir)
+      .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVF recall vs brute force unexpectedly low: $recall")
+  }
+
+  test("exact dedup groups cover all documents exactly once") {
+    val docs = Tables.documents(spark, sfDir).count()
+    val groups = dedup.Dedup.dd01_exact(spark, sfDir)
+      .agg(sum("n_copies")).collect()(0).getLong(0)
+    assert(groups == docs)
+  }
+
+  test("multimodal decode: fixed feature shape, unit-bounded l2") {
+    val out = multimodal.Multimodal.mm02_decode_stub(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("feat_dim") == 16L))
+    assert(out.forall { r => val l2 = r.getAs[Double]("feat_l2"); l2 > 0 && l2 <= 1.0 })
+  }
+}

@@ -1,0 +1,130 @@
+package graft.streaming
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("word-count topology: counts accumulate across micro-batches with exactly-once sink") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[String]
+    val out = tmpDir("wc-out")
+    val ckpt = tmpDir("wc-ckpt")
+    val topo = WordCountTopology(
+      Spout("mem", _ => mem.toDF()), out, ckpt, topN = 3)
+    val q = topo.run(spark)
+    try {
+      mem.addData("the cat and the hat", "the bat")
+      q.processAllAvailable()
+      mem.addData("the cat again")
+      q.processAllAvailable()
+
+      val committed = ExactlyOnceSink.committed(out)
+      assert(committed.nonEmpty)
+      val last = committed.max
+      val top = spark.read.parquet(s"$out/batch=$last")
+        .orderBy(col("cnt").desc, col("word"))
+        .as[(String, Long)].collect().toList
+      // totals over both batches: the=4, cat=2, rest=1 (top3 tie-break asc)
+      assert(top == List(("the", 4L), ("cat", 2L), ("again", 1L)))
+
+      // clock advanced and is comparable
+      val clock = Clock.of(q)
+      assert(clock.offsets.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("exactly-once sink: redelivered batch id is not rewritten") {
+    val out = tmpDir("eo-out")
+    val sink = ExactlyOnceSink.toDir(out)
+    sink(Seq(("a", 1L)).toDF("k", "v"), 0L)
+    // redelivery with different (stale) content must be a no-op
+    sink(Seq(("DUPLICATE", 99L)).toDF("k", "v"), 0L)
+    sink(Seq(("b", 2L)).toDF("k", "v"), 1L)
+    assert(ExactlyOnceSink.committed(out) == Set(0L, 1L))
+    val b0 = spark.read.parquet(s"$out/batch=0").as[(String, Long)].collect().toList
+    assert(b0 == List(("a", 1L)))
+  }
+
+  test("monoid bolt: keyed LongSum state accumulates like the countBolt") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val updated = MonoidBolt.updates[String, Long, Long](LongSum, identity)(mem.toDS())
+    val q = updated.writeStream.format("memory").queryName("mb")
+      .outputMode(MonoidBolt.outputMode).start()
+    try {
+      mem.addData(("x", 2L), ("y", 1L))
+      q.processAllAvailable()
+      mem.addData(("x", 3L))
+      q.processAllAvailable()
+      val state = spark.table("mb").as[(String, Long)].collect()
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      assert(state == Map("x" -> 5L, "y" -> 1L))
+    } finally q.stop()
+  }
+
+  test("TopN monoid: bounded, keeps largest, deterministic tie-break") {
+    val m = TopN(2)
+    val merged = m.combine(Map("a" -> 5L, "b" -> 3L), Map("c" -> 4L, "a" -> 1L))
+    assert(merged == Map("a" -> 5L, "c" -> 4L))
+    assert(m.combine(m.empty, merged) == merged)
+  }
+
+  test("event-time ops: tumbling windows and sessions over a stream") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "user_id", "value")
+    val q = EventTimeOps.tumblingCounts(events, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("tw")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1L, 1.0),
+        (Timestamp.valueOf("2024-01-01 10:55:00"), "click", 2L, 2.0),
+        (Timestamp.valueOf("2024-01-01 11:05:00"), "view", 1L, 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("tw")
+        .select(date_format(col("ws"), "HH:mm").as("w"), col("event_type"), col("n"))
+        .as[(String, String, Long)].collect().toSet
+      assert(rows == Set(("10:00", "click", 2L), ("11:00", "view", 1L)))
+    } finally q.stop()
+
+    val mem2 = MemoryStream[(Timestamp, String, Long, Double)]
+    val ev2 = mem2.toDF().toDF("ts", "event_type", "user_id", "value")
+    // session windows emit in Append mode once the watermark passes
+    // the session end, so advance it with later flush events
+    val q2 = EventTimeOps.sessionize(ev2, "30 minutes", "1 second")
+      .writeStream.format("memory").queryName("sw")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem2.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), "click", 1L, 1.0),
+        (Timestamp.valueOf("2024-01-01 10:10:00"), "click", 1L, 1.0),
+        // > 30 min gap: new session for user 1
+        (Timestamp.valueOf("2024-01-01 11:00:00"), "click", 1L, 1.0))
+      q2.processAllAvailable()
+      mem2.addData((Timestamp.valueOf("2024-01-01 14:00:00"), "flush", 9L, 0.0))
+      q2.processAllAvailable()
+      mem2.addData((Timestamp.valueOf("2024-01-01 18:00:00"), "flush", 9L, 0.0))
+      q2.processAllAvailable()
+      val sessions = spark.table("sw").filter(col("user_id") === 1L)
+        .select(col("user_id"), col("n_events"))
+        .as[(Long, Long)].collect().toList.sorted
+      assert(sessions == List((1L, 1L), (1L, 2L)))
+    } finally q2.stop()
+  }
+
+  test("clock: element-wise strictly-greater comparison (clockGt)") {
+    val c1 = Clock(Map("p0" -> "5", "p1" -> "7"))
+    val c2 = Clock(Map("p0" -> "3", "p1" -> "6"))
+    val c3 = Clock(Map("p0" -> "9"))
+    assert(c1.gt(c2))
+    assert(!c2.gt(c1))
+    assert(!c1.gt(c3)) // different partition sets are incomparable
+    assert(!c1.gt(c1)) // strict
+  }
+}
