@@ -60,19 +60,18 @@ object Dedup {
   // --- dd03: embedding-cosine near-dup pairs ---
   // Exact variant is brute-force (the oracle-checkable baseline);
   // dd04/ann02 are the sublinear scale paths. Pairs are emitted once
-  // (vec_id1 < vec_id2); cosine is computed in double with a
-  // sequential fold to match the DuckDB oracle bit-for-bit.
-  val cosineExpr: String =
-    """aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x) /
-      |(sqrt(aggregate(transform(va, x -> x * x), 0D, (acc, x) -> acc + x)) *
-      | sqrt(aggregate(transform(vb, x -> x * x), 0D, (acc, x) -> acc + x)))""".stripMargin
-
+  // (vec_id1 < vec_id2). Cosine = graft_dot / (norm_a * norm_b) with
+  // norms precomputed once per vector; the codegen'd sequential loop
+  // is bit-identical to DuckDB's list_inner_product over DOUBLE[].
   val dd03_embed_neardup: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    e.toDF("id1", "va")
-      .join(e.toDF("id2", "vb"), col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), r4(expr(cosineExpr)).as("cos"))
+      .withColumn("nrm", graft.functions.GraftFunctions.l2norm("v"))
+    e.toDF("id1", "va", "na")
+      .join(e.toDF("id2", "vb", "nb"), col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        r4(graft.functions.GraftFunctions.dot("va", "vb") /
+          (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= 0.35)
       .orderBy("id1", "id2")
   }
@@ -120,12 +119,8 @@ object Dedup {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), expr(toksExpr).as("t"))
       .filter(size(col("t")) > 0)
-    val sig = docs.select(col("doc_id"), expr(
-      """aggregate(sequence(0, 63), 0L, (acc, j) ->
-        |  shiftleft(acc, 1) | if(
-        |    aggregate(t, 0L, (a, x) ->
-        |      a + if(((xxhash64(x) >> (63 - j)) & 1L) = 1L, 1L, -1L)) > 0L,
-        |    1L, 0L))""".stripMargin).as("sig"))
+    val sig = docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.simhash64("t").as("sig"))
     val bands = sig.select(col("doc_id"), col("sig"),
       posexplode(expr("transform(sequence(0, 3), b -> (sig >> (b * 16)) & 65535L)")))
       .toDF("doc_id", "sig", "band", "bh")

@@ -1,0 +1,189 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for graft's vector/hash hot paths.
+  *
+  * These replace higher-order-function folds (`aggregate`/`zip_with`
+  * lambdas), which evaluate interpreted per element and dominated
+  * benchmark time (dd03 was 151 s at sf0.1 from lambda overhead
+  * alone). Each expression here stays inside whole-stage codegen:
+  * [[DotProduct]] emits a hand-written loop; the hash expressions
+  * emit a call into [[GraftHashOps]]'s tight JVM loops.
+  *
+  * Float folds are sequential in index order, so results are
+  * bit-identical to DuckDB's list_inner_product over DOUBLE[] —
+  * required for oracle hash-parity.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** sqrt(dot(v, v)) — the vector's L2 norm, one codegen'd pass. */
+case class L2Norm(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_l2norm"
+
+  override protected def nullSafeEval(a: Any): Any =
+    GraftHashOps.l2norm(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHashOps.l2norm($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): L2Norm =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over an array<string> of tokens (tf-weighted sign
+  * sums of xxhash64 token bits) — one pass per document instead of a
+  * 64-lambda interpreted fold.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override protected def nullSafeEval(a: Any): Any =
+    GraftHashOps.simhash64(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHashOps.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** xxhash64-chained rolling hash of every `width`-token window:
+  * returns array<long> of window hashes (empty if fewer tokens than
+  * `width`).
+  */
+case class RollingHashes(child: Expression, width: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_rolling_hashes"
+
+  override protected def nullSafeEval(a: Any): Any =
+    GraftHashOps.rollingHashes(a.asInstanceOf[ArrayData], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftHashOps.rollingHashes($c, $width)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHashes =
+    copy(child = newChild)
+}
+
+/** JVM loops the generated code calls into (and interpreted eval
+  * reuses). xxhash64 here matches Spark's SQL xxhash64 (XXH64 over
+  * UTF-8 bytes, seed 42) so native and SQL paths hash identically.
+  */
+object GraftHashOps {
+  private val SEED = 42L
+
+  private def hashString(s: UTF8String, seed: Long): Long =
+    XxHash64Function.hash(s, StringType, seed)
+
+  private def hashLong(v: Long, seed: Long): Long =
+    XxHash64Function.hash(v, LongType, seed)
+
+  def l2norm(v: ArrayData): Double = {
+    val n = v.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = v.getDouble(i); s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+
+  def simhash64(toks: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashString(toks.getUTF8String(i), SEED)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> (63 - j)) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { sig = (sig << 1) | (if (counts(j) > 0) 1L else 0L); j += 1 }
+    sig
+  }
+
+  def rollingHashes(toks: ArrayData, width: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < width) return new GenericArrayData(Array.empty[Long])
+    // hash each token once, then chain per window (seeded fold,
+    // same shape as SQL xxhash64(acc, x))
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) { th(i) = hashString(toks.getUTF8String(i), SEED); i += 1 }
+    val out = new Array[Long](n - width + 1)
+    var w = 0
+    while (w < out.length) {
+      var acc = 0L
+      var k = 0
+      while (k < width) { acc = hashLong(th(w + k), hashLong(acc, SEED)); k += 1 }
+      out(w) = acc
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Column builders for the native expressions (attribute-name based;
+  * resolved by the analyzer). Expression→Column wrapping goes through
+  * [[org.apache.spark.sql.graft.ColumnBridge]].
+  */
+object GraftFunctions {
+  import org.apache.spark.sql.graft.ColumnBridge.column
+
+  private def attr(name: String) = UnresolvedAttribute.quoted(name)
+
+  def dot(a: String, b: String): Column = column(DotProduct(attr(a), attr(b)))
+  def l2norm(a: String): Column = column(L2Norm(attr(a)))
+  def simhash64(toks: String): Column = column(SimHash64(attr(toks)))
+  def rollingHashes(toks: String, width: Int): Column =
+    column(RollingHashes(attr(toks), width))
+}

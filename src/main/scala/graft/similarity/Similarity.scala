@@ -21,26 +21,26 @@ object Similarity {
   private def r4(c: Column) = round(c * 10000) / 10000
   private def r6(c: Column) = round(c * 1000000) / 1000000
 
-  /** Cosine between `va`/`vb` (array<double>) with a sequential
-    * double fold — bit-identical to the DuckDB oracle's
-    * list_inner_product over DOUBLE[].
+  /** Cosine = graft_dot(va, vb) / (na * nb): a codegen'd sequential
+    * double loop with norms precomputed per vector — bit-identical to
+    * the DuckDB oracle's list_inner_product over DOUBLE[].
     */
-  val cosineExpr: String =
-    """aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x) /
-      |(sqrt(aggregate(transform(va, x -> x * x), 0D, (acc, x) -> acc + x)) *
-      | sqrt(aggregate(transform(vb, x -> x * x), 0D, (acc, x) -> acc + x)))""".stripMargin
+  private def cosine = graft.functions.GraftFunctions.dot("va", "vb") /
+    (col("na") * col("nb"))
 
   private def vecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
+      .withColumn("nrm", graft.functions.GraftFunctions.l2norm("v"))
 
   // --- ann01: exact brute-force cosine top-k (k=5, queries = vec_id < 10) ---
   val ann01_brute_topk: Q = (s, d) => {
     val e = vecs(s, d)
-    val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("v").as("va"))
-    val c = e.select(col("vec_id").as("n_id"), col("v").as("vb"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("va"), col("nrm").as("na"))
+    val c = e.select(col("vec_id").as("n_id"), col("v").as("vb"), col("nrm").as("nb"))
     val scored = q.join(c, col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), r6(expr(cosineExpr)).as("cos"))
+      .select(col("q_id"), col("n_id"), r6(cosine).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
@@ -58,20 +58,23 @@ object Similarity {
       .groupBy("cell", "i").agg(avg("x").as("m"))
       .groupBy("cell").agg(array_sort(collect_list(struct(col("i"), col("m")))).as("pairs"))
       .select(col("cell"), expr("transform(pairs, p -> p.m)").as("vb"))
+      .withColumn("nb", graft.functions.GraftFunctions.l2norm("vb"))
     // assign every query to its nProbe=2 nearest cells
-    val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("v").as("va"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("va"), col("nrm").as("na"))
     val wCell = Window.partitionBy("q_id").orderBy(col("cell_cos").desc, col("cell"))
     val probed = q.join(broadcast(cents), lit(true))
-      .select(col("q_id"), col("va"), col("cell"), expr(cosineExpr).as("cell_cos"))
+      .select(col("q_id"), col("va"), col("na"), col("cell"), cosine.as("cell_cos"))
       .withColumn("cr", row_number().over(wCell))
       .filter(col("cr") <= 2)
-      .select("q_id", "va", "cell")
+      .select("q_id", "va", "na", "cell")
     // probe: exact cosine only against vectors in the probed cells
-    val cands = e.select(col("vec_id").as("n_id"), col("v").as("vb"), col("label").as("cell"))
+    val cands = e.select(col("vec_id").as("n_id"), col("v").as("vb"),
+      col("nrm").as("nb"), col("label").as("cell"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     probed.join(cands, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), r6(expr(cosineExpr)).as("cos"))
+      .select(col("q_id"), col("n_id"), r6(cosine).as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("rank"), col("n_id"), r4(col("cos")).as("cos_r"))

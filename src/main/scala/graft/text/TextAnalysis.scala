@@ -93,11 +93,8 @@ object TextAnalysis {
   val tx05_rolling_fp: Q = (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"), expr(toksExpr).as("t"))
-      .select(col("doc_id"), expr(
-        """transform(
-          |  if(size(t) < 5, array(), sequence(1, size(t) - 4)),
-          |  i -> aggregate(slice(t, i, 5), 0L,
-          |         (acc, x) -> xxhash64(acc, x)))""".stripMargin).as("whs"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.rollingHashes("t", 5).as("whs"))
       .filter(size(col("whs")) > 0)
       .select(col("doc_id"),
         array_min(col("whs")).as("fp_min"),
