@@ -1,0 +1,92 @@
+package graft.cli
+
+import graft.streaming.{Clock, ExactlyOnceSink, WordCountTopology}
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** CLI analog of the reference's HailstormCLI.hs:
+  *
+  *   - `run_sample -f <file>`: the reference's flagship
+  *     `hailstorm -f data/test.txt run_sample` — streams the file
+  *     through the word-count topology and writes `top_words.txt`
+  *     (WordCountSample.hs outputFilename), then prints the final
+  *     clock.
+  *   - `show <checkpoint>`: `hailstorm zk_show` analog — prints the
+  *     committed offsets/batches recorded in the checkpoint (the
+  *     state Zookeeper held for the reference).
+  *   - `init <checkpoint>`: `hailstorm zk_init` analog — creates a
+  *     fresh checkpoint root.
+  */
+object GraftCLI {
+  def main(args: Array[String]): Unit = args.toList match {
+    case "run_sample" :: "-f" :: file :: rest =>
+      val out = rest.headOption.getOrElse(".")
+      runSample(file, out)
+    case "show" :: ckpt :: _  => show(ckpt)
+    case "init" :: ckpt :: _  =>
+      Files.createDirectories(Paths.get(ckpt))
+      println(s"initialized checkpoint root at $ckpt")
+    case _ =>
+      System.err.println(
+        "usage: GraftCLI run_sample -f <file> [outDir] | show <checkpoint> | init <checkpoint>")
+      sys.exit(2)
+  }
+
+  def runSample(file: String, outDir: String): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("graft-run-sample")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try runSample(spark, file, outDir)
+    finally spark.stop()
+  }
+
+  /** Topology run against a caller-owned session (not stopped here). */
+  def runSample(spark: SparkSession, file: String, outDir: String): Unit = {
+    {
+      // stage the file as a streaming source dir (partition = file,
+      // offset = position — the reference's FileSource contract)
+      val inDir = Files.createTempDirectory("graft-sample-in")
+      Files.copy(Paths.get(file), inDir.resolve(Paths.get(file).getFileName))
+      val ckpt = Files.createTempDirectory("graft-sample-ckpt").toString
+      val batchOut = Files.createTempDirectory("graft-sample-out").toString
+
+      val q = WordCountTopology.run(spark, inDir.toString, batchOut, ckpt)
+      q.processAllAvailable()
+      val clock = Clock.of(q)
+      q.stop()
+
+      val last = ExactlyOnceSink.committed(batchOut).max
+      val top = spark.read.parquet(s"$batchOut/batch=$last")
+        .orderBy(col("cnt").desc, col("word"))
+        .collect().map(r => s"${r.getString(0)},${r.getLong(1)}")
+      Files.createDirectories(Paths.get(outDir))
+      Files.write(Paths.get(outDir, "top_words.txt"),
+        (top.mkString("\n") + "\n").getBytes)
+      println(s"wrote ${top.length} words to $outDir/top_words.txt")
+      println(s"clock: ${clock.offsets}")
+    }
+  }
+
+  def show(ckpt: String): Unit = {
+    val offsets = Paths.get(ckpt, "offsets")
+    val commits = Paths.get(ckpt, "commits")
+    def batches(p: java.nio.file.Path): Seq[String] =
+      if (Files.isDirectory(p))
+        Files.list(p).iterator().asScala.map(_.getFileName.toString)
+          .filter(_.forall(_.isDigit)).toSeq.sortBy(_.toLong)
+      else Seq.empty
+    println(s"offsets: ${batches(offsets).mkString(", ")}")
+    println(s"commits: ${batches(commits).mkString(", ")}")
+    val latest = batches(offsets).lastOption
+    latest.foreach { b =>
+      println(s"latest offset log (batch $b):")
+      Files.readAllLines(offsets.resolve(b)).asScala.foreach(l => println(s"  $l"))
+    }
+  }
+}

@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
+import org.apache.spark.sql.streaming.DataStreamReader
+
+/** §2 sources/sinks: uniform batch + streaming IO over the formats
+  * the Spark distribution ships (parquet, orc, avro, csv, json,
+  * text), plus the Kafka spout contract.
+  *
+  * Scale posture: batch writers support partitioning columns
+  * (directory-partitioned layout → partition pruning on read);
+  * readers take explicit schemas where inference would scan data.
+  */
+object Sources {
+  /** Supported batch formats (all round-trip tested in SourcesSpec).
+    * avro needs the spark-avro connector module, which this
+    * distribution doesn't bundle.
+    */
+  val formats = Seq("parquet", "orc", "csv", "json")
+
+  def read(spark: SparkSession, format: String, path: String,
+           options: Map[String, String] = Map.empty): DataFrame = {
+    val r: DataFrameReader = spark.read.format(format).options(options)
+    format match {
+      case "csv" => r.option("header", "true").option("inferSchema", "true").load(path)
+      case _     => r.load(path)
+    }
+  }
+
+  def write(df: DataFrame, format: String, path: String,
+            partitionBy: Seq[String] = Nil,
+            options: Map[String, String] = Map.empty): Unit = {
+    var w = df.write.format(format).mode("overwrite").options(options)
+    if (format == "csv") w = w.option("header", "true")
+    if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
+    w.save(path)
+  }
+
+  /** Streaming file spout: partition = file, offset = position within
+    * the listing — the reference FileSource contract
+    * (InputSource/FileSource.hs), maintained in the checkpoint.
+    */
+  def fileStream(spark: SparkSession, format: String, path: String,
+                 schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.format(format).schema(schema).load(path)
+
+  /** Kafka spout (the reference KafkaSource,
+    * InputSource/KafkaSource.hs): topic partitions/offsets become the
+    * streaming clock. Requires the spark-sql-kafka connector jar on
+    * the cluster classpath (not bundled in this container, so this
+    * builder is untested here — the returned reader carries the
+    * standard exactly-once source contract).
+    */
+  def kafkaStream(spark: SparkSession, bootstrap: String, topic: String,
+                  startingOffsets: String = "earliest"): DataStreamReader =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+}

