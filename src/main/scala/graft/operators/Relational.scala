@@ -308,7 +308,39 @@ object Relational {
       .agg(r4(avg("k")).as("avg_k"), count(lit(1)).as("n"))
       .orderBy("event_type")
 
+  // --- q26: pivot (wide conditional aggregation) ---
+  val q26_pivot: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(r2(sum("o_totalprice")))
+      .select(col("o_orderpriority"), col("F").as("f_total"),
+        col("O").as("o_total"), col("P").as("p_total"))
+      .orderBy("o_orderpriority")
+
+  // --- q27: null handling (coalesce / nullif / null-aware agg) ---
+  val q27_nulls: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(none)")).as("seg2"),
+        when(col("c_acctbal") < 0, lit(null)).otherwise(r2(col("c_acctbal"))).as("pos_bal"))
+      .groupBy("seg2")
+      .agg(count(lit(1)).as("n_rows"), count(col("pos_bal")).as("n_pos"),
+        r2(sum(coalesce(col("pos_bal"), lit(0.0)))).as("pos_sum"))
+      .orderBy("seg2")
+
+  // --- q28: deterministic hash sampling (reproducible 1/16 sample) ---
+  val q28_sample_hash: Q = (s, d) =>
+    Tables.orders(s, d)
+      .filter(substring(md5(col("o_orderkey").cast("string")), 1, 1) === "0")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), r2(avg("o_totalprice")).as("avg_price"))
+      .orderBy("o_orderstatus")
+
   val registry: Map[String, Q] = Map(
+    "q26_pivot" -> q26_pivot,
+    "q27_nulls" -> q27_nulls,
+    "q28_sample_hash" -> q28_sample_hash,
     "q01_wordcount" -> q01_wordcount,
     "q02_topn_global" -> q02_topn_global,
     "q03_topn_group" -> q03_topn_group,
@@ -336,6 +368,25 @@ object Relational {
     "q25_json" -> q25_json)
 
   val oracles: Map[String, String] = Map(
+    "q26_pivot" ->
+      """SELECT o_orderpriority,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) * 100) / 100 AS f_total,
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) * 100) / 100 AS o_total,
+        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END) * 100) / 100 AS p_total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q27_nulls" ->
+      """SELECT seg2, count(*) AS n_rows, count(pos_bal) AS n_pos,
+        |  round(sum(coalesce(pos_bal, 0.0)) * 100) / 100 AS pos_sum
+        |FROM (SELECT coalesce(nullif(c_mktsegment, 'BUILDING'), '(none)') AS seg2,
+        |        CASE WHEN c_acctbal < 0 THEN NULL
+        |             ELSE round(c_acctbal * 100) / 100 END AS pos_bal
+        |      FROM customer) t
+        |GROUP BY seg2 ORDER BY seg2""".stripMargin,
+    "q28_sample_hash" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(avg(o_totalprice) * 100) / 100 AS avg_price
+        |FROM orders WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q01_wordcount" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents) t
