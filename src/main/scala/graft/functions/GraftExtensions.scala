@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registers graft's native expressions as SQL functions, so
+  * `spark.sql("SELECT graft_dot(a, b) ...")` works next to the
+  * DataFrame builders in [[GraftFunctions]].
+  *
+  * Install either way:
+  *   - config: `spark.sql.extensions=graft.functions.GraftExtensions`
+  *   - code:   `GraftExtensions.register(spark)` on a live session
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.definitions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  val definitions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot",
+      info("graft_dot", "graft_dot(a, b) - dot product of two array<double>"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+    ("graft_l2norm",
+      info("graft_l2norm", "graft_l2norm(a) - L2 norm of array<double>"),
+      (es: Seq[Expression]) => L2Norm(es(0))),
+    ("graft_simhash64",
+      info("graft_simhash64", "graft_simhash64(tokens) - 64-bit simhash of array<string>"),
+      (es: Seq[Expression]) => SimHash64(es(0))),
+    ("graft_rolling_hashes",
+      info("graft_rolling_hashes",
+        "graft_rolling_hashes(tokens, width) - xxhash64-chained window hashes"),
+      (es: Seq[Expression]) => es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(w, _) =>
+          RollingHashes(es(0), w.toString.toInt)
+        case other =>
+          throw new IllegalArgumentException(
+            s"graft_rolling_hashes width must be a literal, got $other")
+      }))
+
+  /** Imperative registration on an existing session (test/driver use). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+    val registry = castToImpl(spark).sessionState.functionRegistry
+    definitions.foreach { case (name, i, builder) =>
+      registry.registerFunction(FunctionIdentifier(name), i, builder)
+    }
+  }
+}

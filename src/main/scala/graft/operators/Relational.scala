@@ -337,7 +337,33 @@ object Relational {
       .agg(count(lit(1)).as("n"), r2(avg("o_totalprice")).as("avg_price"))
       .orderBy("o_orderstatus")
 
+  // --- q29: as-of join (each purchase matched to the latest prior
+  // click of the same user). Composed from a union + running max —
+  // preference (a) of the custom-operator ladder: expressible with
+  // existing ops, so Catalyst keeps planning freedom (one hash
+  // exchange on user_id, no custom physical operator needed).
+  // Oracle: DuckDB's native ASOF JOIN.
+  val q29_asof_join: Q = (s, d) => {
+    val tagged = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "click", 0).otherwise(1).as("tag"))
+    // clicks sort before purchases at equal ts, matching ASOF's >=
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_click_us",
+        max(when(col("tag") === 0, unix_micros(col("ts")))).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"),
+        coalesce(date_format(timestamp_micros(col("last_click_us")),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS"), lit("-")).as("click_ts"))
+      .orderBy("event_id")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q29_asof_join" -> q29_asof_join,
     "q26_pivot" -> q26_pivot,
     "q27_nulls" -> q27_nulls,
     "q28_sample_hash" -> q28_sample_hash,
@@ -368,6 +394,13 @@ object Relational {
     "q25_json" -> q25_json)
 
   val oracles: Map[String, String] = Map(
+    "q29_asof_join" ->
+      """SELECT e.event_id, e.user_id,
+        |  coalesce(strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f'), '-') AS click_ts
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') e
+        |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id AND e.ts >= c.ts
+        |ORDER BY e.event_id""".stripMargin,
     "q26_pivot" ->
       """SELECT o_orderpriority,
         |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END) * 100) / 100 AS f_total,

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.{SparkSpecBase, Tables}
+import graft.functions.GraftExtensions
+import org.apache.spark.sql.functions._
+
+/** Scale-path specs: salting equivalence, bucketed co-located joins,
+  * SQL function registration.
+  */
+class ScaleSpec extends SparkSpecBase {
+
+  test("salted aggregation equals the direct aggregation") {
+    val li = Tables.lineitem(spark, sfDir)
+    val direct = li.groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("sum_value"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val salted = Skew.saltedSumCount(li, Seq("l_returnflag"), "l_quantity")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(salted == direct)
+  }
+
+  test("salted join equals the direct join") {
+    val orders = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    val direct = orders.join(li, "o_orderkey").count()
+    val salted = Skew.saltedJoin(li, orders, "o_orderkey").count()
+    assert(salted == direct)
+  }
+
+  test("key histogram surfaces the heavy hitters") {
+    val h = Skew.keyHistogram(Tables.lineitem(spark, sfDir), col("l_returnflag"), 3)
+      .collect()
+    assert(h.length == 3)
+    assert(h.map(_.getAs[Double]("share")).sum > 0.9)
+  }
+
+  test("bucketed tables join without an exchange") {
+    val wh = tmpDir("graft-warehouse")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.sql("DROP TABLE IF EXISTS orders_b")
+    s2.sql("DROP TABLE IF EXISTS lineitem_b")
+    Tables.orders(s2, sfDir).write
+      .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/orders_b").mode("overwrite").saveAsTable("orders_b")
+    Tables.lineitem(s2, sfDir).select("l_orderkey", "l_quantity").write
+      .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/lineitem_b").mode("overwrite").saveAsTable("lineitem_b")
+    val joined = s2.table("orders_b")
+      .join(s2.table("lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // co-located buckets: the join must not reshuffle either side
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    assert(joined.count() == Tables.lineitem(s2, sfDir).count())
+  }
+
+  test("SQL registration: graft_* functions callable from spark.sql") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       graft_l2norm(array(3.0D, 4.0D)) AS n,
+        |       graft_simhash64(array('a', 'b')) AS s,
+        |       size(graft_rolling_hashes(array('a','b','c','d','e','f'), 5)) AS w
+        |""".stripMargin).collect()(0)
+    assert(row.getAs[Double]("d") == 11.0)
+    assert(row.getAs[Double]("n") == 5.0)
+    assert(row.getAs[Long]("s") != 0L)
+    assert(row.getAs[Int]("w") == 2)
+  }
+}
