@@ -14,7 +14,8 @@ object SparkEntry {
       text.TextAnalysis.registry ++
       dedup.Dedup.registry ++
       similarity.Similarity.registry ++
-      multimodal.Multimodal.registry
+      multimodal.Multimodal.registry ++
+      pipeline.Pipeline.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -23,5 +24,6 @@ object SparkEntry {
       text.TextAnalysis.oracles ++
       dedup.Dedup.oracles ++
       similarity.Similarity.oracles ++
-      multimodal.Multimodal.oracles
+      multimodal.Multimodal.oracles ++
+      pipeline.Pipeline.oracles
 }

@@ -82,13 +82,12 @@ object Dedup {
   // SQL-portable.
   val dd04_minhash_lsh: Q = (s, d) => {
     val sh = shingles(s, d)
-    // signature: per doc, elementwise-min over shingles of k seeded hashes
-    val sig = sh
-      .select(col("doc_id"), expr(
-        "transform(sequence(0, 63), i -> xxhash64(s, i))").as("hs"))
-      .groupBy("doc_id")
-      .agg(expr("aggregate(collect_list(hs), transform(sequence(0,63), i -> 9223372036854775807L)," +
-        " (acc, x) -> zip_with(acc, x, (a, b) -> least(a, b)))").as("sig"))
+    // signature: one native pass per doc (graft_minhash_sig) — no
+    // explode/shuffle to build signatures
+    val sig = Tables.documents(s, d)
+      .select(col("doc_id"), expr(toksExpr).as("t"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.minhashSig("t", 64, 3).as("sig"))
     // LSH: band hash over 4-row slices; docs sharing any band bucket
     val bands = sig.select(col("doc_id"),
       posexplode(expr("transform(sequence(0, 15), b -> hash(slice(sig, b * 4 + 1, 4)))")))

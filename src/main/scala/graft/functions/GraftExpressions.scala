@@ -111,6 +111,27 @@ case class RollingHashes(child: Expression, width: Int)
     copy(child = newChild)
 }
 
+/** k-permutation MinHash signature straight from the token array:
+  * per `width`-token shingle, one string hash + k seeded long hashes,
+  * elementwise-min across shingles — one pass per document, no
+  * explode/shuffle needed for signature construction.
+  */
+case class MinHashSig(child: Expression, k: Int, width: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override protected def nullSafeEval(a: Any): Any =
+    GraftHashOps.minhashSig(a.asInstanceOf[ArrayData], k, width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftHashOps.minhashSig($c, $k, $width)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
 /** JVM loops the generated code calls into (and interpreted eval
   * reuses). xxhash64 here matches Spark's SQL xxhash64 (XXH64 over
   * UTF-8 bytes, seed 42) so native and SQL paths hash identically.
@@ -151,6 +172,33 @@ object GraftHashOps {
     sig
   }
 
+  def minhashSig(toks: ArrayData, k: Int, width: Int): ArrayData = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = toks.numElements()
+    if (n >= width) {
+      val sb = new java.lang.StringBuilder
+      var w = 0
+      while (w <= n - width) {
+        sb.setLength(0)
+        var j = 0
+        while (j < width) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks.getUTF8String(w + j).toString)
+          j += 1
+        }
+        val base = hashString(UTF8String.fromString(sb.toString), SEED)
+        var i = 0
+        while (i < k) {
+          val h = hashLong(i.toLong, base) // seeded family, one per perm
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+        w += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+
   def rollingHashes(toks: ArrayData, width: Int): ArrayData = {
     val n = toks.numElements()
     if (n < width) return new GenericArrayData(Array.empty[Long])
@@ -186,4 +234,6 @@ object GraftFunctions {
   def simhash64(toks: String): Column = column(SimHash64(attr(toks)))
   def rollingHashes(toks: String, width: Int): Column =
     column(RollingHashes(attr(toks), width))
+  def minhashSig(toks: String, k: Int = 64, width: Int = 3): Column =
+    column(MinHashSig(attr(toks), k, width))
 }

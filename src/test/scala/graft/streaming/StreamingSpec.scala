@@ -145,6 +145,22 @@ class StreamingSpec extends SparkSpecBase {
     assert(counts == Map("alpha" -> 3L, "beta" -> 1L, "gamma" -> 1L))
   }
 
+  test("streaming exact dedup: duplicates across micro-batches are dropped") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val deduped = mem.toDF().toDF("doc_id", "fp").dropDuplicates("fp")
+    val q = deduped.writeStream.format("memory").queryName("dedupe")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, "aaa"), (2L, "bbb"), (3L, "aaa"))
+      q.processAllAvailable()
+      mem.addData((4L, "bbb"), (5L, "ccc")) // dup of batch-1 state
+      q.processAllAvailable()
+      val fps = spark.table("dedupe").select("fp").as[String].collect().sorted
+      assert(fps.toList == List("aaa", "bbb", "ccc"))
+    } finally q.stop()
+  }
+
   test("clock: element-wise strictly-greater comparison (clockGt)") {
     val c1 = Clock(Map("p0" -> "5", "p1" -> "7"))
     val c2 = Clock(Map("p0" -> "3", "p1" -> "6"))
