@@ -362,7 +362,53 @@ object Relational {
       .orderBy("event_id")
   }
 
+  // --- q30: set operations (INTERSECT / EXCEPT) ---
+  val q30_setops: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val recent = li.filter(col("l_shipdate") >= to_timestamp(lit("2000-01-01")))
+      .select("l_partkey")
+    val bulky = li.filter(col("l_quantity") >= 40).select("l_partkey")
+    val both = recent.intersect(bulky).withColumn("which", lit("both"))
+    val onlyRecent = recent.except(bulky).withColumn("which", lit("recent_only"))
+    both.unionAll(onlyRecent)
+      .groupBy("which").agg(count(lit(1)).as("n_parts"))
+      .orderBy("which")
+  }
+
+  // --- q31: ordered array aggregation (collect + sort + join) ---
+  val q31_arrayagg: Q = (s, d) =>
+    Tables.nation(s, d)
+      .groupBy("n_regionkey")
+      .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"),
+        count(lit(1)).as("n"))
+      .select(col("n_regionkey").cast("long").as("regionkey"), col("nations"), col("n"))
+      .orderBy("regionkey")
+
+  // --- q32: statistical aggregates (stddev / corr / covar) ---
+  val q32_stats: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        r4(stddev_samp(col("l_quantity"))).as("sd_qty"),
+        r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"),
+        r4(covar_samp(col("l_discount"), col("l_tax"))).as("cov_dt"))
+      .orderBy("l_returnflag")
+
+  // --- q33: regex extraction / matching ---
+  val q33_regex: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        regexp_extract(col("text"), "(spark|vector|stream)", 1).as("first_kw"),
+        when(col("text").rlike("join .* join"), 1L).otherwise(0L).as("double_join"))
+      .groupBy("first_kw")
+      .agg(count(lit(1)).as("n"), sum("double_join").as("n_double"))
+      .orderBy("first_kw")
+
   val registry: Map[String, Q] = Map(
+    "q30_setops" -> q30_setops,
+    "q31_arrayagg" -> q31_arrayagg,
+    "q32_stats" -> q32_stats,
+    "q33_regex" -> q33_regex,
     "q29_asof_join" -> q29_asof_join,
     "q26_pivot" -> q26_pivot,
     "q27_nulls" -> q27_nulls,
@@ -394,6 +440,30 @@ object Relational {
     "q25_json" -> q25_json)
 
   val oracles: Map[String, String] = Map(
+    "q30_setops" ->
+      """WITH recent AS (SELECT l_partkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01'),
+        |bulky AS (SELECT l_partkey FROM lineitem WHERE l_quantity >= 40),
+        |u AS (
+        |  SELECT l_partkey, 'both' AS which FROM (SELECT * FROM recent INTERSECT SELECT * FROM bulky) a
+        |  UNION ALL
+        |  SELECT l_partkey, 'recent_only' AS which FROM (SELECT * FROM recent EXCEPT SELECT * FROM bulky) b)
+        |SELECT which, count(*) AS n_parts FROM u GROUP BY which ORDER BY which""".stripMargin,
+    "q31_arrayagg" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations, count(*) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY regionkey""".stripMargin,
+    "q32_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity) * 10000) / 10000 AS sd_qty,
+        |  round(corr(l_quantity, l_extendedprice) * 10000) / 10000 AS corr_qp,
+        |  round(covar_samp(l_discount, l_tax) * 10000) / 10000 AS cov_dt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q33_regex" ->
+      """SELECT first_kw, count(*) AS n, sum(double_join) AS n_double FROM (
+        |  SELECT doc_id, regexp_extract(text, '(spark|vector|stream)', 1) AS first_kw,
+        |    CASE WHEN regexp_matches(text, 'join .* join') THEN 1 ELSE 0 END AS double_join
+        |  FROM documents) t
+        |GROUP BY first_kw ORDER BY first_kw""".stripMargin,
     "q29_asof_join" ->
       """SELECT e.event_id, e.user_id,
         |  coalesce(strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f'), '-') AS click_ts

@@ -145,6 +145,27 @@ class StreamingSpec extends SparkSpecBase {
     assert(counts == Map("alpha" -> 3L, "beta" -> 1L, "gamma" -> 1L))
   }
 
+  test("streaming top-N bolt: bounded TopN monoid state across batches") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(String, (String, Long))]
+    // single global key = the reference's `const 0` global grouping
+    val updated = MonoidBolt.updates[String, (String, Long), Map[String, Long]](
+      TopN(2), kv => Map(kv._1 -> kv._2))(
+      mem.toDS().map(x => ("all", x._2)))
+    val q = updated.writeStream.format("memory").queryName("topn")
+      .outputMode(MonoidBolt.outputMode).start()
+    try {
+      mem.addData(("all", ("alpha", 5L)), ("all", ("beta", 3L)))
+      q.processAllAvailable()
+      mem.addData(("all", ("gamma", 9L)), ("all", ("alpha", 1L)))
+      q.processAllAvailable()
+      val last = spark.table("topn").as[(String, Map[String, Long])]
+        .collect().last._2
+      // bounded at 2: gamma=9 and alpha=5 survive, beta evicted
+      assert(last == Map("gamma" -> 9L, "alpha" -> 5L))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: duplicates across micro-batches are dropped") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
