@@ -42,11 +42,30 @@ object Dedup {
       .distinct()
 
   // --- dd02: n-gram Jaccard near-dup (inverted shingle index) ---
+  // Candidate generation drops shingles with document frequency above
+  // dfCap (the CCNet-style guard): a shingle shared by thousands of
+  // documents contributes df² candidate rows while carrying no
+  // near-dup signal — at corpus scale this cap is what keeps the
+  // inverted-index join linear-ish. Intersections count surviving
+  // shingles only (set sizes |A|,|B| stay exact), so scores for pairs
+  // held together ONLY by ultra-common shingles shrink — by design.
+  // The DuckDB oracle applies the same cap.
+  val dfCap = 1000
+
+  /** Shingle inverted index with the df cap applied. */
+  private def cappedIndex(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d)
+    val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("s")
+    sh.join(rare, "s").select("doc_id", "s")
+  }
+
   val dd02_ngram_jaccard: Q = (s, d) => {
     val sh = shingles(s, d)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = sh.toDF("id1", "s")
-      .join(sh.toDF("id2", "s2"), col("s") === col("s2") && col("id1") < col("id2"))
+    val idx = cappedIndex(s, d)
+    val pairs = idx.toDF("id1", "s")
+      .join(idx.toDF("id2", "s2"), col("s") === col("s2") && col("id1") < col("id2"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
     pairs
       .join(sizes.toDF("d1", "n1"), col("id1") === col("d1"))
@@ -77,8 +96,9 @@ object Dedup {
   }
 
   // ---- MinHash + LSH (dd04) ----
-  // 64 "permutations" = xxhash64(shingle, i) for i in 0..63 (a seeded
-  // hash family); 16 bands of 4 rows. Rows-only: hash seeds aren't
+  // 64 "permutations" from the native MinHashSig expression (per
+  // shingle: one string hash + 64 seeded long hashes, elementwise
+  // min); 16 bands of 4 rows. Rows-only: hash seeds aren't
   // SQL-portable.
   val dd04_minhash_lsh: Q = (s, d) => {
     val sh = shingles(s, d)
@@ -96,11 +116,13 @@ object Dedup {
       .join(bands.toDF("id2", "band2", "bh2"),
         col("band") === col("band2") && col("bh") === col("bh2") && col("id1") < col("id2"))
       .select("id1", "id2").distinct()
-    // verify candidates with exact Jaccard
+    // verify candidates with exact Jaccard over the same df-capped
+    // index dd02 scores with (so dd04 ⊆ dd02 holds by construction)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val idx = cappedIndex(s, d)
     val pairInter = cand
-      .join(sh.toDF("id1", "s"), "id1")
-      .join(sh.toDF("id2", "s2").withColumnRenamed("s2", "s"), Seq("id2", "s"))
+      .join(idx.toDF("id1", "s"), "id1")
+      .join(idx.toDF("id2", "s2").withColumnRenamed("s2", "s"), Seq("id2", "s"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
     pairInter
       .join(sizes.toDF("id1", "n1"), "id1")
@@ -153,8 +175,10 @@ object Dedup {
          |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
          |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM t)),
          |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000),
+         |idx AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
          |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
-         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
          |          GROUP BY 1, 2)
          |SELECT id1, id2, jacc FROM (
          |  SELECT id1, id2,

@@ -404,7 +404,22 @@ object Relational {
       .agg(count(lit(1)).as("n"), sum("double_join").as("n_double"))
       .orderBy("first_kw")
 
+  // --- q34: sketch-based approximate aggregates (HLL++ / KLL-style)
+  // rows-only: sketch estimates aren't ANSI-SQL-reproducible; the
+  // spec bounds them against exact answers instead. These are the
+  // 100 TB substitutes for q12/q23 when exactness isn't required —
+  // fixed-size state, one pass, mergeable partials.
+  val q34_approx: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("apx_parts"),
+        expr("approx_percentile(l_extendedprice, 0.5)").as("apx_median"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   val registry: Map[String, Q] = Map(
+    "q34_approx" -> q34_approx,
     "q30_setops" -> q30_setops,
     "q31_arrayagg" -> q31_arrayagg,
     "q32_stats" -> q32_stats,

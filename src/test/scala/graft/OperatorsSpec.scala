@@ -51,6 +51,21 @@ class OperatorsSpec extends SparkSpecBase {
     assert(groups == docs)
   }
 
+  test("approx aggregates land within tolerance of exact answers") {
+    import org.apache.spark.sql.functions.{col, countDistinct, expr}
+    val apx = operators.Relational.q34_approx(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = Tables.lineitem(spark, sfDir).groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("d"),
+        expr("percentile(l_extendedprice, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (d, m)) =>
+      val (ad, am) = apx(k)
+      assert(math.abs(ad - d).toDouble / d < 0.1, s"$k distinct: $ad vs $d")
+      assert(math.abs(am - m) / m < 0.25, s"$k median: $am vs $m")
+    }
+  }
+
   test("multimodal decode: fixed feature shape, unit-bounded l2") {
     val out = multimodal.Multimodal.mm02_decode_stub(spark, sfDir).collect()
     assert(out.nonEmpty)
