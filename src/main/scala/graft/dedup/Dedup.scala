@@ -63,9 +63,17 @@ object Dedup {
   val dd02_ngram_jaccard: Q = (s, d) => {
     val sh = shingles(s, d)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // posting-list pair generation: one shuffle on the shingle key
+    // (vs two for a self-join); per-posting pair fan-out is bounded
+    // by dfCap²/2
     val idx = cappedIndex(s, d)
-    val pairs = idx.toDF("id1", "s")
-      .join(idx.toDF("id2", "s2"), col("s") === col("s2") && col("id1") < col("id2"))
+    val pairs = idx.groupBy("s")
+      .agg(sort_array(collect_set("doc_id")).as("ds"))
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), y -> struct(x AS id1, y AS id2))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
     pairs
       .join(sizes.toDF("d1", "n1"), col("id1") === col("d1"))
