@@ -33,5 +33,28 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+
+  /** `events` as an unbounded stream (same schema/semantics as the
+    * batch loader): the file spout over the events table.
+    */
+  def eventsStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = events(s, d).schema // µs-truncated ts
+    val raw = org.apache.spark.sql.types.StructType(
+      schema.map(f => if (f.name == "ts")
+        f.copy(dataType = org.apache.spark.sql.types.LongType) else f))
+    // the file-stream source needs a directory; stage the table file
+    // into one (symlink — no data copy)
+    val dir = java.nio.file.Files.createTempDirectory("graft-events-stream")
+    val link = dir.resolve("events.parquet")
+    try java.nio.file.Files.createSymbolicLink(
+      link, java.nio.file.Paths.get(s"$d/events.parquet"))
+    catch { case _: UnsupportedOperationException =>
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"), link)
+    }
+    s.readStream.schema(raw).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

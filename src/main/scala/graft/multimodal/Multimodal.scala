@@ -42,6 +42,48 @@ object Multimodal {
     }
   }
 
+  /** Real (pure-JVM) media-header parsing: container format and pixel
+    * dimensions from magic bytes for PNG / GIF / BMP / JPEG. This is
+    * the non-stubbed part of decode — full pixel decode still goes
+    * through [[MediaDecoder]] (native codec at deploy).
+    */
+  object ImageHeader {
+    case class Meta(format: String, width: Int, height: Int)
+
+    private def be32(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def be16(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+    def parse(b: Array[Byte]): Option[Meta] = {
+      if (b.length >= 24 && b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+        Some(Meta("png", be32(b, 16), be32(b, 20)))
+      else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
+        Some(Meta("gif", le16(b, 6), le16(b, 8)))
+      else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
+        Some(Meta("bmp", le32(b, 18), le32(b, 22)))
+      else if (b.length >= 4 && b(0) == 0xff.toByte && b(1) == 0xd8.toByte) {
+        // JPEG: walk segments to the first SOFn frame header
+        var i = 2
+        while (i + 9 < b.length) {
+          if (b(i) != 0xff.toByte) return None
+          val marker = b(i + 1) & 0xff
+          if (marker >= 0xc0 && marker <= 0xcf &&
+              marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
+            return Some(Meta("jpeg", be16(b, i + 7), be16(b, i + 5)))
+          i += 2 + be16(b, i + 2)
+        }
+        None
+      } else None
+    }
+  }
+
   // --- mm01: binary payload + typed metadata (oracle-checkable) ---
   val mm01_binary_meta: Q = (s, d) =>
     Tables.documents(s, d)
