@@ -101,6 +101,7 @@ object Multimodal {
     val outSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("n_bytes", LongType),
+      StructField("format", StringType),
       StructField("feature", ArrayType(FloatType)),
       StructField("feat_l2", DoubleType)))
     val dec: MediaDecoder = FakeDecoder
@@ -110,13 +111,15 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
+        // real header sniffing; pixel decode via the decoder seam
+        val fmt = ImageHeader.parse(bytes).map(_.format).getOrElse("opaque")
         val f = dec.decode(bytes)
         val l2 = math.sqrt(f.map(x => x.toDouble * x).sum)
-        Row(id, bytes.length.toLong, f.toSeq, math.round(l2 * 10000) / 10000.0)
+        Row(id, bytes.length.toLong, fmt, f.toSeq, math.round(l2 * 10000) / 10000.0)
       }
     }
     spark.createDataFrame(rdd, outSchema)
-      .select(col("doc_id"), col("n_bytes"), col("feat_l2"),
+      .select(col("doc_id"), col("n_bytes"), col("format"), col("feat_l2"),
         size(col("feature")).cast("long").as("feat_dim"))
       .orderBy("doc_id")
   }

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom gap-sessionization as an explicit keyed state machine —
+  * the flatMapGroupsWithState shape for session semantics the native
+  * `session_window` can't express (per-session custom payloads,
+  * early emission, side conditions).
+  *
+  * State per user: the open session (start, last-seen, count).
+  * Events extend the session if within `gapSeconds` of last-seen;
+  * otherwise the closed session is emitted and a new one opens.
+  * An event-time timeout (watermark passing last-seen + gap) flushes
+  * the final session — the same low-water-mark-driven completion the
+  * reference drives off its clock floods (Payload.hs lwm maps).
+  */
+object SessionBolt {
+  case class OpenSession(startUs: Long, lastUs: Long, n: Long)
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  def sessions(events: DataFrame, gapSeconds: Long = 1800,
+               watermark: String = "1 second"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapSeconds * 1000000L
+
+    events
+      .withWatermark("ts", watermark)
+      // keep the watermarked ts column — dropping it would detach the
+      // watermark the event-time timeout needs
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("us"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.startUs, s.lastUs, s.n))
+          } else {
+            var out = List.empty[SessionOut]
+            var cur = state.getOption
+            rows.toSeq.sortBy(_._2).foreach { case (_, us, _) =>
+              cur match {
+                case Some(s) if us - s.lastUs <= gapUs =>
+                  cur = Some(s.copy(lastUs = math.max(s.lastUs, us), n = s.n + 1))
+                case Some(s) =>
+                  out ::= SessionOut(user, s.startUs, s.lastUs, s.n)
+                  cur = Some(OpenSession(us, us, 1))
+                case None =>
+                  cur = Some(OpenSession(us, us, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // flush when the watermark passes the session's gap horizon
+              state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000)
+            }
+            out.reverseIterator
+          }
+      }
+  }
+}

@@ -166,6 +166,30 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("session bolt: custom state machine emits gap-closed sessions") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val ev = mem.toDF().toDF("ts", "user_id")
+    val q = SessionBolt.sessions(ev, gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sb")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+        (Timestamp.valueOf("2024-01-01 10:10:00"), 1L),
+        (Timestamp.valueOf("2024-01-01 11:00:00"), 1L)) // gap > 30min
+      q.processAllAvailable()
+      // second session still open; first emitted on the gap break
+      mem.addData((Timestamp.valueOf("2024-01-01 15:00:00"), 9L))
+      q.processAllAvailable()
+      mem.addData((Timestamp.valueOf("2024-01-01 20:00:00"), 9L))
+      q.processAllAvailable() // watermark sweep flushes user 1's tail
+      val got = spark.table("sb").filter(col("user_id") === 1L)
+        .select("n_events").as[Long].collect().toList.sorted
+      assert(got == List(1L, 2L))
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: duplicates across micro-batches are dropped") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
