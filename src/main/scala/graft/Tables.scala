@@ -11,8 +11,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `.explain("formatted")` — ReadSchema / PushedFilters).
   */
 object Tables {
+  // Memoized per (session, path): repeated loads of the same table
+  // reuse one analyzed relation (and its file listing / footer
+  // schema), which matters when a 45-query batch reads the same 10
+  // tables — the DataFrame is immutable so sharing is safe.
+  private val cache =
+    new java.util.WeakHashMap[SparkSession, collection.mutable.Map[String, DataFrame]]()
+
+  private def memo(s: SparkSession, key: String)(mk: => DataFrame): DataFrame =
+    cache.synchronized {
+      val m = cache.computeIfAbsent(s, _ => collection.mutable.Map.empty)
+      m.getOrElseUpdate(key, mk)
+    }
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    memo(spark, s"$dir/$name")(spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
@@ -26,7 +39,7 @@ object Tables {
     * timestamps — exactly what DuckDB does when it loads the same file
     * (its TIMESTAMP is µs), so oracle comparisons stay aligned.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def events(s: SparkSession, d: String): DataFrame = memo(s, s"$d/events") {
     import org.apache.spark.sql.functions._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$d/events.parquet")

@@ -418,7 +418,48 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  // --- q35: time-range window frame (moving 1-hour sum per user) ---
+  val q35_range_window: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("hour_sum", r2(sum("value").over(w)))
+      .withColumn("hour_n", count(lit(1)).over(w))
+      .select("event_id", "user_id", "hour_sum", "hour_n")
+      .orderBy("event_id")
+  }
+
+  // --- q36: window navigation (first/last/nth value over frames) ---
+  val q36_window_nav: Q = (s, d) => {
+    val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("first_v", r2(first("value").over(full)))
+      .withColumn("last_v", r2(last("value").over(full)))
+      .withColumn("second_v", r2(coalesce(nth_value(col("value"), 2).over(full), lit(-1.0))))
+      .select("event_id", "user_id", "first_v", "last_v", "second_v")
+      .orderBy("event_id")
+  }
+
+  // --- q37: distribution windows (ntile / percent_rank / cume_dist) ---
+  val q37_window_dist: Q = (s, d) => {
+    val ord = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      .withColumn("quartile", ntile(4).over(ord).cast("long"))
+      .withColumn("pct_rank", r4(percent_rank().over(ord)))
+      .withColumn("cume", r4(cume_dist().over(ord)))
+      .select("o_orderkey", "o_orderpriority", "quartile", "pct_rank", "cume")
+      .orderBy("o_orderkey")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q35_range_window" -> q35_range_window,
+    "q36_window_nav" -> q36_window_nav,
+    "q37_window_dist" -> q37_window_dist,
     "q34_approx" -> q34_approx,
     "q30_setops" -> q30_setops,
     "q31_arrayagg" -> q31_arrayagg,
@@ -455,6 +496,31 @@ object Relational {
     "q25_json" -> q25_json)
 
   val oracles: Map[String, String] = Map(
+    "q35_range_window" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER w * 100) / 100 AS hour_sum,
+        |  count(*) OVER w AS hour_n
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events) t
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q36_window_nav" ->
+      """SELECT event_id, user_id,
+        |  round(first_value(value) OVER w * 100) / 100 AS first_v,
+        |  round(last_value(value) OVER w * 100) / 100 AS last_v,
+        |  round(coalesce(nth_value(value, 2) OVER w, -1.0) * 100) / 100 AS second_v
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin,
+    "q37_window_dist" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w * 10000) / 10000 AS pct_rank,
+        |  round(cume_dist() OVER w * 10000) / 10000 AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "q30_setops" ->
       """WITH recent AS (SELECT l_partkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01'),
         |bulky AS (SELECT l_partkey FROM lineitem WHERE l_quantity >= 40),
