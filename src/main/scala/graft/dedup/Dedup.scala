@@ -163,7 +163,44 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  // --- dd06: near-dup clusters (connected components over dd02
+  // pairs; cluster id = min doc_id in the component — the "keep one
+  // representative per duplicate group" step of a dedup pipeline).
+  // Label propagation to fixpoint: each doc repeatedly adopts the
+  // smallest label among itself and its neighbors. Converges in
+  // O(component diameter) rounds (here: a handful); at corpus scale
+  // the same loop runs with the large-star/small-star optimization,
+  // each round one shuffle on doc_id.
+  val dd06_neardup_clusters: Q = (s, d) => {
+    val pairs = dd02_ngram_jaccard(s, d).select("id1", "id2")
+    val edges = pairs
+      .unionAll(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .cache()
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    var labels = docs.select(col("doc_id"), col("doc_id").as("lbl"))
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "id2"), "id2")
+        .groupBy(col("id1").as("doc_id"))
+        .agg(min("lbl").as("nlbl"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
+        .filter(col("lbl") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+      .filter(col("doc_id") =!= col("cluster_id")) // only docs in non-trivial clusters
+      .orderBy("doc_id")
+  }
+
   val registry: Map[String, Q] = Map(
+    "dd06_neardup_clusters" -> dd06_neardup_clusters,
     "dd01_exact" -> dd01_exact,
     "dd02_ngram_jaccard" -> dd02_ngram_jaccard,
     "dd03_embed_neardup" -> dd03_embed_neardup,
@@ -193,6 +230,26 @@ object Dedup {
          |    round((CAST(inter AS DOUBLE) / (x.n + y.n - inter)) * 10000) / 10000 AS jacc
          |  FROM pairs JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id) z
          |WHERE jacc >= 0.2 ORDER BY id1, id2""".stripMargin,
+    "dd06_neardup_clusters" ->
+      s"""WITH RECURSIVE
+         |t AS (SELECT doc_id, $sqlToks AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+         |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM t)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000),
+         |idx AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+         |prs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+         |        FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2),
+         |nd AS (SELECT id1, id2 FROM prs JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+         |       WHERE round((CAST(inter AS DOUBLE) / (x.n + y.n - inter)) * 10000) / 10000 >= 0.2),
+         |edges AS (SELECT id1 AS a, id2 AS b FROM nd UNION SELECT id2, id1 FROM nd),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS doc_id, min(b) AS cluster_id FROM reach
+         |GROUP BY a HAVING min(b) < a ORDER BY doc_id""".stripMargin,
     "dd03_embed_neardup" ->
       """SELECT id1, id2, cos FROM (
         |  SELECT a.vec_id AS id1, b.vec_id AS id2,

@@ -102,7 +102,31 @@ object TextAnalysis {
         size(col("whs")).cast("long").as("n_windows"))
       .orderBy("doc_id")
 
+  // --- tx06: TF-IDF top terms per document ---
+  // One scan → explode; df and N computed declaratively (no driver
+  // collect); rank on the ROUNDED score so cross-engine libm-ulp
+  // noise in ln() can't flip orderings.
+  val tx06_tfidf: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val terms = docs
+      .select(col("doc_id"), explode(expr(toksExpr)).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        r4(col("tf") * log(col("n_docs").cast("double") / col("df"))).as("tfidf"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "term", "tfidf")
+      .orderBy("doc_id", "rank")
+  }
+
   val registry: Map[String, Q] = Map(
+    "tx06_tfidf" -> tx06_tfidf,
     "tx01_tokens" -> tx01_tokens,
     "tx02_quality" -> tx02_quality,
     "tx03_langid" -> tx03_langid,
@@ -113,6 +137,22 @@ object TextAnalysis {
     "list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "tx06_tfidf" ->
+      s"""WITH terms AS (
+         |  SELECT doc_id, unnest(t) AS term
+         |  FROM (SELECT doc_id, $sqlToks AS t FROM documents) x),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+         |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) y GROUP BY term),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, term,
+         |    round((tf * ln(CAST(n_docs AS DOUBLE) / df)) * 10000) / 10000 AS tfidf
+         |  FROM tf JOIN df USING (term) CROSS JOIN n)
+         |SELECT doc_id, rank, term, tfidf FROM (
+         |  SELECT doc_id, term, tfidf,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+         |  FROM scored) z
+         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "tx01_tokens" ->
       s"""SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_uniq
          |FROM (SELECT doc_id, $sqlToks AS t FROM documents) x ORDER BY doc_id""".stripMargin,
