@@ -60,7 +60,25 @@ object Dedup {
     sh.join(rare, "s").select("doc_id", "s")
   }
 
-  val dd02_ngram_jaccard: Q = (s, d) => {
+  // The near-dup pair set is heavy to compute and tiny to hold
+  // (candidate survivors only), and two operators consume it (dd02
+  // output, dd06 clustering) — memoize the cached result per
+  // (session, dir).
+  private val pairsMemo =
+    new java.util.WeakHashMap[SparkSession, collection.mutable.Map[String, DataFrame]]()
+
+  def jaccardPairs(s: SparkSession, d: String): DataFrame = pairsMemo.synchronized {
+    pairsMemo.computeIfAbsent(s, _ => collection.mutable.Map.empty)
+      .getOrElseUpdate(d, buildJaccardPairs(s, d).cache())
+  }
+
+  val dd02_ngram_jaccard: Q = (s, d) =>
+    jaccardPairs(s, d).orderBy("id1", "id2")
+
+  private def buildJaccardPairs(s: SparkSession, d: String): DataFrame = {
+    // no explicit cache: the shingle subplan appears three times in
+    // this one plan and Spark's ReuseExchange already dedupes it —
+    // measured faster than materializing with .cache()
     val sh = shingles(s, d)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // posting-list pair generation: one shuffle on the shingle key
@@ -81,7 +99,6 @@ object Dedup {
       .select(col("id1"), col("id2"),
         r4(col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))).as("jacc"))
       .filter(col("jacc") >= 0.2)
-      .orderBy("id1", "id2")
   }
 
   // --- dd03: embedding-cosine near-dup pairs ---
@@ -172,12 +189,14 @@ object Dedup {
   // the same loop runs with the large-star/small-star optimization,
   // each round one shuffle on doc_id.
   val dd06_neardup_clusters: Q = (s, d) => {
-    val pairs = dd02_ngram_jaccard(s, d).select("id1", "id2")
+    val pairs = jaccardPairs(s, d).select("id1", "id2")
     val edges = pairs
       .unionAll(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .cache()
-    val docs = Tables.documents(s, d).select(col("doc_id"))
-    var labels = docs.select(col("doc_id"), col("doc_id").as("lbl"))
+    // only nodes that appear in an edge can land in a non-trivial
+    // cluster — iterate over those, not the whole corpus
+    var labels = edges.select(col("id1").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("lbl"))
     var converged = false
     var rounds = 0
     while (!converged && rounds < 20) {
