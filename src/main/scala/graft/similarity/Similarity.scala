@@ -48,13 +48,42 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  // --- ann02: IVF top-k (centroids from label means; nProbe=2) ---
+  /** Lloyd's k-means over the embedding column, fully declarative:
+    * deterministic init (cells seeded by xxhash64(vec_id) mod k),
+    * each iteration = one broadcast-join assignment + one mean
+    * reduction. At corpus scale this trains on a sample; assignment
+    * stays a broadcast join (centroid table is tiny).
+    */
+  def kmeansCells(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    var assigned = e.withColumn("cell", pmod(xxhash64(col("vec_id")), lit(k)).cast("int"))
+    var cents: DataFrame = null
+    for (_ <- 1 to iters) {
+      cents = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("cell", "i").agg(avg("x").as("m"))
+        .groupBy("cell").agg(array_sort(collect_list(struct(col("i"), col("m")))).as("ps"))
+        .select(col("cell"), expr("transform(ps, p -> p.m)").as("vb"))
+        .withColumn("nb", graft.functions.GraftFunctions.l2norm("vb"))
+      val wNear = Window.partitionBy("vec_id").orderBy(col("cc").desc, col("cell"))
+      assigned = e.toDF("vec_id", "va", "label", "na")
+        .join(broadcast(cents), lit(true))
+        .withColumn("cc", cosine)
+        .withColumn("r", row_number().over(wNear))
+        .filter(col("r") === 1)
+        .select(col("vec_id"), col("va").as("v"), col("label"), col("na").as("nrm"), col("cell"))
+    }
+    assigned.select("vec_id", "cell")
+  }
+
+  // --- ann02: IVF top-k (k-means-trained cells; nProbe=2) ---
   // Rows-only: approximate by design (recall < 1 vs ann01).
   val ann02_ivf_topk: Q = (s, d) => {
     val e = vecs(s, d)
-    // "train": one centroid per label cell — elementwise mean
-    val cents = e
-      .select(col("label").as("cell"), posexplode(col("v")).as(Seq("i", "x")))
+    val cells = kmeansCells(e, k = 10, iters = 2)
+    val eCell = e.join(cells, "vec_id")
+    // final trained centroids for the probe step
+    val cents = eCell
+      .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
       .groupBy("cell", "i").agg(avg("x").as("m"))
       .groupBy("cell").agg(array_sort(collect_list(struct(col("i"), col("m")))).as("pairs"))
       .select(col("cell"), expr("transform(pairs, p -> p.m)").as("vb"))
@@ -69,8 +98,8 @@ object Similarity {
       .filter(col("cr") <= 2)
       .select("q_id", "va", "na", "cell")
     // probe: exact cosine only against vectors in the probed cells
-    val cands = e.select(col("vec_id").as("n_id"), col("v").as("vb"),
-      col("nrm").as("nb"), col("label").as("cell"))
+    val cands = eCell.select(col("vec_id").as("n_id"), col("v").as("vb"),
+      col("nrm").as("nb"), col("cell"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     probed.join(cands, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))

@@ -125,7 +125,18 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  // --- tx00: text normalization (the canonicalization every dedup /
+  // fingerprint op builds on, exposed as its own operator) ---
+  val tx00_normalize: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        normText(col("text")).as("norm"),
+        length(normText(col("text"))).cast("long").as("norm_len"),
+        (length(col("text")) - length(normText(col("text")))).cast("long").as("squeezed"))
+      .orderBy("doc_id")
+
   val registry: Map[String, Q] = Map(
+    "tx00_normalize" -> tx00_normalize,
     "tx06_tfidf" -> tx06_tfidf,
     "tx01_tokens" -> tx01_tokens,
     "tx02_quality" -> tx02_quality,
@@ -137,6 +148,13 @@ object TextAnalysis {
     "list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "tx00_normalize" ->
+      """SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS norm_len,
+        |  CAST(length(text) - length(norm) AS BIGINT) AS squeezed
+        |FROM (SELECT doc_id, text,
+        |        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
     "tx06_tfidf" ->
       s"""WITH terms AS (
          |  SELECT doc_id, unnest(t) AS term

@@ -12,6 +12,47 @@ import org.apache.spark.sql.streaming.OutputMode
 class ConsistencySpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("stream-stream interval join: purchases match clicks within the window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long)]
+    val buys = MemoryStream[(Timestamp, Long)]
+    val cdf = clicks.toDF().toDF("cts", "user_id").withWatermark("cts", "1 hour")
+    val bdf = buys.toDF().toDF("bts", "buyer_id").withWatermark("bts", "1 hour")
+    val joined = bdf.join(cdf,
+      col("buyer_id") === col("user_id") &&
+        col("cts") <= col("bts") &&
+        col("cts") >= col("bts") - expr("INTERVAL 30 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssj").start()
+    try {
+      clicks.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+        (Timestamp.valueOf("2024-01-01 08:00:00"), 2L))
+      buys.addData(
+        (Timestamp.valueOf("2024-01-01 10:20:00"), 1L),  // joins (30m window)
+        (Timestamp.valueOf("2024-01-01 10:20:00"), 2L))  // click too old
+      q.processAllAvailable()
+      val got = spark.table("ssj").select("buyer_id").as[Long].collect().toList
+      assert(got == List(1L))
+    } finally q.stop()
+  }
+
+  test("stream-static join: stream enriched against a dimension table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Int]
+    val dim = Tables.nation(spark, sfDir).select(
+      col("n_nationkey").as("key"), col("n_name"))
+    val q = mem.toDF().toDF("key").join(dim, "key")
+      .writeStream.format("memory").queryName("stj").start()
+    try {
+      mem.addData(0, 1, 999) // 999 has no dim row
+      q.processAllAvailable()
+      assert(spark.table("stj").count() == 2)
+    } finally q.stop()
+  }
+
   test("tumbling-window aggregation agrees between stream and batch") {
     val batch = EventTimeOps.tumblingCounts(Tables.events(spark, sfDir), "1 hour", "100 days")
       .select(date_format(col("ws"), "yyyy-MM-dd HH:mm").as("w"),
