@@ -124,11 +124,39 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // --- mm03: frame sampling plumbing (video/audio pattern) ---
+  // Every payload is treated as a media container with a fixed
+  // "frame" stride; emit every frame's (index, byte offset, window
+  // length) descriptor — the row explosion a real frame-sampler
+  // produces, with the actual decode behind the MediaDecoder seam.
+  // One narrow explode, no shuffle: the 100 TB shape for per-frame
+  // feature extraction.
+  val mm03_frame_sample: Q = (s, d) => {
+    val stride = 64
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"), octet_length(col("payload")).as("len"))
+      .select(col("doc_id"),
+        posexplode(expr(s"sequence(0, greatest(cast(len / $stride as int) - 1, 0))")))
+      .toDF("doc_id", "frame_idx", "frame_no")
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        (col("frame_idx") * stride).cast("long").as("byte_off"),
+        lit(stride.toLong).as("window_len"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val registry: Map[String, Q] = Map(
     "mm01_binary_meta" -> mm01_binary_meta,
-    "mm02_decode_stub" -> mm02_decode_stub)
+    "mm02_decode_stub" -> mm02_decode_stub,
+    "mm03_frame_sample" -> mm03_frame_sample)
 
   val oracles: Map[String, String] = Map(
+    "mm03_frame_sample" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |  CAST(i * 64 AS BIGINT) AS byte_off, CAST(64 AS BIGINT) AS window_len
+        |FROM (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS len FROM documents) t,
+        |     LATERAL (SELECT unnest(generate_series(0, greatest(len // 64 - 1, 0))) AS i) u
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "mm01_binary_meta" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len,
         |  sha256(text) AS sha
