@@ -3,6 +3,7 @@ package graft.dedup
 import graft.Tables
 import graft.text.TextAnalysis.{normText, toksExpr}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.2 deduplication over `documents` — exact and near-dup, the core
@@ -218,7 +219,22 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // --- dd07: dedup with a keep-longest policy (argmax by n_chars,
+  // doc_id tiebreak) — the policy-parameterized variant of dd01
+  val dd07_keep_longest: Q = (s, d) => {
+    val w = Window.partitionBy("fp")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        md5(normText(col("text")).cast("binary")).as("fp"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("fp"), col("doc_id").as("keep_id"), col("n_chars").as("keep_chars"))
+      .orderBy("fp")
+  }
+
   val registry: Map[String, Q] = Map(
+    "dd07_keep_longest" -> dd07_keep_longest,
     "dd06_neardup_clusters" -> dd06_neardup_clusters,
     "dd01_exact" -> dd01_exact,
     "dd02_ngram_jaccard" -> dd02_ngram_jaccard,
@@ -249,6 +265,14 @@ object Dedup {
          |    round((CAST(inter AS DOUBLE) / (x.n + y.n - inter)) * 10000) / 10000 AS jacc
          |  FROM pairs JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id) z
          |WHERE jacc >= 0.2 ORDER BY id1, id2""".stripMargin,
+    "dd07_keep_longest" ->
+      """SELECT fp, doc_id AS keep_id, n_chars AS keep_chars FROM (
+        |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+        |    doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        |                       ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY fp""".stripMargin,
     "dd06_neardup_clusters" ->
       s"""WITH RECURSIVE
          |t AS (SELECT doc_id, $sqlToks AS t FROM documents),

