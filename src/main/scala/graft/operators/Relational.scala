@@ -486,7 +486,37 @@ object Relational {
       .orderBy("r_name", "status")
   }
 
+  // --- q40: time-series resample to an hourly grid + forward fill ---
+  // Grid rows interleave with (deduped) observations per user; a
+  // last-non-null window does the fill — one shuffle on user_id,
+  // the same shape at any corpus size. Oracle: DuckDB ASOF join.
+  val q40_resample_ffill: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("us"))
+      .agg(max("value").as("v"))
+    val bounds = Tables.events(s, d)
+      .agg(unix_micros(date_trunc("hour", min("ts"))).as("h0"),
+        unix_micros(date_trunc("hour", max("ts"))).as("h1"))
+    val grid = Tables.events(s, d).select("user_id").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), lit(3600000000L))).as("us"))
+    val unioned = ev.select(col("user_id"), col("us"), lit(0).as("tag"), col("v"))
+      .unionAll(grid.select(col("user_id"), col("us"), lit(1).as("tag"),
+        lit(null).cast("double").as("v")))
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("user_id"),
+        date_format(timestamp_micros(col("us")), "yyyy-MM-dd HH:mm").as("hour_ts"),
+        r2(coalesce(col("filled"), lit(-1.0))).as("val"))
+      .orderBy("user_id", "hour_ts")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q40_resample_ffill" -> q40_resample_ffill,
     "q38_multi_exists" -> q38_multi_exists,
     "q39_dense_grid" -> q39_dense_grid,
     "q35_range_window" -> q35_range_window,
@@ -528,6 +558,20 @@ object Relational {
     "q25_json" -> q25_json)
 
   val oracles: Map[String, String] = Map(
+    "q40_resample_ffill" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us, max(value) AS v FROM events GROUP BY 1, 2),
+        |b AS (SELECT epoch_us(date_trunc('hour', min(ts))) AS h0,
+        |             epoch_us(date_trunc('hour', max(ts))) AS h1 FROM events),
+        |grid AS (
+        |  SELECT u.user_id, g.us
+        |  FROM (SELECT DISTINCT user_id FROM events) u, b,
+        |       LATERAL (SELECT unnest(generate_series(b.h0, b.h1, 3600000000)) AS us) g)
+        |SELECT g.user_id,
+        |  strftime(make_timestamp(g.us), '%Y-%m-%d %H:%M') AS hour_ts,
+        |  round(coalesce(e.v, -1.0) * 100) / 100 AS val
+        |FROM grid g ASOF LEFT JOIN ev e ON g.user_id = e.user_id AND g.us >= e.us
+        |ORDER BY g.user_id, hour_ts""".stripMargin,
     "q38_multi_exists" ->
       """SELECT o_orderpriority, count(*) AS n_orders FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 48)
