@@ -67,6 +67,19 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("TopN aggregator: agg() result equals global sort+limit") {
+    import graft.Tables
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(split(lower(col("text")), "\\W+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)]
+    val viaAgg = words.select(new TopNAggregator(10).toColumn).collect()(0)
+    val viaSort = words.orderBy(col("cnt").desc, col("word")).limit(10)
+      .collect().toSeq
+    assert(viaAgg == viaSort)
+  }
+
   test("TopN monoid: bounded, keeps largest, deterministic tie-break") {
     val m = TopN(2)
     val merged = m.combine(Map("a" -> 5L, "b" -> 3L), Map("c" -> 4L, "a" -> 1L))
