@@ -515,7 +515,19 @@ object Relational {
       .orderBy("user_id", "hour_ts")
   }
 
+  // --- q41: equal-width histogram (binning over a computed range) ---
+  val q41_histogram: Q = (s, d) => {
+    val bounds = Tables.orders(s, d)
+      .agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+    Tables.orders(s, d).crossJoin(broadcast(bounds))
+      .select(least(floor((col("o_totalprice") - col("lo")) * 10 /
+        (col("hi") - col("lo"))), lit(9L)).cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+      .orderBy("bin")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q41_histogram" -> q41_histogram,
     "q40_resample_ffill" -> q40_resample_ffill,
     "q38_multi_exists" -> q38_multi_exists,
     "q39_dense_grid" -> q39_dense_grid,
@@ -558,6 +570,11 @@ object Relational {
     "q25_json" -> q25_json)
 
   val oracles: Map[String, String] = Map(
+    "q41_histogram" ->
+      """WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
+        |SELECT least(CAST(floor((o_totalprice - lo) * 10 / (hi - lo)) AS BIGINT), 9) AS bin,
+        |  count(*) AS n
+        |FROM orders, b GROUP BY bin ORDER BY bin""".stripMargin,
     "q40_resample_ffill" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) AS us, max(value) AS v FROM events GROUP BY 1, 2),

@@ -46,6 +46,14 @@ object WordCountTopology {
   def fileSpout(dir: String): Spout =
     Spout("lines", s => s.readStream.format("text").load(dir))
 
+  /** Synthetic load-generator spout (rate source) — the throughput
+    * harness analog of the reference's WordCountKafkaEmitter.
+    */
+  def rateSpout(rowsPerSecond: Int = 1000): Spout =
+    Spout("rate", s => s.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString).load()
+      .selectExpr("concat('w', CAST(value % 100 AS STRING)) AS value"))
+
   /** Run over a directory of text files — the `run_sample` CLI analog. */
   def run(spark: SparkSession, inDir: String, outDir: String,
           checkpoint: String): StreamingQuery =
