@@ -36,6 +36,35 @@ object Sources {
     w.save(path)
   }
 
+  /** Read a parquet dir written across schema versions, unioning the
+    * per-file schemas (new columns null-filled for old files) — the
+    * data-lake schema-evolution path.
+    */
+  def readMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** Rewrite a directory into `targetFiles` right-sized files — the
+    * small-files compaction every long-running ingest needs. Writes
+    * to `path + ".compact"` then atomically swaps, so readers never
+    * see a partial directory.
+    */
+  def compact(spark: SparkSession, path: String, targetFiles: Int,
+              format: String = "parquet"): Unit = {
+    val tmp = path + ".compact"
+    spark.read.format(format).load(path)
+      .repartition(targetFiles)
+      .write.format(format).mode("overwrite").save(tmp)
+    val p = java.nio.file.Paths.get(path)
+    val bak = java.nio.file.Paths.get(path + ".old")
+    java.nio.file.Files.move(p, bak)
+    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(bak.toFile)
+  }
+
   /** Streaming file spout: partition = file, offset = position within
     * the listing — the reference FileSource contract
     * (InputSource/FileSource.hs), maintained in the checkpoint.

@@ -33,6 +33,29 @@ class SourcesSpec extends SparkSpecBase {
     assert(one.count() > 0)
   }
 
+  test("schema evolution: mergeSchema unions per-file schemas") {
+    import spark.implicits._
+    val path = tmpDir("src-evolve")
+    Seq((1L, "a")).toDF("id", "name").write.parquet(s"$path/v1")
+    Seq((2L, "b", 9.5)).toDF("id", "name", "score").write.parquet(s"$path/v2")
+    val merged = Sources.readMerged(spark, s"$path/*")
+    assert(merged.columns.toSet == Set("id", "name", "score"))
+    val byId = merged.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).isNullAt(2) && byId(2L).getDouble(2) == 9.5)
+  }
+
+  test("compaction: many small files -> targetFiles, data intact") {
+    val path = tmpDir("src-compact") + "/t"
+    Tables.lineitem(spark, sfDir).repartition(64).write.parquet(path)
+    val before = new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before == 64)
+    val rows = spark.read.parquet(path).count()
+    Sources.compact(spark, path, targetFiles = 2)
+    val after = new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after == 2)
+    assert(spark.read.parquet(path).count() == rows)
+  }
+
   test("streaming file spout reads with explicit schema") {
     val path = tmpDir("src-stream")
     Sources.write(Tables.nation(spark, sfDir), "json", path)
