@@ -4,9 +4,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The reference's flagship workload: tokenize → keyed
+    * count → top-N (WordCountSample.hs), batch form.
+    */
   def entry(spark: SparkSession): DataFrame =
-    operators.Relational.q04_agg(spark, "/root/testdata/sf0.001")
+    operators.Relational.q01_wordcount(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
