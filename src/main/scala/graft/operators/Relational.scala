@@ -92,7 +92,9 @@ object Relational {
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
-      .agg(count(lit(1)).as("n_cust"), r2(avg("c_acctbal")).as("avg_bal"))
+      // c_acctbal can be negative → a near-zero group mean can round to
+      // -0.0; normalize like q32 (oracle does the same)
+      .agg(count(lit(1)).as("n_cust"), (r2(avg("c_acctbal")) + lit(0.0)).as("avg_bal"))
       .orderBy("r_name", "n_name")
 
   // --- q07: fact-fact shuffle join ---
@@ -385,13 +387,17 @@ object Relational {
       .orderBy("regionkey")
 
   // --- q32: statistical aggregates (stddev / corr / covar) ---
+  // corr/covar can land on IEEE -0.0 (DuckDB covar_samp emits the
+  // negative-zero bit pattern where Spark emits +0.0 — equal values,
+  // different bytes under the driver's hash). `+ 0.0` normalizes:
+  // -0.0 + 0.0 = +0.0 in both engines; the oracle applies the same.
   val q32_stats: Q = (s, d) =>
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
         r4(stddev_samp(col("l_quantity"))).as("sd_qty"),
-        r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"),
-        r4(covar_samp(col("l_discount"), col("l_tax"))).as("cov_dt"))
+        (r4(corr(col("l_quantity"), col("l_extendedprice"))) + lit(0.0)).as("corr_qp"),
+        (r4(covar_samp(col("l_discount"), col("l_tax"))) + lit(0.0)).as("cov_dt"))
       .orderBy("l_returnflag")
 
   // --- q33: regex extraction / matching ---
@@ -648,11 +654,11 @@ object Relational {
     "q32_stats" ->
       """SELECT l_returnflag,
         |  round(stddev_samp(l_quantity) * 10000) / 10000 AS sd_qty,
-        |  round(corr(l_quantity, l_extendedprice) * 10000) / 10000 AS corr_qp,
-        |  round(covar_samp(l_discount, l_tax) * 10000) / 10000 AS cov_dt
+        |  round(corr(l_quantity, l_extendedprice) * 10000) / 10000 + 0.0 AS corr_qp,
+        |  round(covar_samp(l_discount, l_tax) * 10000) / 10000 + 0.0 AS cov_dt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q33_regex" ->
-      """SELECT first_kw, count(*) AS n, sum(double_join) AS n_double FROM (
+      """SELECT first_kw, count(*) AS n, CAST(sum(double_join) AS BIGINT) AS n_double FROM (
         |  SELECT doc_id, regexp_extract(text, '(spark|vector|stream)', 1) AS first_kw,
         |    CASE WHEN regexp_matches(text, 'join .* join') THEN 1 ELSE 0 END AS double_join
         |  FROM documents) t
@@ -717,7 +723,7 @@ object Relational {
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
         |ORDER BY l_orderkey, linenum""".stripMargin,
     "q06_join_broadcast" ->
-      """SELECT r_name, n_name, count(*) AS n_cust, round((avg(c_acctbal)) * 100) / 100 AS avg_bal
+      """SELECT r_name, n_name, count(*) AS n_cust, round((avg(c_acctbal)) * 100) / 100 + 0.0 AS avg_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
