@@ -129,9 +129,15 @@ object Dedup {
   val dd04_minhash_lsh: Q = (s, d) => {
     val sh = shingles(s, d)
     // signature: one native pass per doc (graft_minhash_sig) — no
-    // explode/shuffle to build signatures
+    // explode/shuffle to build signatures. Docs with fewer tokens
+    // than the shingle width have NO shingles — their signature would
+    // be all-sentinel (Long.MaxValue), making every short doc collide
+    // with every other in every band (a quadratic candidate blow-up
+    // with zero Jaccard signal) — so they are excluded up front, same
+    // as dd05 excludes empty token arrays.
     val sig = Tables.documents(s, d)
       .select(col("doc_id"), expr(toksExpr).as("t"))
+      .filter(size(col("t")) >= 3)
       .select(col("doc_id"),
         graft.functions.GraftFunctions.minhashSig("t", 64, 3).as("sig"))
     // LSH: band hash over 4-row slices; docs sharing any band bucket

@@ -20,10 +20,16 @@ object Skew {
     * (keys..., salt), final aggregate on keys. The salt spreads one
     * hot key over `nSalts` reducers; the monoid re-merge (the
     * reference's mergeFn, Processor.hs:49) makes the split sound.
+    *
+    * The salt comes from a per-row source (partition/row position),
+    * NOT from the data: the common skew case is a hot key with
+    * constant or low-cardinality values (e.g. counting), where a
+    * value-derived salt would be constant too and leave the key on
+    * one reducer.
     */
   def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
                      nSalts: Int = 16): DataFrame = {
-    val salt = pmod(xxhash64(col(valueCol)), lit(nSalts)).as("_salt")
+    val salt = pmod(xxhash64(monotonically_increasing_id()), lit(nSalts)).as("_salt")
     val partial = df
       .groupBy((keys.map(col) :+ salt): _*)
       .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))

@@ -45,8 +45,16 @@ object Sources {
 
   /** Rewrite a directory into `targetFiles` right-sized files — the
     * small-files compaction every long-running ingest needs. Writes
-    * to `path + ".compact"` then atomically swaps, so readers never
-    * see a partial directory.
+    * to `path + ".compact"`, then swaps it in via two directory
+    * renames. The swap is NOT atomic (no filesystem gives an atomic
+    * two-directory exchange): a concurrent reader can observe a
+    * missing directory for the instant between the renames. What IS
+    * guaranteed is crash-safety: if the second rename fails, the
+    * original directory is restored from the backup, so data is never
+    * lost and `path` always holds a complete dataset afterwards.
+    * Same-filesystem paths only (directory rename does not cross
+    * mount points). For concurrent readers at scale, version the
+    * directory name and flip a pointer (manifest/symlink) instead.
     */
   def compact(spark: SparkSession, path: String, targetFiles: Int,
               format: String = "parquet"): Unit = {
@@ -57,7 +65,13 @@ object Sources {
     val p = java.nio.file.Paths.get(path)
     val bak = java.nio.file.Paths.get(path + ".old")
     java.nio.file.Files.move(p, bak)
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p)
+    try java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p)
+    catch {
+      case e: Throwable =>
+        // put the original back so `path` never stays empty
+        java.nio.file.Files.move(bak, p)
+        throw e
+    }
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete(): Unit

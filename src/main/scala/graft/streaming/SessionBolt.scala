@@ -57,8 +57,14 @@ object SessionBolt {
             }
             cur.foreach { s =>
               state.update(s)
-              // flush when the watermark passes the session's gap horizon
-              state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000)
+              // flush when the watermark passes the session's gap
+              // horizon. Late events (flatMapGroupsWithState does NOT
+              // drop rows behind the watermark) can put that horizon
+              // BEFORE the current watermark — Spark throws on such a
+              // timeout and kills the query — so clamp to just past
+              // the watermark.
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1, (s.lastUs + gapUs) / 1000))
             }
             out.reverseIterator
           }
