@@ -190,40 +190,15 @@ object Dedup {
   // --- dd06: near-dup clusters (connected components over dd02
   // pairs; cluster id = min doc_id in the component — the "keep one
   // representative per duplicate group" step of a dedup pipeline).
-  // Label propagation to fixpoint: each doc repeatedly adopts the
-  // smallest label among itself and its neighbors. Converges in
-  // O(component diameter) rounds (here: a handful); at corpus scale
-  // the same loop runs with the large-star/small-star optimization,
-  // each round one shuffle on doc_id.
-  val dd06_neardup_clusters: Q = (s, d) => {
-    val pairs = jaccardPairs(s, d).select("id1", "id2")
-    val edges = pairs
-      .unionAll(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-      .cache()
-    // only nodes that appear in an edge can land in a non-trivial
-    // cluster — iterate over those, not the whole corpus
-    var labels = edges.select(col("id1").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("lbl"))
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 20) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "id2"), "id2")
-        .groupBy(col("id1").as("doc_id"))
-        .agg(min("lbl").as("nlbl"))
-      val next = labels.join(neighborMin, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .cache()
-      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "doc_id")
-        .filter(col("lbl") =!= col("old")).limit(1).count()
-      labels = next
-      converged = changed == 0
-      rounds += 1
-    }
-    labels.select(col("doc_id"), col("lbl").as("cluster_id"))
-      .filter(col("doc_id") =!= col("cluster_id")) // only docs in non-trivial clusters
+  // Alternating large-star/small-star rounds (see
+  // [[ConnectedComponents]]): O(log n) rounds on any topology, each
+  // round two node-id shuffles over a shrinking edge set, lineage
+  // truncated per round — the 100 TB shape. The star forest IS the
+  // answer: every non-root member paired with its component minimum.
+  val dd06_neardup_clusters: Q = (s, d) =>
+    ConnectedComponents.stars(jaccardPairs(s, d).select("id1", "id2"))
+      .toDF("doc_id", "cluster_id")
       .orderBy("doc_id")
-  }
 
   // --- dd07: dedup with a keep-longest policy (argmax by n_chars,
   // doc_id tiebreak) — the policy-parameterized variant of dd01
