@@ -102,13 +102,61 @@ object Dedup {
       .filter(col("jacc") >= 0.2)
   }
 
-  // --- dd03: embedding-cosine near-dup pairs ---
-  // Exact variant is brute-force (the oracle-checkable baseline);
-  // dd04/ann02 are the sublinear scale paths. Pairs are emitted once
-  // (vec_id1 < vec_id2). Cosine = graft_dot / (norm_a * norm_b) with
-  // norms precomputed once per vector; the codegen'd sequential loop
-  // is bit-identical to DuckDB's list_inner_product over DOUBLE[].
-  val dd03_embed_neardup: Q = (s, d) => {
+  // --- dd03: embedding-cosine near-dup pairs (exact) ---
+  // The default plan is the block-pair equi-join below; the naive
+  // crossJoin survives only as the flagged reference baseline.
+  //
+  // Why exact can't be sub-quadratic HERE: on this corpus the 0.35
+  // threshold cuts a cosine continuum (measured at sf0.01: the
+  // weakest qualifying pair scores 0.35008 while the strongest
+  // non-qualifying scores 0.34997, and only ~10% of qualifying pairs
+  // share an embedding cluster label), so ANY candidate-pruned path
+  // (LSH bands, IVF cells) necessarily loses pairs — those are the
+  // approximate operators dd04/dd05/ann02. Exact all-pairs at scale
+  // is therefore about DISTRIBUTING n²/2 comparisons with bounded
+  // memory, not avoiding them.
+  val dd03_embed_neardup: Q = (s, d) => embedNeardupBlocked(s, d)
+
+  /** Exact cosine pairs via block-pair equi-join: vectors are hashed
+    * into `nBlocks` groups; each of the B(B+1)/2 (ga ≤ gb) block
+    * pairs becomes one equi-join key, so comparisons spread evenly
+    * across reducers, every task holds at most two blocks (spillable
+    * sort-merge buffers, ~n/B vectors each), and nothing broadcasts
+    * the corpus — the plan is shuffle equi-joins, no
+    * BroadcastNestedLoopJoin anywhere. Data inflation is the standard
+    * triangle-join cost (~B/2 replicas per side); at 100 TB pick
+    * nBlocks so n/B vectors fit one executor's memory.
+    */
+  def embedNeardupBlocked(s: SparkSession, d: String, nBlocks: Int = 8): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", graft.functions.GraftFunctions.l2norm("v"))
+      .withColumn("g", pmod(xxhash64(col("vec_id")), lit(nBlocks)).cast("int"))
+    val blockPairs = broadcast(
+      (for (a <- 0 until nBlocks; b <- a until nBlocks) yield (a, b)).toDF("ga", "gb"))
+    val left = e.toDF("l_id", "va", "na", "g")
+      .join(blockPairs, col("g") === col("ga")).drop("g")
+    val right = e.toDF("r_id", "vb", "nb", "g2")
+      .join(blockPairs, col("g2") === col("gb")).drop("g2")
+    left.join(right, Seq("ga", "gb"))
+      // same-block keys see both orientations → keep one; cross-block
+      // keys see each unordered pair exactly once already
+      .filter(col("ga") < col("gb") || col("l_id") < col("r_id"))
+      .select(least(col("l_id"), col("r_id")).as("id1"),
+        greatest(col("l_id"), col("r_id")).as("id2"),
+        r4(graft.functions.GraftFunctions.dot("va", "vb") /
+          (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= 0.35)
+      .orderBy("id1", "id2")
+  }
+
+  /** The naive all-pairs baseline (BroadcastNestedLoopJoin): same
+    * output as [[embedNeardupBlocked]], kept ONLY as an explicit
+    * opt-in reference — it broadcasts the corpus, which is the
+    * documented scale killer.
+    */
+  def embedNeardupAllPairs(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", graft.functions.GraftFunctions.l2norm("v"))

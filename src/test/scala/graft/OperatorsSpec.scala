@@ -44,6 +44,17 @@ class OperatorsSpec extends SparkSpecBase {
     assert(recall >= 0.2, s"IVF recall vs brute force unexpectedly low: $recall")
   }
 
+  test("blocked exact near-dup equals the all-pairs baseline, without a nested-loop join") {
+    val blocked = dedup.Dedup.dd03_embed_neardup(spark, sfDir)
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"blocked path still nested-loops:\n$plan")
+    val baseline = dedup.Dedup.embedNeardupAllPairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = blocked.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == baseline)
+  }
+
   test("exact dedup groups cover all documents exactly once") {
     val docs = Tables.documents(spark, sfDir).count()
     val groups = dedup.Dedup.dd01_exact(spark, sfDir)
