@@ -7,31 +7,53 @@ import org.apache.spark.sql.SparkSession
   *
   * Each query is forced through the `noop` sink (full plan execution
   * including projections — `count()` would let Catalyst prune the
-  * work). A small warmup query first absorbs session/codegen startup
-  * so per-query numbers reflect steady state.
+  * work).
+  *
+  * Two phases: a warm pass first runs every query once, absorbing
+  * one-time costs that say nothing about engine throughput — Janino
+  * compilation of each plan's generated code (the JVM-wide codegen
+  * cache is keyed by generated source, so compiled classes carry
+  * over) plus JVM/JIT warmup. The measured pass then re-runs
+  * everything on a FRESH session with the cache manager cleared, so
+  * memoized relations, cached DataFrames (e.g. the shared near-dup
+  * pair set) and file listings are rebuilt and paid for inside the
+  * measured run — warm code, cold data.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val warm = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    warm.sparkContext.setLogLevel("WARN")
 
-    def force(df: org.apache.spark.sql.DataFrame): Unit =
+    def force(spark: SparkSession)(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    // warmup: absorb JVM/codegen/session startup
-    force(SparkEntry.queries("q04_agg")(spark, sfDir))
+    // ---- warm pass: compile every plan's codegen once ----
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try force(warm)(fn(warm, sfDir))
+      catch { case e: Throwable => System.err.println(s"[bench] warm $name failed: $e") }
+    }
+    runStreaming(warm, sfDir) // warm the streaming plan too
+    // drop every cached dataset (the cache manager is shared across
+    // sessions of one context — without this the measured pass would
+    // read phase-1 caches instead of computing)
+    warm.catalog.clearCache()
+    // settle the heap so the measured pass doesn't pay the warm
+    // pass's garbage in its first collections
+    System.gc()
 
+    // ---- measured pass: fresh session — warm code, cold data ----
+    val spark = warm.newSession()
     val batchResults = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try force(fn(spark, sfDir))
+      try force(spark)(fn(spark, sfDir))
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
@@ -40,15 +62,8 @@ object Bench {
     // (tokenize -> keyed count -> top-N -> exactly-once sink) over the
     // documents corpus, end to end through Structured Streaming
     val streamResult = try {
-      val inDir = java.nio.file.Files.createTempDirectory("bench-st-in").toString
-      Tables.documents(spark, sfDir).select("text")
-        .coalesce(4).write.mode("overwrite").text(inDir)
-      val out = java.nio.file.Files.createTempDirectory("bench-st-out").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("bench-st-ckpt").toString
       val t0 = System.nanoTime()
-      val q = streaming.WordCountTopology.run(spark, inDir, out, ckpt)
-      q.processAllAvailable()
-      q.stop()
+      runStreaming(spark, sfDir)
       Seq("st01_stream_wordcount" -> (System.nanoTime() - t0) / 1e9)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] st01_stream_wordcount failed: $e"); Seq.empty
@@ -60,5 +75,19 @@ object Bench {
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** One end-to-end run of the streaming word-count topology over the
+    * documents corpus, on fresh input/output/checkpoint dirs.
+    */
+  private def runStreaming(spark: SparkSession, sfDir: String): Unit = {
+    val inDir = java.nio.file.Files.createTempDirectory("bench-st-in").toString
+    Tables.documents(spark, sfDir).select("text")
+      .coalesce(4).write.mode("overwrite").text(inDir)
+    val out = java.nio.file.Files.createTempDirectory("bench-st-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("bench-st-ckpt").toString
+    val q = streaming.WordCountTopology.run(spark, inDir, out, ckpt)
+    q.processAllAvailable()
+    q.stop()
   }
 }
