@@ -75,11 +75,20 @@ object Similarity {
     assigned.select("vec_id", "cell")
   }
 
-  // --- ann02: IVF top-k (k-means-trained cells; nProbe=2) ---
-  // Rows-only: approximate by design (recall < 1 vs ann01).
-  val ann02_ivf_topk: Q = (s, d) => {
+  // --- ann02: IVF top-k (k-means-trained cells) ---
+  // Rows-only: approximate by design (recall < 1 vs ann01; the
+  // quantified recall@5 floor is spec-asserted in OperatorsSpec).
+  // nCells/nProbe trade recall against probed fraction: candidates
+  // drop from n to ~n*nProbe/nCells. The defaults probe ~30% of this
+  // corpus, whose clusters are weak (measured: most high-cosine pairs
+  // cross label boundaries); a production corpus with real cluster
+  // structure supports much larger nCells at the same recall.
+  val ann02_ivf_topk: Q = (s, d) => ivfTopK(s, d)
+
+  def ivfTopK(s: SparkSession, d: String, nCells: Int = 10, nProbe: Int = 3,
+              iters: Int = 3): DataFrame = {
     val e = vecs(s, d)
-    val cells = kmeansCells(e, k = 10, iters = 2)
+    val cells = kmeansCells(e, k = nCells, iters = iters)
     val eCell = e.join(cells, "vec_id")
     // final trained centroids for the probe step
     val cents = eCell
@@ -88,14 +97,14 @@ object Similarity {
       .groupBy("cell").agg(array_sort(collect_list(struct(col("i"), col("m")))).as("pairs"))
       .select(col("cell"), expr("transform(pairs, p -> p.m)").as("vb"))
       .withColumn("nb", graft.functions.GraftFunctions.l2norm("vb"))
-    // assign every query to its nProbe=2 nearest cells
+    // assign every query to its nProbe nearest cells
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("va"), col("nrm").as("na"))
     val wCell = Window.partitionBy("q_id").orderBy(col("cell_cos").desc, col("cell"))
     val probed = q.join(broadcast(cents), lit(true))
       .select(col("q_id"), col("va"), col("na"), col("cell"), cosine.as("cell_cos"))
       .withColumn("cr", row_number().over(wCell))
-      .filter(col("cr") <= 2)
+      .filter(col("cr") <= nProbe)
       .select("q_id", "va", "na", "cell")
     // probe: exact cosine only against vectors in the probed cells
     val cands = eCell.select(col("vec_id").as("n_id"), col("v").as("vb"),
