@@ -93,7 +93,12 @@ object Multimodal {
         sha2(col("payload"), 256).as("sha"))
       .orderBy("doc_id")
 
-  // --- mm02: per-partition decode -> feature vectors (rows-only) ---
+  // --- mm02: per-partition decode -> feature vectors ---
+  // Oracle-checked: the emitted scalar columns (byte length, sniffed
+  // format, feature L2) are all reproducible in SQL over the same
+  // payload. feat_l2 is computed from EXACT integer bin counts
+  // (sqrt(Σc²)/n on integers is bit-identical in both engines) — a
+  // float-accumulated norm would drift below the 4-decimal rounding.
   val mm02_decode_stub: Q = (s, d) => {
     val spark = s
     val src = Tables.documents(s, d)
@@ -114,7 +119,10 @@ object Multimodal {
         // real header sniffing; pixel decode via the decoder seam
         val fmt = ImageHeader.parse(bytes).map(_.format).getOrElse("opaque")
         val f = dec.decode(bytes)
-        val l2 = math.sqrt(f.map(x => x.toDouble * x).sum)
+        val counts = new Array[Long](16)
+        bytes.foreach(b => counts((b & 0xff) >> 4) += 1)
+        val n = math.max(bytes.length, 1)
+        val l2 = math.sqrt(counts.map(c => c * c).sum.toDouble) / n
         Row(id, bytes.length.toLong, fmt, f.toSeq, math.round(l2 * 10000) / 10000.0)
       }
     }
@@ -151,6 +159,25 @@ object Multimodal {
     "mm03_frame_sample" -> mm03_frame_sample)
 
   val oracles: Map[String, String] = Map(
+    // mm02: the byte-nibble histogram L2 and the magic-byte format
+    // sniff are both SQL-expressible (documents are ASCII, so chars
+    // align with payload bytes; PNG/JPEG magic can't occur in text,
+    // GIF/BMP prefixes mirror ImageHeader.parse's length guards)
+    "mm02_decode_stub" ->
+      """WITH d AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS len FROM documents),
+        |bins AS (
+        |  SELECT doc_id, unicode(substr(text, i, 1)) // 16 AS bin, count(*) AS c
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i FROM d)
+        |  GROUP BY doc_id, bin),
+        |s AS (SELECT doc_id, sum(c * c) AS ss FROM bins GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.len AS BIGINT) AS n_bytes,
+        |  CASE WHEN d.len >= 10 AND substr(d.text, 1, 3) = 'GIF' THEN 'gif'
+        |       WHEN d.len >= 26 AND substr(d.text, 1, 2) = 'BM' THEN 'bmp'
+        |       ELSE 'opaque' END AS format,
+        |  round(sqrt(CAST(coalesce(s.ss, 0) AS DOUBLE)) / greatest(d.len, 1) * 10000) / 10000 AS feat_l2,
+        |  CAST(16 AS BIGINT) AS feat_dim
+        |FROM d LEFT JOIN s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "mm03_frame_sample" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
         |  CAST(i * 64 AS BIGINT) AS byte_off, CAST(64 AS BIGINT) AS window_len
