@@ -90,14 +90,32 @@ object Sources {
   /** Kafka spout (the reference KafkaSource,
     * InputSource/KafkaSource.hs): topic partitions/offsets become the
     * streaming clock. Requires the spark-sql-kafka connector jar on
-    * the cluster classpath (not bundled in this container, so this
-    * builder is untested here — the returned reader carries the
-    * standard exactly-once source contract).
+    * the cluster classpath (not bundled in this container, so the
+    * contract — format, connection/subscription options, admission
+    * limit, offset semantics — is locked by KafkaContractSpec rather
+    * than an embedded-broker round trip). `maxOffsetsPerTrigger`
+    * bounds per-batch admission — the backpressure lever the
+    * reference implements by pausing spouts.
     */
   def kafkaStream(spark: SparkSession, bootstrap: String, topic: String,
-                  startingOffsets: String = "earliest"): DataStreamReader =
+                  startingOffsets: String = "earliest",
+                  limit: graft.streaming.RateLimit = graft.streaming.RateLimit()
+                 ): DataStreamReader =
     spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topic)
       .option("startingOffsets", startingOffsets)
+      .options(limit.options)
+
+  /** The Kafka reader as a Topology spout: value bytes decoded to
+    * lines, ready for the word-count bolts (the reference's
+    * KafkaSource feeding its words spout).
+    */
+  def kafkaSpout(bootstrap: String, topic: String,
+                 startingOffsets: String = "earliest",
+                 limit: graft.streaming.RateLimit = graft.streaming.RateLimit()
+                ): graft.streaming.Spout =
+    graft.streaming.Spout(s"kafka:$topic", s =>
+      kafkaStream(s, bootstrap, topic, startingOffsets, limit).load()
+        .selectExpr("CAST(value AS STRING) AS value"))
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryProgress}
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryProgress, Trigger}
 
 /** The reference's topology model (Topology.hs, HardcodedTopology.hs)
   * re-expressed Spark-first: a topology is a named chain
@@ -22,15 +22,44 @@ final case class Spout(name: String, open: SparkSession => DataFrame)
 
 final case class Bolt(name: String, transform: DataFrame => DataFrame)
 
-final case class Sink(name: String, start: DataFrame => StreamingQuery)
+final case class Sink(name: String,
+                      start: (DataFrame, Option[Trigger]) => StreamingQuery)
 
-final case class Topology(spout: Spout, bolts: Seq[Bolt], sink: Sink) {
+/** Spout flow control — the reference negotiator's pause/throttle
+  * levers (MasterState.hs SpoutsPaused / Negotiator.hs), expressed
+  * as Structured Streaming's per-trigger admission limits: instead of
+  * an external coordinator flipping spouts on and off, each
+  * micro-batch admits a bounded amount of input, so a backlog drains
+  * at a rate state stores and sinks can absorb. The keys are source
+  * options: `maxFilesPerTrigger` (file spouts),
+  * `maxOffsetsPerTrigger` (kafka/rate spouts).
+  */
+final case class RateLimit(maxFilesPerTrigger: Option[Int] = None,
+                           maxOffsetsPerTrigger: Option[Long] = None) {
+  def options: Map[String, String] =
+    maxFilesPerTrigger.map(n => "maxFilesPerTrigger" -> n.toString).toMap ++
+      maxOffsetsPerTrigger.map(n => "maxOffsetsPerTrigger" -> n.toString).toMap
+}
+
+object RateLimit {
+  def files(n: Int): RateLimit = RateLimit(maxFilesPerTrigger = Some(n))
+  def offsets(n: Long): RateLimit = RateLimit(maxOffsetsPerTrigger = Some(n))
+}
+
+final case class Topology(spout: Spout, bolts: Seq[Bolt], sink: Sink,
+                          trigger: Option[Trigger] = None) {
   def withBolt(b: Bolt): Topology = copy(bolts = bolts :+ b)
+
+  /** Micro-batch scheduling policy (ProcessingTime cadence,
+    * AvailableNow backfill, …) — Structured Streaming's analog of the
+    * reference's negotiator-paced snapshot/advance cycle.
+    */
+  def withTrigger(t: Trigger): Topology = copy(trigger = Some(t))
 
   /** Compile and launch: the returned query is the running topology. */
   def run(spark: SparkSession): StreamingQuery = {
     val wired = bolts.foldLeft(spout.open(spark))((df, b) => b.transform(df))
-    sink.start(wired)
+    sink.start(wired, trigger)
   }
 }
 

@@ -30,8 +30,8 @@ object WordCountTopology {
   /** Build the full topology over any line-typed spout. */
   def apply(spout: Spout, outDir: String, checkpoint: String, topN: Int = 20): Topology =
     Topology(spout, Seq(tokenize, countBolt),
-      Sink("top_words", df =>
-        df.writeStream
+      Sink("top_words", (df, trigger) => {
+        val w = df.writeStream
           .outputMode(OutputMode.Complete())
           .option("checkpointLocation", checkpoint)
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -40,18 +40,24 @@ object WordCountTopology {
             val top = batch.orderBy(col("cnt").desc, col("word")).limit(topN)
             ExactlyOnceSink.toDir(outDir)(top, batchId)
           }
-          .start()))
+        trigger.foreach(w.trigger)
+        w.start()
+      }))
 
-  /** File-lines spout (the reference's FileSource). */
-  def fileSpout(dir: String): Spout =
-    Spout("lines", s => s.readStream.format("text").load(dir))
+  /** File-lines spout (the reference's FileSource); `limit` bounds
+    * how many files each micro-batch admits.
+    */
+  def fileSpout(dir: String, limit: RateLimit = RateLimit()): Spout =
+    Spout("lines", s =>
+      s.readStream.format("text").options(limit.options).load(dir))
 
   /** Synthetic load-generator spout (rate source) — the throughput
     * harness analog of the reference's WordCountKafkaEmitter.
     */
-  def rateSpout(rowsPerSecond: Int = 1000): Spout =
+  def rateSpout(rowsPerSecond: Int = 1000, limit: RateLimit = RateLimit()): Spout =
     Spout("rate", s => s.readStream.format("rate")
-      .option("rowsPerSecond", rowsPerSecond.toString).load()
+      .option("rowsPerSecond", rowsPerSecond.toString)
+      .options(limit.options).load()
       .selectExpr("concat('w', CAST(value % 100 AS STRING)) AS value"))
 
   /** Run over a directory of text files — the `run_sample` CLI analog. */
