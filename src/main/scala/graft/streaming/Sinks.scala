@@ -49,3 +49,42 @@ object ExactlyOnceSink {
     else Set.empty
   }
 }
+
+/** The reference topNBolt as a SINK-side bounded state machine for
+  * UPDATE-mode count streams: each micro-batch delivers only the keys
+  * whose counts changed (each row carrying its full current total),
+  * which are max-merged into a [[TopN]] monoid of size `n` — so
+  * per-batch sink work is O(changed keys + n), not a re-sort of the
+  * whole vocabulary as in the Complete-mode path.
+  *
+  * Exactness: update rows carry full totals and totals only grow, so
+  * an evicted key re-enters the moment its total beats the current
+  * minimum — the same bounded-PSQueue argument as the reference's
+  * topNBolt (WordCountSample.hs:118-216). The same monotonicity makes
+  * redelivered batches idempotent (max-merge of already-seen totals
+  * is a no-op), and recovery restores state from the last committed
+  * top file before replay.
+  */
+final class TopNUpdateSink(outDir: String, n: Int) extends Serializable {
+  private val monoid = TopN(n)
+  @transient private var state: Map[String, Long] = null
+
+  def apply(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    if (state == null) state = restore(spark)
+    // bounded driver-side collect: update mode emits only this
+    // batch's changed keys (≤ the batch's input vocabulary)
+    val updates = batch.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    state = monoid.combine(state, updates)
+    import spark.implicits._
+    val top = state.toSeq.sortBy { case (k, v) => (-v, k) }.toDF("word", "cnt")
+    ExactlyOnceSink.toDir(outDir)(top, batchId)
+  }
+
+  private def restore(spark: org.apache.spark.sql.SparkSession): Map[String, Long] = {
+    val ids = ExactlyOnceSink.committed(outDir)
+    if (ids.isEmpty) monoid.empty
+    else spark.read.parquet(s"$outDir/batch=${ids.max}")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+}

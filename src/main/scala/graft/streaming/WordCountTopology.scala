@@ -44,6 +44,27 @@ object WordCountTopology {
         w.start()
       }))
 
+  /** Update-mode variant of [[apply]]: the aggregation emits only
+    * CHANGED (word, count) rows per micro-batch and the top-N lives
+    * in a [[TopNUpdateSink]] bounded monoid — per-batch sink work is
+    * O(changed keys + N) where the Complete-mode sink re-sorts the
+    * entire accumulated vocabulary every batch. Same final output
+    * (spec-verified parity); this is the shape that survives an
+    * unbounded vocabulary.
+    */
+  def updateMode(spout: Spout, outDir: String, checkpoint: String,
+                 topN: Int = 20): Topology =
+    Topology(spout, Seq(tokenize, countBolt),
+      Sink("top_words_update", (df, trigger) => {
+        val sink = new TopNUpdateSink(outDir, topN)
+        val w = df.writeStream
+          .outputMode(OutputMode.Update())
+          .option("checkpointLocation", checkpoint)
+          .foreachBatch { (batch: DataFrame, batchId: Long) => sink(batch, batchId) }
+        trigger.foreach(w.trigger)
+        w.start()
+      }))
+
   /** File-lines spout (the reference's FileSource); `limit` bounds
     * how many files each micro-batch admits.
     */

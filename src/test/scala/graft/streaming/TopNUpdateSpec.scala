@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Update-mode top-N (bounded sink state) vs the Complete-mode
+  * re-sort path: identical results, O(changed keys + N) sink work.
+  */
+class TopNUpdateSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def lastTop(out: String): List[(String, Long)] = {
+    val last = ExactlyOnceSink.committed(out).max
+    spark.read.parquet(s"$out/batch=$last")
+      .orderBy(col("cnt").desc, col("word"))
+      .as[(String, Long)].collect().toList
+  }
+
+  test("update-mode top-N matches the Complete-mode topology batch for batch") {
+    implicit val sql = spark.sqlContext
+    val memA = MemoryStream[String]
+    val memB = MemoryStream[String]
+    val (outA, ckptA) = (tmpDir("tc-out"), tmpDir("tc-ckpt"))
+    val (outB, ckptB) = (tmpDir("tu-out"), tmpDir("tu-ckpt"))
+    val qA = WordCountTopology(
+      Spout("memA", _ => memA.toDF()), outA, ckptA, topN = 3).run(spark)
+    val qB = WordCountTopology.updateMode(
+      Spout("memB", _ => memB.toDF()), outB, ckptB, topN = 3).run(spark)
+    try {
+      val batches = Seq(
+        Seq("the cat and the hat", "the bat"),
+        Seq("the cat again"),
+        // bat overtakes cat AFTER having been evicted from a top-3
+        // bounded state — the re-entry case
+        Seq("bat bat bat"))
+      batches.foreach { b =>
+        memA.addData(b: _*); memB.addData(b: _*)
+        qA.processAllAvailable(); qB.processAllAvailable()
+        assert(lastTop(outB) == lastTop(outA))
+      }
+      assert(lastTop(outB) == List(("the", 4L), ("bat", 4L), ("cat", 2L))
+        .sortBy { case (k, v) => (-v, k) })
+    } finally { qA.stop(); qB.stop() }
+  }
+
+  test("update-mode top-N restores sink state across a restart") {
+    val in = tmpDir("tr-in")
+    val (out, ckpt) = (tmpDir("tr-out"), tmpDir("tr-ckpt"))
+    def addFile(name: String, text: String): Unit =
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(in, name), text + "\n")
+    addFile("f0.txt", "alpha beta alpha")
+    val q1 = WordCountTopology.updateMode(
+      WordCountTopology.fileSpout(in), out, ckpt, topN = 5).run(spark)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(lastTop(out) == List(("alpha", 2L), ("beta", 1L)))
+
+    addFile("f1.txt", "beta beta gamma")
+    val q2 = WordCountTopology.updateMode(
+      WordCountTopology.fileSpout(in), out, ckpt, topN = 5).run(spark)
+    try q2.processAllAvailable() finally q2.stop()
+    // counts continue from the checkpointed aggregation AND the sink's
+    // restored top-N (alpha saw no update after restart — it must
+    // come from the restored state)
+    assert(lastTop(out) == List(("beta", 3L), ("alpha", 2L), ("gamma", 1L)))
+  }
+}
