@@ -83,15 +83,35 @@ object Dedup {
     val sh = shingles(s, d)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // posting-list pair generation: one shuffle on the shingle key
-    // (vs two for a self-join); per-posting pair fan-out is bounded
-    // by dfCap²/2
+    // (vs two for a self-join). A df-capped posting can still hold
+    // dfCap docs, and exploding its dfCap²/2 pairs from ONE row both
+    // materializes a ~500k-struct array and pins the whole hot
+    // shingle on one task — so postings are cut into sorted chunks of
+    // `chunk` docs and pairs are generated per CHUNK PAIR: each
+    // exploded row carries ≤ chunk² pairs, and the repartition on the
+    // chunk-pair row spreads a hot shingle's work across the cluster
+    // (the "salt oversized postings" guard). Sorted chunks keep
+    // id1 < id2 for free on cross-chunk pairs.
+    val chunk = 128
     val idx = cappedIndex(s, d)
-    val pairs = idx.groupBy("s")
+    val chunkPairs = idx.groupBy("s")
       .agg(sort_array(collect_set("doc_id")).as("ds"))
+      .select(col("ds"), explode(expr(
+        s"""flatten(transform(sequence(0, int(ceil(size(ds) / $chunk.0)) - 1),
+           |  i -> transform(sequence(i, int(ceil(size(ds) / $chunk.0)) - 1),
+           |    j -> struct(i AS ci, j AS cj))))""".stripMargin)).as("cp"))
+      .select(expr(s"slice(ds, cp.ci * $chunk + 1, $chunk)").as("a"),
+        expr(s"slice(ds, cp.cj * $chunk + 1, $chunk)").as("b"),
+        (col("cp.ci") === col("cp.cj")).as("same"))
+      .repartition(col("a"), col("b"))
+    val pairs = chunkPairs
       .select(explode(expr(
-        """flatten(transform(ds, (x, i) ->
-          |  transform(slice(ds, i + 2, size(ds)), y -> struct(x AS id1, y AS id2))))"""
-          .stripMargin)).as("p"))
+        """CASE WHEN same THEN
+          |  flatten(transform(a, (x, i) ->
+          |    transform(slice(a, i + 2, size(a)), y -> struct(x AS id1, y AS id2))))
+          |ELSE
+          |  flatten(transform(a, x -> transform(b, y -> struct(x AS id1, y AS id2))))
+          |END""".stripMargin)).as("p"))
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
     pairs
