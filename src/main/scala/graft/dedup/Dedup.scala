@@ -94,8 +94,18 @@ object Dedup {
     // id1 < id2 for free on cross-chunk pairs.
     val chunk = 128
     val idx = cappedIndex(s, d)
-    val chunkPairs = idx.groupBy("s")
+    val postings = idx.groupBy("s")
       .agg(sort_array(collect_set("doc_id")).as("ds"))
+    // common case — posting fits one chunk: direct pair explode, no
+    // extra exchange
+    val smallPairs = postings.filter(size(col("ds")) <= chunk)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), y -> struct(x AS id1, y AS id2))))"""
+          .stripMargin)).as("p"))
+    // oversized postings only: chunk-pair rows, repartitioned so one
+    // hot shingle's ≤ chunk² pair batches spread across tasks
+    val bigPairs = postings.filter(size(col("ds")) > chunk)
       .select(col("ds"), explode(expr(
         s"""flatten(transform(sequence(0, int(ceil(size(ds) / $chunk.0)) - 1),
            |  i -> transform(sequence(i, int(ceil(size(ds) / $chunk.0)) - 1),
@@ -104,7 +114,6 @@ object Dedup {
         expr(s"slice(ds, cp.cj * $chunk + 1, $chunk)").as("b"),
         (col("cp.ci") === col("cp.cj")).as("same"))
       .repartition(col("a"), col("b"))
-    val pairs = chunkPairs
       .select(explode(expr(
         """CASE WHEN same THEN
           |  flatten(transform(a, (x, i) ->
@@ -112,6 +121,7 @@ object Dedup {
           |ELSE
           |  flatten(transform(a, x -> transform(b, y -> struct(x AS id1, y AS id2))))
           |END""".stripMargin)).as("p"))
+    val pairs = smallPairs.unionAll(bigPairs)
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
     pairs
