@@ -135,9 +135,54 @@ object TextAnalysis {
         (length(col("text")) - length(normText(col("text")))).cast("long").as("squeezed"))
       .orderBy("doc_id")
 
+  // --- tx07: PII redaction (training-data scrubbing pass) ---
+  // Masks emails, dotted IPv4s, and long digit runs — run over
+  // `customer` because its names carry real digit runs (every row
+  // redacts), so the oracle exercises actual substitutions, not a
+  // no-op. Single narrow projection, no shuffle.
+  val tx07_redact: Q = (s, d) => {
+    val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val ipRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+    val numRe = "\\d{4,}"
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("c_name"), emailRe, "<EMAIL>"),
+            ipRe, "<IP>"),
+          numRe, "<NUM>").as("redacted"),
+        expr(s"size(regexp_extract_all(c_name, '\\\\d{4,}', 0))")
+          .cast("long").as("n_digit_runs"))
+      .orderBy("c_custkey")
+  }
+
+  // --- tx08: repetition signals (Gopher-style quality rules) ---
+  // Duplicate-token ratio, duplicate-2gram ratio, and top-term share
+  // per document — the "is this doc mostly one phrase repeated"
+  // filters every corpus-cleaning pipeline applies. Per-row array
+  // ops only: one scan, no shuffle.
+  val tx08_repetition: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(toksExpr).as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        r4(lit(1.0) - size(array_distinct(col("t"))).cast("double") /
+          nullif(size(col("t")), lit(0))).as("dup_token_ratio"),
+        r4(expr(
+          """IF(size(t) >= 2,
+            |  1.0 - size(array_distinct(transform(sequence(1, size(t) - 1),
+            |        i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))))
+            |      / CAST(size(t) - 1 AS DOUBLE),
+            |  CAST(NULL AS DOUBLE))""".stripMargin)).as("dup_2gram_ratio"),
+        r4(expr("array_max(transform(array_distinct(t), x -> size(filter(t, y -> y = x))))")
+          .cast("double") / nullif(size(col("t")), lit(0))).as("top_share"))
+      .orderBy("doc_id")
+
   val registry: Map[String, Q] = Map(
     "tx00_normalize" -> tx00_normalize,
     "tx06_tfidf" -> tx06_tfidf,
+    "tx07_redact" -> tx07_redact,
+    "tx08_repetition" -> tx08_repetition,
     "tx01_tokens" -> tx01_tokens,
     "tx02_quality" -> tx02_quality,
     "tx03_langid" -> tx03_langid,
@@ -201,5 +246,24 @@ object TextAnalysis {
          |FROM sc ORDER BY doc_id""".stripMargin,
     "tx04_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "tx07_redact" ->
+      """SELECT c_custkey,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(c_name, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |      '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'),
+        |    '\d{4,}', '<NUM>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(c_name, '\d{4,}')) AS BIGINT) AS n_digit_runs
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "tx08_repetition" ->
+      s"""SELECT doc_id, len(t) AS n_tokens,
+         |  round((1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / nullif(len(t), 0)) * 10000) / 10000 AS dup_token_ratio,
+         |  round((CASE WHEN len(t) >= 2 THEN
+         |    1.0 - CAST(len(list_distinct(list_transform(generate_series(1, len(t) - 1),
+         |          i -> t[i] || ' ' || t[i + 1]))) AS DOUBLE) / (len(t) - 1)
+         |    ELSE NULL END) * 10000) / 10000 AS dup_2gram_ratio,
+         |  round((CAST(list_max(list_transform(list_distinct(t), x -> len(list_filter(t, y -> y = x)))) AS DOUBLE)
+         |         / nullif(len(t), 0)) * 10000) / 10000 AS top_share
+         |FROM (SELECT doc_id, $sqlToks AS t FROM documents) x ORDER BY doc_id""".stripMargin)
 }
