@@ -33,7 +33,44 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
-  val registry: Map[String, Q] = Map("pp01_clean_corpus" -> pp01_clean_corpus)
+  /** pp02: full curation pass — repetition-quality gates (tx08's
+    * signals) + NEAR-dup representative selection (dd06's clusters:
+    * drop every clustered doc except its component minimum) in one
+    * declarative flow. The near-dup pair set is the memoized/cached
+    * plan shared with dd02/dd06, so running the whole family costs
+    * one pair-set build. This is the "keep one copy of each
+    * near-duplicate group, drop degenerate docs" step that precedes
+    * tokenization in a training-data pipeline.
+    */
+  val pp02_curate: Q = (s, d) => {
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), expr(toksExpr).as("t"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        expr(
+          """IF(size(t) >= 2,
+            |  1.0 - size(array_distinct(transform(sequence(1, size(t) - 1),
+            |        i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))))
+            |      / CAST(size(t) - 1 AS DOUBLE),
+            |  CAST(NULL AS DOUBLE))""".stripMargin).as("dup2"),
+        (expr("array_max(transform(array_distinct(t), x -> size(filter(t, y -> y = x))))")
+          .cast("double") / nullif(size(col("t")), lit(0))).as("top_share"))
+    // non-representative members of near-dup clusters (cluster id =
+    // component min, so dropping dd06's output keeps exactly one doc
+    // per group)
+    val dupMembers = graft.dedup.Dedup.dd06_neardup_clusters(s, d)
+      .select(col("doc_id").as("dup_id"))
+    scored
+      .join(dupMembers, col("doc_id") === col("dup_id"), "left_anti")
+      .filter(col("n_tokens") >= 40 &&
+        col("dup2") <= 0.05 && col("top_share") <= 0.12)
+      .select("doc_id", "n_tokens")
+      .orderBy("doc_id")
+  }
+
+  val registry: Map[String, Q] = Map(
+    "pp01_clean_corpus" -> pp01_clean_corpus,
+    "pp02_curate" -> pp02_curate)
 
   private val sqlToks =
     "list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')"
@@ -49,5 +86,37 @@ object Pipeline {
          |keep AS (SELECT fp, min(doc_id) AS keep_id FROM scored GROUP BY fp)
          |SELECT doc_id, n_tokens FROM scored JOIN keep USING (fp)
          |WHERE doc_id = keep_id AND n_tokens >= 20 AND stop_ratio >= 0.01
+         |ORDER BY doc_id""".stripMargin,
+    "pp02_curate" ->
+      s"""WITH RECURSIVE
+         |t AS (SELECT doc_id, $sqlToks AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+         |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM t)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000),
+         |idx AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+         |prs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+         |        FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+         |        GROUP BY 1, 2),
+         |nd AS (SELECT id1, id2 FROM prs JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id
+         |       WHERE round((CAST(inter AS DOUBLE) / (x.n + y.n - inter)) * 10000) / 10000 >= 0.2),
+         |edges AS (SELECT id1 AS a, id2 AS b FROM nd UNION SELECT id2, id1 FROM nd),
+         |reach(a, b) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |dups AS (SELECT a AS doc_id FROM reach GROUP BY a HAVING min(b) < a),
+         |q AS (
+         |  SELECT doc_id, len(t) AS n_tokens,
+         |    CASE WHEN len(t) >= 2 THEN
+         |      1.0 - CAST(len(list_distinct(list_transform(generate_series(1, len(t) - 1),
+         |            i -> t[i] || ' ' || t[i + 1]))) AS DOUBLE) / (len(t) - 1)
+         |      ELSE NULL END AS dup2,
+         |    CAST(list_max(list_transform(list_distinct(t), x -> len(list_filter(t, y -> y = x)))) AS DOUBLE)
+         |      / nullif(len(t), 0) AS top_share
+         |  FROM t)
+         |SELECT doc_id, n_tokens FROM q
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+         |  AND n_tokens >= 40 AND dup2 <= 0.05 AND top_share <= 0.12
          |ORDER BY doc_id""".stripMargin)
 }
