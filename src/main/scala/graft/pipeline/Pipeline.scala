@@ -55,15 +55,23 @@ object Pipeline {
             |  CAST(NULL AS DOUBLE))""".stripMargin).as("dup2"),
         (expr("array_max(transform(array_distinct(t), x -> size(filter(t, y -> y = x))))")
           .cast("double") / nullif(size(col("t")), lit(0))).as("top_share"))
+    // Filtering directly on the aliased columns lets Catalyst collapse
+    // filter+projection, duplicating the big lambda trees into one
+    // oversized stage (measured 7× slower at sf0.1 — codegen gives
+    // up). The lazy localCheckpoint is a barrier: signals materialize
+    // once (a narrow doc_id+3-doubles row per doc), the filter reads
+    // materialized rows, and blocks free on dereference without a
+    // cache-manager entry.
+    val gated = scored.localCheckpoint(false)
+      .filter(col("n_tokens") >= 40 &&
+        col("dup2") <= 0.05 && col("top_share") <= 0.12)
     // non-representative members of near-dup clusters (cluster id =
     // component min, so dropping dd06's output keeps exactly one doc
     // per group)
     val dupMembers = graft.dedup.Dedup.dd06_neardup_clusters(s, d)
       .select(col("doc_id").as("dup_id"))
-    scored
+    gated
       .join(dupMembers, col("doc_id") === col("dup_id"), "left_anti")
-      .filter(col("n_tokens") >= 40 &&
-        col("dup2") <= 0.05 && col("top_share") <= 0.12)
       .select("doc_id", "n_tokens")
       .orderBy("doc_id")
   }
