@@ -1,6 +1,6 @@
 package graft.cli
 
-import graft.streaming.{Clock, ExactlyOnceSink, WordCountTopology}
+import graft.streaming.{Clock, ExactlyOnceSink, RateLimit, WordCountTopology}
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -22,19 +22,20 @@ import scala.jdk.CollectionConverters._
 object GraftCLI {
   def main(args: Array[String]): Unit = args.toList match {
     case "run_sample" :: "-f" :: file :: rest =>
-      val out = rest.headOption.getOrElse(".")
-      runSample(file, out)
+      val flags = rest.filter(_.startsWith("--")).toSet
+      val out = rest.filterNot(_.startsWith("--")).headOption.getOrElse(".")
+      runSample(file, out, update = flags("--update"))
     case "show" :: ckpt :: _  => show(ckpt)
     case "init" :: ckpt :: _  =>
       Files.createDirectories(Paths.get(ckpt))
       println(s"initialized checkpoint root at $ckpt")
     case _ =>
       System.err.println(
-        "usage: GraftCLI run_sample -f <file> [outDir] | show <checkpoint> | init <checkpoint>")
+        "usage: GraftCLI run_sample -f <file> [outDir] [--update] | show <checkpoint> | init <checkpoint>")
       sys.exit(2)
   }
 
-  def runSample(file: String, outDir: String): Unit = {
+  def runSample(file: String, outDir: String, update: Boolean): Unit = {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .appName("graft-run-sample")
@@ -42,12 +43,16 @@ object GraftCLI {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try runSample(spark, file, outDir)
+    try runSample(spark, file, outDir, update)
     finally spark.stop()
   }
 
-  /** Topology run against a caller-owned session (not stopped here). */
-  def runSample(spark: SparkSession, file: String, outDir: String): Unit = {
+  /** Topology run against a caller-owned session (not stopped here).
+    * `update = true` runs the bounded-state update-mode top-N path
+    * instead of the Complete-mode re-sort.
+    */
+  def runSample(spark: SparkSession, file: String, outDir: String,
+                update: Boolean = false): Unit = {
     {
       // stage the file as a streaming source dir (partition = file,
       // offset = position — the reference's FileSource contract)
@@ -56,7 +61,11 @@ object GraftCLI {
       val ckpt = Files.createTempDirectory("graft-sample-ckpt").toString
       val batchOut = Files.createTempDirectory("graft-sample-out").toString
 
-      val q = WordCountTopology.run(spark, inDir.toString, batchOut, ckpt)
+      val spout = WordCountTopology.fileSpout(inDir.toString, RateLimit())
+      val topo =
+        if (update) WordCountTopology.updateMode(spout, batchOut, ckpt)
+        else WordCountTopology(spout, batchOut, ckpt)
+      val q = topo.run(spark)
       q.processAllAvailable()
       val clock = Clock.of(q)
       q.stop()

@@ -16,4 +16,16 @@ class CLISpec extends SparkSpecBase {
     assert(lines.contains("bravo,2"))
     assert(lines.contains("alpha,1"))
   }
+
+  test("run_sample --update: bounded-state top-N path writes the same file") {
+    val in = Files.createTempDirectory("cli-in-u")
+    Files.write(in.resolve("sample.txt"),
+      "hotel bravo\nhotel alpha\nhotel bravo\n".getBytes)
+    val out = tmpDir("cli-out-u")
+    GraftCLI.runSample(spark, in.resolve("sample.txt").toString, out, update = true)
+    val lines = Files.readAllLines(Paths.get(out, "top_words.txt"))
+    assert(lines.get(0) == "hotel,3")
+    assert(lines.contains("bravo,2"))
+    assert(lines.contains("alpha,1"))
+  }
 }
