@@ -56,6 +56,20 @@ class ScaleSpec extends SparkSpecBase {
     assert(joined.count() == Tables.lineitem(s2, sfDir).count())
   }
 
+  test("plan posture guards: pushdown reaches the scan, dims broadcast") {
+    // q05: every predicate must reach the parquet scan — a regression
+    // here silently re-reads full row groups at 100 TB
+    val q05 = graft.SparkEntry.queries("q05_filter_project")(spark, sfDir)
+    val p05 = q05.queryExecution.executedPlan.toString
+    assert(p05.contains("PushedFilters: [") && p05.contains("l_quantity"),
+      s"q05 filters not pushed:\n$p05")
+    // q06: dimension joins must stay broadcast (no shuffle of customer
+    // per dim join)
+    val q06 = graft.SparkEntry.queries("q06_join_broadcast")(spark, sfDir)
+    val p06 = q06.queryExecution.executedPlan.toString
+    assert(p06.contains("BroadcastHashJoin"), s"q06 lost its broadcast:\n$p06")
+  }
+
   test("SQL registration: graft_* functions callable from spark.sql") {
     GraftExtensions.register(spark)
     val row = spark.sql(
