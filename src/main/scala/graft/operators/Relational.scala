@@ -532,7 +532,29 @@ object Relational {
       .orderBy("bin")
   }
 
+  // --- q42: local-supplier revenue (TPC-H Q5 shape) — 6-table join
+  // where customer and supplier must share a nation (the classic
+  // "join condition beyond the keys" case). Facts shuffle on their
+  // join keys; nation/region/supplier broadcast.
+  val q42_local_supplier: Q = (s, d) =>
+    Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d)
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("revenue").desc, col("n_name"))
+
   val registry: Map[String, Q] = Map(
+    "q42_local_supplier" -> q42_local_supplier,
     "q41_histogram" -> q41_histogram,
     "q40_resample_ffill" -> q40_resample_ffill,
     "q38_multi_exists" -> q38_multi_exists,
@@ -576,6 +598,17 @@ object Relational {
     "q25_json" -> q25_json)
 
   val oracles: Map[String, String] = Map(
+    "q42_local_supplier" ->
+      """SELECT r_name, n_name,
+        |  round((sum(l_extendedprice * (1 - l_discount))) * 100) / 100 AS revenue,
+        |  count(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, revenue DESC, n_name""".stripMargin,
     "q41_histogram" ->
       """WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
         |SELECT least(CAST(floor((o_totalprice - lo) * 10 / (hi - lo)) AS BIGINT), 9) AS bin,
