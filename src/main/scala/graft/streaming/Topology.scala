@@ -46,6 +46,20 @@ object RateLimit {
   def offsets(n: Long): RateLimit = RateLimit(maxOffsetsPerTrigger = Some(n))
 }
 
+/** Stock bolts composable into any topology. */
+object Bolts {
+  /** Streaming exact dedup — the streaming analog of dd01's
+    * fingerprint groupBy: re-deliveries of the same key are dropped
+    * via the state store, with state EXPIRED once the watermark
+    * passes (dropDuplicatesWithinWatermark) — bounded state on an
+    * unbounded stream, which plain dropDuplicates does not give.
+    */
+  def dedup(keys: Seq[String], eventTimeCol: String, delay: String): Bolt =
+    Bolt("dedup", df =>
+      df.withWatermark(eventTimeCol, delay)
+        .dropDuplicatesWithinWatermark(keys))
+}
+
 final case class Topology(spout: Spout, bolts: Seq[Bolt], sink: Sink,
                           trigger: Option[Trigger] = None) {
   def withBolt(b: Bolt): Topology = copy(bolts = bolts :+ b)

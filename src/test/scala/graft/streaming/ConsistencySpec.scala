@@ -73,4 +73,29 @@ class ConsistencySpec extends SparkSpecBase {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("streaming dedup bolt: re-delivered keys emitted once, state watermark-bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sql = spark.sqlContext
+    val docs = MemoryStream[(Timestamp, Long)]
+    val deduped = Bolts.dedup(Seq("doc_id"), "ts", "10 minutes")
+      .transform(docs.toDF().toDF("ts", "doc_id"))
+    val q = deduped.writeStream.format("memory").queryName("sdedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      docs.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+        (Timestamp.valueOf("2024-01-01 10:00:01"), 1L), // dup within batch
+        (Timestamp.valueOf("2024-01-01 10:00:02"), 2L))
+      q.processAllAvailable()
+      docs.addData(
+        (Timestamp.valueOf("2024-01-01 10:01:00"), 1L), // dup across batches
+        (Timestamp.valueOf("2024-01-01 10:01:00"), 3L))
+      q.processAllAvailable()
+      val ids = spark.table("sdedup").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toList
+      assert(ids == List(1L, 2L, 3L))
+    } finally q.stop()
+  }
 }
