@@ -178,11 +178,33 @@ object TextAnalysis {
           .cast("double") / nullif(size(col("t")), lit(0))).as("top_share"))
       .orderBy("doc_id")
 
+  // --- tx09: corpus-level stats (the one-row telemetry every ingest
+  // job logs: doc count, token volume, vocabulary size, length
+  // distribution). Token percentile via exact `percentile` (matches
+  // DuckDB quantile_cont, same as q23); vocab via a distinct over the
+  // exploded terms — one shuffle, mergeable at any scale (q34's
+  // approx_count_distinct is the 100 TB substitute when exactness
+  // isn't required).
+  val tx09_corpus_stats: Q = (s, d) => {
+    val toks = Tables.documents(s, d).select(expr(toksExpr).as("t"))
+    val per = toks.select(size(col("t")).as("n"))
+    val vocab = toks.select(explode(col("t")).as("term"))
+      .agg(countDistinct("term").as("vocab"))
+    per.agg(
+      count(lit(1)).as("n_docs"),
+      sum("n").cast("long").as("total_tokens"),
+      r4(avg("n")).as("avg_tokens"),
+      r4(expr("percentile(n, 0.5)")).as("p50_tokens"),
+      max("n").cast("long").as("max_tokens"))
+      .crossJoin(broadcast(vocab))
+  }
+
   val registry: Map[String, Q] = Map(
     "tx00_normalize" -> tx00_normalize,
     "tx06_tfidf" -> tx06_tfidf,
     "tx07_redact" -> tx07_redact,
     "tx08_repetition" -> tx08_repetition,
+    "tx09_corpus_stats" -> tx09_corpus_stats,
     "tx01_tokens" -> tx01_tokens,
     "tx02_quality" -> tx02_quality,
     "tx03_langid" -> tx03_langid,
@@ -265,5 +287,15 @@ object TextAnalysis {
          |    ELSE NULL END) * 10000) / 10000 AS dup_2gram_ratio,
          |  round((CAST(list_max(list_transform(list_distinct(t), x -> len(list_filter(t, y -> y = x)))) AS DOUBLE)
          |         / nullif(len(t), 0)) * 10000) / 10000 AS top_share
-         |FROM (SELECT doc_id, $sqlToks AS t FROM documents) x ORDER BY doc_id""".stripMargin)
+         |FROM (SELECT doc_id, $sqlToks AS t FROM documents) x ORDER BY doc_id""".stripMargin,
+    "tx09_corpus_stats" ->
+      s"""WITH t AS (SELECT $sqlToks AS t FROM documents),
+         |per AS (SELECT len(t) AS n FROM t),
+         |v AS (SELECT count(DISTINCT term) AS vocab
+         |      FROM (SELECT unnest(t) AS term FROM t) u)
+         |SELECT count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens,
+         |  round(avg(n) * 10000) / 10000 AS avg_tokens,
+         |  round(quantile_cont(n, 0.5) * 10000) / 10000 AS p50_tokens,
+         |  CAST(max(n) AS BIGINT) AS max_tokens, vocab
+         |FROM per, v GROUP BY vocab""".stripMargin)
 }
