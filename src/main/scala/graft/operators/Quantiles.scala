@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe EXACT interpolated quantiles (quantile_cont semantics).
+  *
+  * Spark's built-in `percentile` buffers a value→count map per group:
+  * exact and fine for bounded-cardinality inputs (l_quantity, token
+  * counts), but on a high-cardinality double (l_extendedprice) the
+  * buffer is the group's full distinct-value set on one reducer — the
+  * classic 100 TB blow-up. The equally classic fix is selection from
+  * a distributed sort:
+  *
+  *   1. range-partition (key, value) into `nParts` ORDERED buckets —
+  *      a global sort whose per-task memory is n/nParts, not n/groups;
+  *   2. per-(bucket, key) row counts → each bucket's rank offset via a
+  *      running sum over the tiny (nParts × |keys|)-row count table;
+  *   3. per-bucket `row_number` + offset = exact global rank within
+  *      the key (the window partitions by (bucket, key), so no sort
+  *      ever concentrates a whole group on one task);
+  *   4. keep the floor/ceil ranks of pos = q·(n−1) and interpolate —
+  *      the same continuous-quantile formula as Spark `percentile`
+  *      and DuckDB `quantile_cont`.
+  *
+  * The range-partitioned projection is pinned with an eager
+  * `localCheckpoint`: the count pass and the rank pass MUST observe
+  * the same bucket boundaries, and RangePartitioner re-samples (with
+  * fresh RDD-id-derived seeds) on every materialization — two
+  * independent executions could disagree on bounds and silently
+  * mis-rank. The pinned data is a narrow (key, value, bucket) row, so
+  * the materialization is the cheapest possible snapshot of the sort.
+  *
+  * Intended for low-cardinality keys over huge groups — exactly where
+  * `percentile` breaks. High-cardinality keys mean small groups, where
+  * the built-in buffer is the right tool.
+  */
+object Quantiles {
+
+  /** One exact interpolated quantile of `value` per `key` group.
+    * Returns (key, q_value). See object doc for the plan shape.
+    */
+  def groupQuantile(df: DataFrame, key: String, value: String, q: Double,
+                    nParts: Int = 32): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"quantile out of range: $q")
+    val k: Column = col(key)
+    val data = df
+      .select(k, col(value).cast("double").as("v"))
+      .repartitionByRange(nParts, k, col("v"))
+      .withColumn("bkt", spark_partition_id())
+      .localCheckpoint(true) // pin bucket bounds across the two passes
+    val counts = data.groupBy(col("bkt"), k).agg(count(lit(1)).as("c"))
+    // rank offset of each bucket within its key = rows in earlier buckets
+    val wOff = Window.partitionBy(k).orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.withColumn("off", coalesce(sum("c").over(wOff), lit(0L)))
+      .select(col("bkt"), k, col("off"))
+    // target ranks: pos = q·(n−1) zero-indexed → 1-indexed floor/ceil rows
+    val targets = counts.groupBy(k).agg(sum("c").as("n"))
+      .withColumn("pos", lit(q) * (col("n") - 1).cast("double"))
+      .withColumn("rank_lo", floor(col("pos")).cast("long") + 1)
+      .withColumn("rank_hi", least(ceil(col("pos")).cast("long") + 1, col("n")))
+      .withColumn("frac", col("pos") - floor(col("pos")))
+      .select(k, col("rank_lo"), col("rank_hi"), col("frac"))
+    val wRank = Window.partitionBy(col("bkt"), k).orderBy("v")
+    data.withColumn("rn", row_number().over(wRank).cast("long"))
+      .join(broadcast(offsets), Seq("bkt", key))
+      .withColumn("grank", col("off") + col("rn"))
+      .join(broadcast(targets), Seq(key))
+      .filter(col("grank") === col("rank_lo") || col("grank") === col("rank_hi"))
+      // ≤ 2 surviving rows per key; frac is key-constant
+      .groupBy(k, col("frac"))
+      .agg(max(when(col("grank") === col("rank_lo"), col("v"))).as("lo"),
+        max(when(col("grank") === col("rank_hi"), col("v"))).as("hi"))
+      .select(k, (col("lo") + col("frac") * (col("hi") - col("lo"))).as("q_value"))
+  }
+}

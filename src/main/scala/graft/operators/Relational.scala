@@ -278,15 +278,23 @@ object Relational {
       .orderBy("y", "q")
 
   // --- q23: exact interpolated percentiles ---
-  val q23_percentiles: Q = (s, d) =>
-    Tables.lineitem(s, d)
-      .groupBy("l_returnflag")
+  // `percentile` buffers a value→count map per group: exact and safe
+  // for the bounded-cardinality l_quantity (50 distinct values at any
+  // scale), a blow-up for the high-cardinality l_extendedprice — its
+  // p95 comes from [[Quantiles.groupQuantile]]'s distributed
+  // sort + rank selection instead (same quantile_cont semantics, no
+  // per-group buffer).
+  val q23_percentiles: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val qty = li.groupBy("l_returnflag")
       .agg(
         r2(expr("percentile(l_quantity, 0.25)")).as("p25"),
         r2(expr("percentile(l_quantity, 0.5)")).as("p50"),
-        r2(expr("percentile(l_quantity, 0.75)")).as("p75"),
-        r2(expr("percentile(l_extendedprice, 0.95)")).as("price_p95"))
-      .orderBy("l_returnflag")
+        r2(expr("percentile(l_quantity, 0.75)")).as("p75"))
+    val p95 = Quantiles.groupQuantile(li, "l_returnflag", "l_extendedprice", 0.95)
+      .select(col("l_returnflag"), r2(col("q_value")).as("price_p95"))
+    qty.join(p95, "l_returnflag").orderBy("l_returnflag")
+  }
 
   // --- q24: argmax per group (min_by/max_by semantics, deterministic) ---
   val q24_first_last: Q = (s, d) => {

@@ -70,6 +70,24 @@ class ScaleSpec extends SparkSpecBase {
     assert(p06.contains("BroadcastHashJoin"), s"q06 lost its broadcast:\n$p06")
   }
 
+  test("q23: high-cardinality quantile has no per-group percentile buffer") {
+    val q23 = graft.SparkEntry.queries("q23_percentiles")(spark, sfDir)
+    // the price percentile must come from the sort+rank path, not a
+    // value-buffering percentile aggregate over the unbounded double
+    val analyzed = q23.queryExecution.analyzed.toString
+    assert(!analyzed.contains("percentile(l_extendedprice"),
+      s"q23 still buffers l_extendedprice:\n$analyzed")
+    // value equivalence with the buffering implementation
+    val direct = Tables.lineitem(spark, sfDir).groupBy("l_returnflag")
+      .agg((round(expr("percentile(l_extendedprice, 0.95)") * 100) / 100).as("p"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    q23.collect().foreach { r =>
+      val flag = r.getString(0)
+      val got = r.getAs[Double]("price_p95")
+      assert(math.abs(got - direct(flag)) < 1e-6, s"$flag: $got vs ${direct(flag)}")
+    }
+  }
+
   test("SQL registration: graft_* functions callable from spark.sql") {
     GraftExtensions.register(spark)
     val row = spark.sql(
