@@ -132,6 +132,33 @@ case class MinHashSig(child: Expression, k: Int, width: Int)
     copy(child = newChild)
 }
 
+/** Indices of the `n` nearest centroids (by dot product — cosine
+  * order when the centroid rows are pre-normalized) for an
+  * array<double> vector, against a driver-resident centroid matrix.
+  * The matrix rides into generated code as a reference object, so
+  * cell assignment is a NARROW codegen'd map over the corpus — no
+  * join, no window, no shuffle — which is what lets k-means
+  * assignment and IVF query routing run at corpus scale. Ties break
+  * toward the lower cell index (deterministic).
+  */
+case class NearestCells(child: Expression, cents: Array[Array[Double]], n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_nearest_cells"
+
+  override protected def nullSafeEval(a: Any): Any =
+    GraftHashOps.nearestCells(a.asInstanceOf[ArrayData], cents, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", cents, "double[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftHashOps.nearestCells($c, $ref, $n)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCells =
+    copy(child = newChild)
+}
+
 /** JVM loops the generated code calls into (and interpreted eval
   * reuses). xxhash64 here matches Spark's SQL xxhash64 (XXH64 over
   * UTF-8 bytes, seed 42) so native and SQL paths hash identically.
@@ -199,6 +226,38 @@ object GraftHashOps {
     new GenericArrayData(sig)
   }
 
+  /** Top-`n` centroid indices by dot product, descending; ties keep
+    * the lower index. Insertion-select over a small `n` — `k` (cell
+    * count) stays in the hundreds, `n` is 1 (assignment) or nProbe.
+    */
+  def nearestCells(v: ArrayData, cents: Array[Array[Double]], n: Int): ArrayData = {
+    val k = cents.length
+    val m = math.min(n, k)
+    val best = new Array[Int](m)
+    val bestS = new Array[Double](m)
+    var filled = 0
+    var c = 0
+    while (c < k) {
+      val ct = cents(c)
+      val d = math.min(v.numElements(), ct.length)
+      var s = 0.0
+      var i = 0
+      while (i < d) { s += v.getDouble(i) * ct(i); i += 1 }
+      // strictly-greater displaces, so equal scores stay index-ordered
+      var pos = filled
+      while (pos > 0 && bestS(pos - 1) < s) pos -= 1
+      if (pos < m) {
+        var j = math.min(filled, m - 1)
+        while (j > pos) { bestS(j) = bestS(j - 1); best(j) = best(j - 1); j -= 1 }
+        bestS(pos) = s
+        best(pos) = c
+        if (filled < m) filled += 1
+      }
+      c += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(best, filled))
+  }
+
   def rollingHashes(toks: ArrayData, width: Int): ArrayData = {
     val n = toks.numElements()
     if (n < width) return new GenericArrayData(Array.empty[Long])
@@ -236,4 +295,6 @@ object GraftFunctions {
     column(RollingHashes(attr(toks), width))
   def minhashSig(toks: String, k: Int = 64, width: Int = 3): Column =
     column(MinHashSig(attr(toks), k, width))
+  def nearestCells(v: String, cents: Array[Array[Double]], n: Int): Column =
+    column(NearestCells(attr(v), cents, n))
 }

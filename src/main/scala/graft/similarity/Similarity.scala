@@ -8,12 +8,30 @@ import org.apache.spark.sql.functions._
 /** §2.3 approximate-nearest-neighbor search over the `embeddings`
   * table (`Array[Float]`, 64-dim).
   *
-  * ann01 is the exact brute-force baseline (oracle-checkable);
-  * ann02 is the IVF scale path: coarse-quantize every vector to its
-  * nearest centroid once (small broadcast join), then probe only the
-  * nProbe nearest cells per query — candidate volume drops from n to
-  * ~n*nProbe/nCells, and the probe join shuffles on cell id, which
-  * is how this survives a 1000-executor 100 TB corpus.
+  * ann01 is the exact brute-force baseline (oracle-checkable).
+  *
+  * ann02 is the IVF scale path, structured build-once/probe-many the
+  * way a production ANN index is:
+  *
+  *  - [[buildIvfIndex]] trains k-means centroids on a deterministic
+  *    hash SAMPLE of the corpus, assigns every vector to its nearest
+  *    cell with the codegen'd [[graft.functions.NearestCells]]
+  *    expression — a narrow map over the scan (no join, no window, no
+  *    shuffle; the centroid matrix rides into generated code as a
+  *    reference object, exactly how Spark MLlib ships centers) — and
+  *    persists the index as a parquet layout PARTITIONED BY CELL plus
+  *    a tiny centroid table.
+  *  - [[probeIvf]] routes each query to its nProbe nearest cells with
+  *    the same expression and scans ONLY those cell partitions
+  *    (static partition pruning over the cell-partitioned layout), so
+  *    probe IO is ~nProbe/nCells of the corpus. Build once, probe
+  *    many — the probe never retrains or reassigns anything.
+  *
+  * Per-iteration training cost: one partial-aggregated mean reduction
+  * over the SAMPLE plus a k×dim driver collect (centroids are
+  * driver-sized by definition). Assignment cost: one codegen'd pass.
+  * Nothing here is an n×k shuffle, a window over crossed rows, or a
+  * per-call rebuild — the three scale failures of the r2 design.
   */
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
@@ -33,11 +51,15 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
       .withColumn("nrm", graft.functions.GraftFunctions.l2norm("v"))
 
+  /** The benchmark query set: vec_id < 10, shaped (q_id, va, na). */
+  private def queriesOf(s: SparkSession, d: String): DataFrame =
+    vecs(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("va"), col("nrm").as("na"))
+
   // --- ann01: exact brute-force cosine top-k (k=5, queries = vec_id < 10) ---
   val ann01_brute_topk: Q = (s, d) => {
     val e = vecs(s, d)
-    val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("va"), col("nrm").as("na"))
+    val q = queriesOf(s, d)
     val c = e.select(col("vec_id").as("n_id"), col("v").as("vb"), col("nrm").as("nb"))
     val scored = q.join(c, col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), r6(cosine).as("cos"))
@@ -48,76 +70,158 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
-  /** Lloyd's k-means over the embedding column, fully declarative:
-    * deterministic init (cells seeded by xxhash64(vec_id) mod k),
-    * each iteration = one broadcast-join assignment + one mean
-    * reduction. At corpus scale this trains on a sample; assignment
-    * stays a broadcast join (centroid table is tiny).
+  /** Lloyd's k-means centroids, trained on a deterministic hash
+    * sample (`pmod(xxhash64(vec_id), sampleMod) = 0` — reproducible,
+    * no RNG) and returned NORMALIZED, so nearest-by-dot ≡
+    * nearest-by-cosine. Init seeds the k centroids from k ACTUAL
+    * sample points (lowest vec_id hash — deterministic pseudo-random
+    * picks); partition-mean init collapses toward the global mean and
+    * degenerates on small samples. Each iteration is one codegen'd
+    * reassignment pass + one map-side-combinable mean reduction over
+    * the sample + one k×dim collect. A cell that loses all members
+    * keeps its previous centroid.
     */
-  def kmeansCells(e: DataFrame, k: Int, iters: Int): DataFrame = {
-    var assigned = e.withColumn("cell", pmod(xxhash64(col("vec_id")), lit(k)).cast("int"))
-    var cents: DataFrame = null
+  def trainCentroids(e: DataFrame, k: Int, iters: Int, sampleMod: Int): Array[Array[Double]] = {
+    val sample = if (sampleMod > 1)
+      e.filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
+    else e
+    val init = sample.select(col("vec_id"), col("v"))
+      .orderBy(xxhash64(col("vec_id"))).limit(k)
+      .collect().map(r => normalized(r.getSeq[Double](1).toArray))
+    var cents = Array.tabulate(k)(i =>
+      if (i < init.length) init(i) else new Array[Double](init.headOption.map(_.length).getOrElse(0)))
     for (_ <- 1 to iters) {
-      cents = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
-        .groupBy("cell", "i").agg(avg("x").as("m"))
-        .groupBy("cell").agg(array_sort(collect_list(struct(col("i"), col("m")))).as("ps"))
-        .select(col("cell"), expr("transform(ps, p -> p.m)").as("vb"))
-        .withColumn("nb", graft.functions.GraftFunctions.l2norm("vb"))
-      val wNear = Window.partitionBy("vec_id").orderBy(col("cc").desc, col("cell"))
-      assigned = e.toDF("vec_id", "va", "label", "na")
-        .join(broadcast(cents), lit(true))
-        .withColumn("cc", cosine)
-        .withColumn("r", row_number().over(wNear))
-        .filter(col("r") === 1)
-        .select(col("vec_id"), col("va").as("v"), col("label"), col("na").as("nrm"), col("cell"))
+      val assigned = sample.withColumn("cell",
+        element_at(graft.functions.GraftFunctions.nearestCells("v", cents, 1), 1))
+      cents = collectCentroids(assigned, k, cents)
     }
-    assigned.select("vec_id", "cell")
+    cents
   }
 
-  // --- ann02: IVF top-k (k-means-trained cells) ---
-  // Rows-only: approximate by design (recall < 1 vs ann01; the
-  // quantified recall@5 floor is spec-asserted in OperatorsSpec).
-  // nCells/nProbe trade recall against probed fraction: candidates
-  // drop from n to ~n*nProbe/nCells. The defaults probe ~30% of this
-  // corpus, whose clusters are weak (measured: most high-cosine pairs
-  // cross label boundaries); a production corpus with real cluster
-  // structure supports much larger nCells at the same recall.
-  val ann02_ivf_topk: Q = (s, d) => ivfTopK(s, d)
-
-  def ivfTopK(s: SparkSession, d: String, nCells: Int = 10, nProbe: Int = 3,
-              iters: Int = 3): DataFrame = {
-    val e = vecs(s, d)
-    val cells = kmeansCells(e, k = nCells, iters = iters)
-    val eCell = e.join(cells, "vec_id")
-    // final trained centroids for the probe step
-    val cents = eCell
+  private def collectCentroids(assigned: DataFrame, k: Int,
+                               prev: Array[Array[Double]]): Array[Array[Double]] = {
+    val rows = assigned
       .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
       .groupBy("cell", "i").agg(avg("x").as("m"))
-      .groupBy("cell").agg(array_sort(collect_list(struct(col("i"), col("m")))).as("pairs"))
-      .select(col("cell"), expr("transform(pairs, p -> p.m)").as("vb"))
+      .groupBy("cell").agg(array_sort(collect_list(struct(col("i"), col("m")))).as("ps"))
+      .select(col("cell"), expr("transform(ps, p -> p.m)").as("vb"))
+      .collect()
+    val out = new Array[Array[Double]](k)
+    rows.foreach(r => out(r.getInt(0)) = normalized(r.getSeq[Double](1).toArray))
+    val dim = rows.headOption.map(_.getSeq[Double](1).size).getOrElse(0)
+    for (c <- 0 until k if out(c) == null)
+      out(c) = if (prev != null) prev(c) else new Array[Double](dim)
+    out
+  }
+
+  private def normalized(v: Array[Double]): Array[Double] = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0.0) v else v.map(_ / n)
+  }
+
+  /** Build the persisted IVF index for a corpus dir:
+    * `indexDir/centroids` (cell, vb, nb) and `indexDir/vectors`
+    * (vec_id, v, nrm) partitioned by cell. One training run on the
+    * hash sample, then ONE narrow assignment pass over the full
+    * corpus — the only full-corpus work in the build.
+    */
+  def buildIvfIndex(s: SparkSession, d: String, indexDir: String,
+                    nCells: Int = 10, iters: Int = 3, sampleMod: Int = 4): Unit = {
+    val e = vecs(s, d).select("vec_id", "v", "nrm")
+    val cents = trainCentroids(e, nCells, iters, sampleMod)
+    import s.implicits._
+    cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "vb")
       .withColumn("nb", graft.functions.GraftFunctions.l2norm("vb"))
-    // assign every query to its nProbe nearest cells
-    val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("v").as("va"), col("nrm").as("na"))
-    val wCell = Window.partitionBy("q_id").orderBy(col("cell_cos").desc, col("cell"))
-    val probed = q.join(broadcast(cents), lit(true))
-      .select(col("q_id"), col("va"), col("na"), col("cell"), cosine.as("cell_cos"))
-      .withColumn("cr", row_number().over(wCell))
-      .filter(col("cr") <= nProbe)
-      .select("q_id", "va", "na", "cell")
-    // probe: exact cosine only against vectors in the probed cells
-    val cands = eCell.select(col("vec_id").as("n_id"), col("v").as("vb"),
-      col("nrm").as("nb"), col("cell"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    e.withColumn("cell",
+        element_at(graft.functions.GraftFunctions.nearestCells("v", cents, 1), 1))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/vectors")
+  }
+
+  /** The assignment subplan [[buildIvfIndex]] writes — exposed so the
+    * plan-posture spec can assert it stays a narrow codegen'd map
+    * (no Exchange, no Window, no join).
+    */
+  def assignCells(e: DataFrame, cents: Array[Array[Double]]): DataFrame =
+    e.withColumn("cell",
+      element_at(graft.functions.GraftFunctions.nearestCells("v", cents, 1), 1))
+
+  /** Probe a persisted index: route each query to its nProbe nearest
+    * cells (codegen'd, against the collected tiny centroid table),
+    * then scan ONLY those cell partitions of the vector layout — the
+    * probed-cell set is collected up front (≤ |queries|·nProbe ints)
+    * precisely so the cell filter is STATIC partition pruning the
+    * scan honors at plan time. Candidates shrink to
+    * ~n·nProbe/nCells; the final top-k window ranks per query only.
+    */
+  def probeIvf(s: SparkSession, indexDir: String, queries: DataFrame,
+               nProbe: Int = 3, k: Int = 5): DataFrame = {
+    val cents = s.read.parquet(s"$indexDir/centroids")
+      .select("cell", "vb").collect()
+      .sortBy(_.getInt(0))
+      .map(_.getSeq[Double](1).toArray)
+    val qcells = queries.withColumn("cell",
+      explode(graft.functions.GraftFunctions.nearestCells("va", cents, nProbe)))
+    val probed = qcells.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val cands = s.read.parquet(s"$indexDir/vectors")
+      .filter(col("cell").isin(probed: _*))
+      .select(col("vec_id").as("n_id"), col("v").as("vb"),
+        col("nrm").as("nb"), col("cell"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
-    probed.join(cands, Seq("cell"))
+    qcells.join(cands, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), r6(cosine).as("cos"))
       .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), r4(col("cos")).as("cos_r"))
       .orderBy("q_id", "rank")
   }
+
+  // Build-once/probe-many within a session: the index for a corpus
+  // dir is built on first use and reused by every later probe.
+  private val indexMemo =
+    new java.util.WeakHashMap[SparkSession, collection.mutable.Map[String, String]]()
+
+  def ivfIndexFor(s: SparkSession, d: String, nCells: Int = 10,
+                  iters: Int = 3, sampleMod: Int = 4): String =
+    indexMemo.synchronized {
+      indexMemo.computeIfAbsent(s, _ => collection.mutable.Map.empty)
+        .getOrElseUpdate(d, {
+          val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+          buildIvfIndex(s, d, dir, nCells, iters, sampleMod)
+          dir
+        })
+    }
+
+  /** Drop a session's index for a corpus dir and delete its files —
+    * the hygiene hook for long-lived sessions iterating many dirs.
+    */
+  def evictIndex(s: SparkSession, d: String): Unit = indexMemo.synchronized {
+    Option(indexMemo.get(s)).flatMap(_.remove(d)).foreach { dir =>
+      import java.nio.file.{Files, Path}
+      import scala.jdk.CollectionConverters._
+      val root = Path.of(dir)
+      if (Files.exists(root)) {
+        val paths = Files.walk(root).iterator().asScala.toSeq.reverse
+        paths.foreach(Files.deleteIfExists(_))
+      }
+    }
+  }
+
+  // --- ann02: IVF top-k — probe of the (memoized) persisted index.
+  // Rows-only: approximate by design (recall < 1 vs ann01; the
+  // quantified recall@5 floor is spec-asserted in OperatorsSpec).
+  // nCells/nProbe trade recall against probed fraction. The defaults
+  // probe ~30% of this corpus, whose clusters are weak (measured:
+  // most high-cosine pairs cross label boundaries); a production
+  // corpus with real cluster structure supports much larger nCells at
+  // the same recall.
+  val ann02_ivf_topk: Q = (s, d) =>
+    probeIvf(s, ivfIndexFor(s, d), queriesOf(s, d))
 
   val registry: Map[String, Q] = Map(
     "ann01_brute_topk" -> ann01_brute_topk,

@@ -52,9 +52,45 @@ class OperatorsSpec extends SparkSpecBase {
     val mean = perQuery.values.sum / perQuery.size
     info(f"IVF recall@5: mean $mean%.2f, per-query ${perQuery.toSeq.sortBy(_._1).map(_._2).map(v => f"$v%.1f").mkString(",")}")
     assert(mean >= 0.5, f"mean IVF recall@5 $mean%.2f below floor 0.5")
-    // nProbe=2 of 10 cells probes ~20% of the corpus; no query should
+    // nProbe=3 of 10 cells probes ~30% of the corpus; no query should
     // come back empty-handed
     assert(perQuery.values.forall(_ >= 0.2), s"a query fell below 0.2 recall: $perQuery")
+  }
+
+  test("IVF index: build once / probe many, narrow assignment, pruned probe scan") {
+    // second invocation must reuse the session's persisted index, not
+    // retrain — the memo hands back the same index dir
+    val d1 = similarity.Similarity.ivfIndexFor(spark, sfDir)
+    val d2 = similarity.Similarity.ivfIndexFor(spark, sfDir)
+    assert(d1 == d2, "index rebuilt on second use")
+    // the full-corpus assignment is a narrow codegen'd map: no
+    // Exchange, no Window, no join anywhere in the physical plan
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = Array.fill(4)(Array.fill(64)(0.1))
+    val assignPlan = similarity.Similarity.assignCells(e, cents)
+      .queryExecution.executedPlan.toString
+    Seq("Exchange", "Window", "Join").foreach(op =>
+      assert(!assignPlan.contains(op), s"assignment plan contains $op:\n$assignPlan"))
+    // probing reads ONLY the probed cell partitions of the vector
+    // layout (static partition pruning), and never nested-loops
+    val q = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("va"))
+      .withColumn("na", graft.functions.GraftFunctions.l2norm("va"))
+    val probe = similarity.Similarity.probeIvf(spark, d1, q)
+    val probePlan = probe.queryExecution.executedPlan.toString
+    assert(!probePlan.contains("BroadcastNestedLoopJoin"),
+      s"probe nested-loops:\n$probePlan")
+    assert(probePlan.contains("PartitionFilters: [cell"),
+      s"probe scan not partition-pruned:\n$probePlan")
+    // sample-trained centroids: the training path must accept a
+    // sample and still produce k usable (non-degenerate) centroids
+    val eFull = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val trained = similarity.Similarity.trainCentroids(eFull, k = 8, iters = 2, sampleMod = 8)
+    assert(trained.length == 8)
+    assert(trained.count(_.exists(_ != 0.0)) >= 6, "sample training degenerated")
   }
 
   test("blocked exact near-dup equals the all-pairs baseline, without a nested-loop join") {
