@@ -68,13 +68,36 @@ object ExactlyOnceSink {
 final class TopNUpdateSink(outDir: String, n: Int) extends Serializable {
   private val monoid = TopN(n)
   @transient private var state: Map[String, Long] = null
+  /** Rows the last batch actually delivered to the driver (after the
+    * threshold pushdown) — observability for the bounded-intake spec.
+    */
+  @transient private[streaming] var lastIntakeRows: Long = -1L
 
   def apply(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     if (state == null) state = restore(spark)
-    // bounded driver-side collect: update mode emits only this
-    // batch's changed keys (≤ the batch's input vocabulary)
-    val updates = batch.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Threshold pushdown: once the bounded state is FULL, a row can
+    // only change the top-N by beating its minimum ELEMENT under the
+    // result ordering (cnt desc, word asc) — strictly more count, or
+    // equal count and a lexicographically smaller word. A refresh of
+    // an in-state key always qualifies (totals only grow, so its new
+    // cnt exceeds its old ≥ min). The predicate is filtered on the
+    // EXECUTORS, so driver intake is O(rows that can change the
+    // result), not O(changed keys) — a backlog replay with a
+    // million-key vocabulary delivers only its contenders.
+    val pruned =
+      if (state.size >= n) {
+        val (minWord, minCnt) = state.reduce[(String, Long)] {
+          case (a @ (k1, v1), b @ (k2, v2)) =>
+            if (v1 < v2 || (v1 == v2 && k1 > k2)) a else b
+        }
+        import org.apache.spark.sql.functions.col
+        batch.filter(col("cnt") > minCnt ||
+          (col("cnt") === minCnt && col("word") < minWord))
+      } else batch
+    val collected = pruned.collect()
+    lastIntakeRows = collected.length.toLong
+    val updates = collected.map(r => r.getString(0) -> r.getLong(1)).toMap
     state = monoid.combine(state, updates)
     import spark.implicits._
     val top = state.toSeq.sortBy { case (k, v) => (-v, k) }.toDF("word", "cnt")

@@ -44,6 +44,27 @@ class TopNUpdateSpec extends SparkSpecBase {
     } finally { qA.stop(); qB.stop() }
   }
 
+  test("sink intake is bounded by the threshold pushdown, not the vocabulary") {
+    val out = tmpDir("tb-out")
+    val sink = new TopNUpdateSink(out, 3)
+    // fill the bounded state (min = 10)
+    sink(Seq(("a", 30L), ("b", 20L), ("c", 10L)).toDF("word", "cnt"), 0L)
+    assert(sink.lastIntakeRows == 3)
+    // a 1000-key batch where only 2 rows can beat the current minimum:
+    // the driver must see ONLY those 2, and the result must still be
+    // exactly the max-merge of the full batch
+    val bigVocab = (1 to 998).map(i => (f"w$i%04d", 5L)) ++
+      Seq(("d", 40L), ("b", 21L))
+    sink(bigVocab.toDF("word", "cnt"), 1L)
+    assert(sink.lastIntakeRows == 2,
+      s"driver saw ${sink.lastIntakeRows} rows of a 1000-key batch")
+    val last = ExactlyOnceSink.committed(out).max
+    val top = spark.read.parquet(s"$out/batch=$last")
+      .orderBy(col("cnt").desc, col("word"))
+      .as[(String, Long)].collect().toList
+    assert(top == List(("d", 40L), ("a", 30L), ("b", 21L)))
+  }
+
   test("update-mode top-N restores sink state across a restart") {
     val in = tmpDir("tr-in")
     val (out, ckpt) = (tmpDir("tr-out"), tmpDir("tr-ckpt"))
