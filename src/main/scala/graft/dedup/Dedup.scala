@@ -73,6 +73,18 @@ object Dedup {
       .getOrElseUpdate(d, buildJaccardPairs(s, d).cache())
   }
 
+  /** Release the memoized pair set for a (session, dir): unpersist
+    * the cached blocks and drop the entry, so a long-lived session
+    * sweeping many corpus dirs doesn't accumulate dead cache entries.
+    * Returns true if an entry was released.
+    */
+  def evictPairs(s: SparkSession, d: String): Boolean = pairsMemo.synchronized {
+    Option(pairsMemo.get(s)).flatMap(_.remove(d)) match {
+      case Some(df) => df.unpersist(); true
+      case None => false
+    }
+  }
+
   val dd02_ngram_jaccard: Q = (s, d) =>
     jaccardPairs(s, d).orderBy("id1", "id2")
 
@@ -204,7 +216,12 @@ object Dedup {
   // shingle: one string hash + 64 seeded long hashes, elementwise
   // min); 16 bands of 4 rows. Rows-only: hash seeds aren't
   // SQL-portable.
-  val dd04_minhash_lsh: Q = (s, d) => {
+  val dd04_minhash_lsh: Q = (s, d) => minhashPairs(s, d).orderBy("id1", "id2")
+
+  /** The dd04 pair set without the presentation sort — the form
+    * downstream consumers (pp03's clustering) compose over.
+    */
+  def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
     // signature: one native pass per doc (graft_minhash_sig) — no
     // explode/shuffle to build signatures. Docs with fewer tokens
@@ -240,7 +257,6 @@ object Dedup {
       .select(col("id1"), col("id2"),
         r4(col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))).as("jacc"))
       .filter(col("jacc") >= 0.2)
-      .orderBy("id1", "id2")
   }
 
   // ---- SimHash (dd05) ----

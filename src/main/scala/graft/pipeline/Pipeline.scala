@@ -42,7 +42,42 @@ object Pipeline {
     * near-duplicate group, drop degenerate docs" step that precedes
     * tokenization in a training-data pipeline.
     */
-  val pp02_curate: Q = (s, d) => {
+  val pp02_curate: Q = (s, d) =>
+    gatedDocs(s, d)
+      .join(dupMembersOf(graft.dedup.Dedup.jaccardPairs(s, d)),
+        col("doc_id") === col("dup_id"), "left_anti")
+      .select("doc_id", "n_tokens")
+      .orderBy("doc_id")
+
+  /** pp03: the same curation pass with the near-dup pair set from the
+    * SUBLINEAR dd04 path — MinHash band bucketing proposes candidates,
+    * exact Jaccard verifies them — instead of dd02's full
+    * inverted-index pair generation. This is the documented 100 TB
+    * default: pair-generation cost follows the LSH collision count,
+    * not the posting-list area. LSH recall < 1 makes it rows-only by
+    * design; the spec quantifies keep-list agreement with pp02 (≥95%
+    * on this corpus).
+    */
+  val pp03_curate_lsh: Q = (s, d) =>
+    gatedDocs(s, d)
+      .join(dupMembersOf(graft.dedup.Dedup.minhashPairs(s, d)),
+        col("doc_id") === col("dup_id"), "left_anti")
+      .select("doc_id", "n_tokens")
+      .orderBy("doc_id")
+
+  /** Non-representative members of near-dup clusters over any
+    * (id1, id2) pair set: CC assigns every clustered doc its
+    * component minimum, and [[graft.dedup.ConnectedComponents.stars]]
+    * emits exactly the non-root members — dropping them keeps one doc
+    * per group.
+    */
+  private def dupMembersOf(pairs: org.apache.spark.sql.DataFrame) =
+    graft.dedup.ConnectedComponents.stars(pairs.select("id1", "id2"))
+      .toDF("doc_id", "cluster_id")
+      .select(col("doc_id").as("dup_id"))
+
+  /** The repetition-quality gate shared by pp02/pp03 (tx08's signals). */
+  private def gatedDocs(s: SparkSession, d: String) = {
     val scored = Tables.documents(s, d)
       .select(col("doc_id"), expr(toksExpr).as("t"))
       .select(col("doc_id"),
@@ -62,23 +97,15 @@ object Pipeline {
     // once (a narrow doc_id+3-doubles row per doc), the filter reads
     // materialized rows, and blocks free on dereference without a
     // cache-manager entry.
-    val gated = scored.localCheckpoint(false)
+    scored.localCheckpoint(false)
       .filter(col("n_tokens") >= 40 &&
         col("dup2") <= 0.05 && col("top_share") <= 0.12)
-    // non-representative members of near-dup clusters (cluster id =
-    // component min, so dropping dd06's output keeps exactly one doc
-    // per group)
-    val dupMembers = graft.dedup.Dedup.dd06_neardup_clusters(s, d)
-      .select(col("doc_id").as("dup_id"))
-    gated
-      .join(dupMembers, col("doc_id") === col("dup_id"), "left_anti")
-      .select("doc_id", "n_tokens")
-      .orderBy("doc_id")
   }
 
   val registry: Map[String, Q] = Map(
     "pp01_clean_corpus" -> pp01_clean_corpus,
-    "pp02_curate" -> pp02_curate)
+    "pp02_curate" -> pp02_curate,
+    "pp03_curate_lsh" -> pp03_curate_lsh)
 
   private val sqlToks =
     "list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')"

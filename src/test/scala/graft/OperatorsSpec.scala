@@ -104,6 +104,34 @@ class OperatorsSpec extends SparkSpecBase {
     assert(got == baseline)
   }
 
+  test("pp03 LSH-path curation agrees with pp02's exact-path keep-list") {
+    val exact = pipeline.Pipeline.pp02_curate(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val lsh = pipeline.Pipeline.pp03_curate_lsh(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // LSH can only MISS pairs (dd04 ⊆ dd02), and a doc that is
+    // non-minimal in a dd04 component stays non-minimal when more
+    // edges merge components — so pp03 can only keep EXTRA docs,
+    // never drop one pp02 keeps
+    assert(exact.subsetOf(lsh), s"pp03 dropped docs pp02 kept: ${exact -- lsh}")
+    val agreement = exact.size.toDouble / lsh.size
+    info(f"pp03/pp02 keep-list agreement: $agreement%.3f (${lsh.size - exact.size} extra keeps)")
+    assert(agreement >= 0.95, f"keep-list agreement $agreement%.3f below 0.95")
+  }
+
+  test("memoized near-dup pair set can be evicted and rebuilds on demand") {
+    import org.apache.spark.storage.StorageLevel
+    val p1 = dedup.Dedup.jaccardPairs(spark, sfDir)
+    p1.count() // materialize the cache
+    assert(p1.storageLevel != StorageLevel.NONE, "pair set not cached")
+    assert(dedup.Dedup.evictPairs(spark, sfDir), "no memo entry to evict")
+    assert(p1.storageLevel == StorageLevel.NONE, "cache entry survived eviction")
+    assert(!dedup.Dedup.evictPairs(spark, sfDir), "double eviction reported an entry")
+    val p2 = dedup.Dedup.jaccardPairs(spark, sfDir) // fresh build, re-memoized
+    assert(p2.count() == p1.count())
+    assert(p2.storageLevel != StorageLevel.NONE)
+  }
+
   test("exact dedup groups cover all documents exactly once") {
     val docs = Tables.documents(spark, sfDir).count()
     val groups = dedup.Dedup.dd01_exact(spark, sfDir)
