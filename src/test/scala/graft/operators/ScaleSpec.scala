@@ -88,6 +88,30 @@ class ScaleSpec extends SparkSpecBase {
     }
   }
 
+  test("plan sweep: no registered query nested-loops or cross-joins unjustified") {
+    // Intentional exceptions, each with the reason the sweep must not
+    // erode. The "single-row broadcast" cases are scalar expansion —
+    // attaching a grand aggregate to every row is an n×1 nested loop,
+    // i.e. a map, the same shape Spark plans for scalar subqueries.
+    val allowed = Map(
+      "ann01_brute_topk" -> "all-pairs compare IS the brute-force semantics",
+      "q39_dense_grid" -> "cross of two bounded dims (regions × order statuses)",
+      "q40_resample_ffill" -> "single-row broadcast of the global time bounds",
+      "q41_histogram" -> "single-row broadcast of the global value bounds",
+      "tx06_tfidf" -> "single-row broadcast of the corpus doc count",
+      "tx09_corpus_stats" -> "1×1 cross of two grand aggregates")
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (name, _) => allowed.contains(name) }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val bad = Seq("BroadcastNestedLoopJoin", "CartesianProduct")
+          .filter(plan.contains)
+        if (bad.nonEmpty) Some(s"$name (${bad.mkString(",")})") else None
+      }
+    assert(offenders.isEmpty,
+      s"scale-hostile join shape in: ${offenders.mkString("; ")}")
+  }
+
   test("SQL registration: graft_* functions callable from spark.sql") {
     GraftExtensions.register(spark)
     val row = spark.sql(

@@ -74,6 +74,42 @@ class ConsistencySpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("SessionBolt sessions equal batch q17's session boundaries on the same slice") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sql = spark.sqlContext
+    val batch = graft.operators.Relational.q17_sessionize(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+
+    val rows = Tables.events(spark, sfDir)
+      .select(col("user_id").cast("long"), col("ts"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1)))
+    val mem = MemoryStream[(Long, Timestamp)]
+    val q = SessionBolt.sessions(
+        mem.toDF().toDF("user_id", "ts"), gapSeconds = 1800, watermark = "1 second")
+      .writeStream.format("memory").queryName("sbolt")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(rows.toSeq: _*)
+      q.processAllAvailable()
+      // a far-future sentinel advances the watermark past every open
+      // session's gap horizon, so the event-time timeouts flush them
+      val maxMs = rows.map(_._2.getTime).max
+      mem.addData((-1L, new Timestamp(maxMs + 10L * 24 * 3600 * 1000)))
+      q.processAllAvailable()
+      val streamed = spark.table("sbolt")
+        .filter(col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), max("n_events").as("max_events"),
+          (round(avg("n_events") * 10000) / 10000).as("avg_events"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == batch,
+        s"missing=${(batch -- streamed).take(5)} extra=${(streamed -- batch).take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming dedup bolt: re-delivered keys emitted once, state watermark-bounded") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.sql.Timestamp
