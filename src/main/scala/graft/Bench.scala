@@ -87,11 +87,25 @@ object Bench {
       System.err.println(s"[bench] st01_stream_wordcount failed: $e"); Seq.empty
     }
 
-    val results = batchResults ++ ivfSplit ++ streamResult
+    // st02: sustained-throughput sweep — rate spout at increasing
+    // rows/s against both top-N sink modes (rows/s + per-batch
+    // latency land in the side field; the wall cost joins the query
+    // map so the total stays honest)
+    val (thrRows, thrSecs) = try {
+      val t0 = System.nanoTime()
+      val rs = streaming.ThroughputHarness.sweep(spark)
+      (rs, Seq("st02_throughput_sweep" -> (System.nanoTime() - t0) / 1e9))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] st02 throughput sweep failed: $e")
+      (Seq.empty[streaming.ThroughputHarness.Result], Seq.empty[(String, Double)])
+    }
+
+    val results = batchResults ++ ivfSplit ++ streamResult ++ thrSecs
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val thrJson = thrRows.map(_.json).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"streaming_throughput":$thrJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 

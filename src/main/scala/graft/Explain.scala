@@ -13,7 +13,8 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q05_filter_project", "q06_join_broadcast", "q07_join_shuffle",
         "q08_multi_join", "q42_local_supplier", "dd02_ngram_jaccard",
-        "dd03_embed_neardup", "pp02_curate", "tx01_tokens", "ann01_brute_topk")
+        "dd03_embed_neardup", "pp02_curate", "pp03_curate_lsh", "tx01_tokens",
+        "ann01_brute_topk", "ann02_ivf_topk", "q23_percentiles")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/** Sustained-throughput measurement for the word-count topology over
+  * the rate spout — the load-test the reference drives with its Kafka
+  * emitter sample (WordCountKafkaEmitter.hs), here against both top-N
+  * sink modes.
+  *
+  * The rate source produces `targetRps` rows/s regardless of
+  * processing speed, so a topology that can't keep up accumulates
+  * backlog and its measured `sustainedRps` (processed rows over
+  * trigger-execution time) falls below target — the honest "how fast
+  * does the engine actually drain" number. Per-batch latency comes
+  * from the same [[org.apache.spark.sql.streaming.StreamingQueryProgress]]
+  * feed (the reference's progress vector, see [[Clock]]).
+  */
+object ThroughputHarness {
+
+  final case class Result(mode: String, targetRps: Int, vocab: Int,
+                          sustainedRps: Double, meanBatchMs: Double,
+                          batches: Int, rows: Long) {
+    def json: String =
+      s"""{"mode":"$mode","target_rps":$targetRps,"vocab":$vocab,""" +
+        f""""sustained_rps":$sustainedRps%.0f,"mean_batch_ms":$meanBatchMs%.1f,""" +
+        s""""batches":$batches,"rows":$rows}"""
+  }
+
+  /** Run one (mode, rate) configuration until `minBatches`
+    * data-carrying micro-batches completed (query startup is multiple
+    * seconds and produces empty batches — a fixed sleep measures
+    * nothing) and report sustained rows/s + mean per-batch latency
+    * over those batches.
+    */
+  def run(spark: SparkSession, update: Boolean, targetRps: Int,
+          vocab: Int = 100000, minBatches: Int = 3,
+          timeoutMs: Long = 20000, topN: Int = 20): Result = {
+    val out = java.nio.file.Files.createTempDirectory("thr-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("thr-ckpt").toString
+    val spout = WordCountTopology.rateSpout(targetRps, vocab = vocab)
+    val topo =
+      if (update) WordCountTopology.updateMode(spout, out, ckpt, topN)
+      else WordCountTopology(spout, out, ckpt, topN)
+    val q = topo.run(spark)
+    val t0 = System.currentTimeMillis()
+    try {
+      while (q.recentProgress.count(_.numInputRows > 0) < minBatches &&
+             System.currentTimeMillis() - t0 < timeoutMs)
+        Thread.sleep(100)
+    } finally q.stop()
+    val progs = q.recentProgress.filter(_.numInputRows > 0)
+    val rows = progs.map(_.numInputRows).sum
+    val execMs = progs.map(_.durationMs.get("triggerExecution").toLong).sum
+    Result(
+      mode = if (update) "update" else "complete",
+      targetRps = targetRps, vocab = vocab,
+      sustainedRps = if (execMs > 0) rows * 1000.0 / execMs else 0.0,
+      meanBatchMs = if (progs.nonEmpty) execMs.toDouble / progs.length else 0.0,
+      batches = progs.length, rows = rows)
+  }
+
+  /** The bench sweep: both sink modes at increasing target rates. */
+  def sweep(spark: SparkSession): Seq[Result] =
+    for {
+      update <- Seq(false, true)
+      rps <- Seq(100000, 500000)
+    } yield run(spark, update, rps)
+}

@@ -73,13 +73,17 @@ object WordCountTopology {
       s.readStream.format("text").options(limit.options).load(dir))
 
   /** Synthetic load-generator spout (rate source) — the throughput
-    * harness analog of the reference's WordCountKafkaEmitter.
+    * harness analog of the reference's WordCountKafkaEmitter. `vocab`
+    * sets the key cardinality, the lever that separates the two top-N
+    * sink modes (Complete re-sorts the whole vocabulary per batch;
+    * the update sink's work is bounded by contenders).
     */
-  def rateSpout(rowsPerSecond: Int = 1000, limit: RateLimit = RateLimit()): Spout =
+  def rateSpout(rowsPerSecond: Int = 1000, limit: RateLimit = RateLimit(),
+                vocab: Int = 100): Spout =
     Spout("rate", s => s.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond.toString)
       .options(limit.options).load()
-      .selectExpr("concat('w', CAST(value % 100 AS STRING)) AS value"))
+      .selectExpr(s"concat('w', CAST(value % $vocab AS STRING)) AS value"))
 
   /** Run over a directory of text files — the `run_sample` CLI analog. */
   def run(spark: SparkSession, inDir: String, outDir: String,

@@ -65,6 +65,21 @@ class TopNUpdateSpec extends SparkSpecBase {
     assert(top == List(("d", 40L), ("a", 30L), ("b", 21L)))
   }
 
+  test("update-mode sink work stays flat as the vocabulary grows") {
+    val out = tmpDir("tf-out")
+    val sink = new TopNUpdateSink(out, 5)
+    sink(Seq(("s1", 90L), ("s2", 80L), ("s3", 70L), ("s4", 60L), ("s5", 50L))
+      .toDF("word", "cnt"), 0L)
+    // batches with 100× growing vocabularies, one contender each:
+    // driver intake must stay at the contender count, not track vocab
+    val intakes = Seq(100, 1000, 10000).zipWithIndex.map { case (v, i) =>
+      val batch = (1 to v).map(j => (f"low$j%06d", 10L)) ++ Seq((s"hi$i", 100L + i))
+      sink(batch.toDF("word", "cnt"), i + 1L)
+      sink.lastIntakeRows
+    }
+    assert(intakes == Seq(1L, 1L, 1L), s"sink intake grew with vocabulary: $intakes")
+  }
+
   test("update-mode top-N restores sink state across a restart") {
     val in = tmpDir("tr-in")
     val (out, ckpt) = (tmpDir("tr-out"), tmpDir("tr-ckpt"))
