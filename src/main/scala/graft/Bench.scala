@@ -104,8 +104,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // engine time without the throughput sweep — the sweep's wall
+    // clock is dominated by waiting on the rate source to produce
+    // load, not by engine work, so it would distort a total-seconds
+    // comparison across rounds
+    val batchSecs = (batchResults ++ ivfSplit ++ streamResult).map(_._2).sum
     val thrJson = thrRows.map(_.json).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"streaming_throughput":$thrJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","batch_seconds":$batchSecs,"queries":$qs,"streaming_throughput":$thrJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 

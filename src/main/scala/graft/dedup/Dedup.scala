@@ -211,6 +211,38 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  // --- dd08: IVF-blocked APPROXIMATE embed near-dup — the sublinear
+  // companion to dd03, exactly as dd04 is to dd02. Vectors are
+  // coarse-quantized into nCells k-means cells with MULTI-PROBE
+  // assignment (each vector lands in its `probes` nearest cells) and
+  // only same-cell pairs are scored — with the EXACT cosine, so dd08
+  // can only miss pairs, never invent them (dd08 ⊆ dd03 by
+  // construction; spec-asserted with a recall floor). Candidates fall
+  // from n²/2 to Σ|cell|²/2; at corpus scale nCells grows ∝ n so
+  // cells stay bounded, and the same per-reducer bound as dd03's
+  // blocks applies within a cell. Rows-only by design.
+  val dd08_embed_neardup_ivf: Q = (s, d) => embedNeardupIvf(s, d)
+
+  def embedNeardupIvf(s: SparkSession, d: String, nCells: Int = 16,
+                      probes: Int = 2, iters: Int = 3): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", graft.functions.GraftFunctions.l2norm("v"))
+    val cents = graft.similarity.Similarity.trainCentroids(e, nCells, iters, sampleMod = 1)
+    val cells = e.select(col("vec_id"), col("v"), col("nrm"),
+      explode(graft.functions.GraftFunctions.nearestCells("v", cents, probes)).as("cell"))
+    cells.toDF("l_id", "va", "na", "cell")
+      .join(cells.toDF("r_id", "vb", "nb", "cell2"),
+        col("cell") === col("cell2") && col("l_id") < col("r_id"))
+      .select(col("l_id").as("id1"), col("r_id").as("id2"),
+        r4(graft.functions.GraftFunctions.dot("va", "vb") /
+          (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= 0.35)
+      // multi-probe emits a pair once per shared cell — dedup
+      .distinct()
+      .orderBy("id1", "id2")
+  }
+
   // ---- MinHash + LSH (dd04) ----
   // 64 "permutations" from the native MinHashSig expression (per
   // shingle: one string hash + 64 seeded long hashes, elementwise
@@ -315,7 +347,8 @@ object Dedup {
     "dd02_ngram_jaccard" -> dd02_ngram_jaccard,
     "dd03_embed_neardup" -> dd03_embed_neardup,
     "dd04_minhash_lsh" -> dd04_minhash_lsh,
-    "dd05_simhash" -> dd05_simhash)
+    "dd05_simhash" -> dd05_simhash,
+    "dd08_embed_neardup_ivf" -> dd08_embed_neardup_ivf)
 
   private val sqlToks =
     "list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')"

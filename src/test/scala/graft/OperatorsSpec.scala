@@ -104,6 +104,18 @@ class OperatorsSpec extends SparkSpecBase {
     assert(got == baseline)
   }
 
+  test("IVF-blocked embed near-dup is a subset of exact dd03, recall-bounded") {
+    val exact = dedup.Dedup.dd03_embed_neardup(spark, sfDir)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = dedup.Dedup.dd08_embed_neardup_ivf(spark, sfDir)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact-cosine verification means dd08 can only MISS pairs
+    assert(ivf.subsetOf(exact), s"dd08 invented pairs: ${(ivf -- exact).take(5)}")
+    val recall = ivf.size.toDouble / exact.size
+    info(f"dd08 recall vs dd03: $recall%.2f (${ivf.size}/${exact.size})")
+    assert(recall >= 0.5, f"dd08 recall $recall%.2f below floor")
+  }
+
   test("pp03 LSH-path curation agrees with pp02's exact-path keep-list") {
     val exact = pipeline.Pipeline.pp02_curate(spark, sfDir)
       .select("doc_id").collect().map(_.getLong(0)).toSet
