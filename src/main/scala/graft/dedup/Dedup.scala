@@ -73,16 +73,24 @@ object Dedup {
       .getOrElseUpdate(d, buildJaccardPairs(s, d).cache())
   }
 
-  /** Release the memoized pair set for a (session, dir): unpersist
-    * the cached blocks and drop the entry, so a long-lived session
-    * sweeping many corpus dirs doesn't accumulate dead cache entries.
-    * Returns true if an entry was released.
+  // dd04's verified pair set is likewise consumed twice (dd04 output,
+  // pp03 clustering) — same memo-and-cache treatment.
+  private val mhPairsMemo =
+    new java.util.WeakHashMap[SparkSession, collection.mutable.Map[String, DataFrame]]()
+
+  /** Release the memoized pair sets (exact AND MinHash) for a
+    * (session, dir): unpersist the cached blocks and drop the
+    * entries, so a long-lived session sweeping many corpus dirs
+    * doesn't accumulate dead cache entries. Returns true if any entry
+    * was released.
     */
   def evictPairs(s: SparkSession, d: String): Boolean = pairsMemo.synchronized {
-    Option(pairsMemo.get(s)).flatMap(_.remove(d)) match {
-      case Some(df) => df.unpersist(); true
-      case None => false
-    }
+    Seq(pairsMemo, mhPairsMemo).map { memo =>
+      Option(memo.get(s)).flatMap(_.remove(d)) match {
+        case Some(df) => df.unpersist(); true
+        case None => false
+      }
+    }.exists(identity)
   }
 
   val dd02_ngram_jaccard: Q = (s, d) =>
@@ -251,9 +259,15 @@ object Dedup {
   val dd04_minhash_lsh: Q = (s, d) => minhashPairs(s, d).orderBy("id1", "id2")
 
   /** The dd04 pair set without the presentation sort — the form
-    * downstream consumers (pp03's clustering) compose over.
+    * downstream consumers (pp03's clustering) compose over; cached
+    * per (session, dir) like [[jaccardPairs]].
     */
-  def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  def minhashPairs(s: SparkSession, d: String): DataFrame = pairsMemo.synchronized {
+    mhPairsMemo.computeIfAbsent(s, _ => collection.mutable.Map.empty)
+      .getOrElseUpdate(d, buildMinhashPairs(s, d).cache())
+  }
+
+  private def buildMinhashPairs(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
     // signature: one native pass per doc (graft_minhash_sig) — no
     // explode/shuffle to build signatures. Docs with fewer tokens
