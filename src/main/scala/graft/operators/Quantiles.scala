@@ -45,8 +45,12 @@ object Quantiles {
                     nParts: Int = 32): DataFrame = {
     require(q >= 0.0 && q <= 1.0, s"quantile out of range: $q")
     val k: Column = col(key)
+    // nulls are excluded, matching percentile/quantile_cont: unfiltered
+    // they'd sort first and shift every rank. (An all-null group thus
+    // has no output row, where the aggregates return NULL.)
     val data = df
       .select(k, col(value).cast("double").as("v"))
+      .filter(col("v").isNotNull)
       .repartitionByRange(nParts, k, col("v"))
       .withColumn("bkt", spark_partition_id())
       .localCheckpoint(true) // pin bucket bounds across the two passes
