@@ -232,11 +232,12 @@ object Dedup {
   val dd08_embed_neardup_ivf: Q = (s, d) => embedNeardupIvf(s, d)
 
   def embedNeardupIvf(s: SparkSession, d: String, nCells: Int = 16,
-                      probes: Int = 2, iters: Int = 3): DataFrame = {
+                      probes: Int = 2, iters: Int = 3,
+                      sampleMod: Int = 1): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", graft.functions.GraftFunctions.l2norm("v"))
-    val cents = graft.similarity.Similarity.trainCentroids(e, nCells, iters, sampleMod = 1)
+    val cents = graft.similarity.Similarity.trainCentroids(e, nCells, iters, sampleMod)
     val cells = e.select(col("vec_id"), col("v"), col("nrm"),
       explode(graft.functions.GraftFunctions.nearestCells("v", cents, probes)).as("cell"))
     cells.toDF("l_id", "va", "na", "cell")

@@ -88,6 +88,8 @@ object Similarity {
     val init = sample.select(col("vec_id"), col("v"))
       .orderBy(xxhash64(col("vec_id"))).limit(k)
       .collect().map(r => normalized(r.getSeq[Double](1).toArray))
+    require(init.nonEmpty,
+      s"k-means training sample is empty (sampleMod=$sampleMod too coarse for this corpus)")
     var cents = Array.tabulate(k)(i =>
       if (i < init.length) init(i) else new Array[Double](init.headOption.map(_.length).getOrElse(0)))
     for (_ <- 1 to iters) {
