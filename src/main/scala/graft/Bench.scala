@@ -71,6 +71,9 @@ object Bench {
       val t1 = System.nanoTime()
       force(spark)(SparkEntry.queries("ann02_ivf_topk")(spark, sfDir))
       val tProbe = (System.nanoTime() - t1) / 1e9
+      // don't leak two index-sized parquet copies per bench run
+      deleteDir(dir)
+      similarity.Similarity.evictIndex(spark, sfDir)
       Seq("ann02_ivf_build" -> tBuild, "ann02_ivf_probe" -> tProbe)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ivf split failed: $e"); Seq.empty
@@ -112,6 +115,14 @@ object Bench {
     val thrJson = thrRows.map(_.json).mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","batch_seconds":$batchSecs,"queries":$qs,"streaming_throughput":$thrJson,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  private def deleteDir(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Path.of(dir)
+    if (java.nio.file.Files.exists(root))
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
   }
 
   /** One end-to-end run of the streaming word-count topology over the

@@ -64,7 +64,11 @@ object Dedup {
   // The near-dup pair set is heavy to compute and tiny to hold
   // (candidate survivors only), and two operators consume it (dd02
   // output, dd06 clustering) — memoize the cached result per
-  // (session, dir).
+  // (session, dir). NOTE the weak key cannot actually be reclaimed
+  // while its value lives: a DataFrame references its session, the
+  // classic WeakHashMap self-pin (Tables.cache shares it). Manual
+  // [[evictPairs]] is therefore the lifecycle contract for long-lived
+  // processes, not GC.
   private val pairsMemo =
     new java.util.WeakHashMap[SparkSession, collection.mutable.Map[String, DataFrame]]()
 

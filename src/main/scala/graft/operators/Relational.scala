@@ -293,7 +293,10 @@ object Relational {
         r2(expr("percentile(l_quantity, 0.75)")).as("p75"))
     val p95 = Quantiles.groupQuantile(li, "l_returnflag", "l_extendedprice", 0.95)
       .select(col("l_returnflag"), r2(col("q_value")).as("price_p95"))
-    qty.join(p95, "l_returnflag").orderBy("l_returnflag")
+    // left join: a group whose prices are all NULL has no p95 row but
+    // must keep its quantity percentiles (price_p95 NULL), matching
+    // the single-aggregate shape
+    qty.join(p95, Seq("l_returnflag"), "left_outer").orderBy("l_returnflag")
   }
 
   // --- q24: argmax per group (min_by/max_by semantics, deterministic) ---

@@ -91,12 +91,9 @@ object Similarity {
     require(init.nonEmpty,
       s"k-means training sample is empty (sampleMod=$sampleMod too coarse for this corpus)")
     var cents = Array.tabulate(k)(i =>
-      if (i < init.length) init(i) else new Array[Double](init.headOption.map(_.length).getOrElse(0)))
-    for (_ <- 1 to iters) {
-      val assigned = sample.withColumn("cell",
-        element_at(graft.functions.GraftFunctions.nearestCells("v", cents, 1), 1))
-      cents = collectCentroids(assigned, k, cents)
-    }
+      if (i < init.length) init(i) else new Array[Double](init.head.length))
+    for (_ <- 1 to iters)
+      cents = collectCentroids(assignCells(sample, cents), k, cents)
     cents
   }
 
@@ -139,14 +136,14 @@ object Similarity {
       .toDF("cell", "vb")
       .withColumn("nb", graft.functions.GraftFunctions.l2norm("vb"))
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
-    e.withColumn("cell",
-        element_at(graft.functions.GraftFunctions.nearestCells("v", cents, 1), 1))
+    assignCells(e, cents)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/vectors")
   }
 
-  /** The assignment subplan [[buildIvfIndex]] writes — exposed so the
-    * plan-posture spec can assert it stays a narrow codegen'd map
-    * (no Exchange, no Window, no join).
+  /** THE assignment subplan — used by training, the index build, and
+    * the plan-posture spec (which asserts it stays a narrow codegen'd
+    * map: no Exchange, no Window, no join), so the asserted subplan
+    * and the shipped subplan are the same code.
     */
   def assignCells(e: DataFrame, cents: Array[Array[Double]]): DataFrame =
     e.withColumn("cell",

@@ -79,22 +79,20 @@ final class TopNUpdateSink(outDir: String, n: Int) extends Serializable {
     // Threshold pushdown: once the bounded state is FULL, a row can
     // only change the top-N by beating its minimum ELEMENT under the
     // result ordering (cnt desc, word asc) — strictly more count, or
-    // equal count and a lexicographically smaller word. A refresh of
-    // an in-state key always qualifies (totals only grow, so its new
-    // cnt exceeds its old ≥ min). The predicate is filtered on the
-    // EXECUTORS, so driver intake is O(rows that can change the
-    // result), not O(changed keys) — a backlog replay with a
+    // equal count and the word tie-break. Every such row has
+    // cnt ≥ min, so `cnt >= min` is a conservative SUPERSET filter:
+    // exact (the driver-side monoid applies the full ordering to
+    // whatever arrives) without comparing strings on the executors,
+    // where Spark's UTF8String binary order can disagree with the
+    // driver's UTF-16 String order outside the BMP. A refresh of an
+    // in-state key always qualifies (totals only grow). Filtered on
+    // the EXECUTORS, so driver intake is O(contenders + min-count
+    // ties), not O(changed keys) — a backlog replay with a
     // million-key vocabulary delivers only its contenders.
     val pruned =
-      if (state.size >= n) {
-        val (minWord, minCnt) = state.reduce[(String, Long)] {
-          case (a @ (k1, v1), b @ (k2, v2)) =>
-            if (v1 < v2 || (v1 == v2 && k1 > k2)) a else b
-        }
-        import org.apache.spark.sql.functions.col
-        batch.filter(col("cnt") > minCnt ||
-          (col("cnt") === minCnt && col("word") < minWord))
-      } else batch
+      if (state.size >= n)
+        batch.filter(org.apache.spark.sql.functions.col("cnt") >= state.values.min)
+      else batch
     val collected = pruned.collect()
     lastIntakeRows = collected.length.toLong
     val updates = collected.map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -20,9 +20,12 @@ object ThroughputHarness {
   final case class Result(mode: String, targetRps: Int, vocab: Int,
                           sustainedRps: Double, meanBatchMs: Double,
                           batches: Int, rows: Long) {
+    // Double.toString, not the f-interpolator: %f is locale-sensitive
+    // and a comma decimal separator would corrupt the one-line JSON
     def json: String =
       s"""{"mode":"$mode","target_rps":$targetRps,"vocab":$vocab,""" +
-        f""""sustained_rps":$sustainedRps%.0f,"mean_batch_ms":$meanBatchMs%.1f,""" +
+        s""""sustained_rps":${math.round(sustainedRps)},""" +
+        s""""mean_batch_ms":${math.round(meanBatchMs * 10) / 10.0},""" +
         s""""batches":$batches,"rows":$rows}"""
   }
 
@@ -44,10 +47,13 @@ object ThroughputHarness {
     val q = topo.run(spark)
     val t0 = System.currentTimeMillis()
     try {
-      while (q.recentProgress.count(_.numInputRows > 0) < minBatches &&
+      while (q.exception.isEmpty &&
+             q.recentProgress.count(_.numInputRows > 0) < minBatches &&
              System.currentTimeMillis() - t0 < timeoutMs)
         Thread.sleep(100)
     } finally q.stop()
+    // a dead query must fail the measurement, not report 0 rows/s
+    q.exception.foreach(throw _)
     val progs = q.recentProgress.filter(_.numInputRows > 0)
     val rows = progs.map(_.numInputRows).sum
     val execMs = progs.map(_.durationMs.get("triggerExecution").toLong).sum
