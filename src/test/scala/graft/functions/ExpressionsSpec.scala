@@ -36,6 +36,24 @@ class ExpressionsSpec extends SparkSpecBase {
     assert(r.getAs[Long]("s1") != 0L)
   }
 
+  test("nearestCells: tie-break, partial fill, and codegen/eval agreement") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // ties break toward the lower cell index
+    val twin = Array(Array(1.0, 0.0), Array(1.0, 0.0), Array(0.0, 1.0))
+    val v = new GenericArrayData(Array(1.0, 0.0))
+    assert(GraftHashOps.nearestCells(v, twin, 2).toIntArray().toSeq == Seq(0, 1))
+    // n > k returns all k cells, best first
+    assert(GraftHashOps.nearestCells(v, twin, 9).toIntArray().toSeq == Seq(0, 1, 2))
+    // ordering: descending dot product
+    val spread = Array(Array(0.1, 0.0), Array(0.9, 0.0), Array(0.5, 0.0))
+    assert(GraftHashOps.nearestCells(v, spread, 3).toIntArray().toSeq == Seq(1, 2, 0))
+    // the codegen'd DataFrame path agrees with direct eval
+    val df = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0))).toDF("vec_id", "v")
+    val got = graft.similarity.Similarity.assignCells(df, spread)
+      .orderBy("vec_id").select("cell").collect().map(_.getInt(0)).toSeq
+    assert(got == Seq(1, 0)) // (0,1) dots are all 0.0: tie -> cell 0
+  }
+
   test("expressions survive both eval paths with identical results") {
     // codegen path (whole-stage) vs interpreted (after collect_list
     // boundary) must agree

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Edge semantics of the distributed exact quantile: must match the
+  * built-in interpolated `percentile` (= DuckDB quantile_cont) on
+  * every boundary case the rank selection could get wrong.
+  */
+class QuantilesSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def q(df: org.apache.spark.sql.DataFrame, p: Double): Map[String, Double] =
+    Quantiles.groupQuantile(df, "k", "v", p, nParts = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("matches the buffering percentile on interpolated and integral positions") {
+    val df = Seq(
+      ("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),            // n=4
+      ("b", 10.0), ("b", 20.0), ("b", 30.0), ("b", 40.0), ("b", 50.0)) // n=5
+      .toDF("k", "v")
+    for (p <- Seq(0.0, 0.25, 0.5, 0.75, 0.95, 1.0)) {
+      val expected = df.groupBy("k").agg(expr(s"percentile(v, $p)").as("e"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val got = q(df, p)
+      expected.foreach { case (k, e) =>
+        assert(math.abs(got(k) - e) < 1e-12, s"p=$p key=$k: ${got(k)} vs $e")
+      }
+    }
+  }
+
+  test("single-element groups return their value at any quantile") {
+    val df = Seq(("x", 7.5), ("y", -3.0)).toDF("k", "v")
+    for (p <- Seq(0.0, 0.5, 0.95, 1.0))
+      assert(q(df, p) == Map("x" -> 7.5, "y" -> -3.0))
+  }
+
+  test("nulls are ignored, all-null groups produce no row") {
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
+      ("z", None)).toDF("k", "v")
+    val got = q(df, 0.5)
+    assert(got == Map("a" -> 2.0), s"got $got")
+  }
+
+  test("duplicate values spanning bucket boundaries rank consistently") {
+    // 100 equal values force ties across the 4 range buckets
+    val df = (1 to 100).map(_ => ("d", 5.0)).toDF("k", "v")
+    for (p <- Seq(0.1, 0.5, 0.9)) assert(q(df, p) == Map("d" -> 5.0))
+  }
+}
