@@ -113,7 +113,7 @@ class OperatorsSpec extends SparkSpecBase {
     assert(ivf.subsetOf(exact), s"dd08 invented pairs: ${(ivf -- exact).take(5)}")
     val recall = ivf.size.toDouble / exact.size
     info(f"dd08 recall vs dd03: $recall%.2f (${ivf.size}/${exact.size})")
-    assert(recall >= 0.5, f"dd08 recall $recall%.2f below floor")
+    assert(recall >= 0.7, f"dd08 recall $recall%.2f below floor")
   }
 
   test("pp03 LSH-path curation agrees with pp02's exact-path keep-list") {
