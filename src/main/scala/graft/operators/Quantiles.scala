@@ -42,8 +42,19 @@ object Quantiles {
     * Returns (key, q_value). See object doc for the plan shape.
     */
   def groupQuantile(df: DataFrame, key: String, value: String, q: Double,
-                    nParts: Int = 32): DataFrame = {
-    require(q >= 0.0 && q <= 1.0, s"quantile out of range: $q")
+                    nParts: Int = 32): DataFrame =
+    groupQuantiles(df, key, value, Seq(q), nParts)
+      .select(col(key), col("q_value"))
+
+  /** Several exact interpolated quantiles per `key` group in ONE
+    * sort pass — the data is ranked once and every requested quantile
+    * selects its own floor/ceil ranks from it. Returns
+    * (key, q, q_value), one row per (group, quantile).
+    */
+  def groupQuantiles(df: DataFrame, key: String, value: String, qs: Seq[Double],
+                     nParts: Int = 32): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      s"quantiles out of range: $qs")
     val k: Column = col(key)
     // nulls are excluded, matching percentile/quantile_cont: unfiltered
     // they'd sort first and shift every rank. (An all-null group thus
@@ -60,23 +71,26 @@ object Quantiles {
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = counts.withColumn("off", coalesce(sum("c").over(wOff), lit(0L)))
       .select(col("bkt"), k, col("off"))
-    // target ranks: pos = q·(n−1) zero-indexed → 1-indexed floor/ceil rows
+    // per (key, q) target ranks: pos = q·(n−1) zero-indexed →
+    // 1-indexed floor/ceil rows
     val targets = counts.groupBy(k).agg(sum("c").as("n"))
-      .withColumn("pos", lit(q) * (col("n") - 1).cast("double"))
+      .withColumn("q", explode(lit(qs.toArray)))
+      .withColumn("pos", col("q") * (col("n") - 1).cast("double"))
       .withColumn("rank_lo", floor(col("pos")).cast("long") + 1)
       .withColumn("rank_hi", least(ceil(col("pos")).cast("long") + 1, col("n")))
       .withColumn("frac", col("pos") - floor(col("pos")))
-      .select(k, col("rank_lo"), col("rank_hi"), col("frac"))
+      .select(k, col("q"), col("rank_lo"), col("rank_hi"), col("frac"))
     val wRank = Window.partitionBy(col("bkt"), k).orderBy("v")
     data.withColumn("rn", row_number().over(wRank).cast("long"))
       .join(broadcast(offsets), Seq("bkt", key))
       .withColumn("grank", col("off") + col("rn"))
       .join(broadcast(targets), Seq(key))
       .filter(col("grank") === col("rank_lo") || col("grank") === col("rank_hi"))
-      // ≤ 2 surviving rows per key; frac is key-constant
-      .groupBy(k, col("frac"))
+      // ≤ 2 surviving rows per (key, q); frac is (key, q)-constant
+      .groupBy(k, col("q"), col("frac"))
       .agg(max(when(col("grank") === col("rank_lo"), col("v"))).as("lo"),
         max(when(col("grank") === col("rank_hi"), col("v"))).as("hi"))
-      .select(k, (col("lo") + col("frac") * (col("hi") - col("lo"))).as("q_value"))
+      .select(k, col("q"),
+        (col("lo") + col("frac") * (col("hi") - col("lo"))).as("q_value"))
   }
 }

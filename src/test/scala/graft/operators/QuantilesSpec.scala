@@ -42,6 +42,21 @@ class QuantilesSpec extends SparkSpecBase {
     assert(got == Map("a" -> 2.0), s"got $got")
   }
 
+  test("multi-quantile pass agrees with per-quantile calls") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
+      ("b", 10.0), ("b", 20.0), ("b", 30.0)).toDF("k", "v")
+    val qs = Seq(0.25, 0.5, 0.9)
+    val multi = Quantiles.groupQuantiles(df, "k", "v", qs, nParts = 4)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    qs.foreach { p =>
+      val single = q(df, p)
+      single.foreach { case (k, e) =>
+        assert(math.abs(multi((k, p)) - e) < 1e-12, s"($k, $p)")
+      }
+    }
+    assert(multi.size == qs.size * 2)
+  }
+
   test("duplicate values spanning bucket boundaries rank consistently") {
     // 100 equal values force ties across the 4 range buckets
     val df = (1 to 100).map(_ => ("d", 5.0)).toDF("k", "v")
