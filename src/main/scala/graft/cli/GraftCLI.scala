@@ -18,6 +18,11 @@ import scala.jdk.CollectionConverters._
   *     state Zookeeper held for the reference).
   *   - `init <checkpoint>`: `hailstorm zk_init` analog — creates a
   *     fresh checkpoint root.
+  *   - `emit [rowsPerSec] [--update]`: `run_sample_emitter` analog —
+  *     the reference emits synthetic load into Kafka for the sample
+  *     topology; here the rate spout drives the same topology
+  *     in-process and the sustained-throughput measurement is printed
+  *     (see [[graft.streaming.ThroughputHarness]]).
   */
 object GraftCLI {
   def main(args: Array[String]): Unit = args.toList match {
@@ -29,10 +34,27 @@ object GraftCLI {
     case "init" :: ckpt :: _  =>
       Files.createDirectories(Paths.get(ckpt))
       println(s"initialized checkpoint root at $ckpt")
+    case "emit" :: rest =>
+      val flags = rest.filter(_.startsWith("--")).toSet
+      val rps = rest.filterNot(_.startsWith("--")).headOption
+        .map(_.toInt).getOrElse(100000)
+      emit(rps, update = flags("--update"))
     case _ =>
       System.err.println(
-        "usage: GraftCLI run_sample -f <file> [outDir] [--update] | show <checkpoint> | init <checkpoint>")
+        "usage: GraftCLI run_sample -f <file> [outDir] [--update] | show <checkpoint> | init <checkpoint> | emit [rowsPerSec] [--update]")
       sys.exit(2)
+  }
+
+  def emit(rowsPerSec: Int, update: Boolean): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("graft-emit")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try println(graft.streaming.ThroughputHarness.run(spark, update, rowsPerSec).json)
+    finally spark.stop()
   }
 
   def runSample(file: String, outDir: String, update: Boolean): Unit = {

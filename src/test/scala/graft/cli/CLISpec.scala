@@ -17,6 +17,16 @@ class CLISpec extends SparkSpecBase {
     assert(lines.contains("alpha,1"))
   }
 
+  test("emit: rate-spout load run reports a measured result") {
+    // session-scoped variant of the `emit` verb (run_sample_emitter
+    // analog): must produce at least one data-carrying batch and a
+    // positive sustained rate
+    val r = graft.streaming.ThroughputHarness.run(
+      spark, update = true, targetRps = 20000, minBatches = 2, timeoutMs = 30000)
+    assert(r.batches >= 2 && r.rows > 0 && r.sustainedRps > 0, r.json)
+    assert(r.json.contains("\"mode\":\"update\""))
+  }
+
   test("run_sample --update: bounded-state top-N path writes the same file") {
     val in = Files.createTempDirectory("cli-in-u")
     Files.write(in.resolve("sample.txt"),
