@@ -63,20 +63,25 @@ object Bench {
     // rows isolate the split a production deployment lives on — build
     // once (fresh dir, full train+assign+persist) vs probe-many
     // (memo-hit probe against the already-persisted index).
-    val ivfSplit = try {
-      val dir = java.nio.file.Files.createTempDirectory("bench-ivf").toString
-      val t0 = System.nanoTime()
-      similarity.Similarity.buildIvfIndex(spark, sfDir, dir)
-      val tBuild = (System.nanoTime() - t0) / 1e9
-      val t1 = System.nanoTime()
-      force(spark)(SparkEntry.queries("ann02_ivf_topk")(spark, sfDir))
-      val tProbe = (System.nanoTime() - t1) / 1e9
-      // don't leak two index-sized parquet copies per bench run
-      deleteDir(dir)
-      similarity.Similarity.evictIndex(spark, sfDir)
-      Seq("ann02_ivf_build" -> tBuild, "ann02_ivf_probe" -> tProbe)
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] ivf split failed: $e"); Seq.empty
+    val ivfSplit = {
+      var dir: String = null
+      try {
+        dir = java.nio.file.Files.createTempDirectory("bench-ivf").toString
+        val t0 = System.nanoTime()
+        similarity.Similarity.buildIvfIndex(spark, sfDir, dir)
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        force(spark)(SparkEntry.queries("ann02_ivf_topk")(spark, sfDir))
+        val tProbe = (System.nanoTime() - t1) / 1e9
+        Seq("ann02_ivf_build" -> tBuild, "ann02_ivf_probe" -> tProbe)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] ivf split failed: $e"); Seq.empty
+      } finally {
+        // don't leak two index-sized parquet copies per bench run —
+        // including when the build or probe throws mid-way
+        if (dir != null) deleteDir(dir)
+        similarity.Similarity.evictIndex(spark, sfDir)
+      }
     }
 
     // streaming flagship: the reference's word-count topology

@@ -36,13 +36,25 @@ object GraftCLI {
       println(s"initialized checkpoint root at $ckpt")
     case "emit" :: rest =>
       val flags = rest.filter(_.startsWith("--")).toSet
-      val rps = rest.filterNot(_.startsWith("--")).headOption
-        .map(_.toInt).getOrElse(100000)
-      emit(rps, update = flags("--update"))
-    case _ =>
-      System.err.println(
-        "usage: GraftCLI run_sample -f <file> [outDir] [--update] | show <checkpoint> | init <checkpoint> | emit [rowsPerSec] [--update]")
-      sys.exit(2)
+      // a non-numeric or non-positive rate is a usage error, not a
+      // NumberFormatException stack trace / rate-source failure
+      rest.filterNot(_.startsWith("--")).headOption match {
+        case None => emit(100000, update = flags("--update"))
+        case Some(arg) =>
+          scala.util.Try(arg.toInt).toOption.filter(_ > 0) match {
+            case Some(rps) => emit(rps, update = flags("--update"))
+            case None =>
+              System.err.println(s"emit: rowsPerSec must be a positive integer, got '$arg'")
+              usage()
+          }
+      }
+    case _ => usage()
+  }
+
+  private def usage(): Nothing = {
+    System.err.println(
+      "usage: GraftCLI run_sample -f <file> [outDir] [--update] | show <checkpoint> | init <checkpoint> | emit [rowsPerSec] [--update]")
+    sys.exit(2)
   }
 
   def emit(rowsPerSec: Int, update: Boolean): Unit = {

@@ -38,6 +38,11 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
+  // Internal working columns carry this prefix so a caller's key
+  // column can't collide with them (key = "v" or "q" previously
+  // produced wrong resolution / confusing analysis errors).
+  private val P = "__gq_"
+
   /** One exact interpolated quantile of `value` per `key` group.
     * Returns (key, q_value). See object doc for the plan shape.
     */
@@ -55,42 +60,52 @@ object Quantiles {
                      nParts: Int = 32): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       s"quantiles out of range: $qs")
+    require(key != "q" && key != "q_value" && !key.startsWith(P),
+      s"key column '$key' collides with the output schema (key, q, q_value)")
     val k: Column = col(key)
     // nulls are excluded, matching percentile/quantile_cont: unfiltered
     // they'd sort first and shift every rank. (An all-null group thus
     // has no output row, where the aggregates return NULL.)
     val data = df
-      .select(k, col(value).cast("double").as("v"))
-      .filter(col("v").isNotNull)
-      .repartitionByRange(nParts, k, col("v"))
-      .withColumn("bkt", spark_partition_id())
+      .select(k, col(value).cast("double").as(s"${P}v"))
+      .filter(col(s"${P}v").isNotNull)
+      .repartitionByRange(nParts, k, col(s"${P}v"))
+      .withColumn(s"${P}bkt", spark_partition_id())
       .localCheckpoint(true) // pin bucket bounds across the two passes
-    val counts = data.groupBy(col("bkt"), k).agg(count(lit(1)).as("c"))
+    val counts = data.groupBy(col(s"${P}bkt"), k).agg(count(lit(1)).as(s"${P}c"))
     // rank offset of each bucket within its key = rows in earlier buckets
-    val wOff = Window.partitionBy(k).orderBy("bkt")
+    val wOff = Window.partitionBy(k).orderBy(s"${P}bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts.withColumn("off", coalesce(sum("c").over(wOff), lit(0L)))
-      .select(col("bkt"), k, col("off"))
+    val offsets = counts
+      .withColumn(s"${P}off", coalesce(sum(s"${P}c").over(wOff), lit(0L)))
+      .select(col(s"${P}bkt"), k, col(s"${P}off"))
     // per (key, q) target ranks: pos = q·(n−1) zero-indexed →
     // 1-indexed floor/ceil rows
-    val targets = counts.groupBy(k).agg(sum("c").as("n"))
-      .withColumn("q", explode(lit(qs.toArray)))
-      .withColumn("pos", col("q") * (col("n") - 1).cast("double"))
-      .withColumn("rank_lo", floor(col("pos")).cast("long") + 1)
-      .withColumn("rank_hi", least(ceil(col("pos")).cast("long") + 1, col("n")))
-      .withColumn("frac", col("pos") - floor(col("pos")))
-      .select(k, col("q"), col("rank_lo"), col("rank_hi"), col("frac"))
-    val wRank = Window.partitionBy(col("bkt"), k).orderBy("v")
-    data.withColumn("rn", row_number().over(wRank).cast("long"))
-      .join(broadcast(offsets), Seq("bkt", key))
-      .withColumn("grank", col("off") + col("rn"))
+    val targets = counts.groupBy(k).agg(sum(s"${P}c").as(s"${P}n"))
+      .withColumn(s"${P}q", explode(lit(qs.toArray)))
+      .withColumn(s"${P}pos", col(s"${P}q") * (col(s"${P}n") - 1).cast("double"))
+      .withColumn(s"${P}rank_lo", floor(col(s"${P}pos")).cast("long") + 1)
+      .withColumn(s"${P}rank_hi",
+        least(ceil(col(s"${P}pos")).cast("long") + 1, col(s"${P}n")))
+      .withColumn(s"${P}frac", col(s"${P}pos") - floor(col(s"${P}pos")))
+      .select(k, col(s"${P}q"), col(s"${P}rank_lo"), col(s"${P}rank_hi"),
+        col(s"${P}frac"))
+    val wRank = Window.partitionBy(col(s"${P}bkt"), k).orderBy(s"${P}v")
+    data.withColumn(s"${P}rn", row_number().over(wRank).cast("long"))
+      .join(broadcast(offsets), Seq(s"${P}bkt", key))
+      .withColumn(s"${P}grank", col(s"${P}off") + col(s"${P}rn"))
       .join(broadcast(targets), Seq(key))
-      .filter(col("grank") === col("rank_lo") || col("grank") === col("rank_hi"))
+      .filter(col(s"${P}grank") === col(s"${P}rank_lo") ||
+        col(s"${P}grank") === col(s"${P}rank_hi"))
       // ≤ 2 surviving rows per (key, q); frac is (key, q)-constant
-      .groupBy(k, col("q"), col("frac"))
-      .agg(max(when(col("grank") === col("rank_lo"), col("v"))).as("lo"),
-        max(when(col("grank") === col("rank_hi"), col("v"))).as("hi"))
-      .select(k, col("q"),
-        (col("lo") + col("frac") * (col("hi") - col("lo"))).as("q_value"))
+      .groupBy(k, col(s"${P}q"), col(s"${P}frac"))
+      .agg(
+        max(when(col(s"${P}grank") === col(s"${P}rank_lo"), col(s"${P}v")))
+          .as(s"${P}lo"),
+        max(when(col(s"${P}grank") === col(s"${P}rank_hi"), col(s"${P}v")))
+          .as(s"${P}hi"))
+      .select(k, col(s"${P}q").as("q"),
+        (col(s"${P}lo") + col(s"${P}frac") * (col(s"${P}hi") - col(s"${P}lo")))
+          .as("q_value"))
   }
 }

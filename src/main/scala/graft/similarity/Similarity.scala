@@ -159,10 +159,19 @@ object Similarity {
     */
   def probeIvf(s: SparkSession, indexDir: String, queries: DataFrame,
                nProbe: Int = 3, k: Int = 5): DataFrame = {
-    val cents = s.read.parquet(s"$indexDir/centroids")
+    // Index the collected rows BY CELL ID — reading them positionally
+    // after a sort would silently misroute probes if the centroid
+    // table ever became sparse (today trainCentroids tabulates all k
+    // cells, but that's an invariant worth enforcing, not assuming).
+    val centRows = s.read.parquet(s"$indexDir/centroids")
       .select("cell", "vb").collect()
-      .sortBy(_.getInt(0))
-      .map(_.getSeq[Double](1).toArray)
+    val cents = new Array[Array[Double]](centRows.length)
+    centRows.foreach { r =>
+      val c = r.getInt(0)
+      require(c >= 0 && c < cents.length && cents(c) == null,
+        s"centroid table is not dense in [0, ${cents.length}): duplicate or out-of-range cell $c")
+      cents(c) = r.getSeq[Double](1).toArray
+    }
     val qcells = queries.withColumn("cell",
       explode(graft.functions.GraftFunctions.nearestCells("va", cents, nProbe)))
     val probed = qcells.select("cell").distinct().collect().map(_.getInt(0)).toSeq

@@ -56,7 +56,11 @@ object ThroughputHarness {
     q.exception.foreach(throw _)
     val progs = q.recentProgress.filter(_.numInputRows > 0)
     val rows = progs.map(_.numInputRows).sum
-    val execMs = progs.map(_.durationMs.get("triggerExecution").toLong).sum
+    // durationMs is a Java map — a progress entry missing the key
+    // yields null, and unboxing null throws an opaque NPE
+    val execMs = progs
+      .map(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L))
+      .sum
     Result(
       mode = if (update) "update" else "complete",
       targetRps = targetRps, vocab = vocab,

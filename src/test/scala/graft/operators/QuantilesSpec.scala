@@ -62,4 +62,22 @@ class QuantilesSpec extends SparkSpecBase {
     val df = (1 to 100).map(_ => ("d", 5.0)).toDF("k", "v")
     for (p <- Seq(0.1, 0.5, 0.9)) assert(q(df, p) == Map("d" -> 5.0))
   }
+
+  test("key columns named like former internal names resolve correctly") {
+    // "v" / "n" / "bkt" used to collide with the working columns
+    for (key <- Seq("v", "n", "bkt", "frac")) {
+      val df = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0))
+        .toDF(key, "x")
+      val got = Quantiles.groupQuantile(df, key, "x", 0.5, nParts = 4)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got == Map("a" -> 2.0, "b" -> 10.0), s"key=$key: $got")
+    }
+  }
+
+  test("output-colliding key names are rejected up front") {
+    val df = Seq(("a", 1.0)).toDF("q", "x")
+    intercept[IllegalArgumentException] {
+      Quantiles.groupQuantiles(df, "q", "x", Seq(0.5))
+    }
+  }
 }
