@@ -3,6 +3,7 @@ package graft.pipeline
 import graft.Tables
 import graft.text.TextAnalysis.{normText, toksExpr}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2 composite: the end-to-end corpus-cleaning pass a training-data
@@ -102,10 +103,117 @@ object Pipeline {
         col("dup2") <= 0.05 && col("top_share") <= 0.12)
   }
 
+  /** pp04: token-budget sequence packing — the step that lays cleaned
+    * documents head-to-tail into fixed-size training sequences and
+    * reports, per chunk, how many documents and tokens landed in it.
+    * A document is assigned to the chunk where its FIRST token falls
+    * (cumulative tokens before it ÷ budget), so the layout is a pure
+    * function of (doc order, token counts): deterministic, and
+    * oracle-checkable as a window query.
+    *
+    * The global running sum does NOT use a single-partition window
+    * (the classic 100 TB non-starter): [[globalCumSum]] range-
+    * partitions by doc_id, computes per-bucket prefix totals on a
+    * bucket-count-sized side table, and adds each bucket's offset to
+    * its local cumulative window — the same two-pass selection shape
+    * as [[graft.operators.Quantiles]], with the same eager
+    * localCheckpoint pin (RangePartitioner reseeds per
+    * materialization; the two passes must agree on bucket bounds).
+    */
+  val pp04_pack_sequences: Q = (s, d) => {
+    val budget = 512
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), expr(toksExpr).as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n"))
+    globalCumSum(toks)
+      .withColumn("chunk", floor((col("cum") - col("n")) / lit(budget.toDouble)))
+      .groupBy("chunk")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("chunk")
+  }
+
+  /** Exact global cumulative token count in doc_id order, scalably:
+    * range-partition → per-bucket totals → prefix offsets over the
+    * (nParts)-row bucket table → bucket-local running sum + offset.
+    * Input (doc_id, n); output adds `cum`. No window ever sees more
+    * than one bucket's rows.
+    */
+  private def globalCumSum(toks: DataFrame, nParts: Int = 32): DataFrame = {
+    val data = toks
+      .repartitionByRange(nParts, col("doc_id"))
+      .withColumn("bkt", spark_partition_id())
+      .localCheckpoint(true) // pin bucket bounds across the two passes
+    val wOff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    // nParts rows: the unpartitioned prefix window is bucket-count-sized
+    val offsets = data.groupBy("bkt").agg(sum("n").as("bn"))
+      .withColumn("off", coalesce(sum("bn").over(wOff), lit(0L)))
+      .select("bkt", "off")
+    val wCum = Window.partitionBy("bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    data.withColumn("pcum", sum("n").over(wCum))
+      .join(broadcast(offsets), Seq("bkt"))
+      .select(col("doc_id"), col("n"), (col("pcum") + col("off")).as("cum"))
+  }
+
+  /** pp05: benchmark decontamination — flag training documents that
+    * share any 5-token shingle with the held-out evaluation split
+    * (here the deterministic split doc_id % 10 = 0). The join key is
+    * the shingle itself: distinct eval grams form a (small) filter
+    * set, one equi-join shuffle keyed on the gram — the inverted-
+    * index shape, never doc × doc. At 100 TB the eval side is a
+    * benchmark suite (tiny), so Spark broadcasts it and the pass is
+    * a single corpus scan.
+    */
+  val pp05_decontaminate: Q = (s, d) => {
+    val sh = shingles5(s, d)
+    val evalGrams = sh.filter(col("doc_id") % 10 === 0)
+      .select("g").distinct()
+    sh.filter(col("doc_id") % 10 =!= 0)
+      .join(evalGrams, Seq("g"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  /** Distinct 5-token shingles per doc. The size guard matters: Spark
+    * `sequence(1, size-4)` on a 4-token doc would generate a
+    * DESCENDING sequence, not an empty one.
+    */
+  private def shingles5(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(toksExpr).as("t"))
+      .filter(size(col("t")) >= 5)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(t) - 4), i -> concat_ws(' ', slice(t, i, 5)))")))
+        .as("g"))
+
+  /** pp06: per-stratum deterministic sampling — keep ceil(20%) of
+    * each (lang, source) stratum, selected by md5(doc_id) rank so the
+    * sample is reproducible across runs and engines (no RNG). The
+    * window partitions by stratum: each sort is stratum-local, and a
+    * skewed stratum is still only ever ranked, never collected.
+    */
+  val pp06_stratified_sample: Q = (s, d) => {
+    val frac = 0.2
+    val wN = Window.partitionBy("lang", "source")
+    val wRn = wN.orderBy(md5(col("doc_id").cast("string").cast("binary")),
+      col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("rn", row_number().over(wRn))
+      .withColumn("n", count(lit(1)).over(wN))
+      .filter(col("rn") <= ceil(lit(frac) * col("n")))
+      .select("lang", "source", "doc_id")
+      .orderBy("lang", "source", "doc_id")
+  }
+
   val registry: Map[String, Q] = Map(
     "pp01_clean_corpus" -> pp01_clean_corpus,
     "pp02_curate" -> pp02_curate,
-    "pp03_curate_lsh" -> pp03_curate_lsh)
+    "pp03_curate_lsh" -> pp03_curate_lsh,
+    "pp04_pack_sequences" -> pp04_pack_sequences,
+    "pp05_decontaminate" -> pp05_decontaminate,
+    "pp06_stratified_sample" -> pp06_stratified_sample)
 
   private val sqlToks =
     "list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')"
@@ -153,5 +261,33 @@ object Pipeline {
          |SELECT doc_id, n_tokens FROM q
          |WHERE doc_id NOT IN (SELECT doc_id FROM dups)
          |  AND n_tokens >= 40 AND dup2 <= 0.05 AND top_share <= 0.12
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+    "pp04_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS n FROM documents),
+         |c AS (SELECT doc_id, n,
+         |        sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM t)
+         |SELECT CAST(floor((cum - n) / 512.0) AS BIGINT) AS chunk,
+         |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY chunk ORDER BY chunk""".stripMargin,
+    "pp05_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
+         |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i FROM t)),
+         |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 10 = 0)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM sh JOIN ev USING (g)
+         |WHERE doc_id % 10 <> 0
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "pp06_stratified_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang, source
+        |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang, source) AS n
+        |  FROM documents)
+        |SELECT lang, source, doc_id FROM s
+        |WHERE rn <= CAST(ceil(0.2 * n) AS BIGINT)
+        |ORDER BY lang, source, doc_id""".stripMargin)
 }

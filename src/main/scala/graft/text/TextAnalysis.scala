@@ -199,8 +199,26 @@ object TextAnalysis {
       .crossJoin(broadcast(vocab))
   }
 
+  // --- tx10: corpus n-gram statistics — the top bigrams across the
+  // corpus, the telemetry a data pipeline uses to spot boilerplate
+  // and template contamination. One explode + one partial-aggregated
+  // count shuffle + a global top-50 (TakeOrdered, never a full sort);
+  // ordering is total (count desc, bigram asc) so the cut is
+  // deterministic on both engines.
+  val tx10_ngram_stats: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(expr(toksExpr).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+        .as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(50)
+
   val registry: Map[String, Q] = Map(
     "tx00_normalize" -> tx00_normalize,
+    "tx10_ngram_stats" -> tx10_ngram_stats,
     "tx06_tfidf" -> tx06_tfidf,
     "tx07_redact" -> tx07_redact,
     "tx08_repetition" -> tx08_repetition,
@@ -215,6 +233,12 @@ object TextAnalysis {
     "list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "tx10_ngram_stats" ->
+      s"""WITH t AS (SELECT $sqlToks AS t FROM documents),
+         |b AS (SELECT t[i] || ' ' || t[i+1] AS bigram
+         |      FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM t) x)
+         |SELECT bigram, CAST(count(*) AS BIGINT) AS cnt
+         |FROM b GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin,
     "tx00_normalize" ->
       """SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS norm_len,
         |  CAST(length(text) - length(norm) AS BIGINT) AS squeezed

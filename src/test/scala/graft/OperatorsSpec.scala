@@ -116,6 +116,62 @@ class OperatorsSpec extends SparkSpecBase {
     assert(recall >= 0.7, f"dd08 recall $recall%.2f below floor")
   }
 
+  test("pp04 packing equals the single-window cumsum baseline and conserves tokens") {
+    import org.apache.spark.sql.expressions.Window
+    // independent formulation: the textbook single-partition window
+    // (fine at spec scale, the 100 TB non-starter pp04 avoids)
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr(graft.text.TextAnalysis.toksExpr).as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n"))
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val baseline = toks.withColumn("cum", sum("n").over(w))
+      .withColumn("chunk", floor((col("cum") - col("n")) / lit(512.0)))
+      .groupBy("chunk")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val packed = pipeline.Pipeline.pp04_pack_sequences(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(packed == baseline, "distributed packing diverges from the window baseline")
+    val total = toks.agg(sum("n")).collect()(0).getLong(0)
+    assert(packed.values.map(_._2).sum == total, "token volume not conserved across chunks")
+  }
+
+  test("pp05 flags exactly the train docs sharing a 5-gram with the eval split") {
+    // independent driver-side formulation over the tiny spec corpus
+    def grams(text: String): Set[String] = {
+      val t = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+      if (t.length < 5) Set.empty
+      else t.sliding(5).map(_.mkString(" ")).toSet
+    }
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> grams(r.getString(1)))
+    val evalGrams = docs.filter(_._1 % 10 == 0).flatMap(_._2).toSet
+    val expected = docs.filter { case (id, gs) =>
+      id % 10 != 0 && gs.exists(evalGrams)
+    }.map { case (id, gs) => id -> gs.count(evalGrams).toLong }.toMap
+    val got = pipeline.Pipeline.pp05_decontaminate(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"contamination sets differ: ${(got.keySet diff expected.keySet) ++ (expected.keySet diff got.keySet)}")
+  }
+
+  test("pp06 keeps ceil(20%) of every (lang, source) stratum, deterministically") {
+    val strata = Tables.documents(spark, sfDir)
+      .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val kept = pipeline.Pipeline.pp06_stratified_sample(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    strata.foreach { case (k, n) =>
+      val expect = math.ceil(0.2 * n).toLong
+      assert(kept.getOrElse(k, 0L) == expect, s"stratum $k: kept ${kept.getOrElse(k, 0L)} of $n, expected $expect")
+    }
+    // reproducible: a second run selects the identical doc set
+    val a = pipeline.Pipeline.pp06_stratified_sample(spark, sfDir).collect().toSeq
+    val b = pipeline.Pipeline.pp06_stratified_sample(spark, sfDir).collect().toSeq
+    assert(a == b, "stratified sample is not deterministic")
+  }
+
   test("pp03 LSH-path curation agrees with pp02's exact-path keep-list") {
     val exact = pipeline.Pipeline.pp02_curate(spark, sfDir)
       .select("doc_id").collect().map(_.getLong(0)).toSet
