@@ -297,4 +297,8 @@ object GraftFunctions {
     column(MinHashSig(attr(toks), k, width))
   def nearestCells(v: String, cents: Array[Array[Double]], n: Int): Column =
     column(NearestCells(attr(v), cents, n))
+  def topK(score: String, id: String, k: Int): Column =
+    column(TopKByScore(
+      Cast(attr(score), DoubleType), Cast(attr(id), LongType), k)
+      .toAggregateExpression())
 }

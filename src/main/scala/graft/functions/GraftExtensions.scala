@@ -42,6 +42,16 @@ object GraftExtensions {
         case other =>
           throw new IllegalArgumentException(
             s"graft_rolling_hashes width must be a literal, got $other")
+      }),
+    ("graft_topk",
+      info("graft_topk",
+        "graft_topk(score, id, k) - bounded top-k (score desc, id asc) aggregate"),
+      (es: Seq[Expression]) => es(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(kv, _) =>
+          TopKByScore(es(0), es(1), kv.toString.toInt)
+        case other =>
+          throw new IllegalArgumentException(
+            s"graft_topk k must be a literal, got $other")
       }))
 
   /** Imperative registration on an existing session (test/driver use). */

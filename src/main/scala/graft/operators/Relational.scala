@@ -564,7 +564,27 @@ object Relational {
         count(lit(1)).as("n_items"))
       .orderBy(col("r_name"), col("revenue").desc, col("n_name"))
 
+  // --- q43: per-group top-N via the bounded graft_topk aggregate —
+  // same semantics and output as q03, different engine path. q03's
+  // row_number window shuffles and sorts EVERY row of every group;
+  // here the reference's bounded top-N bolt monoid
+  // (WordCountSample.hs:118-216) runs as a native
+  // TypedImperativeAggregate, so map-side partial aggregation cuts
+  // each task's slice to ≤ N pairs per group BEFORE the exchange —
+  // shuffle volume independent of row count. The spec asserts
+  // q43 ≡ q03 and that the plan has no Window and a partial_graft_topk.
+  val q43_topn_heap: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.functions.GraftFunctions
+        .topK("o_totalprice", "o_orderkey", 5).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("i", "p")))
+      .select(col("o_orderpriority"), col("p.id").as("o_orderkey"),
+        r2(col("p.score")).as("price"), (col("i") + 1).cast("long").as("rn"))
+      .orderBy("o_orderpriority", "rn")
+
   val registry: Map[String, Q] = Map(
+    "q43_topn_heap" -> q43_topn_heap,
     "q42_local_supplier" -> q42_local_supplier,
     "q41_histogram" -> q41_histogram,
     "q40_resample_ffill" -> q40_resample_ffill,
@@ -741,6 +761,13 @@ object Relational {
       """SELECT o_orderkey, round((o_totalprice) * 100) / 100 AS price
         |FROM orders ORDER BY price DESC, o_orderkey LIMIT 50""".stripMargin,
     "q03_topn_group" ->
+      """SELECT o_orderpriority, o_orderkey, round((o_totalprice) * 100) / 100 AS price, rn FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |                ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 5 ORDER BY o_orderpriority, rn""".stripMargin,
+    "q43_topn_heap" ->
       """SELECT o_orderpriority, o_orderkey, round((o_totalprice) * 100) / 100 AS price, rn FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
         |         CAST(row_number() OVER (PARTITION BY o_orderpriority

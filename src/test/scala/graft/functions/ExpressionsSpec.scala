@@ -66,4 +66,50 @@ class ExpressionsSpec extends SparkSpecBase {
     val expected = Seq(math.sqrt(1 + 4 + 9), math.sqrt(0.25 + 1 + 6.25))
     assert(codegen == expected)
   }
+
+  test("TopKBuffer is a bounded commutative monoid (order-independent)") {
+    val items = Seq((3.0, 1L), (5.0, 2L), (5.0, 3L), (1.0, 4L), (4.0, 5L),
+      (5.0, 0L), (2.0, 6L))
+    def result(order: Seq[(Double, Long)], splits: Int): Seq[(Double, Long)] = {
+      // split into `splits` partial buffers, merge — the partial-agg path
+      val bufs = order.grouped(math.max(1, order.size / splits)).map { g =>
+        val b = new TopKBuffer(3)
+        g.foreach { case (s, id) => b.insert(s, id) }
+        b
+      }.toSeq
+      val acc = new TopKBuffer(3)
+      bufs.foreach(acc.mergeFrom)
+      (0 until acc.n).map(i => (acc.scores(i), acc.ids(i)))
+    }
+    val expected = Seq((5.0, 0L), (5.0, 2L), (5.0, 3L)) // score desc, id asc
+    for (perm <- items.permutations.take(50); splits <- Seq(1, 2, 3))
+      assert(result(perm, splits) == expected, s"perm=$perm splits=$splits")
+  }
+
+  test("graft_topk via SQL: bounded result, ordered, null-safe") {
+    GraftExtensions.register(spark)
+    Seq(("a", 1.0, 10L), ("a", 3.0, 11L), ("a", 2.0, 12L), ("a", 3.0, 9L),
+      ("b", 7.0, 20L)).toDF("k", "s", "id").createOrReplaceTempView("tk")
+    val rows = spark.sql(
+      "SELECT k, graft_topk(s, id, 2) AS top FROM tk GROUP BY k ORDER BY k")
+      .collect()
+    val a = rows(0).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(a == Seq((3.0, 9L), (3.0, 11L)), s"got $a")
+    val b = rows(1).getSeq[org.apache.spark.sql.Row](1)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(b == Seq((7.0, 20L)))
+  }
+
+  test("q43 bounded-heap top-N equals q03's window formulation, without a Window") {
+    val sfDir = "/root/testdata/sf0.001"
+    val viaWindow = graft.operators.Relational.q03_topn_group(spark, sfDir).collect().toSeq
+    val viaHeap = graft.operators.Relational.q43_topn_heap(spark, sfDir).collect().toSeq
+    assert(viaHeap == viaWindow)
+    val plan = graft.operators.Relational.q43_topn_heap(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "heap top-N must not plan a Window")
+    assert(plan.contains("partial_graft_topk"),
+      "map-side partial aggregation missing from the heap top-N plan")
+  }
 }
