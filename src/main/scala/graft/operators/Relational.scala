@@ -583,7 +583,36 @@ object Relational {
         r2(col("p.score")).as("price"), (col("i") + 1).cast("long").as("rn"))
       .orderBy("o_orderpriority", "rn")
 
+  // --- q44: bounded time-range self-join (follow-within-10-minutes
+  // event pairs per user) via time-bin blocking. The naive plan for
+  // `b.ts in (a.ts, a.ts + w]` is a BroadcastNestedLoopJoin — the
+  // range-join trap. Blocking restores an equi-join: with bins of
+  // exactly the window width, any qualifying partner lives in the
+  // anchor's bin or the next one, so the anchor side explodes into
+  // those two bins (integer `div`, no float rounding) and joins on
+  // (user_id, bin); the exact range predicate then filters candidates.
+  // Candidates per key are bounded by a 2-bin slice of one user —
+  // the same blocking discipline as dd02/dd03, in the time dimension.
+  // All outputs are integer µs arithmetic: exact on both engines.
+  val q44_range_join: Q = (s, d) => {
+    val winUs = 600000000L // 10 min in µs = the bin width
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val a = ev.select(col("user_id"), col("us").as("a_us"),
+        expr(s"explode(array(us div $winUs, us div $winUs + 1))").as("bin"))
+    val b = ev.select(col("user_id"), col("us").as("b_us"),
+      expr(s"us div $winUs").as("bin"))
+    a.join(b, Seq("user_id", "bin"))
+      .filter(col("b_us") > col("a_us") && col("b_us") <= col("a_us") + winUs)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        max(col("b_us") - col("a_us")).as("max_gap_us"),
+        min(col("b_us") - col("a_us")).as("min_gap_us"))
+      .orderBy("user_id")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q44_range_join" -> q44_range_join,
     "q43_topn_heap" -> q43_topn_heap,
     "q42_local_supplier" -> q42_local_supplier,
     "q41_histogram" -> q41_histogram,
@@ -767,6 +796,13 @@ object Relational {
         |                ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
         |  FROM orders) t
         |WHERE rn <= 5 ORDER BY o_orderpriority, rn""".stripMargin,
+    "q44_range_join" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events)
+        |SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  max(b.us - a.us) AS max_gap_us, min(b.us - a.us) AS min_gap_us
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |  AND b.us > a.us AND b.us <= a.us + 600000000
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
     "q43_topn_heap" ->
       """SELECT o_orderpriority, o_orderkey, round((o_totalprice) * 100) / 100 AS price, rn FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -116,6 +116,28 @@ class OperatorsSpec extends SparkSpecBase {
     assert(recall >= 0.7, f"dd08 recall $recall%.2f below floor")
   }
 
+  test("q44 bin-blocked range join equals the naive range-predicate join") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    // independent formulation: the range predicate Spark plans as a
+    // nested-loop join — correct, and the 100 TB non-starter q44 avoids
+    val naive = ev.as("a").join(ev.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.us") > col("a.us") && col("b.us") <= col("a.us") + 600000000L)
+      .groupBy(col("a.user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        max(col("b.us") - col("a.us")).as("max_gap_us"),
+        min(col("b.us") - col("a.us")).as("min_gap_us"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val blocked = operators.Relational.q44_range_join(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(blocked == naive, "bin blocking changed the range-join result")
+    val plan = operators.Relational.q44_range_join(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "blocked range join must plan as an equi-join")
+  }
+
   test("pp04 packing equals the single-window cumsum baseline and conserves tokens") {
     import org.apache.spark.sql.expressions.Window
     // independent formulation: the textbook single-partition window
