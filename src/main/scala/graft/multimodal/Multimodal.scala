@@ -153,10 +153,85 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** aHash-style 64-bit perceptual hash of a binary payload: 64
+    * evenly-spaced samples, bit set where the sample clears the mean.
+    * On a real image this runs on the decoded/downscaled luma grid
+    * (the classic average-hash); here it samples raw payload bytes —
+    * same contract, deterministic, pure JVM. Empty payload hashes
+    * to 0.
+    */
+  def aHash64(bytes: Array[Byte]): Long = {
+    val n = bytes.length
+    if (n == 0) return 0L
+    val v = new Array[Int](64)
+    var j = 0
+    var sum = 0L
+    while (j < 64) {
+      v(j) = bytes(((j.toLong * n) / 64).toInt) & 0xff
+      sum += v(j)
+      j += 1
+    }
+    val mean = sum / 64.0
+    var h = 0L
+    j = 0
+    while (j < 64) {
+      if (v(j) >= mean) h |= (1L << (63 - j))
+      j += 1
+    }
+    h
+  }
+
+  /** Near-pairs (hamming ≤ maxHamming) over a (id, phash) frame via
+    * 16-bit band bucketing: candidate generation is an equi-join on
+    * (band, band-bits) — never all pairs — and the exact bit_count
+    * filter verifies. Pigeonhole guarantees full recall only up to
+    * hamming 3 (4 bands); above that banding is approximate, the
+    * standard LSH trade and the same one dd05 makes. Same sublinear
+    * discipline as dd05, applied to the media column.
+    */
+  def hammingPairs(sig: DataFrame, maxHamming: Int): DataFrame = {
+    val bands = sig.toDF("doc_id", "sig")
+      .select(col("doc_id"), col("sig"),
+        posexplode(expr("transform(sequence(0, 3), b -> (sig >> (b * 16)) & 65535L)")))
+      .toDF("doc_id", "sig", "band", "bh")
+    bands.toDF("id1", "sig1", "band", "bh")
+      .join(bands.toDF("id2", "sig2", "band2", "bh2"),
+        col("band") === col("band2") && col("bh") === col("bh2") &&
+          col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        expr("bit_count(sig1 ^ sig2)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // --- mm04: image near-dup via perceptual hash — the multimodal
+  // dedup pass of a training pipeline. Hashing runs inside the same
+  // per-partition decode seam as mm02 (a real build computes aHash on
+  // the decoded luma plane there); pair generation is banded, so the
+  // whole op is one narrow hash pass + one bucket-keyed equi-join.
+  // Rows-only: the hash family is engine-defined (like dd05's
+  // simhash), not ANSI-SQL-expressible without 64-bit unsigned
+  // gymnastics; specs pin hash determinism, banding recall, and the
+  // exact-hamming verify.
+  val mm04_phash_neardup: Q = (s, d) => {
+    val spark = s
+    val src = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("sig", LongType)))
+    val rdd = src.rdd.mapPartitions { rows =>
+      // decoder/hasher init once per partition, as in mm02
+      rows.map(r => Row(r.getLong(0), aHash64(r.getAs[Array[Byte]](1))))
+    }
+    hammingPairs(spark.createDataFrame(rdd, schema), maxHamming = 10)
+      .orderBy("id1", "id2")
+  }
+
   val registry: Map[String, Q] = Map(
     "mm01_binary_meta" -> mm01_binary_meta,
     "mm02_decode_stub" -> mm02_decode_stub,
-    "mm03_frame_sample" -> mm03_frame_sample)
+    "mm03_frame_sample" -> mm03_frame_sample,
+    "mm04_phash_neardup" -> mm04_phash_neardup)
 
   val oracles: Map[String, String] = Map(
     // mm02: the byte-nibble histogram L2 and the magic-byte format

@@ -45,4 +45,34 @@ class ImageHeaderSpec extends SparkSpecBase {
     }.collect().sortBy(_._1)
     assert(out.toList == List((1L, "png", 8), (2L, "gif", 5), (3L, "unknown", -1)))
   }
+
+  test("aHash64: deterministic, identical payloads collide, empty hashes to 0") {
+    val a = "the quick brown fox jumps over the lazy dog, twice over".getBytes
+    assert(Multimodal.aHash64(a) == Multimodal.aHash64(a.clone()))
+    assert(Multimodal.aHash64(Array.empty[Byte]) == 0L)
+    // a constant payload sits exactly at its mean -> all bits set
+    assert(Multimodal.aHash64(Array.fill[Byte](100)(7)) == -1L)
+  }
+
+  test("hammingPairs: banded candidates verify exactly, low-hamming recall holds") {
+    import spark.implicits._
+    // hand-built signatures: 1-2 differ in 2 bits (share 3 bands),
+    // 3 is the complement of 1 (hamming 64), 4 equals 1 (hamming 0)
+    val s1 = 0x0123456789abcdefL
+    val s2 = s1 ^ 0x3L
+    val s3 = ~s1
+    val s4 = s1
+    val sig = Seq((1L, s1), (2L, s2), (3L, s3), (4L, s4)).toDF("doc_id", "sig")
+    val got = Multimodal.hammingPairs(sig, maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 2L), (1L, 4L, 0L), (2L, 4L, 2L)), s"got $got")
+  }
+
+  test("mm04 pairs are exact-hamming-verified and ordered") {
+    val rows = Multimodal.mm04_phash_neardup(spark, sfDir).collect()
+    assert(rows.nonEmpty, "no near-dup payload pairs at spec scale")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= 10 && r.getLong(0) < r.getLong(1))
+    }
+  }
 }
