@@ -78,9 +78,15 @@ object Bench {
         System.err.println(s"[bench] ivf split failed: $e"); Seq.empty
       } finally {
         // don't leak two index-sized parquet copies per bench run —
-        // including when the build or probe throws mid-way
-        if (dir != null) deleteDir(dir)
-        similarity.Similarity.evictIndex(spark, sfDir)
+        // including when the build or probe throws mid-way. Cleanup
+        // failure must not abort the bench (or mask the original
+        // error), so it only logs.
+        try {
+          if (dir != null) deleteDir(dir)
+          similarity.Similarity.evictIndex(spark, sfDir)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] ivf cleanup failed: $e")
+        }
       }
     }
 

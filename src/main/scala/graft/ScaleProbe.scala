@@ -51,27 +51,16 @@ object ScaleProbe {
             .select(col("grp"), posexplode(col("top"))))
       case "cumsum" =>
         val src = spark.range(rows)
-          .select(col("id"), pmod(xxhash64(col("id")), lit(1000)).as("n"))
-        val wAll = Window.orderBy("id")
+          .select(col("id").as("doc_id"),
+            pmod(xxhash64(col("id")), lit(1000)).as("n"))
+        val wAll = Window.orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         time(s"single-partition window cumsum ($rows rows)")(
           src.withColumn("cum", sum("n").over(wAll)))
-        // pp04's shape, inlined (globalCumSum is package-private to
-        // the pipeline): range partition -> bucket offsets -> local
-        // windows + broadcast join
-        val data = src.repartitionByRange(cpus.toInt, col("id"))
-          .withColumn("bkt", spark_partition_id())
-          .localCheckpoint(true)
-        val wOff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-        val offsets = data.groupBy("bkt").agg(sum("n").as("bn"))
-          .withColumn("off", coalesce(sum("bn").over(wOff), lit(0L)))
-          .select("bkt", "off")
-        val wCum = Window.partitionBy("bkt").orderBy("id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // pp04's ACTUAL plan — the shared implementation, so the
+        // measurement can't drift from the shipped code
         time(s"range-partitioned cumsum ($rows rows, incl. checkpoint)")(
-          data.withColumn("pcum", sum("n").over(wCum))
-            .join(broadcast(offsets), Seq("bkt"))
-            .select(col("id"), (col("pcum") + col("off")).as("cum")))
+          pipeline.Pipeline.globalCumSum(src, cpus.toInt))
       case other =>
         System.err.println(s"unknown probe '$other'; use topn | cumsum")
         sys.exit(2)

@@ -46,12 +46,24 @@ object GraftExtensions {
     ("graft_topk",
       info("graft_topk",
         "graft_topk(score, id, k) - bounded top-k (score desc, id asc) aggregate"),
-      (es: Seq[Expression]) => es(2) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(kv, _) =>
-          TopKByScore(es(0), es(1), kv.toString.toInt)
-        case other =>
+      (es: Seq[Expression]) => {
+        // apply the same coercions as the Scala builder
+        // (GraftFunctions.topK): update() unboxes Double/Long, so an
+        // uncast INT/FLOAT/DECIMAL child would CCE at execution
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+        import org.apache.spark.sql.types.{DoubleType, LongType}
+        if (es.length != 3)
           throw new IllegalArgumentException(
-            s"graft_topk k must be a literal, got $other")
+            s"graft_topk expects (score, id, k), got ${es.length} arguments")
+        es(2) match {
+          case Literal(kv: Int, _) => TopKByScore(
+            Cast(es(0), DoubleType), Cast(es(1), LongType), kv)
+          case Literal(kv: Long, _) => TopKByScore(
+            Cast(es(0), DoubleType), Cast(es(1), LongType), kv.toInt)
+          case other =>
+            throw new IllegalArgumentException(
+              s"graft_topk k must be an integer literal, got $other")
+        }
       }))
 
   /** Imperative registration on an existing session (test/driver use). */

@@ -78,7 +78,12 @@ case class TopKByScore(
   override def update(b: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = left.eval(input)
     val id = right.eval(input)
-    if (s != null && id != null)
+    // NaN is excluded like null: it is incomparable under the
+    // buffer's total order, and admitting one would both break the
+    // sorted invariant (nothing beats NaN, NaN beats nothing) and
+    // make results insertion-order-dependent — the monoid property
+    // the whole design rests on
+    if (s != null && id != null && !java.lang.Double.isNaN(s.asInstanceOf[Double]))
       b.insert(s.asInstanceOf[Double], id.asInstanceOf[Long])
     b
   }

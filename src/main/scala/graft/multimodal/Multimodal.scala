@@ -200,8 +200,11 @@ object Multimodal {
           col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         expr("bit_count(sig1 ^ sig2)").cast("long").as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: hamming is a function of the pair, so
+      // the order is result-identical, but band collisions far
+      // outnumber verified near-pairs — dedup only the survivors
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   // --- mm04: image near-dup via perceptual hash — the multimodal

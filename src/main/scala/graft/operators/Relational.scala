@@ -573,6 +573,9 @@ object Relational {
   // each task's slice to ≤ N pairs per group BEFORE the exchange —
   // shuffle volume independent of row count. The spec asserts
   // q43 ≡ q03 and that the plan has no Window and a partial_graft_topk.
+  // Contract nuance vs q03: graft_topk ranks NON-NULL scores only
+  // (the oracle filters likewise); a window ranks null scores last
+  // and would emit them in groups with < N non-null rows.
   val q43_topn_heap: Q = (s, d) =>
     Tables.orders(s, d)
       .groupBy(col("o_orderpriority"))
@@ -808,7 +811,7 @@ object Relational {
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
         |         CAST(row_number() OVER (PARTITION BY o_orderpriority
         |                ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
-        |  FROM orders) t
+        |  FROM orders WHERE o_totalprice IS NOT NULL) t
         |WHERE rn <= 5 ORDER BY o_orderpriority, rn""".stripMargin,
     "q04_agg" ->
       """SELECT l_returnflag, l_linestatus,

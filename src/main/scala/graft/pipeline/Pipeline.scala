@@ -137,9 +137,10 @@ object Pipeline {
     * range-partition → per-bucket totals → prefix offsets over the
     * (nParts)-row bucket table → bucket-local running sum + offset.
     * Input (doc_id, n); output adds `cum`. No window ever sees more
-    * than one bucket's rows.
+    * than one bucket's rows. Shared with [[graft.ScaleProbe]] so the
+    * measured plan IS the shipped plan.
     */
-  private def globalCumSum(toks: DataFrame, nParts: Int = 32): DataFrame = {
+  private[graft] def globalCumSum(toks: DataFrame, nParts: Int = 32): DataFrame = {
     val data = toks
       .repartitionByRange(nParts, col("doc_id"))
       .withColumn("bkt", spark_partition_id())

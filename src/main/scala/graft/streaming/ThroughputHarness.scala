@@ -54,13 +54,14 @@ object ThroughputHarness {
     } finally q.stop()
     // a dead query must fail the measurement, not report 0 rows/s
     q.exception.foreach(throw _)
-    val progs = q.recentProgress.filter(_.numInputRows > 0)
+    // keep only entries that carry BOTH rows and a triggerExecution
+    // duration: durationMs is a Java map, so a missing key is null
+    // (NPE on unboxing), and counting such an entry's rows against
+    // zero time would inflate the measured throughput
+    val progs = q.recentProgress.filter(p =>
+      p.numInputRows > 0 && p.durationMs.get("triggerExecution") != null)
     val rows = progs.map(_.numInputRows).sum
-    // durationMs is a Java map — a progress entry missing the key
-    // yields null, and unboxing null throws an opaque NPE
-    val execMs = progs
-      .map(p => Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L))
-      .sum
+    val execMs = progs.map(_.durationMs.get("triggerExecution").toLong).sum
     Result(
       mode = if (update) "update" else "complete",
       targetRps = targetRps, vocab = vocab,

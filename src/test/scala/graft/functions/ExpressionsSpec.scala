@@ -101,8 +101,26 @@ class ExpressionsSpec extends SparkSpecBase {
     assert(b == Seq((7.0, 20L)))
   }
 
+  test("graft_topk via SQL coerces int score/id columns (no runtime CCE)") {
+    GraftExtensions.register(spark)
+    Seq((1, 10), (3, 11), (2, 12)).toDF("s", "id").createOrReplaceTempView("tki")
+    val top = spark.sql("SELECT graft_topk(s, id, 2) AS top FROM tki")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(top == Seq((3.0, 11L), (2.0, 12L)), s"got $top")
+  }
+
+  test("graft_topk excludes NaN and null scores (monoid order-independence holds)") {
+    GraftExtensions.register(spark)
+    Seq((Some(Double.NaN), 1L), (Some(5.0), 2L), (Some(Double.NaN), 3L),
+      (None, 4L), (Some(7.0), 5L)).toDF("s", "id").createOrReplaceTempView("tkn")
+    val top = spark.sql("SELECT graft_topk(s, id, 3) AS top FROM tkn")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    assert(top == Seq((7.0, 5L), (5.0, 2L)), s"got $top")
+  }
+
   test("q43 bounded-heap top-N equals q03's window formulation, without a Window") {
-    val sfDir = "/root/testdata/sf0.001"
     val viaWindow = graft.operators.Relational.q03_topn_group(spark, sfDir).collect().toSeq
     val viaHeap = graft.operators.Relational.q43_topn_heap(spark, sfDir).collect().toSeq
     assert(viaHeap == viaWindow)
