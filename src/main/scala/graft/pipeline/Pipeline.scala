@@ -208,7 +208,40 @@ object Pipeline {
       .orderBy("lang", "source", "doc_id")
   }
 
+  /** pp07: weighted corpus mixing with epoch oversampling — the data-
+    * mixing step that builds a training mixture from per-source
+    * weights (the "wiki × 2.5, common-crawl × 0.25" knob). A weight w
+    * emits floor(w) full epochs of the source plus one extra epoch
+    * for its md5-rank-first ceil(frac(w)·n) documents, so both
+    * upsampling (w > 1) and downsampling (w < 1) are the same
+    * deterministic mechanism. One scan, stratum-local windows, then a
+    * narrow per-row explode of at most ceil(w) epoch rows — no
+    * shuffle beyond the stratum exchange. Weights here are exact
+    * binary fractions so frac(w)·n is reproducible FP on both
+    * engines.
+    */
+  val pp07_mix_epochs: Q = (s, d) => {
+    val srcNum = expr("CAST(substring(source, 4) AS INT)")
+    val wgt = when(srcNum < 5, 2.5).when(srcNum < 10, 1.0).otherwise(0.25)
+    val wN = Window.partitionBy("source")
+    val wRn = wN.orderBy(md5(col("doc_id").cast("string").cast("binary")),
+      col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+      .withColumn("wgt", wgt)
+      .withColumn("rn", row_number().over(wRn))
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("n_copies", floor(col("wgt")).cast("long") +
+        when(col("rn") <= ceil((col("wgt") - floor(col("wgt"))) * col("n")), 1L)
+          .otherwise(0L))
+      .filter(col("n_copies") >= 1)
+      .select(col("source"), col("doc_id"),
+        explode(expr("sequence(1L, n_copies)")).as("epoch"))
+      .orderBy("source", "doc_id", "epoch")
+  }
+
   val registry: Map[String, Q] = Map(
+    "pp07_mix_epochs" -> pp07_mix_epochs,
     "pp01_clean_corpus" -> pp01_clean_corpus,
     "pp02_curate" -> pp02_curate,
     "pp03_curate_lsh" -> pp03_curate_lsh,
@@ -281,6 +314,24 @@ object Pipeline {
          |FROM sh JOIN ev USING (g)
          |WHERE doc_id % 10 <> 0
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "pp07_mix_epochs" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 2.5
+        |         WHEN CAST(substr(source, 4) AS INT) < 10 THEN 1.0
+        |         ELSE 0.25 END AS wgt,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents),
+        |c AS (SELECT source, doc_id,
+        |        CAST(floor(wgt) AS BIGINT) +
+        |          (CASE WHEN rn <= ceil((wgt - floor(wgt)) * n) THEN 1 ELSE 0 END) AS n_copies
+        |      FROM b)
+        |SELECT source, doc_id, CAST(epoch AS BIGINT) AS epoch
+        |FROM c, LATERAL (SELECT unnest(generate_series(1, n_copies)) AS epoch) e
+        |WHERE n_copies >= 1
+        |ORDER BY source, doc_id, epoch""".stripMargin,
     "pp06_stratified_sample" ->
       """WITH s AS (
         |  SELECT doc_id, lang, source,

@@ -194,6 +194,31 @@ class OperatorsSpec extends SparkSpecBase {
     assert(a == b, "stratified sample is not deterministic")
   }
 
+  test("pp07 epoch mixture honors the per-source weights exactly") {
+    val perSource = Tables.documents(spark, sfDir)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val epochs = pipeline.Pipeline.pp07_mix_epochs(spark, sfDir)
+      .groupBy("source").agg(count(lit(1)).as("rows"),
+        countDistinct("doc_id").as("docs"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    epochs.foreach { case (src, rows, docs) =>
+      val n = perSource(src)
+      val w = src.drop(3).toInt match {
+        case i if i < 5 => 2.5
+        case i if i < 10 => 1.0
+        case _ => 0.25
+      }
+      val extra = math.ceil((w - math.floor(w)) * n).toLong
+      val expectRows = math.floor(w).toLong * n + extra
+      val expectDocs = if (w >= 1.0) n else extra
+      assert(rows == expectRows && docs == expectDocs,
+        s"$src: rows=$rows docs=$docs, expected rows=$expectRows docs=$expectDocs")
+    }
+    // every source appears in the mixture (downsampled, never dropped)
+    assert(epochs.map(_._1).toSet == perSource.keySet)
+  }
+
   test("pp03 LSH-path curation agrees with pp02's exact-path keep-list") {
     val exact = pipeline.Pipeline.pp02_curate(spark, sfDir)
       .select("doc_id").collect().map(_.getLong(0)).toSet
