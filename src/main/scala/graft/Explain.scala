@@ -14,7 +14,9 @@ object Explain {
       else Seq("q05_filter_project", "q06_join_broadcast", "q07_join_shuffle",
         "q08_multi_join", "q42_local_supplier", "dd02_ngram_jaccard",
         "dd03_embed_neardup", "pp02_curate", "pp03_curate_lsh", "tx01_tokens",
-        "ann01_brute_topk", "ann02_ivf_topk", "q23_percentiles")
+        "ann01_brute_topk", "ann02_ivf_topk", "q23_percentiles",
+        "q43_topn_heap", "q44_range_join", "pp04_pack_sequences",
+        "pp05_decontaminate", "mm04_phash_neardup")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
