@@ -363,7 +363,43 @@ object Dedup {
       .orderBy("fp")
   }
 
+  // --- dd09: exact substring duplication (the Lee et al. 2021
+  // "Deduplicating Training Data" signal) — doc pairs sharing ≥ 2
+  // distinct verbatim 8-token windows, i.e. repeated training text
+  // that n-gram JACCARD (dd02) under-weights when the docs are
+  // otherwise different. Every window rides through the codegen'd
+  // rolling hash (graft_rolling_hashes — the same native expression
+  // tx05 uses), so the exploded shuffle key is an 8-byte long, not a
+  // ~50-byte shingle string: same inverted-index/posting-list shape
+  // as dd02 at a fraction of the shuffle volume. Windows appearing in
+  // > dfCap docs are boilerplate and dropped (dd02's guard); equal
+  // windows always collide (same hash), so the only error mode is a
+  // 2^-64 hash collision inventing a shared window — which is why
+  // the ORACLE computes the same pairs from the literal shingle
+  // strings: the gate passing proves the hash path collision-free
+  // on this corpus.
+  val dd09_substring_dups: Q = (s, d) => {
+    val width = 8
+    val dfCap = 64
+    val wh = Tables.documents(s, d)
+      .select(col("doc_id"), expr(toksExpr).as("t"))
+      .filter(size(col("t")) >= width)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.GraftFunctions.rollingHashes("t", width))).as("h"))
+    val postings = wh.groupBy("h").agg(sort_array(collect_set("doc_id")).as("ds"))
+      .filter(size(col("ds")).between(2, dfCap))
+    postings.select(explode(expr(
+      """flatten(transform(ds, (x, i) ->
+        |  transform(slice(ds, i + 2, size(ds)), y -> struct(x AS id1, y AS id2))))"""
+        .stripMargin)).as("p"))
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .orderBy("id1", "id2")
+  }
+
   val registry: Map[String, Q] = Map(
+    "dd09_substring_dups" -> dd09_substring_dups,
     "dd07_keep_longest" -> dd07_keep_longest,
     "dd06_neardup_clusters" -> dd06_neardup_clusters,
     "dd01_exact" -> dd01_exact,
@@ -381,6 +417,15 @@ object Dedup {
       """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
         |  min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY fp ORDER BY fp""".stripMargin,
+    "dd09_substring_dups" ->
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS s
+         |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i FROM t)),
+         |post AS (SELECT s FROM sh GROUP BY s HAVING count(*) BETWEEN 2 AND 64),
+         |idx AS (SELECT sh.doc_id, sh.s FROM sh JOIN post USING (s))
+         |SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY id1, id2""".stripMargin,
     "dd02_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, $sqlToks AS t FROM documents),
          |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s

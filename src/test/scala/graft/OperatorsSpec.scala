@@ -194,6 +194,29 @@ class OperatorsSpec extends SparkSpecBase {
     assert(a == b, "stratified sample is not deterministic")
   }
 
+  test("dd09 substring-dup pairs share the claimed verbatim windows") {
+    // independent driver-side recompute: sliding 8-token windows,
+    // df-capped exactly like the operator
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map { r =>
+        val toks = r.getString(1).toLowerCase.split("\\W+").filter(_.nonEmpty)
+        r.getLong(0) -> (if (toks.length < 8) Set.empty[String]
+          else toks.sliding(8).map(_.mkString(" ")).toSet)
+      }
+    val docFreq = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.size).toMap
+    val kept = docs.map { case (id, ws) =>
+      id -> ws.filter(w => docFreq(w) >= 2 && docFreq(w) <= 64)
+    }
+    val expected = (for {
+      (i, wi) <- kept; (j, wj) <- kept if i < j
+      shared = (wi intersect wj).size if shared >= 2
+    } yield (i, j) -> shared.toLong).toMap
+    val got = dedup.Dedup.dd09_substring_dups(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected,
+      s"pair sets differ: ${(got.keySet diff expected.keySet) ++ (expected.keySet diff got.keySet)}")
+  }
+
   test("pp07 epoch mixture honors the per-source weights exactly") {
     val perSource = Tables.documents(spark, sfDir)
       .groupBy("source").agg(count(lit(1)).as("n"))
