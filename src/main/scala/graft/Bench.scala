@@ -115,16 +115,53 @@ object Bench {
     }
 
     val results = batchResults ++ ivfSplit ++ streamResult ++ thrSecs
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // engine time without the throughput sweep — the sweep's wall
     // clock is dominated by waiting on the rate source to produce
     // load, not by engine work, so it would distort a total-seconds
     // comparison across rounds
     val batchSecs = (batchResults ++ ivfSplit ++ streamResult).map(_._2).sum
-    val thrJson = thrRows.map(_.json).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","batch_seconds":$batchSecs,"queries":$qs,"streaming_throughput":$thrJson,"sf":"$sfDir"}""")
+
+    // The harness that consumes this output keeps only the LAST
+    // ~2000 chars of the build log and parses the JSON line out of
+    // that window; with 80+ full-name entries at Double.toString
+    // precision the line runs ~2900 chars and its head falls outside
+    // the window (rounds 1-4 recorded parsed:null). The stdout line
+    // therefore uses SHORT query keys — the unique name prefix before
+    // the first '_' (q01_wordcount → q01, dd02_ngram_jaccard → dd02;
+    // ann02's build/probe rows disambiguate as ann02b/ann02p) — and
+    // centisecond precision. The full-name, full-precision record
+    // still exists: stderr + ./BENCH_DETAIL.json.
+    def shortKey(k: String): String = k match {
+      case "ann02_ivf_build" => "ann02b"
+      case "ann02_ivf_probe" => "ann02p"
+      case other             => other.takeWhile(_ != '_')
+    }
+    // %f via String.format is locale-sensitive (comma decimal
+    // separator corrupts JSON) — pin Locale.ROOT
+    def fmt(v: Double, dec: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
+    val shorts = results.map { case (k, v) => shortKey(k) -> v }
+    // short keys are unique today; if a future operator breaks that,
+    // fall back to full names rather than silently merging rows
+    val keyed = if (shorts.map(_._1).distinct.size == results.size) shorts else results
+    val qs = keyed.map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
+      .mkString("{", ",", "}")
+    val thrJson = thrRows.map { r =>
+      s"""{"mode":"${r.mode.take(1)}","rps":${r.targetRps},""" +
+        s""""got":${math.round(r.sustainedRps)},"ms":${math.round(r.meanBatchMs)}}"""
+    }.mkString("[", ",", "]")
+
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val fullThr = thrRows.map(_.json).mkString("[", ",", "]")
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","batch_seconds":$batchSecs,"queries":$fullQs,"streaming_throughput":$fullThr,"sf":"$sfDir"}"""
+    System.err.println(detail)
+    try java.nio.file.Files.writeString(java.nio.file.Path.of("BENCH_DETAIL.json"), detail + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+
+    println(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","batch_seconds":${fmt(batchSecs, 1)},"queries":$qs,"streaming_throughput":$thrJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -174,6 +174,22 @@ object Relational {
         col("sum_qty"), col("n"))
       .orderBy("rf", "ls")
 
+  // --- q45: full CUBE + grouping_id (q13's rollup, completed to all
+  // 2^k grouping sets). grouping_id disambiguates a real 'ALL' value
+  // from an aggregated-away dimension — the reason reporting cubes
+  // carry it. One expanded aggregation: Spark rewrites CUBE as an
+  // Expand (4 rows per input row here) feeding ONE partial-aggregated
+  // shuffle on low-cardinality keys — no per-grouping-set rescan.
+  val q45_cube: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(r2(sum("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("gid"), col("sum_qty"), col("n"))
+      .orderBy("gid", "rf", "ls")
+
   // --- q14: post-aggregation filter (HAVING) ---
   val q14_having: Q = (s, d) =>
     Tables.lineitem(s, d)
@@ -647,6 +663,7 @@ object Relational {
     "q11_anti_join" -> q11_anti_join,
     "q12_distinct" -> q12_distinct,
     "q13_rollup" -> q13_rollup,
+    "q45_cube" -> q45_cube,
     "q14_having" -> q14_having,
     "q15_case_agg" -> q15_case_agg,
     "q16_window_funcs" -> q16_window_funcs,
@@ -873,6 +890,11 @@ object Relational {
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
         |  round((sum(l_quantity)) * 100) / 100 AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls""".stripMargin,
+    "q45_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  round((sum(l_quantity)) * 100) / 100 AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY gid, rf, ls""".stripMargin,
     "q14_having" ->
       """SELECT l_partkey, round((sum(l_quantity)) * 100) / 100 AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY l_partkey HAVING round((sum(l_quantity)) * 100) / 100 > 100

@@ -133,6 +133,56 @@ object Pipeline {
       .orderBy("chunk")
   }
 
+  /** pp08: deterministic global shuffle + fixed-size shard packing —
+    * the write side of a training pipeline. Docs are permuted into a
+    * pseudo-random but REPRODUCIBLE order (md5 of the doc id — no
+    * RNG, identical across engines and reruns) and packed into
+    * 128-doc shards by global rank; the output is the shard manifest
+    * (doc/char totals + id bounds per shard). The global rank uses
+    * [[globalRank]] — the same range-partition + per-bucket offset
+    * machinery as [[globalCumSum]], so no single-partition window
+    * touches the corpus: the hash sort-key makes repartitionByRange
+    * itself the shuffle (balanced by construction — hash keys are
+    * uniform, so range buckets are even without sampling skew).
+    */
+  val pp08_shard_pack: Q = (s, d) => {
+    val shardSize = 128
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        md5(col("doc_id").cast("string")).as("k"))
+    globalRank(docs, Seq("k", "doc_id"))
+      .withColumn("shard", floor((col("rn") - 1) / shardSize).cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("shard")
+  }
+
+  /** Exact global row_number over `sortCols` order, scalably: the
+    * rank twin of [[globalCumSum]]. Range-partition on the sort key →
+    * bucket-local row_number → per-bucket counts → prefix offsets
+    * over the nParts-row side table (the only unpartitioned window,
+    * bucket-count-sized) → local rank + bucket offset. Internal
+    * columns are __-prefixed (Quantiles' collision-hygiene rule).
+    */
+  private[graft] def globalRank(df: DataFrame, sortCols: Seq[String],
+                                nParts: Int = 32): DataFrame = {
+    val keys = sortCols.map(col)
+    val data = df
+      .repartitionByRange(nParts, keys: _*)
+      .withColumn("__bkt", spark_partition_id())
+      .localCheckpoint(true) // pin bucket bounds across the two passes
+    val wOff = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = data.groupBy("__bkt").agg(count(lit(1)).as("__bn"))
+      .withColumn("__off", coalesce(sum("__bn").over(wOff), lit(0L)))
+      .select("__bkt", "__off")
+    val wRn = Window.partitionBy("__bkt").orderBy(keys: _*)
+    data.withColumn("__prn", row_number().over(wRn).cast("long"))
+      .join(broadcast(offsets), Seq("__bkt"))
+      .withColumn("rn", col("__prn") + col("__off"))
+      .drop("__bkt", "__prn", "__off")
+  }
+
   /** Exact global cumulative token count in doc_id order, scalably:
     * range-partition → per-bucket totals → prefix offsets over the
     * (nParts)-row bucket table → bucket-local running sum + offset.
@@ -241,6 +291,7 @@ object Pipeline {
   }
 
   val registry: Map[String, Q] = Map(
+    "pp08_shard_pack" -> pp08_shard_pack,
     "pp07_mix_epochs" -> pp07_mix_epochs,
     "pp01_clean_corpus" -> pp01_clean_corpus,
     "pp02_curate" -> pp02_curate,
@@ -253,6 +304,15 @@ object Pipeline {
     "list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "pp08_shard_pack" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT CAST(floor((rn - 1) / 128.0) AS BIGINT) AS shard,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM r GROUP BY shard ORDER BY shard""".stripMargin,
     "pp01_clean_corpus" ->
       s"""WITH scored AS (
          |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,

@@ -70,6 +70,30 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  // --- ann03: the same exact top-k, with the per-query selection as
+  // the bounded-heap aggregate (q43's graft_topk monoid — the
+  // reference topNBolt, WordCountSample.hs:118-216 — applied to ANN).
+  // ann01's window formulation shuffles and sorts ALL n×q scored rows
+  // to rank them; here each map task reduces its slice to ≤ k pairs
+  // per query BEFORE the exchange (ObjectHashAggregate partial agg),
+  // so the shuffle carries O(queries × k × tasks) rows regardless of
+  // corpus size — at 100 TB the window plan moves the whole scored
+  // cross-product, this one moves kilobytes. Same total order
+  // (cos desc, n_id asc), same oracle as ann01.
+  val ann03_topk_agg: Q = (s, d) => {
+    val e = vecs(s, d)
+    val q = queriesOf(s, d)
+    val c = e.select(col("vec_id").as("n_id"), col("v").as("vb"), col("nrm").as("nb"))
+    q.join(c, col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), r6(cosine).as("cos"))
+      .groupBy("q_id")
+      .agg(graft.functions.GraftFunctions.topK("cos", "n_id", 5).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("i", "p")))
+      .select(col("q_id"), (col("i") + 1).cast("long").as("rank"),
+        col("p.id").as("n_id"), r4(col("p.score")).as("cos_r"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Lloyd's k-means centroids, trained on a deterministic hash
     * sample (`pmod(xxhash64(vec_id), sampleMod) = 0` — reproducible,
     * no RNG) and returned NORMALIZED, so nearest-by-dot ≡
@@ -233,18 +257,24 @@ object Similarity {
 
   val registry: Map[String, Q] = Map(
     "ann01_brute_topk" -> ann01_brute_topk,
+    "ann03_topk_agg" -> ann03_topk_agg,
     "ann02_ivf_topk" -> ann02_ivf_topk)
 
+  private val bruteTopkSql =
+    """SELECT q_id, rank, n_id, round(cos * 10000) / 10000 AS cos_r FROM (
+      |  SELECT q_id, n_id, cos,
+      |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+      |  FROM (
+      |    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+      |      round((list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+      |        (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+      |         sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))) * 1000000) / 1000000 AS cos
+      |    FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id <> a.vec_id) s) r
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "ann01_brute_topk" ->
-      """SELECT q_id, rank, n_id, round(cos * 10000) / 10000 AS cos_r FROM (
-        |  SELECT q_id, n_id, cos,
-        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
-        |  FROM (
-        |    SELECT a.vec_id AS q_id, b.vec_id AS n_id,
-        |      round((list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
-        |        (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
-        |         sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))) * 1000000) / 1000000 AS cos
-        |    FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id <> a.vec_id) s) r
-        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)
+    // ann03 computes the same exact result by a different physical
+    // strategy — one oracle text, two plans under test
+    "ann03_topk_agg" -> bruteTopkSql,
+    "ann01_brute_topk" -> bruteTopkSql)
 }

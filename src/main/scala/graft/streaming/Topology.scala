@@ -58,6 +58,27 @@ object Bolts {
     Bolt("dedup", df =>
       df.withWatermark(eventTimeCol, delay)
         .dropDuplicatesWithinWatermark(keys))
+
+  /** Streaming ingest-time dedup against a PERSISTED corpus index —
+    * dd10's delta-batch shape, streamed: each micro-batch anti-joins
+    * the historical fingerprint set (e.g. `spark.table(<dd10 index>)`,
+    * the bucketed table `Dedup.buildFpIndex` maintains), so only
+    * never-seen fingerprints pass downstream. Unlike [[dedup]] this
+    * holds NO stream state: the "state" is the index on disk, which
+    * an ingest pipeline appends to per committed batch — the state
+    * store never grows with corpus history. Stream-static `left_anti`
+    * is outside Structured Streaming's supported-join matrix, so this
+    * composes the supported `left_outer` with an IS NULL filter —
+    * the same rows, batch-planned per micro-batch with the static
+    * side's pushdown intact.
+    */
+  def dedupAgainstIndex(index: DataFrame, fpCol: String): Bolt = {
+    import org.apache.spark.sql.functions.{col, lit}
+    Bolt("dedup-index", df =>
+      df.join(index.select(col(fpCol)).withColumn("__seen", lit(1)),
+          Seq(fpCol), "left_outer")
+        .filter(col("__seen").isNull).drop("__seen"))
+  }
 }
 
 final case class Topology(spout: Spout, bolts: Seq[Bolt], sink: Sink,

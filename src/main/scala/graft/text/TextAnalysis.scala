@@ -216,7 +216,98 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("bigram"))
       .limit(50)
 
+  // --- tx11: boilerplate scoring — what share of each document is
+  // made of the corpus's most common bigrams. The per-doc counterpart
+  // of tx10: tx10 names the boilerplate, tx11 scores every document
+  // against it (the CCNet/RefinedWeb-style "templated page" signal a
+  // filtering pass thresholds on). Scale shape: the top-K table is
+  // tiny by construction (K rows via TakeOrdered, never a full vocab
+  // sort) and BROADCAST into the per-doc join, so the whole pass is
+  // the bigram explode + one partial-aggregated groupBy(doc_id) —
+  // no vocab-sized shuffle touches the corpus twice. Counts are
+  // integers (occurrences, not distinct), so the oracle is exact;
+  // the share uses the r4 idiom.
+  val tx11_boilerplate: Q = (s, d) => {
+    val topK = 200
+    val bigramsExpr =
+      "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+    val bg = Tables.documents(s, d)
+      .select(col("doc_id"), expr(toksExpr).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(bigramsExpr)).as("g"))
+    val top = bg.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("g")).limit(topK)
+      .select(col("g"), lit(1).as("hit"))
+    bg.join(broadcast(top), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), count(col("hit")).as("n_boiler"))
+      .withColumn("boiler_share", r4(col("n_boiler") / col("n_bigrams")))
+      .orderBy("doc_id")
+  }
+
+  // --- tx12: character-entropy quality signal. Shannon entropy of
+  // the per-doc character distribution — the Gopher-style "too
+  // low-entropy to be prose" gate (gibberish and template pages sit
+  // at the tails). Alphabet-sized per-row work: |distinct chars| is
+  // ~dozens regardless of doc length, so the count-per-char transform
+  // is O(|alphabet|·|doc|) inside one codegen'd projection — a single
+  // narrow scan, no shuffle but the presentation sort. The aggregate
+  // folds -p·log2(p) over the distinct-char list; counts are integers
+  // and the ~40-term double sum rounds stably to 4 decimals in both
+  // engines (the repo's established float-parity idiom).
+  val tx12_entropy: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(text, ''), c -> c != '')").as("cs"))
+      .withColumn("n", size(col("cs")))
+      .filter(col("n") > 0)
+      .withColumn("ds", array_distinct(col("cs")))
+      .withColumn("ent", expr(
+        """aggregate(
+          |  transform(ds, ch -> CAST(size(filter(cs, x -> x = ch)) AS DOUBLE) / n),
+          |  0D, (acc, p) -> acc - p * log2(p))""".stripMargin))
+      .select(col("doc_id"), col("n").cast("long").as("n_chars"),
+        size(col("ds")).cast("long").as("n_alphabet"),
+        r4(col("ent")).as("char_entropy"))
+      .orderBy("doc_id")
+
+  // --- tx13: deflate compression-ratio quality signal — the
+  // Gopher-style "compresses too well ⇒ repetitive/templated" gate
+  // (tx08 measures token repetition; this catches sub-token and
+  // long-range redundancy those ratios miss). zlib-deflate is not
+  // expressible in SQL on either engine → rows-only, spec-verified by
+  // an exact driver-side recompute. Physical shape is the mm02
+  // discipline: mapPartitions with per-partition init — ONE Deflater
+  // + one output buffer per task, reset per row, so the inner loop
+  // allocates nothing — a narrow scan in, scalar columns out, no
+  // shuffle but the presentation sort.
+  val tx13_compress: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](1 << 16)
+        it.map { case (id, text) =>
+          val in = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(in)
+          deflater.finish()
+          var out = 0L
+          while (!deflater.finished()) out += deflater.deflate(buf)
+          (id, in.length.toLong, out)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_deflate")
+      .filter(col("n_bytes") > 0)
+      .withColumn("deflate_ratio", r4(col("n_deflate") / col("n_bytes")))
+      .orderBy("doc_id")
+  }
+
   val registry: Map[String, Q] = Map(
+    "tx13_compress" -> tx13_compress,
+    "tx12_entropy" -> tx12_entropy,
+    "tx11_boilerplate" -> tx11_boilerplate,
     "tx00_normalize" -> tx00_normalize,
     "tx10_ngram_stats" -> tx10_ngram_stats,
     "tx06_tfidf" -> tx06_tfidf,
@@ -233,6 +324,31 @@ object TextAnalysis {
     "list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "tx12_entropy" ->
+      """WITH c AS (SELECT doc_id,
+        |    list_filter(string_split(text, ''), x -> x <> '') AS cs
+        |  FROM documents),
+        |d AS (SELECT doc_id, cs, len(cs) AS n, list_distinct(cs) AS ds
+        |  FROM c WHERE len(cs) > 0)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+        |  CAST(len(ds) AS BIGINT) AS n_alphabet,
+        |  round((-1) * list_sum(list_transform(ds, ch ->
+        |    (CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE) / n) *
+        |    log2(CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE) / n))) * 10000) / 10000
+        |    AS char_entropy
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "tx11_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS t FROM documents),
+         |b AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+         |      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM t) x),
+         |tk AS (SELECT g, 1 AS hit FROM (
+         |       SELECT g, count(*) AS cnt FROM b GROUP BY g
+         |       ORDER BY cnt DESC, g LIMIT 200) z)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(count(hit) AS BIGINT) AS n_boiler,
+         |  round((CAST(count(hit) AS DOUBLE) / count(*)) * 10000) / 10000 AS boiler_share
+         |FROM b LEFT JOIN tk USING (g)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "tx10_ngram_stats" ->
       s"""WITH t AS (SELECT $sqlToks AS t FROM documents),
          |b AS (SELECT t[i] || ' ' || t[i+1] AS bigram

@@ -57,6 +57,22 @@ class OperatorsSpec extends SparkSpecBase {
     assert(perQuery.values.forall(_ >= 0.2), s"a query fell below 0.2 recall: $perQuery")
   }
 
+  test("ann03 heap-aggregate top-k equals ann01's window formulation, sans Window") {
+    val win = similarity.Similarity.ann01_brute_topk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val agg = similarity.Similarity.ann03_topk_agg(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(agg.toSeq == win.toSeq, "heap aggregate diverges from the window ranking")
+    // the scale contract: selection happens in a partial-aggregated
+    // ObjectHashAggregate (map tasks emit ≤ k pairs per query before
+    // the exchange) — no Window touches the n×q scored rows
+    val plan = similarity.Similarity.ann03_topk_agg(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("partial_graft_topk"),
+      s"expected partial graft_topk aggregation:\n$plan")
+    assert(!plan.contains("Window"), s"window crept back into ann03:\n$plan")
+  }
+
   test("IVF index: build once / probe many, narrow assignment, pruned probe scan") {
     // second invocation must reuse the session's persisted index, not
     // retrain — the memo hands back the same index dir
@@ -268,6 +284,155 @@ class OperatorsSpec extends SparkSpecBase {
     val p2 = dedup.Dedup.jaccardPairs(spark, sfDir) // fresh build, re-memoized
     assert(p2.count() == p1.count())
     assert(p2.storageLevel != StorageLevel.NONE)
+  }
+
+  test("dd10 incremental dedup: index-side exchange-free, delta-only shuffle, evictable") {
+    import graft.text.TextAnalysis.normText
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val idx = dedup.Dedup.fpIndexFor(s2, sfDir)
+    assert(dedup.Dedup.fpIndexFor(s2, sfDir) == idx, "index rebuilt on second use")
+    val delta = Tables.documents(s2, sfDir)
+      .select(col("doc_id"), md5(normText(col("text")).cast("binary")).as("fp"))
+      .filter(col("doc_id") % dedup.Dedup.deltaMod >= dedup.Dedup.deltaFrom)
+    val out = dedup.Dedup.dedupDelta(s2, delta, idx)
+    // the per-batch scale contract: the bucketed index satisfies the
+    // anti-join's distribution straight off disk, so the ONLY row
+    // exchanges in the plan belong to the delta (join input; the
+    // groupBy reuses the join's fp partitioning)
+    val plan = out.queryExecution.executedPlan.toString
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(plan.contains("SortMergeJoin") && plan.contains("LeftAnti"),
+      s"expected a sort-merge anti-join:\n$plan")
+    assert(nExchanges == 1, s"expected 1 exchange (delta only), got $nExchanges:\n$plan")
+    // correctness vs the direct (no-index) formulation
+    val base = Tables.documents(s2, sfDir)
+      .select(col("doc_id"), md5(normText(col("text")).cast("binary")).as("fp"))
+      .filter(col("doc_id") % dedup.Dedup.deltaMod < dedup.Dedup.deltaFrom)
+      .select("fp").distinct()
+    val expect = delta.join(base, Seq("fp"), "left_anti")
+      .groupBy("fp").agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_delta"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val got = out.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+    // hygiene: evict drops the catalog entry; next use rebuilds
+    dedup.Dedup.evictFpIndex(s2, sfDir)
+    assert(!s2.catalog.tableExists(idx), "evict left the catalog table")
+    assert(dedup.Dedup.fpIndexFor(s2, sfDir) == idx, "rebuild after evict failed")
+    dedup.Dedup.evictFpIndex(s2, sfDir)
+  }
+
+  test("pp08 shard packing equals the single-window rank baseline") {
+    import org.apache.spark.sql.expressions.Window
+    val got = pipeline.Pipeline.pp08_shard_pack(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val baseline = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"), md5(col("doc_id").cast("string")).as("k"))
+      .withColumn("rn", row_number().over(Window.orderBy("k", "doc_id")).cast("long"))
+      .withColumn("shard", floor((col("rn") - 1) / 128).cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == baseline.toSeq)
+    // packing invariant: every shard but the last is exactly full,
+    // shard ids are contiguous from 0
+    assert(got.map(_._1).toSeq == got.indices.map(_.toLong))
+    assert(got.dropRight(1).forall(_._2 == 128L))
+  }
+
+  test("tx11 boilerplate shares match a driver-side recompute") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\W+").filter(_.nonEmpty))
+    val bigrams = docs.map { case (id, t) =>
+      id -> t.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+    }.filter(_._2.nonEmpty)
+    val counts = bigrams.flatMap(_._2).groupBy(identity).map { case (g, o) => g -> o.length }
+    val top = counts.toSeq.sortBy { case (g, c) => (-c, g) }.take(200).map(_._1).toSet
+    val expect = bigrams.map { case (id, gs) =>
+      id -> (gs.size.toLong, gs.count(top).toLong)
+    }.toMap
+    val got = text.TextAnalysis.tx11_boilerplate(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSet == expect.keySet)
+    got.foreach { case (id, (nb, nh, share)) =>
+      val (enb, enh) = expect(id)
+      assert(nb == enb && nh == enh, s"doc $id: ($nb,$nh) vs ($enb,$enh)")
+      assert(share >= 0.0 && share <= 1.0 && math.abs(share - nh.toDouble / nb) < 1e-4)
+    }
+  }
+
+  test("tx12 char entropy matches a driver-side recompute") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .filter(_._2.nonEmpty)
+    val expect = docs.map { case (id, text) =>
+      val n = text.length.toDouble
+      val counts = text.groupBy(identity).map(_._2.length)
+      val ent = -counts.map(c => c / n * (math.log(c / n) / math.log(2))).sum
+      id -> (text.length.toLong, counts.size.toLong, ent)
+    }.toMap
+    val got = text.TextAnalysis.tx12_entropy(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSet == expect.keySet)
+    got.foreach { case (id, (n, a, e)) =>
+      val (en, ea, ee) = expect(id)
+      assert(n == en && a == ea, s"doc $id: ($n,$a) vs ($en,$ea)")
+      assert(math.abs(e - ee) < 1e-4, s"doc $id entropy $e vs $ee")
+    }
+  }
+
+  test("tx13 deflate ratios match a driver-side recompute exactly") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .filter(_._2.nonEmpty)
+    val deflater = new java.util.zip.Deflater(6)
+    val buf = new Array[Byte](1 << 16)
+    val expect = docs.map { case (id, t) =>
+      val in = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      deflater.reset(); deflater.setInput(in); deflater.finish()
+      var out = 0L
+      while (!deflater.finished()) out += deflater.deflate(buf)
+      id -> (in.length.toLong, out)
+    }.toMap
+    val got = text.TextAnalysis.tx13_compress(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSet == expect.keySet)
+    got.foreach { case (id, (nb, nd, ratio)) =>
+      val (enb, end) = expect(id)
+      assert(nb == enb && nd == end, s"doc $id: ($nb,$nd) vs ($enb,$end)")
+      assert(math.abs(ratio - nd.toDouble / nb) < 1e-4)
+    }
+    // the signal discriminates: highly repetitive text compresses
+    // far better than the corpus median
+    val rep = ("the quick brown fox " * 100).getBytes("UTF-8")
+    deflater.reset(); deflater.setInput(rep); deflater.finish()
+    var out = 0L
+    while (!deflater.finished()) out += deflater.deflate(buf)
+    val med = got.map(_._2._3).sorted.apply(got.length / 2)
+    assert(out.toDouble / rep.length < med,
+      "repetitive probe text should compress below the corpus median ratio")
+  }
+
+  test("q45 cube extends q13's rollup with the column-2-only grouping") {
+    val cube = operators.Relational.q45_cube(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> (r.getDouble(3), r.getLong(4)))
+      .toMap
+    val rollup = operators.Relational.q13_rollup(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    // rollup's grouping sets = cube's gid ∈ {0,1,3}; values must agree
+    rollup.foreach { case ((rf, ls), v) =>
+      val gid = (if (rf == "ALL") 2L else 0L) | (if (ls == "ALL") 1L else 0L)
+      assert(cube((rf, ls, gid)) == v, s"cube/rollup disagree at ($rf,$ls)")
+    }
+    // the cube-only sets are exactly gid=2 (per-linestatus over all flags)
+    val extra = cube.keys.filter(_._3 == 2L).toSeq
+    assert(extra.nonEmpty && cube.size == rollup.size + extra.size)
   }
 
   test("exact dedup groups cover all documents exactly once") {

@@ -95,6 +95,7 @@ class ScaleSpec extends SparkSpecBase {
     // i.e. a map, the same shape Spark plans for scalar subqueries.
     val allowed = Map(
       "ann01_brute_topk" -> "all-pairs compare IS the brute-force semantics",
+      "ann03_topk_agg" -> "same all-pairs compare; the selection is the bounded-heap agg",
       "q39_dense_grid" -> "cross of two bounded dims (regions × order statuses)",
       "q40_resample_ffill" -> "single-row broadcast of the global time bounds",
       "q41_histogram" -> "single-row broadcast of the global value bounds",

@@ -219,6 +219,33 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming dedup against a persisted index: only never-seen fingerprints pass") {
+    implicit val sql = spark.sqlContext
+    // the "historical corpus" — in production this is the bucketed
+    // table dd10's buildFpIndex maintains; the bolt only needs the
+    // static DataFrame
+    val seen = spark.createDataFrame(Seq(Tuple1("aaa"), Tuple1("bbb"))).toDF("fp")
+    val mem = MemoryStream[(Long, String)]
+    val topo = Topology(
+      Spout("mem", _ => mem.toDF().toDF("doc_id", "fp")),
+      Seq(Bolts.dedupAgainstIndex(seen, "fp")),
+      Sink("memory", (df, _) => df.writeStream.format("memory")
+        .queryName("idx_dedup").outputMode(OutputMode.Append()).start()))
+    val q = topo.run(spark)
+    try {
+      mem.addData((1L, "aaa"), (2L, "ccc"), (3L, "bbb"), (4L, "ddd"))
+      q.processAllAvailable()
+      // no stream state: a repeat of "ccc" in a later batch passes
+      // again (within-stream dedup is Bolts.dedup's job; this bolt's
+      // contract is purely "not in the historical index")
+      mem.addData((5L, "ccc"), (6L, "aaa"))
+      q.processAllAvailable()
+      val got = spark.table("idx_dedup").select("doc_id", "fp").as[(Long, String)]
+        .collect().toSet
+      assert(got == Set((2L, "ccc"), (4L, "ddd"), (5L, "ccc")))
+    } finally q.stop()
+  }
+
   test("clock: element-wise strictly-greater comparison (clockGt)") {
     val c1 = Clock(Map("p0" -> "5", "p1" -> "7"))
     val c2 = Clock(Map("p0" -> "3", "p1" -> "6"))
