@@ -16,7 +16,11 @@ object Explain {
         "dd03_embed_neardup", "pp02_curate", "pp03_curate_lsh", "tx01_tokens",
         "ann01_brute_topk", "ann02_ivf_topk", "q23_percentiles",
         "q43_topn_heap", "q44_range_join", "pp04_pack_sequences",
-        "pp05_decontaminate", "mm04_phash_neardup")
+        "pp05_decontaminate", "mm04_phash_neardup",
+        "q45_cube", "dd10_incremental", "dd11_incremental_lsh",
+        "pp08_shard_pack", "pp09_decontaminate_fuzzy",
+        "tx11_boilerplate", "tx12_entropy", "tx13_compress",
+        "ann03_topk_agg")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

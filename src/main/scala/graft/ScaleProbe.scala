@@ -61,8 +61,47 @@ object ScaleProbe {
         // measurement can't drift from the shipped code
         time(s"range-partitioned cumsum ($rows rows, incl. checkpoint)")(
           pipeline.Pipeline.globalCumSum(src, cpus.toInt))
+      case "incr" =>
+        // dd10's ingest claim, measured: a fixed-size delta batch
+        // against a 1× and a 10× persisted fingerprint index. What
+        // must stay flat is the SHUFFLE (delta-sized); the index side
+        // is an exchange-free, sort-free streamed scan off its
+        // buckets, so its cost grows with index BYTES but never
+        // re-shuffles or re-sorts the corpus — the naive alternative
+        // (re-running dd01 over base+delta) pays a corpus-sized
+        // shuffle per batch, also timed here for contrast.
+        val deltaRows = 100000L
+        val delta = spark.range(deltaRows)
+          .select(col("id").as("doc_id"),
+            when(col("id") % 2 === 0, md5(concat(lit("doc"), col("id"))))
+              .otherwise(md5(concat(lit("new"), col("id")))).as("fp"))
+        Seq(rows / 10, rows).foreach { n =>
+          val tbl = s"probe_fp_idx_$n"
+          spark.sql(s"DROP TABLE IF EXISTS $tbl")
+          val path = java.nio.file.Files.createTempDirectory("probe-fpidx").toString
+          val t0 = System.nanoTime()
+          spark.range(n).select(md5(concat(lit("doc"), col("id"))).as("fp"))
+            .write.bucketBy(32, "fp").sortBy("fp").option("path", path)
+            .mode("overwrite").format("parquet").saveAsTable(tbl)
+          println(f"index build ($n fps): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          val deltaPass = dedup.Dedup.dedupDelta(spark, delta, tbl)
+          // new fps = groups the base never touched (min stays ≥ 0;
+          // base rows carry doc_id = -1)
+          val naive = spark.table(tbl).select(col("fp"), lit(-1L).as("doc_id"))
+            .unionAll(delta.select("fp", "doc_id"))
+            .groupBy("fp")
+            .agg(min("doc_id").as("mn"), max("doc_id").as("keep_id"))
+            .filter(col("mn") >= 0)
+          // warm pass: absorb Janino/JIT compilation so the timed
+          // runs compare plans, not first-run compilation (the same
+          // warm-code/cold-data discipline as Bench)
+          Seq(deltaPass, naive).foreach(
+            _.write.format("noop").mode("overwrite").save())
+          time(s"dd10 delta pass ($deltaRows delta vs $n-fp index)")(deltaPass)
+          time(s"naive full re-dedup (base $n + delta)")(naive)
+        }
       case other =>
-        System.err.println(s"unknown probe '$other'; use topn | cumsum")
+        System.err.println(s"unknown probe '$other'; use topn | cumsum | incr")
         sys.exit(2)
     }
     spark.stop()

@@ -411,9 +411,13 @@ object Dedup {
   // sorted on fp) and anti-joins each delta against it. Bucketing is
   // the scale pattern: the index side satisfies the join's required
   // distribution straight off disk, so the only exchange in the plan
-  // is the (small) delta batch being shuffled to the bucket count —
-  // per-batch cost scales with the BATCH, not the corpus
-  // (spec-asserted plan shape, DedupSpec). The deterministic split
+  // is the (small) delta batch being shuffled to the bucket count
+  // (spec-asserted plan shape). Precisely: per-batch SHUFFLE and SORT
+  // are delta-sized; the index side remains a sequential exchange-
+  // free streamed scan, whose IO grows with index bytes but never
+  // re-shuffles or re-sorts the corpus (the naive re-dedup pays a
+  // corpus-sized shuffle per batch — measured in ScaleProbe `incr`,
+  // PLANS.md R5). The deterministic split
   // here stands in for ingest time: base = doc_id % 10 < 8 (already
   // ingested), delta = the rest (arriving batch). Output = the
   // delta's genuinely-new fingerprints with the surviving doc and
@@ -496,7 +500,132 @@ object Dedup {
     dedupDelta(s, delta, idx).orderBy("fp")
   }
 
+  // --- dd11: incremental NEAR-dup detection against a persisted LSH
+  // band index — dd10's ingest-time shape on the APPROXIMATE path
+  // (dd11 is to dd04 what dd10 is to dd01). The historical corpus
+  // keeps two bucketed tables: its MinHash band buckets (bucketed on
+  // the single packed band key) and its signatures (bucketed on
+  // doc_id). An arriving delta batch computes signatures in one
+  // native pass, equi-joins the band table for candidates, then
+  // verifies by SIGNATURE-estimated Jaccard (matching components /
+  // 64) against the sig table — so a batch never touches corpus
+  // text, only the index: per-batch cost ∝ delta × collisions.
+  // Verification-by-signature is what keeps the ingest loop
+  // index-local; the measured estimate quality is dd04's (same 64
+  // permutations). Both index joins run with the INDEX side
+  // exchange-free off its buckets; the only shuffles belong to the
+  // delta. Threshold: est ≥ 0.5, dd04's verify bar.
+  val lshBands = 16
+  val lshRows = 4
+
+  /** Signatures for a doc split: (doc_id, sig[64]). */
+  private[graft] def sigsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(graft.text.TextAnalysis.toksExpr).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.minhashSig("t", 64, 3).as("sig"))
+
+  /** Packed band keys: one long per band — band id in the high bits,
+    * the band's 4-row slice hash in the low 32 (a single join column,
+    * so bucketing on it makes the band join exchange-free).
+    */
+  private[graft] def bandKeysOf(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), explode(expr(
+      s"""transform(sequence(0, ${lshBands - 1}, 1),
+         |  b -> bigint(b) * 4294967296L + (bigint(hash(slice(sig, b * $lshRows + 1, $lshRows))) & 4294967295L))"""
+        .stripMargin)).as("bkey"))
+
+  /** Signature-estimated Jaccard of two 64-long MinHash arrays. */
+  private[graft] def estJaccard(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / 64.0
+
+  /** Persist the base split's LSH index: `<table>_bands` bucketed on
+    * bkey and `<table>_sigs` bucketed on doc_id — what an ingest
+    * pipeline appends to per committed batch.
+    */
+  def buildLshIndex(s: SparkSession, d: String, table: String, path: String,
+                    buckets: Int = 8): Unit = {
+    val base = Tables.documents(s, d).filter(col("doc_id") % deltaMod < deltaFrom)
+    val sigs = sigsOf(base)
+    bandKeysOf(sigs)
+      .write.bucketBy(buckets, "bkey").sortBy("bkey")
+      .option("path", s"$path/bands").mode("overwrite").format("parquet")
+      .saveAsTable(table + "_bands")
+    sigs
+      .write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .option("path", s"$path/sigs").mode("overwrite").format("parquet")
+      .saveAsTable(table + "_sigs")
+  }
+
+  private val lshIdxMemo =
+    new java.util.WeakHashMap[SparkSession, collection.mutable.Map[String, String]]()
+
+  /** Build-once/probe-many within a session, validated against the
+    * shared catalog like [[fpIndexFor]].
+    */
+  def lshIndexFor(s: SparkSession, d: String): String = lshIdxMemo.synchronized {
+    val m = lshIdxMemo.computeIfAbsent(s, _ => collection.mutable.Map.empty)
+    m.get(d).filter(t => s.catalog.tableExists(t + "_bands") &&
+      s.catalog.tableExists(t + "_sigs")) match {
+      case Some(table) => table
+      case None =>
+        m.remove(d)
+        val table = "graft_lsh_idx_" + java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(d) & 0xffffffffL)
+        val path = java.nio.file.Files.createTempDirectory("graft-lshidx").toString
+        buildLshIndex(s, d, table, path)
+        m(d) = table
+        table
+    }
+  }
+
+  /** Drop a session's LSH index (both tables + files). */
+  def evictLshIndex(s: SparkSession, d: String): Unit = lshIdxMemo.synchronized {
+    Option(lshIdxMemo.get(s)).flatMap(_.remove(d)).foreach { table =>
+      Seq(table + "_bands", table + "_sigs").foreach { t =>
+        val loc = scala.util.Try(
+          s.sql(s"DESCRIBE TABLE EXTENDED $t").filter(col("col_name") === "Location")
+            .head().getString(1)).toOption
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        loc.filter(_.startsWith("file:")).foreach { l =>
+          import scala.jdk.CollectionConverters._
+          val root = java.nio.file.Path.of(java.net.URI.create(l))
+          if (java.nio.file.Files.exists(root))
+            java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
+      }
+    }
+  }
+
+  /** The per-batch pass against an already-persisted index: delta
+    * band keys → candidate (delta, base) pairs → signature-estimated
+    * Jaccard ≥ τ. Exposed separately from [[dd11_incremental_lsh]]
+    * so callers can run many batches against one build.
+    */
+  def neardupDelta(s: SparkSession, deltaSigs: DataFrame, indexTable: String,
+                   tau: Double = 0.5): DataFrame = {
+    val cand = bandKeysOf(deltaSigs).toDF("delta_id", "bkey")
+      .join(s.table(indexTable + "_bands").toDF("base_id", "bkey"), Seq("bkey"))
+      .select("delta_id", "base_id").distinct()
+    cand
+      .join(s.table(indexTable + "_sigs").toDF("base_id", "base_sig"), Seq("base_id"))
+      .join(deltaSigs.toDF("delta_id", "delta_sig"), Seq("delta_id"))
+      .select(col("delta_id"), col("base_id"),
+        r4(estJaccard(col("delta_sig"), col("base_sig"))).as("est_jacc"))
+      .filter(col("est_jacc") >= tau)
+  }
+
+  val dd11_incremental_lsh: Q = (s, d) => {
+    val idx = lshIndexFor(s, d)
+    val delta = sigsOf(
+      Tables.documents(s, d).filter(col("doc_id") % deltaMod >= deltaFrom))
+    neardupDelta(s, delta, idx).orderBy("delta_id", "base_id")
+  }
+
   val registry: Map[String, Q] = Map(
+    "dd11_incremental_lsh" -> dd11_incremental_lsh,
     "dd10_incremental" -> dd10_incremental,
     "dd09_substring_dups" -> dd09_substring_dups,
     "dd07_keep_longest" -> dd07_keep_longest,

@@ -290,7 +290,39 @@ object Pipeline {
       .orderBy("source", "doc_id", "epoch")
   }
 
+  /** pp09: FUZZY benchmark decontamination — pp05 catches verbatim
+    * 5-gram overlap; this catches paraphrased/near-copy contamination
+    * via MinHash similarity to any eval doc (the dd04 machinery
+    * pointed at the train/eval boundary). Scale shape: the eval split
+    * is benchmark-suite-sized — its band keys and signatures are
+    * BROADCAST — so the whole pass is ONE narrow signature scan over
+    * the train corpus plus broadcast joins; candidate rows (shared
+    * band buckets) are the only thing ever aggregated. Rows-only
+    * (hash-seeded semantics); spec: exact agreement with a
+    * brute-force train×eval estimated-Jaccard sweep.
+    */
+  val pp09_decontaminate_fuzzy: Q = (s, d) => {
+    val tau = 0.35
+    val docs = Tables.documents(s, d)
+    val evalSigs = graft.dedup.Dedup.sigsOf(docs.filter(col("doc_id") % 10 === 0))
+    val trainSigs = graft.dedup.Dedup.sigsOf(docs.filter(col("doc_id") % 10 =!= 0))
+    val cand = graft.dedup.Dedup.bandKeysOf(trainSigs).toDF("doc_id", "bkey")
+      .join(broadcast(graft.dedup.Dedup.bandKeysOf(evalSigs).toDF("eval_id", "bkey")),
+        Seq("bkey"))
+      .select("doc_id", "eval_id").distinct()
+    cand
+      .join(trainSigs, Seq("doc_id"))
+      .join(broadcast(evalSigs.toDF("eval_id", "eval_sig")), Seq("eval_id"))
+      .withColumn("est",
+        graft.dedup.Dedup.estJaccard(col("sig"), col("eval_sig")))
+      .filter(col("est") >= tau)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_eval_matches"), (round(max(col("est")) * 10000) / 10000).as("max_est"))
+      .orderBy("doc_id")
+  }
+
   val registry: Map[String, Q] = Map(
+    "pp09_decontaminate_fuzzy" -> pp09_decontaminate_fuzzy,
     "pp08_shard_pack" -> pp08_shard_pack,
     "pp07_mix_epochs" -> pp07_mix_epochs,
     "pp01_clean_corpus" -> pp01_clean_corpus,

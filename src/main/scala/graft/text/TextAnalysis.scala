@@ -248,26 +248,33 @@ object TextAnalysis {
   // --- tx12: character-entropy quality signal. Shannon entropy of
   // the per-doc character distribution — the Gopher-style "too
   // low-entropy to be prose" gate (gibberish and template pages sit
-  // at the tails). Alphabet-sized per-row work: |distinct chars| is
-  // ~dozens regardless of doc length, so the count-per-char transform
-  // is O(|alphabet|·|doc|) inside one codegen'd projection — a single
-  // narrow scan, no shuffle but the presentation sort. The aggregate
-  // folds -p·log2(p) over the distinct-char list; counts are integers
-  // and the ~40-term double sum rounds stably to 4 decimals in both
-  // engines (the repo's established float-parity idiom).
+  // at the tails). Per-row cost matters here because higher-order
+  // array functions evaluate INTERPRETED per element (they're the one
+  // non-codegen seam in this file): the naive count-per-distinct-char
+  // formulation is O(|alphabet|·|doc|) lambda evals and measured 6 s
+  // at sf0.1, so the frequencies come from a SORT + run-boundary scan
+  // instead — array_sort groups equal chars into runs, the boundary
+  // filter is one adjacent-compare pass, and run lengths are boundary
+  // deltas: O(|doc| log |doc|) with ~2 evals per char. Still a single
+  // narrow scan, no shuffle but the presentation sort. Counts are
+  // integers and the ~40-term double sum rounds stably to 4 decimals
+  // in both engines (the repo's established float-parity idiom).
   val tx12_entropy: Q = (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"),
         expr("filter(split(text, ''), c -> c != '')").as("cs"))
       .withColumn("n", size(col("cs")))
       .filter(col("n") > 0)
-      .withColumn("ds", array_distinct(col("cs")))
+      .withColumn("ss", array_sort(col("cs")))
+      // 1-based positions where a run of equal chars ends
+      .withColumn("bnds", expr(
+        "filter(sequence(1, n), i -> i = n OR element_at(ss, i) != element_at(ss, i + 1))"))
       .withColumn("ent", expr(
         """aggregate(
-          |  transform(ds, ch -> CAST(size(filter(cs, x -> x = ch)) AS DOUBLE) / n),
+          |  transform(bnds, (b, i) -> CAST(b - coalesce(get(bnds, i - 1), 0) AS DOUBLE) / n),
           |  0D, (acc, p) -> acc - p * log2(p))""".stripMargin))
       .select(col("doc_id"), col("n").cast("long").as("n_chars"),
-        size(col("ds")).cast("long").as("n_alphabet"),
+        size(col("bnds")).cast("long").as("n_alphabet"),
         r4(col("ent")).as("char_entropy"))
       .orderBy("doc_id")
 

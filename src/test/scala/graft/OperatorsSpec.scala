@@ -322,6 +322,86 @@ class OperatorsSpec extends SparkSpecBase {
     dedup.Dedup.evictFpIndex(s2, sfDir)
   }
 
+  test("dd11 incremental LSH near-dup: index reuse, delta-only band shuffle, ≡ direct") {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val idx = dedup.Dedup.lshIndexFor(s2, sfDir)
+    assert(dedup.Dedup.lshIndexFor(s2, sfDir) == idx, "index rebuilt on second use")
+    val docs = Tables.documents(s2, sfDir)
+    val deltaSigs = dedup.Dedup.sigsOf(
+      docs.filter(col("doc_id") % dedup.Dedup.deltaMod >= dedup.Dedup.deltaFrom))
+    // the per-batch scale contract: the band join's index side reads
+    // straight off its buckets — the only hash exchange is the delta
+    val bandJoin = dedup.Dedup.bandKeysOf(deltaSigs).toDF("delta_id", "bkey")
+      .join(s2.table(idx + "_bands").toDF("base_id", "bkey"), Seq("bkey"))
+    val plan = bandJoin.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected a sort-merge band join:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"expected 1 exchange (delta only):\n$plan")
+    // result ≡ the direct (no persisted index) formulation — the
+    // hashes are deterministic, so equality is exact
+    val baseSigs = dedup.Dedup.sigsOf(
+      docs.filter(col("doc_id") % dedup.Dedup.deltaMod < dedup.Dedup.deltaFrom))
+    val directCand = dedup.Dedup.bandKeysOf(deltaSigs).toDF("delta_id", "bkey")
+      .join(dedup.Dedup.bandKeysOf(baseSigs).toDF("base_id", "bkey"), Seq("bkey"))
+      .select("delta_id", "base_id").distinct()
+    val direct = directCand
+      .join(baseSigs.toDF("base_id", "base_sig"), Seq("base_id"))
+      .join(deltaSigs.toDF("delta_id", "delta_sig"), Seq("delta_id"))
+      .select(col("delta_id"), col("base_id"),
+        (round(dedup.Dedup.estJaccard(col("delta_sig"), col("base_sig")) * 10000) / 10000)
+          .as("est_jacc"))
+      .filter(col("est_jacc") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = dedup.Dedup.dd11_incremental_lsh(s2, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == direct, "indexed path diverges from the direct formulation")
+    // hygiene: evict drops BOTH catalog tables; next use rebuilds
+    dedup.Dedup.evictLshIndex(s2, sfDir)
+    assert(!s2.catalog.tableExists(idx + "_bands") && !s2.catalog.tableExists(idx + "_sigs"),
+      "evict left catalog tables")
+    assert(dedup.Dedup.lshIndexFor(s2, sfDir) == idx, "rebuild after evict failed")
+    dedup.Dedup.evictLshIndex(s2, sfDir)
+  }
+
+  test("pp09 fuzzy decontamination equals a brute-force estimated-Jaccard sweep") {
+    val docs = Tables.documents(spark, sfDir)
+    val evalSigs = dedup.Dedup.sigsOf(docs.filter(col("doc_id") % 10 === 0))
+      .toDF("eval_id", "eval_sig")
+    val trainSigs = dedup.Dedup.sigsOf(docs.filter(col("doc_id") % 10 =!= 0))
+    // brute force: every train×eval pair, estimated Jaccard from the
+    // same deterministic signatures — tiny at spec scale
+    val brute = trainSigs.crossJoin(evalSigs)
+      .withColumn("est", dedup.Dedup.estJaccard(col("sig"), col("eval_sig")))
+      .filter(col("est") >= 0.35)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), (round(max(col("est")) * 10000) / 10000).as("mx"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val got = pipeline.Pipeline.pp09_decontaminate_fuzzy(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // soundness: band pruning can only MISS pairs — every flag is a
+    // genuine est ≥ τ match, with counts/max bounded by brute force
+    assert(got.keySet.subsetOf(brute.keySet), s"invented flags: ${got.keySet -- brute.keySet}")
+    got.foreach { case (id, (n, mx)) =>
+      val (bn, bmx) = brute(id)
+      assert(n <= bn && mx <= bmx + 1e-9, s"doc $id: ($n,$mx) exceeds brute ($bn,$bmx)")
+    }
+    // recall where it matters: a pair at est ≥ 0.7 misses all 16
+    // bands with probability (1−0.7⁴)¹⁶ ≈ 1% — every strongly
+    // contaminated doc must be flagged (deterministic on this data)
+    val strong = brute.filter(_._2._2 >= 0.7).keySet
+    assert(strong.subsetOf(got.keySet),
+      s"missed strongly contaminated docs: ${strong -- got.keySet}")
+    assert(got.nonEmpty, "no flags at all — spec is vacuous on this corpus")
+    assert(got.keys.forall(_ % 10 != 0), "an eval doc leaked into the train flags")
+    // scale posture: every join against the eval side is broadcast —
+    // nothing sort-merges in this pass
+    val plan = pipeline.Pipeline.pp09_decontaminate_fuzzy(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"eval-side join fell back to a shuffle join:\n$plan")
+  }
+
   test("pp08 shard packing equals the single-window rank baseline") {
     import org.apache.spark.sql.expressions.Window
     val got = pipeline.Pipeline.pp08_shard_pack(spark, sfDir).collect()
