@@ -311,7 +311,36 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // --- tx14: unigram log-probability quality score — the CCNet-style
+  // LM quality filter with the corpus itself as the language model.
+  // Per doc: mean token surprisal −log2 p(tok) under corpus unigram
+  // frequencies, with the vocabulary CAPPED at the top-K terms
+  // (TakeOrdered, tx10's discipline — at web scale the full unigram
+  // table is itself corpus-sized, a capped one is broadcastable by
+  // construction) and out-of-vocabulary tokens floored at 1/total.
+  // High surprisal ⇒ gibberish/rare-token soup; low ⇒ boilerplate.
+  // Scale shape: one wordcount shuffle for the vocab, then explode +
+  // BROADCAST vocab join + partial-agg per-doc mean — two corpus
+  // scans, no vocab-sized shuffle against the corpus. K is a dial;
+  // 1000 here so the OOV path is exercised at test scale.
+  val tx14_unigram_lp: Q = (s, d) => {
+    val topK = 1000
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr(toksExpr)).as("term"))
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(topK)
+    val total = toks.agg(count(lit(1)).cast("double").as("tot"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        (-log2(coalesce(col("cnt").cast("double"), lit(1.0)) / col("tot"))).as("sp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), r4(avg("sp")).as("mean_surprisal"))
+      .orderBy("doc_id")
+  }
+
   val registry: Map[String, Q] = Map(
+    "tx14_unigram_lp" -> tx14_unigram_lp,
     "tx13_compress" -> tx13_compress,
     "tx12_entropy" -> tx12_entropy,
     "tx11_boilerplate" -> tx11_boilerplate,
@@ -331,6 +360,18 @@ object TextAnalysis {
     "list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "tx14_unigram_lp" ->
+      s"""WITH t AS (SELECT doc_id, unnest(t) AS term
+         |  FROM (SELECT doc_id, $sqlToks AS t FROM documents) x),
+         |v AS (SELECT term, cnt FROM (
+         |    SELECT term, count(*) AS cnt FROM t GROUP BY term
+         |    ORDER BY cnt DESC, term LIMIT 1000) z),
+         |tot AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM t)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  round(avg(-log2(coalesce(CAST(cnt AS DOUBLE), 1.0) / tot)) * 10000) / 10000
+         |    AS mean_surprisal
+         |FROM t LEFT JOIN v USING (term) CROSS JOIN tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "tx12_entropy" ->
       """WITH c AS (SELECT doc_id,
         |    list_filter(string_split(text, ''), x -> x <> '') AS cs

@@ -465,6 +465,28 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("tx14 unigram surprisal matches a driver-side recompute") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split("\\W+").filter(_.nonEmpty))
+      .filter(_._2.nonEmpty)
+    val counts = docs.flatMap(_._2).groupBy(identity).map { case (t, o) => t -> o.length.toLong }
+    val vocab = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(1000).toMap
+    val total = counts.values.sum.toDouble
+    val expect = docs.map { case (id, ts) =>
+      val sp = ts.map(t => -math.log(vocab.getOrElse(t, 1L).toDouble / total) / math.log(2))
+      id -> (ts.length.toLong, sp.sum / sp.length)
+    }.toMap
+    val got = text.TextAnalysis.tx14_unigram_lp(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSet == expect.keySet)
+    got.foreach { case (id, (n, sp)) =>
+      val (en, esp) = expect(id)
+      assert(n == en, s"doc $id: $n tokens vs $en")
+      assert(math.abs(sp - esp) < 1e-4, s"doc $id surprisal $sp vs $esp")
+    }
+  }
+
   test("tx13 deflate ratios match a driver-side recompute exactly") {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
