@@ -90,6 +90,31 @@ object Bench {
       }
     }
 
+    // dd11 build/probe asymmetry, same reasoning as the IVF split:
+    // the registered dd11 row pays a cold LSH-index build (fresh
+    // session, empty memo) — these rows isolate what an ingest
+    // deployment actually repeats (the probe) from what it pays once.
+    val lshSplit = {
+      try {
+        dedup.Dedup.evictLshIndex(spark, sfDir) // ensure a cold build
+        val t0 = System.nanoTime()
+        val idx = dedup.Dedup.lshIndexFor(spark, sfDir)
+        val tBuild = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        force(spark)(SparkEntry.queries("dd11_incremental_lsh")(spark, sfDir))
+        val tProbe = (System.nanoTime() - t1) / 1e9
+        System.err.println(s"[bench] dd11 probe used index $idx")
+        Seq("dd11_lsh_build" -> tBuild, "dd11_lsh_probe" -> tProbe)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] lsh split failed: $e"); Seq.empty
+      } finally {
+        try dedup.Dedup.evictLshIndex(spark, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] lsh cleanup failed: $e")
+        }
+      }
+    }
+
     // streaming flagship: the reference's word-count topology
     // (tokenize -> keyed count -> top-N -> exactly-once sink) over the
     // documents corpus, end to end through Structured Streaming
@@ -114,13 +139,13 @@ object Bench {
       (Seq.empty[streaming.ThroughputHarness.Result], Seq.empty[(String, Double)])
     }
 
-    val results = batchResults ++ ivfSplit ++ streamResult ++ thrSecs
+    val results = batchResults ++ ivfSplit ++ lshSplit ++ streamResult ++ thrSecs
     val total = results.map(_._2).sum
     // engine time without the throughput sweep — the sweep's wall
     // clock is dominated by waiting on the rate source to produce
     // load, not by engine work, so it would distort a total-seconds
     // comparison across rounds
-    val batchSecs = (batchResults ++ ivfSplit ++ streamResult).map(_._2).sum
+    val batchSecs = (batchResults ++ ivfSplit ++ lshSplit ++ streamResult).map(_._2).sum
 
     // The harness that consumes this output keeps only the LAST
     // ~2000 chars of the build log and parses the JSON line out of
@@ -135,6 +160,8 @@ object Bench {
     def shortKey(k: String): String = k match {
       case "ann02_ivf_build" => "ann02b"
       case "ann02_ivf_probe" => "ann02p"
+      case "dd11_lsh_build"  => "dd11b"
+      case "dd11_lsh_probe"  => "dd11p"
       case other             => other.takeWhile(_ != '_')
     }
     // %f via String.format is locale-sensitive (comma decimal

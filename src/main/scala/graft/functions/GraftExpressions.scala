@@ -159,6 +159,34 @@ case class NearestCells(child: Expression, cents: Array[Array[Double]], n: Int)
     copy(child = newChild)
 }
 
+/** Character-distribution statistics of a string in ONE pass:
+  * struct(n_chars, n_alphabet, entropy) — code-point count, distinct
+  * code-point count, Shannon entropy (bits) of the code-point
+  * distribution. Exists because every declarative formulation of
+  * per-row frequency counting runs through higher-order array
+  * lambdas, which evaluate INTERPRETED per element: the
+  * count-per-distinct-char version measured 6.1 s at sf0.1 and even
+  * the array_sort + run-boundary rewrite still paid ~3 s for the
+  * interpreted sort comparator. This expression is a plain JVM loop
+  * (ASCII fast path + map fallback) inside whole-stage codegen.
+  */
+case class CharStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_alphabet", LongType, nullable = false),
+    StructField("entropy", DoubleType, nullable = false)))
+  override def prettyName: String = "graft_char_stats"
+
+  override protected def nullSafeEval(a: Any): Any =
+    GraftHashOps.charStats(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHashOps.charStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharStats =
+    copy(child = newChild)
+}
+
 /** JVM loops the generated code calls into (and interpreted eval
   * reuses). xxhash64 here matches Spark's SQL xxhash64 (XXH64 over
   * UTF-8 bytes, seed 42) so native and SQL paths hash identically.
@@ -171,6 +199,48 @@ object GraftHashOps {
 
   private def hashLong(v: Long, seed: Long): Long =
     XxHash64Function.hash(v, LongType, seed)
+
+  private val LOG2 = math.log(2.0)
+
+  def charStats(s: UTF8String): Any = {
+    val str = s.toString
+    val ascii = new Array[Long](128)
+    var other: java.util.HashMap[Integer, Array[Long]] = null
+    var i = 0
+    var total = 0L
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      if (cp < 128) ascii(cp) += 1
+      else {
+        if (other == null) other = new java.util.HashMap[Integer, Array[Long]]()
+        val slot = other.get(cp)
+        if (slot == null) other.put(cp, Array(1L)) else slot(0) += 1
+      }
+      total += 1
+      i += Character.charCount(cp)
+    }
+    var alphabet = 0L
+    var ent = 0.0
+    val nD = total.toDouble
+    var c = 0
+    while (c < 128) {
+      if (ascii(c) > 0) {
+        alphabet += 1
+        val p = ascii(c) / nD
+        ent -= p * (math.log(p) / LOG2)
+      }
+      c += 1
+    }
+    if (other != null) {
+      val it = other.values().iterator()
+      while (it.hasNext) {
+        alphabet += 1
+        val p = it.next()(0) / nD
+        ent -= p * (math.log(p) / LOG2)
+      }
+    }
+    new GenericInternalRow(Array[Any](total, alphabet, ent))
+  }
 
   def l2norm(v: ArrayData): Double = {
     val n = v.numElements()
@@ -297,6 +367,7 @@ object GraftFunctions {
     column(MinHashSig(attr(toks), k, width))
   def nearestCells(v: String, cents: Array[Array[Double]], n: Int): Column =
     column(NearestCells(attr(v), cents, n))
+  def charStats(text: String): Column = column(CharStats(attr(text)))
   def topK(score: String, id: String, k: Int): Column =
     column(TopKByScore(
       Cast(attr(score), DoubleType), Cast(attr(id), LongType), k)

@@ -43,6 +43,10 @@ object GraftExtensions {
           throw new IllegalArgumentException(
             s"graft_rolling_hashes width must be a literal, got $other")
       }),
+    ("graft_char_stats",
+      info("graft_char_stats",
+        "graft_char_stats(text) - struct(n_chars, n_alphabet, entropy) of the char distribution"),
+      (es: Seq[Expression]) => CharStats(es(0))),
     ("graft_topk",
       info("graft_topk",
         "graft_topk(score, id, k) - bounded top-k (score desc, id asc) aggregate"),

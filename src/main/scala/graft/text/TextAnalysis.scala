@@ -248,34 +248,24 @@ object TextAnalysis {
   // --- tx12: character-entropy quality signal. Shannon entropy of
   // the per-doc character distribution — the Gopher-style "too
   // low-entropy to be prose" gate (gibberish and template pages sit
-  // at the tails). Per-row cost matters here because higher-order
-  // array functions evaluate INTERPRETED per element (they're the one
-  // non-codegen seam in this file): the naive count-per-distinct-char
-  // formulation is O(|alphabet|·|doc|) lambda evals and measured 6 s
-  // at sf0.1, so the frequencies come from a SORT + run-boundary scan
-  // instead — array_sort groups equal chars into runs, the boundary
-  // filter is one adjacent-compare pass, and run lengths are boundary
-  // deltas: O(|doc| log |doc|) with ~2 evals per char. Still a single
-  // narrow scan, no shuffle but the presentation sort. Counts are
-  // integers and the ~40-term double sum rounds stably to 4 decimals
-  // in both engines (the repo's established float-parity idiom).
+  // at the tails). Frequency counting is the native codegen'd
+  // [[graft.functions.CharStats]] expression (one JVM pass per doc):
+  // the declarative formulations all route per-char work through
+  // higher-order array lambdas, which evaluate interpreted — the
+  // count-per-distinct-char version measured 6.1 s at sf0.1 and the
+  // array_sort + run-boundary rewrite still ~3 s (interpreted sort
+  // comparator) — so this is exactly the "custom native Expression
+  // beats HOF folds" case dd03 established. Single narrow scan, no
+  // shuffle but the presentation sort; the ~40-term double sum rounds
+  // stably to 4 decimals in both engines.
   val tx12_entropy: Q = (s, d) =>
     Tables.documents(s, d)
       .select(col("doc_id"),
-        expr("filter(split(text, ''), c -> c != '')").as("cs"))
-      .withColumn("n", size(col("cs")))
-      .filter(col("n") > 0)
-      .withColumn("ss", array_sort(col("cs")))
-      // 1-based positions where a run of equal chars ends
-      .withColumn("bnds", expr(
-        "filter(sequence(1, n), i -> i = n OR element_at(ss, i) != element_at(ss, i + 1))"))
-      .withColumn("ent", expr(
-        """aggregate(
-          |  transform(bnds, (b, i) -> CAST(b - coalesce(get(bnds, i - 1), 0) AS DOUBLE) / n),
-          |  0D, (acc, p) -> acc - p * log2(p))""".stripMargin))
-      .select(col("doc_id"), col("n").cast("long").as("n_chars"),
-        size(col("bnds")).cast("long").as("n_alphabet"),
-        r4(col("ent")).as("char_entropy"))
+        graft.functions.GraftFunctions.charStats("text").as("cs"))
+      .filter(col("cs.n_chars") > 0)
+      .select(col("doc_id"), col("cs.n_chars").as("n_chars"),
+        col("cs.n_alphabet").as("n_alphabet"),
+        r4(col("cs.entropy")).as("char_entropy"))
       .orderBy("doc_id")
 
   // --- tx13: deflate compression-ratio quality signal — the
@@ -294,6 +284,11 @@ object TextAnalysis {
       .as[(Long, String)]
       .mapPartitions { it =>
         val deflater = new java.util.zip.Deflater(6)
+        // Deflater holds native (off-heap) memory; releasing it on
+        // task completion keeps a long-lived executor's footprint flat
+        // instead of waiting on GC cleaners
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](1 << 16)
         it.map { case (id, text) =>
           val in = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)

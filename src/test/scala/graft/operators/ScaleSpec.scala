@@ -100,6 +100,7 @@ class ScaleSpec extends SparkSpecBase {
       "q40_resample_ffill" -> "single-row broadcast of the global time bounds",
       "q41_histogram" -> "single-row broadcast of the global value bounds",
       "tx06_tfidf" -> "single-row broadcast of the corpus doc count",
+      "tx14_unigram_lp" -> "single-row broadcast of the corpus token total",
       "tx09_corpus_stats" -> "1×1 cross of two grand aggregates")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => allowed.contains(name) }
@@ -119,11 +120,15 @@ class ScaleSpec extends SparkSpecBase {
       """SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
         |       graft_l2norm(array(3.0D, 4.0D)) AS n,
         |       graft_simhash64(array('a', 'b')) AS s,
-        |       size(graft_rolling_hashes(array('a','b','c','d','e','f'), 5)) AS w
+        |       size(graft_rolling_hashes(array('a','b','c','d','e','f'), 5)) AS w,
+        |       graft_char_stats('aab') AS cs
         |""".stripMargin).collect()(0)
     assert(row.getAs[Double]("d") == 11.0)
     assert(row.getAs[Double]("n") == 5.0)
     assert(row.getAs[Long]("s") != 0L)
     assert(row.getAs[Int]("w") == 2)
+    val cs = row.getStruct(row.fieldIndex("cs"))
+    assert(cs.getLong(0) == 3L && cs.getLong(1) == 2L)
+    assert(math.abs(cs.getDouble(2) - 0.9183) < 1e-4)
   }
 }
