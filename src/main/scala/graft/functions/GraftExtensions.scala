@@ -47,6 +47,10 @@ object GraftExtensions {
       info("graft_char_stats",
         "graft_char_stats(text) - struct(n_chars, n_alphabet, entropy) of the char distribution"),
       (es: Seq[Expression]) => CharStats(es(0))),
+    ("graft_token_stats",
+      info("graft_token_stats",
+        "graft_token_stats(tokens) - struct(n_tokens, n_uniq, n_big_uniq, top_count) of array<string>"),
+      (es: Seq[Expression]) => TokenStats(es(0))),
     ("graft_topk",
       info("graft_topk",
         "graft_topk(score, id, k) - bounded top-k (score desc, id asc) aggregate"),

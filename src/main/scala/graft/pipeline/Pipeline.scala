@@ -77,20 +77,22 @@ object Pipeline {
       .toDF("doc_id", "cluster_id")
       .select(col("doc_id").as("dup_id"))
 
-  /** The repetition-quality gate shared by pp02/pp03 (tx08's signals). */
+  /** The repetition-quality gate shared by pp02/pp03 (tx08's
+    * signals, via the same native TokenStats counts).
+    */
   private def gatedDocs(s: SparkSession, d: String) = {
     val scored = Tables.documents(s, d)
       .select(col("doc_id"), expr(toksExpr).as("t"))
+      .select(col("doc_id"), graft.functions.GraftFunctions.tokenStats("t").as("ts"))
       .select(col("doc_id"),
-        size(col("t")).cast("long").as("n_tokens"),
-        expr(
-          """IF(size(t) >= 2,
-            |  1.0 - size(array_distinct(transform(sequence(1, size(t) - 1),
-            |        i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))))
-            |      / CAST(size(t) - 1 AS DOUBLE),
-            |  CAST(NULL AS DOUBLE))""".stripMargin).as("dup2"),
-        (expr("array_max(transform(array_distinct(t), x -> size(filter(t, y -> y = x))))")
-          .cast("double") / nullif(size(col("t")), lit(0))).as("top_share"))
+        col("ts.n_tokens").as("n_tokens"),
+        when(col("ts.n_tokens") >= 2,
+          lit(1.0) - col("ts.n_big_uniq").cast("double") /
+            (col("ts.n_tokens") - 1).cast("double"))
+          .otherwise(lit(null).cast("double")).as("dup2"),
+        (when(col("ts.n_tokens") > 0, col("ts.top_count").cast("double"))
+          .otherwise(lit(null).cast("double")) /
+          nullif(col("ts.n_tokens"), lit(0L))).as("top_share"))
     // Filtering directly on the aliased columns lets Catalyst collapse
     // filter+projection, duplicating the big lambda trees into one
     // oversized stage (measured 7× slower at sf0.1 — codegen gives

@@ -121,7 +121,8 @@ class ScaleSpec extends SparkSpecBase {
         |       graft_l2norm(array(3.0D, 4.0D)) AS n,
         |       graft_simhash64(array('a', 'b')) AS s,
         |       size(graft_rolling_hashes(array('a','b','c','d','e','f'), 5)) AS w,
-        |       graft_char_stats('aab') AS cs
+        |       graft_char_stats('aab') AS cs,
+        |       graft_token_stats(array('a', 'b', 'a', 'b', 'a')) AS ts
         |""".stripMargin).collect()(0)
     assert(row.getAs[Double]("d") == 11.0)
     assert(row.getAs[Double]("n") == 5.0)
@@ -130,5 +131,9 @@ class ScaleSpec extends SparkSpecBase {
     val cs = row.getStruct(row.fieldIndex("cs"))
     assert(cs.getLong(0) == 3L && cs.getLong(1) == 2L)
     assert(math.abs(cs.getDouble(2) - 0.9183) < 1e-4)
+    // (a b a b a): 5 tokens, 2 distinct, bigrams {a b, b a}, top count 3
+    val ts = row.getStruct(row.fieldIndex("ts"))
+    assert(ts.getLong(0) == 5L && ts.getLong(1) == 2L &&
+      ts.getLong(2) == 2L && ts.getLong(3) == 3L)
   }
 }
