@@ -86,12 +86,15 @@ object ScaleProbe {
           println(f"index build ($n fps): ${(System.nanoTime() - t0) / 1e9}%.2f s")
           val deltaPass = dedup.Dedup.dedupDelta(spark, delta, tbl)
           // new fps = groups the base never touched (min stays ≥ 0;
-          // base rows carry doc_id = -1)
+          // base rows carry doc_id = -1). Matching dd10's output
+          // semantics: keep_id = min surviving doc, n_delta = count —
+          // the contrast must compute the same answer it is timed
+          // against.
           val naive = spark.table(tbl).select(col("fp"), lit(-1L).as("doc_id"))
             .unionAll(delta.select("fp", "doc_id"))
             .groupBy("fp")
-            .agg(min("doc_id").as("mn"), max("doc_id").as("keep_id"))
-            .filter(col("mn") >= 0)
+            .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_delta"))
+            .filter(col("keep_id") >= 0)
           // warm pass: absorb Janino/JIT compilation so the timed
           // runs compare plans, not first-run compilation (the same
           // warm-code/cold-data discipline as Bench)

@@ -460,9 +460,41 @@ object Dedup {
         val table = "graft_fp_idx_" + java.lang.Long.toHexString(
           scala.util.hashing.MurmurHash3.stringHash(d) & 0xffffffffL)
         val path = java.nio.file.Files.createTempDirectory("graft-fpidx").toString
-        buildFpIndex(s, d, table, path)
+        // a failed build must not leak its partial table/files: the
+        // memo has no entry yet, so no evict call could clean it up
+        try buildFpIndex(s, d, table, path)
+        catch { case e: Throwable =>
+          scala.util.Try(dropTableWithFiles(s, table))
+          scala.util.Try(deleteRecursively(path))
+          throw e
+        }
         m(d) = table
         table
+    }
+  }
+
+  private def deleteRecursively(path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Path.of(path)
+    if (java.nio.file.Files.exists(root))
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
+  /** Drop a catalog table and its backing files (file: scheme only) —
+    * the shared cleanup for every persisted-index evictor.
+    */
+  private def dropTableWithFiles(s: SparkSession, table: String): Unit = {
+    val loc = scala.util.Try(
+      s.sql(s"DESCRIBE TABLE EXTENDED $table").filter(col("col_name") === "Location")
+        .head().getString(1)).toOption
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    loc.filter(_.startsWith("file:")).foreach { l =>
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Path.of(java.net.URI.create(l))
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
 
@@ -470,19 +502,8 @@ object Dedup {
     * entry + files) — cache hygiene for long-lived sessions.
     */
   def evictFpIndex(s: SparkSession, d: String): Unit = fpIdxMemo.synchronized {
-    Option(fpIdxMemo.get(s)).flatMap(_.remove(d)).foreach { table =>
-      val loc = scala.util.Try(
-        s.sql(s"DESCRIBE TABLE EXTENDED $table").filter(col("col_name") === "Location")
-          .head().getString(1)).toOption
-      s.sql(s"DROP TABLE IF EXISTS $table")
-      loc.filter(_.startsWith("file:")).foreach { l =>
-        import scala.jdk.CollectionConverters._
-        val root = java.nio.file.Path.of(java.net.URI.create(l))
-        if (java.nio.file.Files.exists(root))
-          java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
-    }
+    Option(fpIdxMemo.get(s)).flatMap(_.remove(d))
+      .foreach(dropTableWithFiles(s, _))
   }
 
   /** The per-batch pass: delta fingerprints anti-joined against the
@@ -574,7 +595,16 @@ object Dedup {
         val table = "graft_lsh_idx_" + java.lang.Long.toHexString(
           scala.util.hashing.MurmurHash3.stringHash(d) & 0xffffffffL)
         val path = java.nio.file.Files.createTempDirectory("graft-lshidx").toString
-        buildLshIndex(s, d, table, path)
+        // same guard as fpIndexFor: a half-built index (e.g. _bands
+        // written, _sigs failed) is invisible to evictLshIndex — clean
+        // it here or it leaks for the life of the process
+        try buildLshIndex(s, d, table, path)
+        catch { case e: Throwable =>
+          Seq(table + "_bands", table + "_sigs")
+            .foreach(t => scala.util.Try(dropTableWithFiles(s, t)))
+          scala.util.Try(deleteRecursively(path))
+          throw e
+        }
         m(d) = table
         table
     }
@@ -583,19 +613,8 @@ object Dedup {
   /** Drop a session's LSH index (both tables + files). */
   def evictLshIndex(s: SparkSession, d: String): Unit = lshIdxMemo.synchronized {
     Option(lshIdxMemo.get(s)).flatMap(_.remove(d)).foreach { table =>
-      Seq(table + "_bands", table + "_sigs").foreach { t =>
-        val loc = scala.util.Try(
-          s.sql(s"DESCRIBE TABLE EXTENDED $t").filter(col("col_name") === "Location")
-            .head().getString(1)).toOption
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        loc.filter(_.startsWith("file:")).foreach { l =>
-          import scala.jdk.CollectionConverters._
-          val root = java.nio.file.Path.of(java.net.URI.create(l))
-          if (java.nio.file.Files.exists(root))
-            java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-              .foreach(java.nio.file.Files.deleteIfExists(_))
-        }
-      }
+      Seq(table + "_bands", table + "_sigs")
+        .foreach(dropTableWithFiles(s, _))
     }
   }
 
@@ -606,12 +625,19 @@ object Dedup {
     */
   def neardupDelta(s: SparkSession, deltaSigs: DataFrame, indexTable: String,
                    tau: Double = 0.5): DataFrame = {
-    val cand = bandKeysOf(deltaSigs).toDF("delta_id", "bkey")
+    // the signature scan feeds two independent plan branches (band
+    // keys for candidates, the final sig join) with no shared
+    // exchange for ReuseExchange to dedupe — a lazy localCheckpoint
+    // materializes the (id, 64-long) rows once instead of running
+    // tokenize+minhash over the batch twice (gatedDocs' barrier
+    // pattern, Pipeline.scala)
+    val sigs = deltaSigs.localCheckpoint(false)
+    val cand = bandKeysOf(sigs).toDF("delta_id", "bkey")
       .join(s.table(indexTable + "_bands").toDF("base_id", "bkey"), Seq("bkey"))
       .select("delta_id", "base_id").distinct()
     cand
       .join(s.table(indexTable + "_sigs").toDF("base_id", "base_sig"), Seq("base_id"))
-      .join(deltaSigs.toDF("delta_id", "delta_sig"), Seq("delta_id"))
+      .join(sigs.toDF("delta_id", "delta_sig"), Seq("delta_id"))
       .select(col("delta_id"), col("base_id"),
         r4(estJaccard(col("delta_sig"), col("base_sig"))).as("est_jacc"))
       .filter(col("est_jacc") >= tau)

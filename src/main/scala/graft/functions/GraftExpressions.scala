@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -230,7 +231,7 @@ object GraftHashOps {
 
   private val LOG2 = math.log(2.0)
 
-  def tokenStats(toks: ArrayData): Any = {
+  def tokenStats(toks: ArrayData): InternalRow = {
     val n = toks.numElements()
     val counts = new java.util.HashMap[UTF8String, Array[Long]]()
     var top = 0L
@@ -260,7 +261,7 @@ object GraftHashOps {
     new GenericInternalRow(Array[Any](n.toLong, counts.size.toLong, bigrams, top))
   }
 
-  def charStats(s: UTF8String): Any = {
+  def charStats(s: UTF8String): InternalRow = {
     val str = s.toString
     val ascii = new Array[Long](128)
     var other: java.util.HashMap[Integer, Array[Long]] = null

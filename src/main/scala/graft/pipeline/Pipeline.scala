@@ -306,8 +306,14 @@ object Pipeline {
   val pp09_decontaminate_fuzzy: Q = (s, d) => {
     val tau = 0.35
     val docs = Tables.documents(s, d)
+    // both signature sets feed two plan branches each (band keys +
+    // the verify join); the lazy localCheckpoint barrier materializes
+    // each ONCE — without it Spark re-tokenizes and re-minhashes the
+    // corpus per branch (no shared exchange for ReuseExchange)
     val evalSigs = graft.dedup.Dedup.sigsOf(docs.filter(col("doc_id") % 10 === 0))
+      .localCheckpoint(false)
     val trainSigs = graft.dedup.Dedup.sigsOf(docs.filter(col("doc_id") % 10 =!= 0))
+      .localCheckpoint(false)
     val cand = graft.dedup.Dedup.bandKeysOf(trainSigs).toDF("doc_id", "bkey")
       .join(broadcast(graft.dedup.Dedup.bandKeysOf(evalSigs).toDF("eval_id", "bkey")),
         Seq("bkey"))

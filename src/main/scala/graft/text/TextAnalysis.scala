@@ -327,9 +327,12 @@ object TextAnalysis {
     val topK = 1000
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), explode(expr(toksExpr)).as("term"))
-    val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("term")).limit(topK)
-    val total = toks.agg(count(lit(1)).cast("double").as("tot"))
+    // vocab and total both derive from ONE wordcount — sharing the
+    // term exchange (ReuseExchange) instead of tokenizing the corpus
+    // once per branch; total = sum of counts ≡ token count exactly
+    val wc = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val vocab = wc.orderBy(col("cnt").desc, col("term")).limit(topK)
+    val total = wc.agg(sum("cnt").cast("double").as("tot"))
     toks.join(broadcast(vocab), Seq("term"), "left")
       .crossJoin(broadcast(total))
       .select(col("doc_id"),

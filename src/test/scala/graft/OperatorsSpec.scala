@@ -450,10 +450,15 @@ class OperatorsSpec extends SparkSpecBase {
       .map(r => r.getLong(0) -> r.getString(1))
       .filter(_._2.nonEmpty)
     val expect = docs.map { case (id, text) =>
-      val n = text.length.toDouble
-      val counts = text.groupBy(identity).map(_._2.length)
+      // code points, not UTF-16 chars — CharStats (and the DuckDB
+      // oracle) count astral-plane characters once, not as two
+      // surrogates
+      import scala.jdk.CollectionConverters._
+      val cps = text.codePoints().iterator().asScala.toSeq
+      val n = cps.length.toDouble
+      val counts = cps.groupBy(identity).map(_._2.length)
       val ent = -counts.map(c => c / n * (math.log(c / n) / math.log(2))).sum
-      id -> (text.length.toLong, counts.size.toLong, ent)
+      id -> (cps.length.toLong, counts.size.toLong, ent)
     }.toMap
     val got = text.TextAnalysis.tx12_entropy(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))

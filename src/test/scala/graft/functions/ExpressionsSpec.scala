@@ -120,6 +120,26 @@ class ExpressionsSpec extends SparkSpecBase {
     assert(top == Seq((7.0, 5L), (5.0, 2L)), s"got $top")
   }
 
+  test("struct-returning expressions survive whole-stage codegen with fallback disabled") {
+    // Regression guard: a JVM-side return type of Object (instead of
+    // InternalRow) makes the generated assignment a Janino compile
+    // error, and Spark SILENTLY drops the whole fused stage to
+    // interpreted execution — every test stays green while the
+    // expression's reason to exist (stay inside codegen) is defeated.
+    // Disabling the fallback turns that miscompile into a hard error.
+    val strict = spark.newSession()
+    strict.conf.set("spark.sql.codegen.fallback", "false")
+    strict.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    val chars = graft.Tables.documents(strict, sfDir)
+      .select(GraftFunctions.charStats("text").as("cs"))
+      .select(col("cs.n_chars"), col("cs.entropy"))
+    val toks = graft.Tables.documents(strict, sfDir)
+      .select(expr(graft.text.TextAnalysis.toksExpr).as("t"))
+      .select(GraftFunctions.tokenStats("t").as("ts"))
+      .select(col("ts.n_tokens"), col("ts.n_uniq"))
+    assert(chars.collect().nonEmpty && toks.collect().nonEmpty)
+  }
+
   test("q43 bounded-heap top-N equals q03's window formulation, without a Window") {
     val viaWindow = graft.operators.Relational.q03_topn_group(spark, sfDir).collect().toSeq
     val viaHeap = graft.operators.Relational.q43_topn_heap(spark, sfDir).collect().toSeq
