@@ -20,6 +20,7 @@ object Explain {
         "q45_cube", "dd10_incremental", "dd11_incremental_lsh",
         "pp08_shard_pack", "pp09_decontaminate_fuzzy",
         "tx11_boilerplate", "tx12_entropy", "tx13_compress", "tx14_unigram_lp",
+        "tx15_bpe_tokens",
         "ann03_topk_agg")
     val spark = SparkSession.builder()
       .master("local[4]")

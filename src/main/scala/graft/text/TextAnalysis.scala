@@ -342,7 +342,40 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** GPT-2-style pre-tokenizer pattern (the published regex shape:
+    * contractions, space-prefixed letter/number runs, punctuation
+    * runs, trailing-whitespace handling). Java-regex semantics on
+    * both the executor and the spec's driver-side recompute.
+    */
+  val bpePattern =
+    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+
+  // --- tx15: BPE-ish token counting — token statistics under a
+  // GPT-2-style PRE-TOKENIZER instead of tx01's \W+ word split. This
+  // is the count that actually predicts training cost (whitespace
+  // and punctuation become tokens; "don't" is 2-3 tokens, not 1), so
+  // a pipeline budgets sequences on it, not on word counts.
+  // chars_per_token is the standard fertility/compression proxy.
+  // The pattern needs lookahead, which DuckDB's RE2 engine lacks →
+  // rows-only; the spec recomputes with the same Java regex, so the
+  // check is exact. Scale shape: one regexp_extract_all projection +
+  // the native TokenStats pass — narrow scan, no shuffle but the
+  // presentation sort.
+  val tx15_bpe_tokens: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        regexp_extract_all(col("text"), lit(bpePattern), lit(0)).as("bt"))
+      .select(col("doc_id"), col("n_chars"),
+        graft.functions.GraftFunctions.tokenStats("bt").as("ts"))
+      .filter(col("ts.n_tokens") > 0)
+      .select(col("doc_id"),
+        col("ts.n_tokens").as("n_bpe_tokens"),
+        col("ts.n_uniq").as("n_uniq"),
+        r4(col("n_chars").cast("double") / col("ts.n_tokens")).as("chars_per_token"))
+      .orderBy("doc_id")
+
   val registry: Map[String, Q] = Map(
+    "tx15_bpe_tokens" -> tx15_bpe_tokens,
     "tx14_unigram_lp" -> tx14_unigram_lp,
     "tx13_compress" -> tx13_compress,
     "tx12_entropy" -> tx12_entropy,

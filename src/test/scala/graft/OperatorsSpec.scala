@@ -492,6 +492,35 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("tx15 BPE-ish token counts match a driver-side recompute with the same regex") {
+    val pat = java.util.regex.Pattern.compile(text.TextAnalysis.bpePattern)
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expect = docs.flatMap { case (id, t) =>
+      val m = pat.matcher(t)
+      val toks = Iterator.continually(m).takeWhile(_.find()).map(_.group()).toSeq
+      if (toks.isEmpty) None
+      else Some(id -> (toks.length.toLong, toks.distinct.length.toLong,
+        t.length.toDouble / toks.length))
+    }.toMap
+    val got = text.TextAnalysis.tx15_bpe_tokens(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSet == expect.keySet)
+    got.foreach { case (id, (n, u, cpt)) =>
+      val (en, eu, ecpt) = expect(id)
+      assert(n == en && u == eu, s"doc $id: ($n,$u) vs ($en,$eu)")
+      assert(math.abs(cpt - ecpt) < 1e-4, s"doc $id chars/token $cpt vs $ecpt")
+    }
+    // sanity of the signal itself: BPE-ish tokens are strictly more
+    // granular than word tokens (whitespace/punctuation tokenize too)
+    val words = text.TextAnalysis.tx01_tokens(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (id, (n, _, _)) =>
+      assert(n >= words.getOrElse(id, 0L), s"doc $id: fewer BPE tokens than words")
+    }
+  }
+
   test("tx13 deflate ratios match a driver-side recompute exactly") {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
