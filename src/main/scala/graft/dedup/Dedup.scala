@@ -515,6 +515,19 @@ object Dedup {
       .groupBy("fp")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_delta"))
 
+  /** The COMMIT step of the ingest loop: append a batch's
+    * newly-seen fingerprints to the persisted index, so the next
+    * batch's anti-join sees them. `insertInto` honors the table's
+    * bucket spec, so the bucketed-layout property (index side joins
+    * exchange-free) survives appends — each append adds one file per
+    * touched bucket, which is exactly the small-file growth
+    * [[graft.sources.Sources.compact]] exists to fold back
+    * periodically.
+    */
+  def appendToFpIndex(s: SparkSession, indexTable: String, newFps: DataFrame): Unit =
+    newFps.select("fp").distinct()
+      .write.mode("append").insertInto(indexTable)
+
   val dd10_incremental: Q = (s, d) => {
     val idx = fpIndexFor(s, d)
     val delta = fps(s, d).filter(col("doc_id") % deltaMod >= deltaFrom)
@@ -641,6 +654,18 @@ object Dedup {
       .select(col("delta_id"), col("base_id"),
         r4(estJaccard(col("delta_sig"), col("base_sig"))).as("est_jacc"))
       .filter(col("est_jacc") >= tau)
+  }
+
+  /** dd11's commit step, mirroring [[appendToFpIndex]]: append the
+    * signatures and band keys of docs judged NEW (no near-dup in the
+    * historical corpus) so later batches are gated by them. Both
+    * bucketed layouts are preserved by insertInto (one new file per
+    * touched bucket per append — compact() folds them back).
+    * `newSigs` must be (doc_id, sig)-shaped, as from [[sigsOf]].
+    */
+  def appendToLshIndex(s: SparkSession, indexTable: String, newSigs: DataFrame): Unit = {
+    bandKeysOf(newSigs).write.mode("append").insertInto(indexTable + "_bands")
+    newSigs.write.mode("append").insertInto(indexTable + "_sigs")
   }
 
   val dd11_incremental_lsh: Q = (s, d) => {

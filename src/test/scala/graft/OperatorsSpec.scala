@@ -322,6 +322,42 @@ class OperatorsSpec extends SparkSpecBase {
     dedup.Dedup.evictFpIndex(s2, sfDir)
   }
 
+  test("dd10 ingest loop: committed batch fingerprints gate the next batch") {
+    import graft.text.TextAnalysis.normText
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val idx = dedup.Dedup.fpIndexFor(s2, sfDir)
+    try {
+      val f = Tables.documents(s2, sfDir)
+        .select(col("doc_id"), md5(normText(col("text")).cast("binary")).as("fp"))
+      val b1 = f.filter(col("doc_id") % 10 === 8)
+      val b2 = f.filter(col("doc_id") % 10 === 9)
+      // batch 1: detect, then COMMIT its new fps into the index
+      val out1 = dedup.Dedup.dedupDelta(s2, b1, idx)
+      dedup.Dedup.appendToFpIndex(s2, idx, out1.select("fp"))
+      // batch 2 must be gated by base ∪ batch-1 commits
+      val got2 = dedup.Dedup.dedupDelta(s2, b2, idx)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val baseFps = f.filter(col("doc_id") % 10 < 8)
+        .select("fp").distinct().collect().map(_.getString(0)).toSet
+      val b1Fps = b1.select("fp").collect().map(_.getString(0)).toSet
+      val expect2 = b2.collect().map(r => (r.getLong(0), r.getString(1)))
+        .groupBy(_._2).map { case (fp, rows) =>
+          (fp, rows.map(_._1).min, rows.length.toLong)
+        }
+        .filter { case (fp, _, _) => !baseFps(fp) && !b1Fps(fp) }.toSet
+      assert(got2 == expect2, "batch 2 not gated by batch 1's committed fps")
+      // the plan posture must survive appends: still a sort-merge
+      // anti-join with only the delta's exchange (bucketing preserved)
+      val plan = dedup.Dedup.dedupDelta(s2, b2, idx)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") && plan.contains("LeftAnti"),
+        s"append broke the SMJ anti-join:\n$plan")
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+        s"append broke the exchange-free index side:\n$plan")
+    } finally dedup.Dedup.evictFpIndex(s2, sfDir)
+  }
+
   test("dd11 incremental LSH near-dup: index reuse, delta-only band shuffle, ≡ direct") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -362,6 +398,42 @@ class OperatorsSpec extends SparkSpecBase {
       "evict left catalog tables")
     assert(dedup.Dedup.lshIndexFor(s2, sfDir) == idx, "rebuild after evict failed")
     dedup.Dedup.evictLshIndex(s2, sfDir)
+  }
+
+  test("dd11 ingest loop: committed batch signatures gate the next batch") {
+    val s2 = spark.newSession()
+    val idx = dedup.Dedup.lshIndexFor(s2, sfDir)
+    try {
+      val docs = Tables.documents(s2, sfDir)
+      val b1 = dedup.Dedup.sigsOf(docs.filter(col("doc_id") % 10 === 8))
+      val b2 = dedup.Dedup.sigsOf(docs.filter(col("doc_id") % 10 === 9))
+      // commit batch 1's non-near-dup docs (the ingest decision:
+      // admit unless it near-dups the historical corpus)
+      val dup1 = dedup.Dedup.neardupDelta(s2, b1, idx)
+        .select("delta_id").distinct().collect().map(_.getLong(0)).toSet
+      val admitted = b1.filter(!col("doc_id").isInCollection(
+        if (dup1.isEmpty) Set(-1L) else dup1))
+      dedup.Dedup.appendToLshIndex(s2, idx, admitted)
+      // batch 2's near-dup set must now include matches against the
+      // admitted batch-1 docs, not just the original base
+      val got = dedup.Dedup.neardupDelta(s2, b2, idx)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val baseSigs = dedup.Dedup.sigsOf(
+        docs.filter(col("doc_id") % dedup.Dedup.deltaMod < dedup.Dedup.deltaFrom))
+      val unionSigs = baseSigs.unionAll(admitted)
+      val directCand = dedup.Dedup.bandKeysOf(b2).toDF("delta_id", "bkey")
+        .join(dedup.Dedup.bandKeysOf(unionSigs).toDF("base_id", "bkey"), Seq("bkey"))
+        .select("delta_id", "base_id").distinct()
+      val expect = directCand
+        .join(unionSigs.toDF("base_id", "base_sig"), Seq("base_id"))
+        .join(b2.toDF("delta_id", "delta_sig"), Seq("delta_id"))
+        .select(col("delta_id"), col("base_id"),
+          (round(dedup.Dedup.estJaccard(col("delta_sig"), col("base_sig")) * 10000) / 10000)
+            .as("est_jacc"))
+        .filter(col("est_jacc") >= 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expect, "batch 2 not gated by base ∪ batch-1 commits")
+    } finally dedup.Dedup.evictLshIndex(s2, sfDir)
   }
 
   test("pp09 fuzzy decontamination equals a brute-force estimated-Jaccard sweep") {
