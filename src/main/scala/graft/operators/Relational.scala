@@ -316,17 +316,26 @@ object Relational {
   }
 
   // --- q24: argmax per group (min_by/max_by semantics, deterministic) ---
-  val q24_first_last: Q = (s, d) => {
-    val w = Window.partitionBy("l_returnflag")
-      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+  // max_by over a lexicographic struct key, NOT a row_number window:
+  // l_returnflag has 3 values, so a window partitioned by it lands the
+  // whole table on 3 tasks and sorts each third — at 100 TB that's 3
+  // reducers sorting ~33 TB apiece. The aggregate gets map-side partial
+  // combine (each task keeps one candidate per flag) and the exchange
+  // carries 3 rows per task. Ties break exactly like the window's
+  // ORDER BY (price DESC, orderkey ASC, linenumber ASC): maximizing
+  // (price, -orderkey, -linenumber) is that order.
+  val q24_first_last: Q = (s, d) =>
     Tables.lineitem(s, d)
       .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("l_returnflag"), col("l_orderkey").as("top_orderkey"),
-        r2(col("l_extendedprice")).as("top_price"))
+      .groupBy("l_returnflag")
+      .agg(max_by(
+        struct(col("l_orderkey"), col("l_extendedprice")),
+        struct(col("l_extendedprice"),
+          (-col("l_orderkey")).as("nk"),
+          (-col("l_linenumber")).as("nl"))).as("top"))
+      .select(col("l_returnflag"), col("top.l_orderkey").as("top_orderkey"),
+        r2(col("top.l_extendedprice")).as("top_price"))
       .orderBy("l_returnflag")
-  }
 
   // --- q25: semi-structured JSON extraction ---
   val q25_json: Q = (s, d) =>

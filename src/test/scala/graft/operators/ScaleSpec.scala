@@ -88,6 +88,29 @@ class ScaleSpec extends SparkSpecBase {
     }
   }
 
+  test("q24: per-group argmax aggregates, never windows over a 3-value key") {
+    val q24 = graft.SparkEntry.queries("q24_first_last")(spark, sfDir)
+    // a row_number window partitioned by l_returnflag puts the whole
+    // table on 3 tasks; the max_by aggregate must keep it out of the plan
+    val plan = q24.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"q24 regressed to a window plan:\n$plan")
+    assert(plan.contains("partial_max_by") || plan.contains("partial max_by"),
+      s"q24 lost map-side partial aggregation:\n$plan")
+    // tie-break-exact equivalence with the window formulation
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    val viaWindow = Tables.lineitem(spark, sfDir)
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_orderkey").as("top_orderkey"),
+        (round(col("l_extendedprice") * 100) / 100).as("top_price"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaAgg = q24.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaAgg == viaWindow)
+  }
+
   test("plan sweep: no registered query nested-loops or cross-joins unjustified") {
     // Intentional exceptions, each with the reason the sweep must not
     // erode. The "single-row broadcast" cases are scalar expansion —
