@@ -374,7 +374,56 @@ object TextAnalysis {
         r4(col("n_chars").cast("double") / col("ts.n_tokens")).as("chars_per_token"))
       .orderBy("doc_id")
 
+  // --- tx16: composite quality gate — the Gopher/C4-style rule stack
+  // a corpus-cleaning pipeline actually ends with: every document is
+  // scored against a FIXED, NAMED rule set and carries the list of
+  // rules it failed (the audit/ablation telemetry that lets you answer
+  // "why did we drop 12% of this crawl"), not just a keep bit.
+  // Thresholds are tuned so the gate discriminates on this synthetic
+  // corpus (~40% drop) — real pipelines tune per corpus; what the
+  // oracle locks is the mechanism: integer-exact signals, IEEE-
+  // identical ratio arithmetic on both engines, fixed rule order in
+  // the reasons string. Scale shape: ONE narrow scan (native
+  // TokenStats + two HOF folds), rules are scalar projections — no
+  // shuffle but the presentation sort.
+  val tx16_quality_gate: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(toksExpr).as("t"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.tokenStats("t").as("ts"),
+        expr("size(filter(t, x -> x IN ('the','a','an','of','and','to','in','is')))")
+          .as("n_stop"),
+        expr("aggregate(t, 0L, (acc, x) -> acc + length(x))").as("sum_len"))
+      .select(col("doc_id"),
+        col("ts.n_tokens").as("n_tokens"),
+        (col("n_stop").cast("double") / nullif(col("ts.n_tokens"), lit(0L)))
+          .as("stop_ratio"),
+        (col("sum_len").cast("double") / nullif(col("ts.n_tokens"), lit(0L)))
+          .as("avg_word_len"),
+        (lit(1.0) - col("ts.n_uniq").cast("double") /
+          nullif(col("ts.n_tokens"), lit(0L))).as("dup_token_ratio"),
+        when(col("ts.n_tokens") >= 2,
+          lit(1.0) - col("ts.n_big_uniq").cast("double") /
+            (col("ts.n_tokens") - 1).cast("double"))
+          .otherwise(lit(null).cast("double")).as("dup_2gram_ratio"))
+      .select(col("doc_id"), col("n_tokens"),
+        concat_ws(",",
+          when(col("n_tokens") < 20, lit("len_short")),
+          when(col("n_tokens") > 90, lit("len_long")),
+          when(coalesce(col("stop_ratio"), lit(0.0)) < 0.02, lit("low_stopword")),
+          when(coalesce(col("dup_token_ratio"), lit(0.0)) > 0.65,
+            lit("repetitive_tokens")),
+          when(coalesce(col("dup_2gram_ratio"), lit(0.0)) > 0.07,
+            lit("repetitive_bigrams")),
+          when(coalesce(col("avg_word_len"), lit(0.0)) < 2 ||
+            coalesce(col("avg_word_len"), lit(0.0)) > 12, lit("word_len_anomaly")))
+          .as("reasons"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("reasons") === lit("")).as("keep"), col("reasons"))
+      .orderBy("doc_id")
+
   val registry: Map[String, Q] = Map(
+    "tx16_quality_gate" -> tx16_quality_gate,
     "tx15_bpe_tokens" -> tx15_bpe_tokens,
     "tx14_unigram_lp" -> tx14_unigram_lp,
     "tx13_compress" -> tx13_compress,
@@ -396,6 +445,29 @@ object TextAnalysis {
     "list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    "tx16_quality_gate" ->
+      s"""WITH x AS (SELECT doc_id, text, $sqlToks AS t FROM documents),
+         |sig AS (SELECT doc_id, len(t) AS n_tokens,
+         |  CAST(len(list_filter(t, x -> x IN ('the','a','an','of','and','to','in','is'))) AS DOUBLE)
+         |    / nullif(len(t), 0) AS stop_ratio,
+         |  CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+         |    / nullif(len(t), 0) AS avg_word_len,
+         |  1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / nullif(len(t), 0) AS dup_token_ratio,
+         |  CASE WHEN len(t) >= 2 THEN
+         |    1.0 - CAST(len(list_distinct(list_transform(generate_series(1, len(t) - 1),
+         |          i -> t[i] || ' ' || t[i + 1]))) AS DOUBLE) / (len(t) - 1)
+         |    ELSE NULL END AS dup_2gram_ratio
+         | FROM x),
+         |r AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, concat_ws(',',
+         |  CASE WHEN n_tokens < 20 THEN 'len_short' END,
+         |  CASE WHEN n_tokens > 90 THEN 'len_long' END,
+         |  CASE WHEN coalesce(stop_ratio, 0) < 0.02 THEN 'low_stopword' END,
+         |  CASE WHEN coalesce(dup_token_ratio, 0) > 0.65 THEN 'repetitive_tokens' END,
+         |  CASE WHEN coalesce(dup_2gram_ratio, 0) > 0.07 THEN 'repetitive_bigrams' END,
+         |  CASE WHEN coalesce(avg_word_len, 0) < 2 OR coalesce(avg_word_len, 0) > 12
+         |    THEN 'word_len_anomaly' END) AS reasons FROM sig)
+         |SELECT doc_id, n_tokens, (reasons = '') AS keep, reasons
+         |FROM r ORDER BY doc_id""".stripMargin,
     "tx14_unigram_lp" ->
       s"""WITH t AS (SELECT doc_id, unnest(t) AS term
          |  FROM (SELECT doc_id, $sqlToks AS t FROM documents) x),

@@ -24,6 +24,24 @@ class OperatorsSpec extends SparkSpecBase {
     assert(empties.isEmpty, s"queries with 0 rows: $empties")
   }
 
+  test("tx16 gate discriminates; keep is exactly 'no rule fired'") {
+    val rows = text.TextAnalysis.tx16_quality_gate(spark, sfDir).collect()
+    val (kept, dropped) = rows.partition(_.getAs[Boolean]("keep"))
+    assert(kept.nonEmpty && dropped.nonEmpty,
+      s"gate does not discriminate: ${kept.length} kept / ${dropped.length} dropped")
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("keep") == r.getAs[String]("reasons").isEmpty)
+    }
+    // reasons use only the fixed rule vocabulary, in declaration order
+    val order = Seq("len_short", "len_long", "low_stopword",
+      "repetitive_tokens", "repetitive_bigrams", "word_len_anomaly")
+    dropped.foreach { r =>
+      val rs = r.getAs[String]("reasons").split(",").toSeq
+      assert(rs.forall(order.contains), s"unknown rule in: $rs")
+      assert(rs == rs.sortBy(order.indexOf), s"rules out of order: $rs")
+    }
+  }
+
   test("minhash LSH candidates recover the exact-Jaccard near-dup pairs") {
     val exact = dedup.Dedup.dd02_ngram_jaccard(spark, sfDir)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
