@@ -190,6 +190,28 @@ object Relational {
         col("gid"), col("sum_qty"), col("n"))
       .orderBy("gid", "rf", "ls")
 
+  // --- q46: sketch build/merge rollup — the pre-aggregated sketch
+  // table pattern behind every large-scale distinct-count dashboard.
+  // Monthly HLL sketches of distinct customers are the PERSISTED
+  // artifact (one scan of the facts, one fixed-size sketch row per
+  // month); every later rollup — year here — merges sketches via
+  // hll_union_agg and never rescans the facts. At equal lgConfigK the
+  // union is lossless: the year estimate from merged monthly sketches
+  // equals sketching the year directly (spec-asserted), so rollup adds
+  // no second approximation. rows-only: DataSketches estimates aren't
+  // ANSI-SQL-reproducible; the spec bounds them against exact counts.
+  val q46_sketch_rollup: Q = (s, d) => {
+    val monthly = Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
+        count(lit(1)).as("n_orders"))
+    monthly.groupBy("y")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("apx_customers"),
+        sum("n_orders").as("n_orders"))
+      .orderBy("y")
+  }
+
   // --- q14: post-aggregation filter (HAVING) ---
   val q14_having: Q = (s, d) =>
     Tables.lineitem(s, d)
@@ -673,6 +695,7 @@ object Relational {
     "q12_distinct" -> q12_distinct,
     "q13_rollup" -> q13_rollup,
     "q45_cube" -> q45_cube,
+    "q46_sketch_rollup" -> q46_sketch_rollup,
     "q14_having" -> q14_having,
     "q15_case_agg" -> q15_case_agg,
     "q16_window_funcs" -> q16_window_funcs,

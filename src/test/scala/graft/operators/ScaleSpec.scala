@@ -111,6 +111,29 @@ class ScaleSpec extends SparkSpecBase {
     assert(viaAgg == viaWindow)
   }
 
+  test("q46: sketch rollup merges losslessly and bounds the exact count") {
+    val q46 = graft.SparkEntry.queries("q46_sketch_rollup")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // merging the monthly sketches must equal sketching the year
+    // directly — the rollup is not a second approximation
+    val direct = Tables.orders(spark, sfDir)
+      .groupBy(year(col("o_orderdate")).as("y"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))).as("apx"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(q46.toSet == direct.toSet,
+      s"merged rollup diverges from direct sketch:\n${q46.toSeq} vs ${direct.toSeq}")
+    // estimates stay within HLL's error envelope of the exact answer
+    val exact = Tables.orders(spark, sfDir)
+      .groupBy(year(col("o_orderdate")).as("y"))
+      .agg(countDistinct("o_custkey").as("d"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    q46.foreach { case (y, apx, _) =>
+      val d = exact(y).toDouble
+      assert(math.abs(apx - d) / d < 0.05, s"year $y: est $apx vs exact $d")
+    }
+  }
+
   test("plan sweep: no registered query nested-loops or cross-joins unjustified") {
     // Intentional exceptions, each with the reason the sweep must not
     // erode. The "single-row broadcast" cases are scalar expansion —
