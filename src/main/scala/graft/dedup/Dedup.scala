@@ -579,9 +579,18 @@ object Dedup {
     * pipeline appends to per committed batch.
     */
   def buildLshIndex(s: SparkSession, d: String, table: String, path: String,
-                    buckets: Int = 8): Unit = {
-    val base = Tables.documents(s, d).filter(col("doc_id") % deltaMod < deltaFrom)
-    val sigs = sigsOf(base)
+                    buckets: Int = 8): Unit =
+    buildLshIndexFrom(
+      Tables.documents(s, d).filter(col("doc_id") % deltaMod < deltaFrom),
+      table, path, buckets)
+
+  /** Same build from any (doc_id, text)-shaped corpus — the form an
+    * ingest pipeline (e.g. streaming.NearDupIngestSink) seeds its
+    * index with.
+    */
+  def buildLshIndexFrom(docs: DataFrame, table: String, path: String,
+                        buckets: Int = 8): Unit = {
+    val sigs = sigsOf(docs)
     bandKeysOf(sigs)
       .write.bucketBy(buckets, "bkey").sortBy("bkey")
       .option("path", s"$path/bands").mode("overwrite").format("parquet")

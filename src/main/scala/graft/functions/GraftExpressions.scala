@@ -160,6 +160,37 @@ case class NearestCells(child: Expression, cents: Array[Array[Double]], n: Int)
     copy(child = newChild)
 }
 
+/** Packed LSH band keys of an array<double> vector against a
+  * driver-resident random-hyperplane matrix: `nBands` keys, each a
+  * long with the band id in the high 32 bits and the band's
+  * `rowsPerBand` sign bits (sign of dot(v, plane)) in the low bits —
+  * the same single-join-column packing as the MinHash band keys
+  * (Dedup.bandKeysOf), so one equi-join on the key IS the bucketing.
+  * Like [[NearestCells]], the plane matrix rides into generated code
+  * as a reference object: signature construction is a NARROW
+  * codegen'd map over the scan — no join, no shuffle.
+  */
+case class HyperplaneBands(child: Expression, planes: Array[Array[Double]],
+                           nBands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  require(planes.length >= nBands * rowsPerBand,
+    s"need ${nBands * rowsPerBand} hyperplanes, got ${planes.length}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hyperplane_bands"
+
+  override protected def nullSafeEval(a: Any): Any =
+    GraftHashOps.hyperplaneBands(a.asInstanceOf[ArrayData], planes, nBands, rowsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftHashOps.hyperplaneBands($c, $ref, $nBands, $rowsPerBand)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBands =
+    copy(child = newChild)
+}
+
 /** Character-distribution statistics of a string in ONE pass:
   * struct(n_chars, n_alphabet, entropy) — code-point count, distinct
   * code-point count, Shannon entropy (bits) of the code-point
@@ -387,6 +418,32 @@ object GraftHashOps {
     new GenericArrayData(java.util.Arrays.copyOf(best, filled))
   }
 
+  /** Packed band keys: band id << 32 | sign bits of the band's
+    * `rows` hyperplane dots. A zero dot counts as positive (bit set)
+    * so the mapping is total and deterministic.
+    */
+  def hyperplaneBands(v: ArrayData, planes: Array[Array[Double]],
+                      nBands: Int, rows: Int): ArrayData = {
+    val out = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var bits = 0L
+      var r = 0
+      while (r < rows) {
+        val p = planes(b * rows + r)
+        val d = math.min(v.numElements(), p.length)
+        var s = 0.0
+        var i = 0
+        while (i < d) { s += v.getDouble(i) * p(i); i += 1 }
+        bits = (bits << 1) | (if (s >= 0.0) 1L else 0L)
+        r += 1
+      }
+      out(b) = (b.toLong << 32) | bits
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def rollingHashes(toks: ArrayData, width: Int): ArrayData = {
     val n = toks.numElements()
     if (n < width) return new GenericArrayData(Array.empty[Long])
@@ -426,6 +483,9 @@ object GraftFunctions {
     column(MinHashSig(attr(toks), k, width))
   def nearestCells(v: String, cents: Array[Array[Double]], n: Int): Column =
     column(NearestCells(attr(v), cents, n))
+  def hyperplaneBands(v: String, planes: Array[Array[Double]],
+                      nBands: Int, rowsPerBand: Int): Column =
+    column(HyperplaneBands(attr(v), planes, nBands, rowsPerBand))
   def charStats(text: String): Column = column(CharStats(attr(text)))
   def tokenStats(toks: String): Column = column(TokenStats(attr(toks)))
   def topK(score: String, id: String, k: Int): Column =

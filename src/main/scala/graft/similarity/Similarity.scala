@@ -244,6 +244,91 @@ object Similarity {
     }
   }
 
+  // --- ann04: random-hyperplane LSH top-k — the LSH-bucketed ANN
+  // scale path, complementing ann02's IVF (the two standard
+  // sublinear ANN index families; a user picks by corpus shape —
+  // IVF when clusters exist, hyperplane LSH when they don't or the
+  // index must be build-free/streamable). Each vector maps to
+  // `lshAnnBands` packed band keys (band id ‖ sign bits of
+  // `lshAnnRows` seeded random hyperplane dots) in ONE narrow
+  // codegen'd pass (HyperplaneBands — plane matrix rides into
+  // generated code like NearestCells' centroids). Candidates come
+  // from an equi-join on the band key with the QUERY side broadcast,
+  // so at corpus scale the plan is: narrow scan + explode → broadcast
+  // hash join (collisions only survive) → partial-aggregated pair
+  // dedup → graft_topk heap selection. No corpus shuffle, no window,
+  // no all-pairs anything: per-query candidate volume is
+  // ~nBands · n / 2^rowsPerBand for random pairs, concentrated on
+  // high-cosine neighbors (sign-agreement prob = 1 − θ/π per plane).
+  //
+  // Dial (measured, sf0.001/0.01/0.1): 16x4 → recall@5 .90-.92 at
+  // ~65% of corpus as candidates; 16x5 → .68/.80/.82 at ~40%;
+  // 16x6 → .52-.64 at ~24%; 16x8 → .22-.34 at ~7.5%. This corpus's
+  // embeddings cluster weakly (the same measurement that set ann02's
+  // nProbe), so every ANN family needs a wide probe here; a corpus
+  // with real neighborhoods runs the same operator at 16x8.
+  val lshAnnBands = 16
+  val lshAnnRows = 5
+  private val lshAnnDim = 64 // embeddings table vector width (TESTDATA.md)
+
+  /** Deterministic Gaussian hyperplanes (fixed-seed, no session RNG —
+    * reproducible across runs and engines like every other graft
+    * sampling decision).
+    */
+  private[graft] lazy val annPlanes: Array[Array[Double]] = {
+    val rng = new java.util.Random(0x9E3779B97F4A7C15L)
+    // sized for the widest dial the recall/volume trade might want
+    // (16 bands x 8 rows), not just the default
+    Array.fill(16 * 8)(Array.fill(lshAnnDim)(rng.nextGaussian()))
+  }
+
+  val ann04_lsh_topk: Q = (s, d) => lshTopk(s, d, lshAnnBands, lshAnnRows)
+
+  /** Parameterized body (bands × rows is the recall/candidate-volume
+    * dial; the defaults are measured in OperatorsSpec).
+    */
+  def lshTopk(s: SparkSession, d: String, nBands: Int, nRows: Int,
+              k: Int = 5): DataFrame = {
+    require(nBands * nRows <= annPlanes.length,
+      s"ann04 dial exceeds the generated plane matrix: $nBands x $nRows")
+    val cb = vecs(s, d).select(col("vec_id").as("n_id"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      .select(col("n_id"), col("vb"), col("nb"),
+        explode(graft.functions.GraftFunctions.hyperplaneBands(
+          "vb", annPlanes, nBands, nRows)).as("bkey"))
+    val qb = queriesOf(s, d)
+      .select(col("q_id"), col("va"), col("na"),
+        explode(graft.functions.GraftFunctions.hyperplaneBands(
+          "va", annPlanes, nBands, nRows)).as("bkey"))
+    cb.join(broadcast(qb), Seq("bkey"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), r6(cosine).as("cos"))
+      // a pair colliding in several bands appears once per collision;
+      // the scores are identical, so max() is pure dedup (and gets
+      // map-side partial aggregation, unlike distinct-then-join)
+      .groupBy("q_id", "n_id").agg(max("cos").as("cos"))
+      .groupBy("q_id")
+      .agg(graft.functions.GraftFunctions.topK("cos", "n_id", k).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("i", "p")))
+      .select(col("q_id"), (col("i") + 1).cast("long").as("rank"),
+        col("p.id").as("n_id"), r4(col("p.score")).as("cos_r"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Diagnostic: distinct candidate pairs the band join yields at a
+    * given dial (the probed-fraction measurement quoted in specs/docs).
+    */
+  def lshCandCount(s: SparkSession, d: String, nBands: Int, nRows: Int): Long = {
+    val cb = vecs(s, d).select(col("vec_id").as("n_id"), col("v").as("vb"))
+      .select(col("n_id"), explode(graft.functions.GraftFunctions.hyperplaneBands(
+        "vb", annPlanes, nBands, nRows)).as("bkey"))
+    val qb = queriesOf(s, d).select(col("q_id"),
+      explode(graft.functions.GraftFunctions.hyperplaneBands(
+        "va", annPlanes, nBands, nRows)).as("bkey"))
+    cb.join(broadcast(qb), Seq("bkey")).filter(col("q_id") =!= col("n_id"))
+      .select("q_id", "n_id").distinct().count()
+  }
+
   // --- ann02: IVF top-k — probe of the (memoized) persisted index.
   // Rows-only: approximate by design (recall < 1 vs ann01; the
   // quantified recall@5 floor is spec-asserted in OperatorsSpec).
@@ -258,7 +343,8 @@ object Similarity {
   val registry: Map[String, Q] = Map(
     "ann01_brute_topk" -> ann01_brute_topk,
     "ann03_topk_agg" -> ann03_topk_agg,
-    "ann02_ivf_topk" -> ann02_ivf_topk)
+    "ann02_ivf_topk" -> ann02_ivf_topk,
+    "ann04_lsh_topk" -> ann04_lsh_topk)
 
   private val bruteTopkSql =
     """SELECT q_id, rank, n_id, round(cos * 10000) / 10000 AS cos_r FROM (

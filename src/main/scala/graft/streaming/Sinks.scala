@@ -109,3 +109,98 @@ final class TopNUpdateSink(outDir: String, n: Int) extends Serializable {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 }
+
+/** Streaming ingest with NEAR-dup admission and index commit — the
+  * full ingest-time loop the dedup family builds toward, streamed:
+  * each micro-batch of (doc_id, text) documents is gated against the
+  * PERSISTED LSH band index ([[graft.dedup.Dedup.buildLshIndex]]'s two
+  * bucketed tables), admitted docs are written exactly-once, and the
+  * admitted docs' signatures+band keys are COMMITTED BACK to the index
+  * so the next batch is gated by this one. [[Bolts.dedupAgainstIndex]]
+  * is this loop's exact-fingerprint little sibling (gate only, no
+  * commit); this sink closes the write→commit cycle on the
+  * approximate path. Like that bolt it holds ZERO stream state — all
+  * history lives in the on-disk index, so state-store size is
+  * independent of corpus age, and per-batch cost is
+  * ∝ batch × band collisions ([[graft.dedup.Dedup.neardupDelta]]'s
+  * contract — corpus text is never rescanned).
+  *
+  * Exactly-once: a TWO-PHASE batch log (`data` then `index` lines per
+  * batchId — the clock-keyed snapshot discipline of the reference's
+  * Negotiator.hs, applied to a sink with two effects). On replay a
+  * batch past `data` skips re-gating (the gate would otherwise see
+  * the batch's OWN signatures in the index and drop everything) and
+  * resumes at the index phase, re-reading the committed output as the
+  * source of truth; a batch past `index` is a no-op. The only
+  * post-crash artifact is possible duplicate index rows (append ran,
+  * crash before the `index` mark) — harmless to gating: duplicate
+  * band/sig rows re-yield the same candidate pairs.
+  *
+  * Semantics notes (both inherited from the dd04/dd11 design): docs
+  * under 3 tokens have no signature — they are admitted unexamined
+  * and never indexed; and docs WITHIN one batch are not gated against
+  * each other, only against the committed index (an intra-batch
+  * near-dup pair lands together, like the reference's bolts, which
+  * see one tuple at a time against committed state).
+  */
+final class NearDupIngestSink(indexTable: String, outDir: String,
+                              tau: Double = 0.5) extends Serializable {
+  import org.apache.spark.sql.functions.col
+
+  private def logPath = Paths.get(outDir, "_phases")
+
+  private def phases(batchId: Long): Set[String] =
+    if (Files.exists(logPath))
+      Files.readAllLines(logPath).asScala
+        .filter(_.startsWith(s"$batchId:")).map(_.split(':')(1)).toSet
+    else Set.empty
+
+  private def mark(batchId: Long, phase: String): Unit =
+    Files.write(logPath, s"$batchId:$phase\n".getBytes,
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+
+  def apply(batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    Files.createDirectories(Paths.get(outDir))
+    val done = phases(batchId)
+    if (done.contains("index")) return // fully committed — replay no-op
+    val dataDir = s"$outDir/batch=$batchId"
+    if (!done.contains("data")) {
+      val dupes = graft.dedup.Dedup
+        .neardupDelta(s, graft.dedup.Dedup.sigsOf(batch), indexTable, tau)
+        .select(col("delta_id").as("doc_id")).distinct()
+      batch.join(dupes, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(dataDir)
+      mark(batchId, "data")
+    }
+    // index phase reads the COMMITTED output back, never the live
+    // batch — so a replay resuming here indexes exactly what phase 1
+    // admitted, even if the in-flight batch could re-gate differently
+    graft.dedup.Dedup.appendToLshIndex(s, indexTable,
+      graft.dedup.Dedup.sigsOf(s.read.parquet(dataDir)))
+    mark(batchId, "index")
+  }
+
+  /** Committed (fully ingested) batch ids. */
+  def committed: Set[Long] =
+    if (Files.exists(logPath))
+      Files.readAllLines(logPath).asScala.collect {
+        case l if l.endsWith(":index") => l.split(':')(0).toLong
+      }.toSet
+    else Set.empty
+}
+
+object NearDupIngestSink {
+  /** Topology-composable form. */
+  def sink(indexTable: String, outDir: String, checkpoint: String,
+           tau: Double = 0.5): Sink = {
+    val s = new NearDupIngestSink(indexTable, outDir, tau)
+    Sink("neardup-ingest", (df, trigger) => {
+      val w = df.writeStream
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: DataFrame, batchId: Long) => s(batch, batchId) }
+      trigger.foreach(w.trigger)
+      w.start()
+    })
+  }
+}

@@ -75,6 +75,41 @@ class OperatorsSpec extends SparkSpecBase {
     assert(perQuery.values.forall(_ >= 0.2), s"a query fell below 0.2 recall: $perQuery")
   }
 
+  test("ann04 hyperplane-LSH ANN: recall floor, bounded candidates, broadcast plan") {
+    def byQuery(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
+      rows.map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val exact = byQuery(similarity.Similarity.ann01_brute_topk(spark, sfDir)
+      .select("q_id", "n_id").collect())
+    val df = similarity.Similarity.ann04_lsh_topk(spark, sfDir)
+    val lsh = byQuery(df.select("q_id", "n_id").collect())
+    assert(lsh.keySet == exact.keySet, "LSH dropped whole queries")
+    assert(lsh.values.forall(_.size == 5), "LSH returned short top-k lists")
+    val perQuery = exact.map { case (q, ns) =>
+      q -> lsh(q).intersect(ns).size.toDouble / ns.size
+    }
+    val mean = perQuery.values.sum / perQuery.size
+    info(f"LSH ANN recall@5: mean $mean%.2f, per-query ${perQuery.toSeq.sortBy(_._1).map(_._2).map(v => f"$v%.1f").mkString(",")}")
+    assert(mean >= 0.5, f"mean LSH recall@5 $mean%.2f below floor 0.5")
+    assert(perQuery.values.forall(_ >= 0.2), s"a query fell below 0.2 recall: $perQuery")
+    // the scale contract: the band join prunes — candidates are a
+    // strict subset of all pairs — and the plan is a broadcast hash
+    // join on the band key feeding the heap aggregate: no corpus
+    // shuffle before candidate pruning, no window, nothing all-pairs
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val cands = similarity.Similarity.lshCandCount(spark, sfDir,
+      similarity.Similarity.lshAnnBands, similarity.Similarity.lshAnnRows)
+    val frac = cands.toDouble / (exact.size * (n - 1))
+    info(f"LSH candidate fraction: $frac%.2f ($cands of ${exact.size * (n - 1)} pairs)")
+    assert(frac <= 0.6, f"band join stopped pruning: $frac%.2f of all pairs survive")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"band join is not broadcast:\n$plan")
+    assert(plan.contains("partial_graft_topk"), s"selection is not the heap aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"a window crept into ann04:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"all-pairs join in ann04:\n$plan")
+  }
+
   test("ann03 heap-aggregate top-k equals ann01's window formulation, sans Window") {
     val win = similarity.Similarity.ann01_brute_topk(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
