@@ -492,4 +492,6 @@ object GraftFunctions {
     column(TopKByScore(
       Cast(attr(score), DoubleType), Cast(attr(id), LongType), k)
       .toAggregateExpression())
+  def heavyHitters(item: String, capacity: Int): Column =
+    column(HeavyHitters(attr(item), capacity).toAggregateExpression())
 }

@@ -72,6 +72,22 @@ object GraftExtensions {
             throw new IllegalArgumentException(
               s"graft_topk k must be an integer literal, got $other")
         }
+      }),
+    ("graft_heavy_hitters",
+      info("graft_heavy_hitters",
+        "graft_heavy_hitters(item, capacity) - bounded Misra-Gries frequency summary: struct(total, items array<struct<tok, lb>>)"),
+      (es: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        if (es.length != 2)
+          throw new IllegalArgumentException(
+            s"graft_heavy_hitters expects (item, capacity), got ${es.length} arguments")
+        es(1) match {
+          case Literal(c: Int, _) => HeavyHitters(es(0), c)
+          case Literal(c: Long, _) => HeavyHitters(es(0), c.toInt)
+          case other =>
+            throw new IllegalArgumentException(
+              s"graft_heavy_hitters capacity must be an integer literal, got $other")
+        }
       }))
 
   /** Imperative registration on an existing session (test/driver use). */

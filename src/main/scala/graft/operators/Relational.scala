@@ -212,6 +212,34 @@ object Relational {
       .orderBy("y")
   }
 
+  // --- q47: exact top-k frequent tokens via a bounded mergeable
+  // summary (Misra–Gries candidates → exact re-count). q01/q02's
+  // exact formulation shuffles one row per DISTINCT token — the
+  // full vocabulary, corpus-sized at web scale. Here pass 1 reduces
+  // each task's slice to a ≤ 4096-entry graft_heavy_hitters summary
+  // before the exchange (shuffle = O(tasks × capacity), vocabulary-
+  // independent) and guarantees every token more frequent than
+  // n/4097 survives as a candidate; pass 2 re-counts ONLY the
+  // candidates (codegen'd InSet filter, ≤ 4096 grouping keys), so
+  // the result is exact and deterministic — summary contents vary
+  // with merge order, the verified top-20 does not. Exactness needs
+  // the 20th token above the n/4097 guarantee line, comfortably true
+  // for natural-language top tokens at any corpus size (the spec
+  // asserts the margin; the DuckDB oracle asserts the equality).
+  val q47_heavy_hitters: Q = (s, d) => {
+    def toks = Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+    val summary = toks
+      .agg(graft.functions.GraftFunctions.heavyHitters("word", 4096).as("hh"))
+      .head().getStruct(0)
+    val cands = summary.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0))
+    toks.filter(col("word").isin(cands: _*))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(20)
+  }
+
   // --- q14: post-aggregation filter (HAVING) ---
   val q14_having: Q = (s, d) =>
     Tables.lineitem(s, d)
@@ -696,6 +724,7 @@ object Relational {
     "q13_rollup" -> q13_rollup,
     "q45_cube" -> q45_cube,
     "q46_sketch_rollup" -> q46_sketch_rollup,
+    "q47_heavy_hitters" -> q47_heavy_hitters,
     "q14_having" -> q14_having,
     "q15_case_agg" -> q15_case_agg,
     "q16_window_funcs" -> q16_window_funcs,
@@ -838,6 +867,13 @@ object Relational {
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents) t
         |WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word LIMIT 100""".stripMargin,
+    // exact by construction (candidate superset + exact re-count), so
+    // the oracle is the plain exact top-20 — the gate verifies the
+    // sketch-then-verify plan reproduces it
+    "q47_heavy_hitters" ->
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents) t
+        |WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
     "q02_topn_global" ->
       """SELECT o_orderkey, round((o_totalprice) * 100) / 100 AS price
         |FROM orders ORDER BY price DESC, o_orderkey LIMIT 50""".stripMargin,

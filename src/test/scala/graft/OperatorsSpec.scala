@@ -42,6 +42,54 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("graft_heavy_hitters: lower bounds, mergeable-summary error, guaranteed recovery") {
+    import spark.implicits._
+    graft.functions.GraftExtensions.register(spark)
+    // skewed synthetic stream: item i appears (41-i)^2 times over 40
+    // distinct items, shuffled deterministically; capacity 8 ≪ 40
+    // distinct keys forces constant eviction
+    val truth = (1 to 40).map(i => s"item$i" -> (41 - i) * (41 - i)).toMap
+    val rows = truth.toSeq.flatMap { case (t, c) => Seq.fill(c)(t) }
+      .sortBy(t => scala.util.hashing.MurmurHash3.stringHash(t + truth(t)))
+    val n = rows.size
+    val cap = 8
+    val df = rows.toDF("tok").repartition(7)
+    val row = df.selectExpr(s"graft_heavy_hitters(tok, $cap) AS hh")
+      .select("hh.total", "hh.items").head()
+    assert(row.getLong(0) == n.toLong, "total must be the exact stream length")
+    val items = row.getSeq[org.apache.spark.sql.Row](1)
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(items.size <= cap, s"summary exceeded capacity: ${items.size}")
+    // sorted (lb desc, tok asc)
+    assert(items == items.sortBy { case (t, c) => (-c, t) })
+    val maxErr = n.toDouble / (cap + 1)
+    items.foreach { case (t, lb) =>
+      val c = truth(t)
+      assert(lb <= c, s"$t: lower bound $lb exceeds true count $c")
+      assert(c - lb <= maxErr, s"$t: error ${c - lb} above n/(cap+1)=$maxErr")
+    }
+    // anything more frequent than n/(cap+1) is guaranteed present
+    val present = items.map(_._1).toSet
+    truth.filter(_._2 > maxErr).keys.foreach(t =>
+      assert(present.contains(t), s"guaranteed heavy hitter $t missing"))
+  }
+
+  test("q47: sketch-then-verify top-20 equals the exact wordcount top-20, with margin") {
+    val hh = operators.Relational.q47_heavy_hitters(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val exact = operators.Relational.q01_wordcount(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).take(20)
+    assert(hh.toSeq == exact.toSeq, "candidate re-count diverged from exact top-20")
+    // provable-exactness condition: the 20th token clears the
+    // Misra–Gries guarantee line n/(capacity+1) — and not barely
+    val n = graft.Tables.documents(spark, sfDir)
+      .select(explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(col("word") =!= "").count()
+    val line = n.toDouble / 4097
+    assert(hh.last._2 > 2 * line,
+      s"20th token count ${hh.last._2} too close to the guarantee line $line")
+  }
+
   test("minhash LSH candidates recover the exact-Jaccard near-dup pairs") {
     val exact = dedup.Dedup.dd02_ngram_jaccard(spark, sfDir)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
