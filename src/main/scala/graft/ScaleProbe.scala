@@ -103,8 +103,48 @@ object ScaleProbe {
           time(s"dd10 delta pass ($deltaRows delta vs $n-fp index)")(deltaPass)
           time(s"naive full re-dedup (base $n + delta)")(naive)
         }
+      case "hh" =>
+        // q47's claim, measured: exact top-20 frequent keys when the
+        // vocabulary grows with the data. ~30% of rows hit 23 hot (23 coprime with the 10-residue gate)
+        // keys; the rest are UNIQUE tail keys, so distinct keys ≈
+        // 0.7·rows. The exact wordcount shuffles one row per distinct
+        // key (vocabulary-sized exchange); the sketch-then-verify
+        // plan exchanges ≤ capacity entries per task (pass 1) plus
+        // ≤ capacity grouping keys (pass 2) — scan-bound at any
+        // vocabulary. Both must return the identical top-20.
+        def words(n: Long) = spark.range(n).select(
+          when(pmod(col("id"), lit(10)) < 3,
+            concat(lit("hot"), pmod(col("id"), lit(23))))
+            .otherwise(concat(lit("t"), col("id"))).as("word"))
+        Seq(rows / 10, rows).foreach { n =>
+          val src = words(n)
+          val exact = src.groupBy("word").agg(count(lit(1)).as("cnt"))
+            .orderBy(col("cnt").desc, col("word")).limit(20)
+          def mgPass(): (DataFrame, Double) = {
+            val t0 = System.nanoTime()
+            val summary = src
+              .agg(functions.GraftFunctions.heavyHitters("word", 4096).as("hh"))
+              .head().getStruct(0)
+            val cands = summary.getSeq[org.apache.spark.sql.Row](1)
+              .map(_.getString(0))
+            val out = src.filter(col("word").isin(cands: _*))
+              .groupBy("word").agg(count(lit(1)).as("cnt"))
+              .orderBy(col("cnt").desc, col("word")).limit(20)
+            out.write.format("noop").mode("overwrite").save()
+            (out, (System.nanoTime() - t0) / 1e9)
+          }
+          // warm pass (Janino/JIT), then timed — Bench's discipline
+          exact.write.format("noop").mode("overwrite").save()
+          mgPass()
+          time(s"exact wordcount top-20 ($n rows, ~${(n * 7) / 10} distinct)")(exact)
+          val (mgDf, mgSecs) = mgPass()
+          println(f"sketch-then-verify top-20 ($n rows): $mgSecs%.2f s")
+          val a = exact.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+          val b = mgDf.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+          require(a == b, s"sketch-then-verify diverged from exact:\n$a\n$b")
+        }
       case other =>
-        System.err.println(s"unknown probe '$other'; use topn | cumsum | incr")
+        System.err.println(s"unknown probe '$other'; use topn | cumsum | incr | hh")
         sys.exit(2)
     }
     spark.stop()
