@@ -240,6 +240,37 @@ object Relational {
       .limit(20)
   }
 
+  // --- q48: staged conversion funnel (view → click → purchase, each
+  // stage's FIRST event at-or-after the previous stage's time). The
+  // classic sequential-pattern query, built from per-stage keyed MIN
+  // aggregates chained by join — not a per-user ordered window scan:
+  // every shuffle is user-keyed (arbitrarily parallel), per-stage
+  // state is one row per surviving user, and each stage's input is
+  // filtered to one event type before it shuffles. The stage joins
+  // shrink monotonically (funnel ⊆ funnel), so AQE can broadcast the
+  // later stages against the filtered fact slices at scale.
+  val q48_funnel: Q = (s, d) => {
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+    def stage(tpe: String, prev: DataFrame, prevTs: String, outTs: String) =
+      ev.filter(col("event_type") === tpe)
+        .join(prev, Seq("user_id"))
+        .filter(col("ts") >= col(prevTs))
+        .groupBy("user_id").agg(min("ts").as(outTs))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("tv"))
+    val clicks = stage("click", views, "tv", "tc")
+    val buys = stage("purchase", clicks, "tc", "tp")
+    val counts = views.select(lit(1).as("k"), col("user_id").as("u1"))
+      .groupBy("k").agg(count(lit(1)).as("n_view"))
+      .join(clicks.select(lit(1).as("k"), col("user_id"))
+        .groupBy("k").agg(count(lit(1)).as("n_click")), Seq("k"))
+      .join(buys.select(lit(1).as("k"), col("user_id"))
+        .groupBy("k").agg(count(lit(1)).as("n_purchase")), Seq("k"))
+    counts.select(col("n_view"), col("n_click"), col("n_purchase"),
+      r4(col("n_click").cast("double") / col("n_view")).as("view_to_click"),
+      r4(col("n_purchase").cast("double") / col("n_click")).as("click_to_purchase"))
+  }
+
   // --- q14: post-aggregation filter (HAVING) ---
   val q14_having: Q = (s, d) =>
     Tables.lineitem(s, d)
@@ -725,6 +756,7 @@ object Relational {
     "q45_cube" -> q45_cube,
     "q46_sketch_rollup" -> q46_sketch_rollup,
     "q47_heavy_hitters" -> q47_heavy_hitters,
+    "q48_funnel" -> q48_funnel,
     "q14_having" -> q14_having,
     "q15_case_agg" -> q15_case_agg,
     "q16_window_funcs" -> q16_window_funcs,
@@ -867,6 +899,20 @@ object Relational {
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word FROM documents) t
         |WHERE word <> '' GROUP BY word ORDER BY cnt DESC, word LIMIT 100""".stripMargin,
+    "q48_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e
+        |      JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts >= v.tv GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e
+        |      JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts >= c.tc GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |       (SELECT count(*) FROM c) AS n_click,
+        |       (SELECT count(*) FROM p) AS n_purchase,
+        |       round(((SELECT count(*) FROM c) * 1.0 / (SELECT count(*) FROM v)) * 10000) / 10000 AS view_to_click,
+        |       round(((SELECT count(*) FROM p) * 1.0 / (SELECT count(*) FROM c)) * 10000) / 10000 AS click_to_purchase""".stripMargin,
     // exact by construction (candidate superset + exact re-count), so
     // the oracle is the plain exact top-20 — the gate verifies the
     // sketch-then-verify plan reproduces it
