@@ -230,11 +230,68 @@ object Multimodal {
       .orderBy("id1", "id2")
   }
 
+  // --- mm05: resize (average-pool) inside the decode seam — the
+  // missing quarter of decode / feature-extract / resize /
+  // frame-sample. The payload is treated as a w×h luma grid (w =
+  // ceil(√len), the stand-in for the decoded plane; a real build
+  // pools the decoder's output buffer here instead) and average-
+  // pooled to a fixed 8×8 grid with INTEGER cell sums/counts — so
+  // every cell mean is a ratio of integers and the DuckDB oracle
+  // reproduces the full resized grid bit-for-bit (64 rows per doc).
+  // Same per-partition discipline as mm02: one decoder/buffer per
+  // task, narrow scan in, no shuffle — at 100 TB this is a pure map
+  // over the media column.
+  val mm05_resize: Q = (s, d) => {
+    val spark = s
+    val out = 8
+    val src = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("r", LongType),
+      StructField("c", LongType),
+      StructField("n_px", LongType),
+      StructField("px_mean", DoubleType)))
+    val rdd = src.rdd.mapPartitions { rows =>
+      val sums = Array.ofDim[Long](out, out)
+      val cnts = Array.ofDim[Long](out, out)
+      rows.flatMap { row =>
+        val id = row.getLong(0)
+        val b = row.getAs[Array[Byte]](1)
+        val len = b.length
+        if (len == 0) Iterator.empty
+        else {
+          var r = 0
+          while (r < out) {
+            java.util.Arrays.fill(sums(r), 0L)
+            java.util.Arrays.fill(cnts(r), 0L)
+            r += 1
+          }
+          val w = math.ceil(math.sqrt(len.toDouble)).toInt
+          val h = (len + w - 1) / w
+          var i = 0
+          while (i < len) {
+            val rr = ((i / w) * out) / h
+            val cc = ((i % w) * out) / w
+            sums(rr)(cc) += (b(i) & 0xff)
+            cnts(rr)(cc) += 1
+            i += 1
+          }
+          for (rr <- 0 until out; cc <- 0 until out if cnts(rr)(cc) > 0)
+            yield Row(id, rr.toLong, cc.toLong, cnts(rr)(cc),
+              math.round(sums(rr)(cc).toDouble / cnts(rr)(cc) * 10000) / 10000.0)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema).orderBy("doc_id", "r", "c")
+  }
+
   val registry: Map[String, Q] = Map(
     "mm01_binary_meta" -> mm01_binary_meta,
     "mm02_decode_stub" -> mm02_decode_stub,
     "mm03_frame_sample" -> mm03_frame_sample,
-    "mm04_phash_neardup" -> mm04_phash_neardup)
+    "mm04_phash_neardup" -> mm04_phash_neardup,
+    "mm05_resize" -> mm05_resize)
 
   val oracles: Map[String, String] = Map(
     // mm02: the byte-nibble histogram L2 and the magic-byte format
@@ -265,5 +322,21 @@ object Multimodal {
     "mm01_binary_meta" ->
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len,
         |  sha256(text) AS sha
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // mm05: ASCII payloads make the w×h grid SQL-reproducible
+    // (unicode(char) = byte); integer cell sums/counts keep the means
+    // exact under the shared rounding idiom
+    "mm05_resize" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len
+        |           FROM documents WHERE length(text) > 0),
+        |px AS (
+        |  SELECT doc_id, i - 1 AS idx, unicode(substr(text, i, 1)) AS v, len,
+        |         CAST(ceil(sqrt(len)) AS BIGINT) AS w
+        |  FROM (SELECT doc_id, text, len,
+        |          unnest(generate_series(1, len)) AS i FROM d) t),
+        |px2 AS (SELECT doc_id, idx, v, w, (len + w - 1) // w AS h FROM px)
+        |SELECT doc_id, ((idx // w) * 8) // h AS r, ((idx % w) * 8) // w AS c,
+        |       count(*) AS n_px,
+        |       round((sum(v) * 1.0 / count(*)) * 10000) / 10000 AS px_mean
+        |FROM px2 GROUP BY doc_id, r, c ORDER BY doc_id, r, c""".stripMargin)
 }
