@@ -260,12 +260,15 @@ object Relational {
       .groupBy("user_id").agg(min("ts").as("tv"))
     val clicks = stage("click", views, "tv", "tc")
     val buys = stage("purchase", clicks, "tc", "tp")
-    val counts = views.select(lit(1).as("k"), col("user_id").as("u1"))
-      .groupBy("k").agg(count(lit(1)).as("n_view"))
-      .join(clicks.select(lit(1).as("k"), col("user_id"))
-        .groupBy("k").agg(count(lit(1)).as("n_click")), Seq("k"))
-      .join(buys.select(lit(1).as("k"), col("user_id"))
-        .groupBy("k").agg(count(lit(1)).as("n_purchase")), Seq("k"))
+    // one row per viewing user with the stage times it reached; the
+    // summary is a single partial-aggregated count over that — all
+    // joins stay user-keyed (count(col) skips the NULLs of users who
+    // dropped out, so no single-row join assembly is needed)
+    val counts = views
+      .join(clicks, Seq("user_id"), "left_outer")
+      .join(buys, Seq("user_id"), "left_outer")
+      .agg(count("tv").as("n_view"), count("tc").as("n_click"),
+        count("tp").as("n_purchase"))
     counts.select(col("n_view"), col("n_click"), col("n_purchase"),
       r4(col("n_click").cast("double") / col("n_view")).as("view_to_click"),
       r4(col("n_purchase").cast("double") / col("n_click")).as("click_to_purchase"))
