@@ -247,6 +247,72 @@ case class TokenStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Product-quantization code of an array<double> vector against a
+  * driver-resident codebook set: the vector is L2-NORMALIZED, split
+  * into `m = books.length` contiguous subspaces, each subvector
+  * snapped to its nearest (L2) codeword, and the `m` codeword ids
+  * packed big-endian into ONE long at `bits` bits each — the whole
+  * corpus index is 8 bytes/vector regardless of dimensionality
+  * (64 dims × 8-byte doubles → 64× scan compression; that IO ratio
+  * is PQ's entire point at 100 TB). Like [[NearestCells]], the
+  * codebooks ride into generated code as a reference object:
+  * encoding is a NARROW codegen'd map over the scan.
+  */
+case class PqEncode(child: Expression, books: Array[Array[Array[Double]]],
+                    bits: Int)
+    extends UnaryExpression {
+  require(books.length * bits <= 64,
+    s"${books.length} codes x $bits bits do not pack into a long")
+  require(books.forall(_.length <= (1 << bits)),
+    s"a codebook exceeds 2^$bits codewords")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_pq_encode"
+
+  override protected def nullSafeEval(a: Any): Any =
+    GraftHashOps.pqEncode(a.asInstanceOf[ArrayData], books, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("books", books, "double[][][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftHashOps.pqEncode($c, $ref, $bits)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance (ADC) scores of a packed PQ code against a
+  * driver-resident per-query lookup-table matrix: for query q,
+  * `score = Σ_j luts(q)(j·ksub + code_j)` where each table entry is
+  * the exact dot of the query's j-th subvector with codeword b —
+  * so the score is dot(query, decode(code)) without ever
+  * reconstructing the vector. Output is one array<double> of
+  * `luts.length` scores per row (the query set is driver-sized by
+  * definition, like the centroid matrix). Scoring is a NARROW
+  * codegen'd map over the 8-byte code column — the corpus's raw
+  * vectors are never read.
+  */
+case class PqAdcScores(child: Expression, luts: Array[Array[Double]],
+                       m: Int, ksub: Int, bits: Int)
+    extends UnaryExpression {
+  require(luts.forall(_.length == m * ksub),
+    s"each LUT must be m x ksub = ${m * ksub} entries")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_pq_adc"
+
+  override protected def nullSafeEval(a: Any): Any =
+    GraftHashOps.pqAdcScores(a.asInstanceOf[Long], luts, m, ksub, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("luts", luts, "double[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftHashOps.pqAdcScores($c, $ref, $m, $ksub, $bits)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdcScores =
+    copy(child = newChild)
+}
+
 /** JVM loops the generated code calls into (and interpreted eval
   * reuses). xxhash64 here matches Spark's SQL xxhash64 (XXH64 over
   * UTF-8 bytes, seed 42) so native and SQL paths hash identically.
@@ -444,6 +510,66 @@ object GraftHashOps {
     new GenericArrayData(out)
   }
 
+  /** Normalize, snap each subspace to its nearest-L2 codeword, pack
+    * the codeword ids big-endian at `bits` bits each. A zero vector
+    * encodes against the unnormalized zeros (total, deterministic).
+    * Ties keep the lower codeword id.
+    */
+  def pqEncode(v: ArrayData, books: Array[Array[Array[Double]]], bits: Int): Long = {
+    val dim = v.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < dim) { val x = v.getDouble(i); s += x * x; i += 1 }
+    val inv = if (s > 0.0) 1.0 / math.sqrt(s) else 1.0
+    val m = books.length
+    var code = 0L
+    var off = 0
+    var j = 0
+    while (j < m) {
+      val cb = books(j)
+      val dsub = cb(0).length
+      var best = 0
+      var bestD = Double.MaxValue
+      var b = 0
+      while (b < cb.length) {
+        val c = cb(b)
+        var dd = 0.0
+        var k = 0
+        while (k < dsub && off + k < dim) {
+          val x = v.getDouble(off + k) * inv - c(k)
+          dd += x * x
+          k += 1
+        }
+        if (dd < bestD) { bestD = dd; best = b }
+        b += 1
+      }
+      code = (code << bits) | best.toLong
+      off += dsub
+      j += 1
+    }
+    code
+  }
+
+  def pqAdcScores(code: Long, luts: Array[Array[Double]],
+                  m: Int, ksub: Int, bits: Int): ArrayData = {
+    val codes = new Array[Int](m)
+    val mask = (1L << bits) - 1L
+    var c = code
+    var j = m - 1
+    while (j >= 0) { codes(j) = (c & mask).toInt; c >>>= bits; j -= 1 }
+    val out = new Array[Double](luts.length)
+    var q = 0
+    while (q < luts.length) {
+      val lut = luts(q)
+      var s = 0.0
+      var jj = 0
+      while (jj < m) { s += lut(jj * ksub + codes(jj)); jj += 1 }
+      out(q) = s
+      q += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def rollingHashes(toks: ArrayData, width: Int): ArrayData = {
     val n = toks.numElements()
     if (n < width) return new GenericArrayData(Array.empty[Long])
@@ -487,6 +613,11 @@ object GraftFunctions {
                       nBands: Int, rowsPerBand: Int): Column =
     column(HyperplaneBands(attr(v), planes, nBands, rowsPerBand))
   def charStats(text: String): Column = column(CharStats(attr(text)))
+  def pqEncode(v: String, books: Array[Array[Array[Double]]], bits: Int): Column =
+    column(PqEncode(attr(v), books, bits))
+  def pqAdcScores(code: String, luts: Array[Array[Double]],
+                  m: Int, ksub: Int, bits: Int): Column =
+    column(PqAdcScores(attr(code), luts, m, ksub, bits))
   def tokenStats(toks: String): Column = column(TokenStats(attr(toks)))
   def topK(score: String, id: String, k: Int): Column =
     column(TopKByScore(

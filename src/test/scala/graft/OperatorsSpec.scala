@@ -123,6 +123,49 @@ class OperatorsSpec extends SparkSpecBase {
     assert(perQuery.values.forall(_ >= 0.2), s"a query fell below 0.2 recall: $perQuery")
   }
 
+  test("ann05 PQ ANN: recall floor, determinism, 8-byte codes, heap+broadcast plan") {
+    def byQuery(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
+      rows.map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val exact = byQuery(similarity.Similarity.ann01_brute_topk(spark, sfDir)
+      .select("q_id", "n_id").collect())
+    val df = similarity.Similarity.ann05_pq_topk(spark, sfDir)
+    val pq = byQuery(df.select("q_id", "n_id").collect())
+    assert(pq.keySet == exact.keySet, "PQ dropped whole queries")
+    assert(pq.values.forall(_.size == 5), "PQ returned short top-k lists")
+    val perQuery = exact.map { case (q, ns) =>
+      q -> pq(q).intersect(ns).size.toDouble / ns.size
+    }
+    val mean = perQuery.values.sum / perQuery.size
+    info(f"PQ ANN recall@5: mean $mean%.2f, per-query ${perQuery.toSeq.sortBy(_._1).map(_._2).map(v => f"$v%.1f").mkString(",")}")
+    // ADC scores EVERY row (no bucketing misses); the only
+    // approximation is quantization error in shortlist membership,
+    // so the floor sits above the bucketed families' (measured dial:
+    // rf=8 → .82 at sf0.001, .90 at sf0.01, per-query min 0.6)
+    assert(mean >= 0.7, f"mean PQ recall@5 $mean%.2f below floor 0.7")
+    assert(perQuery.values.forall(_ >= 0.4), s"a query fell below 0.4 recall: $perQuery")
+    // deterministic end-to-end (hash-ordered sample, fixed init/iters):
+    // a fresh training run on a fresh session-dir memo reproduces bit-equal codebooks
+    val b1 = similarity.Similarity.trainPqCodebooks(spark, sfDir)
+    val b2 = similarity.Similarity.trainPqCodebooks(spark, sfDir)
+    assert(b1.length == b2.length && b1.indices.forall(j =>
+      b1(j).indices.forall(b => java.util.Arrays.equals(b1(j)(b), b2(j)(b)))),
+      "PQ training is not deterministic")
+    // the scale contract: the whole index is ONE long per vector
+    val enc = similarity.Similarity.pqBooksFor(spark, sfDir)
+    assert(enc.length * similarity.Similarity.pqBits <= 64,
+      "codes do not pack into 8 bytes")
+    // plan: heap aggregates select both the ADC shortlist and the
+    // final exact top-k (no Window over scored rows); the shortlist
+    // fetch is a broadcast join against the streaming corpus scan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_topk"), s"selection is not the heap aggregate:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"shortlist fetch is not broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"a window crept into ann05:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"all-pairs join in ann05:\n$plan")
+  }
+
   test("ann04 hyperplane-LSH ANN: recall floor, bounded candidates, broadcast plan") {
     def byQuery(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
       rows.map(r => (r.getLong(0), r.getLong(1)))
