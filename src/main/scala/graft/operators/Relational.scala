@@ -249,6 +249,28 @@ object Relational {
   // filtered to one event type before it shuffles. The stage joins
   // shrink monotonically (funnel ⊆ funnel), so AQE can broadcast the
   // later stages against the filtered fact slices at scale.
+  // --- q49: explicit GROUPING SETS — the general form whose special
+  // cases are q13's rollup and q45's cube: arbitrary, even unrelated
+  // sets ((rf, ls), (shipmode), ()) in ONE Expand-fed
+  // partial-aggregated shuffle — 3 grouping sets, one facts scan, no
+  // per-set rescan or union of aggregates. grouping_id() over the 3
+  // grouping columns disambiguates a real 'ALL' value from an
+  // aggregated-away dimension, exactly as in q45.
+  val q49_grouping_sets: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .withColumn("ship_year", year(col("l_shipdate")).cast("string"))
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("ship_year")), Seq()),
+        col("l_returnflag"), col("l_linestatus"), col("ship_year"))
+      .agg(r2(sum("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        coalesce(col("ship_year"), lit("ALL")).as("sy"),
+        col("gid"), col("sum_qty"), col("n"))
+      .orderBy("gid", "rf", "ls", "sy")
+
   val q48_funnel: Q = (s, d) => {
     val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
     def stage(tpe: String, prev: DataFrame, prevTs: String, outTs: String) =
@@ -760,6 +782,7 @@ object Relational {
     "q46_sketch_rollup" -> q46_sketch_rollup,
     "q47_heavy_hitters" -> q47_heavy_hitters,
     "q48_funnel" -> q48_funnel,
+    "q49_grouping_sets" -> q49_grouping_sets,
     "q14_having" -> q14_having,
     "q15_case_agg" -> q15_case_agg,
     "q16_window_funcs" -> q16_window_funcs,
@@ -1012,6 +1035,14 @@ object Relational {
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
         |  round((sum(l_quantity)) * 100) / 100 AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY gid, rf, ls""".stripMargin,
+    "q49_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |  coalesce(ship_year, 'ALL') AS sy,
+        |  CAST(GROUPING(l_returnflag, l_linestatus, ship_year) AS BIGINT) AS gid,
+        |  round((sum(l_quantity)) * 100) / 100 AS sum_qty, count(*) AS n
+        |FROM (SELECT *, CAST(year(l_shipdate) AS VARCHAR) AS ship_year FROM lineitem)
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (ship_year), ())
+        |ORDER BY gid, rf, ls, sy""".stripMargin,
     "q14_having" ->
       """SELECT l_partkey, round((sum(l_quantity)) * 100) / 100 AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY l_partkey HAVING round((sum(l_quantity)) * 100) / 100 > 100
