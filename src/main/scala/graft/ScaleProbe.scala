@@ -103,6 +103,85 @@ object ScaleProbe {
           time(s"dd10 delta pass ($deltaRows delta vs $n-fp index)")(deltaPass)
           time(s"naive full re-dedup (base $n + delta)")(naive)
         }
+      case "pq" =>
+        // ann05's 100 TB claim, measured: top-k scoring from the
+        // 8-byte PQ code column vs from the raw 64-dim double
+        // vectors, both heap-selected, both cold off parquet. The
+        // code layout is ~64x smaller on disk, so the ADC scan is
+        // IO-bound-cheaper by roughly that factor once the corpus
+        // outgrows the page cache; CPU/row is also lower (16 table
+        // lookups vs 64 multiply-adds).
+        val dim = 64
+        val base = java.nio.file.Files.createTempDirectory("probe-pq").toString
+        try {
+          // deterministic synthetic vectors: 32 loose clusters + hash noise
+          val raw = spark.range(rows).select(col("id").as("vec_id"),
+            expr(s"""transform(sequence(0, ${dim - 1}, 1), i ->
+              cast(pmod(xxhash64(pmod(id, 32), i), 1000) as double) / 500.0 - 1.0 +
+              cast(pmod(xxhash64(id, i), 200) as double) / 1000.0)""").as("v"))
+            .withColumn("nrm", functions.GraftFunctions.l2norm("v"))
+          raw.write.mode("overwrite").parquet(s"$base/raw")
+          val vdf = spark.read.parquet(s"$base/raw")
+          val books = similarity.Similarity.trainPqBooksOf(vdf)
+          vdf.select(col("vec_id"), functions.GraftFunctions
+              .pqEncode("v", books, similarity.Similarity.pqBits).as("code"))
+            .write.mode("overwrite").parquet(s"$base/codes")
+          def bytesOf(p: String): Long = {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(java.nio.file.Path.of(p)).iterator().asScala
+              .filter(java.nio.file.Files.isRegularFile(_))
+              .map(java.nio.file.Files.size).sum
+          }
+          println(f"raw layout:  ${bytesOf(s"$base/raw") / 1e6}%.1f MB; " +
+            f"code layout: ${bytesOf(s"$base/codes") / 1e6}%.1f MB " +
+            f"(${bytesOf(s"$base/raw").toDouble / bytesOf(s"$base/codes")}%.0fx)")
+          // 10 fixed queries, both paths
+          val qs = vdf.filter(col("vec_id") < 10).collect()
+            .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+          val luts = qs.map { case (_, va, na) =>
+            similarity.Similarity.pqLutFor(books,
+              if (na > 0.0) va.map(_ / na) else va)
+          }
+          val qIds = qs.map(_._1)
+          time(s"exact dot scan + heap top-5 ($rows rows)") {
+            val qdf = spark.createDataFrame(
+              spark.sparkContext.parallelize(qs.toSeq.map(q =>
+                org.apache.spark.sql.Row(q._1, q._2.toSeq, q._3)), 1),
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("q_id",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("va",
+                  org.apache.spark.sql.types.ArrayType(
+                    org.apache.spark.sql.types.DoubleType)),
+                org.apache.spark.sql.types.StructField("na",
+                  org.apache.spark.sql.types.DoubleType))))
+            spark.read.parquet(s"$base/raw")
+              .select(col("vec_id").as("n_id"), col("v").as("vb"), col("nrm").as("nb"))
+              .join(broadcast(qdf), col("q_id") =!= col("n_id"))
+              .select(col("q_id"), col("n_id"),
+                (functions.GraftFunctions.dot("va", "vb") /
+                  (col("na") * col("nb"))).as("cos"))
+              .groupBy("q_id")
+              .agg(functions.GraftFunctions.topK("cos", "n_id", 5).as("tk"))
+          }
+          time(s"PQ ADC scan + heap top-5 ($rows rows)") {
+            spark.read.parquet(s"$base/codes")
+              .select(col("vec_id").as("n_id"), posexplode(
+                functions.GraftFunctions.pqAdcScores("code", luts,
+                  similarity.Similarity.pqM, similarity.Similarity.pqKsub,
+                  similarity.Similarity.pqBits)).as(Seq("qi", "adc")))
+              .withColumn("q_id", element_at(typedlit(qIds), col("qi") + 1))
+              .filter(col("q_id") =!= col("n_id"))
+              .groupBy("q_id")
+              .agg(functions.GraftFunctions.topK("adc", "n_id", 40).as("tk"))
+          }
+        } finally {
+          import scala.jdk.CollectionConverters._
+          val root = java.nio.file.Path.of(base)
+          if (java.nio.file.Files.exists(root))
+            java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+        }
       case "hh" =>
         // q47's claim, measured: exact top-20 frequent keys when the
         // vocabulary grows with the data. ~30% of rows hit 23 hot (23 coprime with the 10-residue gate)

@@ -368,10 +368,17 @@ object Similarity {
     * init, fixed iteration count.
     */
   def trainPqCodebooks(s: SparkSession, d: String, m: Int = pqM,
-                       ksub: Int = pqKsub, iters: Int = 10): Array[Array[Array[Double]]] = {
-    val sample = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
+                       ksub: Int = pqKsub, iters: Int = 10): Array[Array[Array[Double]]] =
+    trainPqBooksOf(vecs(s, d), m, ksub, iters)
+
+  /** Training body over any (vec_id, v, nrm) frame — shared with the
+    * scale probe so its measurement can't drift from the shipped code.
+    */
+  def trainPqBooksOf(vdf: DataFrame, m: Int = pqM, ksub: Int = pqKsub,
+                     iters: Int = 10): Array[Array[Array[Double]]] = {
+    val sample = vdf.select(col("vec_id"), col("v"), col("nrm"))
       .orderBy(xxhash64(col("vec_id"))).limit(pqSampleCap).collect()
-    require(sample.nonEmpty, s"PQ training sample is empty for $d")
+    require(sample.nonEmpty, "PQ training sample is empty")
     val pts = sample.map { r =>
       val a = r.getSeq[Double](1).toArray
       val n = r.getDouble(2)
@@ -416,6 +423,26 @@ object Similarity {
     cents
   }
 
+  /** ADC lookup table of a NORMALIZED query against the codebooks:
+    * entry (j·ksub + b) = dot(query subvector j, codeword b).
+    */
+  def pqLutFor(books: Array[Array[Array[Double]]], qn: Array[Double],
+               ksub: Int = pqKsub): Array[Double] = {
+    val lut = new Array[Double](books.length * ksub)
+    var off = 0
+    for (j <- books.indices) {
+      val dsub = books(j)(0).length
+      for (b <- books(j).indices) {
+        var sdot = 0.0
+        var t = 0
+        while (t < dsub) { sdot += qn(off + t) * books(j)(b)(t); t += 1 }
+        lut(j * ksub + b) = sdot
+      }
+      off += dsub
+    }
+    lut
+  }
+
   private def nearestL2(p: Array[Double], cents: Array[Array[Double]]): Int = {
     var best = 0
     var bestD = Double.MaxValue
@@ -444,19 +471,10 @@ object Similarity {
     // matrix): its ADC tables ride into generated code
     val qRows = queriesOf(s, d).collect()
     val qIds: Array[Long] = qRows.map(_.getLong(0))
-    val dsub = books(0)(0).length
     val luts: Array[Array[Double]] = qRows.map { r =>
       val va = r.getSeq[Double](1).toArray
       val na = r.getDouble(2)
-      val qn = if (na > 0.0) va.map(_ / na) else va
-      val lut = new Array[Double](pqM * pqKsub)
-      for (j <- books.indices; b <- books(j).indices) {
-        var sdot = 0.0
-        var t = 0
-        while (t < dsub) { sdot += qn(j * dsub + t) * books(j)(b)(t); t += 1 }
-        lut(j * pqKsub + b) = sdot
-      }
-      lut
+      pqLutFor(books, if (na > 0.0) va.map(_ / na) else va)
     }
     val codes = vecs(s, d).select(col("vec_id").as("n_id"),
       graft.functions.GraftFunctions.pqEncode("v", books, pqBits).as("code"))
