@@ -286,12 +286,63 @@ object Multimodal {
     spark.createDataFrame(rdd, schema).orderBy("doc_id", "r", "c")
   }
 
+  // --- mm06: windowed audio-energy contour inside the decode seam —
+  // the audio-modality counterpart of mm05's image resize (the
+  // triple the brief names: image/audio/video; mm04/mm05 are the
+  // image rows, mm03 the video frame-sampler, this the audio one).
+  // The payload is treated as fixed-rate 8-bit PCM; per 64-sample
+  // window the energy is the INTEGER sum of squares (a real build
+  // swaps the byte read for the codec's PCM plane — the windowing,
+  // thresholding and aggregation are unchanged), rolled up per doc:
+  // window count, low-energy (silence-detect) count, peak and total
+  // energy. All-integer outputs keep the DuckDB oracle hash-exact.
+  // Same per-partition discipline as mm02: no per-row allocation,
+  // narrow scan in / one row per doc out, no shuffle.
+  val mm06_audio_energy: Q = (s, d) => {
+    val spark = s
+    val win = 64
+    val lowMeanSq = 10000L // mean-square silence threshold (amplitude ~100)
+    val src = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_windows", LongType),
+      StructField("n_low", LongType),
+      StructField("peak_ss", LongType),
+      StructField("total_ss", LongType)))
+    val rdd = src.rdd.mapPartitions { rows =>
+      rows.map { row =>
+        val id = row.getLong(0)
+        val b = row.getAs[Array[Byte]](1)
+        var off = 0
+        var nWin = 0L
+        var nLow = 0L
+        var peak = 0L
+        var total = 0L
+        while (off < b.length) {
+          val end = math.min(off + win, b.length)
+          var ss = 0L
+          var i = off
+          while (i < end) { val v = (b(i) & 0xff).toLong; ss += v * v; i += 1 }
+          nWin += 1
+          if (ss < lowMeanSq * (end - off)) nLow += 1
+          if (ss > peak) peak = ss
+          total += ss
+          off = end
+        }
+        Row(id, nWin, nLow, peak, total)
+      }
+    }
+    spark.createDataFrame(rdd, schema).orderBy("doc_id")
+  }
+
   val registry: Map[String, Q] = Map(
     "mm01_binary_meta" -> mm01_binary_meta,
     "mm02_decode_stub" -> mm02_decode_stub,
     "mm03_frame_sample" -> mm03_frame_sample,
     "mm04_phash_neardup" -> mm04_phash_neardup,
-    "mm05_resize" -> mm05_resize)
+    "mm05_resize" -> mm05_resize,
+    "mm06_audio_energy" -> mm06_audio_energy)
 
   val oracles: Map[String, String] = Map(
     // mm02: the byte-nibble histogram L2 and the magic-byte format
@@ -323,6 +374,20 @@ object Multimodal {
       """SELECT doc_id, octet_length(CAST(text AS BLOB)) AS byte_len,
         |  sha256(text) AS sha
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // mm06: ASCII payloads make the PCM windows SQL-reproducible
+    // (unicode(char) = byte = "sample"); all-integer energy sums
+    "mm06_audio_energy" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |w AS (
+        |  SELECT doc_id, (i - 1) // 64 AS w,
+        |    sum(unicode(substr(text, i, 1)) * unicode(substr(text, i, 1))) AS ss,
+        |    count(*) AS wlen
+        |  FROM (SELECT doc_id, text, unnest(generate_series(1, len)) AS i FROM d) t
+        |  GROUP BY doc_id, w)
+        |SELECT doc_id, count(*) AS n_windows,
+        |  CAST(sum(CASE WHEN ss < 10000 * wlen THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(max(ss) AS BIGINT) AS peak_ss, CAST(sum(ss) AS BIGINT) AS total_ss
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // mm05: ASCII payloads make the w×h grid SQL-reproducible
     // (unicode(char) = byte); integer cell sums/counts keep the means
     // exact under the shared rounding idiom
