@@ -303,6 +303,44 @@ object Pipeline {
     * (hash-seeded semantics); spec: exact agreement with a
     * brute-force train×eval estimated-Jaccard sweep.
     */
+  // --- pp10: gate ablation report — the rollup a pipeline owner
+  // actually reads after a tx16 run ("why did we drop 12% of this
+  // crawl?"): per (lang, source, rule) failure counts with the
+  // stratum's doc/drop totals and failure rate. ONE pass over the
+  // gate output: each doc explodes into a '__doc__' sentinel (+ a
+  // '__drop__' sentinel and its failed-rule names when dropped), so
+  // a single (lang, source, rule) count aggregation carries the
+  // stratum totals alongside the rule counts — no second gate scan,
+  // no self-join of the expensive signal projection (pp02's
+  // CollapseProject lesson). The re-assembly join is over
+  // strata-sized aggregates (broadcast). Rules that never fire in a
+  // stratum produce no row, like any incident report.
+  val pp10_gate_report: Q = (s, d) => {
+    val gate = graft.text.TextAnalysis.tx16_quality_gate(s, d)
+    val dims = Tables.documents(s, d).select("doc_id", "lang", "source")
+    val counts = gate.join(dims, Seq("doc_id"))
+      .select(col("lang"), col("source"),
+        explode(concat(
+          array(lit("__doc__")),
+          when(col("keep"), typedlit(Array.empty[String]))
+            .otherwise(concat(array(lit("__drop__")),
+              split(col("reasons"), ","))))).as("rule"))
+      .groupBy("lang", "source", "rule").agg(count(lit(1)).as("n"))
+    val strata = counts.filter(col("rule") === "__doc__")
+      .select(col("lang"), col("source"), col("n").as("n_docs"))
+    val drops = counts.filter(col("rule") === "__drop__")
+      .select(col("lang"), col("source"), col("n").as("n_dropped"))
+    counts.filter(!col("rule").isin("__doc__", "__drop__"))
+      .select(col("lang"), col("source"), col("rule"), col("n").as("n_failed"))
+      .join(broadcast(strata), Seq("lang", "source"))
+      .join(broadcast(drops), Seq("lang", "source"))
+      .select(col("lang"), col("source"), col("rule"), col("n_failed"),
+        col("n_docs"), col("n_dropped"),
+        (round(col("n_failed").cast("double") / col("n_docs") * 10000) / 10000)
+          .as("fail_rate"))
+      .orderBy("lang", "source", "rule")
+  }
+
   val pp09_decontaminate_fuzzy: Q = (s, d) => {
     val tau = 0.35
     val docs = Tables.documents(s, d)
@@ -330,6 +368,7 @@ object Pipeline {
   }
 
   val registry: Map[String, Q] = Map(
+    "pp10_gate_report" -> pp10_gate_report,
     "pp09_decontaminate_fuzzy" -> pp09_decontaminate_fuzzy,
     "pp08_shard_pack" -> pp08_shard_pack,
     "pp07_mix_epochs" -> pp07_mix_epochs,
@@ -344,6 +383,23 @@ object Pipeline {
     "list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    // pp10 embeds tx16's oracle verbatim as its gate CTE, so the two
+    // can't drift apart
+    "pp10_gate_report" ->
+      s"""WITH g AS (${graft.text.TextAnalysis.oracles("tx16_quality_gate")}),
+         |j AS (SELECT g.doc_id, g.reasons, d.lang, d.source
+         |      FROM g JOIN documents d USING (doc_id)),
+         |strata AS (SELECT lang, source, count(*) AS n_docs,
+         |    sum(CASE WHEN reasons <> '' THEN 1 ELSE 0 END) AS n_dropped
+         |  FROM j GROUP BY lang, source),
+         |rc AS (SELECT lang, source, rule, count(*) AS n_failed FROM (
+         |    SELECT lang, source, unnest(string_split(reasons, ',')) AS rule
+         |    FROM j WHERE reasons <> '') GROUP BY lang, source, rule)
+         |SELECT lang, source, rule, CAST(n_failed AS BIGINT) AS n_failed,
+         |  CAST(n_docs AS BIGINT) AS n_docs, CAST(n_dropped AS BIGINT) AS n_dropped,
+         |  round(n_failed * 1.0 / n_docs * 10000) / 10000 AS fail_rate
+         |FROM rc JOIN strata USING (lang, source)
+         |ORDER BY lang, source, rule""".stripMargin,
     "pp08_shard_pack" ->
       """WITH r AS (
         |  SELECT doc_id, n_chars,
