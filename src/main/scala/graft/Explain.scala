@@ -21,7 +21,9 @@ object Explain {
         "pp08_shard_pack", "pp09_decontaminate_fuzzy",
         "tx11_boilerplate", "tx12_entropy", "tx13_compress", "tx14_unigram_lp",
         "tx15_bpe_tokens",
-        "ann03_topk_agg")
+        "ann03_topk_agg", "ann04_lsh_topk", "ann05_pq_topk",
+        "q47_heavy_hitters", "q48_funnel", "q49_grouping_sets",
+        "mm06_audio_energy", "pp10_gate_report")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

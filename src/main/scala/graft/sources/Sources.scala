@@ -36,6 +36,27 @@ object Sources {
     w.save(path)
   }
 
+  /** Read raw media/blob files as rows — the ingest entry point for
+    * the multimodal operators (graft.multimodal's decode seam
+    * consumes exactly this shape): one row per file with
+    * (path, modificationTime, length, content: binary). Spark's
+    * binaryFile source pushes filters on the METADATA columns (path /
+    * length / modificationTime) down to file listing — a
+    * `length < 10MB` guard or a glob skips files without reading a
+    * byte, which is the posture that matters when the media corpus is
+    * the 100 TB. Content is read whole-file per row: cap file size at
+    * the source (`spark.sql.sources.binaryFile.maxLength`) rather
+    * than filtering after the read.
+    */
+  def readBinaryFiles(spark: SparkSession, path: String,
+                      pathGlob: Option[String] = None,
+                      recursive: Boolean = false): DataFrame = {
+    var r = spark.read.format("binaryFile")
+    pathGlob.foreach(g => r = r.option("pathGlobFilter", g))
+    if (recursive) r = r.option("recursiveFileLookup", "true")
+    r.load(path)
+  }
+
   /** Read a parquet dir written across schema versions, unioning the
     * per-file schemas (new columns null-filled for old files) — the
     * data-lake schema-evolution path.

@@ -79,6 +79,27 @@ object Bolts {
           Seq(fpCol), "left_outer")
         .filter(col("__seen").isNull).drop("__seen"))
   }
+
+  /** Streaming heavy hitters — the reference topNBolt generalized to
+    * UNBOUNDED vocabulary (q47's Misra–Gries summary as stream
+    * state). Streaming word count keeps one state row per distinct
+    * key ever seen — vocabulary-sized, unbounded on a web-scale
+    * token stream. This bolt's state is the single ≤`capacity`-entry
+    * mergeable summary (graft_heavy_hitters is a
+    * TypedImperativeAggregate, so the state store holds one
+    * serialized buffer row TOTAL — spec-asserted via
+    * stateOperators.numRowsTotal == 1), and the guarantee line
+    * n/(cap+1) degrades gracefully as the stream grows. Update mode
+    * emits the summary (total, items[(tok, lb)]) each micro-batch;
+    * exact verification, where needed, is a batch re-count over the
+    * archived stream (q47's pass 2).
+    */
+  def heavyHitters(itemCol: String, capacity: Int): Bolt = {
+    import org.apache.spark.sql.functions.col
+    Bolt("heavy-hitters", df => df.groupBy()
+      .agg(graft.functions.GraftFunctions.heavyHitters(itemCol, capacity).as("hh"))
+      .select(col("hh.total").as("total"), col("hh.items").as("items")))
+  }
 }
 
 final case class Topology(spout: Spout, bolts: Seq[Bolt], sink: Sink,

@@ -56,6 +56,33 @@ class SourcesSpec extends SparkSpecBase {
     assert(spark.read.parquet(path).count() == rows)
   }
 
+  test("binaryFile read: whole-file rows, glob pruning, exact bytes") {
+    val path = tmpDir("src-bin")
+    val dir = new java.io.File(path); dir.mkdirs()
+    val payloads = Map("a.png" -> Array[Byte](137.toByte, 80, 78, 71, 13, 10),
+      "b.png" -> Array[Byte](137.toByte, 80, 78, 71, 0, 1, 2),
+      "c.txt" -> "not media".getBytes("UTF-8"))
+    payloads.foreach { case (n, b) =>
+      java.nio.file.Files.write(java.nio.file.Path.of(path, n), b)
+    }
+    val all = Sources.readBinaryFiles(spark, path)
+    assert(all.count() == 3)
+    assert(all.columns.toSet == Set("path", "modificationTime", "length", "content"))
+    // glob filtering prunes at file listing (no content read for c.txt)
+    val pngs = Sources.readBinaryFiles(spark, path, pathGlob = Some("*.png"))
+      .select("path", "length", "content").collect()
+    assert(pngs.length == 2)
+    // bytes round-trip exactly and length matches the metadata column
+    pngs.foreach { r =>
+      val name = r.getString(0).split('/').last
+      assert(java.util.Arrays.equals(r.getAs[Array[Byte]](2), payloads(name)))
+      assert(r.getLong(1) == payloads(name).length.toLong)
+    }
+    // the shape feeds the decode seam directly (mm02's contract)
+    val feat = pngs.map(r => graft.multimodal.Multimodal.aHash64(r.getAs[Array[Byte]](2)))
+    assert(feat.distinct.length == 2)
+  }
+
   test("streaming file spout reads with explicit schema") {
     val path = tmpDir("src-stream")
     Sources.write(Tables.nation(spark, sfDir), "json", path)

@@ -87,6 +87,49 @@ class StreamingSpec extends SparkSpecBase {
     assert(m.combine(m.empty, merged) == merged)
   }
 
+  test("streaming heavy hitters: bounded summary state, guarantee holds across batches") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[String]
+    val cap = 8
+    // skewed stream split across two micro-batches: item i appears
+    // (21-i)^2 times over 20 distinct items + a unique-token tail
+    val truth = (1 to 20).map(i => s"item$i" -> (21 - i) * (21 - i)).toMap
+    val all = new scala.util.Random(7)
+      .shuffle(truth.toSeq.flatMap { case (t, c) => Seq.fill(c)(t) } ++
+        (1 to 500).map(i => s"tail$i"))
+    val (b1, b2) = all.splitAt(all.size / 2)
+    val q = Bolts.heavyHitters("tok", cap)
+      .transform(mem.toDF().toDF("tok"))
+      .writeStream.outputMode(OutputMode.Update).format("memory")
+      .queryName("hhstream").start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val rows = spark.table("hhstream").collect()
+      val last = rows.last
+      val n = all.size.toLong
+      assert(last.getLong(0) == n, "total must be the exact stream length")
+      val items = last.getSeq[org.apache.spark.sql.Row](1)
+        .map(r => r.getString(0) -> r.getLong(1))
+      assert(items.size <= cap)
+      val maxErr = n.toDouble / (cap + 1)
+      items.foreach { case (t, lb) =>
+        val c = truth.getOrElse(t, 1)
+        assert(lb <= c, s"$t: lower bound $lb exceeds true count $c")
+      }
+      val present = items.map(_._1).toSet
+      truth.filter(_._2 > maxErr).keys.foreach(t =>
+        assert(present.contains(t), s"guaranteed heavy hitter $t missing after restart-free two-batch run"))
+      // THE scale claim: state is ONE summary row, not one row per
+      // distinct key (a streaming wordcount on this stream would hold
+      // 520 state rows and grow with the vocabulary forever)
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 1L, s"heavy-hitter state is not bounded: $stateRows rows")
+    } finally q.stop()
+  }
+
   test("event-time ops: tumbling windows and sessions over a stream") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Long, Double)]
