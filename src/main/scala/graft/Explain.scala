@@ -23,7 +23,7 @@ object Explain {
         "tx15_bpe_tokens",
         "ann03_topk_agg", "ann04_lsh_topk", "ann05_pq_topk",
         "q47_heavy_hitters", "q48_funnel", "q49_grouping_sets",
-        "mm06_audio_energy", "pp10_gate_report")
+        "mm06_audio_energy", "pp10_gate_report", "q50_peak_concurrency")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -249,6 +249,43 @@ object Relational {
   // filtered to one event type before it shuffles. The stage joins
   // shrink monotonically (funnel ⊆ funnel), so AQE can broadcast the
   // later stages against the filtered fact slices at scale.
+  // --- q50: peak concurrency (interval-overlap sweep line) — the
+  // "how many sessions were open at once, and when did the peak
+  // happen" question. Each event spawns a deterministic interval
+  // [ts, ts + 1800+id%1800 s); the sweep explodes it into (+1 at
+  // start, −1 at end-exclusive) deltas and the answer is the max of
+  // the GLOBAL running sum in (t, delta) order — a total order over
+  // 2n rows, which naively is pp04's single-partition-window
+  // anti-pattern. Scale shape: the range-partitioned two-pass cumsum
+  // (bucket-local windows + a bucket-count-sized prefix table), then
+  // ONE struct-max aggregation picks (peak, first t at peak) — no
+  // second pass over the summed rows. All integer µs/counts.
+  val q50_peak_concurrency: Q = (s, d) => {
+    val iv = Tables.events(s, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("s_us"))
+      .select(col("s_us"),
+        (col("s_us") + (lit(1800L) + pmod(col("event_id"), lit(1800L)))
+          * lit(1000000L)).as("e_us"))
+    val sweep = iv.select(col("s_us").as("t"), lit(1L).as("delta"))
+      .unionAll(iv.select(col("e_us").as("t"), lit(-1L).as("delta")))
+    val data = sweep.repartitionByRange(32, col("t"), col("delta"))
+      .withColumn("__bkt", spark_partition_id())
+      .localCheckpoint(true) // pin bucket bounds across the two passes
+    val wOff = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    // bucket-count-sized: the only unpartitioned window
+    val offsets = data.groupBy("__bkt").agg(sum("delta").as("__bn"))
+      .withColumn("__off", coalesce(sum("__bn").over(wOff), lit(0L)))
+      .select("__bkt", "__off")
+    val wCum = Window.partitionBy("__bkt").orderBy("t", "delta")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    data.withColumn("__pc", sum("delta").over(wCum))
+      .join(broadcast(offsets), Seq("__bkt"))
+      .select(col("t"), (col("__pc") + col("__off")).as("conc"))
+      // lexicographic struct max = (max conc, then min t): one pass
+      .agg(max(struct(col("conc").as("c"), (-col("t")).as("nt"))).as("m"))
+      .select(col("m.c").as("peak"), (-col("m.nt")).as("t_peak_us"))
+  }
+
   // --- q49: explicit GROUPING SETS — the general form whose special
   // cases are q13's rollup and q45's cube: arbitrary, even unrelated
   // sets ((rf, ls), (shipmode), ()) in ONE Expand-fed
@@ -783,6 +820,7 @@ object Relational {
     "q47_heavy_hitters" -> q47_heavy_hitters,
     "q48_funnel" -> q48_funnel,
     "q49_grouping_sets" -> q49_grouping_sets,
+    "q50_peak_concurrency" -> q50_peak_concurrency,
     "q14_having" -> q14_having,
     "q15_case_agg" -> q15_case_agg,
     "q16_window_funcs" -> q16_window_funcs,
@@ -1043,6 +1081,16 @@ object Relational {
         |FROM (SELECT *, CAST(year(l_shipdate) AS VARCHAR) AS ship_year FROM lineitem)
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (ship_year), ())
         |ORDER BY gid, rf, ls, sy""".stripMargin,
+    "q50_peak_concurrency" ->
+      """WITH iv AS (SELECT epoch_us(ts) AS s_us,
+        |    epoch_us(ts) + (1800 + event_id % 1800) * 1000000 AS e_us FROM events),
+        |sweep AS (SELECT s_us AS t, 1 AS delta FROM iv
+        |          UNION ALL SELECT e_us, -1 FROM iv),
+        |c AS (SELECT t, sum(delta) OVER (ORDER BY t, delta
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        |      FROM sweep)
+        |SELECT CAST(conc AS BIGINT) AS peak, CAST(t AS BIGINT) AS t_peak_us
+        |FROM c ORDER BY conc DESC, t ASC LIMIT 1""".stripMargin,
     "q14_having" ->
       """SELECT l_partkey, round((sum(l_quantity)) * 100) / 100 AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY l_partkey HAVING round((sum(l_quantity)) * 100) / 100 > 100
