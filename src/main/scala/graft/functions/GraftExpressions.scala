@@ -313,6 +313,24 @@ case class PqAdcScores(child: Expression, luts: Array[Array[Double]],
     copy(child = newChild)
 }
 
+/** Cardinality of a serialized bitmap sketch (see
+  * [[BitmapAgg]] / [[BitmapUnionAgg]]) — a codegen'd popcount over
+  * the sketch bytes.
+  */
+case class BitmapCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bitmap_count"
+
+  override protected def nullSafeEval(a: Any): Any =
+    GraftHashOps.bitmapCount(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftHashOps.bitmapCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BitmapCount =
+    copy(child = newChild)
+}
+
 /** JVM loops the generated code calls into (and interpreted eval
   * reuses). xxhash64 here matches Spark's SQL xxhash64 (XXH64 over
   * UTF-8 bytes, seed 42) so native and SQL paths hash identically.
@@ -510,6 +528,21 @@ object GraftHashOps {
     new GenericArrayData(out)
   }
 
+  def bitmapCount(bytes: Array[Byte]): Long = {
+    var c = 0L
+    var i = 0
+    // popcount 8 bytes at a time over the tail-padded words
+    while (i + 8 <= bytes.length) {
+      var w = 0L
+      var j = 0
+      while (j < 8) { w |= (bytes(i + j) & 0xffL) << (8 * j); j += 1 }
+      c += java.lang.Long.bitCount(w)
+      i += 8
+    }
+    while (i < bytes.length) { c += Integer.bitCount(bytes(i) & 0xff); i += 1 }
+    c
+  }
+
   /** Normalize, snap each subspace to its nearest-L2 codeword, pack
     * the codeword ids big-endian at `bits` bits each. A zero vector
     * encodes against the unnormalized zeros (total, deterministic).
@@ -625,4 +658,9 @@ object GraftFunctions {
       .toAggregateExpression())
   def heavyHitters(item: String, capacity: Int): Column =
     column(HeavyHitters(attr(item), capacity).toAggregateExpression())
+  def bitmapAgg(key: String, maxKey: Int): Column =
+    column(BitmapAgg(Cast(attr(key), LongType), maxKey).toAggregateExpression())
+  def bitmapUnion(sketch: String): Column =
+    column(BitmapUnionAgg(attr(sketch)).toAggregateExpression())
+  def bitmapCount(sketch: String): Column = column(BitmapCount(attr(sketch)))
 }

@@ -212,6 +212,32 @@ object Relational {
       .orderBy("y")
   }
 
+  // --- q51: EXACT distinct rollup via mergeable bitmap sketches —
+  // q46's pre-aggregated sketch-table pattern with exact counts:
+  // monthly graft_bitmap sketches of distinct customers are the
+  // persisted artifact (one facts scan, map-side-combined fixed-size
+  // state); the year rollup ORs sketches (graft_bitmap_union — a
+  // LOSSLESS merge, unlike HLL's estimate) and never rescans the
+  // facts. Exactness keeps the whole pattern inside the DuckDB hash
+  // gate, where q46 is rows-only. Dense-domain bitmaps (bytes ∝
+  // domain/8); a sparse/64-bit domain swaps in Roaring with the same
+  // three operators.
+  val q51_bitmap_rollup: Q = (s, d) => {
+    val monthly = Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"))
+      .agg(graft.functions.GraftFunctions
+          .bitmapAgg("o_custkey", maxKey = 1 << 24).as("sk"),
+        count(lit(1)).as("n_orders"))
+    monthly.groupBy("y")
+      .agg(graft.functions.GraftFunctions.bitmapUnion("sk").as("usk"),
+        sum("n_orders").as("n_orders"))
+      .select(col("y").cast("long").as("y"),
+        graft.functions.GraftFunctions.bitmapCount("usk").as("n_customers"),
+        col("n_orders"))
+      .orderBy("y")
+  }
+
   // --- q47: exact top-k frequent tokens via a bounded mergeable
   // summary (Misra–Gries candidates → exact re-count). q01/q02's
   // exact formulation shuffles one row per DISTINCT token — the
@@ -821,6 +847,7 @@ object Relational {
     "q48_funnel" -> q48_funnel,
     "q49_grouping_sets" -> q49_grouping_sets,
     "q50_peak_concurrency" -> q50_peak_concurrency,
+    "q51_bitmap_rollup" -> q51_bitmap_rollup,
     "q14_having" -> q14_having,
     "q15_case_agg" -> q15_case_agg,
     "q16_window_funcs" -> q16_window_funcs,
@@ -1091,6 +1118,11 @@ object Relational {
         |      FROM sweep)
         |SELECT CAST(conc AS BIGINT) AS peak, CAST(t AS BIGINT) AS t_peak_us
         |FROM c ORDER BY conc DESC, t ASC LIMIT 1""".stripMargin,
+    "q51_bitmap_rollup" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY y ORDER BY y""".stripMargin,
     "q14_having" ->
       """SELECT l_partkey, round((sum(l_quantity)) * 100) / 100 AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY l_partkey HAVING round((sum(l_quantity)) * 100) / 100 > 100

@@ -134,6 +134,26 @@ class ScaleSpec extends SparkSpecBase {
     }
   }
 
+  test("q51: bitmap rollup is exact, lossless under merge, and guards its domain") {
+    val q51 = graft.SparkEntry.queries("q51_bitmap_rollup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the whole point vs q46: merged monthly sketches give the EXACT
+    // year distinct count (bitwise OR is lossless)
+    val exact = Tables.orders(spark, sfDir)
+      .groupBy(year(col("o_orderdate")).cast("long").as("y"))
+      .agg(countDistinct("o_custkey").as("d"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(q51.toSet == exact.toSet,
+      s"bitmap rollup diverges from exact distinct:\n${q51.toSeq} vs ${exact.toSeq}")
+    // an out-of-range key must fail loudly, not corrupt the count
+    val err = intercept[Exception] {
+      Tables.orders(spark, sfDir)
+        .agg(graft.functions.GraftFunctions.bitmapAgg("o_custkey", maxKey = 2).as("sk"))
+        .collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("plan sweep: no registered query nested-loops or cross-joins unjustified") {
     // Intentional exceptions, each with the reason the sweep must not
     // erode. The "single-row broadcast" cases are scalar expansion —
