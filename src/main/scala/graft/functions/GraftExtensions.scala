@@ -88,7 +88,32 @@ object GraftExtensions {
             throw new IllegalArgumentException(
               s"graft_heavy_hitters capacity must be an integer literal, got $other")
         }
-      }))
+      }),
+    ("graft_bitmap",
+      info("graft_bitmap",
+        "graft_bitmap(key, maxKey) - exact-distinct bitmap sketch aggregate (binary)"),
+      (es: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+        import org.apache.spark.sql.types.LongType
+        if (es.length != 2)
+          throw new IllegalArgumentException(
+            s"graft_bitmap expects (key, maxKey), got ${es.length} arguments")
+        es(1) match {
+          case Literal(m: Int, _) => BitmapAgg(Cast(es(0), LongType), m)
+          case Literal(m: Long, _) => BitmapAgg(Cast(es(0), LongType), m.toInt)
+          case other =>
+            throw new IllegalArgumentException(
+              s"graft_bitmap maxKey must be an integer literal, got $other")
+        }
+      }),
+    ("graft_bitmap_union",
+      info("graft_bitmap_union",
+        "graft_bitmap_union(sketch) - OR-merge aggregate of bitmap sketches (binary)"),
+      (es: Seq[Expression]) => BitmapUnionAgg(es(0))),
+    ("graft_bitmap_count",
+      info("graft_bitmap_count",
+        "graft_bitmap_count(sketch) - cardinality of a bitmap sketch"),
+      (es: Seq[Expression]) => BitmapCount(es(0))))
 
   /** Imperative registration on an existing session (test/driver use). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

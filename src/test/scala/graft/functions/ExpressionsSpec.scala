@@ -110,6 +110,20 @@ class ExpressionsSpec extends SparkSpecBase {
     assert(top == Seq((3.0, 11L), (2.0, 12L)), s"got $top")
   }
 
+  test("graft_bitmap via SQL: exact distinct through sketch, union, count") {
+    GraftExtensions.register(spark)
+    Seq((2024, 1, 10L), (2024, 1, 11L), (2024, 2, 10L), (2024, 2, 12L),
+      (2025, 1, 10L), (2025, 1, 10L)).toDF("y", "m", "k")
+      .createOrReplaceTempView("bm")
+    val rows = spark.sql(
+      """SELECT y, graft_bitmap_count(graft_bitmap_union(sk)) AS d FROM (
+        |  SELECT y, m, graft_bitmap(k, 1024) AS sk FROM bm GROUP BY y, m)
+        |GROUP BY y ORDER BY y""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    // 2024: {10,11,12} across months (10 overlaps — OR dedups); 2025: {10}
+    assert(rows.toSeq == Seq((2024, 3L), (2025, 1L)), s"got ${rows.toSeq}")
+  }
+
   test("graft_topk excludes NaN and null scores (monoid order-independence holds)") {
     GraftExtensions.register(spark)
     Seq((Some(Double.NaN), 1L), (Some(5.0), 2L), (Some(Double.NaN), 3L),
