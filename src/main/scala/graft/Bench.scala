@@ -73,7 +73,12 @@ object Bench {
         val t1 = System.nanoTime()
         force(spark)(SparkEntry.queries("ann02_ivf_topk")(spark, sfDir))
         val tProbe = (System.nanoTime() - t1) / 1e9
-        Seq("ann02_ivf_build" -> tBuild, "ann02_ivf_probe" -> tProbe)
+        // the compressed-fidelity probe of the SAME memoized index
+        val t2 = System.nanoTime()
+        force(spark)(SparkEntry.queries("ann06_ivfpq_topk")(spark, sfDir))
+        val tPq = (System.nanoTime() - t2) / 1e9
+        Seq("ann02_ivf_build" -> tBuild, "ann02_ivf_probe" -> tProbe,
+          "ann06_ivfpq_probe" -> tPq)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] ivf split failed: $e"); Seq.empty
       } finally {

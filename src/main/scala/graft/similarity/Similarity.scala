@@ -155,13 +155,39 @@ object Similarity {
                     nCells: Int = 10, iters: Int = 3, sampleMod: Int = 4): Unit = {
     val e = vecs(s, d).select("vec_id", "v", "nrm")
     val cents = trainCentroids(e, nCells, iters, sampleMod)
+    val books = trainPqBooksOf(e)
     import s.implicits._
     cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "vb")
       .withColumn("nb", graft.functions.GraftFunctions.l2norm("vb"))
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    // PQ codebooks ride beside the centroids (tiny: m × ksub rows) so
+    // one persisted index serves both probe modes
+    books.zipWithIndex.flatMap { case (cb, j) =>
+        cb.zipWithIndex.map { case (c, b) => (j, b, c.toSeq) }
+      }.toSeq.toDF("j", "b", "vals")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/pqbooks")
+    // the vector layout carries BOTH fidelities per row: the raw
+    // vector (for exact re-rank / full-fidelity fetch) and the
+    // 8-byte PQ code — parquet's columnar layout means an ADC probe
+    // that selects only (vec_id, code) never reads the vector bytes
     assignCells(e, cents)
+      .withColumn("code",
+        graft.functions.GraftFunctions.pqEncode("v", books, pqBits))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/vectors")
+  }
+
+  private def loadPqBooks(s: SparkSession, indexDir: String): Array[Array[Array[Double]]] = {
+    val rows = s.read.parquet(s"$indexDir/pqbooks").collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val out = Array.ofDim[Array[Array[Double]]](m)
+    rows.groupBy(_.getInt(0)).foreach { case (j, rs) =>
+      val byB = rs.sortBy(_.getInt(1))
+      require(byB.zipWithIndex.forall { case (r, i) => r.getInt(1) == i },
+        s"pq codebook $j is not dense")
+      out(j) = byB.map(_.getSeq[Double](2).toArray)
+    }
+    out
   }
 
   /** THE assignment subplan — used by training, the index build, and
@@ -183,19 +209,7 @@ object Similarity {
     */
   def probeIvf(s: SparkSession, indexDir: String, queries: DataFrame,
                nProbe: Int = 3, k: Int = 5): DataFrame = {
-    // Index the collected rows BY CELL ID — reading them positionally
-    // after a sort would silently misroute probes if the centroid
-    // table ever became sparse (today trainCentroids tabulates all k
-    // cells, but that's an invariant worth enforcing, not assuming).
-    val centRows = s.read.parquet(s"$indexDir/centroids")
-      .select("cell", "vb").collect()
-    val cents = new Array[Array[Double]](centRows.length)
-    centRows.foreach { r =>
-      val c = r.getInt(0)
-      require(c >= 0 && c < cents.length && cents(c) == null,
-        s"centroid table is not dense in [0, ${cents.length}): duplicate or out-of-range cell $c")
-      cents(c) = r.getSeq[Double](1).toArray
-    }
+    val cents = loadCentroids(s, indexDir)
     val qcells = queries.withColumn("cell",
       explode(graft.functions.GraftFunctions.nearestCells("va", cents, nProbe)))
     val probed = qcells.select("cell").distinct().collect().map(_.getInt(0)).toSeq
@@ -212,6 +226,107 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"), r4(col("cos")).as("cos_r"))
       .orderBy("q_id", "rank")
   }
+
+  // --- ann06: IVF-PQ — the faiss-classic composition of the two
+  // orthogonal savings: IVF's cell pruning picks WHICH rows to score
+  // (static partition pruning: ~nProbe/nCells of the corpus) and
+  // PQ's ADC picks WHAT to read for them (the 8-byte code column —
+  // parquet column pruning means the probe scan never touches the
+  // vector bytes). Shortlists are heap-selected per query and
+  // re-ranked by EXACT cosine from the same layout's full-fidelity
+  // vector column (read only for the ≤ q·ck shortlist rows via a
+  // broadcast semi-fetch). One persisted index serves ann02 (exact
+  // cosine over pruned cells) and ann06 (compressed scan over pruned
+  // cells): the probe picks its fidelity/IO point at query time.
+  val ann06_ivfpq_topk: Q = (s, d) =>
+    probeIvfPq(s, ivfIndexFor(s, d), queriesOf(s, d))
+
+  def probeIvfPq(s: SparkSession, indexDir: String, queries: DataFrame,
+                 nProbe: Int = 3, k: Int = 5, rerankFactor: Int = 8): DataFrame = {
+    val books = loadPqBooks(s, indexDir)
+    val cents = loadCentroids(s, indexDir)
+    // the query set is driver-sized by definition: routing, LUTs and
+    // the (q_id, qi) mapping all come from one collect
+    val qRows = queries.collect()
+    val luts: Array[Array[Double]] = qRows.map { r =>
+      val va = r.getSeq[Double](1).toArray
+      val na = r.getDouble(2)
+      pqLutFor(books, if (na > 0.0) va.map(_ / na) else va)
+    }
+    val qCellRows = qRows.zipWithIndex.flatMap { case (r, qi) =>
+      val va = r.getSeq[Double](1).toArray
+      nearestCellsOf(va, cents, nProbe).map(c => (r.getLong(0), qi, c))
+    }
+    import s.implicits._
+    val qcells = qCellRows.toSeq.toDF("q_id", "qi", "cell")
+    val probed = qCellRows.map(_._3).distinct.toSeq
+    // ADC scan: only (vec_id, code) leave the parquet reader; each
+    // row is scored against just the queries probing its cell
+    val shortlist = s.read.parquet(s"$indexDir/vectors")
+      .filter(col("cell").isin(probed: _*))
+      .select(col("vec_id").as("n_id"), col("code"), col("cell"))
+      .join(broadcast(qcells), Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        element_at(graft.functions.GraftFunctions
+          .pqAdcScores("code", luts, pqM, pqKsub, pqBits), col("qi") + 1).as("adc"))
+      .groupBy("q_id")
+      .agg(graft.functions.GraftFunctions.topK("adc", "n_id", k * rerankFactor).as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("p"))
+      .select(col("q_id"), col("p.id").as("n_id"))
+    // exact re-rank: full-fidelity vectors only for the shortlist
+    val fetch = s.read.parquet(s"$indexDir/vectors")
+      .filter(col("cell").isin(probed: _*))
+      .select(col("vec_id").as("n_id"), col("v").as("vb"), col("nrm").as("nb"))
+    val q = queries
+    fetch.join(broadcast(shortlist), Seq("n_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("n_id"), r6(cosine).as("cos"))
+      .groupBy("q_id")
+      .agg(graft.functions.GraftFunctions.topK("cos", "n_id", k).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("i", "p")))
+      .select(col("q_id"), (col("i") + 1).cast("long").as("rank"),
+        col("p.id").as("n_id"), r4(col("p.score")).as("cos_r"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Index the collected rows BY CELL ID — reading them positionally
+    * after a sort would silently misroute probes if the centroid
+    * table ever became sparse (today trainCentroids tabulates all k
+    * cells, but that's an invariant worth enforcing, not assuming).
+    */
+  private def loadCentroids(s: SparkSession, indexDir: String): Array[Array[Double]] = {
+    val centRows = s.read.parquet(s"$indexDir/centroids")
+      .select("cell", "vb").collect()
+    val cents = new Array[Array[Double]](centRows.length)
+    centRows.foreach { r =>
+      val c = r.getInt(0)
+      require(c >= 0 && c < cents.length && cents(c) == null,
+        s"centroid table is not dense in [0, ${cents.length}): duplicate or out-of-range cell $c")
+      cents(c) = r.getSeq[Double](1).toArray
+    }
+    cents
+  }
+
+  /** Introspection hook (spec'd): the probe's routing decision for
+    * one query vector against a persisted index's centroid table.
+    */
+  def probedCellsOf(s: SparkSession, indexDir: String, v: Array[Double],
+                    nProbe: Int): Seq[Int] =
+    nearestCellsOf(v, loadCentroids(s, indexDir), nProbe)
+
+  /** Driver-side mirror of the NearestCells routing (top-n cells by
+    * dot, ties to the lower id) for the collected query set.
+    */
+  private def nearestCellsOf(v: Array[Double], cents: Array[Array[Double]],
+                             n: Int): Seq[Int] =
+    cents.indices.map(c => {
+      var sdot = 0.0
+      val d = math.min(v.length, cents(c).length)
+      var i = 0
+      while (i < d) { sdot += v(i) * cents(c)(i); i += 1 }
+      (c, sdot)
+    }).sortBy { case (c, sdot) => (-sdot, c) }.take(n).map(_._1)
 
   // Build-once/probe-many within a session: the index for a corpus
   // dir is built on first use and reused by every later probe.
@@ -534,7 +649,8 @@ object Similarity {
     "ann03_topk_agg" -> ann03_topk_agg,
     "ann02_ivf_topk" -> ann02_ivf_topk,
     "ann04_lsh_topk" -> ann04_lsh_topk,
-    "ann05_pq_topk" -> ann05_pq_topk)
+    "ann05_pq_topk" -> ann05_pq_topk,
+    "ann06_ivfpq_topk" -> ann06_ivfpq_topk)
 
   private val bruteTopkSql =
     """SELECT q_id, rank, n_id, round(cos * 10000) / 10000 AS cos_r FROM (

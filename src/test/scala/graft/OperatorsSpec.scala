@@ -166,6 +166,63 @@ class OperatorsSpec extends SparkSpecBase {
       s"all-pairs join in ann05:\n$plan")
   }
 
+  test("ann06 IVF-PQ ANN: recall floor, probed-cell containment, pruned ADC scan plan") {
+    def byQuery(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
+      rows.map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val exact = byQuery(similarity.Similarity.ann01_brute_topk(spark, sfDir)
+      .select("q_id", "n_id").collect())
+    val df = similarity.Similarity.ann06_ivfpq_topk(spark, sfDir)
+    val ivfpq = byQuery(df.select("q_id", "n_id").collect())
+    assert(ivfpq.keySet == exact.keySet, "IVF-PQ dropped whole queries")
+    assert(ivfpq.values.forall(_.size == 5), "IVF-PQ returned short top-k lists")
+    val perQuery = exact.map { case (q, ns) =>
+      q -> ivfpq(q).intersect(ns).size.toDouble / ns.size
+    }
+    val mean = perQuery.values.sum / perQuery.size
+    info(f"IVF-PQ recall@5: mean $mean%.2f, per-query ${perQuery.toSeq.sortBy(_._1).map(_._2).map(v => f"$v%.1f").mkString(",")}")
+    // composed approximation: IVF misses neighbors outside the probed
+    // cells AND PQ quantization can drop shortlist members, so the
+    // floor sits at the bucketed families' level, not ann05's
+    assert(mean >= 0.5, f"mean IVF-PQ recall@5 $mean%.2f below floor 0.5")
+    assert(perQuery.values.forall(_ >= 0.2), s"a query fell below 0.2 recall: $perQuery")
+    // containment: with the same routing, PQ can only shrink the pool
+    // IVF scores exactly — every IVF-PQ result must come from a
+    // probed cell, i.e. appear in ann02's scored universe. Verify via
+    // the exact probe at the same nProbe on the SAME persisted index.
+    val idx = similarity.Similarity.ivfIndexFor(spark, sfDir)
+    val cells = spark.read.parquet(s"$idx/vectors").select("vec_id", "cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val qVecs = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    // (routing itself is spec'd in the IVF test; here we just require
+    // each returned neighbor to share a cell with SOME probed cell of
+    // its query — i.e. the probe never fetched outside its pruned scan)
+    val probedOf = qVecs.map { case (q, v) =>
+      q -> similarity.Similarity.probedCellsOf(spark, idx, v, 3).toSet
+    }
+    ivfpq.foreach { case (q, ns) =>
+      ns.foreach(nId => assert(probedOf(q).contains(cells(nId)),
+        s"query $q returned $nId from unprobed cell ${cells(nId)} (probed ${probedOf(q)})"))
+    }
+    // plan: both scans of the vector layout are partition-pruned to
+    // the probed cells; selection is the heap aggregate; the
+    // shortlist fetch and query join are broadcast; nothing windows
+    // or nested-loops
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"), s"ADC scan not partition-pruned:\n$plan")
+    assert(plan.contains("partial_graft_topk"), s"selection is not the heap aggregate:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"shortlist fetch is not broadcast:\n$plan")
+    assert(!plan.contains("Window"), s"a window crept into ann06:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"all-pairs join in ann06:\n$plan")
+    // one persisted index serves both probe fidelities: ann02 ran (or
+    // runs) against the SAME memoized dir, no rebuild
+    assert(similarity.Similarity.ivfIndexFor(spark, sfDir) == idx,
+      "ann06 probe triggered an index rebuild")
+  }
+
   test("ann04 hyperplane-LSH ANN: recall floor, bounded candidates, broadcast plan") {
     def byQuery(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
       rows.map(r => (r.getLong(0), r.getLong(1)))
