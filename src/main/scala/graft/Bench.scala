@@ -162,13 +162,7 @@ object Bench {
     // ann02's build/probe rows disambiguate as ann02b/ann02p) — and
     // centisecond precision. The full-name, full-precision record
     // still exists: stderr + ./BENCH_DETAIL.json.
-    def shortKey(k: String): String = k match {
-      case "ann02_ivf_build" => "ann02b"
-      case "ann02_ivf_probe" => "ann02p"
-      case "dd11_lsh_build"  => "dd11b"
-      case "dd11_lsh_probe"  => "dd11p"
-      case other             => other.takeWhile(_ != '_')
-    }
+    def shortKey(k: String): String = Bench.shortKey(k)
     // %f via String.format is locale-sensitive (comma decimal
     // separator corrupts JSON) — pin Locale.ROOT
     def fmt(v: Double, dec: Int): String =
@@ -196,6 +190,32 @@ object Bench {
     println(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","batch_seconds":${fmt(batchSecs, 1)},"queries":$qs,"streaming_throughput":$thrJson,"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** Short stdout key — the unique name prefix before the first '_';
+    * the build/probe split rows (which share a query's prefix)
+    * disambiguate explicitly. BenchKeysSpec asserts the mapping stays
+    * collision-free over every name the bench can emit, so a clash
+    * can't silently reactivate the full-name fallback and push the
+    * stdout line back over the harness's 2000-char parse window.
+    */
+  private[graft] def shortKey(k: String): String = k match {
+    case "ann02_ivf_build"   => "ann02b"
+    case "ann02_ivf_probe"   => "ann02p"
+    case "ann06_ivfpq_probe" => "ann06p"
+    case "dd11_lsh_build"    => "dd11b"
+    case "dd11_lsh_probe"    => "dd11p"
+    case other               => other.takeWhile(_ != '_')
+  }
+
+  /** Every row name the bench can emit (the registered queries plus
+    * the split/streaming rows added in main) — the spec's ground
+    * truth for short-key uniqueness.
+    */
+  private[graft] def allBenchKeys: Seq[String] =
+    SparkEntry.queries.keys.toSeq ++ Seq(
+      "ann02_ivf_build", "ann02_ivf_probe", "ann06_ivfpq_probe",
+      "dd11_lsh_build", "dd11_lsh_probe",
+      "st01_stream_wordcount", "st02_throughput_sweep")
 
   private def deleteDir(dir: String): Unit = {
     import scala.jdk.CollectionConverters._

@@ -238,6 +238,58 @@ object Relational {
       .orderBy("y")
   }
 
+  // --- q52: approximate quantile rollup via mergeable bottom-k
+  // sketches — q46/q51's pre-aggregated sketch-table pattern applied
+  // to percentiles. The sketch is a deterministic uniform row sample:
+  // keep the k rows with the SMALLEST xxhash64 over the row identity
+  // (bottom-k sampling — Cohen & Kaplan's mergeable-summaries
+  // workhorse), carrying the measure beside the hash. The merge is
+  // associative and LOSSLESS in the sketch domain — the k smallest
+  // hashes of a union ARE the merge of the parts' bottom-k (spec:
+  // rollup sketch ≡ sketching the year directly) — so monthly
+  // sketches are the persisted artifact and every coarser rollup
+  // merges fixed-size state without rescanning facts, exactly q51's
+  // shape with graft_topk(-hash) standing in for the bitmap OR.
+  // Quantiles read off the sorted sample (rank error ~1/√k). Zero
+  // new machinery: the reference's bounded top-N bolt monoid
+  // (WordCountSample.hs:118-216) IS the sketch, pointed at -hash.
+  // rows-only: the estimate depends on xxhash64, which DuckDB can't
+  // reproduce; the spec bounds rank error against exact quantiles.
+  val q52_quantile_rollup: Q = (s, d) => {
+    val k = 256
+    val monthly = bottomkRows(s, d).groupBy("y", "m")
+      .agg(graft.functions.GraftFunctions.topK("nh", "cents", k).as("sk"),
+        count(lit(1)).as("n_rows"))
+    // year rollup: merge = re-aggregate the exploded pairs under the
+    // same bounded monoid; both sides of the join are year-counted
+    val merged = monthly.select(col("y"), explode(col("sk")).as("p"))
+      .select(col("y"), col("p.score").as("nh"), col("p.id").as("cents"))
+      .groupBy("y")
+      .agg(graft.functions.GraftFunctions.topK("nh", "cents", k).as("sk"))
+    val counts = monthly.groupBy("y").agg(sum("n_rows").as("n_rows"))
+    merged.join(counts, Seq("y"))
+      .withColumn("vals", array_sort(expr("transform(sk, x -> x.id)")))
+      .withColumn("n", size(col("vals")))
+      .select(col("y").cast("long").as("y"), col("n_rows"),
+        (element_at(col("vals"),
+          greatest(lit(1), ceil(col("n") * 0.5).cast("int"))) / 100.0).as("p50_est"),
+        (element_at(col("vals"),
+          greatest(lit(1), ceil(col("n") * 0.95).cast("int"))) / 100.0).as("p95_est"))
+      .orderBy("y")
+  }
+
+  /** q52's hashed-and-projected facts — shared with the spec's
+    * direct (unmerged) year formulation so the lossless-merge
+    * assertion can't drift from the shipped sketch definition.
+    */
+  def bottomkRows(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
+      year(col("l_shipdate")).as("y"), month(col("l_shipdate")).as("m"),
+      (col("l_extendedprice") * 100).cast("long").as("cents"),
+      (-xxhash64(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_extendedprice"), col("l_shipdate"))
+        .cast("double")).as("nh"))
+
   // --- q47: exact top-k frequent tokens via a bounded mergeable
   // summary (Misra–Gries candidates → exact re-count). q01/q02's
   // exact formulation shuffles one row per DISTINCT token — the
@@ -848,6 +900,7 @@ object Relational {
     "q49_grouping_sets" -> q49_grouping_sets,
     "q50_peak_concurrency" -> q50_peak_concurrency,
     "q51_bitmap_rollup" -> q51_bitmap_rollup,
+    "q52_quantile_rollup" -> q52_quantile_rollup,
     "q14_having" -> q14_having,
     "q15_case_agg" -> q15_case_agg,
     "q16_window_funcs" -> q16_window_funcs,

@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench's stdout contract: the harness that consumes it keeps
+  * only the last ~2000 chars of the build log and parses the JSON
+  * line out of that window. These checks fail at build time — not
+  * silently at round's end — if a new operator breaks the short-key
+  * mapping or grows the line past the window.
+  */
+class BenchKeysSpec extends AnyFunSuite {
+
+  test("bench short keys are collision-free over every emittable row") {
+    val keys = Bench.allBenchKeys
+    val collided = keys.groupBy(Bench.shortKey).filter(_._2.size > 1)
+    assert(collided.isEmpty,
+      s"short-key collisions (add explicit cases in Bench.shortKey): $collided")
+  }
+
+  test("registered queries all reach the bench key list") {
+    // allBenchKeys is maintained by hand for the spec; a registry key
+    // missing from it means the uniqueness check above has a blind spot
+    val missing = SparkEntry.queries.keySet -- Bench.allBenchKeys.toSet
+    assert(missing.isEmpty, s"registry keys missing from allBenchKeys: $missing")
+  }
+
+  test("worst-case stdout JSON line fits the harness's 2000-char window") {
+    // envelope + streaming_throughput sizes from the emitted format;
+    // per row: "key":xxx.xx, (quotes, colon, comma) = len(key) + 10
+    val rows = Bench.allBenchKeys.map(k => Bench.shortKey(k).length + 10).sum
+    val envelope = 120  // metric/value/unit/batch_seconds/sf fields
+    val streaming = 4 * 50 // four sweep points at ~50 chars each
+    val sbtTrailer = 80 // "[success] Total time: ..." after our line
+    val est = rows + envelope + streaming + sbtTrailer
+    assert(est < 1900, s"estimated bench line + trailer $est chars crowds the 2000-char parse window")
+  }
+}

@@ -90,6 +90,47 @@ class OperatorsSpec extends SparkSpecBase {
       s"20th token count ${hh.last._2} too close to the guarantee line $line")
   }
 
+  test("q52 bottom-k quantile sketch: lossless merge, bounded rank error") {
+    val k = 256
+    // lossless merge in the sketch domain: the monthly rollup's
+    // merged year sketch must BE the sketch computed over the year
+    // directly — bottom-k's defining property (q51's bitmap-OR
+    // exactness, on the sampling sketch)
+    val rows = operators.Relational.bottomkRows(spark, sfDir)
+    val direct = rows.groupBy("y")
+      .agg(graft.functions.GraftFunctions.topK("nh", "cents", k).as("sk"))
+      .collect().map(r => r.getInt(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(p => (p.getDouble(0), p.getLong(1)))).toMap
+    val monthly = rows.groupBy("y", "m")
+      .agg(graft.functions.GraftFunctions.topK("nh", "cents", k).as("sk"))
+    val rolled = monthly.select(col("y"), explode(col("sk")).as("p"))
+      .select(col("y"), col("p.score").as("nh"), col("p.id").as("cents"))
+      .groupBy("y")
+      .agg(graft.functions.GraftFunctions.topK("nh", "cents", k).as("sk"))
+      .collect().map(r => r.getInt(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(p => (p.getDouble(0), p.getLong(1)))).toMap
+    assert(rolled == direct, "merged monthly sketches diverge from the direct year sketch")
+    // rank error: each year's estimated quantile must sit within
+    // ±0.15 of its nominal rank in the TRUE sorted year (4-5σ for
+    // k=256; the estimate is a k-sample order statistic)
+    val est = operators.Relational.q52_quantile_rollup(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+    val exact = Tables.lineitem(spark, sfDir)
+      .select(year(col("l_shipdate")).as("y"), col("l_extendedprice").as("v"))
+      .collect().groupBy(_.getInt(0))
+      .map { case (y, rs) => y.toLong -> rs.map(_.getDouble(1)).sorted }
+    est.foreach { case (y, p50, p95) =>
+      val vs = exact(y)
+      def rankOf(x: Double) = vs.count(_ <= x).toDouble / vs.length
+      assert(math.abs(rankOf(p50) - 0.5) <= 0.15,
+        s"year $y p50 est $p50 lands at rank ${rankOf(p50)}")
+      assert(math.abs(rankOf(p95) - 0.95) <= 0.15,
+        s"year $y p95 est $p95 lands at rank ${rankOf(p95)}")
+    }
+    // and the sketch really is bounded: no year sample exceeds k
+    assert(direct.values.forall(_.size <= k))
+  }
+
   test("minhash LSH candidates recover the exact-Jaccard near-dup pairs") {
     val exact = dedup.Dedup.dd02_ngram_jaccard(spark, sfDir)
       .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
