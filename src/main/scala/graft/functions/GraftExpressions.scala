@@ -331,12 +331,96 @@ case class BitmapCount(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Membership probe against a DRIVER-COLLECTED bloom filter (see
+  * [[BloomAgg]]): the filter bytes ride into generated code as a
+  * reference object — like NearestCells' centroids and PqAdcScores'
+  * LUTs — so the probe is a narrow codegen'd filter on the fact
+  * scan, no join in the plan at all. False positives only; the
+  * exact join downstream removes them.
+  */
+case class BloomMightContain(child: Expression, bloom: Array[Byte],
+                             numHashes: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_might_contain"
+
+  override protected def nullSafeEval(a: Any): Any =
+    GraftHashOps.bloomMightContain(bloom, a.asInstanceOf[Long], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", bloom, "byte[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GraftHashOps.bloomMightContain($ref, $c, $numHashes)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}
+
 /** JVM loops the generated code calls into (and interpreted eval
   * reuses). xxhash64 here matches Spark's SQL xxhash64 (XXH64 over
   * UTF-8 bytes, seed 42) so native and SQL paths hash identically.
   */
 object GraftHashOps {
   private val SEED = 42L
+
+  // --- bloom: Kirsch–Mitzenmotte double hashing; m is a power of
+  // two so the probe index is one AND. h2 forced odd keeps the probe
+  // stride coprime with m.
+  private def bloomH1(key: Long) =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(key, SEED)
+  private def bloomH2(key: Long) =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(key, 0x9E3779B97F4A7C15L) | 1L
+
+  def bloomSet(bits: Array[Long], key: Long, numHashes: Int): Unit = {
+    val m = bits.length.toLong * 64
+    val h1 = bloomH1(key)
+    val h2 = bloomH2(key)
+    var i = 0
+    while (i < numHashes) {
+      val idx = (h1 + i * h2) & (m - 1)
+      bits((idx >>> 6).toInt) |= 1L << (idx & 63)
+      i += 1
+    }
+  }
+
+  def bloomMightContain(bloom: Array[Byte], key: Long, numHashes: Int): Boolean = {
+    val m = bloom.length.toLong * 8
+    val h1 = bloomH1(key)
+    val h2 = bloomH2(key)
+    var i = 0
+    while (i < numHashes) {
+      val idx = (h1 + i * h2) & (m - 1)
+      if ((bloom((idx >>> 3).toInt) & (1 << (idx & 7))) == 0) return false
+      i += 1
+    }
+    true
+  }
+
+  def longsToBytes(ws: Array[Long]): Array[Byte] = {
+    val out = new Array[Byte](ws.length * 8)
+    var i = 0
+    while (i < ws.length) {
+      var j = 0
+      while (j < 8) { out(i * 8 + j) = ((ws(i) >>> (8 * j)) & 0xff).toByte; j += 1 }
+      i += 1
+    }
+    out
+  }
+
+  def bytesToLongs(bs: Array[Byte]): Array[Long] = {
+    require(bs.length % 8 == 0, s"bloom byte length ${bs.length} not a whole word count")
+    val out = new Array[Long](bs.length / 8)
+    var i = 0
+    while (i < out.length) {
+      var w = 0L
+      var j = 0
+      while (j < 8) { w |= (bs(i * 8 + j) & 0xffL) << (8 * j); j += 1 }
+      out(i) = w
+      i += 1
+    }
+    out
+  }
 
   private def hashString(s: UTF8String, seed: Long): Long =
     XxHash64Function.hash(s, StringType, seed)
@@ -663,4 +747,9 @@ object GraftFunctions {
   def bitmapUnion(sketch: String): Column =
     column(BitmapUnionAgg(attr(sketch)).toAggregateExpression())
   def bitmapCount(sketch: String): Column = column(BitmapCount(attr(sketch)))
+  def bloomAgg(key: String, numBits: Int, numHashes: Int): Column =
+    column(BloomAgg(Cast(attr(key), LongType), numBits, numHashes)
+      .toAggregateExpression())
+  def bloomMightContain(key: String, bloom: Array[Byte], numHashes: Int): Column =
+    column(BloomMightContain(Cast(attr(key), LongType), bloom, numHashes))
 }

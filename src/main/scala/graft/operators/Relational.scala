@@ -290,6 +290,59 @@ object Relational {
         col("l_suppkey"), col("l_extendedprice"), col("l_shipdate"))
         .cast("double")).as("nh"))
 
+  // --- q53: bloom-pruned semi join — the join-pruning regime between
+  // "dim broadcasts whole" (q06/q10's hash semi join) and "both sides
+  // shuffle" (q07's sort-merge). When the dim's KEY SET fits a few MB
+  // of bloom bits but its rows don't fit a broadcast hash table, the
+  // facts side is pre-filtered by a narrow codegen'd membership probe
+  // (graft_bloom_might_contain — the filter bytes ride into generated
+  // code like NearestCells' centroids) so only ~selectivity + ε of
+  // the facts reach the exact join. False negatives are impossible,
+  // so the result is EXACTLY the plain semi join — full DuckDB
+  // oracle — while the fact shuffle/join input shrinks by the
+  // segment's selectivity. Spark's runtime bloom join does this
+  // opportunistically; building it as an explicit operator makes the
+  // sketch persistable (ship one 32 KiB filter to 1000 executors
+  // instead of re-deriving it per query) and the dial visible.
+  // The bloom build is one map-side-combined aggregation over the
+  // dim (graft_bloom's OR-merge is associative/commutative — the
+  // same mergeable-summaries contract as graft_bitmap).
+  val q53_bloom_semijoin: Q = (s, d) => {
+    val dimKeys = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val bloom = dimKeys
+      .agg(graft.functions.GraftFunctions
+        .bloomAgg("c_custkey", numBits = 1 << 18, numHashes = 5).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val facts = Tables.orders(s, d)
+      .filter(graft.functions.GraftFunctions
+        .bloomMightContain("o_custkey", bloom, numHashes = 5))
+    facts
+      .join(dimKeys.withColumnRenamed("c_custkey", "o_custkey"),
+        Seq("o_custkey"), "left_semi")
+      .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"))
+      .agg(count(lit(1)).as("n_orders"), r2(sum("o_totalprice")).as("sum_price"))
+      .orderBy("y", "m")
+  }
+
+  /** q53's fact pre-filter in isolation — the spec measures its
+    * survivor set (superset of true matches, bounded false-positive
+    * overshoot) without the masking exact join.
+    */
+  def bloomSurvivors(s: SparkSession, d: String): DataFrame = {
+    val dimKeys = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val bloom = dimKeys
+      .agg(graft.functions.GraftFunctions
+        .bloomAgg("c_custkey", numBits = 1 << 18, numHashes = 5).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    Tables.orders(s, d).filter(graft.functions.GraftFunctions
+      .bloomMightContain("o_custkey", bloom, numHashes = 5))
+  }
+
   // --- q47: exact top-k frequent tokens via a bounded mergeable
   // summary (Misra–Gries candidates → exact re-count). q01/q02's
   // exact formulation shuffles one row per DISTINCT token — the
@@ -901,6 +954,7 @@ object Relational {
     "q50_peak_concurrency" -> q50_peak_concurrency,
     "q51_bitmap_rollup" -> q51_bitmap_rollup,
     "q52_quantile_rollup" -> q52_quantile_rollup,
+    "q53_bloom_semijoin" -> q53_bloom_semijoin,
     "q14_having" -> q14_having,
     "q15_case_agg" -> q15_case_agg,
     "q16_window_funcs" -> q16_window_funcs,
@@ -1176,6 +1230,14 @@ object Relational {
         |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
         |  count(*) AS n_orders
         |FROM orders GROUP BY y ORDER BY y""".stripMargin,
+    "q53_bloom_semijoin" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  count(*) AS n_orders,
+        |  round((sum(o_totalprice)) * 100) / 100 AS sum_price
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY y, m ORDER BY y, m""".stripMargin,
     "q14_having" ->
       """SELECT l_partkey, round((sum(l_quantity)) * 100) / 100 AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY l_partkey HAVING round((sum(l_quantity)) * 100) / 100 > 100

@@ -90,6 +90,51 @@ class OperatorsSpec extends SparkSpecBase {
       s"20th token count ${hh.last._2} too close to the guarantee line $line")
   }
 
+  test("q53 bloom pre-filter: no false negatives, bounded overshoot, joinless probe plan") {
+    val keys = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val orderKeys = Tables.orders(spark, sfDir)
+      .select("o_custkey").collect().map(_.getLong(0))
+    val surv = operators.Relational.bloomSurvivors(spark, sfDir)
+    val got = surv.select("o_custkey").collect().map(_.getLong(0))
+    val trueMatches = orderKeys.count(keys)
+    // a bloom can only over-admit: every true-match row must survive
+    assert(got.count(keys) == trueMatches,
+      "bloom pre-filter dropped rows whose keys ARE in the dim — false negative")
+    // and the overshoot is bounded (m=2^18, k=5 over this key count
+    // puts the analytic fp rate far below 1%)
+    val fps = got.length - trueMatches
+    val nonMatches = orderKeys.length - trueMatches
+    assert(fps <= math.max(1, nonMatches / 100),
+      s"bloom admitted $fps of $nonMatches non-matching rows")
+    // the probe is a narrow codegen'd filter on the fact scan — no
+    // join anywhere in the pre-filter plan
+    val plan = surv.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bloom_might_contain"), s"probe missing from plan:\n$plan")
+    assert(!plan.contains("Join"), s"pre-filter plan contains a join:\n$plan")
+    // sketch mechanics at a size that actually stresses fp behavior:
+    // 10k keys in 2^18 bits / 5 hashes → analytic fp ≈ 1.6e-4; the
+    // measured rate over 100k foreign probes must stay under 10x that
+    val bits = new Array[Long]((1 << 18) / 64)
+    (0 until 10000).foreach(i => graft.functions.GraftHashOps.bloomSet(bits, i.toLong, 5))
+    val bytes = graft.functions.GraftHashOps.longsToBytes(bits)
+    (0 until 10000).foreach(i => assert(
+      graft.functions.GraftHashOps.bloomMightContain(bytes, i.toLong, 5),
+      s"inserted key $i reported absent"))
+    val fpCount = (10000 until 110000).count(i =>
+      graft.functions.GraftHashOps.bloomMightContain(bytes, i.toLong, 5))
+    assert(fpCount <= 160, s"fp rate ${fpCount / 100000.0} exceeds 10x the analytic rate")
+    // merge soundness: the distributed build (map-side partial OR
+    // merges across 7 partitions) equals a single-buffer build
+    import spark.implicits._
+    val distributed = (0 until 10000).map(_.toLong).toDF("k").repartition(7)
+      .agg(graft.functions.GraftFunctions.bloomAgg("k", 1 << 18, 5))
+      .head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(distributed, bytes),
+      "distributed OR-merge diverges from the single-buffer build")
+  }
+
   test("q52 bottom-k quantile sketch: lossless merge, bounded rank error") {
     val k = 256
     // lossless merge in the sketch domain: the monthly rollup's
