@@ -222,8 +222,46 @@ object ScaleProbe {
           val b = mgDf.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
           require(a == b, s"sketch-then-verify diverged from exact:\n$a\n$b")
         }
+      case "bloom" =>
+        // q53's claim, measured: semi join when the dim key set is
+        // too big to broadcast as a hash table (5M keys) but fits a
+        // bloom (2^26 bits = 8 MB). Facts hit the dim at ~2%
+        // (uniform keys over 50x the dim domain). The baseline
+        // shuffles ALL fact rows + the dim into a sort-merge semi
+        // join; the bloom path pre-filters facts with the codegen'd
+        // probe so only ~2% + fp reach the exchange. Both must
+        // produce the identical match count.
+        val nDim = 5000000L
+        val domain = nDim * 50
+        val dim = spark.range(nDim).select(col("id").as("k"))
+        def facts(n: Long) = spark.range(n)
+          .select(pmod(xxhash64(col("id")), lit(domain)).as("k"))
+        // keep the baseline honest: no broadcast of the 5M-row dim
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+        Seq(rows / 10, rows).foreach { n =>
+          val src = facts(n)
+          val exact = src.join(dim, Seq("k"), "left_semi").agg(count(lit(1)).as("n"))
+          exact.write.format("noop").mode("overwrite").save() // warm
+          val t0 = System.nanoTime()
+          val exactN = exact.head().getLong(0)
+          println(f"sort-merge semi join ($n rows, 5M-key dim): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          val t1 = System.nanoTime()
+          val bloom = dim
+            .agg(functions.GraftFunctions.bloomAgg("k", 1 << 26, 5).as("bf"))
+            .head().getAs[Array[Byte]](0)
+          val tBuild = (System.nanoTime() - t1) / 1e9
+          val pruned = src
+            .filter(functions.GraftFunctions.bloomMightContain("k", bloom, 5))
+            .join(dim, Seq("k"), "left_semi").agg(count(lit(1)).as("n"))
+          pruned.write.format("noop").mode("overwrite").save() // warm
+          val t2 = System.nanoTime()
+          val prunedN = pruned.head().getLong(0)
+          println(f"bloom-pruned semi join ($n rows): ${(System.nanoTime() - t2) / 1e9}%.2f s (+ $tBuild%.2f s one-time build)")
+          require(exactN == prunedN,
+            s"bloom-pruned count $prunedN != exact $exactN")
+        }
       case other =>
-        System.err.println(s"unknown probe '$other'; use topn | cumsum | incr | hh")
+        System.err.println(s"unknown probe '$other'; use topn | cumsum | incr | hh | bloom")
         sys.exit(2)
     }
     spark.stop()
