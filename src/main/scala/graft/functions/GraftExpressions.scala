@@ -331,30 +331,32 @@ case class BitmapCount(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** Membership probe against a DRIVER-COLLECTED bloom filter (see
-  * [[BloomAgg]]): the filter bytes ride into generated code as a
-  * reference object — like NearestCells' centroids and PqAdcScores'
-  * LUTs — so the probe is a narrow codegen'd filter on the fact
-  * scan, no join in the plan at all. False positives only; the
-  * exact join downstream removes them.
+/** Membership probe against a bloom sketch (see [[BloomAgg]]). The
+  * sketch side is any binary expression — in q53 it is a driver-
+  * collected filter as a `Literal`, which Janino hoists into the
+  * generated class like NearestCells' centroids, so the probe is a
+  * narrow codegen'd filter on the fact scan with no join in the plan
+  * at all; a sketch COLUMN (e.g. one bloom row per partition-bucket
+  * joined in) works through the same expression. False positives
+  * only; the exact join downstream removes them.
   */
-case class BloomMightContain(child: Expression, bloom: Array[Byte],
+case class BloomMightContain(left: Expression, right: Expression,
                              numHashes: Int)
-  extends UnaryExpression {
+  extends BinaryExpression {
   override def dataType: DataType = BooleanType
   override def prettyName: String = "graft_bloom_might_contain"
 
-  override protected def nullSafeEval(a: Any): Any =
-    GraftHashOps.bloomMightContain(bloom, a.asInstanceOf[Long], numHashes)
+  override protected def nullSafeEval(bloom: Any, key: Any): Any =
+    GraftHashOps.bloomMightContain(bloom.asInstanceOf[Array[Byte]],
+      key.asInstanceOf[Long], numHashes)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("bloom", bloom, "byte[]")
-    defineCodeGen(ctx, ev,
-      c => s"graft.functions.GraftHashOps.bloomMightContain($ref, $c, $numHashes)")
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, k) =>
+      s"graft.functions.GraftHashOps.bloomMightContain($b, $k, $numHashes)")
 
-  override protected def withNewChildInternal(newChild: Expression): BloomMightContain =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomMightContain =
+    copy(left = newLeft, right = newRight)
 }
 
 /** JVM loops the generated code calls into (and interpreted eval
@@ -751,5 +753,6 @@ object GraftFunctions {
     column(BloomAgg(Cast(attr(key), LongType), numBits, numHashes)
       .toAggregateExpression())
   def bloomMightContain(key: String, bloom: Array[Byte], numHashes: Int): Column =
-    column(BloomMightContain(Cast(attr(key), LongType), bloom, numHashes))
+    column(BloomMightContain(Literal(bloom, BinaryType),
+      Cast(attr(key), LongType), numHashes))
 }

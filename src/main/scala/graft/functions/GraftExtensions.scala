@@ -113,7 +113,41 @@ object GraftExtensions {
     ("graft_bitmap_count",
       info("graft_bitmap_count",
         "graft_bitmap_count(sketch) - cardinality of a bitmap sketch"),
-      (es: Seq[Expression]) => BitmapCount(es(0))))
+      (es: Seq[Expression]) => BitmapCount(es(0))),
+    ("graft_bloom",
+      info("graft_bloom",
+        "graft_bloom(key, numBits, numHashes) - mergeable bloom-filter sketch aggregate (binary)"),
+      (es: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+        import org.apache.spark.sql.types.LongType
+        if (es.length != 3)
+          throw new IllegalArgumentException(
+            s"graft_bloom expects (key, numBits, numHashes), got ${es.length} arguments")
+        (es(1), es(2)) match {
+          case (Literal(m: Int, _), Literal(k: Int, _)) =>
+            BloomAgg(Cast(es(0), LongType), m, k)
+          case other =>
+            throw new IllegalArgumentException(
+              s"graft_bloom numBits and numHashes must be integer literals, got $other")
+        }
+      }),
+    ("graft_bloom_might_contain",
+      info("graft_bloom_might_contain",
+        "graft_bloom_might_contain(sketch, key, numHashes) - bloom membership probe (no false negatives)"),
+      (es: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+        import org.apache.spark.sql.types.LongType
+        if (es.length != 3)
+          throw new IllegalArgumentException(
+            s"graft_bloom_might_contain expects (sketch, key, numHashes), got ${es.length} arguments")
+        es(2) match {
+          case Literal(k: Int, _) =>
+            BloomMightContain(es(0), Cast(es(1), LongType), k)
+          case other =>
+            throw new IllegalArgumentException(
+              s"graft_bloom_might_contain numHashes must be an integer literal, got $other")
+        }
+      }))
 
   /** Imperative registration on an existing session (test/driver use). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -100,6 +100,37 @@ object Bolts {
       .agg(graft.functions.GraftFunctions.heavyHitters(itemCol, capacity).as("hh"))
       .select(col("hh.total").as("total"), col("hh.items").as("items")))
   }
+
+  /** Streaming quantile telemetry via q52's bottom-k sampling sketch
+    * as stream state: ONE bounded sample row in the state store
+    * regardless of rows seen (a per-value streaming aggregate would
+    * hold value-cardinality state). The sketch is the k rows with
+    * smallest xxhash64 over `idCols` — graft_topk pointed at −hash,
+    * whose buffer Structured Streaming merges across micro-batches
+    * under the same associative monoid as the batch rollup, so after
+    * any number of batches the sample (and thus the estimate) is
+    * IDENTICAL to running the bolt's transform over the archived
+    * stream in batch (spec-asserted). Values carried at `scale`×
+    * fixed point (graft_topk ids are longs); rank error ~1/√k.
+    * Update mode emits (n_rows, p50_est, p95_est) each micro-batch.
+    */
+  def quantileSketch(valueCol: String, idCols: Seq[String], k: Int,
+                     scale: Int = 100): Bolt = {
+    import org.apache.spark.sql.functions._
+    Bolt("quantile-sketch", df => df
+      .select((col(valueCol) * scale).cast("long").as("v"),
+        (-xxhash64(idCols.map(col): _*).cast("double")).as("nh"))
+      .groupBy()
+      .agg(graft.functions.GraftFunctions.topK("nh", "v", k).as("sk"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("vals", array_sort(expr("transform(sk, x -> x.id)")))
+      .withColumn("n", size(col("vals")))
+      .select(col("n_rows"),
+        (element_at(col("vals"),
+          greatest(lit(1), ceil(col("n") * 0.5).cast("int"))) / scale.toDouble).as("p50_est"),
+        (element_at(col("vals"),
+          greatest(lit(1), ceil(col("n") * 0.95).cast("int"))) / scale.toDouble).as("p95_est")))
+  }
 }
 
 final case class Topology(spout: Spout, bolts: Seq[Bolt], sink: Sink,

@@ -124,6 +124,23 @@ class ExpressionsSpec extends SparkSpecBase {
     assert(rows.toSeq == Seq((2024, 3L), (2025, 1L)), s"got ${rows.toSeq}")
   }
 
+  test("graft_bloom via SQL: build then probe, no false negatives in-query") {
+    GraftExtensions.register(spark)
+    Seq(10L, 11L, 12L).toDF("k").createOrReplaceTempView("bf_dim")
+    Seq(10L, 11L, 12L, 13L, 5000L).toDF("k").createOrReplaceTempView("bf_facts")
+    // build + probe entirely in SQL: the sketch joins in as a column
+    val rows = spark.sql(
+      """SELECT f.k FROM bf_facts f
+        |CROSS JOIN (SELECT graft_bloom(k, 1024, 5) AS bf FROM bf_dim) d
+        |WHERE graft_bloom_might_contain(d.bf, f.k, 5)
+        |ORDER BY f.k""".stripMargin)
+      .collect().map(_.getLong(0)).toSet
+    assert(Set(10L, 11L, 12L).subsetOf(rows), s"false negative: got $rows")
+    // at 1024 bits / 3 keys the fp probability is ~1e-10 — the two
+    // foreign keys must be rejected
+    assert(rows == Set(10L, 11L, 12L), s"unexpected fp at tiny load: $rows")
+  }
+
   test("graft_topk excludes NaN and null scores (monoid order-independence holds)") {
     GraftExtensions.register(spark)
     Seq((Some(Double.NaN), 1L), (Some(5.0), 2L), (Some(Double.NaN), 3L),

@@ -130,6 +130,44 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming quantile sketch: bounded state, stream ≡ batch over the archive") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    // deterministic skewed values over unique row ids
+    val all = (1L to 2000L).map(i => (i, ((i * 37) % 1000) / 7.0 + (if (i % 13 == 0) 400.0 else 0.0)))
+    val (b1, b2) = all.splitAt(all.size / 2)
+    val bolt = Bolts.quantileSketch("v", Seq("id"), k = 128)
+    val q = bolt.transform(mem.toDF().toDF("id", "v"))
+      .writeStream.outputMode(OutputMode.Update).format("memory")
+      .queryName("qsketch").start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val last = spark.table("qsketch").collect().last
+      assert(last.getLong(0) == all.size.toLong, "n_rows must be the exact stream length")
+      // the monoid merge across micro-batches must land on the SAME
+      // sample as one batch pass over the archived stream — q52's
+      // lossless-merge property, through the state store
+      import spark.implicits._
+      val batch = bolt.transform(all.toDF("id", "v")).collect().head
+      assert(last.getDouble(1) == batch.getDouble(1) &&
+        last.getDouble(2) == batch.getDouble(2),
+        s"stream estimate (${last.getDouble(1)}, ${last.getDouble(2)}) != " +
+          s"batch (${batch.getDouble(1)}, ${batch.getDouble(2)})")
+      // rank sanity vs the true distribution
+      val vs = all.map(_._2).sorted
+      def rankOf(x: Double) = vs.count(_ <= x).toDouble / vs.length
+      assert(math.abs(rankOf(last.getDouble(1)) - 0.5) <= 0.2,
+        s"p50 est ${last.getDouble(1)} at rank ${rankOf(last.getDouble(1))}")
+      // THE scale claim: one bounded sample row of state, not
+      // value-cardinality rows
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 1L, s"quantile-sketch state is not bounded: $stateRows rows")
+    } finally q.stop()
+  }
+
   test("event-time ops: tumbling windows and sessions over a stream") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Long, Double)]
