@@ -327,6 +327,30 @@ object Relational {
       .orderBy("y", "m")
   }
 
+  // --- q54: retention cohort matrix — the "did users who arrived in
+  // month X come back in month X+n" table behind every growth
+  // dashboard. Cohort = each customer's FIRST order month (one
+  // keyed min aggregate — per-customer state is one row); activity
+  // joins back on the SAME customer key, so the aggregate and the
+  // join co-partition (at scale: two custkey-hashed exchanges, AQE
+  // can reuse the first for the second); the final exact
+  // count-distinct groups by (cohort, offset) — cardinality bounded
+  // by months², not rows. Nothing windows, nothing broadcasts a
+  // customer-sized side.
+  val q54_retention_cohorts: Q = (s, d) => {
+    val o = Tables.orders(s, d).select(col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("mi"))
+    val first = o.groupBy("o_custkey").agg(min("mi").as("cohort_mi"))
+    o.join(first, Seq("o_custkey"))
+      .groupBy(col("cohort_mi"), (col("mi") - col("cohort_mi")).as("months_since"))
+      .agg(countDistinct("o_custkey").as("n_active"))
+      .select(floor(col("cohort_mi") / 12).cast("long").as("cohort_y"),
+        (col("cohort_mi") % 12 + 1).cast("long").as("cohort_m"),
+        col("months_since").cast("long").as("months_since"),
+        col("n_active"))
+      .orderBy("cohort_y", "cohort_m", "months_since")
+  }
+
   /** q53's fact pre-filter in isolation — the spec measures its
     * survivor set (superset of true matches, bounded false-positive
     * overshoot) without the masking exact join.
@@ -955,6 +979,7 @@ object Relational {
     "q51_bitmap_rollup" -> q51_bitmap_rollup,
     "q52_quantile_rollup" -> q52_quantile_rollup,
     "q53_bloom_semijoin" -> q53_bloom_semijoin,
+    "q54_retention_cohorts" -> q54_retention_cohorts,
     "q14_having" -> q14_having,
     "q15_case_agg" -> q15_case_agg,
     "q16_window_funcs" -> q16_window_funcs,
@@ -1230,6 +1255,17 @@ object Relational {
         |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
         |  count(*) AS n_orders
         |FROM orders GROUP BY y ORDER BY y""".stripMargin,
+    "q54_retention_cohorts" ->
+      """WITH o AS (
+        |  SELECT o_custkey, year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mi
+        |  FROM orders),
+        |f AS (SELECT o_custkey, min(mi) AS cohort_mi FROM o GROUP BY o_custkey)
+        |SELECT CAST(floor(cohort_mi / 12) AS BIGINT) AS cohort_y,
+        |  CAST(cohort_mi % 12 + 1 AS BIGINT) AS cohort_m,
+        |  CAST(o.mi - f.cohort_mi AS BIGINT) AS months_since,
+        |  CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active
+        |FROM o JOIN f ON o.o_custkey = f.o_custkey
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q53_bloom_semijoin" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
         |  CAST(month(o_orderdate) AS BIGINT) AS m,
