@@ -327,6 +327,53 @@ object Relational {
       .orderBy("y", "m")
   }
 
+  // --- q55: resample + LINEAR INTERPOLATION — q40's hourly grid with
+  // the gap-fill upgraded from hold-last to interpolate-between-
+  // neighbors (the other standard time-series resample mode; edges
+  // back-/forward-fill from the single available neighbor). Same
+  // scale shape as q40: grid ∪ events, per-key windows only — the
+  // prev/next neighbor scan is two passes over each user's rows,
+  // never a range self-join. Both engines compute the identical
+  // IEEE expression (same parenthesization, same casts), so the
+  // interpolated doubles hash-match under the r2 idiom.
+  val q55_resample_interp: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .groupBy(col("user_id"), unix_micros(col("ts")).as("us"))
+      .agg(max("value").as("v"))
+    val bounds = Tables.events(s, d)
+      .agg(unix_micros(date_trunc("hour", min("ts"))).as("h0"),
+        unix_micros(date_trunc("hour", max("ts"))).as("h1"))
+    val grid = Tables.events(s, d).select("user_id").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), lit(3600000000L))).as("us"))
+    val unioned = ev.select(col("user_id"), col("us"), lit(0).as("tag"), col("v"))
+      .unionAll(grid.select(col("user_id"), col("us"), lit(1).as("tag"),
+        lit(null).cast("double").as("v")))
+      .withColumn("ev_us", when(col("tag") === 0, col("us")))
+    val wP = Window.partitionBy("user_id").orderBy(col("us"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wN = Window.partitionBy("user_id").orderBy(col("us"), col("tag"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    unioned
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wP))
+      .withColumn("pus", last(col("ev_us"), ignoreNulls = true).over(wP))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wN))
+      .withColumn("nus", first(col("ev_us"), ignoreNulls = true).over(wN))
+      .filter(col("tag") === 1)
+      .withColumn("ival",
+        when(col("pv").isNull && col("nv").isNull, lit(-1.0))
+          .when(col("pv").isNull, col("nv"))
+          .when(col("nv").isNull, col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            ((col("us") - col("pus")).cast("double") /
+              (col("nus") - col("pus")).cast("double"))))
+      .select(col("user_id"),
+        date_format(timestamp_micros(col("us")), "yyyy-MM-dd HH:mm").as("hour_ts"),
+        r2(col("ival")).as("val"))
+      .orderBy("user_id", "hour_ts")
+  }
+
   // --- q54: retention cohort matrix — the "did users who arrived in
   // month X come back in month X+n" table behind every growth
   // dashboard. Cohort = each customer's FIRST order month (one
@@ -980,6 +1027,7 @@ object Relational {
     "q52_quantile_rollup" -> q52_quantile_rollup,
     "q53_bloom_semijoin" -> q53_bloom_semijoin,
     "q54_retention_cohorts" -> q54_retention_cohorts,
+    "q55_resample_interp" -> q55_resample_interp,
     "q14_having" -> q14_having,
     "q15_case_agg" -> q15_case_agg,
     "q16_window_funcs" -> q16_window_funcs,
@@ -1255,6 +1303,38 @@ object Relational {
         |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
         |  count(*) AS n_orders
         |FROM orders GROUP BY y ORDER BY y""".stripMargin,
+    "q55_resample_interp" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) AS us, max(value) AS v FROM events GROUP BY 1, 2),
+        |b AS (SELECT epoch_us(date_trunc('hour', min(ts))) AS h0,
+        |             epoch_us(date_trunc('hour', max(ts))) AS h1 FROM events),
+        |grid AS (
+        |  SELECT u.user_id, g.us
+        |  FROM (SELECT DISTINCT user_id FROM events) u, b,
+        |       LATERAL (SELECT unnest(generate_series(b.h0, b.h1, 3600000000)) AS us) g),
+        |u AS (
+        |  SELECT user_id, us, 0 AS tag, v, us AS ev_us FROM ev
+        |  UNION ALL
+        |  SELECT user_id, us, 1 AS tag, NULL, NULL FROM grid),
+        |w AS (
+        |  SELECT user_id, us, tag,
+        |    last_value(v IGNORE NULLS) OVER wp AS pv,
+        |    last_value(ev_us IGNORE NULLS) OVER wp AS pus,
+        |    first_value(v IGNORE NULLS) OVER wn AS nv,
+        |    first_value(ev_us IGNORE NULLS) OVER wn AS nus
+        |  FROM u
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY us, tag
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (PARTITION BY user_id ORDER BY us, tag
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id,
+        |  strftime(make_timestamp(us), '%Y-%m-%d %H:%M') AS hour_ts,
+        |  round((CASE WHEN pv IS NULL AND nv IS NULL THEN -1.0
+        |              WHEN pv IS NULL THEN nv
+        |              WHEN nv IS NULL THEN pv
+        |              ELSE pv + (nv - pv) * (CAST(us - pus AS DOUBLE) / CAST(nus - pus AS DOUBLE))
+        |         END) * 100) / 100 AS val
+        |FROM w WHERE tag = 1 ORDER BY user_id, hour_ts""".stripMargin,
     "q54_retention_cohorts" ->
       """WITH o AS (
         |  SELECT o_custkey, year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mi
