@@ -80,6 +80,41 @@ object Bolts {
         .filter(col("__seen").isNull).drop("__seen"))
   }
 
+  /** [[dedupAgainstIndex]] with a bloom fast path — the 100 TB
+    * composition of q53's pruning with the ingest gate. A bloom of
+    * the index's fingerprints (hashed to 64 bits first, so string
+    * fps bloom fine) is built ONCE at wiring time; per micro-batch,
+    * rows the bloom REJECTS are definitely-unseen and pass straight
+    * through — no join, no index IO — and only might-contain rows
+    * (true dups + the fp-rate sliver) take the exact anti-join. On
+    * a mostly-fresh stream (the common ingest case) that converts
+    * ~the whole batch from a stream-static join against a
+    * corpus-sized index into a narrow codegen'd filter. False
+    * positives cost only a redundant exact check; false negatives
+    * are impossible, so the kept set is IDENTICAL to
+    * dedupAgainstIndex's (spec-asserted).
+    */
+  def dedupAgainstIndexBloom(index: DataFrame, fpCol: String,
+                             numBits: Int = 1 << 22,
+                             numHashes: Int = 5): Bolt = {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    val bloom = index
+      .select(xxhash64(col(fpCol)).as("__k"))
+      .agg(graft.functions.GraftFunctions.bloomAgg("__k", numBits, numHashes).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val exact = dedupAgainstIndex(index, fpCol)
+    Bolt("dedup-index-bloom", df => {
+      val tagged = df.withColumn("__k", xxhash64(col(fpCol)))
+        .withColumn("__maybe", graft.functions.GraftFunctions
+          .bloomMightContain("__k", bloom, numHashes))
+        .drop("__k")
+      val fresh = tagged.filter(!col("__maybe")).drop("__maybe")
+      val checked = exact.transform(tagged.filter(col("__maybe")).drop("__maybe"))
+      // the exact path's using-join reorders columns — align by name
+      fresh.unionByName(checked)
+    })
+  }
+
   /** Streaming heavy hitters — the reference topNBolt generalized to
     * UNBOUNDED vocabulary (q47's Misra–Gries summary as stream
     * state). Streaming word count keeps one state row per distinct

@@ -327,6 +327,33 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming index dedup with bloom fast path: kept set identical to the exact bolt") {
+    implicit val sql = spark.sqlContext
+    // an index big enough that true-negatives dominate (the fast path
+    // actually exercises) plus known members for the slow path
+    val seen = spark.createDataFrame(
+      (1 to 2000).map(i => Tuple1(s"idx$i")) :+ Tuple1("aaa") :+ Tuple1("bbb")).toDF("fp")
+    val mem = MemoryStream[(Long, String)]
+    val topo = Topology(
+      Spout("mem", _ => mem.toDF().toDF("doc_id", "fp")),
+      Seq(Bolts.dedupAgainstIndexBloom(seen, "fp")),
+      Sink("memory", (df, _) => df.writeStream.format("memory")
+        .queryName("idx_dedup_bloom").outputMode(OutputMode.Append()).start()))
+    val q = topo.run(spark)
+    try {
+      mem.addData((1L, "aaa"), (2L, "ccc"), (3L, "bbb"), (4L, "ddd"), (5L, "idx500"))
+      q.processAllAvailable()
+      // same stateless contract as the exact bolt: a later repeat of a
+      // non-indexed fp passes again
+      mem.addData((6L, "ccc"), (7L, "aaa"), (8L, "idx1999"))
+      q.processAllAvailable()
+      val got = spark.table("idx_dedup_bloom").select("doc_id", "fp").as[(Long, String)]
+        .collect().toSet
+      assert(got == Set((2L, "ccc"), (4L, "ddd"), (6L, "ccc")),
+        s"bloom-gated kept set diverges from the exact contract: $got")
+    } finally q.stop()
+  }
+
   test("clock: element-wise strictly-greater comparison (clockGt)") {
     val c1 = Clock(Map("p0" -> "5", "p1" -> "7"))
     val c2 = Clock(Map("p0" -> "3", "p1" -> "6"))
