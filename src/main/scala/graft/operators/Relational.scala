@@ -261,13 +261,19 @@ object Relational {
       .agg(graft.functions.GraftFunctions.topK("nh", "cents", k).as("sk"),
         count(lit(1)).as("n_rows"))
     // year rollup: merge = re-aggregate the exploded pairs under the
-    // same bounded monoid; both sides of the join are year-counted
-    val merged = monthly.select(col("y"), explode(col("sk")).as("p"))
-      .select(col("y"), col("p.score").as("nh"), col("p.id").as("cents"))
+    // same bounded monoid, with the month's row count riding on its
+    // pos=0 pair so counts sum in the SAME aggregation — one facts
+    // scan total (a separate counts branch would re-derive monthly
+    // from the facts in this one-shot plan; in production monthly is
+    // the persisted sketch table and this subplan starts there)
+    val merged = monthly
+      .select(col("y"), col("n_rows"), posexplode(col("sk")).as(Seq("i", "p")))
+      .select(col("y"), col("i"), col("n_rows"),
+        col("p.score").as("nh"), col("p.id").as("cents"))
       .groupBy("y")
-      .agg(graft.functions.GraftFunctions.topK("nh", "cents", k).as("sk"))
-    val counts = monthly.groupBy("y").agg(sum("n_rows").as("n_rows"))
-    merged.join(counts, Seq("y"))
+      .agg(graft.functions.GraftFunctions.topK("nh", "cents", k).as("sk"),
+        sum(when(col("i") === 0, col("n_rows"))).as("n_rows"))
+    merged
       .withColumn("vals", array_sort(expr("transform(sk, x -> x.id)")))
       .withColumn("n", size(col("vals")))
       .select(col("y").cast("long").as("y"), col("n_rows"),
