@@ -23,7 +23,9 @@ object Explain {
         "tx15_bpe_tokens",
         "ann03_topk_agg", "ann04_lsh_topk", "ann05_pq_topk",
         "q47_heavy_hitters", "q48_funnel", "q49_grouping_sets",
-        "mm06_audio_energy", "pp10_gate_report", "q50_peak_concurrency")
+        "mm06_audio_energy", "pp10_gate_report", "q50_peak_concurrency",
+        "ann06_ivfpq_topk", "q52_quantile_rollup", "q53_bloom_semijoin",
+        "q54_retention_cohorts", "q55_resample_interp")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -25,11 +25,11 @@ class BenchKeysSpec extends AnyFunSuite {
   }
 
   test("worst-case stdout JSON line fits the harness's 2000-char window") {
-    // envelope + streaming_throughput sizes from the emitted format;
+    // envelope + sustained_rps sizes from the emitted format;
     // per row: "key":xxx.xx, (quotes, colon, comma) = len(key) + 10
     val rows = Bench.allBenchKeys.map(k => Bench.shortKey(k).length + 10).sum
     val envelope = 120  // metric/value/unit/batch_seconds/sf fields
-    val streaming = 4 * 50 // four sweep points at ~50 chars each
+    val streaming = 50  // "sustained_rps":[n,n,n,n]
     val sbtTrailer = 80 // "[success] Total time: ..." after our line
     val est = rows + envelope + streaming + sbtTrailer
     assert(est < 1900, s"estimated bench line + trailer $est chars crowds the 2000-char parse window")

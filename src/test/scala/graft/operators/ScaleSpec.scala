@@ -164,6 +164,7 @@ class ScaleSpec extends SparkSpecBase {
       "ann03_topk_agg" -> "same all-pairs compare; the selection is the bounded-heap agg",
       "q39_dense_grid" -> "cross of two bounded dims (regions × order statuses)",
       "q40_resample_ffill" -> "single-row broadcast of the global time bounds",
+      "q55_resample_interp" -> "single-row broadcast of the global time bounds (q40's grid)",
       "q41_histogram" -> "single-row broadcast of the global value bounds",
       "tx06_tfidf" -> "single-row broadcast of the corpus doc count",
       "tx14_unigram_lp" -> "single-row broadcast of the corpus token total",
