@@ -18,7 +18,8 @@ object SparkEntry {
       dedup.Dedup.registry ++
       similarity.Similarity.registry ++
       multimodal.Multimodal.registry ++
-      pipeline.Pipeline.registry
+      pipeline.Pipeline.registry ++
+      graph.PageRank.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
       dedup.Dedup.oracles ++
       similarity.Similarity.oracles ++
       multimodal.Multimodal.oracles ++
-      pipeline.Pipeline.oracles
+      pipeline.Pipeline.oracles ++
+      graph.PageRank.oracles
 }

@@ -1,0 +1,58 @@
+package graft.graph
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class PageRankSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("cycle fixpoint: uniform ranks are exact on a 3-cycle") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val got = PageRank.pageRank(edges, iters = 7).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // every node: deg 1, one in-edge; uniform 1/3 is the fixpoint of
+    // (1-d)/n + d*(1/3) = 1/3 exactly, and no dangling mass exists
+    got.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-15, s"got $got"))
+  }
+
+  test("dangling mass: conserved, redistributed, equal to a driver recompute") {
+    // b is a sink: its rank must recycle, not leak
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val d = 0.85
+    val iters = 10
+    val got = PageRank.pageRank(edges, d, iters).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // driver recompute with the same update order and formula
+    var ra = 0.5
+    var rb = 0.5
+    for (_ <- 1 to iters) {
+      val dm = rb // b has no out-edges
+      val na = (1.0 - d) / 2 + d * (0.0 + dm / 2)
+      val nb = (1.0 - d) / 2 + d * (ra + dm / 2)
+      ra = na; rb = nb
+    }
+    assert(math.abs(got(1L) - ra) < 1e-12 && math.abs(got(2L) - rb) < 1e-12,
+      s"got $got, expected ($ra, $rb)")
+    assert(math.abs(got.values.sum - 1.0) < 1e-12, "mass not conserved")
+  }
+
+  test("fulfillment graph: mass conserved at corpus scale, ranks positive") {
+    val ranks = PageRank.pageRank(PageRank.fulfillmentEdges(spark, sfDir))
+    val agg = ranks.agg(sum("rank"), min("rank"), count(lit(1))).head()
+    assert(math.abs(agg.getDouble(0) - 1.0) < 1e-9,
+      s"rank mass ${agg.getDouble(0)} drifted from 1")
+    assert(agg.getDouble(1) > 0.0, "a rank went non-positive")
+    assert(agg.getLong(2) > 0)
+    // structural property of the bipartite graph: suppliers are the
+    // only nodes with in-edges (customers receive just the teleport +
+    // recycled dangling share), so EVERY supplier with an in-edge
+    // outranks every customer — the top of the ranking is exactly
+    // the supplier set, up to the cut
+    val nSup = PageRank.fulfillmentEdges(spark, sfDir)
+      .select("dst").distinct().count()
+    val top = PageRank.pr01_pagerank(spark, sfDir).collect()
+    assert(top.length == 25)
+    assert(top.count(_.getLong(0) >= 1000000000L) == math.min(nSup, 25L).toInt,
+      s"expected the $nSup suppliers to occupy the top ranks")
+  }
+}
