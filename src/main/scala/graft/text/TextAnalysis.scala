@@ -323,6 +323,44 @@ object TextAnalysis {
   // BROADCAST vocab join + partial-agg per-doc mean — two corpus
   // scans, no vocab-sized shuffle against the corpus. K is a dial;
   // 1000 here so the OOV path is exercised at test scale.
+  // --- tx17: bigram-LM surprisal — tx14's CCNet-style LM filter
+  // upgraded from unigram to conditional bigram probabilities
+  // (P(w|prev) from the corpus itself), which separates "rare words"
+  // from "implausible word SEQUENCES" — the signal that catches
+  // shuffled/templated text whose unigram profile looks normal.
+  // Scale shape: ONE bigram explode feeds everything; the model is
+  // the top-K bigrams (TakeOrdered — broadcastable by construction)
+  // carrying exact conditional probabilities cnt(prev,w)/cnt(prev,*)
+  // — the prefix-total table is a vocab-sized INTERMEDIATE aggregate
+  // but only its K-row join survives into the broadcast; OOV bigrams
+  // floor at 1/total like tx14. One bigram shuffle + broadcast join +
+  // partial-agg mean: no vocab-sized shuffle against the corpus.
+  val tx17_bigram_lp: Q = (s, d) => {
+    val topK = 2000
+    val bigramsExpr =
+      "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+    val bg = Tables.documents(s, d)
+      .select(col("doc_id"), expr(toksExpr).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(bigramsExpr)).as("g"))
+    val bgc = bg.groupBy("g").agg(count(lit(1)).as("cnt"))
+    val prefixTot = bgc
+      .groupBy(expr("split(g, ' ')[0]").as("prev")).agg(sum("cnt").as("pcnt"))
+    val top = bgc.orderBy(col("cnt").desc, col("g")).limit(topK)
+      .withColumn("prev", expr("split(g, ' ')[0]"))
+    val model = prefixTot.join(broadcast(top), Seq("prev"))
+      .select(col("g"),
+        (col("cnt").cast("double") / col("pcnt").cast("double")).as("cp"))
+    val tot = bgc.agg(sum("cnt").cast("double").as("tot"))
+    bg.join(broadcast(model), Seq("g"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        (-log2(coalesce(col("cp"), lit(1.0) / col("tot")))).as("sp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), r4(avg("sp")).as("mean_bigram_surprisal"))
+      .orderBy("doc_id")
+  }
+
   val tx14_unigram_lp: Q = (s, d) => {
     val topK = 1000
     val toks = Tables.documents(s, d)
@@ -426,6 +464,7 @@ object TextAnalysis {
     "tx16_quality_gate" -> tx16_quality_gate,
     "tx15_bpe_tokens" -> tx15_bpe_tokens,
     "tx14_unigram_lp" -> tx14_unigram_lp,
+    "tx17_bigram_lp" -> tx17_bigram_lp,
     "tx13_compress" -> tx13_compress,
     "tx12_entropy" -> tx12_entropy,
     "tx11_boilerplate" -> tx11_boilerplate,
@@ -468,6 +507,24 @@ object TextAnalysis {
          |    THEN 'word_len_anomaly' END) AS reasons FROM sig)
          |SELECT doc_id, n_tokens, (reasons = '') AS keep, reasons
          |FROM r ORDER BY doc_id""".stripMargin,
+    "tx17_bigram_lp" ->
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS t FROM documents),
+         |bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+         |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+         |        FROM t WHERE len(t) >= 2) x),
+         |bgc AS (SELECT g, count(*) AS cnt FROM bg GROUP BY g),
+         |pt AS (SELECT string_split(g, ' ')[1] AS prev, sum(cnt) AS pcnt
+         |       FROM bgc GROUP BY 1),
+         |m AS (SELECT g, CAST(cnt AS DOUBLE) / CAST(pcnt AS DOUBLE) AS cp
+         |      FROM (SELECT g, cnt, string_split(g, ' ')[1] AS prev FROM bgc
+         |            ORDER BY cnt DESC, g LIMIT 2000) z
+         |      JOIN pt USING (prev)),
+         |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM bgc)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(avg(-log2(coalesce(cp, 1.0 / tot))) * 10000) / 10000
+         |    AS mean_bigram_surprisal
+         |FROM bg LEFT JOIN m USING (g) CROSS JOIN tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "tx14_unigram_lp" ->
       s"""WITH t AS (SELECT doc_id, unnest(t) AS term
          |  FROM (SELECT doc_id, $sqlToks AS t FROM documents) x),
