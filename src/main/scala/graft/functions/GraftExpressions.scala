@@ -313,6 +313,36 @@ case class PqAdcScores(child: Expression, luts: Array[Array[Double]],
     copy(child = newChild)
 }
 
+/** [[PqAdcScores]] against exactly ONE of the lookup tables, picked
+  * per row by the `qi` child — the probe shape when each corpus row
+  * is already routed to its query (ann06's per-cell broadcast join):
+  * scoring every LUT and selecting one entry afterwards costs q×m
+  * lookups per row where this costs m.
+  */
+case class PqAdcScoreAt(left: Expression, right: Expression,
+                        luts: Array[Array[Double]],
+                        m: Int, ksub: Int, bits: Int)
+    extends BinaryExpression {
+  require(luts.forall(_.length == m * ksub),
+    s"each LUT must be m x ksub = ${m * ksub} entries")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc_at"
+
+  override protected def nullSafeEval(code: Any, qi: Any): Any =
+    GraftHashOps.pqAdcScoreAt(code.asInstanceOf[Long],
+      qi.asInstanceOf[Int], luts, m, ksub, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("luts", luts, "double[][]")
+    defineCodeGen(ctx, ev, (c, q) =>
+      s"graft.functions.GraftHashOps.pqAdcScoreAt($c, $q, $ref, $m, $ksub, $bits)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcScoreAt =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Cardinality of a serialized bitmap sketch (see
   * [[BitmapAgg]] / [[BitmapUnionAgg]]) — a codegen'd popcount over
   * the sketch bytes.
@@ -614,6 +644,17 @@ object GraftHashOps {
     new GenericArrayData(out)
   }
 
+  def pqAdcScoreAt(code: Long, qi: Int, luts: Array[Array[Double]],
+                   m: Int, ksub: Int, bits: Int): Double = {
+    val mask = (1L << bits) - 1L
+    val lut = luts(qi)
+    var s = 0.0
+    var c = code
+    var j = m - 1
+    while (j >= 0) { s += lut(j * ksub + (c & mask).toInt); c >>>= bits; j -= 1 }
+    s
+  }
+
   def bitmapCount(bytes: Array[Byte]): Long = {
     var c = 0L
     var i = 0
@@ -737,6 +778,9 @@ object GraftFunctions {
   def pqAdcScores(code: String, luts: Array[Array[Double]],
                   m: Int, ksub: Int, bits: Int): Column =
     column(PqAdcScores(attr(code), luts, m, ksub, bits))
+  def pqAdcScoreAt(code: String, qi: String, luts: Array[Array[Double]],
+                   m: Int, ksub: Int, bits: Int): Column =
+    column(PqAdcScoreAt(attr(code), Cast(attr(qi), IntegerType), luts, m, ksub, bits))
   def tokenStats(toks: String): Column = column(TokenStats(attr(toks)))
   def topK(score: String, id: String, k: Int): Column =
     column(TopKByScore(

@@ -268,8 +268,8 @@ object Similarity {
       .join(broadcast(qcells), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
-        element_at(graft.functions.GraftFunctions
-          .pqAdcScores("code", luts, pqM, pqKsub, pqBits), col("qi") + 1).as("adc"))
+        graft.functions.GraftFunctions
+          .pqAdcScoreAt("code", "qi", luts, pqM, pqKsub, pqBits).as("adc"))
       .groupBy("q_id")
       .agg(graft.functions.GraftFunctions.topK("adc", "n_id", k * rerankFactor).as("tk"))
       .select(col("q_id"), explode(col("tk")).as("p"))
