@@ -45,15 +45,20 @@ object PageRank {
         .join(ranks, col("src") === col("node"))
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
         .groupBy("node").agg(sum("c").as("contrib"))
-      // rank parked on dangling nodes (no out-edges) this round
-      val danglingMass = ranks
+      // rank parked on dangling nodes (no out-edges) this round —
+      // kept IN-PLAN as a one-row broadcast (scalar expansion, the
+      // q40/q41 pattern) rather than a driver collect, so an
+      // iteration never blocks: only the periodic checkpoint runs a
+      // job, materializing `checkpointEvery` iterations at once
+      val dangling = ranks
         .join(outDeg, col("node") === col("src"), "left_anti")
-        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+        .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
       ranks = nodes.join(contribs, Seq("node"), "left_outer")
+        .crossJoin(broadcast(dangling))
         .select(col("node"),
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
-              lit(danglingMass / n))).as("rank"))
+              col("dm") / n)).as("rank"))
       if (i % checkpointEvery == 0 || i == iters)
         ranks = ranks.localCheckpoint()
     }

@@ -165,9 +165,11 @@ class ScaleSpec extends SparkSpecBase {
       "q39_dense_grid" -> "cross of two bounded dims (regions × order statuses)",
       "q40_resample_ffill" -> "single-row broadcast of the global time bounds",
       "q55_resample_interp" -> "single-row broadcast of the global time bounds (q40's grid)",
+      "pr01_pagerank" -> "single-row broadcast of the per-iteration dangling mass",
       "q41_histogram" -> "single-row broadcast of the global value bounds",
       "tx06_tfidf" -> "single-row broadcast of the corpus doc count",
       "tx14_unigram_lp" -> "single-row broadcast of the corpus token total",
+      "tx17_bigram_lp" -> "single-row broadcast of the corpus bigram total",
       "tx09_corpus_stats" -> "1×1 cross of two grand aggregates")
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (name, _) => allowed.contains(name) }
