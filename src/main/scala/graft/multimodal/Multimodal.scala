@@ -336,15 +336,82 @@ object Multimodal {
     spark.createDataFrame(rdd, schema).orderBy("doc_id")
   }
 
+  /** mm07: shot-boundary detection — the video-analysis row beside
+    * mm03's frame sampler (mm03 says WHERE frames are; mm07 says
+    * where SCENES change). The payload is read as consecutive
+    * 64-byte frames (stand-ins for decoded luma planes — a real
+    * build swaps in the codec's frames, everything downstream
+    * unchanged); a cut is a frame pair whose sum-of-absolute-
+    * differences exceeds the threshold. Integer SADs keep the oracle
+    * hash-exact; per-partition seam, narrow scan, no shuffle.
+    */
+  val mm07_shot_bounds: Q = (s, d) => {
+    val spark = s
+    val frame = 64
+    val cutSad = 2000L // ~mean abs diff 31/byte on this corpus (measured)
+    val src = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_frames", LongType),
+      StructField("n_cuts", LongType),
+      StructField("max_sad", LongType),
+      StructField("first_cut", LongType)))
+    val rdd = src.rdd.mapPartitions { rows =>
+      rows.map { row =>
+        val id = row.getLong(0)
+        val b = row.getAs[Array[Byte]](1)
+        val nf = b.length / frame
+        var f = 0
+        var cuts = 0L
+        var maxSad = -1L
+        var firstCut = -1L
+        while (f < nf - 1) {
+          var sad = 0L
+          var i = 0
+          while (i < frame) {
+            val x = (b(f * frame + i) & 0xff) - (b((f + 1) * frame + i) & 0xff)
+            sad += math.abs(x)
+            i += 1
+          }
+          if (sad > maxSad) maxSad = sad
+          if (sad > cutSad) {
+            cuts += 1
+            if (firstCut < 0) firstCut = f + 1L
+          }
+          f += 1
+        }
+        Row(id, nf.toLong, cuts, maxSad, firstCut)
+      }
+    }
+    spark.createDataFrame(rdd, schema).orderBy("doc_id")
+  }
+
   val registry: Map[String, Q] = Map(
     "mm01_binary_meta" -> mm01_binary_meta,
     "mm02_decode_stub" -> mm02_decode_stub,
     "mm03_frame_sample" -> mm03_frame_sample,
     "mm04_phash_neardup" -> mm04_phash_neardup,
     "mm05_resize" -> mm05_resize,
-    "mm06_audio_energy" -> mm06_audio_energy)
+    "mm06_audio_energy" -> mm06_audio_energy,
+    "mm07_shot_bounds" -> mm07_shot_bounds)
 
   val oracles: Map[String, String] = Map(
+    // mm07: ASCII payloads make the per-frame SADs SQL-reproducible
+    // (unicode(char) = byte, like mm05/mm06); all-integer outputs
+    "mm07_shot_bounds" ->
+      """WITH d AS (SELECT doc_id, text, length(text) // 64 AS nf FROM documents),
+        |p AS (SELECT doc_id, (i - 1) // 64 AS f,
+        |        sum(abs(unicode(substr(text, i, 1)) - unicode(substr(text, i + 64, 1)))) AS sad
+        |      FROM (SELECT doc_id, text, unnest(generate_series(1, (nf - 1) * 64)) AS i
+        |            FROM d WHERE nf >= 2) t
+        |      GROUP BY doc_id, f)
+        |SELECT d.doc_id, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(coalesce(sum(CASE WHEN sad > 2000 THEN 1 END), 0) AS BIGINT) AS n_cuts,
+        |  CAST(coalesce(max(sad), -1) AS BIGINT) AS max_sad,
+        |  CAST(coalesce(min(CASE WHEN sad > 2000 THEN f + 1 END), -1) AS BIGINT) AS first_cut
+        |FROM d LEFT JOIN p USING (doc_id)
+        |GROUP BY d.doc_id, nf ORDER BY d.doc_id""".stripMargin,
     // mm02: the byte-nibble histogram L2 and the magic-byte format
     // sniff are both SQL-expressible (documents are ASCII, so chars
     // align with payload bytes; PNG/JPEG magic can't occur in text,
