@@ -106,6 +106,28 @@ object Dedup {
   val dd02_ngram_jaccard: Q = (s, d) =>
     jaccardPairs(s, d).orderBy("id1", "id2")
 
+  // --- dd12: cross-source duplication matrix — corpus-governance
+  // telemetry over dd02's verified near-dup pairs: how much of the
+  // duplication is WITHIN a source vs leaked BETWEEN sources (the
+  // "is src3 just a re-crawl of src1" table that decides which
+  // sources to drop wholesale). Pure composition: the memoized pair
+  // set joins each side to its doc's source (two keyed joins — the
+  // pair set is duplication-sized, the source projection is two
+  // columns), then one count per unordered source pair. Oracle
+  // embeds dd02's SQL verbatim as its CTE so the two can't drift.
+  val dd12_cross_source_dups: Q = (s, d) => {
+    val pairs = jaccardPairs(s, d).select("id1", "id2")
+    def src(idCol: String, out: String) = Tables.documents(s, d)
+      .select(col("doc_id").as(idCol), col("source").as(out))
+    pairs
+      .join(src("id1", "s1"), Seq("id1"))
+      .join(src("id2", "s2"), Seq("id2"))
+      .select(least(col("s1"), col("s2")).as("src_a"),
+        greatest(col("s1"), col("s2")).as("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src_a", "src_b")
+  }
+
   private def buildJaccardPairs(s: SparkSession, d: String): DataFrame = {
     // no explicit cache: the shingle subplan appears three times in
     // this one plan and Spark's ReuseExchange already dedupes it —
@@ -692,6 +714,7 @@ object Dedup {
     "dd06_neardup_clusters" -> dd06_neardup_clusters,
     "dd01_exact" -> dd01_exact,
     "dd02_ngram_jaccard" -> dd02_ngram_jaccard,
+    "dd12_cross_source_dups" -> dd12_cross_source_dups,
     "dd03_embed_neardup" -> dd03_embed_neardup,
     "dd04_minhash_lsh" -> dd04_minhash_lsh,
     "dd05_simhash" -> dd05_simhash,
@@ -739,6 +762,28 @@ object Dedup {
          |    round((CAST(inter AS DOUBLE) / (x.n + y.n - inter)) * 10000) / 10000 AS jacc
          |  FROM pairs JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id) z
          |WHERE jacc >= 0.2 ORDER BY id1, id2""".stripMargin,
+    "dd12_cross_source_dups" ->
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+         |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM t)),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 1000),
+         |idx AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+         |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+         |          FROM idx a JOIN idx b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |dd02 AS (SELECT id1, id2 FROM (
+         |  SELECT id1, id2,
+         |    round((CAST(inter AS DOUBLE) / (x.n + y.n - inter)) * 10000) / 10000 AS jacc
+         |  FROM pairs JOIN sz x ON id1 = x.doc_id JOIN sz y ON id2 = y.doc_id) z
+         |  WHERE jacc >= 0.2)
+         |SELECT least(d1.source, d2.source) AS src_a,
+         |  greatest(d1.source, d2.source) AS src_b,
+         |  count(*) AS n_pairs
+         |FROM dd02 p
+         |JOIN documents d1 ON p.id1 = d1.doc_id
+         |JOIN documents d2 ON p.id2 = d2.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dd07_keep_longest" ->
       """SELECT fp, doc_id AS keep_id, n_chars AS keep_chars FROM (
         |  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
