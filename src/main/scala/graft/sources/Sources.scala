@@ -64,6 +64,42 @@ object Sources {
   def readMerged(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
 
+  /** Resilient semi-structured read — the ingest contract for dirty
+    * data at scale: PERMISSIVE parsing keeps every input row alive,
+    * a parse failure lands the raw line in the rescue column instead
+    * of killing the job (a 100 TB crawl WILL contain broken lines;
+    * FAILFAST turns one of them into a dead pipeline, DROPMALFORMED
+    * silently loses data). Pair with [[quarantine]] to split clean
+    * rows from rescued raw lines for reprocessing.
+    */
+  def readResilient(spark: SparkSession, format: String, path: String,
+                    schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    require(format == "json" || format == "csv",
+      s"resilient read supports json/csv, got $format")
+    val rescued = schema.add("_corrupt_record",
+      org.apache.spark.sql.types.StringType)
+    spark.read.format(format).schema(rescued)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .load(path)
+  }
+
+  /** Split a [[readResilient]] frame into (clean, quarantined): clean
+    * rows with the rescue column dropped, and the raw text of every
+    * row that failed to parse — written aside in production, never
+    * dropped. The frame is cached first: Spark refuses to query only
+    * the corrupt column straight off the raw file
+    * (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and one parse feeding both
+    * outputs is what an ingest wants anyway.
+    */
+  def quarantine(df: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val parsed = df.cache()
+    (parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      parsed.filter(col("_corrupt_record").isNotNull)
+        .select(col("_corrupt_record").as("raw")))
+  }
+
   /** Rewrite a directory into `targetFiles` right-sized files — the
     * small-files compaction every long-running ingest needs. Writes
     * to `path + ".compact"`, then swaps it in via two directory

@@ -21,6 +21,57 @@ class SourcesSpec extends SparkSpecBase {
     }
   }
 
+  test("resilient read: broken lines quarantined, clean rows parse, nothing lost") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("src-resilient")
+    val lines = Seq(
+      """{"id": 1, "name": "alpha"}""",
+      """{"id": 2, "name": "beta"}""",
+      """{"id": 3 "name": "broken-no-comma"}""",
+      """not json at all""",
+      """{"id": 5, "name": "gamma"}""")
+    java.nio.file.Files.write(java.nio.file.Path.of(dir, "part.json"),
+      String.join("\n", lines: _*).getBytes)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val df = Sources.readResilient(spark, "json", dir, schema)
+    val (clean, bad) = Sources.quarantine(df)
+    assert(clean.count() == 3, "clean rows")
+    assert(clean.columns.toSeq == Seq("id", "name"), "rescue column leaked")
+    assert(clean.orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("alpha", "beta", "gamma"))
+    val rescued = bad.collect().map(_.getString(0)).toSet
+    assert(rescued.size == 2, s"quarantined: $rescued")
+    // the raw line survives verbatim for reprocessing
+    assert(rescued.contains("not json at all"))
+    assert(rescued.exists(_.contains("broken-no-comma")))
+  }
+
+  test("persisted sketch table: monthly bitmap sketches round-trip parquet, rollup exact") {
+    // the production form of q51's pattern: the monthly sketch table
+    // is WRITTEN once and every later rollup reads it — prove the
+    // binary sketches survive the parquet round-trip losslessly by
+    // comparing the from-disk rollup against the direct computation
+    val dir = tmpDir("sketch-table")
+    val monthly = Tables.orders(spark, sfDir)
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(graft.functions.GraftFunctions
+        .bitmapAgg("o_custkey", maxKey = 1 << 24).as("sk"))
+    monthly.write.mode("overwrite").parquet(dir)
+    val rolled = spark.read.parquet(dir)
+      .groupBy("y")
+      .agg(graft.functions.GraftFunctions.bitmapUnion("sk").as("usk"))
+      .select(col("y"),
+        graft.functions.GraftFunctions.bitmapCount("usk").as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val direct = Tables.orders(spark, sfDir)
+      .groupBy(year(col("o_orderdate")).as("y"))
+      .agg(countDistinct("o_custkey").as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rolled == direct,
+      "rollup from the persisted sketch table diverges from exact distinct counts")
+  }
+
   test("partitioned write produces a prunable layout") {
     val path = tmpDir("src-part")
     Sources.write(Tables.orders(spark, sfDir), "parquet", path,
