@@ -260,8 +260,41 @@ object ScaleProbe {
           require(exactN == prunedN,
             s"bloom-pruned count $prunedN != exact $exactN")
         }
+      case "skew" =>
+        // Skew's claim, measured: a join where ONE key carries ~30%
+        // of the fact side. Three plans over identical data: the
+        // static sort-merge join (AQE off — what a naive config
+        // runs), AQE's runtime skew-split, and the explicit salted
+        // join (the path for cases AQE can't split). All three must
+        // agree on the row count.
+        val nDim2 = 1000000L
+        val dim2 = spark.range(nDim2)
+          .select(col("id").as("k"), (col("id") * 2).as("w"))
+        def skewed(nr: Long) = spark.range(nr).select(
+          when(pmod(xxhash64(col("id")), lit(10)) < 3, lit(0L))
+            .otherwise(pmod(xxhash64(col("id"), lit(1)), lit(nDim2))).as("k"))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+        Seq(rows / 10, rows).foreach { n =>
+          val src = skewed(n)
+          def joined = src.join(dim2, Seq("k")).agg(count(lit(1)).as("n"))
+          def run(label: String, aqe: Boolean)(df: => org.apache.spark.sql.DataFrame): Long = {
+            spark.conf.set("spark.sql.adaptive.enabled", aqe)
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", aqe)
+            df.write.format("noop").mode("overwrite").save() // warm
+            val t0 = System.nanoTime()
+            val c = df.head().getLong(0)
+            println(f"$label ($n rows): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+            c
+          }
+          val a = run("static sort-merge join, AQE off", aqe = false)(joined)
+          val b = run("AQE skew-split join", aqe = true)(joined)
+          val c = run("salted join (16 salts)", aqe = false)(
+            operators.Skew.saltedJoin(src, dim2, "k").agg(count(lit(1)).as("n")))
+          spark.conf.set("spark.sql.adaptive.enabled", true)
+          require(a == b && b == c, s"skew variants disagree: $a / $b / $c")
+        }
       case other =>
-        System.err.println(s"unknown probe '$other'; use topn | cumsum | incr | hh | bloom")
+        System.err.println(s"unknown probe '$other'; use topn | cumsum | incr | hh | bloom | skew")
         sys.exit(2)
     }
     spark.stop()
