@@ -73,12 +73,10 @@ object Bench {
         val t1 = System.nanoTime()
         force(spark)(SparkEntry.queries("ann02_ivf_topk")(spark, sfDir))
         val tProbe = (System.nanoTime() - t1) / 1e9
-        // the compressed-fidelity probe of the SAME memoized index
-        val t2 = System.nanoTime()
-        force(spark)(SparkEntry.queries("ann06_ivfpq_topk")(spark, sfDir))
-        val tPq = (System.nanoTime() - t2) / 1e9
-        Seq("ann02_ivf_build" -> tBuild, "ann02_ivf_probe" -> tProbe,
-          "ann06_ivfpq_probe" -> tPq)
+        // no ann06 split row: the batch loop runs ann02 (cold build,
+        // populating the memo) before ann06 alphabetically, so the
+        // registered ann06 row is already a pure memo-hit probe
+        Seq("ann02_ivf_build" -> tBuild, "ann02_ivf_probe" -> tProbe)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] ivf split failed: $e"); Seq.empty
       } finally {
@@ -200,12 +198,11 @@ object Bench {
     * stdout line back over the harness's 2000-char parse window.
     */
   private[graft] def shortKey(k: String): String = k match {
-    case "ann02_ivf_build"   => "ann02b"
-    case "ann02_ivf_probe"   => "ann02p"
-    case "ann06_ivfpq_probe" => "ann06p"
-    case "dd11_lsh_build"    => "dd11b"
-    case "dd11_lsh_probe"    => "dd11p"
-    case other               => other.takeWhile(_ != '_')
+    case "ann02_ivf_build" => "ann02b"
+    case "ann02_ivf_probe" => "ann02p"
+    case "dd11_lsh_build"  => "dd11b"
+    case "dd11_lsh_probe"  => "dd11p"
+    case other             => other.takeWhile(_ != '_')
   }
 
   /** Every row name the bench can emit (the registered queries plus
@@ -214,7 +211,7 @@ object Bench {
     */
   private[graft] def allBenchKeys: Seq[String] =
     SparkEntry.queries.keys.toSeq ++ Seq(
-      "ann02_ivf_build", "ann02_ivf_probe", "ann06_ivfpq_probe",
+      "ann02_ivf_build", "ann02_ivf_probe",
       "dd11_lsh_build", "dd11_lsh_probe",
       "st01_stream_wordcount", "st02_throughput_sweep")
 

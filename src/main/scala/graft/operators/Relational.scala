@@ -313,25 +313,19 @@ object Relational {
   // The bloom build is one map-side-combined aggregation over the
   // dim (graft_bloom's OR-merge is associative/commutative — the
   // same mergeable-summaries contract as graft_bitmap).
-  val q53_bloom_semijoin: Q = (s, d) => {
-    val dimKeys = Tables.customer(s, d)
-      .filter(col("c_mktsegment") === "BUILDING")
-      .select(col("c_custkey"))
-    val bloom = dimKeys
-      .agg(graft.functions.GraftFunctions
-        .bloomAgg("c_custkey", numBits = 1 << 18, numHashes = 5).as("bf"))
-      .head().getAs[Array[Byte]](0)
-    val facts = Tables.orders(s, d)
-      .filter(graft.functions.GraftFunctions
-        .bloomMightContain("o_custkey", bloom, numHashes = 5))
-    facts
-      .join(dimKeys.withColumnRenamed("c_custkey", "o_custkey"),
+  val q53_bloom_semijoin: Q = (s, d) =>
+    bloomSurvivors(s, d)
+      .join(segmentKeys(s, d).withColumnRenamed("c_custkey", "o_custkey"),
         Seq("o_custkey"), "left_semi")
       .groupBy(year(col("o_orderdate")).cast("long").as("y"),
         month(col("o_orderdate")).cast("long").as("m"))
       .agg(count(lit(1)).as("n_orders"), r2(sum("o_totalprice")).as("sum_price"))
       .orderBy("y", "m")
-  }
+
+  private def segmentKeys(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
 
   // --- q55: resample + LINEAR INTERPOLATION — q40's hourly grid with
   // the gap-fill upgraded from hold-last to interpolate-between-
@@ -412,15 +406,13 @@ object Relational {
       .orderBy("cohort_y", "cohort_m", "months_since")
   }
 
-  /** q53's fact pre-filter in isolation — the spec measures its
-    * survivor set (superset of true matches, bounded false-positive
-    * overshoot) without the masking exact join.
+  /** q53's fact pre-filter — the SHARED subplan the query builds on
+    * and the spec measures in isolation (survivor set = superset of
+    * true matches with bounded false-positive overshoot), so the
+    * verified sketch parameters can't drift from the shipped query's.
     */
   def bloomSurvivors(s: SparkSession, d: String): DataFrame = {
-    val dimKeys = Tables.customer(s, d)
-      .filter(col("c_mktsegment") === "BUILDING")
-      .select(col("c_custkey"))
-    val bloom = dimKeys
+    val bloom = segmentKeys(s, d)
       .agg(graft.functions.GraftFunctions
         .bloomAgg("c_custkey", numBits = 1 << 18, numHashes = 5).as("bf"))
       .head().getAs[Array[Byte]](0)

@@ -187,6 +187,11 @@ object Similarity {
         s"pq codebook $j is not dense")
       out(j) = byB.map(_.getSeq[Double](2).toArray)
     }
+    // subspace density too — a gap in j would otherwise surface as a
+    // bare NPE deep inside pqLutFor (loadCentroids' discipline)
+    for (j <- 0 until m)
+      require(out(j) != null,
+        s"pq codebook table is not dense in [0, $m): codebook $j missing")
     out
   }
 

@@ -84,20 +84,29 @@ object Sources {
       .load(path)
   }
 
-  /** Split a [[readResilient]] frame into (clean, quarantined): clean
-    * rows with the rescue column dropped, and the raw text of every
-    * row that failed to parse — written aside in production, never
-    * dropped. The frame is cached first: Spark refuses to query only
-    * the corrupt column straight off the raw file
-    * (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and one parse feeding both
-    * outputs is what an ingest wants anyway.
+  /** A [[readResilient]] frame split into clean rows (rescue column
+    * dropped) and the raw text of every row that failed to parse —
+    * written aside in production, never dropped. Call [[Quarantined.release]]
+    * once both frames are consumed: the split caches the parse
+    * (Spark refuses to query only the corrupt column straight off
+    * the raw file — QUERY_ONLY_CORRUPT_RECORD_COLUMN — and one parse
+    * feeding both outputs is what an ingest wants anyway), and a
+    * long-lived driver looping over arriving directories would
+    * otherwise pin one dead cached parse per directory forever.
     */
-  def quarantine(df: DataFrame): (DataFrame, DataFrame) = {
+  final case class Quarantined(clean: DataFrame, quarantined: DataFrame,
+                               private val parsed: DataFrame) {
+    def release(): Unit = { parsed.unpersist(); () }
+  }
+
+  def quarantine(df: DataFrame): Quarantined = {
     import org.apache.spark.sql.functions.col
     val parsed = df.cache()
-    (parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+    Quarantined(
+      parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
       parsed.filter(col("_corrupt_record").isNotNull)
-        .select(col("_corrupt_record").as("raw")))
+        .select(col("_corrupt_record").as("raw")),
+      parsed)
   }
 
   /** Rewrite a directory into `targetFiles` right-sized files — the

@@ -91,8 +91,21 @@ object Bolts {
     * ~the whole batch from a stream-static join against a
     * corpus-sized index into a narrow codegen'd filter. False
     * positives cost only a redundant exact check; false negatives
-    * are impossible, so the kept set is IDENTICAL to
-    * dedupAgainstIndex's (spec-asserted).
+    * are impossible AGAINST THE WIRING-TIME SNAPSHOT, so the kept
+    * set is identical to dedupAgainstIndex over the same snapshot
+    * (spec-asserted).
+    *
+    * SNAPSHOT contract, unlike the exact bolt: dedupAgainstIndex
+    * re-reads the index every micro-batch, so fps appended by a
+    * concurrent committer start gating mid-stream; here the bloom is
+    * fixed at wiring, and a later-appended fp would take the
+    * definitely-unseen fast path unchecked. For an appending index,
+    * re-wire the bolt on the commit cycle (the ingest loop's
+    * natural cadence — NearDupIngestSink re-derives its gate per
+    * batch for exactly this reason) and compose with [[dedup]] for
+    * within-stream duplicates; in production the bloom would be the
+    * sketch PERSISTED beside the index by the same transaction that
+    * appends to it.
     */
   def dedupAgainstIndexBloom(index: DataFrame, fpCol: String,
                              numBits: Int = 1 << 22,

@@ -35,7 +35,8 @@ class SourcesSpec extends SparkSpecBase {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("name", StringType)))
     val df = Sources.readResilient(spark, "json", dir, schema)
-    val (clean, bad) = Sources.quarantine(df)
+    val q = Sources.quarantine(df)
+    val (clean, bad) = (q.clean, q.quarantined)
     assert(clean.count() == 3, "clean rows")
     assert(clean.columns.toSeq == Seq("id", "name"), "rescue column leaked")
     assert(clean.orderBy("id").collect().map(_.getString(1)).toSeq ==
@@ -45,6 +46,7 @@ class SourcesSpec extends SparkSpecBase {
     // the raw line survives verbatim for reprocessing
     assert(rescued.contains("not json at all"))
     assert(rescued.exists(_.contains("broken-no-comma")))
+    q.release() // the split pins a cached parse until released
   }
 
   test("persisted sketch table: monthly bitmap sketches round-trip parquet, rollup exact") {
