@@ -25,7 +25,9 @@ object Explain {
         "q47_heavy_hitters", "q48_funnel", "q49_grouping_sets",
         "mm06_audio_energy", "pp10_gate_report", "q50_peak_concurrency",
         "ann06_ivfpq_topk", "q52_quantile_rollup", "q53_bloom_semijoin",
-        "q54_retention_cohorts", "q55_resample_interp")
+        "q54_retention_cohorts", "q55_resample_interp",
+        "tx17_bigram_lp", "pr01_pagerank", "mm07_shot_bounds",
+        "dd12_cross_source_dups")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
