@@ -367,7 +367,46 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** pp11: the full training-data build as ONE declarative plan —
+    * the capstone composition a user of this library actually runs:
+    * quality gate (tx16's keep bit) → exact dedup among survivors
+    * (dd01's fingerprint, keep min id) → benchmark decontamination
+    * (pp05's eval-5-gram overlap) → deterministic shard packing
+    * (pp08's md5-order global rank). Every stage is the REGISTERED
+    * standalone operator's subplan (tx16 / pp05 called directly,
+    * dd01's fp expression, pp08's globalRank), so the pipeline can't
+    * drift from the pieces the gate already verifies; the oracle
+    * likewise embeds the stage oracles as CTEs. Output is the shard
+    * manifest of the cleaned corpus. Scale shape: each stage is the
+    * proven per-stage plan; the composition adds only keyed
+    * semi-/anti-joins on doc_id (the natural partitioning key) and
+    * inherits pp08's range-partitioned rank — no new shuffle shapes,
+    * no driver loops, one logical plan end to end.
+    */
+  val pp11_full_build: Q = (s, d) => {
+    val shardSize = 128
+    val keep = graft.text.TextAnalysis.tx16_quality_gate(s, d)
+      .filter(col("keep")).select("doc_id")
+    val f = Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+      md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+    val kept = f.join(keep, Seq("doc_id"))
+    val dedupKeep = kept.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val contaminated = pp05_decontaminate(s, d).select("doc_id")
+    val train = kept.join(dedupKeep, Seq("doc_id"), "left_semi")
+      .filter(col("doc_id") % 10 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    globalRank(train.withColumn("k", md5(col("doc_id").cast("string"))),
+        Seq("k", "doc_id"))
+      .withColumn("shard", floor((col("rn") - 1) / shardSize).cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("shard")
+  }
+
   val registry: Map[String, Q] = Map(
+    "pp11_full_build" -> pp11_full_build,
     "pp10_gate_report" -> pp10_gate_report,
     "pp09_decontaminate_fuzzy" -> pp09_decontaminate_fuzzy,
     "pp08_shard_pack" -> pp08_shard_pack,
@@ -383,6 +422,31 @@ object Pipeline {
     "list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')"
 
   val oracles: Map[String, String] = Map(
+    // pp11 embeds the tx16 gate oracle and pp05's shingle CTEs
+    // verbatim — the same anti-drift discipline as pp10
+    "pp11_full_build" ->
+      s"""WITH gate AS (${graft.text.TextAnalysis.oracles("tx16_quality_gate")}),
+         |f AS (SELECT doc_id, n_chars,
+         |        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+         |      FROM documents),
+         |kept AS (SELECT f.* FROM f JOIN gate USING (doc_id) WHERE gate.reasons = ''),
+         |dd AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY fp),
+         |t5 AS (SELECT doc_id, $sqlToks AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
+         |       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i FROM t5)),
+         |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 10 = 0),
+         |cont AS (SELECT DISTINCT doc_id FROM sh JOIN ev USING (g) WHERE doc_id % 10 <> 0),
+         |train AS (SELECT k.doc_id, k.n_chars FROM kept k
+         |          JOIN dd USING (doc_id)
+         |          WHERE k.doc_id % 10 <> 0
+         |            AND k.doc_id NOT IN (SELECT doc_id FROM cont)),
+         |r AS (SELECT doc_id, n_chars,
+         |        row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         |      FROM train)
+         |SELECT CAST(floor((rn - 1) / 128.0) AS BIGINT) AS shard,
+         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM r GROUP BY shard ORDER BY shard""".stripMargin,
     // pp10 embeds tx16's oracle verbatim as its gate CTE, so the two
     // can't drift apart
     "pp10_gate_report" ->
