@@ -90,6 +90,76 @@ object PageRank {
       .select(col("node"), round(col("rank") * 1000000000) / 1000000000 as "rank_r")
       .orderBy(col("rank_r").desc, col("node")).limit(25)
 
-  val registry: Map[String, Q] = Map("pr01_pagerank" -> pr01_pagerank)
-  val oracles: Map[String, String] = Map.empty
+  /** The part co-purchase graph: an undirected edge (canonical
+    * a < b) between parts appearing in the same order. Unlike the
+    * bipartite fulfillment graph this one closes triangles.
+    */
+  def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    li.as("x").join(li.as("y"), col("x.l_orderkey") === col("y.l_orderkey") &&
+        col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .distinct()
+  }
+
+  /** pr02: triangle counting with DEGREE-ORDERED orientation — the
+    * standard trick that makes the wedge join feasible at scale:
+    * orienting every edge from its lower-degree endpoint (ties by
+    * id) bounds per-node out-degree by O(√m), so the wedge
+    * self-join generates O(m^1.5) candidates total instead of
+    * Σ deg² (a single celebrity node would otherwise explode the
+    * join). Wedges close against the canonical edge set by one more
+    * equi-join; each closed triangle credits all three corners.
+    * Everything is keyed joins + aggregations — no windows, nothing
+    * all-pairs beyond the bounded wedge set.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges.toDF("a", "b")
+    val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.withColumnRenamed("n", "a").withColumnRenamed("deg", "da"), "a")
+      .join(deg.withColumnRenamed("n", "b").withColumnRenamed("deg", "db"), "b")
+      .select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("src"),
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("b")).otherwise(col("a")).as("dst"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+    val closed = wedges.join(und,
+      col("v") === col("a") && col("w") === col("b"))
+      .select(col("u"), col("v"), col("w"))
+    closed.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("node")
+  }
+
+  /** Per-part triangle participation over the co-purchase graph. */
+  val pr02_triangles: Q = (s, d) => triangleCounts(copurchaseEdges(s, d))
+
+  val registry: Map[String, Q] = Map(
+    "pr01_pagerank" -> pr01_pagerank,
+    "pr02_triangles" -> pr02_triangles)
+
+  val oracles: Map[String, String] = Map(
+    // canonical a<b<c triangle enumeration; each triangle credits
+    // its three corners (the orientation is a physical-plan choice,
+    // not a semantic one, so the oracle doesn't need it)
+    "pr02_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |tri AS (
+        |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT node, count(*) AS n_triangles FROM (
+        |  SELECT u AS node FROM tri
+        |  UNION ALL SELECT v FROM tri
+        |  UNION ALL SELECT w FROM tri) z
+        |GROUP BY node ORDER BY node""".stripMargin)
 }

@@ -36,6 +36,22 @@ class PageRankSpec extends SparkSpecBase {
     assert(math.abs(got.values.sum - 1.0) < 1e-12, "mass not conserved")
   }
 
+  test("triangle counting: K4 closed form, skewed star+clique counted once each") {
+    // K4: 4 triangles, every node on exactly 3
+    val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)).toDF("a", "b")
+    val got = PageRank.triangleCounts(k4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
+    // a hub star (no triangles) attached to one clique edge: the
+    // degree orientation must still count each triangle exactly once
+    // and give the hub only its single real triangle
+    val star = (1L to 50L).map(i => (100L, 100L + i))
+    val withTri = star ++ Seq((101L, 102L)) // closes (100,101,102)
+    val got2 = PageRank.triangleCounts(withTri.toDF("a", "b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(100L -> 1L, 101L -> 1L, 102L -> 1L), s"got $got2")
+  }
+
   test("fulfillment graph: mass conserved at corpus scale, ranks positive") {
     val ranks = PageRank.pageRank(PageRank.fulfillmentEdges(spark, sfDir))
     val agg = ranks.agg(sum("rank"), min("rank"), count(lit(1))).head()
