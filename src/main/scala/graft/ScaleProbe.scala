@@ -293,8 +293,43 @@ object ScaleProbe {
           spark.conf.set("spark.sql.adaptive.enabled", true)
           require(a == b && b == c, s"skew variants disagree: $a / $b / $c")
         }
+      case "tri" =>
+        // pr02's claim, measured: a ring graph (every node in a few
+        // local triangles) plus ONE celebrity node adjacent to `hub`
+        // others. Orienting edges by node ID gives the celebrity
+        // out-degree `hub`, so the wedge self-join generates
+        // hub²/2 candidates from that one node; orienting by DEGREE
+        // points every celebrity edge inward and bounds its
+        // out-degree at 0. Same result set, wildly different join
+        // volume — the difference IS the orientation.
+        val nRing = rows
+        val hub = 20000L
+        val ring = spark.range(1L, nRing).select(col("id").as("a"), (col("id") + 1).as("b"))
+          .unionAll(spark.range(1L, nRing - 1)
+            .select(col("id").as("a"), (col("id") + 2).as("b")))
+        val celeb = spark.range(1L, hub + 1).select(lit(0L).as("a"), col("id").as("b"))
+        val edges = ring.unionAll(celeb).distinct().localCheckpoint()
+        def wedgeCount(oriented: DataFrame): Long = {
+          val w = oriented.as("e1").join(oriented.as("e2"),
+              col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+            .select(col("e1.dst").as("a"), col("e2.dst").as("b"))
+          w.join(edges, Seq("a", "b")).count()
+        }
+        def time2(label: String)(f: => Long): Long = {
+          val t0 = System.nanoTime()
+          val c = f
+          println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($c triangles)")
+          c
+        }
+        val byId = edges.select(col("a").as("src"), col("b").as("dst")) // a<b already
+        val x = time2(s"id-oriented wedge join ($nRing-ring + $hub-degree hub)")(wedgeCount(byId))
+        val t0 = System.nanoTime()
+        val deg = graph.PageRank.triangleCounts(edges)
+          .agg(sum("n_triangles")).head().getLong(0)
+        println(f"degree-oriented (pr02's plan): ${(System.nanoTime() - t0) / 1e9}%.2f s (${deg / 3} triangles)")
+        require(x == deg / 3, s"orientations disagree: $x vs ${deg / 3}")
       case other =>
-        System.err.println(s"unknown probe '$other'; use topn | cumsum | incr | hh | bloom | skew")
+        System.err.println(s"unknown probe '$other'; use topn | cumsum | incr | hh | bloom | skew | tri")
         sys.exit(2)
     }
     spark.stop()
