@@ -114,7 +114,10 @@ object PageRank {
     * all-pairs beyond the bounded wedge set.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val und = edges.toDF("a", "b")
+    // the edge set feeds four subplans (two degree scans, the
+    // orientation join, the closing join) — materialize it once
+    // instead of re-deriving the upstream edge build each time
+    val und = edges.toDF("a", "b").localCheckpoint()
     val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
     val oriented = und
