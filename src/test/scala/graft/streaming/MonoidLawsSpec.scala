@@ -30,6 +30,59 @@ class MonoidLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom merge: identity, associativity, commutativity, membership union") {
+    import graft.functions.GraftHashOps._
+    val m = 1 << 10
+    val keySet: Gen[Seq[Long]] =
+      Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, Gen.chooseNum(0L, 500L)))
+    def build(keys: Seq[Long]): Array[Long] = {
+      val bits = new Array[Long](m / 64)
+      keys.foreach(k => bloomSet(bits, k, 5))
+      bits
+    }
+    def or(a: Array[Long], b: Array[Long]): Array[Long] =
+      a.zip(b).map { case (x, y) => x | y }
+    for (Seq(ka, kb, kc) <- samples(Gen.listOfN(3, keySet), 200)) {
+      val (a, b, c) = (build(ka), build(kb), build(kc))
+      assert(or(or(a, b), c).toSeq == or(a, or(b, c)).toSeq, "associativity")
+      assert(or(a, b).toSeq == or(b, a).toSeq, "commutativity")
+      assert(or(a, new Array[Long](m / 64)).toSeq == a.toSeq, "identity")
+      // the merged filter answers membership for the UNION of inputs
+      // (no false negatives survive a merge)
+      val merged = longsToBytes(or(a, b))
+      (ka ++ kb).foreach(k =>
+        assert(bloomMightContain(merged, k, 5), s"merge lost key $k"))
+      // and a merge is exactly the filter built from the union
+      assert(or(a, b).toSeq == build(ka ++ kb).toSeq, "merge != union build")
+    }
+  }
+
+  test("bottom-k sketch merge: lossless vs building from the union (q52's law)") {
+    import graft.functions.TopKBuffer
+    val pair: Gen[(Double, Long)] = for {
+      s <- Gen.chooseNum(-1000, 1000)
+      id <- Gen.chooseNum(0L, 100L)
+    } yield (s.toDouble, id)
+    val pairSet: Gen[Seq[(Double, Long)]] =
+      Gen.chooseNum(0, 20).flatMap(n => Gen.listOfN(n, pair))
+    def build(ps: Seq[(Double, Long)]): Seq[(Double, Long)] = {
+      val b = new TopKBuffer(8)
+      ps.foreach { case (s, id) => b.insert(s, id) }
+      (0 until b.n).map(i => (b.scores(i), b.ids(i)))
+    }
+    def merge(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      build(x ++ y)
+    for (Seq(pa, pb, pc) <- samples(Gen.listOfN(3, pairSet), 200)) {
+      val (a, b, c) = (build(pa), build(pb), build(pc))
+      assert(merge(merge(a, b), c) == merge(a, merge(b, c)), "associativity")
+      assert(merge(a, b) == merge(b, a), "commutativity")
+      assert(merge(a, Seq.empty) == a, "identity")
+      // THE bottom-k law: merging the parts' sketches equals
+      // sketching the concatenated input directly
+      assert(merge(a, b) == build(pa ++ pb), "merge diverges from direct build")
+    }
+  }
+
   test("TopN: identity, commutativity, boundedness, max-merge") {
     val m = TopN(3)
     for (Seq(a, b) <- samples(Gen.listOfN(2, state), 300)) {
