@@ -382,6 +382,33 @@ object Relational {
       .orderBy("user_id", "hour_ts")
   }
 
+  // --- q56: MERGE / upsert — apply a change batch (updates, deletes,
+  // inserts) to a dimension snapshot in one declarative plan: the
+  // warehouse write-side shape (MERGE INTO) on plain parquet. The
+  // change batch is derived deterministically from the snapshot
+  // (key % 7 = 0 → delete, key % 5 = 0 → update, key % 5 = 1 →
+  // insert under a shifted key) so the oracle mirrors it exactly.
+  // Scale shape: everything keys on the merge key — one left join
+  // (update overlay), one anti join (delete), one union (insert);
+  // at 100 TB a table format (Delta/Iceberg) adds file-level
+  // pruning on top, but the join/rewrite shape is exactly this.
+  val q56_merge_upsert: Q = (s, d) => {
+    val t = Tables.customer(s, d)
+      .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+        col("c_acctbal").as("bal"))
+    val upd = t.filter(col("k") % 5 === 0 && col("k") % 7 =!= 0)
+      .select(col("k"), lit("WEB").as("u_seg"), (col("bal") + 100).as("u_bal"))
+    val del = t.filter(col("k") % 7 === 0).select("k")
+    val ins = t.filter(col("k") % 5 === 1)
+      .select((col("k") + 10000000L).as("k"), col("seg"), col("bal"))
+    t.join(upd, Seq("k"), "left_outer")
+      .join(del, Seq("k"), "left_anti")
+      .select(col("k"), coalesce(col("u_seg"), col("seg")).as("seg"),
+        r2(coalesce(col("u_bal"), col("bal"))).as("bal"))
+      .unionAll(ins.select(col("k"), col("seg"), r2(col("bal")).as("bal")))
+      .orderBy("k")
+  }
+
   // --- q54: retention cohort matrix — the "did users who arrived in
   // month X come back in month X+n" table behind every growth
   // dashboard. Cohort = each customer's FIRST order month (one
@@ -1034,6 +1061,7 @@ object Relational {
     "q53_bloom_semijoin" -> q53_bloom_semijoin,
     "q54_retention_cohorts" -> q54_retention_cohorts,
     "q55_resample_interp" -> q55_resample_interp,
+    "q56_merge_upsert" -> q56_merge_upsert,
     "q14_having" -> q14_having,
     "q15_case_agg" -> q15_case_agg,
     "q16_window_funcs" -> q16_window_funcs,
@@ -1309,6 +1337,21 @@ object Relational {
         |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
         |  count(*) AS n_orders
         |FROM orders GROUP BY y ORDER BY y""".stripMargin,
+    "q56_merge_upsert" ->
+      """WITH t AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+        |           FROM customer),
+        |upd AS (SELECT k, 'WEB' AS u_seg, bal + 100 AS u_bal
+        |        FROM t WHERE k % 5 = 0 AND k % 7 <> 0),
+        |del AS (SELECT k FROM t WHERE k % 7 = 0),
+        |ins AS (SELECT k + 10000000 AS k, seg, bal FROM t WHERE k % 5 = 1)
+        |SELECT k, seg, bal FROM (
+        |  SELECT t.k, coalesce(u.u_seg, t.seg) AS seg,
+        |    round((coalesce(u.u_bal, t.bal)) * 100) / 100 AS bal
+        |  FROM t LEFT JOIN upd u USING (k)
+        |  WHERE t.k NOT IN (SELECT k FROM del)
+        |  UNION ALL
+        |  SELECT k, seg, round(bal * 100) / 100 AS bal FROM ins) z
+        |ORDER BY k""".stripMargin,
     "q55_resample_interp" ->
       """WITH ev AS (
         |  SELECT user_id, epoch_us(ts) AS us, max(value) AS v FROM events GROUP BY 1, 2),
