@@ -382,6 +382,34 @@ object Relational {
       .orderBy("user_id", "hour_ts")
   }
 
+  // --- q57: sessionized path analysis — the product-analytics "what
+  // do sessions look like" table: q17's gap sessionization composed
+  // with ordered per-session sequence aggregation, counting the top
+  // event-type paths (capped at 8 steps — at scale the cap bounds
+  // both the path-string size and the path-space cardinality).
+  // Per-user windows assign sessions; one keyed aggregation builds
+  // each session's ordered path (array_sort over collected structs —
+  // no second window); one path-keyed count with TakeOrdered picks
+  // the top 20 under a total order (count desc, path asc).
+  val q57_session_paths: Q = (s, d) => {
+    val ord = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(ord))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > 1800000000L, 1).otherwise(0))
+      .withColumn("sess_id", sum("new_s").over(run))
+      .groupBy("user_id", "sess_id")
+      .agg(array_join(slice(expr(
+        "transform(array_sort(collect_list(struct(us, event_id, event_type))), x -> x.event_type)"),
+        1, 8), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path")).limit(20)
+  }
+
   // --- q56: MERGE / upsert — apply a change batch (updates, deletes,
   // inserts) to a dimension snapshot in one declarative plan: the
   // warehouse write-side shape (MERGE INTO) on plain parquet. The
@@ -1062,6 +1090,7 @@ object Relational {
     "q54_retention_cohorts" -> q54_retention_cohorts,
     "q55_resample_interp" -> q55_resample_interp,
     "q56_merge_upsert" -> q56_merge_upsert,
+    "q57_session_paths" -> q57_session_paths,
     "q14_having" -> q14_having,
     "q15_case_agg" -> q15_case_agg,
     "q16_window_funcs" -> q16_window_funcs,
@@ -1337,6 +1366,19 @@ object Relational {
         |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
         |  count(*) AS n_orders
         |FROM orders GROUP BY y ORDER BY y""".stripMargin,
+    "q57_session_paths" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),
+        |x AS (SELECT user_id, us, event_id, event_type,
+        |        CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM x),
+        |p AS (SELECT user_id, sess_id,
+        |        array_to_string((list(event_type ORDER BY us, event_id))[1:8], '>') AS path
+        |      FROM s GROUP BY user_id, sess_id)
+        |SELECT path, count(*) AS n_sessions FROM p
+        |GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     "q56_merge_upsert" ->
       """WITH t AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
         |           FROM customer),
