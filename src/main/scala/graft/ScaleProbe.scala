@@ -328,8 +328,27 @@ object ScaleProbe {
           .agg(sum("n_triangles")).head().getLong(0)
         println(f"degree-oriented (pr02's plan): ${(System.nanoTime() - t0) / 1e9}%.2f s (${deg / 3} triangles)")
         require(x == deg / 3, s"orientations disagree: $x vs ${deg / 3}")
+      case "pr" =>
+        // pr01's cadence decision, measured: 10 damped iterations on
+        // a uniform random graph, varying how often the rank lineage
+        // is truncated. checkpointEvery=1 materializes every
+        // iteration (10 blocking jobs); =3 is pr01's default (each
+        // job computes 3 lazy iterations); =10 runs the whole chain
+        // as ONE job with a 10-iteration-deep plan.
+        val nNodes = rows / 10
+        val prEdges = spark.range(rows).select(
+          pmod(xxhash64(col("id")), lit(nNodes)).as("src"),
+          pmod(xxhash64(col("id"), lit(1)), lit(nNodes)).as("dst"))
+        Seq(1, 3, 10).foreach { every =>
+          val t0 = System.nanoTime()
+          val total = graph.PageRank.pageRank(prEdges, iters = 10,
+              checkpointEvery = every)
+            .agg(sum("rank")).head().getDouble(0)
+          println(f"pagerank 10 iters, checkpointEvery=$every ($rows edges): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          require(math.abs(total - 1.0) < 1e-6, s"mass drifted: $total")
+        }
       case other =>
-        System.err.println(s"unknown probe '$other'; use topn | cumsum | incr | hh | bloom | skew | tri")
+        System.err.println(s"unknown probe '$other'; use topn | cumsum | incr | hh | bloom | skew | tri | pr")
         sys.exit(2)
     }
     spark.stop()
