@@ -12,8 +12,21 @@ import org.apache.spark.sql.functions._
   *                              row_number window, same semantics
   *   ScaleProbe cumsum [rows] — pp04's range-partitioned global
   *                              cumsum vs the single-partition window
+  *   ScaleProbe incr   [rows] — dd10's delta-batch index dedup vs
+  *                              re-deduping the whole corpus
+  *   ScaleProbe hh     [rows] — q47's sketch-then-verify vs the
+  *                              vocabulary-sized exact wordcount
+  *   ScaleProbe pq     [rows] — ann05's 8-byte ADC scan vs the exact
+  *                              dot scan over raw vectors
+  *   ScaleProbe bloom  [rows] — q53's bloom-pruned semi join vs
+  *                              sort-merge on an unbroadcastable dim
+  *   ScaleProbe skew   [rows] — salted join vs AQE skew-split vs
+  *                              static SMJ on a 30%-hot key
+  *   ScaleProbe tri    [rows] — pr02's degree-ordered triangle
+  *                              orientation vs id-ordered on a hub
+  *   ScaleProbe pr     [rows] — pr01's checkpoint cadence (1/3/10)
   *
-  * Results are recorded in PLANS.md §"R4 scale probes"; re-run any
+  * Results are recorded in PLANS.md's scale-probe tables; re-run any
   * time with `tools/run.sh graft.ScaleProbe <probe> [rows]`.
   */
 object ScaleProbe {
