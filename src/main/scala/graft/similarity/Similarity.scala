@@ -210,7 +210,13 @@ object Similarity {
     * probed-cell set is collected up front (≤ |queries|·nProbe ints)
     * precisely so the cell filter is STATIC partition pruning the
     * scan honors at plan time. Candidates shrink to
-    * ~n·nProbe/nCells; the final top-k window ranks per query only.
+    * ~n·nProbe/nCells; the final top-k is the graft_topk bounded-heap
+    * aggregate (map-side partial heaps, shuffle O(queries·k·tasks)) —
+    * a row_number window here would route every candidate row for a
+    * query to ONE reducer and sort, the exact bottleneck ann03/ann05/
+    * ann06 already avoid. No pair dedup is needed (unlike ann04's
+    * band join): every vector lives in exactly one cell partition, so
+    * a (query, neighbor) pair survives the cell equi-join at most once.
     */
   def probeIvf(s: SparkSession, indexDir: String, queries: DataFrame,
                nProbe: Int = 3, k: Int = 5): DataFrame = {
@@ -222,13 +228,14 @@ object Similarity {
       .filter(col("cell").isin(probed: _*))
       .select(col("vec_id").as("n_id"), col("v").as("vb"),
         col("nrm").as("nb"), col("cell"))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
     qcells.join(cands, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), r6(cosine).as("cos"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"), r4(col("cos")).as("cos_r"))
+      .groupBy("q_id")
+      .agg(graft.functions.GraftFunctions.topK("cos", "n_id", k).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("i", "p")))
+      .select(col("q_id"), (col("i") + 1).cast("long").as("rank"),
+        col("p.id").as("n_id"), r4(col("p.score")).as("cos_r"))
       .orderBy("q_id", "rank")
   }
 

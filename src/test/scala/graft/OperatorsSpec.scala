@@ -387,6 +387,14 @@ class OperatorsSpec extends SparkSpecBase {
       s"probe nested-loops:\n$probePlan")
     assert(probePlan.contains("PartitionFilters: [cell"),
       s"probe scan not partition-pruned:\n$probePlan")
+    // top-k selection is the bounded-heap aggregate (map-side partial
+    // heaps), NOT a row_number window routing every candidate row for
+    // a query to one reducer — the same guard q43/ann03/ann05/ann06
+    // carry
+    assert(probePlan.contains("partial_graft_topk"),
+      s"probe selection is not the heap aggregate:\n$probePlan")
+    assert(!probePlan.contains("Window"),
+      s"a window crept into the IVF probe:\n$probePlan")
     // sample-trained centroids: the training path must accept a
     // sample and still produce k usable (non-degenerate) centroids
     val eFull = Tables.embeddings(spark, sfDir)
