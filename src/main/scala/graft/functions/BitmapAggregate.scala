@@ -116,3 +116,291 @@ case class BitmapUnionAgg(
   override protected def withNewChildInternal(newChild: Expression): BitmapUnionAgg =
     copy(child = newChild)
 }
+
+/** Roaring-style sparse exact-distinct sketch over the FULL signed
+  * 64-bit key domain — the swap-in [[BitmapAgg]]'s scaladoc promises
+  * for domains too sparse or too wide to bitmap densely (bytes ∝
+  * domain/8 there; ∝ #containers + #keys here).
+  *
+  * Layout follows the published RoaringBitmap design (Chambi,
+  * Lemire, Kaser, Godin — "Better bitmap performance with Roaring
+  * bitmaps"): the key space splits into 65 536-value chunks keyed by
+  * the high bits (`key >> 16`, arithmetic so negative keys chunk
+  * consistently); each chunk stores its low 16 bits either as a
+  * sorted short array (≤ 4096 entries) or, past that, as a 8 KiB
+  * bitmap. Membership, OR, and cardinality never touch chunks the
+  * key set doesn't populate.
+  *
+  * The serialized form is CANONICAL — containers ascending by chunk
+  * key, representation chosen by final cardinality (array iff ≤
+  * 4096), so a sketch's bytes are a pure function of its key SET,
+  * independent of insertion or merge order. That is what lets the
+  * q58 rollup spec assert bit-equality between merged monthly
+  * sketches and a directly-built year sketch, the same lossless-merge
+  * contract q51's dense OR has.
+  */
+final class SparseBitmap {
+  import SparseBitmap._
+  val chunks = new java.util.TreeMap[Long, Container]()
+
+  def add(key: Long): Unit =
+    chunks.computeIfAbsent(key >> 16, _ => new Container)
+      .add((key & 0xffffL).toInt)
+
+  def or(o: SparseBitmap): Unit =
+    o.chunks.forEach { (hi, c) =>
+      val mine = chunks.get(hi)
+      if (mine == null) chunks.put(hi, c.copy()) else mine.or(c)
+    }
+
+  def cardinality: Long = {
+    var n = 0L
+    chunks.forEach((_, c) => n += c.card)
+    n
+  }
+
+  def serialize: Array[Byte] = {
+    var payload = 0
+    chunks.forEach((_, c) =>
+      payload += (if (c.card <= ArrayCap) c.card * 2 else WordBytes))
+    val bb = java.nio.ByteBuffer.allocate(8 + chunks.size * 12 + payload)
+    bb.putInt(Magic)
+    bb.putInt(chunks.size)
+    chunks.forEach { (hi, c) =>
+      bb.putLong(hi)
+      bb.putInt(c.card)
+      c.writePayload(bb)
+    }
+    bb.array()
+  }
+}
+
+object SparseBitmap {
+  /** Array containers hold at most this many entries (Roaring's
+    * break-even: 4096 shorts = 8 KiB = the bitmap's fixed size).
+    */
+  val ArrayCap = 4096
+  private val Words = 1024
+  private val WordBytes = Words * 8
+  /** Leading magic distinguishes the sparse format from [[BitmapAgg]]'s
+    * raw-BitSet bytes so a mixed-up column fails loudly in
+    * [[SparseBitmapCount]] / [[deserialize]] instead of popcounting
+    * garbage.
+    */
+  val Magic = 0x47425336 // "GBS6"
+
+  /** One 65 536-value chunk: sorted short array while small, 8 KiB
+    * bitmap once past [[ArrayCap]]. Cardinality only grows, so the
+    * representation is a pure function of it (array iff ≤ ArrayCap) —
+    * the invariant canonical serialization rests on.
+    */
+  final class Container {
+    private[functions] var arr: Array[Char] = new Array[Char](8)
+    private[functions] var n: Int = 0
+    private[functions] var words: Array[Long] = null
+
+    def card: Int = n
+
+    def add(low: Int): Unit =
+      if (words != null) {
+        val w = low >>> 6
+        val bit = 1L << (low & 63)
+        if ((words(w) & bit) == 0L) { words(w) |= bit; n += 1 }
+      } else {
+        val pos = java.util.Arrays.binarySearch(arr, 0, n, low.toChar)
+        if (pos < 0) {
+          if (n == ArrayCap) { promote(); add(low) }
+          else {
+            if (n == arr.length)
+              arr = java.util.Arrays.copyOf(arr, arr.length * 2)
+            val ins = -pos - 1
+            System.arraycopy(arr, ins, arr, ins + 1, n - ins)
+            arr(ins) = low.toChar
+            n += 1
+          }
+        }
+      }
+
+    private def promote(): Unit = {
+      words = new Array[Long](Words)
+      var i = 0
+      while (i < n) { val v = arr(i); words(v >>> 6) |= 1L << (v & 63); i += 1 }
+      arr = null
+    }
+
+    def or(o: Container): Unit =
+      if (o.words != null) {
+        if (words == null) promote()
+        var i = 0
+        var c = 0
+        while (i < Words) {
+          words(i) |= o.words(i)
+          c += java.lang.Long.bitCount(words(i))
+          i += 1
+        }
+        n = c
+      } else {
+        var i = 0
+        while (i < o.n) { add(o.arr(i)); i += 1 }
+      }
+
+    def copy(): Container = {
+      val c = new Container
+      c.n = n
+      if (words != null) c.words = words.clone() else c.arr = java.util.Arrays.copyOf(arr, math.max(n, 8))
+      c
+    }
+
+    def writePayload(bb: java.nio.ByteBuffer): Unit =
+      if (n <= ArrayCap) {
+        if (words == null) {
+          var i = 0
+          while (i < n) { bb.putChar(arr(i)); i += 1 }
+        } else {
+          // unreachable under the only-grows invariant, but total:
+          // emit the canonical array form from the bitmap
+          var w = 0
+          while (w < Words) {
+            var bits = words(w)
+            while (bits != 0L) {
+              val b = java.lang.Long.numberOfTrailingZeros(bits)
+              bb.putChar(((w << 6) | b).toChar)
+              bits &= bits - 1
+            }
+            w += 1
+          }
+        }
+      } else {
+        var i = 0
+        while (i < Words) { bb.putLong(words(i)); i += 1 }
+      }
+  }
+
+  def deserialize(bytes: Array[Byte]): SparseBitmap = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    require(bb.remaining >= 8 && bb.getInt() == Magic,
+      "not a graft_bitmap64 sketch (bad magic) — dense graft_bitmap bytes?")
+    val nChunks = bb.getInt()
+    val sb = new SparseBitmap
+    var c = 0
+    while (c < nChunks) {
+      val hi = bb.getLong()
+      val card = bb.getInt()
+      val cont = new Container
+      if (card <= ArrayCap) {
+        cont.arr = new Array[Char](math.max(card, 8))
+        var i = 0
+        while (i < card) { cont.arr(i) = bb.getChar(); i += 1 }
+      } else {
+        cont.words = new Array[Long](Words)
+        cont.arr = null
+        var i = 0
+        while (i < Words) { cont.words(i) = bb.getLong(); i += 1 }
+      }
+      cont.n = card
+      sb.chunks.put(hi, cont)
+      c += 1
+    }
+    sb
+  }
+
+  /** Container-header walk — cardinality without touching payloads. */
+  def countSerialized(bytes: Array[Byte]): Long = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    require(bb.remaining >= 8 && bb.getInt() == Magic,
+      "not a graft_bitmap64 sketch (bad magic) — dense graft_bitmap bytes?")
+    val nChunks = bb.getInt()
+    var total = 0L
+    var c = 0
+    while (c < nChunks) {
+      bb.getLong()
+      val card = bb.getInt()
+      total += card
+      bb.position(bb.position() + (if (card <= ArrayCap) card * 2 else WordBytes))
+      c += 1
+    }
+    total
+  }
+}
+
+/** `graft_bitmap64(key)`: [[SparseBitmap]] as an aggregate — the
+  * 64-bit/sparse-domain counterpart of [[BitmapAgg]], same mergeable
+  * sketch-table contract (map-side combinable, lossless OR), no
+  * domain bound to configure or outgrow.
+  */
+case class SparseBitmapAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SparseBitmap] with UnaryLike[Expression] {
+
+  override def prettyName: String = "graft_bitmap64"
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): SparseBitmap = new SparseBitmap
+
+  override def update(b: SparseBitmap, input: InternalRow): SparseBitmap = {
+    val v = child.eval(input)
+    if (v != null) b.add(v.asInstanceOf[Long])
+    b
+  }
+
+  override def merge(b: SparseBitmap, o: SparseBitmap): SparseBitmap = {
+    b.or(o); b
+  }
+
+  override def eval(b: SparseBitmap): Any = b.serialize
+
+  override def serialize(b: SparseBitmap): Array[Byte] = b.serialize
+
+  override def deserialize(bytes: Array[Byte]): SparseBitmap =
+    SparseBitmap.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SparseBitmapAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SparseBitmapAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): SparseBitmapAgg =
+    copy(child = newChild)
+}
+
+/** `graft_bitmap64_union(sketch)`: OR-merge of already-built sparse
+  * sketches — [[BitmapUnionAgg]]'s rollup role for the sparse format.
+  */
+case class SparseBitmapUnionAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SparseBitmap] with UnaryLike[Expression] {
+
+  override def prettyName: String = "graft_bitmap64_union"
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): SparseBitmap = new SparseBitmap
+
+  override def update(b: SparseBitmap, input: InternalRow): SparseBitmap = {
+    val v = child.eval(input)
+    if (v != null) b.or(SparseBitmap.deserialize(v.asInstanceOf[Array[Byte]]))
+    b
+  }
+
+  override def merge(b: SparseBitmap, o: SparseBitmap): SparseBitmap = {
+    b.or(o); b
+  }
+
+  override def eval(b: SparseBitmap): Any = b.serialize
+
+  override def serialize(b: SparseBitmap): Array[Byte] = b.serialize
+
+  override def deserialize(bytes: Array[Byte]): SparseBitmap =
+    SparseBitmap.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SparseBitmapUnionAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SparseBitmapUnionAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): SparseBitmapUnionAgg =
+    copy(child = newChild)
+}

@@ -361,6 +361,28 @@ case class BitmapCount(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Cardinality of a serialized SPARSE bitmap sketch (see
+  * [[SparseBitmapAgg]] / [[SparseBitmapUnionAgg]]) — a codegen'd walk
+  * over the container headers that never touches the payloads, so the
+  * read costs O(#containers) regardless of key count. Throws on the
+  * dense [[BitmapAgg]] format (magic check) rather than popcounting
+  * header bytes into a silently wrong "exact" count.
+  */
+case class SparseBitmapCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_bitmap64_count"
+
+  override protected def nullSafeEval(a: Any): Any =
+    SparseBitmap.countSerialized(a.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SparseBitmap$$.MODULE$$.countSerialized($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SparseBitmapCount =
+    copy(child = newChild)
+}
+
 /** Membership probe against a bloom sketch (see [[BloomAgg]]). The
   * sketch side is any binary expression — in q53 it is a driver-
   * collected filter as a `Literal`, which Janino hoists into the
@@ -793,6 +815,11 @@ object GraftFunctions {
   def bitmapUnion(sketch: String): Column =
     column(BitmapUnionAgg(attr(sketch)).toAggregateExpression())
   def bitmapCount(sketch: String): Column = column(BitmapCount(attr(sketch)))
+  def bitmap64Agg(key: String): Column =
+    column(SparseBitmapAgg(Cast(attr(key), LongType)).toAggregateExpression())
+  def bitmap64Union(sketch: String): Column =
+    column(SparseBitmapUnionAgg(attr(sketch)).toAggregateExpression())
+  def bitmap64Count(sketch: String): Column = column(SparseBitmapCount(attr(sketch)))
   def bloomAgg(key: String, numBits: Int, numHashes: Int): Column =
     column(BloomAgg(Cast(attr(key), LongType), numBits, numHashes)
       .toAggregateExpression())

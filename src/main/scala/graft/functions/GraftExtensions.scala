@@ -114,6 +114,25 @@ object GraftExtensions {
       info("graft_bitmap_count",
         "graft_bitmap_count(sketch) - cardinality of a bitmap sketch"),
       (es: Seq[Expression]) => BitmapCount(es(0))),
+    ("graft_bitmap64",
+      info("graft_bitmap64",
+        "graft_bitmap64(key) - exact-distinct SPARSE bitmap sketch aggregate over the full 64-bit key domain (binary)"),
+      (es: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.LongType
+        if (es.length != 1)
+          throw new IllegalArgumentException(
+            s"graft_bitmap64 expects (key), got ${es.length} arguments")
+        SparseBitmapAgg(Cast(es(0), LongType))
+      }),
+    ("graft_bitmap64_union",
+      info("graft_bitmap64_union",
+        "graft_bitmap64_union(sketch) - OR-merge aggregate of sparse bitmap sketches (binary)"),
+      (es: Seq[Expression]) => SparseBitmapUnionAgg(es(0))),
+    ("graft_bitmap64_count",
+      info("graft_bitmap64_count",
+        "graft_bitmap64_count(sketch) - cardinality of a sparse bitmap sketch"),
+      (es: Seq[Expression]) => SparseBitmapCount(es(0))),
     ("graft_bloom",
       info("graft_bloom",
         "graft_bloom(key, numBits, numHashes) - mergeable bloom-filter sketch aggregate (binary)"),

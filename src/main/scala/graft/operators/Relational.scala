@@ -220,8 +220,14 @@ object Relational {
   // LOSSLESS merge, unlike HLL's estimate) and never rescans the
   // facts. Exactness keeps the whole pattern inside the DuckDB hash
   // gate, where q46 is rows-only. Dense-domain bitmaps (bytes ∝
-  // domain/8); a sparse/64-bit domain swaps in Roaring with the same
-  // three operators.
+  // domain/8); q58 runs the SAME rollup on the sparse Roaring-style
+  // container (graft_bitmap64) for domains this one can't hold.
+  //
+  // maxKey = 1 << 24 is a DOMAIN ASSUMPTION on o_custkey, good to
+  // ~16.7M customers (≈ TPC-H sf100); a larger or non-contiguous key
+  // domain must use graft_bitmap64 instead — this aggregate
+  // require-throws past the bound rather than silently corrupting an
+  // "exact" count.
   val q51_bitmap_rollup: Q = (s, d) => {
     val monthly = Tables.orders(s, d)
       .groupBy(year(col("o_orderdate")).as("y"),
@@ -234,6 +240,33 @@ object Relational {
         sum("n_orders").as("n_orders"))
       .select(col("y").cast("long").as("y"),
         graft.functions.GraftFunctions.bitmapCount("usk").as("n_customers"),
+        col("n_orders"))
+      .orderBy("y")
+  }
+
+  // --- q58: q51's exact sketch rollup on the SPARSE bitmap — the
+  // Roaring-style container (graft.functions.SparseBitmap) that
+  // serves key domains the dense bitmap cannot: 64-bit ids, hashes,
+  // or any domain where bytes ∝ domain/8 is unpayable. The key here
+  // is o_custkey spread across the 64-bit space by a >2^32 prime
+  // multiplier, so every customer lands in its own 65 536-value
+  // chunk — the maximally-sparse layout (all array containers),
+  // exercised against the same DuckDB exact-distinct oracle (the
+  // multiplier is injective, so distinct counts are unchanged and the
+  // gate stays hash-exact). Same three mergeable operators, same
+  // lossless-OR rollup contract, no domain bound to configure.
+  val q58_bitmap64_rollup: Q = (s, d) => {
+    val monthly = Tables.orders(s, d)
+      .withColumn("k64", col("o_custkey").cast("long") * lit(4294967311L))
+      .groupBy(year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"))
+      .agg(graft.functions.GraftFunctions.bitmap64Agg("k64").as("sk"),
+        count(lit(1)).as("n_orders"))
+    monthly.groupBy("y")
+      .agg(graft.functions.GraftFunctions.bitmap64Union("sk").as("usk"),
+        sum("n_orders").as("n_orders"))
+      .select(col("y").cast("long").as("y"),
+        graft.functions.GraftFunctions.bitmap64Count("usk").as("n_customers"),
         col("n_orders"))
       .orderBy("y")
   }
@@ -1091,6 +1124,7 @@ object Relational {
     "q55_resample_interp" -> q55_resample_interp,
     "q56_merge_upsert" -> q56_merge_upsert,
     "q57_session_paths" -> q57_session_paths,
+    "q58_bitmap64_rollup" -> q58_bitmap64_rollup,
     "q14_having" -> q14_having,
     "q15_case_agg" -> q15_case_agg,
     "q16_window_funcs" -> q16_window_funcs,
@@ -1364,6 +1398,11 @@ object Relational {
     "q51_bitmap_rollup" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
         |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY y ORDER BY y""".stripMargin,
+    "q58_bitmap64_rollup" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(count(DISTINCT o_custkey * 4294967311) AS BIGINT) AS n_customers,
         |  count(*) AS n_orders
         |FROM orders GROUP BY y ORDER BY y""".stripMargin,
     "q57_session_paths" ->

@@ -124,6 +124,55 @@ class ExpressionsSpec extends SparkSpecBase {
     assert(rows.toSeq == Seq((2024, 3L), (2025, 1L)), s"got ${rows.toSeq}")
   }
 
+  test("graft_bitmap64 via SQL: sparse 64-bit domain, negative keys, union, count") {
+    GraftExtensions.register(spark)
+    // keys span the signed 64-bit domain — far past any dense maxKey —
+    // including negatives and two keys sharing one 65 536-value chunk
+    Seq((2024, 1, Long.MaxValue - 7), (2024, 1, -42L), (2024, 2, Long.MaxValue - 7),
+      (2024, 2, Long.MinValue + 1), (2025, 1, 1L), (2025, 1, 2L), (2025, 1, 1L))
+      .toDF("y", "m", "k").createOrReplaceTempView("bm64")
+    val rows = spark.sql(
+      """SELECT y, graft_bitmap64_count(graft_bitmap64_union(sk)) AS d FROM (
+        |  SELECT y, m, graft_bitmap64(k) AS sk FROM bm64 GROUP BY y, m)
+        |GROUP BY y ORDER BY y""".stripMargin)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(rows.toSeq == Seq((2024, 3L), (2025, 2L)), s"got ${rows.toSeq}")
+  }
+
+  test("SparseBitmap: canonical bytes, array->bitmap promotion, dense-format rejection") {
+    // cardinality matches a reference Set across chunk-local density,
+    // chunk spread, and sign; serialized bytes are a pure function of
+    // the key SET regardless of insertion/merge order
+    val keys = (0L until 5000L) ++ // one chunk driven past ArrayCap=4096 (bitmap container)
+      (0L until 100L).map(_ * 1000003L) ++ // spread across chunks (array containers)
+      Seq(-1L, -70000L, Long.MinValue, Long.MaxValue, 0L)
+    val a = new SparseBitmap
+    keys.foreach(a.add)
+    assert(a.cardinality == keys.distinct.size.toLong)
+    // reversed insertion + a split/merge build must serialize bit-equal
+    val b = new SparseBitmap
+    keys.reverse.foreach(b.add)
+    val (h1, h2) = keys.splitAt(keys.length / 3)
+    val c1 = new SparseBitmap; h1.foreach(c1.add)
+    val c2 = new SparseBitmap; h2.foreach(c2.add)
+    c1.or(c2)
+    assert(java.util.Arrays.equals(a.serialize, b.serialize),
+      "serialization depends on insertion order")
+    assert(java.util.Arrays.equals(a.serialize, c1.serialize),
+      "serialization depends on merge shape")
+    // round trip preserves bytes and count
+    val rt = SparseBitmap.deserialize(a.serialize)
+    assert(rt.cardinality == a.cardinality)
+    assert(java.util.Arrays.equals(rt.serialize, a.serialize))
+    assert(SparseBitmap.countSerialized(a.serialize) == a.cardinality)
+    // dense graft_bitmap bytes must fail the magic check loudly, not
+    // popcount into a wrong "exact" answer
+    val dense = new java.util.BitSet(); dense.set(3); dense.set(99)
+    intercept[IllegalArgumentException] {
+      SparseBitmap.countSerialized(dense.toByteArray)
+    }
+  }
+
   test("graft_bloom via SQL: build then probe, no false negatives in-query") {
     GraftExtensions.register(spark)
     Seq(10L, 11L, 12L).toDF("k").createOrReplaceTempView("bf_dim")

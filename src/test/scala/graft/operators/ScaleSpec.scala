@@ -154,6 +154,41 @@ class ScaleSpec extends SparkSpecBase {
     assert(err.getMessage != null)
   }
 
+  test("q58: sparse bitmap rollup is exact and lossless on a 64-bit key domain") {
+    val q58 = graft.SparkEntry.queries("q58_bitmap64_rollup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // q51's contract on a domain the dense bitmap cannot hold: keys
+    // are custkey spread across the 64-bit space (injective), so the
+    // sparse rollup must still equal the exact distinct count
+    val exact = Tables.orders(spark, sfDir)
+      .groupBy(year(col("o_orderdate")).cast("long").as("y"))
+      .agg(countDistinct("o_custkey").as("d"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(q58.toSet == exact.toSet,
+      s"sparse rollup diverges from exact distinct:\n${q58.toSeq} vs ${exact.toSeq}")
+    // LOSSLESS merge, sketch-domain strong form: the canonical
+    // serialization means the year rollup of monthly sketches is
+    // BIT-EQUAL to sketching the year directly — merge shape leaves
+    // no trace in the artifact
+    val k64 = col("o_custkey").cast("long") * lit(4294967311L)
+    val viaMonths = Tables.orders(spark, sfDir)
+      .withColumn("k64", k64)
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(graft.functions.GraftFunctions.bitmap64Agg("k64").as("sk"))
+      .groupBy("y").agg(graft.functions.GraftFunctions.bitmap64Union("sk").as("usk"))
+      .collect().map(r => (r.getInt(0), r.getAs[Array[Byte]](1))).toMap
+    val direct = Tables.orders(spark, sfDir)
+      .withColumn("k64", k64)
+      .groupBy(year(col("o_orderdate")).as("y"))
+      .agg(graft.functions.GraftFunctions.bitmap64Agg("k64").as("usk"))
+      .collect().map(r => (r.getInt(0), r.getAs[Array[Byte]](1))).toMap
+    assert(viaMonths.keySet == direct.keySet)
+    viaMonths.foreach { case (y, bytes) =>
+      assert(java.util.Arrays.equals(bytes, direct(y)),
+        s"year $y: merged monthly sketch bytes differ from the direct sketch")
+    }
+  }
+
   test("plan sweep: no registered query nested-loops or cross-joins unjustified") {
     // Intentional exceptions, each with the reason the sweep must not
     // erode. The "single-row broadcast" cases are scalar expansion —
