@@ -16,21 +16,40 @@ import org.apache.spark.sql.functions._
   * exchange) plus ONE keyed aggregation (contributions by dst);
   * `localCheckpoint` every few rounds truncates the growing lineage
   * so round N's plan doesn't replay rounds 1..N-1. The dangling mass
-  * (rank parked on sink nodes) is a one-double collect per round —
-  * driver-sized by definition — folded back uniformly, which keeps
-  * sum(rank) = 1 an exact invariant (spec-asserted) instead of
-  * letting sink nodes leak mass. Nothing here is a crossJoin, a
-  * window over the node set, or a per-node driver loop.
+  * (rank parked on sink nodes) stays IN-PLAN as a one-row broadcast
+  * (scalar expansion — iterations never block on a driver collect)
+  * folded back uniformly, which keeps sum(rank) = 1 an exact
+  * invariant (spec-asserted) instead of letting sink nodes leak
+  * mass. Nothing here is an unbounded crossJoin, a window over the
+  * node set, or a per-node driver loop.
   */
 object PageRank {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Ranks after `iters` damped iterations over `edges(src, dst)`
-    * (directed, duplicates collapse to one edge). Returns
-    * (node, rank) for every node appearing as src or dst.
+  /** Ranks after at most `iters` damped iterations over
+    * `edges(src, dst)` (directed, duplicates collapse to one edge).
+    * Returns (node, rank) for every node appearing as src or dst.
+    *
+    * `tol > 0` enables convergence termination: at each checkpoint
+    * round the L1 delta against the PREVIOUS checkpoint's
+    * (materialized) ranks is read off one extra keyed join + one-row
+    * aggregate — since per-iteration deltas shrink geometrically (by
+    * the damping factor), a small delta across `checkpointEvery`
+    * iterations certifies the fixpoint. The default `tol = 0` keeps
+    * the historical fixed-iteration behavior bit-for-bit (pr01's
+    * registered output is unchanged).
     */
   def pageRank(edges0: DataFrame, damping: Double = 0.85,
-               iters: Int = 10, checkpointEvery: Int = 3): DataFrame = {
+               iters: Int = 10, checkpointEvery: Int = 3,
+               tol: Double = 0.0): DataFrame =
+    pageRankConverged(edges0, damping, iters, checkpointEvery, tol)._1
+
+  /** [[pageRank]] plus the number of iterations actually run — the
+    * observable the early-stop spec asserts on.
+    */
+  def pageRankConverged(edges0: DataFrame, damping: Double = 0.85,
+                        iters: Int = 10, checkpointEvery: Int = 3,
+                        tol: Double = 0.0): (DataFrame, Int) = {
     val edges = edges0.toDF("src", "dst").distinct().localCheckpoint()
     val nodes = edges.select(col("src").as("node"))
       .unionAll(edges.select(col("dst").as("node")))
@@ -40,7 +59,10 @@ object PageRank {
     val outDeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val withDeg = edges.join(outDeg, "src").localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
-    for (i <- 1 to iters) {
+    var lastCheckpoint: DataFrame = null
+    var itersRun = 0
+    var converged = false
+    for (i <- 1 to iters if !converged) {
       val contribs = withDeg
         .join(ranks, col("src") === col("node"))
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
@@ -59,10 +81,22 @@ object PageRank {
           (lit((1.0 - damping) / n) +
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
               col("dm") / n)).as("rank"))
-      if (i % checkpointEvery == 0 || i == iters)
+      itersRun = i
+      if (i % checkpointEvery == 0 || i == iters) {
         ranks = ranks.localCheckpoint()
+        if (tol > 0.0 && lastCheckpoint != null) {
+          // both sides are materialized checkpoints, so the delta is
+          // one keyed join + a one-row aggregate — no lineage replay
+          val delta = ranks.join(
+              lastCheckpoint.withColumnRenamed("rank", "prev"), "node")
+            .agg(sum(abs(col("rank") - col("prev"))).as("d"))
+            .first().getDouble(0)
+          converged = delta < tol
+        }
+        lastCheckpoint = ranks
+      }
     }
-    ranks
+    (ranks, itersRun)
   }
 
   /** The customer→supplier fulfillment graph: an edge per distinct
@@ -90,16 +124,17 @@ object PageRank {
       .select(col("node"), round(col("rank") * 1000000000) / 1000000000 as "rank_r")
       .orderBy(col("rank_r").desc, col("node")).limit(25)
 
-  /** The part co-purchase graph: an undirected edge (canonical
-    * a < b) between parts appearing in the same order. Unlike the
-    * bipartite fulfillment graph this one closes triangles.
+  /** The part co-purchase graph: an undirected edge (a < b by
+    * construction) between parts appearing in the same order —
+    * duplicates left in, since [[triangleCounts]] canonicalizes and
+    * dedups anyway (a second distinct here would just add a shuffle).
+    * Unlike the bipartite fulfillment graph this one closes triangles.
     */
   def copurchaseEdges(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
     li.as("x").join(li.as("y"), col("x.l_orderkey") === col("y.l_orderkey") &&
         col("x.l_partkey") < col("y.l_partkey"))
       .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
-      .distinct()
   }
 
   /** pr02: triangle counting with DEGREE-ORDERED orientation — the
@@ -114,10 +149,18 @@ object PageRank {
     * all-pairs beyond the bounded wedge set.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    // the edge set feeds four subplans (two degree scans, the
+    // canonicalize INSIDE the operator rather than assuming a < b of
+    // the caller: a mirrored duplicate edge (b, a) would survive a
+    // plain distinct(), inflate both degrees, and silently miscount —
+    // least/greatest folds mirrors together and drops self-loops.
+    // The edge set then feeds four subplans (two degree scans, the
     // orientation join, the closing join) — materialize it once
     // instead of re-deriving the upstream edge build each time
-    val und = edges.toDF("a", "b").localCheckpoint()
+    val und = edges.toDF("a", "b")
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct().localCheckpoint()
     val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
     val oriented = und

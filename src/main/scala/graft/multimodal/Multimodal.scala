@@ -311,26 +311,32 @@ object Multimodal {
       StructField("peak_ss", LongType),
       StructField("total_ss", LongType)))
     val rdd = src.rdd.mapPartitions { rows =>
-      rows.map { row =>
+      rows.flatMap { row =>
         val id = row.getLong(0)
         val b = row.getAs[Array[Byte]](1)
-        var off = 0
-        var nWin = 0L
-        var nLow = 0L
-        var peak = 0L
-        var total = 0L
-        while (off < b.length) {
-          val end = math.min(off + win, b.length)
-          var ss = 0L
-          var i = off
-          while (i < end) { val v = (b(i) & 0xff).toLong; ss += v * v; i += 1 }
-          nWin += 1
-          if (ss < lowMeanSq * (end - off)) nLow += 1
-          if (ss > peak) peak = ss
-          total += ss
-          off = end
+        // a zero-length payload has no windows — skip the doc entirely
+        // (mm05's len==0 discipline; the oracle's GROUP BY emits no
+        // row for it, and a (0,0,0,0) row here would diverge)
+        if (b.length == 0) Iterator.empty
+        else {
+          var off = 0
+          var nWin = 0L
+          var nLow = 0L
+          var peak = 0L
+          var total = 0L
+          while (off < b.length) {
+            val end = math.min(off + win, b.length)
+            var ss = 0L
+            var i = off
+            while (i < end) { val v = (b(i) & 0xff).toLong; ss += v * v; i += 1 }
+            nWin += 1
+            if (ss < lowMeanSq * (end - off)) nLow += 1
+            if (ss > peak) peak = ss
+            total += ss
+            off = end
+          }
+          Iterator.single(Row(id, nWin, nLow, peak, total))
         }
-        Row(id, nWin, nLow, peak, total)
       }
     }
     spark.createDataFrame(rdd, schema).orderBy("doc_id")

@@ -36,6 +36,38 @@ class PageRankSpec extends SparkSpecBase {
     assert(math.abs(got.values.sum - 1.0) < 1e-12, "mass not conserved")
   }
 
+  test("convergence early stop: fixpoint graph halts before the iteration cap") {
+    // a 4-cycle starts AT the fixpoint (uniform, no dangling mass) —
+    // with tol on, the first delta check must certify convergence
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val (ranks, itersRun) = PageRank.pageRankConverged(
+      cyc, iters = 50, checkpointEvery = 1, tol = 1e-9)
+    assert(itersRun < 50, "converged graph ran to the iteration cap")
+    assert(itersRun <= 3, s"fixpoint certification took $itersRun iterations")
+    // early stop changes WHEN we stop, not WHAT we compute: ranks are
+    // the same uniform fixpoint the full run produces
+    val got = ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.values.foreach(v => assert(math.abs(v - 0.25) < 1e-15, s"got $got"))
+    val full = PageRank.pageRank(cyc, iters = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == full.keySet)
+    got.foreach { case (n, v) => assert(math.abs(v - full(n)) < 1e-12) }
+    // tol = 0 (the default) never terminates early — pr01's registered
+    // fixed-iteration output is unchanged by the feature
+    val (_, itersDefault) = PageRank.pageRankConverged(cyc, iters = 7)
+    assert(itersDefault == 7, "default tol=0 must run all iterations")
+  }
+
+  test("triangle counting canonicalizes its input: mirrored and self edges are folded") {
+    // K4 fed as a mix of (a,b) and (b,a) mirrors plus self-loops must
+    // count exactly like the canonical K4 — not inflate degrees
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val dirty = k4.map { case (a, b) => (b, a) } ++ k4 ++ Seq((1L, 1L), (3L, 3L))
+    val got = PageRank.triangleCounts(dirty.toDF("a", "b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
+  }
+
   test("triangle counting: K4 closed form, skewed star+clique counted once each") {
     // K4: 4 triangles, every node on exactly 3
     val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)).toDF("a", "b")
