@@ -70,23 +70,18 @@ object Dedup {
   // The near-dup pair set is heavy to compute and tiny to hold
   // (candidate survivors only), and two operators consume it (dd02
   // output, dd06 clustering) — memoize the cached result per
-  // (session, dir). NOTE the weak key cannot actually be reclaimed
-  // while its value lives: a DataFrame references its session, the
-  // classic WeakHashMap self-pin (Tables.cache shares it). Manual
-  // [[evictPairs]] is therefore the lifecycle contract for long-lived
-  // processes, not GC.
-  private val pairsMemo =
-    new java.util.WeakHashMap[SparkSession, collection.mutable.Map[String, DataFrame]]()
+  // (session, dir) under the shared [[graft.IndexLifecycle]]
+  // register/evict contract.
+  private val pairsLife = new graft.IndexLifecycle[DataFrame]("dd02-jaccard-pairs",
+    release = (_, df) => df.unpersist())
 
-  def jaccardPairs(s: SparkSession, d: String): DataFrame = pairsMemo.synchronized {
-    pairsMemo.computeIfAbsent(s, _ => collection.mutable.Map.empty)
-      .getOrElseUpdate(d, buildJaccardPairs(s, d).cache())
-  }
+  def jaccardPairs(s: SparkSession, d: String): DataFrame =
+    pairsLife.getOrBuild(s, d)(buildJaccardPairs(s, d).cache())
 
   // dd04's verified pair set is likewise consumed twice (dd04 output,
   // pp03 clustering) — same memo-and-cache treatment.
-  private val mhPairsMemo =
-    new java.util.WeakHashMap[SparkSession, collection.mutable.Map[String, DataFrame]]()
+  private val mhPairsLife = new graft.IndexLifecycle[DataFrame]("dd04-minhash-pairs",
+    release = (_, df) => df.unpersist())
 
   /** Release the memoized pair sets (exact AND MinHash) for a
     * (session, dir): unpersist the cached blocks and drop the
@@ -94,13 +89,10 @@ object Dedup {
     * doesn't accumulate dead cache entries. Returns true if any entry
     * was released.
     */
-  def evictPairs(s: SparkSession, d: String): Boolean = pairsMemo.synchronized {
-    Seq(pairsMemo, mhPairsMemo).map { memo =>
-      Option(memo.get(s)).flatMap(_.remove(d)) match {
-        case Some(df) => df.unpersist(); true
-        case None => false
-      }
-    }.exists(identity)
+  def evictPairs(s: SparkSession, d: String): Boolean = {
+    val a = pairsLife.evict(s, d)
+    val b = mhPairsLife.evict(s, d)
+    a || b
   }
 
   val dd02_ngram_jaccard: Q = (s, d) =>
@@ -299,10 +291,8 @@ object Dedup {
     * downstream consumers (pp03's clustering) compose over; cached
     * per (session, dir) like [[jaccardPairs]].
     */
-  def minhashPairs(s: SparkSession, d: String): DataFrame = pairsMemo.synchronized {
-    mhPairsMemo.computeIfAbsent(s, _ => collection.mutable.Map.empty)
-      .getOrElseUpdate(d, buildMinhashPairs(s, d).cache())
-  }
+  def minhashPairs(s: SparkSession, d: String): DataFrame =
+    mhPairsLife.getOrBuild(s, d)(buildMinhashPairs(s, d).cache())
 
   private def buildMinhashPairs(s: SparkSession, d: String): DataFrame = {
     val sh = shingles(s, d)
@@ -465,68 +455,35 @@ object Dedup {
 
   // Build-once/reuse-per-batch within a session (ann02's memo
   // discipline): the index table for a corpus dir is built on first
-  // use; later delta batches anti-join it without rebuilding.
-  private val fpIdxMemo =
-    new java.util.WeakHashMap[SparkSession, collection.mutable.Map[String, String]]()
+  // use; later delta batches anti-join it without rebuilding. The
+  // table NAME is derived from the corpus dir and the CATALOG is
+  // shared across sessions of one context — another session may have
+  // evicted (dropped) the table this session memoized, so the
+  // lifecycle re-validates a memo hit against the catalog.
+  private val fpIdxLife = new graft.IndexLifecycle[String]("dd10-fp-index",
+    validate = (s, t) => s.catalog.tableExists(t),
+    release = (s, t) => graft.IndexLifecycle.dropTableWithFiles(s, t))
 
-  def fpIndexFor(s: SparkSession, d: String): String = fpIdxMemo.synchronized {
-    val m = fpIdxMemo.computeIfAbsent(s, _ => collection.mutable.Map.empty)
-    // the table NAME is derived from the corpus dir and the CATALOG is
-    // shared across sessions of one context — another session may have
-    // evicted (dropped) the table this session memoized, so a memo hit
-    // is only valid while the table still resolves
-    m.get(d).filter(s.catalog.tableExists) match {
-      case Some(table) => table
-      case None =>
-        m.remove(d)
-        val table = "graft_fp_idx_" + java.lang.Long.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(d) & 0xffffffffL)
-        val path = java.nio.file.Files.createTempDirectory("graft-fpidx").toString
-        // a failed build must not leak its partial table/files: the
-        // memo has no entry yet, so no evict call could clean it up
-        try buildFpIndex(s, d, table, path)
-        catch { case e: Throwable =>
-          scala.util.Try(dropTableWithFiles(s, table))
-          scala.util.Try(deleteRecursively(path))
-          throw e
-        }
-        m(d) = table
-        table
+  def fpIndexFor(s: SparkSession, d: String): String =
+    fpIdxLife.getOrBuild(s, d) {
+      val table = "graft_fp_idx_" + java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(d) & 0xffffffffL)
+      val path = java.nio.file.Files.createTempDirectory("graft-fpidx").toString
+      // a failed build must not leak its partial table/files: the
+      // memo has no entry yet, so no evict call could clean it up
+      try buildFpIndex(s, d, table, path)
+      catch { case e: Throwable =>
+        scala.util.Try(graft.IndexLifecycle.dropTableWithFiles(s, table))
+        scala.util.Try(graft.IndexLifecycle.deleteRecursively(path))
+        throw e
+      }
+      table
     }
-  }
-
-  private def deleteRecursively(path: String): Unit = {
-    import scala.jdk.CollectionConverters._
-    val root = java.nio.file.Path.of(path)
-    if (java.nio.file.Files.exists(root))
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-  }
-
-  /** Drop a catalog table and its backing files (file: scheme only) —
-    * the shared cleanup for every persisted-index evictor.
-    */
-  private def dropTableWithFiles(s: SparkSession, table: String): Unit = {
-    val loc = scala.util.Try(
-      s.sql(s"DESCRIBE TABLE EXTENDED $table").filter(col("col_name") === "Location")
-        .head().getString(1)).toOption
-    s.sql(s"DROP TABLE IF EXISTS $table")
-    loc.filter(_.startsWith("file:")).foreach { l =>
-      import scala.jdk.CollectionConverters._
-      val root = java.nio.file.Path.of(java.net.URI.create(l))
-      if (java.nio.file.Files.exists(root))
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
-  }
 
   /** Drop a session's fingerprint index for a corpus dir (catalog
     * entry + files) — cache hygiene for long-lived sessions.
     */
-  def evictFpIndex(s: SparkSession, d: String): Unit = fpIdxMemo.synchronized {
-    Option(fpIdxMemo.get(s)).flatMap(_.remove(d))
-      .foreach(dropTableWithFiles(s, _))
-  }
+  def evictFpIndex(s: SparkSession, d: String): Unit = fpIdxLife.evict(s, d)
 
   /** The per-batch pass: delta fingerprints anti-joined against the
     * persisted index (corpus-side exchange-free via bucketing), then
@@ -623,44 +580,34 @@ object Dedup {
       .saveAsTable(table + "_sigs")
   }
 
-  private val lshIdxMemo =
-    new java.util.WeakHashMap[SparkSession, collection.mutable.Map[String, String]]()
+  // Build-once/probe-many within a session, validated against the
+  // shared catalog like [[fpIndexFor]] — BOTH tables must resolve.
+  private val lshIdxLife = new graft.IndexLifecycle[String]("dd11-lsh-index",
+    validate = (s, t) => s.catalog.tableExists(t + "_bands") &&
+      s.catalog.tableExists(t + "_sigs"),
+    release = (s, t) => Seq(t + "_bands", t + "_sigs")
+      .foreach(graft.IndexLifecycle.dropTableWithFiles(s, _)))
 
-  /** Build-once/probe-many within a session, validated against the
-    * shared catalog like [[fpIndexFor]].
-    */
-  def lshIndexFor(s: SparkSession, d: String): String = lshIdxMemo.synchronized {
-    val m = lshIdxMemo.computeIfAbsent(s, _ => collection.mutable.Map.empty)
-    m.get(d).filter(t => s.catalog.tableExists(t + "_bands") &&
-      s.catalog.tableExists(t + "_sigs")) match {
-      case Some(table) => table
-      case None =>
-        m.remove(d)
-        val table = "graft_lsh_idx_" + java.lang.Long.toHexString(
-          scala.util.hashing.MurmurHash3.stringHash(d) & 0xffffffffL)
-        val path = java.nio.file.Files.createTempDirectory("graft-lshidx").toString
-        // same guard as fpIndexFor: a half-built index (e.g. _bands
-        // written, _sigs failed) is invisible to evictLshIndex — clean
-        // it here or it leaks for the life of the process
-        try buildLshIndex(s, d, table, path)
-        catch { case e: Throwable =>
-          Seq(table + "_bands", table + "_sigs")
-            .foreach(t => scala.util.Try(dropTableWithFiles(s, t)))
-          scala.util.Try(deleteRecursively(path))
-          throw e
-        }
-        m(d) = table
-        table
+  def lshIndexFor(s: SparkSession, d: String): String =
+    lshIdxLife.getOrBuild(s, d) {
+      val table = "graft_lsh_idx_" + java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(d) & 0xffffffffL)
+      val path = java.nio.file.Files.createTempDirectory("graft-lshidx").toString
+      // same guard as fpIndexFor: a half-built index (e.g. _bands
+      // written, _sigs failed) is invisible to evictLshIndex — clean
+      // it here or it leaks for the life of the process
+      try buildLshIndex(s, d, table, path)
+      catch { case e: Throwable =>
+        Seq(table + "_bands", table + "_sigs")
+          .foreach(t => scala.util.Try(graft.IndexLifecycle.dropTableWithFiles(s, t)))
+        scala.util.Try(graft.IndexLifecycle.deleteRecursively(path))
+        throw e
+      }
+      table
     }
-  }
 
   /** Drop a session's LSH index (both tables + files). */
-  def evictLshIndex(s: SparkSession, d: String): Unit = lshIdxMemo.synchronized {
-    Option(lshIdxMemo.get(s)).flatMap(_.remove(d)).foreach { table =>
-      Seq(table + "_bands", table + "_sigs")
-        .foreach(dropTableWithFiles(s, _))
-    }
-  }
+  def evictLshIndex(s: SparkSession, d: String): Unit = lshIdxLife.evict(s, d)
 
   /** The per-batch pass against an already-persisted index: delta
     * band keys → candidate (delta, base) pairs → signature-estimated

@@ -341,35 +341,33 @@ object Similarity {
     }).sortBy { case (c, sdot) => (-sdot, c) }.take(n).map(_._1)
 
   // Build-once/probe-many within a session: the index for a corpus
-  // dir is built on first use and reused by every later probe.
-  private val indexMemo =
-    new java.util.WeakHashMap[SparkSession, collection.mutable.Map[String, String]]()
+  // dir is built on first use and reused by every later probe. A memo
+  // hit is only trusted while the layout still exists on disk
+  // (fpIndexFor's catalog-revalidation discipline, file-flavored),
+  // and a half-built dir from a failed build is cleaned up rather
+  // than leaked — both behaviors the shared lifecycle standardizes.
+  private val ivfLife = new graft.IndexLifecycle[String]("ann02-ivf-index",
+    validate = (_, dir) => java.nio.file.Files.exists(
+      java.nio.file.Path.of(dir, "centroids")) && java.nio.file.Files.exists(
+      java.nio.file.Path.of(dir, "vectors")),
+    release = (_, dir) => graft.IndexLifecycle.deleteRecursively(dir))
 
   def ivfIndexFor(s: SparkSession, d: String, nCells: Int = 10,
                   iters: Int = 3, sampleMod: Int = 4): String =
-    indexMemo.synchronized {
-      indexMemo.computeIfAbsent(s, _ => collection.mutable.Map.empty)
-        .getOrElseUpdate(d, {
-          val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
-          buildIvfIndex(s, d, dir, nCells, iters, sampleMod)
-          dir
-        })
+    ivfLife.getOrBuild(s, d) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+      try buildIvfIndex(s, d, dir, nCells, iters, sampleMod)
+      catch { case e: Throwable =>
+        scala.util.Try(graft.IndexLifecycle.deleteRecursively(dir))
+        throw e
+      }
+      dir
     }
 
   /** Drop a session's index for a corpus dir and delete its files —
     * the hygiene hook for long-lived sessions iterating many dirs.
     */
-  def evictIndex(s: SparkSession, d: String): Unit = indexMemo.synchronized {
-    Option(indexMemo.get(s)).flatMap(_.remove(d)).foreach { dir =>
-      import java.nio.file.{Files, Path}
-      import scala.jdk.CollectionConverters._
-      val root = Path.of(dir)
-      if (Files.exists(root)) {
-        val paths = Files.walk(root).iterator().asScala.toSeq.reverse
-        paths.foreach(Files.deleteIfExists(_))
-      }
-    }
-  }
+  def evictIndex(s: SparkSession, d: String): Unit = ivfLife.evict(s, d)
 
   // --- ann04: random-hyperplane LSH top-k — the LSH-bucketed ANN
   // scale path, complementing ann02's IVF (the two standard
@@ -474,21 +472,16 @@ object Similarity {
   val pqBits = 4
   private val pqSampleCap = 2048
 
-  private val pqMemo =
-    new java.util.WeakHashMap[SparkSession, collection.mutable.Map[String, Array[Array[Array[Double]]]]]()
+  private val pqLife =
+    new graft.IndexLifecycle[Array[Array[Array[Double]]]]("ann05-pq-books")
 
   def pqBooksFor(s: SparkSession, d: String): Array[Array[Array[Double]]] =
-    pqMemo.synchronized {
-      pqMemo.computeIfAbsent(s, _ => collection.mutable.Map.empty)
-        .getOrElseUpdate(d, trainPqCodebooks(s, d))
-    }
+    pqLife.getOrBuild(s, d)(trainPqCodebooks(s, d))
 
   /** Drop a session's memoized codebooks for a corpus dir (no files —
-    * codebooks are ~1 KiB of driver memory).
+    * codebooks are ~1 KiB of driver memory, so `release` is a no-op).
     */
-  def evictPqBooks(s: SparkSession, d: String): Unit = pqMemo.synchronized {
-    Option(pqMemo.get(s)).foreach(_.remove(d))
-  }
+  def evictPqBooks(s: SparkSession, d: String): Unit = pqLife.evict(s, d)
 
   /** Per-subspace k-means codebooks over the normalized sample.
     * Deterministic end-to-end: hash-ordered sample, first-k-distinct
