@@ -160,6 +160,61 @@ object Pipeline {
       .orderBy("shard")
   }
 
+  /** pp08's manifest made PHYSICAL: materialize the shard FILES a
+    * training pipeline actually reads, crash-safely. Layout:
+    * `outDir/shards/shard=N/` (one parquet file per shard, (doc_id,
+    * text) in permuted order) + `outDir/manifest` (pp08's schema) +
+    * `outDir/_committed`.
+    *
+    * Files and manifest derive from ONE pinned shard assignment (the
+    * [[globalRank]] localCheckpoint), so they cannot disagree; the
+    * doc→shard permutation is md5-keyed (no RNG), so the output is a
+    * pure function of the corpus. Text is NOT carried through the
+    * rank's checkpoint — the assignment is a narrow (doc_id, n_chars,
+    * shard) frame and text joins back in by doc_id for the write,
+    * keeping the pinned state corpus-metadata-sized at 100 TB.
+    *
+    * Crash-safety is the stage-then-commit discipline of
+    * [[graft.streaming.ExactlyOnceSink]] (data first, marker last):
+    * everything writes under `outDir + ".staging"`, one directory
+    * rename publishes it, and the `_committed` marker is the LAST
+    * write. A crash in any earlier window leaves no marker; replay
+    * deletes the partial staging/output and rewrites from scratch —
+    * determinism makes the rewrite byte-stable. A replay against a
+    * committed dir is a no-op returning the manifest.
+    */
+  def writeShards(s: SparkSession, d: String, outDir: String,
+                  shardSize: Int = 128): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val marker = Paths.get(outDir, "_committed")
+    if (Files.exists(marker)) return s.read.parquet(s"$outDir/manifest")
+    val staging = outDir + ".staging"
+    graft.IndexLifecycle.deleteRecursively(staging)
+    graft.IndexLifecycle.deleteRecursively(outDir)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        md5(col("doc_id").cast("string")).as("k"))
+    val assign = globalRank(docs, Seq("k", "doc_id"))
+      .withColumn("shard", floor((col("rn") - 1) / shardSize).cast("long"))
+      .select("doc_id", "n_chars", "shard")
+    assign.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("shard")
+      .coalesce(1)
+      .write.parquet(s"$staging/manifest")
+    // one shuffle keyed on shard id → each shard's rows sit in exactly
+    // one task → exactly one file per shard=N directory
+    Tables.documents(s, d).select("doc_id", "text")
+      .join(assign.select("doc_id", "shard"), "doc_id")
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .write.partitionBy("shard").parquet(s"$staging/shards")
+    Files.move(Paths.get(staging), Paths.get(outDir))
+    Files.write(marker, "committed\n".getBytes)
+    s.read.parquet(s"$outDir/manifest")
+  }
+
   /** Exact global row_number over `sortCols` order, scalably: the
     * rank twin of [[globalCumSum]]. Range-partition on the sort key →
     * bucket-local row_number → per-bucket counts → prefix offsets

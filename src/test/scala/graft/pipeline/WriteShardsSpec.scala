@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import graft.SparkSpecBase
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+
+/** [[Pipeline.writeShards]]: the physical shard files behind pp08's
+  * manifest — files ≡ manifest, crash-safe commit, idempotent replay.
+  */
+class WriteShardsSpec extends SparkSpecBase {
+
+  private def manifestRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSet
+
+  test("writeShards: files match the manifest exactly, one file per shard") {
+    val out = tmpDir("graft-shards") + "/out"
+    val manifest = manifestRows(Pipeline.writeShards(spark, sfDir, out))
+    // the written manifest IS pp08's registered output
+    assert(manifest == manifestRows(Pipeline.pp08_shard_pack(spark, sfDir)),
+      "written manifest diverges from pp08_shard_pack")
+    // the FILES agree with the manifest on counts and id bounds —
+    // recomputed from the shard parquet itself, chars re-joined from
+    // the corpus (shard files carry the payload, not the metadata)
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "n_chars")
+    val fromFiles = manifestRows(
+      spark.read.parquet(s"$out/shards").join(docs, "doc_id")
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .select(col("shard").cast("long"), col("n_docs"), col("sum_chars"),
+          col("min_id"), col("max_id")))
+    assert(fromFiles == manifest, "shard files diverge from the manifest")
+    // exactly one data file per shard directory (the repartition-on-
+    // shard write contract a training reader relies on)
+    val shardDirs = Files.list(Paths.get(s"$out/shards")).iterator()
+    val it = new scala.collection.Iterator[java.nio.file.Path] {
+      def hasNext = shardDirs.hasNext; def next() = shardDirs.next()
+    }
+    val dirs = it.toSeq.filter(_.getFileName.toString.startsWith("shard="))
+    assert(dirs.size == manifest.size, s"${dirs.size} shard dirs vs ${manifest.size} manifest rows")
+    dirs.foreach { dir =>
+      val files = Files.list(dir).iterator()
+      val parts = new scala.collection.Iterator[java.nio.file.Path] {
+        def hasNext = files.hasNext; def next() = files.next()
+      }.toSeq.filter(_.getFileName.toString.endsWith(".parquet"))
+      assert(parts.size == 1, s"$dir holds ${parts.size} files, expected 1")
+    }
+    // a committed dir replays as a no-op: same manifest back, shard
+    // files untouched (mtimes unchanged — nothing was rewritten)
+    val mtimes = dirs.map(d => d.toString -> Files.getLastModifiedTime(d)).toMap
+    val again = manifestRows(Pipeline.writeShards(spark, sfDir, out))
+    assert(again == manifest)
+    dirs.foreach(d => assert(Files.getLastModifiedTime(d) == mtimes(d.toString),
+      s"replay rewrote committed shard dir $d"))
+  }
+
+  test("writeShards: a mid-write crash replays to a complete committed output") {
+    val root = tmpDir("graft-shards-crash")
+    val out = root + "/out"
+    // simulate the two crash artifacts: a partial staging dir (write
+    // died mid-shard) and a partial output dir with NO _committed
+    // marker (crash between the publish rename and the marker write)
+    Files.createDirectories(Paths.get(s"$out.staging/shards/shard=0"))
+    Files.write(Paths.get(s"$out.staging/shards/shard=0/garbage"), "junk".getBytes)
+    Files.createDirectories(Paths.get(s"$out/shards"))
+    Files.write(Paths.get(s"$out/shards/partial"), "junk".getBytes)
+    val manifest = manifestRows(Pipeline.writeShards(spark, sfDir, out))
+    assert(manifest == manifestRows(Pipeline.pp08_shard_pack(spark, sfDir)),
+      "replay after crash produced a wrong manifest")
+    assert(Files.exists(Paths.get(s"$out/_committed")), "replay did not commit")
+    assert(!Files.exists(Paths.get(s"$out.staging")), "staging dir survived the commit")
+    assert(!Files.exists(Paths.get(s"$out/shards/partial")),
+      "partial pre-crash output leaked into the committed dir")
+    // the files are complete: every corpus doc lands in exactly one shard
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    val shardDocs = spark.read.parquet(s"$out/shards")
+    assert(shardDocs.count() == nDocs)
+    assert(shardDocs.select("doc_id").distinct().count() == nDocs)
+  }
+}
