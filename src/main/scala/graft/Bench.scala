@@ -129,6 +129,17 @@ object Bench {
       System.err.println(s"[bench] st01_stream_wordcount failed: $e"); Seq.empty
     }
 
+    // st03: the SAME topology on the RocksDB state store — the row
+    // that records what the 100 TB-state posture costs relative to
+    // st01's heap-backed default on an identical workload
+    val rocksResult = try {
+      val t0 = System.nanoTime()
+      runStreaming(spark, sfDir, streaming.StateBackend.RocksDB)
+      Seq("st03_rocksdb_wordcount" -> (System.nanoTime() - t0) / 1e9)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] st03_rocksdb_wordcount failed: $e"); Seq.empty
+    }
+
     // st02: sustained-throughput sweep — rate spout at increasing
     // rows/s against both top-N sink modes (rows/s + per-batch
     // latency land in the side field; the wall cost joins the query
@@ -142,13 +153,15 @@ object Bench {
       (Seq.empty[streaming.ThroughputHarness.Result], Seq.empty[(String, Double)])
     }
 
-    val results = batchResults ++ ivfSplit ++ lshSplit ++ streamResult ++ thrSecs
+    val results = batchResults ++ ivfSplit ++ lshSplit ++ streamResult ++
+      rocksResult ++ thrSecs
     val total = results.map(_._2).sum
     // engine time without the throughput sweep — the sweep's wall
     // clock is dominated by waiting on the rate source to produce
     // load, not by engine work, so it would distort a total-seconds
     // comparison across rounds
-    val batchSecs = (batchResults ++ ivfSplit ++ lshSplit ++ streamResult).map(_._2).sum
+    val batchSecs = (batchResults ++ ivfSplit ++ lshSplit ++ streamResult ++
+      rocksResult).map(_._2).sum
 
     // The harness that consumes this output keeps only the LAST
     // ~2000 chars of the build log and parses the JSON line out of
@@ -213,7 +226,8 @@ object Bench {
     SparkEntry.queries.keys.toSeq ++ Seq(
       "ann02_ivf_build", "ann02_ivf_probe",
       "dd11_lsh_build", "dd11_lsh_probe",
-      "st01_stream_wordcount", "st02_throughput_sweep")
+      "st01_stream_wordcount", "st02_throughput_sweep",
+      "st03_rocksdb_wordcount")
 
   private def deleteDir(dir: String): Unit = {
     import scala.jdk.CollectionConverters._
@@ -226,13 +240,15 @@ object Bench {
   /** One end-to-end run of the streaming word-count topology over the
     * documents corpus, on fresh input/output/checkpoint dirs.
     */
-  private def runStreaming(spark: SparkSession, sfDir: String): Unit = {
+  private def runStreaming(spark: SparkSession, sfDir: String,
+                           backend: streaming.StateBackend =
+                             streaming.StateBackend.Default): Unit = {
     val inDir = java.nio.file.Files.createTempDirectory("bench-st-in").toString
     Tables.documents(spark, sfDir).select("text")
       .coalesce(4).write.mode("overwrite").text(inDir)
     val out = java.nio.file.Files.createTempDirectory("bench-st-out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("bench-st-ckpt").toString
-    val q = streaming.WordCountTopology.run(spark, inDir, out, ckpt)
+    val q = streaming.WordCountTopology.run(spark, inDir, out, ckpt, backend)
     q.processAllAvailable()
     q.stop()
   }

@@ -25,6 +25,8 @@ import org.apache.spark.sql.functions._
   *   ScaleProbe tri    [rows] — pr02's degree-ordered triangle
   *                              orientation vs id-ordered on a hub
   *   ScaleProbe pr     [rows] — pr01's checkpoint cadence (1/3/10)
+  *   ScaleProbe bitmap64 [rows] — q58's sparse-sketch rollup table vs
+  *                              re-aggregating the facts per level
   *
   * Results are recorded in PLANS.md's scale-probe tables; re-run any
   * time with `tools/run.sh graft.ScaleProbe <probe> [rows]`.
@@ -360,8 +362,53 @@ object ScaleProbe {
           println(f"pagerank 10 iters, checkpointEvery=$every ($rows edges): ${(System.nanoTime() - t0) / 1e9}%.2f s")
           require(math.abs(total - 1.0) < 1e-6, s"mass drifted: $total")
         }
+      case "bitmap64" =>
+        // q58's claim, measured: the sketch-table pattern on the
+        // sparse bitmap. Keys live in a 64-bit domain the dense
+        // bitmap cannot hold (it would need 2^61 bytes); they are
+        // locally dense / globally sparse (contiguous ids at a high
+        // 64-bit offset, stride 7 — the snowflake-id shape Roaring's
+        // containers are designed for, filling bitmap containers at
+        // ~0.9 bytes/key). The exact path re-aggregates the FACTS for
+        // every rollup level (per-group + grand total = two distinct
+        // aggregations, each shuffling one row per distinct (g, k));
+        // the sketch path scans facts ONCE to build 12 group
+        // sketches, then every further rollup level merges 12 sketch
+        // rows without touching the facts — the asymmetry grows with
+        // every additional level a reporting stack wants.
+        val nd = math.max(rows / 4, 1L)
+        def src = spark.range(rows).select(
+          pmod(col("id"), lit(12)).as("g"),
+          (lit(3L << 40) + pmod(col("id"), lit(nd)) * lit(7L)).as("k"))
+        val exactGrp = src.groupBy("g").agg(countDistinct("k").as("d"))
+        val exactAll = src.agg(countDistinct("k").as("d"))
+        def sketches = src.groupBy("g")
+          .agg(functions.GraftFunctions.bitmap64Agg("k").as("sk"))
+        // warm pass (Janino/JIT) — Bench's discipline
+        Seq(exactGrp, exactAll).foreach(
+          _.write.format("noop").mode("overwrite").save())
+        sketches.write.format("noop").mode("overwrite").save()
+        val t0 = System.nanoTime()
+        val eg = exactGrp.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val ea = exactAll.head().getLong(0)
+        println(f"exact countDistinct, per-group + grand total (two facts aggregations, $rows rows): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val t1 = System.nanoTime()
+        val sk = sketches.localCheckpoint()
+        println(f"sparse sketch build (ONE facts aggregation): ${(System.nanoTime() - t1) / 1e9}%.2f s")
+        val bytes = sk.select(sum(length(col("sk"))).as("b")).head().getLong(0)
+        println(f"sketch table: ${bytes / 1e6}%.2f MB for ~$nd distinct keys (${bytes.toDouble / nd}%.2f B/key)")
+        val t2 = System.nanoTime()
+        val sg = sk.select(col("g"),
+            functions.GraftFunctions.bitmap64Count("sk").as("d"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val sa = sk.agg(functions.GraftFunctions.bitmap64Union("sk").as("u"))
+          .select(functions.GraftFunctions.bitmap64Count("u").as("d"))
+          .head().getLong(0)
+        println(f"both rollup levels from the 12-row sketch table (facts untouched): ${(System.nanoTime() - t2) / 1e9}%.2f s")
+        require(sg == eg && sa == ea,
+          s"sketch rollup diverged from exact: $sg/$sa vs $eg/$ea")
       case other =>
-        System.err.println(s"unknown probe '$other'; use topn | cumsum | incr | hh | bloom | skew | tri | pr")
+        System.err.println(s"unknown probe '$other'; use topn | cumsum | incr | hh | bloom | skew | tri | pr | bitmap64")
         sys.exit(2)
     }
     spark.stop()

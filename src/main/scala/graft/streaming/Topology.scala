@@ -181,8 +181,36 @@ object Bolts {
   }
 }
 
+/** State-store backend for a topology's stateful bolts. The default
+  * HDFS-backed provider keeps every state row on the executor HEAP —
+  * fine for bounded-state bolts (heavyHitters / quantileSketch hold
+  * one summary row), but a 100 TB-ingest session/dedup workload holds
+  * key-cardinality state, and heap-resident maps of that size mean
+  * GC pauses and OOM. RocksDB is the production posture there: state
+  * lives off-heap/on-disk with incremental checkpointing, so state
+  * size is bounded by local disk, not executor memory. Same
+  * exactly-once semantics (the provider slots under the same
+  * checkpointed commit protocol); results are identical by contract
+  * (spec-asserted), only the storage engine changes.
+  */
+sealed trait StateBackend { def providerClass: Option[String] }
+object StateBackend {
+  /** HDFSBackedStateStoreProvider — Spark's heap-resident default. */
+  case object Default extends StateBackend {
+    val providerClass: Option[String] = None
+  }
+  /** RocksDB provider (in-tree since Spark 3.2; rocksdbjni ships in
+    * the distribution's jars).
+    */
+  case object RocksDB extends StateBackend {
+    val providerClass: Option[String] = Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+  }
+}
+
 final case class Topology(spout: Spout, bolts: Seq[Bolt], sink: Sink,
-                          trigger: Option[Trigger] = None) {
+                          trigger: Option[Trigger] = None,
+                          stateBackend: StateBackend = StateBackend.Default) {
   def withBolt(b: Bolt): Topology = copy(bolts = bolts :+ b)
 
   /** Micro-batch scheduling policy (ProcessingTime cadence,
@@ -191,10 +219,31 @@ final case class Topology(spout: Spout, bolts: Seq[Bolt], sink: Sink,
     */
   def withTrigger(t: Trigger): Topology = copy(trigger = Some(t))
 
+  /** Run this topology's stateful bolts on a different state-store
+    * engine (see [[StateBackend]]).
+    */
+  def withStateBackend(b: StateBackend): Topology = copy(stateBackend = b)
+
   /** Compile and launch: the returned query is the running topology. */
   def run(spark: SparkSession): StreamingQuery = {
     val wired = bolts.foldLeft(spout.open(spark))((df, b) => b.transform(df))
-    sink.start(wired, trigger)
+    stateBackend.providerClass match {
+      case None => sink.start(wired, trigger)
+      case Some(cls) =>
+        // the provider conf is captured when the query starts
+        // (StreamExecution clones the session), so set → start →
+        // restore scopes the choice to THIS query without leaking
+        // into other queries on the session
+        val s = wired.sparkSession
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key, cls)
+        try sink.start(wired, trigger)
+        finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+    }
   }
 }
 

@@ -85,10 +85,15 @@ object WordCountTopology {
       .options(limit.options).load()
       .selectExpr(s"concat('w', CAST(value % $vocab AS STRING)) AS value"))
 
-  /** Run over a directory of text files — the `run_sample` CLI analog. */
+  /** Run over a directory of text files — the `run_sample` CLI analog.
+    * `stateBackend` picks the state-store engine for the count bolt
+    * (RocksDB = the 100 TB-state posture; see [[StateBackend]]).
+    */
   def run(spark: SparkSession, inDir: String, outDir: String,
-          checkpoint: String): StreamingQuery =
-    apply(fileSpout(inDir), outDir, checkpoint).run(spark)
+          checkpoint: String,
+          stateBackend: StateBackend = StateBackend.Default): StreamingQuery =
+    apply(fileSpout(inDir), outDir, checkpoint)
+      .withStateBackend(stateBackend).run(spark)
 }
 
 /** Event-time operators over streams — watermarks are the low-water

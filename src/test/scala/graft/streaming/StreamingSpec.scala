@@ -168,6 +168,50 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("RocksDB state backend: identical topology results, provider engaged, conf scoped") {
+    implicit val sql = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    // getOption surfaces the config's DEFAULT (the HDFS provider), so
+    // "scoped" is observable as before == after, not as emptiness
+    val before = spark.conf.getOption(key)
+    assert(!before.exists(_.contains("RocksDB")), "test precondition: default provider")
+    def runWordCount(backend: StateBackend): List[(String, Long)] = {
+      val mem = MemoryStream[String]
+      val out = tmpDir("rocks-out")
+      val topo = WordCountTopology(
+        Spout("mem", _ => mem.toDF()), out, tmpDir("rocks-ckpt"), topN = 5)
+        .withStateBackend(backend)
+      val q = topo.run(spark)
+      try {
+        mem.addData("the cat and the hat", "the bat")
+        q.processAllAvailable()
+        mem.addData("the cat again and again")
+        q.processAllAvailable()
+        if (backend == StateBackend.RocksDB) {
+          // the provider must actually be engaged, not silently the
+          // heap default: RocksDB reports its own custom state metrics
+          import scala.jdk.CollectionConverters._
+          val metrics = q.lastProgress.stateOperators
+            .flatMap(_.customMetrics.asScala.keys)
+          assert(metrics.exists(_.toLowerCase.contains("rocksdb")),
+            s"no rocksdb state metrics in progress: ${metrics.mkString(",")}")
+        }
+        val last = ExactlyOnceSink.committed(out).max
+        spark.read.parquet(s"$out/batch=$last")
+          .orderBy(col("cnt").desc, col("word"))
+          .as[(String, Long)].collect().toList
+      } finally q.stop()
+    }
+    val onRocks = runWordCount(StateBackend.RocksDB)
+    // the backend choice must not leak into the session after start
+    assert(spark.conf.getOption(key) == before,
+      "RocksDB provider conf leaked into the shared session")
+    val onDefault = runWordCount(StateBackend.Default)
+    assert(onRocks == onDefault,
+      s"state backends disagree: rocksdb=$onRocks default=$onDefault")
+    assert(onRocks.head == ("the", 4L), s"got $onRocks")
+  }
+
   test("event-time ops: tumbling windows and sessions over a stream") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String, Long, Double)]
