@@ -37,17 +37,23 @@ final class IndexLifecycle[V](
 
   IndexLifecycle.register(this)
 
-  /** Memo hit (if still valid) or build-under-lock. A stale hit is
-    * dropped WITHOUT `release` — whatever invalidated it already owns
-    * the artifact's disposal (e.g. the other session that dropped the
-    * shared catalog table).
+  /** Memo hit (if still valid) or build-under-lock. A stale hit gets
+    * a best-effort `release` before the rebuild: an artifact can be
+    * PARTIALLY invalidated (one of the LSH tables dropped, an index
+    * dir's centroids deleted but its corpus-sized vectors left
+    * behind) — without the release those survivors would leak with no
+    * remaining reference, since the rebuild lands at a fresh
+    * location. A fully-gone artifact makes the release a cheap no-op
+    * (DROP IF EXISTS / delete of a missing dir), so the sweep is
+    * always safe; failures are swallowed because the rebuild, not the
+    * cleanup, is what the caller asked for.
     */
   def getOrBuild(s: SparkSession, key: String)(build: => V): V = synchronized {
     val m = memo.computeIfAbsent(s, _ => collection.mutable.Map.empty[String, V])
     m.get(key).filter(v => validate(s, v)) match {
       case Some(v) => v
       case None =>
-        m.remove(key)
+        m.remove(key).foreach(v => scala.util.Try(release(s, v)))
         val v = build
         m(key) = v
         v
@@ -116,12 +122,7 @@ object IndexLifecycle {
       s.sql(s"DESCRIBE TABLE EXTENDED $table").filter(col("col_name") === "Location")
         .head().getString(1)).toOption
     s.sql(s"DROP TABLE IF EXISTS $table")
-    loc.filter(_.startsWith("file:")).foreach { l =>
-      import scala.jdk.CollectionConverters._
-      val root = java.nio.file.Path.of(java.net.URI.create(l))
-      if (java.nio.file.Files.exists(root))
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
+    loc.filter(_.startsWith("file:")).foreach(l =>
+      deleteRecursively(java.nio.file.Path.of(java.net.URI.create(l)).toString))
   }
 }

@@ -367,19 +367,21 @@ object ScaleProbe {
         // sparse bitmap. Keys live in a 64-bit domain the dense
         // bitmap cannot hold (it would need 2^61 bytes); they are
         // locally dense / globally sparse (contiguous ids at a high
-        // 64-bit offset, stride 7 — the snowflake-id shape Roaring's
-        // containers are designed for, filling bitmap containers at
-        // ~0.9 bytes/key). The exact path re-aggregates the FACTS for
-        // every rollup level (per-group + grand total = two distinct
-        // aggregations, each shuffling one row per distinct (g, k));
-        // the sketch path scans facts ONCE to build 12 group
-        // sketches, then every further rollup level merges 12 sketch
-        // rows without touching the facts — the asymmetry grows with
-        // every additional level a reporting stack wants.
+        // 64-bit offset — the snowflake-id shape Roaring's containers
+        // are designed for; each group's ~nd/3 keys per 65 536-value
+        // chunk land WELL past the 4096 array cap, so this layout
+        // exercises the promoted bitmap-container regime). The exact
+        // path re-aggregates the FACTS for every rollup level
+        // (per-group + grand total = two distinct aggregations, each
+        // shuffling one row per distinct (g, k)); the sketch path
+        // scans facts ONCE to build 12 group sketches, then every
+        // further rollup level merges 12 sketch rows without touching
+        // the facts — the asymmetry grows with every additional level
+        // a reporting stack wants.
         val nd = math.max(rows / 4, 1L)
         def src = spark.range(rows).select(
           pmod(col("id"), lit(12)).as("g"),
-          (lit(3L << 40) + pmod(col("id"), lit(nd)) * lit(7L)).as("k"))
+          (lit(3L << 40) + pmod(col("id"), lit(nd))).as("k"))
         val exactGrp = src.groupBy("g").agg(countDistinct("k").as("d"))
         val exactAll = src.agg(countDistinct("k").as("d"))
         def sketches = src.groupBy("g")

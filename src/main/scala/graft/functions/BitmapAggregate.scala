@@ -93,8 +93,12 @@ case class BitmapUnionAgg(
 
   override def update(b: BitmapBuffer, input: InternalRow): BitmapBuffer = {
     val v = child.eval(input)
-    if (v != null)
-      b.bits.or(java.util.BitSet.valueOf(v.asInstanceOf[Array[Byte]]))
+    if (v != null) {
+      val bytes = v.asInstanceOf[Array[Byte]]
+      require(!SparseBitmap.looksSerialized(bytes),
+        "graft_bitmap_union got a graft_bitmap64 sketch — use graft_bitmap64_union")
+      b.bits.or(java.util.BitSet.valueOf(bytes))
+    }
     b
   }
 
@@ -302,6 +306,35 @@ object SparseBitmap {
       c += 1
     }
     sb
+  }
+
+  /** Structural check: do these bytes FULLY parse as a sparse sketch
+    * (magic + every container header/payload consistent with the
+    * total length)? The DENSE operators use this to reject a sparse
+    * sketch fed to them — the mirror of [[countSerialized]]'s magic
+    * check — so the format mixup fails loudly in BOTH directions. A
+    * raw BitSet whose bits happen to spell the magic AND lay out as a
+    * byte-exact container walk is the only false positive, which is
+    * no accident a real bitmap produces.
+    */
+  def looksSerialized(bytes: Array[Byte]): Boolean = {
+    if (bytes.length < 8) return false
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    if (bb.getInt() != Magic) return false
+    val n = bb.getInt()
+    if (n < 0) return false
+    var c = 0
+    while (c < n) {
+      if (bb.remaining < 12) return false
+      bb.getLong()
+      val card = bb.getInt()
+      if (card < 0 || card > 65536) return false
+      val len = if (card <= ArrayCap) card * 2 else WordBytes
+      if (bb.remaining < len) return false
+      bb.position(bb.position() + len)
+      c += 1
+    }
+    bb.remaining == 0
   }
 
   /** Container-header walk — cardinality without touching payloads. */

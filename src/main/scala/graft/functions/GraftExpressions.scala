@@ -678,6 +678,13 @@ object GraftHashOps {
   }
 
   def bitmapCount(bytes: Array[Byte]): Long = {
+    // the reverse of SparseBitmapCount's magic check: a sparse sketch
+    // fed to the dense count would popcount headers into a plausible
+    // but wrong "exact" answer — reject it loudly instead (the walk
+    // only runs when the 4-byte magic matches, so the guard costs one
+    // int compare per row)
+    require(!SparseBitmap.looksSerialized(bytes),
+      "graft_bitmap_count got a graft_bitmap64 sketch — use graft_bitmap64_count")
     var c = 0L
     var i = 0
     // popcount 8 bytes at a time over the tail-padded words

@@ -196,7 +196,7 @@ object Pipeline {
         md5(col("doc_id").cast("string")).as("k"))
     val assign = globalRank(docs, Seq("k", "doc_id"))
       .withColumn("shard", floor((col("rn") - 1) / shardSize).cast("long"))
-      .select("doc_id", "n_chars", "shard")
+      .select("doc_id", "n_chars", "shard", "rn")
     assign.groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
         min("doc_id").as("min_id"), max("doc_id").as("max_id"))
@@ -204,11 +204,15 @@ object Pipeline {
       .coalesce(1)
       .write.parquet(s"$staging/manifest")
     // one shuffle keyed on shard id → each shard's rows sit in exactly
-    // one task → exactly one file per shard=N directory
+    // one task → exactly one file per shard=N directory; rows inside a
+    // shard file keep the PERMUTED (global-rank) order — a training
+    // reader streaming a shard sequentially must not see doc_id-
+    // correlated data
     Tables.documents(s, d).select("doc_id", "text")
-      .join(assign.select("doc_id", "shard"), "doc_id")
+      .join(assign.select("doc_id", "shard", "rn"), "doc_id")
       .repartition(col("shard"))
-      .sortWithinPartitions("shard", "doc_id")
+      .sortWithinPartitions("shard", "rn")
+      .select("doc_id", "text", "shard")
       .write.partitionBy("shard").parquet(s"$staging/shards")
     Files.move(Paths.get(staging), Paths.get(outDir))
     Files.write(marker, "committed\n".getBytes)

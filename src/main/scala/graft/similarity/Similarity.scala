@@ -217,6 +217,10 @@ object Similarity {
     * ann06 already avoid. No pair dedup is needed (unlike ann04's
     * band join): every vector lives in exactly one cell partition, so
     * a (query, neighbor) pair survives the cell equi-join at most once.
+    * Like the whole heap-selected ANN family, NaN-scored pairs (a
+    * zero-norm vector's cosine) are EXCLUDED by graft_topk rather than
+    * ranked first as the old window's NaN-sorts-highest did — a
+    * degenerate embedding can't shadow k real neighbors.
     */
   def probeIvf(s: SparkSession, indexDir: String, queries: DataFrame,
                nProbe: Int = 3, k: Int = 5): DataFrame = {

@@ -208,6 +208,13 @@ object StateBackend {
   }
 }
 
+object Topology {
+  /** Serializes the set-conf → start → restore window of
+    * backend-overriding [[Topology.run]] calls (see there).
+    */
+  private[streaming] val startLock = new Object
+}
+
 final case class Topology(spout: Spout, bolts: Seq[Bolt], sink: Sink,
                           trigger: Option[Trigger] = None,
                           stateBackend: StateBackend = StateBackend.Default) {
@@ -232,16 +239,22 @@ final case class Topology(spout: Spout, bolts: Seq[Bolt], sink: Sink,
       case Some(cls) =>
         // the provider conf is captured when the query starts
         // (StreamExecution clones the session), so set → start →
-        // restore scopes the choice to THIS query without leaking
-        // into other queries on the session
+        // restore scopes the choice to THIS query. The window is
+        // serialized per session (Topology.startLock) so two
+        // concurrent run() calls can't interleave their set/restore
+        // pairs; a NON-topology query started on the same session
+        // inside the window would still capture this provider — start
+        // those on their own session (newSession()) if it matters.
         val s = wired.sparkSession
-        val key = "spark.sql.streaming.stateStore.providerClass"
-        val prev = s.conf.getOption(key)
-        s.conf.set(key, cls)
-        try sink.start(wired, trigger)
-        finally prev match {
-          case Some(v) => s.conf.set(key, v)
-          case None => s.conf.unset(key)
+        Topology.startLock.synchronized {
+          val key = "spark.sql.streaming.stateStore.providerClass"
+          val prev = s.conf.getOption(key)
+          s.conf.set(key, cls)
+          try sink.start(wired, trigger)
+          finally prev match {
+            case Some(v) => s.conf.set(key, v)
+            case None => s.conf.unset(key)
+          }
         }
     }
   }

@@ -45,6 +45,15 @@ class IndexLifecycleSpec extends SparkSpecBase {
     val dir2 = similarity.Similarity.ivfIndexFor(spark, sfDir)
     assert(dir2 != dir1, "stale IVF memo hit was trusted after its files vanished")
     assert(java.nio.file.Files.exists(java.nio.file.Path.of(dir2, "vectors")))
+    // PARTIAL invalidation must not leak the survivors: delete only
+    // the centroids and the stale-hit release must sweep the
+    // corpus-sized vectors before rebuilding at a fresh location
+    IndexLifecycle.deleteRecursively(
+      java.nio.file.Path.of(dir2, "centroids").toString)
+    val dir3 = similarity.Similarity.ivfIndexFor(spark, sfDir)
+    assert(dir3 != dir2, "half-deleted IVF memo hit was trusted")
+    assert(!java.nio.file.Files.exists(java.nio.file.Path.of(dir2)),
+      "partially-invalidated index dir leaked its surviving files")
     similarity.Similarity.evictIndex(spark, sfDir)
   }
 }

@@ -171,6 +171,14 @@ class ExpressionsSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       SparseBitmap.countSerialized(dense.toByteArray)
     }
+    // and the REVERSE mixup fails loudly too: the dense count given
+    // sparse bytes would otherwise popcount headers into a plausible
+    // wrong answer
+    intercept[IllegalArgumentException] {
+      GraftHashOps.bitmapCount(a.serialize)
+    }
+    // while genuine dense bytes still count fine through the guard
+    assert(GraftHashOps.bitmapCount(dense.toByteArray) == 2L)
   }
 
   test("graft_bloom via SQL: build then probe, no false negatives in-query") {

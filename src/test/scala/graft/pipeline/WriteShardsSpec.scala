@@ -46,6 +46,14 @@ class WriteShardsSpec extends SparkSpecBase {
       }.toSeq.filter(_.getFileName.toString.endsWith(".parquet"))
       assert(parts.size == 1, s"$dir holds ${parts.size} files, expected 1")
     }
+    // rows INSIDE a shard file keep the md5-permuted order, not
+    // doc_id order — the property a sequential training reader needs
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val shard0 = spark.read.parquet(dirs.head.toString)
+      .collect().map(_.getLong(0)).toSeq
+    assert(shard0 == shard0.sortBy(id => (md5hex(id.toString), id)),
+      "rows within a shard are not in permuted (global-rank) order")
     // a committed dir replays as a no-op: same manifest back, shard
     // files untouched (mtimes unchanged — nothing was rewritten)
     val mtimes = dirs.map(d => d.toString -> Files.getLastModifiedTime(d)).toMap
