@@ -27,7 +27,8 @@ object Explain {
         "ann06_ivfpq_topk", "q52_quantile_rollup", "q53_bloom_semijoin",
         "q54_retention_cohorts", "q55_resample_interp",
         "tx17_bigram_lp", "pr01_pagerank", "mm07_shot_bounds",
-        "dd12_cross_source_dups")
+        "dd12_cross_source_dups", "q51_bitmap_rollup", "q58_bitmap64_rollup",
+        "q56_merge_upsert", "q57_session_paths", "pr02_triangles")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
