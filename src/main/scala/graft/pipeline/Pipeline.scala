@@ -219,6 +219,31 @@ object Pipeline {
     s.read.parquet(s"$outDir/manifest")
   }
 
+  /** The reader side of [[writeShards]]: stream a committed shard dir
+    * back in a fresh deterministic order PER EPOCH — the "reshuffle
+    * every epoch" a training loop needs, without an RNG and without a
+    * driver-side file list. Epoch e orders rows by
+    * (xxhash64(shard, e), xxhash64(doc_id, e)): shard-level order and
+    * intra-shard order both re-permute each epoch, any two epochs
+    * yield the same multiset in different orders, and a rerun of the
+    * same epoch is bit-stable. Cost is ONE range shuffle per epoch
+    * (repartitionByRange + local sort — no single-partition global
+    * sort); a reader that only needs shard-level reshuffling can drop
+    * the second key and keep the read narrow.
+    */
+  def readShards(s: SparkSession, outDir: String, epoch: Long = 0L): DataFrame = {
+    require(java.nio.file.Files.exists(java.nio.file.Paths.get(outDir, "_committed")),
+      s"$outDir is not a committed shard dir (no _committed marker)")
+    s.read.parquet(s"$outDir/shards")
+      .withColumn("__sh", xxhash64(col("shard"), lit(epoch)))
+      .withColumn("__dh", xxhash64(col("doc_id"), lit(epoch)))
+      .repartitionByRange(col("__sh"), col("__dh"))
+      // doc_id as the last key: a 64-bit hash tie must not make the
+      // epoch order run-dependent
+      .sortWithinPartitions(col("__sh"), col("__dh"), col("doc_id"))
+      .drop("__sh", "__dh")
+  }
+
   /** Exact global row_number over `sortCols` order, scalably: the
     * rank twin of [[globalCumSum]]. Range-partition on the sort key →
     * bucket-local row_number → per-bucket counts → prefix offsets

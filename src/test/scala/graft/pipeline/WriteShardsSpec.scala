@@ -63,6 +63,29 @@ class WriteShardsSpec extends SparkSpecBase {
       s"replay rewrote committed shard dir $d"))
   }
 
+  test("readShards: per-epoch deterministic reshuffle of a committed dir") {
+    val out = tmpDir("graft-shards-read") + "/out"
+    Pipeline.writeShards(spark, sfDir, out)
+    def order(epoch: Long): Seq[Long] = {
+      // collect() preserves the frame's partition-then-row order, so
+      // this IS the stream order a training reader would consume
+      val rows = Pipeline.readShards(spark, out, epoch).collect()
+      rows.map(_.getLong(0)).toSeq
+    }
+    val e0 = order(0L)
+    val e1 = order(1L)
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    // same corpus every epoch — different order each epoch
+    assert(e0.size.toLong == nDocs && e0.toSet == e1.toSet)
+    assert(e0 != e1, "epochs 0 and 1 produced the same order")
+    // an epoch replays bit-stable (no RNG anywhere)
+    assert(order(1L) == e1, "epoch order is not deterministic")
+    // an uncommitted dir is refused rather than half-read
+    intercept[IllegalArgumentException] {
+      Pipeline.readShards(spark, tmpDir("graft-not-committed"), 0L)
+    }
+  }
+
   test("writeShards: a mid-write crash replays to a complete committed output") {
     val root = tmpDir("graft-shards-crash")
     val out = root + "/out"
