@@ -187,6 +187,14 @@ class ScaleSpec extends SparkSpecBase {
       assert(java.util.Arrays.equals(bytes, direct(y)),
         s"year $y: merged monthly sketch bytes differ from the direct sketch")
     }
+    // scale contract: the sketch build is map-side combined (partial
+    // aggregation BEFORE the exchange — same mergeable-state shape as
+    // graft_topk / graft_bitmap), so the shuffle carries one partial
+    // sketch per (task, group), never raw keys
+    val plan = graft.SparkEntry.queries("q58_bitmap64_rollup")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_bitmap64"),
+      s"sparse sketch build is not map-side combined:\n$plan")
   }
 
   test("plan sweep: no registered query nested-loops or cross-joins unjustified") {
