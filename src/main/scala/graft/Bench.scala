@@ -229,13 +229,8 @@ object Bench {
       "st01_stream_wordcount", "st02_throughput_sweep",
       "st03_rocksdb_wordcount")
 
-  private def deleteDir(dir: String): Unit = {
-    import scala.jdk.CollectionConverters._
-    val root = java.nio.file.Path.of(dir)
-    if (java.nio.file.Files.exists(root))
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-  }
+  private def deleteDir(dir: String): Unit =
+    IndexLifecycle.deleteRecursively(dir)
 
   /** One end-to-end run of the streaming word-count topology over the
     * documents corpus, on fresh input/output/checkpoint dirs.

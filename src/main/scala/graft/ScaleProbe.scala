@@ -190,13 +190,7 @@ object ScaleProbe {
               .groupBy("q_id")
               .agg(functions.GraftFunctions.topK("adc", "n_id", 40).as("tk"))
           }
-        } finally {
-          import scala.jdk.CollectionConverters._
-          val root = java.nio.file.Path.of(base)
-          if (java.nio.file.Files.exists(root))
-            java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-              .foreach(java.nio.file.Files.deleteIfExists(_))
-        }
+        } finally IndexLifecycle.deleteRecursively(base)
       case "hh" =>
         // q47's claim, measured: exact top-20 frequent keys when the
         // vocabulary grows with the data. ~30% of rows hit 23 hot (23 coprime with the 10-residue gate)

@@ -33,17 +33,13 @@ class WriteShardsSpec extends SparkSpecBase {
     assert(fromFiles == manifest, "shard files diverge from the manifest")
     // exactly one data file per shard directory (the repartition-on-
     // shard write contract a training reader relies on)
-    val shardDirs = Files.list(Paths.get(s"$out/shards")).iterator()
-    val it = new scala.collection.Iterator[java.nio.file.Path] {
-      def hasNext = shardDirs.hasNext; def next() = shardDirs.next()
-    }
-    val dirs = it.toSeq.filter(_.getFileName.toString.startsWith("shard="))
+    import scala.jdk.CollectionConverters._
+    val dirs = Files.list(Paths.get(s"$out/shards")).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.startsWith("shard="))
     assert(dirs.size == manifest.size, s"${dirs.size} shard dirs vs ${manifest.size} manifest rows")
     dirs.foreach { dir =>
-      val files = Files.list(dir).iterator()
-      val parts = new scala.collection.Iterator[java.nio.file.Path] {
-        def hasNext = files.hasNext; def next() = files.next()
-      }.toSeq.filter(_.getFileName.toString.endsWith(".parquet"))
+      val parts = Files.list(dir).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".parquet"))
       assert(parts.size == 1, s"$dir holds ${parts.size} files, expected 1")
     }
     // rows INSIDE a shard file keep the md5-permuted order, not
