@@ -219,6 +219,26 @@ object Pipeline {
     s.read.parquet(s"$outDir/manifest")
   }
 
+  /** pp12: the WRITTEN manifest — pp08's numbers re-read from the
+    * crash-safe physical artifact [[writeShards]] produces, which
+    * puts the writer itself (staging, rename-commit, shard files)
+    * under the driver's DuckDB hash gate: a writer bug that drifted
+    * the on-disk artifact from the declarative manifest fails this
+    * row. Each call clears the derived output dir first, so the gate
+    * (and the bench row) always pays a FULL write — never the
+    * committed-replay shortcut — while reusing one fixed location so
+    * repeated runs don't accumulate temp dirs.
+    */
+  val pp12_shard_files: Q = (s, d) => {
+    val out = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft-shards-" + java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(d) & 0xffffffffL)).toString
+    graft.IndexLifecycle.deleteRecursively(out)
+    graft.IndexLifecycle.deleteRecursively(out + ".staging")
+    writeShards(s, d, out).orderBy("shard")
+  }
+
   /** The reader side of [[writeShards]]: stream a committed shard dir
     * back in a fresh deterministic order PER EPOCH — the "reshuffle
     * every epoch" a training loop needs, without an RNG and without a
@@ -490,6 +510,7 @@ object Pipeline {
   }
 
   val registry: Map[String, Q] = Map(
+    "pp12_shard_files" -> pp12_shard_files,
     "pp11_full_build" -> pp11_full_build,
     "pp10_gate_report" -> pp10_gate_report,
     "pp09_decontaminate_fuzzy" -> pp09_decontaminate_fuzzy,
@@ -504,6 +525,16 @@ object Pipeline {
 
   private val sqlToks =
     "list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')"
+
+  private val shardManifestSql =
+    """WITH r AS (
+      |  SELECT doc_id, n_chars,
+      |    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |SELECT CAST(floor((rn - 1) / 128.0) AS BIGINT) AS shard,
+      |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM r GROUP BY shard ORDER BY shard""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // pp11 embeds the tx16 gate oracle and pp05's shingle CTEs
@@ -548,15 +579,11 @@ object Pipeline {
          |  round(n_failed * 1.0 / n_docs * 10000) / 10000 AS fail_rate
          |FROM rc JOIN strata USING (lang, source)
          |ORDER BY lang, source, rule""".stripMargin,
-    "pp08_shard_pack" ->
-      """WITH r AS (
-        |  SELECT doc_id, n_chars,
-        |    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
-        |  FROM documents)
-        |SELECT CAST(floor((rn - 1) / 128.0) AS BIGINT) AS shard,
-        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-        |  min(doc_id) AS min_id, max(doc_id) AS max_id
-        |FROM r GROUP BY shard ORDER BY shard""".stripMargin,
+    "pp08_shard_pack" -> shardManifestSql,
+    // pp12 writes the physical shards and returns the manifest read
+    // back off disk — the SAME oracle text by construction, so the
+    // writer's artifact is held to pp08's declarative truth
+    "pp12_shard_files" -> shardManifestSql,
     "pp01_clean_corpus" ->
       s"""WITH scored AS (
          |  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
