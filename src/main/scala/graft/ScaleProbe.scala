@@ -403,6 +403,27 @@ object ScaleProbe {
         println(f"both rollup levels from the 12-row sketch table (facts untouched): ${(System.nanoTime() - t2) / 1e9}%.2f s")
         require(sg == eg && sa == ea,
           s"sketch rollup diverged from exact: $sg/$sa vs $eg/$ea")
+        // scenario B: CONTIGUOUS per-group key ranges (the sequence-id
+        // shape) — the RUN containers collapse each chunk to ~8 bytes,
+        // so the sketch table is no longer ∝ keys at all
+        val span = (nd + 11) / 12
+        def srcB = spark.range(rows).select(
+          (pmod(col("id"), lit(nd)) / lit(span)).cast("long").as("g"),
+          (lit(3L << 40) + pmod(col("id"), lit(nd))).as("k"))
+        def sketchesB = srcB.groupBy("g")
+          .agg(functions.GraftFunctions.bitmap64Agg("k").as("sk"))
+        sketchesB.write.format("noop").mode("overwrite").save() // warm
+        val t3 = System.nanoTime()
+        val skB = sketchesB.localCheckpoint()
+        println(f"contiguous-range sketch build: ${(System.nanoTime() - t3) / 1e9}%.2f s")
+        val bytesB = skB.select(sum(length(col("sk"))).as("b")).head().getLong(0)
+        println(f"contiguous-range sketch table: ${bytesB / 1e3}%.1f KB for ~$nd distinct keys (run containers)")
+        val sgB = skB.select(col("g"),
+            functions.GraftFunctions.bitmap64Count("sk").as("d"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        val egB = srcB.groupBy("g").agg(countDistinct("k").as("d"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        require(sgB == egB, s"contiguous sketch diverged: $sgB vs $egB")
       case other =>
         System.err.println(s"unknown probe '$other'; use topn | cumsum | incr | hh | bloom | skew | tri | pr | bitmap64")
         sys.exit(2)

@@ -135,13 +135,19 @@ case class BitmapUnionAgg(
   * bitmap. Membership, OR, and cardinality never touch chunks the
   * key set doesn't populate.
   *
+  * Like the published design, a container serializes as whichever of
+  * THREE forms is smallest for its key set — sorted array (2 B/key),
+  * raw bitmap (8 KiB flat), or RUN LENGTHS (4 B/run — contiguous id
+  * ranges, the snowflake/sequence shape, collapse to almost nothing).
+  *
   * The serialized form is CANONICAL — containers ascending by chunk
-  * key, representation chosen by final cardinality (array iff ≤
-  * 4096), so a sketch's bytes are a pure function of its key SET,
-  * independent of insertion or merge order. That is what lets the
-  * q58 rollup spec assert bit-equality between merged monthly
-  * sketches and a directly-built year sketch, the same lossless-merge
-  * contract q51's dense OR has.
+  * key, the per-container form chosen by sizes computed from the
+  * FINAL key set (deterministic tie-break run ≺ array ≺ bitmap) — so
+  * a sketch's bytes are a pure function of its key SET, independent
+  * of insertion or merge order. That is what lets the q58 rollup
+  * spec assert bit-equality between merged monthly sketches and a
+  * directly-built year sketch, the same lossless-merge contract
+  * q51's dense OR has.
   */
 final class SparseBitmap {
   import SparseBitmap._
@@ -165,9 +171,8 @@ final class SparseBitmap {
 
   def serialize: Array[Byte] = {
     var payload = 0
-    chunks.forEach((_, c) =>
-      payload += (if (c.card <= ArrayCap) c.card * 2 else WordBytes))
-    val bb = java.nio.ByteBuffer.allocate(8 + chunks.size * 12 + payload)
+    chunks.forEach((_, c) => payload += c.payloadBytes)
+    val bb = java.nio.ByteBuffer.allocate(8 + chunks.size * 13 + payload)
     bb.putInt(Magic)
     bb.putInt(chunks.size)
     chunks.forEach { (hi, c) =>
@@ -189,9 +194,14 @@ object SparseBitmap {
   /** Leading magic distinguishes the sparse format from [[BitmapAgg]]'s
     * raw-BitSet bytes so a mixed-up column fails loudly in
     * [[SparseBitmapCount]] / [[deserialize]] instead of popcounting
-    * garbage.
+    * garbage. ("GBS7" — bumped when the run-container form joined the
+    * wire layout.)
     */
-  val Magic = 0x47425336 // "GBS6"
+  val Magic = 0x47425337 // "GBS7"
+  /** Serialized container forms (one tag byte each). */
+  private val FmtArray: Byte = 0
+  private val FmtBitmap: Byte = 1
+  private val FmtRuns: Byte = 2
 
   /** One 65 536-value chunk: sorted short array while small, 8 KiB
     * bitmap once past [[ArrayCap]]. Cardinality only grows, so the
@@ -255,29 +265,93 @@ object SparseBitmap {
       c
     }
 
-    def writePayload(bb: java.nio.ByteBuffer): Unit =
-      if (n <= ArrayCap) {
-        if (words == null) {
-          var i = 0
-          while (i < n) { bb.putChar(arr(i)); i += 1 }
-        } else {
-          // unreachable under the only-grows invariant, but total:
-          // emit the canonical array form from the bitmap
-          var w = 0
-          while (w < Words) {
-            var bits = words(w)
-            while (bits != 0L) {
-              val b = java.lang.Long.numberOfTrailingZeros(bits)
-              bb.putChar(((w << 6) | b).toChar)
-              bits &= bits - 1
-            }
-            w += 1
+    /** Runs of consecutive values in this container's key set. */
+    private def runCount: Int = {
+      if (n == 0) return 0
+      var r = 0
+      if (words != null) {
+        // a run starts at every set bit whose predecessor is clear:
+        // popcount(word & ~(word << 1 | carry-in))
+        var carry = 0L // bit 63 of the previous word
+        var w = 0
+        while (w < Words) {
+          val x = words(w)
+          r += java.lang.Long.bitCount(x & ~((x << 1) | carry))
+          carry = x >>> 63
+          w += 1
+        }
+      } else {
+        r = 1
+        var i = 1
+        while (i < n) { if (arr(i) != arr(i - 1) + 1) r += 1; i += 1 }
+      }
+      r
+    }
+
+    /** Canonical serialized form + its payload size: the SMALLEST of
+      * runs (4 + 4·r), array (2·n), bitmap (8 KiB), ties broken
+      * run ≺ array ≺ bitmap — all derived from the final key set, so
+      * the choice is independent of build history.
+      */
+    private def canonicalForm: (Byte, Int) = {
+      val runBytes = 4 + 4 * runCount
+      val arrBytes = 2 * n
+      if (runBytes <= arrBytes && runBytes <= WordBytes) (FmtRuns, runBytes)
+      else if (arrBytes <= WordBytes) (FmtArray, arrBytes)
+      else (FmtBitmap, WordBytes)
+    }
+
+    def payloadBytes: Int = canonicalForm._2
+
+    /** Iterate the key set ascending regardless of representation. */
+    private def foreachValue(f: Int => Unit): Unit =
+      if (words != null) {
+        var w = 0
+        while (w < Words) {
+          var bits = words(w)
+          while (bits != 0L) {
+            f((w << 6) | java.lang.Long.numberOfTrailingZeros(bits))
+            bits &= bits - 1
           }
+          w += 1
         }
       } else {
         var i = 0
-        while (i < Words) { bb.putLong(words(i)); i += 1 }
+        while (i < n) { f(arr(i)); i += 1 }
       }
+
+    def writePayload(bb: java.nio.ByteBuffer): Unit = canonicalForm._1 match {
+      case FmtArray =>
+        bb.put(FmtArray)
+        foreachValue(v => bb.putChar(v.toChar))
+      case FmtBitmap =>
+        bb.put(FmtBitmap)
+        // n > 4096 here under the only-grows invariant, so words is
+        // populated; stay total if it ever isn't
+        if (words != null) {
+          var i = 0
+          while (i < Words) { bb.putLong(words(i)); i += 1 }
+        } else {
+          val tmp = new Array[Long](Words)
+          foreachValue(v => tmp(v >>> 6) |= 1L << (v & 63))
+          var i = 0
+          while (i < Words) { bb.putLong(tmp(i)); i += 1 }
+        }
+      case _ =>
+        bb.put(FmtRuns)
+        bb.putInt(runCount)
+        // (start, length-1) per run, both 16-bit
+        var start = -2
+        var prev = -2
+        foreachValue { v =>
+          if (v != prev + 1) {
+            if (start >= 0) { bb.putChar(start.toChar); bb.putChar((prev - start).toChar) }
+            start = v
+          }
+          prev = v
+        }
+        if (start >= 0) { bb.putChar(start.toChar); bb.putChar((prev - start).toChar) }
+    }
   }
 
   def deserialize(bytes: Array[Byte]): SparseBitmap = {
@@ -290,16 +364,38 @@ object SparseBitmap {
     while (c < nChunks) {
       val hi = bb.getLong()
       val card = bb.getInt()
+      val fmt = bb.get()
       val cont = new Container
-      if (card <= ArrayCap) {
-        cont.arr = new Array[Char](math.max(card, 8))
-        var i = 0
-        while (i < card) { cont.arr(i) = bb.getChar(); i += 1 }
-      } else {
-        cont.words = new Array[Long](Words)
-        cont.arr = null
-        var i = 0
-        while (i < Words) { cont.words(i) = bb.getLong(); i += 1 }
+      // in-memory representation follows the only-grows rule (array
+      // iff card ≤ ArrayCap) regardless of the serialized form
+      val asArray = card <= ArrayCap
+      if (asArray) cont.arr = new Array[Char](math.max(card, 8))
+      else { cont.words = new Array[Long](Words); cont.arr = null }
+      var idx = 0
+      def emit(v: Int): Unit = {
+        if (asArray) { cont.arr(idx) = v.toChar; idx += 1 }
+        else cont.words(v >>> 6) |= 1L << (v & 63)
+      }
+      fmt match {
+        case FmtArray =>
+          var i = 0
+          while (i < card) { emit(bb.getChar()); i += 1 }
+        case FmtBitmap =>
+          require(!asArray, s"bitmap form with card $card ≤ $ArrayCap is not canonical")
+          var i = 0
+          while (i < Words) { cont.words(i) = bb.getLong(); i += 1 }
+        case FmtRuns =>
+          val nRuns = bb.getInt()
+          var r = 0
+          while (r < nRuns) {
+            val start = bb.getChar().toInt
+            val len = bb.getChar().toInt + 1
+            var v = start
+            while (v < start + len) { emit(v); v += 1 }
+            r += 1
+          }
+        case other =>
+          throw new IllegalArgumentException(s"unknown sparse container form $other")
       }
       cont.n = card
       sb.chunks.put(hi, cont)
@@ -317,6 +413,23 @@ object SparseBitmap {
     * byte-exact container walk is the only false positive, which is
     * no accident a real bitmap produces.
     */
+  /** Payload length from a container's (card, fmt) header; for the
+    * run form reads (and consumes) the run-count int. Returns -1 when
+    * the header is structurally invalid.
+    */
+  private def payloadLen(bb: java.nio.ByteBuffer, card: Int, fmt: Byte): Int =
+    fmt match {
+      case FmtArray => card * 2
+      case FmtBitmap => WordBytes
+      case FmtRuns =>
+        if (bb.remaining < 4) -1
+        else {
+          val nRuns = bb.getInt()
+          if (nRuns < 0 || nRuns > card) -1 else nRuns * 4
+        }
+      case _ => -1
+    }
+
   def looksSerialized(bytes: Array[Byte]): Boolean = {
     if (bytes.length < 8) return false
     val bb = java.nio.ByteBuffer.wrap(bytes)
@@ -325,12 +438,12 @@ object SparseBitmap {
     if (n < 0) return false
     var c = 0
     while (c < n) {
-      if (bb.remaining < 12) return false
+      if (bb.remaining < 13) return false
       bb.getLong()
       val card = bb.getInt()
       if (card < 0 || card > 65536) return false
-      val len = if (card <= ArrayCap) card * 2 else WordBytes
-      if (bb.remaining < len) return false
+      val len = payloadLen(bb, card, bb.get())
+      if (len < 0 || bb.remaining < len) return false
       bb.position(bb.position() + len)
       c += 1
     }
@@ -349,7 +462,9 @@ object SparseBitmap {
       bb.getLong()
       val card = bb.getInt()
       total += card
-      bb.position(bb.position() + (if (card <= ArrayCap) card * 2 else WordBytes))
+      val len = payloadLen(bb, card, bb.get())
+      require(len >= 0, "corrupt sparse sketch container header")
+      bb.position(bb.position() + len)
       c += 1
     }
     total

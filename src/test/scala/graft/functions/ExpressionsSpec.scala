@@ -142,9 +142,13 @@ class ExpressionsSpec extends SparkSpecBase {
   test("SparseBitmap: canonical bytes, array->bitmap promotion, dense-format rejection") {
     // cardinality matches a reference Set across chunk-local density,
     // chunk spread, and sign; serialized bytes are a pure function of
-    // the key SET regardless of insertion/merge order
-    val keys = (0L until 5000L) ++ // one chunk driven past ArrayCap=4096 (bitmap container)
+    // the key SET regardless of insertion/merge order. The key mix
+    // exercises all three canonical container forms: a contiguous
+    // block (runs), single spread keys (arrays), and a dense
+    // alternating block past the array cap (bitmap).
+    val keys = (0L until 5000L) ++ // contiguous past ArrayCap → run container
       (0L until 100L).map(_ * 1000003L) ++ // spread across chunks (array containers)
+      (0L until 7000L).map(i => (1L << 16) + 2 * i) ++ // alternating: runs=n, 2n>8KiB → bitmap container
       Seq(-1L, -70000L, Long.MinValue, Long.MaxValue, 0L)
     val a = new SparseBitmap
     keys.foreach(a.add)
@@ -165,6 +169,16 @@ class ExpressionsSpec extends SparkSpecBase {
     assert(rt.cardinality == a.cardinality)
     assert(java.util.Arrays.equals(rt.serialize, a.serialize))
     assert(SparseBitmap.countSerialized(a.serialize) == a.cardinality)
+    // run containers earn their keep: a 60k-key CONTIGUOUS range is
+    // one chunk run + a header each — bytes, not the 8 KiB/chunk the
+    // bitmap form (or 2 B/key the array form) would pay
+    val contig = new SparseBitmap
+    (0L until 60000L).foreach(contig.add)
+    val cb = contig.serialize
+    assert(cb.length < 64, s"contiguous 60k keys serialized to ${cb.length} B")
+    assert(SparseBitmap.countSerialized(cb) == 60000L)
+    val crt = SparseBitmap.deserialize(cb)
+    assert(crt.cardinality == 60000L && java.util.Arrays.equals(crt.serialize, cb))
     // dense graft_bitmap bytes must fail the magic check loudly, not
     // popcount into a wrong "exact" answer
     val dense = new java.util.BitSet(); dense.set(3); dense.set(99)
