@@ -253,9 +253,33 @@ object SparseBitmap {
           i += 1
         }
         n = c
-      } else {
+      } else if (words != null) {
         var i = 0
         while (i < o.n) { add(o.arr(i)); i += 1 }
+      } else {
+        // both sorted arrays: two-pointer merge — the per-element
+        // binary-insert alternative is quadratic when both sides sit
+        // near the cap, and this path runs in EVERY partial-agg merge
+        val tmp = new Array[Char](n + o.n)
+        var i = 0
+        var j = 0
+        var k = 0
+        while (i < n && j < o.n) {
+          val x = arr(i)
+          val y = o.arr(j)
+          if (x == y) { tmp(k) = x; i += 1; j += 1 }
+          else if (x < y) { tmp(k) = x; i += 1 }
+          else { tmp(k) = y; j += 1 }
+          k += 1
+        }
+        while (i < n) { tmp(k) = arr(i); i += 1; k += 1 }
+        while (j < o.n) { tmp(k) = o.arr(j); j += 1; k += 1 }
+        arr = tmp
+        n = k
+        // serialization derives its form from the final set, not the
+        // in-memory representation, so promoting here (when the MERGED
+        // distinct count crosses the cap) preserves canonical bytes
+        if (k > ArrayCap) promote()
       }
 
     def copy(): Container = {
