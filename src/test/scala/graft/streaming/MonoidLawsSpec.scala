@@ -83,6 +83,43 @@ class MonoidLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("sparse bitmap OR: monoid laws + canonical bytes under any merge shape (q58's law)") {
+    import graft.functions.SparseBitmap
+    // key generator spanning the container regimes: isolated 64-bit
+    // keys (array form), runs of consecutive keys (run form), and
+    // dense strided blocks (bitmap form once unions cross the cap)
+    val keySet: Gen[Seq[Long]] = for {
+      n <- Gen.chooseNum(0, 12)
+      ks <- Gen.listOfN(n, Gen.oneOf(
+        Gen.chooseNum(Long.MinValue, Long.MaxValue),
+        Gen.chooseNum(0L, 300L).map(s => (7L << 33) + s),       // shared run region
+        Gen.chooseNum(0L, 200L).map(s => (9L << 33) + s * 2))) // shared strided region
+    } yield ks
+    def build(keys: Seq[Long]): SparseBitmap = {
+      val sb = new SparseBitmap
+      keys.foreach(sb.add)
+      sb
+    }
+    def or(a: SparseBitmap, b: SparseBitmap): SparseBitmap = {
+      val m = SparseBitmap.deserialize(a.serialize) // fresh copy — OR mutates
+      m.or(b)
+      m
+    }
+    def bytes(sb: SparseBitmap): Seq[Byte] = sb.serialize.toSeq
+    for (Seq(ka, kb, kc) <- samples(Gen.listOfN(3, keySet), 200)) {
+      val (a, b, c) = (build(ka), build(kb), build(kc))
+      assert(bytes(or(or(a, b), c)) == bytes(or(a, or(b, c))), "associativity")
+      assert(bytes(or(a, b)) == bytes(or(b, a)), "commutativity")
+      assert(bytes(or(a, new SparseBitmap)) == bytes(a), "identity")
+      // THE canonical-form law: any merge shape serializes bit-equal
+      // to building from the union, and counts stay exact
+      val merged = or(a, b)
+      assert(bytes(merged) == bytes(build(ka ++ kb)), "merge diverges from direct build")
+      assert(merged.cardinality == (ka ++ kb).distinct.size.toLong, "cardinality drifted")
+      assert(SparseBitmap.countSerialized(merged.serialize) == merged.cardinality)
+    }
+  }
+
   test("TopN: identity, commutativity, boundedness, max-merge") {
     val m = TopN(3)
     for (Seq(a, b) <- samples(Gen.listOfN(2, state), 300)) {
