@@ -169,6 +169,11 @@ final class SparseBitmap {
     n
   }
 
+  def contains(key: Long): Boolean = {
+    val c = chunks.get(key >> 16)
+    c != null && c.contains((key & 0xffffL).toInt)
+  }
+
   def serialize: Array[Byte] = {
     var payload = 0
     chunks.forEach((_, c) => payload += c.payloadBytes)
@@ -214,6 +219,10 @@ object SparseBitmap {
     private[functions] var words: Array[Long] = null
 
     def card: Int = n
+
+    def contains(low: Int): Boolean =
+      if (words != null) (words(low >>> 6) & (1L << (low & 63))) != 0L
+      else java.util.Arrays.binarySearch(arr, 0, n, low.toChar) >= 0
 
     def add(low: Int): Unit =
       if (words != null) {
@@ -473,6 +482,18 @@ object SparseBitmap {
     }
     bb.remaining == 0
   }
+
+  // Membership probes against SERIALIZED sketch bytes deserialize
+  // once per byte-array instance (weak identity cache — in the probe
+  // expression the bytes ride into generated code as one reference
+  // object per task, so the common case is one entry) and then pay
+  // O(log) per key against the in-memory structure, instead of
+  // re-walking the container directory per row.
+  private val probeCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[Array[Byte], SparseBitmap]())
+
+  def containsSerialized(bytes: Array[Byte], key: Long): Boolean =
+    probeCache.computeIfAbsent(bytes, deserialize(_)).contains(key)
 
   /** Container-header walk — cardinality without touching payloads. */
   def countSerialized(bytes: Array[Byte]): Long = {

@@ -383,6 +383,33 @@ case class SparseBitmapCount(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** EXACT membership probe against a serialized sparse bitmap sketch
+  * (see [[SparseBitmapAgg]]) — the bitmap analog of
+  * [[BloomMightContain]] with zero false positives: a filter built
+  * from a sketch COLUMN or a driver-collected sketch literal answers
+  * exact key membership, so an ingest gate or semi-join prune off a
+  * persisted sparse sketch needs no verify join behind it. The probe
+  * deserializes each distinct byte array once (weak identity cache)
+  * and pays a chunk lookup + container probe per key.
+  */
+case class SparseBitmapContains(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bitmap64_contains"
+
+  override protected def nullSafeEval(sketch: Any, key: Any): Any =
+    SparseBitmap.containsSerialized(sketch.asInstanceOf[Array[Byte]],
+      key.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, k) =>
+      s"graft.functions.SparseBitmap$$.MODULE$$.containsSerialized($b, $k)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SparseBitmapContains =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Membership probe against a bloom sketch (see [[BloomAgg]]). The
   * sketch side is any binary expression — in q53 it is a driver-
   * collected filter as a `Literal`, which Janino hoists into the
@@ -827,6 +854,9 @@ object GraftFunctions {
   def bitmap64Union(sketch: String): Column =
     column(SparseBitmapUnionAgg(attr(sketch)).toAggregateExpression())
   def bitmap64Count(sketch: String): Column = column(SparseBitmapCount(attr(sketch)))
+  def bitmap64Contains(key: String, sketch: Array[Byte]): Column =
+    column(SparseBitmapContains(Literal(sketch, BinaryType),
+      Cast(attr(key), LongType)))
   def bloomAgg(key: String, numBits: Int, numHashes: Int): Column =
     column(BloomAgg(Cast(attr(key), LongType), numBits, numHashes)
       .toAggregateExpression())

@@ -133,6 +133,17 @@ object GraftExtensions {
       info("graft_bitmap64_count",
         "graft_bitmap64_count(sketch) - cardinality of a sparse bitmap sketch"),
       (es: Seq[Expression]) => SparseBitmapCount(es(0))),
+    ("graft_bitmap64_contains",
+      info("graft_bitmap64_contains",
+        "graft_bitmap64_contains(sketch, key) - EXACT membership probe against a sparse bitmap sketch"),
+      (es: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.LongType
+        if (es.length != 2)
+          throw new IllegalArgumentException(
+            s"graft_bitmap64_contains expects (sketch, key), got ${es.length} arguments")
+        SparseBitmapContains(es(0), Cast(es(1), LongType))
+      }),
     ("graft_bloom",
       info("graft_bloom",
         "graft_bloom(key, numBits, numHashes) - mergeable bloom-filter sketch aggregate (binary)"),

@@ -195,6 +195,39 @@ class ExpressionsSpec extends SparkSpecBase {
     assert(GraftHashOps.bitmapCount(dense.toByteArray) == 2L)
   }
 
+  test("graft_bitmap64_contains: EXACT membership probe across all container forms") {
+    // driver-side sketch over the three-regime key mix, probed from a
+    // DataFrame filter — exact membership, no false positives OR
+    // negatives (the property the bloom probe cannot give)
+    val present = (0L until 5000L) ++                      // run container
+      (0L until 50L).map(_ * 1000003L) ++                  // array containers
+      (0L until 7000L).map(i => (1L << 16) + 2 * i) ++     // bitmap container
+      Seq(-1L, Long.MinValue, Long.MaxValue)
+    val absent = Seq(5000L, -2L, 999L * 1000003L, (1L << 16) + 1L,
+      Long.MinValue + 1, 12345678901L)
+    val sb = new SparseBitmap
+    present.foreach(sb.add)
+    val bytes = sb.serialize
+    val probeKeys = (present.take(40) ++ absent)
+    val got = probeKeys.toDF("k")
+      .filter(GraftFunctions.bitmap64Contains("k", bytes))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == present.take(40).toSet, s"probe diverged: $got")
+    // SQL path: build in one branch, probe in the filter (q53's shape
+    // with exact answers — no verify join needed behind it)
+    GraftExtensions.register(spark)
+    Seq(10L, 11L, 1L << 40).toDF("k").createOrReplaceTempView("b64_dim")
+    Seq(10L, 11L, 12L, 1L << 40, (1L << 40) + 1).toDF("k")
+      .createOrReplaceTempView("b64_facts")
+    val rows = spark.sql(
+      """SELECT f.k FROM b64_facts f
+        |CROSS JOIN (SELECT graft_bitmap64(k) AS sk FROM b64_dim) d
+        |WHERE graft_bitmap64_contains(d.sk, f.k)
+        |ORDER BY f.k""".stripMargin)
+      .collect().map(_.getLong(0)).toSet
+    assert(rows == Set(10L, 11L, 1L << 40), s"SQL probe diverged: $rows")
+  }
+
   test("graft_bloom via SQL: build then probe, no false negatives in-query") {
     GraftExtensions.register(spark)
     Seq(10L, 11L, 12L).toDF("k").createOrReplaceTempView("bf_dim")
