@@ -149,6 +149,29 @@ object Bolts {
       .select(col("hh.total").as("total"), col("hh.items").as("items")))
   }
 
+  /** Streaming EXACT distinct count via q58's sparse bitmap sketch as
+    * stream state: ONE state row holding the mergeable sketch,
+    * regardless of how the keys arrive across micro-batches — where
+    * `dropDuplicates` holds one STATE ROW per distinct key (row
+    * overhead ≫ the ~1.5 B/key the sketch pays, and no watermark can
+    * expire state that must stay exact). State grows with the true
+    * distinct count — that is what "exact" costs — but as the compact
+    * canonical sketch, and the RocksDB backend keeps it off-heap.
+    * Update mode emits (n_rows, n_distinct) per micro-batch; the
+    * merge is the same associative OR as the batch rollup, so the
+    * stream's count after any number of batches equals one batch
+    * pass over the archive (spec-asserted).
+    */
+  def distinctCount(keyCol: String): Bolt = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    Bolt("distinct-count", df => df
+      .groupBy()
+      .agg(graft.functions.GraftFunctions.bitmap64Agg(keyCol).as("sk"),
+        count(lit(1)).as("n_rows"))
+      .select(col("n_rows"),
+        graft.functions.GraftFunctions.bitmap64Count("sk").as("n_distinct")))
+  }
+
   /** Streaming quantile telemetry via q52's bottom-k sampling sketch
     * as stream state: ONE bounded sample row in the state store
     * regardless of rows seen (a per-value streaming aggregate would

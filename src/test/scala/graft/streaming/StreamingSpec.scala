@@ -168,6 +168,36 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming exact distinct: one sketch state row, stream ≡ batch over the archive") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Long]
+    // 64-bit-spread keys with heavy cross-batch overlap
+    val all = (1L to 3000L).map(i => (i % 1100) * 4294967311L)
+    val (b1, b2) = all.splitAt(all.size / 2)
+    val bolt = Bolts.distinctCount("k")
+    val q = bolt.transform(mem.toDF().toDF("k"))
+      .writeStream.outputMode(OutputMode.Update).format("memory")
+      .queryName("dcount").start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val last = spark.table("dcount").collect().last
+      assert(last.getLong(0) == all.size.toLong, "n_rows must be the exact stream length")
+      // EXACT across batches — the OR merge through the state store
+      // equals one batch pass over the archived stream
+      assert(last.getLong(1) == all.distinct.size.toLong,
+        s"stream distinct ${last.getLong(1)} != exact ${all.distinct.size}")
+      import spark.implicits._
+      val batch = bolt.transform(all.toDF("k")).collect().head
+      assert(last.getLong(1) == batch.getLong(1), "stream diverges from batch")
+      // THE scale claim: one sketch state row, not one row per key
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows == 1L, s"distinct-count state is not bounded to one row: $stateRows")
+    } finally q.stop()
+  }
+
   test("RocksDB state backend: identical topology results, provider engaged, conf scoped") {
     implicit val sql = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
