@@ -268,6 +268,25 @@ object ScaleProbe {
           println(f"bloom-pruned semi join ($n rows): ${(System.nanoTime() - t2) / 1e9}%.2f s (+ $tBuild%.2f s one-time build)")
           require(exactN == prunedN,
             s"bloom-pruned count $prunedN != exact $exactN")
+          // EXACT sketch pruning: the dim's CONTIGUOUS key range makes
+          // its bitmap64 sketch run-container tiny, and exact
+          // membership means the filter IS the semi join — no join
+          // operator behind it at all (bloom still needs the exact
+          // join to clear its false positives)
+          val t3 = System.nanoTime()
+          val sketch = dim
+            .agg(functions.GraftFunctions.bitmap64Agg("k").as("sk"))
+            .head().getAs[Array[Byte]](0)
+          val tSk = (System.nanoTime() - t3) / 1e9
+          val viaSketch = src
+            .filter(functions.GraftFunctions.bitmap64Contains("k", sketch))
+            .agg(count(lit(1)).as("n"))
+          viaSketch.write.format("noop").mode("overwrite").save() // warm
+          val t4 = System.nanoTime()
+          val sketchN = viaSketch.head().getLong(0)
+          println(f"exact bitmap64 filter, NO join ($n rows, ${sketch.length / 1e3}%.1f KB sketch): ${(System.nanoTime() - t4) / 1e9}%.2f s (+ $tSk%.2f s one-time build)")
+          require(exactN == sketchN,
+            s"bitmap64-filtered count $sketchN != exact $exactN")
         }
       case "skew" =>
         // Skew's claim, measured: a join where ONE key carries ~30%

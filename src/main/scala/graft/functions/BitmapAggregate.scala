@@ -483,17 +483,47 @@ object SparseBitmap {
     bb.remaining == 0
   }
 
-  // Membership probes against SERIALIZED sketch bytes deserialize
-  // once per byte-array instance (weak identity cache — in the probe
-  // expression the bytes ride into generated code as one reference
-  // object per task, so the common case is one entry) and then pay
-  // O(log) per key against the in-memory structure, instead of
-  // re-walking the container directory per row.
-  private val probeCache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[Array[Byte], SparseBitmap]())
+  /** Probe-optimized view of a deserialized sketch: a sorted long[]
+    * chunk directory + parallel container array, so a membership test
+    * is one unboxed binary search + a container probe — no TreeMap
+    * boxing, no allocation per row.
+    */
+  final class Probe private[SparseBitmap] (his: Array[Long], conts: Array[Container]) {
+    def contains(key: Long): Boolean = {
+      val i = java.util.Arrays.binarySearch(his, key >> 16)
+      i >= 0 && conts(i).contains((key & 0xffffL).toInt)
+    }
+  }
 
-  def containsSerialized(bytes: Array[Byte], key: Long): Boolean =
-    probeCache.computeIfAbsent(bytes, deserialize(_)).contains(key)
+  private def probeOf(bytes: Array[Byte]): Probe = {
+    val sb = deserialize(bytes)
+    val his = new Array[Long](sb.chunks.size)
+    val conts = new Array[Container](his.length)
+    var i = 0
+    sb.chunks.forEach { (hi, c) => his(i) = hi; conts(i) = c; i += 1 }
+    new Probe(his, conts)
+  }
+
+  // Membership probes against SERIALIZED sketch bytes deserialize
+  // once per (thread, byte-array instance) — in the probe expression
+  // the bytes ride into generated code as ONE reference object per
+  // task, so the thread-local caches by identity and the hot path is
+  // a ThreadLocal read + reference compare. (A shared synchronized
+  // cache was measured 30× slower at 1B rows: every row of every
+  // task serialized on one lock.)
+  private val lastProbe = new ThreadLocal[(Array[Byte], Probe)]
+
+  def containsSerialized(bytes: Array[Byte], key: Long): Boolean = {
+    val cached = lastProbe.get()
+    val p =
+      if (cached != null && (cached._1 eq bytes)) cached._2
+      else {
+        val fresh = probeOf(bytes)
+        lastProbe.set((bytes, fresh))
+        fresh
+      }
+    p.contains(key)
+  }
 
   /** Container-header walk — cardinality without touching payloads. */
   def countSerialized(bytes: Array[Byte]): Long = {
