@@ -505,18 +505,24 @@ object SparseBitmap {
   }
 
   // Membership probes against SERIALIZED sketch bytes deserialize
-  // once per (thread, byte-array instance) — in the probe expression
-  // the bytes ride into generated code as ONE reference object per
-  // task, so the thread-local caches by identity and the hot path is
-  // a ThreadLocal read + reference compare. (A shared synchronized
-  // cache was measured 30× slower at 1B rows: every row of every
-  // task serialized on one lock.)
+  // once per (thread, sketch) — with a driver-collected sketch
+  // LITERAL (the q53/bloom gating shape) the bytes ride into
+  // generated code as ONE reference object per task, so the hot path
+  // is a ThreadLocal read + reference compare. A sketch COLUMN
+  // yields a fresh array instance per row (UnsafeRow.getBinary
+  // copies); canonical serialization makes equal sketches
+  // byte-equal, so a content compare (~memcmp, far cheaper than
+  // re-parsing) still reuses the probe. (A shared synchronized cache
+  // was measured 30× slower at 1B rows: every row of every task
+  // serialized on one lock.)
   private val lastProbe = new ThreadLocal[(Array[Byte], Probe)]
 
   def containsSerialized(bytes: Array[Byte], key: Long): Boolean = {
     val cached = lastProbe.get()
     val p =
-      if (cached != null && (cached._1 eq bytes)) cached._2
+      if (cached != null &&
+        ((cached._1 eq bytes) || java.util.Arrays.equals(cached._1, bytes)))
+        cached._2
       else {
         val fresh = probeOf(bytes)
         lastProbe.set((bytes, fresh))
