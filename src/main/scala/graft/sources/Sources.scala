@@ -36,6 +36,35 @@ object Sources {
     w.save(path)
   }
 
+  /** Parquet write with ROW-GROUP BLOOM FILTERS on selected columns —
+    * scan-level skipping for point-lookup predicates (the fp-gating /
+    * id-probe shape): at read time a `col = x` predicate consults the
+    * row group's bloom before touching its pages, so a 100 TB table
+    * answers needle queries by skipping most row groups outright.
+    * Complements bucketing (exchange-free JOINS) with scan-level
+    * pruning for FILTERS, needs no catalog table, and survives plain
+    * `spark.read.parquet`. `ndv` sizes each filter (expected distinct
+    * values per row group — overshooting costs bytes, undershooting
+    * costs false-positive reads).
+    *
+    * Dictionary interplay (parquet-mr's adaptive behavior, measured):
+    * a row group whose column stays FULLY dictionary-encoded gets NO
+    * bloom — the dictionary already answers exact row-group pruning —
+    * and the filter materializes exactly where encoding falls back to
+    * plain, i.e. on the high-cardinality columns (fingerprints, ids)
+    * point-lookup pruning is for. Low-cardinality columns therefore
+    * silently (and correctly) skip the bloom bytes.
+    */
+  def writeWithBloomFilters(df: DataFrame, path: String, cols: Seq[String],
+                            ndv: Long = 1000000L): Unit = {
+    var w = df.write.mode("overwrite").format("parquet")
+    cols.foreach { c =>
+      w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }
+    w.save(path)
+  }
+
   /** Read raw media/blob files as rows — the ingest entry point for
     * the multimodal operators (graft.multimodal's decode seam
     * consumes exactly this shape): one row per file with
