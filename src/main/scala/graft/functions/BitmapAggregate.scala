@@ -175,15 +175,24 @@ final class SparseBitmap {
   }
 
   def serialize: Array[Byte] = {
+    // one canonical-form computation (incl. the run scan) per
+    // container, shared by the sizing pass and the write pass
+    val forms = new Array[(Long, Container, Byte, Int, Int)](chunks.size)
     var payload = 0
-    chunks.forEach((_, c) => payload += c.payloadBytes)
+    var i = 0
+    chunks.forEach { (hi, c) =>
+      val (fmt, size, runs) = c.canonicalForm
+      forms(i) = (hi, c, fmt, size, runs)
+      payload += size
+      i += 1
+    }
     val bb = java.nio.ByteBuffer.allocate(8 + chunks.size * 13 + payload)
     bb.putInt(Magic)
     bb.putInt(chunks.size)
-    chunks.forEach { (hi, c) =>
+    forms.foreach { case (hi, c, fmt, _, runs) =>
       bb.putLong(hi)
       bb.putInt(c.card)
-      c.writePayload(bb)
+      c.writePayload(bb, fmt, runs)
     }
     bb.array()
   }
@@ -203,6 +212,13 @@ object SparseBitmap {
     * wire layout.)
     */
   val Magic = 0x47425337 // "GBS7"
+  /** The pre-run-container wire form (array/bitmap only, no form
+    * tag). Recognized only to FAIL LOUDLY: new readers reject it with
+    * a rebuild message, and the dense-side guards still classify its
+    * bytes as sparse — the loud-failure contract survives the format
+    * bump instead of old sketches popcounting as garbage.
+    */
+  private val OldMagic = 0x47425336 // "GBS6"
   /** Serialized container forms (one tag byte each). */
   private val FmtArray: Byte = 0
   private val FmtBitmap: Byte = 1
@@ -321,20 +337,20 @@ object SparseBitmap {
       r
     }
 
-    /** Canonical serialized form + its payload size: the SMALLEST of
-      * runs (4 + 4·r), array (2·n), bitmap (8 KiB), ties broken
-      * run ≺ array ≺ bitmap — all derived from the final key set, so
-      * the choice is independent of build history.
+    /** Canonical serialized form, its payload size, and the run count
+      * backing it: the SMALLEST of runs (4 + 4·r), array (2·n),
+      * bitmap (8 KiB), ties broken run ≺ array ≺ bitmap — all derived
+      * from the final key set, so the choice is independent of build
+      * history.
       */
-    private def canonicalForm: (Byte, Int) = {
-      val runBytes = 4 + 4 * runCount
+    private[functions] def canonicalForm: (Byte, Int, Int) = {
+      val runs = runCount
+      val runBytes = 4 + 4 * runs
       val arrBytes = 2 * n
-      if (runBytes <= arrBytes && runBytes <= WordBytes) (FmtRuns, runBytes)
-      else if (arrBytes <= WordBytes) (FmtArray, arrBytes)
-      else (FmtBitmap, WordBytes)
+      if (runBytes <= arrBytes && runBytes <= WordBytes) (FmtRuns, runBytes, runs)
+      else if (arrBytes <= WordBytes) (FmtArray, arrBytes, runs)
+      else (FmtBitmap, WordBytes, runs)
     }
-
-    def payloadBytes: Int = canonicalForm._2
 
     /** Iterate the key set ascending regardless of representation. */
     private def foreachValue(f: Int => Unit): Unit =
@@ -353,7 +369,7 @@ object SparseBitmap {
         while (i < n) { f(arr(i)); i += 1 }
       }
 
-    def writePayload(bb: java.nio.ByteBuffer): Unit = canonicalForm._1 match {
+    def writePayload(bb: java.nio.ByteBuffer, fmt: Byte, runs: Int): Unit = fmt match {
       case FmtArray =>
         bb.put(FmtArray)
         foreachValue(v => bb.putChar(v.toChar))
@@ -372,7 +388,7 @@ object SparseBitmap {
         }
       case _ =>
         bb.put(FmtRuns)
-        bb.putInt(runCount)
+        bb.putInt(runs)
         // (start, length-1) per run, both 16-bit
         var start = -2
         var prev = -2
@@ -387,10 +403,18 @@ object SparseBitmap {
     }
   }
 
+  private def checkMagic(bb: java.nio.ByteBuffer): Unit = {
+    require(bb.remaining >= 8, "not a graft_bitmap64 sketch (truncated)")
+    val m = bb.getInt()
+    require(m != OldMagic,
+      "old graft_bitmap64 wire format (GBS6) — rebuild the sketch with this build")
+    require(m == Magic,
+      "not a graft_bitmap64 sketch (bad magic) — dense graft_bitmap bytes?")
+  }
+
   def deserialize(bytes: Array[Byte]): SparseBitmap = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    require(bb.remaining >= 8 && bb.getInt() == Magic,
-      "not a graft_bitmap64 sketch (bad magic) — dense graft_bitmap bytes?")
+    checkMagic(bb)
     val nChunks = bb.getInt()
     val sb = new SparseBitmap
     var c = 0
@@ -466,16 +490,21 @@ object SparseBitmap {
   def looksSerialized(bytes: Array[Byte]): Boolean = {
     if (bytes.length < 8) return false
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    if (bb.getInt() != Magic) return false
+    val magic = bb.getInt()
+    if (magic != Magic && magic != OldMagic) return false
     val n = bb.getInt()
     if (n < 0) return false
     var c = 0
     while (c < n) {
-      if (bb.remaining < 13) return false
+      if (bb.remaining < 12) return false
       bb.getLong()
       val card = bb.getInt()
       if (card < 0 || card > 65536) return false
-      val len = payloadLen(bb, card, bb.get())
+      val len =
+        if (magic == OldMagic) // GBS6: no form tag, card implies layout
+          (if (card <= ArrayCap) card * 2 else WordBytes)
+        else if (bb.remaining < 1) -1
+        else payloadLen(bb, card, bb.get())
       if (len < 0 || bb.remaining < len) return false
       bb.position(bb.position() + len)
       c += 1
@@ -504,38 +533,56 @@ object SparseBitmap {
     new Probe(his, conts)
   }
 
-  // Membership probes against SERIALIZED sketch bytes deserialize
-  // once per (thread, sketch) — with a driver-collected sketch
-  // LITERAL (the q53/bloom gating shape) the bytes ride into
-  // generated code as ONE reference object per task, so the hot path
-  // is a ThreadLocal read + reference compare. A sketch COLUMN
-  // yields a fresh array instance per row (UnsafeRow.getBinary
-  // copies); canonical serialization makes equal sketches
-  // byte-equal, so a content compare (~memcmp, far cheaper than
-  // re-parsing) still reuses the probe. (A shared synchronized cache
-  // was measured 30× slower at 1B rows: every row of every task
-  // serialized on one lock.)
-  private val lastProbe = new ThreadLocal[(Array[Byte], Probe)]
+  // Membership probes against SERIALIZED sketch bytes parse each
+  // distinct sketch once per thread, via a small per-thread MRU of
+  // soft references — with a driver-collected sketch LITERAL (the
+  // q53/bloom gating shape) the bytes ride into generated code as
+  // ONE reference object per task, so the hot path is a ThreadLocal
+  // read + reference compare; a sketch COLUMN yields a fresh array
+  // per row (UnsafeRow.getBinary copies) and falls back to a content
+  // compare (canonical serialization makes equal sketches
+  // byte-equal; ~memcmp, far cheaper than re-parsing). Several slots
+  // keep plans probing a handful of sketches (two predicates, an
+  // interleaved sketch column) off the re-parse cliff, and the soft
+  // references let GC reclaim retained probes on idle long-lived
+  // executor threads. (A shared synchronized cache was measured 30×
+  // slower at 1B rows: every row of every task serialized on one
+  // lock.)
+  private val ProbeSlots = 4
+  private val probeSlots =
+    new ThreadLocal[Array[java.lang.ref.SoftReference[(Array[Byte], Probe)]]] {
+      override def initialValue() =
+        new Array[java.lang.ref.SoftReference[(Array[Byte], Probe)]](ProbeSlots)
+    }
 
   def containsSerialized(bytes: Array[Byte], key: Long): Boolean = {
-    val cached = lastProbe.get()
-    val p =
-      if (cached != null &&
-        ((cached._1 eq bytes) || java.util.Arrays.equals(cached._1, bytes)))
-        cached._2
-      else {
-        val fresh = probeOf(bytes)
-        lastProbe.set((bytes, fresh))
-        fresh
+    val slots = probeSlots.get()
+    var i = 0
+    while (i < ProbeSlots) {
+      val ref = slots(i)
+      if (ref != null) {
+        val e = ref.get()
+        if (e != null &&
+          ((e._1 eq bytes) || java.util.Arrays.equals(e._1, bytes))) {
+          if (i != 0) { // move-to-front: the hot sketch stays a 1-compare hit
+            System.arraycopy(slots, 0, slots, 1, i)
+            slots(0) = ref
+          }
+          return e._2.contains(key)
+        }
       }
-    p.contains(key)
+      i += 1
+    }
+    val fresh = probeOf(bytes)
+    System.arraycopy(slots, 0, slots, 1, ProbeSlots - 1)
+    slots(0) = new java.lang.ref.SoftReference((bytes, fresh))
+    fresh.contains(key)
   }
 
   /** Container-header walk — cardinality without touching payloads. */
   def countSerialized(bytes: Array[Byte]): Long = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
-    require(bb.remaining >= 8 && bb.getInt() == Magic,
-      "not a graft_bitmap64 sketch (bad magic) — dense graft_bitmap bytes?")
+    checkMagic(bb)
     val nChunks = bb.getInt()
     var total = 0L
     var c = 0

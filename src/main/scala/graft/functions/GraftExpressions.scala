@@ -388,9 +388,14 @@ case class SparseBitmapCount(child: Expression) extends UnaryExpression {
   * [[BloomMightContain]] with zero false positives: a filter built
   * from a sketch COLUMN or a driver-collected sketch literal answers
   * exact key membership, so an ingest gate or semi-join prune off a
-  * persisted sparse sketch needs no verify join behind it. The probe
-  * deserializes each distinct byte array once (weak identity cache)
-  * and pays a chunk lookup + container probe per key.
+  * persisted sparse sketch needs no verify join behind it. Probes go
+  * through a small per-thread MRU of soft-referenced parsed sketches
+  * (identity fast path for a literal sketch, content-equality
+  * fallback for a sketch column; see
+  * [[SparseBitmap.containsSerialized]]) and pay a chunk binary
+  * search + container probe per key. A plan interleaving MORE
+  * distinct sketches than the MRU holds per thread re-parses per
+  * row — restructure such a plan as a join instead.
   */
 case class SparseBitmapContains(left: Expression, right: Expression)
   extends BinaryExpression {

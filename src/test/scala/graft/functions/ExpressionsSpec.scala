@@ -193,6 +193,23 @@ class ExpressionsSpec extends SparkSpecBase {
     }
     // while genuine dense bytes still count fine through the guard
     assert(GraftHashOps.bitmapCount(dense.toByteArray) == 2L)
+    // the PRE-run-container wire form (GBS6, no form tag) must fail
+    // loudly EVERYWHERE — sparse readers say "rebuild", dense guards
+    // still classify it as sparse — never popcount as garbage
+    val gbs6 = java.nio.ByteBuffer.allocate(8 + 12 + 4)
+    gbs6.putInt(0x47425336).putInt(1) // old magic, one container
+    gbs6.putLong(3L).putInt(2).putChar(5.toChar).putChar(9.toChar)
+    val oldBytes = gbs6.array()
+    val e1 = intercept[IllegalArgumentException] {
+      SparseBitmap.deserialize(oldBytes)
+    }
+    assert(e1.getMessage.contains("rebuild"), e1.getMessage)
+    intercept[IllegalArgumentException] {
+      SparseBitmap.countSerialized(oldBytes)
+    }
+    intercept[IllegalArgumentException] {
+      GraftHashOps.bitmapCount(oldBytes)
+    }
   }
 
   test("graft_bitmap64_contains: EXACT membership probe across all container forms") {
