@@ -109,9 +109,13 @@ object IndexLifecycle {
   def deleteRecursively(path: String): Unit = {
     import scala.jdk.CollectionConverters._
     val root = java.nio.file.Path.of(path)
-    if (java.nio.file.Files.exists(root))
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      val paths =
+        try walk.iterator().asScala.toSeq
+        finally walk.close()
+      paths.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   /** Drop a catalog table and its backing files (file: scheme only) —

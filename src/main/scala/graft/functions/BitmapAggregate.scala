@@ -415,13 +415,24 @@ object SparseBitmap {
   def deserialize(bytes: Array[Byte]): SparseBitmap = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     checkMagic(bb)
+    // every structural inconsistency — truncation, a payload emitting
+    // more values than the header card, a bad run count — dies as a
+    // loud IllegalArgumentException here, never as an index/underflow
+    // error from inside the container walk
+    def corrupt(what: String): Nothing =
+      throw new IllegalArgumentException(s"corrupt sparse sketch: $what")
+    def needs(n: Int): Unit = if (bb.remaining < n) corrupt("truncated payload")
+    needs(4)
     val nChunks = bb.getInt()
+    if (nChunks < 0) corrupt(s"negative chunk count $nChunks")
     val sb = new SparseBitmap
     var c = 0
     while (c < nChunks) {
+      needs(13) // hi(8) + card(4) + fmt(1)
       val hi = bb.getLong()
       val card = bb.getInt()
       val fmt = bb.get()
+      if (card < 1 || card > 65536) corrupt(s"container cardinality $card")
       val cont = new Container
       // in-memory representation follows the only-grows rule (array
       // iff card ≤ ArrayCap) regardless of the serialized form
@@ -430,19 +441,32 @@ object SparseBitmap {
       else { cont.words = new Array[Long](Words); cont.arr = null }
       var idx = 0
       def emit(v: Int): Unit = {
-        if (asArray) { cont.arr(idx) = v.toChar; idx += 1 }
+        if (idx >= card) corrupt(s"container emits more than card=$card values")
+        if (asArray) cont.arr(idx) = v.toChar
         else cont.words(v >>> 6) |= 1L << (v & 63)
+        idx += 1
       }
       fmt match {
         case FmtArray =>
+          needs(card * 2)
           var i = 0
           while (i < card) { emit(bb.getChar()); i += 1 }
         case FmtBitmap =>
-          require(!asArray, s"bitmap form with card $card ≤ $ArrayCap is not canonical")
+          if (asArray) corrupt(s"bitmap form with card $card ≤ $ArrayCap is not canonical")
+          needs(WordBytes)
+          var pc = 0
           var i = 0
-          while (i < Words) { cont.words(i) = bb.getLong(); i += 1 }
+          while (i < Words) {
+            val w = bb.getLong(); cont.words(i) = w
+            pc += java.lang.Long.bitCount(w); i += 1
+          }
+          if (pc != card) corrupt(s"bitmap popcount $pc != header card $card")
+          idx = card
         case FmtRuns =>
+          needs(4)
           val nRuns = bb.getInt()
+          if (nRuns < 1 || nRuns > card) corrupt(s"run count $nRuns vs card $card")
+          needs(nRuns * 4)
           var r = 0
           while (r < nRuns) {
             val start = bb.getChar().toInt
@@ -451,9 +475,9 @@ object SparseBitmap {
             while (v < start + len) { emit(v); v += 1 }
             r += 1
           }
-        case other =>
-          throw new IllegalArgumentException(s"unknown sparse container form $other")
+        case other => corrupt(s"unknown container form $other")
       }
+      if (idx != card) corrupt(s"container emitted $idx values, header card $card")
       cont.n = card
       sb.chunks.put(hi, cont)
       c += 1
@@ -549,33 +573,70 @@ object SparseBitmap {
   // slower at 1B rows: every row of every task serialized on one
   // lock.)
   private val ProbeSlots = 4
-  private val probeSlots =
-    new ThreadLocal[Array[java.lang.ref.SoftReference[(Array[Byte], Probe)]]] {
-      override def initialValue() =
-        new Array[java.lang.ref.SoftReference[(Array[Byte], Probe)]](ProbeSlots)
+  // after this many re-parses on ONE thread, warn once process-wide:
+  // the plan is interleaving more sketches than the MRU holds and the
+  // scaladoc's restructure-as-join guidance should surface at runtime,
+  // not stay buried in comments
+  private val ThrashWarnAt = 64
+  private val thrashWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.SparseBitmap")
+
+  private final class ProbeCache {
+    // (quickFp, bytes, probe): the fp gate turns the per-row cost of a
+    // sketch-COLUMN probe from a full memcmp into length+two-word
+    // mixing, with memcmp only on fp match
+    val slots = new Array[java.lang.ref.SoftReference[(Long, Array[Byte], Probe)]](ProbeSlots)
+    var parses = 0
+  }
+  private val probeSlots = new ThreadLocal[ProbeCache] {
+    override def initialValue() = new ProbeCache
+  }
+
+  /** Cheap content fingerprint: length mixed with the first post-magic
+    * word (chunk count + first chunk hi) and the last word. Canonical
+    * serialization makes equal sketches byte-equal, so fp inequality
+    * proves byte inequality; fp equality still takes the memcmp.
+    */
+  private def quickFp(b: Array[Byte]): Long = {
+    val n = b.length
+    var h = n.toLong
+    if (n >= 12) {
+      val bb = java.nio.ByteBuffer.wrap(b)
+      h = h * 0x9e3779b97f4a7c15L ^ bb.getLong(4)
+      h = java.lang.Long.rotateLeft(h, 17) ^ bb.getLong(n - 8)
     }
+    h
+  }
 
   def containsSerialized(bytes: Array[Byte], key: Long): Boolean = {
-    val slots = probeSlots.get()
+    val cache = probeSlots.get()
+    val slots = cache.slots
+    val fp = quickFp(bytes)
     var i = 0
     while (i < ProbeSlots) {
       val ref = slots(i)
       if (ref != null) {
         val e = ref.get()
-        if (e != null &&
-          ((e._1 eq bytes) || java.util.Arrays.equals(e._1, bytes))) {
+        if (e != null && ((e._2 eq bytes) ||
+            (e._1 == fp && java.util.Arrays.equals(e._2, bytes)))) {
           if (i != 0) { // move-to-front: the hot sketch stays a 1-compare hit
             System.arraycopy(slots, 0, slots, 1, i)
             slots(0) = ref
           }
-          return e._2.contains(key)
+          return e._3.contains(key)
         }
       }
       i += 1
     }
     val fresh = probeOf(bytes)
+    cache.parses += 1
+    if (cache.parses == ThrashWarnAt && thrashWarned.compareAndSet(false, true))
+      log.warn(s"graft_bitmap64 probe cache re-parsed $ThrashWarnAt sketches on one " +
+        s"thread (cache holds $ProbeSlots): a plan interleaving many distinct " +
+        "sketches per thread re-parses per row — restructure the probe as a " +
+        "join (see SparseBitmap scaladoc)")
     System.arraycopy(slots, 0, slots, 1, ProbeSlots - 1)
-    slots(0) = new java.lang.ref.SoftReference((bytes, fresh))
+    slots(0) = new java.lang.ref.SoftReference((fp, bytes, fresh))
     fresh.contains(key)
   }
 

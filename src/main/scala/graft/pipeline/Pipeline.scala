@@ -226,14 +226,19 @@ object Pipeline {
     * the on-disk artifact from the declarative manifest fails this
     * row. Each call clears the derived output dir first, so the gate
     * (and the bench row) always pays a FULL write — never the
-    * committed-replay shortcut — while reusing one fixed location so
-    * repeated runs don't accumulate temp dirs.
+    * committed-replay shortcut — while reusing one per-process
+    * location so repeated runs don't accumulate temp dirs. The dir
+    * name folds in the PID and session identity: two processes (or
+    * two sessions) benching the same corpus dir must not race one
+    * shared dir's delete-then-write cycle.
     */
   val pp12_shard_files: Q = (s, d) => {
     val out = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"),
       "graft-shards-" + java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(d) & 0xffffffffL)).toString
+        scala.util.hashing.MurmurHash3.stringHash(d) & 0xffffffffL) +
+        "-p" + ProcessHandle.current().pid() +
+        "-s" + java.lang.Integer.toHexString(System.identityHashCode(s))).toString
     graft.IndexLifecycle.deleteRecursively(out)
     graft.IndexLifecycle.deleteRecursively(out + ".staging")
     writeShards(s, d, out).orderBy("shard")

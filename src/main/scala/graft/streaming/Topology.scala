@@ -231,13 +231,6 @@ object StateBackend {
   }
 }
 
-object Topology {
-  /** Serializes the set-conf → start → restore window of
-    * backend-overriding [[Topology.run]] calls (see there).
-    */
-  private[streaming] val startLock = new Object
-}
-
 final case class Topology(spout: Spout, bolts: Seq[Bolt], sink: Sink,
                           trigger: Option[Trigger] = None,
                           stateBackend: StateBackend = StateBackend.Default) {
@@ -260,25 +253,19 @@ final case class Topology(spout: Spout, bolts: Seq[Bolt], sink: Sink,
     stateBackend.providerClass match {
       case None => sink.start(wired, trigger)
       case Some(cls) =>
-        // the provider conf is captured when the query starts
-        // (StreamExecution clones the session), so set → start →
-        // restore scopes the choice to THIS query. The window is
-        // serialized per session (Topology.startLock) so two
-        // concurrent run() calls can't interleave their set/restore
-        // pairs; a NON-topology query started on the same session
-        // inside the window would still capture this provider — start
-        // those on their own session (newSession()) if it matters.
-        val s = wired.sparkSession
-        Topology.startLock.synchronized {
-          val key = "spark.sql.streaming.stateStore.providerClass"
-          val prev = s.conf.getOption(key)
-          s.conf.set(key, cls)
-          try sink.start(wired, trigger)
-          finally prev match {
-            case Some(v) => s.conf.set(key, v)
-            case None => s.conf.unset(key)
-          }
-        }
+        // the provider conf is captured when the query starts, so
+        // the override lives on a PRIVATE clone of the wired
+        // session: the caller's session conf is never touched, not
+        // even transiently, so a concurrent query started on it can
+        // never capture this provider (the earlier set→start→restore
+        // under a lock still had that window). The clone shares the
+        // SparkContext and catalog and inherits the runtime conf;
+        // the wired plan is transplanted because spouts may close
+        // over DataFrames of the caller's session.
+        import org.apache.spark.sql.graftbridge.SessionBridge
+        val cloned = SessionBridge.cloneWithConf(wired.sparkSession,
+          "spark.sql.streaming.stateStore.providerClass" -> cls)
+        sink.start(SessionBridge.transplant(cloned, wired), trigger)
     }
   }
 }
