@@ -443,8 +443,44 @@ object ScaleProbe {
         val egB = srcB.groupBy("g").agg(countDistinct("k").as("d"))
           .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
         require(sgB == egB, s"contiguous sketch diverged: $sgB vs $egB")
+      case "annappend" =>
+        // appendToIvfIndex's ingest claim, measured: a fixed-size
+        // vector batch appended to a 1× and a 10× persisted IVF/PQ
+        // index. The append is one narrow assign+encode pass over the
+        // BATCH plus batch-sized partitioned file writes — resident
+        // vectors are never read or rewritten — so its cost must stay
+        // flat across index scale, while the alternative it replaces
+        // (a full rebuild) grows ∝ corpus. Both are timed here from
+        // the SHIPPED code paths.
+        val vdim = 64
+        val batchRows = 100000L
+        def synth(n: Long, off: Long) = spark.range(n)
+          .select((col("id") + off).as("vec_id"),
+            expr(s"transform(sequence(1, $vdim), j -> " +
+              "cast(pmod(xxhash64(id * 64 + j), 1000) as float) / 1000.0)")
+              .as("embedding"),
+            lit("c").as("label"))
+        Seq(rows / 10, rows).foreach { n =>
+          val corpus = java.nio.file.Files.createTempDirectory("probe-annapp").toString
+          synth(n, 0L).write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+          val idx = s"$corpus/idx"
+          val t0 = System.nanoTime()
+          // sample ∝ 1/mod keeps training ~50k vectors at every scale:
+          // the rebuild contrast should measure the corpus-sized
+          // assignment+write, not an ever-growing training set
+          similarity.Similarity.buildIvfIndex(spark, corpus, idx,
+            nCells = 64, iters = 2, sampleMod = math.max(1, (n / 50000).toInt))
+          println(f"full build ($n vecs): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          val batch = synth(batchRows, n + 1000000L).select("vec_id", "embedding")
+          batch.write.format("noop").mode("overwrite").save() // warm (Janino/JIT)
+          val t1 = System.nanoTime()
+          similarity.Similarity.appendToIvfIndex(spark, idx, batch)
+          println(f"append ($batchRows vecs onto $n-vec index): ${(System.nanoTime() - t1) / 1e9}%.2f s")
+          val total = spark.read.parquet(s"$idx/vectors").count()
+          require(total == n + batchRows, s"append lost rows: $total != ${n + batchRows}")
+        }
       case other =>
-        System.err.println(s"unknown probe '$other'; use topn | cumsum | incr | hh | bloom | skew | tri | pr | bitmap64")
+        System.err.println(s"unknown probe '$other'; use topn | cumsum | incr | hh | bloom | skew | tri | pr | bitmap64 | annappend")
         sys.exit(2)
     }
     spark.stop()

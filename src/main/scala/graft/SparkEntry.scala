@@ -14,6 +14,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.registry ++
+      operators.MergeTable.registry ++
       text.TextAnalysis.registry ++
       dedup.Dedup.registry ++
       similarity.Similarity.registry ++
@@ -25,6 +26,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++
+      operators.MergeTable.oracles ++
       text.TextAnalysis.oracles ++
       dedup.Dedup.oracles ++
       similarity.Similarity.oracles ++

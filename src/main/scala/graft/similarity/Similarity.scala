@@ -373,6 +373,57 @@ object Similarity {
     */
   def evictIndex(s: SparkSession, d: String): Unit = ivfLife.evict(s, d)
 
+  /** Incremental index append — add-without-train for the persisted
+    * IVF/PQ layout (the same trade faiss's `add` makes on a trained
+    * index), closing the ingest-family asymmetry: dd10/dd11 commit
+    * dedup deltas back to their indexes; this commits new VECTORS
+    * back to the ANN index without a rebuild. Each batch vector is
+    * assigned to its nearest EXISTING cell by the same codegen'd
+    * NearestCells routing the probe uses and PQ-encoded against the
+    * EXISTING codebooks — one narrow map over the batch, then an
+    * append into the cell-partitioned layout. Cost ∝ batch, never
+    * corpus (ScaleProbe `annappend` measures it); resident vectors
+    * are never reassigned or rewritten. Probes pick the rows up on
+    * their next scan with no cache to invalidate: the session memo
+    * holds only the index DIR, and both probe modes re-list the cell
+    * partitions per call.
+    *
+    * Durability matches every other parquet append in the library:
+    * in-flight task output lives under `_temporary` (invisible to
+    * readers); the visibility window is the job-commit rename. A
+    * crash inside that window can leave a partial batch — an ingest
+    * loop that needs writeShards-grade atomicity should stage the
+    * batch and re-append on replay keyed by its own batch id
+    * (NearDupIngestSink's two-phase log is the worked example).
+    *
+    * DRIFT dial: centroids and codebooks stay fixed, so cell balance
+    * and quantization fidelity degrade as the appended distribution
+    * drifts from the build-time sample — the standard
+    * add-without-train trade. [[ivfCellStats]] surfaces the balance;
+    * rebuild via [[buildIvfIndex]] when skew (or measured recall)
+    * crosses the workload's floor.
+    */
+  def appendToIvfIndex(s: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+    val cents = loadCentroids(s, indexDir)
+    val books = loadPqBooks(s, indexDir)
+    val e = batch
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", graft.functions.GraftFunctions.l2norm("v"))
+    assignCells(e, cents)
+      .withColumn("code",
+        graft.functions.GraftFunctions.pqEncode("v", books, pqBits))
+      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/vectors")
+  }
+
+  /** Cell-occupancy diagnostic backing the drift dial: one row per
+    * cell with its resident count — max/avg over this frame is the
+    * skew number the rebuild decision reads. Scans only the vec_id
+    * column (partition pruning gives cell for free).
+    */
+  def ivfCellStats(s: SparkSession, indexDir: String): DataFrame =
+    s.read.parquet(s"$indexDir/vectors")
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+
   // --- ann04: random-hyperplane LSH top-k — the LSH-bucketed ANN
   // scale path, complementing ann02's IVF (the two standard
   // sublinear ANN index families; a user picks by corpus shape —

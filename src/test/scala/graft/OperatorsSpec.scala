@@ -966,4 +966,62 @@ class OperatorsSpec extends SparkSpecBase {
     assert(out.forall(_.getAs[Long]("feat_dim") == 16L))
     assert(out.forall { r => val l2 = r.getAs[Double]("feat_l2"); l2 > 0 && l2 <= 1.0 })
   }
+
+  test("IVF index append: probe-after-append finds batch-2 vectors, no rebuild") {
+    import java.nio.file.{Files, Path}
+    import spark.implicits._
+    // build on half the corpus staged as its own dir, append the rest
+    val all = Tables.embeddings(spark, sfDir)
+    val buildHalf = all.filter(col("vec_id") % 2 === 0)
+    val appendHalf = all.filter(col("vec_id") % 2 =!= 0)
+    val corpus = tmpDir("ivf-app-corpus")
+    buildHalf.write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    val dir = tmpDir("ivf-app-idx")
+    similarity.Similarity.buildIvfIndex(spark, corpus, dir)
+    val vectors = () => spark.read.parquet(s"$dir/vectors")
+    val before = vectors().count()
+    val residentCells = vectors().select("cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val trainedFiles = Files.list(Path.of(dir, "centroids")).toArray.toSeq ++
+      Files.list(Path.of(dir, "pqbooks")).toArray.toSeq
+    // probes AT five batch-2 vectors (q_id offset dodges the
+    // self-match filter): absent before the append...
+    val probes = appendHalf.orderBy("vec_id").limit(5)
+      .select((col("vec_id") + 1000000L).as("q_id"),
+        col("embedding").cast("array<double>").as("va"))
+      .withColumn("na", graft.functions.GraftFunctions.l2norm("va"))
+    def top5(q: org.apache.spark.sql.DataFrame) =
+      similarity.Similarity.probeIvf(spark, dir, q)
+        .select("q_id", "n_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    top5(probes).foreach { case (q, ns) =>
+      assert(!ns.contains(q - 1000000L), s"batch-2 id ${q - 1000000L} in index before append")
+    }
+    similarity.Similarity.appendToIvfIndex(spark, dir,
+      appendHalf.select("vec_id", "embedding"))
+    // ...and found by the same probe afterwards (identical vector →
+    // cosine 1.0, top-5 member), with nothing rebuilt: row delta ==
+    // batch, every appended row in an EXISTING cell, training
+    // artifacts byte-untouched
+    top5(probes).foreach { case (q, ns) =>
+      assert(ns.contains(q - 1000000L), s"appended ${q - 1000000L} not found by probe: $ns")
+    }
+    assert(vectors().count() == before + appendHalf.count(), "append row delta != batch")
+    val cellsAfter = vectors().select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(cellsAfter.subsetOf(residentCells),
+      s"append invented cells: ${cellsAfter -- residentCells}")
+    assert((Files.list(Path.of(dir, "centroids")).toArray.toSeq ++
+      Files.list(Path.of(dir, "pqbooks")).toArray.toSeq) == trainedFiles,
+      "append touched the trained artifacts (centroids/pqbooks)")
+    // schema parity with the built layout: the IVF-PQ probe runs
+    // unchanged over the mixed (built + appended) files
+    assert(vectors().columns.sorted.toSeq == Seq("cell", "code", "nrm", "v", "vec_id"),
+      vectors().columns.mkString(","))
+    val pq = similarity.Similarity.probeIvfPq(spark, dir, probes)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    pq.foreach { case (q, ns) =>
+      assert(ns.contains(q - 1000000L), s"IVF-PQ probe missed appended ${q - 1000000L}: $ns")
+    }
+  }
 }
