@@ -120,6 +120,89 @@ object Dedup {
       .orderBy("src_a", "src_b")
   }
 
+  // --- dd13: sketch-based cross-source overlap — dd12's governance
+  // question answered from ONE pass of tiny mergeable sketches, no
+  // pair set materialized anywhere: per source (a) a sparse-bitmap
+  // sketch of the 64-bit doc-content fps → EXACT shared-identical-doc
+  // counts via inclusion–exclusion on three sketch cardinalities, and
+  // (b) a bottom-k signature of the hashed shingle universe →
+  // estimated shingle-set Jaccard (content overlap that surfaces a
+  // re-crawl even when the copies aren't byte-identical). dd12 stays
+  // the exact per-pair answer; dd13 is the one-scan ranking that
+  // says WHICH source pairs are worth dd12's candidate/verify cost.
+  // At 100 TB: narrow scans (source + hashes), shuffles carrying one
+  // partial-aggregated sketch row per (task, source), and a
+  // sources²-row matrix — driver-sized by definition, like a
+  // centroid table. Rows-only by design (bottom-k estimation and
+  // xxhash64 fp classes aren't ANSI-expressible); DedupSpec bounds
+  // the estimate against the exact Jaccard and asserts the
+  // exact-overlap column equals a direct count.
+  val dd13OverlapK = 512
+
+  val dd13_cross_source_overlap: Q = (s, d) => {
+    val k = dd13OverlapK
+    // (a) exact identical-content overlap: dd01's equality classes
+    // (normText), hashed to 64 bits for the sparse bitmap
+    val fpBytes = Tables.documents(s, d)
+      .select(col("source"), xxhash64(normText(col("text"))).as("fp"))
+      .groupBy("source")
+      .agg(graft.functions.GraftFunctions.bitmap64Agg("fp").as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    // (b) bottom-k shingle signature per source (distinct first: the
+    // heap samples the shingle SET, not its multiplicity)
+    val sigs = Tables.documents(s, d)
+      .select(col("source"), expr(toksExpr).as("t"))
+      .select(col("source"), explode(array_distinct(
+        graft.functions.GraftFunctions.rollingHashes("t", 3))).as("sh"))
+      .distinct()
+      .select(col("source"), (col("sh").cast("double") * -1).as("nsh"), col("sh"))
+      .groupBy("source")
+      .agg(graft.functions.GraftFunctions.topK("nsh", "sh", k).as("sig"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getAs[Long]("id")).toArray).toMap
+    val sources = fpBytes.keys.toSeq.sorted
+    val out = for {
+      i <- sources.indices
+      j <- i + 1 until sources.length
+    } yield {
+      val (a, b) = (sources(i), sources(j))
+      val ska = graft.functions.SparseBitmap.deserialize(fpBytes(a))
+      val skb = graft.functions.SparseBitmap.deserialize(fpBytes(b))
+      val (ca, cb) = (ska.cardinality, skb.cardinality)
+      ska.or(skb) // ska is a fresh per-pair parse — safe to mutate
+      val shared = ca + cb - ska.cardinality
+      (a, b, ca, cb, shared,
+        math.rint(bottomKJaccard(sigs(a), sigs(b), k) * 10000) / 10000)
+    }
+    import s.implicits._
+    out.toDF("src_a", "src_b", "n_content_a", "n_content_b",
+      "n_shared_exact", "jaccard_est").orderBy("src_a", "src_b")
+  }
+
+  /** Bottom-k Jaccard estimator over two signatures drawn with the
+    * SAME total order as graft_topk induces on hashed shingles
+    * (score `-double(h)` desc ≡ double(h) asc, ties by h asc):
+    * J ≈ |{k smallest of A∪B} ∩ A ∩ B| / k'. Standard bottom-k
+    * sketch theory: RSD ~ 1/√k (k=512 → ~4.4%).
+    */
+  private[dedup] def bottomKJaccard(a: Array[Long], b: Array[Long], k: Int): Double = {
+    val sa = a.toSet
+    val sb = b.toSet
+    implicit val ord: Ordering[(Double, Long)] =
+      Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+    val union = (sa ++ sb).toArray.map(h => (h.toDouble, h)).sorted
+    val kk = math.min(k, union.length)
+    if (kk == 0) return 0.0
+    var inter = 0
+    var i = 0
+    while (i < kk) {
+      val h = union(i)._2
+      if (sa(h) && sb(h)) inter += 1
+      i += 1
+    }
+    inter.toDouble / kk
+  }
+
   private def buildJaccardPairs(s: SparkSession, d: String): DataFrame = {
     // no explicit cache: the shingle subplan appears three times in
     // this one plan and Spark's ReuseExchange already dedupes it —
@@ -662,6 +745,7 @@ object Dedup {
     "dd01_exact" -> dd01_exact,
     "dd02_ngram_jaccard" -> dd02_ngram_jaccard,
     "dd12_cross_source_dups" -> dd12_cross_source_dups,
+    "dd13_cross_source_overlap" -> dd13_cross_source_overlap,
     "dd03_embed_neardup" -> dd03_embed_neardup,
     "dd04_minhash_lsh" -> dd04_minhash_lsh,
     "dd05_simhash" -> dd05_simhash,

@@ -967,6 +967,37 @@ class OperatorsSpec extends SparkSpecBase {
     assert(out.forall { r => val l2 = r.getAs[Double]("feat_l2"); l2 > 0 && l2 <= 1.0 })
   }
 
+  test("dd13: exact shared-content counts; Jaccard estimate bounded vs exact") {
+    import spark.implicits._
+    val m = dedup.Dedup.dd13_cross_source_overlap(spark, sfDir).collect()
+    assert(m.nonEmpty, "no source pairs")
+    // ground truth, computed directly at fixture scale
+    val fps = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        xxhash64(text.TextAnalysis.normText(col("text"))).as("fp"))
+      .distinct().as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val sh = Tables.documents(spark, sfDir)
+      .select(col("source"), expr(text.TextAnalysis.toksExpr).as("t"))
+      .select(col("source"), explode(array_distinct(
+        graft.functions.GraftFunctions.rollingHashes("t", 3))).as("sh"))
+      .distinct().as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    m.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      // the bitmap64 inclusion–exclusion column is EXACT
+      assert(r.getAs[Long]("n_shared_exact") == (fps(a) & fps(b)).size.toLong,
+        s"$a/$b exact overlap diverges")
+      assert(r.getAs[Long]("n_content_a") == fps(a).size.toLong &&
+        r.getAs[Long]("n_content_b") == fps(b).size.toLong,
+        s"$a/$b content counts diverge")
+      // bottom-k estimate: |err| well inside the k=512 sketch bound
+      val jac = (sh(a) & sh(b)).size.toDouble / (sh(a) | sh(b)).size
+      val est = r.getAs[Double]("jaccard_est")
+      assert(math.abs(est - jac) <= 0.1, s"$a/$b estimate $est vs exact $jac")
+    }
+  }
+
   test("IVF index append: probe-after-append finds batch-2 vectors, no rebuild") {
     import java.nio.file.{Files, Path}
     import spark.implicits._

@@ -428,6 +428,40 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming index dedup, bitmap64-gated: kept set = exact bolt, pure filter") {
+    implicit val sql = spark.sqlContext
+    // a range-shaped 64-bit fp domain (sequence ids at a high offset)
+    // — the shape the exact gate exists for
+    val base = 3L << 40
+    val seen = spark.createDataFrame((0L to 2000L).map(i => Tuple1(base + i))).toDF("fp")
+    // unlike the bloom gate there is NO residual join: the bolt's
+    // whole transform is one narrow filter
+    val planStr = Bolts.dedupAgainstIndexBitmap64(seen, "fp")
+      .transform(spark.createDataFrame(Seq((1L, base))).toDF("doc_id", "fp"))
+      .queryExecution.executedPlan.toString
+    Seq("Join", "Exchange").foreach(op =>
+      assert(!planStr.contains(op), s"bitmap64 gate is not a pure filter:\n$planStr"))
+    val mem = MemoryStream[(Long, Long)]
+    val topo = Topology(
+      Spout("mem", _ => mem.toDF().toDF("doc_id", "fp")),
+      Seq(Bolts.dedupAgainstIndexBitmap64(seen, "fp")),
+      Sink("memory", (df, _) => df.writeStream.format("memory")
+        .queryName("idx_dedup_b64").outputMode(OutputMode.Append()).start()))
+    val q = topo.run(spark)
+    try {
+      mem.addData((1L, base + 5), (2L, base + 5000), (3L, base + 1999), (4L, base + 9999))
+      q.processAllAvailable()
+      // same stateless contract as the exact bolt: a later repeat of a
+      // non-indexed fp passes again
+      mem.addData((5L, base + 5000), (6L, base + 7))
+      q.processAllAvailable()
+      val got = spark.table("idx_dedup_b64").select("doc_id", "fp").as[(Long, Long)]
+        .collect().toSet
+      assert(got == Set((2L, base + 5000), (4L, base + 9999), (5L, base + 5000)),
+        s"bitmap64-gated kept set diverges from the exact contract: $got")
+    } finally q.stop()
+  }
+
   test("clock: element-wise strictly-greater comparison (clockGt)") {
     val c1 = Clock(Map("p0" -> "5", "p1" -> "7"))
     val c2 = Clock(Map("p0" -> "3", "p1" -> "6"))
