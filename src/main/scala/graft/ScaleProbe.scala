@@ -479,8 +479,63 @@ object ScaleProbe {
           val total = spark.read.parquet(s"$idx/vectors").count()
           require(total == n + batchRows, s"append lost rows: $total != ${n + batchRows}")
         }
+      case "build" =>
+        // the capstone: pp11's COMPOSED plan (gate ∘ dedup ∘
+        // decontaminate ∘ globalRank ∘ shard rollup) at bench scale
+        // ×1 and ×10 — each stage has its own probe; the untested
+        // surface is AQE's behavior under the join-heavy composition.
+        // Replicas get shifted ids and a per-replica salt token so
+        // the dedup stage keeps doing real (non-degenerate) work
+        // instead of collapsing 10 replicas into one survivor.
+        val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        val baseDocs = Tables.documents(spark, sfDir)
+        Seq(1, 10).foreach { reps =>
+          val dir = java.nio.file.Files.createTempDirectory(s"probe-build-x$reps").toString
+          (0 until reps).map(rIdx => baseDocs
+              .withColumn("doc_id", col("doc_id") + lit(rIdx * 100000000L))
+              .withColumn("text", concat(col("text"), lit(s" replicasalt$rIdx"))))
+            .reduce(_ unionByName _)
+            .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+          val nd = spark.read.parquet(s"$dir/documents.parquet").count()
+          def stages = Seq[(String, () => DataFrame)](
+            ("tx16 gate stage", () => graft.text.TextAnalysis.tx16_quality_gate(spark, dir)),
+            ("pp05 decontaminate stage", () => pipeline.Pipeline.pp05_decontaminate(spark, dir)),
+            ("pp11 full build", () => pipeline.Pipeline.pp11_full_build(spark, dir)))
+          if (reps == 1) // warm pass at the small scale (Janino/JIT)
+            stages.foreach(st => st._2().write.format("noop").mode("overwrite").save())
+          stages.foreach { case (label, mk) => time(s"$label ($nd docs)")(mk()) }
+        }
+      case "tx17vocab" =>
+        // tx17's one documented vocab-proportional intermediate (the
+        // bigram prefix-total aggregate), measured: the SHIPPED tx17
+        // over synthetic corpora whose bigram vocabulary differs 10×
+        // at identical corpus size. If wall time tracks corpus (the
+        // explode) rather than vocabulary, the intermediate needs no
+        // tx14-style cap; the bigram-count subplan is timed alone as
+        // the explode-only contrast.
+        val docsN = math.max(rows / 100, 1000L) // default 200k docs
+        val toksPerDoc = 100
+        Seq(rows / 200, rows / 20).foreach { v =>
+          val dir = java.nio.file.Files.createTempDirectory(s"probe-tx17-v$v").toString
+          spark.range(docsN).select(col("id").as("doc_id"),
+            expr(s"array_join(transform(sequence(1, $toksPerDoc), " +
+              s"j -> concat('t', pmod(xxhash64(id * $toksPerDoc + j), $v))), ' ')")
+              .as("text"))
+            .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+          val tx17 = () => graft.text.TextAnalysis.tx17_bigram_lp(spark, dir)
+          val explodeOnly = () => Tables.documents(spark, dir)
+            .select(col("doc_id"), expr(
+              "filter(split(lower(text), '\\\\W+'), x -> x != '')").as("t"))
+            .select(col("doc_id"), explode(expr(
+              "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("g"))
+            .groupBy("g").agg(count(lit(1)).as("cnt"))
+          tx17().write.format("noop").mode("overwrite").save() // warm
+          val distinctBg = explodeOnly().count()
+          time(s"bigram explode+count alone (~$v target vocab, $distinctBg distinct bigrams)")(explodeOnly())
+          time(s"tx17 full ($docsN docs, ~$v target vocab)")(tx17())
+        }
       case other =>
-        System.err.println(s"unknown probe '$other'; use topn | cumsum | incr | hh | bloom | skew | tri | pr | bitmap64 | annappend")
+        System.err.println(s"unknown probe '$other'; use topn | cumsum | incr | hh | bloom | skew | tri | pr | bitmap64 | annappend | build | tx17vocab")
         sys.exit(2)
     }
     spark.stop()

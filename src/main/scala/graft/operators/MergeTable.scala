@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** q59: file-pruned MERGE — q56's MERGE semantics applied to a
   * PHYSICAL multi-file table through a min/max-stats manifest, so a
@@ -112,6 +113,48 @@ object MergeTable {
 
   /** Observability of one merge's pruning decision. */
   final case class MergeStats(gen: Int, touched: Seq[String], untouched: Seq[String])
+
+  /** Drop everything the COMMITTED manifest no longer references:
+    * data files superseded by later rewrites, whole stale generation
+    * dirs, and all non-current manifests. Time-travel to old
+    * generations ends where vacuum begins (Delta/Iceberg's exact
+    * trade); the committed generation is untouched, so readers
+    * resolving the marker before/after a vacuum see identical rows.
+    * Returns the deleted file count.
+    */
+  def vacuum(s: SparkSession, dir: String): Int = {
+    val gen = committedGen(dir).getOrElse(
+      sys.error(s"$dir is not a committed keyed table (no _committed marker)"))
+    val live = manifest(s, dir).select("path").collect()
+      .map(r => java.nio.file.Path.of(java.net.URI.create(r.getString(0)))
+        .toAbsolutePath.toString).toSet
+    var deleted = 0
+    val root = java.nio.file.Path.of(dir)
+    val ls = java.nio.file.Files.list(root)
+    val entries = try ls.iterator().asScala.toSeq finally ls.close()
+    entries.foreach { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith("manifest-g") && name != s"manifest-g$gen") {
+        graft.IndexLifecycle.deleteRecursively(p.toString); deleted += 1
+      } else if (name.startsWith("_committed.tmp")) {
+        // a crashed commit's staged marker — never observed by readers
+        java.nio.file.Files.deleteIfExists(p); deleted += 1
+      } else if (name.startsWith("files-g")) {
+        val fs = java.nio.file.Files.list(p)
+        val files = try fs.iterator().asScala.toSeq finally fs.close()
+        files.foreach { f =>
+          if (!live.contains(f.toAbsolutePath.toString)) {
+            java.nio.file.Files.deleteIfExists(f); deleted += 1
+          }
+        }
+        // a generation dir emptied of data files can go entirely
+        val rest = java.nio.file.Files.list(p)
+        val empty = try !rest.iterator().hasNext finally rest.close()
+        if (empty) java.nio.file.Files.deleteIfExists(p)
+      }
+    }
+    deleted
+  }
 
   // ---- the merge ----
 

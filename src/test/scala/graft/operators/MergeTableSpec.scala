@@ -108,6 +108,35 @@ class MergeTableSpec extends SparkSpecBase {
     assert(r == ("WEB", 7 * 1.5), s"partial update broke the overlay: $r")
   }
 
+  test("vacuum drops only unreferenced files; committed table reads identically") {
+    import spark.implicits._
+    val dir = tmpDir("mergetab-vacuum")
+    MergeTable.write(spark, table(1000), "k", dir, nFiles = 8)
+    val stats = MergeTable.merge(spark, dir,
+      Seq((10L, "U", "WEB", 1.0), (990L, "D", null: String, 0.0))
+        .toDF("k", "op", "seg", "bal"), "k")
+    // plus a crashed-commit artifact vacuum should sweep
+    Files.write(Path.of(dir, "_committed.tmp-g9"), "9\n".getBytes)
+    val before = MergeTable.readTable(spark, dir)
+      .as[(Long, String, Double)].collect().sorted.toSeq
+    val deleted = MergeTable.vacuum(spark, dir)
+    assert(deleted > 0, "vacuum found nothing despite superseded files")
+    // superseded gen-0 files and the old manifest are gone...
+    stats.touched.foreach(p =>
+      assert(!Files.exists(Path.of(java.net.URI.create(p))), s"superseded $p survived"))
+    assert(!Files.exists(Path.of(dir, "manifest-g0")), "old manifest survived")
+    assert(!Files.exists(Path.of(dir, "_committed.tmp-g9")), "stale marker survived")
+    // ...every live file (including gen-0 untouched carries) remains,
+    // and the committed read is unchanged
+    stats.untouched.foreach(p =>
+      assert(Files.exists(Path.of(java.net.URI.create(p))), s"live $p vacuumed"))
+    val after = MergeTable.readTable(spark, dir)
+      .as[(Long, String, Double)].collect().sorted.toSeq
+    assert(after == before, "vacuum changed the committed table's rows")
+    // idempotent: a second vacuum finds nothing new to delete
+    assert(MergeTable.vacuum(spark, dir) == 0)
+  }
+
   test("delete-everything merge leaves a consistent (possibly emptier) table") {
     import spark.implicits._
     val dir = tmpDir("mergetab-empty")
