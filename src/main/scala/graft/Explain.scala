@@ -28,7 +28,8 @@ object Explain {
         "q54_retention_cohorts", "q55_resample_interp",
         "tx17_bigram_lp", "pr01_pagerank", "mm07_shot_bounds",
         "dd12_cross_source_dups", "q51_bitmap_rollup", "q58_bitmap64_rollup",
-        "q56_merge_upsert", "q57_session_paths", "pr02_triangles")
+        "q56_merge_upsert", "q57_session_paths", "pr02_triangles",
+        "q59_merge_pruned", "dd13_cross_source_overlap")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

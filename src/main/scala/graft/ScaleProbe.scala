@@ -479,6 +479,47 @@ object ScaleProbe {
           val total = spark.read.parquet(s"$idx/vectors").count()
           require(total == n + batchRows, s"append lost rows: $total != ${n + batchRows}")
         }
+      case "merge" =>
+        // q59's claim, measured: a banded change batch against a
+        // 64-file keyed table — the manifest-pruned merge (rewrite
+        // only intersecting files) vs the q56-style whole-snapshot
+        // rewrite. Both compute the same answer; the difference is
+        // the files read and rewritten, which is the entire game at
+        // 100 TB (a day's batch against a year's dimension).
+        val nFiles = 64
+        val dir = java.nio.file.Files.createTempDirectory("probe-merge").toString
+        val src = spark.range(rows).select(col("id").as("k"),
+          concat(lit("seg"), pmod(col("id"), lit(7))).as("seg"),
+          (pmod(xxhash64(col("id")), lit(100000)) / 100.0).as("bal"))
+        val t0 = System.nanoTime()
+        operators.MergeTable.write(spark, src, "k", dir, nFiles)
+        println(f"table build ($rows rows, $nFiles files): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        // change batch confined to one file's key band (~1/64)
+        val band = rows / nFiles
+        val changes = spark.range(band).select(col("id").as("k"),
+            when(col("id") % 3 === 0, lit("D")).otherwise(lit("U")).as("op"),
+            lit("WEB").as("seg"), lit(1.0).as("bal"))
+          .unionByName(spark.range(1000).select((col("id") + rows + 1000000L).as("k"),
+            lit("I").as("op"), lit("NEW").as("seg"), lit(2.0).as("bal")))
+        changes.write.format("noop").mode("overwrite").save() // warm
+        val t1 = System.nanoTime()
+        val stats = operators.MergeTable.merge(spark, dir, changes, "k")
+        println(f"pruned merge (${stats.touched.size}/$nFiles files rewritten): ${(System.nanoTime() - t1) / 1e9}%.2f s")
+        // the naive contrast: same overlay plan over the WHOLE table,
+        // whole snapshot rewritten (q56's shape materialized)
+        val naiveOut = java.nio.file.Files.createTempDirectory("probe-merge-naive").toString
+        val all = operators.MergeTable.readTable(spark, dir)
+        val t2 = System.nanoTime()
+        all.join(changes.filter(col("op") === "U")
+              .select(col("k"), col("seg").as("u_seg"), col("bal").as("u_bal")),
+            Seq("k"), "left_outer")
+          .join(changes.filter(col("op") === "D").select("k"), Seq("k"), "left_anti")
+          .select(col("k"), coalesce(col("u_seg"), col("seg")).as("seg"),
+            coalesce(col("u_bal"), col("bal")).as("bal"))
+          .unionByName(changes.filter(col("op") === "I").select("k", "seg", "bal"))
+          .repartitionByRange(nFiles, col("k"))
+          .write.mode("overwrite").parquet(naiveOut)
+        println(f"whole-snapshot rewrite (all $nFiles files): ${(System.nanoTime() - t2) / 1e9}%.2f s")
       case "build" =>
         // the capstone: pp11's COMPOSED plan (gate ∘ dedup ∘
         // decontaminate ∘ globalRank ∘ shard rollup) at bench scale
@@ -535,7 +576,7 @@ object ScaleProbe {
           time(s"tx17 full ($docsN docs, ~$v target vocab)")(tx17())
         }
       case other =>
-        System.err.println(s"unknown probe '$other'; use topn | cumsum | incr | hh | bloom | skew | tri | pr | bitmap64 | annappend | build | tx17vocab")
+        System.err.println(s"unknown probe '$other'; use topn | cumsum | incr | hh | bloom | skew | tri | pr | bitmap64 | annappend | build | tx17vocab | merge")
         sys.exit(2)
     }
     spark.stop()
