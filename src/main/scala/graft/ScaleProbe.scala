@@ -479,6 +479,88 @@ object ScaleProbe {
           val total = spark.read.parquet(s"$idx/vectors").count()
           require(total == n + batchRows, s"append lost rows: $total != ${n + batchRows}")
         }
+      case "drift" =>
+        // The add-without-train trade, measured: appendToIvfIndex
+        // keeps centroids fixed, so a batch whose distribution has
+        // DRIFTED from the build-time sample crowds into few cells.
+        // This probe quantifies what that costs (recall@10, probe
+        // wall, cell skew) on the appended index vs a full retrain
+        // over the union — the numbers behind the scaladoc's "rebuild
+        // when skew crosses the workload's floor".
+        val vdim = 64
+        val n = rows
+        val batchN = n / 10
+        val k = 10
+        def uni(col0: String) = s"cast(pmod(xxhash64($col0 * 64 + j), 1000) as float) / 1000.0"
+        // base: uniform directions; drifted: mass concentrated on the
+        // first 8 dims — a direction cluster the build never saw
+        def base(m: Long, off: Long) = spark.range(m)
+          .select((col("id") + off).as("vec_id"),
+            expr(s"transform(sequence(1, $vdim), j -> ${uni("id")})").as("embedding"),
+            lit("c").as("label"))
+        def drifted(m: Long, off: Long) = spark.range(m)
+          .select((col("id") + off).as("vec_id"),
+            expr(s"transform(sequence(1, $vdim), j -> case when j <= 8 then ${uni("id")} + 3.0f " +
+              s"else ${uni("id")} * 0.02f end)").as("embedding"),
+            lit("c").as("label"))
+        val corpus = java.nio.file.Files.createTempDirectory("probe-drift").toString
+        base(n, 0L).write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+        val idx = s"$corpus/idx"
+        similarity.Similarity.buildIvfIndex(spark, corpus, idx,
+          nCells = 64, iters = 3, sampleMod = math.max(1, (n / 50000).toInt))
+        val batch = drifted(batchN, n + 1000000L).select("vec_id", "embedding")
+        similarity.Similarity.appendToIvfIndex(spark, idx, batch)
+        def skewOf(ix: String): (Long, Double) = {
+          val cs = similarity.Similarity.ivfCellStats(spark, ix)
+            .select("n").collect().map(_.getLong(0))
+          (cs.max, cs.max.toDouble / (cs.sum.toDouble / cs.length))
+        }
+        val (mx1, sk1) = skewOf(idx)
+        println(f"appended index cell skew: max=$mx1 (${sk1}%.1f x mean)")
+        // 40 drifted queries, never inserted anywhere
+        val queries = drifted(40, 900000000L)
+          .select(col("vec_id").as("q_id"),
+            col("embedding").cast("array<double>").as("va"))
+          .withColumn("na", graft.functions.GraftFunctions.l2norm("va"))
+        queries.cache().count()
+        // exact ground truth over the union corpus
+        val all = base(n, 0L).unionByName(drifted(batchN, n + 1000000L))
+          .select(col("vec_id").as("n_id"),
+            col("embedding").cast("array<double>").as("vb"))
+          .withColumn("nb", graft.functions.GraftFunctions.l2norm("vb"))
+        val cos = expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (a, x) -> a + x)") /
+          (col("na") * col("nb"))
+        val truth = queries.crossJoin(all)
+          .select(col("q_id"), col("n_id"), cos.as("cos"))
+          .groupBy("q_id")
+          .agg(graft.functions.GraftFunctions.topK("cos", "n_id", k).as("tk"))
+          .select(col("q_id"), explode(col("tk")).as("p"))
+          .select(col("q_id"), col("p.id").as("n_id"))
+          .collect().groupBy(_.getLong(0)).view
+          .mapValues(_.map(_.getLong(1)).toSet).toMap
+        def recallOf(ix: String): (Double, Double) = {
+          val t0 = System.nanoTime()
+          val got = similarity.Similarity.probeIvf(spark, ix, queries, nProbe = 8, k = k)
+            .select("q_id", "n_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+          val secs = (System.nanoTime() - t0) / 1e9
+          val hit = got.count { case (q, nid) => truth.get(q).exists(_.contains(nid)) }
+          (hit.toDouble / truth.values.map(_.size).sum, secs)
+        }
+        val (recA, secA) = recallOf(idx)
+        println(f"appended index (trained pre-drift): recall@$k=$recA%.3f, probe $secA%.2f s")
+        // the retrain contrast: rebuild over the union
+        val corpus2 = java.nio.file.Files.createTempDirectory("probe-drift2").toString
+        base(n, 0L).unionByName(drifted(batchN, n + 1000000L))
+          .write.mode("overwrite").parquet(s"$corpus2/embeddings.parquet")
+        val idx2 = s"$corpus2/idx"
+        val t2 = System.nanoTime()
+        similarity.Similarity.buildIvfIndex(spark, corpus2, idx2,
+          nCells = 64, iters = 3, sampleMod = math.max(1, ((n + batchN) / 50000).toInt))
+        println(f"retrain over union: ${(System.nanoTime() - t2) / 1e9}%.2f s")
+        val (mx2, sk2) = skewOf(idx2)
+        println(f"retrained index cell skew: max=$mx2 (${sk2}%.1f x mean)")
+        val (recB, secB) = recallOf(idx2)
+        println(f"retrained index: recall@$k=$recB%.3f, probe $secB%.2f s")
       case "merge" =>
         // q59's claim, measured: a banded change batch against a
         // 64-file keyed table — the manifest-pruned merge (rewrite
@@ -520,6 +602,22 @@ object ScaleProbe {
           .repartitionByRange(nFiles, col("k"))
           .write.mode("overwrite").parquet(naiveOut)
         println(f"whole-snapshot rewrite (all $nFiles files): ${(System.nanoTime() - t2) / 1e9}%.2f s")
+        // CDC read-side: the manifest-pruned file diff (opens only the
+        // files that differ between gen 0 and 1) vs diffing two full
+        // snapshots — the incremental consumer's cost at 100 TB.
+        val t3 = System.nanoTime()
+        val delta = operators.MergeTable.changesBetween(spark, dir, 0, 1, "k").count()
+        println(f"pruned CDC read ($delta net changes): ${(System.nanoTime() - t3) / 1e9}%.2f s")
+        val oldT = operators.MergeTable.readTable(spark, dir, asOf = Some(0))
+          .select(col("k"), lit(true).as("io"), col("seg").as("os"), col("bal").as("ob"))
+        val newT = operators.MergeTable.readTable(spark, dir)
+          .select(col("k"), lit(true).as("in_"), col("seg").as("ns"), col("bal").as("nb"))
+        val t4 = System.nanoTime()
+        val naiveDelta = oldT.join(newT, Seq("k"), "full_outer")
+          .filter(col("in_").isNull || col("io").isNull ||
+            !(col("os") <=> col("ns")) || !(col("ob") <=> col("nb"))).count()
+        println(f"full-snapshot diff ($naiveDelta net changes): ${(System.nanoTime() - t4) / 1e9}%.2f s")
+        require(naiveDelta == delta, s"CDC diverged: pruned $delta vs full $naiveDelta")
       case "build" =>
         // the capstone: pp11's COMPOSED plan (gate ∘ dedup ∘
         // decontaminate ∘ globalRank ∘ shard rollup) at bench scale
@@ -576,7 +674,7 @@ object ScaleProbe {
           time(s"tx17 full ($docsN docs, ~$v target vocab)")(tx17())
         }
       case other =>
-        System.err.println(s"unknown probe '$other'; use topn | cumsum | incr | hh | bloom | skew | tri | pr | bitmap64 | annappend | build | tx17vocab | merge")
+        System.err.println(s"unknown probe '$other'; use topn | cumsum | incr | hh | bloom | skew | tri | pr | bitmap64 | annappend | build | tx17vocab | merge | drift")
         sys.exit(2)
     }
     spark.stop()

@@ -137,6 +137,234 @@ class MergeTableSpec extends SparkSpecBase {
     assert(MergeTable.vacuum(spark, dir) == 0)
   }
 
+  test("time travel: asOf reads any committed generation until vacuum") {
+    import spark.implicits._
+    val dir = tmpDir("mergetab-travel")
+    MergeTable.write(spark, table(200), "k", dir, nFiles = 4)
+    val gen0 = MergeTable.readTable(spark, dir)
+      .as[(Long, String, Double)].collect().sorted.toSeq
+    MergeTable.merge(spark, dir,
+      Seq((5L, "U", "WEB", 1.0), (6L, "D", null: String, 0.0))
+        .toDF("k", "op", "seg", "bal"), "k")
+    // asOf 0 reproduces the pre-merge snapshot exactly; asOf 1 ≡ current
+    assert(MergeTable.readTable(spark, dir, asOf = Some(0))
+      .as[(Long, String, Double)].collect().sorted.toSeq == gen0)
+    assert(MergeTable.readTable(spark, dir, asOf = Some(1))
+      .as[(Long, String, Double)].collect().sorted.toSeq ==
+      MergeTable.readTable(spark, dir)
+        .as[(Long, String, Double)].collect().sorted.toSeq)
+    // an uncommitted future generation is not readable even if a
+    // crashed merge left its manifest dir behind
+    Files.createDirectories(Path.of(dir, "manifest-g2"))
+    intercept[IllegalArgumentException] {
+      MergeTable.readTable(spark, dir, asOf = Some(2))
+    }
+    // vacuum ends time travel with a clear error, not wrong rows
+    MergeTable.vacuum(spark, dir)
+    val e = intercept[IllegalArgumentException] {
+      MergeTable.readTable(spark, dir, asOf = Some(0))
+    }
+    assert(e.getMessage.contains("vacuumed"))
+  }
+
+  test("CDC: file-diff changes reproduce the logical delta, carried files never opened") {
+    import spark.implicits._
+    val dir = tmpDir("mergetab-cdc")
+    MergeTable.write(spark, table(1000), "k", dir, nFiles = 8)
+    val stats = MergeTable.merge(spark, dir, Seq(
+      (10L, "U", "WEB", 999.0), (20L, "U", "WEB", 999.0),
+      (30L, "D", null, 0.0),
+      (5000L, "I", "NEW", 1.0)
+    ).toDF("k", "op", "seg", "bal"), "k")
+    assert(stats.untouched.nonEmpty)
+    // a carried file is REMOVED from disk: the CDC read must not
+    // notice, because both manifests reference it and the diff skips
+    // common paths before opening anything
+    val victim = Path.of(java.net.URI.create(stats.untouched.head))
+    val bytes = Files.readAllBytes(victim)
+    Files.delete(victim)
+    try {
+      val got = MergeTable.changesBetween(spark, dir, 0, 1, "k")
+        .select("k", "change_op", "seg", "bal")
+        .as[(Long, String, String, Double)].collect().sorted.toSeq
+      val want = Seq(
+        (10L, "U", "WEB", 999.0), (20L, "U", "WEB", 999.0),
+        (30L, "D", "seg2", 30 * 1.5), // pre-image on the delete
+        (5000L, "I", "NEW", 1.0)).sorted
+      assert(got == want, s"CDC delta diverged: $got")
+    } finally Files.write(victim, bytes) // restore for any later reads
+    // unchanged residents of the REWRITTEN files are not in the delta
+    // (they round-trip byte-different but value-identical)
+  }
+
+  test("CDC: a multi-generation span yields the NET logical delta") {
+    import spark.implicits._
+    val dir = tmpDir("mergetab-cdc2")
+    MergeTable.write(spark, table(100), "k", dir, nFiles = 2)
+    MergeTable.merge(spark, dir, Seq(
+      (7L, "U", "WEB", 1.0),            // updated twice across the span
+      (9000L, "I", "TMP", 1.0)          // inserted then deleted: nets out
+    ).toDF("k", "op", "seg", "bal"), "k")
+    MergeTable.merge(spark, dir, Seq(
+      (7L, "U", "WEB", 2.0),
+      (9000L, "D", null, 0.0)
+    ).toDF("k", "op", "seg", "bal"), "k")
+    val got = MergeTable.changesBetween(spark, dir, 0, 2, "k")
+      .select("k", "change_op", "seg", "bal")
+      .as[(Long, String, String, Double)].collect().sorted.toSeq
+    assert(got == Seq((7L, "U", "WEB", 2.0)),
+      s"net delta should be the final update only: $got")
+    // each single hop still sees its own physical step
+    assert(MergeTable.changesBetween(spark, dir, 1, 2, "k")
+      .filter(col("k") === 9000L).select("change_op")
+      .as[String].collect().toSeq == Seq("D"))
+  }
+
+  test("compact folds small files, carries full ones by reference, no-ops when nothing to gain") {
+    import spark.implicits._
+    val dir = tmpDir("mergetab-compact")
+    MergeTable.write(spark, table(1000), "k", dir, nFiles = 4) // 250 rows/file
+    // two insert-only merges strew two tiny files across generations
+    MergeTable.merge(spark, dir, (1 to 10).map(i => (5000L + i, "I", "NEW", 1.0))
+      .toDF("k", "op", "seg", "bal"), "k")
+    MergeTable.merge(spark, dir, (1 to 10).map(i => (6000L + i, "I", "NEW", 1.0))
+      .toDF("k", "op", "seg", "bal"), "k")
+    val before = MergeTable.readTable(spark, dir)
+      .as[(Long, String, Double)].collect().sorted.toSeq
+    val man2 = MergeTable.manifest(spark, dir).collect()
+    assert(man2.length == 6, s"expected 4 big + 2 tiny files: ${man2.length}")
+    val bigPaths = man2.filter(_.getLong(3) >= 50).map(_.getString(0)).toSeq
+    val mt = mtimesOf(bigPaths)
+
+    val stats = MergeTable.compact(spark, dir, "k", targetRows = 50)
+    assert(stats.gen == 3)
+    assert(stats.touched.size == 2, s"should fold exactly the 2 tiny files: $stats")
+    assert(stats.untouched.toSet == bigPaths.toSet)
+    val man3 = MergeTable.manifest(spark, dir).collect()
+    assert(man3.length == 5, s"2 tiny files should fold into 1: ${man3.length}")
+    bigPaths.foreach(p => assert(mtimesOf(Seq(p))(p) == mt(p), s"full file $p rewritten"))
+    assert(MergeTable.readTable(spark, dir)
+      .as[(Long, String, Double)].collect().sorted.toSeq == before,
+      "compaction changed the table's rows")
+    // idempotent: nothing left under target → no new generation
+    assert(MergeTable.compact(spark, dir, "k", targetRows = 50).gen == 3)
+    assert(MergeTable.committedGen(dir).contains(3))
+  }
+
+  test("upsertSink: idempotent foreachBatch — replayed batches are no-ops") {
+    import spark.implicits._
+    val dir = tmpDir("mergetab-sink")
+    MergeTable.write(spark, table(100), "k", dir, nFiles = 2)
+    val sink = MergeTable.upsertSink(dir, "k")
+    val b0 = Seq((1L, "U", "WEB", 10.0)).toDF("k", "op", "seg", "bal")
+    val b1 = Seq((2L, "D", null: String, 0.0),
+      (9000L, "I", "NEW", 5.0)).toDF("k", "op", "seg", "bal")
+    sink(b0, 0L); sink(b1, 1L)
+    val after = MergeTable.readTable(spark, dir)
+      .as[(Long, String, Double)].collect().sorted.toSeq
+    assert(MergeTable.committedGen(dir).contains(2))
+    assert(MergeTable.committedMeta(dir).get("batch").contains("1"))
+    // a restarted query re-offers both batches: no generation moves,
+    // no rows change
+    sink(b0, 0L); sink(b1, 1L)
+    assert(MergeTable.committedGen(dir).contains(2), "replay advanced the table")
+    assert(MergeTable.readTable(spark, dir)
+      .as[(Long, String, Double)].collect().sorted.toSeq == after)
+    // a genuinely new batch still applies
+    sink(Seq((3L, "U", "WEB", 30.0)).toDF("k", "op", "seg", "bal"), 2L)
+    assert(MergeTable.committedGen(dir).contains(3))
+    assert(MergeTable.readTable(spark, dir).filter(col("k") === 3L)
+      .select("seg").as[String].head() == "WEB")
+  }
+
+  test("upsertSink drives from a real stream and survives a second identical run") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = tmpDir("mergetab-stream")
+    MergeTable.write(spark, table(50), "k", dir, nFiles = 2)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, String, Double)]
+    in.addData((10L, "U", "WEB", 77.0), (60000L, "I", "NEW", 1.0))
+    val sink = MergeTable.upsertSink(dir, "k")
+    val q = in.toDF().toDF("k", "op", "seg", "bal")
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) => sink(b, id) }
+      .option("checkpointLocation", tmpDir("mergetab-stream-ckpt"))
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = MergeTable.readTable(spark, dir)
+      .filter(col("k").isin(10L, 60000L))
+      .select("k", "seg", "bal").as[(Long, String, Double)].collect().sorted.toSeq
+    assert(got == Seq((10L, "WEB", 77.0), (60000L, "NEW", 1.0)), s"stream upsert lost rows: $got")
+  }
+
+  test("scanRange opens only manifest-intersecting files; results stay exact") {
+    import spark.implicits._
+    val dir = tmpDir("mergetab-scan")
+    MergeTable.write(spark, table(1000), "k", dir, nFiles = 8)
+    val man = MergeTable.manifest(spark, dir).collect()
+    // delete every file whose range is fully outside [100, 220]: a
+    // pruned scan must not notice they are gone
+    val (needed, prunable) = man.partition(r => r.getLong(2) >= 100 && r.getLong(1) <= 220)
+    assert(prunable.nonEmpty && needed.length <= 3)
+    val saved = prunable.map { r =>
+      val p = Path.of(java.net.URI.create(r.getString(0)))
+      val b = Files.readAllBytes(p); Files.delete(p); (p, b)
+    }
+    try {
+      val got = MergeTable.scanRange(spark, dir, "k", 100, 220)
+        .select("k").as[Long].collect().sorted.toSeq
+      assert(got == (100L to 220L).toSeq, s"pruned scan wrong: ${got.size} rows")
+    } finally saved.foreach { case (p, b) => Files.write(p, b) }
+    // a band beyond every file: empty result, schema intact
+    val empty = MergeTable.scanRange(spark, dir, "k", 50000, 60000)
+    assert(empty.isEmpty && empty.columns.toSeq == Seq("k", "seg", "bal"))
+  }
+
+  test("schema evolution: a batch can add columns and omit existing ones") {
+    import spark.implicits._
+    val dir = tmpDir("mergetab-evolve")
+    MergeTable.write(spark, table(100), "k", dir, nFiles = 2)
+    // batch ADDS `tier`, OMITS `bal`; touches only the low file
+    val changes = Seq(
+      (3L, "U", "WEB", "gold"),
+      (7000L, "I", "NEW", "silver")
+    ).toDF("k", "op", "seg", "tier")
+    MergeTable.merge(spark, dir, changes, "k")
+    val t = MergeTable.readTable(spark, dir)
+    assert(t.columns.sorted.toSeq == Seq("bal", "k", "seg", "tier"))
+    // updated row: new column set, omitted bal PRESERVED
+    assert(t.filter(col("k") === 3L).select("seg", "bal", "tier")
+      .as[(String, Double, String)].head() == ("WEB", 3 * 1.5, "gold"))
+    // inserted row: omitted bal null
+    val ins = t.filter(col("k") === 7000L).select("seg", "tier").as[(String, String)].head()
+    assert(ins == ("NEW", "silver"))
+    assert(t.filter(col("k") === 7000L).filter(col("bal").isNull).count() == 1)
+    // resident of a REWRITTEN file: tier null, everything else intact
+    val touchedResident = t.filter(col("k") === 4L)
+      .select("seg", "bal", "tier").as[(String, Double, String)].head()
+    assert(touchedResident == ("seg0", 4 * 1.5, null))
+    // resident of a CARRIED pre-evolution file: tier surfaces as null
+    val carried = t.filter(col("k") === 90L)
+      .select("seg", "bal", "tier").as[(String, Double, String)].head()
+    assert(carried == (s"seg2", 90 * 1.5, null))
+    // CDC across the evolution: the updated row reports U with the
+    // new column populated; the pre-evolution pre-image aligns as null
+    val cdc = MergeTable.changesBetween(spark, dir, 0, 1, "k")
+      .select("k", "change_op", "tier").as[(Long, String, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(cdc == Seq((3L, "U", "gold"), (7000L, "I", "silver")), s"CDC across evolution: $cdc")
+    // a LATER merge omitting `tier` and touching only a PRE-evolution
+    // file must not drop the evolved column from the table
+    MergeTable.merge(spark, dir,
+      Seq((60L, "U", "XXX")).toDF("k", "op", "seg"), "k")
+    val t2 = MergeTable.readTable(spark, dir)
+    assert(t2.columns.sorted.toSeq == Seq("bal", "k", "seg", "tier"))
+    assert(t2.filter(col("k") === 3L).select("tier").as[String].head() == "gold",
+      "post-evolution value lost by a later pre-evolution-file rewrite")
+    assert(t2.filter(col("k") === 60L).select("seg", "bal", "tier")
+      .as[(String, Double, String)].head() == ("XXX", 60 * 1.5, null))
+  }
+
   test("delete-everything merge leaves a consistent (possibly emptier) table") {
     import spark.implicits._
     val dir = tmpDir("mergetab-empty")
