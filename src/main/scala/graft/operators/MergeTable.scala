@@ -16,19 +16,24 @@ import scala.jdk.CollectionConverters._
   *
   * Layout of a keyed table at `dir`:
   * {{{
-  *   dir/files-g<N>/part-*.parquet    data files, range-written on the key
-  *   dir/manifest-g<N>/               (path, min_k, max_k, n_rows) per LIVE file
-  *   dir/_committed                   text marker: the committed generation N
+  *   dir/files-g<N>~<token>/part-*.parquet  data files, range-written on the key
+  *   dir/manifest-g<N>~<token>/             (path, min_k, max_k, n_rows) per LIVE file
+  *   dir/_commit-g<N>                       commit-log entry: token=<token> + metadata
   * }}}
-  * The marker is the single commit point (atomic rename, the
-  * writeShards stage-then-mark discipline): readers resolve
-  * `_committed` → manifest-g<N> → file paths, so a crash anywhere in
-  * a merge leaves the previous generation fully intact and replay
-  * deletes the orphaned next-gen dirs before rewriting. A manifest
-  * may reference files from EARLIER generations (that is the
-  * pruning: untouched files are never copied) — nothing deletes
-  * superseded files here; a vacuum that drops files referenced by no
-  * live manifest is the natural extension, not built.
+  * Commits form an append-only log with OPTIMISTIC CONCURRENCY: each
+  * writer stages into dirs suffixed by its own token (racing writers
+  * never collide on paths), then publishes generation N by
+  * hard-linking a fully-written tmp file to `_commit-g<N>` —
+  * `link(2)` never replaces an existing name, so of two writers
+  * racing the same generation exactly ONE wins and the loser gets a
+  * `ConcurrentModificationException` to retry on the new base (a
+  * lost update is impossible: the loser's work was computed from a
+  * manifest that is no longer current). Readers resolve max
+  * committed N → its token → manifest → file paths, so a crash
+  * anywhere before the link leaves only invisible staging that the
+  * next vacuum sweeps. A manifest may reference files from EARLIER
+  * generations (that is the pruning: untouched files are never
+  * copied).
   *
   * At 100 TB: the manifest is file-count-sized (KBs per thousand
   * files), the pruning join broadcasts it against the change batch,
@@ -42,53 +47,93 @@ object MergeTable {
 
   private def r2(c: Column) = round(c * 100) / 100
 
-  // ---- generation marker ----
+  // ---- commit log ----
 
-  def committedGen(dir: String): Option[Int] = {
-    val m = java.nio.file.Path.of(dir, "_committed")
-    if (java.nio.file.Files.exists(m))
-      Some(new String(java.nio.file.Files.readAllBytes(m),
-        java.nio.charset.StandardCharsets.UTF_8)
-        .linesIterator.next().trim.toInt) // line 1 = gen; rest = metadata
-    else None
-  }
+  private def markerOf(dir: String, gen: Int) =
+    java.nio.file.Path.of(dir, s"_commit-g$gen")
 
-  /** Marker format: first line is the committed generation; any
-    * further `k=v` lines are commit metadata (the streaming upsert
-    * sink records its last applied batchId here, so the generation
-    * and the batch watermark flip in ONE atomic rename — no second
-    * file that could disagree after a crash).
+  /** The newest committed generation: max N over the `_commit-g<N>`
+    * log entries (None for a dir that is not a committed table).
     */
-  private def commitGen(dir: String, gen: Int,
-                        meta: Map[String, String] = Map.empty): Unit = {
-    val tmp = java.nio.file.Path.of(dir, s"_committed.tmp-g$gen")
-    val body = (s"$gen" +: meta.toSeq.sorted.map { case (k, v) => s"$k=$v" })
-      .mkString("", "\n", "\n")
-    java.nio.file.Files.write(tmp, body.getBytes)
-    // POSIX rename: the marker flips atomically or not at all
-    java.nio.file.Files.move(tmp, java.nio.file.Path.of(dir, "_committed"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  def committedGen(dir: String): Option[Int] = {
+    val p = java.nio.file.Path.of(dir)
+    if (!java.nio.file.Files.exists(p)) None
+    else {
+      val ls = java.nio.file.Files.list(p)
+      val gens = try ls.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.matches("_commit-g\\d+"))
+        .map(_.stripPrefix("_commit-g").toInt).toSeq
+      finally ls.close()
+      if (gens.isEmpty) None else Some(gens.max)
+    }
   }
 
-  /** The committed marker's `k=v` metadata lines (empty pre-upgrade). */
-  def committedMeta(dir: String): Map[String, String] = {
-    val m = java.nio.file.Path.of(dir, "_committed")
+  /** One commit-log entry's `k=v` lines (always includes `token`;
+    * the streaming upsert sink's batch watermark rides here too, so
+    * generation and watermark commit in the SAME atomic link).
+    */
+  def metaAt(dir: String, gen: Int): Map[String, String] = {
+    val m = markerOf(dir, gen)
     if (!java.nio.file.Files.exists(m)) Map.empty
     else new String(java.nio.file.Files.readAllBytes(m),
       java.nio.charset.StandardCharsets.UTF_8)
-      .linesIterator.drop(1).filter(_.contains('='))
+      .linesIterator.filter(_.contains('='))
       .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
+  }
+
+  def committedMeta(dir: String): Map[String, String] =
+    committedGen(dir).map(metaAt(dir, _)).getOrElse(Map.empty)
+
+  /** Per-writer staging discriminator: pid + nanotime. Two writers
+    * (threads OR processes) never share staging paths.
+    */
+  private def newToken(): String =
+    ProcessHandle.current().pid().toString + "-" +
+      java.lang.Long.toHexString(System.nanoTime())
+
+  private def dataDirOf(dir: String, gen: Int, token: String) =
+    s"$dir/files-g$gen~$token"
+  private def manifestDirOf(dir: String, gen: Int, token: String) =
+    s"$dir/manifest-g$gen~$token"
+
+  /** Publish generation `gen`: write the log entry to a tmp file,
+    * then hard-link it to its final name. `link(2)` NEVER replaces an
+    * existing name (unlike rename), so this is a true compare-and-
+    * swap on the generation number — the loser of a race gets
+    * [[java.util.ConcurrentModificationException]] and must retry
+    * its whole merge on the new base.
+    */
+  private def commitGen(dir: String, gen: Int, token: String,
+                        meta: Map[String, String]): Unit = {
+    val body = (("token" -> token) +: meta.toSeq.sorted)
+      .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
+    val tmp = java.nio.file.Path.of(dir, s"_commit.tmp-$token")
+    java.nio.file.Files.write(tmp, body.getBytes)
+    try java.nio.file.Files.createLink(markerOf(dir, gen), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"generation $gen of $dir was committed by a concurrent writer; " +
+            "recompute from the new committed base and retry")
+    } finally {
+      java.nio.file.Files.deleteIfExists(tmp); ()
+    }
   }
 
   /** Per-file stats computed from the WRITTEN files themselves
     * (input_file_name grouping) — the manifest can't drift from the
-    * bytes on disk the way writer-side bookkeeping could.
+    * bytes on disk the way writer-side bookkeeping could. min/max
+    * keep the key's NATIVE type (long, string, date, …): range
+    * pruning is ordering-based, not numeric, so a string-keyed
+    * dimension prunes exactly like a numeric one (range-partitioned
+    * writes give contiguous lexicographic spans per file).
     */
   private def statsOf(s: SparkSession, dataDir: String, keyCol: String): DataFrame =
     s.read.parquet(dataDir)
       .groupBy(input_file_name().as("path"))
-      .agg(min(col(keyCol)).cast("long").as("min_k"),
-        max(col(keyCol)).cast("long").as("max_k"),
+      .agg(min(col(keyCol)).as("min_k"),
+        max(col(keyCol)).as("max_k"),
         count(lit(1)).as("n_rows"))
 
   private def hasParquetFiles(dataDir: String): Boolean = {
@@ -110,16 +155,17 @@ object MergeTable {
   def write(s: SparkSession, df: DataFrame, keyCol: String, dir: String,
             nFiles: Int = 16): Unit = {
     graft.IndexLifecycle.deleteRecursively(dir)
+    val token = newToken()
     df.repartitionByRange(nFiles, col(keyCol))
-      .write.parquet(s"$dir/files-g0")
-    statsOf(s, s"$dir/files-g0", keyCol)
-      .coalesce(1).write.parquet(s"$dir/manifest-g0")
-    commitGen(dir, 0)
+      .write.parquet(dataDirOf(dir, 0, token))
+    statsOf(s, dataDirOf(dir, 0, token), keyCol)
+      .coalesce(1).write.parquet(manifestDirOf(dir, 0, token))
+    commitGen(dir, 0, token, Map.empty)
   }
 
   def manifest(s: SparkSession, dir: String): DataFrame = {
     val g = committedGen(dir).getOrElse(
-      sys.error(s"$dir is not a committed keyed table (no _committed marker)"))
+      sys.error(s"$dir is not a committed keyed table (no commit log)"))
     manifestAt(s, dir, g)
   }
 
@@ -130,13 +176,15 @@ object MergeTable {
     */
   def manifestAt(s: SparkSession, dir: String, gen: Int): DataFrame = {
     val committed = committedGen(dir).getOrElse(
-      sys.error(s"$dir is not a committed keyed table (no _committed marker)"))
+      sys.error(s"$dir is not a committed keyed table (no commit log)"))
     require(gen <= committed,
       s"generation $gen not committed yet (table is at $committed)")
-    require(java.nio.file.Files.exists(
-      java.nio.file.Path.of(dir, s"manifest-g$gen")),
+    val token = metaAt(dir, gen).getOrElse("token",
+      sys.error(s"commit-log entry for generation $gen lacks a token"))
+    val mdir = manifestDirOf(dir, gen, token)
+    require(java.nio.file.Files.exists(java.nio.file.Path.of(mdir)),
       s"generation $gen unavailable: its manifest was vacuumed")
-    s.read.parquet(s"$dir/manifest-g$gen")
+    s.read.parquet(mdir)
   }
 
   /** The table's rows: exactly the files the committed manifest
@@ -162,13 +210,13 @@ object MergeTable {
     * files), so results are exact.
     */
   def scanRange(s: SparkSession, dir: String, keyCol: String,
-                lo: Long, hi: Long): DataFrame = {
+                lo: Any, hi: Any): DataFrame = {
     val paths = manifest(s, dir)
-      .filter(col("max_k") >= lo && col("min_k") <= hi)
+      .filter(col("max_k") >= lit(lo) && col("min_k") <= lit(hi))
       .select("path").collect().map(_.getString(0)).toIndexedSeq
     if (paths.nonEmpty)
       s.read.option("mergeSchema", "true").parquet(paths: _*)
-        .filter(col(keyCol) >= lo && col(keyCol) <= hi)
+        .filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
     else { // band misses every file: empty result, schema from any live file
       val any = manifest(s, dir).select("path").limit(1).collect()
       if (any.isEmpty) sys.error(s"$dir is empty; no schema for an empty scan")
@@ -245,7 +293,9 @@ object MergeTable {
     */
   def vacuum(s: SparkSession, dir: String): Int = {
     val gen = committedGen(dir).getOrElse(
-      sys.error(s"$dir is not a committed keyed table (no _committed marker)"))
+      sys.error(s"$dir is not a committed keyed table (no commit log)"))
+    val curManifest = s"manifest-g$gen~" + metaAt(dir, gen).getOrElse("token",
+      sys.error(s"commit-log entry for generation $gen lacks a token"))
     val live = manifest(s, dir).select("path").collect()
       .map(r => java.nio.file.Path.of(java.net.URI.create(r.getString(0)))
         .toAbsolutePath.toString).toSet
@@ -255,10 +305,12 @@ object MergeTable {
     val entries = try ls.iterator().asScala.toSeq finally ls.close()
     entries.foreach { p =>
       val name = p.getFileName.toString
-      if (name.startsWith("manifest-g") && name != s"manifest-g$gen") {
+      // `_commit-g<N>` log entries are KEPT — they are the table's
+      // history; a vacuumed generation fails loudly in manifestAt
+      if (name.startsWith("manifest-g") && name != curManifest) {
         graft.IndexLifecycle.deleteRecursively(p.toString); deleted += 1
-      } else if (name.startsWith("_committed.tmp")) {
-        // a crashed commit's staged marker — never observed by readers
+      } else if (name.startsWith("_commit.tmp")) {
+        // a crashed commit's staged log entry — never observed by readers
         java.nio.file.Files.deleteIfExists(p); deleted += 1
       } else if (name.startsWith("files-g")) {
         val fs = java.nio.file.Files.list(p)
@@ -296,20 +348,22 @@ object MergeTable {
     *     into `files-g<next>` (inserts land key-sorted beside the
     *     rewritten rows).
     *  3. COMMIT — new manifest = untouched entries carried by
-    *     reference + stats of the new files; marker flips last.
-    *     Stale next-gen dirs from a crashed predecessor are deleted
-    *     up front, so replay after a crash is clean-slate for the
-    *     uncommitted generation and a no-op for committed ones.
+    *     reference + stats of the new files; the commit-log link
+    *     lands last. A crashed predecessor's staging is invisible
+    *     (token-suffixed, never referenced by a log entry) and
+    *     vacuumable; a CONCURRENT writer that committed this
+    *     generation first surfaces as
+    *     `ConcurrentModificationException` after this writer's own
+    *     staging is cleaned up — recompute on the new base and retry.
     */
   def merge(s: SparkSession, dir: String, changes: DataFrame,
             keyCol: String, meta: Map[String, String] = Map.empty): MergeStats = {
     val prevGen = committedGen(dir).getOrElse(
-      sys.error(s"$dir is not a committed keyed table (no _committed marker)"))
+      sys.error(s"$dir is not a committed keyed table (no commit log)"))
     val next = prevGen + 1
-    Seq(s"$dir/files-g$next", s"$dir/manifest-g$next")
-      .foreach(graft.IndexLifecycle.deleteRecursively)
+    val token = newToken()
 
-    val man = s.read.parquet(s"$dir/manifest-g$prevGen")
+    val man = manifestAt(s, dir, prevGen)
     val ranges = man.select("path", "min_k", "max_k")
     val touched = changes.filter(col("op").isin("U", "D"))
       .join(broadcast(ranges),
@@ -357,16 +411,23 @@ object MergeTable {
         }: _*))
     } else None
     val newRows = (rewritten.toSeq :+ ins).reduce(_ unionByName _)
+    val staging = dataDirOf(dir, next, token)
     newRows.repartitionByRange(math.max(1, touched.size), col(keyCol))
-      .write.parquet(s"$dir/files-g$next")
+      .write.parquet(staging)
 
     val newStats =
-      if (hasParquetFiles(s"$dir/files-g$next")) statsOf(s, s"$dir/files-g$next", keyCol)
+      if (hasParquetFiles(staging)) statsOf(s, staging, keyCol)
       else man.filter(lit(false)) // everything deleted, nothing inserted
     man.filter(col("path").isin(untouched: _*))
       .unionByName(newStats)
-      .coalesce(1).write.parquet(s"$dir/manifest-g$next")
-    commitGen(dir, next, meta)
+      .coalesce(1).write.parquet(manifestDirOf(dir, next, token))
+    try commitGen(dir, next, token, meta)
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        Seq(staging, manifestDirOf(dir, next, token))
+          .foreach(graft.IndexLifecycle.deleteRecursively)
+        throw e
+    }
     MergeStats(next, touched, untouched)
   }
 
@@ -386,7 +447,7 @@ object MergeTable {
   def compact(s: SparkSession, dir: String, keyCol: String,
               targetRows: Long): MergeStats = {
     val prevGen = committedGen(dir).getOrElse(
-      sys.error(s"$dir is not a committed keyed table (no _committed marker)"))
+      sys.error(s"$dir is not a committed keyed table (no commit log)"))
     val man = manifestAt(s, dir, prevGen)
     val small = man.filter(col("n_rows") < targetRows)
       .select("path", "n_rows").collect()
@@ -394,19 +455,25 @@ object MergeTable {
     if (small.length < 2)
       return MergeStats(prevGen, Nil, all) // nothing to fold together
     val next = prevGen + 1
-    Seq(s"$dir/files-g$next", s"$dir/manifest-g$next")
-      .foreach(graft.IndexLifecycle.deleteRecursively)
+    val token = newToken()
     val touched = small.map(_.getString(0)).toIndexedSeq
     val untouched = all.filterNot(touched.contains)
     val outFiles = math.max(1,
       math.ceil(small.map(_.getLong(1)).sum.toDouble / targetRows).toInt)
+    val staging = dataDirOf(dir, next, token)
     s.read.parquet(touched: _*)
       .repartitionByRange(outFiles, col(keyCol))
-      .write.parquet(s"$dir/files-g$next")
+      .write.parquet(staging)
     man.filter(col("path").isin(untouched: _*))
-      .unionByName(statsOf(s, s"$dir/files-g$next", keyCol))
-      .coalesce(1).write.parquet(s"$dir/manifest-g$next")
-    commitGen(dir, next)
+      .unionByName(statsOf(s, staging, keyCol))
+      .coalesce(1).write.parquet(manifestDirOf(dir, next, token))
+    try commitGen(dir, next, token, Map.empty)
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        Seq(staging, manifestDirOf(dir, next, token))
+          .foreach(graft.IndexLifecycle.deleteRecursively)
+        throw e
+    }
     MergeStats(next, touched, untouched)
   }
 
@@ -417,7 +484,7 @@ object MergeTable {
     * table — the streaming write side of the table format. Replay
     * safety is the Sinks.scala contract: the last applied batchId
     * rides the commit marker's metadata, so the generation and the
-    * batch watermark flip in one atomic rename; a restarted query
+    * batch watermark flip in one atomic commit-log link; a restarted query
     * re-offering an applied batch is a no-op, and a crash between
     * merge work and marker flip replays onto the intact previous
     * generation (merge sweeps the orphaned next-gen dirs itself).
@@ -526,11 +593,48 @@ object MergeTable {
       .orderBy("k")
   }
 
+  /** q63: the q59 shape on a STRING-keyed table (c_name — zero-padded,
+    * so the numeric band is also a lexicographic band and range
+    * pruning stays selective). Manifest min/max keep the key's native
+    * type; pruning is ordering-based, so nothing else changes — the
+    * point of the row is that a uuid/name/date-keyed dimension gets
+    * the same file-pruned merge as a numeric one, under the same
+    * DuckDB hash gate.
+    */
+  val q63_merge_strkey: Q = (s, d) => {
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft-mergestr-" + java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(d) & 0xffffffffL) +
+        "-p" + ProcessHandle.current().pid() +
+        "-s" + java.lang.Integer.toHexString(System.identityHashCode(s))).toString
+    val c = Tables.customer(s, d)
+    val base = c.select(col("c_name").as("k"), col("c_mktsegment").as("seg"),
+      col("c_acctbal").as("bal"))
+    write(s, base, "k", dir, nFiles = 16)
+    val maxK = c.agg(max(col("c_custkey")).cast("long")).head().getLong(0)
+    val band = col("c_custkey") * 8 <= lit(maxK)
+    val upd = c.filter(band && col("c_custkey") % 5 === 0 && col("c_custkey") % 7 =!= 0)
+      .select(col("c_name").as("k"), lit("U").as("op"), lit("WEB").as("seg"),
+        (col("c_acctbal") + 100).as("bal"))
+    val del = c.filter(band && col("c_custkey") % 7 === 0)
+      .select(col("c_name").as("k"), lit("D").as("op"),
+        lit(null).cast("string").as("seg"), lit(null).cast("double").as("bal"))
+    val ins = c.filter(band && col("c_custkey") % 5 === 1)
+      .select(concat(lit("ZZZ-"), col("c_name")).as("k"), lit("I").as("op"),
+        col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"))
+    merge(s, dir, upd.unionByName(del).unionByName(ins), "k")
+    readTable(s, dir)
+      .select(col("k"), col("seg"), r2(col("bal")).as("bal"))
+      .orderBy("k")
+  }
+
   val registry: Map[String, Q] = Map(
     "q59_merge_pruned" -> q59_merge_pruned,
     "q60_merge_cdc" -> q60_merge_cdc,
     "q61_compacted_read" -> q61_compacted_read,
-    "q62_skipped_scan" -> q62_skipped_scan)
+    "q62_skipped_scan" -> q62_skipped_scan,
+    "q63_merge_strkey" -> q63_merge_strkey)
 
   val oracles: Map[String, String] = Map(
     // q56's oracle with the band applied to the change CTEs — the
@@ -609,5 +713,26 @@ object MergeTable {
         |  UNION ALL
         |  SELECT k, seg, round(bal * 100) / 100 AS bal FROM ins) z, mx
         |WHERE z.k >= mx.m // 4 AND z.k <= mx.m // 2
+        |ORDER BY k""".stripMargin,
+    // the q59 MERGE on the string key — same change rules keyed by
+    // c_custkey, applied through c_name
+    "q63_merge_strkey" ->
+      """WITH mx AS (SELECT max(c_custkey) AS m FROM customer),
+        |upd AS (SELECT c_name AS k, 'WEB' AS u_seg, c_acctbal + 100 AS u_bal
+        |        FROM customer, mx
+        |        WHERE c_custkey * 8 <= m AND c_custkey % 5 = 0 AND c_custkey % 7 <> 0),
+        |del AS (SELECT c_name AS k FROM customer, mx
+        |        WHERE c_custkey * 8 <= m AND c_custkey % 7 = 0),
+        |ins AS (SELECT 'ZZZ-' || c_name AS k, c_mktsegment AS seg, c_acctbal AS bal
+        |        FROM customer, mx
+        |        WHERE c_custkey * 8 <= m AND c_custkey % 5 = 1),
+        |t AS (SELECT c_name AS k, c_mktsegment AS seg, c_acctbal AS bal FROM customer)
+        |SELECT k, seg, bal FROM (
+        |  SELECT t.k, coalesce(u.u_seg, t.seg) AS seg,
+        |    round((coalesce(u.u_bal, t.bal)) * 100) / 100 AS bal
+        |  FROM t LEFT JOIN upd u USING (k)
+        |  WHERE t.k NOT IN (SELECT k FROM del)
+        |  UNION ALL
+        |  SELECT k, seg, round(bal * 100) / 100 AS bal FROM ins) z
         |ORDER BY k""".stripMargin)
 }

@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
   */
 class MergeTableSpec extends SparkSpecBase {
   import java.nio.file.{Files, Path}
+  import scala.jdk.CollectionConverters._
 
   private def mtimesOf(paths: Seq[String]): Map[String, Long] =
     paths.map(p => p -> Files.getLastModifiedTime(
@@ -74,25 +75,78 @@ class MergeTableSpec extends SparkSpecBase {
     assert(got.toSeq == want.toSeq, "pruned merge diverges from whole-table merge")
   }
 
-  test("crash replay: orphaned next-gen dirs are swept, committed gen intact") {
+  test("crash replay: orphaned staging is invisible, swept by vacuum, committed gen intact") {
     import spark.implicits._
     val dir = tmpDir("mergetab-crash")
     MergeTable.write(spark, table(100), "k", dir, nFiles = 4)
     val before = MergeTable.readTable(spark, dir).count()
-    // simulate a predecessor that died mid-merge: next-gen dirs exist,
-    // marker never flipped
-    Files.createDirectories(Path.of(dir, "files-g1"))
-    Files.write(Path.of(dir, "files-g1", "garbage.parquet"), Array[Byte](1, 2, 3))
-    Files.createDirectories(Path.of(dir, "manifest-g1"))
+    // simulate a predecessor that died mid-merge: token-suffixed
+    // staging dirs and a staged log entry exist, the commit link never
+    // landed
+    Files.createDirectories(Path.of(dir, "files-g1~deadtok"))
+    Files.write(Path.of(dir, "files-g1~deadtok", "garbage.parquet"), Array[Byte](1, 2, 3))
+    Files.createDirectories(Path.of(dir, "manifest-g1~deadtok"))
+    Files.write(Path.of(dir, "_commit.tmp-deadtok"), "token=deadtok\n".getBytes)
     assert(MergeTable.committedGen(dir).contains(0), "crash leaked a commit")
     assert(MergeTable.readTable(spark, dir).count() == before,
       "reader saw uncommitted files")
-    // replay merges cleanly over the wreckage
+    // replay merges cleanly beside the wreckage (fresh token, no clash)
     val changes = Seq((1L, "D", null, 0.0)).toDF("k", "op", "seg", "bal")
     MergeTable.merge(spark, dir, changes, "k")
     assert(MergeTable.committedGen(dir).contains(1))
     assert(MergeTable.readTable(spark, dir).count() == before - 1)
     assert(MergeTable.readTable(spark, dir).filter(col("k") === 1L).isEmpty)
+    // vacuum sweeps the dead writer's staging
+    MergeTable.vacuum(spark, dir)
+    assert(!Files.exists(Path.of(dir, "files-g1~deadtok")), "dead staging survived vacuum")
+    assert(!Files.exists(Path.of(dir, "manifest-g1~deadtok")), "dead manifest survived vacuum")
+    assert(!Files.exists(Path.of(dir, "_commit.tmp-deadtok")), "dead log entry survived vacuum")
+    assert(MergeTable.readTable(spark, dir).count() == before - 1)
+  }
+
+  test("concurrent merges: commit is a CAS — every writer's update lands exactly once") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val dir = tmpDir("mergetab-occ")
+    MergeTable.write(spark, table(100), "k", dir, nFiles = 2)
+    val writers = 6
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    (1 to writers).foreach { i =>
+      pool.submit(new Runnable {
+        def run(): Unit = try {
+          val change = Seq((i.toLong, "U", "WEB", i * 100.0)).toDF("k", "op", "seg", "bal")
+          var done = false
+          var tries = 0
+          while (!done && tries < 50) {
+            tries += 1
+            try { MergeTable.merge(spark, dir, change, "k"); done = true }
+            catch { case _: java.util.ConcurrentModificationException =>
+              conflicts.incrementAndGet() } // stale base: recompute + retry
+          }
+          if (!done) failures.add(new IllegalStateException(s"writer $i starved"))
+        } catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    pool.shutdown()
+    assert(pool.awaitTermination(300, java.util.concurrent.TimeUnit.SECONDS))
+    assert(failures.isEmpty,
+      s"concurrent writers failed: ${failures.asScala.map(_.toString).toSeq}")
+    // every successful commit took exactly one generation: no lost
+    // updates, no double-applies
+    assert(MergeTable.committedGen(dir).contains(writers),
+      s"$writers commits must advance $writers generations, " +
+        s"got ${MergeTable.committedGen(dir)} (conflicts seen: ${conflicts.get})")
+    val t = MergeTable.readTable(spark, dir)
+    (1 to writers).foreach { i =>
+      assert(t.filter(col("k") === i.toLong).select("seg", "bal")
+        .as[(String, Double)].head() == ("WEB", i * 100.0), s"writer $i's update lost")
+    }
+    assert(t.count() == 100)
+    // losers' abandoned staging never becomes visible; vacuum clears it
+    MergeTable.vacuum(spark, dir)
+    assert(MergeTable.readTable(spark, dir).count() == 100)
   }
 
   test("update overlay is per-column: null value columns keep the target's") {
@@ -116,7 +170,7 @@ class MergeTableSpec extends SparkSpecBase {
       Seq((10L, "U", "WEB", 1.0), (990L, "D", null: String, 0.0))
         .toDF("k", "op", "seg", "bal"), "k")
     // plus a crashed-commit artifact vacuum should sweep
-    Files.write(Path.of(dir, "_committed.tmp-g9"), "9\n".getBytes)
+    Files.write(Path.of(dir, "_commit.tmp-stale9"), "token=stale9\n".getBytes)
     val before = MergeTable.readTable(spark, dir)
       .as[(Long, String, Double)].collect().sorted.toSeq
     val deleted = MergeTable.vacuum(spark, dir)
@@ -124,8 +178,14 @@ class MergeTableSpec extends SparkSpecBase {
     // superseded gen-0 files and the old manifest are gone...
     stats.touched.foreach(p =>
       assert(!Files.exists(Path.of(java.net.URI.create(p))), s"superseded $p survived"))
-    assert(!Files.exists(Path.of(dir, "manifest-g0")), "old manifest survived")
-    assert(!Files.exists(Path.of(dir, "_committed.tmp-g9")), "stale marker survived")
+    val manifestDirs = {
+      val ls = Files.list(Path.of(dir))
+      try ls.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("manifest-g")).toSeq
+      finally ls.close()
+    }
+    assert(manifestDirs.size == 1, s"old manifests survived: $manifestDirs")
+    assert(!Files.exists(Path.of(dir, "_commit.tmp-stale9")), "stale log entry survived")
     // ...every live file (including gen-0 untouched carries) remains,
     // and the committed read is unchanged
     stats.untouched.foreach(p =>
@@ -363,6 +423,36 @@ class MergeTableSpec extends SparkSpecBase {
       "post-evolution value lost by a later pre-evolution-file rewrite")
     assert(t2.filter(col("k") === 60L).select("seg", "bal", "tier")
       .as[(String, Double, String)].head() == ("XXX", 60 * 1.5, null))
+  }
+
+  test("string keys: native-typed manifest stats prune lexicographically") {
+    import spark.implicits._
+    val dir = tmpDir("mergetab-strkey")
+    val base = (1 to 400).map(i => (f"key-$i%05d", s"seg${i % 3}", i * 2.0))
+      .toDF("k", "seg", "bal")
+    MergeTable.write(spark, base, "k", dir, nFiles = 4)
+    val man0 = MergeTable.manifest(spark, dir).collect()
+    assert(man0.forall(r => r.get(1).isInstanceOf[String]), "stats lost the key type")
+    // banded change: only keys < key-00100 → one file's range
+    val changes = Seq(
+      ("key-00010", "U", "WEB", 999.0),
+      ("key-00020", "D", null, 0.0),
+      ("zzz-99999", "I", "NEW", 1.0)).toDF("k", "op", "seg", "bal")
+    val stats = MergeTable.merge(spark, dir, changes, "k")
+    val expectedTouched = man0.filter(r =>
+      Seq("key-00010", "key-00020").exists(k =>
+        k >= r.getString(1) && k <= r.getString(2))).map(_.getString(0)).toSet
+    assert(stats.touched.toSet == expectedTouched, s"string pruning wrong: $stats")
+    assert(stats.untouched.size >= 3)
+    // pruned scan on a lexicographic band
+    val got = MergeTable.scanRange(spark, dir, "k", "key-00015", "key-00025")
+      .select("k").as[String].collect().sorted.toSeq
+    assert(got == (15 to 25).filter(_ != 20).map(i => f"key-$i%05d"),
+      s"string scanRange wrong: $got")
+    // CDC types survive
+    val cdc = MergeTable.changesBetween(spark, dir, 0, 1, "k")
+      .select("k", "change_op").as[(String, String)].collect().sorted.toSeq
+    assert(cdc == Seq(("key-00010", "U"), ("key-00020", "D"), ("zzz-99999", "I")))
   }
 
   test("delete-everything merge leaves a consistent (possibly emptier) table") {
