@@ -561,6 +561,41 @@ object ScaleProbe {
         println(f"retrained index cell skew: max=$mx2 (${sk2}%.1f x mean)")
         val (recB, secB) = recallOf(idx2)
         println(f"retrained index: recall@$k=$recB%.3f, probe $secB%.2f s")
+      case "zorder" =>
+        // writeClustered's claim, measured: on a 2-D-filtered fact
+        // table, a key-range layout is perfectly selective on the key
+        // and USELESS on the second column (every file admitted); the
+        // z-order layout prunes on BOTH. Timed: a y-band scanWhere on
+        // each layout at bench-dwarfing scale.
+        val dirZ = java.nio.file.Files.createTempDirectory("probe-z").toString
+        val dirR = java.nio.file.Files.createTempDirectory("probe-r").toString
+        val nF = 64
+        val src = spark.range(rows).select(col("id").as("k"),
+          pmod(xxhash64(col("id")), lit(100000)).as("x"),
+          pmod(xxhash64(col("id") + 7), lit(100000)).as("y"),
+          (pmod(xxhash64(col("id") + 13), lit(1000)) / 10.0).as("v"))
+        val t0 = System.nanoTime()
+        operators.MergeTable.writeClustered(spark, src, "k", Seq("x", "y"), dirZ, nF)
+        println(f"z-order write ($rows rows, $nF files): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val t1 = System.nanoTime()
+        operators.MergeTable.write(spark, src, "k", dirR, nF)
+        println(f"key-range write: ${(System.nanoTime() - t1) / 1e9}%.2f s")
+        def admitted(d: String, c: String, lo: Long, hi: Long): Int =
+          operators.MergeTable.manifest(spark, d)
+            .filter(col(s"max_$c") >= lo && col(s"min_$c") <= hi).count().toInt
+        // a y band of ~1/16 of the domain
+        val (lo, hi) = (40000L, 46250L)
+        Seq(("z-order", dirZ), ("key-range", dirR)).foreach { case (label, d) =>
+          val adm = admitted(d, "y", lo, hi)
+          val t2 = System.nanoTime()
+          val n = operators.MergeTable.scanWhere(spark, d, "y", lo, hi)
+            .agg(count(lit(1)), sum("v")).head()
+          println(f"$label y-band scan ($adm/$nF files admitted, ${n.getLong(0)} rows): " +
+            f"${(System.nanoTime() - t2) / 1e9}%.2f s")
+        }
+        // the key stays prunable on the z layout too
+        println(s"z-order x-band admits ${admitted(dirZ, "x", lo, hi)}/$nF files " +
+          s"(key-range: ${admitted(dirR, "x", lo, hi)}/$nF)")
       case "merge" =>
         // q59's claim, measured: a banded change batch against a
         // 64-file keyed table — the manifest-pruned merge (rewrite

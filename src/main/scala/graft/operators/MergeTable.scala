@@ -17,7 +17,7 @@ import scala.jdk.CollectionConverters._
   * Layout of a keyed table at `dir`:
   * {{{
   *   dir/files-g<N>~<token>/part-*.parquet  data files, range-written on the key
-  *   dir/manifest-g<N>~<token>/             (path, min_k, max_k, n_rows) per LIVE file
+  *   dir/manifest-g<N>~<token>/             (path, n_rows, min_<c>/max_<c> per statted col) per LIVE file
   *   dir/_commit-g<N>                       commit-log entry: token=<token> + metadata
   * }}}
   * Commits form an append-only log with OPTIMISTIC CONCURRENCY: each
@@ -124,17 +124,32 @@ object MergeTable {
   /** Per-file stats computed from the WRITTEN files themselves
     * (input_file_name grouping) — the manifest can't drift from the
     * bytes on disk the way writer-side bookkeeping could. min/max
-    * keep the key's NATIVE type (long, string, date, …): range
+    * keep each column's NATIVE type (long, string, date, …): range
     * pruning is ordering-based, not numeric, so a string-keyed
     * dimension prunes exactly like a numeric one (range-partitioned
     * writes give contiguous lexicographic spans per file).
+    *
+    * Columns statted: the key (as `min_<key>`/`max_<key>`) plus every
+    * numeric/date/timestamp column — Delta's per-column data-skipping
+    * stats at this layer, consumed by [[scanWhere]]. Non-key string
+    * columns are NOT statted (unbounded text would bloat the
+    * manifest; Delta truncates, which needs careful round-up on max —
+    * out of scope here and documented).
     */
-  private def statsOf(s: SparkSession, dataDir: String, keyCol: String): DataFrame =
-    s.read.parquet(dataDir)
-      .groupBy(input_file_name().as("path"))
-      .agg(min(col(keyCol)).as("min_k"),
-        max(col(keyCol)).as("max_k"),
-        count(lit(1)).as("n_rows"))
+  private def statsOf(s: SparkSession, dataDir: String, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val df = s.read.parquet(dataDir)
+    val statted = df.schema.fields.filter { f =>
+      f.name == keyCol || (f.dataType match {
+        case _: NumericType | DateType | TimestampType => true
+        case _ => false
+      })
+    }.map(_.name).distinct.toSeq
+    val aggs = count(lit(1)).as("n_rows") +:
+      statted.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    df.groupBy(input_file_name().as("path"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
   private def hasParquetFiles(dataDir: String): Boolean = {
     val p = java.nio.file.Path.of(dataDir)
@@ -157,6 +172,82 @@ object MergeTable {
     graft.IndexLifecycle.deleteRecursively(dir)
     val token = newToken()
     df.repartitionByRange(nFiles, col(keyCol))
+      .write.parquet(dataDirOf(dir, 0, token))
+    statsOf(s, dataDirOf(dir, 0, token), keyCol)
+      .coalesce(1).write.parquet(manifestDirOf(dir, 0, token))
+    commitGen(dir, 0, token, Map.empty)
+  }
+
+  /** Z-ORDER clustered write: generation 0 laid out on the Morton
+    * (bit-interleaved) order of `clusterCols`, so EVERY clustered
+    * column gets contiguous-ish per-file spans and [[scanWhere]]
+    * prunes on any of them — the reason Delta/Iceberg OPTIMIZE
+    * ZORDER exists. A key-range write makes one column perfectly
+    * selective and the rest useless; z-order makes d columns each
+    * ~file^(1/d) selective, which is the right trade for a 100 TB
+    * fact table filtered by (date, customer) or (tenant, time).
+    *
+    * Each cluster column is normalized to a 16-bit lattice by global
+    * min/max (one tiny agg), then bits are spread and interleaved
+    * with the classic mask-shift cascade — pure Column arithmetic,
+    * codegen'd, no UDF. Ties/skew degrade gracefully: the z-value
+    * only DRIVES the range partitioner, correctness never depends on
+    * it (stats are computed from the written files as always).
+    * Subsequent [[merge]]s stay correct on any layout (pruning reads
+    * the key stats), but rewrite files key-ordered — re-cluster with
+    * a fresh writeClustered (OPTIMIZE ZORDER's exact lifecycle).
+    */
+  def writeClustered(s: SparkSession, df: DataFrame, keyCol: String,
+                     clusterCols: Seq[String], dir: String,
+                     nFiles: Int = 16): Unit = {
+    // d ≤ 3: 16 lattice bits × d + (d-1) lane offset must stay below
+    // bit 63 — a sign-bit z-value would break the range order
+    require(clusterCols.nonEmpty && clusterCols.size <= 3,
+      s"z-order wants 1-3 cluster columns, got ${clusterCols.size}")
+    clusterCols.foreach { c =>
+      require(df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"z-order cluster column '$c' must be numeric " +
+          "(lattice normalization is min/max arithmetic)")
+    }
+    val boundExprs = clusterCols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val bounds = df.agg(boundExprs.head, boundExprs.tail: _*).head()
+    if (bounds.anyNull) { // empty input (or all-null cluster col):
+      write(s, df, keyCol, dir, nFiles); return // nothing to interleave
+    }
+    // 16-bit lattice coordinate per column, then spread bits so each
+    // occupies every d-th position (d-way Morton interleave)
+    def lattice(c: String, i: Int): Column = {
+      val (lo, hi) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
+      val span = if (hi > lo) hi - lo else 1.0
+      least(greatest(((col(c).cast("double") - lit(lo)) / lit(span) * 65535.0)
+        .cast("long"), lit(0L)), lit(65535L))
+    }
+    val d = clusterCols.size
+    def spread(x0: Column): Column =
+      if (d == 1) x0
+      else {
+        // mask-shift cascade generalized to stride d: after step for
+        // shift s (8,4,2,1), bit b sits at position b*d (for d<=4,
+        // 16 source bits span <= 64 bits)
+        Seq(8, 4, 2, 1).foldLeft(x0) { (x, sft) =>
+          val spreadX = x.bitwiseOR(shiftleft(x, sft * (d - 1)))
+          // keep a bit only where a source bit belongs after this pass
+          val mask = (0 until 16).map { b =>
+            val pos = (b / sft) * sft * d + (b % sft)
+            1L << pos
+          }.foldLeft(0L)(_ | _)
+          spreadX.bitwiseAND(lit(mask))
+        }
+      }
+    val zv = clusterCols.zipWithIndex.map { case (c, i) =>
+      shiftleft(spread(lattice(c, i)), i)
+    }.reduce(_ bitwiseOR _)
+    graft.IndexLifecycle.deleteRecursively(dir)
+    val token = newToken()
+    df.withColumn("__zv", zv)
+      .repartitionByRange(nFiles, col("__zv"))
+      .drop("__zv")
       .write.parquet(dataDirOf(dir, 0, token))
     statsOf(s, dataDirOf(dir, 0, token), keyCol)
       .coalesce(1).write.parquet(manifestDirOf(dir, 0, token))
@@ -200,28 +291,69 @@ object MergeTable {
     s.read.option("mergeSchema", "true").parquet(paths.toIndexedSeq: _*)
   }
 
-  /** Data-skipping scan: a key-range read that consults the manifest
-    * FIRST and opens only files whose [min_k, max_k] intersects
-    * [lo, hi] — the table-layer half of predicate pushdown. Parquet
-    * row-group stats prune WITHIN a file the engine already opened;
-    * this prunes at the FILE list, so a 100 TB table's footer reads
-    * and scheduling cost scale with the band, not the table. The
-    * residual filter still applies (manifest ranges admit whole
-    * files), so results are exact.
+  /** Data-skipping scan: a range read over ANY statted column that
+    * consults the manifest FIRST and opens only files whose
+    * [min_c, max_c] intersects [lo, hi] — the table-layer half of
+    * predicate pushdown. Parquet row-group stats prune WITHIN a file
+    * the engine already opened; this prunes at the FILE list, so a
+    * 100 TB table's footer reads and scheduling cost scale with the
+    * band, not the table. The residual filter still applies (manifest
+    * ranges admit whole files), so results are exact.
+    *
+    * Pruning is sound under missing stats: a manifest entry whose
+    * stats for `colName` are null (a pre-evolution file carried
+    * across the evolution that introduced the column, or a column the
+    * writer doesn't stat) is INCLUDED, never skipped. Selectivity on
+    * a non-key column depends on the physical clustering —
+    * range-written tables cluster only the key; [[writeClustered]]'s
+    * z-order makes multiple columns selective at once.
     */
-  def scanRange(s: SparkSession, dir: String, keyCol: String,
+  def scanWhere(s: SparkSession, dir: String, colName: String,
                 lo: Any, hi: Any): DataFrame = {
-    val paths = manifest(s, dir)
-      .filter(col("max_k") >= lit(lo) && col("min_k") <= lit(hi))
+    val man = manifest(s, dir)
+    val (minC, maxC) = (s"min_$colName", s"max_$colName")
+    val admit =
+      if (!man.columns.contains(minC)) lit(true) // unstatted: no pruning
+      else (col(maxC).isNull || col(maxC) >= lit(lo)) &&
+        (col(minC).isNull || col(minC) <= lit(hi))
+    val paths = man.filter(admit)
       .select("path").collect().map(_.getString(0)).toIndexedSeq
     if (paths.nonEmpty)
       s.read.option("mergeSchema", "true").parquet(paths: _*)
-        .filter(col(keyCol) >= lit(lo) && col(keyCol) <= lit(hi))
+        .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
     else { // band misses every file: empty result, schema from any live file
-      val any = manifest(s, dir).select("path").limit(1).collect()
+      val any = man.select("path").limit(1).collect()
       if (any.isEmpty) sys.error(s"$dir is empty; no schema for an empty scan")
       s.read.parquet(any.head.getString(0)).limit(0)
     }
+  }
+
+  /** Key-band scan — [[scanWhere]] on the table's merge key. */
+  def scanRange(s: SparkSession, dir: String, keyCol: String,
+                lo: Any, hi: Any): DataFrame =
+    scanWhere(s, dir, keyCol, lo, hi)
+
+  /** Incremental-consumer cursor over the commit log: everything that
+    * changed since the consumer's `lastSeenGen`, or None when up to
+    * date. The consumer loop a downstream index / feature store /
+    * replica runs is three lines:
+    * {{{
+    *   var cur = 0
+    *   MergeTable.pollChanges(s, dir, cur, "k").foreach { case (g, delta) =>
+    *     applyDelta(delta); cur = g }
+    * }}}
+    * The delta is [[changesBetween]]'s NET logical diff (time ∝ files
+    * rewritten in the span, never the table), and the generation
+    * number is the exactly-once watermark: persist `cur` beside the
+    * applied state and replay is idempotent. Polling the log is one
+    * directory listing — no Spark job when nothing changed.
+    */
+  def pollChanges(s: SparkSession, dir: String, lastSeenGen: Int,
+                  keyCol: String): Option[(Int, DataFrame)] = {
+    val cur = committedGen(dir).getOrElse(
+      sys.error(s"$dir is not a committed keyed table (no commit log)"))
+    if (cur <= lastSeenGen) None
+    else Some((cur, changesBetween(s, dir, lastSeenGen, cur, keyCol)))
   }
 
   /** Observability of one merge's pruning decision. */
@@ -290,8 +422,16 @@ object MergeTable {
     * trade); the committed generation is untouched, so readers
     * resolving the marker before/after a vacuum see identical rows.
     * Returns the deleted file count.
+    *
+    * CONCURRENT-WRITER safety is retention-based, Delta's VACUUM
+    * semantics exactly: vacuum resolves "current" once, so a writer
+    * committing MID-sweep would look stale to it — `minAgeMs` spares
+    * anything modified within the window, which is precisely the
+    * in-flight writer's staging and fresh commit. Run with
+    * `minAgeMs` comfortably above the longest in-flight commit when
+    * writers may be live; 0 (the default) is only safe quiesced.
     */
-  def vacuum(s: SparkSession, dir: String): Int = {
+  def vacuum(s: SparkSession, dir: String, minAgeMs: Long = 0L): Int = {
     val gen = committedGen(dir).getOrElse(
       sys.error(s"$dir is not a committed keyed table (no commit log)"))
     val curManifest = s"manifest-g$gen~" + metaAt(dir, gen).getOrElse("token",
@@ -299,6 +439,10 @@ object MergeTable {
     val live = manifest(s, dir).select("path").collect()
       .map(r => java.nio.file.Path.of(java.net.URI.create(r.getString(0)))
         .toAbsolutePath.toString).toSet
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    def oldEnough(p: java.nio.file.Path): Boolean =
+      minAgeMs <= 0L ||
+        java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff
     var deleted = 0
     val root = java.nio.file.Path.of(dir)
     val ls = java.nio.file.Files.list(root)
@@ -307,16 +451,16 @@ object MergeTable {
       val name = p.getFileName.toString
       // `_commit-g<N>` log entries are KEPT — they are the table's
       // history; a vacuumed generation fails loudly in manifestAt
-      if (name.startsWith("manifest-g") && name != curManifest) {
+      if (name.startsWith("manifest-g") && name != curManifest && oldEnough(p)) {
         graft.IndexLifecycle.deleteRecursively(p.toString); deleted += 1
-      } else if (name.startsWith("_commit.tmp")) {
+      } else if (name.startsWith("_commit.tmp") && oldEnough(p)) {
         // a crashed commit's staged log entry — never observed by readers
         java.nio.file.Files.deleteIfExists(p); deleted += 1
       } else if (name.startsWith("files-g")) {
         val fs = java.nio.file.Files.list(p)
         val files = try fs.iterator().asScala.toSeq finally fs.close()
         files.foreach { f =>
-          if (!live.contains(f.toAbsolutePath.toString)) {
+          if (!live.contains(f.toAbsolutePath.toString) && oldEnough(f)) {
             java.nio.file.Files.deleteIfExists(f); deleted += 1
           }
         }
@@ -364,10 +508,11 @@ object MergeTable {
     val token = newToken()
 
     val man = manifestAt(s, dir, prevGen)
-    val ranges = man.select("path", "min_k", "max_k")
+    val ranges = man.select(col("path"),
+      col(s"min_$keyCol").as("__mn"), col(s"max_$keyCol").as("__mx"))
     val touched = changes.filter(col("op").isin("U", "D"))
       .join(broadcast(ranges),
-        col(keyCol) >= col("min_k") && col(keyCol) <= col("max_k"))
+        col(keyCol) >= col("__mn") && col(keyCol) <= col("__mx"))
       .select("path").distinct().collect().map(_.getString(0)).toIndexedSeq
     val untouched = man.select("path").collect().map(_.getString(0))
       .filterNot(touched.contains).toIndexedSeq
@@ -418,8 +563,11 @@ object MergeTable {
     val newStats =
       if (hasParquetFiles(staging)) statsOf(s, staging, keyCol)
       else man.filter(lit(false)) // everything deleted, nothing inserted
+    // allowMissingColumns: a schema evolution adds stat columns the
+    // carried entries don't have — they union as null, and every
+    // stats consumer treats null as "can't prune, include"
     man.filter(col("path").isin(untouched: _*))
-      .unionByName(newStats)
+      .unionByName(newStats, allowMissingColumns = true)
       .coalesce(1).write.parquet(manifestDirOf(dir, next, token))
     try commitGen(dir, next, token, meta)
     catch {
@@ -465,7 +613,7 @@ object MergeTable {
       .repartitionByRange(outFiles, col(keyCol))
       .write.parquet(staging)
     man.filter(col("path").isin(untouched: _*))
-      .unionByName(statsOf(s, staging, keyCol))
+      .unionByName(statsOf(s, staging, keyCol), allowMissingColumns = true)
       .coalesce(1).write.parquet(manifestDirOf(dir, next, token))
     try commitGen(dir, next, token, Map.empty)
     catch {
@@ -491,10 +639,27 @@ object MergeTable {
     */
   def upsertSink(dir: String, keyCol: String): (DataFrame, Long) => Unit =
     (batch, batchId) => {
-      val applied = committedMeta(dir).get("batch").map(_.toLong)
-      if (!applied.exists(_ >= batchId))
-        merge(batch.sparkSession, dir, batch, keyCol,
-          meta = Map("batch" -> batchId.toString))
+      // a concurrent non-stream writer (merge/compact) can win a
+      // generation under us — that is the OCC contract, not an
+      // error; re-read the base and retry the batch (bounded, so a
+      // genuinely stuck table still fails the query loudly)
+      var attempts = 0
+      var done = false
+      while (!done) {
+        val applied = committedMeta(dir).get("batch").map(_.toLong)
+        if (applied.exists(_ >= batchId)) done = true // replay: no-op
+        else {
+          attempts += 1
+          try {
+            merge(batch.sparkSession, dir, batch, keyCol,
+              meta = Map("batch" -> batchId.toString))
+            done = true
+          } catch {
+            case e: java.util.ConcurrentModificationException =>
+              if (attempts >= 20) throw e
+          }
+        }
+      }
     }
 
   // ---- q59: the registered query ----

@@ -41,7 +41,7 @@ class MergeTableSpec extends SparkSpecBase {
     // pruning soundness: touched = exactly the manifest entries whose
     // range contains a U/D key (10, 20, 30)
     val expectedTouched = man0.filter(r =>
-      Seq(10L, 20L, 30L).exists(k => k >= r.getLong(1) && k <= r.getLong(2)))
+      Seq(10L, 20L, 30L).exists(k => k >= r.getAs[Long]("min_k") && k <= r.getAs[Long]("max_k")))
       .map(_.getString(0)).toSet
     assert(stats.touched.toSet == expectedTouched,
       s"touched ${stats.touched} != range-intersecting $expectedTouched")
@@ -197,6 +197,23 @@ class MergeTableSpec extends SparkSpecBase {
     assert(MergeTable.vacuum(spark, dir) == 0)
   }
 
+  test("vacuum retention spares recent files (the concurrent-writer window)") {
+    import spark.implicits._
+    val dir = tmpDir("mergetab-retention")
+    MergeTable.write(spark, table(100), "k", dir, nFiles = 2)
+    MergeTable.merge(spark, dir,
+      Seq((1L, "U", "WEB", 1.0)).toDF("k", "op", "seg", "bal"), "k")
+    // everything here was just written: a retention-respecting vacuum
+    // must delete NOTHING (this is what protects an in-flight
+    // writer's fresh staging and commit from a racing vacuum)
+    assert(MergeTable.vacuum(spark, dir, minAgeMs = 3600 * 1000L) == 0,
+      "retention vacuum deleted recent files")
+    assert(MergeTable.manifestAt(spark, dir, 0).count() > 0,
+      "old generation should survive a retention vacuum")
+    // with retention waived, the same sweep reclaims the old gen
+    assert(MergeTable.vacuum(spark, dir) > 0)
+  }
+
   test("time travel: asOf reads any committed generation until vacuum") {
     import spark.implicits._
     val dir = tmpDir("mergetab-travel")
@@ -293,7 +310,7 @@ class MergeTableSpec extends SparkSpecBase {
       .as[(Long, String, Double)].collect().sorted.toSeq
     val man2 = MergeTable.manifest(spark, dir).collect()
     assert(man2.length == 6, s"expected 4 big + 2 tiny files: ${man2.length}")
-    val bigPaths = man2.filter(_.getLong(3) >= 50).map(_.getString(0)).toSeq
+    val bigPaths = man2.filter(_.getAs[Long]("n_rows") >= 50).map(_.getString(0)).toSeq
     val mt = mtimesOf(bigPaths)
 
     val stats = MergeTable.compact(spark, dir, "k", targetRows = 50)
@@ -364,7 +381,7 @@ class MergeTableSpec extends SparkSpecBase {
     val man = MergeTable.manifest(spark, dir).collect()
     // delete every file whose range is fully outside [100, 220]: a
     // pruned scan must not notice they are gone
-    val (needed, prunable) = man.partition(r => r.getLong(2) >= 100 && r.getLong(1) <= 220)
+    val (needed, prunable) = man.partition(r => r.getAs[Long]("max_k") >= 100 && r.getAs[Long]("min_k") <= 220)
     assert(prunable.nonEmpty && needed.length <= 3)
     val saved = prunable.map { r =>
       val p = Path.of(java.net.URI.create(r.getString(0)))
@@ -425,6 +442,31 @@ class MergeTableSpec extends SparkSpecBase {
       .as[(String, Double, String)].head() == ("XXX", 60 * 1.5, null))
   }
 
+  test("pollChanges: the consumer cursor sees each commit exactly once") {
+    import spark.implicits._
+    val dir = tmpDir("mergetab-poll")
+    MergeTable.write(spark, table(100), "k", dir, nFiles = 2)
+    var cursor = 0
+    assert(MergeTable.pollChanges(spark, dir, cursor, "k").isEmpty, "nothing committed yet")
+    MergeTable.merge(spark, dir,
+      Seq((1L, "U", "WEB", 9.0)).toDF("k", "op", "seg", "bal"), "k")
+    MergeTable.merge(spark, dir,
+      Seq((2L, "D", null: String, 0.0)).toDF("k", "op", "seg", "bal"), "k")
+    // one poll nets BOTH commits
+    val Some((g, delta)) = MergeTable.pollChanges(spark, dir, cursor, "k")
+    assert(g == 2)
+    val got = delta.select("k", "change_op").as[(Long, String)].collect().sorted.toSeq
+    assert(got == Seq((1L, "U"), (2L, "D")), s"cursor delta wrong: $got")
+    cursor = g
+    // caught up: no delta, no Spark job
+    assert(MergeTable.pollChanges(spark, dir, cursor, "k").isEmpty)
+    // next commit shows only its own change
+    MergeTable.merge(spark, dir,
+      Seq((3L, "U", "XXX", 1.0)).toDF("k", "op", "seg", "bal"), "k")
+    val Some((g2, d2)) = MergeTable.pollChanges(spark, dir, cursor, "k")
+    assert(g2 == 3 && d2.select("k").as[Long].collect().toSeq == Seq(3L))
+  }
+
   test("string keys: native-typed manifest stats prune lexicographically") {
     import spark.implicits._
     val dir = tmpDir("mergetab-strkey")
@@ -432,7 +474,7 @@ class MergeTableSpec extends SparkSpecBase {
       .toDF("k", "seg", "bal")
     MergeTable.write(spark, base, "k", dir, nFiles = 4)
     val man0 = MergeTable.manifest(spark, dir).collect()
-    assert(man0.forall(r => r.get(1).isInstanceOf[String]), "stats lost the key type")
+    assert(man0.forall(r => r.getAs[Any]("min_k").isInstanceOf[String]), "stats lost the key type")
     // banded change: only keys < key-00100 → one file's range
     val changes = Seq(
       ("key-00010", "U", "WEB", 999.0),
@@ -441,7 +483,7 @@ class MergeTableSpec extends SparkSpecBase {
     val stats = MergeTable.merge(spark, dir, changes, "k")
     val expectedTouched = man0.filter(r =>
       Seq("key-00010", "key-00020").exists(k =>
-        k >= r.getString(1) && k <= r.getString(2))).map(_.getString(0)).toSet
+        k >= r.getAs[String]("min_k") && k <= r.getAs[String]("max_k"))).map(_.getAs[String]("path")).toSet
     assert(stats.touched.toSet == expectedTouched, s"string pruning wrong: $stats")
     assert(stats.untouched.size >= 3)
     // pruned scan on a lexicographic band
@@ -453,6 +495,40 @@ class MergeTableSpec extends SparkSpecBase {
     val cdc = MergeTable.changesBetween(spark, dir, 0, 1, "k")
       .select("k", "change_op").as[(String, String)].collect().sorted.toSeq
     assert(cdc == Seq(("key-00010", "U"), ("key-00020", "D"), ("zzz-99999", "I")))
+  }
+
+  test("writeClustered: z-order makes every cluster column file-prunable at once") {
+    import spark.implicits._
+    val dirZ = tmpDir("mergetab-zorder")
+    val dirR = tmpDir("mergetab-rangekey")
+    // 64×64 grid, x and y independent; k = x*64+y means the key-range
+    // layout is an x-slab layout: perfectly selective on x, useless on y
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 }
+      yield (x.toLong * 64 + y, x.toLong, y.toLong)).toDF("k", "x", "y")
+    MergeTable.writeClustered(spark, grid, "k", Seq("x", "y"), dirZ, nFiles = 16)
+    MergeTable.write(spark, grid, "k", dirR, nFiles = 16)
+    def filesAdmitted(dir: String, c: String, lo: Long, hi: Long): Int =
+      MergeTable.manifest(spark, dir)
+        .filter(col(s"max_$c") >= lo && col(s"min_$c") <= hi).count().toInt
+    // correctness first: a band scan equals the full-scan filter
+    val want = grid.filter(col("y") >= 10 && col("y") <= 17)
+      .select("k").as[Long].collect().sorted.toSeq
+    val gotZ = MergeTable.scanWhere(spark, dirZ, "y", 10L, 17L)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(gotZ == want, "z-layout band scan lost rows")
+    // pruning: the key-range layout admits EVERY file for a y band;
+    // the z layout skips a solid fraction on BOTH dimensions
+    assert(filesAdmitted(dirR, "y", 10, 17) == 16,
+      "x-slab layout should be useless on y (the contrast)")
+    val zy = filesAdmitted(dirZ, "y", 10, 17)
+    val zx = filesAdmitted(dirZ, "x", 10, 17)
+    assert(zy <= 10, s"z-order failed to prune on y: $zy/16 files admitted")
+    assert(zx <= 10, s"z-order failed to prune on x: $zx/16 files admitted")
+    // a merge on a z table stays CORRECT (key stats still prune)
+    MergeTable.merge(spark, dirZ,
+      Seq((5L, "U", 99L, 99L)).toDF("k", "op", "x", "y"), "k")
+    assert(MergeTable.readTable(spark, dirZ).filter(col("k") === 5L)
+      .select("x").as[Long].head() == 99L)
   }
 
   test("delete-everything merge leaves a consistent (possibly emptier) table") {
