@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst-integrated data skipping for [[MergeTable]]: a
+  * [[FileIndex]] whose `listFiles` evaluates the query's pushed-down
+  * data filters against the manifest's per-file min/max stats, so a
+  * plain `readIndexed(...).filter(col("k") between ...)` prunes files
+  * AT PLAN TIME with no explicit scanWhere call — the mechanism
+  * Delta's TahoeFileIndex / Iceberg's SparkScan use, built on Spark's
+  * own `FileSourceScanExec → FileIndex.listFiles(dataFilters)`
+  * pushdown seam (internal-but-stable API, the documented extension
+  * point every open table format rides).
+  *
+  * Soundness contract: a file is SKIPPED only when its stats PROVE no
+  * row can match — missing stats, null stats, unsupported predicate
+  * shapes, and incomparable types all ADMIT the file and leave the
+  * work to the residual filter. Supported shapes: And/Or conjunctions
+  * over =, <, <=, >, >=, In, StartsWith on statted columns against
+  * literals (either operand order). Everything else is a no-op, never
+  * a wrong answer.
+  */
+final class GraftFileIndex(entries: Seq[GraftFileIndex.Entry])
+    extends FileIndex {
+  import GraftFileIndex._
+
+  override val rootPaths: Seq[HPath] =
+    entries.map(_.status.getPath.getParent).distinct
+
+  override def partitionSchema: StructType = new StructType()
+
+  override def refresh(): Unit = ()
+
+  override def sizeInBytes: Long = entries.map(_.status.getLen).sum
+
+  override def inputFiles: Array[String] =
+    entries.map(_.status.getPath.toString).toArray
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val admitted = entries.filter(e => dataFilters.forall(f => admits(f, e.stats)))
+    Seq(PartitionDirectory(InternalRow.empty, admitted.map(_.status).toArray))
+  }
+}
+
+object GraftFileIndex {
+  /** One live data file plus its statted-column (min, max) pairs. */
+  final case class Entry(status: FileStatus, stats: Map[String, (Any, Any)])
+
+  private def bound(stats: Map[String, (Any, Any)],
+                    name: String): Option[(Any, Any)] =
+    stats.get(name).filter(t => t._1 != null && t._2 != null)
+
+  /** true = the file MAY contain a matching row (keep it). */
+  private[operators] def admits(e: Expression,
+                                stats: Map[String, (Any, Any)]): Boolean = e match {
+    // file-level may-match is compositional: may(l AND r) ⊆ may(l)∧may(r)
+    case And(l, r) => admits(l, stats) && admits(r, stats)
+    case Or(l, r) => admits(l, stats) || admits(r, stats)
+    case EqualTo(a: AttributeReference, Literal(v, _)) => mayContain(stats, a.name, v)
+    case EqualTo(Literal(v, _), a: AttributeReference) => mayContain(stats, a.name, v)
+    case GreaterThan(a: AttributeReference, Literal(v, _)) =>
+      bound(stats, a.name).forall { case (_, mx) => cmp(mx, v).forall(_ > 0) }
+    case GreaterThan(Literal(v, _), a: AttributeReference) => // v > a ≡ a < v
+      bound(stats, a.name).forall { case (mn, _) => cmp(mn, v).forall(_ < 0) }
+    case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+      bound(stats, a.name).forall { case (_, mx) => cmp(mx, v).forall(_ >= 0) }
+    case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) =>
+      bound(stats, a.name).forall { case (mn, _) => cmp(mn, v).forall(_ <= 0) }
+    case LessThan(a: AttributeReference, Literal(v, _)) =>
+      bound(stats, a.name).forall { case (mn, _) => cmp(mn, v).forall(_ < 0) }
+    case LessThan(Literal(v, _), a: AttributeReference) =>
+      bound(stats, a.name).forall { case (_, mx) => cmp(mx, v).forall(_ > 0) }
+    case LessThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+      bound(stats, a.name).forall { case (mn, _) => cmp(mn, v).forall(_ <= 0) }
+    case LessThanOrEqual(Literal(v, _), a: AttributeReference) =>
+      bound(stats, a.name).forall { case (_, mx) => cmp(mx, v).forall(_ >= 0) }
+    case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      vs.exists(l => mayContain(stats, a.name, l.asInstanceOf[Literal].value))
+    case StartsWith(a: AttributeReference, Literal(v, _)) =>
+      // keys with prefix p live in [p, p + maxChar): p <= max && min < p-successor
+      bound(stats, a.name).forall { case (mn, mx) =>
+        val p = String.valueOf(norm(v))
+        (norm(mx), norm(mn)) match {
+          case (sx: String, sn: String) =>
+            sx.compareTo(p) >= 0 && sn.compareTo(p + "￿") <= 0
+          case _ => true
+        }
+      }
+    case _ => true // unsupported shape: admit, residual filter decides
+  }
+
+  private def mayContain(stats: Map[String, (Any, Any)],
+                         name: String, v: Any): Boolean =
+    bound(stats, name).forall { case (mn, mx) =>
+      cmp(mn, v).forall(_ <= 0) && cmp(mx, v).forall(_ >= 0)
+    }
+
+  /** Total-order compare of a stats value against a literal's internal
+    * value; None (→ admit) when types don't line up or a value is not
+    * orderable (NaN, exotic types).
+    */
+  private def cmp(statVal: Any, litVal: Any): Option[Int] =
+    (norm(statVal), norm(litVal)) match {
+      case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
+        Some(x.compareTo(y))
+      case (x: String, y: String) => Some(x.compareTo(y))
+      case _ => None
+    }
+
+  private def norm(v: Any): Any = v match {
+    case u: UTF8String => u.toString
+    case s: String => s
+    case d: java.lang.Double if d.isNaN || d.isInfinite => v
+    case f: java.lang.Float if f.isNaN || f.isInfinite => v
+    case n @ (_: java.lang.Long | _: Integer | _: java.lang.Short |
+              _: java.lang.Byte | _: java.lang.Double | _: java.lang.Float) =>
+      new java.math.BigDecimal(n.toString)
+    case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+    case other => other
+  }
+}

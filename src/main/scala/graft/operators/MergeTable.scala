@@ -228,8 +228,8 @@ object MergeTable {
       if (d == 1) x0
       else {
         // mask-shift cascade generalized to stride d: after step for
-        // shift s (8,4,2,1), bit b sits at position b*d (for d<=4,
-        // 16 source bits span <= 64 bits)
+        // shift s (8,4,2,1), bit b sits at position b*d (for d<=3,
+        // 16 source bits + lane offset stay below the sign bit)
         Seq(8, 4, 2, 1).foldLeft(x0) { (x, sft) =>
           val spreadX = x.bitwiseOR(shiftleft(x, sft * (d - 1)))
           // keep a bit only where a source bit belongs after this pass
@@ -289,6 +289,42 @@ object MergeTable {
     // mergeSchema: a manifest may span generations with evolved
     // schemas; pre-evolution files surface the new columns as null
     s.read.option("mergeSchema", "true").parquet(paths.toIndexedSeq: _*)
+  }
+
+  /** The table through [[GraftFileIndex]]: Catalyst pushes the
+    * query's own filters into the file listing, so ANY predicate over
+    * statted columns prunes files at plan time — no explicit
+    * scanWhere call, `.filter` just works, and `.explain` shows the
+    * scan's file count shrink. This is the integration Delta/Iceberg
+    * ride (FileSourceScanExec hands dataFilters to
+    * FileIndex.listFiles); [[readTable]] stays the dependency-free
+    * multi-path read, [[scanWhere]] the explicit manifest consult.
+    * Index construction is driver-side and file-count-sized: one
+    * getFileStatus per live file plus the already-collected manifest.
+    */
+  def readIndexed(s: SparkSession, dir: String, asOf: Option[Int] = None): DataFrame = {
+    val man = asOf.fold(manifest(s, dir))(g => manifestAt(s, dir, g))
+    val rows = man.collect()
+    if (rows.isEmpty) return readTable(s, dir, asOf)
+    val statCols = man.columns.filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSeq
+    val hconf = s.sparkContext.hadoopConfiguration
+    val entries = rows.toIndexedSeq.map { r =>
+      val p = new org.apache.hadoop.fs.Path(java.net.URI.create(r.getAs[String]("path")))
+      val stats = statCols.map(c =>
+        c -> ((r.getAs[Any](s"min_$c"), r.getAs[Any](s"max_$c")))).toMap
+      GraftFileIndex.Entry(p.getFileSystem(hconf).getFileStatus(p), stats)
+    }
+    val paths = rows.map(_.getAs[String]("path")).toIndexedSeq
+    val dataSchema = s.read.option("mergeSchema", "true").parquet(paths: _*).schema
+    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      new GraftFileIndex(entries),
+      partitionSchema = new org.apache.spark.sql.types.StructType(),
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      options = Map.empty)(s)
+    org.apache.spark.sql.graftbridge.SessionBridge.ofPlan(s,
+      org.apache.spark.sql.execution.datasources.LogicalRelation(relation))
   }
 
   /** Data-skipping scan: a range read over ANY statted column that
@@ -794,12 +830,29 @@ object MergeTable {
       .orderBy("k")
   }
 
+  /** q64: q62's band read through CATALYST pushdown instead of the
+    * explicit scanWhere — `readIndexed(...).filter(between)` and the
+    * GraftFileIndex prunes the same files at plan time. Same oracle
+    * text as q62 (one oracle, two pruning mechanisms): the integrated
+    * path must be invisible to results.
+    */
+  val q64_indexed_scan: Q = (s, d) => {
+    val dir = mergedFixture(s, d, "mergeidx")
+    val maxK = Tables.customer(s, d)
+      .agg(max(col("c_custkey")).cast("long")).head().getLong(0)
+    readIndexed(s, dir)
+      .filter(col("k") >= maxK / 4 && col("k") <= maxK / 2)
+      .select(col("k"), col("seg"), r2(col("bal")).as("bal"))
+      .orderBy("k")
+  }
+
   val registry: Map[String, Q] = Map(
     "q59_merge_pruned" -> q59_merge_pruned,
     "q60_merge_cdc" -> q60_merge_cdc,
     "q61_compacted_read" -> q61_compacted_read,
     "q62_skipped_scan" -> q62_skipped_scan,
-    "q63_merge_strkey" -> q63_merge_strkey)
+    "q63_merge_strkey" -> q63_merge_strkey,
+    "q64_indexed_scan" -> q64_indexed_scan)
 
   val oracles: Map[String, String] = Map(
     // q56's oracle with the band applied to the change CTEs — the
@@ -862,6 +915,26 @@ object MergeTable {
     // q59's merged result under the band predicate — the pruned scan
     // must return exactly the declarative filter's rows
     "q62_skipped_scan" ->
+      """WITH t AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+        |           FROM customer),
+        |mx AS (SELECT max(c_custkey) AS m FROM customer),
+        |upd AS (SELECT k, 'WEB' AS u_seg, bal + 100 AS u_bal
+        |        FROM t, mx WHERE k * 8 <= m AND k % 5 = 0 AND k % 7 <> 0),
+        |del AS (SELECT k FROM t, mx WHERE k * 8 <= m AND k % 7 = 0),
+        |ins AS (SELECT k + 10000000 AS k, seg, bal
+        |        FROM t, mx WHERE k * 8 <= m AND k % 5 = 1)
+        |SELECT k, seg, bal FROM (
+        |  SELECT t.k, coalesce(u.u_seg, t.seg) AS seg,
+        |    round((coalesce(u.u_bal, t.bal)) * 100) / 100 AS bal
+        |  FROM t LEFT JOIN upd u USING (k)
+        |  WHERE t.k NOT IN (SELECT k FROM del)
+        |  UNION ALL
+        |  SELECT k, seg, round(bal * 100) / 100 AS bal FROM ins) z, mx
+        |WHERE z.k >= mx.m // 4 AND z.k <= mx.m // 2
+        |ORDER BY k""".stripMargin,
+    // q62's oracle verbatim: the Catalyst-pushdown path must compute
+    // the same band
+    "q64_indexed_scan" ->
       """WITH t AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
         |           FROM customer),
         |mx AS (SELECT max(c_custkey) AS m FROM customer),

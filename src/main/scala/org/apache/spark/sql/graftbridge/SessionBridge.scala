@@ -40,4 +40,13 @@ object SessionBridge {
   def transplant(to: SparkSession, df: DataFrame): DataFrame =
     ClassicDataset.ofRows(to.asInstanceOf[ClassicSession],
       df.asInstanceOf[ClassicDataset[Row]].queryExecution.logical)
+
+  /** A DataFrame over an arbitrary logical plan — used by
+    * `MergeTable.readIndexed` to hand Catalyst a `LogicalRelation`
+    * wrapping the manifest-backed [[graft.operators.GraftFileIndex]]
+    * (the same seam Delta's DeltaLog.createDataFrame rides).
+    */
+  def ofPlan(s: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    ClassicDataset.ofRows(s.asInstanceOf[ClassicSession], plan)
 }

@@ -531,6 +531,49 @@ class MergeTableSpec extends SparkSpecBase {
       .select("x").as[Long].head() == 99L)
   }
 
+  test("readIndexed: Catalyst pushes query filters into the manifest-backed file index") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec = {
+      def find(p: SparkPlan): Option[FileSourceScanExec] =
+        p.collectFirst { case f: FileSourceScanExec => f }
+          .orElse(p.collectFirst { case a: AdaptiveSparkPlanExec => a }
+            .flatMap(a => find(a.executedPlan)))
+      find(df.queryExecution.executedPlan).getOrElse(
+        fail("no FileSourceScanExec in plan"))
+    }
+    val dir = tmpDir("mergetab-fidx")
+    MergeTable.write(spark, table(1000), "k", dir, nFiles = 8)
+    val man = MergeTable.manifest(spark, dir).collect()
+    // a plain .filter — no scanWhere — must both compute the right
+    // band and open only the manifest-intersecting files
+    val q = MergeTable.readIndexed(spark, dir)
+      .filter(col("k") >= 100 && col("k") <= 220)
+    val got = q.collect().map(_.getAs[Long]("k")).sorted.toSeq
+    assert(got == (100L to 220L).toSeq, s"pushdown band lost rows: ${got.size}")
+    val expected = man.count(r =>
+      220L >= r.getAs[Long]("min_k") && 100L <= r.getAs[Long]("max_k"))
+    assert(scanOf(q).metrics("numFiles").value == expected && expected <= 3,
+      s"pushdown admitted ${scanOf(q).metrics("numFiles").value} files, manifest intersects $expected")
+    // an un-prunable predicate shape: all files admitted, result exact
+    val q2 = MergeTable.readIndexed(spark, dir).filter(col("k") % 97 === 0)
+    assert(q2.count() == (1 to 1000).count(_ % 97 == 0))
+    // z-layout: pushdown prunes on the SECOND clustered dimension too
+    val dirZ = tmpDir("mergetab-fidx-z")
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 }
+      yield (x.toLong * 64 + y, x.toLong, y.toLong)).toDF("k", "x", "y")
+    MergeTable.writeClustered(spark, grid, "k", Seq("x", "y"), dirZ, nFiles = 16)
+    val qz = MergeTable.readIndexed(spark, dirZ)
+      .filter(col("y") >= 10 && col("y") <= 17)
+    val gotZ = qz.collect().map(_.getAs[Long]("k")).sorted.toSeq
+    val wantZ = grid.filter(col("y").between(10, 17))
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(gotZ == wantZ, "z pushdown band lost rows")
+    val zFiles = scanOf(qz).metrics("numFiles").value
+    assert(zFiles <= 10, s"z + pushdown failed to prune on y: $zFiles/16 files")
+  }
+
   test("delete-everything merge leaves a consistent (possibly emptier) table") {
     import spark.implicits._
     val dir = tmpDir("mergetab-empty")
