@@ -85,6 +85,24 @@ object MergeTable {
   def committedMeta(dir: String): Map[String, String] =
     committedGen(dir).map(metaAt(dir, _)).getOrElse(Map.empty)
 
+  /** The table schema recorded in a generation's commit-log entry
+    * (Delta keeps schema in the log for the same reason): readers get
+    * the authoritative union schema WITHOUT a footer-merge job, and
+    * an explicit read schema makes pre-evolution files surface
+    * missing columns as null exactly like mergeSchema would.
+    */
+  def schemaAt(dir: String, gen: Int): Option[org.apache.spark.sql.types.StructType] =
+    metaAt(dir, gen).get("schema").map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** Parquet reader for a generation: log-recorded schema when
+    * present (no footer pass), mergeSchema fallback otherwise.
+    */
+  private def readerFor(s: SparkSession, dir: String, gen: Int) =
+    schemaAt(dir, gen).map(s.read.schema)
+      .getOrElse(s.read.option("mergeSchema", "true"))
+
   /** Per-writer staging discriminator: pid + nanotime. Two writers
     * (threads OR processes) never share staging paths.
     */
@@ -175,7 +193,7 @@ object MergeTable {
       .write.parquet(dataDirOf(dir, 0, token))
     statsOf(s, dataDirOf(dir, 0, token), keyCol)
       .coalesce(1).write.parquet(manifestDirOf(dir, 0, token))
-    commitGen(dir, 0, token, Map.empty)
+    commitGen(dir, 0, token, Map("schema" -> df.schema.json))
   }
 
   /** Z-ORDER clustered write: generation 0 laid out on the Morton
@@ -251,7 +269,7 @@ object MergeTable {
       .write.parquet(dataDirOf(dir, 0, token))
     statsOf(s, dataDirOf(dir, 0, token), keyCol)
       .coalesce(1).write.parquet(manifestDirOf(dir, 0, token))
-    commitGen(dir, 0, token, Map.empty)
+    commitGen(dir, 0, token, Map("schema" -> df.schema.json))
   }
 
   def manifest(s: SparkSession, dir: String): DataFrame = {
@@ -284,11 +302,13 @@ object MergeTable {
     * the non-current manifests (Delta/Iceberg's exact trade).
     */
   def readTable(s: SparkSession, dir: String, asOf: Option[Int] = None): DataFrame = {
-    val man = asOf.fold(manifest(s, dir))(g => manifestAt(s, dir, g))
-    val paths = man.select("path").collect().map(_.getString(0))
-    // mergeSchema: a manifest may span generations with evolved
-    // schemas; pre-evolution files surface the new columns as null
-    s.read.option("mergeSchema", "true").parquet(paths.toIndexedSeq: _*)
+    val gen = asOf.getOrElse(committedGen(dir).getOrElse(
+      sys.error(s"$dir is not a committed keyed table (no commit log)")))
+    val paths = manifestAt(s, dir, gen).select("path").collect().map(_.getString(0))
+    // log-recorded schema (no footer pass); a manifest may span
+    // generations with evolved schemas — pre-evolution files surface
+    // the newer columns as null under the explicit read schema
+    readerFor(s, dir, gen).parquet(paths.toIndexedSeq: _*)
   }
 
   /** The table through [[GraftFileIndex]]: Catalyst pushes the
@@ -314,8 +334,11 @@ object MergeTable {
         c -> ((r.getAs[Any](s"min_$c"), r.getAs[Any](s"max_$c")))).toMap
       GraftFileIndex.Entry(p.getFileSystem(hconf).getFileStatus(p), stats)
     }
-    val paths = rows.map(_.getAs[String]("path")).toIndexedSeq
-    val dataSchema = s.read.option("mergeSchema", "true").parquet(paths: _*).schema
+    val gen = asOf.getOrElse(committedGen(dir).get)
+    val dataSchema = schemaAt(dir, gen).getOrElse { // pre-schema-log fallback
+      val paths = rows.map(_.getAs[String]("path")).toIndexedSeq
+      s.read.option("mergeSchema", "true").parquet(paths: _*).schema
+    }
     val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
       new GraftFileIndex(entries),
       partitionSchema = new org.apache.spark.sql.types.StructType(),
@@ -354,13 +377,14 @@ object MergeTable {
         (col(minC).isNull || col(minC) <= lit(hi))
     val paths = man.filter(admit)
       .select("path").collect().map(_.getString(0)).toIndexedSeq
+    val gen = committedGen(dir).get
     if (paths.nonEmpty)
-      s.read.option("mergeSchema", "true").parquet(paths: _*)
+      readerFor(s, dir, gen).parquet(paths: _*)
         .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
     else { // band misses every file: empty result, schema from any live file
       val any = man.select("path").limit(1).collect()
       if (any.isEmpty) sys.error(s"$dir is empty; no schema for an empty scan")
-      s.read.parquet(any.head.getString(0)).limit(0)
+      readerFor(s, dir, gen).parquet(any.head.getString(0)).limit(0)
     }
   }
 
@@ -422,11 +446,10 @@ object MergeTable {
     val onlyB = (pathsB -- pathsA).toIndexedSeq // written in the span
     val anyPath = (onlyA ++ onlyB ++ pathsA ++ pathsB).headOption.getOrElse(
       sys.error(s"$dir has no data files in either generation; no schema to diff"))
-    val shape = s.read.parquet(anyPath).limit(0)
-    def side(paths: IndexedSeq[String]) =
-      if (paths.nonEmpty) s.read.option("mergeSchema", "true").parquet(paths: _*)
-      else shape
-    val (o0, n0) = (side(onlyA), side(onlyB))
+    def side(paths: IndexedSeq[String], gen: Int) =
+      if (paths.nonEmpty) readerFor(s, dir, gen).parquet(paths: _*)
+      else readerFor(s, dir, gen).parquet(anyPath).limit(0)
+    val (o0, n0) = (side(onlyA, fromGen), side(onlyB, toGen))
     // value columns = union of both sides (the span may cross a schema
     // evolution); a side lacking a column contributes nulls, so a
     // pre-evolution row gaining a non-null value surfaces as U
@@ -561,15 +584,19 @@ object MergeTable {
     // mergeSchema semantics on this layer.
     val changeVals = changes.columns.filterNot(c => c == keyCol || c == "op").toSeq
     val changeType = changes.schema.fields.map(f => f.name -> f.dataType).toMap
-    // table schema = mergeSchema over the LIVE file set (footer reads
-    // only, ∝ file count) — a single file could predate an earlier
-    // evolution and silently drop its columns from this rewrite
+    // table schema from the commit log (no footer pass); fallback =
+    // mergeSchema over the LIVE file set — a single-file sample could
+    // predate an earlier evolution and silently drop its columns
     val livePaths = (touched ++ untouched).toIndexedSeq
     val tableVals: Seq[(String, org.apache.spark.sql.types.DataType)] =
-      if (livePaths.isEmpty) Seq.empty
-      else s.read.option("mergeSchema", "true").parquet(livePaths: _*)
-        .schema.fields.toSeq.filterNot(_.name == keyCol)
-        .map(f => f.name -> f.dataType)
+      schemaAt(dir, prevGen) match {
+        case Some(sch) => sch.fields.toSeq.filterNot(_.name == keyCol)
+          .map(f => f.name -> f.dataType)
+        case None if livePaths.isEmpty => Seq.empty
+        case None => s.read.option("mergeSchema", "true").parquet(livePaths: _*)
+          .schema.fields.toSeq.filterNot(_.name == keyCol)
+          .map(f => f.name -> f.dataType)
+      }
     val tableType = tableVals.toMap
     val valueCols = tableVals.map(_._1) ++
       changeVals.filterNot(tableVals.map(_._1).contains)
@@ -578,7 +605,7 @@ object MergeTable {
         if (changeVals.contains(c)) col(c)
         else lit(null).cast(tableType(c)).as(c) }: _*)
     val rewritten: Option[DataFrame] = if (touched.nonEmpty) {
-      val t = s.read.option("mergeSchema", "true").parquet(touched: _*)
+      val t = readerFor(s, dir, prevGen).parquet(touched: _*)
       val overlay = changes.filter(col("op") === "U")
         .select(col(keyCol) +: changeVals.map(c => col(c).as(s"__u_$c")): _*)
       val del = changes.filter(col("op") === "D").select(col(keyCol))
@@ -605,7 +632,8 @@ object MergeTable {
     man.filter(col("path").isin(untouched: _*))
       .unionByName(newStats, allowMissingColumns = true)
       .coalesce(1).write.parquet(manifestDirOf(dir, next, token))
-    try commitGen(dir, next, token, meta)
+    // the union schema rides the commit-log entry (schema-in-log)
+    try commitGen(dir, next, token, meta + ("schema" -> newRows.schema.json))
     catch {
       case e: java.util.ConcurrentModificationException =>
         Seq(staging, manifestDirOf(dir, next, token))
@@ -645,13 +673,16 @@ object MergeTable {
     val outFiles = math.max(1,
       math.ceil(small.map(_.getLong(1)).sum.toDouble / targetRows).toInt)
     val staging = dataDirOf(dir, next, token)
-    s.read.parquet(touched: _*)
+    // log-schema read: the fold set may span an evolution; the
+    // compacted files must carry the union schema
+    readerFor(s, dir, prevGen).parquet(touched: _*)
       .repartitionByRange(outFiles, col(keyCol))
       .write.parquet(staging)
     man.filter(col("path").isin(untouched: _*))
       .unionByName(statsOf(s, staging, keyCol), allowMissingColumns = true)
       .coalesce(1).write.parquet(manifestDirOf(dir, next, token))
-    try commitGen(dir, next, token, Map.empty)
+    try commitGen(dir, next, token,
+      schemaAt(dir, prevGen).map(sch => Map("schema" -> sch.json)).getOrElse(Map.empty))
     catch {
       case e: java.util.ConcurrentModificationException =>
         Seq(staging, manifestDirOf(dir, next, token))

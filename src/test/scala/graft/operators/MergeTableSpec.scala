@@ -440,6 +440,13 @@ class MergeTableSpec extends SparkSpecBase {
       "post-evolution value lost by a later pre-evolution-file rewrite")
     assert(t2.filter(col("k") === 60L).select("seg", "bal", "tier")
       .as[(String, Double, String)].head() == ("XXX", 60 * 1.5, null))
+    // schema-in-log: every commit entry records the union schema, so
+    // readers never need a footer-merge job and the evolution is
+    // visible in the log itself
+    assert(MergeTable.schemaAt(dir, 0).get.fieldNames.sorted.toSeq ==
+      Seq("bal", "k", "seg"))
+    assert(MergeTable.schemaAt(dir, 2).get.fieldNames.sorted.toSeq ==
+      Seq("bal", "k", "seg", "tier"))
   }
 
   test("pollChanges: the consumer cursor sees each commit exactly once") {
