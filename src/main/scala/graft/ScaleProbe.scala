@@ -596,6 +596,20 @@ object ScaleProbe {
         // the key stays prunable on the z layout too
         println(s"z-order x-band admits ${admitted(dirZ, "x", lo, hi)}/$nF files " +
           s"(key-range: ${admitted(dirR, "x", lo, hi)}/$nF)")
+        // Catalyst-pushdown path: the SAME band as a plain .filter on
+        // readIndexed — GraftFileIndex prunes at plan time — vs the
+        // naive full read + filter
+        Seq(("readIndexed + .filter (pushdown)",
+              () => operators.MergeTable.readIndexed(spark, dirZ)),
+            ("readTable + .filter (no index)",
+              () => operators.MergeTable.readTable(spark, dirZ))).foreach {
+          case (label, mk) =>
+            val t3 = System.nanoTime()
+            val n = mk().filter(col("y") >= lo && col("y") <= hi)
+              .agg(count(lit(1)), sum("v")).head()
+            println(f"$label y-band on z layout (${n.getLong(0)} rows): " +
+              f"${(System.nanoTime() - t3) / 1e9}%.2f s")
+        }
       case "merge" =>
         // q59's claim, measured: a banded change batch against a
         // 64-file keyed table — the manifest-pruned merge (rewrite
