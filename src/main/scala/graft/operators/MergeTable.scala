@@ -153,6 +153,15 @@ object MergeTable {
     * columns are NOT statted (unbounded text would bloat the
     * manifest; Delta truncates, which needs careful round-up on max —
     * out of scope here and documented).
+    *
+    * `nn_<c>` is the per-file NON-NULL count (Delta's nullCount,
+    * inverted): min/max ignore nulls, so [min, max] ⊆ band proves
+    * every NON-NULL value matches but says nothing about null rows —
+    * [[deleteWhere]]'s metadata-only drop additionally needs
+    * `nn_c == n_rows` to prove the file has no null (hence no
+    * predicate-unknown, hence surviving) row. A manifest predating
+    * this column simply never proves full coverage and falls back to
+    * the rewrite path — sound, just less pruned.
     */
   private def statsOf(s: SparkSession, dataDir: String, keyCol: String): DataFrame = {
     import org.apache.spark.sql.types._
@@ -164,7 +173,8 @@ object MergeTable {
       })
     }.map(_.name).distinct.toSeq
     val aggs = count(lit(1)).as("n_rows") +:
-      statted.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      statted.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        count(col(c)).as(s"nn_$c")))
     df.groupBy(input_file_name().as("path"))
       .agg(aggs.head, aggs.tail: _*)
   }
@@ -305,6 +315,11 @@ object MergeTable {
     val gen = asOf.getOrElse(committedGen(dir).getOrElse(
       sys.error(s"$dir is not a committed keyed table (no commit log)")))
     val paths = manifestAt(s, dir, gen).select("path").collect().map(_.getString(0))
+    if (paths.isEmpty) { // fully-deleted table: empty frame, log schema
+      val sch = schemaAt(dir, gen).getOrElse(sys.error(
+        s"$dir generation $gen is empty and its commit-log entry has no schema"))
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+    }
     // log-recorded schema (no footer pass); a manifest may span
     // generations with evolved schemas — pre-evolution files surface
     // the newer columns as null under the explicit read schema
@@ -692,6 +707,176 @@ object MergeTable {
     MergeStats(next, touched, untouched)
   }
 
+  // ---- predicate DML: DELETE WHERE / UPDATE WHERE ----
+
+  /** One predicate-DML commit's file triage. `dropped` files left the
+    * manifest WITHOUT being read (metadata-only); `rewritten` were
+    * read and rewritten minus/with the change; `carried` moved to the
+    * new manifest by reference, bytes untouched.
+    */
+  final case class DmlStats(gen: Int, dropped: Seq[String],
+                            rewritten: Seq[String], carried: Seq[String])
+
+  /** The band [lo, hi] on `colName` as a row predicate; an absent
+    * bound is unbounded on that side (retention deletes are one-sided:
+    * `ts < cutoff` ≡ hi = Some(cutoff), lo = None).
+    */
+  private def bandPredicate(colName: String, lo: Option[Any], hi: Option[Any]): Column = {
+    val conds = lo.map(l => col(colName) >= lit(l)).toSeq ++
+      hi.map(h => col(colName) <= lit(h)).toSeq
+    conds.reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  /** Manifest-level triage of the committed files against the band:
+    * (provably-disjoint → carry, provably-all-match → drop-eligible,
+    * rest → rewrite). Soundness mirrors every other stats consumer:
+    * null/missing stats prove nothing and land in `rewrite`; the
+    * all-match proof additionally requires `nn_c == n_rows` (min/max
+    * ignore nulls — a null-valued row's predicate is UNKNOWN, so SQL
+    * DML must leave it alone, so a file holding one is never dropped
+    * whole).
+    */
+  private def triage(man: DataFrame, colName: String,
+                     lo: Option[Any], hi: Option[Any]): (Seq[String], Seq[String], Seq[String]) = {
+    val (minC, maxC, nnC) = (s"min_$colName", s"max_$colName", s"nn_$colName")
+    if (!man.columns.contains(minC)) { // unstatted column: no pruning at all
+      val all = man.select("path").collect().map(_.getString(0)).toIndexedSeq
+      return (Seq.empty, Seq.empty, all)
+    }
+    val disjoint = coalesce(
+      lo.map(l => col(maxC) < lit(l)).getOrElse(lit(false)) ||
+        hi.map(h => col(minC) > lit(h)).getOrElse(lit(false)),
+      lit(false))
+    val allMatch = coalesce(
+      col(minC).isNotNull && col(maxC).isNotNull &&
+        (if (man.columns.contains(nnC)) col(nnC) === col("n_rows") else lit(false)) &&
+        lo.map(l => col(minC) >= lit(l)).getOrElse(lit(true)) &&
+        hi.map(h => col(maxC) <= lit(h)).getOrElse(lit(true)),
+      lit(false))
+    val triaged = man.select(col("path"),
+      when(disjoint, "carry").when(allMatch, "drop").otherwise("rewrite").as("cls"))
+      .collect()
+    def of(cls: String) = triaged.filter(_.getString(1) == cls)
+      .map(_.getString(0)).toIndexedSeq
+    (of("drop"), of("rewrite"), of("carry"))
+  }
+
+  /** `DELETE FROM table WHERE colName BETWEEN lo AND hi` (either bound
+    * optional) — the predicate-driven half of the DML surface;
+    * [[merge]] is the keyed-batch half. Three file classes from the
+    * manifest stats, and the interesting one is the first: a file the
+    * stats PROVE fully inside the band (all rows non-null and in
+    * range) leaves the manifest without being opened — zero data IO.
+    * A retention delete aligned with the write clustering (drop
+    * everything before a cutoff on the key of a range-written table)
+    * is therefore METADATA-ONLY except at the boundary file: at
+    * 100 TB that is a directory-listing-sized commit, not a scan.
+    * Boundary files rewrite with `NOT coalesce(band, false)` — a
+    * null-valued row's predicate is UNKNOWN, so it survives, exactly
+    * ANSI DELETE. Everything else carries by reference.
+    *
+    * CDC falls out for free: dropped and rewritten files differ
+    * between the two manifests, so [[changesBetween]] reports the
+    * deleted rows as `D` without any DML-side bookkeeping. A no-op
+    * delete (band provably disjoint from every file) does NOT advance
+    * the generation, like [[compact]].
+    */
+  def deleteWhere(s: SparkSession, dir: String, keyCol: String, colName: String,
+                  lo: Option[Any], hi: Option[Any]): DmlStats = {
+    val prevGen = committedGen(dir).getOrElse(
+      sys.error(s"$dir is not a committed keyed table (no commit log)"))
+    val man = manifestAt(s, dir, prevGen)
+    val (dropped, rewrite, carried) = triage(man, colName, lo, hi)
+    if (dropped.isEmpty && rewrite.isEmpty)
+      return DmlStats(prevGen, Nil, Nil, carried) // provably no row matches
+    val next = prevGen + 1
+    val token = newToken()
+    val staging = dataDirOf(dir, next, token)
+    if (rewrite.nonEmpty) {
+      val survivors = readerFor(s, dir, prevGen).parquet(rewrite: _*)
+        .filter(!coalesce(bandPredicate(colName, lo, hi), lit(false)))
+      survivors.repartitionByRange(math.max(1, rewrite.size), col(keyCol))
+        .write.parquet(staging)
+    }
+    val newStats =
+      if (hasParquetFiles(staging)) statsOf(s, staging, keyCol)
+      else man.filter(lit(false))
+    man.filter(col("path").isin(carried: _*))
+      .unionByName(newStats, allowMissingColumns = true)
+      .coalesce(1).write.parquet(manifestDirOf(dir, next, token))
+    try commitGen(dir, next, token,
+      schemaAt(dir, prevGen).map(sch => Map("schema" -> sch.json)).getOrElse(Map.empty))
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        Seq(staging, manifestDirOf(dir, next, token))
+          .foreach(graft.IndexLifecycle.deleteRecursively)
+        throw e
+    }
+    DmlStats(next, dropped, rewrite, carried)
+  }
+
+  /** `UPDATE table SET c = expr, … WHERE colName BETWEEN lo AND hi` —
+    * each `set` value is a Column over the row (so `bal -> col("bal")
+    * * 1.1` works). Files the stats prove disjoint from the band carry
+    * by reference; everything else rewrites with
+    * `when(band, expr).otherwise(old)` per set column — a null-valued
+    * row's band is UNKNOWN and `when` falls to `otherwise`, exactly
+    * ANSI UPDATE. No metadata-only class exists here (an updated row
+    * must be written somewhere), so the win is the carry: a banded
+    * update against a range-clustered table rewrites the band, not
+    * the table. Set columns must already exist ([[merge]] is the
+    * schema-evolution path). No-op (all files disjoint) does not
+    * advance the generation; CDC reports the `U` rows from the file
+    * diff for free.
+    */
+  def updateWhere(s: SparkSession, dir: String, keyCol: String, colName: String,
+                  lo: Option[Any], hi: Option[Any],
+                  set: Map[String, Column]): DmlStats = {
+    val prevGen = committedGen(dir).getOrElse(
+      sys.error(s"$dir is not a committed keyed table (no commit log)"))
+    val tableCols = schemaAt(dir, prevGen).map(_.fieldNames.toSeq).getOrElse(
+      readTable(s, dir).columns.toSeq)
+    val unknown = set.keySet.diff(tableCols.toSet)
+    require(unknown.isEmpty,
+      s"updateWhere set columns not in the table: ${unknown.mkString(", ")} " +
+        "(schema evolution goes through merge)")
+    require(!set.contains(keyCol),
+      s"updateWhere cannot reassign the table key '$keyCol' — " +
+        "model a key change as merge(D old, I new)")
+    val man = manifestAt(s, dir, prevGen)
+    val (inBand, rewrite0, carried) = triage(man, colName, lo, hi)
+    val rewrite = (inBand ++ rewrite0).toIndexedSeq // all-match still rewrites
+    if (rewrite.isEmpty)
+      return DmlStats(prevGen, Nil, Nil, carried)
+    val next = prevGen + 1
+    val token = newToken()
+    val staging = dataDirOf(dir, next, token)
+    val band = bandPredicate(colName, lo, hi)
+    val t = readerFor(s, dir, prevGen).parquet(rewrite: _*)
+    // cast each set expression to the column's existing type: the
+    // rewritten files must stay physically readable under the
+    // UNCHANGED log schema the commit carries forward
+    val updated = t.select(t.columns.toIndexedSeq.map { c =>
+      set.get(c).map(v =>
+        when(band, v.cast(t.schema(c).dataType)).otherwise(col(c)).as(c))
+        .getOrElse(col(c))
+    }: _*)
+    updated.repartitionByRange(math.max(1, rewrite.size), col(keyCol))
+      .write.parquet(staging)
+    man.filter(col("path").isin(carried: _*))
+      .unionByName(statsOf(s, staging, keyCol), allowMissingColumns = true)
+      .coalesce(1).write.parquet(manifestDirOf(dir, next, token))
+    try commitGen(dir, next, token,
+      schemaAt(dir, prevGen).map(sch => Map("schema" -> sch.json)).getOrElse(Map.empty))
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        Seq(staging, manifestDirOf(dir, next, token))
+          .foreach(graft.IndexLifecycle.deleteRecursively)
+        throw e
+    }
+    DmlStats(next, Nil, rewrite, carried)
+  }
+
   // ---- streaming upsert sink ----
 
   /** An idempotent `foreachBatch` body applying each micro-batch of
@@ -877,13 +1062,65 @@ object MergeTable {
       .orderBy("k")
   }
 
+  /** Fresh UNmerged (k, seg, bal) keyed table for the DML rows —
+    * q65/q66 exercise predicate DML against a clean generation 0, so
+    * their oracles stay one predicate over `customer` instead of
+    * compounding on the merge CTEs. Same per-process/per-session dir
+    * discipline as [[mergedFixture]].
+    */
+  private def baseFixture(s: SparkSession, d: String, tag: String): (String, Long) = {
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"graft-$tag-" + java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(d) & 0xffffffffL) +
+        "-p" + ProcessHandle.current().pid() +
+        "-s" + java.lang.Integer.toHexString(System.identityHashCode(s))).toString
+    val t = Tables.customer(s, d)
+      .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+        col("c_acctbal").as("bal"))
+    write(s, t, "k", dir, nFiles = 16)
+    val maxK = t.agg(max(col("k")).cast("long")).head().getLong(0)
+    (dir, maxK)
+  }
+
+  /** q65: predicate DELETE — `DELETE WHERE k BETWEEN m/4 AND m/2` on
+    * the 16-file table. The band covers a quarter of the key space,
+    * so interior files DROP metadata-only and only the two boundary
+    * files rewrite — while the surviving rows must still hash-match
+    * DuckDB's declarative complement filter. The triage's correctness
+    * (not just its speed) is what sits under the gate.
+    */
+  val q65_delete_where: Q = (s, d) => {
+    val (dir, maxK) = baseFixture(s, d, "deltab")
+    deleteWhere(s, dir, "k", "k", Some(maxK / 4), Some(maxK / 2))
+    readTable(s, dir)
+      .select(col("k"), col("seg"), r2(col("bal")).as("bal"))
+      .orderBy("k")
+  }
+
+  /** q66: predicate UPDATE — `SET seg = 'WEB', bal = bal + 100 WHERE
+    * k BETWEEN m/4 AND m/2`. Out-of-band files carry by reference;
+    * the result must hash-match DuckDB's CASE projection over the
+    * whole table.
+    */
+  val q66_update_where: Q = (s, d) => {
+    val (dir, maxK) = baseFixture(s, d, "updtab")
+    updateWhere(s, dir, "k", "k", Some(maxK / 4), Some(maxK / 2),
+      Map("seg" -> lit("WEB"), "bal" -> (col("bal") + 100)))
+    readTable(s, dir)
+      .select(col("k"), col("seg"), r2(col("bal")).as("bal"))
+      .orderBy("k")
+  }
+
   val registry: Map[String, Q] = Map(
     "q59_merge_pruned" -> q59_merge_pruned,
     "q60_merge_cdc" -> q60_merge_cdc,
     "q61_compacted_read" -> q61_compacted_read,
     "q62_skipped_scan" -> q62_skipped_scan,
     "q63_merge_strkey" -> q63_merge_strkey,
-    "q64_indexed_scan" -> q64_indexed_scan)
+    "q64_indexed_scan" -> q64_indexed_scan,
+    "q65_delete_where" -> q65_delete_where,
+    "q66_update_where" -> q66_update_where)
 
   val oracles: Map[String, String] = Map(
     // q56's oracle with the band applied to the change CTEs — the
@@ -1003,5 +1240,26 @@ object MergeTable {
         |  WHERE t.k NOT IN (SELECT k FROM del)
         |  UNION ALL
         |  SELECT k, seg, round(bal * 100) / 100 AS bal FROM ins) z
+        |ORDER BY k""".stripMargin,
+    // the declarative complement of the delete band — the triaged
+    // (drop/rewrite/carry) physical path must keep exactly these rows
+    "q65_delete_where" ->
+      """WITH t AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+        |           FROM customer),
+        |mx AS (SELECT max(c_custkey) AS m FROM customer)
+        |SELECT k, seg, round(bal * 100) / 100 AS bal FROM t, mx
+        |WHERE NOT (k >= m // 4 AND k <= m // 2)
+        |ORDER BY k""".stripMargin,
+    // the declarative CASE projection of the update band — carried
+    // files must keep old values, rewritten files the new ones
+    "q66_update_where" ->
+      """WITH t AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+        |           FROM customer),
+        |mx AS (SELECT max(c_custkey) AS m FROM customer)
+        |SELECT k,
+        |  CASE WHEN k >= m // 4 AND k <= m // 2 THEN 'WEB' ELSE seg END AS seg,
+        |  round((CASE WHEN k >= m // 4 AND k <= m // 2 THEN bal + 100 ELSE bal END)
+        |        * 100) / 100 AS bal
+        |FROM t, mx
         |ORDER BY k""".stripMargin)
 }

@@ -590,5 +590,187 @@ class MergeTableSpec extends SparkSpecBase {
     val stats = MergeTable.merge(spark, dir, changes, "k")
     assert(stats.untouched.isEmpty)
     assert(MergeTable.manifest(spark, dir).isEmpty, "manifest should be empty")
+    // an empty committed table still reads: zero rows, log schema
+    val t = MergeTable.readTable(spark, dir)
+    assert(t.isEmpty && t.columns.toSeq == Seq("k", "seg", "bal"))
+  }
+
+  // ---- predicate DML ----
+
+  private def dataFilesUnder(dir: String): Set[String] = {
+    val s = Files.walk(Path.of(dir))
+    try s.iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") &&
+        p.getParent.getFileName.toString.startsWith("files-g"))
+      .map(_.toString).toSet
+    finally s.close()
+  }
+
+  test("deleteWhere drops a fully-covered file METADATA-ONLY: zero data IO") {
+    import spark.implicits._
+    val dir = tmpDir("mergetab-del")
+    MergeTable.write(spark, table(1000), "k", dir, nFiles = 8)
+    val man0 = MergeTable.manifest(spark, dir).collect()
+    // an interior file's exact [min_k, max_k]: every row of it (and
+    // only it) is provably in the band
+    val f = man0.sortBy(_.getAs[Long]("min_k")).apply(3)
+    val (lo, hi) = (f.getAs[Long]("min_k"), f.getAs[Long]("max_k"))
+    val filesBefore = dataFilesUnder(dir)
+    val mt0 = mtimesOf(man0.map(_.getString(0)).toSeq)
+
+    val stats = MergeTable.deleteWhere(spark, dir, "k", "k", Some(lo), Some(hi))
+    assert(stats.dropped == Seq(f.getString(0)),
+      s"expected exactly the covered file dropped, got ${stats.dropped}")
+    assert(stats.rewritten.isEmpty,
+      s"nothing should rewrite for a file-aligned band: ${stats.rewritten}")
+    assert(stats.carried.size == 7)
+    // METADATA-ONLY: not one data file was written anywhere
+    assert(dataFilesUnder(dir) == filesBefore,
+      "a fully-covered delete wrote data files")
+    stats.carried.foreach(p => assert(mtimesOf(Seq(p))(p) == mt0(p)))
+    // the rows are gone, everything else intact
+    val got = MergeTable.readTable(spark, dir).select("k")
+      .as[Long].collect().sorted.toSeq
+    assert(got == (1L to 1000L).filterNot(k => k >= lo && k <= hi))
+    // CDC reports the dropped rows as D with pre-images, for free
+    val cdc = MergeTable.changesBetween(spark, dir, 0, 1, "k")
+    assert(cdc.filter(col("change_op") =!= "D").isEmpty)
+    assert(cdc.select("k").as[Long].collect().sorted.toSeq == (lo to hi))
+    // vacuum reclaims the dropped file (unreferenced by the committed manifest)
+    assert(MergeTable.vacuum(spark, dir) > 0)
+    assert(!Files.exists(Path.of(java.net.URI.create(f.getString(0)))))
+  }
+
+  test("deleteWhere triage: interior files drop, boundary files rewrite, rest carry") {
+    import spark.implicits._
+    val dir = tmpDir("mergetab-del2")
+    MergeTable.write(spark, table(1000), "k", dir, nFiles = 8)
+    val man0 = MergeTable.manifest(spark, dir).collect()
+    val (lo, hi) = (100L, 400L)
+    val stats = MergeTable.deleteWhere(spark, dir, "k", "k", Some(lo), Some(hi))
+    val expectDrop = man0.filter(r =>
+      r.getAs[Long]("min_k") >= lo && r.getAs[Long]("max_k") <= hi)
+      .map(_.getString(0)).toSet
+    val expectRewrite = man0.filter { r =>
+      val (mn, mx) = (r.getAs[Long]("min_k"), r.getAs[Long]("max_k"))
+      mx >= lo && mn <= hi && !(mn >= lo && mx <= hi) // straddles a bound
+    }.map(_.getString(0)).toSet
+    assert(stats.dropped.toSet == expectDrop && expectDrop.nonEmpty)
+    assert(stats.rewritten.toSet == expectRewrite && expectRewrite.nonEmpty)
+    assert(stats.carried.size == 8 - expectDrop.size - expectRewrite.size)
+    val got = MergeTable.readTable(spark, dir).select("k")
+      .as[Long].collect().sorted.toSeq
+    assert(got == (1L to 1000L).filterNot(k => k >= lo && k <= hi))
+  }
+
+  test("deleteWhere: a null-valued row's predicate is UNKNOWN — it survives, and its file never drops whole") {
+    import spark.implicits._
+    val dir = tmpDir("mergetab-delnull")
+    // bal is null on multiples of 10: ANSI DELETE ... WHERE bal
+    // BETWEEN ... must leave those rows alone
+    val t = (1 to 100).map(k =>
+      (k.toLong, s"seg${k % 4}", if (k % 10 == 0) null else java.lang.Double.valueOf(k * 1.0)))
+      .toDF("k", "seg", "bal")
+    MergeTable.write(spark, t, "k", dir, nFiles = 2)
+    // the band covers EVERY non-null bal — yet no file may drop
+    // metadata-only, because nn_bal < n_rows on both
+    val stats = MergeTable.deleteWhere(spark, dir, "k", "bal",
+      Some(0.0), Some(1000.0))
+    assert(stats.dropped.isEmpty,
+      s"a file holding null-band rows was dropped whole: ${stats.dropped}")
+    assert(stats.rewritten.nonEmpty)
+    val survivors = MergeTable.readTable(spark, dir).select("k")
+      .as[Long].collect().sorted.toSeq
+    assert(survivors == (10L to 100L by 10L),
+      s"only the null-bal rows should survive: $survivors")
+  }
+
+  test("deleteWhere: one-sided retention band, no-op band, and full-table delete") {
+    import spark.implicits._
+    val dir = tmpDir("mergetab-del3")
+    MergeTable.write(spark, table(1000), "k", dir, nFiles = 8)
+    // retention shape: everything before the cutoff goes; interior
+    // files drop metadata-only, the cutoff file rewrites
+    val stats = MergeTable.deleteWhere(spark, dir, "k", "k", None, Some(300L))
+    assert(stats.dropped.nonEmpty && stats.rewritten.size <= 1)
+    assert(MergeTable.readTable(spark, dir).select("k")
+      .as[Long].collect().sorted.toSeq == (301L to 1000L))
+    // provably-disjoint band: the generation must NOT advance
+    val gen1 = MergeTable.committedGen(dir).get
+    val noop = MergeTable.deleteWhere(spark, dir, "k", "k",
+      Some(5000L), Some(6000L))
+    assert(noop.gen == gen1 && MergeTable.committedGen(dir).contains(gen1))
+    // unbounded both sides: the whole table drops, zero data IO,
+    // and the empty table still reads with its schema
+    val filesBefore = dataFilesUnder(dir)
+    val all = MergeTable.deleteWhere(spark, dir, "k", "k", None, None)
+    assert(all.rewritten.isEmpty && all.carried.isEmpty && all.dropped.nonEmpty)
+    assert(dataFilesUnder(dir) == filesBefore)
+    val t = MergeTable.readTable(spark, dir)
+    assert(t.isEmpty && t.columns.toSeq == Seq("k", "seg", "bal"))
+  }
+
+  test("updateWhere rewrites only band-intersecting files; CDC reports the U rows") {
+    import spark.implicits._
+    val dir = tmpDir("mergetab-upd")
+    MergeTable.write(spark, table(1000), "k", dir, nFiles = 8)
+    val man0 = MergeTable.manifest(spark, dir).collect()
+    val mt0 = mtimesOf(man0.map(_.getString(0)).toSeq)
+    val stats = MergeTable.updateWhere(spark, dir, "k", "k",
+      Some(100L), Some(200L),
+      Map("seg" -> lit("WEB"), "bal" -> (col("bal") * 2)))
+    val expectTouch = man0.filter { r =>
+      val (mn, mx) = (r.getAs[Long]("min_k"), r.getAs[Long]("max_k"))
+      mx >= 100L && mn <= 200L
+    }.map(_.getString(0)).toSet
+    assert(stats.rewritten.toSet == expectTouch && stats.dropped.isEmpty)
+    stats.carried.foreach(p => assert(mtimesOf(Seq(p))(p) == mt0(p),
+      s"carried file $p was rewritten"))
+    val got = MergeTable.readTable(spark, dir)
+      .select("k", "seg", "bal").as[(Long, String, Double)]
+      .collect().sortBy(_._1).toSeq
+    got.foreach { case (k, seg, bal) =>
+      if (k >= 100L && k <= 200L)
+        assert(seg == "WEB" && bal == k * 3.0, s"row $k not updated")
+      else
+        assert(seg == s"seg${k % 4}" && bal == k * 1.5, s"row $k corrupted")
+    }
+    // CDC: exactly the band rows, all U, post-images
+    val cdc = MergeTable.changesBetween(spark, dir, 0, 1, "k")
+    assert(cdc.filter(col("change_op") =!= "U").isEmpty)
+    assert(cdc.select("k").as[Long].collect().sorted.toSeq == (100L to 200L))
+    // no-op band: generation does not advance
+    val gen1 = MergeTable.committedGen(dir).get
+    val noop = MergeTable.updateWhere(spark, dir, "k", "k",
+      Some(5000L), Some(6000L), Map("seg" -> lit("X")))
+    assert(noop.gen == gen1 && MergeTable.committedGen(dir).contains(gen1))
+  }
+
+  test("updateWhere guards: unknown set column, key reassignment, null-band rows untouched") {
+    import spark.implicits._
+    val dir = tmpDir("mergetab-upd2")
+    val t = (1 to 100).map(k =>
+      (k.toLong, s"seg${k % 4}", if (k % 10 == 0) null else java.lang.Double.valueOf(k * 1.0)))
+      .toDF("k", "seg", "bal")
+    MergeTable.write(spark, t, "k", dir, nFiles = 2)
+    intercept[IllegalArgumentException] {
+      MergeTable.updateWhere(spark, dir, "k", "k", None, None,
+        Map("nope" -> lit(1)))
+    }
+    intercept[IllegalArgumentException] {
+      MergeTable.updateWhere(spark, dir, "k", "k", None, None,
+        Map("k" -> lit(1L)))
+    }
+    // band on bal: null-bal rows' predicate is UNKNOWN → untouched
+    MergeTable.updateWhere(spark, dir, "k", "bal", Some(0.0), Some(1000.0),
+      Map("seg" -> lit("HIT")))
+    val got = MergeTable.readTable(spark, dir)
+      .select("k", "seg").as[(Long, String)].collect().sortBy(_._1).toSeq
+    got.foreach { case (k, seg) =>
+      if (k % 10 == 0) assert(seg == s"seg${k % 4}", s"null-band row $k updated")
+      else assert(seg == "HIT", s"row $k missed")
+    }
+    // the int literal was cast to the column type: the table still
+    // reads under the unchanged log schema (exercised by the reads above)
   }
 }
