@@ -424,6 +424,75 @@ object Similarity {
     s.read.parquet(s"$indexDir/vectors")
       .groupBy("cell").agg(count(lit(1)).as("n"))
 
+  /** Per-cell file triage of one compaction pass. */
+  final case class CellFold(cell: String, filesBefore: Int, filesAfter: Int)
+
+  /** Fold the per-cell file fragments repeated [[appendToIvfIndex]]
+    * batches strew across the partitioned layout — the maintenance
+    * half of the ANN ingest loop, mirroring MergeTable.compact for
+    * the table family. Each cell dir holding ≥ `minFiles` parquet
+    * files is read (that CELL only — cost ∝ fragmented cells, never
+    * the corpus), folded to one file, and swapped in; cells already
+    * compact are never opened. Probes pick the new layout up on
+    * their next scan — the session memo holds only the index dir.
+    *
+    * QUIESCED MAINTENANCE, like [[appendToIvfIndex]]'s durability
+    * note and MergeTable.vacuum's default: run with no concurrent
+    * probe or append on this index (the ingest loop's maintenance
+    * slot). The fold dedups FULL rows, which makes the pass
+    * IDEMPOTENT and crash-rerun-safe: the visible window (staged
+    * file moved in, originals not yet deleted) at worst doubles rows
+    * a re-run collapses again — so the recovery protocol after any
+    * crash is simply "run compaction again". Corollary: appending a
+    * byte-identical row twice is idempotent after compaction — the
+    * set semantics every other graft index (dd10's fp index, dd11's
+    * LSH postings) already has.
+    */
+  def compactIvfCells(s: SparkSession, indexDir: String,
+                      minFiles: Int = 2): Seq[CellFold] = {
+    import java.nio.file.{Files, Path}
+    import scala.jdk.CollectionConverters._
+    val root = Path.of(indexDir, "vectors")
+    // sweep any prior pass's orphaned staging before starting ours
+    val topList = Files.list(root)
+    try topList.iterator().asScala
+      .filter(_.getFileName.toString.startsWith(".compact-"))
+      .foreach(p => graft.IndexLifecycle.deleteRecursively(p.toString))
+    finally topList.close()
+    val cellsList = Files.list(root)
+    val cells = try cellsList.iterator().asScala
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("cell="))
+      .toIndexedSeq
+    finally cellsList.close()
+    val token = ProcessHandle.current().pid().toString + "-" +
+      java.lang.Long.toHexString(System.nanoTime())
+    cells.flatMap { cellDir =>
+      val ls = Files.list(cellDir)
+      val parts = try ls.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toIndexedSeq
+      finally ls.close()
+      if (parts.size < minFiles) None
+      else {
+        val staging = root.resolve(s".compact-$token-${cellDir.getFileName}")
+        s.read.parquet(cellDir.toString) // this cell's rows only
+          .dropDuplicates() // full-row: idempotence + crash-rerun safety
+          .coalesce(1).write.parquet(staging.toString)
+        val stagedLs = Files.list(staging)
+        val staged = try stagedLs.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toIndexedSeq
+        finally stagedLs.close()
+        // move new in BEFORE deleting old: a crash here leaves
+        // duplicates a re-run collapses, never a data hole
+        staged.foreach(f => Files.move(f,
+          cellDir.resolve(s"compacted-$token-${f.getFileName}")))
+        parts.foreach(Files.deleteIfExists(_))
+        graft.IndexLifecycle.deleteRecursively(staging.toString)
+        Some(CellFold(cellDir.getFileName.toString, parts.size, staged.size))
+      }
+    }
+  }
+
   // --- ann04: random-hyperplane LSH top-k — the LSH-bucketed ANN
   // scale path, complementing ann02's IVF (the two standard
   // sublinear ANN index families; a user picks by corpus shape —

@@ -1055,4 +1055,69 @@ class OperatorsSpec extends SparkSpecBase {
       assert(ns.contains(q - 1000000L), s"IVF-PQ probe missed appended ${q - 1000000L}: $ns")
     }
   }
+
+  test("IVF cell compaction: folds append fragments, probes unchanged, crash-rerun-safe") {
+    import java.nio.file.{Files, Path, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    // build on a third, append twice: cells accumulate file fragments
+    val all = Tables.embeddings(spark, sfDir)
+    val corpus = tmpDir("ivf-cpt-corpus")
+    all.filter(col("vec_id") % 3 === 0)
+      .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    val dir = tmpDir("ivf-cpt-idx")
+    similarity.Similarity.buildIvfIndex(spark, corpus, dir)
+    Seq(1, 2).foreach(r => similarity.Similarity.appendToIvfIndex(spark, dir,
+      all.filter(col("vec_id") % 3 === r).select("vec_id", "embedding")))
+    def cellFiles(): Map[String, Seq[Path]] = {
+      val ls = Files.list(Path.of(dir, "vectors"))
+      val cells = try ls.iterator().asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("cell="))
+        .toIndexedSeq
+      finally ls.close()
+      cells.map { c =>
+        val fl = Files.list(c)
+        val fs = try fl.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toIndexedSeq
+        finally fl.close()
+        c.getFileName.toString -> fs
+      }.toMap
+    }
+    val fragmented = cellFiles().filter(_._2.size >= 2)
+    assert(fragmented.nonEmpty, "appends produced no fragmented cells")
+    val rowsBefore = spark.read.parquet(s"$dir/vectors").count()
+    val probes = all.orderBy("vec_id").limit(5)
+      .select((col("vec_id") + 1000000L).as("q_id"),
+        col("embedding").cast("array<double>").as("va"))
+      .withColumn("na", graft.functions.GraftFunctions.l2norm("va"))
+    def probe() = similarity.Similarity.probeIvf(spark, dir, probes)
+      .select("q_id", "n_id").as[(Long, Long)].collect().toSet
+    val pre = probe()
+
+    val folds = similarity.Similarity.compactIvfCells(spark, dir)
+    assert(folds.map(_.cell).toSet == fragmented.keySet,
+      "compaction touched a different cell set than the fragmented one")
+    assert(folds.forall(_.filesAfter == 1))
+    val after = cellFiles()
+    fragmented.keys.foreach(c => assert(after(c).size == 1, s"$c not folded"))
+    // compaction is invisible: same rows, same probe answers
+    assert(spark.read.parquet(s"$dir/vectors").count() == rowsBefore)
+    assert(probe() == pre, "probe answers changed across compaction")
+    // a compact index is never reopened: second pass is a no-op
+    assert(similarity.Similarity.compactIvfCells(spark, dir).isEmpty)
+
+    // crash simulation: the documented visible window is "staged file
+    // moved in, originals not yet deleted" — fake it by duplicating a
+    // cell's one file; rows double until a re-run collapses them
+    val (cell, files) = cellFiles().find(_._2.size == 1).get
+    Files.copy(files.head,
+      files.head.getParent.resolve("crash-dup-" + files.head.getFileName),
+      StandardCopyOption.COPY_ATTRIBUTES)
+    assert(spark.read.parquet(s"$dir/vectors").count() > rowsBefore)
+    val refolds = similarity.Similarity.compactIvfCells(spark, dir)
+    assert(refolds.map(_.cell) == Seq(cell), s"re-run should fold only $cell")
+    assert(spark.read.parquet(s"$dir/vectors").count() == rowsBefore,
+      "crash-rerun did not restore exactly-once rows")
+    assert(probe() == pre)
+  }
 }
