@@ -51,12 +51,10 @@ object Bench {
 
     // ---- measured pass: fresh session — warm code, cold data ----
     val spark = warm.newSession()
-    val batchResults = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try force(spark)(fn(spark, sfDir))
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    val (batchResults, batchErrors) =
+      timeAll[(SparkSession, String) => org.apache.spark.sql.DataFrame](
+        SparkEntry.queries.toSeq.sortBy(_._1),
+        fn => force(spark)(fn(spark, sfDir)))
 
     // IVF build/probe asymmetry: the registered ann02 row above paid a
     // cold build + probe (fresh session, empty index memo). These two
@@ -190,17 +188,64 @@ object Bench {
     val thrJson = thrRows.map(r => math.round(r.sustainedRps).toString)
       .mkString("[", ",", "]")
 
+    // Failed queries must be VISIBLE: a throwing query's wall time is
+    // a no-op, not a result. stdout carries the failed short keys (so
+    // the harness-parsed record shows them), BENCH_DETAIL the full
+    // messages, and the process exits nonzero — a regression of the
+    // r7 shape (13 broken queries billing 0.05 s each) can no longer
+    // masquerade as an improvement.
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    // only present when something failed — a clean run keeps the
+    // stdout line inside the harness's 2000-char parse window
+    val errShorts =
+      if (batchErrors.isEmpty) ""
+      else batchErrors.keys.toSeq.sorted.map(k => jstr(shortKey(k)))
+        .mkString("\"errors\":[", ",", "],")
+    val errFull = batchErrors.toSeq.sortBy(_._1)
+      .map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
+
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullThr = thrRows.map(_.json).mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","batch_seconds":$batchSecs,"queries":$fullQs,"streaming_throughput":$fullThr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","batch_seconds":$batchSecs,"queries":$fullQs,"errors":$errFull,"streaming_throughput":$fullThr,"sf":"$sfDir"}"""
     System.err.println(detail)
     try java.nio.file.Files.writeString(java.nio.file.Path.of("BENCH_DETAIL.json"), detail + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
 
-    println(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","batch_seconds":${fmt(batchSecs, 1)},"queries":$qs,"sustained_rps":$thrJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","batch_seconds":${fmt(batchSecs, 1)},"queries":$qs,$errShorts"sustained_rps":$thrJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (batchErrors.nonEmpty) {
+      System.err.println(s"[bench] ${batchErrors.size} quer(ies) FAILED: " +
+        batchErrors.keys.toSeq.sorted.mkString(", "))
+      sys.exit(1)
+    }
+  }
+
+  /** Run every (name, fn) through `run`, timing each; a throwing
+    * query records its elapsed time AND lands in the error map — the
+    * caller decides how to surface it, but it can never silently read
+    * as a fast row. Factored out of main so BenchKeysSpec can assert
+    * the failure contract directly.
+    */
+  private[graft] def timeAll[A](
+      queries: Seq[(String, A)], run: A => Unit)
+      : (Seq[(String, Double)], Map[String, String]) = {
+    val errors = collection.mutable.LinkedHashMap.empty[String, String]
+    val results = queries.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try run(fn)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: $e")
+        errors(name) = String.valueOf(e).take(200)
+      }
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    (results, errors.toMap)
   }
 
   /** Short stdout key — the unique name prefix before the first '_';

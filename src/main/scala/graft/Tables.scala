@@ -34,16 +34,36 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 refuses to
-    * read natively; read it as long nanos and truncate to microsecond
-    * timestamps — exactly what DuckDB does when it loads the same file
-    * (its TIMESTAMP is µs), so oracle comparisons stay aligned.
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) (which
+    * Spark 4 refuses to read natively), as naive TIMESTAMP(MICROS)
+    * (read as TIMESTAMP_NTZ), and could ship UTC-adjusted. Adapt to
+    * whatever the file carries and normalize to a session-TZ (UTC)
+    * `timestamp` so every downstream query and the DuckDB oracle
+    * (whose TIMESTAMP is naive µs) see identical instants.
     */
   def events(s: SparkSession, d: String): DataFrame = memo(s, s"$d/events") {
-    import org.apache.spark.sql.functions._
+    normalizeEventsTs(loadEventsRaw(s, s"$d/events.parquet"))
+  }
+
+  /** Read the events parquet, tolerating TIMESTAMP(NANOS) via the
+    * legacy nanos-as-long switch (harmless for µs/ms files).
+    */
+  private def loadEventsRaw(s: SparkSession, path: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$d/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    s.read.parquet(path)
+  }
+
+  /** Normalize whatever type `ts` arrived as to session-TZ timestamp. */
+  private[graft] def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType => // legacy nanos-as-long: truncate ns → µs like DuckDB does
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType => // naive µs: session TZ is UTC, value-preserving
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df // already session-TZ timestamp
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
 
@@ -51,12 +71,11 @@ object Tables {
     * batch loader): the file spout over the events table.
     */
   def eventsStream(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions._
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = events(s, d).schema // µs-truncated ts
-    val raw = org.apache.spark.sql.types.StructType(
-      schema.map(f => if (f.name == "ts")
-        f.copy(dataType = org.apache.spark.sql.types.LongType) else f))
+    // Probe the file's actual on-disk schema via a batch read (footer
+    // only), then declare exactly that to the stream source and apply
+    // the same ts normalization as the batch loader.
+    val raw = loadEventsRaw(s, s"$d/events.parquet").schema
     // the file-stream source needs a directory; stage the table file
     // into one (symlink — no data copy)
     val dir = java.nio.file.Files.createTempDirectory("graft-events-stream")
@@ -66,8 +85,7 @@ object Tables {
     catch { case _: UnsupportedOperationException =>
       java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"), link)
     }
-    s.readStream.schema(raw).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventsTs(s.readStream.schema(raw).parquet(dir.toString))
   }
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -122,6 +122,26 @@ object GraftFileIndex {
               _: java.lang.Byte | _: java.lang.Double | _: java.lang.Float) =>
       new java.math.BigDecimal(n.toString)
     case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+    // Date/timestamp stats arrive as collect()-external values
+    // (java.sql.Date/Timestamp, or java.time with the java8 API conf)
+    // while the Catalyst literal's internal value is Int epoch-days /
+    // Long epoch-micros — normalize both sides to the internal scale
+    // so date-banded filters actually prune instead of always
+    // admitting. Spark's own converters handle the proleptic-Gregorian
+    // rebase these externals need.
+    case d: java.sql.Date =>
+      new java.math.BigDecimal(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d))
+    case d: java.time.LocalDate => new java.math.BigDecimal(d.toEpochDay)
+    case t: java.sql.Timestamp =>
+      new java.math.BigDecimal(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t))
+    case i: java.time.Instant =>
+      new java.math.BigDecimal(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i))
+    case ldt: java.time.LocalDateTime =>
+      new java.math.BigDecimal(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(ldt))
     case other => other
   }
 }

@@ -32,10 +32,24 @@ class BenchKeysSpec extends AnyFunSuite {
     // whose bench line is moot — and the observed full-line size
     // (~1575 chars at 122 rows) sits well under this estimate.
     val rows = Bench.allBenchKeys.map(k => Bench.shortKey(k).length + 9).sum
-    val envelope = 120  // metric/value/unit/batch_seconds/sf fields
+    val envelope = 120  // metric/value/unit/batch_seconds/sf (the errors
+                        // field is omitted on a clean run by construction)
     val streaming = 50  // "sustained_rps":[n,n,n,n]
     val sbtTrailer = 80 // "[success] Total time: ..." after our line
     val est = rows + envelope + streaming + sbtTrailer
     assert(est < 1900, s"estimated bench line + trailer $est chars crowds the 2000-char parse window")
+  }
+
+  test("a throwing query lands in the error map, never as a silent fast row") {
+    val reg = Seq(
+      "ok_query"   -> (() => ()),
+      "boom_query" -> (() => throw new RuntimeException("synthetic failure")),
+      "ok2_query"  -> (() => ()))
+    val (results, errors) = Bench.timeAll[() => Unit](reg, f => f())
+    // every registered query produces a timing row (count == registry)...
+    assert(results.map(_._1) == reg.map(_._1))
+    // ...and the failure is explicitly recorded, not swallowed
+    assert(errors.keySet == Set("boom_query"))
+    assert(errors("boom_query").contains("synthetic failure"))
   }
 }

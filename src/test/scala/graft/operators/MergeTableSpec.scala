@@ -581,6 +581,54 @@ class MergeTableSpec extends SparkSpecBase {
     assert(zFiles <= 10, s"z + pushdown failed to prune on y: $zFiles/16 files")
   }
 
+  test("readIndexed: date and timestamp bands prune files via the manifest") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec = {
+      def find(p: SparkPlan): Option[FileSourceScanExec] =
+        p.collectFirst { case f: FileSourceScanExec => f }
+          .orElse(p.collectFirst { case a: AdaptiveSparkPlanExec => a }
+            .flatMap(a => find(a.executedPlan)))
+      find(df.queryExecution.executedPlan).getOrElse(
+        fail("no FileSourceScanExec in plan"))
+    }
+    // k-ordered writes make the correlated date/ts columns contiguous
+    // per file — the single most common fact-table layout (time-ordered
+    // ingest) whose date-band filters the index must prune
+    val dir = tmpDir("mergetab-fidx-date")
+    val rows = (1 to 365).map { k =>
+      (k.toLong,
+       java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(k - 1)),
+       java.sql.Timestamp.valueOf(java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+         .plusDays(k - 1)))
+    }.toDF("k", "d", "ts")
+    MergeTable.write(spark, rows, "k", dir, nFiles = 8)
+    val man = MergeTable.manifest(spark, dir).collect()
+
+    val lo = java.sql.Date.valueOf("2024-04-10")
+    val hi = java.sql.Date.valueOf("2024-04-20")
+    val q = MergeTable.readIndexed(spark, dir)
+      .filter(col("d") >= lit(lo) && col("d") <= lit(hi))
+    val got = q.collect().map(_.getAs[Long]("k")).sorted.toSeq
+    assert(got == (101L to 111L).toSeq, s"date band wrong rows: $got")
+    val expected = man.count(r =>
+      !r.getAs[java.sql.Date]("min_d").after(hi) &&
+      !r.getAs[java.sql.Date]("max_d").before(lo))
+    val admitted = scanOf(q).metrics("numFiles").value
+    assert(admitted == expected && expected < 8,
+      s"date band admitted $admitted files, manifest intersects $expected of 8")
+
+    val tlo = java.sql.Timestamp.valueOf("2024-04-10 00:00:00")
+    val thi = java.sql.Timestamp.valueOf("2024-04-20 00:00:00")
+    val qt = MergeTable.readIndexed(spark, dir)
+      .filter(col("ts") >= lit(tlo) && col("ts") <= lit(thi))
+    assert(qt.collect().length == 11, "timestamp band wrong row count")
+    val admittedT = scanOf(qt).metrics("numFiles").value
+    assert(admittedT == expected && admittedT < 8,
+      s"timestamp band admitted $admittedT files, expected $expected")
+  }
+
   test("delete-everything merge leaves a consistent (possibly emptier) table") {
     import spark.implicits._
     val dir = tmpDir("mergetab-empty")
