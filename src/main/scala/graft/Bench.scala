@@ -213,7 +213,10 @@ object Bench {
     val fullThr = thrRows.map(_.json).mkString("[", ",", "]")
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","batch_seconds":$batchSecs,"queries":$fullQs,"errors":$errFull,"streaming_throughput":$fullThr,"sf":"$sfDir"}"""
-    System.err.println(detail)
+    // detail goes to the FILE only — r4-r7 all recorded parsed:null
+    // because this JSON also went to stderr, whose truncated copy
+    // landed inside the harness's 2000-char tail window just before
+    // the stdout line and broke its first-{-to-last-} extraction
     try java.nio.file.Files.writeString(java.nio.file.Path.of("BENCH_DETAIL.json"), detail + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
 

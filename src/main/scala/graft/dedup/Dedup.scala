@@ -148,16 +148,19 @@ object Dedup {
       .groupBy("source")
       .agg(graft.functions.GraftFunctions.bitmap64Agg("fp").as("sk"))
       .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
-    // (b) bottom-k shingle signature per source (distinct first: the
-    // heap samples the shingle SET, not its multiplicity)
+    // (b) bottom-k shingle signature per source. The heap must sample
+    // the shingle SET, not its multiplicity — set semantics live IN
+    // the aggregate (topKDistinct: duplicate (score, id) pairs occupy
+    // one slot), so no corpus-wide distinct() shuffle precedes it:
+    // the only exchange carries one ≤k partial buffer per (task,
+    // source). array_distinct still pre-thins within a doc for free.
     val sigs = Tables.documents(s, d)
       .select(col("source"), expr(toksExpr).as("t"))
       .select(col("source"), explode(array_distinct(
         graft.functions.GraftFunctions.rollingHashes("t", 3))).as("sh"))
-      .distinct()
       .select(col("source"), (col("sh").cast("double") * -1).as("nsh"), col("sh"))
       .groupBy("source")
-      .agg(graft.functions.GraftFunctions.topK("nsh", "sh", k).as("sig"))
+      .agg(graft.functions.GraftFunctions.topKDistinct("nsh", "sh", k).as("sig"))
       .collect().map(r => r.getString(0) ->
         r.getSeq[org.apache.spark.sql.Row](1).map(_.getAs[Long]("id")).toArray).toMap
     val sources = fpBytes.keys.toSeq.sorted

@@ -847,6 +847,16 @@ object GraftFunctions {
     column(TopKByScore(
       Cast(attr(score), DoubleType), Cast(attr(id), LongType), k)
       .toAggregateExpression())
+  /** topK with set semantics on (score, id): duplicate pairs occupy
+    * one slot, so a bottom-k sketch can consume an un-distinct stream
+    * and still sample the value SET — the global `distinct()` shuffle
+    * the non-set formulation needs just disappears.
+    */
+  def topKDistinct(score: String, id: String, k: Int): Column =
+    column(TopKByScore(
+      Cast(attr(score), DoubleType), Cast(attr(id), LongType), k,
+      distinct = true)
+      .toAggregateExpression())
   def heavyHitters(item: String, capacity: Int): Column =
     column(HeavyHitters(attr(item), capacity).toAggregateExpression())
   def bitmapAgg(key: String, maxKey: Int): Column =

@@ -16,7 +16,7 @@ import org.apache.spark.sql.types._
   * (Processor.hs:43-54 `mergeFn`) and implements for its top-N bolt
   * with a bounded PSQueue (WordCountSample.hs:118-216).
   */
-final class TopKBuffer(val k: Int) {
+final class TopKBuffer(val k: Int, val distinct: Boolean = false) {
   val scores = new Array[Double](k)
   val ids = new Array[Long](k)
   var n = 0
@@ -24,8 +24,25 @@ final class TopKBuffer(val k: Int) {
   private def beats(s: Double, id: Long, i: Int): Boolean =
     s > scores(i) || (s == scores(i) && id < ids(i))
 
+  /** Set-semantics membership: binary search for an identical
+    * (score, id) pair in the sorted buffer — O(log k) per insert,
+    * only consulted in distinct mode.
+    */
+  private def contains(s: Double, id: Long): Boolean = {
+    var lo = 0
+    var hi = n - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (beats(s, id, mid)) hi = mid - 1
+      else if (scores(mid) == s && ids(mid) == id) return true
+      else lo = mid + 1
+    }
+    false
+  }
+
   def insert(s: Double, id: Long): Unit = {
     if (n == k && !beats(s, id, n - 1)) return
+    if (distinct && contains(s, id)) return
     var pos = if (n == k) n - 1 else n
     if (n < k) n += 1
     while (pos > 0 && beats(s, id, pos - 1)) {
@@ -60,6 +77,7 @@ case class TopKByScore(
     left: Expression,
     right: Expression,
     k: Int,
+    distinct: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKBuffer] with BinaryLike[Expression] {
@@ -73,7 +91,7 @@ case class TopKByScore(
       StructField("id", LongType, nullable = false))),
     containsNull = false)
 
-  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k, distinct)
 
   override def update(b: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = left.eval(input)
@@ -107,7 +125,7 @@ case class TopKByScore(
   override def deserialize(bytes: Array[Byte]): TopKBuffer = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val b = new TopKBuffer(k)
+    val b = new TopKBuffer(k, distinct)
     var i = 0
     // stored sorted; re-inserting keeps the invariant
     while (i < n) { b.insert(bb.getDouble, bb.getLong); i += 1 }

@@ -467,30 +467,44 @@ object Similarity {
     finally cellsList.close()
     val token = ProcessHandle.current().pid().toString + "-" +
       java.lang.Long.toHexString(System.nanoTime())
-    cells.flatMap { cellDir =>
-      val ls = Files.list(cellDir)
-      val parts = try ls.iterator().asScala
+    def parquetFiles(dir: Path): IndexedSeq[Path] = {
+      val ls = Files.list(dir)
+      try ls.iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet")).toIndexedSeq
       finally ls.close()
-      if (parts.size < minFiles) None
-      else {
-        val staging = root.resolve(s".compact-$token-${cellDir.getFileName}")
-        s.read.parquet(cellDir.toString) // this cell's rows only
-          .dropDuplicates() // full-row: idempotence + crash-rerun safety
-          .coalesce(1).write.parquet(staging.toString)
-        val stagedLs = Files.list(staging)
-        val staged = try stagedLs.iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).toIndexedSeq
-        finally stagedLs.close()
-        // move new in BEFORE deleting old: a crash here leaves
-        // duplicates a re-run collapses, never a data hole
-        staged.foreach(f => Files.move(f,
-          cellDir.resolve(s"compacted-$token-${f.getFileName}")))
-        parts.foreach(Files.deleteIfExists(_))
-        graft.IndexLifecycle.deleteRecursively(staging.toString)
-        Some(CellFold(cellDir.getFileName.toString, parts.size, staged.size))
-      }
     }
+    // triage is a driver-side listing; the FOLD is ONE Spark job over
+    // every fragmented cell at once (basePath read keeps the `cell`
+    // partition column and prunes to exactly those dirs) — a
+    // 100k-cell index with broad fragmentation pays one scheduler
+    // round-trip, not one per cell. repartition on `cell` lands each
+    // cell in a single task, so the partitionBy write emits exactly
+    // one staged file per cell; wall-time stays ∝ fragmented bytes.
+    val frag = cells.map(c => c -> parquetFiles(c)).filter(_._2.size >= minFiles)
+    if (frag.isEmpty) return Seq.empty
+    val staging = root.resolve(s".compact-$token")
+    s.read.option("basePath", root.toString)
+      .parquet(frag.map(_._1.toString): _*) // fragmented cells' rows only
+      .dropDuplicates() // full-row: idempotence + crash-rerun safety
+      .repartition(frag.size, col("cell"))
+      .write.partitionBy("cell").parquet(staging.toString)
+    // per-cell commit, unchanged protocol: move new in BEFORE
+    // deleting old — a crash mid-sweep leaves duplicates a re-run
+    // collapses, never a data hole
+    val folds = frag.map { case (cellDir, parts) =>
+      val stagedCell = staging.resolve(cellDir.getFileName.toString)
+      // a cell whose fragments held zero rows emits no staged dir —
+      // folding it is just deleting the empty fragments
+      val staged =
+        if (Files.isDirectory(stagedCell)) parquetFiles(stagedCell)
+        else IndexedSeq.empty[Path]
+      staged.foreach(f => Files.move(f,
+        cellDir.resolve(s"compacted-$token-${f.getFileName}")))
+      parts.foreach(Files.deleteIfExists(_))
+      CellFold(cellDir.getFileName.toString, parts.size, staged.size)
+    }
+    graft.IndexLifecycle.deleteRecursively(staging.toString)
+    folds
   }
 
   // --- ann04: random-hyperplane LSH top-k — the LSH-bucketed ANN

@@ -86,6 +86,51 @@ class ExpressionsSpec extends SparkSpecBase {
       assert(result(perm, splits) == expected, s"perm=$perm splits=$splits")
   }
 
+  test("TopKBuffer distinct mode: duplicates occupy one slot, monoid holds") {
+    // with duplicates across partial buffers, distinct mode must equal
+    // the non-distinct result over the de-duplicated input
+    val items = Seq((3.0, 1L), (5.0, 2L), (3.0, 1L), (1.0, 4L), (5.0, 2L),
+      (4.0, 5L), (2.0, 6L), (4.0, 5L), (5.0, 2L))
+    def result(order: Seq[(Double, Long)], splits: Int): Seq[(Double, Long)] = {
+      val bufs = order.grouped(math.max(1, order.size / splits)).map { g =>
+        val b = new TopKBuffer(3, distinct = true)
+        g.foreach { case (s, id) => b.insert(s, id) }
+        b
+      }.toSeq
+      val acc = new TopKBuffer(3, distinct = true)
+      bufs.foreach(acc.mergeFrom)
+      (0 until acc.n).map(i => (acc.scores(i), acc.ids(i)))
+    }
+    val expected = Seq((5.0, 2L), (4.0, 5L), (3.0, 1L))
+    for (perm <- items.permutations.take(50); splits <- Seq(1, 2, 3))
+      assert(result(perm, splits) == expected, s"perm=$perm splits=$splits")
+  }
+
+  test("topKDistinct over a duplicated stream equals topK over distinct input") {
+    import spark.implicits._
+    val rows = (1 to 500).flatMap { i =>
+      val h = (i * 2654435761L) % 1000
+      Seq.fill(1 + i % 4)(("g" + (i % 3), -h.toDouble, h))
+    }
+    val df = rows.toDF("g", "nsh", "sh")
+    val viaDistinct = df.distinct()
+      .groupBy("g").agg(GraftFunctions.topK("nsh", "sh", 16).as("sig"))
+      .orderBy("g").collect().map(_.getSeq[org.apache.spark.sql.Row](1)
+        .map(r => (r.getDouble(0), r.getLong(1))))
+    val viaSetHeap = df
+      .groupBy("g").agg(GraftFunctions.topKDistinct("nsh", "sh", 16).as("sig"))
+      .orderBy("g").collect().map(_.getSeq[org.apache.spark.sql.Row](1)
+        .map(r => (r.getDouble(0), r.getLong(1))))
+    assert(viaSetHeap.toSeq == viaDistinct.toSeq)
+    // the whole point: the set-heap plan has ONE exchange (partial agg
+    // → final agg), not the distinct-then-agg plan's two
+    val exchanges = df.groupBy("g")
+      .agg(GraftFunctions.topKDistinct("nsh", "sh", 16))
+      .queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected 1 exchange, saw $exchanges")
+  }
+
   test("graft_topk via SQL: bounded result, ordered, null-safe") {
     GraftExtensions.register(spark)
     Seq(("a", 1.0, 10L), ("a", 3.0, 11L), ("a", 2.0, 12L), ("a", 3.0, 9L),
