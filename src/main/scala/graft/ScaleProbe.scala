@@ -722,8 +722,88 @@ object ScaleProbe {
           time(s"bigram explode+count alone (~$v target vocab, $distinctBg distinct bigrams)")(explodeOnly())
           time(s"tx17 full ($docsN docs, ~$v target vocab)")(tx17())
         }
+      case "dd13sig" =>
+        // The bottom-k signature stage of dd13, old vs new plan, on a
+        // synthetic exploded (source, shingle) stream with ~50×
+        // duplication (what a re-crawled corpus looks like after the
+        // per-doc explode). OLD: global distinct() then topK heap —
+        // shuffles the whole shingle universe twice. NEW: set-heap
+        // topKDistinct — one exchange carrying ≤k-slot buffers.
+        import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+        val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+        val shuffleStages = new java.util.concurrent.atomic.AtomicLong
+        val lis = new SparkListener {
+          override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+            val m = sc.stageInfo.taskMetrics
+            val w = if (m == null) 0L else m.shuffleWriteMetrics.bytesWritten
+            if (w > 0) { shuffleBytes.addAndGet(w); shuffleStages.incrementAndGet() }
+          }
+        }
+        val stream = spark.range(rows).select(
+          concat(lit("src"), pmod(col("id"), lit(20))).as("source"),
+          pmod(xxhash64(col("id") / 50), lit(10000000L)).as("sh"))
+          .select(col("source"), (col("sh").cast("double") * -1).as("nsh"), col("sh"))
+        def measure(label: String)(df: DataFrame): Unit = {
+          shuffleBytes.set(0); shuffleStages.set(0)
+          spark.sparkContext.addSparkListener(lis)
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(1000) // listener bus drain
+          spark.sparkContext.removeSparkListener(lis)
+          println(f"$label: $sec%.2f s, shuffle ${shuffleBytes.get / 1048576.0}%.1f MiB over ${shuffleStages.get} stages")
+        }
+        val k = dedup.Dedup.dd13OverlapK
+        measure(s"old: distinct + topK ($rows rows)")(
+          stream.distinct().groupBy("source")
+            .agg(graft.functions.GraftFunctions.topK("nsh", "sh", k).as("sig")))
+        measure(s"new: topKDistinct ($rows rows)")(
+          stream.groupBy("source")
+            .agg(graft.functions.GraftFunctions.topKDistinct("nsh", "sh", k).as("sig")))
+
+      case "ivfcompact" =>
+        // Batched cell compaction: `rows` append batches fragment the
+        // partitioned layout; the fold must cost ~a constant number
+        // of Spark jobs (one listing + one write), NOT one job per
+        // fragmented cell — the difference between a maintenance pass
+        // and a 100k-job scheduler storm on a production index.
+        import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+        val batches = math.max(2, math.min(rows, 64)).toInt
+        val corpus = java.nio.file.Files.createTempDirectory("probe-ivfc").toString
+        val n = 20000
+        val src = spark.range(n).select(col("id").as("vec_id"),
+          array((0 until 16).map(i =>
+            sin(col("id") * (i + 1) * 0.37).cast("float")): _*).as("embedding"),
+          lit(0).as("label"))
+        src.write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+        val ix = java.nio.file.Files.createTempDirectory("probe-ivfc-ix").toString
+        similarity.Similarity.buildIvfIndex(spark, corpus, ix, nCells = 32)
+        (1 to batches).foreach { b =>
+          val batch = spark.range(n + b * 1000L, n + b * 1000L + 1000L)
+            .select(col("id").as("vec_id"),
+              array((0 until 16).map(i =>
+                sin(col("id") * (i + 1) * 0.37).cast("float")): _*).as("embedding"))
+          similarity.Similarity.appendToIvfIndex(spark, ix, batch)
+        }
+        val jobs = new java.util.concurrent.atomic.AtomicLong
+        val jl = new SparkListener {
+          override def onJobStart(j: SparkListenerJobStart): Unit =
+            jobs.incrementAndGet()
+        }
+        spark.sparkContext.addSparkListener(jl)
+        val t0 = System.nanoTime()
+        val folds = similarity.Similarity.compactIvfCells(spark, ix)
+        val sec = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(1000)
+        spark.sparkContext.removeSparkListener(jl)
+        val before = folds.map(_.filesBefore).sum
+        val after = folds.map(_.filesAfter).sum
+        println(f"compact after $batches appends: ${folds.size} cells folded, $before -> $after files, $sec%.2f s, ${jobs.get} Spark jobs")
+        require(jobs.get <= 4,
+          s"batched fold should cost O(1) jobs, saw ${jobs.get}")
+
       case other =>
-        System.err.println(s"unknown probe '$other'; use topn | cumsum | incr | hh | bloom | skew | tri | pr | bitmap64 | annappend | build | tx17vocab | merge | drift")
+        System.err.println(s"unknown probe '$other'; use topn | cumsum | incr | hh | bloom | skew | tri | pr | bitmap64 | annappend | build | tx17vocab | merge | drift | dd13sig | ivfcompact")
         sys.exit(2)
     }
     spark.stop()
