@@ -423,6 +423,18 @@ object MergeTable {
     * applied state and replay is idempotent. Polling the log is one
     * directory listing — no Spark job when nothing changed.
     */
+  /** The change feed as a Structured Streaming source (see
+    * [[graft.sources.CdcSourceProvider]]): each committed generation
+    * becomes a checkpointed micro-batch of net logical changes.
+    * [[pollChanges]] is the pull API for driver loops; this is the
+    * push API for `readStream` topologies.
+    */
+  def changesStream(s: SparkSession, dir: String, keyCol: String,
+                    startGen: Int = 0): DataFrame =
+    s.readStream.format(classOf[graft.sources.CdcSourceProvider].getName)
+      .option("path", dir).option("keyCol", keyCol)
+      .option("startGen", startGen.toString).load()
+
   def pollChanges(s: SparkSession, dir: String, lastSeenGen: Int,
                   keyCol: String): Option[(Int, DataFrame)] = {
     val cur = committedGen(dir).getOrElse(

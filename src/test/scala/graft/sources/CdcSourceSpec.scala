@@ -1,0 +1,129 @@
+package graft.sources
+
+import graft.SparkSpecBase
+import graft.operators.MergeTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The MergeTable change feed as a Structured Streaming source:
+  * generation-per-micro-batch delivery, checkpointed exactly-once
+  * across restarts, catch-up spans as net diffs, and the flagship
+  * composition — streaming table replication by applying the feed
+  * with merge() on the other side.
+  */
+class CdcSourceSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def freshTable(n: Int): String = {
+    val dir = tmpDir("cdc-src-tbl")
+    val src = (1 to n).map(k => (k.toLong, s"seg${k % 5}", k * 1.5))
+      .toDF("k", "seg", "bal")
+    MergeTable.write(spark, src, "k", dir, nFiles = 4)
+    dir
+  }
+
+  private def mergeBatch(dir: String, rows: Seq[(Long, String, String, Double)]): Unit =
+    MergeTable.merge(spark, dir,
+      rows.toDF("k", "op", "seg", "bal"), "k")
+
+  test("each committed generation arrives as one exactly-once micro-batch") {
+    val dir = freshTable(100)
+    val ckpt = tmpDir("cdc-src-ckpt")
+    // foreachBatch collector: unlike the memory sink it supports
+    // checkpoint recovery, so the restart leg below is the real thing
+    val seen = new scala.collection.mutable.ArrayBuffer[(Long, String, Long, Double)]
+    def start() = MergeTable.changesStream(spark, dir, "k")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (delta: DataFrame, _: Long) =>
+        val rows = delta.collect().map(r => (r.getAs[Long]("k"),
+          r.getAs[String]("change_op"), r.getAs[Long]("_commit_gen"),
+          r.getAs[Double]("bal")))
+        seen.synchronized { seen ++= rows }; ()
+      }.start()
+
+    val q = start()
+    try {
+      q.processAllAvailable() // baseline gen 0: nothing after startGen=0
+      assert(seen.isEmpty)
+
+      mergeBatch(dir, Seq((1L, "U", "WEB", 9.9), (200L, "I", "NEW", 1.0),
+        (2L, "D", null, 0.0)))
+      q.processAllAvailable()
+      val b1 = seen.synchronized(seen.map(t => (t._1, t._2, t._3)).sorted.toSeq)
+      assert(b1 == Seq((1L, "U", 1L), (2L, "D", 1L), (200L, "I", 1L)))
+      // D carries the pre-image, I/U the post-image
+      val byK = seen.synchronized(seen.map(t => t._1 -> t._4).toMap)
+      assert(byK(1L) == 9.9 && byK(200L) == 1.0 && byK(2L) == 3.0)
+
+      mergeBatch(dir, Seq((3L, "U", "API", 7.0)))
+      q.processAllAvailable()
+      val gens = seen.synchronized(seen.map(_._3).toSeq)
+      assert(gens.count(_ == 2L) == 1 && gens.size == 4)
+    } finally q.stop()
+
+    // restart on the SAME checkpoint: no re-delivery of gens 1-2,
+    // the merge that happened while the stream was down flows
+    mergeBatch(dir, Seq((4L, "D", null, 0.0)))
+    val before = seen.size
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val after = seen.synchronized(seen.drop(before).map(t => (t._1, t._2, t._3)).toSeq)
+      assert(after == Seq((4L, "D", 3L)),
+        s"restart must deliver exactly the missed generation, got ${after.toList}")
+    } finally q2.stop()
+  }
+
+  test("a catch-up span nets out to the logical diff with one batch") {
+    val dir = freshTable(50)
+    // three generations while no stream is running: insert→update,
+    // and an insert→delete that must net to NOTHING
+    mergeBatch(dir, Seq((300L, "I", "A", 1.0), (301L, "I", "B", 1.0)))
+    mergeBatch(dir, Seq((300L, "U", "A2", 2.0)))
+    mergeBatch(dir, Seq((301L, "D", null, 0.0)))
+    val q = MergeTable.changesStream(spark, dir, "k")
+      .writeStream.format("memory").queryName("cdcspan")
+      .option("checkpointLocation", tmpDir("cdc-span-ckpt")).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cdcspan").collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[String]("change_op"),
+          r.getAs[String]("seg"), r.getAs[Long]("_commit_gen"))).toSeq
+      assert(got == Seq((300L, "I", "A2", 3L)),
+        s"span should net to one insert with the final image, got ${got.toList}")
+    } finally q.stop()
+  }
+
+  test("streaming replication: applying the feed reproduces the table") {
+    val dir = freshTable(200)
+    val replica = tmpDir("cdc-replica")
+    // bootstrap: snapshot at the stream's startGen baseline
+    MergeTable.write(spark, MergeTable.readTable(spark, dir, asOf = Some(0)),
+      "k", replica, nFiles = 4)
+    val q = MergeTable.changesStream(spark, dir, "k")
+      .writeStream.option("checkpointLocation", tmpDir("cdc-rep-ckpt"))
+      .foreachBatch { (delta: DataFrame, _: Long) =>
+        val changes = delta.withColumnRenamed("change_op", "op")
+          .drop("_commit_gen")
+        if (!changes.isEmpty) { MergeTable.merge(spark, replica, changes, "k"); () }
+      }.start()
+    try {
+      mergeBatch(dir, Seq((10L, "U", "HOT", 0.5), (999L, "I", "NEW", 3.3)))
+      q.processAllAvailable()
+      mergeBatch(dir, Seq((999L, "D", null, 0.0), (11L, "U", "COLD", 0.1)))
+      q.processAllAvailable()
+      val want = MergeTable.readTable(spark, dir)
+        .orderBy("k").collect().map(_.toSeq).toSeq
+      val got = MergeTable.readTable(spark, replica)
+        .orderBy("k").collect().map(_.toSeq).toSeq
+      assert(got == want, "replica diverged from source table")
+    } finally q.stop()
+  }
+
+  test("schema is keyCol, change_op, _commit_gen, then value columns") {
+    val dir = freshTable(10)
+    val s = MergeTable.changesStream(spark, dir, "k").schema
+    assert(s.fieldNames.toSeq == Seq("k", "change_op", "_commit_gen", "seg", "bal"))
+    assert(MergeTable.changesStream(spark, dir, "k").isStreaming)
+  }
+}
