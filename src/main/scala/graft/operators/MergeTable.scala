@@ -426,8 +426,9 @@ object MergeTable {
   /** The change feed as a Structured Streaming source (see
     * [[graft.sources.CdcSourceProvider]]): each committed generation
     * becomes a checkpointed micro-batch of net logical changes.
-    * [[pollChanges]] is the pull API for driver loops; this is the
-    * push API for `readStream` topologies.
+    * `startGen = -1` requests snapshot-then-follow (first batch =
+    * whole table as inserts). [[pollChanges]] is the pull API for
+    * driver loops; this is the push API for `readStream` topologies.
     */
   def changesStream(s: SparkSession, dir: String, keyCol: String,
                     startGen: Int = 0): DataFrame =

@@ -39,9 +39,10 @@ import graft.operators.MergeTable
   * diff of the span (cheaper than replaying each generation).
   *
   * Options: `path` (table dir), `keyCol`, `startGen` (baseline
-  * generation, default 0: the stream emits changes AFTER it; pair
-  * with `readTable(asOf = startGen)` for a snapshot-then-follow
-  * bootstrap).
+  * generation, default 0: the stream emits changes AFTER it — or
+  * `snapshot` for snapshot-then-follow: the FIRST batch is the whole
+  * table as `I` rows at the then-committed generation, and deltas
+  * follow from there; Delta's startingVersion-less stream shape).
   *
   * Output schema: keyCol, change_op (I/U/D), _commit_gen (the
   * batch's end generation), then the table's value columns — post-
@@ -68,12 +69,14 @@ final class CdcSourceProvider extends StreamSourceProvider with DataSourceRegist
 }
 
 object CdcSource {
+  /** `startGen = -1` is the internal encoding of `snapshot`. */
   private[sources] def options(p: Map[String, String]): (String, String, Int) = {
     val dir = p.getOrElse("path",
       throw new IllegalArgumentException("graft-cdc requires option 'path' (MergeTable dir)"))
     val keyCol = p.getOrElse("keycol", p.getOrElse("keyCol",
       throw new IllegalArgumentException("graft-cdc requires option 'keyCol'")))
-    (dir, keyCol, p.getOrElse("startgen", p.getOrElse("startGen", "0")).toInt)
+    val sg = p.getOrElse("startgen", p.getOrElse("startGen", "0"))
+    (dir, keyCol, if (sg.equalsIgnoreCase("snapshot")) -1 else sg.toInt)
   }
 
   /** keyCol, change_op, _commit_gen, then value columns in log-schema
@@ -116,8 +119,18 @@ final class CdcSource(ctx: SQLContext, dir: String, keyCol: String, startGen: In
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(genOf).getOrElse(startGen.toLong)
     val to = genOf(end)
-    val delta = MergeTable.changesBetween(spark, dir, from.toInt, to.toInt, keyCol)
-      .withColumn("_commit_gen", lit(to))
+    // snapshot bootstrap: the first batch is the whole table AS OF
+    // the end generation, every row an insert — deterministic on
+    // replay for the same reason deltas are (a pure function of that
+    // generation's manifest)
+    val delta =
+      if (from < 0)
+        MergeTable.readTable(spark, dir, asOf = Some(to.toInt))
+          .withColumn("change_op", lit("I"))
+          .withColumn("_commit_gen", lit(to))
+      else
+        MergeTable.changesBetween(spark, dir, from.toInt, to.toInt, keyCol)
+          .withColumn("_commit_gen", lit(to))
     // align to the declared schema: the span's union columns may
     // predate/postdate the stream's fixed schema — declared-but-
     // missing surfaces as null, undeclared is dropped

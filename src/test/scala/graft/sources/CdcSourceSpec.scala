@@ -120,6 +120,28 @@ class CdcSourceSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("snapshot mode: first batch is the whole table as inserts, deltas follow") {
+    val dir = freshTable(30)
+    mergeBatch(dir, Seq((5L, "U", "PRE", 1.0))) // gen 1 before the stream exists
+    val q = MergeTable.changesStream(spark, dir, "k", startGen = -1)
+      .writeStream.format("memory").queryName("cdcsnap")
+      .option("checkpointLocation", tmpDir("cdc-snap-ckpt")).start()
+    try {
+      q.processAllAvailable()
+      val snap = spark.table("cdcsnap").collect()
+      assert(snap.length == 30 && snap.forall(_.getAs[String]("change_op") == "I"))
+      // the snapshot is AS OF the then-committed generation: the
+      // pre-stream update is already folded in, not replayed
+      assert(snap.forall(_.getAs[Long]("_commit_gen") == 1L))
+      assert(snap.find(_.getAs[Long]("k") == 5L).get.getAs[String]("seg") == "PRE")
+      mergeBatch(dir, Seq((6L, "D", null, 0.0)))
+      q.processAllAvailable()
+      val next = spark.table("cdcsnap").collect().filter(_.getAs[Long]("_commit_gen") == 2L)
+      assert(next.map(r => (r.getAs[Long]("k"), r.getAs[String]("change_op"))).toSeq
+        == Seq((6L, "D")))
+    } finally q.stop()
+  }
+
   test("schema is keyCol, change_op, _commit_gen, then value columns") {
     val dir = freshTable(10)
     val s = MergeTable.changesStream(spark, dir, "k").schema
