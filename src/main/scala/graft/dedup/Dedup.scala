@@ -701,7 +701,19 @@ object Dedup {
     * so callers can run many batches against one build.
     */
   def neardupDelta(s: SparkSession, deltaSigs: DataFrame, indexTable: String,
-                   tau: Double = 0.5): DataFrame = {
+                   tau: Double = 0.5): DataFrame =
+    neardupDelta(s, deltaSigs, indexTable, tau, None)
+
+  /** [[neardupDelta]] with takedown governance: `tombstones`
+    * (doc_id rows — removed docs) are excluded from the CANDIDATE set
+    * before any signature work, via a broadcast anti-join (takedown
+    * batches are human-scale: a legal request, not a corpus). The
+    * usual caller reads them from [[tombstonesOf]]'s catalog table;
+    * an explicit frame keeps the probe pure for testing and for
+    * per-tenant policies.
+    */
+  def neardupDelta(s: SparkSession, deltaSigs: DataFrame, indexTable: String,
+                   tau: Double, tombstones: Option[DataFrame]): DataFrame = {
     // the signature scan feeds two independent plan branches (band
     // keys for candidates, the final sig join) with no shared
     // exchange for ReuseExchange to dedupe — a lazy localCheckpoint
@@ -709,9 +721,12 @@ object Dedup {
     // tokenize+minhash over the batch twice (gatedDocs' barrier
     // pattern, Pipeline.scala)
     val sigs = deltaSigs.localCheckpoint(false)
-    val cand = bandKeysOf(sigs).toDF("delta_id", "bkey")
+    val cand0 = bandKeysOf(sigs).toDF("delta_id", "bkey")
       .join(s.table(indexTable + "_bands").toDF("base_id", "bkey"), Seq("bkey"))
       .select("delta_id", "base_id").distinct()
+    val cand = tombstones.fold(cand0)(t =>
+      cand0.join(broadcast(t.select(col("doc_id").as("base_id"))),
+        Seq("base_id"), "left_anti"))
     cand
       .join(s.table(indexTable + "_sigs").toDF("base_id", "base_sig"), Seq("base_id"))
       .join(sigs.toDF("delta_id", "delta_sig"), Seq("delta_id"))
@@ -739,7 +754,90 @@ object Dedup {
     neardupDelta(s, delta, idx).orderBy("delta_id", "base_id")
   }
 
+  // --- dd14: takedown (right-to-erasure) against the persisted LSH
+  // index — the governance operator a 100 TB ingest pipeline must
+  // run when docs are ordered removed (legal takedown, license
+  // revocation, user deletion). Two-speed design, the soft-delete +
+  // vacuum pattern every large store uses: (1) tombstones take
+  // effect IMMEDIATELY on the probe path via a broadcast anti-join
+  // on the candidate set (no index rewrite on the hot path — a
+  // takedown batch is human-scale); (2) [[vacuumLshTombstones]]
+  // physically rewrites both index tables without the tombstoned
+  // docs in the maintenance window (cost ∝ index, preserves the
+  // bucketed layouts), after which the tombstone set is empty and
+  // the probe is byte-identical to an index never containing them.
+  // The corpus row itself is MergeTable's problem (file-pruned
+  // DELETE, q65) — this operator owns the derived index state.
+
+  private def tombstoneTable(indexTable: String) = indexTable + "_tombstones"
+
+  /** Record removed doc_ids for `indexTable` (tiny append-only
+    * catalog table; created on first call).
+    */
+  def tombstoneDocs(s: SparkSession, indexTable: String, docIds: DataFrame): Unit = {
+    val t = tombstoneTable(indexTable)
+    val rows = docIds.select(col("doc_id").cast("long")).distinct()
+    if (!s.catalog.tableExists(t))
+      rows.write.format("parquet").saveAsTable(t)
+    else rows.write.mode("append").insertInto(t)
+  }
+
+  /** The current tombstone set (empty frame when none recorded). */
+  def tombstonesOf(s: SparkSession, indexTable: String): DataFrame = {
+    val t = tombstoneTable(indexTable)
+    if (s.catalog.tableExists(t)) s.table(t).distinct()
+    else s.range(0).select(col("id").as("doc_id"))
+  }
+
+  /** Physically rewrite the index without the tombstoned docs, then
+    * clear the tombstone set. Two passes per table (stage filtered
+    * rows to a scratch dir, then overwrite-insert back) because Spark
+    * refuses to overwrite a table it is reading; both rewrites honor
+    * the tables' bucket specs, so the exchange-free probe joins
+    * survive the vacuum. Maintenance-window cost ∝ index size —
+    * exactly MergeTable.vacuum's posture for the table family.
+    */
+  def vacuumLshTombstones(s: SparkSession, indexTable: String): Long = {
+    val tomb = tombstonesOf(s, indexTable).localCheckpoint()
+    val n = tomb.count()
+    if (n == 0) return 0L
+    val scratch = java.nio.file.Files.createTempDirectory("graft-lsh-vacuum").toString
+    try {
+      Seq("_bands", "_sigs").foreach { suffix =>
+        val tbl = indexTable + suffix
+        s.table(tbl)
+          .join(broadcast(tomb), Seq("doc_id"), "left_anti")
+          .write.parquet(s"$scratch$suffix")
+        s.read.parquet(s"$scratch$suffix")
+          .write.mode("overwrite").insertInto(tbl)
+      }
+      // clear tombstones last: a crash before this point leaves them
+      // active (probe still correct, vacuum re-runnable)
+      s.range(0).select(col("id").as("doc_id"))
+        .write.mode("overwrite").insertInto(tombstoneTable(indexTable))
+      n
+    } finally graft.IndexLifecycle.deleteRecursively(scratch)
+  }
+
+  /** Registered probe: the incremental near-dup pass (dd11's shape)
+    * under an active takedown of every 7th base doc — rows-only (LSH
+    * banding isn't ANSI-expressible); the spec proves the governed
+    * probe equals a probe against an index rebuilt without the
+    * removed docs, and that vacuum makes the filter unnecessary.
+    */
+  val dd14_takedown: Q = (s, d) => {
+    val idx = lshIndexFor(s, d)
+    val removed = Tables.documents(s, d)
+      .filter(col("doc_id") % deltaMod < deltaFrom && col("doc_id") % 7 === 0)
+      .select("doc_id")
+    val delta = sigsOf(
+      Tables.documents(s, d).filter(col("doc_id") % deltaMod >= deltaFrom))
+    neardupDelta(s, delta, idx, 0.5, Some(removed))
+      .orderBy("delta_id", "base_id")
+  }
+
   val registry: Map[String, Q] = Map(
+    "dd14_takedown" -> dd14_takedown,
     "dd11_incremental_lsh" -> dd11_incremental_lsh,
     "dd10_incremental" -> dd10_incremental,
     "dd09_substring_dups" -> dd09_substring_dups,

@@ -31,13 +31,16 @@ class BenchKeysSpec extends AnyFunSuite {
     // THREE-digit row means a >100 s query at sf0.1 — a stalled round
     // whose bench line is moot — and the observed full-line size
     // (~1575 chars at 122 rows) sits well under this estimate.
-    val rows = Bench.allBenchKeys.map(k => Bench.shortKey(k).length + 9).sum
-    val envelope = 120  // metric/value/unit/batch_seconds/sf (the errors
-                        // field is omitted on a clean run by construction)
-    val streaming = 50  // "sustained_rps":[n,n,n,n]
+    // construct the literal worst-case clean-run line (every query at
+    // a two-digit 99.99 s — a three-digit row means a stalled round
+    // whose bench line is moot; errors field omitted on clean runs by
+    // construction) and require it plus sbt's trailer to fit
+    val qs = Bench.allBenchKeys.map(k => "\"" + Bench.shortKey(k) + "\":99.99")
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":9999.9,"unit":"sec","batch_seconds":9999.9,"queries":$qs,"sustained_rps":[999999,999999,999999,999999],"sf":"/root/testdata/sf0.1"}"""
     val sbtTrailer = 80 // "[success] Total time: ..." after our line
-    val est = rows + envelope + streaming + sbtTrailer
-    assert(est < 1900, s"estimated bench line + trailer $est chars crowds the 2000-char parse window")
+    val est = line.length + sbtTrailer
+    assert(est < 1980, s"worst-case bench line + trailer $est chars crowds the 2000-char parse window")
   }
 
   test("a throwing query lands in the error map, never as a silent fast row") {

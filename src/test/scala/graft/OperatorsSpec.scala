@@ -653,6 +653,55 @@ class OperatorsSpec extends SparkSpecBase {
     } finally dedup.Dedup.evictFpIndex(s2, sfDir)
   }
 
+  test("dd14 takedown: tombstoned docs vanish from probes; vacuum makes it physical") {
+    import dedup.Dedup
+    val base = Tables.documents(spark, sfDir).filter(col("doc_id") % 10 < 8)
+    val removed = base.filter(col("doc_id") % 7 === 0).select("doc_id")
+    val delta = Dedup.sigsOf(
+      Tables.documents(spark, sfDir).filter(col("doc_id") % 10 >= 8))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("delta_id"), r.getAs[Long]("base_id"),
+        r.getAs[Double]("est_jacc"))).sortBy(t => (t._1, t._2)).toSeq
+
+    // ground truth: a probe against an index REBUILT without the docs
+    val cleanTbl = "graft_spec_dd14_clean"
+    val cleanPath = tmpDir("dd14-clean")
+    Dedup.buildLshIndexFrom(
+      base.join(removed, Seq("doc_id"), "left_anti"), cleanTbl, cleanPath)
+    val truth = pairs(Dedup.neardupDelta(spark, delta, cleanTbl))
+    try {
+      // 1. soft path: the shared index + an explicit tombstone frame
+      val idx = Dedup.lshIndexFor(spark, sfDir)
+      val governed = pairs(Dedup.neardupDelta(spark, delta, idx, 0.5, Some(removed)))
+      assert(governed == truth, "governed probe diverges from rebuilt-without-index")
+      assert(governed != pairs(Dedup.neardupDelta(spark, delta, idx)),
+        "fixture vacuous: no removed doc ever matched")
+      // the registered query is exactly this probe
+      assert(pairs(Dedup.dd14_takedown(spark, sfDir)) == truth)
+
+      // 2. hard path on a scratch copy: tombstone → vacuum → plain probe
+      val vTbl = "graft_spec_dd14_vac"
+      val vPath = tmpDir("dd14-vac")
+      Dedup.buildLshIndexFrom(base, vTbl, vPath)
+      try {
+        Dedup.tombstoneDocs(spark, vTbl, removed)
+        val viaCatalog = pairs(Dedup.neardupDelta(spark, delta, vTbl, 0.5,
+          Some(Dedup.tombstonesOf(spark, vTbl))))
+        assert(viaCatalog == truth)
+        val n = Dedup.vacuumLshTombstones(spark, vTbl)
+        assert(n == removed.count(), s"vacuum reported $n tombstones")
+        assert(Dedup.tombstonesOf(spark, vTbl).isEmpty, "tombstones must clear")
+        // after the rewrite the UNGOVERNED probe equals the truth —
+        // the index is byte-equivalent to one never containing them
+        assert(pairs(Dedup.neardupDelta(spark, delta, vTbl)) == truth)
+        // idempotent: vacuum with nothing tombstoned is a no-op
+        assert(Dedup.vacuumLshTombstones(spark, vTbl) == 0L)
+      } finally Seq(vTbl + "_bands", vTbl + "_sigs", vTbl + "_tombstones")
+        .foreach(t => scala.util.Try(graft.IndexLifecycle.dropTableWithFiles(spark, t)))
+    } finally Seq(cleanTbl + "_bands", cleanTbl + "_sigs")
+      .foreach(t => scala.util.Try(graft.IndexLifecycle.dropTableWithFiles(spark, t)))
+  }
+
   test("dd11 incremental LSH near-dup: index reuse, delta-only band shuffle, ≡ direct") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
