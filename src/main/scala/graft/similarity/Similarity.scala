@@ -228,10 +228,11 @@ object Similarity {
     val qcells = queries.withColumn("cell",
       explode(graft.functions.GraftFunctions.nearestCells("va", cents, nProbe)))
     val probed = qcells.select("cell").distinct().collect().map(_.getInt(0)).toSeq
-    val cands = s.read.parquet(s"$indexDir/vectors")
-      .filter(col("cell").isin(probed: _*))
-      .select(col("vec_id").as("n_id"), col("v").as("vb"),
-        col("nrm").as("nb"), col("cell"))
+    val cands = governed(s, indexDir,
+      s.read.parquet(s"$indexDir/vectors")
+        .filter(col("cell").isin(probed: _*))
+        .select(col("vec_id").as("n_id"), col("v").as("vb"),
+          col("nrm").as("nb"), col("cell")), "n_id")
     qcells.join(cands, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"), r6(cosine).as("cos"))
@@ -278,9 +279,10 @@ object Similarity {
     val probed = qCellRows.map(_._3).distinct.toSeq
     // ADC scan: only (vec_id, code) leave the parquet reader; each
     // row is scored against just the queries probing its cell
-    val shortlist = s.read.parquet(s"$indexDir/vectors")
-      .filter(col("cell").isin(probed: _*))
-      .select(col("vec_id").as("n_id"), col("code"), col("cell"))
+    val shortlist = governed(s, indexDir,
+      s.read.parquet(s"$indexDir/vectors")
+        .filter(col("cell").isin(probed: _*))
+        .select(col("vec_id").as("n_id"), col("code"), col("cell")), "n_id")
       .join(broadcast(qcells), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"),
@@ -505,6 +507,116 @@ object Similarity {
     }
     graft.IndexLifecycle.deleteRecursively(staging.toString)
     folds
+  }
+
+  // --- takedown governance for the vector index — dd14's
+  // right-to-erasure pattern (Dedup.tombstoneDocs family) on the
+  // embedding family: tombstoned vec_ids stop surfacing from probes
+  // IMMEDIATELY (broadcast anti-join on the candidate scan — a
+  // takedown batch is human-scale), and [[vacuumVectorTombstones]]
+  // makes removal physical by rewriting ONLY the cells that contain
+  // them (cost ∝ affected cells, single Spark job, same staged
+  // move-in-before-delete commit as compaction). A vec_id re-appended
+  // while still tombstoned stays suppressed until the vacuum clears
+  // the set.
+
+  private def tombstoneDir(indexDir: String) = s"$indexDir/tombstones"
+
+  private def hasVectorTombstones(indexDir: String): Boolean = {
+    val p = java.nio.file.Path.of(tombstoneDir(indexDir))
+    java.nio.file.Files.isDirectory(p) && {
+      val ls = java.nio.file.Files.list(p)
+      try ls.anyMatch(_.getFileName.toString.endsWith(".parquet"))
+      finally ls.close()
+    }
+  }
+
+  /** Record removed vec_ids (tiny append-only parquet next to the
+    * index's own layout — the index is dir-based, so its governance
+    * state is too).
+    */
+  def tombstoneVectors(s: SparkSession, indexDir: String, vecIds: DataFrame): Unit =
+    vecIds.select(col("vec_id").cast("long")).distinct()
+      .coalesce(1).write.mode("append").parquet(tombstoneDir(indexDir))
+
+  /** The current tombstone set (empty frame when none recorded). */
+  def vectorTombstones(s: SparkSession, indexDir: String): DataFrame =
+    if (hasVectorTombstones(indexDir))
+      s.read.parquet(tombstoneDir(indexDir)).distinct()
+    else s.range(0).select(col("id").as("vec_id"))
+
+  /** Governance filter for a probe's candidate scan: anti-join the
+    * broadcast tombstone set on the index side's id column. No-op
+    * (and no plan node) when nothing is tombstoned.
+    */
+  private def governed(s: SparkSession, indexDir: String, df: DataFrame,
+                       idCol: String): DataFrame =
+    if (!hasVectorTombstones(indexDir)) df
+    else df.join(broadcast(
+      vectorTombstones(s, indexDir).select(col("vec_id").as(idCol))),
+      Seq(idCol), "left_anti")
+
+  /** Physically rewrite only the CELLS containing tombstoned
+    * vec_ids, then clear the tombstone set. One narrow column-pruned
+    * scan finds the affected cells; one Spark job rewrites them
+    * (basePath read → anti-join → partitionBy staging), then the
+    * per-cell move-in-before-delete commit compaction uses. Full-row
+    * dedup in the staged write makes a crashed vacuum recoverable by
+    * re-running it (same contract as [[compactIvfCells]]). Returns
+    * the tombstone count processed.
+    */
+  def vacuumVectorTombstones(s: SparkSession, indexDir: String): Long = {
+    import java.nio.file.{Files, Path}
+    import scala.jdk.CollectionConverters._
+    if (!hasVectorTombstones(indexDir)) return 0L
+    val tomb = vectorTombstones(s, indexDir).localCheckpoint()
+    val n = tomb.count()
+    val root = Path.of(indexDir, "vectors")
+    // sweep a crashed predecessor's staging (compaction's discipline)
+    val sweep = Files.list(root)
+    try sweep.iterator().asScala
+      .filter(_.getFileName.toString.startsWith(".vacuum-"))
+      .foreach(p => graft.IndexLifecycle.deleteRecursively(p.toString))
+    finally sweep.close()
+    val affected = s.read.parquet(root.toString)
+      .join(broadcast(tomb), Seq("vec_id"), "left_semi")
+      .select("cell").distinct().collect().map(_.getInt(0)).toIndexedSeq
+    if (affected.nonEmpty) {
+      val cellDirs = affected.map(c => root.resolve(s"cell=$c"))
+      val token = ProcessHandle.current().pid().toString + "-" +
+        java.lang.Long.toHexString(System.nanoTime())
+      val staging = root.resolve(s".vacuum-$token")
+      s.read.option("basePath", root.toString)
+        .parquet(cellDirs.map(_.toString): _*)
+        .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+        .dropDuplicates()
+        .repartition(affected.size, col("cell"))
+        .write.partitionBy("cell").parquet(staging.toString)
+      cellDirs.foreach { cellDir =>
+        val stagedCell = staging.resolve(cellDir.getFileName.toString)
+        val staged =
+          if (Files.isDirectory(stagedCell)) {
+            val ls = Files.list(stagedCell)
+            try ls.iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet")).toIndexedSeq
+            finally ls.close()
+          } else IndexedSeq.empty[Path]
+        val old = {
+          val ls = Files.list(cellDir)
+          try ls.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toIndexedSeq
+          finally ls.close()
+        }
+        staged.foreach(f => Files.move(f,
+          cellDir.resolve(s"vacuumed-$token-${f.getFileName}")))
+        old.foreach(Files.deleteIfExists(_))
+      }
+      graft.IndexLifecycle.deleteRecursively(staging.toString)
+    }
+    // clear last: a crash before this leaves tombstones active
+    // (probes stay governed, vacuum re-runnable)
+    graft.IndexLifecycle.deleteRecursively(tombstoneDir(indexDir))
+    n
   }
 
   // --- ann04: random-hyperplane LSH top-k — the LSH-bucketed ANN

@@ -1105,6 +1105,72 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("IVF takedown: tombstoned vectors vanish from probes; vacuum rewrites only their cells") {
+    import java.nio.file.{Files, Path}
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val corpus = tmpDir("ivf-td-corpus")
+    Tables.embeddings(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    val dir = tmpDir("ivf-td-idx")
+    similarity.Similarity.buildIvfIndex(spark, corpus, dir)
+    val probes = Tables.embeddings(spark, sfDir).orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("va"))
+      .withColumn("na", graft.functions.GraftFunctions.l2norm("va"))
+      .select(col("q_id"), col("va"), col("na"))
+    def top(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "rank", "n_id").as[(Long, Long, Long)].collect().toSeq
+    val before = top(similarity.Similarity.probeIvf(spark, dir, probes))
+    // tombstone every probe's current top-1 neighbor — removal must
+    // actually change answers, not just delete strangers
+    val removedIds = before.filter(_._2 == 1L).map(_._3).distinct
+    similarity.Similarity.tombstoneVectors(spark, dir,
+      removedIds.toDF("vec_id"))
+
+    val governedIvf = top(similarity.Similarity.probeIvf(spark, dir, probes))
+    val governedPq = top(similarity.Similarity.probeIvfPq(spark, dir, probes))
+    assert(governedIvf != before, "tombstoning the top-1s must change results")
+    assert(governedIvf.forall(t => !removedIds.contains(t._3)), "IVF probe leaked a tombstoned id")
+    assert(governedPq.forall(t => !removedIds.contains(t._3)), "PQ probe leaked a tombstoned id")
+
+    // vacuum: only the affected cells' files change
+    val rootV = Path.of(dir, "vectors")
+    def filesNow(): Map[String, Set[String]] = {
+      val ls = Files.list(rootV)
+      val cells = try ls.iterator().asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("cell="))
+        .toIndexedSeq
+      finally ls.close()
+      cells.map { c =>
+        val fl = Files.list(c)
+        val names = try fl.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.endsWith(".parquet")).toSet
+        finally fl.close()
+        c.getFileName.toString -> names
+      }.toMap
+    }
+    val affectedCells = spark.read.parquet(rootV.toString)
+      .filter(col("vec_id").isin(removedIds: _*))
+      .select("cell").distinct().collect().map(r => s"cell=${r.getInt(0)}").toSet
+    val preVac = filesNow()
+    val n = similarity.Similarity.vacuumVectorTombstones(spark, dir)
+    assert(n == removedIds.size.toLong)
+    val postVac = filesNow()
+    preVac.keySet.foreach { c =>
+      if (affectedCells(c)) assert(postVac(c) != preVac(c), s"$c should be rewritten")
+      else assert(postVac(c) == preVac(c), s"untouched $c was rewritten")
+    }
+    // physically gone; ungoverned probe now equals the governed one
+    assert(spark.read.parquet(rootV.toString)
+      .filter(col("vec_id").isin(removedIds: _*)).isEmpty)
+    assert(similarity.Similarity.vectorTombstones(spark, dir).isEmpty)
+    assert(top(similarity.Similarity.probeIvf(spark, dir, probes)) == governedIvf,
+      "post-vacuum probe diverges from the governed probe")
+    // idempotent no-op
+    assert(similarity.Similarity.vacuumVectorTombstones(spark, dir) == 0L)
+  }
+
   test("IVF cell compaction: folds append fragments, probes unchanged, crash-rerun-safe") {
     import java.nio.file.{Files, Path, StandardCopyOption}
     import scala.jdk.CollectionConverters._
