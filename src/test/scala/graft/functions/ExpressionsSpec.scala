@@ -106,6 +106,30 @@ class ExpressionsSpec extends SparkSpecBase {
       assert(result(perm, splits) == expected, s"perm=$perm splits=$splits")
   }
 
+  test("TopKBuffer distinct: equals the set-model under random duplicate-heavy input") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // narrow domains guarantee heavy duplication and score ties
+    val pair = for {
+      sc <- Gen.chooseNum(0, 12); id <- Gen.chooseNum(0L, 25L)
+    } yield (sc.toDouble, id)
+    val input = Gen.chooseNum(0, 60).flatMap(n => Gen.listOfN(n, pair))
+    for (i <- 0 until 300; items <- input(Gen.Parameters.default, Seed(i.toLong))) {
+      val k = 1 + i % 7
+      val expected = items.distinct.sortBy { case (s, id) => (-s, id) }.take(k)
+      val splits = 1 + i % 4
+      val bufs = items.grouped(math.max(1, items.size / splits + 1)).map { g =>
+        val b = new TopKBuffer(k, distinct = true)
+        g.foreach { case (s, id) => b.insert(s, id) }
+        b
+      }
+      val acc = new TopKBuffer(k, distinct = true)
+      bufs.foreach(acc.mergeFrom)
+      val got = (0 until acc.n).map(j => (acc.scores(j), acc.ids(j))).toList
+      assert(got == expected, s"seed=$i k=$k items=$items")
+    }
+  }
+
   test("topKDistinct over a duplicated stream equals topK over distinct input") {
     import spark.implicits._
     val rows = (1 to 500).flatMap { i =>
