@@ -142,6 +142,88 @@ class CdcSourceSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("governed ingest: the CDC feed drives a dedup-gated store; deletes become takedowns") {
+    import graft.dedup.Dedup
+    import graft.Tables
+    // corpus = a MergeTable of (doc_id, text); its CDC feed drives the
+    // derived state a training pipeline keeps: a near-dup-gated
+    // document store + the LSH index that does the gating. Inserts
+    // gate-then-append; DELETES become index takedowns, so content
+    // removed from the corpus is immediately re-admittable — the
+    // composition MergeTable + graft-cdc + dd11/dd14 exists for.
+    val base = Tables.documents(spark, sfDir)
+      .orderBy(length(col("text")).desc).limit(40).select("doc_id", "text")
+      .cache()
+    val corpus = tmpDir("cdc-ing-corpus")
+    MergeTable.write(spark, base, "doc_id", corpus, nFiles = 2)
+    val donor = base.orderBy(col("doc_id")).first()
+    val donorId = donor.getAs[Long]("doc_id")
+    val donorText = donor.getAs[String]("text")
+
+    val idxTbl = "graft_spec_cdc_ingest"
+    val idxPath = tmpDir("cdc-ing-idx")
+    Dedup.buildLshIndexFrom(base, idxTbl, idxPath)
+    val store = tmpDir("cdc-ing-store")
+
+    val q = MergeTable.changesStream(spark, corpus, "doc_id")
+      .writeStream.option("checkpointLocation", tmpDir("cdc-ing-ckpt"))
+      .foreachBatch { (delta: DataFrame, _: Long) =>
+        val dels = delta.filter(col("change_op") === "D").select("doc_id")
+        if (!dels.isEmpty) Dedup.tombstoneDocs(spark, idxTbl, dels)
+        val ups = delta.filter(col("change_op") =!= "D").select("doc_id", "text")
+        if (!ups.isEmpty) {
+          val sigs = Dedup.sigsOf(ups)
+          val dupes = Dedup.neardupDelta(spark, sigs, idxTbl, 0.5,
+              Some(Dedup.tombstonesOf(spark, idxTbl)))
+            .select(col("delta_id").as("doc_id")).distinct()
+          val admitted = ups.join(dupes, Seq("doc_id"), "left_anti")
+            .localCheckpoint()
+          if (!admitted.isEmpty) {
+            admitted.write.mode("append").parquet(store)
+            Dedup.appendToLshIndex(spark, idxTbl, Dedup.sigsOf(admitted))
+          }
+        }
+        ()
+      }.start()
+    def storedIds(): Set[Long] =
+      if (new java.io.File(store).list().exists(_.endsWith(".parquet")))
+        spark.read.parquet(store).select("doc_id").collect()
+          .map(_.getLong(0)).toSet
+      else Set.empty
+    try {
+      // batch 1: a near-copy of the donor doc (gated) + a genuinely
+      // novel doc (admitted)
+      MergeTable.merge(spark, corpus, Seq(
+        (1000001L, "I", donorText + " extra"),
+        (1000002L, "I", "qwxz vbnk plomr strak quuz flembic dorvat ninble")
+      ).toDF("doc_id", "op", "text"), "doc_id")
+      q.processAllAvailable()
+      assert(storedIds() == Set(1000002L),
+        s"near-copy must be gated, novel doc admitted: ${storedIds()}")
+
+      // batch 2: the donor is DELETED from the corpus → takedown
+      MergeTable.merge(spark, corpus,
+        Seq((donorId, "D", null: String)).toDF("doc_id", "op", "text"), "doc_id")
+      q.processAllAvailable()
+      assert(Dedup.tombstonesOf(spark, idxTbl).collect()
+        .map(_.getLong(0)).toSet == Set(donorId))
+
+      // batch 3: the same content arrives again — now admissible,
+      // because its only near-dup was taken down
+      MergeTable.merge(spark, corpus, Seq(
+        (1000003L, "I", donorText + " extra")
+      ).toDF("doc_id", "op", "text"), "doc_id")
+      q.processAllAvailable()
+      assert(storedIds() == Set(1000002L, 1000003L),
+        s"taken-down content must be re-admittable: ${storedIds()}")
+    } finally {
+      q.stop()
+      base.unpersist()
+      Seq(idxTbl + "_bands", idxTbl + "_sigs", idxTbl + "_tombstones")
+        .foreach(t => scala.util.Try(graft.IndexLifecycle.dropTableWithFiles(spark, t)))
+    }
+  }
+
   test("schema is keyCol, change_op, _commit_gen, then value columns") {
     val dir = freshTable(10)
     val s = MergeTable.changesStream(spark, dir, "k").schema
