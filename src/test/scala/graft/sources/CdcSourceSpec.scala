@@ -224,6 +224,38 @@ class CdcSourceSpec extends SparkSpecBase {
     }
   }
 
+  test("a stream whose checkpoint horizon was vacuumed fails loudly, not wrongly") {
+    val dir = freshTable(40)
+    val ckpt = tmpDir("cdc-vac-ckpt")
+    val seen = new scala.collection.mutable.ArrayBuffer[Long]
+    def start() = MergeTable.changesStream(spark, dir, "k")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (delta: DataFrame, _: Long) =>
+        val gens = delta.select("_commit_gen").distinct().collect().map(_.getLong(0))
+        seen.synchronized { seen ++= gens }; ()
+      }.start()
+    val q = start()
+    try {
+      mergeBatch(dir, Seq((1L, "U", "A", 1.0)))
+      q.processAllAvailable()
+      assert(seen.synchronized(seen.toSet) == Set(1L))
+    } finally q.stop()
+    // two more generations land while the stream is down, then a
+    // vacuum drops every non-current manifest — the stream's
+    // checkpoint horizon (gen 1) is gone
+    mergeBatch(dir, Seq((2L, "U", "B", 2.0)))
+    mergeBatch(dir, Seq((3L, "U", "C", 3.0)))
+    MergeTable.vacuum(spark, dir)
+    val q2 = start()
+    val failed =
+      try { q2.processAllAvailable(); false }
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => true }
+      finally scala.util.Try(q2.stop())
+    assert(failed, "replay past a vacuumed horizon must surface an error")
+    // and nothing wrong was delivered
+    assert(seen.synchronized(seen.toSet) == Set(1L))
+  }
+
   test("schema is keyCol, change_op, _commit_gen, then value columns") {
     val dir = freshTable(10)
     val s = MergeTable.changesStream(spark, dir, "k").schema
