@@ -93,7 +93,11 @@ object CdcSource {
       tbl.fields.filter(_.name == keyCol) ++
         Seq(StructField("change_op", StringType, nullable = false),
           StructField("_commit_gen", LongType, nullable = false)) ++
-        tbl.fields.filterNot(_.name == keyCol))
+        // value columns are ALWAYS nullable in a change feed: a later
+        // schema evolution can insert rows that omit a column the
+        // stream's fixed schema declared non-nullable (and carried
+        // pre-evolution files surface added columns as null)
+        tbl.fields.filterNot(_.name == keyCol).map(_.copy(nullable = true)))
   }
 }
 

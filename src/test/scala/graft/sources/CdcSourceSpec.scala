@@ -224,6 +224,30 @@ class CdcSourceSpec extends SparkSpecBase {
     }
   }
 
+  test("mid-stream schema evolution: the fixed stream schema holds, new columns wait for restart") {
+    val dir = freshTable(20)
+    val q = MergeTable.changesStream(spark, dir, "k")
+      .writeStream.format("memory").queryName("cdcevo")
+      .option("checkpointLocation", tmpDir("cdc-evo-ckpt")).start()
+    try {
+      // the corpus evolves (adds `tier`) while the stream runs: the
+      // delta aligns to the schema fixed at stream start (tier
+      // dropped, omitted bal null on the insert) instead of breaking
+      MergeTable.merge(spark, dir, Seq((1L, "U", "WEB", "gold"),
+        (900L, "I", "NEW", "silver")).toDF("k", "op", "seg", "tier"), "k")
+      q.processAllAvailable()
+      val rows = spark.table("cdcevo").collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[String]("change_op"),
+          r.getAs[String]("seg"), r.getAs[Any]("bal"))).sortBy(_._1).toSeq
+      assert(spark.table("cdcevo").columns.toSeq ==
+        Seq("k", "change_op", "_commit_gen", "seg", "bal"))
+      assert(rows == Seq((1L, "U", "WEB", 1.5), (900L, "I", "NEW", null)))
+    } finally q.stop()
+    // a NEW stream sees the evolved schema
+    assert(MergeTable.changesStream(spark, dir, "k").schema.fieldNames.toSeq ==
+      Seq("k", "change_op", "_commit_gen", "seg", "bal", "tier"))
+  }
+
   test("a stream whose checkpoint horizon was vacuumed fails loudly, not wrongly") {
     val dir = freshTable(40)
     val ckpt = tmpDir("cdc-vac-ckpt")
