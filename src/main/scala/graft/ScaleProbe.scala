@@ -761,6 +761,42 @@ object ScaleProbe {
           stream.groupBy("source")
             .agg(graft.functions.GraftFunctions.topKDistinct("nsh", "sh", k).as("sig")))
 
+      case "cdc" =>
+        // End-to-end streaming CDC: a band-confined merge against a
+        // `rows`-row table must reach a running changesStream
+        // subscriber in time ∝ the DELTA (the files the merge
+        // rewrote), not the table — the property that makes the feed
+        // tailable on a 100 TB dimension. Contrast rows: the
+        // snapshot-bootstrap batch (∝ table, paid once) vs the two
+        // incremental batches (∝ delta each).
+        val nFiles = 64
+        val dir = java.nio.file.Files.createTempDirectory("probe-cdc").toString
+        val src = spark.range(rows).select(col("id").as("k"),
+          concat(lit("seg"), pmod(col("id"), lit(7))).as("seg"),
+          (pmod(xxhash64(col("id")), lit(100000)) / 100.0).as("bal"))
+        operators.MergeTable.write(spark, src, "k", dir, nFiles)
+        val delivered = new java.util.concurrent.atomic.AtomicLong
+        val ckpt = java.nio.file.Files.createTempDirectory("probe-cdc-ckpt").toString
+        val t0 = System.nanoTime()
+        val q = operators.MergeTable.changesStream(spark, dir, "k", startGen = -1)
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (delta: DataFrame, _: Long) =>
+            delivered.addAndGet(delta.count()); ()
+          }.start()
+        q.processAllAvailable()
+        println(f"snapshot bootstrap (${delivered.get} rows, $nFiles files): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val band = rows / nFiles // one file's key span
+        (1 to 2).foreach { g =>
+          val changes = spark.range(band).select(col("id").as("k"),
+            lit("U").as("op"), lit(s"GEN$g").as("seg"), lit(g.toDouble).as("bal"))
+          operators.MergeTable.merge(spark, dir, changes, "k")
+          delivered.set(0)
+          val t1 = System.nanoTime()
+          q.processAllAvailable()
+          println(f"delta gen $g (${delivered.get} rows, ~1/$nFiles of table): ${(System.nanoTime() - t1) / 1e9}%.2f s")
+        }
+        q.stop()
+
       case "ivfcompact" =>
         // Batched cell compaction: `rows` append batches fragment the
         // partitioned layout; the fold must cost ~a constant number
