@@ -30,7 +30,7 @@ object Explain {
         "dd12_cross_source_dups", "q51_bitmap_rollup", "q58_bitmap64_rollup",
         "q56_merge_upsert", "q57_session_paths", "pr02_triangles",
         "q59_merge_pruned", "dd13_cross_source_overlap", "q60_merge_cdc",
-        "q64_indexed_scan")
+        "q64_indexed_scan", "dd14_takedown")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
