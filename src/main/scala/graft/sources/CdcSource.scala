@@ -64,6 +64,12 @@ final class CdcSourceProvider extends StreamSourceProvider with DataSourceRegist
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source = {
     val (dir, keyCol, startGen) = CdcSource.options(parameters)
+    // a typo'd baseline would otherwise yield a silently-empty stream
+    val cur = MergeTable.committedGen(dir).getOrElse(
+      throw new IllegalArgumentException(s"$dir is not a committed keyed table"))
+    require(startGen >= -1 && startGen <= cur,
+      s"startGen $startGen out of range: table $dir is at generation $cur " +
+        "(use -1 / 'snapshot' for snapshot-then-follow)")
     new CdcSource(ctx, dir, keyCol, startGen)
   }
 }
