@@ -797,6 +797,41 @@ object ScaleProbe {
         }
         q.stop()
 
+      case "ivfvacuum" =>
+        // Takedown vacuum on the vector index must cost ∝ the CELLS
+        // holding tombstoned ids, not the index: tombstone a batch
+        // confined to few cells of a `rows`-vector index and compare
+        // the affected-cells rewrite against rewriting every cell.
+        val corpus = java.nio.file.Files.createTempDirectory("probe-ivfv").toString
+        val nCells = 64
+        val src = spark.range(rows).select(col("id").as("vec_id"),
+          array((0 until 128).map(i =>
+            sin(col("id") * (i + 1) * 0.37).cast("float")): _*).as("embedding"),
+          lit(0).as("label"))
+        src.write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+        val ix = java.nio.file.Files.createTempDirectory("probe-ivfv-ix").toString
+        val tb = System.nanoTime()
+        similarity.Similarity.buildIvfIndex(spark, corpus, ix, nCells = nCells)
+        println(f"index build ($rows vectors, $nCells cells): ${(System.nanoTime() - tb) / 1e9}%.2f s")
+        // tombstones = the full contents of ~2 cells (a takedown of
+        // one crawl slice that clustered together)
+        val vecs = spark.read.parquet(s"$ix/vectors")
+        val twoCells = vecs.select("cell").distinct().limit(2)
+          .collect().map(_.getInt(0)).toSeq
+        val doomed = vecs.filter(col("cell").isin(twoCells: _*))
+          .select("vec_id")
+        similarity.Similarity.tombstoneVectors(spark, ix, doomed)
+        val t0 = System.nanoTime()
+        val n = similarity.Similarity.vacuumVectorTombstones(spark, ix)
+        println(f"affected-cells vacuum ($n ids in ${twoCells.size}/$nCells cells): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        // contrast: a full-index rewrite (what a naive DELETE does)
+        val out = java.nio.file.Files.createTempDirectory("probe-ivfv-rw").toString
+        val t1 = System.nanoTime()
+        spark.read.parquet(s"$ix/vectors")
+          .repartition(nCells, col("cell"))
+          .write.partitionBy("cell").mode("overwrite").parquet(out)
+        println(f"full-index rewrite contrast (all $nCells cells): ${(System.nanoTime() - t1) / 1e9}%.2f s")
+
       case "ivfcompact" =>
         // Batched cell compaction: `rows` append batches fragment the
         // partitioned layout; the fold must cost ~a constant number

@@ -578,7 +578,14 @@ object Similarity {
       .filter(_.getFileName.toString.startsWith(".vacuum-"))
       .foreach(p => graft.IndexLifecycle.deleteRecursively(p.toString))
     finally sweep.close()
+    // discovery: ONE narrow (vec_id, cell) scan — at production dims
+    // the full-width rewrite dwarfs this by the row-width ratio. The
+    // id-range pre-filter is free and lets parquet row-group stats
+    // prune the scan when a takedown's ids are contiguous (the
+    // one-crawl-slice shape).
+    val bounds = tomb.agg(min("vec_id"), max("vec_id")).head()
     val affected = s.read.parquet(root.toString)
+      .filter(col("vec_id").between(bounds.getLong(0), bounds.getLong(1)))
       .join(broadcast(tomb), Seq("vec_id"), "left_semi")
       .select("cell").distinct().collect().map(_.getInt(0)).toIndexedSeq
     if (affected.nonEmpty) {
