@@ -17,7 +17,10 @@ import org.apache.spark.sql.SparkSession
   * everything on a FRESH session with the cache manager cleared, so
   * memoized relations, cached DataFrames (e.g. the shared near-dup
   * pair set) and file listings are rebuilt and paid for inside the
-  * measured run — warm code, cold data.
+  * measured run — warm code, cold data. The measured pass repeats
+  * SPARK_GRAFT_BENCH_REPS times (default 3, each rep cold-data) and
+  * reports the per-query MEDIAN, so one contended pass can't dominate
+  * a round's record; raw per-rep rows land in BENCH_DETAIL.json.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -50,11 +53,32 @@ object Bench {
     System.gc()
 
     // ---- measured pass: fresh session — warm code, cold data ----
+    // SPARK_GRAFT_BENCH_REPS (default 3) full passes, each on a fresh
+    // session with the shared cache manager cleared, so every rep pays
+    // the same cold-data cost; the per-query row reported downstream is
+    // the MEDIAN across reps. Rationale: driver records swung
+    // 0.68×–1.53× round-to-round on identical code (r6–r8) because one
+    // contended run dominates a single-pass record; a median absorbs
+    // one bad rep without hiding real regressions. Per-rep singles are
+    // preserved in BENCH_DETAIL.json under "rep_queries".
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption)
+      .filter(_ >= 1).getOrElse(3)
+    val errors = collection.mutable.LinkedHashMap.empty[String, String]
+    val repResults = (1 to reps).map { rep =>
+      val spark = warm.newSession()
+      val (rows, errs) =
+        timeAll[(SparkSession, String) => org.apache.spark.sql.DataFrame](
+          SparkEntry.queries.toSeq.sortBy(_._1),
+          fn => force(spark)(fn(spark, sfDir)))
+      errs.foreach { case (k, m) => errors(k) = m } // any-rep failure is loud
+      if (rep < reps) { spark.catalog.clearCache(); System.gc() }
+      rows
+    }
+    val batchResults = medianRows(repResults)
+    // side rows run once on the last rep's session (index memos from
+    // that rep's ann02/dd11 rows are live, matching the single-pass
+    // semantics the split rows were designed around)
     val spark = warm.newSession()
-    val (batchResults, batchErrors) =
-      timeAll[(SparkSession, String) => org.apache.spark.sql.DataFrame](
-        SparkEntry.queries.toSeq.sortBy(_._1),
-        fn => force(spark)(fn(spark, sfDir)))
 
     // IVF build/probe asymmetry: the registered ann02 row above paid a
     // cold build + probe (fresh session, empty index memo). These two
@@ -63,7 +87,7 @@ object Bench {
     // (memo-hit probe against the already-persisted index).
     val ivfSplit = {
       var dir: String = null
-      try {
+      try guardRows(Seq("ann02_ivf_build", "ann02_ivf_probe"), errors) {
         dir = java.nio.file.Files.createTempDirectory("bench-ivf").toString
         val t0 = System.nanoTime()
         similarity.Similarity.buildIvfIndex(spark, sfDir, dir)
@@ -75,8 +99,6 @@ object Bench {
         // populating the memo) before ann06 alphabetically, so the
         // registered ann06 row is already a pure memo-hit probe
         Seq("ann02_ivf_build" -> tBuild, "ann02_ivf_probe" -> tProbe)
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] ivf split failed: $e"); Seq.empty
       } finally {
         // don't leak two index-sized parquet copies per bench run —
         // including when the build or probe throws mid-way. Cleanup
@@ -96,7 +118,7 @@ object Bench {
     // session, empty memo) — these rows isolate what an ingest
     // deployment actually repeats (the probe) from what it pays once.
     val lshSplit = {
-      try {
+      try guardRows(Seq("dd11_lsh_build", "dd11_lsh_probe"), errors) {
         dedup.Dedup.evictLshIndex(spark, sfDir) // ensure a cold build
         val t0 = System.nanoTime()
         val idx = dedup.Dedup.lshIndexFor(spark, sfDir)
@@ -106,8 +128,6 @@ object Bench {
         val tProbe = (System.nanoTime() - t1) / 1e9
         System.err.println(s"[bench] dd11 probe used index $idx")
         Seq("dd11_lsh_build" -> tBuild, "dd11_lsh_probe" -> tProbe)
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] lsh split failed: $e"); Seq.empty
       } finally {
         try dedup.Dedup.evictLshIndex(spark, sfDir)
         catch { case e: Throwable =>
@@ -119,36 +139,30 @@ object Bench {
     // streaming flagship: the reference's word-count topology
     // (tokenize -> keyed count -> top-N -> exactly-once sink) over the
     // documents corpus, end to end through Structured Streaming
-    val streamResult = try {
+    val streamResult = guardRows(Seq("st01_stream_wordcount"), errors) {
       val t0 = System.nanoTime()
       runStreaming(spark, sfDir)
       Seq("st01_stream_wordcount" -> (System.nanoTime() - t0) / 1e9)
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] st01_stream_wordcount failed: $e"); Seq.empty
     }
 
     // st03: the SAME topology on the RocksDB state store — the row
     // that records what the 100 TB-state posture costs relative to
     // st01's heap-backed default on an identical workload
-    val rocksResult = try {
+    val rocksResult = guardRows(Seq("st03_rocksdb_wordcount"), errors) {
       val t0 = System.nanoTime()
       runStreaming(spark, sfDir, streaming.StateBackend.RocksDB)
       Seq("st03_rocksdb_wordcount" -> (System.nanoTime() - t0) / 1e9)
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] st03_rocksdb_wordcount failed: $e"); Seq.empty
     }
 
     // st02: sustained-throughput sweep — rate spout at increasing
     // rows/s against both top-N sink modes (rows/s + per-batch
     // latency land in the side field; the wall cost joins the query
     // map so the total stays honest)
-    val (thrRows, thrSecs) = try {
+    var thrRows = Seq.empty[streaming.ThroughputHarness.Result]
+    val thrSecs = guardRows(Seq("st02_throughput_sweep"), errors) {
       val t0 = System.nanoTime()
-      val rs = streaming.ThroughputHarness.sweep(spark)
-      (rs, Seq("st02_throughput_sweep" -> (System.nanoTime() - t0) / 1e9))
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] st02 throughput sweep failed: $e")
-      (Seq.empty[streaming.ThroughputHarness.Result], Seq.empty[(String, Double)])
+      thrRows = streaming.ThroughputHarness.sweep(spark)
+      Seq("st02_throughput_sweep" -> (System.nanoTime() - t0) / 1e9)
     }
 
     val results = batchResults ++ ivfSplit ++ lshSplit ++ streamResult ++
@@ -202,17 +216,22 @@ object Bench {
     // only present when something failed — a clean run keeps the
     // stdout line inside the harness's 2000-char parse window
     val errShorts =
-      if (batchErrors.isEmpty) ""
-      else batchErrors.keys.toSeq.sorted.map(k => jstr(shortKey(k)))
+      if (errors.isEmpty) ""
+      else errors.keys.toSeq.sorted.map(k => jstr(shortKey(k)))
         .mkString("\"errors\":[", ",", "],")
-    val errFull = batchErrors.toSeq.sortBy(_._1)
+    val errFull = errors.toSeq.sortBy(_._1)
       .map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
 
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullThr = thrRows.map(_.json).mkString("[", ",", "]")
+    // per-rep singles: the medians above are the record, but a reader
+    // diagnosing a noisy round needs the raw passes
+    val repJson = repResults.map(rows =>
+      rows.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}"))
+      .mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","batch_seconds":$batchSecs,"queries":$fullQs,"errors":$errFull,"streaming_throughput":$fullThr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","batch_seconds":$batchSecs,"bench_reps":$reps,"queries":$fullQs,"errors":$errFull,"rep_queries":$repJson,"streaming_throughput":$fullThr,"sf":"$sfDir"}"""
     // detail goes to the FILE only — r4-r7 all recorded parsed:null
     // because this JSON also went to stderr, whose truncated copy
     // landed inside the harness's 2000-char tail window just before
@@ -220,11 +239,11 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Path.of("BENCH_DETAIL.json"), detail + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
 
-    println(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","batch_seconds":${fmt(batchSecs, 1)},"queries":$qs,$errShorts"sustained_rps":$thrJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","batch_seconds":${fmt(batchSecs, 1)},"bench_reps":$reps,"queries":$qs,$errShorts"sustained_rps":$thrJson,"sf":"$sfDir"}""")
     spark.stop()
-    if (batchErrors.nonEmpty) {
-      System.err.println(s"[bench] ${batchErrors.size} quer(ies) FAILED: " +
-        batchErrors.keys.toSeq.sorted.mkString(", "))
+    if (errors.nonEmpty) {
+      System.err.println(s"[bench] ${errors.size} row(s) FAILED: " +
+        errors.keys.toSeq.sorted.mkString(", "))
       sys.exit(1)
     }
   }
@@ -249,6 +268,39 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     (results, errors.toMap)
+  }
+
+  /** Run a side-row body, recording any failure in `errors` under
+    * EVERY row name the body would have produced — a broken split or
+    * streaming flagship surfaces as error rows driving exit 1, never
+    * as silently-missing rows with rc 0 (the last seam of the r7
+    * failure class). Factored so BenchKeysSpec can assert the
+    * contract directly.
+    */
+  private[graft] def guardRows(
+      names: Seq[String],
+      errors: collection.mutable.Map[String, String])(
+      body: => Seq[(String, Double)]): Seq[(String, Double)] =
+    try body
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] ${names.mkString("/")} failed: $e")
+      names.foreach(n => errors(n) = String.valueOf(e).take(200))
+      Seq.empty
+    }
+
+  /** Per-query median across repeated passes (lower median for even
+    * counts — an actually-observed value, not an interpolation). All
+    * reps run the same sorted registry, so rows align by position;
+    * keyed lookup guards against a rep that aborted early.
+    */
+  private[graft] def medianRows(
+      reps: Seq[Seq[(String, Double)]]): Seq[(String, Double)] = {
+    if (reps.size == 1) return reps.head
+    val byKey = reps.flatten.groupBy(_._1)
+    reps.head.map { case (k, _) =>
+      val xs = byKey(k).map(_._2).sorted
+      k -> xs((xs.size - 1) / 2)
+    }
   }
 
   /** Short stdout key — the unique name prefix before the first '_';

@@ -790,33 +790,98 @@ object Dedup {
   }
 
   /** Physically rewrite the index without the tombstoned docs, then
-    * clear the tombstone set. Two passes per table (stage filtered
-    * rows to a scratch dir, then overwrite-insert back) because Spark
-    * refuses to overwrite a table it is reading; both rewrites honor
-    * the tables' bucket specs, so the exchange-free probe joins
-    * survive the vacuum. Maintenance-window cost ∝ index size —
-    * exactly MergeTable.vacuum's posture for the table family.
+    * clear the tombstone set. Each table commits via the staged-swap
+    * discipline of the vector-index maintenance ops
+    * (Similarity.compactIvfCells / vacuumVectorTombstones): the
+    * filtered rows are written as a bucketed staged table under a
+    * dot-prefixed dir INSIDE the live table's location (invisible to
+    * readers), the staged files are moved in, and only then are the
+    * old files deleted — never overwrite-insertInto, whose
+    * truncate-then-write window would leave a crashed vacuum with a
+    * partial index and tombstones still set (silently losing pairs on
+    * the next probe AND on the re-run). Here a crash at any point
+    * leaves tombstones ACTIVE and the vacuum re-runnable: before the
+    * move the live table is untouched; between move and delete it
+    * carries row duplicates — the governed probe's PAIR SET stays
+    * exact (no pair lost, none invented; multiplicities may double)
+    * and the re-run's full-row dedup converges the table.
+    * File names keep their trailing bucket-id suffix through the
+    * move, so both bucketed layouts — and the exchange-free probe
+    * joins they carry — survive. Maintenance-window cost ∝ index
+    * size, exactly MergeTable.vacuum's posture for the table family.
     */
   def vacuumLshTombstones(s: SparkSession, indexTable: String): Long = {
     val tomb = tombstonesOf(s, indexTable).localCheckpoint()
     val n = tomb.count()
     if (n == 0) return 0L
-    val scratch = java.nio.file.Files.createTempDirectory("graft-lsh-vacuum").toString
-    try {
-      Seq("_bands", "_sigs").foreach { suffix =>
-        val tbl = indexTable + suffix
-        s.table(tbl)
-          .join(broadcast(tomb), Seq("doc_id"), "left_anti")
-          .write.parquet(s"$scratch$suffix")
-        s.read.parquet(s"$scratch$suffix")
-          .write.mode("overwrite").insertInto(tbl)
-      }
-      // clear tombstones last: a crash before this point leaves them
-      // active (probe still correct, vacuum re-runnable)
-      s.range(0).select(col("id").as("doc_id"))
-        .write.mode("overwrite").insertInto(tombstoneTable(indexTable))
-      n
-    } finally graft.IndexLifecycle.deleteRecursively(scratch)
+    Seq("_bands", "_sigs").foreach { suffix =>
+      stagedSwapRewrite(s, indexTable + suffix,
+        df => df.join(broadcast(tomb), Seq("doc_id"), "left_anti"))
+    }
+    // clear tombstones last: a crash before this point leaves them
+    // active (probe still correct, vacuum re-runnable)
+    s.range(0).select(col("id").as("doc_id"))
+      .write.mode("overwrite").insertInto(tombstoneTable(indexTable))
+    n
+  }
+
+  /** Rewrite a bucketed catalog table's rows as `filter(table)` with
+    * a crash-safe staged-swap commit (see [[vacuumLshTombstones]]).
+    * The staged write reproduces the table's own bucket/sort spec —
+    * bucketBy is only expressible through saveAsTable, so the staging
+    * area is a scratch catalog entry whose data lands in a
+    * dot-prefixed dir inside the live location; the entry is dropped
+    * (external: files stay) before the move-in.
+    */
+  private def stagedSwapRewrite(s: SparkSession, tbl: String,
+                                filter: DataFrame => DataFrame): Unit = {
+    import java.nio.file.{Files, Path}
+    import scala.jdk.CollectionConverters._
+    val meta = s.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+    val dir = Path.of(meta.location)
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalStateException(
+      s"$tbl has no bucket spec — not a graft LSH index table"))
+    def parquetsIn(p: Path): IndexedSeq[Path] = {
+      val ls = Files.list(p)
+      try ls.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toIndexedSeq
+      finally ls.close()
+    }
+    // sweep a crashed predecessor's staging (catalog entry + dot-dirs);
+    // files a crashed run already moved in are live rows and land in
+    // `old` below, so this run's delete step retires them too
+    val stagedTbl = tbl + "__vacuum"
+    s.sql(s"DROP TABLE IF EXISTS $stagedTbl")
+    val sweep = Files.list(dir)
+    try sweep.iterator().asScala
+      .filter(_.getFileName.toString.startsWith(".vacuum-"))
+      .foreach(p => graft.IndexLifecycle.deleteRecursively(p.toString))
+    finally sweep.close()
+    val old = parquetsIn(dir)
+    val token = ProcessHandle.current().pid().toString + "-" +
+      java.lang.Long.toHexString(System.nanoTime())
+    val staging = dir.resolve(s".vacuum-$token")
+    // full-row dedup: a re-run over a moved-in-but-not-deleted crash
+    // state must converge, not double rows
+    val writer = filter(s.table(tbl)).dropDuplicates()
+      .write.bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+        spec.bucketColumnNames.tail: _*)
+    val sorted = spec.sortColumnNames match {
+      case head +: tail => writer.sortBy(head, tail: _*)
+      case _ => writer
+    }
+    sorted.option("path", staging.toString)
+      .format(meta.provider.getOrElse("parquet")).saveAsTable(stagedTbl)
+    s.sql(s"DROP TABLE $stagedTbl")
+    // commit: move in before delete — the bucket id rides the
+    // trailing _NNNNN suffix of each file name, which the uniquifying
+    // prefix preserves
+    parquetsIn(staging).foreach(f => Files.move(f,
+      dir.resolve(s"vacuumed-$token-${f.getFileName}")))
+    old.foreach(Files.deleteIfExists(_))
+    graft.IndexLifecycle.deleteRecursively(staging.toString)
+    s.catalog.refreshTable(tbl)
   }
 
   /** Registered probe: the incremental near-dup pass (dd11's shape)

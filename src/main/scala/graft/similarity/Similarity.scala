@@ -535,9 +535,15 @@ object Similarity {
     * index's own layout — the index is dir-based, so its governance
     * state is too).
     */
-  def tombstoneVectors(s: SparkSession, indexDir: String, vecIds: DataFrame): Unit =
-    vecIds.select(col("vec_id").cast("long")).distinct()
-      .coalesce(1).write.mode("append").parquet(tombstoneDir(indexDir))
+  def tombstoneVectors(s: SparkSession, indexDir: String, vecIds: DataFrame): Unit = {
+    // an empty takedown batch must not write a zero-row part file:
+    // that would flip hasVectorTombstones and make every probe pay
+    // the governed anti-join forever (and vacuum would see null
+    // min/max bounds)
+    val ids = vecIds.select(col("vec_id").cast("long")).distinct().localCheckpoint()
+    if (ids.isEmpty) return
+    ids.coalesce(1).write.mode("append").parquet(tombstoneDir(indexDir))
+  }
 
   /** The current tombstone set (empty frame when none recorded). */
   def vectorTombstones(s: SparkSession, indexDir: String): DataFrame =
@@ -571,6 +577,14 @@ object Similarity {
     if (!hasVectorTombstones(indexDir)) return 0L
     val tomb = vectorTombstones(s, indexDir).localCheckpoint()
     val n = tomb.count()
+    if (n == 0) {
+      // a tombstone dir holding only zero-row part files (e.g. written
+      // by a pre-guard tombstoneVectors) suppresses nothing — clear it
+      // so probes drop the governed anti-join, and skip the rewrite
+      // (whose min/max bounds would NPE on an empty set)
+      graft.IndexLifecycle.deleteRecursively(tombstoneDir(indexDir))
+      return 0L
+    }
     val root = Path.of(indexDir, "vectors")
     // sweep a crashed predecessor's staging (compaction's discipline)
     val sweep = Files.list(root)

@@ -82,7 +82,11 @@ object CdcSource {
     val keyCol = p.getOrElse("keycol", p.getOrElse("keyCol",
       throw new IllegalArgumentException("graft-cdc requires option 'keyCol'")))
     val sg = p.getOrElse("startgen", p.getOrElse("startGen", "0"))
-    (dir, keyCol, if (sg.equalsIgnoreCase("snapshot")) -1 else sg.toInt)
+    val gen =
+      if (sg.equalsIgnoreCase("snapshot")) -1
+      else sg.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"graft-cdc option 'startGen' must be an integer generation or 'snapshot', got '$sg'"))
+    (dir, keyCol, gen)
   }
 
   /** keyCol, change_op, _commit_gen, then value columns in log-schema
@@ -129,6 +133,12 @@ final class CdcSource(ctx: SQLContext, dir: String, keyCol: String, startGen: In
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(genOf).getOrElse(startGen.toLong)
     val to = genOf(end)
+    // generations are Int on the MergeTable side; a 2^31st commit is
+    // practically unreachable but must fail loudly, not wrap in the
+    // .toInt below and replay the wrong span
+    require(from <= Int.MaxValue && to <= Int.MaxValue,
+      s"generation span [$from, $to] exceeds Int range — " +
+        "MergeTable generations are Int-bounded")
     // snapshot bootstrap: the first batch is the whole table AS OF
     // the end generation, every row an insert — deterministic on
     // replay for the same reason deltas are (a pure function of that

@@ -37,7 +37,7 @@ class BenchKeysSpec extends AnyFunSuite {
     // construction) and require it plus sbt's trailer to fit
     val qs = Bench.allBenchKeys.map(k => "\"" + Bench.shortKey(k) + "\":99.99")
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":9999.9,"unit":"sec","batch_seconds":9999.9,"queries":$qs,"sustained_rps":[999999,999999,999999,999999],"sf":"/root/testdata/sf0.1"}"""
+    val line = s"""{"metric":"total","value":9999.9,"unit":"sec","batch_seconds":9999.9,"bench_reps":99,"queries":$qs,"sustained_rps":[999999,999999,999999,999999],"sf":"/root/testdata/sf0.1"}"""
     val sbtTrailer = 80 // "[success] Total time: ..." after our line
     val est = line.length + sbtTrailer
     assert(est < 1980, s"worst-case bench line + trailer $est chars crowds the 2000-char parse window")
@@ -54,5 +54,35 @@ class BenchKeysSpec extends AnyFunSuite {
     // ...and the failure is explicitly recorded, not swallowed
     assert(errors.keySet == Set("boom_query"))
     assert(errors("boom_query").contains("synthetic failure"))
+  }
+
+  test("a throwing SIDE row lands in the error map under every row name it owed") {
+    // the r7 failure class's last seam: ivf/lsh splits and st01-st03
+    // returned Seq.empty on failure — a missing row with rc 0. The
+    // guard must turn one thrown body into error rows for each name.
+    val errors = collection.mutable.LinkedHashMap.empty[String, String]
+    val ok = Bench.guardRows(Seq("a_build", "a_probe"), errors) {
+      Seq("a_build" -> 1.0, "a_probe" -> 2.0)
+    }
+    assert(ok.map(_._1) == Seq("a_build", "a_probe") && errors.isEmpty)
+    val broken = Bench.guardRows(Seq("b_build", "b_probe"), errors) {
+      throw new RuntimeException("side-row failure")
+    }
+    assert(broken.isEmpty)
+    assert(errors.keySet == Set("b_build", "b_probe"))
+    assert(errors.values.forall(_.contains("side-row failure")))
+  }
+
+  test("medianRows is the per-query lower median across reps") {
+    val reps = Seq(
+      Seq("q1" -> 1.0, "q2" -> 9.0),
+      Seq("q1" -> 5.0, "q2" -> 2.0),
+      Seq("q1" -> 3.0, "q2" -> 4.0))
+    assert(Bench.medianRows(reps) == Seq("q1" -> 3.0, "q2" -> 4.0))
+    // single rep passes through untouched; even count takes the LOWER
+    // median (an observed value, not an interpolation)
+    assert(Bench.medianRows(Seq(Seq("q" -> 7.0))) == Seq("q" -> 7.0))
+    assert(Bench.medianRows(Seq(Seq("q" -> 4.0), Seq("q" -> 8.0))) ==
+      Seq("q" -> 4.0))
   }
 }

@@ -702,6 +702,65 @@ class OperatorsSpec extends SparkSpecBase {
       .foreach(t => scala.util.Try(graft.IndexLifecycle.dropTableWithFiles(spark, t)))
   }
 
+  test("dd14 vacuum survives a crash in its move-in-before-delete window") {
+    import java.nio.file.{Files, Path, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    import dedup.Dedup
+    val base = Tables.documents(spark, sfDir).filter(col("doc_id") % 10 < 8)
+    val removed = base.filter(col("doc_id") % 7 === 0).select("doc_id")
+    val delta = Dedup.sigsOf(
+      Tables.documents(spark, sfDir).filter(col("doc_id") % 10 >= 8))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("delta_id"), r.getAs[Long]("base_id")))
+      .sorted.toSeq
+    val tbl = "graft_spec_dd14_crash"
+    val path = tmpDir("dd14-crash")
+    Dedup.buildLshIndexFrom(base, tbl, path)
+    try {
+      Dedup.tombstoneDocs(spark, tbl, removed)
+      val governed = pairs(Dedup.neardupDelta(spark, delta, tbl, 0.5,
+        Some(Dedup.tombstonesOf(spark, tbl))))
+      // simulate the worst crash window of a previous vacuum: staged
+      // files were moved IN but the old files were not yet deleted —
+      // every sigs/bands row now exists twice, tombstones still set
+      Seq("bands", "sigs").foreach { part =>
+        val d = Path.of(path, part)
+        val ls = Files.list(d)
+        val fs = try ls.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toIndexedSeq
+        finally ls.close()
+        fs.foreach(f => Files.copy(f,
+          d.resolve(s"vacuumed-deadbeef-${f.getFileName}"),
+          StandardCopyOption.COPY_ATTRIBUTES))
+      }
+      spark.catalog.refreshTable(tbl + "_bands")
+      spark.catalog.refreshTable(tbl + "_sigs")
+      // the crashed state is safe: tombstones active, so the governed
+      // PAIR SET is unchanged — no pair lost, no wrong pair (row
+      // multiplicities may double until the re-run converges)
+      assert(pairs(Dedup.neardupDelta(spark, delta, tbl, 0.5,
+        Some(Dedup.tombstonesOf(spark, tbl)))).distinct == governed,
+        "crash-window probe lost or invented pairs")
+      // re-running the vacuum converges: duplicates collapsed,
+      // tombstoned docs physically gone, ungoverned probe == governed
+      assert(Dedup.vacuumLshTombstones(spark, tbl) == removed.count())
+      val sigs = spark.table(tbl + "_sigs")
+      assert(sigs.count() == sigs.dropDuplicates().count(),
+        "post-recovery index carries duplicate rows")
+      assert(spark.table(tbl + "_sigs").join(removed, Seq("doc_id"), "left_semi").isEmpty)
+      assert(pairs(Dedup.neardupDelta(spark, delta, tbl)) == governed)
+      // and no staging residue survives the commit
+      Seq("bands", "sigs").foreach { part =>
+        val ls = Files.list(Path.of(path, part))
+        val residue = try ls.iterator().asScala
+          .filter(_.getFileName.toString.startsWith(".vacuum-")).toIndexedSeq
+        finally ls.close()
+        assert(residue.isEmpty, s"staging residue left in $part: $residue")
+      }
+    } finally Seq(tbl + "_bands", tbl + "_sigs", tbl + "_tombstones", tbl + "_sigs__vacuum", tbl + "_bands__vacuum")
+      .foreach(t => scala.util.Try(graft.IndexLifecycle.dropTableWithFiles(spark, t)))
+  }
+
   test("dd11 incremental LSH near-dup: index reuse, delta-only band shuffle, ≡ direct") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -1169,6 +1228,26 @@ class OperatorsSpec extends SparkSpecBase {
       "post-vacuum probe diverges from the governed probe")
     // idempotent no-op
     assert(similarity.Similarity.vacuumVectorTombstones(spark, dir) == 0L)
+  }
+
+  test("IVF takedown: an empty tombstone set never poisons the index") {
+    import spark.implicits._
+    val dir = tmpDir("ivf-td-empty")
+    // an empty takedown batch writes nothing — probes must not start
+    // paying the governed anti-join for a zero-row part file
+    similarity.Similarity.tombstoneVectors(spark, dir,
+      Seq.empty[Long].toDF("vec_id"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Path.of(dir, "tombstones")),
+      "empty takedown batch must not create a tombstone dir")
+    // and a tombstone dir holding ONLY zero-row part files (a
+    // pre-guard writer's leftover) vacuums to a clean no-op instead
+    // of NPEing on null min/max bounds
+    Seq.empty[Long].toDF("vec_id")
+      .coalesce(1).write.parquet(s"$dir/tombstones")
+    assert(similarity.Similarity.vacuumVectorTombstones(spark, dir) == 0L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Path.of(dir, "tombstones")),
+      "vacuum must clear a rows-empty tombstone dir")
+    assert(similarity.Similarity.vectorTombstones(spark, dir).isEmpty)
   }
 
   test("IVF cell compaction: folds append fragments, probes unchanged, crash-rerun-safe") {

@@ -286,4 +286,25 @@ class CdcSourceSpec extends SparkSpecBase {
     assert(s.fieldNames.toSeq == Seq("k", "change_op", "_commit_gen", "seg", "bal"))
     assert(MergeTable.changesStream(spark, dir, "k").isStreaming)
   }
+
+  test("malformed startGen option fails with a descriptive message, not a parse crash") {
+    val ok = CdcSource.options(Map("path" -> "/t", "keycol" -> "k",
+      "startgen" -> "snapshot"))
+    assert(ok == (("/t", "k", -1)))
+    val e = intercept[IllegalArgumentException] {
+      CdcSource.options(Map("path" -> "/t", "keycol" -> "k",
+        "startgen" -> "latest"))
+    }
+    assert(e.getMessage.contains("startGen") && e.getMessage.contains("latest"))
+  }
+
+  test("a generation span past Int range fails loudly instead of wrapping") {
+    val dir = freshTable(10)
+    val src = new CdcSource(spark.sqlContext, dir, "k", startGen = 0)
+    val e = intercept[IllegalArgumentException] {
+      src.getBatch(None,
+        org.apache.spark.sql.execution.streaming.runtime.LongOffset(Int.MaxValue.toLong + 1))
+    }
+    assert(e.getMessage.contains("Int"))
+  }
 }
