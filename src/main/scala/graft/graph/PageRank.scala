@@ -114,15 +114,52 @@ object PageRank {
       .select(col("o_custkey").as("src"),
         (col("l_suppkey") + 1000000000L).as("dst"))
 
-  /** Top-25 nodes by rank. rows-only: iterative damped sums aren't
-    * ANSI-SQL-expressible (recursive CTEs forbid aggregation in the
-    * recursive member); the spec asserts mass conservation, a
-    * closed-form tiny-graph fixpoint, and driver-recompute equality.
+  /** Top-25 nodes by rank. Oracle-checked: a recursive CTE can't
+    * aggregate in its recursive member, but pr01's iteration count is
+    * a FIXED parameter — the oracle simply UNROLLS the 10 damped
+    * stages as chained CTEs (join + group-by + dangling-mass scalar
+    * subquery per stage, each MATERIALIZED so DuckDB doesn't inline
+    * the 3-reference stages exponentially), rounded at 1e-9 like
+    * every float oracle. The spec additionally asserts mass
+    * conservation, a closed-form tiny-graph fixpoint, and
+    * driver-recompute equality.
     */
   val pr01_pagerank: Q = (s, d) =>
     pageRank(fulfillmentEdges(s, d))
       .select(col("node"), round(col("rank") * 1000000000) / 1000000000 as "rank_r")
       .orderBy(col("rank_r").desc, col("node")).limit(25)
+
+  /** One unrolled PageRank stage r<i> from r<i-1> (see
+    * [[pr01_pagerank]]). `0.15000000000000002` is literally the
+    * Scala-side `1.0 - 0.85` double, so both engines feed the same
+    * teleport constant into the rounding boundary.
+    */
+  private def prStage(i: Int): String =
+    s"""r$i AS MATERIALIZED (
+       |  SELECT nd.node,
+       |    (SELECT inv_n FROM params) * 0.15000000000000002
+       |    + 0.85 * (COALESCE(c.contrib, 0.0)
+       |      + (SELECT COALESCE(sum(r.rank), 0.0) FROM r${i - 1} r
+       |         ANTI JOIN deg d ON r.node = d.src)
+       |        * (SELECT inv_n FROM params)) AS rank
+       |  FROM nodes nd
+       |  LEFT JOIN (
+       |    SELECT e.dst AS node, sum(r.rank / d.deg) AS contrib
+       |    FROM e JOIN r${i - 1} r ON e.src = r.node
+       |    JOIN deg d ON e.src = d.src
+       |    GROUP BY e.dst) c ON nd.node = c.node)""".stripMargin
+
+  private[graph] def pr01OracleSql(iters: Int = 10): String =
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000000 AS dst
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+       |nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |deg AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY src),
+       |params AS (SELECT 1.0 / count(*) AS inv_n FROM nodes),
+       |r0 AS (SELECT node, (SELECT inv_n FROM params) AS rank FROM nodes),
+       |${(1 to iters).map(prStage).mkString(",\n")}
+       |SELECT node, round(rank * 1000000000) / 1000000000 AS rank_r
+       |FROM r$iters ORDER BY rank_r DESC, node LIMIT 25""".stripMargin
 
   /** The part co-purchase graph: an undirected edge (a < b by
     * construction) between parts appearing in the same order —
@@ -191,6 +228,7 @@ object PageRank {
     "pr02_triangles" -> pr02_triangles)
 
   val oracles: Map[String, String] = Map(
+    "pr01_pagerank" -> pr01OracleSql(),
     // canonical a<b<c triangle enumeration; each triangle credits
     // its three corners (the orientation is a physical-plan choice,
     // not a semantic one, so the oracle doesn't need it)

@@ -151,8 +151,22 @@ object MergeTable {
     * numeric/date/timestamp column — Delta's per-column data-skipping
     * stats at this layer, consumed by [[scanWhere]]. Non-key string
     * columns are NOT statted (unbounded text would bloat the
-    * manifest; Delta truncates, which needs careful round-up on max —
-    * out of scope here and documented).
+    * manifest even truncated — a text-valued column's spans prune
+    * nothing anyway).
+    *
+    * String-typed stats (a string KEY — urls, composite names) are
+    * TRUNCATED to a [[statsTruncLen]]-char bound (Delta's discipline):
+    * a 2 kB url must not ride every manifest row and broadcast twice
+    * over. min truncates to the prefix (a prefix is ≤ its string —
+    * still a lower bound); max becomes [[truncUpperBound]] — the
+    * prefix with its rightmost ASCII char incremented and the tail
+    * dropped, an upper bound for EVERY string sharing the prefix.
+    * Both only ever WIDEN the file's [min, max] band, so every
+    * consumer stays sound by the null-admits argument: scanWhere /
+    * GraftFileIndex / merge banding include a file they could have
+    * pruned (never the reverse), and deleteWhere's all-match proof
+    * demands [minT, maxT] ⊆ band, which a widened band only makes
+    * harder to satisfy.
     *
     * `nn_<c>` is the per-file NON-NULL count (Delta's nullCount,
     * inverted): min/max ignore nulls, so [min, max] ⊆ band proves
@@ -175,9 +189,42 @@ object MergeTable {
     val aggs = count(lit(1)).as("n_rows") +:
       statted.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
         count(col(c)).as(s"nn_$c")))
-    df.groupBy(input_file_name().as("path"))
+    val base = df.groupBy(input_file_name().as("path"))
       .agg(aggs.head, aggs.tail: _*)
+    // string stats carry truncated BOUNDS, not values (scaladoc above);
+    // a driver-side UDF is fine here — the manifest is file-count-sized
+    val stringStatted = df.schema.fields
+      .filter(f => statted.contains(f.name) && f.dataType == StringType)
+      .map(_.name)
+    stringStatted.foldLeft(base) { (acc, c) =>
+      acc.withColumn(s"min_$c", substring(col(s"min_$c"), 1, statsTruncLen))
+        .withColumn(s"max_$c", truncUpperUdf(col(s"max_$c")))
+    }
   }
+
+  /** Truncated UPPER bound for string stats: identity when the value
+    * already fits [[statsTruncLen]]; otherwise the prefix with its
+    * RIGHTMOST char < 0x7f incremented and everything after it
+    * dropped — comparison against any string sharing the prefix is
+    * decided at that position, so the bound dominates all of them.
+    * Increment stays inside ASCII, where code-point order equals the
+    * UTF-8 byte order Spark's UTF8String comparisons use (bumping
+    * into 0x80+, or splitting a surrogate pair, could produce a bound
+    * that mis-sorts); a prefix with no incrementable char (degenerate
+    * non-ASCII key) yields NULL — the can't-prune-but-sound value
+    * every stats consumer already honors for missing stats.
+    */
+  private[operators] val statsTruncLen = 32
+  private[operators] def truncUpperBound(v: String): String =
+    if (v == null || v.length <= statsTruncLen) v
+    else {
+      val p = v.substring(0, statsTruncLen).toCharArray
+      var i = p.length - 1
+      while (i >= 0 && p(i) >= 0x7f) i -= 1
+      if (i < 0) null
+      else new String(p, 0, i) + (p(i) + 1).toChar
+    }
+  private val truncUpperUdf = udf(truncUpperBound _)
 
   private def hasParquetFiles(dataDir: String): Boolean = {
     val p = java.nio.file.Path.of(dataDir)

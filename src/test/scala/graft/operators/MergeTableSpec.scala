@@ -504,6 +504,57 @@ class MergeTableSpec extends SparkSpecBase {
     assert(cdc == Seq(("key-00010", "U"), ("key-00020", "D"), ("zzz-99999", "I")))
   }
 
+  test("long string keys: manifest stats truncate to 32-char bounds and still prune exactly") {
+    import spark.implicits._
+    // bound arithmetic first
+    assert(MergeTable.truncUpperBound("short") == "short")
+    assert(MergeTable.truncUpperBound(null) == null)
+    val long = "user-00042-" + "p" * 60
+    val ub = MergeTable.truncUpperBound(long)
+    assert(ub.length <= 32 && ub > long, s"'$ub' must dominate the full value")
+    assert(ub == long.substring(0, 31) + "q", s"expected last-char bump, got '$ub'")
+    // the rightmost sub-0x7f char carries: a prefix padded with DEL
+    // bumps an earlier char instead of leaving ASCII
+    val del = "ab" + "" * 40
+    assert(MergeTable.truncUpperBound(del) == "ac")
+    assert(MergeTable.truncUpperBound("é" * 40) == null,
+      "non-incrementable prefix must yield the null can't-prune stat")
+
+    // a table whose keys are 70+ chars: stats must not round-trip whole
+    val dir = tmpDir("mergetab-longkey")
+    val pad = "x" * 60
+    def key(i: Int) = f"user-$i%05d-$pad"
+    val base = (1 to 400).map(i => (key(i), i * 2.0)).toDF("k", "bal")
+    MergeTable.write(spark, base, "k", dir, nFiles = 4)
+    val man = MergeTable.manifest(spark, dir).collect()
+    assert(man.forall(r => r.getAs[String]("min_k").length <= 32 &&
+      r.getAs[String]("max_k").length <= 32),
+      "long keys round-tripped whole into the manifest")
+    // truncated bounds still bracket each file's true span
+    man.foreach { r =>
+      val ks = spark.read.parquet(r.getAs[String]("path"))
+        .select("k").as[String].collect()
+      assert(r.getAs[String]("min_k") <= ks.min && r.getAs[String]("max_k") >= ks.max,
+        s"file band [${r.getAs[String]("min_k")}, ${r.getAs[String]("max_k")}] lost [${ks.min}, ${ks.max}]")
+    }
+    // band scan: exact result, and the truncated stats still prune
+    // (keys differ inside the 32-char prefix, so files keep disjoint
+    // truncated spans)
+    val got = MergeTable.scanRange(spark, dir, "k", key(15), key(25))
+      .select("k").as[String].collect().sorted.toSeq
+    assert(got == (15 to 25).map(key).toSeq, s"truncated-stats band scan wrong: $got")
+    val admitted = man.count(r =>
+      r.getAs[String]("max_k") >= key(15) && r.getAs[String]("min_k") <= key(25))
+    assert(admitted < man.length, "truncated stats prune nothing")
+    // merge banding stays sound on truncated bounds
+    val stats = MergeTable.merge(spark, dir,
+      Seq((key(20), "U", 999.0), (key(999), "I", 1.0)).toDF("k", "op", "bal"), "k")
+    assert(stats.untouched.nonEmpty, "string-band merge touched every file")
+    val after = MergeTable.readTable(spark, dir)
+    assert(after.filter(col("k") === key(20)).select("bal").as[Double].head() == 999.0)
+    assert(after.count() == 401)
+  }
+
   test("writeClustered: z-order makes every cluster column file-prunable at once") {
     import spark.implicits._
     val dirZ = tmpDir("mergetab-zorder")
