@@ -607,6 +607,71 @@ object MergeTable {
     deleted
   }
 
+  // ---- restore & shallow clone ----
+
+  /** RESTORE: roll the table BACK to generation `toGen` by committing
+    * a NEW generation whose manifest is `toGen`'s manifest verbatim
+    * (Delta's RESTORE semantics — history only moves forward, the
+    * rollback is itself a commit, racing writers lose via the same
+    * OCC link). Nothing is copied: the new manifest re-references the
+    * old files, which also re-protects them from [[vacuum]] (whose
+    * live set is the current manifest). Requires `toGen`'s manifest
+    * AND every file it references to still exist — a vacuumed restore
+    * point fails loudly, listing what's missing. The restore lands in
+    * the CDC feed like any commit: [[changesBetween]](cur, restored)
+    * is the net inverse of everything since `toGen`, so replicas and
+    * indexes tailing the feed revert without special-casing. Returns
+    * the new generation number.
+    */
+  def restore(s: SparkSession, dir: String, toGen: Int): Int = {
+    val cur = committedGen(dir).getOrElse(
+      sys.error(s"$dir is not a committed keyed table (no commit log)"))
+    val man = manifestAt(s, dir, toGen) // loud when the manifest was vacuumed
+    val missing = man.select("path").collect().map(_.getString(0))
+      .filterNot(p => java.nio.file.Files.exists(
+        java.nio.file.Path.of(java.net.URI.create(p))))
+    require(missing.isEmpty,
+      s"cannot restore $dir to generation $toGen: ${missing.length} referenced " +
+        s"file(s) no longer exist (vacuumed), e.g. ${missing.take(3).mkString(", ")}")
+    val next = cur + 1
+    val token = newToken()
+    man.coalesce(1).write.parquet(manifestDirOf(dir, next, token))
+    val schemaJson = schemaAt(dir, toGen).map(_.json)
+      .orElse(schemaAt(dir, cur).map(_.json))
+    commitGen(dir, next, token,
+      schemaJson.map("schema" -> _).toMap + ("restore_of" -> toGen.toString))
+    next
+  }
+
+  /** SHALLOW CLONE: materialize `dstDir` as a NEW keyed table whose
+    * generation-0 manifest references `srcDir`'s current files — zero
+    * data copied (Delta's SHALLOW CLONE). Writes against the clone
+    * land in ITS OWN `files-g*` dirs while untouched files stay
+    * shared by reference, so a 100 TB table forks for an experiment
+    * or a backfill rehearsal at manifest cost. The clone's [[vacuum]]
+    * sweeps only `files-g*` under `dstDir` and can never delete
+    * shared source files; the SOURCE's vacuum, though, doesn't know
+    * about clones — vacuuming the source once the clone has diverged
+    * can drop files the clone still references (the documented
+    * shallow-clone trade; [[restore]]'s existence check and the
+    * parquet reader both fail loudly rather than return partial
+    * rows). Returns the source generation the clone was cut from.
+    */
+  def cloneTable(s: SparkSession, srcDir: String, dstDir: String): Int = {
+    val g = committedGen(srcDir).getOrElse(
+      sys.error(s"$srcDir is not a committed keyed table (no commit log)"))
+    require(committedGen(dstDir).isEmpty,
+      s"clone target $dstDir is already a committed table")
+    java.nio.file.Files.createDirectories(java.nio.file.Path.of(dstDir))
+    val token = newToken()
+    manifestAt(s, srcDir, g).coalesce(1)
+      .write.parquet(manifestDirOf(dstDir, 0, token))
+    val meta = schemaAt(srcDir, g).map(sch => "schema" -> sch.json).toMap +
+      ("cloned_from" -> s"$srcDir@g$g")
+    commitGen(dstDir, 0, token, meta)
+    g
+  }
+
   // ---- the merge ----
 
   /** Apply a CDC change batch to the table at `dir`. `changes` caries
@@ -1172,7 +1237,56 @@ object MergeTable {
       .orderBy("k")
   }
 
+  /** q67: RESTORE under the gate — merge a change batch (gen 1), then
+    * [[restore]] to generation 0 (committed as gen 2) and read. The
+    * result must hash-match the UNTOUCHED base dimension: a rollback
+    * that leaks any merged row, or misses one, fails the oracle. The
+    * interesting machinery (manifest re-reference, no data copied,
+    * inverse CDC delta) is spec-asserted; the gate pins the
+    * user-visible contract.
+    */
+  val q67_restore: Q = (s, d) => {
+    val dir = mergedFixture(s, d, "restoretab")
+    restore(s, dir, 0)
+    readTable(s, dir)
+      .select(col("k"), col("seg"), r2(col("bal")).as("bal"))
+      .orderBy("k")
+  }
+
+  /** q68: SHALLOW CLONE under the gate — clone the unmerged base,
+    * merge the q59 change batch ON THE CLONE, read the clone. Same
+    * oracle text as q59 (one oracle, two table lineages): a clone
+    * whose merge touches shared state, or whose carried-by-reference
+    * files resolve wrongly across directories, diverges from the
+    * declarative MERGE. Source-table isolation is spec-asserted.
+    */
+  val q68_clone: Q = (s, d) => {
+    val (srcDir, maxK) = baseFixture(s, d, "clonesrc")
+    val dir = srcDir + "-clone"
+    graft.IndexLifecycle.deleteRecursively(dir)
+    cloneTable(s, srcDir, dir)
+    val t = Tables.customer(s, d)
+      .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+        col("c_acctbal").as("bal"))
+    val band = col("k") * 8 <= lit(maxK)
+    val upd = t.filter(band && col("k") % 5 === 0 && col("k") % 7 =!= 0)
+      .select(col("k"), lit("U").as("op"), lit("WEB").as("seg"),
+        (col("bal") + 100).as("bal"))
+    val del = t.filter(band && col("k") % 7 === 0)
+      .select(col("k"), lit("D").as("op"), lit(null).cast("string").as("seg"),
+        lit(null).cast("double").as("bal"))
+    val ins = t.filter(band && col("k") % 5 === 1)
+      .select((col("k") + 10000000L).as("k"), lit("I").as("op"),
+        col("seg"), col("bal"))
+    merge(s, dir, upd.unionByName(del).unionByName(ins), "k")
+    readTable(s, dir)
+      .select(col("k"), col("seg"), r2(col("bal")).as("bal"))
+      .orderBy("k")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q67_restore" -> q67_restore,
+    "q68_clone" -> q68_clone,
     "q59_merge_pruned" -> q59_merge_pruned,
     "q60_merge_cdc" -> q60_merge_cdc,
     "q61_compacted_read" -> q61_compacted_read,
@@ -1183,6 +1297,31 @@ object MergeTable {
     "q66_update_where" -> q66_update_where)
 
   val oracles: Map[String, String] = Map(
+    // restore-to-gen-0 must surface the base dimension untouched —
+    // any merged row leaking through the rollback breaks the hash
+    "q67_restore" ->
+      """SELECT c_custkey AS k, c_mktsegment AS seg,
+        |  round(c_acctbal * 100) / 100 AS bal
+        |FROM customer ORDER BY k""".stripMargin,
+    // q59's oracle verbatim — a merge against the shallow clone must
+    // equal the declarative MERGE over the source rows
+    "q68_clone" ->
+      """WITH t AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+        |           FROM customer),
+        |mx AS (SELECT max(c_custkey) AS m FROM customer),
+        |upd AS (SELECT k, 'WEB' AS u_seg, bal + 100 AS u_bal
+        |        FROM t, mx WHERE k * 8 <= m AND k % 5 = 0 AND k % 7 <> 0),
+        |del AS (SELECT k FROM t, mx WHERE k * 8 <= m AND k % 7 = 0),
+        |ins AS (SELECT k + 10000000 AS k, seg, bal
+        |        FROM t, mx WHERE k * 8 <= m AND k % 5 = 1)
+        |SELECT k, seg, bal FROM (
+        |  SELECT t.k, coalesce(u.u_seg, t.seg) AS seg,
+        |    round((coalesce(u.u_bal, t.bal)) * 100) / 100 AS bal
+        |  FROM t LEFT JOIN upd u USING (k)
+        |  WHERE t.k NOT IN (SELECT k FROM del)
+        |  UNION ALL
+        |  SELECT k, seg, round(bal * 100) / 100 AS bal FROM ins) z
+        |ORDER BY k""".stripMargin,
     // q56's oracle with the band applied to the change CTEs — the
     // file-pruned path must equal the declarative whole-table MERGE
     "q59_merge_pruned" ->

@@ -555,6 +555,92 @@ class MergeTableSpec extends SparkSpecBase {
     assert(after.count() == 401)
   }
 
+  test("restore: rollback is a forward commit that re-references old files") {
+    import spark.implicits._
+    val dir = tmpDir("mergetab-restore")
+    val base = (1 to 300).map(i => (i.toLong, s"seg${i % 3}", i * 2.0))
+      .toDF("k", "seg", "bal")
+    MergeTable.write(spark, base, "k", dir, nFiles = 4)
+    val baseRows = MergeTable.readTable(spark, dir)
+      .as[(Long, String, Double)].collect().sorted.toSeq
+    // two generations of churn
+    MergeTable.merge(spark, dir, Seq((5L, "U", "WEB", 9.9), (400L, "I", "NEW", 1.0))
+      .toDF("k", "op", "seg", "bal"), "k")
+    MergeTable.merge(spark, dir, Seq((7L, "D", null: String, 0.0))
+      .toDF("k", "op", "seg", "bal"), "k")
+    assert(MergeTable.committedGen(dir).contains(2))
+    // restore: history moves FORWARD, content moves back
+    assert(MergeTable.restore(spark, dir, 0) == 3)
+    assert(MergeTable.committedGen(dir).contains(3))
+    assert(MergeTable.readTable(spark, dir)
+      .as[(Long, String, Double)].collect().sorted.toSeq == baseRows)
+    // nothing was copied: the restored manifest references gen-0 paths
+    val restoredPaths = MergeTable.manifestAt(spark, dir, 3)
+      .select("path").as[String].collect().toSet
+    assert(restoredPaths == MergeTable.manifestAt(spark, dir, 0)
+      .select("path").as[String].collect().toSet)
+    // the CDC feed carries the rollback as a net inverse delta
+    val inv = MergeTable.changesBetween(spark, dir, 2, 3, "k")
+      .select("k", "change_op").as[(Long, String)].collect().sorted.toSeq
+    assert(inv == Seq((5L, "U"), (7L, "I"), (400L, "D")),
+      s"restore delta should revert the churn: $inv")
+    // time travel still sees the pre-restore state
+    assert(MergeTable.readTable(spark, dir, asOf = Some(2))
+      .filter(col("k") === 400L).count() == 1)
+    // vacuum keeps the CURRENT (restored) state readable, and a
+    // restore to a vacuumed point fails loudly instead of resurrecting
+    // a partial table
+    MergeTable.vacuum(spark, dir)
+    assert(MergeTable.readTable(spark, dir)
+      .as[(Long, String, Double)].collect().sorted.toSeq == baseRows)
+    val e = intercept[Exception] { MergeTable.restore(spark, dir, 2) }
+    assert(e.getMessage.contains("vacuum") || e.getMessage.contains("exist"),
+      s"unexpected restore failure mode: ${e.getMessage}")
+  }
+
+  test("shallow clone: zero-copy fork, divergence isolated, vacuum scoped") {
+    import java.nio.file.{Files, Path}
+    import spark.implicits._
+    val src = tmpDir("mergetab-clonesrc")
+    val dst = tmpDir("mergetab-clonedst") + "/t"
+    val base = (1 to 300).map(i => (i.toLong, s"seg${i % 3}", i * 2.0))
+      .toDF("k", "seg", "bal")
+    MergeTable.write(spark, base, "k", src, nFiles = 4)
+    val srcRows = MergeTable.readTable(spark, src)
+      .as[(Long, String, Double)].collect().sorted.toSeq
+    assert(MergeTable.cloneTable(spark, src, dst) == 0)
+    // the clone IS the source, by reference — no data under dst
+    assert(MergeTable.readTable(spark, dst)
+      .as[(Long, String, Double)].collect().sorted.toSeq == srcRows)
+    val dataDirs = {
+      val ls = Files.list(Path.of(dst))
+      try ls.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("files-g")).toSeq
+      finally ls.close()
+    }
+    assert(dataDirs.isEmpty, s"shallow clone copied data: $dataDirs")
+    // divergence: a merge on the clone leaves the source untouched
+    MergeTable.merge(spark, dst, Seq((5L, "U", "WEB", 9.9), (400L, "I", "NEW", 1.0))
+      .toDF("k", "op", "seg", "bal"), "k")
+    assert(MergeTable.readTable(spark, dst).filter(col("k") === 400L).count() == 1)
+    assert(MergeTable.readTable(spark, src)
+      .as[(Long, String, Double)].collect().sorted.toSeq == srcRows,
+      "merge on the clone mutated the source")
+    // the clone's vacuum sweeps only its own dirs: shared gen-0 files
+    // survive and both tables stay intact
+    MergeTable.vacuum(spark, dst)
+    assert(MergeTable.readTable(spark, dst).filter(col("k") === 400L).count() == 1)
+    assert(MergeTable.readTable(spark, src)
+      .as[(Long, String, Double)].collect().sorted.toSeq == srcRows)
+    // cloning onto an existing table is refused
+    val e = intercept[IllegalArgumentException] {
+      MergeTable.cloneTable(spark, src, dst)
+    }
+    assert(e.getMessage.contains("already"))
+    // lineage is recorded
+    assert(MergeTable.metaAt(dst, 0).get("cloned_from").exists(_.contains("@g0")))
+  }
+
   test("writeClustered: z-order makes every cluster column file-prunable at once") {
     import spark.implicits._
     val dirZ = tmpDir("mergetab-zorder")
