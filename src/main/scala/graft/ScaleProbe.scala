@@ -27,6 +27,8 @@ import org.apache.spark.sql.functions._
   *   ScaleProbe pr     [rows] — pr01's checkpoint cadence (1/3/10)
   *   ScaleProbe bitmap64 [rows] — q58's sparse-sketch rollup table vs
   *                              re-aggregating the facts per level
+  *   ScaleProbe restoreclone [rows] — q67/q68's O(manifest) restore +
+  *                              shallow clone vs the O(table) deep copy
   *
   * Results are recorded in PLANS.md's scale-probe tables; re-run any
   * time with `tools/run.sh graft.ScaleProbe <probe> [rows]`.
@@ -667,6 +669,41 @@ object ScaleProbe {
             !(col("os") <=> col("ns")) || !(col("ob") <=> col("nb"))).count()
         println(f"full-snapshot diff ($naiveDelta net changes): ${(System.nanoTime() - t4) / 1e9}%.2f s")
         require(naiveDelta == delta, s"CDC diverged: pruned $delta vs full $naiveDelta")
+      case "restoreclone" =>
+        // q67/q68's 100 TB claim, measured: RESTORE and SHALLOW CLONE
+        // are O(manifest) — a directory listing, a file-count-sized
+        // existence sweep, one tiny parquet write — while the naive
+        // alternative (re-materialize the wanted state) is O(table).
+        // The gap IS the operator: at 100 TB the right-hand numbers
+        // become hours, the left-hand ones stay where they are.
+        val nFiles = 64
+        val dir = java.nio.file.Files.createTempDirectory("probe-rc").toString
+        val src = spark.range(rows).select(col("id").as("k"),
+          concat(lit("seg"), pmod(col("id"), lit(7))).as("seg"),
+          (pmod(xxhash64(col("id")), lit(100000)) / 100.0).as("bal"))
+        val tB = System.nanoTime()
+        operators.MergeTable.write(spark, src, "k", dir, nFiles)
+        println(f"table build ($rows rows, $nFiles files): ${(System.nanoTime() - tB) / 1e9}%.2f s")
+        val changes = spark.range(rows / nFiles).select(col("id").as("k"),
+          lit("U").as("op"), lit("WEB").as("seg"), lit(1.0).as("bal"))
+        val tM = System.nanoTime()
+        operators.MergeTable.merge(spark, dir, changes, "k")
+        println(f"banded merge (gen 1): ${(System.nanoTime() - tM) / 1e9}%.2f s")
+        val tC = System.nanoTime()
+        operators.MergeTable.cloneTable(spark, dir, s"$dir-clone")
+        println(f"shallow clone of the 2-gen table: ${(System.nanoTime() - tC) / 1e9}%.2f s")
+        val tR = System.nanoTime()
+        operators.MergeTable.restore(spark, dir, 0)
+        println(f"restore to gen 0 (incl. per-file existence sweep): ${(System.nanoTime() - tR) / 1e9}%.2f s")
+        require(operators.MergeTable.readTable(spark, dir)
+          .filter(col("seg") === "WEB").limit(1).isEmpty, "restore leaked merged rows")
+        // the naive contrast for BOTH: deep-copy the wanted state
+        val deep = java.nio.file.Files.createTempDirectory("probe-rc-deep").toString
+        val tD = System.nanoTime()
+        operators.MergeTable.write(spark,
+          operators.MergeTable.readTable(spark, dir, asOf = Some(1)), "k", deep, nFiles)
+        println(f"deep copy (the O(table) alternative): ${(System.nanoTime() - tD) / 1e9}%.2f s")
+        Seq(dir, s"$dir-clone", deep).foreach(IndexLifecycle.deleteRecursively)
       case "build" =>
         // the capstone: pp11's COMPOSED plan (gate ∘ dedup ∘
         // decontaminate ∘ globalRank ∘ shard rollup) at bench scale

@@ -120,6 +120,29 @@ class CdcSourceSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("a RESTORE arrives through the stream as its net inverse delta") {
+    val dir = freshTable(60)
+    val q = MergeTable.changesStream(spark, dir, "k")
+      .writeStream.format("memory").queryName("cdcrestore")
+      .option("checkpointLocation", tmpDir("cdc-restore-ckpt")).start()
+    try {
+      mergeBatch(dir, Seq((3L, "U", "HOT", 0.5), (900L, "I", "NEW", 1.0),
+        (4L, "D", null, 0.0)))
+      q.processAllAvailable()
+      // the rollback is just another commit to a tailing consumer —
+      // delivered as the inverse of the churn, no special-casing
+      MergeTable.restore(spark, dir, 0)
+      q.processAllAvailable()
+      val inv = spark.table("cdcrestore")
+        .filter(col("_commit_gen") === 2L).collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[String]("change_op"),
+          r.getAs[Double]("bal"))).sortBy(_._1).toSeq
+      // U reverts to the original image, D resurrects it, I retracts
+      assert(inv == Seq((3L, "U", 4.5), (4L, "I", 6.0), (900L, "D", 1.0)),
+        s"restore delta wrong: $inv")
+    } finally q.stop()
+  }
+
   test("snapshot mode: first batch is the whole table as inserts, deltas follow") {
     val dir = freshTable(30)
     mergeBatch(dir, Seq((5L, "U", "PRE", 1.0))) // gen 1 before the stream exists
