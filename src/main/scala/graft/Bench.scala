@@ -64,21 +64,25 @@ object Bench {
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption)
       .filter(_ >= 1).getOrElse(3)
     val errors = collection.mutable.LinkedHashMap.empty[String, String]
+    var lastSession: SparkSession = null
     val repResults = (1 to reps).map { rep =>
-      val spark = warm.newSession()
+      val sess = warm.newSession()
       val (rows, errs) =
         timeAll[(SparkSession, String) => org.apache.spark.sql.DataFrame](
           SparkEntry.queries.toSeq.sortBy(_._1),
-          fn => force(spark)(fn(spark, sfDir)))
+          fn => force(sess)(fn(sess, sfDir)))
       errs.foreach { case (k, m) => errors(k) = m } // any-rep failure is loud
-      if (rep < reps) { spark.catalog.clearCache(); System.gc() }
+      if (rep < reps) { sess.catalog.clearCache(); System.gc() }
+      lastSession = sess
       rows
     }
     val batchResults = medianRows(repResults)
-    // side rows run once on the last rep's session (index memos from
-    // that rep's ann02/dd11 rows are live, matching the single-pass
-    // semantics the split rows were designed around)
-    val spark = warm.newSession()
+    // side rows run ON THE LAST REP'S SESSION, not a fresh one: the
+    // per-(session, corpus) index memos its ann02/dd11 rows built are
+    // what make ann02p/dd11p pure memo-hit PROBE rows — a fresh
+    // session would silently re-bill the build inside the probe (the
+    // single-pass code shared its one measured session the same way)
+    val spark = lastSession
 
     // IVF build/probe asymmetry: the registered ann02 row above paid a
     // cold build + probe (fresh session, empty index memo). These two
