@@ -44,6 +44,7 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] warm $name failed: $e") }
     }
     runStreaming(warm, sfDir) // warm the streaming plan too
+    operators.MergeTable.cleanupFixtures() // warm pass's tmp fixture tables
     // drop every cached dataset (the cache manager is shared across
     // sessions of one context — without this the measured pass would
     // read phase-1 caches instead of computing)
@@ -72,6 +73,9 @@ object Bench {
           SparkEntry.queries.toSeq.sortBy(_._1),
           fn => force(sess)(fn(sess, sfDir)))
       errs.foreach { case (k, m) => errors(k) = m } // any-rep failure is loud
+      // each rep's session gets fresh fixture dirs (identity-keyed) —
+      // sweep them now or reps multiply the tmp-dir leak
+      operators.MergeTable.cleanupFixtures()
       if (rep < reps) { sess.catalog.clearCache(); System.gc() }
       lastSession = sess
       rows

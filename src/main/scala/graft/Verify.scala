@@ -53,6 +53,7 @@ object Verify {
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} quer(ies) FAILED: " +
         errors.keys.mkString(", "))
+    operators.MergeTable.cleanupFixtures() // tmp fixture tables (q59-q68)
     spark.stop()
   }
 }

@@ -709,9 +709,15 @@ object MergeTable {
     val man = manifestAt(s, dir, prevGen)
     val ranges = man.select(col("path"),
       col(s"min_$keyCol").as("__mn"), col(s"max_$keyCol").as("__mx"))
+    // null-admits, like every other stats consumer: a null bound (a
+    // pre-evolution carry, or a truncated string stat whose prefix
+    // had no ASCII char to increment) proves nothing, so the file is
+    // TOUCHED for any U/D key — dropping it would silently discard
+    // the change
     val touched = changes.filter(col("op").isin("U", "D"))
       .join(broadcast(ranges),
-        col(keyCol) >= col("__mn") && col(keyCol) <= col("__mx"))
+        (col("__mn").isNull || col(keyCol) >= col("__mn")) &&
+          (col("__mx").isNull || col(keyCol) <= col("__mx")))
       .select("path").distinct().collect().map(_.getString(0)).toIndexedSeq
     val untouched = man.select("path").collect().map(_.getString(0))
       .filterNot(touched.contains).toIndexedSeq
@@ -1059,13 +1065,39 @@ object MergeTable {
     * merge. The `tag` keeps the three registered queries out of each
     * other's dirs when one Verify run executes all of them.
     */
-  private def mergedFixture(s: SparkSession, d: String, tag: String): String = {
+  // Every fixture dir the registered q59-q68 rows materialize, for
+  // [[cleanupFixtures]]: the dirs are keyed per (process, session) so
+  // nothing reuses them across bench reps / verify runs — without a
+  // sweep each rep leaks ~10 16-file customer-table copies into
+  // java.io.tmpdir.
+  private val fixtureDirs = collection.mutable.LinkedHashSet.empty[String]
+
+  private def fixtureDir(s: SparkSession, d: String, tag: String): String = {
     val dir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"),
       s"graft-$tag-" + java.lang.Long.toHexString(
         scala.util.hashing.MurmurHash3.stringHash(d) & 0xffffffffL) +
         "-p" + ProcessHandle.current().pid() +
         "-s" + java.lang.Integer.toHexString(System.identityHashCode(s))).toString
+    fixtureDirs.synchronized { fixtureDirs += dir }
+    dir
+  }
+
+  /** Delete every fixture dir the registered table-format rows have
+    * created in this JVM (bench per-rep / verify end-of-run hygiene;
+    * fixtures are rebuilt from scratch on every query call anyway).
+    * Returns how many dirs were swept.
+    */
+  def cleanupFixtures(): Int = fixtureDirs.synchronized {
+    val n = fixtureDirs.size
+    fixtureDirs.foreach(dir =>
+      scala.util.Try(graft.IndexLifecycle.deleteRecursively(dir)))
+    fixtureDirs.clear()
+    n
+  }
+
+  private def mergedFixture(s: SparkSession, d: String, tag: String): String = {
+    val dir = fixtureDir(s, d, tag)
     val t = Tables.customer(s, d)
       .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
         col("c_acctbal").as("bal"))
@@ -1144,12 +1176,7 @@ object MergeTable {
     * DuckDB hash gate.
     */
   val q63_merge_strkey: Q = (s, d) => {
-    val dir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"),
-      "graft-mergestr-" + java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(d) & 0xffffffffL) +
-        "-p" + ProcessHandle.current().pid() +
-        "-s" + java.lang.Integer.toHexString(System.identityHashCode(s))).toString
+    val dir = fixtureDir(s, d, "mergestr")
     val c = Tables.customer(s, d)
     val base = c.select(col("c_name").as("k"), col("c_mktsegment").as("seg"),
       col("c_acctbal").as("bal"))
@@ -1194,12 +1221,7 @@ object MergeTable {
     * discipline as [[mergedFixture]].
     */
   private def baseFixture(s: SparkSession, d: String, tag: String): (String, Long) = {
-    val dir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"),
-      s"graft-$tag-" + java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(d) & 0xffffffffL) +
-        "-p" + ProcessHandle.current().pid() +
-        "-s" + java.lang.Integer.toHexString(System.identityHashCode(s))).toString
+    val dir = fixtureDir(s, d, tag)
     val t = Tables.customer(s, d)
       .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
         col("c_acctbal").as("bal"))
@@ -1263,6 +1285,7 @@ object MergeTable {
   val q68_clone: Q = (s, d) => {
     val (srcDir, maxK) = baseFixture(s, d, "clonesrc")
     val dir = srcDir + "-clone"
+    fixtureDirs.synchronized { fixtureDirs += dir }
     graft.IndexLifecycle.deleteRecursively(dir)
     cloneTable(s, srcDir, dir)
     val t = Tables.customer(s, d)

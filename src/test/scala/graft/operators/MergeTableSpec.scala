@@ -555,6 +555,30 @@ class MergeTableSpec extends SparkSpecBase {
     assert(after.count() == 401)
   }
 
+  test("null truncated stats: merge treats a boundless file as touched, never drops the change") {
+    import spark.implicits._
+    // keys are 40 non-ASCII chars + a numeric suffix: the 32-char
+    // prefix has no incrementable ASCII char, so max_k truncates to
+    // NULL — the can't-prune stat. A U/D against such a file must
+    // classify it TOUCHED (null-admits), not silently discard the
+    // change through a null join predicate.
+    val dir = tmpDir("mergetab-nullstat")
+    def key(i: Int) = "é" * 40 + f"$i%05d"
+    val base = (1 to 200).map(i => (key(i), i * 2.0)).toDF("k", "bal")
+    MergeTable.write(spark, base, "k", dir, nFiles = 4)
+    val man = MergeTable.manifest(spark, dir).collect()
+    assert(man.forall(_.getAs[String]("max_k") == null),
+      "fixture vacuous: expected every max_k to truncate to null")
+    MergeTable.merge(spark, dir,
+      Seq((key(50), "U", 999.0), (key(60), "D", 0.0)).toDF("k", "op", "bal"), "k")
+    val after = MergeTable.readTable(spark, dir)
+    assert(after.filter(col("k") === key(50)).select("bal").as[Double].head() == 999.0,
+      "update silently dropped on a null-stat file")
+    assert(after.filter(col("k") === key(60)).isEmpty,
+      "delete silently dropped on a null-stat file")
+    assert(after.count() == 199)
+  }
+
   test("restore: rollback is a forward commit that re-references old files") {
     import spark.implicits._
     val dir = tmpDir("mergetab-restore")
