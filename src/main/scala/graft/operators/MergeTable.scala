@@ -124,7 +124,12 @@ object MergeTable {
     */
   private def commitGen(dir: String, gen: Int, token: String,
                         meta: Map[String, String]): Unit = {
-    val body = (("token" -> token) +: meta.toSeq.sorted)
+    // wall-clock stamp for [[history]] — observability only, nothing
+    // replays or compares on it (generation numbers are the ordering)
+    val stamped =
+      if (meta.contains("ts")) meta
+      else meta + ("ts" -> System.currentTimeMillis().toString)
+    val body = (("token" -> token) +: stamped.toSeq.sorted)
       .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
     val tmp = java.nio.file.Path.of(dir, s"_commit.tmp-$token")
     java.nio.file.Files.write(tmp, body.getBytes)
@@ -250,7 +255,7 @@ object MergeTable {
       .write.parquet(dataDirOf(dir, 0, token))
     statsOf(s, dataDirOf(dir, 0, token), keyCol)
       .coalesce(1).write.parquet(manifestDirOf(dir, 0, token))
-    commitGen(dir, 0, token, Map("schema" -> df.schema.json))
+    commitGen(dir, 0, token, Map("op" -> "write", "schema" -> df.schema.json))
   }
 
   /** Z-ORDER clustered write: generation 0 laid out on the Morton
@@ -326,7 +331,7 @@ object MergeTable {
       .write.parquet(dataDirOf(dir, 0, token))
     statsOf(s, dataDirOf(dir, 0, token), keyCol)
       .coalesce(1).write.parquet(manifestDirOf(dir, 0, token))
-    commitGen(dir, 0, token, Map("schema" -> df.schema.json))
+    commitGen(dir, 0, token, Map("op" -> "cluster", "schema" -> df.schema.json))
   }
 
   def manifest(s: SparkSession, dir: String): DataFrame = {
@@ -638,8 +643,8 @@ object MergeTable {
     man.coalesce(1).write.parquet(manifestDirOf(dir, next, token))
     val schemaJson = schemaAt(dir, toGen).map(_.json)
       .orElse(schemaAt(dir, cur).map(_.json))
-    commitGen(dir, next, token,
-      schemaJson.map("schema" -> _).toMap + ("restore_of" -> toGen.toString))
+    commitGen(dir, next, token, schemaJson.map("schema" -> _).toMap +
+      ("op" -> "restore") + ("restore_of" -> toGen.toString))
     next
   }
 
@@ -667,9 +672,32 @@ object MergeTable {
     manifestAt(s, srcDir, g).coalesce(1)
       .write.parquet(manifestDirOf(dstDir, 0, token))
     val meta = schemaAt(srcDir, g).map(sch => "schema" -> sch.json).toMap +
-      ("cloned_from" -> s"$srcDir@g$g")
+      ("op" -> "clone") + ("cloned_from" -> s"$srcDir@g$g")
     commitGen(dstDir, 0, token, meta)
     g
+  }
+
+  /** The commit history (Delta's DESCRIBE HISTORY): one row per
+    * committed generation, newest first — (gen, op, ts, detail),
+    * where `op` is the writer's tag (write/cluster/merge/compact/
+    * delete/update/restore/clone; null for pre-tag commits), `ts`
+    * the commit's wall-clock stamp, and `detail` every other
+    * commit-log line except the bulky schema JSON (so restore_of /
+    * cloned_from / a sink's batchId read straight off the row).
+    * Driver-sized by construction: one directory listing plus one
+    * tiny log-entry read per generation, no Spark job over data.
+    * History survives vacuum — the log entries are the table's
+    * lineage and are never swept, only manifests/files are.
+    */
+  def history(s: SparkSession, dir: String): DataFrame = {
+    val cur = committedGen(dir).getOrElse(
+      sys.error(s"$dir is not a committed keyed table (no commit log)"))
+    import s.implicits._
+    (cur to 0 by -1).map { g =>
+      val m = metaAt(dir, g)
+      (g, m.get("op").orNull, m.get("ts").map(_.toLong).getOrElse(0L),
+        m.removedAll(Seq("op", "ts", "schema", "token")))
+    }.toDF("gen", "op", "ts", "detail")
   }
 
   // ---- the merge ----
@@ -779,7 +807,8 @@ object MergeTable {
       .unionByName(newStats, allowMissingColumns = true)
       .coalesce(1).write.parquet(manifestDirOf(dir, next, token))
     // the union schema rides the commit-log entry (schema-in-log)
-    try commitGen(dir, next, token, meta + ("schema" -> newRows.schema.json))
+    try commitGen(dir, next, token,
+      Map("op" -> "merge") ++ meta + ("schema" -> newRows.schema.json))
     catch {
       case e: java.util.ConcurrentModificationException =>
         Seq(staging, manifestDirOf(dir, next, token))
@@ -827,7 +856,7 @@ object MergeTable {
     man.filter(col("path").isin(untouched: _*))
       .unionByName(statsOf(s, staging, keyCol), allowMissingColumns = true)
       .coalesce(1).write.parquet(manifestDirOf(dir, next, token))
-    try commitGen(dir, next, token,
+    try commitGen(dir, next, token, Map("op" -> "compact") ++
       schemaAt(dir, prevGen).map(sch => Map("schema" -> sch.json)).getOrElse(Map.empty))
     catch {
       case e: java.util.ConcurrentModificationException =>
@@ -935,7 +964,7 @@ object MergeTable {
     man.filter(col("path").isin(carried: _*))
       .unionByName(newStats, allowMissingColumns = true)
       .coalesce(1).write.parquet(manifestDirOf(dir, next, token))
-    try commitGen(dir, next, token,
+    try commitGen(dir, next, token, Map("op" -> "delete") ++
       schemaAt(dir, prevGen).map(sch => Map("schema" -> sch.json)).getOrElse(Map.empty))
     catch {
       case e: java.util.ConcurrentModificationException =>
@@ -997,7 +1026,7 @@ object MergeTable {
     man.filter(col("path").isin(carried: _*))
       .unionByName(statsOf(s, staging, keyCol), allowMissingColumns = true)
       .coalesce(1).write.parquet(manifestDirOf(dir, next, token))
-    try commitGen(dir, next, token,
+    try commitGen(dir, next, token, Map("op" -> "update") ++
       schemaAt(dir, prevGen).map(sch => Map("schema" -> sch.json)).getOrElse(Map.empty))
     catch {
       case e: java.util.ConcurrentModificationException =>

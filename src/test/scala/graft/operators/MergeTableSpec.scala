@@ -622,6 +622,32 @@ class MergeTableSpec extends SparkSpecBase {
       s"unexpected restore failure mode: ${e.getMessage}")
   }
 
+  test("history: one lineage row per generation, newest first, vacuum-proof") {
+    import spark.implicits._
+    val dir = tmpDir("mergetab-history")
+    val base = (1 to 200).map(i => (i.toLong, s"seg${i % 3}", i * 2.0))
+      .toDF("k", "seg", "bal")
+    MergeTable.write(spark, base, "k", dir, nFiles = 4)
+    MergeTable.merge(spark, dir, Seq((5L, "U", "WEB", 9.9))
+      .toDF("k", "op", "seg", "bal"), "k")
+    MergeTable.deleteWhere(spark, dir, "k", "k", Some(10L), Some(20L))
+    MergeTable.restore(spark, dir, 1)
+    val h = MergeTable.history(spark, dir)
+      .select("gen", "op").as[(Int, String)].collect().toSeq
+    assert(h == Seq((3, "restore"), (2, "delete"), (1, "merge"), (0, "write")),
+      s"history wrong: $h")
+    // detail carries the lineage keys, not the bulky schema
+    val restoreRow = MergeTable.history(spark, dir).filter(col("gen") === 3)
+      .select("detail").as[Map[String, String]].head()
+    assert(restoreRow == Map("restore_of" -> "1"), s"detail wrong: $restoreRow")
+    // timestamps are stamped and non-decreasing oldest-to-newest
+    val ts = MergeTable.history(spark, dir).select("ts").as[Long].collect().reverse
+    assert(ts.forall(_ > 0) && ts.sorted.toSeq == ts.toSeq, s"ts not monotone: ${ts.toSeq}")
+    // lineage survives vacuum (log entries are never swept)
+    MergeTable.vacuum(spark, dir)
+    assert(MergeTable.history(spark, dir).count() == 4)
+  }
+
   test("shallow clone: zero-copy fork, divergence isolated, vacuum scoped") {
     import java.nio.file.{Files, Path}
     import spark.implicits._
