@@ -48,13 +48,70 @@ object GraftCLI {
               usage()
           }
       }
+    case "table" :: cmd :: rest => tableMain(cmd, rest)
     case _ => usage()
   }
 
   private def usage(): Nothing = {
     System.err.println(
-      "usage: GraftCLI run_sample -f <file> [outDir] [--update] | show <checkpoint> | init <checkpoint> | emit [rowsPerSec] [--update]")
+      "usage: GraftCLI run_sample -f <file> [outDir] [--update] | show <checkpoint> | init <checkpoint> | emit [rowsPerSec] [--update] | table <cmd> ...")
     sys.exit(2)
+  }
+
+  /** Table-format ops console (`GraftCLI table <cmd> …`): the
+    * operational verbs for [[graft.operators.MergeTable]] dirs —
+    * what an operator runs in a maintenance window (the reference CLI
+    * only drives topologies; the table layer is graft surface).
+    */
+  def tableMain(cmd: String, rest: List[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("graft-table")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try table(spark, cmd, rest).foreach(println)
+    finally spark.stop()
+  }
+
+  /** Session-scoped `table` verb dispatch, returning the lines to
+    * print (spec-testable without a process boundary).
+    */
+  def table(spark: SparkSession, cmd: String, args: List[String]): Seq[String] = {
+    import graft.operators.MergeTable
+    (cmd, args) match {
+      case ("history", dir :: _) =>
+        MergeTable.history(spark, dir).collect().toSeq.map { r =>
+          val detail = r.getAs[Map[String, String]]("detail")
+          val extra =
+            if (detail.isEmpty) ""
+            else detail.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+              .mkString(" [", " ", "]")
+          s"g${r.getAs[Int]("gen")} ${Option(r.getAs[String]("op")).getOrElse("?")} " +
+            s"ts=${r.getAs[Long]("ts")}$extra"
+        }
+      case ("restore", dir :: gen :: _) =>
+        val g = MergeTable.restore(spark, dir, gen.toInt)
+        Seq(s"restored $dir to generation ${gen.toInt} as generation $g")
+      case ("clone", src :: dst :: _) =>
+        val g = MergeTable.cloneTable(spark, src, dst)
+        Seq(s"cloned $src@g$g -> $dst (shallow)")
+      case ("vacuum", dir :: more) =>
+        val minAge = more.headOption.map(_.toLong).getOrElse(0L)
+        Seq(s"vacuumed ${MergeTable.vacuum(spark, dir, minAge)} object(s) from $dir")
+      case ("compact", dir :: keyCol :: more) =>
+        val target = more.headOption.map(_.toLong).getOrElse(1000000L)
+        MergeTable.compact(spark, dir, keyCol, targetRows = target)
+        Seq(s"compacted $dir (target $target rows/file) -> generation " +
+          s"${MergeTable.committedGen(dir).get}")
+      case _ =>
+        System.err.println(
+          "usage: GraftCLI table history <dir> | restore <dir> <gen> | " +
+            "clone <src> <dst> | vacuum <dir> [minAgeMs] | " +
+            "compact <dir> <keyCol> [targetRows]")
+        sys.exit(2)
+    }
   }
 
   def emit(rowsPerSec: Int, update: Boolean): Unit = {

@@ -63,19 +63,29 @@ final class CdcSourceProvider extends StreamSourceProvider with DataSourceRegist
   override def createSource(ctx: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source = {
-    val (dir, keyCol, startGen) = CdcSource.options(parameters)
+    val (dir, keyCol, rawStart) = CdcSource.options(parameters)
     // a typo'd baseline would otherwise yield a silently-empty stream
     val cur = MergeTable.committedGen(dir).getOrElse(
       throw new IllegalArgumentException(s"$dir is not a committed keyed table"))
+    // `latest` resolves ONCE, at stream creation: follow-only from the
+    // then-committed generation (Delta's startingVersion=latest)
+    val startGen = if (rawStart == CdcSource.Latest) cur else rawStart
     require(startGen >= -1 && startGen <= cur,
       s"startGen $startGen out of range: table $dir is at generation $cur " +
-        "(use -1 / 'snapshot' for snapshot-then-follow)")
+        "(use -1 / 'snapshot' for snapshot-then-follow, 'latest' for follow-only)")
     new CdcSource(ctx, dir, keyCol, startGen)
   }
 }
 
 object CdcSource {
-  /** `startGen = -1` is the internal encoding of `snapshot`. */
+  /** Sentinel for `startGen=latest` (resolved to the then-committed
+    * generation at stream creation, not per batch).
+    */
+  private[sources] val Latest = -2
+
+  /** `startGen = -1` is the internal encoding of `snapshot`,
+    * [[Latest]] of `latest`.
+    */
   private[sources] def options(p: Map[String, String]): (String, String, Int) = {
     val dir = p.getOrElse("path",
       throw new IllegalArgumentException("graft-cdc requires option 'path' (MergeTable dir)"))
@@ -84,8 +94,9 @@ object CdcSource {
     val sg = p.getOrElse("startgen", p.getOrElse("startGen", "0"))
     val gen =
       if (sg.equalsIgnoreCase("snapshot")) -1
+      else if (sg.equalsIgnoreCase("latest")) Latest
       else sg.toIntOption.getOrElse(throw new IllegalArgumentException(
-        s"graft-cdc option 'startGen' must be an integer generation or 'snapshot', got '$sg'"))
+        s"graft-cdc option 'startGen' must be an integer generation, 'snapshot', or 'latest', got '$sg'"))
     (dir, keyCol, gen)
   }
 

@@ -27,6 +27,31 @@ class CLISpec extends SparkSpecBase {
     assert(r.json.contains("\"mode\":\"update\""))
   }
 
+  test("table verbs: history/restore/clone/vacuum against a real table dir") {
+    import graft.operators.MergeTable
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("cli-table")
+    MergeTable.write(spark,
+      (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("k", "bal"), "k", dir, nFiles = 4)
+    MergeTable.merge(spark, dir,
+      Seq((5L, "U", 9.9)).toDF("k", "op", "bal"), "k")
+    val hist = GraftCLI.table(spark, "history", List(dir))
+    assert(hist.size == 2 && hist.head.startsWith("g1 merge ts=") &&
+      hist(1).startsWith("g0 write ts="), hist.mkString("\n"))
+    val cloned = GraftCLI.table(spark, "clone", List(dir, s"$dir-copy"))
+    assert(cloned.head.contains("shallow") &&
+      MergeTable.readTable(spark, s"$dir-copy").count() == 100)
+    val restored = GraftCLI.table(spark, "restore", List(dir, "0"))
+    assert(restored.head.endsWith("as generation 2"))
+    assert(MergeTable.readTable(spark, dir)
+      .filter(col("k") === 5L).select("bal").as[Double].head() == 10.0)
+    assert(GraftCLI.table(spark, "history", List(dir)).head
+      .startsWith("g2 restore ts="))
+    val vac = GraftCLI.table(spark, "vacuum", List(dir))
+    assert(vac.head.startsWith("vacuumed "))
+  }
+
   test("run_sample --update: bounded-state top-N path writes the same file") {
     val in = Files.createTempDirectory("cli-in-u")
     Files.write(in.resolve("sample.txt"),

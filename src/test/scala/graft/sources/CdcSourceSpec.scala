@@ -310,15 +310,37 @@ class CdcSourceSpec extends SparkSpecBase {
     assert(MergeTable.changesStream(spark, dir, "k").isStreaming)
   }
 
+  test("startGen=latest: follow-only — history skipped, new commits flow") {
+    val dir = freshTable(40)
+    mergeBatch(dir, Seq((1L, "U", "OLD", 1.0))) // history before the stream
+    val q = spark.readStream.format("graft-cdc")
+      .option("path", dir).option("keyCol", "k")
+      .option("startGen", "latest").load()
+      .writeStream.format("memory").queryName("cdclatest")
+      .option("checkpointLocation", tmpDir("cdc-latest-ckpt")).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cdclatest").isEmpty,
+        "latest mode must not replay pre-stream history")
+      mergeBatch(dir, Seq((2L, "U", "NEW", 2.0)))
+      q.processAllAvailable()
+      val got = spark.table("cdclatest").collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[String]("change_op"))).toSeq
+      assert(got == Seq((2L, "U")), s"latest mode missed the live commit: $got")
+    } finally q.stop()
+  }
+
   test("malformed startGen option fails with a descriptive message, not a parse crash") {
     val ok = CdcSource.options(Map("path" -> "/t", "keycol" -> "k",
       "startgen" -> "snapshot"))
     assert(ok == (("/t", "k", -1)))
+    assert(CdcSource.options(Map("path" -> "/t", "keycol" -> "k",
+      "startgen" -> "latest")) == (("/t", "k", CdcSource.Latest)))
     val e = intercept[IllegalArgumentException] {
       CdcSource.options(Map("path" -> "/t", "keycol" -> "k",
-        "startgen" -> "latest"))
+        "startgen" -> "newest"))
     }
-    assert(e.getMessage.contains("startGen") && e.getMessage.contains("latest"))
+    assert(e.getMessage.contains("startGen") && e.getMessage.contains("newest"))
   }
 
   test("a generation span past Int range fails loudly instead of wrapping") {
