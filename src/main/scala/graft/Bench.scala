@@ -45,6 +45,12 @@ object Bench {
     }
     runStreaming(warm, sfDir) // warm the streaming plan too
     operators.MergeTable.cleanupFixtures() // warm pass's tmp fixture tables
+    // ERROR for the measured passes: stray WARN lines (e.g. the
+    // DAGScheduler's async "Failed to cancel job group" during
+    // streaming-query teardown) land in the harness's 2000-char tail
+    // window and crowd out the stdout JSON line — BENCH_r08 recorded
+    // parsed:null exactly this way
+    warm.sparkContext.setLogLevel("ERROR")
     // drop every cached dataset (the cache manager is shared across
     // sessions of one context — without this the measured pass would
     // read phase-1 caches instead of computing)
@@ -247,8 +253,12 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Path.of("BENCH_DETAIL.json"), detail + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
 
+    // stop BEFORE printing the parse-target line: SparkContext
+    // teardown logs asynchronously, and anything it emits after the
+    // JSON pushes the line's head out of the harness's tail window
+    scala.util.Try(spark.stop())
     println(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","batch_seconds":${fmt(batchSecs, 1)},"bench_reps":$reps,"queries":$qs,$errShorts"sustained_rps":$thrJson,"sf":"$sfDir"}""")
-    spark.stop()
+    System.out.flush()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} row(s) FAILED: " +
         errors.keys.toSeq.sorted.mkString(", "))

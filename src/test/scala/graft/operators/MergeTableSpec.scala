@@ -608,6 +608,10 @@ class MergeTableSpec extends SparkSpecBase {
       .select("k", "change_op").as[(Long, String)].collect().sorted.toSeq
     assert(inv == Seq((5L, "U"), (7L, "I"), (400L, "D")),
       s"restore delta should revert the churn: $inv")
+    // the pruned read paths work against the restored manifest too
+    assert(MergeTable.scanRange(spark, dir, "k", 5L, 7L)
+      .select("k").as[Long].collect().sorted.toSeq == Seq(5L, 6L, 7L))
+    assert(MergeTable.readIndexed(spark, dir).filter(col("k") === 7L).count() == 1)
     // time travel still sees the pre-restore state
     assert(MergeTable.readTable(spark, dir, asOf = Some(2))
       .filter(col("k") === 400L).count() == 1)
@@ -676,6 +680,11 @@ class MergeTableSpec extends SparkSpecBase {
     assert(MergeTable.readTable(spark, src)
       .as[(Long, String, Double)].collect().sorted.toSeq == srcRows,
       "merge on the clone mutated the source")
+    // pruned reads resolve the clone's cross-dir manifest paths (the
+    // Catalyst FileIndex stats files in the SOURCE's directory)
+    assert(MergeTable.readIndexed(spark, dst).filter(col("k") === 400L).count() == 1)
+    assert(MergeTable.scanRange(spark, dst, "k", 10L, 12L)
+      .select("k").as[Long].collect().sorted.toSeq == Seq(10L, 11L, 12L))
     // the clone's vacuum sweeps only its own dirs: shared gen-0 files
     // survive and both tables stay intact
     MergeTable.vacuum(spark, dst)
