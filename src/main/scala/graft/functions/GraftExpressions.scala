@@ -878,4 +878,11 @@ object GraftFunctions {
   def bloomMightContain(key: String, bloom: Array[Byte], numHashes: Int): Column =
     column(BloomMightContain(Literal(bloom, BinaryType),
       Cast(attr(key), LongType), numHashes))
+  /** The transposed probe: the SKETCH is a column (one bloom per row —
+    * e.g. a per-file sidecar index) and the key is a constant. Used by
+    * [[graft.operators.MergeTable.scanEqualsBloom]] to decide, per
+    * manifest entry, whether the file can contain the probe value.
+    */
+  def bloomColMightContain(sketchCol: String, key: Long, numHashes: Int): Column =
+    column(BloomMightContain(attr(sketchCol), Literal(key, LongType), numHashes))
 }

@@ -1,0 +1,213 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Incremental (delta-maintained) aggregate views over a
+  * [[MergeTable]] change feed — the classic IVM shape (materialized
+  * view maintenance, cf. the view-maintenance treatment in Gupta &
+  * Mumick's survey and Delta Live Tables / Materialize in practice),
+  * built on the CDC pre-image feed this engine already has.
+  * Reference surface: the monoid-bolt state discipline
+  * (`src/Hailstorm/Processor/Bolt.hs:1-60` — state advances by
+  * merging deltas, never by recomputation) applied to SQL aggregates
+  * over a keyed table.
+  *
+  * The maintained aggregates are count + named SUMs (avg derives as
+  * sum/count downstream). These are the self-maintainable aggregates:
+  * insert adds, delete retracts, update retracts the pre-image and
+  * adds the post-image — which is exactly why [[applyDelta]] demands
+  * the `preImages = true` CDC shape (`U_pre`/`U_post`); a post-only
+  * feed cannot retract what it never saw. min/max are deliberately
+  * out of scope: a deleted extremum forces a re-read of the group,
+  * which is no longer "incremental" (the standard IVM limitation).
+  *
+  * Exactness: each sum also maintains its non-null contribution
+  * count, so a group whose inputs are all NULL reports SQL's NULL
+  * (not 0) and a group emptied by deletes leaves the view — the
+  * maintained state is row-for-row what recomputation would produce,
+  * and the q69 oracle holds it to DuckDB's answer.
+  *
+  * Scale shape: refresh cost is ∝ |delta| + |affected groups|, never
+  * ∝ the base table. The delta aggregation is one map-side-combined
+  * shuffle over the CDC span (itself manifest-pruned to the files
+  * that changed); the persisted view is touched only on affected
+  * group keys through [[MergeTable.merge]]'s banded rewrite. At
+  * 100 TB base with a day's churn, the view advances in time
+  * proportional to the day.
+  */
+object IncrementalView {
+
+  /** View definition: group columns plus named sum expressions (SQL
+    * expression strings over the base table's columns). `count(*)` is
+    * always maintained as `mv_count`; each sum `name -> exprSql`
+    * surfaces as column `name` with its non-null contribution count
+    * in `__nn_name`.
+    */
+  final case class ViewSpec(groupCols: Seq[String], sums: Seq[(String, String)]) {
+    require(groupCols.nonEmpty, "a view needs at least one group column")
+    require(sums.map(_._1).distinct.size == sums.size,
+      s"duplicate sum names in ${sums.map(_._1).mkString(",")}")
+  }
+
+  private def nn(name: String) = s"__nn_$name"
+
+  /** Ground-truth computation: full groupBy over `table`. Used once at
+    * [[materialize]] time (and by specs to check maintenance).
+    */
+  def compute(table: DataFrame, spec: ViewSpec): DataFrame = {
+    val aggs = count(lit(1L)).as("mv_count") +:
+      spec.sums.flatMap { case (n, e) =>
+        Seq(sum(expr(e)).as(n), count(expr(e)).as(nn(n))) }
+    table.groupBy(spec.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Apply one CDC delta to a maintained state frame and return the
+    * new state. `changes` must be the `preImages = true` shape
+    * (`change_op` ∈ I, D, U_pre, U_post); a plain `U` row fails the
+    * job loudly (via `raise_error`) rather than silently drifting the
+    * view. Extra feed columns (`_commit_gen`) are ignored.
+    *
+    * One aggregation over the delta + one full-outer join against the
+    * state — no base-table access. Groups whose row count reaches 0
+    * leave the view; sums whose non-null count reaches 0 become NULL
+    * (SQL semantics under retraction).
+    */
+  def applyDelta(state: DataFrame, changes: DataFrame, spec: ViewSpec): DataFrame = {
+    val w = when(col("change_op").isin("I", "U_post"), lit(1L))
+      .when(col("change_op").isin("D", "U_pre"), lit(-1L))
+      .otherwise(raise_error(concat(
+        lit("IncrementalView.applyDelta needs a preImages=true feed; got change_op="),
+        col("change_op"))).cast("long"))
+    val dAggs = sum(w).as("__d_count") +:
+      spec.sums.flatMap { case (n, e) =>
+        Seq(sum(w * expr(e)).as(s"__d_$n"),
+          sum(when(expr(e).isNotNull, w).otherwise(lit(0L))).as(s"__d_nn_$n")) }
+    val delta = changes.groupBy(spec.groupCols.map(col): _*)
+      .agg(dAggs.head, dAggs.tail: _*)
+    val joined = state.join(delta, spec.groupCols, "full_outer")
+    val outCols: Seq[Column] = spec.groupCols.map(col) ++
+      Seq((coalesce(col("mv_count"), lit(0L)) +
+        coalesce(col("__d_count"), lit(0L))).as("mv_count")) ++
+      spec.sums.flatMap { case (n, _) =>
+        val nnNew = coalesce(col(nn(n)), lit(0L)) + coalesce(col(s"__d_nn_$n"), lit(0L))
+        val sNew = coalesce(col(n), lit(0)) + coalesce(col(s"__d_$n"), lit(0))
+        Seq(when(nnNew > 0, sNew).as(n), nnNew.as(nn(n)))
+      }
+    joined.select(outCols: _*).filter(col("mv_count") > 0)
+  }
+
+  // ---- persisted views (state = its own MergeTable) ----
+
+  /** Composite group key for the backing store: group values joined on
+    * U+0001, with U+0002 standing in for NULL (distinct from any
+    * rendered value, keeps null groups mergeable).
+    */
+  private[operators] val keyColName = "__mv_key"
+  private def keyExpr(spec: ViewSpec): Column =
+    concat_ws("\u0001",
+      spec.groupCols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)
+
+  private def metaOf(spec: ViewSpec, srcKeyCol: String, srcGen: Int) = Map(
+    "mv_src_gen" -> srcGen.toString,
+    "mv_src_key" -> srcKeyCol,
+    "mv_group" -> spec.groupCols.mkString(","))
+
+  /** Materialize the view of `srcDir` (a committed [[MergeTable]])
+    * into `mvDir` as its own MergeTable keyed by the composite group
+    * key. The source generation rides the commit-log meta, so
+    * [[refresh]] knows where its CDC span starts. Returns the source
+    * generation the view now reflects.
+    */
+  def materialize(s: SparkSession, srcDir: String, srcKeyCol: String,
+                  mvDir: String, spec: ViewSpec, nFiles: Int = 4): Int = {
+    val gen = MergeTable.committedGen(srcDir).getOrElse(
+      sys.error(s"$srcDir is not a committed keyed table (no commit log)"))
+    val st = compute(MergeTable.readTable(s, srcDir, asOf = Some(gen)), spec)
+      .withColumn(keyColName, keyExpr(spec))
+    MergeTable.write(s, st, keyColName, mvDir, nFiles,
+      meta = metaOf(spec, srcKeyCol, gen))
+    gen
+  }
+
+  /** Source generation the persisted view currently reflects. */
+  def reflectedGen(mvDir: String): Int =
+    MergeTable.committedMeta(mvDir).getOrElse("mv_src_gen",
+      sys.error(s"$mvDir is not a materialized view (no mv_src_gen in commit meta)")).toInt
+
+  /** Advance the persisted view to the source's current generation by
+    * delta maintenance — or no-op (None) if already current. Only
+    * AFFECTED groups are read back from the view (broadcast semi-join
+    * on the delta's group keys; the view store is itself key-banded,
+    * so the merge rewrites only the files holding those groups).
+    * Idempotent per source generation: a replayed span (crash between
+    * merge and checkpoint in the streaming driver) is skipped by the
+    * `mv_src_gen` guard, which is what makes [[maintainStream]]
+    * exactly-once.
+    */
+  def refresh(s: SparkSession, srcDir: String, mvDir: String,
+              spec: ViewSpec): Option[Int] = {
+    val last = reflectedGen(mvDir)
+    val cur = MergeTable.committedGen(srcDir).getOrElse(
+      sys.error(s"$srcDir is not a committed keyed table (no commit log)"))
+    if (cur <= last) None
+    else {
+      val srcKey = MergeTable.committedMeta(mvDir).getOrElse("mv_src_key",
+        sys.error(s"$mvDir commit meta lacks mv_src_key"))
+      val changes = MergeTable.changesBetween(s, srcDir, last, cur, srcKey,
+        preImages = true)
+      applyChanges(s, mvDir, spec, changes, srcKey, cur)
+      Some(cur)
+    }
+  }
+
+  /** Core of [[refresh]]/[[maintainStream]]: fold one already-read
+    * change span into the store, committing `newSrcGen` into the meta.
+    * Skips (idempotence) when the store already reflects `newSrcGen`.
+    */
+  private def applyChanges(s: SparkSession, mvDir: String, spec: ViewSpec,
+                           changes: DataFrame, srcKey: String,
+                           newSrcGen: Int): Unit = {
+    if (reflectedGen(mvDir) >= newSrcGen) return
+    val grp = spec.groupCols
+    val state = MergeTable.readTable(s, mvDir)
+    val deltaKeys = changes.select(grp.map(col): _*).distinct()
+    val stateAff = state.join(broadcast(deltaKeys), grp, "left_semi")
+    val newAff = applyDelta(stateAff.drop(keyColName), changes, spec)
+      .withColumn(keyColName, keyExpr(spec))
+    // delete-then-insert per affected group: same-key D+I in one merge
+    // generation nets to an exact replace (no coalesce-keeps-old-value
+    // semantics for legitimately-NULL maintained sums), and groups
+    // emptied to zero rows simply have no insert
+    val ins = newAff.withColumn("op", lit("I"))
+    val dels = stateAff.select(col(keyColName)).withColumn("op", lit("D"))
+    MergeTable.merge(s, mvDir, ins.unionByName(dels, allowMissingColumns = true),
+      keyColName, meta = metaOf(spec, srcKey, newSrcGen) + ("op" -> "mv_refresh"))
+    ()
+  }
+
+  /** Keep the persisted view current by tailing the table's graft-cdc
+    * stream: each micro-batch (one or more committed generations, as
+    * a net pre-image delta) is folded in with [[applyDelta]] and
+    * committed under the span's end generation. Exactly-once end to
+    * end: the source replays a checkpointed span deterministically,
+    * and the `mv_src_gen` guard makes re-folding it a no-op.
+    */
+  def maintainStream(s: SparkSession, srcDir: String, mvDir: String,
+                     spec: ViewSpec, checkpointDir: String): StreamingQuery = {
+    val srcKey = MergeTable.committedMeta(mvDir).getOrElse("mv_src_key",
+      sys.error(s"$mvDir is not a materialized view (materialize first)"))
+    MergeTable.changesStream(s, srcDir, srcKey,
+      startGen = reflectedGen(mvDir), preImages = true)
+      .writeStream.option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val gen = batch.agg(max(col("_commit_gen"))).head() match {
+          case r if r.isNullAt(0) => -1L // empty batch: nothing to fold
+          case r => r.getLong(0)
+        }
+        if (gen >= 0) applyChanges(s, mvDir, spec, batch, srcKey, gen.toInt)
+      }
+      .start()
+  }
+}

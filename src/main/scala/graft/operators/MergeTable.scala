@@ -248,14 +248,15 @@ object MergeTable {
     * stats manifest, marker commit.
     */
   def write(s: SparkSession, df: DataFrame, keyCol: String, dir: String,
-            nFiles: Int = 16): Unit = {
+            nFiles: Int = 16, meta: Map[String, String] = Map.empty): Unit = {
     graft.IndexLifecycle.deleteRecursively(dir)
     val token = newToken()
     df.repartitionByRange(nFiles, col(keyCol))
       .write.parquet(dataDirOf(dir, 0, token))
     statsOf(s, dataDirOf(dir, 0, token), keyCol)
       .coalesce(1).write.parquet(manifestDirOf(dir, 0, token))
-    commitGen(dir, 0, token, Map("op" -> "write", "schema" -> df.schema.json))
+    commitGen(dir, 0, token,
+      Map("op" -> "write") ++ meta + ("schema" -> df.schema.json))
   }
 
   /** Z-ORDER clustered write: generation 0 laid out on the Morton
@@ -482,18 +483,148 @@ object MergeTable {
     * whole table as inserts). [[pollChanges]] is the pull API for
     * driver loops; this is the push API for `readStream` topologies.
     */
+  // ---- per-file Bloom sidecar (point-lookup pruning on ANY column) ----
+  //
+  // min/max stats prune RANGE predicates on clustered columns; they are
+  // useless for `col = value` on a high-cardinality column uncorrelated
+  // with the layout (a url, a content hash, a customer email) — every
+  // file's [min, max] spans the whole domain. Delta solves this with
+  // per-file Bloom filter indexes; same design here: one mergeable
+  // graft_bloom sketch per live data file, built in ONE pass over the
+  // table (map-side-combined groupBy on input_file_name), stored as a
+  // parquet sidecar named for the generation it covers. A point lookup
+  // consults the sidecar (file-count-sized, like the manifest), opens
+  // only files whose sketch admits the value, and applies the exact
+  // residual filter. No false negatives by construction (bloom + the
+  // uncovered-file fallback below), so results are exact; false
+  // positives only cost an extra file open. At 100 TB / 100k files a
+  // needle lookup touches the sidecar + a handful of files instead of
+  // scheduling 100k scan tasks.
+
+  private def bloomDirOf(dir: String, colName: String, gen: Int, numHashes: Int) =
+    s"$dir/_bloom-g$gen~$numHashes~$colName"
+
+  /** Newest sidecar for `colName` at or below `maxGen`:
+    * (path, gen, numHashes). Staged `.tmp` dirs never parse (their
+    * column segment carries the token suffix).
+    */
+  private def newestBloomDir(dir: String, colName: String,
+                             maxGen: Int): Option[(String, Int, Int)] = {
+    val root = java.nio.file.Path.of(dir)
+    if (!java.nio.file.Files.exists(root)) return None
+    val ls = java.nio.file.Files.list(root)
+    val names = try ls.iterator().asScala.map(_.getFileName.toString).toSeq
+                finally ls.close()
+    names.flatMap { n =>
+      if (!n.startsWith("_bloom-g")) None
+      else n.stripPrefix("_bloom-g").split("~", 3) match {
+        case Array(g, k, c) if c == colName =>
+          for (gi <- g.toIntOption; ki <- k.toIntOption; if gi <= maxGen)
+            yield (s"$dir/$n", gi, ki)
+        case _ => None
+      }
+    }.sortBy(_._2).lastOption
+  }
+
+  /** XxHash64 of a probe value, computed with the SAME Catalyst
+    * expression (and default seed) the build side's `xxhash64(col)`
+    * uses — the two must agree bit-for-bit or pruning would lie.
+    */
+  private def bloomProbeHash(value: Any): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(value)), 42L)
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Long]
+
+  /** Build (or rebuild) the Bloom sidecar for `colName` at the current
+    * generation: one Spark job, one sketch per live file. Supersedes
+    * any older sidecar for the column (staged-dir atomic move, so a
+    * crash leaves either the old or the new index, never a torn one).
+    * Returns the generation the index covers. Files written by LATER
+    * commits are simply uncovered — [[bloomCandidatePaths]] admits
+    * them, so a stale index degrades to less pruning, never to wrong
+    * answers (rebuild on maintenance windows, like compaction).
+    */
+  def buildBloomIndex(s: SparkSession, dir: String, colName: String,
+                      numBits: Int = 1 << 17, numHashes: Int = 7): Int = {
+    val gen = committedGen(dir).getOrElse(
+      sys.error(s"$dir is not a committed keyed table (no commit log)"))
+    val idx = readTable(s, dir)
+      .select(input_file_name().as("path"), xxhash64(col(colName)).as("__h"))
+      .groupBy("path")
+      .agg(graft.functions.GraftFunctions.bloomAgg("__h", numBits, numHashes)
+        .as("bloom"))
+    val out = bloomDirOf(dir, colName, gen, numHashes)
+    val staged = out + ".tmp" + newToken()
+    idx.coalesce(1).write.parquet(staged)
+    // sweep superseded sidecars for this column, then land the new one
+    val root = java.nio.file.Path.of(dir)
+    val ls = java.nio.file.Files.list(root)
+    val old = try ls.iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.startsWith("_bloom-g") &&
+        n.stripPrefix("_bloom-g").split("~", 3).lastOption.contains(colName))
+      .toSeq finally ls.close()
+    old.foreach(n => graft.IndexLifecycle.deleteRecursively(s"$dir/$n"))
+    java.nio.file.Files.move(java.nio.file.Path.of(staged),
+      java.nio.file.Path.of(out),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    gen
+  }
+
+  /** The pruning decision for `colName = value`, exposed for specs and
+    * probes: (candidate paths, pruned-file count, total live files).
+    * Candidates = sidecar hits ∪ files the sidecar doesn't cover
+    * (written after it, or no sidecar at all) — the sound fallback.
+    * One tiny job over the file-count-sized sidecar; only (path,
+    * boolean) rows reach the driver, never the sketches themselves.
+    */
+  def bloomCandidatePaths(s: SparkSession, dir: String, colName: String,
+                          value: Any): (Seq[String], Int, Int) = {
+    val gen = committedGen(dir).getOrElse(
+      sys.error(s"$dir is not a committed keyed table (no commit log)"))
+    val live = manifestAt(s, dir, gen).select("path").collect()
+      .map(_.getString(0)).toIndexedSeq
+    newestBloomDir(dir, colName, gen) match {
+      case None => (live, 0, live.size)
+      case Some((idxDir, _, k)) =>
+        val h = bloomProbeHash(value)
+        val admits = s.read.parquet(idxDir).select(col("path"),
+            graft.functions.GraftFunctions.bloomColMightContain("bloom", h, k)
+              .as("hit"))
+          .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+        val cands = live.filter(p => admits.getOrElse(p, true))
+        (cands, live.size - cands.size, live.size)
+    }
+  }
+
+  /** Point lookup `colName = value` through the Bloom sidecar: open
+    * only the candidate files, then apply the exact residual filter
+    * (sketch admission is per-FILE; the row filter still runs, also
+    * pushed into the parquet scan). Exact results always — with no
+    * sidecar this degrades to a full (filtered) table read.
+    */
+  def scanEqualsBloom(s: SparkSession, dir: String, colName: String,
+                      value: Any): DataFrame = {
+    val (cands, _, _) = bloomCandidatePaths(s, dir, colName, value)
+    val gen = committedGen(dir).get
+    val base =
+      if (cands.isEmpty) readTable(s, dir).limit(0)
+      else readerFor(s, dir, gen).parquet(cands: _*)
+    base.filter(col(colName) === lit(value))
+  }
+
   def changesStream(s: SparkSession, dir: String, keyCol: String,
-                    startGen: Int = 0): DataFrame =
+                    startGen: Int = 0, preImages: Boolean = false): DataFrame =
     s.readStream.format(classOf[graft.sources.CdcSourceProvider].getName)
       .option("path", dir).option("keyCol", keyCol)
-      .option("startGen", startGen.toString).load()
+      .option("startGen", startGen.toString)
+      .option("preImages", preImages.toString).load()
 
   def pollChanges(s: SparkSession, dir: String, lastSeenGen: Int,
-                  keyCol: String): Option[(Int, DataFrame)] = {
+                  keyCol: String, preImages: Boolean = false): Option[(Int, DataFrame)] = {
     val cur = committedGen(dir).getOrElse(
       sys.error(s"$dir is not a committed keyed table (no commit log)"))
     if (cur <= lastSeenGen) None
-    else Some((cur, changesBetween(s, dir, lastSeenGen, cur, keyCol)))
+    else Some((cur, changesBetween(s, dir, lastSeenGen, cur, keyCol, preImages)))
   }
 
   /** Observability of one merge's pruning decision. */
@@ -514,9 +645,18 @@ object MergeTable {
     * change hit) are dropped by a null-safe per-column comparison,
     * and a key inserted then deleted within the span nets out to no
     * row, so the result is the LOGICAL delta, not the physical one.
+    *
+    * `preImages = true` switches to Delta's CDF shape for updates:
+    * each U key emits TWO rows, `U_pre` (old values) and `U_post`
+    * (new values), which is what a delta-maintained consumer (an
+    * incremental aggregate view, a downstream index) needs to
+    * retract-then-assert — `retract sum(x) by pre, add by post` is
+    * exact where a post-only feed would have to re-read the base.
+    * Produced by one conditional-array explode over the SAME single
+    * diff join (no second pass, stays in codegen).
     */
   def changesBetween(s: SparkSession, dir: String, fromGen: Int, toGen: Int,
-                     keyCol: String): DataFrame = {
+                     keyCol: String, preImages: Boolean = false): DataFrame = {
     require(fromGen < toGen, s"need fromGen < toGen, got $fromGen >= $toGen")
     val pathsA = manifestAt(s, dir, fromGen).select("path")
       .collect().map(_.getString(0)).toSet
@@ -534,24 +674,45 @@ object MergeTable {
     // evolution); a side lacking a column contributes nulls, so a
     // pre-evolution row gaining a non-null value surfaces as U
     val vcols = (o0.columns ++ n0.columns).distinct.filterNot(_ == keyCol).toSeq
+    // align missing columns to the OTHER side's type, not NullType —
+    // a typed null keeps the pre/post structs union-compatible below
+    val vtypes = (o0.schema.fields ++ n0.schema.fields)
+      .map(f => f.name -> f.dataType).toMap
     def aligned(df: DataFrame) =
       vcols.foldLeft(df)((d, c) =>
-        if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))
+        if (d.columns.contains(c)) d
+        else d.withColumn(c, lit(null).cast(vtypes(c))))
     val o = aligned(o0).select(col(keyCol) +: lit(true).as("__in_o") +:
       vcols.map(c => col(c).as(s"__o_$c")): _*)
     val n = aligned(n0).select(col(keyCol) +: lit(true).as("__in_n") +:
       vcols.map(c => col(c).as(s"__n_$c")): _*)
     val differs = vcols.map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
-    o.join(n, Seq(keyCol), "full_outer")
+    val joined = o.join(n, Seq(keyCol), "full_outer")
       .withColumn("change_op",
         when(col("__in_n").isNull, lit("D"))
           .when(col("__in_o").isNull, lit("I"))
           .otherwise(lit("U")))
       .filter(col("change_op") =!= "U" || differs)
-      .select(col(keyCol) +: col("change_op") +:
+    if (!preImages)
+      joined.select(col(keyCol) +: col("change_op") +:
         vcols.map(c => when(col("change_op") === "D", col(s"__o_$c"))
           .otherwise(col(s"__n_$c")).as(c)): _*)
+    else if (vcols.isEmpty)
+      // a key-only table can't produce U (differs is const-false)
+      joined.select(col(keyCol), col("change_op"))
+    else {
+      val pre = struct(vcols.map(c => col(s"__o_$c").as(c)): _*)
+      val post = struct(vcols.map(c => col(s"__n_$c").as(c)): _*)
+      val fanned = when(col("change_op") === "U",
+          array(struct(lit("U_pre").as("op"), pre.as("v")),
+            struct(lit("U_post").as("op"), post.as("v"))))
+        .when(col("change_op") === "D",
+          array(struct(lit("D").as("op"), pre.as("v"))))
+        .otherwise(array(struct(lit("I").as("op"), post.as("v"))))
+      joined.select(col(keyCol), explode(fanned).as("__x"))
+        .select(col(keyCol), col("__x.op").as("change_op"), col("__x.v.*"))
+    }
   }
 
   /** Drop everything the COMMITTED manifest no longer references:
@@ -594,6 +755,9 @@ object MergeTable {
         graft.IndexLifecycle.deleteRecursively(p.toString); deleted += 1
       } else if (name.startsWith("_commit.tmp") && oldEnough(p)) {
         // a crashed commit's staged log entry — never observed by readers
+        java.nio.file.Files.deleteIfExists(p); deleted += 1
+      } else if (name.startsWith("_constraints.tmp-") && oldEnough(p)) {
+        // a crashed addCheckConstraint's staged file — ditto
         java.nio.file.Files.deleteIfExists(p); deleted += 1
       } else if (name.startsWith("files-g")) {
         val fs = java.nio.file.Files.list(p)
@@ -796,6 +960,7 @@ object MergeTable {
     val staging = dataDirOf(dir, next, token)
     newRows.repartitionByRange(math.max(1, touched.size), col(keyCol))
       .write.parquet(staging)
+    enforceConstraintsStaged(s, dir, staging, Seq(staging), "merge")
 
     val newStats =
       if (hasParquetFiles(staging)) statsOf(s, staging, keyCol)
@@ -1023,6 +1188,7 @@ object MergeTable {
     }: _*)
     updated.repartitionByRange(math.max(1, rewrite.size), col(keyCol))
       .write.parquet(staging)
+    enforceConstraintsStaged(s, dir, staging, Seq(staging), "updateWhere")
     man.filter(col("path").isin(carried: _*))
       .unionByName(statsOf(s, staging, keyCol), allowMissingColumns = true)
       .coalesce(1).write.parquet(manifestDirOf(dir, next, token))
@@ -1035,6 +1201,103 @@ object MergeTable {
         throw e
     }
     DmlStats(next, Nil, rewrite, carried)
+  }
+
+  // ---- CHECK constraints ----
+  //
+  // Delta's table-constraint surface (ALTER TABLE ADD CONSTRAINT …
+  // CHECK) on this layer: named boolean SQL expressions that every
+  // mutation must uphold. ANSI CHECK semantics — a row passes when the
+  // expression is TRUE or UNKNOWN (null), fails only on FALSE. NOT
+  // NULL is just `c IS NOT NULL`. Enforcement reads the STAGED files
+  // of the committing generation (one columnar pass over the band the
+  // mutation rewrote, never the table) BEFORE the commit-log link, so
+  // a violating batch leaves the table untouched at the previous
+  // generation — readers never observe a constraint-breaking row.
+  // [[restore]] and [[compact]] re-reference/rewrite rows that already
+  // passed, so they skip the check (Delta's posture: constraints gate
+  // NEW data).
+
+  private def constraintsFileOf(dir: String) =
+    java.nio.file.Path.of(dir, "_constraints")
+
+  /** Active CHECK constraints: name -> boolean SQL expression. */
+  def checkConstraints(dir: String): Map[String, String] = {
+    val f = constraintsFileOf(dir)
+    if (!java.nio.file.Files.exists(f)) Map.empty
+    else new String(java.nio.file.Files.readAllBytes(f), "UTF-8").linesIterator
+      .filter(_.nonEmpty).map { l =>
+        val kv = l.split("=", 2)
+        require(kv.length == 2, s"malformed _constraints line in $dir: '$l'")
+        kv(0) -> kv(1)
+      }.toMap
+  }
+
+  private def writeConstraintsFile(dir: String, m: Map[String, String]): Unit = {
+    val tmp = java.nio.file.Path.of(dir, s"_constraints.tmp-${newToken()}")
+    if (m.isEmpty) {
+      java.nio.file.Files.deleteIfExists(constraintsFileOf(dir)); ()
+    } else {
+      val body = m.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+        .mkString("", "\n", "\n")
+      java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, constraintsFileOf(dir),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+  }
+
+  /** ALTER TABLE ADD CONSTRAINT (Delta semantics): the EXISTING rows
+    * must already satisfy the expression — one scan at add time, loud
+    * failure with sample rows — then the constraint persists
+    * (atomic-replace file; crash leaves old or new set, never torn)
+    * and gates every subsequent [[merge]]/[[updateWhere]]/[[upsertSink]].
+    */
+  def addCheckConstraint(s: SparkSession, dir: String, name: String,
+                         exprSql: String): Unit = {
+    require(name.matches("[A-Za-z0-9_\\-]+"),
+      s"constraint name '$name' must match [A-Za-z0-9_-]+")
+    val cur = checkConstraints(dir)
+    require(!cur.contains(name), s"constraint '$name' already exists on $dir")
+    val sample = readTable(s, dir)
+      .filter(coalesce(expr(exprSql), lit(true)) === lit(false))
+      .limit(3).collect()
+    if (sample.nonEmpty) throw new IllegalStateException(
+      s"cannot add CHECK constraint '$name' ($exprSql) on $dir: existing rows " +
+        s"violate it, e.g. ${sample.mkString("; ")}")
+    writeConstraintsFile(dir, cur + (name -> exprSql))
+  }
+
+  /** Returns whether the constraint existed. */
+  def dropCheckConstraint(dir: String, name: String): Boolean = {
+    val cur = checkConstraints(dir)
+    if (!cur.contains(name)) false
+    else { writeConstraintsFile(dir, cur - name); true }
+  }
+
+  /** Validate a committing generation's staged files; on the first
+    * violating constraint, delete the staged dirs and fail naming the
+    * constraint + sample rows. Cost: one filter+limit job per
+    * constraint over the STAGED band (columnar, ~always a small
+    * fraction of the table); zero cost with no constraints.
+    */
+  private def enforceConstraintsStaged(s: SparkSession, dir: String,
+                                       staging: String, cleanup: Seq[String],
+                                       opName: String): Unit = {
+    val cons = checkConstraints(dir)
+    if (cons.isEmpty || !hasParquetFiles(staging)) return
+    val df = s.read.parquet(staging)
+    cons.foreach { case (n, e) =>
+      val sample = df.filter(coalesce(expr(e), lit(true)) === lit(false))
+        .limit(3).collect()
+      if (sample.nonEmpty) {
+        cleanup.foreach(graft.IndexLifecycle.deleteRecursively)
+        throw new IllegalStateException(
+          s"$opName on $dir rejected by CHECK constraint '$n' ($e); " +
+            s"sample violating rows: ${sample.mkString("; ")}")
+      }
+    }
   }
 
   // ---- streaming upsert sink ----
@@ -1336,9 +1599,57 @@ object MergeTable {
       .orderBy("k")
   }
 
+  /** q69: INCREMENTAL VIEW MAINTENANCE under the gate — the per-seg
+    * (count, sum) aggregate advanced from its generation-0 state by
+    * folding in the merge's pre-image CDC delta, never re-reading the
+    * merged table. The oracle recomputes the aggregate declaratively
+    * over the merged result: a maintenance rule that loses a
+    * retraction, double-counts an update, or mis-nets the span fails
+    * the hash. Sums run over round(bal*100) cents so the incremental
+    * and recomputed associations are both exact integer arithmetic —
+    * no float-order hazard between the two evaluation strategies.
+    */
+  val q69_incremental_mv: Q = (s, d) => {
+    val dir = mergedFixture(s, d, "mvtab")
+    val spec = IncrementalView.ViewSpec(Seq("seg"),
+      Seq("cents" -> "round(bal * 100)"))
+    val base = IncrementalView.compute(readTable(s, dir, asOf = Some(0)), spec)
+    val delta = changesBetween(s, dir, 0, 1, "k", preImages = true)
+    IncrementalView.applyDelta(base, delta, spec)
+      .select(col("seg"), col("mv_count").as("cnt"),
+        (col("cents") / 100).as("sum_bal"))
+      .orderBy("seg")
+  }
+
+  /** q70: Bloom-sidecar POINT LOOKUP under the gate — equality probe
+    * on a high-cardinality column (md5 of the name: deterministic,
+    * reproducible in DuckDB, and uncorrelated with the key layout, so
+    * min/max stats are structurally useless and the sidecar is the
+    * only thing standing between the probe and 16 file opens). The
+    * oracle is the declarative filter; a sketch that false-negatives
+    * the needle's file returns zero rows and fails rows_match.
+    * Pruning itself (≤ a few candidates of 16) is spec-asserted.
+    */
+  val q70_bloom_lookup: Q = (s, d) => {
+    val dir = fixtureDir(s, d, "bloomtab")
+    val c = Tables.customer(s, d)
+    val base = c.select(col("c_custkey").as("k"),
+      md5(col("c_name").cast("binary")).as("tag"),
+      col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"))
+    write(s, base, "k", dir, nFiles = 16)
+    buildBloomIndex(s, dir, "tag")
+    val maxK = c.agg(max(col("c_custkey")).cast("long")).head().getLong(0)
+    val needle = base.filter(col("k") === maxK / 3).select("tag").head().getString(0)
+    scanEqualsBloom(s, dir, "tag", needle)
+      .select(col("k"), col("tag"), col("seg"), r2(col("bal")).as("bal"))
+      .orderBy("k")
+  }
+
   val registry: Map[String, Q] = Map(
     "q67_restore" -> q67_restore,
     "q68_clone" -> q68_clone,
+    "q69_incremental_mv" -> q69_incremental_mv,
+    "q70_bloom_lookup" -> q70_bloom_lookup,
     "q59_merge_pruned" -> q59_merge_pruned,
     "q60_merge_cdc" -> q60_merge_cdc,
     "q61_compacted_read" -> q61_compacted_read,
@@ -1349,6 +1660,38 @@ object MergeTable {
     "q66_update_where" -> q66_update_where)
 
   val oracles: Map[String, String] = Map(
+    // the delta-maintained aggregate must equal the declarative
+    // group-by over the merged table (same CTEs the merge consumed);
+    // integer-cents sums make both association orders exact
+    "q69_incremental_mv" ->
+      """WITH t AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+        |           FROM customer),
+        |mx AS (SELECT max(c_custkey) AS m FROM customer),
+        |upd AS (SELECT k, 'WEB' AS u_seg, bal + 100 AS u_bal
+        |        FROM t, mx WHERE k * 8 <= m AND k % 5 = 0 AND k % 7 <> 0),
+        |del AS (SELECT k FROM t, mx WHERE k * 8 <= m AND k % 7 = 0),
+        |ins AS (SELECT k + 10000000 AS k, seg, bal
+        |        FROM t, mx WHERE k * 8 <= m AND k % 5 = 1),
+        |merged AS (
+        |  SELECT t.k, coalesce(u.u_seg, t.seg) AS seg,
+        |    coalesce(u.u_bal, t.bal) AS bal
+        |  FROM t LEFT JOIN upd u USING (k)
+        |  WHERE t.k NOT IN (SELECT k FROM del)
+        |  UNION ALL
+        |  SELECT k, seg, bal FROM ins)
+        |SELECT seg, count(*) AS cnt, sum(round(bal * 100)) / 100 AS sum_bal
+        |FROM merged GROUP BY seg ORDER BY seg""".stripMargin,
+    // the declarative needle filter — the bloom-pruned read must
+    // surface exactly the matching row(s)
+    "q70_bloom_lookup" ->
+      """WITH t AS (SELECT c_custkey AS k, md5(c_name) AS tag,
+        |             c_mktsegment AS seg, c_acctbal AS bal
+        |           FROM customer),
+        |mx AS (SELECT max(c_custkey) AS m FROM customer)
+        |SELECT k, tag, seg, round(bal * 100) / 100 AS bal
+        |FROM t, mx
+        |WHERE tag = (SELECT md5(c_name) FROM customer, mx WHERE c_custkey = m // 3)
+        |ORDER BY k""".stripMargin,
     // restore-to-gen-0 must surface the base dimension untouched —
     // any merged row leaking through the rollback breaks the hash
     "q67_restore" ->

@@ -42,7 +42,11 @@ import graft.operators.MergeTable
   * generation, default 0: the stream emits changes AFTER it — or
   * `snapshot` for snapshot-then-follow: the FIRST batch is the whole
   * table as `I` rows at the then-committed generation, and deltas
-  * follow from there; Delta's startingVersion-less stream shape).
+  * follow from there; Delta's startingVersion-less stream shape),
+  * `preImages` (default false; true = Delta-CDF update shape — each
+  * U key arrives as `U_pre` + `U_post` rows, what a delta-maintained
+  * view needs to retract-then-assert; see
+  * [[MergeTable.changesBetween]]).
   *
   * Output schema: keyCol, change_op (I/U/D), _commit_gen (the
   * batch's end generation), then the table's value columns — post-
@@ -56,14 +60,14 @@ final class CdcSourceProvider extends StreamSourceProvider with DataSourceRegist
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) = {
-    val (dir, keyCol, _) = CdcSource.options(parameters)
+    val (dir, keyCol, _, _) = CdcSource.options(parameters)
     (shortName(), CdcSource.cdcSchema(dir, keyCol))
   }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source = {
-    val (dir, keyCol, rawStart) = CdcSource.options(parameters)
+    val (dir, keyCol, rawStart, preImages) = CdcSource.options(parameters)
     // a typo'd baseline would otherwise yield a silently-empty stream
     val cur = MergeTable.committedGen(dir).getOrElse(
       throw new IllegalArgumentException(s"$dir is not a committed keyed table"))
@@ -73,7 +77,7 @@ final class CdcSourceProvider extends StreamSourceProvider with DataSourceRegist
     require(startGen >= -1 && startGen <= cur,
       s"startGen $startGen out of range: table $dir is at generation $cur " +
         "(use -1 / 'snapshot' for snapshot-then-follow, 'latest' for follow-only)")
-    new CdcSource(ctx, dir, keyCol, startGen)
+    new CdcSource(ctx, dir, keyCol, startGen, preImages)
   }
 }
 
@@ -86,7 +90,7 @@ object CdcSource {
   /** `startGen = -1` is the internal encoding of `snapshot`,
     * [[Latest]] of `latest`.
     */
-  private[sources] def options(p: Map[String, String]): (String, String, Int) = {
+  private[sources] def options(p: Map[String, String]): (String, String, Int, Boolean) = {
     val dir = p.getOrElse("path",
       throw new IllegalArgumentException("graft-cdc requires option 'path' (MergeTable dir)"))
     val keyCol = p.getOrElse("keycol", p.getOrElse("keyCol",
@@ -97,7 +101,10 @@ object CdcSource {
       else if (sg.equalsIgnoreCase("latest")) Latest
       else sg.toIntOption.getOrElse(throw new IllegalArgumentException(
         s"graft-cdc option 'startGen' must be an integer generation, 'snapshot', or 'latest', got '$sg'"))
-    (dir, keyCol, gen)
+    val pi = p.getOrElse("preimages", p.getOrElse("preImages", "false"))
+    val preImages = pi.toBooleanOption.getOrElse(throw new IllegalArgumentException(
+      s"graft-cdc option 'preImages' must be true/false, got '$pi'"))
+    (dir, keyCol, gen, preImages)
   }
 
   /** keyCol, change_op, _commit_gen, then value columns in log-schema
@@ -122,7 +129,8 @@ object CdcSource {
   }
 }
 
-final class CdcSource(ctx: SQLContext, dir: String, keyCol: String, startGen: Int)
+final class CdcSource(ctx: SQLContext, dir: String, keyCol: String, startGen: Int,
+                      preImages: Boolean = false)
     extends Source {
   private val spark = ctx.sparkSession
 
@@ -160,7 +168,7 @@ final class CdcSource(ctx: SQLContext, dir: String, keyCol: String, startGen: In
           .withColumn("change_op", lit("I"))
           .withColumn("_commit_gen", lit(to))
       else
-        MergeTable.changesBetween(spark, dir, from.toInt, to.toInt, keyCol)
+        MergeTable.changesBetween(spark, dir, from.toInt, to.toInt, keyCol, preImages)
           .withColumn("_commit_gen", lit(to))
     // align to the declared schema: the span's union columns may
     // predate/postdate the stream's fixed schema — declared-but-

@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CDC pre-images + incremental view maintenance: the preImages fan
+  * shape, delta maintenance vs recomputation across generations, SQL
+  * null/empty-group semantics under retraction, the persisted view's
+  * refresh/idempotence, and streaming maintenance end to end.
+  */
+class IncrementalViewSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def table(n: Int) =
+    (1 to n).map(k => (k.toLong, s"seg${k % 4}", k * 1.5)).toDF("k", "seg", "bal")
+
+  private val spec = IncrementalView.ViewSpec(Seq("seg"), Seq("sb" -> "bal"))
+
+  /** (seg, count, sum, nn) rows sorted — bal values are exact binary
+    * halves, so sums compare exactly regardless of association.
+    */
+  private def rowsOf(df: DataFrame): Seq[(String, Long, Option[Double], Long)] =
+    df.select(col("seg"), col("mv_count"), col("sb"), col("__nn_sb"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+
+  test("changesBetween preImages fans U into U_pre/U_post, leaves I/D alone") {
+    val dir = tmpDir("cdcpre")
+    MergeTable.write(spark, table(200), "k", dir, nFiles = 4)
+    val changes = Seq(
+      (10L, "U", "WEB", 999.0), (20L, "D", null, 0.0), (5000L, "I", "NEW", 1.0)
+    ).toDF("k", "op", "seg", "bal")
+    MergeTable.merge(spark, dir, changes, "k")
+
+    val plain = MergeTable.changesBetween(spark, dir, 0, 1, "k")
+      .select("k", "change_op", "seg", "bal")
+      .as[(Long, String, String, Double)].collect().sortBy(r => (r._1, r._2))
+    val pre = MergeTable.changesBetween(spark, dir, 0, 1, "k", preImages = true)
+      .select("k", "change_op", "seg", "bal")
+      .as[(Long, String, String, Double)].collect().sortBy(r => (r._1, r._2))
+
+    // the U key arrives as retract-then-assert with exact images
+    assert(pre.filter(_._1 == 10L).toSeq == Seq(
+      (10L, "U_post", "WEB", 999.0), (10L, "U_pre", "seg2", 15.0))
+      .sortBy(r => (r._1, r._2)))
+    // I and D rows are byte-identical between the two shapes
+    assert(pre.filter(r => r._2 == "I" || r._2 == "D").toSeq ==
+      plain.filter(r => r._2 == "I" || r._2 == "D").toSeq)
+    // U_post carries exactly what the post-only shape called U
+    assert(pre.filter(_._2 == "U_post").map(r => (r._1, r._3, r._4)).toSeq ==
+      plain.filter(_._2 == "U").map(r => (r._1, r._3, r._4)).toSeq)
+    assert(pre.length == plain.length + 1) // one U key fanned into two rows
+  }
+
+  test("applyDelta equals recomputation across generations, and nets a span") {
+    val dir = tmpDir("ivmdelta")
+    MergeTable.write(spark, table(1000), "k", dir, nFiles = 8)
+    val base = IncrementalView.compute(
+      MergeTable.readTable(spark, dir, asOf = Some(0)), spec)
+
+    MergeTable.merge(spark, dir, Seq(
+      (10L, "U", "WEB", 999.0), (11L, "U", "WEB", 1.25),
+      (20L, "D", null, 0.0), (21L, "D", null, 0.0),
+      (5000L, "I", "NEW", 7.5)).toDF("k", "op", "seg", "bal"), "k")
+    MergeTable.merge(spark, dir, Seq(
+      (10L, "U", "WEB", 0.5),         // update an already-updated key
+      (5000L, "D", null, 0.0),        // delete the gen-1 insert
+      (20L, "I", "seg0", 30.0),       // re-insert a gen-1 delete
+      (777L, "U", "seg1", 777.5)).toDF("k", "op", "seg", "bal"), "k")
+
+    val s1 = IncrementalView.applyDelta(base,
+      MergeTable.changesBetween(spark, dir, 0, 1, "k", preImages = true), spec)
+    val s2 = IncrementalView.applyDelta(s1,
+      MergeTable.changesBetween(spark, dir, 1, 2, "k", preImages = true), spec)
+    val truth = IncrementalView.compute(MergeTable.readTable(spark, dir), spec)
+    assert(rowsOf(s2) == rowsOf(truth))
+
+    // one net span fold == two per-generation folds
+    val spanned = IncrementalView.applyDelta(base,
+      MergeTable.changesBetween(spark, dir, 0, 2, "k", preImages = true), spec)
+    assert(rowsOf(spanned) == rowsOf(truth))
+  }
+
+  test("retraction semantics: emptied group leaves, all-null sum goes NULL; plain U fails loudly") {
+    val dir = tmpDir("ivmnull")
+    // gX: two rows (will be emptied); gN: one non-null + one null bal
+    val t = Seq((1L, "gX", Some(5.0)), (2L, "gX", Some(6.0)),
+      (3L, "gN", Some(5.0)), (4L, "gN", None), (5L, "gK", Some(1.0)))
+      .toDF("k", "seg", "bal")
+    MergeTable.write(spark, t, "k", dir, nFiles = 2)
+    val base = IncrementalView.compute(
+      MergeTable.readTable(spark, dir, asOf = Some(0)), spec)
+    MergeTable.merge(spark, dir, Seq(
+      (1L, "D", null, 0.0), (2L, "D", null, 0.0), (3L, "D", null, 0.0))
+      .toDF("k", "op", "seg", "bal"), "k")
+    val got = IncrementalView.applyDelta(base,
+      MergeTable.changesBetween(spark, dir, 0, 1, "k", preImages = true), spec)
+    // gX gone; gN keeps its null row but its sum is SQL-NULL now
+    assert(rowsOf(got) == Seq(("gK", 1L, Some(1.0), 1L), ("gN", 1L, None, 0L)))
+    assert(rowsOf(got) == rowsOf(
+      IncrementalView.compute(MergeTable.readTable(spark, dir), spec)))
+
+    // a post-only feed (plain U, no pre-image) must fail the job, not
+    // silently drift the view
+    val plainU = Seq((5L, "U", "gK", 2.0)).toDF("k", "change_op", "seg", "bal")
+    val ex = intercept[Exception] {
+      IncrementalView.applyDelta(base, plainU, spec).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("persisted view: refresh folds the pending span, is idempotent, matches recompute") {
+    val dir = tmpDir("ivmstore")
+    val mv = tmpDir("ivmstore-mv")
+    MergeTable.write(spark, table(500), "k", dir, nFiles = 4)
+    assert(IncrementalView.materialize(spark, dir, "k", mv, spec) == 0)
+    assert(IncrementalView.refresh(spark, dir, mv, spec).isEmpty) // current
+
+    MergeTable.merge(spark, dir, Seq(
+      (7L, "U", "WEB", 100.0), (8L, "D", null, 0.0), (900L, "I", "NEW", 2.5))
+      .toDF("k", "op", "seg", "bal"), "k")
+    MergeTable.merge(spark, dir, Seq(
+      (7L, "U", "seg3", 50.0), (900L, "U", "NEW", 3.5))
+      .toDF("k", "op", "seg", "bal"), "k")
+
+    assert(IncrementalView.refresh(spark, dir, mv, spec).contains(2))
+    val got = MergeTable.readTable(spark, mv).drop(IncrementalView.keyColName)
+    assert(rowsOf(got) ==
+      rowsOf(IncrementalView.compute(MergeTable.readTable(spark, dir), spec)))
+    assert(IncrementalView.reflectedGen(mv) == 2)
+    assert(IncrementalView.refresh(spark, dir, mv, spec).isEmpty) // nothing pending
+  }
+
+  test("maintainStream keeps the persisted view current, exactly-once") {
+    val dir = tmpDir("ivmstream")
+    val mv = tmpDir("ivmstream-mv")
+    val ckpt = tmpDir("ivmstream-ckpt")
+    MergeTable.write(spark, table(300), "k", dir, nFiles = 4)
+    IncrementalView.materialize(spark, dir, "k", mv, spec)
+    val q = IncrementalView.maintainStream(spark, dir, mv, spec, ckpt)
+    try {
+      q.processAllAvailable() // nothing committed past gen 0 yet
+      assert(IncrementalView.reflectedGen(mv) == 0)
+
+      MergeTable.merge(spark, dir, Seq(
+        (3L, "U", "WEB", 9.0), (4L, "D", null, 0.0), (600L, "I", "NEW", 1.0))
+        .toDF("k", "op", "seg", "bal"), "k")
+      q.processAllAvailable()
+      assert(IncrementalView.reflectedGen(mv) == 1)
+      assert(rowsOf(MergeTable.readTable(spark, mv).drop(IncrementalView.keyColName)) ==
+        rowsOf(IncrementalView.compute(MergeTable.readTable(spark, dir), spec)))
+
+      MergeTable.merge(spark, dir, Seq((600L, "U", "NEW", 2.0))
+        .toDF("k", "op", "seg", "bal"), "k")
+      q.processAllAvailable()
+      assert(IncrementalView.reflectedGen(mv) == 2)
+      assert(rowsOf(MergeTable.readTable(spark, mv).drop(IncrementalView.keyColName)) ==
+        rowsOf(IncrementalView.compute(MergeTable.readTable(spark, dir), spec)))
+    } finally q.stop()
+
+    // exactly-once guard: re-folding an already-reflected span is a no-op
+    val before = rowsOf(MergeTable.readTable(spark, mv).drop(IncrementalView.keyColName))
+    assert(IncrementalView.refresh(spark, dir, mv, spec).isEmpty)
+    assert(rowsOf(MergeTable.readTable(spark, mv).drop(IncrementalView.keyColName)) == before)
+  }
+}

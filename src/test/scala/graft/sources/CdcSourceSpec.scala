@@ -333,14 +333,21 @@ class CdcSourceSpec extends SparkSpecBase {
   test("malformed startGen option fails with a descriptive message, not a parse crash") {
     val ok = CdcSource.options(Map("path" -> "/t", "keycol" -> "k",
       "startgen" -> "snapshot"))
-    assert(ok == (("/t", "k", -1)))
+    assert(ok == (("/t", "k", -1, false)))
     assert(CdcSource.options(Map("path" -> "/t", "keycol" -> "k",
-      "startgen" -> "latest")) == (("/t", "k", CdcSource.Latest)))
+      "startgen" -> "latest")) == (("/t", "k", CdcSource.Latest, false)))
+    assert(CdcSource.options(Map("path" -> "/t", "keycol" -> "k",
+      "preImages" -> "true")) == (("/t", "k", 0, true)))
     val e = intercept[IllegalArgumentException] {
       CdcSource.options(Map("path" -> "/t", "keycol" -> "k",
         "startgen" -> "newest"))
     }
     assert(e.getMessage.contains("startGen") && e.getMessage.contains("newest"))
+    val e2 = intercept[IllegalArgumentException] {
+      CdcSource.options(Map("path" -> "/t", "keycol" -> "k",
+        "preimages" -> "yep"))
+    }
+    assert(e2.getMessage.contains("preImages") && e2.getMessage.contains("yep"))
   }
 
   test("a generation span past Int range fails loudly instead of wrapping") {
