@@ -910,8 +910,113 @@ object ScaleProbe {
         require(jobs.get <= 4,
           s"batched fold should cost O(1) jobs, saw ${jobs.get}")
 
+      case "ivm" =>
+        // Incremental view maintenance, the SCALING SHAPE: a fixed
+        // 1M-key change batch against tables 8× apart in size. The
+        // refresh folds only the CDC delta + the 7-group view, so its
+        // time must stay ~flat across the sizes; the recompute scans
+        // the base, so its time must grow with the table. (At local
+        // 100M scale the recompute's 2-column scan is cheap enough to
+        // win on ABSOLUTE time — the probe's claim is the slope, which
+        // is what decides at 10^12 rows, where a per-refresh base scan
+        // is hours and the delta fold stays exactly this flat.)
+        val nFiles = 64
+        val deltaKeys = 1000000L
+        val timings = Seq(rows / 8, rows).map { m =>
+          val dir = java.nio.file.Files.createTempDirectory(s"probe-ivm-$m").toString
+          val mv = java.nio.file.Files.createTempDirectory(s"probe-ivm-mv-$m").toString
+          val src = spark.range(m).select(col("id").as("k"),
+            concat(lit("seg"), pmod(col("id"), lit(7))).as("seg"),
+            (pmod(xxhash64(col("id")), lit(100000)) / 100.0).as("bal"))
+          operators.MergeTable.write(spark, src, "k", dir, nFiles)
+          val spec = operators.IncrementalView.ViewSpec(Seq("seg"), Seq("sb" -> "bal"))
+          operators.IncrementalView.materialize(spark, dir, "k", mv, spec)
+          val changes = spark.range(deltaKeys).select(col("id").as("k"),
+              when(col("id") % 3 === 0, lit("D")).otherwise(lit("U")).as("op"),
+              lit("seg9").as("seg"), lit(1.0).as("bal"))
+            .unionByName(spark.range(1000).select((col("id") + m + 7L).as("k"),
+              lit("I").as("op"), lit("segA").as("seg"), lit(2.0).as("bal")))
+          operators.MergeTable.merge(spark, dir, changes, "k")
+          val t1 = System.nanoTime()
+          operators.IncrementalView.refresh(spark, dir, mv, spec)
+          val refreshS = (System.nanoTime() - t1) / 1e9
+          val t2 = System.nanoTime()
+          val truth = operators.IncrementalView.compute(
+            operators.MergeTable.readTable(spark, dir), spec).collect()
+          val recomputeS = (System.nanoTime() - t2) / 1e9
+          println(f"$m%12d rows: refresh $refreshS%.2f s (delta $deltaKeys keys), recompute $recomputeS%.2f s")
+          val got = operators.MergeTable.readTable(spark, mv)
+            .drop(operators.IncrementalView.keyColName).collect()
+          val gm = got.map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+          truth.foreach { r =>
+            val (n, sb) = gm(r.getString(0))
+            require(n == r.getLong(1) && math.abs(sb - r.getDouble(2)) <
+              1e-6 * math.max(1.0, math.abs(sb)),
+              s"view drifted on ${r.getString(0)}: ($n,$sb) vs $r")
+          }
+          (refreshS, recomputeS)
+        }
+        val (rSmall, cSmall) = timings.head
+        val (rLarge, cLarge) = timings.last
+        println(f"8x table growth: refresh ${rLarge / rSmall}%.2fx, recompute ${cLarge / cSmall}%.2fx")
+        require(rLarge < rSmall * 3,
+          f"refresh must stay ~flat under 8x table growth, grew ${rLarge / rSmall}%.1fx")
+        require(cLarge > cSmall * 2,
+          f"recompute contrast did not scale with the table (${cLarge / cSmall}%.1fx) — probe regime invalid")
+
+      case "bloomidx" =>
+        // Per-file bloom sidecar: a needle lookup on a column the
+        // layout knows nothing about must open ~1 of 64 files after
+        // one index-build pass; the contrast row filters the full
+        // table. At 100 TB the full filter schedules every file's
+        // scan task; the sidecar path stays file-count-flat.
+        val nFiles = 64
+        val dir = java.nio.file.Files.createTempDirectory("probe-bloomidx").toString
+        val src = spark.range(rows).select(col("id").as("k"),
+          concat(lit("tag-"), pmod(xxhash64(col("id")), lit(1000000007L))).as("tag"),
+          (pmod(xxhash64(col("id") + 7L), lit(100000)) / 100.0).as("bal"))
+        operators.MergeTable.write(spark, src, "k", dir, nFiles)
+        val t0 = System.nanoTime()
+        // ~780k keys/file at 50M/64 wants ≥10 bits/key: 2^23 bits =
+        // 1 MB/sketch, fp < 1% per file (2^22 measured ~10% fp → 6.6
+        // candidate files; sketch sizing is the pruning dial)
+        operators.MergeTable.buildBloomIndex(spark, dir, "tag", numBits = 1 << 23)
+        println(f"index build ($rows rows, $nFiles sketches): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val probes = (1 to 5).map(i => rows / 7 * i)
+        // probe tags must be REAL values: read them back from the table
+        val tags = operators.MergeTable.readTable(spark, dir)
+          .filter(col("k").isin(probes: _*)).select("tag").collect()
+          .map(_.getString(0)).toSeq
+        var cand = 0
+        val t1 = System.nanoTime()
+        tags.foreach { tag =>
+          val (c, _, _) = operators.MergeTable.bloomCandidatePaths(spark, dir, "tag", tag)
+          cand += c.size
+          val n = operators.MergeTable.scanEqualsBloom(spark, dir, "tag", tag).count()
+          require(n >= 1, s"bloom lookup lost the needle $tag")
+        }
+        println(f"${tags.size} bloom lookups (avg ${cand.toDouble / tags.size}%.1f/$nFiles files opened): ${(System.nanoTime() - t1) / 1e9}%.2f s")
+        val t2 = System.nanoTime()
+        tags.foreach { tag =>
+          val n = operators.MergeTable.readTable(spark, dir)
+            .filter(col("tag") === tag).count()
+          require(n >= 1)
+        }
+        println(f"${tags.size} full-scan lookups (all $nFiles files): ${(System.nanoTime() - t2) / 1e9}%.2f s")
+        // the lookup-service shape: one sidecar pass amortized over
+        // the whole needle batch vs one full-table IN scan
+        val t3 = System.nanoTime()
+        val (bcands, _, _) = operators.MergeTable.bloomCandidatePathsIn(spark, dir, "tag", tags)
+        val bn = operators.MergeTable.scanEqualsBloomIn(spark, dir, "tag", tags).count()
+        println(f"batched bloom lookup (${tags.size} needles, ${bcands.size}/$nFiles files): ${(System.nanoTime() - t3) / 1e9}%.2f s, $bn rows")
+        val t4 = System.nanoTime()
+        val fn = operators.MergeTable.readTable(spark, dir)
+          .filter(col("tag").isin(tags: _*)).count()
+        println(f"batched full scan (${tags.size} needles, all $nFiles files): ${(System.nanoTime() - t4) / 1e9}%.2f s, $fn rows")
+        require(bn == fn, s"batched bloom lookup diverged: $bn vs $fn")
+
       case other =>
-        System.err.println(s"unknown probe '$other'; use topn | cumsum | incr | hh | bloom | skew | tri | pr | bitmap64 | annappend | build | tx17vocab | merge | drift | dd13sig | ivfcompact")
+        System.err.println(s"unknown probe '$other'; use topn | cumsum | incr | hh | bloom | skew | tri | pr | bitmap64 | annappend | build | tx17vocab | merge | drift | dd13sig | ivfcompact | ivm | bloomidx")
         sys.exit(2)
     }
     spark.stop()

@@ -104,7 +104,7 @@ object IncrementalView {
     * U+0001, with U+0002 standing in for NULL (distinct from any
     * rendered value, keeps null groups mergeable).
     */
-  private[operators] val keyColName = "__mv_key"
+  val keyColName = "__mv_key"
   private def keyExpr(spec: ViewSpec): Column =
     concat_ws("\u0001",
       spec.groupCols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)

@@ -281,6 +281,30 @@ object MergeTable {
   def writeClustered(s: SparkSession, df: DataFrame, keyCol: String,
                      clusterCols: Seq[String], dir: String,
                      nFiles: Int = 16): Unit = {
+    zValueOf(df, clusterCols) match {
+      case None => // empty input (or all-null cluster col): nothing to interleave
+        write(s, df, keyCol, dir, nFiles)
+      case Some(zv) =>
+        graft.IndexLifecycle.deleteRecursively(dir)
+        val token = newToken()
+        df.withColumn("__zv", zv)
+          .repartitionByRange(nFiles, col("__zv"))
+          .drop("__zv")
+          .write.parquet(dataDirOf(dir, 0, token))
+        statsOf(s, dataDirOf(dir, 0, token), keyCol)
+          .coalesce(1).write.parquet(manifestDirOf(dir, 0, token))
+        commitGen(dir, 0, token, Map("op" -> "cluster", "schema" -> df.schema.json))
+    }
+  }
+
+  /** The Morton (bit-interleaved) order key over `clusterCols`, or
+    * None when there is nothing to interleave (empty input / all-null
+    * cluster column). One tiny bounds agg; the z-value itself is pure
+    * Column arithmetic (codegen'd, zero UDF). Shared by
+    * [[writeClustered]] (gen-0 creation) and [[recluster]] (in-place
+    * maintenance).
+    */
+  private def zValueOf(df: DataFrame, clusterCols: Seq[String]): Option[Column] = {
     // d ≤ 3: 16 lattice bits × d + (d-1) lane offset must stay below
     // bit 63 — a sign-bit z-value would break the range order
     require(clusterCols.nonEmpty && clusterCols.size <= 3,
@@ -293,9 +317,7 @@ object MergeTable {
     val boundExprs = clusterCols.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val bounds = df.agg(boundExprs.head, boundExprs.tail: _*).head()
-    if (bounds.anyNull) { // empty input (or all-null cluster col):
-      write(s, df, keyCol, dir, nFiles); return // nothing to interleave
-    }
+    if (bounds.anyNull) return None
     // 16-bit lattice coordinate per column, then spread bits so each
     // occupies every d-th position (d-way Morton interleave)
     def lattice(c: String, i: Int): Column = {
@@ -321,18 +343,55 @@ object MergeTable {
           spreadX.bitwiseAND(lit(mask))
         }
       }
-    val zv = clusterCols.zipWithIndex.map { case (c, i) =>
+    Some(clusterCols.zipWithIndex.map { case (c, i) =>
       shiftleft(spread(lattice(c, i)), i)
-    }.reduce(_ bitwiseOR _)
-    graft.IndexLifecycle.deleteRecursively(dir)
+    }.reduce(_ bitwiseOR _))
+  }
+
+  /** OPTIMIZE ZORDER in place (Delta's maintenance shape): rewrite
+    * every live file laid out on the Morton order of `clusterCols`,
+    * committed as a NEW generation under the same OCC link.
+    * [[writeClustered]] is the gen-0 creation path; this is what runs
+    * in the maintenance window after merges/updates have strewn
+    * key-ordered band files across the z layout. Rows are logically
+    * identical, so the CDC feed across a recluster nets to ZERO
+    * changes even though every physical file is replaced — layout, like
+    * compaction, must be invisible to readers and tailers. Cost ∝ the
+    * table (it IS a full rewrite); the payoff is every subsequent
+    * scanWhere/readIndexed band on any clustered dimension. Time
+    * travel to pre-recluster generations keeps working until vacuum.
+    */
+  def recluster(s: SparkSession, dir: String, keyCol: String,
+                clusterCols: Seq[String], nFiles: Int = 16): MergeStats = {
+    val prevGen = committedGen(dir).getOrElse(
+      sys.error(s"$dir is not a committed keyed table (no commit log)"))
+    val next = prevGen + 1
     val token = newToken()
-    df.withColumn("__zv", zv)
-      .repartitionByRange(nFiles, col("__zv"))
-      .drop("__zv")
-      .write.parquet(dataDirOf(dir, 0, token))
-    statsOf(s, dataDirOf(dir, 0, token), keyCol)
-      .coalesce(1).write.parquet(manifestDirOf(dir, 0, token))
-    commitGen(dir, 0, token, Map("op" -> "cluster", "schema" -> df.schema.json))
+    val df = readTable(s, dir, asOf = Some(prevGen))
+    val prevPaths = manifestAt(s, dir, prevGen).select("path").collect()
+      .map(_.getString(0)).toIndexedSeq
+    val staging = dataDirOf(dir, next, token)
+    zValueOf(df, clusterCols) match {
+      case Some(zv) =>
+        df.withColumn("__zv", zv)
+          .repartitionByRange(nFiles, col("__zv")).drop("__zv")
+          .write.parquet(staging)
+      case None => // degenerate input: fall back to key order
+        df.repartitionByRange(nFiles, col(keyCol)).write.parquet(staging)
+    }
+    val newStats =
+      if (hasParquetFiles(staging)) statsOf(s, staging, keyCol)
+      else manifestAt(s, dir, prevGen).filter(lit(false))
+    newStats.coalesce(1).write.parquet(manifestDirOf(dir, next, token))
+    try commitGen(dir, next, token, Map("op" -> "cluster") ++
+      schemaAt(dir, prevGen).map(sch => Map("schema" -> sch.json)).getOrElse(Map.empty))
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        Seq(staging, manifestDirOf(dir, next, token))
+          .foreach(graft.IndexLifecycle.deleteRecursively)
+        throw e
+    }
+    MergeStats(next, prevPaths, Nil) // everything rewrote, nothing carried
   }
 
   def manifest(s: SparkSession, dir: String): DataFrame = {
@@ -555,7 +614,11 @@ object MergeTable {
         .as("bloom"))
     val out = bloomDirOf(dir, colName, gen, numHashes)
     val staged = out + ".tmp" + newToken()
-    idx.coalesce(1).write.parquet(staged)
+    // NOT coalesced to one file: sketches are numBits/8 bytes each, so
+    // a big table's sidecar is tens of MB — probes re-read it per
+    // lookup and want the read parallel (the groupBy's partitioning
+    // spreads entries across ≤ shuffle.partitions part files)
+    idx.write.parquet(staged)
     // sweep superseded sidecars for this column, then land the new one
     val root = java.nio.file.Path.of(dir)
     val ls = java.nio.file.Files.list(root)
@@ -578,7 +641,20 @@ object MergeTable {
     * boolean) rows reach the driver, never the sketches themselves.
     */
   def bloomCandidatePaths(s: SparkSession, dir: String, colName: String,
-                          value: Any): (Seq[String], Int, Int) = {
+                          value: Any): (Seq[String], Int, Int) =
+    bloomCandidatePathsIn(s, dir, colName, Seq(value))
+
+  /** Batched admission: ONE sidecar pass decides per-file candidacy
+    * for N values at once (the lookup-service shape — the index read
+    * amortizes across the batch instead of being re-paid per needle).
+    * Returns the UNION candidate set over all values. Batch size is
+    * capped because the admission predicate is an N-term OR evaluated
+    * per sketch row.
+    */
+  def bloomCandidatePathsIn(s: SparkSession, dir: String, colName: String,
+                            values: Seq[Any]): (Seq[String], Int, Int) = {
+    require(values.nonEmpty && values.size <= 1024,
+      s"bloom probe batch must be 1..1024 values, got ${values.size}")
     val gen = committedGen(dir).getOrElse(
       sys.error(s"$dir is not a committed keyed table (no commit log)"))
     val live = manifestAt(s, dir, gen).select("path").collect()
@@ -586,10 +662,11 @@ object MergeTable {
     newestBloomDir(dir, colName, gen) match {
       case None => (live, 0, live.size)
       case Some((idxDir, _, k)) =>
-        val h = bloomProbeHash(value)
-        val admits = s.read.parquet(idxDir).select(col("path"),
-            graft.functions.GraftFunctions.bloomColMightContain("bloom", h, k)
-              .as("hit"))
+        val anyHit = values.map(v =>
+          graft.functions.GraftFunctions.bloomColMightContain(
+            "bloom", bloomProbeHash(v), k)).reduce(_ || _)
+        val admits = s.read.parquet(idxDir)
+          .select(col("path"), anyHit.as("hit"))
           .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
         val cands = live.filter(p => admits.getOrElse(p, true))
         (cands, live.size - cands.size, live.size)
@@ -603,13 +680,20 @@ object MergeTable {
     * sidecar this degrades to a full (filtered) table read.
     */
   def scanEqualsBloom(s: SparkSession, dir: String, colName: String,
-                      value: Any): DataFrame = {
-    val (cands, _, _) = bloomCandidatePaths(s, dir, colName, value)
+                      value: Any): DataFrame =
+    scanEqualsBloomIn(s, dir, colName, Seq(value))
+
+  /** Batched point lookup `colName IN (values…)`: one sidecar pass,
+    * one read over the union candidate set, exact residual IN filter.
+    */
+  def scanEqualsBloomIn(s: SparkSession, dir: String, colName: String,
+                        values: Seq[Any]): DataFrame = {
+    val (cands, _, _) = bloomCandidatePathsIn(s, dir, colName, values)
     val gen = committedGen(dir).get
     val base =
       if (cands.isEmpty) readTable(s, dir).limit(0)
       else readerFor(s, dir, gen).parquet(cands: _*)
-    base.filter(col(colName) === lit(value))
+    base.filter(col(colName).isin(values: _*))
   }
 
   def changesStream(s: SparkSession, dir: String, keyCol: String,
