@@ -30,7 +30,8 @@ object Explain {
         "dd12_cross_source_dups", "q51_bitmap_rollup", "q58_bitmap64_rollup",
         "q56_merge_upsert", "q57_session_paths", "pr02_triangles",
         "q59_merge_pruned", "dd13_cross_source_overlap", "q60_merge_cdc",
-        "q64_indexed_scan", "dd14_takedown")
+        "q64_indexed_scan", "dd14_takedown",
+        "q69_incremental_mv", "q70_bloom_lookup")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

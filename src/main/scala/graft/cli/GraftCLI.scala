@@ -105,11 +105,35 @@ object GraftCLI {
         MergeTable.compact(spark, dir, keyCol, targetRows = target)
         Seq(s"compacted $dir (target $target rows/file) -> generation " +
           s"${MergeTable.committedGen(dir).get}")
+      case ("recluster", dir :: keyCol :: cols :: more) =>
+        val nFiles = more.headOption.map(_.toInt).getOrElse(16)
+        val st = MergeTable.recluster(spark, dir, keyCol,
+          cols.split(",").toSeq, nFiles)
+        Seq(s"reclustered $dir on ($cols) -> generation ${st.gen} " +
+          s"(${st.touched.size} files rewritten)")
+      case ("bloom-index", dir :: colName :: more) =>
+        val bits = more.headOption.map(_.toInt).getOrElse(1 << 17)
+        val g = MergeTable.buildBloomIndex(spark, dir, colName, numBits = bits)
+        Seq(s"built bloom sidecar for $dir.$colName at generation $g ($bits bits/file)")
+      case ("constraints", dir :: Nil) =>
+        val cons = MergeTable.checkConstraints(dir)
+        if (cons.isEmpty) Seq(s"no CHECK constraints on $dir")
+        else cons.toSeq.sorted.map { case (n, e) => s"$n CHECK ($e)" }
+      case ("constraints", dir :: "add" :: name :: exprParts) =>
+        MergeTable.addCheckConstraint(spark, dir, name, exprParts.mkString(" "))
+        Seq(s"added CHECK constraint '$name' to $dir")
+      case ("constraints", dir :: "drop" :: name :: _) =>
+        if (MergeTable.dropCheckConstraint(dir, name))
+          Seq(s"dropped CHECK constraint '$name' from $dir")
+        else Seq(s"no constraint '$name' on $dir")
       case _ =>
         System.err.println(
           "usage: GraftCLI table history <dir> | restore <dir> <gen> | " +
             "clone <src> <dst> | vacuum <dir> [minAgeMs] | " +
-            "compact <dir> <keyCol> [targetRows]")
+            "compact <dir> <keyCol> [targetRows] | " +
+            "recluster <dir> <keyCol> <col[,col…]> [nFiles] | " +
+            "bloom-index <dir> <col> [numBits] | " +
+            "constraints <dir> [add <name> <expr…> | drop <name>]")
         sys.exit(2)
     }
   }

@@ -52,6 +52,39 @@ class CLISpec extends SparkSpecBase {
     assert(vac.head.startsWith("vacuumed "))
   }
 
+  test("table verbs: recluster/bloom-index/constraints") {
+    import graft.operators.MergeTable
+    import spark.implicits._
+    val dir = tmpDir("cli-table2")
+    MergeTable.write(spark,
+      (1 to 200).map(i => (i.toLong, (i % 7).toLong, s"t$i", i * 2.0))
+        .toDF("k", "g", "tag", "bal"), "k", dir, nFiles = 4)
+
+    val rc = GraftCLI.table(spark, "recluster", List(dir, "k", "k,g"))
+    assert(rc.head.contains("generation 1") && rc.head.contains("4 files"), rc)
+
+    val bi = GraftCLI.table(spark, "bloom-index", List(dir, "tag", "1024"))
+    assert(bi.head.contains("generation 1") && bi.head.contains("1024 bits"))
+    assert(MergeTable.scanEqualsBloom(spark, dir, "tag", "t42")
+      .select("k").as[Long].collect().toSeq == Seq(42L))
+
+    assert(GraftCLI.table(spark, "constraints", List(dir)).head
+      .startsWith("no CHECK constraints"))
+    val added = GraftCLI.table(spark, "constraints",
+      List(dir, "add", "bal-pos", "bal", ">", "0"))
+    assert(added.head.contains("bal-pos"))
+    assert(GraftCLI.table(spark, "constraints", List(dir)) ==
+      Seq("bal-pos CHECK (bal > 0)"))
+    intercept[IllegalStateException] {
+      MergeTable.merge(spark, dir,
+        Seq((999L, "I", 0L, "tX", -1.0)).toDF("k", "op", "g", "tag", "bal"), "k")
+    }
+    assert(GraftCLI.table(spark, "constraints", List(dir, "drop", "bal-pos")).head
+      .contains("dropped"))
+    assert(GraftCLI.table(spark, "constraints", List(dir, "drop", "bal-pos")).head
+      .contains("no constraint"))
+  }
+
   test("run_sample --update: bounded-state top-N path writes the same file") {
     val in = Files.createTempDirectory("cli-in-u")
     Files.write(in.resolve("sample.txt"),
