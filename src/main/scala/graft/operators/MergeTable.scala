@@ -840,8 +840,9 @@ object MergeTable {
       } else if (name.startsWith("_commit.tmp") && oldEnough(p)) {
         // a crashed commit's staged log entry — never observed by readers
         java.nio.file.Files.deleteIfExists(p); deleted += 1
-      } else if (name.startsWith("_constraints.tmp-") && oldEnough(p)) {
-        // a crashed addCheckConstraint's staged file — ditto
+      } else if ((name.startsWith("_constraints.tmp-") ||
+          name.startsWith("_dropped_cols.tmp-")) && oldEnough(p)) {
+        // a crashed constraint/drop-column staged file — ditto
         java.nio.file.Files.deleteIfExists(p); deleted += 1
       } else if (name.startsWith("files-g")) {
         val fs = java.nio.file.Files.list(p)
@@ -1022,6 +1023,25 @@ object MergeTable {
     val tableType = tableVals.toMap
     val valueCols = tableVals.map(_._1) ++
       changeVals.filterNot(tableVals.map(_._1).contains)
+    // retired-name guard (see dropColumn): a batch re-introducing a
+    // dropped column name would resurrect bytes still buried in
+    // carried files (parquet resolves by name) — allowed only once no
+    // live file physically carries it, checked with one footer pass
+    // paid only on this rare collision
+    val reintroduced = changeVals.filterNot(tableVals.map(_._1).contains)
+      .filter(droppedColumns(dir).contains)
+    if (reintroduced.nonEmpty) {
+      val physical =
+        if (livePaths.isEmpty) Set.empty[String]
+        else s.read.option("mergeSchema", "true").parquet(livePaths: _*)
+          .schema.fieldNames.toSet
+      val blocked = reintroduced.filter(physical.contains)
+      if (blocked.nonEmpty) throw new IllegalStateException(
+        s"merge on $dir re-introduces dropped column(s) ${blocked.mkString(", ")} " +
+          "still physically present in live files — rewrite the table first " +
+          "(compact everything) or use a fresh column name")
+      writeDroppedCols(dir, droppedColumns(dir) -- reintroduced)
+    }
     val ins = changes.filter(col("op") === "I")
       .select(col(keyCol) +: valueCols.map { c =>
         if (changeVals.contains(c)) col(c)
@@ -1285,6 +1305,91 @@ object MergeTable {
         throw e
     }
     DmlStats(next, Nil, rewrite, carried)
+  }
+
+  // ---- DROP COLUMN (metadata-only) ----
+
+  private def droppedColsFileOf(dir: String) =
+    java.nio.file.Path.of(dir, "_dropped_cols")
+
+  /** Column names retired by [[dropColumn]] and not yet physically
+    * shed from the live files.
+    */
+  def droppedColumns(dir: String): Set[String] = {
+    val f = droppedColsFileOf(dir)
+    if (!java.nio.file.Files.exists(f)) Set.empty
+    else new String(java.nio.file.Files.readAllBytes(f), "UTF-8").linesIterator
+      .filter(_.nonEmpty).toSet
+  }
+
+  private def writeDroppedCols(dir: String, names: Set[String]): Unit = {
+    val tmp = java.nio.file.Path.of(dir, s"_dropped_cols.tmp-${newToken()}")
+    if (names.isEmpty) {
+      java.nio.file.Files.deleteIfExists(droppedColsFileOf(dir)); ()
+    } else {
+      java.nio.file.Files.write(tmp,
+        names.toSeq.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, droppedColsFileOf(dir),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+  }
+
+  /** DROP COLUMN as a METADATA-ONLY commit (Delta's drop-column-with-
+    * column-mapping semantics at this layer): a new generation
+    * re-referencing the SAME files under a log schema that no longer
+    * carries the column — zero data IO on a 100 TB table; every
+    * reader projects through the explicit log schema, so the buried
+    * bytes are invisible immediately and vacuum never needs to know.
+    * The name is RETIRED (`_dropped_cols`, atomic-replace like
+    * `_constraints`): parquet resolves columns by NAME, so a same-name
+    * re-add through merge's schema evolution would resurrect the old
+    * bytes still buried in carried files — [[merge]] therefore refuses
+    * a retired name unless no live file still physically carries it
+    * (one mergeSchema footer pass, paid only on that rare collision;
+    * after a full rewrite the name un-retires automatically). RENAME
+    * is deliberately drop+add-as-new: without per-column ids a rename
+    * that preserves values is a full rewrite — do that explicitly.
+    * Constraints referencing the column must be dropped first (their
+    * enforcement would fail analysis on every later mutation).
+    * Time travel to pre-drop generations still sees the column;
+    * [[restore]] to one resurrects it (the schema rides the log).
+    */
+  def dropColumn(s: SparkSession, dir: String, keyCol: String,
+                 colName: String): Int = {
+    require(colName != keyCol,
+      s"cannot drop the table key '$keyCol'")
+    val prevGen = committedGen(dir).getOrElse(
+      sys.error(s"$dir is not a committed keyed table (no commit log)"))
+    val sch = schemaAt(dir, prevGen).getOrElse(
+      sys.error(s"$dir generation $prevGen records no schema in its commit log"))
+    require(sch.fieldNames.contains(colName),
+      s"no column '$colName' in ${sch.fieldNames.mkString("[", ",", "]")}")
+    checkConstraints(dir).foreach { case (n, e) =>
+      val refs = s.sessionState.sqlParser.parseExpression(e).collect {
+        case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          ua.name
+      }
+      require(!refs.contains(colName),
+        s"CHECK constraint '$n' ($e) references '$colName' — drop it first")
+    }
+    val next = prevGen + 1
+    val token = newToken()
+    // same files, re-manifested verbatim; only the log schema changes
+    manifestAt(s, dir, prevGen)
+      .coalesce(1).write.parquet(manifestDirOf(dir, next, token))
+    val newSch = org.apache.spark.sql.types.StructType(
+      sch.fields.filterNot(_.name == colName))
+    try commitGen(dir, next, token, Map("op" -> "dropcol",
+      "dropped" -> colName, "schema" -> newSch.json))
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        graft.IndexLifecycle.deleteRecursively(manifestDirOf(dir, next, token))
+        throw e
+    }
+    writeDroppedCols(dir, droppedColumns(dir) + colName)
+    next
   }
 
   // ---- CHECK constraints ----

@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Metadata-only DROP COLUMN: zero data IO, immediate invisibility,
+  * retired-name guard against byte resurrection, automatic un-retire
+  * after a physical rewrite, time-travel/restore semantics.
+  */
+class DropColumnSpec extends SparkSpecBase {
+  import spark.implicits._
+  import java.nio.file.{Files, Path}
+
+  private def table(n: Int) =
+    (1 to n).map(k => (k.toLong, s"seg${k % 4}", k * 1.5, s"note$k"))
+      .toDF("k", "seg", "bal", "note")
+
+  test("drop is metadata-only, immediately invisible, and time-travel keeps the column") {
+    val dir = tmpDir("dropcol")
+    MergeTable.write(spark, table(200), "k", dir, nFiles = 4)
+    val paths0 = MergeTable.manifest(spark, dir).select("path")
+      .collect().map(_.getString(0)).toSeq
+    val mt0 = paths0.map(p => p -> Files.getLastModifiedTime(
+      Path.of(java.net.URI.create(p))).toMillis).toMap
+
+    assert(MergeTable.dropColumn(spark, dir, "k", "note") == 1)
+    // no data file touched; same files referenced
+    val man1 = MergeTable.manifest(spark, dir).select("path")
+      .collect().map(_.getString(0)).toSeq
+    assert(man1.sorted == paths0.sorted)
+    paths0.foreach(p => assert(Files.getLastModifiedTime(
+      Path.of(java.net.URI.create(p))).toMillis == mt0(p), s"$p rewritten"))
+    // column gone through every read path
+    assert(MergeTable.readTable(spark, dir).columns.toSeq == Seq("k", "seg", "bal"))
+    assert(MergeTable.readIndexed(spark, dir).columns.toSeq == Seq("k", "seg", "bal"))
+    // CDC across the drop: same files on both sides → zero changes
+    assert(MergeTable.changesBetween(spark, dir, 0, 1, "k").count() == 0)
+    // pre-drop generation still carries it; history records the op
+    assert(MergeTable.readTable(spark, dir, asOf = Some(0)).columns.contains("note"))
+    val hist = MergeTable.history(spark, dir).select("gen", "op")
+      .as[(Int, String)].collect().toSeq
+    assert(hist == Seq((1, "dropcol"), (0, "write")))
+
+    // guards: unknown column, the key, constraint references
+    intercept[IllegalArgumentException] {
+      MergeTable.dropColumn(spark, dir, "k", "nope")
+    }
+    intercept[IllegalArgumentException] {
+      MergeTable.dropColumn(spark, dir, "k", "k")
+    }
+    MergeTable.addCheckConstraint(spark, dir, "bal-pos", "bal > 0")
+    intercept[IllegalArgumentException] {
+      MergeTable.dropColumn(spark, dir, "k", "bal")
+    }
+    assert(MergeTable.dropCheckConstraint(dir, "bal-pos"))
+  }
+
+  test("retired name blocks resurrection until a physical rewrite sheds the bytes") {
+    val dir = tmpDir("dropcol2")
+    MergeTable.write(spark, table(200), "k", dir, nFiles = 4)
+    MergeTable.dropColumn(spark, dir, "k", "note")
+    assert(MergeTable.droppedColumns(dir) == Set("note"))
+
+    // re-introducing 'note' while old bytes are live must fail: the
+    // carried files still carry note1..note200 and would resurface
+    val ex = intercept[IllegalStateException] {
+      MergeTable.merge(spark, dir,
+        Seq((500L, "I", "NEW", 1.0, "fresh")).toDF("k", "op", "seg", "bal", "note"), "k")
+    }
+    assert(ex.getMessage.contains("note"), ex.getMessage)
+    // a different new name is fine (ordinary schema evolution)
+    MergeTable.merge(spark, dir,
+      Seq((500L, "I", "NEW", 1.0, "fresh")).toDF("k", "op", "seg", "bal", "remark"), "k")
+
+    // full rewrite sheds the buried bytes; the name un-retires and a
+    // re-add reads cleanly (old rows null, new row populated)
+    val total = MergeTable.readTable(spark, dir).count()
+    MergeTable.compact(spark, dir, "k", targetRows = total + 1)
+    MergeTable.merge(spark, dir,
+      Seq((501L, "I", "NEW", 2.0, "clean")).toDF("k", "op", "seg", "bal", "note"), "k")
+    assert(MergeTable.droppedColumns(dir).isEmpty)
+    val notes = MergeTable.readTable(spark, dir).filter(col("note").isNotNull)
+      .select("k", "note").as[(Long, String)].collect().toSeq
+    assert(notes == Seq((501L, "clean")), s"buried bytes resurfaced: $notes")
+  }
+}

@@ -165,4 +165,47 @@ class IncrementalViewSpec extends SparkSpecBase {
     assert(IncrementalView.refresh(spark, dir, mv, spec).isEmpty)
     assert(rowsOf(MergeTable.readTable(spark, mv).drop(IncrementalView.keyColName)) == before)
   }
+
+  test("composition: corpus-stats view stays current through ingest + takedown on a governed store") {
+    // the LLM-pipeline shape: documents live in a MergeTable; per-
+    // (source, lang) corpus stats (docs, chars, token-ish count) are a
+    // maintained view — new batches and right-to-erasure deletes reach
+    // the dashboard via the CDC fold, never a corpus re-scan
+    val dir = tmpDir("ivmcorpus")
+    val mv = tmpDir("ivmcorpus-mv")
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        (size(split(col("text"), "\\s+"))).cast("long").as("n_toks"))
+    MergeTable.write(spark, docs, "doc_id", dir, nFiles = 4)
+    val cSpec = IncrementalView.ViewSpec(Seq("source", "lang"),
+      Seq("chars" -> "n_chars", "toks" -> "n_toks"))
+    IncrementalView.materialize(spark, dir, "doc_id", mv, cSpec)
+
+    // gen 1: an ingest batch (new doc_ids, one source); gen 2: a
+    // takedown sweep (delete every doc of one lang in one source)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val ingest = docs.limit(50)
+      .select((col("doc_id") + maxId + 1).as("doc_id"), lit("I").as("op"),
+        lit("crawlX").as("source"), col("lang"), col("n_chars"), col("n_toks"))
+    MergeTable.merge(spark, dir, ingest, "doc_id")
+    val victims = MergeTable.readTable(spark, dir)
+      .filter(col("source") === "crawlX")
+      .select(col("doc_id"), lit("D").as("op"), lit(null).cast("string").as("source"),
+        lit(null).cast("string").as("lang"),
+        lit(null).cast("long").as("n_chars"), lit(null).cast("long").as("n_toks"))
+    MergeTable.merge(spark, dir, victims, "doc_id")
+
+    assert(IncrementalView.refresh(spark, dir, mv, cSpec).contains(2))
+    val got = MergeTable.readTable(spark, mv).drop(IncrementalView.keyColName)
+      .select("source", "lang", "mv_count", "chars", "toks")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq.sorted
+    val want = IncrementalView.compute(MergeTable.readTable(spark, dir), cSpec)
+      .select("source", "lang", "mv_count", "chars", "toks")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq.sorted
+    assert(got == want)
+    // the taken-down source is gone from the maintained stats entirely
+    assert(!got.exists(_._1 == "crawlX"))
+  }
 }
