@@ -1834,11 +1834,59 @@ object MergeTable {
       .orderBy("k")
   }
 
+  /** q71: DROP COLUMN under the gate — drop a column from the base
+    * dimension (metadata-only), then run the q59 banded merge ON THE
+    * POST-DROP TABLE and read. The oracle is the merged CTE without
+    * the column: a drop that leaks the column, breaks the schema-in-
+    * log projection on carried files, or corrupts the later merge's
+    * schema union fails the hash. The zero-IO/retirement machinery is
+    * spec-asserted; the gate pins the user-visible contract.
+    */
+  val q71_dropcol_merge: Q = (s, d) => {
+    val dir = fixtureDir(s, d, "dropcoltab")
+    val t = Tables.customer(s, d)
+      .select(col("c_custkey").as("k"), col("c_name").as("note"),
+        col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"))
+    write(s, t, "k", dir, nFiles = 16)
+    dropColumn(s, dir, "k", "note")
+    val maxK = t.agg(max(col("k")).cast("long")).head().getLong(0)
+    val band = col("k") * 8 <= lit(maxK)
+    val upd = t.filter(band && col("k") % 5 === 0 && col("k") % 7 =!= 0)
+      .select(col("k"), lit("U").as("op"), lit("WEB").as("seg"),
+        (col("bal") + 100).as("bal"))
+    val del = t.filter(band && col("k") % 7 === 0)
+      .select(col("k"), lit("D").as("op"), lit(null).cast("string").as("seg"),
+        lit(null).cast("double").as("bal"))
+    val ins = t.filter(band && col("k") % 5 === 1)
+      .select((col("k") + 10000000L).as("k"), lit("I").as("op"),
+        col("seg"), col("bal"))
+    merge(s, dir, upd.unionByName(del).unionByName(ins), "k")
+    readTable(s, dir)
+      .select(col("k"), col("seg"), r2(col("bal")).as("bal"))
+      .orderBy("k")
+  }
+
+  /** q72: RECLUSTER under the gate — the q59 merged table rewritten
+    * in place on the z-order of (k, bal), then read. Same oracle text
+    * as q59 (one oracle, N physical strategies — the q61 pattern):
+    * layout maintenance must be invisible to results. The pruning
+    * payoff and zero-CDC property are spec-asserted.
+    */
+  val q72_reclustered_read: Q = (s, d) => {
+    val dir = mergedFixture(s, d, "reclustab")
+    recluster(s, dir, "k", Seq("k", "bal"))
+    readTable(s, dir)
+      .select(col("k"), col("seg"), r2(col("bal")).as("bal"))
+      .orderBy("k")
+  }
+
   val registry: Map[String, Q] = Map(
     "q67_restore" -> q67_restore,
     "q68_clone" -> q68_clone,
     "q69_incremental_mv" -> q69_incremental_mv,
     "q70_bloom_lookup" -> q70_bloom_lookup,
+    "q71_dropcol_merge" -> q71_dropcol_merge,
+    "q72_reclustered_read" -> q72_reclustered_read,
     "q59_merge_pruned" -> q59_merge_pruned,
     "q60_merge_cdc" -> q60_merge_cdc,
     "q61_compacted_read" -> q61_compacted_read,
@@ -1880,6 +1928,44 @@ object MergeTable {
         |SELECT k, tag, seg, round(bal * 100) / 100 AS bal
         |FROM t, mx
         |WHERE tag = (SELECT md5(c_name) FROM customer, mx WHERE c_custkey = m // 3)
+        |ORDER BY k""".stripMargin,
+    // the q59 MERGE applied AFTER a metadata-only column drop — the
+    // result must equal the declarative merge with the column absent
+    "q71_dropcol_merge" ->
+      """WITH t AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+        |           FROM customer),
+        |mx AS (SELECT max(c_custkey) AS m FROM customer),
+        |upd AS (SELECT k, 'WEB' AS u_seg, bal + 100 AS u_bal
+        |        FROM t, mx WHERE k * 8 <= m AND k % 5 = 0 AND k % 7 <> 0),
+        |del AS (SELECT k FROM t, mx WHERE k * 8 <= m AND k % 7 = 0),
+        |ins AS (SELECT k + 10000000 AS k, seg, bal
+        |        FROM t, mx WHERE k * 8 <= m AND k % 5 = 1)
+        |SELECT k, seg, bal FROM (
+        |  SELECT t.k, coalesce(u.u_seg, t.seg) AS seg,
+        |    round((coalesce(u.u_bal, t.bal)) * 100) / 100 AS bal
+        |  FROM t LEFT JOIN upd u USING (k)
+        |  WHERE t.k NOT IN (SELECT k FROM del)
+        |  UNION ALL
+        |  SELECT k, seg, round(bal * 100) / 100 AS bal FROM ins) z
+        |ORDER BY k""".stripMargin,
+    // q59's oracle verbatim — in-place reclustering must be invisible
+    // to readers (the q61 one-oracle-N-strategies pattern)
+    "q72_reclustered_read" ->
+      """WITH t AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+        |           FROM customer),
+        |mx AS (SELECT max(c_custkey) AS m FROM customer),
+        |upd AS (SELECT k, 'WEB' AS u_seg, bal + 100 AS u_bal
+        |        FROM t, mx WHERE k * 8 <= m AND k % 5 = 0 AND k % 7 <> 0),
+        |del AS (SELECT k FROM t, mx WHERE k * 8 <= m AND k % 7 = 0),
+        |ins AS (SELECT k + 10000000 AS k, seg, bal
+        |        FROM t, mx WHERE k * 8 <= m AND k % 5 = 1)
+        |SELECT k, seg, bal FROM (
+        |  SELECT t.k, coalesce(u.u_seg, t.seg) AS seg,
+        |    round((coalesce(u.u_bal, t.bal)) * 100) / 100 AS bal
+        |  FROM t LEFT JOIN upd u USING (k)
+        |  WHERE t.k NOT IN (SELECT k FROM del)
+        |  UNION ALL
+        |  SELECT k, seg, round(bal * 100) / 100 AS bal FROM ins) z
         |ORDER BY k""".stripMargin,
     // restore-to-gen-0 must surface the base dimension untouched —
     // any merged row leaking through the rollback breaks the hash
