@@ -844,6 +844,11 @@ object MergeTable {
           name.startsWith("_dropped_cols.tmp-")) && oldEnough(p)) {
         // a crashed constraint/drop-column staged file — ditto
         java.nio.file.Files.deleteIfExists(p); deleted += 1
+      } else if (name.startsWith("_bloom-g") && name.contains(".tmp") &&
+          oldEnough(p)) {
+        // a crashed buildBloomIndex's staged sidecar (committed
+        // sidecars have no .tmp segment and are kept)
+        graft.IndexLifecycle.deleteRecursively(p.toString); deleted += 1
       } else if (name.startsWith("files-g")) {
         val fs = java.nio.file.Files.list(p)
         val files = try fs.iterator().asScala.toSeq finally fs.close()

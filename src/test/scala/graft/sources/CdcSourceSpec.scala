@@ -247,6 +247,63 @@ class CdcSourceSpec extends SparkSpecBase {
     }
   }
 
+  test("governed ANN ingest: the CDC feed drives the IVF index (appends + takedowns)") {
+    import graft.similarity.Similarity
+    import graft.Tables
+    import spark.implicits._
+    // embeddings corpus = a MergeTable; its CDC feed keeps the IVF
+    // index current: inserts append to cells, corpus DELETEs become
+    // vector tombstones — the ANN twin of the dedup-gated ingest
+    // composition above (no probe ever re-reads the corpus)
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val corpus = tmpDir("cdc-ann-corpus")
+    MergeTable.write(spark, emb, "vec_id", corpus, nFiles = 2)
+    val ix = tmpDir("cdc-ann-ix")
+    Similarity.buildIvfIndex(spark, sfDir, ix, nCells = 8)
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val newId = maxId + 1
+
+    val q = MergeTable.changesStream(spark, corpus, "vec_id")
+      .writeStream.option("checkpointLocation", tmpDir("cdc-ann-ckpt"))
+      .foreachBatch { (delta: DataFrame, _: Long) =>
+        val dels = delta.filter(col("change_op") === "D").select("vec_id")
+        if (!dels.isEmpty) Similarity.tombstoneVectors(spark, ix, dels)
+        val ins = delta.filter(col("change_op") === "I")
+          .select("vec_id", "embedding")
+        if (!ins.isEmpty) Similarity.appendToIvfIndex(spark, ix, ins)
+        ()
+      }.start()
+    try {
+      q.processAllAvailable() // baseline: index already covers gen 0
+
+      // gen 1: a duplicate of vector 3 arrives under a fresh id — the
+      // streamed append must make it probeable
+      MergeTable.merge(spark, corpus,
+        emb.filter(col("vec_id") === 3L)
+          .select(lit(newId).as("vec_id"), lit("I").as("op"), col("embedding")),
+        "vec_id")
+      q.processAllAvailable()
+      val qdf = emb.filter(col("vec_id") === 3L)
+        .select(lit(-1L).as("q_id"),
+          col("embedding").cast("array<double>").as("va"))
+        .withColumn("na", graft.functions.GraftFunctions.l2norm("va"))
+      val top = Similarity.probeIvf(spark, ix, qdf, nProbe = 8, k = 10)
+        .select("n_id").as[Long].collect().toSet
+      assert(top.contains(newId), s"streamed append not probeable: $top")
+
+      // gen 2: the duplicate is DELETED from the corpus → takedown
+      // binds on the probe path without touching the cells
+      MergeTable.merge(spark, corpus,
+        Seq(newId).toDF("vec_id").select(col("vec_id"), lit("D").as("op"),
+          lit(null).cast("array<float>").as("embedding")), "vec_id")
+      q.processAllAvailable()
+      val top2 = Similarity.probeIvf(spark, ix, qdf, nProbe = 8, k = 10)
+        .select("n_id").as[Long].collect().toSet
+      assert(!top2.contains(newId), s"taken-down vector still probeable: $top2")
+      assert(top2.contains(3L), "untouched residents must stay probeable")
+    } finally q.stop()
+  }
+
   test("mid-stream schema evolution: the fixed stream schema holds, new columns wait for restart") {
     val dir = freshTable(20)
     val q = MergeTable.changesStream(spark, dir, "k")
