@@ -619,17 +619,24 @@ object MergeTable {
     // lookup and want the read parallel (the groupBy's partitioning
     // spreads entries across ≤ shuffle.partitions part files)
     idx.write.parquet(staged)
-    // sweep superseded sidecars for this column, then land the new one
-    val root = java.nio.file.Path.of(dir)
-    val ls = java.nio.file.Files.list(root)
-    val old = try ls.iterator().asScala.map(_.getFileName.toString)
-      .filter(n => n.startsWith("_bloom-g") &&
-        n.stripPrefix("_bloom-g").split("~", 3).lastOption.contains(colName))
-      .toSeq finally ls.close()
-    old.foreach(n => graft.IndexLifecycle.deleteRecursively(s"$dir/$n"))
+    // land the new sidecar FIRST, sweep superseded ones after — a
+    // crash mid-build leaves the old index intact, a crash mid-sweep
+    // leaves both (newestBloomDir picks the higher generation). The
+    // only torn window is a same-generation re-build, whose target
+    // name must clear before the move.
+    val outName = java.nio.file.Path.of(out).getFileName.toString
+    if (java.nio.file.Files.exists(java.nio.file.Path.of(out)))
+      graft.IndexLifecycle.deleteRecursively(out)
     java.nio.file.Files.move(java.nio.file.Path.of(staged),
       java.nio.file.Path.of(out),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val root = java.nio.file.Path.of(dir)
+    val ls = java.nio.file.Files.list(root)
+    val old = try ls.iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n != outName && n.startsWith("_bloom-g") &&
+        n.stripPrefix("_bloom-g").split("~", 3).lastOption.contains(colName))
+      .toSeq finally ls.close()
+    old.foreach(n => graft.IndexLifecycle.deleteRecursively(s"$dir/$n"))
     gen
   }
 
@@ -757,7 +764,15 @@ object MergeTable {
     // value columns = union of both sides (the span may cross a schema
     // evolution); a side lacking a column contributes nulls, so a
     // pre-evolution row gaining a non-null value surfaces as U
-    val vcols = (o0.columns ++ n0.columns).distinct.filterNot(_ == keyCol).toSeq
+    // value columns: union of both sides, RESTRICTED to the toGen log
+    // schema when one exists — a span crossing a dropColumn must not
+    // resurrect the dropped column as a spurious per-resident U (the
+    // old side carries it, the new side aligns null, differs fires for
+    // every untouched row of a rewritten file); the feed's view is the
+    // END generation's schema, same posture as the streaming source
+    val logCols = schemaAt(dir, toGen).map(_.fieldNames.toSet)
+    val vcols = (o0.columns ++ n0.columns).distinct.filterNot(_ == keyCol)
+      .filter(c => logCols.forall(_.contains(c))).toSeq
     // align missing columns to the OTHER side's type, not NullType —
     // a typed null keeps the pre/post structs union-compatible below
     val vtypes = (o0.schema.fields ++ n0.schema.fields)
@@ -927,6 +942,12 @@ object MergeTable {
       .write.parquet(manifestDirOf(dstDir, 0, token))
     val meta = schemaAt(srcDir, g).map(sch => "schema" -> sch.json).toMap +
       ("op" -> "clone") + ("cloned_from" -> s"$srcDir@g$g")
+    // governance state rides the clone: the clone shares the source's
+    // carried files, so a retired column name (bytes still buried in
+    // shared files) must stay guarded on the clone too, and Delta's
+    // CLONE copies table constraints — both are tiny atomic files
+    writeDroppedCols(dstDir, droppedColumns(srcDir))
+    writeConstraintsFile(dstDir, checkConstraints(srcDir))
     commitGen(dstDir, 0, token, meta)
     g
   }
@@ -1032,20 +1053,25 @@ object MergeTable {
     // dropped column name would resurrect bytes still buried in
     // carried files (parquet resolves by name) — allowed only once no
     // live file physically carries it, checked with one footer pass
-    // paid only on this rare collision
+    // paid only on this rare collision. Comparison is CASE-INSENSITIVE
+    // like Spark's own field resolution: a batch's 'NOTE' would clip
+    // onto a buried physical 'note' exactly the same way
+    val retiredLower = droppedColumns(dir).map(_.toLowerCase)
     val reintroduced = changeVals.filterNot(tableVals.map(_._1).contains)
-      .filter(droppedColumns(dir).contains)
+      .filter(c => retiredLower.contains(c.toLowerCase))
     if (reintroduced.nonEmpty) {
       val physical =
         if (livePaths.isEmpty) Set.empty[String]
         else s.read.option("mergeSchema", "true").parquet(livePaths: _*)
-          .schema.fieldNames.toSet
-      val blocked = reintroduced.filter(physical.contains)
+          .schema.fieldNames.map(_.toLowerCase).toSet
+      val blocked = reintroduced.filter(c => physical.contains(c.toLowerCase))
       if (blocked.nonEmpty) throw new IllegalStateException(
         s"merge on $dir re-introduces dropped column(s) ${blocked.mkString(", ")} " +
           "still physically present in live files — rewrite the table first " +
           "(compact everything) or use a fresh column name")
-      writeDroppedCols(dir, droppedColumns(dir) -- reintroduced)
+      val gone = reintroduced.map(_.toLowerCase).toSet
+      writeDroppedCols(dir,
+        droppedColumns(dir).filterNot(n => gone.contains(n.toLowerCase)))
     }
     val ins = changes.filter(col("op") === "I")
       .select(col(keyCol) +: valueCols.map { c =>
@@ -1372,11 +1398,14 @@ object MergeTable {
     require(sch.fieldNames.contains(colName),
       s"no column '$colName' in ${sch.fieldNames.mkString("[", ",", "]")}")
     checkConstraints(dir).foreach { case (n, e) =>
+      // case-insensitive like Spark's resolution, last name part for
+      // qualified refs — a 'BAL > 0' constraint must block dropping
+      // 'bal', else every later mutation's enforcement fails analysis
       val refs = s.sessionState.sqlParser.parseExpression(e).collect {
         case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-          ua.name
+          ua.nameParts.last.toLowerCase
       }
-      require(!refs.contains(colName),
+      require(!refs.contains(colName.toLowerCase),
         s"CHECK constraint '$n' ($e) references '$colName' — drop it first")
     }
     val next = prevGen + 1
@@ -1386,14 +1415,20 @@ object MergeTable {
       .coalesce(1).write.parquet(manifestDirOf(dir, next, token))
     val newSch = org.apache.spark.sql.types.StructType(
       sch.fields.filterNot(_.name == colName))
+    // retire BEFORE the commit link: a crash between the two leaves a
+    // retired-but-live column, which the merge guard ignores (the name
+    // is still in the table schema, so nothing "re-introduces" it) —
+    // the reverse order would leave a committed drop UNguarded
+    val prevDropped = droppedColumns(dir)
+    writeDroppedCols(dir, prevDropped + colName)
     try commitGen(dir, next, token, Map("op" -> "dropcol",
       "dropped" -> colName, "schema" -> newSch.json))
     catch {
       case e: java.util.ConcurrentModificationException =>
+        writeDroppedCols(dir, prevDropped)
         graft.IndexLifecycle.deleteRecursively(manifestDirOf(dir, next, token))
         throw e
     }
-    writeDroppedCols(dir, droppedColumns(dir) + colName)
     next
   }
 

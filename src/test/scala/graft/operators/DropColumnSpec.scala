@@ -53,6 +53,53 @@ class DropColumnSpec extends SparkSpecBase {
       MergeTable.dropColumn(spark, dir, "k", "bal")
     }
     assert(MergeTable.dropCheckConstraint(dir, "bal-pos"))
+    // Spark resolves case-insensitively, so must the reference check:
+    // dropping 'bal' out from under 'BAL > 0' would brick every later
+    // mutation's enforcement with an analysis error
+    MergeTable.addCheckConstraint(spark, dir, "bal-up", "BAL > 0")
+    intercept[IllegalArgumentException] {
+      MergeTable.dropColumn(spark, dir, "k", "bal")
+    }
+    assert(MergeTable.dropCheckConstraint(dir, "bal-up"))
+  }
+
+  test("catch-up CDC across a drop stays the logical delta (no per-resident U storm)") {
+    val dir = tmpDir("dropcol3")
+    MergeTable.write(spark, table(200), "k", dir, nFiles = 4)
+    MergeTable.dropColumn(spark, dir, "k", "note")      // gen 1
+    MergeTable.merge(spark, dir,                         // gen 2
+      Seq((10L, "U", "WEB", 9.9)).toDF("k", "op", "seg", "bal"), "k")
+    // per-generation tailing: 0→1 empty, 1→2 one U — the catch-up
+    // span 0→2 (what a resumed stream delivers) must net the same,
+    // NOT one U per untouched resident of the rewritten file whose
+    // 'note' the old side still carries
+    val span = MergeTable.changesBetween(spark, dir, 0, 2, "k")
+      .select("k", "change_op").as[(Long, String)].collect().toSeq
+    assert(span == Seq((10L, "U")), s"spurious changes across the drop: $span")
+    assert(!MergeTable.changesBetween(spark, dir, 0, 2, "k").columns.contains("note"))
+  }
+
+  test("a shallow clone inherits retirement and constraints (shared files stay guarded)") {
+    val dir = tmpDir("dropcol4")
+    MergeTable.write(spark, table(200), "k", dir, nFiles = 4)
+    MergeTable.dropColumn(spark, dir, "k", "note")
+    MergeTable.addCheckConstraint(spark, dir, "bal-pos", "bal > 0")
+    val clone = dir + "-clone"
+    MergeTable.cloneTable(spark, dir, clone)
+    assert(MergeTable.droppedColumns(clone) == Set("note"))
+    assert(MergeTable.checkConstraints(clone).keySet == Set("bal-pos"))
+    // the clone's carried files still bury 'note' bytes — resurrection
+    // must be blocked THERE too, in any case variant
+    val ex = intercept[IllegalStateException] {
+      MergeTable.merge(spark, clone,
+        Seq((500L, "I", "NEW", 1.0, "x")).toDF("k", "op", "seg", "bal", "NOTE"), "k")
+    }
+    assert(ex.getMessage.contains("NOTE"), ex.getMessage)
+    intercept[IllegalStateException] {
+      MergeTable.merge(spark, clone,
+        Seq((500L, "I", "NEW", -1.0)).toDF("k", "op", "seg", "bal"), "k")
+    }
+    graft.IndexLifecycle.deleteRecursively(clone)
   }
 
   test("retired name blocks resurrection until a physical rewrite sheds the bytes") {
