@@ -86,8 +86,23 @@ object IncrementalView {
           sum(when(expr(e).isNotNull, w).otherwise(lit(0L))).as(s"__d_nn_$n")) }
     val delta = changes.groupBy(spec.groupCols.map(col): _*)
       .agg(dAggs.head, dAggs.tail: _*)
-    val joined = state.join(delta, spec.groupCols, "full_outer")
-    val outCols: Seq[Column] = spec.groupCols.map(col) ++
+    // join on the NULL-SAFE composite key, not the raw group columns:
+    // a USING join is null-unsafe, so a NULL group's retraction would
+    // silently miss its state row (and duplicate the group). The
+    // encoded key is never null; group values surface via coalesce of
+    // the two sides (both null ⇔ the NULL group — still correct).
+    val sk = state.select((Seq(keyExpr(spec).as("__gk")) ++
+      spec.groupCols.map(c => col(c).as(s"__sg_$c")) ++
+      Seq(col("mv_count")) ++
+      spec.sums.flatMap { case (n, _) => Seq(col(n), col(nn(n))) }): _*)
+    val dk = delta.select((Seq(keyExpr(spec).as("__gk")) ++
+      spec.groupCols.map(c => col(c).as(s"__dg_$c")) ++
+      Seq(col("__d_count")) ++
+      spec.sums.flatMap { case (n, _) =>
+        Seq(col(s"__d_$n"), col(s"__d_nn_$n")) }): _*)
+    val joined = sk.join(dk, Seq("__gk"), "full_outer")
+    val outCols: Seq[Column] =
+      spec.groupCols.map(c => coalesce(col(s"__sg_$c"), col(s"__dg_$c")).as(c)) ++
       Seq((coalesce(col("mv_count"), lit(0L)) +
         coalesce(col("__d_count"), lit(0L))).as("mv_count")) ++
       spec.sums.flatMap { case (n, _) =>
@@ -131,10 +146,26 @@ object IncrementalView {
     gen
   }
 
+  /** Newest commit on the store that carries the view watermark — a
+    * maintenance commit (compact/recluster on the store itself) has
+    * its own meta, so the scan walks back through the commit log
+    * (driver-sized: one tiny log-entry read per generation, and the
+    * log survives vacuum) instead of trusting only the latest entry.
+    */
+  private def srcMeta(mvDir: String): (Int, String) = {
+    val cur = MergeTable.committedGen(mvDir).getOrElse(
+      sys.error(s"$mvDir is not a committed keyed table (no commit log)"))
+    (cur to 0 by -1).iterator.map(g => MergeTable.metaAt(mvDir, g))
+      .collectFirst { case m if m.contains("mv_src_gen") =>
+        (m("mv_src_gen").toInt, m.getOrElse("mv_src_key",
+          sys.error(s"$mvDir commit meta has mv_src_gen but no mv_src_key")))
+      }
+      .getOrElse(sys.error(
+        s"$mvDir is not a materialized view (no mv_src_gen in any commit meta)"))
+  }
+
   /** Source generation the persisted view currently reflects. */
-  def reflectedGen(mvDir: String): Int =
-    MergeTable.committedMeta(mvDir).getOrElse("mv_src_gen",
-      sys.error(s"$mvDir is not a materialized view (no mv_src_gen in commit meta)")).toInt
+  def reflectedGen(mvDir: String): Int = srcMeta(mvDir)._1
 
   /** Advance the persisted view to the source's current generation by
     * delta maintenance — or no-op (None) if already current. Only
@@ -148,13 +179,11 @@ object IncrementalView {
     */
   def refresh(s: SparkSession, srcDir: String, mvDir: String,
               spec: ViewSpec): Option[Int] = {
-    val last = reflectedGen(mvDir)
+    val (last, srcKey) = srcMeta(mvDir)
     val cur = MergeTable.committedGen(srcDir).getOrElse(
       sys.error(s"$srcDir is not a committed keyed table (no commit log)"))
     if (cur <= last) None
     else {
-      val srcKey = MergeTable.committedMeta(mvDir).getOrElse("mv_src_key",
-        sys.error(s"$mvDir commit meta lacks mv_src_key"))
       val changes = MergeTable.changesBetween(s, srcDir, last, cur, srcKey,
         preImages = true)
       applyChanges(s, mvDir, spec, changes, srcKey, cur)
@@ -167,13 +196,19 @@ object IncrementalView {
     * Skips (idempotence) when the store already reflects `newSrcGen`.
     */
   private def applyChanges(s: SparkSession, mvDir: String, spec: ViewSpec,
-                           changes: DataFrame, srcKey: String,
+                           changes0: DataFrame, srcKey: String,
                            newSrcGen: Int): Unit = {
     if (reflectedGen(mvDir) >= newSrcGen) return
-    val grp = spec.groupCols
+    // materialize the delta once: it feeds three actions below (key
+    // broadcast, the fold, the merge write) and recomputing the CDC
+    // diff join per action would triple the hot path's IO
+    val changes = changes0.localCheckpoint()
     val state = MergeTable.readTable(s, mvDir)
-    val deltaKeys = changes.select(grp.map(col): _*).distinct()
-    val stateAff = state.join(broadcast(deltaKeys), grp, "left_semi")
+    // null-safe affected-group restriction via the encoded key (a
+    // raw-column semi join would miss the NULL group's state row)
+    val deltaKeys = changes.select(keyExpr(spec).as("__gk")).distinct()
+    val stateAff = state.join(broadcast(deltaKeys),
+      col(keyColName) === col("__gk"), "left_semi")
     val newAff = applyDelta(stateAff.drop(keyColName), changes, spec)
       .withColumn(keyColName, keyExpr(spec))
     // delete-then-insert per affected group: same-key D+I in one merge
@@ -196,17 +231,30 @@ object IncrementalView {
     */
   def maintainStream(s: SparkSession, srcDir: String, mvDir: String,
                      spec: ViewSpec, checkpointDir: String): StreamingQuery = {
-    val srcKey = MergeTable.committedMeta(mvDir).getOrElse("mv_src_key",
-      sys.error(s"$mvDir is not a materialized view (materialize first)"))
+    val (startGen, srcKey) = srcMeta(mvDir)
     MergeTable.changesStream(s, srcDir, srcKey,
-      startGen = reflectedGen(mvDir), preImages = true)
+      startGen = startGen, preImages = true)
       .writeStream.option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the batch fixes the span's END generation; its CONTENT is
+        // recomputed from the view's OWN watermark — a batch replayed
+        // from a stale checkpoint (stream stopped, refresh() run
+        // out-of-band, stream restarted) can partially OVERLAP the
+        // already-reflected span, and folding it directly would
+        // double-apply the overlap; changesBetween(reflected, end) is
+        // exact under any overlap, and a fully-reflected span no-ops
         val gen = batch.agg(max(col("_commit_gen"))).head() match {
           case r if r.isNullAt(0) => -1L // empty batch: nothing to fold
           case r => r.getLong(0)
         }
-        if (gen >= 0) applyChanges(s, mvDir, spec, batch, srcKey, gen.toInt)
+        if (gen >= 0) {
+          val last = reflectedGen(mvDir)
+          if (gen > last) {
+            val changes = MergeTable.changesBetween(s, srcDir, last, gen.toInt,
+              srcKey, preImages = true)
+            applyChanges(s, mvDir, spec, changes, srcKey, gen.toInt)
+          }
+        }
       }
       .start()
   }

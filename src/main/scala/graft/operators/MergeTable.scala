@@ -563,14 +563,14 @@ object MergeTable {
   private def bloomDirOf(dir: String, colName: String, gen: Int, numHashes: Int) =
     s"$dir/_bloom-g$gen~$numHashes~$colName"
 
-  /** Newest sidecar for `colName` at or below `maxGen`:
-    * (path, gen, numHashes). Staged `.tmp` dirs never parse (their
-    * column segment carries the token suffix).
+  /** Every committed sidecar for `colName`: (dirName, gen, numHashes).
+    * Staged `.tmp` dirs never parse (their column segment carries the
+    * token suffix). One listing, shared by [[newestBloomDir]] and the
+    * rebuild sweep so the name scheme lives in exactly one place.
     */
-  private def newestBloomDir(dir: String, colName: String,
-                             maxGen: Int): Option[(String, Int, Int)] = {
+  private def bloomDirsFor(dir: String, colName: String): Seq[(String, Int, Int)] = {
     val root = java.nio.file.Path.of(dir)
-    if (!java.nio.file.Files.exists(root)) return None
+    if (!java.nio.file.Files.exists(root)) return Nil
     val ls = java.nio.file.Files.list(root)
     val names = try ls.iterator().asScala.map(_.getFileName.toString).toSeq
                 finally ls.close()
@@ -578,21 +578,37 @@ object MergeTable {
       if (!n.startsWith("_bloom-g")) None
       else n.stripPrefix("_bloom-g").split("~", 3) match {
         case Array(g, k, c) if c == colName =>
-          for (gi <- g.toIntOption; ki <- k.toIntOption; if gi <= maxGen)
-            yield (s"$dir/$n", gi, ki)
+          for (gi <- g.toIntOption; ki <- k.toIntOption) yield (n, gi, ki)
         case _ => None
       }
-    }.sortBy(_._2).lastOption
+    }
   }
+
+  /** Newest sidecar for `colName` at or below `maxGen`:
+    * (path, gen, numHashes).
+    */
+  private def newestBloomDir(dir: String, colName: String,
+                             maxGen: Int): Option[(String, Int, Int)] =
+    bloomDirsFor(dir, colName).filter(_._2 <= maxGen).sortBy(_._2).lastOption
+      .map { case (n, g, k) => (s"$dir/$n", g, k) }
 
   /** XxHash64 of a probe value, computed with the SAME Catalyst
     * expression (and default seed) the build side's `xxhash64(col)`
-    * uses — the two must agree bit-for-bit or pruning would lie.
+    * uses — the two must agree bit-for-bit or pruning would lie. The
+    * probe literal is first CAST to the column's type: XxHash64 hashes
+    * an Int and a Long differently, so probing a long column with
+    * `5: Int` would otherwise false-negative every sketch while the
+    * residual `===` (which coerces) would have matched.
     */
-  private def bloomProbeHash(value: Any): Long =
-    org.apache.spark.sql.catalyst.expressions.XxHash64(
-      Seq(org.apache.spark.sql.catalyst.expressions.Literal(value)), 42L)
+  private def bloomProbeHash(value: Any,
+      colType: Option[org.apache.spark.sql.types.DataType]): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+    val lit0 = Literal(value)
+    val e = colType.filter(_ != lit0.dataType)
+      .map(t => Cast(lit0, t, Some("UTC"))).getOrElse(lit0)
+    XxHash64(Seq(e), 42L)
       .eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Long]
+  }
 
   /** Build (or rebuild) the Bloom sidecar for `colName` at the current
     * generation: one Spark job, one sketch per live file. Supersedes
@@ -630,13 +646,8 @@ object MergeTable {
     java.nio.file.Files.move(java.nio.file.Path.of(staged),
       java.nio.file.Path.of(out),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    val root = java.nio.file.Path.of(dir)
-    val ls = java.nio.file.Files.list(root)
-    val old = try ls.iterator().asScala.map(_.getFileName.toString)
-      .filter(n => n != outName && n.startsWith("_bloom-g") &&
-        n.stripPrefix("_bloom-g").split("~", 3).lastOption.contains(colName))
-      .toSeq finally ls.close()
-    old.foreach(n => graft.IndexLifecycle.deleteRecursively(s"$dir/$n"))
+    bloomDirsFor(dir, colName).map(_._1).filter(_ != outName)
+      .foreach(n => graft.IndexLifecycle.deleteRecursively(s"$dir/$n"))
     gen
   }
 
@@ -669,9 +680,11 @@ object MergeTable {
     newestBloomDir(dir, colName, gen) match {
       case None => (live, 0, live.size)
       case Some((idxDir, _, k)) =>
+        val colType = schemaAt(dir, gen)
+          .flatMap(_.fields.find(_.name == colName)).map(_.dataType)
         val anyHit = values.map(v =>
           graft.functions.GraftFunctions.bloomColMightContain(
-            "bloom", bloomProbeHash(v), k)).reduce(_ || _)
+            "bloom", bloomProbeHash(v, colType), k)).reduce(_ || _)
         val admits = s.read.parquet(idxDir)
           .select(col("path"), anyHit.as("hit"))
           .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
@@ -1487,6 +1500,10 @@ object MergeTable {
                          exprSql: String): Unit = {
     require(name.matches("[A-Za-z0-9_\\-]+"),
       s"constraint name '$name' must match [A-Za-z0-9_-]+")
+    // the store is line-oriented; a multi-line expression would corrupt
+    // it and brick every later mutation's checkConstraints parse
+    require(!exprSql.exists(c => c == '\n' || c == '\r'),
+      "constraint expression must be single-line")
     val cur = checkConstraints(dir)
     require(!cur.contains(name), s"constraint '$name' already exists on $dir")
     val sample = readTable(s, dir)
@@ -1517,15 +1534,18 @@ object MergeTable {
     val cons = checkConstraints(dir)
     if (cons.isEmpty || !hasParquetFiles(staging)) return
     val df = s.read.parquet(staging)
-    cons.foreach { case (n, e) =>
-      val sample = df.filter(coalesce(expr(e), lit(true)) === lit(false))
-        .limit(3).collect()
-      if (sample.nonEmpty) {
-        cleanup.foreach(graft.IndexLifecycle.deleteRecursively)
-        throw new IllegalStateException(
-          s"$opName on $dir rejected by CHECK constraint '$n' ($e); " +
-            s"sample violating rows: ${sample.mkString("; ")}")
-      }
+    // ONE columnar pass for every constraint: tag each row with the
+    // names it violates, keep any — k constraints don't cost k scans
+    val viols = array(cons.toSeq.sorted.map { case (n, e) =>
+      when(coalesce(expr(e), lit(true)) === lit(false), lit(n)) }: _*)
+    val bad = df.withColumn("__viol", array_compact(viols))
+      .filter(size(col("__viol")) > 0).limit(3).collect()
+    if (bad.nonEmpty) {
+      cleanup.foreach(graft.IndexLifecycle.deleteRecursively)
+      val name = bad.head.getAs[scala.collection.Seq[String]]("__viol").head
+      throw new IllegalStateException(
+        s"$opName on $dir rejected by CHECK constraint '$name' " +
+          s"(${cons(name)}); sample violating rows: ${bad.mkString("; ")}")
     }
   }
 

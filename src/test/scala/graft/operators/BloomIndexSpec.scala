@@ -47,6 +47,19 @@ class BloomIndexSpec extends SparkSpecBase {
     assert(MergeTable.scanEqualsBloom(spark, dir, "tag", "tag-nope").count() == 0)
   }
 
+  test("probe literal coerces to the column type — no Int-vs-Long false negatives") {
+    val dir = tmpDir("bloomtyped")
+    MergeTable.write(spark, table(400), "k", dir, nFiles = 8)
+    MergeTable.buildBloomIndex(spark, dir, "k", numBits = 1 << 14)
+    // k is LongType; probe with a plain Int — XxHash64 hashes the two
+    // types differently, so an uncast literal would rule out every file
+    val got = MergeTable.scanEqualsBloom(spark, dir, "k", 42)
+      .select("k").as[Long].collect().toSeq
+    assert(got == Seq(42L), s"typed-probe false negative: $got")
+    val (cands, pruned, total) = MergeTable.bloomCandidatePaths(spark, dir, "k", 42)
+    assert(total == 8 && pruned >= 6 && cands.nonEmpty, s"$cands/$total")
+  }
+
   test("stale sidecar stays sound: post-build commits are admitted, results exact") {
     val dir = tmpDir("bloomstale")
     MergeTable.write(spark, table(400), "k", dir, nFiles = 8)

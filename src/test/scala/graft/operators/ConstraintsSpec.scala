@@ -76,12 +76,18 @@ class ConstraintsSpec extends SparkSpecBase {
     assert(ex.getMessage.contains("bal-large"))
     assert(MergeTable.checkConstraints(dir).keySet == Set("bal-pos"))
 
-    // duplicate names and malformed names are refused
+    // duplicate names, malformed names, and multi-line expressions are
+    // refused (the store is line-oriented — a newline would corrupt it
+    // and brick every later mutation's parse)
     intercept[IllegalArgumentException] {
       MergeTable.addCheckConstraint(spark, dir, "bal-pos", "bal > 0")
     }
     intercept[IllegalArgumentException] {
       MergeTable.addCheckConstraint(spark, dir, "bad name!", "bal > 0")
     }
+    intercept[IllegalArgumentException] {
+      MergeTable.addCheckConstraint(spark, dir, "ml", "bal > 0 AND\nbal < 9")
+    }
+    assert(MergeTable.checkConstraints(dir).keySet == Set("bal-pos"))
   }
 }

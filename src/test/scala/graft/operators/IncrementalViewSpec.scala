@@ -24,7 +24,7 @@ class IncrementalViewSpec extends SparkSpecBase {
     df.select(col("seg"), col("mv_count"), col("sb"), col("__nn_sb"))
       .collect().map(r => (r.getString(0), r.getLong(1),
         if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getLong(3)))
-      .toSeq.sortBy(_._1)
+      .toSeq.sortBy(r => Option(r._1).getOrElse(""))
 
   test("changesBetween preImages fans U into U_pre/U_post, leaves I/D alone") {
     val dir = tmpDir("cdcpre")
@@ -164,6 +164,28 @@ class IncrementalViewSpec extends SparkSpecBase {
     val before = rowsOf(MergeTable.readTable(spark, mv).drop(IncrementalView.keyColName))
     assert(IncrementalView.refresh(spark, dir, mv, spec).isEmpty)
     assert(rowsOf(MergeTable.readTable(spark, mv).drop(IncrementalView.keyColName)) == before)
+  }
+
+  test("NULL group keys maintain correctly through the persisted path (null-safe joins)") {
+    val dir = tmpDir("ivmnullgrp")
+    val mv = tmpDir("ivmnullgrp-mv")
+    val t = Seq((1L, Some("gA"), Some(1.0)), (2L, None, Some(2.0)),
+      (3L, None, Some(3.0)), (4L, Some("gA"), Some(4.0)))
+      .toDF("k", "seg", "bal")
+    MergeTable.write(spark, t, "k", dir, nFiles = 2)
+    IncrementalView.materialize(spark, dir, "k", mv, spec)
+    // retract one NULL-group row, assert another: a null-unsafe state
+    // join would lose the retraction AND duplicate the group's key
+    MergeTable.merge(spark, dir, Seq(
+      (2L, "D", None: Option[String], None: Option[Double]),
+      (9L, "I", None: Option[String], Some(9.0)))
+      .toDF("k", "op", "seg", "bal"), "k")
+    assert(IncrementalView.refresh(spark, dir, mv, spec).contains(1))
+    val got = MergeTable.readTable(spark, mv).drop(IncrementalView.keyColName)
+    assert(rowsOf(got) == rowsOf(
+      IncrementalView.compute(MergeTable.readTable(spark, dir), spec)))
+    assert(rowsOf(got).count(_._1 == null) == 1, "NULL group must stay ONE row")
+    assert(rowsOf(got).find(_._1 == null).get == ((null, 2L, Some(12.0), 2L)))
   }
 
   test("composition: corpus-stats view stays current through ingest + takedown on a governed store") {
