@@ -257,7 +257,12 @@ object Bench {
     // teardown logs asynchronously, and anything it emits after the
     // JSON pushes the line's head out of the harness's tail window
     scala.util.Try(spark.stop())
-    println(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","batch_seconds":${fmt(batchSecs, 1)},"bench_reps":$reps,"queries":$qs,$errShorts"sustained_rps":$thrJson,"sf":"$sfDir"}""")
+    // non-contract fields carry SHORT names on the stdout line (the
+    // full names live in BENCH_DETAIL.json): the registry's growth
+    // eats the harness's 2000-char tail window, and BenchKeysSpec
+    // fails the build when the worst-case line crowds it
+    val sfShort = sfDir.split('/').lastOption.getOrElse(sfDir)
+    println(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","batch":${fmt(batchSecs, 1)},"reps":$reps,"queries":$qs,$errShorts"rps":$thrJson,"sf":"$sfShort"}""")
     System.out.flush()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} row(s) FAILED: " +

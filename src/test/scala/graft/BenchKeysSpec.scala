@@ -37,7 +37,7 @@ class BenchKeysSpec extends AnyFunSuite {
     // construction) and require it plus sbt's trailer to fit
     val qs = Bench.allBenchKeys.map(k => "\"" + Bench.shortKey(k) + "\":99.99")
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":9999.9,"unit":"sec","batch_seconds":9999.9,"bench_reps":99,"queries":$qs,"sustained_rps":[999999,999999,999999,999999],"sf":"/root/testdata/sf0.1"}"""
+    val line = s"""{"metric":"total","value":9999.9,"unit":"sec","batch":9999.9,"reps":99,"queries":$qs,"rps":[999999,999999,999999,999999],"sf":"sf0.1"}"""
     val sbtTrailer = 80 // "[success] Total time: ..." after our line
     val est = line.length + sbtTrailer
     assert(est < 1980, s"worst-case bench line + trailer $est chars crowds the 2000-char parse window")
