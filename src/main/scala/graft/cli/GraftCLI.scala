@@ -126,6 +126,10 @@ object GraftCLI {
         if (MergeTable.dropCheckConstraint(dir, name))
           Seq(s"dropped CHECK constraint '$name' from $dir")
         else Seq(s"no constraint '$name' on $dir")
+      case ("drop-column", dir :: keyCol :: colName :: _) =>
+        val g = MergeTable.dropColumn(spark, dir, keyCol, colName)
+        Seq(s"dropped column '$colName' from $dir as generation $g " +
+          "(metadata-only; name retired until a rewrite sheds the bytes)")
       case _ =>
         System.err.println(
           "usage: GraftCLI table history <dir> | restore <dir> <gen> | " +
@@ -133,7 +137,8 @@ object GraftCLI {
             "compact <dir> <keyCol> [targetRows] | " +
             "recluster <dir> <keyCol> <col[,col…]> [nFiles] | " +
             "bloom-index <dir> <col> [numBits] | " +
-            "constraints <dir> [add <name> <expr…> | drop <name>]")
+            "constraints <dir> [add <name> <expr…> | drop <name>] | " +
+            "drop-column <dir> <keyCol> <col>")
         sys.exit(2)
     }
   }

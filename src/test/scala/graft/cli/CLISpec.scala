@@ -83,6 +83,11 @@ class CLISpec extends SparkSpecBase {
       .contains("dropped"))
     assert(GraftCLI.table(spark, "constraints", List(dir, "drop", "bal-pos")).head
       .contains("no constraint"))
+
+    val dc = GraftCLI.table(spark, "drop-column", List(dir, "k", "tag"))
+    assert(dc.head.contains("'tag'") && dc.head.contains("metadata-only"), dc)
+    assert(!MergeTable.readTable(spark, dir).columns.contains("tag"))
+    assert(MergeTable.droppedColumns(dir) == Set("tag"))
   }
 
   test("run_sample --update: bounded-state top-N path writes the same file") {
