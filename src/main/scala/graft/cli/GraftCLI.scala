@@ -130,6 +130,22 @@ object GraftCLI {
         val g = MergeTable.dropColumn(spark, dir, keyCol, colName)
         Seq(s"dropped column '$colName' from $dir as generation $g " +
           "(metadata-only; name retired until a rewrite sheds the bytes)")
+      case ("mv-create", src :: srcKey :: mv :: grp :: sums :: _) =>
+        val spec = graft.operators.IncrementalView.ViewSpec(
+          grp.split(",").toSeq,
+          sums.split(";").toSeq.filter(_.nonEmpty).map { kv =>
+            val i = kv.indexOf('=')
+            require(i > 0, s"malformed sum '$kv' (want name=expr)")
+            kv.take(i) -> kv.drop(i + 1)
+          })
+        val g = graft.operators.IncrementalView.materialize(
+          spark, src, srcKey, mv, spec)
+        Seq(s"materialized $mv from $src@g$g (group $grp; sums $sums)")
+      case ("mv-refresh", src :: mv :: _) =>
+        graft.operators.IncrementalView.refresh(spark, src, mv) match {
+          case Some(g) => Seq(s"refreshed $mv to $src@g$g")
+          case None => Seq(s"$mv already current with $src")
+        }
       case _ =>
         System.err.println(
           "usage: GraftCLI table history <dir> | restore <dir> <gen> | " +
@@ -138,7 +154,9 @@ object GraftCLI {
             "recluster <dir> <keyCol> <col[,col…]> [nFiles] | " +
             "bloom-index <dir> <col> [numBits] | " +
             "constraints <dir> [add <name> <expr…> | drop <name>] | " +
-            "drop-column <dir> <keyCol> <col>")
+            "drop-column <dir> <keyCol> <col> | " +
+            "mv-create <src> <srcKey> <mv> <grpCol[,…]> <name=expr[;…]> | " +
+            "mv-refresh <src> <mv>")
         sys.exit(2)
     }
   }

@@ -49,6 +49,17 @@ object IncrementalView {
     require(groupCols.nonEmpty, "a view needs at least one group column")
     require(sums.map(_._1).distinct.size == sums.size,
       s"duplicate sum names in ${sums.map(_._1).mkString(",")}")
+    // the spec round-trips through the store's commit meta (one
+    // `mv_sums` line, entries ';'-joined) so refresh needs no
+    // re-declaration — names stay identifiers, exprs single-line
+    sums.foreach { case (n, e) =>
+      require(n.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"sum name '$n' must be an identifier")
+      require(!e.exists(c => c == ';' || c == '\n' || c == '\r'),
+        s"sum expression '$e' must be single-line without ';'")
+    }
+    groupCols.foreach(c => require(!c.exists(ch => ch == ',' || ch == '\n'),
+      s"group column '$c' must not contain ',' or newlines"))
   }
 
   private def nn(name: String) = s"__nn_$name"
@@ -127,7 +138,8 @@ object IncrementalView {
   private def metaOf(spec: ViewSpec, srcKeyCol: String, srcGen: Int) = Map(
     "mv_src_gen" -> srcGen.toString,
     "mv_src_key" -> srcKeyCol,
-    "mv_group" -> spec.groupCols.mkString(","))
+    "mv_group" -> spec.groupCols.mkString(","),
+    "mv_sums" -> spec.sums.map { case (n, e) => s"$n=$e" }.mkString(";"))
 
   /** Materialize the view of `srcDir` (a committed [[MergeTable]])
     * into `mvDir` as its own MergeTable keyed by the composite group
@@ -152,20 +164,43 @@ object IncrementalView {
     * (driver-sized: one tiny log-entry read per generation, and the
     * log survives vacuum) instead of trusting only the latest entry.
     */
-  private def srcMeta(mvDir: String): (Int, String) = {
+  private def srcMetaMap(mvDir: String): Map[String, String] = {
     val cur = MergeTable.committedGen(mvDir).getOrElse(
       sys.error(s"$mvDir is not a committed keyed table (no commit log)"))
     (cur to 0 by -1).iterator.map(g => MergeTable.metaAt(mvDir, g))
-      .collectFirst { case m if m.contains("mv_src_gen") =>
-        (m("mv_src_gen").toInt, m.getOrElse("mv_src_key",
-          sys.error(s"$mvDir commit meta has mv_src_gen but no mv_src_key")))
-      }
+      .collectFirst { case m if m.contains("mv_src_gen") => m }
       .getOrElse(sys.error(
         s"$mvDir is not a materialized view (no mv_src_gen in any commit meta)"))
   }
 
+  private def srcMeta(mvDir: String): (Int, String) = {
+    val m = srcMetaMap(mvDir)
+    (m("mv_src_gen").toInt, m.getOrElse("mv_src_key",
+      sys.error(s"$mvDir commit meta has mv_src_gen but no mv_src_key")))
+  }
+
   /** Source generation the persisted view currently reflects. */
   def reflectedGen(mvDir: String): Int = srcMeta(mvDir)._1
+
+  /** The view definition as persisted in the store's commit meta —
+    * what an operator's `mv-refresh` runs with, no re-declaration.
+    */
+  def specOf(mvDir: String): ViewSpec = {
+    val m = srcMetaMap(mvDir)
+    val grp = m.getOrElse("mv_group",
+      sys.error(s"$mvDir commit meta lacks mv_group")).split(",").toSeq
+    val sums = m.getOrElse("mv_sums", "").split(";").toSeq.filter(_.nonEmpty)
+      .map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"$mvDir commit meta has a malformed mv_sums entry '$kv'")
+        kv.take(i) -> kv.drop(i + 1)
+      }
+    ViewSpec(grp, sums)
+  }
+
+  /** [[refresh]] with the PERSISTED spec — the operational form. */
+  def refresh(s: SparkSession, srcDir: String, mvDir: String): Option[Int] =
+    refresh(s, srcDir, mvDir, specOf(mvDir))
 
   /** Advance the persisted view to the source's current generation by
     * delta maintenance — or no-op (None) if already current. Only

@@ -90,6 +90,35 @@ class CLISpec extends SparkSpecBase {
     assert(MergeTable.droppedColumns(dir) == Set("tag"))
   }
 
+  test("table verbs: mv-create / mv-refresh run the persisted-spec view lifecycle") {
+    import graft.operators.{IncrementalView, MergeTable}
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val src = tmpDir("cli-mv-src")
+    val mv = tmpDir("cli-mv")
+    MergeTable.write(spark,
+      (1 to 100).map(i => (i.toLong, s"g${i % 3}", i * 1.0)).toDF("k", "g", "bal"),
+      "k", src, nFiles = 2)
+    val created = GraftCLI.table(spark, "mv-create",
+      List(src, "k", mv, "g", "sb=bal"))
+    assert(created.head.contains("materialized"), created)
+    assert(GraftCLI.table(spark, "mv-refresh", List(src, mv)).head
+      .contains("already current"))
+    MergeTable.merge(spark, src,
+      Seq((5L, "D", null, 0.0)).toDF("k", "op", "g", "bal"), "k")
+    assert(GraftCLI.table(spark, "mv-refresh", List(src, mv)).head
+      .contains("to " + src + "@g1"))
+    // the refreshed view equals recomputation, via the PERSISTED spec
+    val got = MergeTable.readTable(spark, mv)
+      .select("g", "mv_count", "sb").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    val want = IncrementalView.compute(MergeTable.readTable(spark, src),
+        IncrementalView.specOf(mv))
+      .select("g", "mv_count", "sb").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+    assert(got == want)
+  }
+
   test("run_sample --update: bounded-state top-N path writes the same file") {
     val in = Files.createTempDirectory("cli-in-u")
     Files.write(in.resolve("sample.txt"),
