@@ -166,6 +166,55 @@ class IncrementalViewSpec extends SparkSpecBase {
     assert(rowsOf(MergeTable.readTable(spark, mv).drop(IncrementalView.keyColName)) == before)
   }
 
+  test("property: maintained state tracks recomputation under random generation sequences") {
+    val rnd = new scala.util.Random(42)
+    val groups = Seq(Some("g0"), Some("g1"), Some("g2"), None)
+    def rndBal(): Option[Double] =
+      if (rnd.nextInt(5) == 0) None else Some((rnd.nextInt(2000) - 500) / 2.0)
+    val dir = tmpDir("ivmprop")
+    var live = (1L to 40L).map(k =>
+      k -> (groups(rnd.nextInt(groups.size)), rndBal())).toMap
+    MergeTable.write(spark,
+      live.toSeq.map { case (k, (g, b)) => (k, g, b) }.toDF("k", "seg", "bal"),
+      "k", dir, nFiles = 3)
+    var state = IncrementalView.compute(
+      MergeTable.readTable(spark, dir, asOf = Some(0)), spec).localCheckpoint()
+    var nextKey = 100L
+    (1 to 5).foreach { gen =>
+      // random valid batch: deletes/updates on live keys, fresh inserts
+      val dels = rnd.shuffle(live.keys.toSeq).take(rnd.nextInt(6))
+      val upds = rnd.shuffle((live.keySet -- dels).toSeq).take(rnd.nextInt(8))
+        .map(k => k -> (groups(rnd.nextInt(groups.size)), rndBal()))
+      val inss = (0 until rnd.nextInt(6)).map { _ =>
+        nextKey += 1
+        nextKey -> (groups(rnd.nextInt(groups.size)), rndBal())
+      }
+      val batch =
+        dels.map(k => (k, "D", None: Option[String], None: Option[Double])) ++
+          upds.map { case (k, (g, b)) => (k, "U", g, b) } ++
+          inss.map { case (k, (g, b)) => (k, "I", g, b) }
+      MergeTable.merge(spark,
+        dir, batch.toDF("k", "op", "seg", "bal"), "k")
+      // merge semantics: U's null values KEEP the old value — mirror
+      // that in the tracked model so the generated batches stay honest
+      live = (live -- dels) ++ upds.map { case (k, (g, b)) =>
+        val (og, ob) = live(k)
+        k -> (g.orElse(og), b.orElse(ob))
+      } ++ inss
+      state = IncrementalView.applyDelta(state,
+        MergeTable.changesBetween(spark, dir, gen - 1, gen, "k", preImages = true),
+        spec).localCheckpoint()
+      val truth = IncrementalView.compute(MergeTable.readTable(spark, dir), spec)
+      assert(rowsOf(state) == rowsOf(truth), s"diverged at generation $gen")
+    }
+    // and the whole history nets in one fold
+    val base = IncrementalView.compute(
+      MergeTable.readTable(spark, dir, asOf = Some(0)), spec)
+    val spanned = IncrementalView.applyDelta(base,
+      MergeTable.changesBetween(spark, dir, 0, 5, "k", preImages = true), spec)
+    assert(rowsOf(spanned) == rowsOf(state))
+  }
+
   test("NULL group keys maintain correctly through the persisted path (null-safe joins)") {
     val dir = tmpDir("ivmnullgrp")
     val mv = tmpDir("ivmnullgrp-mv")
