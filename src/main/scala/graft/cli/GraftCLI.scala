@@ -133,11 +133,7 @@ object GraftCLI {
       case ("mv-create", src :: srcKey :: mv :: grp :: sums :: _) =>
         val spec = graft.operators.IncrementalView.ViewSpec(
           grp.split(",").toSeq,
-          sums.split(";").toSeq.filter(_.nonEmpty).map { kv =>
-            val i = kv.indexOf('=')
-            require(i > 0, s"malformed sum '$kv' (want name=expr)")
-            kv.take(i) -> kv.drop(i + 1)
-          })
+          graft.operators.IncrementalView.parseSums(sums))
         val g = graft.operators.IncrementalView.materialize(
           spark, src, srcKey, mv, spec)
         Seq(s"materialized $mv from $src@g$g (group $grp; sums $sums)")

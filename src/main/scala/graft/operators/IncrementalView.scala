@@ -84,6 +84,14 @@ object IncrementalView {
     * state — no base-table access. Groups whose row count reaches 0
     * leave the view; sums whose non-null count reaches 0 become NULL
     * (SQL semantics under retraction).
+    *
+    * Group identity rides the same U+0001/U+0002 string encoding as
+    * the persisted store key (null-SAFE, which a raw-column join is
+    * not): the encoding assumes group values don't contain those two
+    * control characters — a value that does could collide with a
+    * neighboring group or the NULL sentinel (the standard composite-
+    * key caveat; pick a different separator upstream if your domain
+    * legitimately contains U+0001).
     */
   def applyDelta(state: DataFrame, changes: DataFrame, spec: ViewSpec): DataFrame = {
     val w = when(col("change_op").isin("I", "U_post"), lit(1L))
@@ -185,17 +193,28 @@ object IncrementalView {
   /** The view definition as persisted in the store's commit meta —
     * what an operator's `mv-refresh` runs with, no re-declaration.
     */
+  /** Inverse of `metaOf`'s mv_sums rendering — also what the CLI's
+    * `mv-create` argument uses, so the two parses cannot drift.
+    */
+  def parseSums(s: String): Seq[(String, String)] =
+    s.split(";").toSeq.filter(_.nonEmpty).map { kv =>
+      val i = kv.indexOf('=')
+      require(i > 0, s"malformed sum entry '$kv' (want name=expr)")
+      kv.take(i) -> kv.drop(i + 1)
+    }
+
   def specOf(mvDir: String): ViewSpec = {
     val m = srcMetaMap(mvDir)
     val grp = m.getOrElse("mv_group",
       sys.error(s"$mvDir commit meta lacks mv_group")).split(",").toSeq
-    val sums = m.getOrElse("mv_sums", "").split(";").toSeq.filter(_.nonEmpty)
-      .map { kv =>
-        val i = kv.indexOf('=')
-        require(i > 0, s"$mvDir commit meta has a malformed mv_sums entry '$kv'")
-        kv.take(i) -> kv.drop(i + 1)
-      }
-    ViewSpec(grp, sums)
+    // an ABSENT key is not a count-only view (that writes mv_sums="")
+    // — it's a store materialized by an older writer whose sums this
+    // reader can't know; silently refreshing with no sums would null
+    // out every affected group's sum columns. Fail loudly; the 4-arg
+    // refresh with the explicit spec still works on such a store.
+    val sums = m.getOrElse("mv_sums", sys.error(
+      s"$mvDir commit meta lacks mv_sums — refresh with an explicit ViewSpec"))
+    ViewSpec(grp, parseSums(sums))
   }
 
   /** [[refresh]] with the PERSISTED spec — the operational form. */

@@ -601,11 +601,15 @@ object MergeTable {
     * residual `===` (which coerces) would have matched.
     */
   private def bloomProbeHash(value: Any,
-      colType: Option[org.apache.spark.sql.types.DataType]): Long = {
+      colType: Option[org.apache.spark.sql.types.DataType],
+      timeZone: String): Long = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
     val lit0 = Literal(value)
+    // cast under the SESSION time zone — the residual filter coerces a
+    // string-vs-timestamp probe there, and sketch admission must probe
+    // the same instant or timestamp lookups silently lose rows
     val e = colType.filter(_ != lit0.dataType)
-      .map(t => Cast(lit0, t, Some("UTC"))).getOrElse(lit0)
+      .map(t => Cast(lit0, t, Some(timeZone))).getOrElse(lit0)
     XxHash64(Seq(e), 42L)
       .eval(org.apache.spark.sql.catalyst.InternalRow.empty).asInstanceOf[Long]
   }
@@ -680,11 +684,15 @@ object MergeTable {
     newestBloomDir(dir, colName, gen) match {
       case None => (live, 0, live.size)
       case Some((idxDir, _, k)) =>
+        // case-insensitive like Spark's own resolution — a probe on
+        // 'K' against schema field 'k' must still find the type
         val colType = schemaAt(dir, gen)
-          .flatMap(_.fields.find(_.name == colName)).map(_.dataType)
+          .flatMap(_.fields.find(_.name.equalsIgnoreCase(colName)))
+          .map(_.dataType)
+        val tz = s.sessionState.conf.sessionLocalTimeZone
         val anyHit = values.map(v =>
           graft.functions.GraftFunctions.bloomColMightContain(
-            "bloom", bloomProbeHash(v, colType), k)).reduce(_ || _)
+            "bloom", bloomProbeHash(v, colType, tz), k)).reduce(_ || _)
         val admits = s.read.parquet(idxDir)
           .select(col("path"), anyHit.as("hit"))
           .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
@@ -1082,9 +1090,6 @@ object MergeTable {
         s"merge on $dir re-introduces dropped column(s) ${blocked.mkString(", ")} " +
           "still physically present in live files — rewrite the table first " +
           "(compact everything) or use a fresh column name")
-      val gone = reintroduced.map(_.toLowerCase).toSet
-      writeDroppedCols(dir,
-        droppedColumns(dir).filterNot(n => gone.contains(n.toLowerCase)))
     }
     val ins = changes.filter(col("op") === "I")
       .select(col(keyCol) +: valueCols.map { c =>
@@ -1127,6 +1132,17 @@ object MergeTable {
         Seq(staging, manifestDirOf(dir, next, token))
           .foreach(graft.IndexLifecycle.deleteRecursively)
         throw e
+    }
+    // un-retire only AFTER the commit landed: an aborted merge
+    // (constraint rejection, lost OCC race) must not strip the guard —
+    // a later restore could resurface physical carriers the footer
+    // check above no longer sees. Fresh read-modify-write (not a
+    // pre-computed snapshot) so a concurrent drop of a DIFFERENT
+    // column isn't clobbered.
+    if (reintroduced.nonEmpty) {
+      val gone = reintroduced.map(_.toLowerCase).toSet
+      writeDroppedCols(dir,
+        droppedColumns(dir).filterNot(n => gone.contains(n.toLowerCase)))
     }
     MergeStats(next, touched, untouched)
   }
@@ -1431,14 +1447,16 @@ object MergeTable {
     // retire BEFORE the commit link: a crash between the two leaves a
     // retired-but-live column, which the merge guard ignores (the name
     // is still in the table schema, so nothing "re-introduces" it) —
-    // the reverse order would leave a committed drop UNguarded
-    val prevDropped = droppedColumns(dir)
-    writeDroppedCols(dir, prevDropped + colName)
+    // the reverse order would leave a committed drop UNguarded. Both
+    // the add and the rollback are FRESH read-modify-writes touching
+    // only this column: restoring a pre-race snapshot could erase a
+    // concurrent winner's committed retirement of a different column.
+    writeDroppedCols(dir, droppedColumns(dir) + colName)
     try commitGen(dir, next, token, Map("op" -> "dropcol",
       "dropped" -> colName, "schema" -> newSch.json))
     catch {
       case e: java.util.ConcurrentModificationException =>
-        writeDroppedCols(dir, prevDropped)
+        writeDroppedCols(dir, droppedColumns(dir) - colName)
         graft.IndexLifecycle.deleteRecursively(manifestDirOf(dir, next, token))
         throw e
     }
