@@ -82,6 +82,46 @@ class BloomIndexSpec extends SparkSpecBase {
       .select("k").as[Long].collect().toSeq == Seq(333L))
   }
 
+  test("property: lookups never false-negative across a random merge/rebuild lifecycle") {
+    val rnd = new scala.util.Random(7)
+    val dir = tmpDir("bloomprop")
+    var live = (1 to 300).map(k => k.toLong -> s"tag-${rnd.nextInt(1000000)}-$k").toMap
+    var gone = Set.empty[String]
+    MergeTable.write(spark,
+      live.toSeq.map { case (k, t) => (k, t, k * 1.0) }.toDF("k", "tag", "bal"),
+      "k", dir, nFiles = 6)
+    MergeTable.buildBloomIndex(spark, dir, "tag", numBits = 1 << 14)
+    var nextKey = 1000L
+    (1 to 4).foreach { round =>
+      val dels = rnd.shuffle(live.keys.toSeq).take(rnd.nextInt(10))
+      val upds = rnd.shuffle((live.keySet -- dels).toSeq).take(rnd.nextInt(10))
+        .map(k => k -> s"tag-r$round-$k")
+      val inss = (0 until rnd.nextInt(8)).map { _ =>
+        nextKey += 1; nextKey -> s"tag-new$round-$nextKey"
+      }
+      val batch =
+        dels.map(k => (k, "D", null: String, 0.0)) ++
+          upds.map { case (k, t) => (k, "U", t, 0.5) } ++
+          inss.map { case (k, t) => (k, "I", t, 1.5) }
+      MergeTable.merge(spark, dir, batch.toDF("k", "op", "tag", "bal"), "k")
+      gone = gone ++ dels.map(live) ++ upds.flatMap { case (k, _) => live.get(k) }
+      live = (live -- dels) ++ upds ++ inss
+      if (round == 2) MergeTable.buildBloomIndex(spark, dir, "tag", numBits = 1 << 14)
+      // every probed CURRENT tag must resolve to exactly its row —
+      // covered or not by the (possibly stale) sidecar
+      rnd.shuffle(live.toSeq).take(12).foreach { case (k, t) =>
+        val got = MergeTable.scanEqualsBloom(spark, dir, "tag", t)
+          .select("k").as[Long].collect().toSeq
+        assert(got == Seq(k), s"round $round: tag $t gave $got, want $k")
+      }
+      // and tags that left the table resolve to nothing
+      rnd.shuffle(gone.toSeq).take(4).foreach { t =>
+        assert(MergeTable.scanEqualsBloom(spark, dir, "tag", t).count() == 0,
+          s"round $round: departed tag $t still resolves")
+      }
+    }
+  }
+
   test("rebuild supersedes the old sidecar and restores full pruning") {
     val dir = tmpDir("bloomrebuild")
     MergeTable.write(spark, table(400), "k", dir, nFiles = 8)
