@@ -38,10 +38,23 @@ object Bench {
     def force(spark: SparkSession)(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // any-phase failures land here; warm failures use a distinguishing
+    // prefix (a measured-pass failure of the same key overwrites it
+    // with the real error)
+    val errors = collection.mutable.LinkedHashMap.empty[String, String]
+
     // ---- warm pass: compile every plan's codegen once ----
+    // A throwing warm pass is NOT swallowed: it silently shifts that
+    // query's measured reps from warm-code to cold-code, skewing the
+    // round-to-round comparison without any visible record — so it
+    // lands in `errors` (and fails the bench) as a measurement-
+    // integrity violation even when the measured pass then succeeds.
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try force(warm)(fn(warm, sfDir))
-      catch { case e: Throwable => System.err.println(s"[bench] warm $name failed: $e") }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm $name failed: $e")
+        errors(name) = ("warm_failed: " + e).take(200)
+      }
     }
     runStreaming(warm, sfDir) // warm the streaming plan too
     operators.MergeTable.cleanupFixtures() // warm pass's tmp fixture tables
@@ -70,7 +83,6 @@ object Bench {
     // preserved in BENCH_DETAIL.json under "rep_queries".
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption)
       .filter(_ >= 1).getOrElse(3)
-    val errors = collection.mutable.LinkedHashMap.empty[String, String]
     var lastSession: SparkSession = null
     val repResults = (1 to reps).map { rep =>
       val sess = warm.newSession()
@@ -140,7 +152,12 @@ object Bench {
         val t1 = System.nanoTime()
         force(spark)(SparkEntry.queries("dd11_incremental_lsh")(spark, sfDir))
         val tProbe = (System.nanoTime() - t1) / 1e9
-        System.err.println(s"[bench] dd11 probe used index $idx")
+        // informational, so stdout — a stderr line here surfaces as
+        // `[error] [bench] …` in the sbt tail and reads as a failure
+        // to log scrapers (brace-free by construction: `idx` is a
+        // hex-suffixed table name, so it can't disturb the harness's
+        // first-{-to-last-} JSON extraction either)
+        println(s"bench info: dd11 probe used index $idx")
         Seq("dd11_lsh_build" -> tBuild, "dd11_lsh_probe" -> tProbe)
       } finally {
         try dedup.Dedup.evictLshIndex(spark, sfDir)

@@ -929,7 +929,10 @@ object ScaleProbe {
             concat(lit("seg"), pmod(col("id"), lit(7))).as("seg"),
             (pmod(xxhash64(col("id")), lit(100000)) / 100.0).as("bal"))
           operators.MergeTable.write(spark, src, "k", dir, nFiles)
-          val spec = operators.IncrementalView.ViewSpec(Seq("seg"), Seq("sb" -> "bal"))
+          // decimal cents: the exact-arithmetic regime IncrementalView
+          // enforces (a raw double sum is rejected)
+          val spec = operators.IncrementalView.ViewSpec(Seq("seg"),
+            Seq("sb" -> "cast(round(bal * 100) as decimal(38,0))"))
           operators.IncrementalView.materialize(spark, dir, "k", mv, spec)
           val changes = spark.range(deltaKeys).select(col("id").as("k"),
               when(col("id") % 3 === 0, lit("D")).otherwise(lit("U")).as("op"),
@@ -947,11 +950,11 @@ object ScaleProbe {
           println(f"$m%12d rows: refresh $refreshS%.2f s (delta $deltaKeys keys), recompute $recomputeS%.2f s")
           val got = operators.MergeTable.readTable(spark, mv)
             .drop(operators.IncrementalView.keyColName).collect()
-          val gm = got.map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+          val gm = got.map(r =>
+            r.getString(0) -> (r.getLong(1), r.getDecimal(2))).toMap
           truth.foreach { r =>
             val (n, sb) = gm(r.getString(0))
-            require(n == r.getLong(1) && math.abs(sb - r.getDouble(2)) <
-              1e-6 * math.max(1.0, math.abs(sb)),
+            require(n == r.getLong(1) && sb.compareTo(r.getDecimal(2)) == 0,
               s"view drifted on ${r.getString(0)}: ($n,$sb) vs $r")
           }
           (refreshS, recomputeS)

@@ -58,6 +58,43 @@ object GraftCLI {
     sys.exit(2)
   }
 
+  /** Malformed `table` invocation — carries the usage text; thrown
+    * (not sys.exit'd) so CLISpec can drive the error paths without a
+    * process boundary. [[tableMain]] turns it into the stderr usage +
+    * exit 2 the shell expects.
+    */
+  final class Usage(msg: String) extends IllegalArgumentException(msg)
+
+  private val tableUsage: String =
+    "usage: GraftCLI table history <dir> | restore <dir> <gen> | " +
+      "clone <src> <dst> | vacuum <dir> [minAgeMs] [--force] | " +
+      "compact <dir> <keyCol> [targetRows] | " +
+      "recluster <dir> <keyCol> <col[,col…]> [nFiles] [--partial] | " +
+      "bloom-index <dir> <col> [numBits] | " +
+      "constraints <dir> [add <name> <expr…> | drop <name>] | " +
+      "drop-column <dir> <keyCol> <col> | " +
+      "delete-where <dir> <keyCol> <col> <lo|_> <hi|_> | " +
+      "update-where <dir> <keyCol> <col> <lo|_> <hi|_> <name=expr[;…]> | " +
+      "merge <dir> <keyCol> <changesParquetDir> | " +
+      "cdc-horizons <dir> | cdc-release <dir> <consumer> | " +
+      "mv-create <src> <srcKey> <mv> <grpCol[,…]> <name=expr[;…]> | " +
+      "mv-refresh <src> <mv>"
+
+  // numeric verb arguments parse totally: a malformed value is a
+  // usage error, not a NumberFormatException stack trace
+  private def intArg(v: String, what: String): Int =
+    v.toIntOption.getOrElse(throw new Usage(s"$what must be an integer, got '$v'\n$tableUsage"))
+  private def longArg(v: String, what: String): Long =
+    v.toLongOption.getOrElse(throw new Usage(s"$what must be an integer, got '$v'\n$tableUsage"))
+
+  /** A band bound: `_` = unbounded on that side; otherwise typed
+    * long → double → string (matching the manifest stat's native
+    * ordering for the common key types).
+    */
+  private def boundArg(v: String): Option[Any] =
+    if (v == "_") None
+    else Some(v.toLongOption.getOrElse(v.toDoubleOption.getOrElse(v)))
+
   /** Table-format ops console (`GraftCLI table <cmd> …`): the
     * operational verbs for [[graft.operators.MergeTable]] dirs —
     * what an operator runs in a maintenance window (the reference CLI
@@ -72,7 +109,11 @@ object GraftCLI {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try table(spark, cmd, rest).foreach(println)
-    finally spark.stop()
+    catch {
+      case u: Usage =>
+        System.err.println(u.getMessage)
+        sys.exit(2)
+    } finally spark.stop()
   }
 
   /** Session-scoped `table` verb dispatch, returning the lines to
@@ -80,7 +121,7 @@ object GraftCLI {
     */
   def table(spark: SparkSession, cmd: String, args: List[String]): Seq[String] = {
     import graft.operators.MergeTable
-    (cmd, args) match {
+    (cmd, args.filterNot(_.startsWith("--"))) match {
       case ("history", dir :: _) =>
         MergeTable.history(spark, dir).collect().toSeq.map { r =>
           val detail = r.getAs[Map[String, String]]("detail")
@@ -92,34 +133,41 @@ object GraftCLI {
             s"ts=${r.getAs[Long]("ts")}$extra"
         }
       case ("restore", dir :: gen :: _) =>
-        val g = MergeTable.restore(spark, dir, gen.toInt)
-        Seq(s"restored $dir to generation ${gen.toInt} as generation $g")
+        val toGen = intArg(gen, "restore <gen>")
+        val g = MergeTable.restore(spark, dir, toGen)
+        Seq(s"restored $dir to generation $toGen as generation $g")
       case ("clone", src :: dst :: _) =>
         val g = MergeTable.cloneTable(spark, src, dst)
         Seq(s"cloned $src@g$g -> $dst (shallow)")
       case ("vacuum", dir :: more) =>
-        val minAge = more.headOption.map(_.toLong).getOrElse(0L)
-        Seq(s"vacuumed ${MergeTable.vacuum(spark, dir, minAge)} object(s) from $dir")
+        val minAge = more.headOption.map(longArg(_, "vacuum [minAgeMs]")).getOrElse(0L)
+        val n = MergeTable.vacuum(spark, dir, minAge, force = args.contains("--force"))
+        Seq(s"vacuumed $n object(s) from $dir")
       case ("compact", dir :: keyCol :: more) =>
-        val target = more.headOption.map(_.toLong).getOrElse(1000000L)
+        val target = more.headOption.map(longArg(_, "compact [targetRows]"))
+          .getOrElse(1000000L)
         MergeTable.compact(spark, dir, keyCol, targetRows = target)
         Seq(s"compacted $dir (target $target rows/file) -> generation " +
           s"${MergeTable.committedGen(dir).get}")
       case ("recluster", dir :: keyCol :: cols :: more) =>
-        val nFiles = more.headOption.map(_.toInt).getOrElse(16)
-        val st = MergeTable.recluster(spark, dir, keyCol,
-          cols.split(",").toSeq, nFiles)
+        val nFiles = more.headOption.map(intArg(_, "recluster [nFiles]")).getOrElse(16)
+        val st =
+          if (args.contains("--partial"))
+            MergeTable.reclusterPartial(spark, dir, keyCol, cols.split(",").toSeq,
+              if (more.isEmpty) 0 else nFiles)
+          else MergeTable.recluster(spark, dir, keyCol, cols.split(",").toSeq, nFiles)
         Seq(s"reclustered $dir on ($cols) -> generation ${st.gen} " +
-          s"(${st.touched.size} files rewritten)")
+          s"(${st.touched.size} files rewritten, ${st.untouched.size} carried)")
       case ("bloom-index", dir :: colName :: more) =>
-        val bits = more.headOption.map(_.toInt).getOrElse(1 << 17)
+        val bits = more.headOption.map(intArg(_, "bloom-index [numBits]"))
+          .getOrElse(1 << 17)
         val g = MergeTable.buildBloomIndex(spark, dir, colName, numBits = bits)
         Seq(s"built bloom sidecar for $dir.$colName at generation $g ($bits bits/file)")
       case ("constraints", dir :: Nil) =>
         val cons = MergeTable.checkConstraints(dir)
         if (cons.isEmpty) Seq(s"no CHECK constraints on $dir")
         else cons.toSeq.sorted.map { case (n, e) => s"$n CHECK ($e)" }
-      case ("constraints", dir :: "add" :: name :: exprParts) =>
+      case ("constraints", dir :: "add" :: name :: exprParts) if exprParts.nonEmpty =>
         MergeTable.addCheckConstraint(spark, dir, name, exprParts.mkString(" "))
         Seq(s"added CHECK constraint '$name' to $dir")
       case ("constraints", dir :: "drop" :: name :: _) =>
@@ -130,6 +178,32 @@ object GraftCLI {
         val g = MergeTable.dropColumn(spark, dir, keyCol, colName)
         Seq(s"dropped column '$colName' from $dir as generation $g " +
           "(metadata-only; name retired until a rewrite sheds the bytes)")
+      case ("delete-where", dir :: keyCol :: colName :: lo :: hi :: _) =>
+        val st = MergeTable.deleteWhere(spark, dir, keyCol, colName,
+          boundArg(lo), boundArg(hi))
+        Seq(s"deleted from $dir where $colName in [$lo, $hi] -> generation ${st.gen} " +
+          s"(${st.dropped.size} files dropped metadata-only, " +
+          s"${st.rewritten.size} rewritten, ${st.carried.size} carried)")
+      case ("update-where", dir :: keyCol :: colName :: lo :: hi :: sets :: _) =>
+        val assignments = graft.operators.IncrementalView.parseSums(sets)
+          .map { case (n, e) => n -> org.apache.spark.sql.functions.expr(e) }.toMap
+        val st = MergeTable.updateWhere(spark, dir, keyCol, colName,
+          boundArg(lo), boundArg(hi), assignments)
+        Seq(s"updated $dir where $colName in [$lo, $hi] set $sets -> " +
+          s"generation ${st.gen} (${st.rewritten.size} files rewritten, " +
+          s"${st.carried.size} carried)")
+      case ("merge", dir :: keyCol :: changesDir :: _) =>
+        val st = MergeTable.merge(spark, dir, spark.read.parquet(changesDir), keyCol)
+        Seq(s"merged $changesDir into $dir -> generation ${st.gen} " +
+          s"(${st.touched.size} files rewritten, ${st.untouched.size} carried)")
+      case ("cdc-horizons", dir :: _) =>
+        val hs = MergeTable.cdcHorizons(dir)
+        if (hs.isEmpty) Seq(s"no registered CDC consumers on $dir")
+        else hs.toSeq.sorted.map { case (c, g) => s"$c at generation $g" }
+      case ("cdc-release", dir :: consumer :: _) =>
+        if (MergeTable.releaseCdcHorizon(dir, consumer))
+          Seq(s"released CDC horizon of '$consumer' on $dir")
+        else Seq(s"no registered consumer '$consumer' on $dir")
       case ("mv-create", src :: srcKey :: mv :: grp :: sums :: _) =>
         val spec = graft.operators.IncrementalView.ViewSpec(
           grp.split(",").toSeq,
@@ -142,18 +216,7 @@ object GraftCLI {
           case Some(g) => Seq(s"refreshed $mv to $src@g$g")
           case None => Seq(s"$mv already current with $src")
         }
-      case _ =>
-        System.err.println(
-          "usage: GraftCLI table history <dir> | restore <dir> <gen> | " +
-            "clone <src> <dst> | vacuum <dir> [minAgeMs] | " +
-            "compact <dir> <keyCol> [targetRows] | " +
-            "recluster <dir> <keyCol> <col[,col…]> [nFiles] | " +
-            "bloom-index <dir> <col> [numBits] | " +
-            "constraints <dir> [add <name> <expr…> | drop <name>] | " +
-            "drop-column <dir> <keyCol> <col> | " +
-            "mv-create <src> <srcKey> <mv> <grpCol[,…]> <name=expr[;…]> | " +
-            "mv-refresh <src> <mv>")
-        sys.exit(2)
+      case _ => throw new Usage(tableUsage)
     }
   }
 

@@ -25,9 +25,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Exactness: each sum also maintains its non-null contribution
   * count, so a group whose inputs are all NULL reports SQL's NULL
-  * (not 0) and a group emptied by deletes leaves the view — the
-  * maintained state is row-for-row what recomputation would produce,
-  * and the q69 oracle holds it to DuckDB's answer.
+  * (not 0) and a group emptied by deletes leaves the view. THE
+  * EXACTNESS REGIME IS EXACT ARITHMETIC ONLY — integer, long and
+  * decimal sums are row-for-row what recomputation would produce
+  * (associative and invertible), and the q69 oracle holds a
+  * decimal-cents sum to DuckDB's answer. FLOAT/DOUBLE sums are NOT in
+  * the regime: retract-then-assert accumulates IEEE rounding error
+  * against a fresh fold (x + δ - δ ≠ x in general), so a
+  * double-typed sum expression is REJECTED at [[compute]]/
+  * [[applyDelta]] with a decimal-cast hint — `cast(round(amt * 100)
+  * as decimal(38,0))` is the standard spelling (the same
+  * explicit-IEEE-parity posture q55 takes, inverted).
   *
   * Scale shape: refresh cost is ∝ |delta| + |affected groups|, never
   * ∝ the base table. The delta aggregation is one map-side-combined
@@ -64,10 +72,28 @@ object IncrementalView {
 
   private def nn(name: String) = s"__nn_$name"
 
+  /** The exact-arithmetic regime gate (see the object scaladoc): a
+    * sum expression resolving to float/double is refused LOUDLY here,
+    * at both maintenance entry points, rather than silently drifting
+    * the view under retraction. Resolution is one driver-side
+    * analysis pass, no job.
+    */
+  private def assertExactSumTypes(frame: DataFrame, spec: ViewSpec): Unit =
+    spec.sums.foreach { case (n, e) =>
+      val t = frame.select(expr(e)).schema.head.dataType
+      require(t != org.apache.spark.sql.types.DoubleType &&
+        t != org.apache.spark.sql.types.FloatType,
+        s"sum '$n' ($e) resolves to ${t.simpleString}: floating-point sums are " +
+          "outside the incremental-maintenance exactness regime (retract-then-" +
+          "assert accumulates IEEE error vs recomputation) — sum an exact type " +
+          s"instead, e.g. cast(round(($e) * 100) as decimal(38,0)) for cents")
+    }
+
   /** Ground-truth computation: full groupBy over `table`. Used once at
     * [[materialize]] time (and by specs to check maintenance).
     */
   def compute(table: DataFrame, spec: ViewSpec): DataFrame = {
+    assertExactSumTypes(table, spec)
     val aggs = count(lit(1L)).as("mv_count") +:
       spec.sums.flatMap { case (n, e) =>
         Seq(sum(expr(e)).as(n), count(expr(e)).as(nn(n))) }
@@ -94,6 +120,7 @@ object IncrementalView {
     * legitimately contains U+0001).
     */
   def applyDelta(state: DataFrame, changes: DataFrame, spec: ViewSpec): DataFrame = {
+    assertExactSumTypes(changes, spec)
     val w = when(col("change_op").isin("I", "U_post"), lit(1L))
       .when(col("change_op").isin("D", "U_pre"), lit(-1L))
       .otherwise(raise_error(concat(
@@ -217,6 +244,28 @@ object IncrementalView {
     ViewSpec(grp, parseSums(sums))
   }
 
+  /** An explicit spec must MATCH the persisted view definition when
+    * one exists: a same-shaped spec with a different sum expression
+    * (sb -> bal*2 vs the persisted bal) would fold mismatched deltas
+    * onto the existing state and silently drift the view. The
+    * unchecked path remains only for legacy stores lacking the meta.
+    */
+  private def assertSpecMatchesStore(mvDir: String, spec: ViewSpec): Unit = {
+    val m = srcMetaMap(mvDir)
+    (m.get("mv_group"), m.get("mv_sums")) match {
+      case (Some(grp), Some(sums)) =>
+        val persisted = ViewSpec(grp.split(",").toSeq, parseSums(sums))
+        require(persisted.groupCols == spec.groupCols && persisted.sums == spec.sums,
+          s"spec for $mvDir does not match the persisted view definition " +
+            s"(persisted: group=[${persisted.groupCols.mkString(",")}] " +
+            s"sums=[${persisted.sums.map { case (n, e) => s"$n=$e" }.mkString(";")}]; " +
+            s"passed: group=[${spec.groupCols.mkString(",")}] " +
+            s"sums=[${spec.sums.map { case (n, e) => s"$n=$e" }.mkString(";")}]) — " +
+            "use specOf(mvDir), or re-materialize to change the definition")
+      case _ => () // pre-meta store: caller owns spec fidelity
+    }
+  }
+
   /** [[refresh]] with the PERSISTED spec — the operational form. */
   def refresh(s: SparkSession, srcDir: String, mvDir: String): Option[Int] =
     refresh(s, srcDir, mvDir, specOf(mvDir))
@@ -233,6 +282,7 @@ object IncrementalView {
     */
   def refresh(s: SparkSession, srcDir: String, mvDir: String,
               spec: ViewSpec): Option[Int] = {
+    assertSpecMatchesStore(mvDir, spec)
     val (last, srcKey) = srcMeta(mvDir)
     val cur = MergeTable.committedGen(srcDir).getOrElse(
       sys.error(s"$srcDir is not a committed keyed table (no commit log)"))
@@ -285,6 +335,7 @@ object IncrementalView {
     */
   def maintainStream(s: SparkSession, srcDir: String, mvDir: String,
                      spec: ViewSpec, checkpointDir: String): StreamingQuery = {
+    assertSpecMatchesStore(mvDir, spec)
     val (startGen, srcKey) = srcMeta(mvDir)
     MergeTable.changesStream(s, srcDir, srcKey,
       startGen = startGen, preImages = true)

@@ -305,8 +305,6 @@ object MergeTable {
     * maintenance).
     */
   private def zValueOf(df: DataFrame, clusterCols: Seq[String]): Option[Column] = {
-    // d ≤ 3: 16 lattice bits × d + (d-1) lane offset must stay below
-    // bit 63 — a sign-bit z-value would break the range order
     require(clusterCols.nonEmpty && clusterCols.size <= 3,
       s"z-order wants 1-3 cluster columns, got ${clusterCols.size}")
     clusterCols.foreach { c =>
@@ -317,11 +315,30 @@ object MergeTable {
     val boundExprs = clusterCols.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val bounds = df.agg(boundExprs.head, boundExprs.tail: _*).head()
-    if (bounds.anyNull) return None
+    if (bounds.anyNull) None
+    else Some(zValueWithBounds(clusterCols,
+      clusterCols.indices.map(i =>
+        (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1)))))
+  }
+
+  /** The Morton interleave against EXPLICIT lattice bounds —
+    * [[zValueOf]]'s core, also driven by [[reclusterPartial]] with
+    * GLOBAL bounds off the manifest: a partial rewrite must fold its
+    * rows into the TABLE's z space (so its output files tile the same
+    * lattice the carried files do), not a lattice renormalized to the
+    * degraded subset, which would coarsen per-dimension selectivity
+    * exactly where the layout was being repaired.
+    */
+  private def zValueWithBounds(clusterCols: Seq[String],
+                               bounds: Seq[(Double, Double)]): Column = {
+    // d ≤ 3: 16 lattice bits × d + (d-1) lane offset must stay below
+    // bit 63 — a sign-bit z-value would break the range order
+    require(clusterCols.nonEmpty && clusterCols.size <= 3,
+      s"z-order wants 1-3 cluster columns, got ${clusterCols.size}")
     // 16-bit lattice coordinate per column, then spread bits so each
     // occupies every d-th position (d-way Morton interleave)
     def lattice(c: String, i: Int): Column = {
-      val (lo, hi) = (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1))
+      val (lo, hi) = bounds(i)
       val span = if (hi > lo) hi - lo else 1.0
       least(greatest(((col(c).cast("double") - lit(lo)) / lit(span) * 65535.0)
         .cast("long"), lit(0L)), lit(65535L))
@@ -343,9 +360,9 @@ object MergeTable {
           spreadX.bitwiseAND(lit(mask))
         }
       }
-    Some(clusterCols.zipWithIndex.map { case (c, i) =>
+    clusterCols.zipWithIndex.map { case (c, i) =>
       shiftleft(spread(lattice(c, i)), i)
-    }.reduce(_ bitwiseOR _))
+    }.reduce(_ bitwiseOR _)
   }
 
   /** OPTIMIZE ZORDER in place (Delta's maintenance shape): rewrite
@@ -391,7 +408,101 @@ object MergeTable {
           .foreach(graft.IndexLifecycle.deleteRecursively)
         throw e
     }
+    maintainBloomSidecars(s, dir, next, staging)
     MergeStats(next, prevPaths, Nil) // everything rewrote, nothing carried
+  }
+
+  /** Partial OPTIMIZE ZORDER — the real maintenance cadence at
+    * 100 TB: rewrite ONLY the files that DEGRADED the z layout since
+    * the last clustering commit (merge/update/compact outputs land
+    * key-ordered, not z-ordered), folding them back into the Morton
+    * order while every still-clustered file carries to the new
+    * manifest BY REFERENCE, bytes untouched. Cost ∝ the degradation,
+    * never the table — a day's merge against a year's fact table
+    * re-optimizes the day. [[recluster]] stays the full-rewrite path
+    * (first-ever clustering, or a deliberate global re-sort).
+    *
+    * The baseline is the newest commit tagged `op=cluster` (write-
+    * clustered gen 0, a full recluster, or a previous partial):
+    * degraded = live files NOT in that commit's manifest. With no
+    * cluster commit in the history (or its manifest vacuumed) every
+    * live file is degraded and this degenerates to [[recluster]]'s
+    * full rewrite — correct, just not partial. The rewrite's z-values
+    * normalize over the DEGRADED rows' own bounds (per-file stats are
+    * computed from the written bytes as always, so admission
+    * correctness never depends on the lattice); the commit is tagged
+    * `op=cluster`, so the NEXT partial recluster treats this
+    * generation as its baseline. Content is logically identical —
+    * CDC across the commit nets to zero — and a no-op (nothing
+    * degraded) does not advance the generation.
+    */
+  def reclusterPartial(s: SparkSession, dir: String, keyCol: String,
+                       clusterCols: Seq[String], nFiles: Int = 0): MergeStats = {
+    val prevGen = committedGen(dir).getOrElse(
+      sys.error(s"$dir is not a committed keyed table (no commit log)"))
+    val livePaths = manifestAt(s, dir, prevGen).select("path").collect()
+      .map(_.getString(0)).toIndexedSeq
+    val baseline: Set[String] =
+      (prevGen to 0 by -1).find(g => metaAt(dir, g).get("op").contains("cluster"))
+        .flatMap { g =>
+          scala.util.Try(manifestAt(s, dir, g).select("path").collect()
+            .map(_.getString(0)).toSet).toOption // vacuumed baseline: full rewrite
+        }.getOrElse(Set.empty)
+    val degraded = livePaths.filterNot(baseline.contains)
+    val carried = livePaths.filter(baseline.contains)
+    if (degraded.isEmpty)
+      return MergeStats(prevGen, Nil, carried) // layout already optimal
+    val next = prevGen + 1
+    val token = newToken()
+    val staging = dataDirOf(dir, next, token)
+    val df = readerFor(s, dir, prevGen).parquet(degraded: _*)
+    val outFiles = if (nFiles > 0) nFiles else math.max(1, degraded.size)
+    val man0 = manifestAt(s, dir, prevGen)
+    // GLOBAL lattice bounds off the manifest stats (driver-side,
+    // file-count-sized, zero data scan): the rewrite must tile the
+    // TABLE's z space, not a lattice renormalized to the degraded
+    // subset — see zValueWithBounds. Missing/null stats (or a
+    // non-double-castable stat type) fall back to subset bounds,
+    // which only costs selectivity, never correctness.
+    val globalBounds: Option[Seq[(Double, Double)]] =
+      if (!clusterCols.forall(c => man0.columns.contains(s"min_$c"))) None
+      else {
+        val aggs = clusterCols.flatMap(c => Seq(
+          min(col(s"min_$c").cast("double")), max(col(s"max_$c").cast("double"))))
+        val r = man0.agg(aggs.head, aggs.tail: _*).head()
+        if (r.anyNull) None
+        else Some(clusterCols.indices.map(i =>
+          (r.getDouble(2 * i), r.getDouble(2 * i + 1))))
+      }
+    val zv = globalBounds
+      .map(b => zValueWithBounds(clusterCols, b))
+      .orElse(zValueOf(df, clusterCols))
+    zv match {
+      case Some(z) =>
+        df.withColumn("__zv", z)
+          .repartitionByRange(outFiles, col("__zv")).drop("__zv")
+          .write.parquet(staging)
+      case None => // degenerate fold set: key order
+        df.repartitionByRange(outFiles, col(keyCol)).write.parquet(staging)
+    }
+    val man = manifestAt(s, dir, prevGen)
+    val newStats =
+      if (hasParquetFiles(staging)) statsOf(s, staging, keyCol)
+      else man.filter(lit(false))
+    man.filter(col("path").isin(carried: _*))
+      .unionByName(newStats, allowMissingColumns = true)
+      .coalesce(1).write.parquet(manifestDirOf(dir, next, token))
+    try commitGen(dir, next, token, Map("op" -> "cluster",
+      "partial" -> degraded.size.toString) ++
+      schemaAt(dir, prevGen).map(sch => Map("schema" -> sch.json)).getOrElse(Map.empty))
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        Seq(staging, manifestDirOf(dir, next, token))
+          .foreach(graft.IndexLifecycle.deleteRecursively)
+        throw e
+    }
+    maintainBloomSidecars(s, dir, next, staging)
+    MergeStats(next, degraded, carried)
   }
 
   def manifest(s: SparkSession, dir: String): DataFrame = {
@@ -563,12 +674,14 @@ object MergeTable {
   private def bloomDirOf(dir: String, colName: String, gen: Int, numHashes: Int) =
     s"$dir/_bloom-g$gen~$numHashes~$colName"
 
-  /** Every committed sidecar for `colName`: (dirName, gen, numHashes).
-    * Staged `.tmp` dirs never parse (their column segment carries the
-    * token suffix). One listing, shared by [[newestBloomDir]] and the
-    * rebuild sweep so the name scheme lives in exactly one place.
+  /** Every committed sidecar segment under `dir`:
+    * (dirName, gen, numHashes, colName). Staged `.tmp` dirs never
+    * parse (their column segment carries the token suffix). One
+    * listing, shared by [[newestBloomDir]], the rebuild sweep and
+    * [[maintainBloomSidecars]] so the name scheme lives in exactly
+    * one place.
     */
-  private def bloomDirsFor(dir: String, colName: String): Seq[(String, Int, Int)] = {
+  private def bloomDirs(dir: String): Seq[(String, Int, Int, String)] = {
     val root = java.nio.file.Path.of(dir)
     if (!java.nio.file.Files.exists(root)) return Nil
     val ls = java.nio.file.Files.list(root)
@@ -577,12 +690,15 @@ object MergeTable {
     names.flatMap { n =>
       if (!n.startsWith("_bloom-g")) None
       else n.stripPrefix("_bloom-g").split("~", 3) match {
-        case Array(g, k, c) if c == colName =>
-          for (gi <- g.toIntOption; ki <- k.toIntOption) yield (n, gi, ki)
+        case Array(g, k, c) =>
+          for (gi <- g.toIntOption; ki <- k.toIntOption) yield (n, gi, ki, c)
         case _ => None
       }
     }
   }
+
+  private def bloomDirsFor(dir: String, colName: String): Seq[(String, Int, Int)] =
+    bloomDirs(dir).collect { case (n, g, k, c) if c == colName => (n, g, k) }
 
   /** Newest sidecar for `colName` at or below `maxGen`:
     * (path, gen, numHashes).
@@ -642,17 +758,96 @@ object MergeTable {
     // land the new sidecar FIRST, sweep superseded ones after — a
     // crash mid-build leaves the old index intact, a crash mid-sweep
     // leaves both (newestBloomDir picks the higher generation). The
-    // only torn window is a same-generation re-build, whose target
-    // name must clear before the move.
-    val outName = java.nio.file.Path.of(out).getFileName.toString
+    // sweep is restricted to STRICTLY LOWER generations: a concurrent
+    // builder that already landed a fresher index (higher gen) must
+    // not lose it to this builder's cleanup. Two torn windows remain,
+    // both sound (probes fall back to full admission) but noted so
+    // operators don't schedule concurrent rebuilds of one column: a
+    // SAME-generation re-build deletes the live target before the
+    // atomic move (brief no-index gap), and a same-generation build
+    // with a different numHashes leaves both dirs until the next
+    // higher-generation build sweeps them.
     if (java.nio.file.Files.exists(java.nio.file.Path.of(out)))
       graft.IndexLifecycle.deleteRecursively(out)
     java.nio.file.Files.move(java.nio.file.Path.of(staged),
       java.nio.file.Path.of(out),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    bloomDirsFor(dir, colName).map(_._1).filter(_ != outName)
+    bloomDirsFor(dir, colName).filter(_._2 < gen).map(_._1)
       .foreach(n => graft.IndexLifecycle.deleteRecursively(s"$dir/$n"))
     gen
+  }
+
+  /** Delta-maintain every existing Bloom sidecar at a DML commit:
+    * sketch ONLY the committing generation's staged files (one pass
+    * over files already in the page cache from being written), fold
+    * them with the surviving entries of the current sidecar (a
+    * file-count-sized parquet read — the sketch column is a monoid,
+    * so old entries carry verbatim; dead files' rows are dropped),
+    * and land the union as the generation-`newGen` sidecar under the
+    * same staged-move discipline as [[buildBloomIndex]]. Cost ∝ the
+    * delta plus the sidecar, never the table — the same maintenance
+    * discipline as appendToFpIndex/appendToIvfIndex, and the reason
+    * the index stays ~fully covering under a steady merge diet
+    * instead of decaying toward admit-all until a full rebuild.
+    *
+    * Runs AFTER the commit-log link has landed, so a failure here can
+    * never un-commit data — it degrades to a stale (sound,
+    * admit-uncovered) sidecar, is logged loudly, and
+    * [[buildBloomIndex]] is the recovery. numHashes rides the newest
+    * segment's dir name; numBits rides each sketch's own byte length
+    * (per-row, so segments built at different sizes still fold).
+    * Crash-safety: a crash before the move leaves the old sidecar
+    * intact; a crash mid-sweep leaves both generations (probes read
+    * the newest).
+    */
+  private def maintainBloomSidecars(s: SparkSession, dir: String,
+                                    newGen: Int, staging: String): Unit = {
+    val segs = bloomDirs(dir)
+    if (segs.isEmpty) return
+    val liveDf = manifestAt(s, dir, newGen).select("path")
+    val stagedDf =
+      if (hasParquetFiles(staging)) Some(s.read.parquet(staging)) else None
+    segs.map(_._4).distinct.foreach { c =>
+      try {
+        val colSegs = segs.collect { case (n, g, k, `c`) => (n, g, k) }
+        val (_, newestGen, k) = colSegs.maxBy(_._2)
+        if (newestGen < newGen) {
+          val foldPaths = colSegs.filter(_._3 == k).map(t => s"$dir/${t._1}")
+          val old = s.read.parquet(foldPaths: _*)
+            .join(broadcast(liveDf), Seq("path"), "left_semi")
+          val fresh = stagedDf.filter(_.columns.contains(c)).map { df =>
+            // numBits from an existing sketch (bits = 8 × bytes); an
+            // empty segment (fully-deleted table) falls back to the
+            // build default
+            val numBits = s.read.parquet(foldPaths: _*).select("bloom")
+              .limit(1).collect().headOption
+              .map(_.getAs[Array[Byte]](0).length * 8).getOrElse(1 << 17)
+            df.select(input_file_name().as("path"),
+                xxhash64(col(c)).as("__h"))
+              .groupBy("path")
+              .agg(graft.functions.GraftFunctions.bloomAgg("__h", numBits, k)
+                .as("bloom"))
+          }
+          val folded = fresh.fold(old)(f => old.unionByName(f))
+          val out = bloomDirOf(dir, c, newGen, k)
+          val stagedOut = out + ".tmp" + newToken()
+          folded.write.parquet(stagedOut)
+          java.nio.file.Files.move(java.nio.file.Path.of(stagedOut),
+            java.nio.file.Path.of(out),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          colSegs.filter(_._2 < newGen).map(_._1)
+            .foreach(n => graft.IndexLifecycle.deleteRecursively(s"$dir/$n"))
+        }
+      } catch {
+        // the DML committed; a maintenance failure must not make it
+        // look failed (a retried merge would double-apply the batch).
+        // The sidecar is merely stale — sound by the uncovered-file
+        // fallback — and buildBloomIndex is the recovery.
+        case e: Throwable => System.err.println(
+          s"[graft] bloom sidecar maintenance for $dir.$c at g$newGen failed " +
+            s"(index is stale-but-sound; rebuild with buildBloomIndex): $e")
+      }
+    }
   }
 
   /** The pruning decision for `colName = value`, exposed for specs and
@@ -835,6 +1030,60 @@ object MergeTable {
     }
   }
 
+  // ---- CDC retention horizons ----
+  //
+  // The retention contract ("don't vacuum past a stream's horizon")
+  // used to be documentation-only: a vacuum could silently strand a
+  // checkpointed stream until its next read failed. Consumers now
+  // REGISTER their horizon — the oldest generation whose manifest (and
+  // superseded files) a replay could still need — as one tiny file
+  // per consumer (`_cdc_horizon-<consumer>`; per-consumer files, so
+  // concurrent consumers never read-modify-write shared state), and
+  // [[vacuum]] refuses to run while any registered horizon sits below
+  // the committed generation unless forced. The graft-cdc streaming
+  // source registers automatically (keyed by its checkpoint identity)
+  // and advances its horizon as batches commit; pull consumers
+  // ([[pollChanges]] loops) register explicitly.
+
+  private def horizonFileOf(dir: String, consumer: String) = {
+    require(consumer.matches("[A-Za-z0-9_\\-.]+"),
+      s"consumer id '$consumer' must match [A-Za-z0-9_.-]+")
+    java.nio.file.Path.of(dir, s"_cdc_horizon-$consumer")
+  }
+
+  /** Record that `consumer` may still replay from generation `gen`
+    * (atomic per-consumer write; later registrations replace earlier).
+    */
+  def registerCdcHorizon(dir: String, consumer: String, gen: Int): Unit = {
+    val tmp = java.nio.file.Path.of(dir, s"_cdc_horizon.tmp-${newToken()}")
+    java.nio.file.Files.write(tmp, s"$gen\n".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, horizonFileOf(dir, consumer),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** Registered consumers and their horizons. */
+  def cdcHorizons(dir: String): Map[String, Int] = {
+    val root = java.nio.file.Path.of(dir)
+    if (!java.nio.file.Files.exists(root)) return Map.empty
+    val ls = java.nio.file.Files.list(root)
+    val names = try ls.iterator().asScala.map(_.getFileName.toString).toSeq
+                finally ls.close()
+    names.filter(n => n.startsWith("_cdc_horizon-")).flatMap { n =>
+      val c = n.stripPrefix("_cdc_horizon-")
+      try new String(java.nio.file.Files.readAllBytes(root.resolve(n)), "UTF-8")
+        .trim.toIntOption.map(c -> _)
+      catch { case _: java.io.IOException => None } // deregistered mid-list
+    }.toMap
+  }
+
+  /** Drop a consumer's registration (decommissioned stream); returns
+    * whether it existed.
+    */
+  def releaseCdcHorizon(dir: String, consumer: String): Boolean =
+    java.nio.file.Files.deleteIfExists(horizonFileOf(dir, consumer))
+
   /** Drop everything the COMMITTED manifest no longer references:
     * data files superseded by later rewrites, whole stale generation
     * dirs, and all non-current manifests. Time-travel to old
@@ -850,12 +1099,33 @@ object MergeTable {
     * in-flight writer's staging and fresh commit. Run with
     * `minAgeMs` comfortably above the longest in-flight commit when
     * writers may be live; 0 (the default) is only safe quiesced.
+    *
+    * CDC-CONSUMER safety is registration-based: while any
+    * [[cdcHorizons]] entry sits BELOW the committed generation, a
+    * sweep would delete manifests/files that consumer's replay still
+    * needs, so vacuum refuses loudly (naming the consumer) unless
+    * `force = true` — catch the stream up, [[releaseCdcHorizon]] it,
+    * or force (after which the stranded stream still fails loudly at
+    * its next read, as before).
     */
-  def vacuum(s: SparkSession, dir: String, minAgeMs: Long = 0L): Int = {
+  def vacuum(s: SparkSession, dir: String, minAgeMs: Long = 0L,
+             force: Boolean = false): Int = {
     val gen = committedGen(dir).getOrElse(
       sys.error(s"$dir is not a committed keyed table (no commit log)"))
+    val lagging = cdcHorizons(dir).filter(_._2 < gen)
+    if (lagging.nonEmpty && !force) {
+      val (who, at) = lagging.minBy(_._2)
+      throw new IllegalStateException(
+        s"vacuum of $dir refused: ${lagging.size} registered CDC consumer(s) " +
+          s"still need pre-current generations (e.g. '$who' at generation $at " +
+          s"< committed $gen) — catch the stream up, releaseCdcHorizon(), or " +
+          "pass force = true to strand them knowingly")
+    }
     val curManifest = s"manifest-g$gen~" + metaAt(dir, gen).getOrElse("token",
       sys.error(s"commit-log entry for generation $gen lacks a token"))
+    // governance log: only versions BELOW the current one are sweepable
+    val governMax = Seq("_dropped_cols", "_constraints")
+      .flatMap(b => governVersions(dir, b).maxOption.map(b -> _)).toMap
     val live = manifest(s, dir).select("path").collect()
       .map(r => java.nio.file.Path.of(java.net.URI.create(r.getString(0)))
         .toAbsolutePath.toString).toSet
@@ -877,8 +1147,18 @@ object MergeTable {
         // a crashed commit's staged log entry — never observed by readers
         java.nio.file.Files.deleteIfExists(p); deleted += 1
       } else if ((name.startsWith("_constraints.tmp-") ||
-          name.startsWith("_dropped_cols.tmp-")) && oldEnough(p)) {
-        // a crashed constraint/drop-column staged file — ditto
+          name.startsWith("_dropped_cols.tmp-") ||
+          name.startsWith("_cdc_horizon.tmp-")) && oldEnough(p)) {
+        // a crashed constraint/drop-column/horizon staged file — ditto
+        java.nio.file.Files.deleteIfExists(p); deleted += 1
+      } else if (governMax.exists { case (b, mx) =>
+          name.startsWith(s"$b-v") &&
+            name.stripPrefix(s"$b-v").toIntOption.exists(_ < mx) } &&
+          oldEnough(p)) {
+        // superseded governance-log version (current one is kept)
+        java.nio.file.Files.deleteIfExists(p); deleted += 1
+      } else if (governMax.contains(name) && oldEnough(p)) {
+        // legacy un-versioned governance file superseded by the log
         java.nio.file.Files.deleteIfExists(p); deleted += 1
       } else if (name.startsWith("_bloom-g") && name.contains(".tmp") &&
           oldEnough(p)) {
@@ -1141,9 +1421,9 @@ object MergeTable {
     // column isn't clobbered.
     if (reintroduced.nonEmpty) {
       val gone = reintroduced.map(_.toLowerCase).toSet
-      writeDroppedCols(dir,
-        droppedColumns(dir).filterNot(n => gone.contains(n.toLowerCase)))
+      updateDroppedCols(dir)(_.filterNot(n => gone.contains(n.toLowerCase)))
     }
+    maintainBloomSidecars(s, dir, next, staging)
     MergeStats(next, touched, untouched)
   }
 
@@ -1193,6 +1473,7 @@ object MergeTable {
           .foreach(graft.IndexLifecycle.deleteRecursively)
         throw e
     }
+    maintainBloomSidecars(s, dir, next, staging)
     MergeStats(next, touched, untouched)
   }
 
@@ -1301,6 +1582,7 @@ object MergeTable {
           .foreach(graft.IndexLifecycle.deleteRecursively)
         throw e
     }
+    maintainBloomSidecars(s, dir, next, staging)
     DmlStats(next, dropped, rewrite, carried)
   }
 
@@ -1364,37 +1646,106 @@ object MergeTable {
           .foreach(graft.IndexLifecycle.deleteRecursively)
         throw e
     }
+    maintainBloomSidecars(s, dir, next, staging)
     DmlStats(next, Nil, rewrite, carried)
+  }
+
+  // ---- governance files: versioned link(2)-CAS ----
+  //
+  // _dropped_cols and _constraints are tiny read-modify-write state
+  // shared by concurrent writers (a merge un-retiring one name can
+  // race a dropColumn retiring another; two operators can race
+  // constraint edits). An atomic-replace file makes each WRITE atomic
+  // but not the read-modify-write, so the loser of a race could
+  // silently erase the winner's update — for _dropped_cols that means
+  // a disabled byte-resurrection guard. They therefore get the commit
+  // log's exact discipline: state lives in versioned files
+  // `<base>-v<N>`, a writer reads the highest version, computes the
+  // new content, and publishes by hard-linking to v<N+1> — link(2)
+  // never replaces an existing name, so of two racing writers exactly
+  // ONE wins and the loser retries its TRANSFORM on the fresh state; a
+  // lost update is impossible. Old versions are left for [[vacuum]]
+  // (a reader may still be mid-read); a legacy un-versioned `<base>`
+  // file reads as version 0 and is superseded by the first CAS write.
+
+  private def governFileOf(dir: String, base: String, v: Int) =
+    java.nio.file.Path.of(dir, s"$base-v$v")
+
+  private def governVersions(dir: String, base: String): Seq[Int] = {
+    val root = java.nio.file.Path.of(dir)
+    if (!java.nio.file.Files.exists(root)) return Nil
+    val ls = java.nio.file.Files.list(root)
+    val names = try ls.iterator().asScala.map(_.getFileName.toString).toSeq
+                finally ls.close()
+    val prefix = s"$base-v"
+    names.flatMap(n =>
+      if (n.startsWith(prefix)) n.stripPrefix(prefix).toIntOption else None)
+  }
+
+  /** (version, content) — highest version wins; retried when a
+    * just-vacuumed version vanishes under the read.
+    */
+  private def governRead(dir: String, base: String): (Int, String) = {
+    while (true) {
+      val vs = governVersions(dir, base)
+      if (vs.isEmpty) {
+        val legacy = java.nio.file.Path.of(dir, base)
+        return (0,
+          if (java.nio.file.Files.exists(legacy))
+            new String(java.nio.file.Files.readAllBytes(legacy), "UTF-8")
+          else "")
+      }
+      try return (vs.max, new String(
+        java.nio.file.Files.readAllBytes(governFileOf(dir, base, vs.max)), "UTF-8"))
+      catch { case _: java.nio.file.NoSuchFileException => () /* swept: retry */ }
+    }
+    sys.error("unreachable")
+  }
+
+  /** CAS-advance: apply `f` to the current content and publish via
+    * hard link, retrying on a lost race with a FRESH read (so `f`
+    * always transforms the winner's state, never a stale snapshot).
+    * Returns the published content.
+    */
+  private def governCas(dir: String, base: String)(f: String => String): String = {
+    while (true) {
+      val (v, cur) = governRead(dir, base)
+      val next = f(cur)
+      if (next == cur && v > 0) return next // no-op: nothing to publish
+      val tmp = java.nio.file.Path.of(dir, s"$base.tmp-${newToken()}")
+      java.nio.file.Files.write(tmp, next.getBytes("UTF-8"))
+      try {
+        java.nio.file.Files.createLink(governFileOf(dir, base, v + 1), tmp)
+        return next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => () // lost: retry f
+      } finally {
+        java.nio.file.Files.deleteIfExists(tmp); ()
+      }
+    }
+    sys.error("unreachable")
   }
 
   // ---- DROP COLUMN (metadata-only) ----
 
-  private def droppedColsFileOf(dir: String) =
-    java.nio.file.Path.of(dir, "_dropped_cols")
+  private def renderNames(names: Set[String]): String =
+    if (names.isEmpty) "" else names.toSeq.sorted.mkString("", "\n", "\n")
+  private def parseNames(content: String): Set[String] =
+    content.linesIterator.filter(_.nonEmpty).toSet
 
   /** Column names retired by [[dropColumn]] and not yet physically
     * shed from the live files.
     */
-  def droppedColumns(dir: String): Set[String] = {
-    val f = droppedColsFileOf(dir)
-    if (!java.nio.file.Files.exists(f)) Set.empty
-    else new String(java.nio.file.Files.readAllBytes(f), "UTF-8").linesIterator
-      .filter(_.nonEmpty).toSet
+  def droppedColumns(dir: String): Set[String] =
+    parseNames(governRead(dir, "_dropped_cols")._2)
+
+  /** Race-proof retire/un-retire (see the CAS block above). */
+  private[operators] def updateDroppedCols(dir: String)(f: Set[String] => Set[String]): Unit = {
+    governCas(dir, "_dropped_cols")(c => renderNames(f(parseNames(c)))); ()
   }
 
-  private def writeDroppedCols(dir: String, names: Set[String]): Unit = {
-    val tmp = java.nio.file.Path.of(dir, s"_dropped_cols.tmp-${newToken()}")
-    if (names.isEmpty) {
-      java.nio.file.Files.deleteIfExists(droppedColsFileOf(dir)); ()
-    } else {
-      java.nio.file.Files.write(tmp,
-        names.toSeq.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, droppedColsFileOf(dir),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      ()
-    }
-  }
+  private def writeDroppedCols(dir: String, names: Set[String]): Unit =
+    updateDroppedCols(dir)(_ => names)
 
   /** DROP COLUMN as a METADATA-ONLY commit (Delta's drop-column-with-
     * column-mapping semantics at this layer): a new generation
@@ -1448,18 +1799,25 @@ object MergeTable {
     // retired-but-live column, which the merge guard ignores (the name
     // is still in the table schema, so nothing "re-introduces" it) —
     // the reverse order would leave a committed drop UNguarded. Both
-    // the add and the rollback are FRESH read-modify-writes touching
-    // only this column: restoring a pre-race snapshot could erase a
-    // concurrent winner's committed retirement of a different column.
-    writeDroppedCols(dir, droppedColumns(dir) + colName)
+    // the retire and the rollback are link(2)-CAS TRANSFORMS touching
+    // only this column, so a concurrent winner's retirement of a
+    // DIFFERENT column can never be clobbered by this writer's
+    // rollback (a lost update is structurally impossible now — the
+    // loser of the CAS race re-applies its single-name change to the
+    // winner's state).
+    updateDroppedCols(dir)(_ + colName)
     try commitGen(dir, next, token, Map("op" -> "dropcol",
       "dropped" -> colName, "schema" -> newSch.json))
     catch {
       case e: java.util.ConcurrentModificationException =>
-        writeDroppedCols(dir, droppedColumns(dir) - colName)
+        updateDroppedCols(dir)(_ - colName)
         graft.IndexLifecycle.deleteRecursively(manifestDirOf(dir, next, token))
         throw e
     }
+    // a sidecar on the dropped column would keep sketching invisible
+    // bytes; sweep it (probes on the column now fail analysis anyway)
+    bloomDirsFor(dir, colName).map(_._1)
+      .foreach(n => graft.IndexLifecycle.deleteRecursively(s"$dir/$n"))
     next
   }
 
@@ -1478,41 +1836,30 @@ object MergeTable {
   // passed, so they skip the check (Delta's posture: constraints gate
   // NEW data).
 
-  private def constraintsFileOf(dir: String) =
-    java.nio.file.Path.of(dir, "_constraints")
+  private def renderConstraints(m: Map[String, String]): String =
+    if (m.isEmpty) ""
+    else m.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
+  private def parseConstraints(dir: String, content: String): Map[String, String] =
+    content.linesIterator.filter(_.nonEmpty).map { l =>
+      val kv = l.split("=", 2)
+      require(kv.length == 2, s"malformed _constraints line in $dir: '$l'")
+      kv(0) -> kv(1)
+    }.toMap
 
   /** Active CHECK constraints: name -> boolean SQL expression. */
-  def checkConstraints(dir: String): Map[String, String] = {
-    val f = constraintsFileOf(dir)
-    if (!java.nio.file.Files.exists(f)) Map.empty
-    else new String(java.nio.file.Files.readAllBytes(f), "UTF-8").linesIterator
-      .filter(_.nonEmpty).map { l =>
-        val kv = l.split("=", 2)
-        require(kv.length == 2, s"malformed _constraints line in $dir: '$l'")
-        kv(0) -> kv(1)
-      }.toMap
-  }
+  def checkConstraints(dir: String): Map[String, String] =
+    parseConstraints(dir, governRead(dir, "_constraints")._2)
 
   private def writeConstraintsFile(dir: String, m: Map[String, String]): Unit = {
-    val tmp = java.nio.file.Path.of(dir, s"_constraints.tmp-${newToken()}")
-    if (m.isEmpty) {
-      java.nio.file.Files.deleteIfExists(constraintsFileOf(dir)); ()
-    } else {
-      val body = m.toSeq.sorted.map { case (k, v) => s"$k=$v" }
-        .mkString("", "\n", "\n")
-      java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
-      java.nio.file.Files.move(tmp, constraintsFileOf(dir),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      ()
-    }
+    governCas(dir, "_constraints")(_ => renderConstraints(m)); ()
   }
 
   /** ALTER TABLE ADD CONSTRAINT (Delta semantics): the EXISTING rows
     * must already satisfy the expression — one scan at add time, loud
-    * failure with sample rows — then the constraint persists
-    * (atomic-replace file; crash leaves old or new set, never torn)
-    * and gates every subsequent [[merge]]/[[updateWhere]]/[[upsertSink]].
+    * failure with sample rows — then the constraint persists under
+    * the governance CAS (the duplicate-name check re-runs inside the
+    * transform, so two racing adds of one name can't both land) and
+    * gates every subsequent [[merge]]/[[updateWhere]]/[[upsertSink]].
     */
   def addCheckConstraint(s: SparkSession, dir: String, name: String,
                          exprSql: String): Unit = {
@@ -1522,22 +1869,31 @@ object MergeTable {
     // it and brick every later mutation's checkConstraints parse
     require(!exprSql.exists(c => c == '\n' || c == '\r'),
       "constraint expression must be single-line")
-    val cur = checkConstraints(dir)
-    require(!cur.contains(name), s"constraint '$name' already exists on $dir")
+    require(!checkConstraints(dir).contains(name),
+      s"constraint '$name' already exists on $dir")
     val sample = readTable(s, dir)
       .filter(coalesce(expr(exprSql), lit(true)) === lit(false))
       .limit(3).collect()
     if (sample.nonEmpty) throw new IllegalStateException(
       s"cannot add CHECK constraint '$name' ($exprSql) on $dir: existing rows " +
         s"violate it, e.g. ${sample.mkString("; ")}")
-    writeConstraintsFile(dir, cur + (name -> exprSql))
+    governCas(dir, "_constraints") { content =>
+      val cur = parseConstraints(dir, content)
+      require(!cur.contains(name), s"constraint '$name' already exists on $dir")
+      renderConstraints(cur + (name -> exprSql))
+    }
+    ()
   }
 
   /** Returns whether the constraint existed. */
   def dropCheckConstraint(dir: String, name: String): Boolean = {
-    val cur = checkConstraints(dir)
-    if (!cur.contains(name)) false
-    else { writeConstraintsFile(dir, cur - name); true }
+    var existed = false
+    governCas(dir, "_constraints") { content =>
+      val cur = parseConstraints(dir, content)
+      existed = cur.contains(name)
+      renderConstraints(cur - name)
+    }
+    existed
   }
 
   /** Validate a committing generation's staged files; on the first
@@ -1872,19 +2228,20 @@ object MergeTable {
     * merged table. The oracle recomputes the aggregate declaratively
     * over the merged result: a maintenance rule that loses a
     * retraction, double-counts an update, or mis-nets the span fails
-    * the hash. Sums run over round(bal*100) cents so the incremental
-    * and recomputed associations are both exact integer arithmetic —
-    * no float-order hazard between the two evaluation strategies.
+    * the hash. Sums run over DECIMAL cents — the exact-arithmetic
+    * regime IncrementalView enforces (a raw double sum is rejected
+    * there) — and the final projection casts back through double so
+    * both engines perform the identical IEEE cents/100 division.
     */
   val q69_incremental_mv: Q = (s, d) => {
     val dir = mergedFixture(s, d, "mvtab")
     val spec = IncrementalView.ViewSpec(Seq("seg"),
-      Seq("cents" -> "round(bal * 100)"))
+      Seq("cents" -> "cast(round(bal * 100) as decimal(38,0))"))
     val base = IncrementalView.compute(readTable(s, dir, asOf = Some(0)), spec)
     val delta = changesBetween(s, dir, 0, 1, "k", preImages = true)
     IncrementalView.applyDelta(base, delta, spec)
       .select(col("seg"), col("mv_count").as("cnt"),
-        (col("cents") / 100).as("sum_bal"))
+        (col("cents").cast("double") / 100).as("sum_bal"))
       .orderBy("seg")
   }
 
@@ -1958,7 +2315,103 @@ object MergeTable {
       .orderBy("k")
   }
 
+  /** q73: MAINTAINED Bloom sidecar under the gate — build the index,
+    * run the q59-shaped banded merge (which folds the new files'
+    * sketches into the sidecar at commit, no rebuild), then answer a
+    * batched IN-probe whose three needles each exercise one coverage
+    * class: a tag whose row the merge REWROTE (update kept the tag,
+    * moved the row to a new file — only the maintained fold covers
+    * it), an untouched carried row, and a tag that exists only in an
+    * INSERTED row. The oracle is the declarative IN filter over the
+    * merged CTEs: a fold that drops a sketch (false negative on the
+    * rewritten/inserted file) loses a row and fails the hash. The
+    * pruning itself (candidates stay ~1/16 across merges WITHOUT a
+    * rebuild) is spec-asserted in BloomIndexSpec.
+    */
+  val q73_bloom_maintained: Q = (s, d) => {
+    val dir = fixtureDir(s, d, "bloommnt")
+    val c = Tables.customer(s, d)
+    val base = c.select(col("c_custkey").as("k"),
+      md5(col("c_name").cast("binary")).as("tag"),
+      col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"))
+    write(s, base, "k", dir, nFiles = 16)
+    buildBloomIndex(s, dir, "tag")
+    val maxK = c.agg(max(col("c_custkey")).cast("long")).head().getLong(0)
+    val bandC = col("c_custkey") * 8 <= lit(maxK)
+    val upd = c.filter(bandC && col("c_custkey") % 5 === 0 && col("c_custkey") % 7 =!= 0)
+      .select(col("c_custkey").as("k"), lit("U").as("op"),
+        lit(null).cast("string").as("tag"), // null keeps the old tag (q56 overlay)
+        lit("WEB").as("seg"), (col("c_acctbal") + 100).as("bal"))
+    val del = c.filter(bandC && col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("k"), lit("D").as("op"),
+        lit(null).cast("string").as("tag"), lit(null).cast("string").as("seg"),
+        lit(null).cast("double").as("bal"))
+    val ins = c.filter(bandC && col("c_custkey") % 5 === 1)
+      .select((col("c_custkey") + 10000000L).as("k"), lit("I").as("op"),
+        md5(concat(lit("Z"), col("c_name")).cast("binary")).as("tag"),
+        col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"))
+    merge(s, dir, upd.unionByName(del).unionByName(ins), "k")
+    // needles, each derived deterministically on both engines
+    val kRewrote = c.filter(bandC && col("c_custkey") % 5 === 0 &&
+        col("c_custkey") % 7 =!= 0)
+      .agg(max(col("c_custkey")).cast("long")).head().getLong(0)
+    val kIns = c.filter(bandC && col("c_custkey") % 5 === 1)
+      .agg(max(col("c_custkey")).cast("long")).head().getLong(0)
+    def tagOf(k: Long, z: Boolean) = c.filter(col("c_custkey") === k)
+      .select(md5((if (z) concat(lit("Z"), col("c_name")) else col("c_name"))
+        .cast("binary"))).head().getString(0)
+    val needles = Seq(tagOf(kRewrote, z = false), tagOf(maxK / 2, z = false),
+      tagOf(kIns, z = true))
+    scanEqualsBloomIn(s, dir, "tag", needles)
+      .select(col("k"), col("tag"), col("seg"), r2(col("bal")).as("bal"))
+      .orderBy("k")
+  }
+
+  /** [[mergedFixture]] on a Z-CLUSTERED base: writeClustered on
+    * (k, bal), then the same banded change batch — the setup whose
+    * layout a PARTIAL recluster is meant to repair.
+    */
+  private def clusteredMergedFixture(s: SparkSession, d: String, tag: String): String = {
+    val dir = fixtureDir(s, d, tag)
+    val t = Tables.customer(s, d)
+      .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+        col("c_acctbal").as("bal"))
+    writeClustered(s, t, "k", Seq("k", "bal"), dir, nFiles = 16)
+    val maxK = t.agg(max(col("k")).cast("long")).head().getLong(0)
+    val band = col("k") * 8 <= lit(maxK)
+    val upd = t.filter(band && col("k") % 5 === 0 && col("k") % 7 =!= 0)
+      .select(col("k"), lit("U").as("op"), lit("WEB").as("seg"),
+        (col("bal") + 100).as("bal"))
+    val del = t.filter(band && col("k") % 7 === 0)
+      .select(col("k"), lit("D").as("op"), lit(null).cast("string").as("seg"),
+        lit(null).cast("double").as("bal"))
+    val ins = t.filter(band && col("k") % 5 === 1)
+      .select((col("k") + 10000000L).as("k"), lit("I").as("op"),
+        col("seg"), col("bal"))
+    merge(s, dir, upd.unionByName(del).unionByName(ins), "k")
+    dir
+  }
+
+  /** q74: PARTIAL recluster under the gate — the banded merge on a
+    * z-clustered base strews key-ordered band files across the
+    * layout; [[reclusterPartial]] rewrites ONLY those files (the
+    * still-clustered majority carries by reference) and the read must
+    * still equal q59's declarative MERGE (the q61/q72 one-oracle-N-
+    * strategies pattern). That only-the-degraded-files-touched claim
+    * (mtime-pinned carries) and the restored admission are
+    * spec-asserted in ReclusterSpec.
+    */
+  val q74_partial_recluster: Q = (s, d) => {
+    val dir = clusteredMergedFixture(s, d, "preclus")
+    reclusterPartial(s, dir, "k", Seq("k", "bal"))
+    readTable(s, dir)
+      .select(col("k"), col("seg"), r2(col("bal")).as("bal"))
+      .orderBy("k")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q73_bloom_maintained" -> q73_bloom_maintained,
+    "q74_partial_recluster" -> q74_partial_recluster,
     "q67_restore" -> q67_restore,
     "q68_clone" -> q68_clone,
     "q69_incremental_mv" -> q69_incremental_mv,
@@ -1975,6 +2428,57 @@ object MergeTable {
     "q66_update_where" -> q66_update_where)
 
   val oracles: Map[String, String] = Map(
+    // the q59 merge CTEs carrying a tag column, probed by a 3-needle
+    // IN filter — the fold-maintained sidecar must surface exactly a
+    // rewritten row's kept tag, an untouched row's tag, and an
+    // inserted row's new tag
+    "q73_bloom_maintained" ->
+      """WITH t AS (SELECT c_custkey AS k, c_name AS name, md5(c_name) AS tag,
+        |             c_mktsegment AS seg, c_acctbal AS bal FROM customer),
+        |mx AS (SELECT max(c_custkey) AS m FROM customer),
+        |upd AS (SELECT k, 'WEB' AS u_seg, bal + 100 AS u_bal FROM t, mx
+        |        WHERE k * 8 <= m AND k % 5 = 0 AND k % 7 <> 0),
+        |del AS (SELECT k FROM t, mx WHERE k * 8 <= m AND k % 7 = 0),
+        |ins AS (SELECT k + 10000000 AS k, md5('Z' || name) AS tag, seg, bal
+        |        FROM t, mx WHERE k * 8 <= m AND k % 5 = 1),
+        |merged AS (
+        |  SELECT t.k, t.tag, coalesce(u.u_seg, t.seg) AS seg,
+        |         coalesce(u.u_bal, t.bal) AS bal
+        |  FROM t LEFT JOIN upd u USING (k)
+        |  WHERE t.k NOT IN (SELECT k FROM del)
+        |  UNION ALL SELECT k, tag, seg, bal FROM ins),
+        |needles AS (
+        |  SELECT md5(name) AS tag FROM t, mx
+        |  WHERE k = (SELECT max(k) FROM t, mx
+        |             WHERE k * 8 <= m AND k % 5 = 0 AND k % 7 <> 0)
+        |  UNION ALL
+        |  SELECT md5(name) FROM t, mx WHERE k = m // 2
+        |  UNION ALL
+        |  SELECT md5('Z' || name) FROM t, mx
+        |  WHERE k = (SELECT max(k) FROM t, mx
+        |             WHERE k * 8 <= m AND k % 5 = 1))
+        |SELECT k, tag, seg, round(bal * 100) / 100 AS bal
+        |FROM merged WHERE tag IN (SELECT tag FROM needles)
+        |ORDER BY k""".stripMargin,
+    // q59's oracle verbatim — partial layout maintenance must be
+    // invisible to readers (the q61/q72 pattern)
+    "q74_partial_recluster" ->
+      """WITH t AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+        |           FROM customer),
+        |mx AS (SELECT max(c_custkey) AS m FROM customer),
+        |upd AS (SELECT k, 'WEB' AS u_seg, bal + 100 AS u_bal
+        |        FROM t, mx WHERE k * 8 <= m AND k % 5 = 0 AND k % 7 <> 0),
+        |del AS (SELECT k FROM t, mx WHERE k * 8 <= m AND k % 7 = 0),
+        |ins AS (SELECT k + 10000000 AS k, seg, bal
+        |        FROM t, mx WHERE k * 8 <= m AND k % 5 = 1)
+        |SELECT k, seg, bal FROM (
+        |  SELECT t.k, coalesce(u.u_seg, t.seg) AS seg,
+        |    round((coalesce(u.u_bal, t.bal)) * 100) / 100 AS bal
+        |  FROM t LEFT JOIN upd u USING (k)
+        |  WHERE t.k NOT IN (SELECT k FROM del)
+        |  UNION ALL
+        |  SELECT k, seg, round(bal * 100) / 100 AS bal FROM ins) z
+        |ORDER BY k""".stripMargin,
     // the delta-maintained aggregate must equal the declarative
     // group-by over the merged table (same CTEs the merge consumed);
     // integer-cents sums make both association orders exact

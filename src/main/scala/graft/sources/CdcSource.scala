@@ -77,7 +77,15 @@ final class CdcSourceProvider extends StreamSourceProvider with DataSourceRegist
     require(startGen >= -1 && startGen <= cur,
       s"startGen $startGen out of range: table $dir is at generation $cur " +
         "(use -1 / 'snapshot' for snapshot-then-follow, 'latest' for follow-only)")
-    new CdcSource(ctx, dir, keyCol, startGen, preImages)
+    // retention handshake: register this stream's horizon (keyed by
+    // its checkpoint identity, so a restart re-claims the same entry)
+    // BEFORE the first batch — MergeTable.vacuum refuses to sweep
+    // generations a registered consumer could still replay. The
+    // horizon advances in getBatch as spans commit; decommissioning a
+    // stream is MergeTable.releaseCdcHorizon (or `table cdc-release`).
+    val consumer = CdcSource.consumerId(metadataPath)
+    MergeTable.registerCdcHorizon(dir, consumer, math.max(0, startGen))
+    new CdcSource(ctx, dir, keyCol, startGen, preImages, consumer)
   }
 }
 
@@ -86,6 +94,15 @@ object CdcSource {
     * generation at stream creation, not per batch).
     */
   private[sources] val Latest = -2
+
+  /** Stable per-stream consumer id for the horizon registry: the
+    * stream's checkpoint metadata path IS its identity (restarts
+    * share it, distinct queries don't), hashed to a filename-safe
+    * token.
+    */
+  private[sources] def consumerId(metadataPath: String): String =
+    "stream-" + java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(metadataPath) & 0xffffffffL)
 
   /** `startGen = -1` is the internal encoding of `snapshot`,
     * [[Latest]] of `latest`.
@@ -130,7 +147,7 @@ object CdcSource {
 }
 
 final class CdcSource(ctx: SQLContext, dir: String, keyCol: String, startGen: Int,
-                      preImages: Boolean = false)
+                      preImages: Boolean = false, consumer: String = "")
     extends Source {
   private val spark = ctx.sparkSession
 
@@ -158,6 +175,13 @@ final class CdcSource(ctx: SQLContext, dir: String, keyCol: String, startGen: In
     require(from <= Int.MaxValue && to <= Int.MaxValue,
       s"generation span [$from, $to] exceeds Int range — " +
         "MergeTable generations are Int-bounded")
+    // advance the retention horizon to the oldest generation a replay
+    // of THIS OR A LATER batch could need: the span's start for a
+    // delta batch, its end for the snapshot bootstrap (which reads
+    // asOf(to) and whose successor spans start at to)
+    if (consumer.nonEmpty)
+      MergeTable.registerCdcHorizon(dir, consumer,
+        if (from < 0) to.toInt else from.toInt)
     // snapshot bootstrap: the first batch is the whole table AS OF
     // the end generation, every row an insert — deterministic on
     // replay for the same reason deltas are (a pure function of that

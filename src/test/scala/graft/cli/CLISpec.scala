@@ -100,7 +100,7 @@ class CLISpec extends SparkSpecBase {
       (1 to 100).map(i => (i.toLong, s"g${i % 3}", i * 1.0)).toDF("k", "g", "bal"),
       "k", src, nFiles = 2)
     val created = GraftCLI.table(spark, "mv-create",
-      List(src, "k", mv, "g", "sb=bal"))
+      List(src, "k", mv, "g", "sb=cast(bal as decimal(18,2))"))
     assert(created.head.contains("materialized"), created)
     assert(GraftCLI.table(spark, "mv-refresh", List(src, mv)).head
       .contains("already current"))
@@ -111,12 +111,83 @@ class CLISpec extends SparkSpecBase {
     // the refreshed view equals recomputation, via the PERSISTED spec
     val got = MergeTable.readTable(spark, mv)
       .select("g", "mv_count", "sb").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toString)).toSeq.sorted
     val want = IncrementalView.compute(MergeTable.readTable(spark, src),
         IncrementalView.specOf(mv))
       .select("g", "mv_count", "sb").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq.sorted
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).toString)).toSeq.sorted
     assert(got == want)
+  }
+
+  test("table verbs: delete-where / update-where / merge drive the DML surface") {
+    import graft.operators.MergeTable
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("cli-dml")
+    MergeTable.write(spark,
+      (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("k", "bal"), "k", dir, nFiles = 4)
+
+    val del = GraftCLI.table(spark, "delete-where", List(dir, "k", "k", "10", "40"))
+    assert(del.head.contains("generation 1"), del)
+    assert(MergeTable.readTable(spark, dir).count() == 69)
+    assert(GraftCLI.table(spark, "history", List(dir)).head.startsWith("g1 delete "),
+      "history must show the console-driven delete")
+
+    val upd = GraftCLI.table(spark, "update-where",
+      List(dir, "k", "k", "50", "60", "bal=bal + 1000"))
+    assert(upd.head.contains("generation 2"), upd)
+    assert(MergeTable.readTable(spark, dir).filter(col("k") === 55L)
+      .select("bal").as[Double].head() == 1110.0)
+    assert(GraftCLI.table(spark, "history", List(dir)).head.startsWith("g2 update "))
+
+    val ch = tmpDir("cli-dml-changes")
+    Seq((99L, "U", 0.5), (500L, "I", 7.0)).toDF("k", "op", "bal")
+      .write.mode("overwrite").parquet(ch)
+    val mg = GraftCLI.table(spark, "merge", List(dir, "k", ch))
+    assert(mg.head.contains("generation 3"), mg)
+    assert(MergeTable.readTable(spark, dir).filter(col("k") === 500L).count() == 1)
+
+    // one-sided bound: `_` = unbounded (retention-delete shape)
+    GraftCLI.table(spark, "delete-where", List(dir, "k", "k", "_", "5"))
+    assert(MergeTable.readTable(spark, dir)
+      .agg(org.apache.spark.sql.functions.min(col("k"))).head().getLong(0) == 6L)
+  }
+
+  test("table verbs: cdc-horizons / cdc-release gate the console vacuum") {
+    import graft.operators.MergeTable
+    import spark.implicits._
+    val dir = tmpDir("cli-cdc")
+    MergeTable.write(spark,
+      (1 to 50).map(i => (i.toLong, i * 1.0)).toDF("k", "bal"), "k", dir, nFiles = 2)
+    MergeTable.merge(spark, dir, Seq((5L, "U", 9.9)).toDF("k", "op", "bal"), "k")
+    assert(GraftCLI.table(spark, "cdc-horizons", List(dir)).head
+      .startsWith("no registered"))
+    MergeTable.registerCdcHorizon(dir, "replica-a", 0)
+    assert(GraftCLI.table(spark, "cdc-horizons", List(dir)) ==
+      Seq("replica-a at generation 0"))
+    intercept[IllegalStateException] {
+      GraftCLI.table(spark, "vacuum", List(dir))
+    }
+    assert(GraftCLI.table(spark, "vacuum", List(dir, "--force")).head
+      .startsWith("vacuumed "))
+    assert(GraftCLI.table(spark, "cdc-release", List(dir, "replica-a")).head
+      .contains("released"))
+    assert(GraftCLI.table(spark, "cdc-release", List(dir, "replica-a")).head
+      .contains("no registered"))
+  }
+
+  test("malformed table invocations raise Usage (exit-2 path), not stack traces") {
+    val dir = tmpDir("cli-usage")
+    intercept[GraftCLI.Usage] { GraftCLI.table(spark, "bogus", List(dir)) }
+    intercept[GraftCLI.Usage] {
+      GraftCLI.table(spark, "recluster", List(dir, "k", "k,bal", "lots"))
+    }
+    intercept[GraftCLI.Usage] {
+      GraftCLI.table(spark, "bloom-index", List(dir, "tag", "many"))
+    }
+    intercept[GraftCLI.Usage] { GraftCLI.table(spark, "vacuum", List(dir, "soon")) }
+    intercept[GraftCLI.Usage] { GraftCLI.table(spark, "restore", List(dir, "x")) }
+    intercept[GraftCLI.Usage] { GraftCLI.table(spark, "history", Nil) }
   }
 
   test("run_sample --update: bounded-state top-N path writes the same file") {

@@ -60,14 +60,92 @@ class BloomIndexSpec extends SparkSpecBase {
     assert(total == 8 && pruned >= 6 && cands.nonEmpty, s"$cands/$total")
   }
 
-  test("stale sidecar stays sound: post-build commits are admitted, results exact") {
+  private def bloomDirNames(dir: String): Seq[String] = {
+    val ls = java.nio.file.Files.list(java.nio.file.Path.of(dir))
+    try {
+      import scala.jdk.CollectionConverters._
+      ls.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("_bloom-g")).toSeq.sorted
+    } finally ls.close()
+  }
+
+  test("merge maintains the sidecar: pruning stays ~1 candidate across merges, no rebuild") {
+    val dir = tmpDir("bloommaint")
+    MergeTable.write(spark, table(2000), "k", dir, nFiles = 16)
+    MergeTable.buildBloomIndex(spark, dir, "tag")
+    (1 to 4).foreach { round =>
+      // a banded merge: 50 low keys updated with brand-new tags plus
+      // one insert — all land in the committing generation's new files
+      val batch =
+        (1 to 50).map(k => (k.toLong, "U", s"tag-r$round-$k", 0.5)) :+
+          ((100000L + round, "I", s"tag-ins-$round", 1.0))
+      MergeTable.merge(spark, dir, batch.toDF("k", "op", "tag", "bal"), "k")
+      // fold invariant: exactly ONE sidecar dir, named for the
+      // committing generation — no rebuild ran, maintenance did this
+      assert(bloomDirNames(dir) == Seq(s"_bloom-g$round~7~tag"),
+        s"round $round: ${bloomDirNames(dir)}")
+      // a tag that exists ONLY in this round's new files still prunes
+      // to ~1 candidate: without the fold those files would be
+      // uncovered and EVERY probe would admit them, decaying the
+      // index toward admit-all under a steady merge diet
+      val (cands, pruned, total) =
+        MergeTable.bloomCandidatePaths(spark, dir, "tag", s"tag-r$round-25")
+      assert(total == 16 && cands.size <= 2 && pruned >= 14,
+        s"round $round: candidates $cands of $total")
+      assert(MergeTable.scanEqualsBloom(spark, dir, "tag", s"tag-r$round-25")
+        .select("k").as[Long].collect().toSeq == Seq(25L))
+      // untouched carried rows keep pruning + resolving through the fold
+      val (c2, _, _) = MergeTable.bloomCandidatePaths(spark, dir, "tag", tagOf(1500L))
+      assert(c2.size <= 2, s"round $round: carried-file pruning decayed: $c2")
+      assert(MergeTable.scanEqualsBloom(spark, dir, "tag", tagOf(1500L))
+        .select("k").as[Long].collect().toSeq == Seq(1500L))
+    }
+  }
+
+  test("deleteWhere / compact / recluster keep the sidecar folded and exact") {
+    val dir = tmpDir("bloomdml")
+    MergeTable.write(spark, table(800), "k", dir, nFiles = 8)
+    MergeTable.buildBloomIndex(spark, dir, "tag")
+    // banded delete: interior files drop metadata-only, boundary files
+    // rewrite; the fold prunes dead paths and covers the rewrites
+    MergeTable.deleteWhere(spark, dir, "k", "k", Some(1L), Some(150L))
+    assert(bloomDirNames(dir) == Seq("_bloom-g1~7~tag"))
+    assert(MergeTable.scanEqualsBloom(spark, dir, "tag", tagOf(100L)).count() == 0)
+    assert(MergeTable.scanEqualsBloom(spark, dir, "tag", tagOf(400L))
+      .select("k").as[Long].collect().toSeq == Seq(400L))
+    // compact folds every small file; the sidecar follows
+    MergeTable.compact(spark, dir, "k", targetRows = 1000L)
+    assert(bloomDirNames(dir) == Seq("_bloom-g2~7~tag"))
+    assert(MergeTable.scanEqualsBloom(spark, dir, "tag", tagOf(400L))
+      .select("k").as[Long].collect().toSeq == Seq(400L))
+    // recluster rewrites everything; sketches rebuild from the staged
+    // files inside the same maintenance hook
+    MergeTable.recluster(spark, dir, "k", Seq("k", "bal"), nFiles = 8)
+    assert(bloomDirNames(dir) == Seq("_bloom-g3~7~tag"))
+    val (cands, _, total) = MergeTable.bloomCandidatePaths(spark, dir, "tag", tagOf(400L))
+    assert(total == 8 && cands.size <= 2, s"$cands of $total")
+    assert(MergeTable.scanEqualsBloom(spark, dir, "tag", tagOf(400L))
+      .select("k").as[Long].collect().toSeq == Seq(400L))
+  }
+
+  test("crashed maintenance stays sound: uncovered new files are admitted, results exact") {
     val dir = tmpDir("bloomstale")
     MergeTable.write(spark, table(400), "k", dir, nFiles = 8)
     MergeTable.buildBloomIndex(spark, dir, "tag")
-    // rewrite one band AFTER the index: k=50 gets a brand-new tag that
-    // no sketch has seen; its file is uncovered by the sidecar
+    // simulate a maintenance crash: snapshot the gen-0 sidecar, merge
+    // (which folds to gen 1), then restore the STALE gen-0 sidecar —
+    // the merge's new file is now uncovered, exactly the documented
+    // degradation mode
+    val g0 = bloomDirNames(dir).head
+    val saved = java.nio.file.Files.createTempDirectory("bloomstale-saved")
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$dir/$g0"), saved.resolve(g0).toFile)
     MergeTable.merge(spark, dir,
       Seq((50L, "U", "fresh-tag", 0.5)).toDF("k", "op", "tag", "bal"), "k")
+    bloomDirNames(dir).foreach(n =>
+      graft.IndexLifecycle.deleteRecursively(s"$dir/$n"))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      saved.resolve(g0).toFile, new java.io.File(s"$dir/$g0"))
 
     val (cands, _, total) = MergeTable.bloomCandidatePaths(spark, dir, "tag", "fresh-tag")
     assert(cands.nonEmpty, "uncovered rewritten file must be admitted")

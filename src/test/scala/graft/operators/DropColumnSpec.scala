@@ -102,6 +102,54 @@ class DropColumnSpec extends SparkSpecBase {
     graft.IndexLifecycle.deleteRecursively(clone)
   }
 
+  test("governance CAS: concurrent retire/un-retire transforms never lose an update") {
+    // the failure mode being excluded: a read-modify-write loser
+    // restoring its pre-race snapshot and erasing the winner's
+    // retirement of a DIFFERENT column (silently disabling the
+    // byte-resurrection guard). With the link(2)-CAS the loser
+    // re-applies its transform to the winner's state instead.
+    val dir = tmpDir("governcas")
+    Files.createDirectories(Path.of(dir))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until 4).map { t =>
+      new Thread(() => {
+        try (0 until 25).foreach { i =>
+          MergeTable.updateDroppedCols(dir)(_ + s"col-$t-$i")
+          if (i % 2 == 0) MergeTable.updateDroppedCols(dir)(_ - s"col-$t-$i")
+        } catch { case e: Throwable => errs.add(e); () }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"CAS update threw: ${errs.peek()}")
+    val want = (for (t <- 0 until 4; i <- 0 until 25 if i % 2 == 1)
+      yield s"col-$t-$i").toSet
+    assert(MergeTable.droppedColumns(dir) == want,
+      s"lost updates: missing ${want -- MergeTable.droppedColumns(dir)}, " +
+        s"ghosts ${MergeTable.droppedColumns(dir) -- want}")
+  }
+
+  test("legacy un-versioned governance files read as v0 and vacuum after supersession") {
+    val dir = tmpDir("governlegacy")
+    MergeTable.write(spark, table(50), "k", dir, nFiles = 2)
+    // a pre-CAS writer left plain files
+    Files.write(Path.of(dir, "_dropped_cols"), "note\n".getBytes("UTF-8"))
+    Files.write(Path.of(dir, "_constraints"), "bal-pos=bal > 0\n".getBytes("UTF-8"))
+    assert(MergeTable.droppedColumns(dir) == Set("note"))
+    assert(MergeTable.checkConstraints(dir) == Map("bal-pos" -> "bal > 0"))
+    // first CAS write supersedes the legacy file (content carried)
+    MergeTable.updateDroppedCols(dir)(_ + "extra")
+    assert(MergeTable.droppedColumns(dir) == Set("extra", "note"))
+    assert(MergeTable.dropCheckConstraint(dir, "bal-pos"))
+    assert(MergeTable.checkConstraints(dir).isEmpty)
+    // vacuum sweeps the superseded legacy files + old versions, and
+    // the surviving state still reads identically
+    MergeTable.vacuum(spark, dir)
+    assert(!Files.exists(Path.of(dir, "_dropped_cols")))
+    assert(!Files.exists(Path.of(dir, "_constraints")))
+    assert(MergeTable.droppedColumns(dir) == Set("extra", "note"))
+    assert(MergeTable.checkConstraints(dir).isEmpty)
+  }
+
   test("retired name blocks resurrection until a physical rewrite sheds the bytes") {
     val dir = tmpDir("dropcol2")
     MergeTable.write(spark, table(200), "k", dir, nFiles = 4)

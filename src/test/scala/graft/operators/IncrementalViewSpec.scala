@@ -15,15 +15,20 @@ class IncrementalViewSpec extends SparkSpecBase {
   private def table(n: Int) =
     (1 to n).map(k => (k.toLong, s"seg${k % 4}", k * 1.5)).toDF("k", "seg", "bal")
 
-  private val spec = IncrementalView.ViewSpec(Seq("seg"), Seq("sb" -> "bal"))
+  // bal is double in the fixtures; the maintained sum runs in the
+  // decimal exactness regime IncrementalView enforces (raw double
+  // sums are rejected — see the regime tests below)
+  private val spec = IncrementalView.ViewSpec(Seq("seg"),
+    Seq("sb" -> "cast(bal as decimal(28,6))"))
 
   /** (seg, count, sum, nn) rows sorted — bal values are exact binary
-    * halves, so sums compare exactly regardless of association.
+    * halves, representable exactly in decimal(28,6), so sums compare
+    * exactly regardless of association.
     */
   private def rowsOf(df: DataFrame): Seq[(String, Long, Option[Double], Long)] =
     df.select(col("seg"), col("mv_count"), col("sb"), col("__nn_sb"))
       .collect().map(r => (r.getString(0), r.getLong(1),
-        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getLong(3)))
+        if (r.isNullAt(2)) None else Some(r.getDecimal(2).doubleValue()), r.getLong(3)))
       .toSeq.sortBy(r => Option(r._1).getOrElse(""))
 
   test("changesBetween preImages fans U into U_pre/U_post, leaves I/D alone") {
@@ -235,6 +240,43 @@ class IncrementalViewSpec extends SparkSpecBase {
       IncrementalView.compute(MergeTable.readTable(spark, dir), spec)))
     assert(rowsOf(got).count(_._1 == null) == 1, "NULL group must stay ONE row")
     assert(rowsOf(got).find(_._1 == null).get == ((null, 2L, Some(12.0), 2L)))
+  }
+
+  test("exactness regime: a floating-point sum is rejected with a decimal hint") {
+    val t = Seq((1L, "g", 1.1)).toDF("k", "seg", "bal")
+    val bad = IncrementalView.ViewSpec(Seq("seg"), Seq("sb" -> "bal"))
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalView.compute(t, bad)
+    }
+    assert(ex.getMessage.contains("decimal") && ex.getMessage.contains("double"),
+      ex.getMessage)
+    // the delta path guards identically — a drifting feed can't sneak
+    // a double sum past the materialize-time check
+    val delta = Seq((1L, "I", "g", 1.1)).toDF("k", "change_op", "seg", "bal")
+    intercept[IllegalArgumentException] {
+      IncrementalView.applyDelta(IncrementalView.compute(t, spec), delta, bad)
+    }
+  }
+
+  test("explicit refresh/maintain spec must match the persisted view definition") {
+    val dir = tmpDir("ivmspecchk")
+    val mv = tmpDir("ivmspecchk-mv")
+    MergeTable.write(spark, table(100), "k", dir, nFiles = 2)
+    IncrementalView.materialize(spark, dir, "k", mv, spec)
+    // same name + shape, different expression: folding its deltas onto
+    // the persisted state would silently drift the view — must refuse
+    val drifted = IncrementalView.ViewSpec(Seq("seg"),
+      Seq("sb" -> "cast(bal * 2 as decimal(28,6))"))
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalView.refresh(spark, dir, mv, drifted)
+    }
+    assert(ex.getMessage.contains("does not match"), ex.getMessage)
+    intercept[IllegalArgumentException] {
+      IncrementalView.maintainStream(spark, dir, mv, drifted, tmpDir("ivmspecchk-ck"))
+    }
+    // the matching spec (and the persisted-spec form) still refresh
+    assert(IncrementalView.refresh(spark, dir, mv, spec).isEmpty) // current
+    assert(IncrementalView.refresh(spark, dir, mv).isEmpty)
   }
 
   test("composition: corpus-stats view stays current through ingest + takedown on a governed store") {

@@ -55,6 +55,72 @@ class ReclusterSpec extends SparkSpecBase {
     assert(MergeTable.readTable(spark, dir, asOf = Some(0)).count() == 64 * 64)
   }
 
+  test("partial recluster rewrites ONLY the degraded files; carries are byte-untouched") {
+    val dir = tmpDir("reclus3")
+    MergeTable.writeClustered(spark, grid, "k", Seq("x", "y"), dir, nFiles = 16)
+    val freshAdmit = admitted(dir, "x", 10, 13)
+    assert(freshAdmit <= 10)
+    val gen0Paths = MergeTable.manifest(spark, dir).select("path")
+      .collect().map(_.getString(0)).toSet
+    // a low-slab merge (bal-only updates) strews key-ordered files
+    // across the z layout
+    val changes = (0 until 512).map(i =>
+      (i.toLong, "U", (i % 64).toLong, (i / 64).toLong, i * 2.0))
+      .toDF("k", "op", "x", "y", "bal")
+    MergeTable.merge(spark, dir, changes, "k")
+    val mergedPaths = MergeTable.manifest(spark, dir).select("path")
+      .collect().map(_.getString(0)).toSet
+    val degraded = mergedPaths -- gen0Paths
+    val carried = mergedPaths.intersect(gen0Paths)
+    assert(degraded.nonEmpty && carried.size >= 8,
+      s"fixture degenerate: ${degraded.size} degraded / ${carried.size} carried")
+    val degradedAdmit = admitted(dir, "x", 10, 13)
+    val mtimes = carried.map { p =>
+      val f = java.nio.file.Path.of(java.net.URI.create(p))
+      p -> java.nio.file.Files.getLastModifiedTime(f)
+    }.toMap
+
+    val st = MergeTable.reclusterPartial(spark, dir, "k", Seq("x", "y"))
+    assert(st.gen == 2)
+    // exactly the merge's outputs rewrote; every clustered file carried
+    assert(st.touched.toSet == degraded, s"touched ${st.touched}")
+    assert(st.untouched.toSet == carried)
+    // carried files are byte-untouched (mtime-pinned) and still live
+    val finalPaths = MergeTable.manifest(spark, dir).select("path")
+      .collect().map(_.getString(0)).toSet
+    assert(carried.subsetOf(finalPaths))
+    mtimes.foreach { case (p, t) =>
+      val f = java.nio.file.Path.of(java.net.URI.create(p))
+      assert(java.nio.file.Files.getLastModifiedTime(f) == t, s"carried $p rewritten")
+    }
+    // content identical: CDC across the partial recluster nets to zero
+    assert(MergeTable.changesBetween(spark, dir, 1, 2, "k").count() == 0)
+    // band admission restored to the fresh-layout count
+    val restored = admitted(dir, "x", 10, 13)
+    assert(restored <= freshAdmit && restored <= degradedAdmit,
+      s"admission not restored: fresh $freshAdmit, degraded $degradedAdmit, restored $restored")
+    // history tags the commit as a cluster op, so the NEXT partial
+    // uses THIS generation as its baseline: an immediate re-run no-ops
+    val st2 = MergeTable.reclusterPartial(spark, dir, "k", Seq("x", "y"))
+    assert(st2.gen == 2 && st2.touched.isEmpty)
+    assert(MergeTable.committedGen(dir).contains(2))
+    // rows still equal the declarative merge result
+    val got = MergeTable.readTable(spark, dir)
+      .select(sum(col("bal")).cast("double")).head().getDouble(0)
+    val want = grid.select(sum(when(col("k") < 512, col("k") * 2.0)
+      .otherwise(col("bal")))).head().getDouble(0)
+    assert(math.abs(got - want) < 1e-6)
+  }
+
+  test("partial recluster on a never-clustered table degenerates to the full rewrite") {
+    val dir = tmpDir("reclus4")
+    MergeTable.write(spark, grid, "k", dir, nFiles = 8)
+    val st = MergeTable.reclusterPartial(spark, dir, "k", Seq("x", "y"))
+    assert(st.gen == 1 && st.untouched.isEmpty && st.touched.size == 8)
+    assert(admitted(dir, "x", 10, 13) <= 6)
+    assert(MergeTable.readTable(spark, dir).count() == 64 * 64)
+  }
+
   test("recluster after a degrading merge; constraints and bloom index stay sound") {
     val dir = tmpDir("reclus2")
     MergeTable.writeClustered(spark, grid, "k", Seq("x", "y"), dir, nFiles = 16)

@@ -344,12 +344,23 @@ class CdcSourceSpec extends SparkSpecBase {
       q.processAllAvailable()
       assert(seen.synchronized(seen.toSet) == Set(1L))
     } finally q.stop()
-    // two more generations land while the stream is down, then a
-    // vacuum drops every non-current manifest — the stream's
-    // checkpoint horizon (gen 1) is gone
+    // two more generations land while the stream is down. The stream
+    // REGISTERED its retention horizon at start, so a default vacuum
+    // now refuses, naming the consumer — the stranding can no longer
+    // happen silently
     mergeBatch(dir, Seq((2L, "U", "B", 2.0)))
     mergeBatch(dir, Seq((3L, "U", "C", 3.0)))
-    MergeTable.vacuum(spark, dir)
+    val hs = MergeTable.cdcHorizons(dir)
+    assert(hs.size == 1 && hs.keys.head.startsWith("stream-") &&
+      hs.values.head < 3, s"stream horizon not registered: $hs")
+    val refused = intercept[IllegalStateException] {
+      MergeTable.vacuum(spark, dir)
+    }
+    assert(refused.getMessage.contains(hs.keys.head) &&
+      refused.getMessage.contains("force"), refused.getMessage)
+    // a FORCED vacuum drops every non-current manifest — the stream's
+    // checkpoint horizon is gone, knowingly
+    MergeTable.vacuum(spark, dir, force = true)
     val q2 = start()
     val failed =
       try { q2.processAllAvailable(); false }
@@ -358,6 +369,39 @@ class CdcSourceSpec extends SparkSpecBase {
     assert(failed, "replay past a vacuumed horizon must surface an error")
     // and nothing wrong was delivered
     assert(seen.synchronized(seen.toSet) == Set(1L))
+  }
+
+  test("retention horizons advance with the stream; release unblocks vacuum") {
+    val dir = freshTable(40)
+    val ckpt = tmpDir("cdc-hz-ckpt")
+    val q = MergeTable.changesStream(spark, dir, "k")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch((_: DataFrame, _: Long) => ()).start()
+    try {
+      mergeBatch(dir, Seq((1L, "U", "A", 1.0)))
+      q.processAllAvailable()
+      mergeBatch(dir, Seq((2L, "U", "B", 2.0)))
+      q.processAllAvailable()
+      // horizon = the newest span's START — the oldest generation a
+      // checkpoint replay could still demand
+      val hs = MergeTable.cdcHorizons(dir)
+      assert(hs.size == 1 && hs.values.head == 1,
+        s"horizon should trail by one span: $hs")
+    } finally q.stop()
+    // horizon (1) below committed (2): vacuum refuses by default…
+    intercept[IllegalStateException] { MergeTable.vacuum(spark, dir) }
+    // …until the consumer is decommissioned explicitly
+    val consumer = MergeTable.cdcHorizons(dir).keys.head
+    assert(MergeTable.releaseCdcHorizon(dir, consumer))
+    assert(!MergeTable.releaseCdcHorizon(dir, consumer), "double release")
+    assert(MergeTable.vacuum(spark, dir) > 0)
+    assert(MergeTable.cdcHorizons(dir).isEmpty)
+    // a CURRENT consumer (horizon == committed gen) never blocks
+    MergeTable.registerCdcHorizon(dir, "replica-7",
+      MergeTable.committedGen(dir).get)
+    assert(MergeTable.vacuum(spark, dir) == 0)
+    assert(MergeTable.cdcHorizons(dir) == Map("replica-7" ->
+      MergeTable.committedGen(dir).get))
   }
 
   test("schema is keyCol, change_op, _commit_gen, then value columns") {
