@@ -29,6 +29,10 @@ import org.apache.spark.sql.functions._
   *                              re-aggregating the facts per level
   *   ScaleProbe restoreclone [rows] — q67/q68's O(manifest) restore +
   *                              shallow clone vs the O(table) deep copy
+  *   ScaleProbe bloommaint [rows] — the bloom sidecar's delta-sized
+  *                              fold at merge commits vs the full
+  *                              rebuild it avoids; candidates must
+  *                              stay ~1/64 across a merge diet
   *
   * Results are recorded in PLANS.md's scale-probe tables; re-run any
   * time with `tools/run.sh graft.ScaleProbe <probe> [rows]`.
@@ -1024,8 +1028,66 @@ object ScaleProbe {
         println(f"batched full scan (${tags.size} needles, all $nFiles files): ${(System.nanoTime() - t4) / 1e9}%.2f s, $fn rows")
         require(bn == fn, s"batched bloom lookup diverged: $bn vs $fn")
 
+      case "bloommaint" =>
+        // Bloom-sidecar MAINTENANCE at merge commits: the per-merge
+        // overhead must be delta-sized (sketch the new files + fold a
+        // file-count-sized sidecar), candidate counts must stay ~1/64
+        // across a steady merge diet with NO rebuild, and the avoided
+        // alternative (a full rebuild per maintenance window) must
+        // cost table-sized time in contrast. Two identical tables —
+        // one indexed, one not — isolate the maintenance overhead as
+        // the merge-time difference on the same batch.
+        val nFiles = 64
+        val dirA = java.nio.file.Files.createTempDirectory("probe-bm-idx").toString
+        val dirB = java.nio.file.Files.createTempDirectory("probe-bm-plain").toString
+        val src = spark.range(rows).select(col("id").as("k"),
+          concat(lit("tag-"), pmod(xxhash64(col("id")), lit(1000000007L))).as("tag"),
+          (pmod(xxhash64(col("id") + 7L), lit(100000)) / 100.0).as("bal"))
+        operators.MergeTable.write(spark, src, "k", dirA, nFiles)
+        operators.MergeTable.write(spark, src, "k", dirB, nFiles)
+        val t0 = System.nanoTime()
+        operators.MergeTable.buildBloomIndex(spark, dirA, "tag", numBits = 1 << 23)
+        val buildS = (System.nanoTime() - t0) / 1e9
+        println(f"index build ($rows rows, $nFiles sketches): $buildS%.2f s")
+        (1 to 4).foreach { r =>
+          val lo = r.toLong * (rows / 16)
+          val batch = spark.range(lo, lo + 5000).select(col("id").as("k"),
+              lit("U").as("op"), concat(lit(s"tag-m$r-"), col("id")).as("tag"),
+              lit(0.5).as("bal"))
+            .unionByName(spark.range(rows + r * 1000L, rows + r * 1000L + 1000)
+              .select(col("id").as("k"), lit("I").as("op"),
+                concat(lit(s"tag-i$r-"), col("id")).as("tag"), lit(1.5).as("bal")))
+            .localCheckpoint() // both merges pay an identical, settled input
+          val tA0 = System.nanoTime()
+          operators.MergeTable.merge(spark, dirA, batch, "k")
+          val tA = (System.nanoTime() - tA0) / 1e9
+          val tB0 = System.nanoTime()
+          operators.MergeTable.merge(spark, dirB, batch, "k")
+          val tB = (System.nanoTime() - tB0) / 1e9
+          // needles that exist ONLY in this round's new files: without
+          // the fold those files are uncovered and admitted everywhere
+          val needles = Seq(s"tag-m$r-${lo + 17}", s"tag-i$r-${rows + r * 1000L + 3}")
+          var cand = 0
+          needles.foreach { tag =>
+            val (c, _, tot) = operators.MergeTable.bloomCandidatePaths(spark, dirA, "tag", tag)
+            cand += c.size
+            require(tot >= nFiles, s"lost files: $tot")
+            require(operators.MergeTable.scanEqualsBloom(spark, dirA, "tag", tag).count() == 1,
+              s"maintained lookup lost needle $tag")
+          }
+          println(f"round $r: merge+maintain $tA%.2f s vs plain merge $tB%.2f s " +
+            f"(maintenance ≈ ${tA - tB}%.2f s), fresh-needle candidates " +
+            f"${cand.toDouble / needles.size}%.1f/$nFiles")
+          require(cand <= needles.size * 3,
+            s"maintained sidecar decayed: $cand candidates over ${needles.size} probes")
+        }
+        // the avoided alternative for contrast: a full rebuild
+        val t9 = System.nanoTime()
+        operators.MergeTable.buildBloomIndex(spark, dirA, "tag", numBits = 1 << 23)
+        println(f"full rebuild (the avoided per-window cost): ${(System.nanoTime() - t9) / 1e9}%.2f s")
+
       case other =>
-        System.err.println(s"unknown probe '$other'; use topn | cumsum | incr | hh | bloom | skew | tri | pr | bitmap64 | annappend | build | tx17vocab | merge | drift | dd13sig | ivfcompact | ivm | bloomidx")
+        System.err.println(s"unknown probe '$other'; use topn | cumsum | incr | hh | bloom | skew | tri | pr | bitmap64 | annappend | build | tx17vocab | merge | drift | dd13sig | ivfcompact | ivm | bloomidx | bloommaint")
         sys.exit(2)
     }
     spark.stop()

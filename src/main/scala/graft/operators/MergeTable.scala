@@ -1711,7 +1711,10 @@ object MergeTable {
     while (true) {
       val (v, cur) = governRead(dir, base)
       val next = f(cur)
-      if (next == cur && v > 0) return next // no-op: nothing to publish
+      // no-op: nothing to publish (at v0 only when there is also no
+      // legacy content worth superseding — e.g. cloning an
+      // ungoverned table must not scatter empty version files)
+      if (next == cur && (v > 0 || next.isEmpty)) return next
       val tmp = java.nio.file.Path.of(dir, s"$base.tmp-${newToken()}")
       java.nio.file.Files.write(tmp, next.getBytes("UTF-8"))
       try {
