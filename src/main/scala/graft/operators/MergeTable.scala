@@ -815,7 +815,10 @@ object MergeTable {
           val foldPaths = colSegs.filter(_._3 == k).map(t => s"$dir/${t._1}")
           val old = s.read.parquet(foldPaths: _*)
             .join(broadcast(liveDf), Seq("path"), "left_semi")
-          val fresh = stagedDf.filter(_.columns.contains(c)).map { df =>
+          // case-insensitive like Spark's own resolution (and like the
+          // probe side's type lookup) — a sidecar on 'Tag' must still
+          // fold when the staged schema spells it 'tag'
+          val fresh = stagedDf.filter(_.columns.exists(_.equalsIgnoreCase(c))).map { df =>
             // numBits from an existing sketch (bits = 8 × bytes); an
             // empty segment (fully-deleted table) falls back to the
             // build default
@@ -1197,6 +1200,14 @@ object MergeTable {
     * is the net inverse of everything since `toGen`, so replicas and
     * indexes tailing the feed revert without special-casing. Returns
     * the new generation number.
+    *
+    * Bloom sidecars DECAY across a restore (sound, not maintained):
+    * the re-referenced old files' sketch rows were dropped by
+    * maintenance folds when those files died, so they re-enter as
+    * UNCOVERED (admitted on every probe) — re-sketching them would
+    * cost a read of the restored data, which a metadata-only rollback
+    * must not pay. Rebuild with [[buildBloomIndex]] if the rolled-back
+    * table stays hot under point lookups.
     */
   def restore(s: SparkSession, dir: String, toGen: Int): Int = {
     val cur = committedGen(dir).getOrElse(
@@ -1249,6 +1260,22 @@ object MergeTable {
     // CLONE copies table constraints — both are tiny atomic files
     writeDroppedCols(dstDir, droppedColumns(srcDir))
     writeConstraintsFile(dstDir, checkConstraints(srcDir))
+    // bloom sidecars ride too: their rows are keyed by ABSOLUTE file
+    // path and the clone's gen-0 manifest references exactly the
+    // source's files, so the newest segment per column is valid for
+    // the clone verbatim — copied (sidecar-sized, not data-sized)
+    // under the clone's generation-0 name so its probes prune from
+    // the first read instead of starting uncovered
+    bloomDirs(srcDir).groupBy(_._4).values
+      .map(_.maxBy(_._2)).foreach { case (n, _, k, c) =>
+        val dst = bloomDirOf(dstDir, c, 0, k)
+        try org.apache.commons.io.FileUtils.copyDirectory(
+          new java.io.File(s"$srcDir/$n"), new java.io.File(dst))
+        catch { case e: java.io.IOException => System.err.println(
+          s"[graft] clone of bloom sidecar $n failed (clone starts uncovered, " +
+            s"sound; rebuild with buildBloomIndex): $e")
+        }
+      }
     commitGen(dstDir, 0, token, meta)
     g
   }
@@ -1813,7 +1840,7 @@ object MergeTable {
       "dropped" -> colName, "schema" -> newSch.json))
     catch {
       case e: java.util.ConcurrentModificationException =>
-        updateDroppedCols(dir)(_ - colName)
+        rollbackRetirement(dir, colName)
         graft.IndexLifecycle.deleteRecursively(manifestDirOf(dir, next, token))
         throw e
     }
@@ -1822,6 +1849,23 @@ object MergeTable {
     bloomDirsFor(dir, colName).map(_._1)
       .foreach(n => graft.IndexLifecycle.deleteRecursively(s"$dir/$n"))
     next
+  }
+
+  /** Undo a dropColumn retirement after a LOST commit race — but only
+    * when the COMMITTED schema still carries the column: the writer
+    * that won the race may have been a concurrent dropColumn of the
+    * SAME column, whose committed drop needs the (shared) retirement
+    * this loser would otherwise strip, silently disabling the
+    * byte-resurrection guard. When the committed schema is unknown
+    * (pre-schema-log store) the retirement is conservatively KEPT — a
+    * retired-but-live name is harmless (the merge guard ignores names
+    * still in the table schema), an unguarded dropped one is not.
+    */
+  private[operators] def rollbackRetirement(dir: String, colName: String): Unit = {
+    val colStillInSchema = committedGen(dir)
+      .flatMap(g => schemaAt(dir, g))
+      .exists(_.fieldNames.exists(_.equalsIgnoreCase(colName)))
+    if (colStillInSchema) updateDroppedCols(dir)(_ - colName)
   }
 
   // ---- CHECK constraints ----

@@ -128,6 +128,34 @@ class BloomIndexSpec extends SparkSpecBase {
       .select("k").as[Long].collect().toSeq == Seq(400L))
   }
 
+  test("shallow clone carries the sidecar: pruning from the first probe, then diverges") {
+    val dir = tmpDir("bloomclone")
+    MergeTable.write(spark, table(800), "k", dir, nFiles = 8)
+    MergeTable.buildBloomIndex(spark, dir, "tag")
+    val clone = dir + "-c"
+    graft.IndexLifecycle.deleteRecursively(clone)
+    MergeTable.cloneTable(spark, dir, clone)
+    // the clone's manifest references the SOURCE's files, and sketch
+    // rows are keyed by absolute path — the copied sidecar prunes
+    // immediately instead of starting uncovered
+    val (cands, pruned, total) =
+      MergeTable.bloomCandidatePaths(spark, clone, "tag", tagOf(400L))
+    assert(total == 8 && pruned >= 6, s"clone did not inherit pruning: $cands")
+    assert(MergeTable.scanEqualsBloom(spark, clone, "tag", tagOf(400L))
+      .select("k").as[Long].collect().toSeq == Seq(400L))
+    // a clone-side merge maintains the CLONE's sidecar only
+    MergeTable.merge(spark, clone,
+      Seq((10L, "U", "c-tag", 0.1)).toDF("k", "op", "tag", "bal"), "k")
+    assert(MergeTable.scanEqualsBloom(spark, clone, "tag", "c-tag")
+      .select("k").as[Long].collect().toSeq == Seq(10L))
+    val (cc, _, _) = MergeTable.bloomCandidatePaths(spark, clone, "tag", "c-tag")
+    assert(cc.size <= 2, s"clone-side fold missing: $cc")
+    assert(bloomDirNames(clone) == Seq("_bloom-g1~7~tag"))
+    // source untouched: no c-tag row, its sidecar still the original
+    assert(MergeTable.scanEqualsBloom(spark, dir, "tag", "c-tag").count() == 0)
+    assert(bloomDirNames(dir) == Seq("_bloom-g0~7~tag"))
+  }
+
   test("crashed maintenance stays sound: uncovered new files are admitted, results exact") {
     val dir = tmpDir("bloomstale")
     MergeTable.write(spark, table(400), "k", dir, nFiles = 8)

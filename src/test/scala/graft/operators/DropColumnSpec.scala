@@ -128,6 +128,24 @@ class DropColumnSpec extends SparkSpecBase {
         s"ghosts ${MergeTable.droppedColumns(dir) -- want}")
   }
 
+  test("lost-race rollback keeps the retirement when a same-column drop already committed") {
+    val dir = tmpDir("dropcas2")
+    MergeTable.write(spark, table(50), "k", dir, nFiles = 2)
+    // state A: the column is still in the committed schema (the race
+    // winner was some OTHER writer) → the loser's rollback un-retires
+    MergeTable.updateDroppedCols(dir)(_ + "note")
+    MergeTable.rollbackRetirement(dir, "note")
+    assert(MergeTable.droppedColumns(dir).isEmpty)
+    // state B: a racing dropColumn of the SAME column won — the
+    // committed schema no longer carries it, and its commit NEEDS the
+    // (shared) retirement: the loser's rollback must keep the guard
+    MergeTable.dropColumn(spark, dir, "k", "note")
+    MergeTable.updateDroppedCols(dir)(_ + "note") // loser's own retire (idempotent)
+    MergeTable.rollbackRetirement(dir, "note")
+    assert(MergeTable.droppedColumns(dir) == Set("note"),
+      "lost-race rollback stripped the winner's byte-resurrection guard")
+  }
+
   test("legacy un-versioned governance files read as v0 and vacuum after supersession") {
     val dir = tmpDir("governlegacy")
     MergeTable.write(spark, table(50), "k", dir, nFiles = 2)
