@@ -121,6 +121,20 @@ object GraftCLI {
     */
   def table(spark: SparkSession, cmd: String, args: List[String]): Seq[String] = {
     import graft.operators.MergeTable
+    // flags validate per verb BEFORE dispatch: a typo'd `--partail`
+    // silently filtered away would change WHICH operation runs (a
+    // full 100 TB rewrite instead of the day-sized partial) while
+    // reporting success — unknown flags are a usage error like
+    // malformed numerics
+    val flags = args.filter(_.startsWith("--")).toSet
+    val allowedFlags: Set[String] = cmd match {
+      case "vacuum" => Set("--force")
+      case "recluster" => Set("--partial")
+      case _ => Set.empty
+    }
+    val unknownFlags = flags -- allowedFlags
+    if (unknownFlags.nonEmpty) throw new Usage(
+      s"unknown flag(s) ${unknownFlags.toSeq.sorted.mkString(", ")} for '$cmd'\n$tableUsage")
     (cmd, args.filterNot(_.startsWith("--"))) match {
       case ("history", dir :: _) =>
         MergeTable.history(spark, dir).collect().toSeq.map { r =>

@@ -293,7 +293,9 @@ object MergeTable {
           .write.parquet(dataDirOf(dir, 0, token))
         statsOf(s, dataDirOf(dir, 0, token), keyCol)
           .coalesce(1).write.parquet(manifestDirOf(dir, 0, token))
-        commitGen(dir, 0, token, Map("op" -> "cluster", "schema" -> df.schema.json))
+        commitGen(dir, 0, token, Map("op" -> "cluster",
+          "cluster_cols" -> clusterCols.mkString(","),
+          "schema" -> df.schema.json))
     }
   }
 
@@ -400,7 +402,8 @@ object MergeTable {
       if (hasParquetFiles(staging)) statsOf(s, staging, keyCol)
       else manifestAt(s, dir, prevGen).filter(lit(false))
     newStats.coalesce(1).write.parquet(manifestDirOf(dir, next, token))
-    try commitGen(dir, next, token, Map("op" -> "cluster") ++
+    try commitGen(dir, next, token, Map("op" -> "cluster",
+      "cluster_cols" -> clusterCols.mkString(",")) ++
       schemaAt(dir, prevGen).map(sch => Map("schema" -> sch.json)).getOrElse(Map.empty))
     catch {
       case e: java.util.ConcurrentModificationException =>
@@ -440,14 +443,37 @@ object MergeTable {
                        clusterCols: Seq[String], nFiles: Int = 0): MergeStats = {
     val prevGen = committedGen(dir).getOrElse(
       sys.error(s"$dir is not a committed keyed table (no commit log)"))
-    val livePaths = manifestAt(s, dir, prevGen).select("path").collect()
+    // same validation as the full paths (zValueOf) — the manifest-
+    // bounds shortcut below must not silently accept a string column
+    // whose stats happen to cast (null z-values, degenerate layout)
+    require(clusterCols.nonEmpty && clusterCols.size <= 3,
+      s"z-order wants 1-3 cluster columns, got ${clusterCols.size}")
+    schemaAt(dir, prevGen).foreach(sch => clusterCols.foreach { c =>
+      require(sch.fields.find(_.name.equalsIgnoreCase(c))
+        .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]),
+        s"z-order cluster column '$c' must be numeric " +
+          "(lattice normalization is min/max arithmetic)")
+    })
+    val man0 = manifestAt(s, dir, prevGen)
+    val livePaths = man0.select("path").collect()
       .map(_.getString(0)).toIndexedSeq
+    // the baseline must be a cluster commit on the SAME columns
+    // (legacy pre-cluster_cols commits accepted): carrying files
+    // tiled in a DIFFERENT z-space as "still clustered" would report
+    // the layout repaired while the carried majority prunes nothing
+    // on the requested dimensions — a mismatched history instead
+    // degrades to the full rewrite (its dead-file manifest intersects
+    // no live path)
+    val wanted = clusterCols.mkString(",")
     val baseline: Set[String] =
-      (prevGen to 0 by -1).find(g => metaAt(dir, g).get("op").contains("cluster"))
-        .flatMap { g =>
-          scala.util.Try(manifestAt(s, dir, g).select("path").collect()
-            .map(_.getString(0)).toSet).toOption // vacuumed baseline: full rewrite
-        }.getOrElse(Set.empty)
+      (prevGen to 0 by -1).find { g =>
+        val m = metaAt(dir, g)
+        m.get("op").contains("cluster") &&
+          m.get("cluster_cols").forall(_ == wanted)
+      }.flatMap { g =>
+        scala.util.Try(manifestAt(s, dir, g).select("path").collect()
+          .map(_.getString(0)).toSet).toOption // vacuumed baseline: full rewrite
+      }.getOrElse(Set.empty)
     val degraded = livePaths.filterNot(baseline.contains)
     val carried = livePaths.filter(baseline.contains)
     if (degraded.isEmpty)
@@ -457,7 +483,6 @@ object MergeTable {
     val staging = dataDirOf(dir, next, token)
     val df = readerFor(s, dir, prevGen).parquet(degraded: _*)
     val outFiles = if (nFiles > 0) nFiles else math.max(1, degraded.size)
-    val man0 = manifestAt(s, dir, prevGen)
     // GLOBAL lattice bounds off the manifest stats (driver-side,
     // file-count-sized, zero data scan): the rewrite must tile the
     // TABLE's z space, not a lattice renormalized to the degraded
@@ -485,14 +510,14 @@ object MergeTable {
       case None => // degenerate fold set: key order
         df.repartitionByRange(outFiles, col(keyCol)).write.parquet(staging)
     }
-    val man = manifestAt(s, dir, prevGen)
     val newStats =
       if (hasParquetFiles(staging)) statsOf(s, staging, keyCol)
-      else man.filter(lit(false))
-    man.filter(col("path").isin(carried: _*))
+      else man0.filter(lit(false))
+    man0.filter(col("path").isin(carried: _*))
       .unionByName(newStats, allowMissingColumns = true)
       .coalesce(1).write.parquet(manifestDirOf(dir, next, token))
     try commitGen(dir, next, token, Map("op" -> "cluster",
+      "cluster_cols" -> wanted,
       "partial" -> degraded.size.toString) ++
       schemaAt(dir, prevGen).map(sch => Map("schema" -> sch.json)).getOrElse(Map.empty))
     catch {
@@ -813,16 +838,17 @@ object MergeTable {
         val (_, newestGen, k) = colSegs.maxBy(_._2)
         if (newestGen < newGen) {
           val foldPaths = colSegs.filter(_._3 == k).map(t => s"$dir/${t._1}")
-          val old = s.read.parquet(foldPaths: _*)
-            .join(broadcast(liveDf), Seq("path"), "left_semi")
+          val foldDf = s.read.parquet(foldPaths: _*)
+          val old = foldDf.join(broadcast(liveDf), Seq("path"), "left_semi")
           // case-insensitive like Spark's own resolution (and like the
           // probe side's type lookup) — a sidecar on 'Tag' must still
           // fold when the staged schema spells it 'tag'
           val fresh = stagedDf.filter(_.columns.exists(_.equalsIgnoreCase(c))).map { df =>
-            // numBits from an existing sketch (bits = 8 × bytes); an
-            // empty segment (fully-deleted table) falls back to the
-            // build default
-            val numBits = s.read.parquet(foldPaths: _*).select("bloom")
+            // numBits from an existing sketch (bits = 8 × bytes; read
+            // off the already-opened fold frame — a dead file's row is
+            // fine, only the byte length matters); an empty segment
+            // (fully-deleted table) falls back to the build default
+            val numBits = foldDf.select("bloom")
               .limit(1).collect().headOption
               .map(_.getAs[Array[Byte]](0).length * 8).getOrElse(1 << 17)
             df.select(input_file_name().as("path"),
@@ -842,11 +868,14 @@ object MergeTable {
             .foreach(n => graft.IndexLifecycle.deleteRecursively(s"$dir/$n"))
         }
       } catch {
-        // the DML committed; a maintenance failure must not make it
-        // look failed (a retried merge would double-apply the batch).
-        // The sidecar is merely stale — sound by the uncovered-file
-        // fallback — and buildBloomIndex is the recovery.
-        case e: Throwable => System.err.println(
+        // the DML committed; a NON-FATAL maintenance failure must not
+        // make it look failed (a retried merge would double-apply the
+        // batch). The sidecar is merely stale — sound by the
+        // uncovered-file fallback — and buildBloomIndex is the
+        // recovery. Fatal VM errors and interruption still propagate:
+        // the commit-is-durable argument doesn't justify masking a
+        // dying JVM or breaking cooperative cancellation.
+        case scala.util.control.NonFatal(e) => System.err.println(
           s"[graft] bloom sidecar maintenance for $dir.$c at g$newGen failed " +
             s"(index is stale-but-sound; rebuild with buildBloomIndex): $e")
       }
@@ -1447,8 +1476,21 @@ object MergeTable {
     // pre-computed snapshot) so a concurrent drop of a DIFFERENT
     // column isn't clobbered.
     if (reintroduced.nonEmpty) {
+      // un-retire only names STILL IN THE COMMITTED SCHEMA, the check
+      // re-read inside the CAS transform (fresh on every lost-race
+      // retry): a concurrent dropColumn of the same name that already
+      // committed must keep its retirement — and for the ms-window
+      // where that drop has retired but not yet committed, dropColumn
+      // re-asserts its retirement post-commit, so no interleaving
+      // leaves a committed drop unguarded.
       val gone = reintroduced.map(_.toLowerCase).toSet
-      updateDroppedCols(dir)(_.filterNot(n => gone.contains(n.toLowerCase)))
+      updateDroppedCols(dir) { cur =>
+        val sch = committedGen(dir).flatMap(g => schemaAt(dir, g))
+        cur.filterNot { n =>
+          gone.contains(n.toLowerCase) &&
+            sch.exists(_.fieldNames.exists(_.equalsIgnoreCase(n)))
+        }
+      }
     }
     maintainBloomSidecars(s, dir, next, staging)
     MergeStats(next, touched, untouched)
@@ -1844,6 +1886,14 @@ object MergeTable {
         graft.IndexLifecycle.deleteRecursively(manifestDirOf(dir, next, token))
         throw e
     }
+    // re-assert the retirement after the commit landed: a concurrent
+    // merge's un-retire (or a racing loser's rollback) may have read
+    // a PRE-commit schema and stripped it inside the narrow window
+    // between this writer's retire and its commit link; the add is an
+    // idempotent CAS, and once the post-drop schema is committed the
+    // schema-checked strips can no longer fire — so every
+    // interleaving leaves this committed drop guarded.
+    updateDroppedCols(dir)(_ + colName)
     // a sidecar on the dropped column would keep sketching invisible
     // bytes; sweep it (probes on the column now fail analysis anyway)
     bloomDirsFor(dir, colName).map(_._1)
@@ -1861,12 +1911,16 @@ object MergeTable {
     * retired-but-live name is harmless (the merge guard ignores names
     * still in the table schema), an unguarded dropped one is not.
     */
-  private[operators] def rollbackRetirement(dir: String, colName: String): Unit = {
-    val colStillInSchema = committedGen(dir)
-      .flatMap(g => schemaAt(dir, g))
-      .exists(_.fieldNames.exists(_.equalsIgnoreCase(colName)))
-    if (colStillInSchema) updateDroppedCols(dir)(_ - colName)
-  }
+  private[operators] def rollbackRetirement(dir: String, colName: String): Unit =
+    updateDroppedCols(dir) { cur =>
+      // re-read inside the transform: fresh on every lost-race retry,
+      // and dropColumn's post-commit re-assert covers the remaining
+      // retired-but-not-yet-committed window
+      val colStillInSchema = committedGen(dir)
+        .flatMap(g => schemaAt(dir, g))
+        .exists(_.fieldNames.exists(_.equalsIgnoreCase(colName)))
+      if (colStillInSchema) cur - colName else cur
+    }
 
   // ---- CHECK constraints ----
   //

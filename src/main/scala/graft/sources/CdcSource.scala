@@ -80,11 +80,18 @@ final class CdcSourceProvider extends StreamSourceProvider with DataSourceRegist
     // retention handshake: register this stream's horizon (keyed by
     // its checkpoint identity, so a restart re-claims the same entry)
     // BEFORE the first batch — MergeTable.vacuum refuses to sweep
-    // generations a registered consumer could still replay. The
-    // horizon advances in getBatch as spans commit; decommissioning a
-    // stream is MergeTable.releaseCdcHorizon (or `table cdc-release`).
+    // generations a registered consumer could still replay. Floor
+    // semantics: a restart must not regress a horizon getBatch/commit
+    // already advanced. The horizon rises to each in-flight span's
+    // START in getBatch and to the span's END once the engine calls
+    // Source.commit for it — which the microbatch engine does while
+    // constructing the NEXT batch, so a live stream's horizon always
+    // trails the newest span: that span's replay is genuinely still
+    // possible, and a vacuum then would genuinely strand it (the
+    // refusal is honest conservatism, not slack). Decommissioning is
+    // MergeTable.releaseCdcHorizon / `table cdc-release`.
     val consumer = CdcSource.consumerId(metadataPath)
-    MergeTable.registerCdcHorizon(dir, consumer, math.max(0, startGen))
+    CdcSource.registerFloor(dir, consumer, math.max(0, startGen))
     new CdcSource(ctx, dir, keyCol, startGen, preImages, consumer)
   }
 }
@@ -98,11 +105,26 @@ object CdcSource {
   /** Stable per-stream consumer id for the horizon registry: the
     * stream's checkpoint metadata path IS its identity (restarts
     * share it, distinct queries don't), hashed to a filename-safe
-    * token.
+    * token. Full 128-bit MD5, not a 32-bit word: two streams on one
+    * table sharing a horizon file by hash collision would let the
+    * caught-up one overwrite the laggard's registration — the exact
+    * silent stranding the registry exists to prevent.
     */
-  private[sources] def consumerId(metadataPath: String): String =
-    "stream-" + java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(metadataPath) & 0xffffffffL)
+  private[sources] def consumerId(metadataPath: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(metadataPath.getBytes("UTF-8"))
+    "stream-" + d.map(b => f"$b%02x").mkString
+  }
+
+  /** Register `gen` as the consumer's horizon UNLESS a higher one is
+    * already recorded — a stream RESTART re-enters createSource with
+    * its original `startGen` option (not its checkpointed offset), and
+    * snapping an advanced horizon back to 0 would block vacuum forever
+    * on an idle-but-caught-up stream.
+    */
+  private[sources] def registerFloor(dir: String, consumer: String, gen: Int): Unit =
+    if (!MergeTable.cdcHorizons(dir).get(consumer).exists(_ >= gen))
+      MergeTable.registerCdcHorizon(dir, consumer, gen)
 
   /** `startGen = -1` is the internal encoding of `snapshot`,
     * [[Latest]] of `latest`.
@@ -178,9 +200,11 @@ final class CdcSource(ctx: SQLContext, dir: String, keyCol: String, startGen: In
     // advance the retention horizon to the oldest generation a replay
     // of THIS OR A LATER batch could need: the span's start for a
     // delta batch, its end for the snapshot bootstrap (which reads
-    // asOf(to) and whose successor spans start at to)
+    // asOf(to) and whose successor spans start at to). Floor, never
+    // overwrite: a replayed old span after restart must not regress
+    // what a later commit() already advanced.
     if (consumer.nonEmpty)
-      MergeTable.registerCdcHorizon(dir, consumer,
+      CdcSource.registerFloor(dir, consumer,
         if (from < 0) to.toInt else from.toInt)
     // snapshot bootstrap: the first batch is the whole table AS OF
     // the end generation, every row an insert — deterministic on
@@ -206,6 +230,23 @@ final class CdcSource(ctx: SQLContext, dir: String, keyCol: String, startGen: In
     // plan is just opaque to the streaming planner
     org.apache.spark.sql.graft.StreamingShim.asStreaming(aligned)
   }
+
+  /** The engine durably committed everything through `end`: no replay
+    * will ever ask for a span starting below it, so the retention
+    * horizon advances to `end` itself. The microbatch engine calls
+    * this while constructing the batch AFTER the one it commits, so
+    * the horizon of a live stream trails the newest delivered span —
+    * correctly: until this hook fires for a span, its replay is
+    * possible and vacuum must not sweep what the replay would read.
+    * Without this hook the horizon would trail by a FULL extra span
+    * (getBatch only pins span starts).
+    */
+  override def commit(end: Offset): Unit =
+    if (consumer.nonEmpty) {
+      val to = genOf(end)
+      if (to >= 0 && to <= Int.MaxValue)
+        CdcSource.registerFloor(dir, consumer, to.toInt)
+    }
 
   override def stop(): Unit = ()
 }

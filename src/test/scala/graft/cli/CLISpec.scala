@@ -188,6 +188,18 @@ class CLISpec extends SparkSpecBase {
     intercept[GraftCLI.Usage] { GraftCLI.table(spark, "vacuum", List(dir, "soon")) }
     intercept[GraftCLI.Usage] { GraftCLI.table(spark, "restore", List(dir, "x")) }
     intercept[GraftCLI.Usage] { GraftCLI.table(spark, "history", Nil) }
+    // a typo'd flag must be an error, not silently change WHICH
+    // operation runs (--partail → a full 100 TB rewrite "succeeding")
+    val e = intercept[GraftCLI.Usage] {
+      GraftCLI.table(spark, "recluster", List(dir, "k", "k,bal", "--partail"))
+    }
+    assert(e.getMessage.contains("--partail"), e.getMessage)
+    intercept[GraftCLI.Usage] {
+      GraftCLI.table(spark, "vacuum", List(dir, "--froce"))
+    }
+    intercept[GraftCLI.Usage] {
+      GraftCLI.table(spark, "history", List(dir, "--force"))
+    }
   }
 
   test("run_sample --update: bounded-state top-N path writes the same file") {

@@ -121,6 +121,29 @@ class ReclusterSpec extends SparkSpecBase {
     assert(MergeTable.readTable(spark, dir).count() == 64 * 64)
   }
 
+  test("partial recluster on DIFFERENT columns than the baseline rewrites fully, not falsely-carries") {
+    val dir = tmpDir("reclus5")
+    MergeTable.writeClustered(spark, grid, "k", Seq("x", "y"), dir, nFiles = 8)
+    // same commit history, different requested dimensions: carrying
+    // the (x,y)-tiled files as "clustered" would report a (k,bal)
+    // repair that never happened — the column mismatch must force the
+    // full rewrite (and NOT no-op at the old generation)
+    val st = MergeTable.reclusterPartial(spark, dir, "k", Seq("k", "bal"))
+    assert(st.gen == 1 && st.untouched.isEmpty && st.touched.size == 8,
+      s"mismatched-column partial must rewrite fully: $st")
+    // and a subsequent SAME-column partial uses the new baseline: no-op
+    val st2 = MergeTable.reclusterPartial(spark, dir, "k", Seq("k", "bal"))
+    assert(st2.gen == 1 && st2.touched.isEmpty)
+    // a string cluster column fails loudly on the partial path too
+    // (the manifest-bounds shortcut must not accept castable stats)
+    val sdir = tmpDir("reclus5s")
+    MergeTable.write(spark,
+      grid.withColumn("tag", concat(lit("t"), col("k"))), "k", sdir, nFiles = 4)
+    intercept[IllegalArgumentException] {
+      MergeTable.reclusterPartial(spark, sdir, "k", Seq("tag"))
+    }
+  }
+
   test("recluster after a degrading merge; constraints and bloom index stay sound") {
     val dir = tmpDir("reclus2")
     MergeTable.writeClustered(spark, grid, "k", Seq("x", "y"), dir, nFiles = 16)
