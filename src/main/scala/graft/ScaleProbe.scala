@@ -1086,8 +1086,61 @@ object ScaleProbe {
         operators.MergeTable.buildBloomIndex(spark, dirA, "tag", numBits = 1 << 23)
         println(f"full rebuild (the avoided per-window cost): ${(System.nanoTime() - t9) / 1e9}%.2f s")
 
+      case "partialz" =>
+        // Partial vs full recluster, the SCALING SHAPE under CONSTANT
+        // FILE SIZE (the real 100 TB regime: file size is pinned at
+        // ~hundreds of MB and file COUNT grows with the table, so the
+        // small table gets 64 files and the 4×-larger one 256). A
+        // fixed 1M-key band merge degrades one tile-ROW of the d=2 z
+        // layout — Θ(√nFiles) files, the inherent z-order geometry of
+        // a single-dimension band — so the partial fold must grow as
+        // √size (2× across the 4× jump) while the full rewrite pays
+        // the table (4×). Admission on the secondary dimension must
+        // be restored by both.
+        val deltaKeys = 1000000L
+        val timings = Seq((rows / 4, 64), (rows, 256)).map { case (m, nFiles) =>
+          val dir = java.nio.file.Files.createTempDirectory(s"probe-pz-$m").toString
+          val src = spark.range(m).select(col("id").as("k"),
+            pmod(col("id"), lit(4096)).as("x"),
+            (col("id") / 4096).as("y"),
+            (pmod(xxhash64(col("id")), lit(100000)) / 100.0).as("bal"))
+          operators.MergeTable.writeClustered(spark, src, "k", Seq("x", "y"), dir, nFiles)
+          def admitted(c: String, lo: Long, hi: Long): Int =
+            operators.MergeTable.manifest(spark, dir).collect().count { r =>
+              val mn = r.getAs[Long](s"min_$c"); val mx = r.getAs[Long](s"max_$c")
+              !(mx < lo || mn > hi)
+            }
+          val fresh = admitted("x", 100, 140)
+          val changes = spark.range(deltaKeys).select(col("id").as("k"),
+            lit("U").as("op"), pmod(col("id"), lit(4096)).as("x"),
+            (col("id") / 4096).as("y"), lit(0.5).as("bal"))
+          operators.MergeTable.merge(spark, dir, changes, "k")
+          val degradedAdmit = admitted("x", 100, 140)
+          val t1 = System.nanoTime()
+          val st = operators.MergeTable.reclusterPartial(spark, dir, "k", Seq("x", "y"))
+          val partialS = (System.nanoTime() - t1) / 1e9
+          val restored = admitted("x", 100, 140)
+          require(st.untouched.nonEmpty && st.touched.nonEmpty,
+            s"fixture degenerate: $st")
+          require(restored <= fresh + 2,
+            s"partial did not restore admission: fresh $fresh, degraded $degradedAdmit, restored $restored")
+          val t2 = System.nanoTime()
+          operators.MergeTable.recluster(spark, dir, "k", Seq("x", "y"), nFiles)
+          val fullS = (System.nanoTime() - t2) / 1e9
+          println(f"$m%12d rows: partial $partialS%.2f s (${st.touched.size} files folded, " +
+            f"${st.untouched.size} carried; x-admission $fresh -> $degradedAdmit -> $restored), " +
+            f"full $fullS%.2f s")
+          (partialS, fullS)
+        }
+        val (pSmall, fSmall) = timings.head
+        val (pLarge, fLarge) = timings.last
+        println(f"4x table growth (constant file size): partial ${pLarge / pSmall}%.2fx " +
+          f"(degradation-bound, ~sqrt), full ${fLarge / fSmall}%.2fx (table-bound)")
+        require(pLarge / pSmall < fLarge / fSmall,
+          "partial recluster should scale with the degradation, full with the table")
+
       case other =>
-        System.err.println(s"unknown probe '$other'; use topn | cumsum | incr | hh | bloom | skew | tri | pr | bitmap64 | annappend | build | tx17vocab | merge | drift | dd13sig | ivfcompact | ivm | bloomidx | bloommaint")
+        System.err.println(s"unknown probe '$other'; use topn | cumsum | incr | hh | bloom | skew | tri | pr | bitmap64 | annappend | build | tx17vocab | merge | drift | dd13sig | ivfcompact | ivm | bloomidx | bloommaint | partialz")
         sys.exit(2)
     }
     spark.stop()

@@ -88,6 +88,11 @@ class CLISpec extends SparkSpecBase {
     assert(dc.head.contains("'tag'") && dc.head.contains("metadata-only"), dc)
     assert(!MergeTable.readTable(spark, dir).columns.contains("tag"))
     assert(MergeTable.droppedColumns(dir) == Set("tag"))
+
+    // --partial against the same-column baseline: nothing degraded
+    // since the gen-1 recluster (the drop was metadata-only) → no-op
+    val pr = GraftCLI.table(spark, "recluster", List(dir, "k", "k,g", "--partial"))
+    assert(pr.head.contains("0 files rewritten"), pr)
   }
 
   test("table verbs: mv-create / mv-refresh run the persisted-spec view lifecycle") {
