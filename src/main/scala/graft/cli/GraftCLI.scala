@@ -67,7 +67,7 @@ object GraftCLI {
 
   private val tableUsage: String =
     "usage: GraftCLI table history <dir> | restore <dir> <gen> | " +
-      "clone <src> <dst> | vacuum <dir> [minAgeMs] [--force] | " +
+      "clone <src> <dst> | vacuum <dir> [minAgeMs] [--force | --retain] | " +
       "compact <dir> <keyCol> [targetRows] | " +
       "recluster <dir> <keyCol> <col[,col…]> [nFiles] [--partial] | " +
       "bloom-index <dir> <col> [numBits] | " +
@@ -128,7 +128,7 @@ object GraftCLI {
     // malformed numerics
     val flags = args.filter(_.startsWith("--")).toSet
     val allowedFlags: Set[String] = cmd match {
-      case "vacuum" => Set("--force")
+      case "vacuum" => Set("--force", "--retain")
       case "recluster" => Set("--partial")
       case _ => Set.empty
     }
@@ -155,7 +155,11 @@ object GraftCLI {
         Seq(s"cloned $src@g$g -> $dst (shallow)")
       case ("vacuum", dir :: more) =>
         val minAge = more.headOption.map(longArg(_, "vacuum [minAgeMs]")).getOrElse(0L)
-        val n = MergeTable.vacuum(spark, dir, minAge, force = args.contains("--force"))
+        if (args.contains("--retain") && args.contains("--force"))
+          throw new Usage(s"vacuum: --retain and --force are exclusive\n$tableUsage")
+        val n =
+          if (args.contains("--retain")) MergeTable.vacuumRetaining(spark, dir, minAge)
+          else MergeTable.vacuum(spark, dir, minAge, force = args.contains("--force"))
         Seq(s"vacuumed $n object(s) from $dir")
       case ("compact", dir :: keyCol :: more) =>
         val target = more.headOption.map(longArg(_, "compact [targetRows]"))

@@ -1137,8 +1137,9 @@ object MergeTable {
     * sweep would delete manifests/files that consumer's replay still
     * needs, so vacuum refuses loudly (naming the consumer) unless
     * `force = true` — catch the stream up, [[releaseCdcHorizon]] it,
-    * or force (after which the stranded stream still fails loudly at
-    * its next read, as before).
+    * reclaim AROUND it with [[vacuumRetaining]], or force (after
+    * which the stranded stream still fails loudly at its next read,
+    * as before).
     */
   def vacuum(s: SparkSession, dir: String, minAgeMs: Long = 0L,
              force: Boolean = false): Int = {
@@ -1150,17 +1151,48 @@ object MergeTable {
       throw new IllegalStateException(
         s"vacuum of $dir refused: ${lagging.size} registered CDC consumer(s) " +
           s"still need pre-current generations (e.g. '$who' at generation $at " +
-          s"< committed $gen) — catch the stream up, releaseCdcHorizon(), or " +
-          "pass force = true to strand them knowingly")
+          s"< committed $gen) — catch the stream up, releaseCdcHorizon(), " +
+          "vacuumRetaining() to reclaim around them, or pass force = true to " +
+          "strand them knowingly")
     }
-    val curManifest = s"manifest-g$gen~" + metaAt(dir, gen).getOrElse("token",
-      sys.error(s"commit-log entry for generation $gen lacks a token"))
+    vacuumImpl(s, dir, minAgeMs, Set(gen))
+  }
+
+  /** Retention-aware vacuum — the replication-slot semantic (Kafka
+    * consumer groups hold log segments, Postgres slots hold WAL; a
+    * lagging consumer RETAINS, it doesn't block): reclaims everything
+    * no registered CDC horizon can still replay, without refusing and
+    * without stranding. Keeps the manifests of every generation ≥ the
+    * oldest registered horizon (plus current) and every file they
+    * reference; sweeps the rest — on a table whose consumers trail by
+    * a day, that reclaims all but the day. With no registered
+    * horizons this IS [[vacuum]]. The stuck-consumer cost is storage
+    * (visible in `table cdc-horizons`), never correctness; time
+    * travel below the oldest horizon ends exactly like vacuum's.
+    */
+  def vacuumRetaining(s: SparkSession, dir: String, minAgeMs: Long = 0L): Int = {
+    val gen = committedGen(dir).getOrElse(
+      sys.error(s"$dir is not a committed keyed table (no commit log)"))
+    val floor = cdcHorizons(dir).values.minOption.getOrElse(gen)
+    vacuumImpl(s, dir, minAgeMs, (math.max(0, floor) to gen).toSet + gen)
+  }
+
+  private def vacuumImpl(s: SparkSession, dir: String, minAgeMs: Long,
+                         protectedGens: Set[Int]): Int = {
+    // resolve each protected generation's manifest dir name + paths;
+    // one already vacuumed (pre-retention force) simply protects
+    // nothing — the consumer needing it fails loudly at read, as ever
+    val keepManifests: Set[String] = protectedGens.flatMap { g =>
+      metaAt(dir, g).get("token").map(t => s"manifest-g$g~$t")
+    }
     // governance log: only versions BELOW the current one are sweepable
     val governMax = Seq("_dropped_cols", "_constraints")
       .flatMap(b => governVersions(dir, b).maxOption.map(b -> _)).toMap
-    val live = manifest(s, dir).select("path").collect()
-      .map(r => java.nio.file.Path.of(java.net.URI.create(r.getString(0)))
-        .toAbsolutePath.toString).toSet
+    val live: Set[String] = protectedGens.flatMap { g =>
+      scala.util.Try(manifestAt(s, dir, g).select("path").collect()
+        .map(r => java.nio.file.Path.of(java.net.URI.create(r.getString(0)))
+          .toAbsolutePath.toString).toSeq).getOrElse(Seq.empty)
+    }
     val cutoff = System.currentTimeMillis() - minAgeMs
     def oldEnough(p: java.nio.file.Path): Boolean =
       minAgeMs <= 0L ||
@@ -1173,7 +1205,8 @@ object MergeTable {
       val name = p.getFileName.toString
       // `_commit-g<N>` log entries are KEPT — they are the table's
       // history; a vacuumed generation fails loudly in manifestAt
-      if (name.startsWith("manifest-g") && name != curManifest && oldEnough(p)) {
+      if (name.startsWith("manifest-g") && !keepManifests.contains(name) &&
+          oldEnough(p)) {
         graft.IndexLifecycle.deleteRecursively(p.toString); deleted += 1
       } else if (name.startsWith("_commit.tmp") && oldEnough(p)) {
         // a crashed commit's staged log entry — never observed by readers

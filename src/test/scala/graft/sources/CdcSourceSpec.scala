@@ -419,6 +419,34 @@ class CdcSourceSpec extends SparkSpecBase {
     assert(MergeTable.vacuum(spark, dir) == 0)
   }
 
+  test("vacuumRetaining reclaims around a lagging consumer without stranding it") {
+    val dir = freshTable(40)                   // gen 0
+    mergeBatch(dir, Seq((1L, "U", "A", 1.0)))  // gen 1
+    MergeTable.registerCdcHorizon(dir, "replica-r", 1)
+    mergeBatch(dir, Seq((2L, "U", "B", 2.0)))  // gen 2
+    mergeBatch(dir, Seq((3L, "U", "C", 3.0)))  // gen 3
+    // plain vacuum refuses (sweeping would strand the replica);
+    // retention-aware reclaims exactly what nothing registered needs
+    intercept[IllegalStateException] { MergeTable.vacuum(spark, dir) }
+    assert(MergeTable.vacuumRetaining(spark, dir) > 0, "nothing reclaimed")
+    // pre-horizon state is gone: time travel to gen 0 ends loudly
+    intercept[Exception] { MergeTable.manifestAt(spark, dir, 0).collect() }
+    // the consumer's replay span still works END TO END, exactly —
+    // including the superseded pre-image files its diff must open
+    val replay = MergeTable.changesBetween(spark, dir, 1, 3, "k")
+      .select("k", "change_op").as[(Long, String)].collect().toSeq.sorted
+    assert(replay == Seq((2L, "U"), (3L, "U")), s"replay broken: $replay")
+    // intermediate manifests (possible future span endpoints) survive
+    assert(MergeTable.manifestAt(spark, dir, 2).collect().nonEmpty)
+    assert(MergeTable.readTable(spark, dir).count() == 40)
+    // once the consumer catches up, retaining ≡ plain vacuum
+    MergeTable.registerCdcHorizon(dir, "replica-r", 3)
+    MergeTable.vacuumRetaining(spark, dir)
+    assert(scala.util.Try(MergeTable.manifestAt(spark, dir, 1)).isFailure,
+      "caught-up retention should sweep the old span")
+    assert(MergeTable.readTable(spark, dir).count() == 40)
+  }
+
   test("schema is keyCol, change_op, _commit_gen, then value columns") {
     val dir = freshTable(10)
     val s = MergeTable.changesStream(spark, dir, "k").schema
