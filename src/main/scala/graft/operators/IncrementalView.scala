@@ -176,11 +176,33 @@ object IncrementalView {
     "mv_group" -> spec.groupCols.mkString(","),
     "mv_sums" -> spec.sums.map { case (n, e) => s"$n=$e" }.mkString(";"))
 
+  /** The view's consumer id in the SOURCE's CDC-horizon registry: a
+    * persisted view IS an incremental consumer — its refresh replays
+    * `changesBetween(mv_src_gen, cur)`, which needs the manifest at
+    * its watermark and the superseded pre-image files of the span —
+    * so it registers like a stream (materialize claims, every refresh
+    * advances) and a source vacuum can no longer silently break a
+    * stale view's next refresh. Decommission a dropped view with
+    * [[release]].
+    */
+  def consumerId(mvDir: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(java.nio.file.Path.of(mvDir).toAbsolutePath.toString.getBytes("UTF-8"))
+    "mv-" + d.map(b => f"$b%02x").mkString
+  }
+
+  /** Drop the view's retention registration at its source (the view
+    * store itself is untouched); returns whether one existed.
+    */
+  def release(srcDir: String, mvDir: String): Boolean =
+    MergeTable.releaseCdcHorizon(srcDir, consumerId(mvDir))
+
   /** Materialize the view of `srcDir` (a committed [[MergeTable]])
     * into `mvDir` as its own MergeTable keyed by the composite group
     * key. The source generation rides the commit-log meta, so
-    * [[refresh]] knows where its CDC span starts. Returns the source
-    * generation the view now reflects.
+    * [[refresh]] knows where its CDC span starts; the view also
+    * registers a retention horizon at the source (see [[consumerId]]).
+    * Returns the source generation the view now reflects.
     */
   def materialize(s: SparkSession, srcDir: String, srcKeyCol: String,
                   mvDir: String, spec: ViewSpec, nFiles: Int = 4): Int = {
@@ -190,6 +212,7 @@ object IncrementalView {
       .withColumn(keyColName, keyExpr(spec))
     MergeTable.write(s, st, keyColName, mvDir, nFiles,
       meta = metaOf(spec, srcKeyCol, gen))
+    MergeTable.registerCdcHorizon(srcDir, consumerId(mvDir), gen)
     gen
   }
 
@@ -290,7 +313,7 @@ object IncrementalView {
     else {
       val changes = MergeTable.changesBetween(s, srcDir, last, cur, srcKey,
         preImages = true)
-      applyChanges(s, mvDir, spec, changes, srcKey, cur)
+      applyChanges(s, srcDir, mvDir, spec, changes, srcKey, cur)
       Some(cur)
     }
   }
@@ -299,7 +322,7 @@ object IncrementalView {
     * change span into the store, committing `newSrcGen` into the meta.
     * Skips (idempotence) when the store already reflects `newSrcGen`.
     */
-  private def applyChanges(s: SparkSession, mvDir: String, spec: ViewSpec,
+  private def applyChanges(s: SparkSession, srcDir: String, mvDir: String, spec: ViewSpec,
                            changes0: DataFrame, srcKey: String,
                            newSrcGen: Int): Unit = {
     if (reflectedGen(mvDir) >= newSrcGen) return
@@ -323,6 +346,9 @@ object IncrementalView {
     val dels = stateAff.select(col(keyColName)).withColumn("op", lit("D"))
     MergeTable.merge(s, mvDir, ins.unionByName(dels, allowMissingColumns = true),
       keyColName, meta = metaOf(spec, srcKey, newSrcGen) + ("op" -> "mv_refresh"))
+    // advance the view's retention horizon at the SOURCE: spans below
+    // the new watermark are no longer replayable by this consumer
+    MergeTable.registerCdcHorizon(srcDir, consumerId(mvDir), newSrcGen)
     ()
   }
 
@@ -357,7 +383,7 @@ object IncrementalView {
           if (gen > last) {
             val changes = MergeTable.changesBetween(s, srcDir, last, gen.toInt,
               srcKey, preImages = true)
-            applyChanges(s, mvDir, spec, changes, srcKey, gen.toInt)
+            applyChanges(s, srcDir, mvDir, spec, changes, srcKey, gen.toInt)
           }
         }
       }

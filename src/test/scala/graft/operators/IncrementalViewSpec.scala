@@ -242,6 +242,35 @@ class IncrementalViewSpec extends SparkSpecBase {
     assert(rowsOf(got).find(_._1 == null).get == ((null, 2L, Some(12.0), 2L)))
   }
 
+  test("a persisted view is a registered CDC consumer: vacuum can't silently break its refresh") {
+    val dir = tmpDir("ivmhz")
+    val mv = tmpDir("ivmhz-mv")
+    MergeTable.write(spark, table(200), "k", dir, nFiles = 2)
+    IncrementalView.materialize(spark, dir, "k", mv, spec)
+    val id = IncrementalView.consumerId(mv)
+    assert(MergeTable.cdcHorizons(dir) == Map(id -> 0))
+    MergeTable.merge(spark, dir,
+      Seq((1L, "D", null, 0.0)).toDF("k", "op", "seg", "bal"), "k")
+    MergeTable.merge(spark, dir,
+      Seq((2L, "D", null, 0.0)).toDF("k", "op", "seg", "bal"), "k")
+    // the STALE view's next refresh needs its watermark manifest +
+    // the span's superseded pre-image files — plain vacuum refuses,
+    // naming the view's consumer id
+    val ex = intercept[IllegalStateException] { MergeTable.vacuum(spark, dir) }
+    assert(ex.getMessage.contains(id), ex.getMessage)
+    // retention-aware vacuum reclaims around it and the refresh then
+    // folds the span exactly, advancing the registered horizon
+    MergeTable.vacuumRetaining(spark, dir)
+    assert(IncrementalView.refresh(spark, dir, mv).contains(2))
+    assert(MergeTable.cdcHorizons(dir) == Map(id -> 2))
+    assert(rowsOf(MergeTable.readTable(spark, mv).drop(IncrementalView.keyColName)) ==
+      rowsOf(IncrementalView.compute(MergeTable.readTable(spark, dir), spec)))
+    // caught up: plain vacuum passes; decommission releases the entry
+    assert(MergeTable.vacuum(spark, dir) >= 0)
+    assert(IncrementalView.release(dir, mv))
+    assert(MergeTable.cdcHorizons(dir).isEmpty)
+  }
+
   test("exactness regime: a floating-point sum is rejected with a decimal hint") {
     val t = Seq((1L, "g", 1.1)).toDF("k", "seg", "bal")
     val bad = IncrementalView.ViewSpec(Seq("seg"), Seq("sb" -> "bal"))
