@@ -31,7 +31,8 @@ object Explain {
         "q56_merge_upsert", "q57_session_paths", "pr02_triangles",
         "q59_merge_pruned", "dd13_cross_source_overlap", "q60_merge_cdc",
         "q64_indexed_scan", "dd14_takedown",
-        "q69_incremental_mv", "q70_bloom_lookup")
+        "q69_incremental_mv", "q70_bloom_lookup",
+        "q73_bloom_maintained", "q74_partial_recluster")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
