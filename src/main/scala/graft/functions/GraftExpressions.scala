@@ -477,7 +477,7 @@ object GraftHashOps {
     var i = 0
     while (i < numHashes) {
       val idx = (h1 + i * h2) & (m - 1)
-      if ((bloom((idx >>> 3).toInt) & (1 << (idx & 7))) == 0) return false
+      if ((bloom((idx >>> 3).toInt) & (1 << (idx & 7).toInt)) == 0) return false
       i += 1
     }
     true

@@ -221,7 +221,7 @@ final class CdcSource(ctx: SQLContext, dir: String, keyCol: String, startGen: In
     // align to the declared schema: the span's union columns may
     // predate/postdate the stream's fixed schema — declared-but-
     // missing surfaces as null, undeclared is dropped
-    val aligned = delta.select(schema.fieldNames.map(n =>
+    val aligned = delta.select(schema.fieldNames.toIndexedSeq.map(n =>
       if (delta.columns.contains(n)) col(n)
       else lit(null).cast(schema(n).dataType).as(n)): _*)
     // getBatch's contract wants an isStreaming plan; wrap the planned
