@@ -186,10 +186,28 @@ object IncrementalView {
     * [[release]].
     */
   def consumerId(mvDir: String): String = {
+    // normalized absolute path: "store/mv", "./store/mv" and
+    // "a/../store/mv" must all resolve to ONE registry entry, or the
+    // stale spelling's horizon would pin retention forever (symlinked
+    // spellings remain distinct — the documented caveat; use one
+    // canonical path per view)
     val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(java.nio.file.Path.of(mvDir).toAbsolutePath.toString.getBytes("UTF-8"))
+      .digest(java.nio.file.Path.of(mvDir).toAbsolutePath.normalize()
+        .toString.getBytes("UTF-8"))
     "mv-" + d.map(b => f"$b%02x").mkString
   }
+
+  /** Floor-advance the view's horizon at the source — also the
+    * CRASH-CATCH-UP path: a death between the view store's merge
+    * commit and the registration leaves the horizon stale, so every
+    * idempotent re-entry (refresh with nothing pending, a replayed
+    * stream span hitting the reflectedGen guard) re-advances it to
+    * the reflected watermark instead of leaving vacuum blocked until
+    * the source happens to commit again.
+    */
+  private def advanceHorizon(srcDir: String, mvDir: String, gen: Int): Unit =
+    if (!MergeTable.cdcHorizons(srcDir).get(consumerId(mvDir)).exists(_ >= gen))
+      MergeTable.registerCdcHorizon(srcDir, consumerId(mvDir), gen)
 
   /** Drop the view's retention registration at its source (the view
     * store itself is untouched); returns whether one existed.
@@ -309,8 +327,12 @@ object IncrementalView {
     val (last, srcKey) = srcMeta(mvDir)
     val cur = MergeTable.committedGen(srcDir).getOrElse(
       sys.error(s"$srcDir is not a committed keyed table (no commit log)"))
-    if (cur <= last) None
-    else {
+    if (cur <= last) {
+      // nothing pending, but a prior refresh may have died between
+      // its store commit and its registration — catch the horizon up
+      advanceHorizon(srcDir, mvDir, last)
+      None
+    } else {
       val changes = MergeTable.changesBetween(s, srcDir, last, cur, srcKey,
         preImages = true)
       applyChanges(s, srcDir, mvDir, spec, changes, srcKey, cur)
@@ -325,7 +347,11 @@ object IncrementalView {
   private def applyChanges(s: SparkSession, srcDir: String, mvDir: String, spec: ViewSpec,
                            changes0: DataFrame, srcKey: String,
                            newSrcGen: Int): Unit = {
-    if (reflectedGen(mvDir) >= newSrcGen) return
+    val reflected = reflectedGen(mvDir)
+    if (reflected >= newSrcGen) {
+      advanceHorizon(srcDir, mvDir, reflected) // crash-catch-up (see advanceHorizon)
+      return
+    }
     // materialize the delta once: it feeds three actions below (key
     // broadcast, the fold, the merge write) and recomputing the CDC
     // diff join per action would triple the hot path's IO
@@ -348,7 +374,7 @@ object IncrementalView {
       keyColName, meta = metaOf(spec, srcKey, newSrcGen) + ("op" -> "mv_refresh"))
     // advance the view's retention horizon at the SOURCE: spans below
     // the new watermark are no longer replayable by this consumer
-    MergeTable.registerCdcHorizon(srcDir, consumerId(mvDir), newSrcGen)
+    advanceHorizon(srcDir, mvDir, newSrcGen)
     ()
   }
 

@@ -1179,20 +1179,37 @@ object MergeTable {
 
   private def vacuumImpl(s: SparkSession, dir: String, minAgeMs: Long,
                          protectedGens: Set[Int]): Int = {
-    // resolve each protected generation's manifest dir name + paths;
-    // one already vacuumed (pre-retention force) simply protects
-    // nothing — the consumer needing it fails loudly at read, as ever
-    val keepManifests: Set[String] = protectedGens.flatMap { g =>
+    // the CURRENT generation is special: its manifest is the live
+    // set's backbone, so a token-less log entry or an unreadable
+    // manifest must ABORT the vacuum loudly — a best-effort read here
+    // would silently empty `live` and the sweep would delete every
+    // live data file. Best-effort applies only to NON-current
+    // protected generations that an earlier (forced) vacuum already
+    // swept: those protect nothing, and their consumer fails loudly
+    // at read, as ever.
+    val cur = committedGen(dir).getOrElse(
+      sys.error(s"$dir is not a committed keyed table (no commit log)"))
+    val curManifest = s"manifest-g$cur~" + metaAt(dir, cur).getOrElse("token",
+      sys.error(s"commit-log entry for generation $cur lacks a token"))
+    require(java.nio.file.Files.exists(java.nio.file.Path.of(s"$dir/$curManifest")),
+      s"current manifest $curManifest of $dir is missing — refusing to vacuum")
+    val keepManifests: Set[String] = (protectedGens - cur).flatMap { g =>
       metaAt(dir, g).get("token").map(t => s"manifest-g$g~$t")
-    }
+    } + curManifest
     // governance log: only versions BELOW the current one are sweepable
     val governMax = Seq("_dropped_cols", "_constraints")
       .flatMap(b => governVersions(dir, b).maxOption.map(b -> _)).toMap
-    val live: Set[String] = protectedGens.flatMap { g =>
-      scala.util.Try(manifestAt(s, dir, g).select("path").collect()
-        .map(r => java.nio.file.Path.of(java.net.URI.create(r.getString(0)))
-          .toAbsolutePath.toString).toSeq).getOrElse(Seq.empty)
-    }
+    // ONE batched read over every kept-and-present manifest (a
+    // consumer lagging N generations must not cost N driver jobs);
+    // schemas differ across generations but every manifest has
+    // `path`. A CORRUPT kept manifest aborts the whole vacuum loudly
+    // — conservative by design, never a silently-shrunken live set.
+    val keptPresent = keepManifests.toSeq.map(n => s"$dir/$n")
+      .filter(d => java.nio.file.Files.exists(java.nio.file.Path.of(d)))
+    val live: Set[String] = s.read.parquet(keptPresent: _*).select("path")
+      .collect()
+      .map(r => java.nio.file.Path.of(java.net.URI.create(r.getString(0)))
+        .toAbsolutePath.toString).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     def oldEnough(p: java.nio.file.Path): Boolean =
       minAgeMs <= 0L ||

@@ -267,6 +267,19 @@ class IncrementalViewSpec extends SparkSpecBase {
       rowsOf(IncrementalView.compute(MergeTable.readTable(spark, dir), spec)))
     // caught up: plain vacuum passes; decommission releases the entry
     assert(MergeTable.vacuum(spark, dir) >= 0)
+    // path spellings resolve to ONE registry entry
+    assert(IncrementalView.consumerId(mv) ==
+      IncrementalView.consumerId(mv + "/./"))
+    assert(IncrementalView.consumerId(mv) ==
+      IncrementalView.consumerId(mv + "/x/.."))
+    // crash-catch-up: a refresh that died between its store commit and
+    // its registration leaves the horizon stale — the next idempotent
+    // refresh (nothing pending) re-advances it to the reflected
+    // watermark instead of leaving vacuum blocked forever
+    MergeTable.registerCdcHorizon(dir, id, 0) // simulate the stale entry
+    assert(IncrementalView.refresh(spark, dir, mv).isEmpty)
+    assert(MergeTable.cdcHorizons(dir)(id) == 2,
+      s"idempotent refresh did not catch the horizon up: ${MergeTable.cdcHorizons(dir)}")
     assert(IncrementalView.release(dir, mv))
     assert(MergeTable.cdcHorizons(dir).isEmpty)
   }

@@ -162,6 +162,36 @@ class MergeTableSpec extends SparkSpecBase {
     assert(r == ("WEB", 7 * 1.5), s"partial update broke the overlay: $r")
   }
 
+  test("vacuum aborts LOUDLY when the current generation's anchor is damaged") {
+    import spark.implicits._
+    // a best-effort read of the CURRENT manifest would silently empty
+    // the live set and the sweep would delete every live data file —
+    // both damage modes must abort before anything is swept
+    val dir = tmpDir("mergetab-vacguard")
+    MergeTable.write(spark,
+      (1 to 50).map(i => (i.toLong, i * 1.0)).toDF("k", "bal"), "k", dir, nFiles = 2)
+    val dataBefore = MergeTable.readTable(spark, dir).count()
+    // damage 1: current manifest dir missing
+    val tok = MergeTable.committedMeta(dir)("token")
+    val manDir = Path.of(dir, s"manifest-g0~$tok")
+    val saved = Path.of(dir, "saved-manifest")
+    Files.move(manDir, saved)
+    val e1 = intercept[Exception] { MergeTable.vacuum(spark, dir) }
+    assert(e1.getMessage.contains("manifest"), e1.getMessage)
+    Files.move(saved, manDir)
+    // damage 2: token-less current commit entry
+    val marker = Path.of(dir, "_commit-g0")
+    val body = new String(Files.readAllBytes(marker), "UTF-8")
+    Files.write(marker, body.linesIterator.filterNot(_.startsWith("token="))
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    val e2 = intercept[Exception] { MergeTable.vacuum(spark, dir) }
+    assert(e2.getMessage.contains("token"), e2.getMessage)
+    Files.write(marker, body.getBytes("UTF-8"))
+    // nothing was swept by the aborted attempts
+    assert(MergeTable.readTable(spark, dir).count() == dataBefore)
+    assert(MergeTable.vacuum(spark, dir) >= 0) // healthy again
+  }
+
   test("vacuum drops only unreferenced files; committed table reads identically") {
     import spark.implicits._
     val dir = tmpDir("mergetab-vacuum")
