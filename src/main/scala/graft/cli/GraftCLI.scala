@@ -66,7 +66,7 @@ object GraftCLI {
   final class Usage(msg: String) extends IllegalArgumentException(msg)
 
   private val tableUsage: String =
-    "usage: GraftCLI table history <dir> | restore <dir> <gen> | " +
+    "usage: GraftCLI table stats <dir> | history <dir> | restore <dir> <gen> | " +
       "clone <src> <dst> | vacuum <dir> [minAgeMs] [--force | --retain] | " +
       "compact <dir> <keyCol> [targetRows] | " +
       "recluster <dir> <keyCol> <col[,col…]> [nFiles] [--partial] | " +
@@ -136,6 +136,40 @@ object GraftCLI {
     if (unknownFlags.nonEmpty) throw new Usage(
       s"unknown flag(s) ${unknownFlags.toSeq.sorted.mkString(", ")} for '$cmd'\n$tableUsage")
     (cmd, args.filterNot(_.startsWith("--"))) match {
+      case ("stats", dir :: Nil) =>
+        // the one-screen operator read: where the table stands and
+        // what's attached to it — all driver-sized except one tiny
+        // agg over the file-count-sized manifest
+        val g = MergeTable.committedGen(dir).getOrElse(
+          throw new IllegalArgumentException(
+            s"$dir is not a committed keyed table (no commit log)"))
+        val m = MergeTable.manifest(spark, dir)
+        val row = m.agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)),
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.col("n_rows"))).head()
+        val (files, rows) =
+          (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+        val cons = MergeTable.checkConstraints(dir)
+        val dropped = MergeTable.droppedColumns(dir)
+        val blooms = MergeTable.bloomIndexedColumns(dir)
+        val horizons = MergeTable.cdcHorizons(dir)
+        Seq(
+          s"$dir at generation $g (${g + 1} commits)",
+          s"$files live files, $rows rows",
+          "schema: " + MergeTable.schemaAt(dir, g)
+            .map(_.fieldNames.mkString(", ")).getOrElse("(not recorded in log)"),
+          "constraints: " + (if (cons.isEmpty) "none"
+            else cons.toSeq.sorted.map { case (n, e) => s"$n CHECK ($e)" }
+              .mkString("; ")),
+          "retired columns: " + (if (dropped.isEmpty) "none"
+            else dropped.toSeq.sorted.mkString(", ")),
+          "bloom sidecars: " + (if (blooms.isEmpty) "none"
+            else blooms.toSeq.sorted.map { case (c, bg) => s"$c (covers g$bg)" }
+              .mkString(", ")),
+          "cdc consumers: " + (if (horizons.isEmpty) "none"
+            else horizons.toSeq.sorted.map { case (c, hg) => s"$c at g$hg" }
+              .mkString(", ")))
       case ("history", dir :: _) =>
         MergeTable.history(spark, dir).collect().toSeq.map { r =>
           val detail = r.getAs[Map[String, String]]("detail")

@@ -882,6 +882,15 @@ object MergeTable {
     }
   }
 
+  /** The columns carrying a committed Bloom sidecar, with the
+    * generation the newest segment covers (observability — the
+    * `table stats` console verb and capacity planning; files written
+    * after that generation are uncovered-admitted until the next
+    * maintenance fold or rebuild).
+    */
+  def bloomIndexedColumns(dir: String): Map[String, Int] =
+    bloomDirs(dir).groupBy(_._4).map { case (c, segs) => c -> segs.map(_._2).max }
+
   /** The pruning decision for `colName = value`, exposed for specs and
     * probes: (candidate paths, pruned-file count, total live files).
     * Candidates = sidecar hits ∪ files the sidecar doesn't cover

@@ -67,6 +67,9 @@ class CLISpec extends SparkSpecBase {
     assert(bi.head.contains("generation 1") && bi.head.contains("1024 bits"))
     assert(MergeTable.scanEqualsBloom(spark, dir, "tag", "t42")
       .select("k").as[Long].collect().toSeq == Seq(42L))
+    assert(GraftCLI.table(spark, "stats", List(dir))
+      .exists(_.contains("bloom sidecars: tag (covers g1)")),
+      "stats must surface the live sidecar")
 
     assert(GraftCLI.table(spark, "constraints", List(dir)).head
       .startsWith("no CHECK constraints"))
@@ -93,6 +96,17 @@ class CLISpec extends SparkSpecBase {
     // since the gen-1 recluster (the drop was metadata-only) → no-op
     val pr = GraftCLI.table(spark, "recluster", List(dir, "k", "k,g", "--partial"))
     assert(pr.head.contains("0 files rewritten"), pr)
+
+    // the one-screen stats read reflects everything attached
+    MergeTable.registerCdcHorizon(dir, "replica-z", 1)
+    val st = GraftCLI.table(spark, "stats", List(dir))
+    assert(st.exists(_.contains("at generation 2")), st.mkString("\n"))
+    assert(st.exists(_.contains("200 rows")), st.mkString("\n"))
+    assert(st.exists(_.contains("retired columns: tag")), st.mkString("\n"))
+    // drop-column swept the tag sidecar (its bytes are invisible now)
+    assert(st.exists(_.contains("bloom sidecars: none")), st.mkString("\n"))
+    assert(st.exists(_.contains("replica-z at g1")), st.mkString("\n"))
+    assert(MergeTable.releaseCdcHorizon(dir, "replica-z"))
   }
 
   test("table verbs: mv-create / mv-refresh run the persisted-spec view lifecycle") {
