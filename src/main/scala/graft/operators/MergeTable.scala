@@ -431,9 +431,14 @@ object MergeTable {
     * cluster commit in the history (or its manifest vacuumed) every
     * live file is degraded and this degenerates to [[recluster]]'s
     * full rewrite — correct, just not partial. The rewrite's z-values
-    * normalize over the DEGRADED rows' own bounds (per-file stats are
-    * computed from the written bytes as always, so admission
-    * correctness never depends on the lattice); the commit is tagged
+    * normalize over the GLOBAL manifest min/max bounds (a driver-side
+    * file-count-sized agg — see `globalBounds` below), so the folded
+    * files tile the TABLE's z space, not a lattice renormalized to
+    * the degraded subset; only when a cluster column's manifest stats
+    * are missing or non-castable does it fall back to the subset's
+    * own bounds, which costs selectivity, never correctness (per-file
+    * stats are computed from the written bytes as always, so
+    * admission never depends on the lattice). The commit is tagged
     * `op=cluster`, so the NEXT partial recluster treats this
     * generation as its baseline. Content is logically identical —
     * CDC across the commit nets to zero — and a no-op (nothing
@@ -457,19 +462,21 @@ object MergeTable {
     val man0 = manifestAt(s, dir, prevGen)
     val livePaths = man0.select("path").collect()
       .map(_.getString(0)).toIndexedSeq
-    // the baseline must be a cluster commit on the SAME columns
-    // (legacy pre-cluster_cols commits accepted): carrying files
-    // tiled in a DIFFERENT z-space as "still clustered" would report
-    // the layout repaired while the carried majority prunes nothing
-    // on the requested dimensions — a mismatched history instead
-    // degrades to the full rewrite (its dead-file manifest intersects
-    // no live path)
+    // the baseline must be a cluster commit on the SAME columns:
+    // carrying files tiled in a DIFFERENT z-space as "still
+    // clustered" would report the layout repaired while the carried
+    // majority prunes nothing on the requested dimensions — a
+    // mismatched history instead degrades to the full rewrite. A
+    // legacy cluster commit with NO cluster_cols tag is treated the
+    // same way (non-matching): its columns are unknown, and assuming
+    // they match ANY request is exactly the silent-selectivity-loss
+    // this check exists to prevent.
     val wanted = clusterCols.mkString(",")
     val baseline: Set[String] =
       (prevGen to 0 by -1).find { g =>
         val m = metaAt(dir, g)
         m.get("op").contains("cluster") &&
-          m.get("cluster_cols").forall(_ == wanted)
+          m.get("cluster_cols").contains(wanted)
       }.flatMap { g =>
         scala.util.Try(manifestAt(s, dir, g).select("path").collect()
           .map(_.getString(0)).toSet).toOption // vacuumed baseline: full rewrite
@@ -696,17 +703,25 @@ object MergeTable {
   // needle lookup touches the sidecar + a handful of files instead of
   // scheduling 100k scan tasks.
 
-  private def bloomDirOf(dir: String, colName: String, gen: Int, numHashes: Int) =
-    s"$dir/_bloom-g$gen~$numHashes~$colName"
+  /** Sidecar dir name: `_bloom-g<gen>~<k>b<numBits>~<col>`. numBits
+    * rides the name (like numHashes) so maintenance folds size FRESH
+    * sketches exactly as buildBloomIndex chose, even after the table
+    * emptied or mixed-size segments folded; legacy `~<k>~` names
+    * (pre-numBits) still parse with the size unknown.
+    */
+  private def bloomDirOf(dir: String, colName: String, gen: Int,
+                         numHashes: Int, numBits: Int) =
+    s"$dir/_bloom-g$gen~${numHashes}b$numBits~$colName"
 
   /** Every committed sidecar segment under `dir`:
-    * (dirName, gen, numHashes, colName). Staged `.tmp` dirs never
-    * parse (their column segment carries the token suffix). One
-    * listing, shared by [[newestBloomDir]], the rebuild sweep and
+    * (dirName, gen, numHashes, numBits, colName) — numBits None for a
+    * legacy pre-numBits name. Staged `.tmp` dirs never parse (their
+    * column segment carries the token suffix). One listing, shared by
+    * [[bloomFamilyDirs]], the rebuild sweep and
     * [[maintainBloomSidecars]] so the name scheme lives in exactly
     * one place.
     */
-  private def bloomDirs(dir: String): Seq[(String, Int, Int, String)] = {
+  private def bloomDirs(dir: String): Seq[(String, Int, Int, Option[Int], String)] = {
     val root = java.nio.file.Path.of(dir)
     if (!java.nio.file.Files.exists(root)) return Nil
     val ls = java.nio.file.Files.list(root)
@@ -715,23 +730,40 @@ object MergeTable {
     names.flatMap { n =>
       if (!n.startsWith("_bloom-g")) None
       else n.stripPrefix("_bloom-g").split("~", 3) match {
-        case Array(g, k, c) =>
-          for (gi <- g.toIntOption; ki <- k.toIntOption) yield (n, gi, ki, c)
+        case Array(g, kb, c) =>
+          val (kStr, bits) = kb.indexOf('b') match {
+            case -1 => (kb, None)
+            case i  => (kb.take(i), kb.drop(i + 1).toIntOption)
+          }
+          for (gi <- g.toIntOption; ki <- kStr.toIntOption)
+            yield (n, gi, ki, bits, c)
         case _ => None
       }
     }
   }
 
-  private def bloomDirsFor(dir: String, colName: String): Seq[(String, Int, Int)] =
-    bloomDirs(dir).collect { case (n, g, k, c) if c == colName => (n, g, k) }
+  // case-insensitive like Spark's own resolution (and the fold/probe
+  // sides' type lookups) — dropColumn's sweep of 'tag' must find a
+  // '_bloom-…~Tag' sidecar, and a probe on 'K' must find the segment
+  // built as 'k', or maintenance keeps folding retired bytes forever
+  private def bloomDirsFor(dir: String,
+                           colName: String): Seq[(String, Int, Int, Option[Int])] =
+    bloomDirs(dir).collect {
+      case (n, g, k, b, c) if c.equalsIgnoreCase(colName) => (n, g, k, b) }
 
-  /** Newest sidecar for `colName` at or below `maxGen`:
-    * (path, gen, numHashes).
+  /** Newest sidecar PER numHashes-family for `colName` at or below
+    * `maxGen`: (path, gen, numHashes). Normally one family; a crashed
+    * rebuild that changed `numHashes` leaves two, and BOTH are
+    * consulted by probes (each segment prunes its covered files
+    * soundly with its own k) — coverage is never silently dropped.
     */
-  private def newestBloomDir(dir: String, colName: String,
-                             maxGen: Int): Option[(String, Int, Int)] =
-    bloomDirsFor(dir, colName).filter(_._2 <= maxGen).sortBy(_._2).lastOption
-      .map { case (n, g, k) => (s"$dir/$n", g, k) }
+  private def bloomFamilyDirs(dir: String, colName: String,
+                              maxGen: Int): Seq[(String, Int, Int)] =
+    bloomDirsFor(dir, colName).filter(_._2 <= maxGen)
+      .groupBy(_._3).values.toSeq
+      .map(_.maxBy(_._2))
+      .map { case (n, g, k, _) => (s"$dir/$n", g, k) }
+      .sortBy(-_._2)
 
   /** XxHash64 of a probe value, computed with the SAME Catalyst
     * expression (and default seed) the build side's `xxhash64(col)`
@@ -773,7 +805,7 @@ object MergeTable {
       .groupBy("path")
       .agg(graft.functions.GraftFunctions.bloomAgg("__h", numBits, numHashes)
         .as("bloom"))
-    val out = bloomDirOf(dir, colName, gen, numHashes)
+    val out = bloomDirOf(dir, colName, gen, numHashes, numBits)
     val staged = out + ".tmp" + newToken()
     // NOT coalesced to one file: sketches are numBits/8 bytes each, so
     // a big table's sidecar is tens of MB — probes re-read it per
@@ -782,7 +814,7 @@ object MergeTable {
     idx.write.parquet(staged)
     // land the new sidecar FIRST, sweep superseded ones after — a
     // crash mid-build leaves the old index intact, a crash mid-sweep
-    // leaves both (newestBloomDir picks the higher generation). The
+    // leaves both (bloomFamilyDirs takes the higher generation per family). The
     // sweep is restricted to STRICTLY LOWER generations: a concurrent
     // builder that already landed a fresher index (higher gen) must
     // not lose it to this builder's cleanup. Two torn windows remain,
@@ -818,9 +850,15 @@ object MergeTable {
     * Runs AFTER the commit-log link has landed, so a failure here can
     * never un-commit data — it degrades to a stale (sound,
     * admit-uncovered) sidecar, is logged loudly, and
-    * [[buildBloomIndex]] is the recovery. numHashes rides the newest
-    * segment's dir name; numBits rides each sketch's own byte length
-    * (per-row, so segments built at different sizes still fold).
+    * [[buildBloomIndex]] is the recovery. numHashes AND numBits ride
+    * the newest segment's dir name, so fresh sketches are sized
+    * exactly as the build chose; existing entries carry their own
+    * byte length per-row, so segments built at different sizes still
+    * fold (a legacy pre-numBits name sizes fresh sketches by the
+    * LARGEST sketch in the fold frame). A segment with a DIFFERENT
+    * numHashes (crashed rebuild that changed k) is left alive, not
+    * swept — probes consult every k-family, so its coverage keeps
+    * pruning instead of silently decaying to admit-all.
     * Crash-safety: a crash before the move leaves the old sidecar
     * intact; a crash mid-sweep leaves both generations (probes read
     * the newest).
@@ -832,40 +870,57 @@ object MergeTable {
     val liveDf = manifestAt(s, dir, newGen).select("path")
     val stagedDf =
       if (hasParquetFiles(staging)) Some(s.read.parquet(staging)) else None
-    segs.map(_._4).distinct.foreach { c =>
+    segs.map(_._5).distinct.foreach { c =>
       try {
-        val colSegs = segs.collect { case (n, g, k, `c`) => (n, g, k) }
-        val (_, newestGen, k) = colSegs.maxBy(_._2)
+        val colSegs = segs.collect { case (n, g, k, b, `c`) => (n, g, k, b) }
+        // deterministic on a same-generation tie (crashed k-change
+        // rebuild): highest k wins, so repeated folds pick ONE family
+        val (_, newestGen, k, recordedBits) = colSegs.maxBy(t => (t._2, t._3))
         if (newestGen < newGen) {
-          val foldPaths = colSegs.filter(_._3 == k).map(t => s"$dir/${t._1}")
+          // the fold family is the newest segment's numHashes — a
+          // DIFFERENT-k segment (crashed rebuild that changed k) can't
+          // fold in (admission probes with one k per segment), so it is
+          // LEFT ALIVE, not swept: it still prunes its covered files
+          // soundly, and bloomCandidatePathsIn consults every family
+          val family = colSegs.filter(_._3 == k)
+          val foldPaths = family.map(t => s"$dir/${t._1}")
           val foldDf = s.read.parquet(foldPaths: _*)
           val old = foldDf.join(broadcast(liveDf), Seq("path"), "left_semi")
+          // fresh-sketch numBits: the size buildBloomIndex recorded in
+          // the newest segment's name; a legacy pre-numBits name falls
+          // back to the LARGEST sketch in the fold frame (bits = 8 ×
+          // bytes — max, not an arbitrary first row, so mixed-size
+          // segments never undersize new files), and only an empty
+          // legacy segment (fully-deleted table) uses the build default
+          lazy val resolvedBits: Int = recordedBits.getOrElse {
+            val r = foldDf.agg(max(length(col("bloom")))).head()
+            if (r.isNullAt(0)) 1 << 17 else r.getInt(0) * 8
+          }
           // case-insensitive like Spark's own resolution (and like the
           // probe side's type lookup) — a sidecar on 'Tag' must still
           // fold when the staged schema spells it 'tag'
           val fresh = stagedDf.filter(_.columns.exists(_.equalsIgnoreCase(c))).map { df =>
-            // numBits from an existing sketch (bits = 8 × bytes; read
-            // off the already-opened fold frame — a dead file's row is
-            // fine, only the byte length matters); an empty segment
-            // (fully-deleted table) falls back to the build default
-            val numBits = foldDf.select("bloom")
-              .limit(1).collect().headOption
-              .map(_.getAs[Array[Byte]](0).length * 8).getOrElse(1 << 17)
             df.select(input_file_name().as("path"),
                 xxhash64(col(c)).as("__h"))
               .groupBy("path")
-              .agg(graft.functions.GraftFunctions.bloomAgg("__h", numBits, k)
+              .agg(graft.functions.GraftFunctions.bloomAgg("__h", resolvedBits, k)
                 .as("bloom"))
           }
           val folded = fresh.fold(old)(f => old.unionByName(f))
-          val out = bloomDirOf(dir, c, newGen, k)
+          val out = bloomDirOf(dir, c, newGen, k, resolvedBits)
           val stagedOut = out + ".tmp" + newToken()
           folded.write.parquet(stagedOut)
           java.nio.file.Files.move(java.nio.file.Path.of(stagedOut),
             java.nio.file.Path.of(out),
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          colSegs.filter(_._2 < newGen).map(_._1)
+          family.filter(_._2 < newGen).map(_._1)
             .foreach(n => graft.IndexLifecycle.deleteRecursively(s"$dir/$n"))
+          val alien = colSegs.filterNot(s => s._3 == k)
+          if (alien.nonEmpty) System.err.println(
+            s"[graft] bloom maintenance for $dir.$c at g$newGen: " +
+              s"${alien.size} segment(s) with numHashes != $k left alive " +
+              s"(${alien.map(_._1).mkString(", ")}) — still consulted by " +
+              "probes; a full buildBloomIndex supersedes them")
         }
       } catch {
         // the DML committed; a NON-FATAL maintenance failure must not
@@ -889,7 +944,7 @@ object MergeTable {
     * maintenance fold or rebuild).
     */
   def bloomIndexedColumns(dir: String): Map[String, Int] =
-    bloomDirs(dir).groupBy(_._4).map { case (c, segs) => c -> segs.map(_._2).max }
+    bloomDirs(dir).groupBy(_._5).map { case (c, segs) => c -> segs.map(_._2).max }
 
   /** The pruning decision for `colName = value`, exposed for specs and
     * probes: (candidate paths, pruned-file count, total live files).
@@ -917,23 +972,30 @@ object MergeTable {
       sys.error(s"$dir is not a committed keyed table (no commit log)"))
     val live = manifestAt(s, dir, gen).select("path").collect()
       .map(_.getString(0)).toIndexedSeq
-    newestBloomDir(dir, colName, gen) match {
-      case None => (live, 0, live.size)
-      case Some((idxDir, _, k)) =>
-        // case-insensitive like Spark's own resolution — a probe on
-        // 'K' against schema field 'k' must still find the type
-        val colType = schemaAt(dir, gen)
-          .flatMap(_.fields.find(_.name.equalsIgnoreCase(colName)))
-          .map(_.dataType)
-        val tz = s.sessionState.conf.sessionLocalTimeZone
+    // normally ONE segment; after a crashed rebuild that changed
+    // numHashes, the newest segment per k-family — each is sound for
+    // the files it covers, so a file is pruned when ANY covering
+    // segment misses (intersection of admissions), and coverage from
+    // the pre-crash family keeps pruning instead of being discarded
+    val families = bloomFamilyDirs(dir, colName, gen)
+    if (families.isEmpty) (live, 0, live.size)
+    else {
+      // case-insensitive like Spark's own resolution — a probe on
+      // 'K' against schema field 'k' must still find the type
+      val colType = schemaAt(dir, gen)
+        .flatMap(_.fields.find(_.name.equalsIgnoreCase(colName)))
+        .map(_.dataType)
+      val tz = s.sessionState.conf.sessionLocalTimeZone
+      val admitMaps = families.map { case (idxDir, _, k) =>
         val anyHit = values.map(v =>
           graft.functions.GraftFunctions.bloomColMightContain(
             "bloom", bloomProbeHash(v, colType, tz), k)).reduce(_ || _)
-        val admits = s.read.parquet(idxDir)
+        s.read.parquet(idxDir)
           .select(col("path"), anyHit.as("hit"))
           .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
-        val cands = live.filter(p => admits.getOrElse(p, true))
-        (cands, live.size - cands.size, live.size)
+      }
+      val cands = live.filter(p => admitMaps.forall(_.getOrElse(p, true)))
+      (cands, live.size - cands.size, live.size)
     }
   }
 
@@ -1350,13 +1412,15 @@ object MergeTable {
     writeConstraintsFile(dstDir, checkConstraints(srcDir))
     // bloom sidecars ride too: their rows are keyed by ABSOLUTE file
     // path and the clone's gen-0 manifest references exactly the
-    // source's files, so the newest segment per column is valid for
-    // the clone verbatim — copied (sidecar-sized, not data-sized)
-    // under the clone's generation-0 name so its probes prune from
-    // the first read instead of starting uncovered
-    bloomDirs(srcDir).groupBy(_._4).values
-      .map(_.maxBy(_._2)).foreach { case (n, _, k, c) =>
-        val dst = bloomDirOf(dstDir, c, 0, k)
+    // source's files, so the newest segment per column (per k-family —
+    // a surviving different-numHashes segment's coverage rides along)
+    // is valid for the clone verbatim — copied (sidecar-sized, not
+    // data-sized) under the clone's generation-0 name so its probes
+    // prune from the first read instead of starting uncovered
+    bloomDirs(srcDir).groupBy(t => (t._5, t._3)).values
+      .map(_.maxBy(_._2)).foreach { case (n, _, _, _, _) =>
+        // keep the name's k/numBits segment verbatim (legacy names too)
+        val dst = s"$dstDir/" + n.replaceFirst("^_bloom-g\\d+", "_bloom-g0")
         try org.apache.commons.io.FileUtils.copyDirectory(
           new java.io.File(s"$srcDir/$n"), new java.io.File(dst))
         catch { case e: java.io.IOException => System.err.println(

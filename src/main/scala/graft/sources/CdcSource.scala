@@ -91,7 +91,16 @@ final class CdcSourceProvider extends StreamSourceProvider with DataSourceRegist
     // refusal is honest conservatism, not slack). Decommissioning is
     // MergeTable.releaseCdcHorizon / `table cdc-release`.
     val consumer = CdcSource.consumerId(metadataPath)
-    CdcSource.registerFloor(dir, consumer, math.max(0, startGen))
+    // snapshot mode (-1) can never replay below the generation current
+    // at attach time (a pre-checkpoint restart re-snapshots at the
+    // THEN-current generation), and `latest` resolved to `cur` above —
+    // registering 0 for either would block vacuum on an idle table for
+    // generations no replay can ever need. Only an explicit delta
+    // baseline registers below `cur` (its replay genuinely starts
+    // there); registerFloor keeps a restart from regressing a horizon
+    // getBatch/commit already advanced.
+    CdcSource.registerFloor(dir, consumer,
+      if (startGen < 0) cur else startGen)
     new CdcSource(ctx, dir, keyCol, startGen, preImages, consumer)
   }
 }

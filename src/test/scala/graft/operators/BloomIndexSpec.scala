@@ -82,7 +82,7 @@ class BloomIndexSpec extends SparkSpecBase {
       MergeTable.merge(spark, dir, batch.toDF("k", "op", "tag", "bal"), "k")
       // fold invariant: exactly ONE sidecar dir, named for the
       // committing generation — no rebuild ran, maintenance did this
-      assert(bloomDirNames(dir) == Seq(s"_bloom-g$round~7~tag"),
+      assert(bloomDirNames(dir) == Seq(s"_bloom-g$round~7b131072~tag"),
         s"round $round: ${bloomDirNames(dir)}")
       // a tag that exists ONLY in this round's new files still prunes
       // to ~1 candidate: without the fold those files would be
@@ -109,19 +109,19 @@ class BloomIndexSpec extends SparkSpecBase {
     // banded delete: interior files drop metadata-only, boundary files
     // rewrite; the fold prunes dead paths and covers the rewrites
     MergeTable.deleteWhere(spark, dir, "k", "k", Some(1L), Some(150L))
-    assert(bloomDirNames(dir) == Seq("_bloom-g1~7~tag"))
+    assert(bloomDirNames(dir) == Seq("_bloom-g1~7b131072~tag"))
     assert(MergeTable.scanEqualsBloom(spark, dir, "tag", tagOf(100L)).count() == 0)
     assert(MergeTable.scanEqualsBloom(spark, dir, "tag", tagOf(400L))
       .select("k").as[Long].collect().toSeq == Seq(400L))
     // compact folds every small file; the sidecar follows
     MergeTable.compact(spark, dir, "k", targetRows = 1000L)
-    assert(bloomDirNames(dir) == Seq("_bloom-g2~7~tag"))
+    assert(bloomDirNames(dir) == Seq("_bloom-g2~7b131072~tag"))
     assert(MergeTable.scanEqualsBloom(spark, dir, "tag", tagOf(400L))
       .select("k").as[Long].collect().toSeq == Seq(400L))
     // recluster rewrites everything; sketches rebuild from the staged
     // files inside the same maintenance hook
     MergeTable.recluster(spark, dir, "k", Seq("k", "bal"), nFiles = 8)
-    assert(bloomDirNames(dir) == Seq("_bloom-g3~7~tag"))
+    assert(bloomDirNames(dir) == Seq("_bloom-g3~7b131072~tag"))
     val (cands, _, total) = MergeTable.bloomCandidatePaths(spark, dir, "tag", tagOf(400L))
     assert(total == 8 && cands.size <= 2, s"$cands of $total")
     assert(MergeTable.scanEqualsBloom(spark, dir, "tag", tagOf(400L))
@@ -150,10 +150,10 @@ class BloomIndexSpec extends SparkSpecBase {
       .select("k").as[Long].collect().toSeq == Seq(10L))
     val (cc, _, _) = MergeTable.bloomCandidatePaths(spark, clone, "tag", "c-tag")
     assert(cc.size <= 2, s"clone-side fold missing: $cc")
-    assert(bloomDirNames(clone) == Seq("_bloom-g1~7~tag"))
+    assert(bloomDirNames(clone) == Seq("_bloom-g1~7b131072~tag"))
     // source untouched: no c-tag row, its sidecar still the original
     assert(MergeTable.scanEqualsBloom(spark, dir, "tag", "c-tag").count() == 0)
-    assert(bloomDirNames(dir) == Seq("_bloom-g0~7~tag"))
+    assert(bloomDirNames(dir) == Seq("_bloom-g0~7b131072~tag"))
   }
 
   test("crashed maintenance stays sound: uncovered new files are admitted, results exact") {
@@ -226,6 +226,83 @@ class BloomIndexSpec extends SparkSpecBase {
           s"round $round: departed tag $t still resolves")
       }
     }
+  }
+
+  test("custom numBits rides the dir name and sizes every maintained fresh sketch") {
+    val dir = tmpDir("bloombits")
+    MergeTable.write(spark, table(400), "k", dir, nFiles = 8)
+    MergeTable.buildBloomIndex(spark, dir, "tag", numBits = 1 << 14)
+    assert(bloomDirNames(dir) == Seq("_bloom-g0~7b16384~tag"))
+    MergeTable.merge(spark, dir,
+      Seq((50L, "U", "fresh-tag", 0.5)).toDF("k", "op", "tag", "bal"), "k")
+    // the fold's FRESH sketches are sized by the recorded numBits, not
+    // the build default — every row (carried and fresh) is 2048 bytes
+    assert(bloomDirNames(dir) == Seq("_bloom-g1~7b16384~tag"))
+    val lens = spark.read.parquet(s"$dir/_bloom-g1~7b16384~tag")
+      .agg(min(length(col("bloom"))), max(length(col("bloom")))).head()
+    assert(lens.getInt(0) == 2048 && lens.getInt(1) == 2048, lens.toString)
+    assert(MergeTable.scanEqualsBloom(spark, dir, "tag", "fresh-tag")
+      .select("k").as[Long].collect().toSeq == Seq(50L))
+  }
+
+  test("legacy pre-numBits sidecar names fold by the largest sketch, not an arbitrary row") {
+    val dir = tmpDir("bloomlegacy")
+    MergeTable.write(spark, table(400), "k", dir, nFiles = 8)
+    MergeTable.buildBloomIndex(spark, dir, "tag", numBits = 1 << 14)
+    // simulate a pre-upgrade sidecar: strip the numBits segment
+    java.nio.file.Files.move(
+      java.nio.file.Path.of(dir, "_bloom-g0~7b16384~tag"),
+      java.nio.file.Path.of(dir, "_bloom-g0~7~tag"))
+    MergeTable.merge(spark, dir,
+      Seq((50L, "U", "fresh-tag", 0.5)).toDF("k", "op", "tag", "bal"), "k")
+    // resolved bits = max sketch length in the fold frame × 8 = 16384,
+    // recorded into the folded name; fresh files never undersized
+    assert(bloomDirNames(dir) == Seq("_bloom-g1~7b16384~tag"))
+    val lens = spark.read.parquet(s"$dir/_bloom-g1~7b16384~tag")
+      .agg(min(length(col("bloom"))), max(length(col("bloom")))).head()
+    assert(lens.getInt(0) == 2048 && lens.getInt(1) == 2048, lens.toString)
+    assert(MergeTable.scanEqualsBloom(spark, dir, "tag", "fresh-tag")
+      .select("k").as[Long].collect().toSeq == Seq(50L))
+    assert(MergeTable.scanEqualsBloom(spark, dir, "tag", tagOf(333L))
+      .select("k").as[Long].collect().toSeq == Seq(333L))
+  }
+
+  test("a different-numHashes segment survives the fold and keeps pruning its files") {
+    val dir = tmpDir("bloomkmix")
+    MergeTable.write(spark, table(800), "k", dir, nFiles = 8)
+    MergeTable.buildBloomIndex(spark, dir, "tag", numHashes = 7)
+    MergeTable.merge(spark, dir,
+      Seq((50L, "U", "mid-tag", 0.5)).toDF("k", "op", "tag", "bal"), "k")
+    // a same-generation rebuild with a DIFFERENT numHashes lands beside
+    // the k=7 segment (documented torn window of a crashed k-change)
+    MergeTable.buildBloomIndex(spark, dir, "tag", numHashes = 5)
+    assert(bloomDirNames(dir).toSet ==
+      Set("_bloom-g1~7b131072~tag", "_bloom-g1~5b131072~tag"))
+    // the next DML folds ONE family (highest k on the tie) and leaves
+    // the other ALIVE — its coverage is not silently discarded
+    MergeTable.merge(spark, dir,
+      Seq((60L, "U", "late-tag", 0.6)).toDF("k", "op", "tag", "bal"), "k")
+    assert(bloomDirNames(dir).toSet ==
+      Set("_bloom-g2~7b131072~tag", "_bloom-g1~5b131072~tag"),
+      bloomDirNames(dir).toString)
+    // probes consult EVERY family: exact results for carried, folded
+    // and pre-fold tags, and pruning still beats admit-all
+    Seq(50L -> "mid-tag", 60L -> "late-tag").foreach { case (k, t) =>
+      assert(MergeTable.scanEqualsBloom(spark, dir, "tag", t)
+        .select("k").as[Long].collect().toSeq == Seq(k), t)
+    }
+    assert(MergeTable.scanEqualsBloom(spark, dir, "tag", tagOf(700L))
+      .select("k").as[Long].collect().toSeq == Seq(700L))
+    val (cands, pruned, total) =
+      MergeTable.bloomCandidatePaths(spark, dir, "tag", tagOf(700L))
+    assert(total == 8 && pruned >= 5, s"pruning decayed: $cands of $total")
+    // a HIGHER-generation full rebuild supersedes every family
+    // (coverage now complete; a SAME-generation rebuild leaves a
+    // different-k sibling — the documented concurrent-builder window)
+    MergeTable.merge(spark, dir,
+      Seq((70L, "U", "last-tag", 0.7)).toDF("k", "op", "tag", "bal"), "k")
+    MergeTable.buildBloomIndex(spark, dir, "tag")
+    assert(bloomDirNames(dir) == Seq("_bloom-g3~7b131072~tag"))
   }
 
   test("rebuild supersedes the old sidecar and restores full pruning") {
