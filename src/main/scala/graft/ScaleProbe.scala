@@ -33,6 +33,10 @@ import org.apache.spark.sql.functions._
   *                              fold at merge commits vs the full
   *                              rebuild it avoids; candidates must
   *                              stay ~1/64 across a merge diet
+  *   ScaleProbe ckpt [commits] — commit-log checkpoint rollups:
+  *                              committedGen/reflectedGen flat across
+  *                              a 100x generation-count jump vs the
+  *                              O(commits) listing/walk contrast
   *
   * Results are recorded in PLANS.md's scale-probe tables; re-run any
   * time with `tools/run.sh graft.ScaleProbe <probe> [rows]`.
@@ -1139,8 +1143,84 @@ object ScaleProbe {
         require(pLarge / pSmall < fLarge / fSmall,
           "partial recluster should scale with the degradation, full with the table")
 
+      case "ckpt" =>
+        // Commit-log METADATA resolution must be FLAT in generation
+        // count under checkpoint rollups: committedGen + committedMeta
+        // + reflectedGen at 10^4 commits ~ their cost at 10^2 (pointer
+        // + tail ≤ interval), where the un-checkpointed paths (listing
+        // for committedGen, full backward walk for the view watermark)
+        // pay O(commits). history stays O(N) by design — full lineage
+        // — and the table's ROWS must be identical at every size.
+        // Probe honesty: the claim is the SCALING RATIO between the
+        // two sizes, not absolute wall wins (tiny metadata files are
+        // page-cache-warm here).
+        val commits = if (args.length > 1) rows.toInt else 10000
+        val small = math.max(commits / 100, 32)
+        val store = java.nio.file.Files.createTempDirectory("probe-ck-src").toString
+        val mv = java.nio.file.Files.createTempDirectory("probe-ck").toString + "/v"
+        operators.MergeTable.write(spark,
+          spark.range(1000).select(col("id").as("k"),
+            pmod(col("id"), lit(4)).cast("string").as("seg"),
+            (col("id") * 15 / 10.0).as("bal")),
+          "k", store, nFiles = 4)
+        operators.IncrementalView.materialize(spark, store, "k", mv,
+          operators.IncrementalView.ViewSpec(Seq("seg"),
+            Seq("cents" -> "cast(round(bal * 100) as decimal(38,0))")))
+        def resolveMs(reps: Int): Double = {
+          val t0 = System.nanoTime()
+          (1 to reps).foreach { _ =>
+            require(operators.MergeTable.committedGen(mv).nonEmpty)
+            require(operators.MergeTable.committedMeta(mv).contains("token"))
+            require(operators.IncrementalView.reflectedGen(mv) == 0)
+          }
+          (System.nanoTime() - t0) / 1e6 / reps
+        }
+        def walkMs(reps: Int): Double = { // the un-checkpointed contrast
+          val ptr = java.nio.file.Path.of(mv, "_last_checkpoint")
+          val saved = java.nio.file.Files.readAllBytes(ptr)
+          java.nio.file.Files.delete(ptr)
+          try resolveMs(reps)
+          finally { java.nio.file.Files.write(ptr, saved); () }
+        }
+        def mintTo(target: Int): Double = {
+          val cur = operators.MergeTable.committedGen(mv).get
+          val t0 = System.nanoTime()
+          (cur + 1 to target).foreach(_ =>
+            operators.MergeTable.commitCarryForward(mv, Map("op" -> "carry")))
+          (System.nanoTime() - t0) / 1e9
+        }
+        val rowsAt0 = operators.MergeTable.readTable(spark, mv).count()
+        val mintS1 = mintTo(small)
+        resolveMs(50) // warm
+        val msSmall = resolveMs(200)
+        val walkSmall = walkMs(50)
+        val mintS2 = mintTo(commits)
+        val msBig = resolveMs(200)
+        val walkBig = walkMs(10)
+        println(f"mint: $small commits in $mintS1%.1f s, ${commits - small} more in $mintS2%.1f s " +
+          f"(${(commits - small) / mintS2}%.0f commits/s, checkpointed path inside each mint)")
+        println(f"resolution (committedGen+committedMeta+reflectedGen): " +
+          f"$msSmall%.3f ms @ $small commits -> $msBig%.3f ms @ $commits commits " +
+          f"(${msBig / msSmall}%.2fx across ${commits / small}x)")
+        println(f"un-checkpointed contrast (listing + full walk): " +
+          f"$walkSmall%.2f ms @ $small -> $walkBig%.2f ms @ $commits " +
+          f"(${walkBig / walkSmall}%.2fx)")
+        // correctness at depth: rows identical, lineage complete
+        require(operators.MergeTable.readTable(spark, mv).count() == rowsAt0,
+          "carry commits changed the table")
+        require(operators.MergeTable.history(spark, mv).count() == commits + 1,
+          "lineage lost commits")
+        require(operators.MergeTable.committedGen(mv).contains(commits))
+        // the flat claim: ≤4x drift across a 100x commit-count jump
+        // (IO jitter slack), while the walk path grows ~linearly
+        require(msBig / msSmall < 4.0,
+          f"checkpointed resolution not flat: $msSmall%.3f -> $msBig%.3f ms")
+        require(walkBig / walkSmall > (commits / small) / 4.0,
+          f"contrast suspicious: the walk path should scale with commits " +
+            f"($walkSmall%.2f -> $walkBig%.2f ms)")
+
       case other =>
-        System.err.println(s"unknown probe '$other'; use topn | cumsum | incr | hh | bloom | skew | tri | pr | bitmap64 | annappend | build | tx17vocab | merge | drift | dd13sig | ivfcompact | ivm | bloomidx | bloommaint | partialz")
+        System.err.println(s"unknown probe '$other'; use topn | cumsum | incr | hh | bloom | skew | tri | pr | bitmap64 | annappend | build | tx17vocab | merge | drift | dd13sig | ivfcompact | ivm | bloomidx | bloommaint | partialz | ckpt")
         sys.exit(2)
     }
     spark.stop()

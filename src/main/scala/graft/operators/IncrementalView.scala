@@ -237,14 +237,23 @@ object IncrementalView {
   /** Newest commit on the store that carries the view watermark — a
     * maintenance commit (compact/recluster on the store itself) has
     * its own meta, so the scan walks back through the commit log
-    * (driver-sized: one tiny log-entry read per generation, and the
-    * log survives vacuum) instead of trusting only the latest entry.
+    * instead of trusting only the latest entry. The walk is BOUNDED
+    * by the newest commit-log checkpoint: its rollup records the
+    * newest watermark meta at or below it, so resolution reads the
+    * short tail plus one checkpoint — flat in generation count, where
+    * the unbounded walk paid one tiny log read per maintenance commit
+    * (a streaming sink mints one per micro-batch). With no checkpoint
+    * (young table, or every rollup write failed) the walk reaches
+    * gen 0 as before.
     */
   private def srcMetaMap(mvDir: String): Map[String, String] = {
     val cur = MergeTable.committedGen(mvDir).getOrElse(
       sys.error(s"$mvDir is not a committed keyed table (no commit log)"))
-    (cur to 0 by -1).iterator.map(g => MergeTable.metaAt(mvDir, g))
+    val ckpt = MergeTable.lastCheckpointGen(mvDir)
+    val floor = ckpt.map(_ + 1).getOrElse(0)
+    (cur to floor by -1).iterator.map(g => MergeTable.metaAt(mvDir, g))
       .collectFirst { case m if m.contains("mv_src_gen") => m }
+      .orElse(ckpt.flatMap(g => MergeTable.checkpointMvMeta(mvDir, g)))
       .getOrElse(sys.error(
         s"$mvDir is not a materialized view (no mv_src_gen in any commit meta)"))
   }

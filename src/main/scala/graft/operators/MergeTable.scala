@@ -52,20 +52,31 @@ object MergeTable {
   private def markerOf(dir: String, gen: Int) =
     java.nio.file.Path.of(dir, s"_commit-g$gen")
 
-  /** The newest committed generation: max N over the `_commit-g<N>`
-    * log entries (None for a dir that is not a committed table).
+  /** The newest committed generation. Fast path: the `_last_checkpoint`
+    * pointer names a rolled-up generation, and generations are DENSE
+    * (every commit is prev+1), so probing `_commit-g<N+1>, <N+2>, …`
+    * until the first miss resolves the head in O(tail) stat calls —
+    * flat in total commit count, where the listing fallback (no or
+    * corrupt checkpoint) pays O(commits) directory entries. A STALE
+    * pointer (crashed checkpoint writer, lost pointer race) only
+    * lengthens the probe, never changes the answer.
     */
   def committedGen(dir: String): Option[Int] = {
     val p = java.nio.file.Path.of(dir)
     if (!java.nio.file.Files.exists(p)) None
-    else {
-      val ls = java.nio.file.Files.list(p)
-      val gens = try ls.iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(_.matches("_commit-g\\d+"))
-        .map(_.stripPrefix("_commit-g").toInt).toSeq
-      finally ls.close()
-      if (gens.isEmpty) None else Some(gens.max)
+    else lastCheckpointGen(dir) match {
+      case Some(ck) =>
+        var g = ck
+        while (java.nio.file.Files.exists(markerOf(dir, g + 1))) g += 1
+        Some(g)
+      case None =>
+        val ls = java.nio.file.Files.list(p)
+        val gens = try ls.iterator().asScala
+          .map(_.getFileName.toString)
+          .filter(_.matches("_commit-g\\d+"))
+          .map(_.stripPrefix("_commit-g").toInt).toSeq
+        finally ls.close()
+        if (gens.isEmpty) None else Some(gens.max)
     }
   }
 
@@ -84,6 +95,116 @@ object MergeTable {
 
   def committedMeta(dir: String): Map[String, String] =
     committedGen(dir).map(metaAt(dir, _)).getOrElse(Map.empty)
+
+  // ---- commit-log checkpointing ----
+  //
+  // Every metadata resolution above is a directory listing plus tiny
+  // per-generation reads — correct, but O(commits), and a streaming
+  // upsert sink mints a commit per micro-batch: at 10^5–10^6
+  // generations the driver would pay seconds per committedGen /
+  // reflectedGen where Delta pays one checkpoint read. Delta's exact
+  // fix at this layer: every [[checkpointInterval]] commits, the
+  // committing writer rolls the log up into `_checkpoint-g<N>`
+  // (generation, its commit meta, the newest view-watermark meta at
+  // or below it, a CDC-horizon snapshot) and points
+  // `_last_checkpoint` at it; readers resolve from the pointer plus
+  // the SHORT tail of newer `_commit-g*` markers, never the whole
+  // log. The rollup itself is O(interval): the writer folds the tail
+  // since the PREVIOUS checkpoint into that checkpoint's rollup.
+  //
+  // Failure isolation: checkpoints are best-effort observers of a
+  // commit that has already linked — a checkpoint/pointer write
+  // failure logs loudly and costs resolution speed only (committedGen
+  // falls back to the listing; the view-watermark walk goes deeper).
+  // The pointer is advanced forward-only (a delayed writer of an
+  // OLDER checkpoint skips rather than regresses; the remaining
+  // read-then-move window can at worst re-point at the older rollup,
+  // which lengthens the tail probe, never changes an answer). The
+  // `_commit-g*` log stays the single source of truth, still survives
+  // vacuum, and [[history]] still reads it entry by entry.
+
+  private[graft] val checkpointInterval = 16
+
+  private def checkpointFileOf(dir: String, gen: Int) =
+    java.nio.file.Path.of(dir, s"_checkpoint-g$gen")
+  private def lastCheckpointPtr(dir: String) =
+    java.nio.file.Path.of(dir, "_last_checkpoint")
+
+  /** The generation the `_last_checkpoint` pointer names, validated
+    * against both the checkpoint file and the commit log (a corrupt
+    * or dangling pointer yields None → readers use the listing path).
+    */
+  private[graft] def lastCheckpointGen(dir: String): Option[Int] = {
+    val ptr = lastCheckpointPtr(dir)
+    if (!java.nio.file.Files.exists(ptr)) None
+    else scala.util.Try(new String(java.nio.file.Files.readAllBytes(ptr),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt).toOption
+      .filter(g => g >= 0 &&
+        java.nio.file.Files.exists(checkpointFileOf(dir, g)) &&
+        java.nio.file.Files.exists(markerOf(dir, g)))
+  }
+
+  /** One checkpoint's `k=v` lines: `gen`, `meta.<k>` (the generation's
+    * own commit meta), optional `mv.<k>` (newest view-watermark meta
+    * at or below the checkpoint) and `horizon.<consumer>` snapshot.
+    */
+  private[graft] def checkpointAt(dir: String, gen: Int): Map[String, String] = {
+    val f = checkpointFileOf(dir, gen)
+    if (!java.nio.file.Files.exists(f)) Map.empty
+    else new String(java.nio.file.Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .linesIterator.filter(_.contains('='))
+      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
+  }
+
+  /** The view-watermark rollup a checkpoint carries: the newest commit
+    * meta at or below it containing `mv_src_gen` (None when the table
+    * had no view watermark anywhere in gens 0..checkpoint).
+    */
+  private[graft] def checkpointMvMeta(dir: String, gen: Int): Option[Map[String, String]] = {
+    val mv = checkpointAt(dir, gen).collect {
+      case (k, v) if k.startsWith("mv.") => k.stripPrefix("mv.") -> v }
+    if (mv.isEmpty) None else Some(mv)
+  }
+
+  /** Roll the log up at `gen` (a multiple of [[checkpointInterval]])
+    * and advance the pointer. Called by the winner of `gen` AFTER the
+    * commit link landed; any failure is the caller's to log — the
+    * commit itself is durable either way.
+    */
+  private def writeCheckpoint(dir: String, gen: Int): Unit = {
+    // previous checkpoint: descending multiples of the interval (a
+    // failed writer may have skipped one — probe further back)
+    val prevCkpt = Iterator.from(1).map(i => gen - i * checkpointInterval)
+      .takeWhile(_ > 0)
+      .find(g => java.nio.file.Files.exists(checkpointFileOf(dir, g)))
+    val mvMeta: Option[Map[String, String]] =
+      (gen to (prevCkpt.getOrElse(0) + 1) by -1).iterator
+        .map(g => metaAt(dir, g))
+        .collectFirst { case m if m.contains("mv_src_gen") => m }
+        .orElse(prevCkpt.flatMap(g => checkpointMvMeta(dir, g)))
+        .orElse( // no prev checkpoint: gen 0 is the only gen left
+          if (prevCkpt.isEmpty && metaAt(dir, 0).contains("mv_src_gen"))
+            Some(metaAt(dir, 0)) else None)
+    val body = (Seq("gen" -> gen.toString) ++
+      metaAt(dir, gen).toSeq.sorted.map { case (k, v) => s"meta.$k" -> v } ++
+      mvMeta.toSeq.flatMap(_.toSeq.sorted.map { case (k, v) => s"mv.$k" -> v }) ++
+      cdcHorizons(dir).toSeq.sorted.map { case (c, g) => s"horizon.$c" -> g.toString })
+      .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
+    val tmp = java.nio.file.Path.of(dir, s"_checkpoint.tmp-${newToken()}")
+    java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, checkpointFileOf(dir, gen),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // forward-only pointer advance (see the section comment)
+    if (!lastCheckpointGen(dir).exists(_ >= gen)) {
+      val ptmp = java.nio.file.Path.of(dir, s"_last_checkpoint.tmp-${newToken()}")
+      java.nio.file.Files.write(ptmp, s"$gen\n".getBytes("UTF-8"))
+      java.nio.file.Files.move(ptmp, lastCheckpointPtr(dir),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
 
   /** The table schema recorded in a generation's commit-log entry
     * (Delta keeps schema in the log for the same reason): readers get
@@ -141,6 +262,17 @@ object MergeTable {
             "recompute from the new committed base and retry")
     } finally {
       java.nio.file.Files.deleteIfExists(tmp); ()
+    }
+    // the commit is durable; the rollup is an observer of it (see the
+    // checkpointing section) — a failure here costs resolution speed,
+    // never correctness, so it must not make the commit look failed
+    if (gen > 0 && gen % checkpointInterval == 0) {
+      try writeCheckpoint(dir, gen)
+      catch {
+        case scala.util.control.NonFatal(e) => System.err.println(
+          s"[graft] commit-log checkpoint at $dir g$gen failed " +
+            s"(resolution falls back to the listing path): $e")
+      }
     }
   }
 
@@ -238,6 +370,40 @@ object MergeTable {
       try s.anyMatch(f => f.getFileName.toString.endsWith(".parquet"))
       finally s.close()
     }
+  }
+
+  /** Metadata-only commit: carry the current manifest forward
+    * UNCHANGED (per-file hard links — the manifest is file-count-
+    * sized, the data is untouched) under a fresh generation whose
+    * commit meta is `meta`. The no-op maintenance-commit shape — a
+    * governance stamp, an empty micro-batch — and the ckpt scale
+    * probe's generator: it exercises the real [[commitGen]] path
+    * (OCC link, checkpoint rollups) at metadata-only cost. Hard
+    * links assume a POSIX-ish store (an object-store port would copy
+    * the manifest's few KB instead). Returns the new generation.
+    */
+  private[graft] def commitCarryForward(dir: String,
+                                        meta: Map[String, String]): Int = {
+    val prev = committedGen(dir).getOrElse(
+      sys.error(s"$dir is not a committed keyed table (no commit log)"))
+    val prevToken = metaAt(dir, prev).getOrElse("token",
+      sys.error(s"commit-log entry for generation $prev lacks a token"))
+    val token = newToken()
+    val src = java.nio.file.Path.of(manifestDirOf(dir, prev, prevToken))
+    val dst = java.nio.file.Path.of(manifestDirOf(dir, prev + 1, token))
+    java.nio.file.Files.createDirectories(dst)
+    val ls = java.nio.file.Files.list(src)
+    try ls.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+      .foreach(f => java.nio.file.Files.createLink(dst.resolve(f.getFileName), f))
+    finally ls.close()
+    try commitGen(dir, prev + 1, token,
+      meta ++ schemaAt(dir, prev).map(s => "schema" -> s.json))
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        graft.IndexLifecycle.deleteRecursively(dst.toString)
+        throw e
+    }
+    prev + 1
   }
 
   // ---- write / read ----
@@ -1301,8 +1467,13 @@ object MergeTable {
         java.nio.file.Files.deleteIfExists(p); deleted += 1
       } else if ((name.startsWith("_constraints.tmp-") ||
           name.startsWith("_dropped_cols.tmp-") ||
-          name.startsWith("_cdc_horizon.tmp-")) && oldEnough(p)) {
-        // a crashed constraint/drop-column/horizon staged file — ditto
+          name.startsWith("_cdc_horizon.tmp-") ||
+          name.startsWith("_checkpoint.tmp-") ||
+          name.startsWith("_last_checkpoint.tmp-")) && oldEnough(p)) {
+        // a crashed constraint/drop-column/horizon/checkpoint staged
+        // file — never observed by readers (committed `_checkpoint-g*`
+        // rollups and the `_last_checkpoint` pointer are KEPT, like
+        // the commit log they summarize)
         java.nio.file.Files.deleteIfExists(p); deleted += 1
       } else if (governMax.exists { case (b, mx) =>
           name.startsWith(s"$b-v") &&
