@@ -76,7 +76,7 @@ object GraftCLI {
       "delete-where <dir> <keyCol> <col> <lo|_> <hi|_> | " +
       "update-where <dir> <keyCol> <col> <lo|_> <hi|_> <name=expr[;…]> | " +
       "merge <dir> <keyCol> <changesParquetDir> | " +
-      "cdc-horizons <dir> | cdc-release <dir> <consumer> | " +
+      "cdc-horizons <dir> [maxAgeSec] | cdc-release <dir> <consumer> | " +
       "mv-create <src> <srcKey> <mv> <grpCol[,…]> <name=expr[;…]> | " +
       "mv-refresh <src> <mv>"
 
@@ -248,10 +248,27 @@ object GraftCLI {
         val st = MergeTable.merge(spark, dir, spark.read.parquet(changesDir), keyCol)
         Seq(s"merged $changesDir into $dir -> generation ${st.gen} " +
           s"(${st.touched.size} files rewritten, ${st.untouched.size} carried)")
-      case ("cdc-horizons", dir :: _) =>
-        val hs = MergeTable.cdcHorizons(dir)
+      case ("cdc-horizons", dir :: rest) =>
+        // optional [maxAgeSec] (default 24h): a LAGGING slot whose
+        // last advance is older than this is flagged STALE — the
+        // abandoned-consumer signal (slots retain storage forever by
+        // replication-slot semantics; this is how you spot one worth
+        // `cdc-release`-ing). A caught-up slot is never stale.
+        val maxAgeSec = rest.headOption.flatMap(_.toLongOption).getOrElse(86400L)
+        val hs = MergeTable.cdcHorizonDetails(dir)
         if (hs.isEmpty) Seq(s"no registered CDC consumers on $dir")
-        else hs.toSeq.sorted.map { case (c, g) => s"$c at generation $g" }
+        else {
+          val cur = MergeTable.committedGen(dir).getOrElse(0)
+          val now = System.currentTimeMillis()
+          hs.toSeq.sorted.map { case (c, (g, ts)) =>
+            val ageSec = math.max(0L, (now - ts) / 1000)
+            val lag = cur - g
+            s"$c at generation $g (lag $lag of current $cur; " +
+              s"last advanced ${ageSec}s ago)" +
+              (if (lag > 0 && ageSec > maxAgeSec)
+                " — STALE: candidate for cdc-release" else "")
+          }
+        }
       case ("cdc-release", dir :: consumer :: _) =>
         if (MergeTable.releaseCdcHorizon(dir, consumer))
           Seq(s"released CDC horizon of '$consumer' on $dir")

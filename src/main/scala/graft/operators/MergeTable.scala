@@ -1347,6 +1347,23 @@ object MergeTable {
     }.toMap
   }
 
+  /** Registered consumers with their horizon AND last-advanced wall
+    * clock (the horizon file's mtime — every registration is an
+    * atomic replace, so mtime IS the last advance; no format change,
+    * legacy files report their real age). Horizon entries retain
+    * storage FOREVER by replication-slot semantics — correctly — so
+    * this is the observability an operator needs to spot an
+    * ABANDONED slot (lagging horizon, old timestamp) without
+    * archaeology; `table cdc-horizons` renders it with a staleness
+    * flag, and [[releaseCdcHorizon]] is the decommission.
+    */
+  def cdcHorizonDetails(dir: String): Map[String, (Int, Long)] =
+    cdcHorizons(dir).flatMap { case (c, g) =>
+      try Some(c -> (g,
+        java.nio.file.Files.getLastModifiedTime(horizonFileOf(dir, c)).toMillis))
+      catch { case _: java.io.IOException => None } // released mid-read
+    }
+
   /** Drop a consumer's registration (decommissioned stream); returns
     * whether it existed.
     */

@@ -182,8 +182,9 @@ class CLISpec extends SparkSpecBase {
     assert(GraftCLI.table(spark, "cdc-horizons", List(dir)).head
       .startsWith("no registered"))
     MergeTable.registerCdcHorizon(dir, "replica-a", 0)
-    assert(GraftCLI.table(spark, "cdc-horizons", List(dir)) ==
-      Seq("replica-a at generation 0"))
+    val hz = GraftCLI.table(spark, "cdc-horizons", List(dir))
+    assert(hz.size == 1 && hz.head.startsWith("replica-a at generation 0 (lag 1 of current 1;"),
+      hz.toString)
     intercept[IllegalStateException] {
       GraftCLI.table(spark, "vacuum", List(dir))
     }
@@ -193,6 +194,38 @@ class CLISpec extends SparkSpecBase {
       .contains("released"))
     assert(GraftCLI.table(spark, "cdc-release", List(dir, "replica-a")).head
       .contains("no registered"))
+  }
+
+  test("cdc-horizons flags an abandoned slot by lag + age; caught-up slots never") {
+    import graft.operators.MergeTable
+    import spark.implicits._
+    val dir = tmpDir("cli-cdc-stale")
+    MergeTable.write(spark,
+      (1 to 50).map(i => (i.toLong, i * 1.0)).toDF("k", "bal"), "k", dir, nFiles = 2)
+    MergeTable.merge(spark, dir, Seq((5L, "U", 9.9)).toDF("k", "op", "bal"), "k")
+    MergeTable.registerCdcHorizon(dir, "replica-lag", 0)   // lagging
+    MergeTable.registerCdcHorizon(dir, "replica-cur", 1)   // caught up
+    // age the registrations past the threshold (mtime IS the
+    // last-advanced stamp — atomic replace on every registration)
+    Seq("replica-lag", "replica-cur").foreach { c =>
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Path.of(dir, s"_cdc_horizon-$c"),
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 3600 * 1000))
+    }
+    val out = GraftCLI.table(spark, "cdc-horizons", List(dir, "60"))
+    assert(out.size == 2, out.toString)
+    val lagLine = out.find(_.startsWith("replica-lag")).get
+    val curLine = out.find(_.startsWith("replica-cur")).get
+    assert(lagLine.contains("lag 1 of current 1") &&
+      lagLine.contains("STALE: candidate for cdc-release"), lagLine)
+    // an old-but-caught-up consumer is idle, not abandoned
+    assert(curLine.contains("lag 0 of current 1") &&
+      !curLine.contains("STALE"), curLine)
+    // within the (default) threshold nothing is flagged
+    MergeTable.registerCdcHorizon(dir, "replica-lag", 0) // fresh stamp
+    assert(!GraftCLI.table(spark, "cdc-horizons", List(dir, "60"))
+      .exists(_.contains("STALE")))
   }
 
   test("malformed table invocations raise Usage (exit-2 path), not stack traces") {
