@@ -21,6 +21,15 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_BENCH_REPS times (default 3, each rep cold-data) and
   * reports the per-query MEDIAN, so one contended pass can't dominate
   * a round's record; raw per-rep rows land in BENCH_DETAIL.json.
+  *
+  * The record SELF-DESCRIBES its trustworthiness: stdout carries
+  * `batch_min` (best-rep batch seconds — what an uncontended run
+  * would have recorded) and, when nonempty, a `contended` list of
+  * rows whose median sits far above their best rep (see
+  * [[contendedKeys]]); BENCH_DETAIL.json adds full per-row
+  * `queries_min` / `queries_spread` maps beside the rep array. A
+  * reader comparing rounds trusts medians when batch ≈ batch_min and
+  * re-measures the flagged rows when it isn't.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -99,6 +108,18 @@ object Bench {
       rows
     }
     val batchResults = medianRows(repResults)
+    // per-row variance across reps: the medians are the record, but a
+    // record that can't describe its own trustworthiness poisons
+    // round-to-round comparison (r10: one globally contended rep put
+    // tx06 at 6.5 s median vs a 1.8 s best rep, and nothing in the
+    // artifact said so). min is the best rep (the least-contended
+    // observation of the same plan); spread is max - min.
+    val repByKey = repResults.flatten.groupBy(_._1)
+    val minRows: Map[String, Double] =
+      repByKey.map { case (k, vs) => k -> vs.map(_._2).min }
+    val spreadRows: Map[String, Double] =
+      repByKey.map { case (k, vs) => k -> (vs.map(_._2).max - vs.map(_._2).min) }
+    val contended = contendedKeys(batchResults, minRows)
     // side rows run ON THE LAST REP'S SESSION, not a fresh one: the
     // per-(session, corpus) index memos its ann02/dd11 rows built are
     // what make ann02p/dd11p pure memo-hit PROBE rows — a fresh
@@ -199,6 +220,12 @@ object Bench {
     val results = batchResults ++ ivfSplit ++ lshSplit ++ streamResult ++
       rocksResult ++ thrSecs
     val total = results.map(_._2).sum
+    // what a fully-uncontended run would have recorded for the batch
+    // figure: best-rep seconds for the repeated rows, the single
+    // observation for side rows. batch >> batch_min says "distrust
+    // this round's medians" without needing BENCH_DETAIL archaeology.
+    val batchMinSecs = (batchResults.map { case (k, _) => minRows(k) } ++
+      (ivfSplit ++ lshSplit ++ streamResult ++ rocksResult).map(_._2)).sum
     // engine time without the throughput sweep — the sweep's wall
     // clock is dominated by waiting on the rate source to produce
     // load, not by engine work, so it would distort a total-seconds
@@ -225,7 +252,10 @@ object Bench {
     // short keys are unique today; if a future operator breaks that,
     // fall back to full names rather than silently merging rows
     val keyed = if (shorts.map(_._1).distinct.size == results.size) shorts else results
-    val qs = keyed.map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
+    // centisecond precision below 10 s, decisecond above: 0.01 s on a
+    // 10+ s row is 0.1% noise, and the saved char per big row is what
+    // keeps the worst-case line inside the parse window (BenchKeysSpec)
+    val qs = keyed.map { case (k, v) => "\"" + k + "\":" + fmt(v, if (v >= 10) 1 else 2) }
       .mkString("{", ",", "}")
     // stdout carries only the sustained-rps vector (mode/target/
     // latency live in BENCH_DETAIL.json + stderr) — every char here
@@ -250,6 +280,15 @@ object Bench {
       if (errors.isEmpty) ""
       else errors.keys.toSeq.sorted.map(k => jstr(shortKey(k)))
         .mkString("\"errors\":[", ",", "],")
+    // contended rows ride stdout like errors: present only when
+    // nonempty (a clean run keeps the line inside the parse window;
+    // `batch_min` is always there, so batch ≈ batch_min already reads
+    // as "uncontended" without the list). Full per-row min/spread and
+    // the rep array live in BENCH_DETAIL.json.
+    val contShorts =
+      if (contended.isEmpty) ""
+      else contended.map(k => jstr(shortKey(k)))
+        .mkString("\"contended\":[", ",", "],")
     val errFull = errors.toSeq.sortBy(_._1)
       .map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
 
@@ -261,8 +300,12 @@ object Bench {
     val repJson = repResults.map(rows =>
       rows.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}"))
       .mkString("[", ",", "]")
+    def mapJson(m: Map[String, Double]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    val contFull = contended.map(jstr).mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","batch_seconds":$batchSecs,"bench_reps":$reps,"queries":$fullQs,"errors":$errFull,"rep_queries":$repJson,"streaming_throughput":$fullThr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","batch_seconds":$batchSecs,"batch_min_seconds":$batchMinSecs,"bench_reps":$reps,"queries":$fullQs,"queries_min":${mapJson(minRows)},"queries_spread":${mapJson(spreadRows)},"contended":$contFull,"errors":$errFull,"rep_queries":$repJson,"streaming_throughput":$fullThr,"sf":"$sfDir"}"""
     // detail goes to the FILE only — r4-r7 all recorded parsed:null
     // because this JSON also went to stderr, whose truncated copy
     // landed inside the harness's 2000-char tail window just before
@@ -279,7 +322,7 @@ object Bench {
     // eats the harness's 2000-char tail window, and BenchKeysSpec
     // fails the build when the worst-case line crowds it
     val sfShort = sfDir.split('/').lastOption.getOrElse(sfDir)
-    println(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","batch":${fmt(batchSecs, 1)},"reps":$reps,"queries":$qs,$errShorts"rps":$thrJson,"sf":"$sfShort"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","batch":${fmt(batchSecs, 1)},"batch_min":${fmt(batchMinSecs, 1)},"reps":$reps,"queries":$qs,$errShorts$contShorts"rps":$thrJson,"sf":"$sfShort"}""")
     System.out.flush()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} row(s) FAILED: " +
@@ -327,6 +370,22 @@ object Bench {
       names.foreach(n => errors(n) = String.valueOf(e).take(200))
       Seq.empty
     }
+
+  /** Rows whose median is clearly above their best rep — the
+    * machine-contention flag (r10's tx06: median 6.5 s vs best rep
+    * 1.8 s under a globally slow rep). Both gates must fire: median >
+    * 2× min (relative — a systematically contended rep, not plan
+    * variance) AND median − min > 0.25 s (absolute — a 30 ms row
+    * jittering to 70 ms is noise, not contention). A flagged row
+    * means "re-measure before treating this median as real", exactly
+    * the instruction r10's record could not carry.
+    */
+  private[graft] def contendedKeys(medians: Seq[(String, Double)],
+                                   mins: Map[String, Double]): Seq[String] =
+    medians.collect {
+      case (k, med) if mins.get(k).exists(mn =>
+        mn > 0 && med / mn > 2.0 && med - mn > 0.25) => k
+    }.sorted
 
   /** Per-query median across repeated passes (lower median for even
     * counts — an actually-observed value, not an interpolation). All

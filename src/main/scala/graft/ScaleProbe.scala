@@ -1176,7 +1176,7 @@ object ScaleProbe {
           (System.nanoTime() - t0) / 1e6 / reps
         }
         def walkMs(reps: Int): Double = { // the un-checkpointed contrast
-          val ptr = java.nio.file.Path.of(mv, "_last_checkpoint")
+          val ptr = java.nio.file.Path.of(mv, "_log", "_last_checkpoint")
           val saved = java.nio.file.Files.readAllBytes(ptr)
           java.nio.file.Files.delete(ptr)
           try resolveMs(reps)
@@ -1189,14 +1189,42 @@ object ScaleProbe {
             operators.MergeTable.commitCarryForward(mv, Map("op" -> "carry")))
           (System.nanoTime() - t0) / 1e9
         }
+        // aux state so the root listings below return something real:
+        // a bloom sidecar + a CDC horizon slot (registered in settle);
+        // droppedColumns exercises the governance read path (empty set)
+        operators.MergeTable.buildBloomIndex(spark, mv, "seg", numBits = 1 << 12)
+        // aux resolutions all list the table ROOT — with commit markers
+        // under _log/ the root holds only vacuum-bounded manifest/data
+        // dirs plus the aux files themselves, so these stay flat at any
+        // commit depth (pre-_log, 10^4 markers would ride every listing)
+        def auxMs(reps: Int): Double = {
+          val t0 = System.nanoTime()
+          (1 to reps).foreach { _ =>
+            require(operators.MergeTable.bloomIndexedColumns(mv).nonEmpty)
+            require(operators.MergeTable.cdcHorizons(mv).nonEmpty)
+            operators.MergeTable.droppedColumns(mv)
+          }
+          (System.nanoTime() - t0) / 1e6 / reps
+        }
+        def settle(gen: Int): Double = { // register-current + vacuum
+          operators.MergeTable.registerCdcHorizon(mv, "probe-consumer", gen)
+          val t0 = System.nanoTime()
+          operators.MergeTable.vacuum(spark, mv)
+          (System.nanoTime() - t0) / 1e9
+        }
         val rowsAt0 = operators.MergeTable.readTable(spark, mv).count()
         val mintS1 = mintTo(small)
         resolveMs(50) // warm
         val msSmall = resolveMs(200)
         val walkSmall = walkMs(50)
+        val vacS1 = settle(small)
+        auxMs(20) // warm
+        val auxSmall = auxMs(100)
         val mintS2 = mintTo(commits)
         val msBig = resolveMs(200)
         val walkBig = walkMs(10)
+        val vacS2 = settle(commits)
+        val auxBig = auxMs(100)
         println(f"mint: $small commits in $mintS1%.1f s, ${commits - small} more in $mintS2%.1f s " +
           f"(${(commits - small) / mintS2}%.0f commits/s, checkpointed path inside each mint)")
         println(f"resolution (committedGen+committedMeta+reflectedGen): " +
@@ -1205,6 +1233,9 @@ object ScaleProbe {
         println(f"un-checkpointed contrast (listing + full walk): " +
           f"$walkSmall%.2f ms @ $small -> $walkBig%.2f ms @ $commits " +
           f"(${walkBig / walkSmall}%.2fx)")
+        println(f"aux root listings (bloom cols + horizons + dropped cols), " +
+          f"vacuum-settled: $auxSmall%.3f ms @ $small -> $auxBig%.3f ms @ $commits " +
+          f"(${auxBig / auxSmall}%.2fx; settling vacuums $vacS1%.1f / $vacS2%.1f s)")
         // correctness at depth: rows identical, lineage complete
         require(operators.MergeTable.readTable(spark, mv).count() == rowsAt0,
           "carry commits changed the table")
@@ -1218,6 +1249,8 @@ object ScaleProbe {
         require(walkBig / walkSmall > (commits / small) / 4.0,
           f"contrast suspicious: the walk path should scale with commits " +
             f"($walkSmall%.2f -> $walkBig%.2f ms)")
+        require(auxBig / auxSmall < 4.0,
+          f"aux listings not flat under _log layout: $auxSmall%.3f -> $auxBig%.3f ms")
 
       case other =>
         System.err.println(s"unknown probe '$other'; use topn | cumsum | incr | hh | bloom | skew | tri | pr | bitmap64 | annappend | build | tx17vocab | merge | drift | dd13sig | ivfcompact | ivm | bloomidx | bloommaint | partialz | ckpt")

@@ -48,9 +48,47 @@ object MergeTable {
   private def r2(c: Column) = round(c * 100) / 100
 
   // ---- commit log ----
+  //
+  // Log entries live in a `_log/` SUBDIR (Delta's `_delta_log`
+  // layout), not the table root — deliberately. The root's listing
+  // cost is what every auxiliary resolution pays (bloom sidecar
+  // discovery, CDC horizon registry, governance version reads, the
+  // vacuum sweep), and commit markers are the one UNBOUNDED
+  // population: a streaming upsert sink mints one per micro-batch,
+  // so markers in the root would turn every bloom point-probe and
+  // every merge's governance read into an O(commits) listing at
+  // 10^5–10^6 generations. With markers (and checkpoint rollups)
+  // under `_log/`, the root holds only vacuum-bounded data/manifest
+  // dirs and small aux files — listings stay flat forever, and the
+  // log itself is never listed on the hot path (committedGen probes
+  // the dense tail by name; history/metaAt read by generation
+  // number). Pre-`_log` tables keep working: reads fall back to
+  // root-level markers, and the listing fallback merges both
+  // locations. Mixed-version WRITERS are not supported (an old
+  // binary's root link and a new binary's _log link could both win
+  // one generation) — upgrade quiesced, the standard table-format
+  // protocol-bump discipline.
 
+  private def logDirOf(dir: String) = java.nio.file.Path.of(dir, "_log")
+
+  /** Canonical (v2) marker path — the link target for new commits. */
   private def markerOf(dir: String, gen: Int) =
+    logDirOf(dir).resolve(s"_commit-g$gen")
+
+  private def legacyMarkerOf(dir: String, gen: Int) =
     java.nio.file.Path.of(dir, s"_commit-g$gen")
+
+  /** Where to READ a generation's marker: the `_log/` path when
+    * present, the pre-`_log` root path otherwise.
+    */
+  private def markerReadPath(dir: String, gen: Int): java.nio.file.Path = {
+    val v2 = markerOf(dir, gen)
+    if (java.nio.file.Files.exists(v2)) v2 else legacyMarkerOf(dir, gen)
+  }
+
+  private def markerExists(dir: String, gen: Int): Boolean =
+    java.nio.file.Files.exists(markerOf(dir, gen)) ||
+      java.nio.file.Files.exists(legacyMarkerOf(dir, gen))
 
   /** The newest committed generation. Fast path: the `_last_checkpoint`
     * pointer names a rolled-up generation, and generations are DENSE
@@ -67,15 +105,22 @@ object MergeTable {
     else lastCheckpointGen(dir) match {
       case Some(ck) =>
         var g = ck
-        while (java.nio.file.Files.exists(markerOf(dir, g + 1))) g += 1
+        while (markerExists(dir, g + 1)) g += 1
         Some(g)
       case None =>
-        val ls = java.nio.file.Files.list(p)
-        val gens = try ls.iterator().asScala
-          .map(_.getFileName.toString)
-          .filter(_.matches("_commit-g\\d+"))
-          .map(_.stripPrefix("_commit-g").toInt).toSeq
-        finally ls.close()
+        def gensIn(d: java.nio.file.Path): Seq[Int] =
+          if (!java.nio.file.Files.exists(d)) Nil
+          else {
+            val ls = java.nio.file.Files.list(d)
+            try ls.iterator().asScala
+              .map(_.getFileName.toString)
+              .filter(_.matches("_commit-g\\d+"))
+              .map(_.stripPrefix("_commit-g").toInt).toSeq
+            finally ls.close()
+          }
+        // both locations: a pre-_log table upgraded mid-life carries
+        // its early generations in the root and the rest in _log/
+        val gens = gensIn(logDirOf(dir)) ++ gensIn(p)
         if (gens.isEmpty) None else Some(gens.max)
     }
   }
@@ -85,7 +130,7 @@ object MergeTable {
     * generation and watermark commit in the SAME atomic link).
     */
   def metaAt(dir: String, gen: Int): Map[String, String] = {
-    val m = markerOf(dir, gen)
+    val m = markerReadPath(dir, gen)
     if (!java.nio.file.Files.exists(m)) Map.empty
     else new String(java.nio.file.Files.readAllBytes(m),
       java.nio.charset.StandardCharsets.UTF_8)
@@ -126,9 +171,9 @@ object MergeTable {
   private[graft] val checkpointInterval = 16
 
   private def checkpointFileOf(dir: String, gen: Int) =
-    java.nio.file.Path.of(dir, s"_checkpoint-g$gen")
+    logDirOf(dir).resolve(s"_checkpoint-g$gen")
   private def lastCheckpointPtr(dir: String) =
-    java.nio.file.Path.of(dir, "_last_checkpoint")
+    logDirOf(dir).resolve("_last_checkpoint")
 
   /** The generation the `_last_checkpoint` pointer names, validated
     * against both the checkpoint file and the commit log (a corrupt
@@ -141,7 +186,7 @@ object MergeTable {
         java.nio.charset.StandardCharsets.UTF_8).trim.toInt).toOption
       .filter(g => g >= 0 &&
         java.nio.file.Files.exists(checkpointFileOf(dir, g)) &&
-        java.nio.file.Files.exists(markerOf(dir, g)))
+        markerExists(dir, g))
   }
 
   /** One checkpoint's `k=v` lines: `gen`, `meta.<k>` (the generation's
@@ -191,14 +236,14 @@ object MergeTable {
       mvMeta.toSeq.flatMap(_.toSeq.sorted.map { case (k, v) => s"mv.$k" -> v }) ++
       cdcHorizons(dir).toSeq.sorted.map { case (c, g) => s"horizon.$c" -> g.toString })
       .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
-    val tmp = java.nio.file.Path.of(dir, s"_checkpoint.tmp-${newToken()}")
+    val tmp = logDirOf(dir).resolve(s"_checkpoint.tmp-${newToken()}")
     java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
     java.nio.file.Files.move(tmp, checkpointFileOf(dir, gen),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     // forward-only pointer advance (see the section comment)
     if (!lastCheckpointGen(dir).exists(_ >= gen)) {
-      val ptmp = java.nio.file.Path.of(dir, s"_last_checkpoint.tmp-${newToken()}")
+      val ptmp = logDirOf(dir).resolve(s"_last_checkpoint.tmp-${newToken()}")
       java.nio.file.Files.write(ptmp, s"$gen\n".getBytes("UTF-8"))
       java.nio.file.Files.move(ptmp, lastCheckpointPtr(dir),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
@@ -252,7 +297,8 @@ object MergeTable {
       else meta + ("ts" -> System.currentTimeMillis().toString)
     val body = (("token" -> token) +: stamped.toSeq.sorted)
       .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
-    val tmp = java.nio.file.Path.of(dir, s"_commit.tmp-$token")
+    java.nio.file.Files.createDirectories(logDirOf(dir))
+    val tmp = logDirOf(dir).resolve(s"_commit.tmp-$token")
     java.nio.file.Files.write(tmp, body.getBytes)
     try java.nio.file.Files.createLink(markerOf(dir, gen), tmp)
     catch {
@@ -1506,6 +1552,29 @@ object MergeTable {
         // a crashed buildBloomIndex's staged sidecar (committed
         // sidecars have no .tmp segment and are kept)
         graft.IndexLifecycle.deleteRecursively(p.toString); deleted += 1
+      } else if (name == "_log") {
+        // commit markers are NEVER swept (the table's lineage); inside
+        // the log dir only crashed staging and superseded checkpoint
+        // rollups go — the rollup population grows 1 per interval, so
+        // vacuum bounds it to the newest two (the newest for readers,
+        // one predecessor so a checkpoint writer's prev-rollup probe
+        // stays O(interval) right after a vacuum)
+        val ls2 = java.nio.file.Files.list(p)
+        val logEntries = try ls2.iterator().asScala.toSeq finally ls2.close()
+        val ckptGens = logEntries.map(_.getFileName.toString)
+          .filter(_.matches("_checkpoint-g\\d+"))
+          .map(_.stripPrefix("_checkpoint-g").toInt).sorted
+        val keepCkpts = ckptGens.takeRight(2).toSet
+        logEntries.foreach { e =>
+          val n2 = e.getFileName.toString
+          val sweep =
+            ((n2.startsWith("_commit.tmp-") || n2.startsWith("_checkpoint.tmp-") ||
+              n2.startsWith("_last_checkpoint.tmp-")) ||
+             (n2.matches("_checkpoint-g\\d+") &&
+              !keepCkpts.contains(n2.stripPrefix("_checkpoint-g").toInt))) &&
+            oldEnough(e)
+          if (sweep) { java.nio.file.Files.deleteIfExists(e); deleted += 1 }
+        }
       } else if (name.startsWith("files-g")) {
         val fs = java.nio.file.Files.list(p)
         val files = try fs.iterator().asScala.toSeq finally fs.close()

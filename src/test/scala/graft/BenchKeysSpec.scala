@@ -35,12 +35,28 @@ class BenchKeysSpec extends AnyFunSuite {
     // a two-digit 99.99 s — a three-digit row means a stalled round
     // whose bench line is moot; errors field omitted on clean runs by
     // construction) and require it plus sbt's trailer to fit
-    val qs = Bench.allBenchKeys.map(k => "\"" + Bench.shortKey(k) + "\":99.99")
+    // errors and contended are omitted on clean runs by construction;
+    // rows ≥10 s print one decimal (99.9 is the two-digit worst case)
+    val qs = Bench.allBenchKeys.map(k => "\"" + Bench.shortKey(k) + "\":99.9")
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":9999.9,"unit":"sec","batch":9999.9,"reps":99,"queries":$qs,"rps":[999999,999999,999999,999999],"sf":"sf0.1"}"""
+    val line = s"""{"metric":"total","value":9999.9,"unit":"sec","batch":9999.9,"batch_min":9999.9,"reps":99,"queries":$qs,"rps":[999999,999999,999999,999999],"sf":"sf0.1"}"""
     val sbtTrailer = 80 // "[success] Total time: ..." after our line
     val est = line.length + sbtTrailer
     assert(est < 1980, s"worst-case bench line + trailer $est chars crowds the 2000-char parse window")
+  }
+
+  test("contention flags need BOTH gates: >2x the best rep AND >0.25s above it") {
+    val mins = Map("big" -> 2.0, "small" -> 0.05, "steady" -> 3.0,
+      "border" -> 1.0, "zero" -> 0.0)
+    val medians = Seq(
+      "big" -> 6.5,     // 3.2x and +4.5 s — the r10 tx06 shape: flagged
+      "small" -> 0.15,  // 3x but +0.1 s — jitter on a tiny row: clean
+      "steady" -> 3.4,  // +0.4 s but 1.13x — plan variance: clean
+      "border" -> 2.0,  // exactly 2x — not "clearly above": clean
+      "zero" -> 0.5)    // degenerate 0 min never divides: clean
+    assert(Bench.contendedKeys(medians, mins) == Seq("big"))
+    // single-rep side rows have min == median and can never flag
+    assert(Bench.contendedKeys(Seq("st01" -> 9.0), Map("st01" -> 9.0)).isEmpty)
   }
 
   test("a throwing query lands in the error map, never as a silent fast row") {

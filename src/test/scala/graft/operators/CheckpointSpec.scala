@@ -16,7 +16,7 @@ class CheckpointSpec extends SparkSpecBase {
   private val K = MergeTable.checkpointInterval
 
   private def files(dir: String, prefix: String): Seq[String] = {
-    val ls = java.nio.file.Files.list(java.nio.file.Path.of(dir))
+    val ls = java.nio.file.Files.list(java.nio.file.Path.of(dir, "_log"))
     try {
       import scala.jdk.CollectionConverters._
       ls.iterator().asScala.map(_.getFileName.toString)
@@ -55,7 +55,7 @@ class CheckpointSpec extends SparkSpecBase {
     val dir = tmpDir("ckpt-fallback")
     mkTable(dir)
     (1 to K + 2).foreach(_ => MergeTable.commitCarryForward(dir, Map("op" -> "carry")))
-    val ptr = java.nio.file.Path.of(dir, "_last_checkpoint")
+    val ptr = java.nio.file.Path.of(dir, "_log", "_last_checkpoint")
     val want = MergeTable.committedGen(dir)
     assert(want.contains(K + 2))
     java.nio.file.Files.delete(ptr)
@@ -66,7 +66,7 @@ class CheckpointSpec extends SparkSpecBase {
     assert(MergeTable.committedGen(dir) == want)
     // pointer naming a MISSING rollup (swept by hand) is ignored too
     java.nio.file.Files.write(ptr, s"$K\n".getBytes("UTF-8"))
-    java.nio.file.Files.delete(java.nio.file.Path.of(dir, s"_checkpoint-g$K"))
+    java.nio.file.Files.delete(java.nio.file.Path.of(dir, "_log", s"_checkpoint-g$K"))
     assert(MergeTable.lastCheckpointGen(dir).isEmpty)
     assert(MergeTable.committedGen(dir) == want)
     // and the NEXT interval commit re-establishes checkpointing
@@ -88,10 +88,10 @@ class CheckpointSpec extends SparkSpecBase {
     // freeze the pointer at K, advance past the next interval: the
     // probe walks the longer tail and still resolves the head
     val frozen = java.nio.file.Files.readAllBytes(
-      java.nio.file.Path.of(dir, "_last_checkpoint"))
+      java.nio.file.Path.of(dir, "_log", "_last_checkpoint"))
     (1 to K + 2).foreach(_ => MergeTable.commitCarryForward(dir, Map("op" -> "carry")))
     java.nio.file.Files.write(
-      java.nio.file.Path.of(dir, "_last_checkpoint"), frozen)
+      java.nio.file.Path.of(dir, "_log", "_last_checkpoint"), frozen)
     assert(MergeTable.lastCheckpointGen(dir).contains(K))
     assert(MergeTable.committedGen(dir).contains(2 * K + 2))
   }
@@ -112,8 +112,8 @@ class CheckpointSpec extends SparkSpecBase {
     // — the ONLY one carrying the watermark. An unbounded walk would
     // find nothing and error "not a materialized view"; the bounded
     // walk reads tail + rollup and never looks below the checkpoint.
-    val hidden = java.nio.file.Path.of(mv, "_commit-g0")
-    val aside = java.nio.file.Path.of(mv, "_hidden-g0")
+    val hidden = java.nio.file.Path.of(mv, "_log", "_commit-g0")
+    val aside = java.nio.file.Path.of(mv, "_log", "_hidden-g0")
     java.nio.file.Files.move(hidden, aside)
     assert(IncrementalView.reflectedGen(mv) == 0)
     java.nio.file.Files.move(aside, hidden)
@@ -127,18 +127,71 @@ class CheckpointSpec extends SparkSpecBase {
     assert(IncrementalView.reflectedGen(mv) == 1)
   }
 
+  test("vacuum bounds the rollup population to the newest two") {
+    val dir = tmpDir("ckpt-bound")
+    mkTable(dir)
+    (1 to 4 * K + 1).foreach(_ => MergeTable.commitCarryForward(dir, Map("op" -> "carry")))
+    assert(files(dir, "_checkpoint-g").size == 4)
+    MergeTable.vacuum(spark, dir)
+    // newest for readers, one predecessor so the next rollup write's
+    // previous-checkpoint probe stays O(interval)
+    assert(files(dir, "_checkpoint-g") ==
+      Seq(s"_checkpoint-g${3 * K}", s"_checkpoint-g${4 * K}"))
+    assert(MergeTable.lastCheckpointGen(dir).contains(4 * K))
+    assert(MergeTable.committedGen(dir).contains(4 * K + 1))
+    // the NEXT interval rollup still finds its predecessor
+    (1 to K).foreach(_ => MergeTable.commitCarryForward(dir, Map("op" -> "carry")))
+    assert(MergeTable.lastCheckpointGen(dir).contains(5 * K))
+  }
+
+  test("a pre-_log table reads through the root fallback and upgrades in place") {
+    val dir = tmpDir("ckpt-legacy")
+    mkTable(dir)
+    (1 to 3).foreach(_ => MergeTable.commitCarryForward(dir, Map("op" -> "carry")))
+    // simulate the pre-_log layout: markers in the table root, no log
+    // subdir (and so no checkpoints/pointer)
+    val log = java.nio.file.Path.of(dir, "_log")
+    val ls = java.nio.file.Files.list(log)
+    try {
+      import scala.jdk.CollectionConverters._
+      ls.iterator().asScala.toSeq.foreach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("_commit-g"))
+          java.nio.file.Files.move(p, java.nio.file.Path.of(dir, n))
+        else java.nio.file.Files.delete(p)
+      }
+    } finally ls.close()
+    java.nio.file.Files.delete(log)
+    // reads resolve through the legacy location
+    assert(MergeTable.committedGen(dir).contains(3))
+    assert(MergeTable.committedMeta(dir).contains("token"))
+    assert(MergeTable.readTable(spark, dir).count() == 200)
+    assert(MergeTable.history(spark, dir).count() == 4)
+    // the next commit upgrades in place: new marker in _log/, early
+    // generations stay readable from the root, lineage spans both
+    MergeTable.merge(spark, dir,
+      Seq((1L, "U", "s8", 8.8)).toDF("k", "op", "seg", "bal"), "k")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Path.of(dir, "_log", "_commit-g4")))
+    assert(MergeTable.committedGen(dir).contains(4))
+    assert(MergeTable.history(spark, dir).count() == 5)
+    assert(MergeTable.readTable(spark, dir).filter(col("k") === 1)
+      .select("seg").as[String].collect().toSeq == Seq("s8"))
+    assert(MergeTable.readTable(spark, dir, asOf = Some(0)).count() == 200)
+  }
+
   test("vacuum keeps rollups and pointer, sweeps only their staged tmp files") {
     val dir = tmpDir("ckpt-vac")
     mkTable(dir)
     (1 to K + 1).foreach(_ => MergeTable.commitCarryForward(dir, Map("op" -> "carry")))
     java.nio.file.Files.write(
-      java.nio.file.Path.of(dir, "_checkpoint.tmp-dead"), "x".getBytes)
+      java.nio.file.Path.of(dir, "_log", "_checkpoint.tmp-dead"), "x".getBytes)
     java.nio.file.Files.write(
-      java.nio.file.Path.of(dir, "_last_checkpoint.tmp-dead"), "x".getBytes)
+      java.nio.file.Path.of(dir, "_log", "_last_checkpoint.tmp-dead"), "x".getBytes)
     MergeTable.vacuum(spark, dir)
     assert(files(dir, "_checkpoint-g") == Seq(s"_checkpoint-g$K"))
     assert(java.nio.file.Files.exists(
-      java.nio.file.Path.of(dir, "_last_checkpoint")))
+      java.nio.file.Path.of(dir, "_log", "_last_checkpoint")))
     assert(files(dir, "_checkpoint.tmp").isEmpty &&
       files(dir, "_last_checkpoint.tmp").isEmpty)
     assert(MergeTable.lastCheckpointGen(dir).contains(K))

@@ -180,7 +180,7 @@ class MergeTableSpec extends SparkSpecBase {
     assert(e1.getMessage.contains("manifest"), e1.getMessage)
     Files.move(saved, manDir)
     // damage 2: token-less current commit entry
-    val marker = Path.of(dir, "_commit-g0")
+    val marker = Path.of(dir, "_log", "_commit-g0")
     val body = new String(Files.readAllBytes(marker), "UTF-8")
     Files.write(marker, body.linesIterator.filterNot(_.startsWith("token="))
       .mkString("", "\n", "\n").getBytes("UTF-8"))
