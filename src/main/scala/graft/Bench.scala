@@ -315,7 +315,13 @@ object Bench {
 
     // stop BEFORE printing the parse-target line: SparkContext
     // teardown logs asynchronously, and anything it emits after the
-    // JSON pushes the line's head out of the harness's tail window
+    // JSON pushes the line's head out of the harness's tail window.
+    // Teardown also emits spurious ERROR lines (async TorrentBroadcast
+    // cleanup racing executor shutdown — r10's record carried one and
+    // it read as contamination evidence); every REAL failure is
+    // already captured in `errors` by the guards above, so the logger
+    // goes silent for the teardown itself.
+    spark.sparkContext.setLogLevel("OFF")
     scala.util.Try(spark.stop())
     // non-contract fields carry SHORT names on the stdout line (the
     // full names live in BENCH_DETAIL.json): the registry's growth

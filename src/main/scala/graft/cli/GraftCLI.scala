@@ -155,7 +155,9 @@ object GraftCLI {
         val blooms = MergeTable.bloomIndexedColumns(dir)
         val horizons = MergeTable.cdcHorizons(dir)
         Seq(
-          s"$dir at generation $g (${g + 1} commits)",
+          s"$dir at generation $g (${g + 1} commits; log checkpoint " +
+            MergeTable.lastCheckpointGen(dir)
+              .map(c => s"at g$c").getOrElse("none") + ")",
           s"$files live files, $rows rows",
           "schema: " + MergeTable.schemaAt(dir, g)
             .map(_.fieldNames.mkString(", ")).getOrElse("(not recorded in log)"),

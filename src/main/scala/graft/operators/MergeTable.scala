@@ -18,7 +18,8 @@ import scala.jdk.CollectionConverters._
   * {{{
   *   dir/files-g<N>~<token>/part-*.parquet  data files, range-written on the key
   *   dir/manifest-g<N>~<token>/             (path, n_rows, min_<c>/max_<c> per statted col) per LIVE file
-  *   dir/_commit-g<N>                       commit-log entry: token=<token> + metadata
+  *   dir/_log/_commit-g<N>                  commit-log entry: token=<token> + metadata
+  *   dir/_log/_checkpoint-g<N>, _last_checkpoint   log rollups + pointer (see the checkpointing section)
   * }}}
   * Commits form an append-only log with OPTIMISTIC CONCURRENCY: each
   * writer stages into dirs suffixed by its own token (racing writers
@@ -888,7 +889,8 @@ object MergeTable {
     * rewritten in the span, never the table), and the generation
     * number is the exactly-once watermark: persist `cur` beside the
     * applied state and replay is idempotent. Polling the log is one
-    * directory listing — no Spark job when nothing changed.
+    * pointer read plus a short tail probe (see the checkpointing
+    * section) — no Spark job, no listing, when nothing changed.
     */
   /** The change feed as a Structured Streaming source (see
     * [[graft.sources.CdcSourceProvider]]): each committed generation
@@ -1564,7 +1566,10 @@ object MergeTable {
         val ckptGens = logEntries.map(_.getFileName.toString)
           .filter(_.matches("_checkpoint-g\\d+"))
           .map(_.stripPrefix("_checkpoint-g").toInt).sorted
-        val keepCkpts = ckptGens.takeRight(2).toSet
+        // newest two, plus whatever the pointer names (a pointer left
+        // behind by failed advances must not lose its target to the
+        // sweep — that would downgrade resolution to the listing path)
+        val keepCkpts = ckptGens.takeRight(2).toSet ++ lastCheckpointGen(dir)
         logEntries.foreach { e =>
           val n2 = e.getFileName.toString
           val sweep =
@@ -1696,8 +1701,9 @@ object MergeTable {
     * the commit's wall-clock stamp, and `detail` every other
     * commit-log line except the bulky schema JSON (so restore_of /
     * cloned_from / a sink's batchId read straight off the row).
-    * Driver-sized by construction: one directory listing plus one
-    * tiny log-entry read per generation, no Spark job over data.
+    * Driver-sized by construction: one head resolution plus one tiny
+    * log-entry read per generation (O(generations) deliberately —
+    * this IS the full-lineage read), no Spark job over data.
     * History survives vacuum — the log entries are the table's
     * lineage and are never swept, only manifests/files are.
     */

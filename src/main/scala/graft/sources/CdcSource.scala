@@ -190,9 +190,11 @@ final class CdcSource(ctx: SQLContext, dir: String, keyCol: String, startGen: In
     case other => other.json().toLong
   }
 
-  /** Latest committed generation — one directory listing, no Spark
-    * job; monotone because the commit log only grows (vacuum never
-    * lowers the committed marker).
+  /** Latest committed generation — one checkpoint-pointer read plus
+    * a short tail probe (no listing, no Spark job), so an idle
+    * stream's per-trigger poll stays flat at any commit depth;
+    * monotone because the commit log only grows (vacuum never lowers
+    * the committed marker).
     */
   override def getOffset: Option[Offset] =
     MergeTable.committedGen(dir).filter(_ > startGen).map(g => LongOffset(g.toLong))

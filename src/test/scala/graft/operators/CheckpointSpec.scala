@@ -142,6 +142,16 @@ class CheckpointSpec extends SparkSpecBase {
     // the NEXT interval rollup still finds its predecessor
     (1 to K).foreach(_ => MergeTable.commitCarryForward(dir, Map("op" -> "carry")))
     assert(MergeTable.lastCheckpointGen(dir).contains(5 * K))
+    // a LAGGING pointer's target survives the sweep (failed pointer
+    // advances must not downgrade resolution to the listing path)
+    java.nio.file.Files.write(
+      java.nio.file.Path.of(dir, "_log", "_last_checkpoint"),
+      s"${3 * K}\n".getBytes("UTF-8"))
+    MergeTable.vacuum(spark, dir)
+    assert(files(dir, "_checkpoint-g").toSet ==
+      Set(s"_checkpoint-g${3 * K}", s"_checkpoint-g${4 * K}", s"_checkpoint-g${5 * K}"))
+    assert(MergeTable.lastCheckpointGen(dir).contains(3 * K))
+    assert(MergeTable.committedGen(dir).contains(5 * K + 1))
   }
 
   test("a pre-_log table reads through the root fallback and upgrades in place") {
