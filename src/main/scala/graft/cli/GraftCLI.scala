@@ -167,8 +167,13 @@ object GraftCLI {
           "retired columns: " + (if (dropped.isEmpty) "none"
             else dropped.toSeq.sorted.mkString(", ")),
           "bloom sidecars: " + (if (blooms.isEmpty) "none"
-            else blooms.toSeq.sorted.map { case (c, bg) => s"$c (covers g$bg)" }
-              .mkString(", ")),
+            else {
+              val split = MergeTable.bloomFamilySplit(dir)
+              blooms.toSeq.sorted.map { case (c, bg) =>
+                s"$c (covers g$bg)" + split.get(c).map(n =>
+                  s" [$n k-families — rebuild to collapse]").getOrElse("")
+              }.mkString(", ")
+            }),
           "cdc consumers: " + (if (horizons.isEmpty) "none"
             else horizons.toSeq.sorted.map { case (c, hg) => s"$c at g$hg" }
               .mkString(", ")))
@@ -256,7 +261,8 @@ object GraftCLI {
         // abandoned-consumer signal (slots retain storage forever by
         // replication-slot semantics; this is how you spot one worth
         // `cdc-release`-ing). A caught-up slot is never stale.
-        val maxAgeSec = rest.headOption.flatMap(_.toLongOption).getOrElse(86400L)
+        val maxAgeSec = rest.headOption
+          .map(v => longArg(v, "maxAgeSec")).getOrElse(86400L)
         val hs = MergeTable.cdcHorizonDetails(dir)
         if (hs.isEmpty) Seq(s"no registered CDC consumers on $dir")
         else {

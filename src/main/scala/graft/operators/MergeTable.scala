@@ -1043,7 +1043,17 @@ object MergeTable {
     java.nio.file.Files.move(java.nio.file.Path.of(staged),
       java.nio.file.Path.of(out),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    bloomDirsFor(dir, colName).filter(_._2 < gen).map(_._1)
+    // beyond strictly-lower generations, a SAME-generation same-k
+    // sibling with different numBits is also superseded (this rebuild
+    // fully covers the live set) — leaving it would make the next
+    // fold read two segments of one family and carry duplicate rows
+    // per path forever; the mutual-delete risk of two concurrent
+    // same-column rebuilds rides the already-documented
+    // don't-schedule-concurrent-rebuilds window above
+    bloomDirsFor(dir, colName)
+      .filter(t => t._2 < gen ||
+        (t._2 == gen && t._3 == numHashes && !t._4.contains(numBits)))
+      .map(_._1)
       .foreach(n => graft.IndexLifecycle.deleteRecursively(s"$dir/$n"))
     gen
   }
@@ -1099,7 +1109,13 @@ object MergeTable {
           val family = colSegs.filter(_._3 == k)
           val foldPaths = family.map(t => s"$dir/${t._1}")
           val foldDf = s.read.parquet(foldPaths: _*)
+          // one row per path: a crashed fold (new segment landed, old
+          // not yet swept) leaves two same-k segments both covering
+          // the carried files — every duplicate row is an equally
+          // sound sketch of the same immutable file, so keep either,
+          // but don't let duplicates compound through repeated folds
           val old = foldDf.join(broadcast(liveDf), Seq("path"), "left_semi")
+            .dropDuplicates("path")
           // fresh-sketch numBits: the size buildBloomIndex recorded in
           // the newest segment's name; a legacy pre-numBits name falls
           // back to the LARGEST sketch in the fold frame (bits = 8 ×
@@ -1129,12 +1145,11 @@ object MergeTable {
             java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           family.filter(_._2 < newGen).map(_._1)
             .foreach(n => graft.IndexLifecycle.deleteRecursively(s"$dir/$n"))
-          val alien = colSegs.filterNot(s => s._3 == k)
-          if (alien.nonEmpty) System.err.println(
-            s"[graft] bloom maintenance for $dir.$c at g$newGen: " +
-              s"${alien.size} segment(s) with numHashes != $k left alive " +
-              s"(${alien.map(_._1).mkString(", ")}) — still consulted by " +
-              "probes; a full buildBloomIndex supersedes them")
+          // surviving different-k segments are NOT logged per commit (a
+          // streaming sink would print once per micro-batch, drowning
+          // real maintenance errors) — the split is visible in
+          // [[bloomFamilySplit]] / `table stats` until a full rebuild
+          // collapses it
         }
       } catch {
         // the DML committed; a NON-FATAL maintenance failure must not
@@ -1159,6 +1174,17 @@ object MergeTable {
     */
   def bloomIndexedColumns(dir: String): Map[String, Int] =
     bloomDirs(dir).groupBy(_._5).map { case (c, segs) => c -> segs.map(_._2).max }
+
+  /** Columns whose sidecar currently spans MORE than one numHashes
+    * family (a crashed k-change rebuild's torn window): col → family
+    * count. Probes stay sound — they consult every family — and a
+    * full [[buildBloomIndex]] collapses the split; `table stats`
+    * surfaces this instead of a per-commit warning (which would print
+    * once per micro-batch under a streaming sink).
+    */
+  def bloomFamilySplit(dir: String): Map[String, Int] =
+    bloomDirs(dir).groupBy(_._5).view
+      .mapValues(_.map(_._3).distinct.size).filter(_._2 > 1).toMap
 
   /** The pruning decision for `colName = value`, exposed for specs and
     * probes: (candidate paths, pruned-file count, total live files).
@@ -1532,13 +1558,10 @@ object MergeTable {
         java.nio.file.Files.deleteIfExists(p); deleted += 1
       } else if ((name.startsWith("_constraints.tmp-") ||
           name.startsWith("_dropped_cols.tmp-") ||
-          name.startsWith("_cdc_horizon.tmp-") ||
-          name.startsWith("_checkpoint.tmp-") ||
-          name.startsWith("_last_checkpoint.tmp-")) && oldEnough(p)) {
-        // a crashed constraint/drop-column/horizon/checkpoint staged
-        // file — never observed by readers (committed `_checkpoint-g*`
-        // rollups and the `_last_checkpoint` pointer are KEPT, like
-        // the commit log they summarize)
+          name.startsWith("_cdc_horizon.tmp-")) && oldEnough(p)) {
+        // a crashed constraint/drop-column/horizon staged file —
+        // never observed by readers (checkpoint staging lives only
+        // under _log/ and is swept by that branch)
         java.nio.file.Files.deleteIfExists(p); deleted += 1
       } else if (governMax.exists { case (b, mx) =>
           name.startsWith(s"$b-v") &&

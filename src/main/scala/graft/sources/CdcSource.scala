@@ -91,15 +91,21 @@ final class CdcSourceProvider extends StreamSourceProvider with DataSourceRegist
     // refusal is honest conservatism, not slack). Decommissioning is
     // MergeTable.releaseCdcHorizon / `table cdc-release`.
     val consumer = CdcSource.consumerId(metadataPath)
-    // snapshot mode (-1) can never replay below the generation current
-    // at attach time (a pre-checkpoint restart re-snapshots at the
-    // THEN-current generation), and `latest` resolved to `cur` above —
-    // registering 0 for either would block vacuum on an idle table for
-    // generations no replay can ever need. Only an explicit delta
-    // baseline registers below `cur` (its replay genuinely starts
-    // there); registerFloor keeps a restart from regressing a horizon
-    // getBatch/commit already advanced.
-    CdcSource.registerFloor(dir, consumer,
+    // INITIAL registration only: once an entry exists, horizon
+    // advancement belongs to getBatch/commit (floor semantics — they
+    // know the actually-replayable spans). A RESTART must never raise
+    // it here: the engine WALs a batch's offsets BEFORE executing it,
+    // so a crash between WAL and batch-commit replays the old span
+    // after restart — and snapshot/latest re-resolve against the NEW
+    // current generation in this method, so raising the surviving
+    // entry would let vacuum sweep exactly the manifests that
+    // mandatory replay still reads. First attach is safe by engine
+    // ordering (createSource runs before the first offset is logged,
+    // so no replayable span exists yet): a delta baseline registers
+    // its explicit start, snapshot/latest register the attach-time
+    // head — which is what keeps an idle table's vacuum unblocked
+    // instead of pinning a horizon at 0 forever.
+    CdcSource.registerInitial(dir, consumer,
       if (startGen < 0) cur else startGen)
     new CdcSource(ctx, dir, keyCol, startGen, preImages, consumer)
   }
@@ -126,13 +132,20 @@ object CdcSource {
   }
 
   /** Register `gen` as the consumer's horizon UNLESS a higher one is
-    * already recorded — a stream RESTART re-enters createSource with
-    * its original `startGen` option (not its checkpointed offset), and
-    * snapping an advanced horizon back to 0 would block vacuum forever
-    * on an idle-but-caught-up stream.
+    * already recorded — getBatch/commit replay old spans after a
+    * restart, and snapping an advanced horizon back down would block
+    * vacuum forever on an idle-but-caught-up stream.
     */
   private[sources] def registerFloor(dir: String, consumer: String, gen: Int): Unit =
     if (!MergeTable.cdcHorizons(dir).get(consumer).exists(_ >= gen))
+      MergeTable.registerCdcHorizon(dir, consumer, gen)
+
+  /** Register `gen` only when the consumer has NO entry yet — the
+    * createSource-time registration (see the call site for why a
+    * restart must never raise an existing entry from there).
+    */
+  private[sources] def registerInitial(dir: String, consumer: String, gen: Int): Unit =
+    if (!MergeTable.cdcHorizons(dir).contains(consumer))
       MergeTable.registerCdcHorizon(dir, consumer, gen)
 
   /** `startGen = -1` is the internal encoding of `snapshot`,

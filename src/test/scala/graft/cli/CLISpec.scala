@@ -238,6 +238,11 @@ class CLISpec extends SparkSpecBase {
       GraftCLI.table(spark, "bloom-index", List(dir, "tag", "many"))
     }
     intercept[GraftCLI.Usage] { GraftCLI.table(spark, "vacuum", List(dir, "soon")) }
+    // a typo'd threshold ('6O0') must not silently fall back to the
+    // 24h default and report an abandoned slot as healthy
+    intercept[GraftCLI.Usage] {
+      GraftCLI.table(spark, "cdc-horizons", List(dir, "6O0"))
+    }
     intercept[GraftCLI.Usage] { GraftCLI.table(spark, "restore", List(dir, "x")) }
     intercept[GraftCLI.Usage] { GraftCLI.table(spark, "history", Nil) }
     // a typo'd flag must be an error, not silently change WHICH

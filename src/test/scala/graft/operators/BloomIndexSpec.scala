@@ -285,6 +285,9 @@ class BloomIndexSpec extends SparkSpecBase {
     assert(bloomDirNames(dir).toSet ==
       Set("_bloom-g2~7b131072~tag", "_bloom-g1~5b131072~tag"),
       bloomDirNames(dir).toString)
+    // the split is an observable condition (table stats), not a
+    // per-commit stderr warning
+    assert(MergeTable.bloomFamilySplit(dir) == Map("tag" -> 2))
     // probes consult EVERY family: exact results for carried, folded
     // and pre-fold tags, and pruning still beats admit-all
     Seq(50L -> "mid-tag", 60L -> "late-tag").foreach { case (k, t) =>
@@ -303,6 +306,26 @@ class BloomIndexSpec extends SparkSpecBase {
       Seq((70L, "U", "last-tag", 0.7)).toDF("k", "op", "tag", "bal"), "k")
     MergeTable.buildBloomIndex(spark, dir, "tag")
     assert(bloomDirNames(dir) == Seq("_bloom-g3~7b131072~tag"))
+  }
+
+  test("a same-generation rebuild with different numBits supersedes, never splits the family") {
+    val dir = tmpDir("bloomrebits")
+    MergeTable.write(spark, table(400), "k", dir, nFiles = 8)
+    MergeTable.buildBloomIndex(spark, dir, "tag", numBits = 1 << 14)
+    // re-tune the size without a new generation: the rebuild fully
+    // covers the live set, so the old-bits sibling must go — leaving
+    // it would hand the next fold two segments of ONE family and
+    // compound duplicate rows per path forever
+    MergeTable.buildBloomIndex(spark, dir, "tag", numBits = 1 << 17)
+    assert(bloomDirNames(dir) == Seq("_bloom-g0~7b131072~tag"))
+    assert(MergeTable.bloomFamilySplit(dir).isEmpty)
+    MergeTable.merge(spark, dir,
+      Seq((50L, "U", "fresh-tag", 0.5)).toDF("k", "op", "tag", "bal"), "k")
+    val sidecar = spark.read.parquet(s"$dir/_bloom-g1~7b131072~tag")
+    assert(sidecar.groupBy("path").count()
+      .filter(col("count") > 1).isEmpty, "duplicate rows per path")
+    assert(MergeTable.scanEqualsBloom(spark, dir, "tag", "fresh-tag")
+      .select("k").as[Long].collect().toSeq == Seq(50L))
   }
 
   test("rebuild supersedes the old sidecar and restores full pruning") {

@@ -503,4 +503,43 @@ class CdcSourceSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("Int"))
   }
+
+  test("snapshot attach registers the head once; a restart never raises the horizon") {
+    // first attach on a table already at generation 2: the horizon
+    // registers AT the head (not 0), so an idle table's vacuum is
+    // never blocked by generations no replay can need
+    val dir = freshTable(40)
+    mergeBatch(dir, Seq((1L, "U", "A", 1.0)))
+    mergeBatch(dir, Seq((2L, "U", "B", 2.0)))
+    val ckpt = tmpDir("cdc-snap-hz-ckpt")
+    def start() = MergeTable.changesStream(spark, dir, "k", startGen = -1)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch((_: DataFrame, _: Long) => ()).start()
+    val q = start()
+    try q.processAllAvailable() finally q.stop()
+    val consumer = MergeTable.cdcHorizons(dir).keys
+      .find(_.startsWith("stream-")).get
+    assert(MergeTable.cdcHorizons(dir)(consumer) == 2,
+      s"snapshot attach should hold the head: ${MergeTable.cdcHorizons(dir)}")
+    MergeTable.vacuum(spark, dir) // caught-up snapshot never blocks
+    // simulate the WAL-logged-but-uncommitted window: the engine will
+    // replay the old span after restart, so the surviving (lower)
+    // horizon entry must NOT be raised by createSource re-resolving
+    // against the new head. Drive createSource DIRECTLY: a full
+    // engine restart immediately re-fires the floor for its restored
+    // COMMITTED batch (correct — that span can no longer replay
+    // lower), which would mask what this pins.
+    val metaPath = tmpDir("cdc-snap-hz-meta")
+    val provider = new CdcSourceProvider
+    val params = Map("path" -> dir, "keyCol" -> "k", "startGen" -> "snapshot")
+    provider.createSource(spark.sqlContext, metaPath, None, "graft-cdc", params)
+    val unitConsumer = CdcSource.consumerId(metaPath)
+    assert(MergeTable.cdcHorizons(dir)(unitConsumer) == 2,
+      "first attach should register the head")
+    MergeTable.registerCdcHorizon(dir, unitConsumer, 0) // pending replay state
+    provider.createSource(spark.sqlContext, metaPath, None, "graft-cdc", params)
+    assert(MergeTable.cdcHorizons(dir)(unitConsumer) == 0,
+      s"re-attach raised a replay-protecting horizon: ${MergeTable.cdcHorizons(dir)}")
+    MergeTable.releaseCdcHorizon(dir, unitConsumer)
+  }
 }
