@@ -420,14 +420,17 @@ object MergeTable {
   }
 
   /** Metadata-only commit: carry the current manifest forward
-    * UNCHANGED (per-file hard links — the manifest is file-count-
-    * sized, the data is untouched) under a fresh generation whose
+    * UNCHANGED (per-file COPIES — the manifest is file-count-sized
+    * KBs, the data is untouched) under a fresh generation whose
     * commit meta is `meta`. The no-op maintenance-commit shape — a
     * governance stamp, an empty micro-batch — and the ckpt scale
     * probe's generator: it exercises the real [[commitGen]] path
-    * (OCC link, checkpoint rollups) at metadata-only cost. Hard
-    * links assume a POSIX-ish store (an object-store port would copy
-    * the manifest's few KB instead). Returns the new generation.
+    * (OCC link, checkpoint rollups) at metadata-only cost. Copies,
+    * not hard links, deliberately: consecutive carries would pile
+    * link counts onto ONE inode until the filesystem's EMLINK cap
+    * (~65k on ext4 — the 10^5-commit probe found it), and copies are
+    * what an object-store port does anyway. Returns the new
+    * generation.
     */
   private[graft] def commitCarryForward(dir: String,
                                         meta: Map[String, String]): Int = {
@@ -441,7 +444,7 @@ object MergeTable {
     java.nio.file.Files.createDirectories(dst)
     val ls = java.nio.file.Files.list(src)
     try ls.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
-      .foreach(f => java.nio.file.Files.createLink(dst.resolve(f.getFileName), f))
+      .foreach(f => java.nio.file.Files.copy(f, dst.resolve(f.getFileName)))
     finally ls.close()
     try commitGen(dir, prev + 1, token,
       meta ++ schemaAt(dir, prev).map(s => "schema" -> s.json))
