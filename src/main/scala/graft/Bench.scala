@@ -254,8 +254,11 @@ object Bench {
     val keyed = if (shorts.map(_._1).distinct.size == results.size) shorts else results
     // centisecond precision below 10 s, decisecond above: 0.01 s on a
     // 10+ s row is 0.1% noise, and the saved char per big row is what
-    // keeps the worst-case line inside the parse window (BenchKeysSpec)
-    val qs = keyed.map { case (k, v) => "\"" + k + "\":" + fmt(v, if (v >= 10) 1 else 2) }
+    // keeps the worst-case line inside the parse window (BenchKeysSpec
+    // models 4 chars per value). The cut is at 9.995, not 10: a value
+    // in [9.995, 10) rounds to the 5-char "10.00" at two decimals,
+    // which would quietly break the model's guarantee.
+    val qs = keyed.map { case (k, v) => "\"" + k + "\":" + fmt(v, if (v >= 9.995) 1 else 2) }
       .mkString("{", ",", "}")
     // stdout carries only the sustained-rps vector (mode/target/
     // latency live in BENCH_DETAIL.json + stderr) — every char here

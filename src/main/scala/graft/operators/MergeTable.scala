@@ -130,14 +130,18 @@ object MergeTable {
     * the streaming upsert sink's batch watermark rides here too, so
     * generation and watermark commit in the SAME atomic link).
     */
-  def metaAt(dir: String, gen: Int): Map[String, String] = {
-    val m = markerReadPath(dir, gen)
-    if (!java.nio.file.Files.exists(m)) Map.empty
-    else new String(java.nio.file.Files.readAllBytes(m),
+  /** The `k=v`-lines file format shared by commit-log entries and
+    * checkpoint rollups — one parser, so the two can't drift.
+    */
+  private def readKvFile(p: java.nio.file.Path): Map[String, String] =
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else new String(java.nio.file.Files.readAllBytes(p),
       java.nio.charset.StandardCharsets.UTF_8)
       .linesIterator.filter(_.contains('='))
       .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
-  }
+
+  def metaAt(dir: String, gen: Int): Map[String, String] =
+    readKvFile(markerReadPath(dir, gen))
 
   def committedMeta(dir: String): Map[String, String] =
     committedGen(dir).map(metaAt(dir, _)).getOrElse(Map.empty)
@@ -193,15 +197,13 @@ object MergeTable {
   /** One checkpoint's `k=v` lines: `gen`, `meta.<k>` (the generation's
     * own commit meta), optional `mv.<k>` (newest view-watermark meta
     * at or below the checkpoint) and `horizon.<consumer>` snapshot.
+    * Resolution consumes only existence + `mv.*`; the `meta.*` copy
+    * and the horizon snapshot are the rollup's OBSERVABILITY surface
+    * — `cat` one file to see where the table stood at the rollup
+    * instead of stitching log entries and horizon files by hand.
     */
-  private[graft] def checkpointAt(dir: String, gen: Int): Map[String, String] = {
-    val f = checkpointFileOf(dir, gen)
-    if (!java.nio.file.Files.exists(f)) Map.empty
-    else new String(java.nio.file.Files.readAllBytes(f),
-      java.nio.charset.StandardCharsets.UTF_8)
-      .linesIterator.filter(_.contains('='))
-      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
-  }
+  private[graft] def checkpointAt(dir: String, gen: Int): Map[String, String] =
+    readKvFile(checkpointFileOf(dir, gen))
 
   /** The view-watermark rollup a checkpoint carries: the newest commit
     * meta at or below it containing `mv_src_gen` (None when the table
@@ -932,11 +934,12 @@ object MergeTable {
 
   /** Every committed sidecar segment under `dir`:
     * (dirName, gen, numHashes, numBits, colName) — numBits None for a
-    * legacy pre-numBits name. Staged `.tmp` dirs never parse (their
-    * column segment carries the token suffix). One listing, shared by
-    * [[bloomFamilyDirs]], the rebuild sweep and
-    * [[maintainBloomSidecars]] so the name scheme lives in exactly
-    * one place.
+    * legacy pre-numBits name. Staged `.tmp` dirs are rejected
+    * explicitly (their column segment carries the `.tmp<token>`
+    * suffix — a crashed build's staging must never read as a
+    * committed segment). One listing, shared by [[bloomFamilyDirs]],
+    * the rebuild sweep and [[maintainBloomSidecars]] so the name
+    * scheme lives in exactly one place.
     */
   private def bloomDirs(dir: String): Seq[(String, Int, Int, Option[Int], String)] = {
     val root = java.nio.file.Path.of(dir)
@@ -947,7 +950,12 @@ object MergeTable {
     names.flatMap { n =>
       if (!n.startsWith("_bloom-g")) None
       else n.stripPrefix("_bloom-g").split("~", 3) match {
-        case Array(g, kb, c) =>
+        // staged dirs are `<committed name>.tmp<token>` — the suffix
+        // lands in the column segment, so reject it explicitly or a
+        // crashed build's half-written staging would surface as a
+        // committed segment for a phantom column (folded every
+        // commit, reported in stats, copied by clones)
+        case Array(g, kb, c) if !c.contains(".tmp") =>
           val (kStr, bits) = kb.indexOf('b') match {
             case -1 => (kb, None)
             case i  => (kb.take(i), kb.drop(i + 1).toIntOption)

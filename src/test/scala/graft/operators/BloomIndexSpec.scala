@@ -328,6 +328,29 @@ class BloomIndexSpec extends SparkSpecBase {
       .select("k").as[Long].collect().toSeq == Seq(50L))
   }
 
+  test("crashed-build staging never reads as a committed segment, and vacuum sweeps it") {
+    val dir = tmpDir("bloomstaged")
+    MergeTable.write(spark, table(400), "k", dir, nFiles = 8)
+    MergeTable.buildBloomIndex(spark, dir, "tag")
+    // a builder that died after staging but before the atomic move
+    val staged = java.nio.file.Path.of(dir, "_bloom-g0~7b131072~tag.tmpdeadtok")
+    java.nio.file.Files.createDirectories(staged)
+    java.nio.file.Files.write(staged.resolve("part-junk.parquet"), Array[Byte](1, 2))
+    // the staging is invisible to every sidecar consumer: no phantom
+    // column in stats, no fold attempt, probes unaffected
+    assert(MergeTable.bloomIndexedColumns(dir) == Map("tag" -> 0))
+    assert(MergeTable.bloomFamilySplit(dir).isEmpty)
+    MergeTable.merge(spark, dir,
+      Seq((50L, "U", "fresh-tag", 0.5)).toDF("k", "op", "tag", "bal"), "k")
+    assert(MergeTable.bloomIndexedColumns(dir) == Map("tag" -> 1))
+    assert(MergeTable.scanEqualsBloom(spark, dir, "tag", "fresh-tag")
+      .select("k").as[Long].collect().toSeq == Seq(50L))
+    MergeTable.vacuum(spark, dir)
+    assert(!java.nio.file.Files.exists(staged), "staging survived vacuum")
+    assert(MergeTable.scanEqualsBloom(spark, dir, "tag", tagOf(333L))
+      .select("k").as[Long].collect().toSeq == Seq(333L))
+  }
+
   test("rebuild supersedes the old sidecar and restores full pruning") {
     val dir = tmpDir("bloomrebuild")
     MergeTable.write(spark, table(400), "k", dir, nFiles = 8)

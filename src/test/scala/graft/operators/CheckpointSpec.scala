@@ -190,6 +190,46 @@ class CheckpointSpec extends SparkSpecBase {
     assert(MergeTable.readTable(spark, dir, asOf = Some(0)).count() == 200)
   }
 
+  test("4-writer carry storm: dense log, exactly one winner per generation, rollups land") {
+    val dir = tmpDir("ckpt-race")
+    mkTable(dir)
+    val threads = 4
+    val perThread = 40 // 160 commits → 10 rollups, all under racing
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val futs = (1 to threads).map { t =>
+      pool.submit(new Runnable {
+        def run(): Unit = (1 to perThread).foreach { _ =>
+          var ok = false
+          while (!ok) {
+            try {
+              MergeTable.commitCarryForward(dir,
+                Map("op" -> "carry", "w" -> t.toString))
+              ok = true
+            } catch {
+              case _: java.util.ConcurrentModificationException => ()
+            }
+          }
+        }
+      })
+    }
+    try futs.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    finally pool.shutdown()
+    val cur = MergeTable.committedGen(dir).get
+    // every success advanced exactly one generation — no lost updates
+    assert(cur == threads * perThread, s"lost/duplicated commits: $cur")
+    // dense: every generation committed with a token (the CAS loser
+    // never half-publishes)
+    (0 to cur).foreach(g =>
+      assert(MergeTable.metaAt(dir, g).contains("token"), s"gen $g torn"))
+    // rollups kept landing under racing and the pointer is recent
+    assert(MergeTable.lastCheckpointGen(dir).exists(_ >= cur - K),
+      s"checkpointing stalled: ${MergeTable.lastCheckpointGen(dir)} vs $cur")
+    assert(MergeTable.readTable(spark, dir).count() == 200)
+    MergeTable.vacuum(spark, dir)
+    assert(MergeTable.readTable(spark, dir).count() == 200)
+    assert(MergeTable.committedGen(dir).contains(cur))
+  }
+
   test("vacuum keeps rollups and pointer, sweeps only their staged tmp files") {
     val dir = tmpDir("ckpt-vac")
     mkTable(dir)
