@@ -1259,8 +1259,89 @@ object ScaleProbe {
         require(auxBig / auxSmall < 4.0 || auxBig < 5.0,
           f"aux listings not flat under _log layout: $auxSmall%.3f -> $auxBig%.3f ms")
 
+      case "dv" =>
+        // Deletion vectors vs the keyed-merge delete on the SCATTERED
+        // shape (one key per file region — GDPR's "these ids,
+        // everywhere"): the merge path must touch ~every file (cost ∝
+        // TABLE), the vector path scans only the candidates' key
+        // column and writes ∝ deleted rows. Constant file size across
+        // a 4× table growth (partialz's regime): the vector delete's
+        // cost must grow like the key-column scan, the merge delete's
+        // like the full table rewrite. Reads stay exact either way;
+        // the vector's read tax is one anti-join against a
+        // deleted-rows-sized relation (measured for honesty).
+        val timings = Seq((rows / 4, 64), (rows, 256)).map { case (m, nFiles) =>
+          val dirA = java.nio.file.Files.createTempDirectory(s"probe-dv-$m").toString
+          val dirB = java.nio.file.Files.createTempDirectory(s"probe-dvm-$m").toString
+          val src = spark.range(m).select(col("id").as("k"),
+            pmod(xxhash64(col("id")), lit(1000)).as("seg"),
+            (pmod(xxhash64(col("id") + 7L), lit(100000)) / 100.0).as("bal"))
+          operators.MergeTable.write(spark, src, "k", dirA, nFiles)
+          operators.MergeTable.write(spark, src, "k", dirB, nFiles)
+          val step = m / 2048 // 2048 scattered victims: ~8 per file
+          val keys = spark.range(2048).select((col("id") * step).as("k"))
+            .localCheckpoint()
+          val t0 = System.nanoTime()
+          val st = operators.MergeTable.deleteKeys(spark, dirA, "k", keys)
+          val dvS = (System.nanoTime() - t0) / 1e9
+          require(st.touched.size > nFiles / 2,
+            s"fixture degenerate: only ${st.touched.size} files hit")
+          val t1 = System.nanoTime()
+          operators.MergeTable.merge(spark, dirB,
+            keys.select(col("k"), lit("D").as("op"),
+              lit(null).cast("long").as("seg"),
+              lit(null).cast("double").as("bal")), "k")
+          val mergeS = (System.nanoTime() - t1) / 1e9
+          // identical visible rows either way
+          val (ca, cb) = (operators.MergeTable.readTable(spark, dirA).count(),
+            operators.MergeTable.readTable(spark, dirB).count())
+          require(ca == cb && ca == m - keys.count(),
+            s"dv and merge deletes disagree: $ca vs $cb")
+          def readMs(dir: String): Double = {
+            val t = System.nanoTime()
+            operators.MergeTable.readTable(spark, dir)
+              .agg(sum(col("k"))).collect()
+            (System.nanoTime() - t) / 1e6
+          }
+          readMs(dirA); readMs(dirB) // warm
+          val (rA, rB) = (readMs(dirA), readMs(dirB))
+          println(f"$m%12d rows: dv delete $dvS%.2f s (${st.touched.size} files " +
+            f"vectored, 0 rewritten) vs merge delete $mergeS%.2f s; " +
+            f"read with vector ${rA}%.0f ms vs materialized ${rB}%.0f ms")
+          (dvS, mergeS)
+        }
+        val (dSmall, mSmall) = timings.head
+        val (dLarge, mLarge) = timings.last
+        println(f"4x table growth: dv delete ${dLarge / dSmall}%.2fx vs " +
+          f"merge delete ${mLarge / mSmall}%.2fx")
+        require(dLarge < mLarge,
+          f"vector delete should beat the scattered merge delete at scale: " +
+            f"$dLarge%.2f vs $mLarge%.2f s")
+        // mixed-case read tax: the fixtures above vector EVERY file
+        // (worst case). A vector confined to ~1/8 of the key space
+        // dirties ~1/8 of the files, and readVisible's split scans the
+        // clean 7/8 raw — the anti-join tax applies only to the dirty
+        // slice, which is the realistic partially-vectored regime.
+        val dirC = java.nio.file.Files.createTempDirectory("probe-dv-mix").toString
+        val srcC = spark.range(rows).select(col("id").as("k"),
+          pmod(xxhash64(col("id")), lit(1000)).as("seg"),
+          (pmod(xxhash64(col("id") + 7L), lit(100000)) / 100.0).as("bal"))
+        operators.MergeTable.write(spark, srcC, "k", dirC, 256)
+        val concentrated = spark.range(2048)
+          .select((col("id") * (rows / 8 / 2048)).as("k")).localCheckpoint()
+        val stC = operators.MergeTable.deleteKeys(spark, dirC, "k", concentrated)
+        def readMsC(): Double = {
+          val t = System.nanoTime()
+          operators.MergeTable.readTable(spark, dirC).agg(sum(col("k"))).collect()
+          (System.nanoTime() - t) / 1e6
+        }
+        readMsC() // warm
+        val rMix = readMsC()
+        println(f"mixed case: ${stC.touched.size}/256 files vectored, " +
+          f"read $rMix%.0f ms (clean files scan raw through the split)")
+
       case other =>
-        System.err.println(s"unknown probe '$other'; use topn | cumsum | incr | hh | bloom | skew | tri | pr | bitmap64 | annappend | build | tx17vocab | merge | drift | dd13sig | ivfcompact | ivm | bloomidx | bloommaint | partialz | ckpt")
+        System.err.println(s"unknown probe '$other'; use topn | cumsum | incr | hh | bloom | skew | tri | pr | bitmap64 | annappend | build | tx17vocab | merge | drift | dd13sig | ivfcompact | ivm | bloomidx | bloommaint | partialz | ckpt | dv")
         sys.exit(2)
     }
     spark.stop()

@@ -75,7 +75,8 @@ object GraftCLI {
       "drop-column <dir> <keyCol> <col> | " +
       "delete-where <dir> <keyCol> <col> <lo|_> <hi|_> | " +
       "update-where <dir> <keyCol> <col> <lo|_> <hi|_> <name=expr[;…]> | " +
-      "merge <dir> <keyCol> <changesParquetDir> | " +
+      "merge <dir> <keyCol> <changesParquetDir> | "  +
+      "delete-keys <dir> <keyCol> <k1,k2,…> | " +
       "cdc-horizons <dir> [maxAgeSec] | cdc-release <dir> <consumer> | " +
       "mv-create <src> <srcKey> <mv> <grpCol[,…]> <name=expr[;…]> | " +
       "mv-refresh <src> <mv>"
@@ -158,7 +159,9 @@ object GraftCLI {
           s"$dir at generation $g (${g + 1} commits; log checkpoint " +
             MergeTable.lastCheckpointGen(dir)
               .map(c => s"at g$c").getOrElse("none") + ")",
-          s"$files live files, $rows rows",
+          s"$files live files, $rows rows" +
+            MergeTable.dvInfo(dir, g).map { case (_, dvRows) =>
+              s" ($dvRows dv-hidden, ${rows - dvRows} visible)" }.getOrElse(""),
           "schema: " + MergeTable.schemaAt(dir, g)
             .map(_.fieldNames.mkString(", ")).getOrElse("(not recorded in log)"),
           "constraints: " + (if (cons.isEmpty) "none"
@@ -255,6 +258,26 @@ object GraftCLI {
         val st = MergeTable.merge(spark, dir, spark.read.parquet(changesDir), keyCol)
         Seq(s"merged $changesDir into $dir -> generation ${st.gen} " +
           s"(${st.touched.size} files rewritten, ${st.untouched.size} carried)")
+      case ("delete-keys", dir :: keyCol :: keysArg :: _) =>
+        // scattered keys → a deletion-vector commit, zero data rewritten
+        val g = MergeTable.committedGen(dir).getOrElse(
+          throw new IllegalArgumentException(
+            s"$dir is not a committed keyed table (no commit log)"))
+        val kt = MergeTable.schemaAt(dir, g)
+          .flatMap(_.fields.find(_.name.equalsIgnoreCase(keyCol)))
+          .map(_.dataType).getOrElse(throw new Usage(
+            s"no column '$keyCol' in the committed schema of $dir\n$tableUsage"))
+        import spark.implicits._
+        val keysDf = keysArg.split(",").toSeq.toDF("__raw")
+          .select(org.apache.spark.sql.functions.col("__raw").cast(kt).as(keyCol))
+        val st = MergeTable.deleteKeys(spark, dir, keyCol, keysDf)
+        if (st.gen == g)
+          Seq(s"no matching visible rows in $dir; nothing committed")
+        else {
+          val n = MergeTable.metaAt(dir, st.gen).getOrElse("deleted", "?")
+          Seq(s"hid $n row(s) in $dir as generation ${st.gen} " +
+            s"(deletion vector; ${st.touched.size} files affected, zero rewritten)")
+        }
       case ("cdc-horizons", dir :: rest) =>
         // optional [maxAgeSec] (default 24h): a LAGGING slot whose
         // last advance is older than this is flagged STALE — the

@@ -449,7 +449,8 @@ object MergeTable {
       .foreach(f => java.nio.file.Files.copy(f, dst.resolve(f.getFileName)))
     finally ls.close()
     try commitGen(dir, prev + 1, token,
-      meta ++ schemaAt(dir, prev).map(s => "schema" -> s.json))
+      inheritDvMeta(dir, prev) ++ meta ++
+        schemaAt(dir, prev).map(s => "schema" -> s.json))
     catch {
       case e: java.util.ConcurrentModificationException =>
         graft.IndexLifecycle.deleteRecursively(dst.toString)
@@ -706,7 +707,7 @@ object MergeTable {
     val next = prevGen + 1
     val token = newToken()
     val staging = dataDirOf(dir, next, token)
-    val df = readerFor(s, dir, prevGen).parquet(degraded: _*)
+    val df = readVisible(s, dir, prevGen, degraded)
     val outFiles = if (nFiles > 0) nFiles else math.max(1, degraded.size)
     // GLOBAL lattice bounds off the manifest stats (driver-side,
     // file-count-sized, zero data scan): the rewrite must tile the
@@ -741,13 +742,14 @@ object MergeTable {
     man0.filter(col("path").isin(carried: _*))
       .unionByName(newStats, allowMissingColumns = true)
       .coalesce(1).write.parquet(manifestDirOf(dir, next, token))
+    val dvMeta = dvMetaForCommit(s, dir, prevGen, next, token, degraded)
     try commitGen(dir, next, token, Map("op" -> "cluster",
       "cluster_cols" -> wanted,
-      "partial" -> degraded.size.toString) ++
+      "partial" -> degraded.size.toString) ++ dvMeta ++
       schemaAt(dir, prevGen).map(sch => Map("schema" -> sch.json)).getOrElse(Map.empty))
     catch {
       case e: java.util.ConcurrentModificationException =>
-        Seq(staging, manifestDirOf(dir, next, token))
+        Seq(staging, manifestDirOf(dir, next, token), s"$dir/${dvNameOf(next, token)}")
           .foreach(graft.IndexLifecycle.deleteRecursively)
         throw e
     }
@@ -795,8 +797,10 @@ object MergeTable {
     }
     // log-recorded schema (no footer pass); a manifest may span
     // generations with evolved schemas — pre-evolution files surface
-    // the newer columns as null under the explicit read schema
-    readerFor(s, dir, gen).parquet(paths.toIndexedSeq: _*)
+    // the newer columns as null under the explicit read schema.
+    // Deletion-vector rows hide here; only vectored files pay the
+    // anti-join (see readVisible), none on a vector-free table.
+    readVisible(s, dir, gen, paths.toIndexedSeq)
   }
 
   /** The table through [[GraftFileIndex]]: Catalyst pushes the
@@ -834,8 +838,11 @@ object MergeTable {
       bucketSpec = None,
       fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
       options = Map.empty)(s)
-    org.apache.spark.sql.graftbridge.SessionBridge.ofPlan(s,
-      org.apache.spark.sql.execution.datasources.LogicalRelation(relation))
+    // deletion-vector rows hide here too (`_metadata` resolves through
+    // HadoopFsRelation like any file source; pass-through when none)
+    applyDv(s, dir, gen,
+      org.apache.spark.sql.graftbridge.SessionBridge.ofPlan(s,
+        org.apache.spark.sql.execution.datasources.LogicalRelation(relation)))
   }
 
   /** Data-skipping scan: a range read over ANY statted column that
@@ -867,7 +874,7 @@ object MergeTable {
       .select("path").collect().map(_.getString(0)).toIndexedSeq
     val gen = committedGen(dir).get
     if (paths.nonEmpty)
-      readerFor(s, dir, gen).parquet(paths: _*)
+      readVisible(s, dir, gen, paths)
         .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
     else { // band misses every file: empty result, schema from any live file
       val any = man.select("path").limit(1).collect()
@@ -1269,8 +1276,242 @@ object MergeTable {
     val gen = committedGen(dir).get
     val base =
       if (cands.isEmpty) readTable(s, dir).limit(0)
-      else readerFor(s, dir, gen).parquet(cands: _*)
+      else readVisible(s, dir, gen, cands)
     base.filter(col(colName).isin(values: _*))
+  }
+
+  // ---- deletion vectors (scattered-key DELETE without rewrites) ----
+  //
+  // [[deleteWhere]] is the BAND delete (metadata drops + boundary
+  // rewrites); the shape it cannot serve at 100 TB is the SCATTERED
+  // key delete — "remove these 1M user ids everywhere", the
+  // GDPR/right-to-be-forgotten workload — where every key lands in a
+  // different file and the banded path degenerates to rewriting most
+  // of the table. Delta's answer is deletion vectors, and this is
+  // that design at this layer: a commit records the (file, row
+  // position) pairs to HIDE instead of rewriting the files, so the
+  // write cost is ∝ deleted rows, the data files stay byte-identical
+  // (carried across by reference as ever), and every read applies
+  // the vector as an anti-join on `(_metadata.file_path,
+  // _metadata.row_index)` — Spark's stable physical row identity for
+  // immutable files, with data-column predicates still pushing down
+  // through the join to the scan.
+  //
+  // Layout: `dir/dv-g<N>~<token>/` holds the CUMULATIVE (path, pos)
+  // relation for the generation that committed it; the commit meta
+  // records `dv=<dirname>` + `dv_rows=<count>`. A commit that leaves
+  // the vector untouched CARRIES the meta reference (pointing at the
+  // older dir, exactly how manifests reference older files-g dirs);
+  // a commit that rewrites or drops files prunes their entries (the
+  // rewrite read was vector-filtered, so the new bytes already
+  // exclude the deleted rows — keeping stale entries would be wrong
+  // the day row positions coincide). [[compact]]/[[recluster]] are
+  // therefore also the vector-materialization passes: a full rewrite
+  // clears it. No `dv` meta key = zero read-path overhead.
+  //
+  // Path forms: vector entries store `_metadata.file_path`'s form so
+  // the producer and the probing anti-join are bit-identical;
+  // manifest paths (input_file_name form) differ in slash count, so
+  // every CROSS-form comparison normalizes driver-side via
+  // [[normPath]] — never inside an expression.
+
+  private def dvNameOf(gen: Int, token: String) = s"dv-g$gen~$token"
+
+  private def normPath(p: String): String =
+    java.nio.file.Path.of(java.net.URI.create(p)).toAbsolutePath.toString
+
+  /** The deletion-vector dir name + recorded deleted-row count at
+    * `gen` (None = no vector, reads are raw scans).
+    */
+  def dvInfo(dir: String, gen: Int): Option[(String, Long)] = {
+    val m = metaAt(dir, gen)
+    m.get("dv").map(n => (n, m.get("dv_rows").flatMap(_.toLongOption).getOrElse(-1L)))
+  }
+
+  private def dvFrameAt(s: SparkSession, dir: String, gen: Int): Option[DataFrame] =
+    metaAt(dir, gen).get("dv").map { n =>
+      val d = s"$dir/$n"
+      require(java.nio.file.Files.exists(java.nio.file.Path.of(d)),
+        s"generation $gen unavailable: its deletion-vector dir $n was vacuumed")
+      val df = s.read.parquet(d)
+      // the committed dv_rows count is free plan knowledge the
+      // optimizer doesn't have: a small vector (the overwhelmingly
+      // common case) broadcasts, keeping the anti-join off the
+      // shuffle path; a huge one (approaching compaction territory)
+      // is left to the planner
+      if (metaAt(dir, gen).get("dv_rows").flatMap(_.toLongOption)
+          .exists(r => r > 0 && r <= 4000000L)) broadcast(df)
+      else df
+    }
+
+  /** Hide `gen`'s deleted rows from a DIRECT parquet scan: anti-join
+    * on the stable physical row identity. Pass-through (zero plan
+    * change) when the generation has no vector.
+    */
+  private def applyDv(s: SparkSession, dir: String, gen: Int,
+                      df: DataFrame): DataFrame =
+    dvFrameAt(s, dir, gen) match {
+      case None => df
+      case Some(dv) => dvAntiJoin(df, dv)
+    }
+
+  private def dvAntiJoin(df: DataFrame, dv: DataFrame): DataFrame =
+    df.selectExpr("*", "_metadata.file_path AS __dv_fp",
+        "_metadata.row_index AS __dv_ri")
+      .join(dv.select(col("path").as("__dv_fp"), col("pos").as("__dv_ri")),
+        Seq("__dv_fp", "__dv_ri"), "left_anti")
+      .drop("__dv_fp", "__dv_ri")
+
+  /** The visible rows of `paths` at `gen` — the vector-aware
+    * multi-path read every consumer funnels through. The read SPLITS:
+    * files with no vector entries scan RAW (full vectorized read +
+    * whole-stage codegen, zero tax), only vectored files pay the
+    * anti-join (which materializes a per-row `_metadata.file_path`
+    * string) — so a table where a vector touches 1% of files pays the
+    * tax on 1% of the scan, and a vector-free table takes the
+    * pass-through branch entirely. The dirty-path split is one
+    * file-count-bounded distinct over the vector relation,
+    * driver-side like the manifest read that precedes every caller.
+    */
+  private def readVisible(s: SparkSession, dir: String, gen: Int,
+                          paths: Seq[String]): DataFrame = {
+    val raw = readerFor(s, dir, gen).parquet(paths: _*)
+    dvFrameAt(s, dir, gen) match {
+      case None => raw
+      case Some(dv) =>
+        val dirtyNorm = dv.select("path").distinct().collect()
+          .map(r => normPath(r.getString(0))).toSet
+        val (dirty, clean) = paths.partition(p => dirtyNorm.contains(normPath(p)))
+        if (dirty.isEmpty) raw
+        else {
+          val d = dvAntiJoin(readerFor(s, dir, gen).parquet(dirty: _*), dv)
+          if (clean.isEmpty) d
+          else readerFor(s, dir, gen).parquet(clean: _*).unionByName(d)
+        }
+    }
+  }
+
+  /** The vector meta a file-rewriting commit carries forward: entries
+    * for `removedPaths` (rewritten or dropped — their replacement
+    * bytes were produced from vector-FILTERED reads) are pruned; an
+    * untouched vector carries the OLD dir reference without a write;
+    * a fully-drained vector drops the meta key (table reads raw
+    * again). Driver cost: one file-count-sized groupBy over the
+    * vector's paths.
+    */
+  private def dvMetaForCommit(s: SparkSession, dir: String, prevGen: Int,
+                              nextGen: Int, token: String,
+                              removedPaths: Seq[String]): Map[String, String] =
+    metaAt(dir, prevGen).get("dv") match {
+      case None => Map.empty
+      case Some(old) =>
+        val oldDf = s.read.parquet(s"$dir/$old")
+        val removedNorm = removedPaths.map(normPath).toSet
+        val perPath = oldDf.groupBy("path").count().collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        val removeDvForm = perPath.map(_._1)
+          .filter(p => removedNorm.contains(normPath(p))).toSet
+        if (removeDvForm.isEmpty)
+          Map("dv" -> old) ++ metaAt(dir, prevGen).get("dv_rows").map("dv_rows" -> _)
+        else {
+          val remaining = perPath.filterNot(t => removeDvForm.contains(t._1))
+          if (remaining.isEmpty) Map.empty
+          else {
+            oldDf.filter(!col("path").isin(removeDvForm.toSeq: _*))
+              .coalesce(4).write.parquet(s"$dir/${dvNameOf(nextGen, token)}")
+            Map("dv" -> dvNameOf(nextGen, token),
+              "dv_rows" -> remaining.map(_._2).sum.toString)
+          }
+        }
+    }
+
+  /** `dv`/`dv_rows` carried verbatim — for metadata-only commits
+    * (dropColumn, carry-forward, restore-to-generation) that change
+    * no file's visibility.
+    */
+  private def inheritDvMeta(dir: String, fromGen: Int): Map[String, String] = {
+    val m = metaAt(dir, fromGen)
+    m.get("dv").map("dv" -> _).toMap ++ m.get("dv_rows").map("dv_rows" -> _).toMap
+  }
+
+  /** DELETE scattered keys via a deletion-vector commit: stats-prune
+    * the candidate files (each key hits its range's files — on a
+    * key-ordered layout, |keys| files, not the table), scan ONLY
+    * their key column to locate row positions, and commit the grown
+    * vector with the manifest carried VERBATIM — zero data bytes
+    * rewritten, cost ∝ candidates' key column + existing vector. The
+    * band shapes stay on [[deleteWhere]]; this is the 1M-scattered-
+    * keys shape where banding degenerates to a near-full rewrite.
+    * Rows already hidden by the current vector never re-enter it.
+    * Returns MergeStats(gen, files that gained vector entries, rest);
+    * a batch hitting nothing commits nothing.
+    */
+  def deleteKeys(s: SparkSession, dir: String, keyCol: String,
+                 keys: DataFrame): MergeStats = {
+    val prevGen = committedGen(dir).getOrElse(
+      sys.error(s"$dir is not a committed keyed table (no commit log)"))
+    val next = prevGen + 1
+    val token = newToken()
+    val man = manifestAt(s, dir, prevGen)
+    val allPaths = man.select("path").collect().map(_.getString(0)).toIndexedSeq
+    val keyDf = keys.select(col(keys.columns.head).as(keyCol)).distinct()
+    val ranges = man.select(col("path"),
+      col(s"min_$keyCol").as("__mn"), col(s"max_$keyCol").as("__mx"))
+    // null-admits like every stats consumer (merge's touched logic)
+    val cands = keyDf.join(broadcast(ranges),
+        (col("__mn").isNull || col(keyCol) >= col("__mn")) &&
+          (col("__mx").isNull || col(keyCol) <= col("__mx")))
+      .select("path").distinct().collect().map(_.getString(0)).toIndexedSeq
+    if (cands.isEmpty) return MergeStats(prevGen, Nil, allPaths)
+    val scan = readerFor(s, dir, prevGen).parquet(cands: _*)
+      .select(col(keyCol), col("_metadata.file_path").as("path"),
+        col("_metadata.row_index").as("pos"))
+    val oldDv = dvFrameAt(s, dir, prevGen)
+    val visible = oldDv.fold(scan)(dv =>
+      scan.join(dv, Seq("path", "pos"), "left_anti"))
+    // localCheckpoint: the hit set is read twice (count + vector
+    // write) and must not re-scan the candidates' key column twice
+    val hits = visible.join(keyDf, Seq(keyCol), "left_semi")
+      .select("path", "pos").localCheckpoint()
+    val fresh = hits.count()
+    if (fresh == 0L) return MergeStats(prevGen, Nil, allPaths)
+    val newDv = oldDv.fold(hits)(_.unionByName(hits))
+    newDv.coalesce(4).write.parquet(s"$dir/${dvNameOf(next, token)}")
+    man.coalesce(1).write.parquet(manifestDirOf(dir, next, token))
+    val prevRows = metaAt(dir, prevGen).get("dv_rows")
+      .flatMap(_.toLongOption).getOrElse(0L)
+    try commitGen(dir, next, token, Map("op" -> "dvdelete",
+      "dv" -> dvNameOf(next, token),
+      "dv_rows" -> (prevRows + fresh).toString,
+      "deleted" -> fresh.toString) ++
+      schemaAt(dir, prevGen).map(sch => Map("schema" -> sch.json)).getOrElse(Map.empty))
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        Seq(s"$dir/${dvNameOf(next, token)}", manifestDirOf(dir, next, token))
+          .foreach(graft.IndexLifecycle.deleteRecursively)
+        throw e
+    }
+    val dvPaths = hits.select("path").distinct().collect()
+      .map(r => normPath(r.getString(0))).toSet
+    val touched = allPaths.filter(p => dvPaths.contains(normPath(p)))
+    MergeStats(next, touched, allPaths.filterNot(touched.contains))
+  }
+
+  /** Convenience overload: keys as literals, typed by the table's
+    * key column.
+    */
+  def deleteKeys(s: SparkSession, dir: String, keyCol: String,
+                 keys: Seq[Any]): MergeStats = {
+    val gen = committedGen(dir).getOrElse(
+      sys.error(s"$dir is not a committed keyed table (no commit log)"))
+    val kt = schemaAt(dir, gen)
+      .flatMap(_.fields.find(_.name.equalsIgnoreCase(keyCol))).map(_.dataType)
+      .getOrElse(sys.error(s"$dir records no schema; pass keys as a DataFrame"))
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField(keyCol, kt)))
+    val rows = keys.map(k => org.apache.spark.sql.Row(k))
+    deleteKeys(s, dir, keyCol,
+      s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), schema))
   }
 
   def changesStream(s: SparkSession, dir: String, keyCol: String,
@@ -1323,12 +1564,30 @@ object MergeTable {
       .collect().map(_.getString(0)).toSet
     val pathsB = manifestAt(s, dir, toGen).select("path")
       .collect().map(_.getString(0)).toSet
-    val onlyA = (pathsA -- pathsB).toIndexedSeq // superseded in the span
-    val onlyB = (pathsB -- pathsA).toIndexedSeq // written in the span
+    // deletion vectors: a file in BOTH manifests still changes VISIBLY
+    // when the span grew its vector (a dvdelete hid rows without
+    // touching bytes). Vectors are per-path monotone on carried files
+    // (only a rewrite removes entries, and a rewrite changes the path
+    // set), so "vector changed" ⟺ per-path entry count differs —
+    // decided driver-side over the file-count-bounded path sets. Such
+    // files diff on BOTH sides, each side vector-filtered as of its
+    // generation: untouched residents cancel in the join and the
+    // span's hidden rows surface as D, with no DML-side bookkeeping.
+    def dvCounts(gen: Int): Map[String, Long] =
+      dvFrameAt(s, dir, gen).map(_.groupBy("path").count().collect()
+        .map(r => (normPath(r.getString(0)), r.getLong(1))).toMap)
+        .getOrElse(Map.empty)
+    val (dvA, dvB) = (dvCounts(fromGen), dvCounts(toGen))
+    val dvChanged = (pathsA intersect pathsB).filter { p =>
+      val np = normPath(p)
+      dvA.getOrElse(np, 0L) != dvB.getOrElse(np, 0L)
+    }.toIndexedSeq
+    val onlyA = (pathsA -- pathsB).toIndexedSeq ++ dvChanged
+    val onlyB = (pathsB -- pathsA).toIndexedSeq ++ dvChanged
     val anyPath = (onlyA ++ onlyB ++ pathsA ++ pathsB).headOption.getOrElse(
       sys.error(s"$dir has no data files in either generation; no schema to diff"))
     def side(paths: IndexedSeq[String], gen: Int) =
-      if (paths.nonEmpty) readerFor(s, dir, gen).parquet(paths: _*)
+      if (paths.nonEmpty) readVisible(s, dir, gen, paths)
       else readerFor(s, dir, gen).parquet(anyPath).limit(0)
     val (o0, n0) = (side(onlyA, fromGen), side(onlyB, toGen))
     // value columns = union of both sides (the span may cross a schema
@@ -1535,6 +1794,12 @@ object MergeTable {
     val keepManifests: Set[String] = (protectedGens - cur).flatMap { g =>
       metaAt(dir, g).get("token").map(t => s"manifest-g$g~$t")
     } + curManifest
+    // deletion-vector dirs follow the manifests' lifecycle: keep every
+    // dir a kept generation's meta references (a carried reference may
+    // name an older generation's dir, like manifests reference older
+    // files-g dirs' files), sweep the superseded rest
+    val keepDvs: Set[String] = (protectedGens + cur)
+      .flatMap(g => metaAt(dir, g).get("dv"))
     // governance log: only versions BELOW the current one are sweepable
     val governMax = Seq("_dropped_cols", "_constraints")
       .flatMap(b => governVersions(dir, b).maxOption.map(b -> _)).toMap
@@ -1563,6 +1828,11 @@ object MergeTable {
       // history; a vacuumed generation fails loudly in manifestAt
       if (name.startsWith("manifest-g") && !keepManifests.contains(name) &&
           oldEnough(p)) {
+        graft.IndexLifecycle.deleteRecursively(p.toString); deleted += 1
+      } else if (name.startsWith("dv-g") && !keepDvs.contains(name) &&
+          oldEnough(p)) {
+        // a superseded deletion-vector dir — its generation's reads end
+        // here exactly like a vacuumed manifest (dvFrameAt is loud)
         graft.IndexLifecycle.deleteRecursively(p.toString); deleted += 1
       } else if (name.startsWith("_commit.tmp") && oldEnough(p)) {
         // a crashed commit's staged log entry — never observed by readers
@@ -1665,13 +1935,20 @@ object MergeTable {
     require(missing.isEmpty,
       s"cannot restore $dir to generation $toGen: ${missing.length} referenced " +
         s"file(s) no longer exist (vacuumed), e.g. ${missing.take(3).mkString(", ")}")
+    // a restore point's deletion vector is part of its visible state:
+    // re-reference it (loud when vacuumed, like the manifest)
+    metaAt(dir, toGen).get("dv").foreach(n => require(
+      java.nio.file.Files.exists(java.nio.file.Path.of(s"$dir/$n")),
+      s"cannot restore $dir to generation $toGen: its deletion-vector " +
+        s"dir $n was vacuumed"))
     val next = cur + 1
     val token = newToken()
     man.coalesce(1).write.parquet(manifestDirOf(dir, next, token))
     val schemaJson = schemaAt(dir, toGen).map(_.json)
       .orElse(schemaAt(dir, cur).map(_.json))
     commitGen(dir, next, token, schemaJson.map("schema" -> _).toMap +
-      ("op" -> "restore") + ("restore_of" -> toGen.toString))
+      ("op" -> "restore") + ("restore_of" -> toGen.toString) ++
+      inheritDvMeta(dir, toGen))
     next
   }
 
@@ -1724,7 +2001,20 @@ object MergeTable {
             s"sound; rebuild with buildBloomIndex): $e")
         }
       }
-    commitGen(dstDir, 0, token, meta)
+    // the deletion vector is part of the cloned visible state: COPIED
+    // (vector-sized), not referenced — the source's vacuum after
+    // divergence must not be able to blind the clone's reads. Entries
+    // name the SOURCE's file paths, which is exactly what the clone's
+    // gen-0 manifest references.
+    val dvCloneMeta: Map[String, String] = metaAt(srcDir, g).get("dv") match {
+      case None => Map.empty
+      case Some(n) =>
+        val dst = dvNameOf(0, token)
+        org.apache.commons.io.FileUtils.copyDirectory(
+          new java.io.File(s"$srcDir/$n"), new java.io.File(s"$dstDir/$dst"))
+        Map("dv" -> dst) ++ metaAt(srcDir, g).get("dv_rows").map("dv_rows" -> _)
+    }
+    commitGen(dstDir, 0, token, meta ++ dvCloneMeta)
     g
   }
 
@@ -1852,7 +2142,9 @@ object MergeTable {
         if (changeVals.contains(c)) col(c)
         else lit(null).cast(tableType(c)).as(c) }: _*)
     val rewritten: Option[DataFrame] = if (touched.nonEmpty) {
-      val t = readerFor(s, dir, prevGen).parquet(touched: _*)
+      // vector-filtered: a rewritten file's replacement bytes must not
+      // resurrect rows a deletion-vector commit already hid
+      val t = readVisible(s, dir, prevGen, touched)
       val overlay = changes.filter(col("op") === "U")
         .select(col(keyCol) +: changeVals.map(c => col(c).as(s"__u_$c")): _*)
       val del = changes.filter(col("op") === "D").select(col(keyCol))
@@ -1880,12 +2172,14 @@ object MergeTable {
     man.filter(col("path").isin(untouched: _*))
       .unionByName(newStats, allowMissingColumns = true)
       .coalesce(1).write.parquet(manifestDirOf(dir, next, token))
-    // the union schema rides the commit-log entry (schema-in-log)
+    // the union schema rides the commit-log entry (schema-in-log);
+    // the deletion vector carries minus the rewritten files' entries
+    val dvMeta = dvMetaForCommit(s, dir, prevGen, next, token, touched)
     try commitGen(dir, next, token,
-      Map("op" -> "merge") ++ meta + ("schema" -> newRows.schema.json))
+      Map("op" -> "merge") ++ meta ++ dvMeta + ("schema" -> newRows.schema.json))
     catch {
       case e: java.util.ConcurrentModificationException =>
-        Seq(staging, manifestDirOf(dir, next, token))
+        Seq(staging, manifestDirOf(dir, next, token), s"$dir/${dvNameOf(next, token)}")
           .foreach(graft.IndexLifecycle.deleteRecursively)
         throw e
     }
@@ -1947,18 +2241,21 @@ object MergeTable {
       math.ceil(small.map(_.getLong(1)).sum.toDouble / targetRows).toInt)
     val staging = dataDirOf(dir, next, token)
     // log-schema read: the fold set may span an evolution; the
-    // compacted files must carry the union schema
-    readerFor(s, dir, prevGen).parquet(touched: _*)
+    // compacted files must carry the union schema. Vector-filtered:
+    // compaction is also the deletion-vector MATERIALIZATION pass —
+    // folded files shed their hidden rows physically
+    readVisible(s, dir, prevGen, touched)
       .repartitionByRange(outFiles, col(keyCol))
       .write.parquet(staging)
     man.filter(col("path").isin(untouched: _*))
       .unionByName(statsOf(s, staging, keyCol), allowMissingColumns = true)
       .coalesce(1).write.parquet(manifestDirOf(dir, next, token))
-    try commitGen(dir, next, token, Map("op" -> "compact") ++
+    val dvMeta = dvMetaForCommit(s, dir, prevGen, next, token, touched)
+    try commitGen(dir, next, token, Map("op" -> "compact") ++ dvMeta ++
       schemaAt(dir, prevGen).map(sch => Map("schema" -> sch.json)).getOrElse(Map.empty))
     catch {
       case e: java.util.ConcurrentModificationException =>
-        Seq(staging, manifestDirOf(dir, next, token))
+        Seq(staging, manifestDirOf(dir, next, token), s"$dir/${dvNameOf(next, token)}")
           .foreach(graft.IndexLifecycle.deleteRecursively)
         throw e
     }
@@ -2052,7 +2349,9 @@ object MergeTable {
     val token = newToken()
     val staging = dataDirOf(dir, next, token)
     if (rewrite.nonEmpty) {
-      val survivors = readerFor(s, dir, prevGen).parquet(rewrite: _*)
+      // vector-filtered: the boundary rewrite must not resurrect rows
+      // a deletion-vector commit already hid
+      val survivors = readVisible(s, dir, prevGen, rewrite)
         .filter(!coalesce(bandPredicate(colName, lo, hi), lit(false)))
       survivors.repartitionByRange(math.max(1, rewrite.size), col(keyCol))
         .write.parquet(staging)
@@ -2063,11 +2362,15 @@ object MergeTable {
     man.filter(col("path").isin(carried: _*))
       .unionByName(newStats, allowMissingColumns = true)
       .coalesce(1).write.parquet(manifestDirOf(dir, next, token))
-    try commitGen(dir, next, token, Map("op" -> "delete") ++
+    // the all-match metadata drop stays sound under a vector: every
+    // PHYSICAL row matching implies every VISIBLE row matches, and the
+    // dropped file takes its vector entries with it
+    val dvMeta = dvMetaForCommit(s, dir, prevGen, next, token, dropped ++ rewrite)
+    try commitGen(dir, next, token, Map("op" -> "delete") ++ dvMeta ++
       schemaAt(dir, prevGen).map(sch => Map("schema" -> sch.json)).getOrElse(Map.empty))
     catch {
       case e: java.util.ConcurrentModificationException =>
-        Seq(staging, manifestDirOf(dir, next, token))
+        Seq(staging, manifestDirOf(dir, next, token), s"$dir/${dvNameOf(next, token)}")
           .foreach(graft.IndexLifecycle.deleteRecursively)
         throw e
     }
@@ -2112,7 +2415,7 @@ object MergeTable {
     val token = newToken()
     val staging = dataDirOf(dir, next, token)
     val band = bandPredicate(colName, lo, hi)
-    val t = readerFor(s, dir, prevGen).parquet(rewrite: _*)
+    val t = readVisible(s, dir, prevGen, rewrite)
     // cast each set expression to the column's existing type: the
     // rewritten files must stay physically readable under the
     // UNCHANGED log schema the commit carries forward
@@ -2127,11 +2430,12 @@ object MergeTable {
     man.filter(col("path").isin(carried: _*))
       .unionByName(statsOf(s, staging, keyCol), allowMissingColumns = true)
       .coalesce(1).write.parquet(manifestDirOf(dir, next, token))
-    try commitGen(dir, next, token, Map("op" -> "update") ++
+    val dvMeta = dvMetaForCommit(s, dir, prevGen, next, token, rewrite)
+    try commitGen(dir, next, token, Map("op" -> "update") ++ dvMeta ++
       schemaAt(dir, prevGen).map(sch => Map("schema" -> sch.json)).getOrElse(Map.empty))
     catch {
       case e: java.util.ConcurrentModificationException =>
-        Seq(staging, manifestDirOf(dir, next, token))
+        Seq(staging, manifestDirOf(dir, next, token), s"$dir/${dvNameOf(next, token)}")
           .foreach(graft.IndexLifecycle.deleteRecursively)
         throw e
     }
@@ -2299,7 +2603,8 @@ object MergeTable {
     // winner's state).
     updateDroppedCols(dir)(_ + colName)
     try commitGen(dir, next, token, Map("op" -> "dropcol",
-      "dropped" -> colName, "schema" -> newSch.json))
+      "dropped" -> colName, "schema" -> newSch.json) ++
+      inheritDvMeta(dir, prevGen))
     catch {
       case e: java.util.ConcurrentModificationException =>
         rollbackRetirement(dir, colName)
@@ -2930,7 +3235,30 @@ object MergeTable {
       .orderBy("k")
   }
 
+  /** q75: scattered-key DELETE via a deletion-vector commit — every
+    * 97th custkey, spread across the whole key range: the shape where
+    * [[deleteWhere]]'s banding degenerates to a near-full rewrite and
+    * [[deleteKeys]] writes ∝ deleted rows instead, data files
+    * byte-identical (spec-asserted). The read aggregates THROUGH the
+    * vector anti-join; the oracle is the plain NOT-filtered
+    * aggregation — any resurrected or over-hidden row breaks the hash.
+    */
+  val q75_dv_delete: Q = (s, d) => {
+    val dir = fixtureDir(s, d, "dvtab")
+    val t = Tables.customer(s, d)
+      .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+        col("c_acctbal").as("bal"))
+    write(s, t, "k", dir, nFiles = 16)
+    deleteKeys(s, dir, "k", t.filter(col("k") % 97 === 0).select("k"))
+    readTable(s, dir)
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("bal") * 100).cast("long")).as("cents"))
+      .orderBy("seg")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q75_dv_delete" -> q75_dv_delete,
     "q73_bloom_maintained" -> q73_bloom_maintained,
     "q74_partial_recluster" -> q74_partial_recluster,
     "q67_restore" -> q67_restore,
@@ -2949,6 +3277,12 @@ object MergeTable {
     "q66_update_where" -> q66_update_where)
 
   val oracles: Map[String, String] = Map(
+    // deletion-vector delete ≡ declarative NOT-IN filter
+    "q75_dv_delete" ->
+      """SELECT c_mktsegment AS seg, count(*) AS n,
+        |  cast(sum(cast(round(c_acctbal * 100) as bigint)) as bigint) AS cents
+        |FROM customer WHERE c_custkey % 97 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the q59 merge CTEs carrying a tag column, probed by a 3-needle
     // IN filter — the fold-maintained sidecar must surface exactly a
     // rewritten row's kept tag, an untouched row's tag, and an

@@ -196,6 +196,27 @@ class CLISpec extends SparkSpecBase {
       .contains("no registered"))
   }
 
+  test("delete-keys verb hides scattered keys and stats reports the hidden count") {
+    import graft.operators.MergeTable
+    import spark.implicits._
+    val dir = tmpDir("cli-dv")
+    MergeTable.write(spark,
+      (1 to 200).map(i => (i.toLong, i * 1.0)).toDF("k", "bal"), "k", dir, nFiles = 2)
+    val out = GraftCLI.table(spark, "delete-keys", List(dir, "k", "5,105,199"))
+    assert(out.head.startsWith("hid 3 row(s)") &&
+      out.head.contains("generation 1"), out.toString)
+    assert(MergeTable.readTable(spark, dir).count() == 197)
+    // no matching visible rows → nothing commits
+    assert(GraftCLI.table(spark, "delete-keys", List(dir, "k", "5,99999"))
+      .head.startsWith("no matching"))
+    assert(MergeTable.committedGen(dir).contains(1))
+    val stats = GraftCLI.table(spark, "stats", List(dir))
+    assert(stats.exists(_.contains("(3 dv-hidden, 197 visible)")), stats.toString)
+    intercept[GraftCLI.Usage] {
+      GraftCLI.table(spark, "delete-keys", List(dir, "nope", "1"))
+    }
+  }
+
   test("cdc-horizons flags an abandoned slot by lag + age; caught-up slots never") {
     import graft.operators.MergeTable
     import spark.implicits._

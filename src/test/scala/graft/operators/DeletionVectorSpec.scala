@@ -1,0 +1,208 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Deletion vectors: scattered-key DELETE as a metadata commit —
+  * data files byte-identical, every read path exact through the
+  * vector anti-join, rewriting ops prune entries for the files they
+  * replace (never resurrecting hidden rows), compaction
+  * materializes, CDC reports the hidden rows as D with no DML-side
+  * bookkeeping, and time travel / restore / clone / vacuum follow
+  * the manifest's exact lifecycle.
+  */
+class DeletionVectorSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def mkTable(dir: String, n: Int = 1000, files: Int = 8): Unit =
+    MergeTable.write(spark,
+      (1 to n).map(k => (k.toLong, s"s${k % 4}", k * 1.5)).toDF("k", "seg", "bal"),
+      "k", dir, nFiles = files)
+
+  private def keysOf(dir: String): Set[Long] =
+    MergeTable.readTable(spark, dir).select("k").as[Long].collect().toSet
+
+  private def mtimes(dir: String): Map[String, Long] =
+    MergeTable.manifest(spark, dir).select("path").collect().map { r =>
+      val p = java.nio.file.Path.of(java.net.URI.create(r.getString(0)))
+      p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis
+    }.toMap
+
+  test("scattered delete hides rows with zero data bytes rewritten; idempotent; no-op on absent keys") {
+    val dir = tmpDir("dv-basic")
+    mkTable(dir)
+    val before = mtimes(dir)
+    val victims = (1L to 1000L by 97).toSeq // one per file region, scattered
+    val st = MergeTable.deleteKeys(spark, dir, "k", victims)
+    assert(st.gen == 1 && st.touched.nonEmpty)
+    // data files untouched byte-for-byte (same paths, same mtimes)
+    assert(mtimes(dir) == before, "a dv delete rewrote data files")
+    assert(keysOf(dir) == (1L to 1000L).toSet -- victims)
+    assert(MergeTable.readTable(spark, dir).count() == 1000 - victims.size)
+    val Some((_, rows)) = MergeTable.dvInfo(dir, 1): @unchecked
+    assert(rows == victims.size)
+    // same keys again: already hidden, nothing commits
+    assert(MergeTable.deleteKeys(spark, dir, "k", victims).gen == 1)
+    // absent keys: stats may admit candidates, but zero hits → no commit
+    assert(MergeTable.deleteKeys(spark, dir, "k", Seq(500000L, 600000L)).gen == 1)
+    assert(MergeTable.committedGen(dir).contains(1))
+    // a second batch GROWS the vector (cumulative)
+    assert(MergeTable.deleteKeys(spark, dir, "k", Seq(2L, 3L)).gen == 2)
+    assert(keysOf(dir) == (1L to 1000L).toSet -- victims -- Set(2L, 3L))
+    assert(MergeTable.dvInfo(dir, 2).exists(_._2 == victims.size + 2))
+  }
+
+  test("every read path applies the vector: scanWhere, scanRange, bloom lookup, readIndexed") {
+    val dir = tmpDir("dv-reads")
+    mkTable(dir)
+    MergeTable.buildBloomIndex(spark, dir, "k", numBits = 1 << 14)
+    MergeTable.deleteKeys(spark, dir, "k", Seq(100L, 500L, 900L))
+    assert(MergeTable.scanWhere(spark, dir, "k", 90L, 110L)
+      .select("k").as[Long].collect().toSet == (90L to 110L).toSet - 100L)
+    assert(MergeTable.scanRange(spark, dir, "k", 499L, 501L)
+      .select("k").as[Long].collect().toSet == Set(499L, 501L))
+    // the sidecar still ADMITS the file (sketches are physical) but
+    // the residual read hides the row — exact, just unpruned
+    assert(MergeTable.scanEqualsBloom(spark, dir, "k", 500L).count() == 0)
+    assert(MergeTable.scanEqualsBloom(spark, dir, "k", 501L)
+      .select("k").as[Long].collect().toSeq == Seq(501L))
+    // Catalyst-integrated read: _metadata resolves through the custom
+    // HadoopFsRelation and the anti-join rides above the pruned scan
+    assert(MergeTable.readIndexed(spark, dir).filter(col("k") === 900L).count() == 0)
+    assert(MergeTable.readIndexed(spark, dir).filter(col("k").between(890, 910))
+      .select("k").as[Long].collect().toSet == (890L to 910L).toSet - 900L)
+  }
+
+  test("rewriting ops never resurrect: merge prunes entries for its files, compact materializes") {
+    val dir = tmpDir("dv-rewrite")
+    mkTable(dir)
+    MergeTable.deleteKeys(spark, dir, "k", Seq(10L, 11L, 990L))
+    // a merge updating a NEIGHBOR key rewrites the low file: its
+    // replacement bytes must exclude 10/11, and their vector entries
+    // must leave with the file (else a future coincidental row
+    // position would hide the wrong row)
+    MergeTable.merge(spark, dir,
+      Seq((12L, "U", "sX", 9.9)).toDF("k", "op", "seg", "bal"), "k")
+    assert(keysOf(dir) == (1L to 1000L).toSet -- Set(10L, 11L, 990L))
+    assert(MergeTable.readTable(spark, dir).filter(col("k") === 12L)
+      .select("seg").as[String].head() == "sX")
+    // the untouched file's entry (990) survives the prune
+    assert(MergeTable.dvInfo(dir, 2).exists(_._2 == 1L))
+    // full-table compaction materializes: vector gone, rows identical
+    val visible = keysOf(dir)
+    MergeTable.compact(spark, dir, "k", targetRows = 1000000L)
+    assert(MergeTable.dvInfo(dir, MergeTable.committedGen(dir).get).isEmpty,
+      "compaction should drain the vector")
+    assert(keysOf(dir) == visible)
+    // physically gone too: raw file bytes no longer carry the rows
+    val raw = MergeTable.manifest(spark, dir).select("path").collect()
+      .map(_.getString(0)).toSeq
+    assert(spark.read.parquet(raw: _*).filter(col("k").isin(10L, 11L, 990L))
+      .count() == 0, "materialization left hidden rows in the bytes")
+  }
+
+  test("deleteWhere and updateWhere compose with a live vector") {
+    val dir = tmpDir("dv-dml")
+    mkTable(dir)
+    MergeTable.deleteKeys(spark, dir, "k", Seq(50L, 450L, 850L))
+    // band delete: drops whole files (entries leave with them),
+    // rewrites the boundary (vector-filtered input)
+    MergeTable.deleteWhere(spark, dir, "k", "k", Some(1L), Some(400L))
+    assert(keysOf(dir) == (401L to 1000L).toSet -- Set(450L, 850L))
+    // banded update must not resurrect 450
+    MergeTable.updateWhere(spark, dir, "k", "k", Some(440L), Some(460L),
+      Map("bal" -> lit(0.0)))
+    assert(keysOf(dir) == (401L to 1000L).toSet -- Set(450L, 850L))
+    assert(MergeTable.readTable(spark, dir)
+      .filter(col("k").between(440, 460) && col("bal") =!= 0.0).count() == 0)
+  }
+
+  test("CDC: the span's hidden rows surface as D from the manifest+vector diff alone") {
+    val dir = tmpDir("dv-cdc")
+    mkTable(dir)
+    MergeTable.deleteKeys(spark, dir, "k", Seq(7L, 700L))
+    val d1 = MergeTable.changesBetween(spark, dir, 0, 1, "k")
+    assert(d1.select("change_op").distinct().as[String].collect().toSeq == Seq("D"))
+    assert(d1.select("k").as[Long].collect().toSet == Set(7L, 700L))
+    // pre-images ride the D rows (what a delta-maintained view retracts)
+    val pre = MergeTable.changesBetween(spark, dir, 0, 1, "k", preImages = true)
+    assert(pre.filter(col("k") === 700L).select("bal").as[Double].head() == 1050.0)
+    // a span crossing dv + merge nets correctly
+    MergeTable.merge(spark, dir,
+      Seq((7L, "I", "back", 1.0)).toDF("k", "op", "seg", "bal"), "k")
+    val span = MergeTable.changesBetween(spark, dir, 0, 2, "k")
+    val byOp = span.groupBy("change_op").count().as[(String, Long)].collect().toMap
+    // 7 deleted-then-reinserted nets to U (value changed); 700 nets to D
+    assert(span.filter(col("k") === 700L).select("change_op").as[String].head() == "D")
+    assert(span.filter(col("k") === 7L).select("change_op").as[String].head() == "U")
+    assert(byOp.values.sum == 2, s"net diff leaked rows: $byOp")
+  }
+
+  test("incremental view refresh folds a dvdelete exactly") {
+    val store = tmpDir("dv-mv-src")
+    val mv = tmpDir("dv-mv") + "/v"
+    mkTable(store)
+    IncrementalView.materialize(spark, store, "k", mv,
+      IncrementalView.ViewSpec(Seq("seg"),
+        Seq("cents" -> "cast(round(bal * 100) as decimal(38,0))")))
+    MergeTable.deleteKeys(spark, store, "k", Seq(4L, 8L, 400L))
+    assert(IncrementalView.refresh(spark, store, mv).contains(1))
+    val gotFull = MergeTable.readTable(spark, mv)
+      .select(col("seg"), struct(col("mv_count"), col("cents").cast("long")))
+      .as[(String, (Long, Long))].collect().toMap
+    val wantFull = MergeTable.readTable(spark, store)
+      .groupBy("seg").agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(bal * 100) as decimal(38,0))")).cast("long").as("c"))
+      .select(col("seg"), struct(col("n"), col("c")))
+      .as[(String, (Long, Long))].collect().toMap
+    assert(gotFull == wantFull, s"view drifted: $gotFull vs $wantFull")
+  }
+
+  test("time travel, restore and clone see the vector as part of the generation") {
+    val dir = tmpDir("dv-travel")
+    mkTable(dir)
+    MergeTable.deleteKeys(spark, dir, "k", Seq(123L))
+    // pre-vector generation still shows the row
+    assert(MergeTable.readTable(spark, dir, asOf = Some(0))
+      .filter(col("k") === 123L).count() == 1)
+    // restore BACK to gen 0 resurrects (no vector there)
+    MergeTable.restore(spark, dir, 0)
+    assert(keysOf(dir).contains(123L))
+    // restore FORWARD to the vector generation re-hides (dv carried)
+    MergeTable.restore(spark, dir, 1)
+    assert(!keysOf(dir).contains(123L))
+    // a clone cut from the vector generation hides too, and diverges
+    val clone = dir + "-c"
+    graft.IndexLifecycle.deleteRecursively(clone)
+    MergeTable.cloneTable(spark, dir, clone)
+    assert(!keysOf(clone).contains(123L))
+    MergeTable.deleteKeys(spark, clone, "k", Seq(456L))
+    assert(!keysOf(clone).contains(456L))
+    assert(keysOf(dir).contains(456L), "clone delete leaked to the source")
+  }
+
+  test("vacuum keeps the referenced vector, sweeps superseded ones, reads stay exact") {
+    val dir = tmpDir("dv-vac")
+    mkTable(dir)
+    MergeTable.deleteKeys(spark, dir, "k", Seq(1L, 2L))
+    MergeTable.deleteKeys(spark, dir, "k", Seq(3L))
+    def dvDirs(): Seq[String] = {
+      val ls = java.nio.file.Files.list(java.nio.file.Path.of(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("dv-g")).toSeq.sorted
+      } finally ls.close()
+    }
+    assert(dvDirs().size == 2)
+    MergeTable.vacuum(spark, dir)
+    assert(dvDirs().size == 1, s"superseded vector survived: ${dvDirs()}")
+    assert(keysOf(dir) == (4L to 1000L).toSet)
+    // time travel to the swept vector generation ends loudly
+    val e = intercept[IllegalArgumentException] {
+      MergeTable.readTable(spark, dir, asOf = Some(1)).count()
+    }
+    assert(e.getMessage.contains("deletion-vector") ||
+      e.getMessage.contains("manifest"), e.getMessage)
+  }
+}
