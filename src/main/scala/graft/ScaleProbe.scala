@@ -1314,9 +1314,11 @@ object ScaleProbe {
         val (dLarge, mLarge) = timings.last
         println(f"4x table growth: dv delete ${dLarge / dSmall}%.2fx vs " +
           f"merge delete ${mLarge / mSmall}%.2fx")
-        require(dLarge < mLarge,
-          f"vector delete should beat the scattered merge delete at scale: " +
-            f"$dLarge%.2f vs $mLarge%.2f s")
+        // scaling-shape claim, like partialz/ckpt (local absolute wall
+        // wins are probe-dishonest; the absolute numbers print above)
+        require(dLarge / dSmall < mLarge / mSmall,
+          "vector delete should scale with the deleted rows, the merge " +
+            "delete with the table")
         // mixed-case read tax: the fixtures above vector EVERY file
         // (worst case). A vector confined to ~1/8 of the key space
         // dirties ~1/8 of the files, and readVisible's split scans the
@@ -1327,9 +1329,12 @@ object ScaleProbe {
           pmod(xxhash64(col("id")), lit(1000)).as("seg"),
           (pmod(xxhash64(col("id") + 7L), lit(100000)) / 100.0).as("bal"))
         operators.MergeTable.write(spark, srcC, "k", dirC, 256)
+        val stride = math.max(1L, rows / 8 / 2048)
         val concentrated = spark.range(2048)
-          .select((col("id") * (rows / 8 / 2048)).as("k")).localCheckpoint()
+          .select((col("id") * stride).as("k")).localCheckpoint()
         val stC = operators.MergeTable.deleteKeys(spark, dirC, "k", concentrated)
+        require(stC.touched.size >= 8 && stC.touched.size <= 64,
+          s"mixed-case fixture degenerate: ${stC.touched.size}/256 files vectored")
         def readMsC(): Double = {
           val t = System.nanoTime()
           operators.MergeTable.readTable(spark, dirC).agg(sum(col("k"))).collect()

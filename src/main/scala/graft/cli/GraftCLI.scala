@@ -268,9 +268,23 @@ object GraftCLI {
           .map(_.dataType).getOrElse(throw new Usage(
             s"no column '$keyCol' in the committed schema of $dir\n$tableUsage"))
         import spark.implicits._
-        val keysDf = keysArg.split(",").toSeq.toDF("__raw")
-          .select(org.apache.spark.sql.functions.col("__raw").cast(kt).as(keyCol))
-        val st = MergeTable.deleteKeys(spark, dir, keyCol, keysDf)
+        val withRaw = keysArg.split(",").toSeq.toDF("__raw")
+          .select(org.apache.spark.sql.functions.col("__raw"),
+            // try_cast, not cast: ANSI mode (Spark 4 default) makes a
+            // failed cast THROW mid-job; the null-then-validate path
+            // below reports every bad literal in one Usage error
+            org.apache.spark.sql.functions.expr(
+              s"try_cast(__raw AS ${kt.sql})").as(keyCol))
+        // a typo'd literal casts to null and would read as "that key
+        // was already gone" — a GDPR deletion job must fail loudly
+        val bad = withRaw.filter(
+          org.apache.spark.sql.functions.col(keyCol).isNull)
+          .select("__raw").collect().map(_.getString(0))
+        if (bad.nonEmpty) throw new Usage(
+          s"key literal(s) not parsable as ${kt.simpleString}: " +
+            s"${bad.mkString(", ")}\n$tableUsage")
+        val st = MergeTable.deleteKeys(spark, dir, keyCol,
+          withRaw.select(keyCol))
         if (st.gen == g)
           Seq(s"no matching visible rows in $dir; nothing committed")
         else {

@@ -831,18 +831,34 @@ object MergeTable {
       val paths = rows.map(_.getAs[String]("path")).toIndexedSeq
       s.read.option("mergeSchema", "true").parquet(paths: _*).schema
     }
-    val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-      new GraftFileIndex(entries),
-      partitionSchema = new org.apache.spark.sql.types.StructType(),
-      dataSchema = dataSchema,
-      bucketSpec = None,
-      fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
-      options = Map.empty)(s)
-    // deletion-vector rows hide here too (`_metadata` resolves through
-    // HadoopFsRelation like any file source; pass-through when none)
-    applyDv(s, dir, gen,
+    def planOf(es: IndexedSeq[GraftFileIndex.Entry]): DataFrame = {
+      val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+        new GraftFileIndex(es),
+        partitionSchema = new org.apache.spark.sql.types.StructType(),
+        dataSchema = dataSchema,
+        bucketSpec = None,
+        fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+        options = Map.empty)(s)
       org.apache.spark.sql.graftbridge.SessionBridge.ofPlan(s,
-        org.apache.spark.sql.execution.datasources.LogicalRelation(relation)))
+        org.apache.spark.sql.execution.datasources.LogicalRelation(relation))
+    }
+    // deletion-vector rows hide here too, with readVisible's split:
+    // clean files keep the raw stat-pruned relation (zero tax), only
+    // vectored files ride the anti-join (`_metadata` resolves through
+    // HadoopFsRelation like any file source); both halves stay behind
+    // GraftFileIndex, so Catalyst still prunes each by the query's
+    // own filters
+    dvFrameAt(s, dir, gen) match {
+      case None => planOf(entries)
+      case Some(dv) =>
+        val dirtyNorm = dv.select("path").distinct().collect()
+          .map(r => normPath(r.getString(0))).toSet
+        val (dirty, clean) = entries.partition(e =>
+          dirtyNorm.contains(normPath(e.status.getPath.toString)))
+        if (dirty.isEmpty) planOf(entries)
+        else if (clean.isEmpty) dvAntiJoin(planOf(dirty), dv)
+        else planOf(clean).unionByName(dvAntiJoin(planOf(dirty), dv))
+    }
   }
 
   /** Data-skipping scan: a range read over ANY statted column that
@@ -1335,26 +1351,22 @@ object MergeTable {
         s"generation $gen unavailable: its deletion-vector dir $n was vacuumed")
       val df = s.read.parquet(d)
       // the committed dv_rows count is free plan knowledge the
-      // optimizer doesn't have: a small vector (the overwhelmingly
-      // common case) broadcasts, keeping the anti-join off the
-      // shuffle path; a huge one (approaching compaction territory)
-      // is left to the planner
+      // optimizer doesn't have: a small vector (the common case)
+      // broadcasts, keeping the anti-join off the shuffle path. The
+      // cap is rows-based but sized like the byte thresholds Spark
+      // uses: each entry carries a ~100-byte path string, so 100k
+      // rows ≈ 10-20 MB hashed — a bigger vector (approaching
+      // compaction territory) is left to the planner
       if (metaAt(dir, gen).get("dv_rows").flatMap(_.toLongOption)
-          .exists(r => r > 0 && r <= 4000000L)) broadcast(df)
+          .exists(r => r > 0 && r <= 100000L)) broadcast(df)
       else df
     }
 
-  /** Hide `gen`'s deleted rows from a DIRECT parquet scan: anti-join
-    * on the stable physical row identity. Pass-through (zero plan
-    * change) when the generation has no vector.
+  /** Hide a vector's deleted rows from a scan that exposes
+    * `_metadata`: anti-join on the stable physical row identity.
+    * Callers split clean files off first (see [[readVisible]] /
+    * [[readIndexed]]) so only vectored files pay this plan.
     */
-  private def applyDv(s: SparkSession, dir: String, gen: Int,
-                      df: DataFrame): DataFrame =
-    dvFrameAt(s, dir, gen) match {
-      case None => df
-      case Some(dv) => dvAntiJoin(df, dv)
-    }
-
   private def dvAntiJoin(df: DataFrame, dv: DataFrame): DataFrame =
     df.selectExpr("*", "_metadata.file_path AS __dv_fp",
         "_metadata.row_index AS __dv_ri")
@@ -1454,25 +1466,44 @@ object MergeTable {
     val token = newToken()
     val man = manifestAt(s, dir, prevGen)
     val allPaths = man.select("path").collect().map(_.getString(0)).toIndexedSeq
-    val keyDf = keys.select(col(keys.columns.head).as(keyCol)).distinct()
-    val ranges = man.select(col("path"),
+    // resolve the key column BY NAME when the frame carries it (a
+    // multi-column frame with the key second must not silently hide
+    // rows keyed by some other column's values); a frame without the
+    // name must be single-column to be unambiguous
+    val keyDf = keys.columns.find(_.equalsIgnoreCase(keyCol)) match {
+      case Some(c) => keys.select(col(c).as(keyCol)).distinct()
+      case None =>
+        require(keys.columns.length == 1,
+          s"keys frame must carry a '$keyCol' column or be single-column, " +
+            s"got (${keys.columns.mkString(", ")})")
+        keys.select(col(keys.columns.head).as(keyCol)).distinct()
+    }
+    // manifest path rides under a reserved alias: the TABLE's key may
+    // itself be named 'path', and a bare select("path") after the
+    // range join would be ambiguous
+    val ranges = man.select(col("path").as("__mf_path"),
       col(s"min_$keyCol").as("__mn"), col(s"max_$keyCol").as("__mx"))
     // null-admits like every stats consumer (merge's touched logic)
     val cands = keyDf.join(broadcast(ranges),
         (col("__mn").isNull || col(keyCol) >= col("__mn")) &&
           (col("__mx").isNull || col(keyCol) <= col("__mx")))
-      .select("path").distinct().collect().map(_.getString(0)).toIndexedSeq
+      .select("__mf_path").distinct().collect().map(_.getString(0)).toIndexedSeq
     if (cands.isEmpty) return MergeStats(prevGen, Nil, allPaths)
+    // reserved __dv_* aliases until the final projection: a table
+    // legitimately keyed by a column NAMED 'path' or 'pos' must not
+    // collide with the position columns mid-plan
     val scan = readerFor(s, dir, prevGen).parquet(cands: _*)
-      .select(col(keyCol), col("_metadata.file_path").as("path"),
-        col("_metadata.row_index").as("pos"))
+      .select(col(keyCol), col("_metadata.file_path").as("__dv_fp"),
+        col("_metadata.row_index").as("__dv_ri"))
     val oldDv = dvFrameAt(s, dir, prevGen)
     val visible = oldDv.fold(scan)(dv =>
-      scan.join(dv, Seq("path", "pos"), "left_anti"))
+      scan.join(dv.select(col("path").as("__dv_fp"), col("pos").as("__dv_ri")),
+        Seq("__dv_fp", "__dv_ri"), "left_anti"))
     // localCheckpoint: the hit set is read twice (count + vector
     // write) and must not re-scan the candidates' key column twice
     val hits = visible.join(keyDf, Seq(keyCol), "left_semi")
-      .select("path", "pos").localCheckpoint()
+      .select(col("__dv_fp").as("path"), col("__dv_ri").as("pos"))
+      .localCheckpoint()
     val fresh = hits.count()
     if (fresh == 0L) return MergeStats(prevGen, Nil, allPaths)
     val newDv = oldDv.fold(hits)(_.unionByName(hits))
@@ -1565,23 +1596,32 @@ object MergeTable {
     val pathsB = manifestAt(s, dir, toGen).select("path")
       .collect().map(_.getString(0)).toSet
     // deletion vectors: a file in BOTH manifests still changes VISIBLY
-    // when the span grew its vector (a dvdelete hid rows without
-    // touching bytes). Vectors are per-path monotone on carried files
-    // (only a rewrite removes entries, and a rewrite changes the path
-    // set), so "vector changed" ⟺ per-path entry count differs —
-    // decided driver-side over the file-count-bounded path sets. Such
-    // files diff on BOTH sides, each side vector-filtered as of its
-    // generation: untouched residents cancel in the join and the
-    // span's hidden rows surface as D, with no DML-side bookkeeping.
-    def dvCounts(gen: Int): Map[String, Long] =
-      dvFrameAt(s, dir, gen).map(_.groupBy("path").count().collect()
-        .map(r => (normPath(r.getString(0)), r.getLong(1))).toMap)
-        .getOrElse(Map.empty)
-    val (dvA, dvB) = (dvCounts(fromGen), dvCounts(toGen))
-    val dvChanged = (pathsA intersect pathsB).filter { p =>
-      val np = normPath(p)
-      dvA.getOrElse(np, 0L) != dvB.getOrElse(np, 0L)
-    }.toIndexedSeq
+    // when the span changed its vector ENTRIES (a dvdelete hid rows
+    // without touching bytes — and a restore can swap a vector for an
+    // older one with the same entry COUNT but different positions, so
+    // the comparison must be the exact symmetric difference, not a
+    // per-path count). One vector-sized full-outer join decides the
+    // changed-path set; such files diff on BOTH sides, each side
+    // vector-filtered as of its generation: untouched residents
+    // cancel in the join and the span's hidden/resurrected rows
+    // surface as D/I, with no DML-side bookkeeping.
+    val dvChanged: IndexedSeq[String] = {
+      val a = dvFrameAt(s, dir, fromGen).map(_.select("path", "pos"))
+      val b = dvFrameAt(s, dir, toGen).map(_.select("path", "pos"))
+      val changedNorm: Set[String] = (a, b) match {
+        case (None, None) => Set.empty
+        case (one, other) =>
+          val af = one.getOrElse(other.get.limit(0))
+          val bf = other.getOrElse(one.get.limit(0))
+          af.withColumn("__a", lit(true))
+            .join(bf.withColumn("__b", lit(true)), Seq("path", "pos"), "full_outer")
+            .filter(col("__a").isNull || col("__b").isNull)
+            .select("path").distinct().collect()
+            .map(r => normPath(r.getString(0))).toSet
+      }
+      (pathsA intersect pathsB)
+        .filter(p => changedNorm.contains(normPath(p))).toIndexedSeq
+    }
     val onlyA = (pathsA -- pathsB).toIndexedSeq ++ dvChanged
     val onlyB = (pathsB -- pathsA).toIndexedSeq ++ dvChanged
     val anyPath = (onlyA ++ onlyB ++ pathsA ++ pathsB).headOption.getOrElse(
@@ -2077,7 +2117,10 @@ object MergeTable {
     val token = newToken()
 
     val man = manifestAt(s, dir, prevGen)
-    val ranges = man.select(col("path"),
+    // manifest path under a reserved alias — a table legitimately
+    // keyed by a column NAMED 'path' must not make the post-join
+    // projection ambiguous
+    val ranges = man.select(col("path").as("__mf_path"),
       col(s"min_$keyCol").as("__mn"), col(s"max_$keyCol").as("__mx"))
     // null-admits, like every other stats consumer: a null bound (a
     // pre-evolution carry, or a truncated string stat whose prefix
@@ -2088,7 +2131,7 @@ object MergeTable {
       .join(broadcast(ranges),
         (col("__mn").isNull || col(keyCol) >= col("__mn")) &&
           (col("__mx").isNull || col(keyCol) <= col("__mx")))
-      .select("path").distinct().collect().map(_.getString(0)).toIndexedSeq
+      .select("__mf_path").distinct().collect().map(_.getString(0)).toIndexedSeq
     val untouched = man.select("path").collect().map(_.getString(0))
       .filterNot(touched.contains).toIndexedSeq
 

@@ -215,6 +215,12 @@ class CLISpec extends SparkSpecBase {
     intercept[GraftCLI.Usage] {
       GraftCLI.table(spark, "delete-keys", List(dir, "nope", "1"))
     }
+    // a typo'd literal must fail loudly, not read as "already gone"
+    val e = intercept[GraftCLI.Usage] {
+      GraftCLI.table(spark, "delete-keys", List(dir, "k", "1O1,7"))
+    }
+    assert(e.getMessage.contains("1O1"), e.getMessage)
+    assert(MergeTable.committedGen(dir).contains(1), "bad batch committed")
   }
 
   test("cdc-horizons flags an abandoned slot by lag + age; caught-up slots never") {

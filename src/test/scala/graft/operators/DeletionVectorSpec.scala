@@ -181,6 +181,53 @@ class DeletionVectorSpec extends SparkSpecBase {
     assert(keysOf(dir).contains(456L), "clone delete leaked to the source")
   }
 
+  test("CDC across a restore: equal-count different-position vectors still diff exactly") {
+    // g1 hides key 5; g2 restores to g0 (5 back, vector gone); g3
+    // hides key 7. The span 1→3 has IDENTICAL per-path entry COUNTS
+    // on both ends (1 and 1) — only the exact symmetric difference
+    // sees the change. A count-based shortcut returns an empty diff
+    // and silently drifts every replica crossing the span.
+    val dir = tmpDir("dv-restore-cdc")
+    mkTable(dir, n = 100, files = 1) // one file: counts collide for sure
+    MergeTable.deleteKeys(spark, dir, "k", Seq(5L))
+    MergeTable.restore(spark, dir, 0)
+    MergeTable.deleteKeys(spark, dir, "k", Seq(7L))
+    val span = MergeTable.changesBetween(spark, dir, 1, 3, "k")
+    val got = span.select("k", "change_op").as[(Long, String)].collect().toSet
+    assert(got == Set((5L, "I"), (7L, "D")), s"span missed vector changes: $got")
+  }
+
+  test("deleteKeys resolves the key column by name; ambiguous frames refuse") {
+    val dir = tmpDir("dv-keyframe")
+    mkTable(dir, n = 100, files = 2)
+    // multi-column frame, key NOT first: must hide by the 'k' column
+    val frame = Seq((999L, 10L), (998L, 20L)).toDF("other", "k")
+    MergeTable.deleteKeys(spark, dir, "k", frame)
+    assert(keysOf(dir) == (1L to 100L).toSet -- Set(10L, 20L))
+    val e = intercept[IllegalArgumentException] {
+      MergeTable.deleteKeys(spark, dir, "k",
+        Seq((1L, 2L)).toDF("a", "b"))
+    }
+    assert(e.getMessage.contains("single-column"), e.getMessage)
+  }
+
+  test("a table keyed by a column named 'path' or 'pos' still vector-deletes") {
+    val dir = tmpDir("dv-pathkey")
+    MergeTable.write(spark,
+      (1 to 100).map(i => (f"doc-$i%03d", i * 1.0)).toDF("path", "w"),
+      "path", dir, nFiles = 2)
+    MergeTable.deleteKeys(spark, dir, "path", Seq("doc-007", "doc-050"))
+    assert(MergeTable.readTable(spark, dir).count() == 98)
+    assert(MergeTable.readTable(spark, dir)
+      .filter(col("path").isin("doc-007", "doc-050")).count() == 0)
+    val dir2 = tmpDir("dv-poskey")
+    MergeTable.write(spark,
+      (1 to 100).map(i => (i.toLong, s"v$i")).toDF("pos", "v"),
+      "pos", dir2, nFiles = 2)
+    MergeTable.deleteKeys(spark, dir2, "pos", Seq(9L))
+    assert(MergeTable.readTable(spark, dir2).count() == 99)
+  }
+
   test("vacuum keeps the referenced vector, sweeps superseded ones, reads stay exact") {
     val dir = tmpDir("dv-vac")
     mkTable(dir)
