@@ -181,6 +181,31 @@ class DeletionVectorSpec extends SparkSpecBase {
     assert(keysOf(dir).contains(456L), "clone delete leaked to the source")
   }
 
+  test("the streaming CDC source delivers a dvdelete generation as a D micro-batch") {
+    val dir = tmpDir("dv-stream")
+    mkTable(dir, n = 100, files = 2)
+    val ckpt = tmpDir("dv-stream-ckpt")
+    val seen = new scala.collection.mutable.ArrayBuffer[(Long, String, Long)]
+    val q = MergeTable.changesStream(spark, dir, "k")
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (delta: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = delta.collect().map(r => (r.getAs[Long]("k"),
+          r.getAs[String]("change_op"), r.getAs[Long]("_commit_gen")))
+        seen.synchronized { seen ++= rows }; ()
+      }.start()
+    try {
+      MergeTable.deleteKeys(spark, dir, "k", Seq(42L, 77L))
+      q.processAllAvailable()
+      assert(seen.synchronized(seen.toSet) ==
+        Set((42L, "D", 1L), (77L, "D", 1L)), seen.toString)
+      // the feed keeps flowing across the vector commit
+      MergeTable.merge(spark, dir,
+        Seq((500L, "I", "s1", 1.0)).toDF("k", "op", "seg", "bal"), "k")
+      q.processAllAvailable()
+      assert(seen.synchronized(seen.toSet).contains((500L, "I", 2L)))
+    } finally q.stop()
+  }
+
   test("CDC across a restore: equal-count different-position vectors still diff exactly") {
     // g1 hides key 5; g2 restores to g0 (5 back, vector gone); g3
     // hides key 7. The span 1→3 has IDENTICAL per-path entry COUNTS
