@@ -253,6 +253,23 @@ class DeletionVectorSpec extends SparkSpecBase {
     assert(MergeTable.readTable(spark, dir2).count() == 99)
   }
 
+  test("a z-clustered layout vector-deletes exactly (weak key pruning, every file a candidate)") {
+    val dir = tmpDir("dv-zorder")
+    MergeTable.writeClustered(spark,
+      (1 to 1000).map(k => (k.toLong, (k % 97).toLong, k * 1.5))
+        .toDF("k", "x", "bal"),
+      "k", Seq("k", "x"), dir, nFiles = 8)
+    // z-order spreads key ranges across files: the stats prune admits
+    // most/all files, and correctness must not depend on selectivity
+    MergeTable.deleteKeys(spark, dir, "k", Seq(13L, 500L, 987L))
+    assert(keysOf(dir) == (1L to 1000L).toSet -- Set(13L, 500L, 987L))
+    // partial recluster (vector-filtered fold) never resurrects
+    MergeTable.merge(spark, dir,
+      Seq((20L, "U", 3L, 0.1)).toDF("k", "op", "x", "bal"), "k")
+    MergeTable.reclusterPartial(spark, dir, "k", Seq("k", "x"))
+    assert(keysOf(dir) == (1L to 1000L).toSet -- Set(13L, 500L, 987L))
+  }
+
   test("vacuum keeps the referenced vector, sweeps superseded ones, reads stay exact") {
     val dir = tmpDir("dv-vac")
     mkTable(dir)
