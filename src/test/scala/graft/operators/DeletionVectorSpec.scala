@@ -270,6 +270,47 @@ class DeletionVectorSpec extends SparkSpecBase {
     assert(keysOf(dir) == (1L to 1000L).toSet -- Set(13L, 500L, 987L))
   }
 
+  test("racing deleteKeys writers: CAS losers retry, both batches land, vector is the union") {
+    val dir = tmpDir("dv-race")
+    mkTable(dir)
+    val batches = Seq(
+      (1L to 1000L by 101).toSeq,   // writer 1's victims
+      (2L to 1000L by 103).toSeq,   // writer 2's
+      (3L to 1000L by 107).toSeq)   // writer 3's
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val futs = batches.map { ks =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          var ok = false
+          while (!ok) {
+            try { MergeTable.deleteKeys(spark, dir, "k", ks); ok = true }
+            catch { case _: java.util.ConcurrentModificationException => () }
+          }
+        }
+      })
+    }
+    try futs.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    finally pool.shutdown()
+    val victims = batches.flatten.toSet
+    assert(keysOf(dir) == (1L to 1000L).toSet -- victims,
+      "a lost-then-retried vector batch dropped or duplicated hides")
+    assert(MergeTable.committedGen(dir).contains(3))
+    assert(MergeTable.dvInfo(dir, 3).exists(_._2 == victims.size))
+    // losers' staged vector dirs were cleaned (only referenced +
+    // superseded committed ones remain, and vacuum bounds those)
+    MergeTable.vacuum(spark, dir)
+    val dvs = {
+      val ls = java.nio.file.Files.list(java.nio.file.Path.of(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("dv-g")).toSeq
+      } finally ls.close()
+    }
+    assert(dvs.size == 1, s"stale vector staging survived: $dvs")
+    assert(keysOf(dir) == (1L to 1000L).toSet -- victims)
+  }
+
   test("vacuum keeps the referenced vector, sweeps superseded ones, reads stay exact") {
     val dir = tmpDir("dv-vac")
     mkTable(dir)
