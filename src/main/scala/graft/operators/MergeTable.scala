@@ -72,6 +72,13 @@ object MergeTable {
 
   private def logDirOf(dir: String) = java.nio.file.Path.of(dir, "_log")
 
+  /** The control-plane store for a table (see [[CommitStore]]): POSIX
+    * by default, spec-pinned alternatives by registered prefix. Every
+    * marker/checkpoint/governance/horizon byte flows through it; data
+    * and manifest parquet stay on the filesystem Spark writes to.
+    */
+  private def store(dir: String): CommitStore = CommitStore.forDir(dir)
+
   /** Canonical (v2) marker path — the link target for new commits. */
   private def markerOf(dir: String, gen: Int) =
     logDirOf(dir).resolve(s"_commit-g$gen")
@@ -84,12 +91,12 @@ object MergeTable {
     */
   private def markerReadPath(dir: String, gen: Int): java.nio.file.Path = {
     val v2 = markerOf(dir, gen)
-    if (java.nio.file.Files.exists(v2)) v2 else legacyMarkerOf(dir, gen)
+    if (store(dir).exists(v2)) v2 else legacyMarkerOf(dir, gen)
   }
 
   private def markerExists(dir: String, gen: Int): Boolean =
-    java.nio.file.Files.exists(markerOf(dir, gen)) ||
-      java.nio.file.Files.exists(legacyMarkerOf(dir, gen))
+    store(dir).exists(markerOf(dir, gen)) ||
+      store(dir).exists(legacyMarkerOf(dir, gen))
 
   /** The newest committed generation. Fast path: the `_last_checkpoint`
     * pointer names a rolled-up generation, and generations are DENSE
@@ -110,15 +117,9 @@ object MergeTable {
         Some(g)
       case None =>
         def gensIn(d: java.nio.file.Path): Seq[Int] =
-          if (!java.nio.file.Files.exists(d)) Nil
-          else {
-            val ls = java.nio.file.Files.list(d)
-            try ls.iterator().asScala
-              .map(_.getFileName.toString)
-              .filter(_.matches("_commit-g\\d+"))
-              .map(_.stripPrefix("_commit-g").toInt).toSeq
-            finally ls.close()
-          }
+          store(dir).list(d)
+            .filter(_.matches("_commit-g\\d+"))
+            .map(_.stripPrefix("_commit-g").toInt)
         // both locations: a pre-_log table upgraded mid-life carries
         // its early generations in the root and the rest in _log/
         val gens = gensIn(logDirOf(dir)) ++ gensIn(p)
@@ -133,15 +134,17 @@ object MergeTable {
   /** The `k=v`-lines file format shared by commit-log entries and
     * checkpoint rollups — one parser, so the two can't drift.
     */
-  private def readKvFile(p: java.nio.file.Path): Map[String, String] =
-    if (!java.nio.file.Files.exists(p)) Map.empty
-    else new String(java.nio.file.Files.readAllBytes(p),
-      java.nio.charset.StandardCharsets.UTF_8)
-      .linesIterator.filter(_.contains('='))
-      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
+  private def readKvFile(st: CommitStore, p: java.nio.file.Path): Map[String, String] =
+    st.read(p) match {
+      case None => Map.empty
+      case Some(bytes) =>
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          .linesIterator.filter(_.contains('='))
+          .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
+    }
 
   def metaAt(dir: String, gen: Int): Map[String, String] =
-    readKvFile(markerReadPath(dir, gen))
+    readKvFile(store(dir), markerReadPath(dir, gen))
 
   def committedMeta(dir: String): Map[String, String] =
     committedGen(dir).map(metaAt(dir, _)).getOrElse(Map.empty)
@@ -184,15 +187,13 @@ object MergeTable {
     * against both the checkpoint file and the commit log (a corrupt
     * or dangling pointer yields None → readers use the listing path).
     */
-  private[graft] def lastCheckpointGen(dir: String): Option[Int] = {
-    val ptr = lastCheckpointPtr(dir)
-    if (!java.nio.file.Files.exists(ptr)) None
-    else scala.util.Try(new String(java.nio.file.Files.readAllBytes(ptr),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toInt).toOption
+  private[graft] def lastCheckpointGen(dir: String): Option[Int] =
+    store(dir).read(lastCheckpointPtr(dir))
+      .flatMap(b => scala.util.Try(new String(b,
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt).toOption)
       .filter(g => g >= 0 &&
-        java.nio.file.Files.exists(checkpointFileOf(dir, g)) &&
+        store(dir).exists(checkpointFileOf(dir, g)) &&
         markerExists(dir, g))
-  }
 
   /** One checkpoint's `k=v` lines: `gen`, `meta.<k>` (the generation's
     * own commit meta), optional `mv.<k>` (newest view-watermark meta
@@ -203,7 +204,7 @@ object MergeTable {
     * instead of stitching log entries and horizon files by hand.
     */
   private[graft] def checkpointAt(dir: String, gen: Int): Map[String, String] =
-    readKvFile(checkpointFileOf(dir, gen))
+    readKvFile(store(dir), checkpointFileOf(dir, gen))
 
   /** The view-watermark rollup a checkpoint carries: the newest commit
     * meta at or below it containing `mv_src_gen` (None when the table
@@ -225,7 +226,7 @@ object MergeTable {
     // failed writer may have skipped one — probe further back)
     val prevCkpt = Iterator.from(1).map(i => gen - i * checkpointInterval)
       .takeWhile(_ > 0)
-      .find(g => java.nio.file.Files.exists(checkpointFileOf(dir, g)))
+      .find(g => store(dir).exists(checkpointFileOf(dir, g)))
     val mvMeta: Option[Map[String, String]] =
       (gen to (prevCkpt.getOrElse(0) + 1) by -1).iterator
         .map(g => metaAt(dir, g))
@@ -239,19 +240,10 @@ object MergeTable {
       mvMeta.toSeq.flatMap(_.toSeq.sorted.map { case (k, v) => s"mv.$k" -> v }) ++
       cdcHorizons(dir).toSeq.sorted.map { case (c, g) => s"horizon.$c" -> g.toString })
       .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
-    val tmp = logDirOf(dir).resolve(s"_checkpoint.tmp-${newToken()}")
-    java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, checkpointFileOf(dir, gen),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    store(dir).putReplace(checkpointFileOf(dir, gen), body.getBytes("UTF-8"))
     // forward-only pointer advance (see the section comment)
-    if (!lastCheckpointGen(dir).exists(_ >= gen)) {
-      val ptmp = logDirOf(dir).resolve(s"_last_checkpoint.tmp-${newToken()}")
-      java.nio.file.Files.write(ptmp, s"$gen\n".getBytes("UTF-8"))
-      java.nio.file.Files.move(ptmp, lastCheckpointPtr(dir),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    if (!lastCheckpointGen(dir).exists(_ >= gen))
+      store(dir).putReplace(lastCheckpointPtr(dir), s"$gen\n".getBytes("UTF-8"))
   }
 
   /** The table schema recorded in a generation's commit-log entry
@@ -284,10 +276,10 @@ object MergeTable {
   private def manifestDirOf(dir: String, gen: Int, token: String) =
     s"$dir/manifest-g$gen~$token"
 
-  /** Publish generation `gen`: write the log entry to a tmp file,
-    * then hard-link it to its final name. `link(2)` NEVER replaces an
-    * existing name (unlike rename), so this is a true compare-and-
-    * swap on the generation number — the loser of a race gets
+  /** Publish generation `gen` via the store's put-if-absent — a true
+    * compare-and-swap on the generation number (`link(2)` on the
+    * POSIX store, a conditional put on an object store; neither ever
+    * replaces an existing name) — so the loser of a race gets
     * [[java.util.ConcurrentModificationException]] and must retry
     * its whole merge on the new base.
     */
@@ -300,18 +292,10 @@ object MergeTable {
       else meta + ("ts" -> System.currentTimeMillis().toString)
     val body = (("token" -> token) +: stamped.toSeq.sorted)
       .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
-    java.nio.file.Files.createDirectories(logDirOf(dir))
-    val tmp = logDirOf(dir).resolve(s"_commit.tmp-$token")
-    java.nio.file.Files.write(tmp, body.getBytes)
-    try java.nio.file.Files.createLink(markerOf(dir, gen), tmp)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new java.util.ConcurrentModificationException(
-          s"generation $gen of $dir was committed by a concurrent writer; " +
-            "recompute from the new committed base and retry")
-    } finally {
-      java.nio.file.Files.deleteIfExists(tmp); ()
-    }
+    if (!store(dir).putIfAbsent(markerOf(dir, gen), body.getBytes))
+      throw new java.util.ConcurrentModificationException(
+        s"generation $gen of $dir was committed by a concurrent writer; " +
+          "recompute from the new committed base and retry")
     // the commit is durable; the rollup is an observer of it (see the
     // checkpointing section) — a failure here costs resolution speed,
     // never correctness, so it must not make the commit look failed
@@ -1707,27 +1691,16 @@ object MergeTable {
   /** Record that `consumer` may still replay from generation `gen`
     * (atomic per-consumer write; later registrations replace earlier).
     */
-  def registerCdcHorizon(dir: String, consumer: String, gen: Int): Unit = {
-    val tmp = java.nio.file.Path.of(dir, s"_cdc_horizon.tmp-${newToken()}")
-    java.nio.file.Files.write(tmp, s"$gen\n".getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, horizonFileOf(dir, consumer),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    ()
-  }
+  def registerCdcHorizon(dir: String, consumer: String, gen: Int): Unit =
+    store(dir).putReplace(horizonFileOf(dir, consumer), s"$gen\n".getBytes("UTF-8"))
 
   /** Registered consumers and their horizons. */
   def cdcHorizons(dir: String): Map[String, Int] = {
     val root = java.nio.file.Path.of(dir)
-    if (!java.nio.file.Files.exists(root)) return Map.empty
-    val ls = java.nio.file.Files.list(root)
-    val names = try ls.iterator().asScala.map(_.getFileName.toString).toSeq
-                finally ls.close()
-    names.filter(n => n.startsWith("_cdc_horizon-")).flatMap { n =>
+    store(dir).list(root).filter(_.startsWith("_cdc_horizon-")).flatMap { n =>
       val c = n.stripPrefix("_cdc_horizon-")
-      try new String(java.nio.file.Files.readAllBytes(root.resolve(n)), "UTF-8")
-        .trim.toIntOption.map(c -> _)
-      catch { case _: java.io.IOException => None } // deregistered mid-list
+      store(dir).read(root.resolve(n)) // None = deregistered mid-list
+        .flatMap(b => new String(b, "UTF-8").trim.toIntOption).map(c -> _)
     }.toMap
   }
 
@@ -1743,16 +1716,15 @@ object MergeTable {
     */
   def cdcHorizonDetails(dir: String): Map[String, (Int, Long)] =
     cdcHorizons(dir).flatMap { case (c, g) =>
-      try Some(c -> (g,
-        java.nio.file.Files.getLastModifiedTime(horizonFileOf(dir, c)).toMillis))
-      catch { case _: java.io.IOException => None } // released mid-read
+      // None = released mid-read
+      store(dir).mtimeMillis(horizonFileOf(dir, c)).map(m => c -> (g, m))
     }
 
   /** Drop a consumer's registration (decommissioned stream); returns
     * whether it existed.
     */
   def releaseCdcHorizon(dir: String, consumer: String): Boolean =
-    java.nio.file.Files.deleteIfExists(horizonFileOf(dir, consumer))
+    store(dir).delete(horizonFileOf(dir, consumer))
 
   /** Drop everything the COMMITTED manifest no longer references:
     * data files superseded by later rewrites, whole stale generation
@@ -1855,15 +1827,31 @@ object MergeTable {
       .map(r => java.nio.file.Path.of(java.net.URI.create(r.getString(0)))
         .toAbsolutePath.toString).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
+    // control-plane files may live behind the store rather than on the
+    // filesystem: mtimes resolve store-first (the POSIX store reads the
+    // filesystem anyway), a missing mtime reads as "too new to sweep",
+    // and deletes try both homes
     def oldEnough(p: java.nio.file.Path): Boolean =
       minAgeMs <= 0L ||
-        java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff
+        store(dir).mtimeMillis(p)
+          .orElse(try Some(java.nio.file.Files.getLastModifiedTime(p).toMillis)
+                  catch { case _: java.io.IOException => None })
+          .exists(_ < cutoff)
+    def del(p: java.nio.file.Path): Boolean = {
+      val a = store(dir).delete(p)
+      val b = java.nio.file.Files.deleteIfExists(p)
+      a || b
+    }
     var deleted = 0
     val root = java.nio.file.Path.of(dir)
-    val ls = java.nio.file.Files.list(root)
-    val entries = try ls.iterator().asScala.toSeq finally ls.close()
-    entries.foreach { p =>
-      val name = p.getFileName.toString
+    val fsNames = PosixCommitStore.list(root)
+    // the store may hold control files the filesystem listing can't
+    // see (markers under _log/, governance versions, horizons)
+    val storeNames = store(dir).list(root)
+    val logVirtual =
+      if (store(dir).list(logDirOf(dir)).nonEmpty) Seq("_log") else Nil
+    (fsNames ++ storeNames ++ logVirtual).distinct.foreach { name =>
+      val p = root.resolve(name)
       // `_commit-g<N>` log entries are KEPT — they are the table's
       // history; a vacuumed generation fails loudly in manifestAt
       if (name.startsWith("manifest-g") && !keepManifests.contains(name) &&
@@ -1876,23 +1864,26 @@ object MergeTable {
         graft.IndexLifecycle.deleteRecursively(p.toString); deleted += 1
       } else if (name.startsWith("_commit.tmp") && oldEnough(p)) {
         // a crashed commit's staged log entry — never observed by readers
-        java.nio.file.Files.deleteIfExists(p); deleted += 1
-      } else if ((name.startsWith("_constraints.tmp-") ||
-          name.startsWith("_dropped_cols.tmp-") ||
-          name.startsWith("_cdc_horizon.tmp-")) && oldEnough(p)) {
+        del(p); deleted += 1
+      } else if ((name.startsWith("_constraints") ||
+          name.startsWith("_dropped_cols") ||
+          name.startsWith("_cdc_horizon")) &&
+          name.contains(".tmp-") && oldEnough(p)) {
         // a crashed constraint/drop-column/horizon staged file —
         // never observed by readers (checkpoint staging lives only
-        // under _log/ and is swept by that branch)
-        java.nio.file.Files.deleteIfExists(p); deleted += 1
+        // under _log/ and is swept by that branch). The `.tmp-`
+        // segment may follow the bare base (legacy staging) or a
+        // versioned name (the POSIX store stages `<final>.tmp-<n>`).
+        del(p); deleted += 1
       } else if (governMax.exists { case (b, mx) =>
           name.startsWith(s"$b-v") &&
             name.stripPrefix(s"$b-v").toIntOption.exists(_ < mx) } &&
           oldEnough(p)) {
         // superseded governance-log version (current one is kept)
-        java.nio.file.Files.deleteIfExists(p); deleted += 1
+        del(p); deleted += 1
       } else if (governMax.contains(name) && oldEnough(p)) {
         // legacy un-versioned governance file superseded by the log
-        java.nio.file.Files.deleteIfExists(p); deleted += 1
+        del(p); deleted += 1
       } else if (name.startsWith("_bloom-g") && name.contains(".tmp") &&
           oldEnough(p)) {
         // a crashed buildBloomIndex's staged sidecar (committed
@@ -1905,24 +1896,25 @@ object MergeTable {
         // vacuum bounds it to the newest two (the newest for readers,
         // one predecessor so a checkpoint writer's prev-rollup probe
         // stays O(interval) right after a vacuum)
-        val ls2 = java.nio.file.Files.list(p)
-        val logEntries = try ls2.iterator().asScala.toSeq finally ls2.close()
-        val ckptGens = logEntries.map(_.getFileName.toString)
+        val logNames =
+          (PosixCommitStore.list(p) ++ store(dir).list(p)).distinct
+        val ckptGens = logNames
           .filter(_.matches("_checkpoint-g\\d+"))
           .map(_.stripPrefix("_checkpoint-g").toInt).sorted
         // newest two, plus whatever the pointer names (a pointer left
         // behind by failed advances must not lose its target to the
         // sweep — that would downgrade resolution to the listing path)
         val keepCkpts = ckptGens.takeRight(2).toSet ++ lastCheckpointGen(dir)
-        logEntries.foreach { e =>
-          val n2 = e.getFileName.toString
+        logNames.foreach { n2 =>
+          val e = p.resolve(n2)
           val sweep =
-            ((n2.startsWith("_commit.tmp-") || n2.startsWith("_checkpoint.tmp-") ||
-              n2.startsWith("_last_checkpoint.tmp-")) ||
+            // any `.tmp-` name is crashed staging (legacy `_commit.tmp-<t>`
+            // or the POSIX store's `<final>.tmp-<n>` discipline)
+            (n2.contains(".tmp-") ||
              (n2.matches("_checkpoint-g\\d+") &&
               !keepCkpts.contains(n2.stripPrefix("_checkpoint-g").toInt))) &&
             oldEnough(e)
-          if (sweep) { java.nio.file.Files.deleteIfExists(e); deleted += 1 }
+          if (sweep) { del(e); deleted += 1 }
         }
       } else if (name.startsWith("files-g")) {
         val fs = java.nio.file.Files.list(p)
@@ -2508,13 +2500,8 @@ object MergeTable {
     java.nio.file.Path.of(dir, s"$base-v$v")
 
   private def governVersions(dir: String, base: String): Seq[Int] = {
-    val root = java.nio.file.Path.of(dir)
-    if (!java.nio.file.Files.exists(root)) return Nil
-    val ls = java.nio.file.Files.list(root)
-    val names = try ls.iterator().asScala.map(_.getFileName.toString).toSeq
-                finally ls.close()
     val prefix = s"$base-v"
-    names.flatMap(n =>
+    store(dir).list(java.nio.file.Path.of(dir)).flatMap(n =>
       if (n.startsWith(prefix)) n.stripPrefix(prefix).toIntOption else None)
   }
 
@@ -2526,22 +2513,21 @@ object MergeTable {
       val vs = governVersions(dir, base)
       if (vs.isEmpty) {
         val legacy = java.nio.file.Path.of(dir, base)
-        return (0,
-          if (java.nio.file.Files.exists(legacy))
-            new String(java.nio.file.Files.readAllBytes(legacy), "UTF-8")
-          else "")
+        return (0, store(dir).read(legacy).map(new String(_, "UTF-8")).getOrElse(""))
       }
-      try return (vs.max, new String(
-        java.nio.file.Files.readAllBytes(governFileOf(dir, base, vs.max)), "UTF-8"))
-      catch { case _: java.nio.file.NoSuchFileException => () /* swept: retry */ }
+      store(dir).read(governFileOf(dir, base, vs.max)) match {
+        case Some(b) => return (vs.max, new String(b, "UTF-8"))
+        case None    => () // swept under the read: retry
+      }
     }
     sys.error("unreachable")
   }
 
   /** CAS-advance: apply `f` to the current content and publish via
-    * hard link, retrying on a lost race with a FRESH read (so `f`
-    * always transforms the winner's state, never a stale snapshot).
-    * Returns the published content.
+    * the store's put-if-absent on the next version name, retrying on
+    * a lost race with a FRESH read (so `f` always transforms the
+    * winner's state, never a stale snapshot). Returns the published
+    * content.
     */
   private def governCas(dir: String, base: String)(f: String => String): String = {
     while (true) {
@@ -2551,16 +2537,10 @@ object MergeTable {
       // legacy content worth superseding — e.g. cloning an
       // ungoverned table must not scatter empty version files)
       if (next == cur && (v > 0 || next.isEmpty)) return next
-      val tmp = java.nio.file.Path.of(dir, s"$base.tmp-${newToken()}")
-      java.nio.file.Files.write(tmp, next.getBytes("UTF-8"))
-      try {
-        java.nio.file.Files.createLink(governFileOf(dir, base, v + 1), tmp)
+      if (store(dir).putIfAbsent(governFileOf(dir, base, v + 1),
+          next.getBytes("UTF-8")))
         return next
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => () // lost: retry f
-      } finally {
-        java.nio.file.Files.deleteIfExists(tmp); ()
-      }
+      // lost the version CAS: retry f on the winner's state
     }
     sys.error("unreachable")
   }
