@@ -1345,8 +1345,70 @@ object ScaleProbe {
         println(f"mixed case: ${stC.touched.size}/256 files vectored, " +
           f"read $rMix%.0f ms (clean files scan raw through the split)")
 
+      case "dvdiet" =>
+        // The LONG delete diet — the shape r11's cumulative vector
+        // paid O(total hidden rows) per commit on (every dvdelete
+        // rewrote old ∪ hits): with segments, a regular commit writes
+        // ONLY its batch, so per-commit cost must stay FLAT as hidden
+        // rows accumulate, and the one cap-rollup commit is the only
+        // O(total) write (amortized O(total/cap)). Claims are
+        // scaling-shape + structural (segment row counts ∝ batch),
+        // per the probe-honesty discipline.
+        val cap = operators.MergeTable.dvSegmentCap
+        val dirD = java.nio.file.Files.createTempDirectory("probe-dvdiet").toString
+        val srcD = spark.range(rows).select(col("id").as("k"),
+          pmod(xxhash64(col("id")), lit(1000)).as("seg"),
+          (pmod(xxhash64(col("id") + 7L), lit(100000)) / 100.0).as("bal"))
+        operators.MergeTable.write(spark, srcD, "k", dirD, 64)
+        val batch = 1024
+        val diet = 2 * cap + 2 // crosses one rollup, ends mid-second-cycle
+        val stride = math.max(1L, rows / (batch.toLong * diet) - 1)
+        val times = (1 to diet).map { i =>
+          // batch i deletes its own disjoint stripe of the key space
+          val keys = spark.range(batch.toLong)
+            .select((col("id") * diet * stride + i).as("k")).localCheckpoint()
+          val t0 = System.nanoTime()
+          operators.MergeTable.deleteKeys(spark, dirD, "k", keys)
+          val sec = (System.nanoTime() - t0) / 1e9
+          val segs = operators.MergeTable.dvSegments(dirD,
+            operators.MergeTable.committedGen(dirD).get)
+          val newestRows = spark.read.parquet(s"$dirD/${segs.last}").count()
+          println(f"diet commit $i%2d: $sec%.2f s, ${segs.size} segment(s), " +
+            f"newest holds $newestRows rows (hidden so far ~${i * batch})")
+          (sec, segs.size, newestRows)
+        }
+        // rollup commits are the ones that COLLAPSED the list back to 1
+        val rollups = times.zipWithIndex.drop(1)
+          .filter { case ((_, s, _), idx) => s == 1 && times(idx - 1)._2 > 1 }
+        val regular = times.zipWithIndex.drop(1)
+          .filterNot { case ((_, s, _), idx) => s == 1 && times(idx - 1)._2 > 1 }
+        require(rollups.nonEmpty, "diet never crossed the segment cap")
+        // structural: every regular commit's newest segment is exactly
+        // its batch (≤ batch — stats-admitted misses shrink it, never
+        // grow it); the r11 design would show i*batch here
+        regular.foreach { case ((_, _, nr), idx) =>
+          require(nr <= batch,
+            s"commit ${idx + 1} wrote $nr rows — more than its batch")
+        }
+        // scaling: the LAST regular commit (max hidden rows behind it)
+        // vs the FIRST — flat within IO-jitter slack
+        val early = regular.take(3).map(_._1._1).min
+        val late = regular.takeRight(3).map(_._1._1).min
+        println(f"regular commits: early $early%.2f s vs late $late%.2f s " +
+          f"(${late / early}%.2fx across a ${diet}x hidden-row growth); " +
+          f"rollup(s): ${rollups.map(t => f"${t._1._1}%.2f").mkString(", ")} s")
+        require(late / early < 3.0,
+          f"segmented dvdelete not flat across the diet: $early%.2f -> $late%.2f s")
+        // reads stay exact through the whole diet
+        require(operators.MergeTable.readTable(spark, dirD).count() ==
+          spark.read.parquet(s"$dirD/files-g0~" +
+            operators.MergeTable.metaAt(dirD, 0)("token")).count() -
+            operators.MergeTable.dvInfo(dirD,
+              operators.MergeTable.committedGen(dirD).get).get._2,
+          "diet reads drifted from dv_rows accounting")
+
       case other =>
-        System.err.println(s"unknown probe '$other'; use topn | cumsum | incr | hh | bloom | skew | tri | pr | bitmap64 | annappend | build | tx17vocab | merge | drift | dd13sig | ivfcompact | ivm | bloomidx | bloommaint | partialz | ckpt | dv")
+        System.err.println(s"unknown probe '$other'; use topn | cumsum | incr | hh | bloom | skew | tri | pr | bitmap64 | annappend | build | tx17vocab | merge | drift | dd13sig | ivfcompact | ivm | bloomidx | bloommaint | partialz | ckpt | dv | dvdiet")
         sys.exit(2)
     }
     spark.stop()

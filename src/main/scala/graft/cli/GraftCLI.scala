@@ -161,7 +161,11 @@ object GraftCLI {
               .map(c => s"at g$c").getOrElse("none") + ")",
           s"$files live files, $rows rows" +
             MergeTable.dvInfo(dir, g).map { case (_, dvRows) =>
-              s" ($dvRows dv-hidden, ${rows - dvRows} visible)" }.getOrElse(""),
+              // dvRows is -1 when the commit meta lacks/corrupts
+              // dv_rows — printing the sentinel would render a bogus
+              // "(-1 dv-hidden, rows+1 visible)" line
+              if (dvRows >= 0) s" ($dvRows dv-hidden, ${rows - dvRows} visible)"
+              else " (dv present, row count unrecorded)" }.getOrElse(""),
           "schema: " + MergeTable.schemaAt(dir, g)
             .map(_.fieldNames.mkString(", ")).getOrElse("(not recorded in log)"),
           "constraints: " + (if (cons.isEmpty) "none"

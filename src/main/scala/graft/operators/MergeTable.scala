@@ -1297,17 +1297,30 @@ object MergeTable {
   // immutable files, with data-column predicates still pushing down
   // through the join to the scan.
   //
-  // Layout: `dir/dv-g<N>~<token>/` holds the CUMULATIVE (path, pos)
-  // relation for the generation that committed it; the commit meta
-  // records `dv=<dirname>` + `dv_rows=<count>`. A commit that leaves
-  // the vector untouched CARRIES the meta reference (pointing at the
-  // older dir, exactly how manifests reference older files-g dirs);
-  // a commit that rewrites or drops files prunes their entries (the
+  // Layout: the vector is SEGMENTED — `dv=<seg1>,<seg2>,…` in the
+  // commit meta names one `dir/dv-g<N>~<token>/` dir per dvdelete
+  // commit, each holding only ITS batch's (path, pos) rows, and
+  // readers union the list (a pre-segment single-name meta parses as
+  // one segment). Segments are why a long delete diet stays
+  // batch-sized: r11 rewrote the CUMULATIVE relation every commit
+  // (old ∪ hits → new dir), so the Nth dvdelete paid O(total hidden
+  // rows); now it writes O(batch) and the union happens at read.
+  // `dv_rows=<count>` is the total across segments (segments are
+  // DISJOINT by construction — deleteKeys anti-joins its hits
+  // against the current union, so a re-deleted key never re-enters).
+  // Two events bound the segment count: [[dvSegmentCap]] makes the
+  // capping dvdelete write one merged segment (amortized
+  // O(total/cap) per commit — the same rollup discipline as
+  // commit-log checkpoints), and any commit that rewrites or drops
+  // files prunes their entries into one collapsed segment (the
   // rewrite read was vector-filtered, so the new bytes already
   // exclude the deleted rows — keeping stale entries would be wrong
-  // the day row positions coincide). [[compact]]/[[recluster]] are
-  // therefore also the vector-materialization passes: a full rewrite
-  // clears it. No `dv` meta key = zero read-path overhead.
+  // the day row positions coincide). A commit that leaves the vector
+  // untouched CARRIES the meta list verbatim (pointing at older
+  // dirs, exactly how manifests reference older files-g dirs).
+  // [[compact]]/[[recluster]] are therefore also the vector-
+  // materialization passes: a full rewrite clears it. No `dv` meta
+  // key = zero read-path overhead.
   //
   // Path forms: vector entries store `_metadata.file_path`'s form so
   // the producer and the probing anti-join are bit-identical;
@@ -1317,23 +1330,47 @@ object MergeTable {
 
   private def dvNameOf(gen: Int, token: String) = s"dv-g$gen~$token"
 
+  /** Segment-count bound: the dvdelete that would make the list
+    * LONGER than this writes one merged segment instead (see the
+    * section comment) — read-side union cost and per-read existence
+    * checks stay O(cap), write cost amortizes to O(total/cap).
+    */
+  private[graft] val dvSegmentCap = 8
+
+  /** The segment dir names a generation's `dv` meta references
+    * (empty = no vector). Pre-segment metas carry one name.
+    */
+  private[graft] def dvSegments(dir: String, gen: Int): Seq[String] =
+    dvSegmentsOf(metaAt(dir, gen))
+  private def dvSegmentsOf(meta: Map[String, String]): Seq[String] =
+    meta.get("dv").toSeq.flatMap(_.split(',')).filter(_.nonEmpty)
+
   private def normPath(p: String): String =
     java.nio.file.Path.of(java.net.URI.create(p)).toAbsolutePath.toString
 
-  /** The deletion-vector dir name + recorded deleted-row count at
-    * `gen` (None = no vector, reads are raw scans).
+  /** The deletion-vector reference (comma-joined segment dir names)
+    * + recorded total deleted-row count at `gen` (None = no vector,
+    * reads are raw scans).
     */
   def dvInfo(dir: String, gen: Int): Option[(String, Long)] = {
     val m = metaAt(dir, gen)
     m.get("dv").map(n => (n, m.get("dv_rows").flatMap(_.toLongOption).getOrElse(-1L)))
   }
 
-  private def dvFrameAt(s: SparkSession, dir: String, gen: Int): Option[DataFrame] =
-    metaAt(dir, gen).get("dv").map { n =>
-      val d = s"$dir/$n"
-      require(java.nio.file.Files.exists(java.nio.file.Path.of(d)),
-        s"generation $gen unavailable: its deletion-vector dir $n was vacuumed")
-      val df = s.read.parquet(d)
+  private def dvFrameAt(s: SparkSession, dir: String, gen: Int): Option[DataFrame] = {
+    // ONE log-entry read serves both the segment list and the
+    // broadcast gate — this sits on the hot read path of every
+    // vectored consumer
+    val meta = metaAt(dir, gen)
+    val segs = dvSegmentsOf(meta)
+    if (segs.isEmpty) None
+    else {
+      val dirs = segs.map(n => s"$dir/$n")
+      dirs.zip(segs).foreach { case (d, n) =>
+        require(java.nio.file.Files.exists(java.nio.file.Path.of(d)),
+          s"generation $gen unavailable: its deletion-vector segment $n was vacuumed")
+      }
+      val df = s.read.parquet(dirs: _*)
       // the committed dv_rows count is free plan knowledge the
       // optimizer doesn't have: a small vector (the common case)
       // broadcasts, keeping the anti-join off the shuffle path. The
@@ -1341,10 +1378,11 @@ object MergeTable {
       // uses: each entry carries a ~100-byte path string, so 100k
       // rows ≈ 10-20 MB hashed — a bigger vector (approaching
       // compaction territory) is left to the planner
-      if (metaAt(dir, gen).get("dv_rows").flatMap(_.toLongOption)
-          .exists(r => r > 0 && r <= 100000L)) broadcast(df)
-      else df
+      if (meta.get("dv_rows").flatMap(_.toLongOption)
+          .exists(r => r > 0 && r <= 100000L)) Some(broadcast(df))
+      else Some(df)
     }
+  }
 
   /** Hide a vector's deleted rows from a scan that exposes
     * `_metadata`: anti-join on the stable physical row identity.
@@ -1390,36 +1428,41 @@ object MergeTable {
   /** The vector meta a file-rewriting commit carries forward: entries
     * for `removedPaths` (rewritten or dropped — their replacement
     * bytes were produced from vector-FILTERED reads) are pruned; an
-    * untouched vector carries the OLD dir reference without a write;
+    * untouched vector carries the OLD segment list without a write;
     * a fully-drained vector drops the meta key (table reads raw
-    * again). Driver cost: one file-count-sized groupBy over the
-    * vector's paths.
+    * again). A prune COLLAPSES the surviving entries into one
+    * segment — rewrites are the rare, already-data-sized commits, so
+    * they double as the segment-rollup points (the same reasoning
+    * that makes compact the materialization pass). Driver cost: one
+    * file-count-sized groupBy over the vector's paths.
     */
   private def dvMetaForCommit(s: SparkSession, dir: String, prevGen: Int,
                               nextGen: Int, token: String,
-                              removedPaths: Seq[String]): Map[String, String] =
-    metaAt(dir, prevGen).get("dv") match {
-      case None => Map.empty
-      case Some(old) =>
-        val oldDf = s.read.parquet(s"$dir/$old")
-        val removedNorm = removedPaths.map(normPath).toSet
-        val perPath = oldDf.groupBy("path").count().collect()
-          .map(r => (r.getString(0), r.getLong(1)))
-        val removeDvForm = perPath.map(_._1)
-          .filter(p => removedNorm.contains(normPath(p))).toSet
-        if (removeDvForm.isEmpty)
-          Map("dv" -> old) ++ metaAt(dir, prevGen).get("dv_rows").map("dv_rows" -> _)
+                              removedPaths: Seq[String]): Map[String, String] = {
+    val prevMeta = metaAt(dir, prevGen)
+    val segs = dvSegmentsOf(prevMeta)
+    if (segs.isEmpty) Map.empty
+    else {
+      val oldDf = s.read.parquet(segs.map(n => s"$dir/$n"): _*)
+      val removedNorm = removedPaths.map(normPath).toSet
+      val perPath = oldDf.groupBy("path").count().collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val removeDvForm = perPath.map(_._1)
+        .filter(p => removedNorm.contains(normPath(p))).toSet
+      if (removeDvForm.isEmpty)
+        Map("dv" -> segs.mkString(",")) ++ prevMeta.get("dv_rows").map("dv_rows" -> _)
+      else {
+        val remaining = perPath.filterNot(t => removeDvForm.contains(t._1))
+        if (remaining.isEmpty) Map.empty
         else {
-          val remaining = perPath.filterNot(t => removeDvForm.contains(t._1))
-          if (remaining.isEmpty) Map.empty
-          else {
-            oldDf.filter(!col("path").isin(removeDvForm.toSeq: _*))
-              .coalesce(4).write.parquet(s"$dir/${dvNameOf(nextGen, token)}")
-            Map("dv" -> dvNameOf(nextGen, token),
-              "dv_rows" -> remaining.map(_._2).sum.toString)
-          }
+          oldDf.filter(!col("path").isin(removeDvForm.toSeq: _*))
+            .coalesce(4).write.parquet(s"$dir/${dvNameOf(nextGen, token)}")
+          Map("dv" -> dvNameOf(nextGen, token),
+            "dv_rows" -> remaining.map(_._2).sum.toString)
         }
+      }
     }
+  }
 
   /** `dv`/`dv_rows` carried verbatim — for metadata-only commits
     * (dropColumn, carry-forward, restore-to-generation) that change
@@ -1433,19 +1476,31 @@ object MergeTable {
   /** DELETE scattered keys via a deletion-vector commit: stats-prune
     * the candidate files (each key hits its range's files — on a
     * key-ordered layout, |keys| files, not the table), scan ONLY
-    * their key column to locate row positions, and commit the grown
-    * vector with the manifest carried VERBATIM — zero data bytes
-    * rewritten, cost ∝ candidates' key column + existing vector. The
-    * band shapes stay on [[deleteWhere]]; this is the 1M-scattered-
-    * keys shape where banding degenerates to a near-full rewrite.
-    * Rows already hidden by the current vector never re-enter it.
-    * Returns MergeStats(gen, files that gained vector entries, rest);
-    * a batch hitting nothing commits nothing.
+    * their key column to locate row positions, and commit the hits
+    * as a NEW vector SEGMENT with the manifest carried VERBATIM —
+    * zero data bytes rewritten, cost ∝ candidates' key column +
+    * batch (the existing vector is only re-read, never rewritten,
+    * until the [[dvSegmentCap]]'th commit rolls the segments up).
+    * The band shapes stay on [[deleteWhere]]; this is the
+    * 1M-scattered-keys shape where banding degenerates to a
+    * near-full rewrite. Rows already hidden by the current vector
+    * never re-enter it, so segments stay disjoint and `dv_rows`
+    * additive. Returns MergeStats(gen, files that gained vector
+    * entries, rest); a batch hitting nothing commits nothing.
     */
   def deleteKeys(s: SparkSession, dir: String, keyCol: String,
                  keys: DataFrame): MergeStats = {
     val prevGen = committedGen(dir).getOrElse(
       sys.error(s"$dir is not a committed keyed table (no commit log)"))
+    // the row-position scan resolves `_metadata.file_path/row_index`;
+    // a table with a REAL column of that name would shadow Spark's
+    // metadata struct and silently misidentify positions — refuse
+    // loudly, like the reserved `__dv_*` aliases below
+    schemaAt(dir, prevGen).foreach(sch => require(
+      !sch.fieldNames.exists(_.equalsIgnoreCase("_metadata")),
+      s"$dir has a real column named '_metadata', which shadows Spark's " +
+        "file-metadata struct — deleteKeys cannot locate row positions; " +
+        "rename the column or use merge/deleteWhere"))
     val next = prevGen + 1
     val token = newToken()
     val man = manifestAt(s, dir, prevGen)
@@ -1490,13 +1545,26 @@ object MergeTable {
       .localCheckpoint()
     val fresh = hits.count()
     if (fresh == 0L) return MergeStats(prevGen, Nil, allPaths)
-    val newDv = oldDv.fold(hits)(_.unionByName(hits))
-    newDv.coalesce(4).write.parquet(s"$dir/${dvNameOf(next, token)}")
+    // segment discipline: write ONLY this batch's hits — O(batch) per
+    // commit — unless this commit would push the list past the cap,
+    // in which case write the merged union as one rolled-up segment
+    // (amortized O(total/cap); the read union stays O(cap) dirs)
+    val prevSegs = dvSegments(dir, prevGen)
+    val segName = dvNameOf(next, token)
+    val newSegs: Seq[String] =
+      if (prevSegs.size + 1 > dvSegmentCap) {
+        oldDv.fold(hits)(_.unionByName(hits))
+          .coalesce(4).write.parquet(s"$dir/$segName")
+        Seq(segName)
+      } else {
+        hits.coalesce(4).write.parquet(s"$dir/$segName")
+        prevSegs :+ segName
+      }
     man.coalesce(1).write.parquet(manifestDirOf(dir, next, token))
     val prevRows = metaAt(dir, prevGen).get("dv_rows")
       .flatMap(_.toLongOption).getOrElse(0L)
     try commitGen(dir, next, token, Map("op" -> "dvdelete",
-      "dv" -> dvNameOf(next, token),
+      "dv" -> newSegs.mkString(","),
       "dv_rows" -> (prevRows + fresh).toString,
       "deleted" -> fresh.toString) ++
       schemaAt(dir, prevGen).map(sch => Map("schema" -> sch.json)).getOrElse(Map.empty))
@@ -1807,11 +1875,11 @@ object MergeTable {
       metaAt(dir, g).get("token").map(t => s"manifest-g$g~$t")
     } + curManifest
     // deletion-vector dirs follow the manifests' lifecycle: keep every
-    // dir a kept generation's meta references (a carried reference may
-    // name an older generation's dir, like manifests reference older
-    // files-g dirs' files), sweep the superseded rest
+    // segment a kept generation's meta references (a carried reference
+    // may name an older generation's dirs, like manifests reference
+    // older files-g dirs' files), sweep the superseded rest
     val keepDvs: Set[String] = (protectedGens + cur)
-      .flatMap(g => metaAt(dir, g).get("dv"))
+      .flatMap(g => dvSegments(dir, g))
     // governance log: only versions BELOW the current one are sweepable
     val governMax = Seq("_dropped_cols", "_constraints")
       .flatMap(b => governVersions(dir, b).maxOption.map(b -> _)).toMap
@@ -1968,11 +2036,11 @@ object MergeTable {
       s"cannot restore $dir to generation $toGen: ${missing.length} referenced " +
         s"file(s) no longer exist (vacuumed), e.g. ${missing.take(3).mkString(", ")}")
     // a restore point's deletion vector is part of its visible state:
-    // re-reference it (loud when vacuumed, like the manifest)
-    metaAt(dir, toGen).get("dv").foreach(n => require(
+    // re-reference every segment (loud when vacuumed, like the manifest)
+    dvSegments(dir, toGen).foreach(n => require(
       java.nio.file.Files.exists(java.nio.file.Path.of(s"$dir/$n")),
       s"cannot restore $dir to generation $toGen: its deletion-vector " +
-        s"dir $n was vacuumed"))
+        s"segment $n was vacuumed"))
     val next = cur + 1
     val token = newToken()
     man.coalesce(1).write.parquet(manifestDirOf(dir, next, token))
@@ -2037,13 +2105,15 @@ object MergeTable {
     // (vector-sized), not referenced — the source's vacuum after
     // divergence must not be able to blind the clone's reads. Entries
     // name the SOURCE's file paths, which is exactly what the clone's
-    // gen-0 manifest references.
-    val dvCloneMeta: Map[String, String] = metaAt(srcDir, g).get("dv") match {
-      case None => Map.empty
-      case Some(n) =>
+    // gen-0 manifest references. Segments collapse into ONE clone-side
+    // dir (a clone is a natural rollup point, same as a pruning
+    // rewrite).
+    val dvCloneMeta: Map[String, String] = dvSegments(srcDir, g) match {
+      case Nil => Map.empty
+      case segs =>
         val dst = dvNameOf(0, token)
-        org.apache.commons.io.FileUtils.copyDirectory(
-          new java.io.File(s"$srcDir/$n"), new java.io.File(s"$dstDir/$dst"))
+        s.read.parquet(segs.map(n => s"$srcDir/$n"): _*)
+          .coalesce(4).write.parquet(s"$dstDir/$dst")
         Map("dv" -> dst) ++ metaAt(srcDir, g).get("dv_rows").map("dv_rows" -> _)
     }
     commitGen(dstDir, 0, token, meta ++ dvCloneMeta)

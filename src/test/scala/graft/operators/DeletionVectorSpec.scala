@@ -296,8 +296,9 @@ class DeletionVectorSpec extends SparkSpecBase {
       "a lost-then-retried vector batch dropped or duplicated hides")
     assert(MergeTable.committedGen(dir).contains(3))
     assert(MergeTable.dvInfo(dir, 3).exists(_._2 == victims.size))
-    // losers' staged vector dirs were cleaned (only referenced +
-    // superseded committed ones remain, and vacuum bounds those)
+    // losers' staged vector dirs were cleaned: exactly the current
+    // generation's referenced SEGMENTS survive vacuum (one per
+    // committed dvdelete), nothing else
     MergeTable.vacuum(spark, dir)
     val dvs = {
       val ls = java.nio.file.Files.list(java.nio.file.Path.of(dir))
@@ -307,11 +308,12 @@ class DeletionVectorSpec extends SparkSpecBase {
           .filter(_.startsWith("dv-g")).toSeq
       } finally ls.close()
     }
-    assert(dvs.size == 1, s"stale vector staging survived: $dvs")
+    assert(dvs.toSet == MergeTable.dvSegments(dir, 3).toSet && dvs.size == 3,
+      s"stale vector staging survived (or referenced segments swept): $dvs")
     assert(keysOf(dir) == (1L to 1000L).toSet -- victims)
   }
 
-  test("vacuum keeps the referenced vector, sweeps superseded ones, reads stay exact") {
+  test("vacuum keeps referenced segments, sweeps drained ones, reads stay exact") {
     val dir = tmpDir("dv-vac")
     mkTable(dir)
     MergeTable.deleteKeys(spark, dir, "k", Seq(1L, 2L))
@@ -324,15 +326,68 @@ class DeletionVectorSpec extends SparkSpecBase {
           .filter(_.startsWith("dv-g")).toSeq.sorted
       } finally ls.close()
     }
+    // two dvdelete commits = two segments, and generation 1's travel
+    // reads through its one-segment prefix of the list
     assert(dvDirs().size == 2)
+    assert(MergeTable.readTable(spark, dir, asOf = Some(1)).count() == 998)
+    // the CURRENT generation references BOTH segments, so vacuum
+    // keeps both (old-generation MANIFESTS still sweep, as ever —
+    // segment retention follows references, not time travel)
     MergeTable.vacuum(spark, dir)
-    assert(dvDirs().size == 1, s"superseded vector survived: ${dvDirs()}")
+    assert(dvDirs().size == 2, s"referenced segment swept: ${dvDirs()}")
     assert(keysOf(dir) == (4L to 1000L).toSet)
-    // time travel to the swept vector generation ends loudly
+    // compaction materializes the vector into the data bytes; the
+    // drained segments lose their last reference and vacuum sweeps
+    // them, after which vector-generation travel ends loudly
+    MergeTable.compact(spark, dir, "k", targetRows = 1000000L)
+    MergeTable.vacuum(spark, dir)
+    assert(dvDirs().isEmpty, s"drained segments survived: ${dvDirs()}")
+    assert(keysOf(dir) == (4L to 1000L).toSet)
     val e = intercept[IllegalArgumentException] {
       MergeTable.readTable(spark, dir, asOf = Some(1)).count()
     }
     assert(e.getMessage.contains("deletion-vector") ||
       e.getMessage.contains("manifest"), e.getMessage)
+  }
+
+  test("segments: each dvdelete writes only its batch; the cap rolls them up") {
+    val dir = tmpDir("dv-segs")
+    mkTable(dir, n = 500, files = 4)
+    val cap = MergeTable.dvSegmentCap
+    // cap commits of one key each: the list grows one BATCH-SIZED
+    // segment per commit — the r11 design rewrote the cumulative
+    // vector here, O(total hidden) per commit
+    (1 to cap).foreach { i =>
+      MergeTable.deleteKeys(spark, dir, "k", Seq(i.toLong))
+      val segs = MergeTable.dvSegments(dir, i)
+      assert(segs.size == i, s"commit $i: expected $i segments, got $segs")
+      // the NEWEST segment holds exactly this commit's hits
+      assert(spark.read.parquet(s"$dir/${segs.last}").count() == 1,
+        s"commit $i wrote more than its batch")
+      assert(MergeTable.dvInfo(dir, i).exists(_._2 == i.toLong))
+    }
+    // the cap'th+1 delete rolls everything into ONE merged segment
+    MergeTable.deleteKeys(spark, dir, "k", Seq((cap + 1).toLong))
+    val rolled = MergeTable.dvSegments(dir, cap + 1)
+    assert(rolled.size == 1, s"cap rollup didn't collapse: $rolled")
+    assert(spark.read.parquet(s"$dir/${rolled.head}").count() == cap + 1L)
+    assert(MergeTable.dvInfo(dir, cap + 1).exists(_._2 == cap + 1L))
+    assert(keysOf(dir) == (1L to 500L).toSet -- (1L to (cap + 1L)))
+    // reads mid-diet were exact all along (spot-check a travel)
+    assert(MergeTable.readTable(spark, dir, asOf = Some(2)).count() == 498)
+  }
+
+  test("a real column named _metadata refuses the position scan loudly") {
+    val dir = tmpDir("dv-metacol")
+    MergeTable.write(spark,
+      (1 to 50).map(i => (i.toLong, s"m$i")).toDF("k", "_metadata"),
+      "k", dir, nFiles = 2)
+    val e = intercept[IllegalArgumentException] {
+      MergeTable.deleteKeys(spark, dir, "k", Seq(7L))
+    }
+    assert(e.getMessage.contains("_metadata"), e.getMessage)
+    // the table is untouched — no half-committed vector
+    assert(MergeTable.committedGen(dir).contains(0))
+    assert(MergeTable.readTable(spark, dir).count() == 50)
   }
 }
