@@ -39,10 +39,26 @@ class BenchKeysSpec extends AnyFunSuite {
     // rows ≥10 s print one decimal (99.9 is the two-digit worst case)
     val qs = Bench.allBenchKeys.map(k => "\"" + Bench.shortKey(k) + "\":99.9")
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":9999.9,"unit":"sec","batch":9999.9,"batch_min":9999.9,"reps":99,"queries":$qs,"rps":[999999,999999,999999,999999],"sf":"sf0.1"}"""
+    val line = s"""{"metric":"total","value":9999.9,"unit":"sec","batch":9999.9,"batch_min":9999.9,"reps":99,"queries":$qs,"rps":[999999,999999,999999,999999],"rps_best":[999999,999999,999999,999999],"sf":"sf0.1"}"""
     val sbtTrailer = 80 // "[success] Total time: ..." after our line
     val est = line.length + sbtTrailer
     assert(est < 1980, s"worst-case bench line + trailer $est chars crowds the 2000-char parse window")
+    // DEGRADED worst case: a fully-saturated capped contended list —
+    // the runs the cap exists for must fit too (rps contention needs
+    // no extra field: rps vs rps_best is always on the line)
+    val degraded = est +
+      Bench.contendedField((1 to 50).map(i => f"q$i%02d")).length
+    assert(degraded < 1995,
+      s"degraded bench line + trailer $degraded chars crowds the parse window")
+  }
+
+  test("the stdout contended list is capped at 5 keys plus a count") {
+    assert(Bench.contendedField(Nil) == "")
+    assert(Bench.contendedField(Seq("a", "b")) == """"contended":["a","b"],""")
+    val full = Bench.contendedField(Seq("a", "b", "c", "d", "e", "f", "g"))
+    assert(full == """"contended":["a","b","c","d","e"],"contended_more":2,""")
+    // the field length is bounded no matter how degraded the run
+    assert(Bench.contendedField((1 to 500).map(i => s"q$i")).length < 80)
   }
 
   test("contention flags need BOTH gates: >2x the best rep AND >0.25s above it") {
@@ -87,6 +103,31 @@ class BenchKeysSpec extends AnyFunSuite {
     assert(broken.isEmpty)
     assert(errors.keySet == Set("b_build", "b_probe"))
     assert(errors.values.forall(_.contains("side-row failure")))
+  }
+
+  test("sweep stages report median/best rps and flag contention with both gates") {
+    import graft.streaming.ThroughputHarness.{Result, SweepStage}
+    def res(rps: Double) =
+      Result("complete", 100000, 100000, rps, 100.0, 3, 300000)
+    // r11's exact shape: driver 254k vs quiet 446k/411k — the median
+    // picks an observed value and the best says what was possible
+    val r11 = SweepStage("complete", 100000,
+      Seq(res(253764), res(446000), res(411000)))
+    assert(r11.medianRps == 411000.0 && r11.bestRps == 446000.0)
+    // 446/411 = 1.09x — NOT contended (median is trustworthy)
+    assert(!r11.contended)
+    // one healthy rep among crushed ones: flagged (re-measure)
+    val crushed = SweepStage("complete", 100000,
+      Seq(res(100000), res(90000), res(400000)))
+    assert(crushed.medianRps == 100000.0 && crushed.contended)
+    // relative gate alone isn't enough: tiny absolute swings are noise
+    val tiny = SweepStage("update", 100000, Seq(res(10000), res(26000)))
+    assert(tiny.medianRps == 10000.0 && !tiny.contended)
+    // even rep count takes the LOWER median (observed, conservative)
+    val even = SweepStage("update", 500000, Seq(res(300000), res(320000)))
+    assert(even.medianRps == 300000.0 && even.bestRps == 320000.0)
+    // degenerate empty stage never divides by zero
+    assert(!SweepStage("complete", 100000, Nil).contended)
   }
 
   test("medianRows is the per-query lower median across reps") {
