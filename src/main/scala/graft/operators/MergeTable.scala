@@ -1348,13 +1348,17 @@ object MergeTable {
   private def normPath(p: String): String =
     java.nio.file.Path.of(java.net.URI.create(p)).toAbsolutePath.toString
 
-  /** The deletion-vector reference (comma-joined segment dir names)
-    * + recorded total deleted-row count at `gen` (None = no vector,
-    * reads are raw scans).
+  /** The deletion-vector SEGMENT dir names + recorded total deleted-
+    * row count at `gen` (None = no vector, reads are raw scans).
+    * Returns the segments as a Seq — the r12 segmentation turned the
+    * meta's `dv` value from one dir name into a comma-joined list, so
+    * any caller still resolving a single path (`s"$dir/$name"`) must
+    * break HERE at compile time, not build a bogus path at runtime.
     */
-  def dvInfo(dir: String, gen: Int): Option[(String, Long)] = {
+  def dvInfo(dir: String, gen: Int): Option[(Seq[String], Long)] = {
     val m = metaAt(dir, gen)
-    m.get("dv").map(n => (n, m.get("dv_rows").flatMap(_.toLongOption).getOrElse(-1L)))
+    m.get("dv").map(n => (n.split(',').toSeq.filter(_.nonEmpty),
+      m.get("dv_rows").flatMap(_.toLongOption).getOrElse(-1L)))
   }
 
   private def dvFrameAt(s: SparkSession, dir: String, gen: Int): Option[DataFrame] = {
@@ -1753,6 +1757,11 @@ object MergeTable {
   private def horizonFileOf(dir: String, consumer: String) = {
     require(consumer.matches("[A-Za-z0-9_\\-.]+"),
       s"consumer id '$consumer' must match [A-Za-z0-9_.-]+")
+    // `.tmp-` is the stores' crash-staging marker ([[PosixCommitStore]]
+    // stages `<final>.tmp-<nonce>`); a consumer id containing it would
+    // be indistinguishable from debris and invisible to [[cdcHorizons]]
+    require(!consumer.contains(".tmp-"),
+      s"consumer id '$consumer' must not contain the staging marker '.tmp-'")
     java.nio.file.Path.of(dir, s"_cdc_horizon-$consumer")
   }
 
@@ -1762,10 +1771,19 @@ object MergeTable {
   def registerCdcHorizon(dir: String, consumer: String, gen: Int): Unit =
     store(dir).putReplace(horizonFileOf(dir, consumer), s"$gen\n".getBytes("UTF-8"))
 
-  /** Registered consumers and their horizons. */
+  /** Registered consumers and their horizons. A name containing
+    * `.tmp-` is a crashed registration's staging debris (the POSIX
+    * store stages `_cdc_horizon-<c>.tmp-<nonce>`, which this prefix
+    * filter would otherwise parse as a live consumer with a frozen
+    * generation — permanently tripping [[vacuum]]'s guard, which
+    * throws BEFORE the sweep that cleans such debris); skipped here,
+    * reclaimed by vacuum's crash-staging branch.
+    */
   def cdcHorizons(dir: String): Map[String, Int] = {
     val root = java.nio.file.Path.of(dir)
-    store(dir).list(root).filter(_.startsWith("_cdc_horizon-")).flatMap { n =>
+    store(dir).list(root)
+      .filter(n => n.startsWith("_cdc_horizon-") && !n.contains(".tmp-"))
+      .flatMap { n =>
       val c = n.stripPrefix("_cdc_horizon-")
       store(dir).read(root.resolve(n)) // None = deregistered mid-list
         .flatMap(b => new String(b, "UTF-8").trim.toIntOption).map(c -> _)

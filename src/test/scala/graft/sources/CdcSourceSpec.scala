@@ -542,4 +542,36 @@ class CdcSourceSpec extends SparkSpecBase {
       s"re-attach raised a replay-protecting horizon: ${MergeTable.cdcHorizons(dir)}")
     MergeTable.releaseCdcHorizon(dir, unitConsumer)
   }
+
+  test("a crashed horizon registration never becomes a phantom consumer") {
+    // PosixCommitStore.putReplace stages `_cdc_horizon-<c>.tmp-<pid>-
+    // <nanos>` before the atomic move; a crash between the two leaves
+    // debris whose name matches the `_cdc_horizon-` prefix AND whose
+    // body parses as a valid generation. Pre-fix, cdcHorizons reported
+    // it as a live consumer frozen at that generation, so plain
+    // vacuum() refused FOREVER — and the refusal throws before the
+    // crash-staging sweep that would have cleaned the debris, so the
+    // table could never self-heal.
+    val dir = freshTable(30)
+    mergeBatch(dir, Seq((1L, "U", "Z", 9.9))) // gen 1 > any stale horizon
+    val debris = java.nio.file.Path.of(dir,
+      "_cdc_horizon-replica.tmp-12345-deadbeef")
+    java.nio.file.Files.write(debris, "0\n".getBytes("UTF-8"))
+    assert(MergeTable.cdcHorizons(dir).isEmpty,
+      s"staging debris parsed as a consumer: ${MergeTable.cdcHorizons(dir)}")
+    // plain vacuum proceeds AND reclaims the debris in the same pass
+    assert(MergeTable.vacuum(spark, dir) >= 1)
+    assert(java.nio.file.Files.notExists(debris),
+      "vacuum's crash-staging sweep missed the horizon debris")
+    // real registrations still work beside (former) debris...
+    MergeTable.registerCdcHorizon(dir, "replica",
+      MergeTable.committedGen(dir).get)
+    assert(MergeTable.cdcHorizons(dir).keySet == Set("replica"))
+    // ...and a consumer id that would masquerade as staging is refused
+    // at registration, not silently dropped at listing
+    intercept[IllegalArgumentException] {
+      MergeTable.registerCdcHorizon(dir, "bad.tmp-1", 0)
+    }
+    MergeTable.releaseCdcHorizon(dir, "replica")
+  }
 }
