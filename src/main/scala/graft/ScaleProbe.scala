@@ -1397,14 +1397,25 @@ object ScaleProbe {
         println(f"regular commits: early $early%.2f s vs late $late%.2f s " +
           f"(${late / early}%.2fx across a ${diet}x hidden-row growth); " +
           f"rollup(s): ${rollups.map(t => f"${t._1._1}%.2f").mkString(", ")} s")
-        // ADVISORY, not a gate: a 3-sample minimum of second-scale
-        // commits is a wall-clock claim a contended machine can fail
-        // spuriously. The STRUCTURAL requires above (newest segment
-        // batch-sized, cap-8 rollup collapse) are the flatness proof;
-        // the ratio is printed so a reader can spot real drift.
-        if (late / early >= 3.0)
-          println(f"WARN dvdiet timing ratio ${late / early}%.2fx >= 3.0 — " +
-            "structural gates passed; likely machine contention, rerun quiet")
+        // ADVISORY by default, not a gate: a 3-sample minimum of
+        // second-scale commits is a wall-clock claim a contended
+        // machine can fail spuriously. The STRUCTURAL requires above
+        // (newest segment batch-sized, cap-8 rollup collapse) are the
+        // flatness proof; the ratio is printed so a reader can spot
+        // real drift. SPARK_GRAFT_PROBE_STRICT=1 restores the hard
+        // gate for quiet/CI machines — the one place a wall-clock
+        // regression the structural gates can't see (e.g. O(hidden-
+        // rows) work per commit that leaves segment sizes intact)
+        // should fail instead of WARN.
+        if (late / early >= 3.0) {
+          val msg = f"dvdiet timing ratio ${late / early}%.2fx >= 3.0 " +
+            "across the diet — structural gates passed; on a quiet " +
+            "machine this is a real commit-cost regression"
+          if (sys.env.get("SPARK_GRAFT_PROBE_STRICT").contains("1"))
+            sys.error(msg)
+          else println(s"WARN $msg (likely contention; rerun quiet or " +
+            "set SPARK_GRAFT_PROBE_STRICT=1)")
+        }
         // reads stay exact through the whole diet
         require(operators.MergeTable.readTable(spark, dirD).count() ==
           spark.read.parquet(s"$dirD/files-g0~" +

@@ -63,6 +63,18 @@ object PosixCommitStore extends CommitStore {
     ProcessHandle.current().pid().toString + "-" +
       java.lang.Long.toHexString(System.nanoTime())
 
+  /** Whether `name` is this store's crash-staging debris — the EXACT
+    * `<final>.tmp-<pid>-<hexnanos>` nonce shape the staging writer
+    * produces, nothing looser. Listings that skip staging (e.g.
+    * [[graft.operators.MergeTable.cdcHorizons]]) and sweeps that
+    * reclaim it must share this one definition: matching `.tmp-`
+    * ANYWHERE would silently drop (and then sweep!) a user-chosen
+    * name like `nightly.tmp-replica`, stranding a real registration
+    * without the loud refusal the safety designs promise.
+    */
+  def isStagingName(name: String): Boolean =
+    name.matches(".*\\.tmp-\\d+-[0-9a-f]+")
+
   private def writeTmp(path: Path, body: Array[Byte]): Path = {
     val parent = path.toAbsolutePath.getParent
     java.nio.file.Files.createDirectories(parent)

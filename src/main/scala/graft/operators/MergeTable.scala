@@ -929,72 +929,146 @@ object MergeTable {
   // needle lookup touches the sidecar + a handful of files instead of
   // scheduling 100k scan tasks.
 
-  /** Sidecar dir name: `_bloom-g<gen>~<k>b<numBits>~<col>`. numBits
-    * rides the name (like numHashes) so maintenance folds size FRESH
-    * sketches exactly as buildBloomIndex chose, even after the table
-    * emptied or mixed-size segments folded; legacy `~<k>~` names
-    * (pre-numBits) still parse with the size unknown.
+  /** Sidecar segment NAME: `_bloom-g<gen>~<k>b<numBits>~<col>`.
+    * numBits rides the name (like numHashes) so maintenance folds
+    * size FRESH sketches exactly as buildBloomIndex chose, even after
+    * the table emptied or mixed-size segments folded; legacy `~<k>~`
+    * names (pre-numBits) still parse with the size unknown. The name
+    * is the segment's logical identity: pointer-published segments
+    * (r14+) carry it as the pointer FILE name under `_bloomptr/`
+    * while their parquet lives in an immutable tokened dir; legacy
+    * segments carry it as the root DIRECTORY name.
     */
-  private def bloomDirOf(dir: String, colName: String, gen: Int,
-                         numHashes: Int, numBits: Int) =
-    s"$dir/_bloom-g$gen~${numHashes}b$numBits~$colName"
+  private def bloomNameOf(colName: String, gen: Int,
+                          numHashes: Int, numBits: Int) =
+    s"_bloom-g$gen~${numHashes}b$numBits~$colName"
 
-  /** Every committed sidecar segment under `dir`:
-    * (dirName, gen, numHashes, numBits, colName) — numBits None for a
-    * legacy pre-numBits name. Staged `.tmp` dirs are rejected
-    * explicitly (their column segment carries the `.tmp<token>`
-    * suffix — a crashed build's staging must never read as a
-    * committed segment). One listing, shared by [[bloomFamilyDirs]],
-    * the rebuild sweep and [[maintainBloomSidecars]] so the name
-    * scheme lives in exactly one place.
+  /** One committed sidecar segment. `dataDir` is where the sketch
+    * parquet actually lives — `<dir>/_bloomseg-<token>` when
+    * pointer-published (`pointed`), `<dir>/<name>` for a legacy
+    * pre-pointer segment.
     */
-  private def bloomDirs(dir: String): Seq[(String, Int, Int, Option[Int], String)] = {
-    val root = java.nio.file.Path.of(dir)
-    if (!java.nio.file.Files.exists(root)) return Nil
-    val ls = java.nio.file.Files.list(root)
-    val names = try ls.iterator().asScala.map(_.getFileName.toString).toSeq
-                finally ls.close()
-    names.flatMap { n =>
-      if (!n.startsWith("_bloom-g")) None
-      else n.stripPrefix("_bloom-g").split("~", 3) match {
-        // staged dirs are `<committed name>.tmp<token>` — the suffix
-        // lands in the column segment, so reject it explicitly or a
-        // crashed build's half-written staging would surface as a
-        // committed segment for a phantom column (folded every
-        // commit, reported in stats, copied by clones)
-        case Array(g, kb, c) if !c.contains(".tmp") =>
-          val (kStr, bits) = kb.indexOf('b') match {
-            case -1 => (kb, None)
-            case i  => (kb.take(i), kb.drop(i + 1).toIntOption)
-          }
-          for (gi <- g.toIntOption; ki <- kStr.toIntOption)
-            yield (n, gi, ki, bits, c)
-        case _ => None
+  private[operators] final case class BloomSeg(
+      name: String, dataDir: String, gen: Int, k: Int,
+      bits: Option[Int], col: String, pointed: Boolean)
+
+  private def bloomPtrDirOf(dir: String): java.nio.file.Path =
+    java.nio.file.Path.of(dir, "_bloomptr")
+  private def bloomPtrOf(dir: String, name: String): java.nio.file.Path =
+    bloomPtrDirOf(dir).resolve(name)
+
+  private def parseBloomName(n: String): Option[(Int, Int, Option[Int], String)] =
+    if (!n.startsWith("_bloom-g")) None
+    else n.stripPrefix("_bloom-g").split("~", 3) match {
+      // staged names are `<committed name>.tmp<token>` (legacy dir
+      // staging) or `<committed name>.tmp-<nonce>` (the POSIX store's
+      // pointer staging) — the suffix lands in the column segment, so
+      // reject it explicitly or crashed staging would surface as a
+      // committed segment for a phantom column (folded every commit,
+      // reported in stats, copied by clones)
+      case Array(g, kb, c) if !c.contains(".tmp") =>
+        val (kStr, bits) = kb.indexOf('b') match {
+          case -1 => (kb, None)
+          case i  => (kb.take(i), kb.drop(i + 1).toIntOption)
+        }
+        for (gi <- g.toIntOption; ki <- kStr.toIntOption)
+          yield (gi, ki, bits, c)
+      case _ => None
+    }
+
+  /** Every committed sidecar segment under `dir` — the one discovery
+    * point shared by probes, folds, sweeps, stats and clones so the
+    * name/publication scheme lives in exactly one place. Two homes:
+    *
+    *  - POINTER-published (the CommitStore discipline): the segment
+    *    name is a file under `_bloomptr/` whose bytes name the
+    *    immutable tokened parquet dir. Publication was an atomic
+    *    [[CommitStore.putReplace]], so a reader sees the old or the
+    *    new pointer, never a torn one. A pointer whose target dir is
+    *    missing (crashed flip raced a vacuum, or the target was
+    *    vacuumed as an orphan) is skipped — degrades to uncovered-
+    *    admit, and vacuum reclaims the dangling pointer.
+    *  - LEGACY root dirs (`_bloom-g…` written by the pre-r14
+    *    staged-dir-rename publish): still discovered so existing
+    *    tables keep pruning; the next fold or rebuild republishes
+    *    them through the pointer and sweeps the dir.
+    *
+    * On a name collision the pointer wins: the same-generation
+    * rebuild's torn window (pointer flipped, legacy dir not yet
+    * swept) must resolve to the fresh segment.
+    */
+  private[operators] def bloomDirs(dir: String): Seq[BloomSeg] = {
+    val st = store(dir)
+    val pointed = st.list(bloomPtrDirOf(dir)).flatMap { n =>
+      parseBloomName(n).flatMap { case (g, k, b, c) =>
+        st.read(bloomPtrOf(dir, n)) // None = swept mid-list
+          .map(bytes => new String(bytes, "UTF-8").trim)
+          .filter(_.nonEmpty)
+          .map(seg => BloomSeg(n, s"$dir/$seg", g, k, b, c, pointed = true))
+          // target gone = crashed flip or vacuumed orphan; the pointer
+          // is reclaimed by vacuum, the probe falls back to uncovered
+          .filter(s => java.nio.file.Files.exists(
+            java.nio.file.Path.of(s.dataDir)))
       }
     }
+    val root = java.nio.file.Path.of(dir)
+    val legacy = if (!java.nio.file.Files.exists(root)) Nil else {
+      val ls = java.nio.file.Files.list(root)
+      val names = try ls.iterator().asScala.map(_.getFileName.toString).toSeq
+                  finally ls.close()
+      names.flatMap(n => parseBloomName(n).map { case (g, k, b, c) =>
+        BloomSeg(n, s"$dir/$n", g, k, b, c, pointed = false) })
+    }
+    val pointedNames = pointed.map(_.name).toSet
+    pointed ++ legacy.filterNot(s => pointedNames.contains(s.name))
+  }
+
+  /** Publish a segment: flip its pointer to `dataName` through the
+    * store's atomic replace. The parquet under `dataName` was written
+    * directly to its final tokened dir (data never moves — the
+    * property that keeps the format object-store-ready), so the flip
+    * is the only publication step and a crash on either side of it
+    * leaves a consistent index: before = old segment intact, after =
+    * new segment live and the stale data dir awaits vacuum's
+    * orphan sweep.
+    */
+  private def publishBloomSeg(dir: String, name: String,
+                              dataName: String): Unit =
+    store(dir).putReplace(bloomPtrOf(dir, name),
+      (dataName + "\n").getBytes("UTF-8"))
+
+  /** Retire a superseded segment: pointer first (readers stop
+    * resolving it atomically), data dir second. A crash between the
+    * two leaves an orphaned `_bloomseg-` dir that vacuum reclaims as
+    * unreferenced. `keepPtr` is for the same-NAME republish, where
+    * the pointer was already flipped to the successor and must not
+    * be deleted out from under it.
+    */
+  private def dropBloomSeg(dir: String, seg: BloomSeg,
+                           keepPtr: Boolean = false): Unit = {
+    if (seg.pointed && !keepPtr) { store(dir).delete(bloomPtrOf(dir, seg.name)); () }
+    graft.IndexLifecycle.deleteRecursively(seg.dataDir)
   }
 
   // case-insensitive like Spark's own resolution (and the fold/probe
   // sides' type lookups) — dropColumn's sweep of 'tag' must find a
   // '_bloom-…~Tag' sidecar, and a probe on 'K' must find the segment
   // built as 'k', or maintenance keeps folding retired bytes forever
-  private def bloomDirsFor(dir: String,
-                           colName: String): Seq[(String, Int, Int, Option[Int])] =
-    bloomDirs(dir).collect {
-      case (n, g, k, b, c) if c.equalsIgnoreCase(colName) => (n, g, k, b) }
+  private def bloomDirsFor(dir: String, colName: String): Seq[BloomSeg] =
+    bloomDirs(dir).filter(_.col.equalsIgnoreCase(colName))
 
   /** Newest sidecar PER numHashes-family for `colName` at or below
-    * `maxGen`: (path, gen, numHashes). Normally one family; a crashed
-    * rebuild that changed `numHashes` leaves two, and BOTH are
+    * `maxGen`: (dataDir, gen, numHashes). Normally one family; a
+    * crashed rebuild that changed `numHashes` leaves two, and BOTH are
     * consulted by probes (each segment prunes its covered files
     * soundly with its own k) — coverage is never silently dropped.
     */
   private def bloomFamilyDirs(dir: String, colName: String,
                               maxGen: Int): Seq[(String, Int, Int)] =
-    bloomDirsFor(dir, colName).filter(_._2 <= maxGen)
-      .groupBy(_._3).values.toSeq
-      .map(_.maxBy(_._2))
-      .map { case (n, g, k, _) => (s"$dir/$n", g, k) }
+    bloomDirsFor(dir, colName).filter(_.gen <= maxGen)
+      .groupBy(_.k).values.toSeq
+      .map(_.maxBy(_.gen))
+      .map(s => (s.dataDir, s.gen, s.k))
       .sortBy(-_._2)
 
   /** XxHash64 of a probe value, computed with the SAME Catalyst
@@ -1021,12 +1095,15 @@ object MergeTable {
 
   /** Build (or rebuild) the Bloom sidecar for `colName` at the current
     * generation: one Spark job, one sketch per live file. Supersedes
-    * any older sidecar for the column (staged-dir atomic move, so a
-    * crash leaves either the old or the new index, never a torn one).
-    * Returns the generation the index covers. Files written by LATER
-    * commits are simply uncovered — [[bloomCandidatePaths]] admits
-    * them, so a stale index degrades to less pruning, never to wrong
-    * answers (rebuild on maintenance windows, like compaction).
+    * any older sidecar for the column. Publication is the CommitStore
+    * discipline (parquet written once to an immutable tokened dir,
+    * then one atomic pointer flip — [[publishBloomSeg]]) so a crash
+    * leaves either the old or the new index, never a torn one, on
+    * POSIX and object stores alike. Returns the generation the index
+    * covers. Files written by LATER commits are simply uncovered —
+    * [[bloomCandidatePaths]] admits them, so a stale index degrades
+    * to less pruning, never to wrong answers (rebuild on maintenance
+    * windows, like compaction).
     */
   def buildBloomIndex(s: SparkSession, dir: String, colName: String,
                       numBits: Int = 1 << 17, numHashes: Int = 7): Int = {
@@ -1037,42 +1114,43 @@ object MergeTable {
       .groupBy("path")
       .agg(graft.functions.GraftFunctions.bloomAgg("__h", numBits, numHashes)
         .as("bloom"))
-    val out = bloomDirOf(dir, colName, gen, numHashes, numBits)
-    val staged = out + ".tmp" + newToken()
+    val segName = bloomNameOf(colName, gen, numHashes, numBits)
+    val dataName = s"_bloomseg-${newToken()}"
     // NOT coalesced to one file: sketches are numBits/8 bytes each, so
     // a big table's sidecar is tens of MB — probes re-read it per
     // lookup and want the read parallel (the groupBy's partitioning
     // spreads entries across ≤ shuffle.partitions part files)
-    idx.write.parquet(staged)
-    // land the new sidecar FIRST, sweep superseded ones after — a
-    // crash mid-build leaves the old index intact, a crash mid-sweep
-    // leaves both (bloomFamilyDirs takes the higher generation per family). The
-    // sweep is restricted to STRICTLY LOWER generations: a concurrent
-    // builder that already landed a fresher index (higher gen) must
-    // not lose it to this builder's cleanup. Two torn windows remain,
-    // both sound (probes fall back to full admission) but noted so
-    // operators don't schedule concurrent rebuilds of one column: a
-    // SAME-generation re-build deletes the live target before the
-    // atomic move (brief no-index gap), and a same-generation build
-    // with a different numHashes leaves both dirs until the next
-    // higher-generation build sweeps them.
-    if (java.nio.file.Files.exists(java.nio.file.Path.of(out)))
-      graft.IndexLifecycle.deleteRecursively(out)
-    java.nio.file.Files.move(java.nio.file.Path.of(staged),
-      java.nio.file.Path.of(out),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    // beyond strictly-lower generations, a SAME-generation same-k
-    // sibling with different numBits is also superseded (this rebuild
-    // fully covers the live set) — leaving it would make the next
-    // fold read two segments of one family and carry duplicate rows
-    // per path forever; the mutual-delete risk of two concurrent
-    // same-column rebuilds rides the already-documented
-    // don't-schedule-concurrent-rebuilds window above
-    bloomDirsFor(dir, colName)
-      .filter(t => t._2 < gen ||
-        (t._2 == gen && t._3 == numHashes && !t._4.contains(numBits)))
-      .map(_._1)
-      .foreach(n => graft.IndexLifecycle.deleteRecursively(s"$dir/$n"))
+    idx.write.parquet(s"$dir/$dataName")
+    // snapshot the superseded set BEFORE the flip (the same-name
+    // replace needs the OLD target; after the flip the pointer names
+    // the new one), publish, THEN sweep — a crash mid-build leaves the
+    // old index intact (the fresh data dir is an orphan vacuum
+    // reclaims), a crash mid-sweep leaves both (discovery takes the
+    // pointer / the higher generation per family). The sweep is
+    // restricted to STRICTLY LOWER generations plus this builder's own
+    // replacements: a concurrent builder that already landed a fresher
+    // index (higher gen) must not lose it to this builder's cleanup.
+    // One torn window remains, sound (probes fall back to full
+    // admission) but noted so operators don't schedule concurrent
+    // rebuilds of one column: a same-generation build with a different
+    // numHashes leaves both segments until the next higher-generation
+    // build sweeps them. The r13 same-generation-rebuild no-index gap
+    // is GONE — the pointer flip is atomic where delete-then-rename
+    // was not.
+    val superseded = bloomDirsFor(dir, colName)
+      .filter(t => t.gen < gen ||
+        // a SAME-generation same-k sibling with different numBits is
+        // also superseded (this rebuild fully covers the live set) —
+        // leaving it would make the next fold read two segments of one
+        // family and carry duplicate rows per path forever; the
+        // mutual-delete risk of two concurrent same-column rebuilds
+        // rides the already-documented don't-schedule-concurrent-
+        // rebuilds window above
+        (t.gen == gen && t.k == numHashes && !t.bits.contains(numBits)) ||
+        t.name == segName)
+    publishBloomSeg(dir, segName, dataName)
+    superseded.foreach(seg =>
+      dropBloomSeg(dir, seg, keepPtr = seg.name == segName))
     gen
   }
 
@@ -1083,7 +1161,8 @@ object MergeTable {
     * file-count-sized parquet read — the sketch column is a monoid,
     * so old entries carry verbatim; dead files' rows are dropped),
     * and land the union as the generation-`newGen` sidecar under the
-    * same staged-move discipline as [[buildBloomIndex]]. Cost ∝ the
+    * same write-once-then-pointer-flip discipline as
+    * [[buildBloomIndex]]. Cost ∝ the
     * delta plus the sidecar, never the table — the same maintenance
     * discipline as appendToFpIndex/appendToIvfIndex, and the reason
     * the index stays ~fully covering under a steady merge diet
@@ -1101,9 +1180,10 @@ object MergeTable {
     * numHashes (crashed rebuild that changed k) is left alive, not
     * swept — probes consult every k-family, so its coverage keeps
     * pruning instead of silently decaying to admit-all.
-    * Crash-safety: a crash before the move leaves the old sidecar
-    * intact; a crash mid-sweep leaves both generations (probes read
-    * the newest).
+    * Crash-safety: a crash before the pointer flip leaves the old
+    * sidecar intact (the staged data dir is an orphan vacuum
+    * reclaims); a crash mid-sweep leaves both generations (probes
+    * read the newest).
     */
   private def maintainBloomSidecars(s: SparkSession, dir: String,
                                     newGen: Int, staging: String): Unit = {
@@ -1112,21 +1192,21 @@ object MergeTable {
     val liveDf = manifestAt(s, dir, newGen).select("path")
     val stagedDf =
       if (hasParquetFiles(staging)) Some(s.read.parquet(staging)) else None
-    segs.map(_._5).distinct.foreach { c =>
+    segs.map(_.col).distinct.foreach { c =>
       try {
-        val colSegs = segs.collect { case (n, g, k, b, `c`) => (n, g, k, b) }
+        val colSegs = segs.filter(_.col == c)
         // deterministic on a same-generation tie (crashed k-change
         // rebuild): highest k wins, so repeated folds pick ONE family
-        val (_, newestGen, k, recordedBits) = colSegs.maxBy(t => (t._2, t._3))
+        val newest = colSegs.maxBy(t => (t.gen, t.k))
+        val (newestGen, k, recordedBits) = (newest.gen, newest.k, newest.bits)
         if (newestGen < newGen) {
           // the fold family is the newest segment's numHashes — a
           // DIFFERENT-k segment (crashed rebuild that changed k) can't
           // fold in (admission probes with one k per segment), so it is
           // LEFT ALIVE, not swept: it still prunes its covered files
           // soundly, and bloomCandidatePathsIn consults every family
-          val family = colSegs.filter(_._3 == k)
-          val foldPaths = family.map(t => s"$dir/${t._1}")
-          val foldDf = s.read.parquet(foldPaths: _*)
+          val family = colSegs.filter(_.k == k)
+          val foldDf = s.read.parquet(family.map(_.dataDir): _*)
           // one row per path: a crashed fold (new segment landed, old
           // not yet swept) leaves two same-k segments both covering
           // the carried files — every duplicate row is an equally
@@ -1155,14 +1235,12 @@ object MergeTable {
                 .as("bloom"))
           }
           val folded = fresh.fold(old)(f => old.unionByName(f))
-          val out = bloomDirOf(dir, c, newGen, k, resolvedBits)
-          val stagedOut = out + ".tmp" + newToken()
-          folded.write.parquet(stagedOut)
-          java.nio.file.Files.move(java.nio.file.Path.of(stagedOut),
-            java.nio.file.Path.of(out),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          family.filter(_._2 < newGen).map(_._1)
-            .foreach(n => graft.IndexLifecycle.deleteRecursively(s"$dir/$n"))
+          val segName = bloomNameOf(c, newGen, k, resolvedBits)
+          val dataName = s"_bloomseg-${newToken()}"
+          folded.write.parquet(s"$dir/$dataName")
+          publishBloomSeg(dir, segName, dataName)
+          family.filter(_.gen < newGen).foreach(seg =>
+            dropBloomSeg(dir, seg, keepPtr = seg.name == segName))
           // surviving different-k segments are NOT logged per commit (a
           // streaming sink would print once per micro-batch, drowning
           // real maintenance errors) — the split is visible in
@@ -1191,7 +1269,7 @@ object MergeTable {
     * maintenance fold or rebuild).
     */
   def bloomIndexedColumns(dir: String): Map[String, Int] =
-    bloomDirs(dir).groupBy(_._5).map { case (c, segs) => c -> segs.map(_._2).max }
+    bloomDirs(dir).groupBy(_.col).map { case (c, segs) => c -> segs.map(_.gen).max }
 
   /** Columns whose sidecar currently spans MORE than one numHashes
     * family (a crashed k-change rebuild's torn window): col → family
@@ -1201,8 +1279,8 @@ object MergeTable {
     * once per micro-batch under a streaming sink).
     */
   def bloomFamilySplit(dir: String): Map[String, Int] =
-    bloomDirs(dir).groupBy(_._5).view
-      .mapValues(_.map(_._3).distinct.size).filter(_._2 > 1).toMap
+    bloomDirs(dir).groupBy(_.col).view
+      .mapValues(_.map(_.k).distinct.size).filter(_._2 > 1).toMap
 
   /** The pruning decision for `colName = value`, exposed for specs and
     * probes: (candidate paths, pruned-file count, total live files).
@@ -1757,11 +1835,16 @@ object MergeTable {
   private def horizonFileOf(dir: String, consumer: String) = {
     require(consumer.matches("[A-Za-z0-9_\\-.]+"),
       s"consumer id '$consumer' must match [A-Za-z0-9_.-]+")
-    // `.tmp-` is the stores' crash-staging marker ([[PosixCommitStore]]
-    // stages `<final>.tmp-<nonce>`); a consumer id containing it would
-    // be indistinguishable from debris and invisible to [[cdcHorizons]]
-    require(!consumer.contains(".tmp-"),
-      s"consumer id '$consumer' must not contain the staging marker '.tmp-'")
+    // a consumer id whose file name would match the stores' EXACT
+    // crash-staging nonce shape (`<final>.tmp-<pid>-<hexnanos>`,
+    // [[PosixCommitStore.isStagingName]]) would be indistinguishable
+    // from debris — invisible to [[cdcHorizons]] and swept by vacuum —
+    // so it is refused HERE, loudly. Ids that merely CONTAIN `.tmp-`
+    // (e.g. `nightly.tmp-replica`) are fine: the listing matches the
+    // full nonce pattern, not the marker substring.
+    require(!PosixCommitStore.isStagingName(s"_cdc_horizon-$consumer"),
+      s"consumer id '$consumer' matches the stores' crash-staging nonce " +
+        "pattern '.tmp-<pid>-<hexnanos>' and would read as debris")
     java.nio.file.Path.of(dir, s"_cdc_horizon-$consumer")
   }
 
@@ -1771,18 +1854,24 @@ object MergeTable {
   def registerCdcHorizon(dir: String, consumer: String, gen: Int): Unit =
     store(dir).putReplace(horizonFileOf(dir, consumer), s"$gen\n".getBytes("UTF-8"))
 
-  /** Registered consumers and their horizons. A name containing
-    * `.tmp-` is a crashed registration's staging debris (the POSIX
-    * store stages `_cdc_horizon-<c>.tmp-<nonce>`, which this prefix
-    * filter would otherwise parse as a live consumer with a frozen
-    * generation — permanently tripping [[vacuum]]'s guard, which
-    * throws BEFORE the sweep that cleans such debris); skipped here,
-    * reclaimed by vacuum's crash-staging branch.
+  /** Registered consumers and their horizons. A name matching the
+    * stores' EXACT staging-nonce shape ([[PosixCommitStore
+    * .isStagingName]] — `<final>.tmp-<pid>-<hexnanos>`) is a crashed
+    * registration's debris, which this prefix filter would otherwise
+    * parse as a live consumer with a frozen generation — permanently
+    * tripping [[vacuum]]'s guard, which throws BEFORE the sweep that
+    * cleans such debris; skipped here, reclaimed by vacuum's
+    * crash-staging branch. The match is the full nonce pattern, not
+    * `.tmp-` anywhere: a pre-r13 registration like
+    * `nightly.tmp-replica` stays visible (and keeps refusing vacuums
+    * it protects against) instead of being silently dropped and
+    * swept.
     */
   def cdcHorizons(dir: String): Map[String, Int] = {
     val root = java.nio.file.Path.of(dir)
     store(dir).list(root)
-      .filter(n => n.startsWith("_cdc_horizon-") && !n.contains(".tmp-"))
+      .filter(n => n.startsWith("_cdc_horizon-") &&
+        !PosixCommitStore.isStagingName(n))
       .flatMap { n =>
       val c = n.stripPrefix("_cdc_horizon-")
       store(dir).read(root.resolve(n)) // None = deregistered mid-list
@@ -1901,6 +1990,19 @@ object MergeTable {
     // governance log: only versions BELOW the current one are sweepable
     val governMax = Seq("_dropped_cols", "_constraints")
       .flatMap(b => governVersions(dir, b).maxOption.map(b -> _)).toMap
+    // bloom-sidecar data dirs are published BY REFERENCE from pointer
+    // files (like data files from manifests) — an unreferenced
+    // `_bloomseg-` dir is a crashed build/fold/clone-copy's orphan, or
+    // a replaced segment whose sweep died between pointer-delete and
+    // dir-delete; either way dead weight. minAgeMs spares an IN-FLIGHT
+    // builder's freshly written dir exactly as it spares in-flight
+    // commits (a 0-age vacuum racing a builder is already documented
+    // as unsafe-quiesced-only, and even then the loser degrades to an
+    // uncovered — sound — index, never a wrong answer).
+    val bloomRefs: Set[String] = store(dir).list(bloomPtrDirOf(dir))
+      .filter(!_.contains(".tmp-"))
+      .flatMap(n => store(dir).read(bloomPtrOf(dir, n)))
+      .map(b => new String(b, "UTF-8").trim).toSet
     // ONE batched read over every kept-and-present manifest (a
     // consumer lagging N generations must not cost N driver jobs);
     // schemas differ across generations but every manifest has
@@ -1936,7 +2038,11 @@ object MergeTable {
     val storeNames = store(dir).list(root)
     val logVirtual =
       if (store(dir).list(logDirOf(dir)).nonEmpty) Seq("_log") else Nil
-    (fsNames ++ storeNames ++ logVirtual).distinct.foreach { name =>
+    // pointer files may live only in the store (in-memory/object
+    // impls) — surface the dir to the loop the same way _log is
+    val ptrVirtual =
+      if (store(dir).list(bloomPtrDirOf(dir)).nonEmpty) Seq("_bloomptr") else Nil
+    (fsNames ++ storeNames ++ logVirtual ++ ptrVirtual).distinct.foreach { name =>
       val p = root.resolve(name)
       // `_commit-g<N>` log entries are KEPT — they are the table's
       // history; a vacuumed generation fails loudly in manifestAt
@@ -1951,10 +2057,15 @@ object MergeTable {
       } else if (name.startsWith("_commit.tmp") && oldEnough(p)) {
         // a crashed commit's staged log entry — never observed by readers
         del(p); deleted += 1
-      } else if ((name.startsWith("_constraints") ||
-          name.startsWith("_dropped_cols") ||
-          name.startsWith("_cdc_horizon")) &&
-          name.contains(".tmp-") && oldEnough(p)) {
+      } else if (((name.startsWith("_constraints") ||
+          name.startsWith("_dropped_cols")) && name.contains(".tmp-") ||
+          // horizon names embed USER-CHOSEN consumer ids, so only the
+          // stores' exact staging-nonce shape is debris here — a
+          // `.tmp-`-anywhere match would sweep a live registration
+          // like `nightly.tmp-replica` (which cdcHorizons now lists)
+          name.startsWith("_cdc_horizon") &&
+            PosixCommitStore.isStagingName(name)) &&
+          oldEnough(p)) {
         // a crashed constraint/drop-column/horizon staged file —
         // never observed by readers (checkpoint staging lives only
         // under _log/ and is swept by that branch). The `.tmp-`
@@ -1972,9 +2083,31 @@ object MergeTable {
         del(p); deleted += 1
       } else if (name.startsWith("_bloom-g") && name.contains(".tmp") &&
           oldEnough(p)) {
-        // a crashed buildBloomIndex's staged sidecar (committed
-        // sidecars have no .tmp segment and are kept)
+        // a crashed pre-r14 buildBloomIndex's staged sidecar dir
+        // (committed legacy sidecars have no .tmp segment and are kept)
         graft.IndexLifecycle.deleteRecursively(p.toString); deleted += 1
+      } else if (name.startsWith("_bloomseg-") && !bloomRefs.contains(name) &&
+          oldEnough(p)) {
+        // an unreferenced sidecar data dir (see bloomRefs above)
+        graft.IndexLifecycle.deleteRecursively(p.toString); deleted += 1
+      } else if (name == "_bloomptr") {
+        // inside the pointer dir only crashed staging (`.tmp-` nonce
+        // names from the POSIX store's putReplace) and DANGLING
+        // pointers (target dir vacuumed/never landed) are sweepable;
+        // live pointers are the index's publication record
+        val ptrNames =
+          (PosixCommitStore.list(p) ++ store(dir).list(p)).distinct
+        ptrNames.foreach { n2 =>
+          val e = p.resolve(n2)
+          val dangling = !n2.contains(".tmp-") &&
+            store(dir).read(e)
+              .map(b => new String(b, "UTF-8").trim)
+              .forall(t => t.isEmpty || !java.nio.file.Files.exists(
+                java.nio.file.Path.of(dir, t)))
+          if ((n2.contains(".tmp-") || dangling) && oldEnough(e)) {
+            del(e); deleted += 1
+          }
+        }
       } else if (name == "_log") {
         // commit markers are NEVER swept (the table's lineage); inside
         // the log dir only crashed staging and superseded checkpoint
@@ -2106,17 +2239,22 @@ object MergeTable {
     // source's files, so the newest segment per column (per k-family —
     // a surviving different-numHashes segment's coverage rides along)
     // is valid for the clone verbatim — copied (sidecar-sized, not
-    // data-sized) under the clone's generation-0 name so its probes
-    // prune from the first read instead of starting uncovered
-    bloomDirs(srcDir).groupBy(t => (t._5, t._3)).values
-      .map(_.maxBy(_._2)).foreach { case (n, _, _, _, _) =>
+    // data-sized) into a clone-side tokened dir and pointer-published
+    // under the clone's generation-0 name, so its probes prune from
+    // the first read instead of starting uncovered (and a crash
+    // mid-copy leaves an unpublished orphan, never a torn segment)
+    bloomDirs(srcDir).groupBy(t => (t.col, t.k)).values
+      .map(_.maxBy(_.gen)).foreach { seg =>
         // keep the name's k/numBits segment verbatim (legacy names too)
-        val dst = s"$dstDir/" + n.replaceFirst("^_bloom-g\\d+", "_bloom-g0")
-        try org.apache.commons.io.FileUtils.copyDirectory(
-          new java.io.File(s"$srcDir/$n"), new java.io.File(dst))
-        catch { case e: java.io.IOException => System.err.println(
-          s"[graft] clone of bloom sidecar $n failed (clone starts uncovered, " +
-            s"sound; rebuild with buildBloomIndex): $e")
+        val dstName = seg.name.replaceFirst("^_bloom-g\\d+", "_bloom-g0")
+        val dataName = s"_bloomseg-${newToken()}"
+        try {
+          org.apache.commons.io.FileUtils.copyDirectory(
+            new java.io.File(seg.dataDir), new java.io.File(s"$dstDir/$dataName"))
+          publishBloomSeg(dstDir, dstName, dataName)
+        } catch { case e: java.io.IOException => System.err.println(
+          s"[graft] clone of bloom sidecar ${seg.name} failed (clone starts " +
+            s"uncovered, sound; rebuild with buildBloomIndex): $e")
         }
       }
     // the deletion vector is part of the cloned visible state: COPIED
@@ -2732,8 +2870,7 @@ object MergeTable {
     updateDroppedCols(dir)(_ + colName)
     // a sidecar on the dropped column would keep sketching invisible
     // bytes; sweep it (probes on the column now fail analysis anyway)
-    bloomDirsFor(dir, colName).map(_._1)
-      .foreach(n => graft.IndexLifecycle.deleteRecursively(s"$dir/$n"))
+    bloomDirsFor(dir, colName).foreach(seg => dropBloomSeg(dir, seg))
     next
   }
 

@@ -60,14 +60,17 @@ class BloomIndexSpec extends SparkSpecBase {
     assert(total == 8 && pruned >= 6 && cands.nonEmpty, s"$cands/$total")
   }
 
-  private def bloomDirNames(dir: String): Seq[String] = {
-    val ls = java.nio.file.Files.list(java.nio.file.Path.of(dir))
-    try {
-      import scala.jdk.CollectionConverters._
-      ls.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.startsWith("_bloom-g")).toSeq.sorted
-    } finally ls.close()
-  }
+  /** Logical segment names as discovery resolves them (pointer-
+    * published under `_bloomptr/` or legacy root dirs) — the asserts
+    * below pin the NAME scheme; where the segment's parquet lives is
+    * [[segDataDir]]'s business.
+    */
+  private def bloomDirNames(dir: String): Seq[String] =
+    MergeTable.bloomDirs(dir).map(_.name).sorted
+
+  private def segDataDir(dir: String, name: String): String =
+    MergeTable.bloomDirs(dir).find(_.name == name)
+      .getOrElse(sys.error(s"no committed segment $name under $dir")).dataDir
 
   test("merge maintains the sidecar: pruning stays ~1 candidate across merges, no rebuild") {
     val dir = tmpDir("bloommaint")
@@ -164,16 +167,25 @@ class BloomIndexSpec extends SparkSpecBase {
     // (which folds to gen 1), then restore the STALE gen-0 sidecar —
     // the merge's new file is now uncovered, exactly the documented
     // degradation mode
-    val g0 = bloomDirNames(dir).head
+    val g0 = MergeTable.bloomDirs(dir).head
     val saved = java.nio.file.Files.createTempDirectory("bloomstale-saved")
     org.apache.commons.io.FileUtils.copyDirectory(
-      new java.io.File(s"$dir/$g0"), saved.resolve(g0).toFile)
+      new java.io.File(g0.dataDir), saved.resolve("seg").toFile)
     MergeTable.merge(spark, dir,
       Seq((50L, "U", "fresh-tag", 0.5)).toDF("k", "op", "tag", "bal"), "k")
-    bloomDirNames(dir).foreach(n =>
-      graft.IndexLifecycle.deleteRecursively(s"$dir/$n"))
+    MergeTable.bloomDirs(dir).foreach { seg =>
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Path.of(dir, "_bloomptr", seg.name))
+      graft.IndexLifecycle.deleteRecursively(seg.dataDir)
+    }
+    // the stale restore publishes exactly as a (resurrected) pointer
+    // segment would: data under a tokened dir, pointer naming it
     org.apache.commons.io.FileUtils.copyDirectory(
-      saved.resolve(g0).toFile, new java.io.File(s"$dir/$g0"))
+      saved.resolve("seg").toFile,
+      new java.io.File(s"$dir/_bloomseg-restored"))
+    java.nio.file.Files.write(
+      java.nio.file.Path.of(dir, "_bloomptr", g0.name),
+      "_bloomseg-restored\n".getBytes("UTF-8"))
 
     val (cands, _, total) = MergeTable.bloomCandidatePaths(spark, dir, "tag", "fresh-tag")
     assert(cands.nonEmpty, "uncovered rewritten file must be admitted")
@@ -238,7 +250,7 @@ class BloomIndexSpec extends SparkSpecBase {
     // the fold's FRESH sketches are sized by the recorded numBits, not
     // the build default — every row (carried and fresh) is 2048 bytes
     assert(bloomDirNames(dir) == Seq("_bloom-g1~7b16384~tag"))
-    val lens = spark.read.parquet(s"$dir/_bloom-g1~7b16384~tag")
+    val lens = spark.read.parquet(segDataDir(dir, "_bloom-g1~7b16384~tag"))
       .agg(min(length(col("bloom"))), max(length(col("bloom")))).head()
     assert(lens.getInt(0) == 2048 && lens.getInt(1) == 2048, lens.toString)
     assert(MergeTable.scanEqualsBloom(spark, dir, "tag", "fresh-tag")
@@ -249,16 +261,30 @@ class BloomIndexSpec extends SparkSpecBase {
     val dir = tmpDir("bloomlegacy")
     MergeTable.write(spark, table(400), "k", dir, nFiles = 8)
     MergeTable.buildBloomIndex(spark, dir, "tag", numBits = 1 << 14)
-    // simulate a pre-upgrade sidecar: strip the numBits segment
+    // simulate a PRE-UPGRADE sidecar: un-publish the pointer and park
+    // the parquet at the legacy root-dir home, with the numBits
+    // segment stripped from the name (the pre-numBits era)
+    val built = MergeTable.bloomDirs(dir).head
+    java.nio.file.Files.delete(
+      java.nio.file.Path.of(dir, "_bloomptr", built.name))
     java.nio.file.Files.move(
-      java.nio.file.Path.of(dir, "_bloom-g0~7b16384~tag"),
+      java.nio.file.Path.of(built.dataDir),
       java.nio.file.Path.of(dir, "_bloom-g0~7~tag"))
+    assert(bloomDirNames(dir) == Seq("_bloom-g0~7~tag"),
+      "legacy root-dir segment must stay discoverable")
     MergeTable.merge(spark, dir,
       Seq((50L, "U", "fresh-tag", 0.5)).toDF("k", "op", "tag", "bal"), "k")
     // resolved bits = max sketch length in the fold frame × 8 = 16384,
-    // recorded into the folded name; fresh files never undersized
+    // recorded into the folded name; fresh files never undersized —
+    // and the fold REPUBLISHED the legacy segment through the pointer
+    // and swept the root dir
     assert(bloomDirNames(dir) == Seq("_bloom-g1~7b16384~tag"))
-    val lens = spark.read.parquet(s"$dir/_bloom-g1~7b16384~tag")
+    assert(MergeTable.bloomDirs(dir).forall(_.pointed),
+      "fold must republish a legacy segment through the pointer")
+    assert(java.nio.file.Files.notExists(
+      java.nio.file.Path.of(dir, "_bloom-g0~7~tag")),
+      "superseded legacy root dir survived the fold's sweep")
+    val lens = spark.read.parquet(segDataDir(dir, "_bloom-g1~7b16384~tag"))
       .agg(min(length(col("bloom"))), max(length(col("bloom")))).head()
     assert(lens.getInt(0) == 2048 && lens.getInt(1) == 2048, lens.toString)
     assert(MergeTable.scanEqualsBloom(spark, dir, "tag", "fresh-tag")
@@ -321,7 +347,7 @@ class BloomIndexSpec extends SparkSpecBase {
     assert(MergeTable.bloomFamilySplit(dir).isEmpty)
     MergeTable.merge(spark, dir,
       Seq((50L, "U", "fresh-tag", 0.5)).toDF("k", "op", "tag", "bal"), "k")
-    val sidecar = spark.read.parquet(s"$dir/_bloom-g1~7b131072~tag")
+    val sidecar = spark.read.parquet(segDataDir(dir, "_bloom-g1~7b131072~tag"))
     assert(sidecar.groupBy("path").count()
       .filter(col("count") > 1).isEmpty, "duplicate rows per path")
     assert(MergeTable.scanEqualsBloom(spark, dir, "tag", "fresh-tag")
@@ -332,11 +358,21 @@ class BloomIndexSpec extends SparkSpecBase {
     val dir = tmpDir("bloomstaged")
     MergeTable.write(spark, table(400), "k", dir, nFiles = 8)
     MergeTable.buildBloomIndex(spark, dir, "tag")
-    // a builder that died after staging but before the atomic move
+    // a PRE-r14 builder that died after staging but before the dir move
     val staged = java.nio.file.Path.of(dir, "_bloom-g0~7b131072~tag.tmpdeadtok")
     java.nio.file.Files.createDirectories(staged)
     java.nio.file.Files.write(staged.resolve("part-junk.parquet"), Array[Byte](1, 2))
-    // the staging is invisible to every sidecar consumer: no phantom
+    // a POINTER-era builder that died between parquet write and flip:
+    // an orphaned data dir no pointer references...
+    val orphan = java.nio.file.Path.of(dir, "_bloomseg-deadtok")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("part-junk.parquet"), Array[Byte](3, 4))
+    // ...and one that died the OTHER side of the flip on a column that
+    // never landed: a dangling pointer whose target is gone
+    val dangling = java.nio.file.Path.of(dir, "_bloomptr",
+      "_bloom-g0~7b131072~ghost")
+    java.nio.file.Files.write(dangling, "_bloomseg-gone\n".getBytes("UTF-8"))
+    // all three are invisible to every sidecar consumer: no phantom
     // column in stats, no fold attempt, probes unaffected
     assert(MergeTable.bloomIndexedColumns(dir) == Map("tag" -> 0))
     assert(MergeTable.bloomFamilySplit(dir).isEmpty)
@@ -347,6 +383,15 @@ class BloomIndexSpec extends SparkSpecBase {
       .select("k").as[Long].collect().toSeq == Seq(50L))
     MergeTable.vacuum(spark, dir)
     assert(!java.nio.file.Files.exists(staged), "staging survived vacuum")
+    assert(!java.nio.file.Files.exists(orphan),
+      "orphaned _bloomseg- data dir survived vacuum")
+    assert(!java.nio.file.Files.exists(dangling),
+      "dangling pointer survived vacuum")
+    // the LIVE segment (pointer + referenced data dir) is untouched
+    assert(MergeTable.bloomIndexedColumns(dir) == Map("tag" -> 1))
+    val (_, pruned, total) =
+      MergeTable.bloomCandidatePaths(spark, dir, "tag", tagOf(333L))
+    assert(total == 8 && pruned >= 5, "live segment lost pruning after vacuum")
     assert(MergeTable.scanEqualsBloom(spark, dir, "tag", tagOf(333L))
       .select("k").as[Long].collect().toSeq == Seq(333L))
   }
@@ -359,16 +404,19 @@ class BloomIndexSpec extends SparkSpecBase {
       Seq((50L, "U", "fresh-tag", 0.5)).toDF("k", "op", "tag", "bal"), "k")
     assert(MergeTable.buildBloomIndex(spark, dir, "tag") == 1)
 
-    // exactly one sidecar dir remains, named for generation 1
-    val names = {
+    // exactly one segment remains, named for generation 1 — and
+    // exactly one data dir on disk (the superseded one was swept)
+    val names = bloomDirNames(dir)
+    assert(names.length == 1 && names.head.startsWith("_bloom-g1~"), names.toString)
+    val segDirs = {
       val ls = java.nio.file.Files.list(java.nio.file.Path.of(dir))
       try {
         import scala.jdk.CollectionConverters._
         ls.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.startsWith("_bloom-g")).toSeq
+          .filter(_.startsWith("_bloomseg-")).toSeq
       } finally ls.close()
     }
-    assert(names.length == 1 && names.head.startsWith("_bloom-g1~"), names.toString)
+    assert(segDirs.length == 1, s"superseded data dirs survived: $segDirs")
 
     val (cands, pruned, total) = MergeTable.bloomCandidatePaths(spark, dir, "tag", "fresh-tag")
     assert(total == 8 && pruned >= 6, s"rebuilt index should prune again: $pruned/$total")

@@ -261,6 +261,52 @@ class CommitStoreSpec extends SparkSpecBase {
     }
   }
 
+  test("bloom sidecar publish flows through the store: build, fold, probe, rebuild, vacuum") {
+    withStore("cs-bloom") { (dir, _, _) =>
+      val rows = (1 to 400)
+        .map(k => (k.toLong, f"tag-${(k * 2654435761L) % 1000003}%07d", k * 1.5))
+        .toDF("k", "tag", "bal")
+      def tagOf(k: Long) = f"tag-${(k * 2654435761L) % 1000003}%07d"
+      MergeTable.write(spark, rows, "k", dir, nFiles = 8)
+      assert(MergeTable.buildBloomIndex(spark, dir, "tag", numBits = 1 << 14) == 0)
+      // the pointer is store-resident: NOTHING bloom-control-shaped on
+      // the filesystem (the parquet data dir is, by design — data is
+      // published by reference, like data files from manifests)
+      assert(Files.notExists(Path.of(dir, "_bloomptr")),
+        "bloom pointer leaked onto the filesystem past the store")
+      assert(MergeTable.bloomIndexedColumns(dir) == Map("tag" -> 0))
+      val (_, pruned0, total0) =
+        MergeTable.bloomCandidatePaths(spark, dir, "tag", tagOf(333L))
+      assert(total0 == 8 && pruned0 >= 6, s"no pruning: $pruned0/$total0")
+      // a DML fold republishes through the store and supersedes gen 0
+      MergeTable.merge(spark, dir,
+        Seq((50L, "U", "fresh-tag", 0.5)).toDF("k", "op", "tag", "bal"), "k")
+      assert(MergeTable.bloomIndexedColumns(dir) == Map("tag" -> 1))
+      assert(MergeTable.scanEqualsBloom(spark, dir, "tag", "fresh-tag")
+        .select("k").as[Long].collect().toSeq == Seq(50L))
+      val (c1, _, _) =
+        MergeTable.bloomCandidatePaths(spark, dir, "tag", "fresh-tag")
+      assert(c1.size <= 2, s"fold did not cover the merge's file: $c1")
+      // exactly one live data dir after the fold's sweep; vacuum keeps
+      // the referenced one and the probes keep pruning after it
+      def segDirs = PosixCommitStore.list(Path.of(dir))
+        .filter(_.startsWith("_bloomseg-"))
+      assert(segDirs.size == 1, s"superseded data dir survived: $segDirs")
+      MergeTable.vacuum(spark, dir)
+      assert(segDirs.size == 1, s"vacuum swept a referenced data dir: $segDirs")
+      assert(MergeTable.scanEqualsBloom(spark, dir, "tag", tagOf(333L))
+        .select("k").as[Long].collect().toSeq == Seq(333L))
+      // full rebuild at the head generation supersedes through the
+      // store too (same-name replace path included)
+      assert(MergeTable.buildBloomIndex(spark, dir, "tag", numBits = 1 << 14) == 1)
+      assert(MergeTable.buildBloomIndex(spark, dir, "tag", numBits = 1 << 14) == 1)
+      assert(segDirs.size == 1, s"rebuild leaked data dirs: $segDirs")
+      assert(MergeTable.bloomIndexedColumns(dir) == Map("tag" -> 1))
+      assert(MergeTable.scanEqualsBloom(spark, dir, "tag", "fresh-tag")
+        .select("k").as[Long].collect().toSeq == Seq(50L))
+    }
+  }
+
   test("horizons, vacuum guard and DV lifecycle all flow through the store") {
     withStore("cs-life") { (dir, _, _) =>
       MergeTable.write(spark, table(200), "k", dir, nFiles = 4)

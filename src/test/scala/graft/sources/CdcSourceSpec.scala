@@ -567,10 +567,24 @@ class CdcSourceSpec extends SparkSpecBase {
     MergeTable.registerCdcHorizon(dir, "replica",
       MergeTable.committedGen(dir).get)
     assert(MergeTable.cdcHorizons(dir).keySet == Set("replica"))
-    // ...and a consumer id that would masquerade as staging is refused
-    // at registration, not silently dropped at listing
+    // ...a consumer id that merely CONTAINS `.tmp-` is a real
+    // registration (debris is the EXACT `.tmp-<pid>-<hexnanos>` nonce
+    // shape, nothing looser): visible, vacuum-guarding, never swept
+    MergeTable.registerCdcHorizon(dir, "nightly.tmp-replica", 0)
+    assert(MergeTable.cdcHorizons(dir).keySet ==
+      Set("replica", "nightly.tmp-replica"),
+      s".tmp--containing id dropped: ${MergeTable.cdcHorizons(dir)}")
+    intercept[IllegalStateException] { MergeTable.vacuum(spark, dir) }
+    MergeTable.vacuum(spark, dir, force = true)
+    assert(MergeTable.cdcHorizons(dir).keySet ==
+      Set("replica", "nightly.tmp-replica"),
+      "vacuum swept a live .tmp--containing registration as debris")
+    MergeTable.releaseCdcHorizon(dir, "nightly.tmp-replica")
+    // ...and a consumer id that WOULD masquerade as staging (full
+    // nonce shape) is refused at registration, not silently dropped
+    // at listing
     intercept[IllegalArgumentException] {
-      MergeTable.registerCdcHorizon(dir, "bad.tmp-1", 0)
+      MergeTable.registerCdcHorizon(dir, "bad.tmp-12345-deadbeef", 0)
     }
     MergeTable.releaseCdcHorizon(dir, "replica")
   }
