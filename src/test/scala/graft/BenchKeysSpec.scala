@@ -43,13 +43,39 @@ class BenchKeysSpec extends AnyFunSuite {
     val sbtTrailer = 80 // "[success] Total time: ..." after our line
     val est = line.length + sbtTrailer
     assert(est < 1980, s"worst-case bench line + trailer $est chars crowds the 2000-char parse window")
-    // DEGRADED worst case: a fully-saturated capped contended list —
-    // the runs the cap exists for must fit too (rps contention needs
-    // no extra field: rps vs rps_best is always on the line)
+    // DEGRADED worst case: a fully-saturated capped contended list
+    // plus the count-only healed field — the runs the cap exists for
+    // must fit too (rps contention needs no extra field: rps vs
+    // rps_best is always on the line)
     val degraded = est +
-      Bench.contendedField((1 to 50).map(i => f"q$i%02d")).length
+      Bench.contendedField((1 to 50).map(i => f"q$i%02d")).length +
+      """"healed":134,""".length
     assert(degraded < 1995,
       s"degraded bench line + trailer $degraded chars crowds the parse window")
+  }
+
+  test("heal folds a re-measure in by min, never worsens, and names what changed") {
+    val medians = Seq("a" -> 4.0, "b" -> 2.0, "c" -> 1.0)
+    val (healed, changed) = Bench.healRows(medians,
+      Map("a" -> 1.5, // genuine heal: records 1.5
+          "b" -> 3.0, // heal pass itself contended: keeps 2.0
+          "x" -> 9.9)) // unknown key: ignored
+    assert(healed == Seq("a" -> 1.5, "b" -> 2.0, "c" -> 1.0))
+    assert(changed == Seq("a"))
+    // no re-measure → record passes through untouched
+    val (same, none) = Bench.healRows(medians, Map.empty)
+    assert(same == medians && none.isEmpty)
+  }
+
+  test("the whole-run contention gate is the batch/batch_min > 1.15 trust test") {
+    val medians = Seq("a" -> 2.0, "b" -> 2.0)
+    // 4.0 vs 3.0 best-sum = 1.33x: globally contended even though no
+    // single row trips the per-row 2x gate
+    assert(Bench.runLooksContended(medians, Map("a" -> 1.5, "b" -> 1.5)))
+    // 4.0 vs 3.8 = 1.05x: trustworthy
+    assert(!Bench.runLooksContended(medians, Map("a" -> 1.9, "b" -> 1.9)))
+    // degenerate zero best-sum never divides
+    assert(!Bench.runLooksContended(Seq("a" -> 1.0), Map("a" -> 0.0)))
   }
 
   test("the stdout contended list is capped at 5 keys plus a count") {
