@@ -1,0 +1,428 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** The commit log and its checkpointing: OCC generation CAS through
+  * the [[CommitStore]], `_log/` layout, checkpoint rollups and the
+  * `_last_checkpoint` pointer, committedGen/metaAt resolution.
+  * Implementation partition of [[MergeTable]] (one trait per internal
+  * seam; see the object's scaladoc for the format design) — the
+  * self-type makes this exactly the MergeTable object's code,
+  * relocated: no new behavior, no new API surface.
+  */
+trait MergeTableLog { this: MergeTable.type =>
+  // ---- commit log ----
+  //
+  // Log entries live in a `_log/` SUBDIR (Delta's `_delta_log`
+  // layout), not the table root — deliberately. The root's listing
+  // cost is what every auxiliary resolution pays (bloom sidecar
+  // discovery, CDC horizon registry, governance version reads, the
+  // vacuum sweep), and commit markers are the one UNBOUNDED
+  // population: a streaming upsert sink mints one per micro-batch,
+  // so markers in the root would turn every bloom point-probe and
+  // every merge's governance read into an O(commits) listing at
+  // 10^5–10^6 generations. With markers (and checkpoint rollups)
+  // under `_log/`, the root holds only vacuum-bounded data/manifest
+  // dirs and small aux files — listings stay flat forever, and the
+  // log itself is never listed on the hot path (committedGen probes
+  // the dense tail by name; history/metaAt read by generation
+  // number). Pre-`_log` tables keep working: reads fall back to
+  // root-level markers, and the listing fallback merges both
+  // locations. Mixed-version WRITERS are not supported (an old
+  // binary's root link and a new binary's _log link could both win
+  // one generation) — upgrade quiesced, the standard table-format
+  // protocol-bump discipline.
+
+  private[operators] def logDirOf(dir: String) = java.nio.file.Path.of(dir, "_log")
+
+  /** The control-plane store for a table (see [[CommitStore]]): POSIX
+    * by default, spec-pinned alternatives by registered prefix. Every
+    * marker/checkpoint/governance/horizon byte flows through it; data
+    * and manifest parquet stay on the filesystem Spark writes to.
+    */
+  private[operators] def store(dir: String): CommitStore = CommitStore.forDir(dir)
+
+  /** Canonical (v2) marker path — the link target for new commits. */
+  private def markerOf(dir: String, gen: Int) =
+    logDirOf(dir).resolve(s"_commit-g$gen")
+
+  private def legacyMarkerOf(dir: String, gen: Int) =
+    java.nio.file.Path.of(dir, s"_commit-g$gen")
+
+  /** Where to READ a generation's marker: the `_log/` path when
+    * present, the pre-`_log` root path otherwise.
+    */
+  private def markerReadPath(dir: String, gen: Int): java.nio.file.Path = {
+    val v2 = markerOf(dir, gen)
+    if (store(dir).exists(v2)) v2 else legacyMarkerOf(dir, gen)
+  }
+
+  private def markerExists(dir: String, gen: Int): Boolean =
+    store(dir).exists(markerOf(dir, gen)) ||
+      store(dir).exists(legacyMarkerOf(dir, gen))
+
+  /** The newest committed generation. Fast path: the `_last_checkpoint`
+    * pointer names a rolled-up generation, and generations are DENSE
+    * (every commit is prev+1), so probing `_commit-g<N+1>, <N+2>, …`
+    * until the first miss resolves the head in O(tail) stat calls —
+    * flat in total commit count, where the listing fallback (no or
+    * corrupt checkpoint) pays O(commits) directory entries. A STALE
+    * pointer (crashed checkpoint writer, lost pointer race) only
+    * lengthens the probe, never changes the answer.
+    */
+  def committedGen(dir: String): Option[Int] = {
+    val p = java.nio.file.Path.of(dir)
+    if (!java.nio.file.Files.exists(p)) None
+    else lastCheckpointGen(dir) match {
+      case Some(ck) =>
+        var g = ck
+        while (markerExists(dir, g + 1)) g += 1
+        Some(g)
+      case None =>
+        def gensIn(d: java.nio.file.Path): Seq[Int] =
+          store(dir).list(d)
+            .filter(_.matches("_commit-g\\d+"))
+            .map(_.stripPrefix("_commit-g").toInt)
+        // both locations: a pre-_log table upgraded mid-life carries
+        // its early generations in the root and the rest in _log/
+        val gens = gensIn(logDirOf(dir)) ++ gensIn(p)
+        if (gens.isEmpty) None else Some(gens.max)
+    }
+  }
+
+  /** One commit-log entry's `k=v` lines (always includes `token`;
+    * the streaming upsert sink's batch watermark rides here too, so
+    * generation and watermark commit in the SAME atomic link).
+    */
+  /** The `k=v`-lines file format shared by commit-log entries and
+    * checkpoint rollups — one parser, so the two can't drift.
+    */
+  private def readKvFile(st: CommitStore, p: java.nio.file.Path): Map[String, String] =
+    st.read(p) match {
+      case None => Map.empty
+      case Some(bytes) =>
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          .linesIterator.filter(_.contains('='))
+          .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
+    }
+
+  def metaAt(dir: String, gen: Int): Map[String, String] =
+    readKvFile(store(dir), markerReadPath(dir, gen))
+
+  def committedMeta(dir: String): Map[String, String] =
+    committedGen(dir).map(metaAt(dir, _)).getOrElse(Map.empty)
+
+  // ---- commit-log checkpointing ----
+  //
+  // Every metadata resolution above is a directory listing plus tiny
+  // per-generation reads — correct, but O(commits), and a streaming
+  // upsert sink mints a commit per micro-batch: at 10^5–10^6
+  // generations the driver would pay seconds per committedGen /
+  // reflectedGen where Delta pays one checkpoint read. Delta's exact
+  // fix at this layer: every [[checkpointInterval]] commits, the
+  // committing writer rolls the log up into `_checkpoint-g<N>`
+  // (generation, its commit meta, the newest view-watermark meta at
+  // or below it, a CDC-horizon snapshot) and points
+  // `_last_checkpoint` at it; readers resolve from the pointer plus
+  // the SHORT tail of newer `_commit-g*` markers, never the whole
+  // log. The rollup itself is O(interval): the writer folds the tail
+  // since the PREVIOUS checkpoint into that checkpoint's rollup.
+  //
+  // Failure isolation: checkpoints are best-effort observers of a
+  // commit that has already linked — a checkpoint/pointer write
+  // failure logs loudly and costs resolution speed only (committedGen
+  // falls back to the listing; the view-watermark walk goes deeper).
+  // The pointer is advanced forward-only (a delayed writer of an
+  // OLDER checkpoint skips rather than regresses; the remaining
+  // read-then-move window can at worst re-point at the older rollup,
+  // which lengthens the tail probe, never changes an answer). The
+  // `_commit-g*` log stays the single source of truth, still survives
+  // vacuum, and [[history]] still reads it entry by entry.
+
+  private[graft] val checkpointInterval = 16
+
+  private def checkpointFileOf(dir: String, gen: Int) =
+    logDirOf(dir).resolve(s"_checkpoint-g$gen")
+  private def lastCheckpointPtr(dir: String) =
+    logDirOf(dir).resolve("_last_checkpoint")
+
+  /** The generation the `_last_checkpoint` pointer names, validated
+    * against both the checkpoint file and the commit log (a corrupt
+    * or dangling pointer yields None → readers use the listing path).
+    */
+  private[graft] def lastCheckpointGen(dir: String): Option[Int] =
+    store(dir).read(lastCheckpointPtr(dir))
+      .flatMap(b => scala.util.Try(new String(b,
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt).toOption)
+      .filter(g => g >= 0 &&
+        store(dir).exists(checkpointFileOf(dir, g)) &&
+        markerExists(dir, g))
+
+  /** One checkpoint's `k=v` lines: `gen`, `meta.<k>` (the generation's
+    * own commit meta), optional `mv.<k>` (newest view-watermark meta
+    * at or below the checkpoint) and `horizon.<consumer>` snapshot.
+    * Resolution consumes only existence + `mv.*`; the `meta.*` copy
+    * and the horizon snapshot are the rollup's OBSERVABILITY surface
+    * — `cat` one file to see where the table stood at the rollup
+    * instead of stitching log entries and horizon files by hand.
+    */
+  private[graft] def checkpointAt(dir: String, gen: Int): Map[String, String] =
+    readKvFile(store(dir), checkpointFileOf(dir, gen))
+
+  /** The view-watermark rollup a checkpoint carries: the newest commit
+    * meta at or below it containing `mv_src_gen` (None when the table
+    * had no view watermark anywhere in gens 0..checkpoint).
+    */
+  private[graft] def checkpointMvMeta(dir: String, gen: Int): Option[Map[String, String]] = {
+    val mv = checkpointAt(dir, gen).collect {
+      case (k, v) if k.startsWith("mv.") => k.stripPrefix("mv.") -> v }
+    if (mv.isEmpty) None else Some(mv)
+  }
+
+  /** Roll the log up at `gen` (a multiple of [[checkpointInterval]])
+    * and advance the pointer. Called by the winner of `gen` AFTER the
+    * commit link landed; any failure is the caller's to log — the
+    * commit itself is durable either way.
+    */
+  private def writeCheckpoint(dir: String, gen: Int): Unit = {
+    // previous checkpoint: descending multiples of the interval (a
+    // failed writer may have skipped one — probe further back)
+    val prevCkpt = Iterator.from(1).map(i => gen - i * checkpointInterval)
+      .takeWhile(_ > 0)
+      .find(g => store(dir).exists(checkpointFileOf(dir, g)))
+    val mvMeta: Option[Map[String, String]] =
+      (gen to (prevCkpt.getOrElse(0) + 1) by -1).iterator
+        .map(g => metaAt(dir, g))
+        .collectFirst { case m if m.contains("mv_src_gen") => m }
+        .orElse(prevCkpt.flatMap(g => checkpointMvMeta(dir, g)))
+        .orElse( // no prev checkpoint: gen 0 is the only gen left
+          if (prevCkpt.isEmpty && metaAt(dir, 0).contains("mv_src_gen"))
+            Some(metaAt(dir, 0)) else None)
+    val body = (Seq("gen" -> gen.toString) ++
+      metaAt(dir, gen).toSeq.sorted.map { case (k, v) => s"meta.$k" -> v } ++
+      mvMeta.toSeq.flatMap(_.toSeq.sorted.map { case (k, v) => s"mv.$k" -> v }) ++
+      cdcHorizons(dir).toSeq.sorted.map { case (c, g) => s"horizon.$c" -> g.toString })
+      .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
+    store(dir).putReplace(checkpointFileOf(dir, gen), body.getBytes("UTF-8"))
+    // forward-only pointer advance (see the section comment)
+    if (!lastCheckpointGen(dir).exists(_ >= gen))
+      store(dir).putReplace(lastCheckpointPtr(dir), s"$gen\n".getBytes("UTF-8"))
+  }
+
+  /** The table schema recorded in a generation's commit-log entry
+    * (Delta keeps schema in the log for the same reason): readers get
+    * the authoritative union schema WITHOUT a footer-merge job, and
+    * an explicit read schema makes pre-evolution files surface
+    * missing columns as null exactly like mergeSchema would.
+    */
+  def schemaAt(dir: String, gen: Int): Option[org.apache.spark.sql.types.StructType] =
+    metaAt(dir, gen).get("schema").map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+
+  /** Parquet reader for a generation: log-recorded schema when
+    * present (no footer pass), mergeSchema fallback otherwise.
+    */
+  private[operators] def readerFor(s: SparkSession, dir: String, gen: Int) =
+    schemaAt(dir, gen).map(s.read.schema)
+      .getOrElse(s.read.option("mergeSchema", "true"))
+
+  /** Per-writer staging discriminator: pid + nanotime. Two writers
+    * (threads OR processes) never share staging paths.
+    */
+  private[operators] def newToken(): String =
+    ProcessHandle.current().pid().toString + "-" +
+      java.lang.Long.toHexString(System.nanoTime())
+
+  private[operators] def dataDirOf(dir: String, gen: Int, token: String) =
+    s"$dir/files-g$gen~$token"
+  private[operators] def manifestDirOf(dir: String, gen: Int, token: String) =
+    s"$dir/manifest-g$gen~$token"
+
+  /** Publish generation `gen` via the store's put-if-absent — a true
+    * compare-and-swap on the generation number (`link(2)` on the
+    * POSIX store, a conditional put on an object store; neither ever
+    * replaces an existing name) — so the loser of a race gets
+    * [[java.util.ConcurrentModificationException]] and must retry
+    * its whole merge on the new base.
+    */
+  private[operators] def commitGen(dir: String, gen: Int, token: String,
+                        meta: Map[String, String]): Unit = {
+    // wall-clock stamp for [[history]] — observability only, nothing
+    // replays or compares on it (generation numbers are the ordering)
+    val stamped =
+      if (meta.contains("ts")) meta
+      else meta + ("ts" -> System.currentTimeMillis().toString)
+    val body = (("token" -> token) +: stamped.toSeq.sorted)
+      .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
+    if (!store(dir).putIfAbsent(markerOf(dir, gen), body.getBytes))
+      throw new java.util.ConcurrentModificationException(
+        s"generation $gen of $dir was committed by a concurrent writer; " +
+          "recompute from the new committed base and retry")
+    // the commit is durable; the rollup is an observer of it (see the
+    // checkpointing section) — a failure here costs resolution speed,
+    // never correctness, so it must not make the commit look failed
+    if (gen > 0 && gen % checkpointInterval == 0) {
+      try writeCheckpoint(dir, gen)
+      catch {
+        case scala.util.control.NonFatal(e) => System.err.println(
+          s"[graft] commit-log checkpoint at $dir g$gen failed " +
+            s"(resolution falls back to the listing path): $e")
+      }
+    }
+  }
+
+  /** Per-file stats computed from the WRITTEN files themselves
+    * (input_file_name grouping) — the manifest can't drift from the
+    * bytes on disk the way writer-side bookkeeping could. min/max
+    * keep each column's NATIVE type (long, string, date, …): range
+    * pruning is ordering-based, not numeric, so a string-keyed
+    * dimension prunes exactly like a numeric one (range-partitioned
+    * writes give contiguous lexicographic spans per file).
+    *
+    * Columns statted: the key (as `min_<key>`/`max_<key>`) plus every
+    * numeric/date/timestamp column — Delta's per-column data-skipping
+    * stats at this layer, consumed by [[scanWhere]]. Non-key string
+    * columns are NOT statted (unbounded text would bloat the
+    * manifest even truncated — a text-valued column's spans prune
+    * nothing anyway).
+    *
+    * String-typed stats (a string KEY — urls, composite names) are
+    * TRUNCATED to a [[statsTruncLen]]-char bound (Delta's discipline):
+    * a 2 kB url must not ride every manifest row and broadcast twice
+    * over. min truncates to the prefix (a prefix is ≤ its string —
+    * still a lower bound); max becomes [[truncUpperBound]] — the
+    * prefix with its rightmost ASCII char incremented and the tail
+    * dropped, an upper bound for EVERY string sharing the prefix.
+    * Both only ever WIDEN the file's [min, max] band, so every
+    * consumer stays sound by the null-admits argument: scanWhere /
+    * GraftFileIndex / merge banding include a file they could have
+    * pruned (never the reverse), and deleteWhere's all-match proof
+    * demands [minT, maxT] ⊆ band, which a widened band only makes
+    * harder to satisfy.
+    *
+    * `nn_<c>` is the per-file NON-NULL count (Delta's nullCount,
+    * inverted): min/max ignore nulls, so [min, max] ⊆ band proves
+    * every NON-NULL value matches but says nothing about null rows —
+    * [[deleteWhere]]'s metadata-only drop additionally needs
+    * `nn_c == n_rows` to prove the file has no null (hence no
+    * predicate-unknown, hence surviving) row. A manifest predating
+    * this column simply never proves full coverage and falls back to
+    * the rewrite path — sound, just less pruned.
+    */
+  private[operators] def statsOf(s: SparkSession, dataDir: String, keyCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val df = s.read.parquet(dataDir)
+    val statted = df.schema.fields.filter { f =>
+      f.name == keyCol || (f.dataType match {
+        case _: NumericType | DateType | TimestampType => true
+        case _ => false
+      })
+    }.map(_.name).distinct.toSeq
+    val aggs = count(lit(1)).as("n_rows") +:
+      statted.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        count(col(c)).as(s"nn_$c")))
+    val base = df.groupBy(input_file_name().as("path"))
+      .agg(aggs.head, aggs.tail: _*)
+    // string stats carry truncated BOUNDS, not values (scaladoc above);
+    // a driver-side UDF is fine here — the manifest is file-count-sized
+    val stringStatted = df.schema.fields
+      .filter(f => statted.contains(f.name) && f.dataType == StringType)
+      .map(_.name)
+    stringStatted.foldLeft(base) { (acc, c) =>
+      acc.withColumn(s"min_$c", substring(col(s"min_$c"), 1, statsTruncLen))
+        .withColumn(s"max_$c", truncUpperUdf(col(s"max_$c")))
+    }
+  }
+
+  /** Truncated UPPER bound for string stats: identity when the value
+    * already fits [[statsTruncLen]]; otherwise the prefix with its
+    * RIGHTMOST char < 0x7f incremented and everything after it
+    * dropped — comparison against any string sharing the prefix is
+    * decided at that position, so the bound dominates all of them.
+    * Increment stays inside ASCII, where code-point order equals the
+    * UTF-8 byte order Spark's UTF8String comparisons use (bumping
+    * into 0x80+, or splitting a surrogate pair, could produce a bound
+    * that mis-sorts); a prefix with no incrementable char (degenerate
+    * non-ASCII key) yields NULL — the can't-prune-but-sound value
+    * every stats consumer already honors for missing stats.
+    */
+  private[operators] def statsTruncLen: Int = StatsTrunc.statsTruncLen
+  private[operators] def truncUpperBound(v: String): String =
+    StatsTrunc.truncUpperBound(v)
+  private def truncUpperUdf = StatsTrunc.truncUpperUdf
+
+  private[operators] def hasParquetFiles(dataDir: String): Boolean = {
+    val p = java.nio.file.Path.of(dataDir)
+    java.nio.file.Files.exists(p) && {
+      val s = java.nio.file.Files.list(p)
+      try s.anyMatch(f => f.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+  }
+
+  /** Metadata-only commit: carry the current manifest forward
+    * UNCHANGED (per-file COPIES — the manifest is file-count-sized
+    * KBs, the data is untouched) under a fresh generation whose
+    * commit meta is `meta`. The no-op maintenance-commit shape — a
+    * governance stamp, an empty micro-batch — and the ckpt scale
+    * probe's generator: it exercises the real [[commitGen]] path
+    * (OCC link, checkpoint rollups) at metadata-only cost. Copies,
+    * not hard links, deliberately: consecutive carries would pile
+    * link counts onto ONE inode until the filesystem's EMLINK cap
+    * (~65k on ext4 — the 10^5-commit probe found it), and copies are
+    * what an object-store port does anyway. Returns the new
+    * generation.
+    */
+  private[graft] def commitCarryForward(dir: String,
+                                        meta: Map[String, String]): Int = {
+    val prev = committedGen(dir).getOrElse(
+      sys.error(s"$dir is not a committed keyed table (no commit log)"))
+    val prevToken = metaAt(dir, prev).getOrElse("token",
+      sys.error(s"commit-log entry for generation $prev lacks a token"))
+    val token = newToken()
+    val src = java.nio.file.Path.of(manifestDirOf(dir, prev, prevToken))
+    val dst = java.nio.file.Path.of(manifestDirOf(dir, prev + 1, token))
+    java.nio.file.Files.createDirectories(dst)
+    val ls = java.nio.file.Files.list(src)
+    try ls.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+      .foreach(f => java.nio.file.Files.copy(f, dst.resolve(f.getFileName)))
+    finally ls.close()
+    try commitGen(dir, prev + 1, token,
+      inheritDvMeta(dir, prev) ++ meta ++
+        schemaAt(dir, prev).map(s => "schema" -> s.json))
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        graft.IndexLifecycle.deleteRecursively(dst.toString)
+        throw e
+    }
+    prev + 1
+  }
+
+}
+
+/** The string-stats truncation bound in its own SERIALIZABLE holder,
+  * deliberately OUTSIDE the partition traits: `udf(...)`'s lambda
+  * captures its enclosing instance, and MergeTable's partition traits
+  * are not Serializable — a lambda capturing one dies at task
+  * serialization (q63 found this the day the object split into
+  * traits; as a single `object MergeTable` the eta-expansion had
+  * compiled capture-free). Scala serializes module singletons via
+  * ModuleSerializationProxy, so executors resolve the one instance.
+  */
+private[operators] object StatsTrunc extends Serializable {
+  val statsTruncLen = 32
+  def truncUpperBound(v: String): String =
+    if (v == null || v.length <= statsTruncLen) v
+    else {
+      val p = v.substring(0, statsTruncLen).toCharArray
+      var i = p.length - 1
+      while (i >= 0 && p(i) >= 0x7f) i -= 1
+      if (i < 0) null
+      else new String(p, 0, i) + (p(i) + 1).toChar
+    }
+  val truncUpperUdf = udf(truncUpperBound _)
+}

@@ -1,0 +1,482 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** The write/read plane: range and z-order writes, recluster (full +
+  * partial), manifest stats, time-travel reads, the GraftFileIndex
+  * pushdown read and stats-pruned band scans. Implementation
+  * partition of [[MergeTable]] — see [[MergeTableLog]]'s header note.
+  */
+trait MergeTableStorage { this: MergeTable.type =>
+  // ---- write / read ----
+
+  /** Materialize `df` as generation 0 of a keyed table: range-written
+    * on the key into ≤ `nFiles` files (range, not hash — contiguous
+    * per-file key spans are what make min/max pruning selective),
+    * stats manifest, marker commit.
+    */
+  def write(s: SparkSession, df: DataFrame, keyCol: String, dir: String,
+            nFiles: Int = 16, meta: Map[String, String] = Map.empty): Unit = {
+    graft.IndexLifecycle.deleteRecursively(dir)
+    val token = newToken()
+    df.repartitionByRange(nFiles, col(keyCol))
+      .write.parquet(dataDirOf(dir, 0, token))
+    statsOf(s, dataDirOf(dir, 0, token), keyCol)
+      .coalesce(1).write.parquet(manifestDirOf(dir, 0, token))
+    commitGen(dir, 0, token,
+      Map("op" -> "write") ++ meta + ("schema" -> df.schema.json))
+  }
+
+  /** Z-ORDER clustered write: generation 0 laid out on the Morton
+    * (bit-interleaved) order of `clusterCols`, so EVERY clustered
+    * column gets contiguous-ish per-file spans and [[scanWhere]]
+    * prunes on any of them — the reason Delta/Iceberg OPTIMIZE
+    * ZORDER exists. A key-range write makes one column perfectly
+    * selective and the rest useless; z-order makes d columns each
+    * ~file^(1/d) selective, which is the right trade for a 100 TB
+    * fact table filtered by (date, customer) or (tenant, time).
+    *
+    * Each cluster column is normalized to a 16-bit lattice by global
+    * min/max (one tiny agg), then bits are spread and interleaved
+    * with the classic mask-shift cascade — pure Column arithmetic,
+    * codegen'd, no UDF. Ties/skew degrade gracefully: the z-value
+    * only DRIVES the range partitioner, correctness never depends on
+    * it (stats are computed from the written files as always).
+    * Subsequent [[merge]]s stay correct on any layout (pruning reads
+    * the key stats), but rewrite files key-ordered — re-cluster with
+    * a fresh writeClustered (OPTIMIZE ZORDER's exact lifecycle).
+    */
+  def writeClustered(s: SparkSession, df: DataFrame, keyCol: String,
+                     clusterCols: Seq[String], dir: String,
+                     nFiles: Int = 16): Unit = {
+    zValueOf(df, clusterCols) match {
+      case None => // empty input (or all-null cluster col): nothing to interleave
+        write(s, df, keyCol, dir, nFiles)
+      case Some(zv) =>
+        graft.IndexLifecycle.deleteRecursively(dir)
+        val token = newToken()
+        df.withColumn("__zv", zv)
+          .repartitionByRange(nFiles, col("__zv"))
+          .drop("__zv")
+          .write.parquet(dataDirOf(dir, 0, token))
+        statsOf(s, dataDirOf(dir, 0, token), keyCol)
+          .coalesce(1).write.parquet(manifestDirOf(dir, 0, token))
+        commitGen(dir, 0, token, Map("op" -> "cluster",
+          "cluster_cols" -> clusterCols.mkString(","),
+          "schema" -> df.schema.json))
+    }
+  }
+
+  /** The Morton (bit-interleaved) order key over `clusterCols`, or
+    * None when there is nothing to interleave (empty input / all-null
+    * cluster column). One tiny bounds agg; the z-value itself is pure
+    * Column arithmetic (codegen'd, zero UDF). Shared by
+    * [[writeClustered]] (gen-0 creation) and [[recluster]] (in-place
+    * maintenance).
+    */
+  private def zValueOf(df: DataFrame, clusterCols: Seq[String]): Option[Column] = {
+    require(clusterCols.nonEmpty && clusterCols.size <= 3,
+      s"z-order wants 1-3 cluster columns, got ${clusterCols.size}")
+    clusterCols.foreach { c =>
+      require(df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"z-order cluster column '$c' must be numeric " +
+          "(lattice normalization is min/max arithmetic)")
+    }
+    val boundExprs = clusterCols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val bounds = df.agg(boundExprs.head, boundExprs.tail: _*).head()
+    if (bounds.anyNull) None
+    else Some(zValueWithBounds(clusterCols,
+      clusterCols.indices.map(i =>
+        (bounds.getDouble(2 * i), bounds.getDouble(2 * i + 1)))))
+  }
+
+  /** The Morton interleave against EXPLICIT lattice bounds —
+    * [[zValueOf]]'s core, also driven by [[reclusterPartial]] with
+    * GLOBAL bounds off the manifest: a partial rewrite must fold its
+    * rows into the TABLE's z space (so its output files tile the same
+    * lattice the carried files do), not a lattice renormalized to the
+    * degraded subset, which would coarsen per-dimension selectivity
+    * exactly where the layout was being repaired.
+    */
+  private def zValueWithBounds(clusterCols: Seq[String],
+                               bounds: Seq[(Double, Double)]): Column = {
+    // d ≤ 3: 16 lattice bits × d + (d-1) lane offset must stay below
+    // bit 63 — a sign-bit z-value would break the range order
+    require(clusterCols.nonEmpty && clusterCols.size <= 3,
+      s"z-order wants 1-3 cluster columns, got ${clusterCols.size}")
+    // 16-bit lattice coordinate per column, then spread bits so each
+    // occupies every d-th position (d-way Morton interleave)
+    def lattice(c: String, i: Int): Column = {
+      val (lo, hi) = bounds(i)
+      val span = if (hi > lo) hi - lo else 1.0
+      least(greatest(((col(c).cast("double") - lit(lo)) / lit(span) * 65535.0)
+        .cast("long"), lit(0L)), lit(65535L))
+    }
+    val d = clusterCols.size
+    def spread(x0: Column): Column =
+      if (d == 1) x0
+      else {
+        // mask-shift cascade generalized to stride d: after step for
+        // shift s (8,4,2,1), bit b sits at position b*d (for d<=3,
+        // 16 source bits + lane offset stay below the sign bit)
+        Seq(8, 4, 2, 1).foldLeft(x0) { (x, sft) =>
+          val spreadX = x.bitwiseOR(shiftleft(x, sft * (d - 1)))
+          // keep a bit only where a source bit belongs after this pass
+          val mask = (0 until 16).map { b =>
+            val pos = (b / sft) * sft * d + (b % sft)
+            1L << pos
+          }.foldLeft(0L)(_ | _)
+          spreadX.bitwiseAND(lit(mask))
+        }
+      }
+    clusterCols.zipWithIndex.map { case (c, i) =>
+      shiftleft(spread(lattice(c, i)), i)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** OPTIMIZE ZORDER in place (Delta's maintenance shape): rewrite
+    * every live file laid out on the Morton order of `clusterCols`,
+    * committed as a NEW generation under the same OCC link.
+    * [[writeClustered]] is the gen-0 creation path; this is what runs
+    * in the maintenance window after merges/updates have strewn
+    * key-ordered band files across the z layout. Rows are logically
+    * identical, so the CDC feed across a recluster nets to ZERO
+    * changes even though every physical file is replaced — layout, like
+    * compaction, must be invisible to readers and tailers. Cost ∝ the
+    * table (it IS a full rewrite); the payoff is every subsequent
+    * scanWhere/readIndexed band on any clustered dimension. Time
+    * travel to pre-recluster generations keeps working until vacuum.
+    */
+  def recluster(s: SparkSession, dir: String, keyCol: String,
+                clusterCols: Seq[String], nFiles: Int = 16): MergeStats = {
+    val prevGen = committedGen(dir).getOrElse(
+      sys.error(s"$dir is not a committed keyed table (no commit log)"))
+    val next = prevGen + 1
+    val token = newToken()
+    val df = readTable(s, dir, asOf = Some(prevGen))
+    val prevPaths = manifestAt(s, dir, prevGen).select("path").collect()
+      .map(_.getString(0)).toIndexedSeq
+    val staging = dataDirOf(dir, next, token)
+    zValueOf(df, clusterCols) match {
+      case Some(zv) =>
+        df.withColumn("__zv", zv)
+          .repartitionByRange(nFiles, col("__zv")).drop("__zv")
+          .write.parquet(staging)
+      case None => // degenerate input: fall back to key order
+        df.repartitionByRange(nFiles, col(keyCol)).write.parquet(staging)
+    }
+    val newStats =
+      if (hasParquetFiles(staging)) statsOf(s, staging, keyCol)
+      else manifestAt(s, dir, prevGen).filter(lit(false))
+    newStats.coalesce(1).write.parquet(manifestDirOf(dir, next, token))
+    try commitGen(dir, next, token, Map("op" -> "cluster",
+      "cluster_cols" -> clusterCols.mkString(",")) ++
+      schemaAt(dir, prevGen).map(sch => Map("schema" -> sch.json)).getOrElse(Map.empty))
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        Seq(staging, manifestDirOf(dir, next, token))
+          .foreach(graft.IndexLifecycle.deleteRecursively)
+        throw e
+    }
+    maintainBloomSidecars(s, dir, next, staging)
+    MergeStats(next, prevPaths, Nil) // everything rewrote, nothing carried
+  }
+
+  /** Partial OPTIMIZE ZORDER — the real maintenance cadence at
+    * 100 TB: rewrite ONLY the files that DEGRADED the z layout since
+    * the last clustering commit (merge/update/compact outputs land
+    * key-ordered, not z-ordered), folding them back into the Morton
+    * order while every still-clustered file carries to the new
+    * manifest BY REFERENCE, bytes untouched. Cost ∝ the degradation,
+    * never the table — a day's merge against a year's fact table
+    * re-optimizes the day. [[recluster]] stays the full-rewrite path
+    * (first-ever clustering, or a deliberate global re-sort).
+    *
+    * The baseline is the newest commit tagged `op=cluster` (write-
+    * clustered gen 0, a full recluster, or a previous partial):
+    * degraded = live files NOT in that commit's manifest. With no
+    * cluster commit in the history (or its manifest vacuumed) every
+    * live file is degraded and this degenerates to [[recluster]]'s
+    * full rewrite — correct, just not partial. The rewrite's z-values
+    * normalize over the GLOBAL manifest min/max bounds (a driver-side
+    * file-count-sized agg — see `globalBounds` below), so the folded
+    * files tile the TABLE's z space, not a lattice renormalized to
+    * the degraded subset; only when a cluster column's manifest stats
+    * are missing or non-castable does it fall back to the subset's
+    * own bounds, which costs selectivity, never correctness (per-file
+    * stats are computed from the written bytes as always, so
+    * admission never depends on the lattice). The commit is tagged
+    * `op=cluster`, so the NEXT partial recluster treats this
+    * generation as its baseline. Content is logically identical —
+    * CDC across the commit nets to zero — and a no-op (nothing
+    * degraded) does not advance the generation.
+    */
+  def reclusterPartial(s: SparkSession, dir: String, keyCol: String,
+                       clusterCols: Seq[String], nFiles: Int = 0): MergeStats = {
+    val prevGen = committedGen(dir).getOrElse(
+      sys.error(s"$dir is not a committed keyed table (no commit log)"))
+    // same validation as the full paths (zValueOf) — the manifest-
+    // bounds shortcut below must not silently accept a string column
+    // whose stats happen to cast (null z-values, degenerate layout)
+    require(clusterCols.nonEmpty && clusterCols.size <= 3,
+      s"z-order wants 1-3 cluster columns, got ${clusterCols.size}")
+    schemaAt(dir, prevGen).foreach(sch => clusterCols.foreach { c =>
+      require(sch.fields.find(_.name.equalsIgnoreCase(c))
+        .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]),
+        s"z-order cluster column '$c' must be numeric " +
+          "(lattice normalization is min/max arithmetic)")
+    })
+    val man0 = manifestAt(s, dir, prevGen)
+    val livePaths = man0.select("path").collect()
+      .map(_.getString(0)).toIndexedSeq
+    // the baseline must be a cluster commit on the SAME columns:
+    // carrying files tiled in a DIFFERENT z-space as "still
+    // clustered" would report the layout repaired while the carried
+    // majority prunes nothing on the requested dimensions — a
+    // mismatched history instead degrades to the full rewrite. A
+    // legacy cluster commit with NO cluster_cols tag is treated the
+    // same way (non-matching): its columns are unknown, and assuming
+    // they match ANY request is exactly the silent-selectivity-loss
+    // this check exists to prevent.
+    val wanted = clusterCols.mkString(",")
+    val baseline: Set[String] =
+      (prevGen to 0 by -1).find { g =>
+        val m = metaAt(dir, g)
+        m.get("op").contains("cluster") &&
+          m.get("cluster_cols").contains(wanted)
+      }.flatMap { g =>
+        scala.util.Try(manifestAt(s, dir, g).select("path").collect()
+          .map(_.getString(0)).toSet).toOption // vacuumed baseline: full rewrite
+      }.getOrElse(Set.empty)
+    val degraded = livePaths.filterNot(baseline.contains)
+    val carried = livePaths.filter(baseline.contains)
+    if (degraded.isEmpty)
+      return MergeStats(prevGen, Nil, carried) // layout already optimal
+    val next = prevGen + 1
+    val token = newToken()
+    val staging = dataDirOf(dir, next, token)
+    val df = readVisible(s, dir, prevGen, degraded)
+    val outFiles = if (nFiles > 0) nFiles else math.max(1, degraded.size)
+    // GLOBAL lattice bounds off the manifest stats (driver-side,
+    // file-count-sized, zero data scan): the rewrite must tile the
+    // TABLE's z space, not a lattice renormalized to the degraded
+    // subset — see zValueWithBounds. Missing/null stats (or a
+    // non-double-castable stat type) fall back to subset bounds,
+    // which only costs selectivity, never correctness.
+    val globalBounds: Option[Seq[(Double, Double)]] =
+      if (!clusterCols.forall(c => man0.columns.contains(s"min_$c"))) None
+      else {
+        val aggs = clusterCols.flatMap(c => Seq(
+          min(col(s"min_$c").cast("double")), max(col(s"max_$c").cast("double"))))
+        val r = man0.agg(aggs.head, aggs.tail: _*).head()
+        if (r.anyNull) None
+        else Some(clusterCols.indices.map(i =>
+          (r.getDouble(2 * i), r.getDouble(2 * i + 1))))
+      }
+    val zv = globalBounds
+      .map(b => zValueWithBounds(clusterCols, b))
+      .orElse(zValueOf(df, clusterCols))
+    zv match {
+      case Some(z) =>
+        df.withColumn("__zv", z)
+          .repartitionByRange(outFiles, col("__zv")).drop("__zv")
+          .write.parquet(staging)
+      case None => // degenerate fold set: key order
+        df.repartitionByRange(outFiles, col(keyCol)).write.parquet(staging)
+    }
+    val newStats =
+      if (hasParquetFiles(staging)) statsOf(s, staging, keyCol)
+      else man0.filter(lit(false))
+    man0.filter(col("path").isin(carried: _*))
+      .unionByName(newStats, allowMissingColumns = true)
+      .coalesce(1).write.parquet(manifestDirOf(dir, next, token))
+    val dvMeta = dvMetaForCommit(s, dir, prevGen, next, token, degraded)
+    try commitGen(dir, next, token, Map("op" -> "cluster",
+      "cluster_cols" -> wanted,
+      "partial" -> degraded.size.toString) ++ dvMeta ++
+      schemaAt(dir, prevGen).map(sch => Map("schema" -> sch.json)).getOrElse(Map.empty))
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        Seq(staging, manifestDirOf(dir, next, token), s"$dir/${dvNameOf(next, token)}")
+          .foreach(graft.IndexLifecycle.deleteRecursively)
+        throw e
+    }
+    maintainBloomSidecars(s, dir, next, staging)
+    MergeStats(next, degraded, carried)
+  }
+
+  def manifest(s: SparkSession, dir: String): DataFrame = {
+    val g = committedGen(dir).getOrElse(
+      sys.error(s"$dir is not a committed keyed table (no commit log)"))
+    manifestAt(s, dir, g)
+  }
+
+  /** A specific generation's manifest. Valid for any `gen` ≤ the
+    * committed one whose manifest a vacuum hasn't dropped — an
+    * UNcommitted `manifest-g<next>` left by a crashed merge is never
+    * readable through here, readers can't see past the marker.
+    */
+  def manifestAt(s: SparkSession, dir: String, gen: Int): DataFrame = {
+    val committed = committedGen(dir).getOrElse(
+      sys.error(s"$dir is not a committed keyed table (no commit log)"))
+    require(gen <= committed,
+      s"generation $gen not committed yet (table is at $committed)")
+    val token = metaAt(dir, gen).getOrElse("token",
+      sys.error(s"commit-log entry for generation $gen lacks a token"))
+    val mdir = manifestDirOf(dir, gen, token)
+    require(java.nio.file.Files.exists(java.nio.file.Path.of(mdir)),
+      s"generation $gen unavailable: its manifest was vacuumed")
+    s.read.parquet(mdir)
+  }
+
+  /** The table's rows: exactly the files the committed manifest
+    * references (which may span generations). `asOf` time-travels to
+    * an earlier committed generation — available until a vacuum drops
+    * the non-current manifests (Delta/Iceberg's exact trade).
+    */
+  def readTable(s: SparkSession, dir: String, asOf: Option[Int] = None): DataFrame = {
+    val gen = asOf.getOrElse(committedGen(dir).getOrElse(
+      sys.error(s"$dir is not a committed keyed table (no commit log)")))
+    val paths = manifestAt(s, dir, gen).select("path").collect().map(_.getString(0))
+    if (paths.isEmpty) { // fully-deleted table: empty frame, log schema
+      val sch = schemaAt(dir, gen).getOrElse(sys.error(
+        s"$dir generation $gen is empty and its commit-log entry has no schema"))
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
+    }
+    // log-recorded schema (no footer pass); a manifest may span
+    // generations with evolved schemas — pre-evolution files surface
+    // the newer columns as null under the explicit read schema.
+    // Deletion-vector rows hide here; only vectored files pay the
+    // anti-join (see readVisible), none on a vector-free table.
+    readVisible(s, dir, gen, paths.toIndexedSeq)
+  }
+
+  /** The table through [[GraftFileIndex]]: Catalyst pushes the
+    * query's own filters into the file listing, so ANY predicate over
+    * statted columns prunes files at plan time — no explicit
+    * scanWhere call, `.filter` just works, and `.explain` shows the
+    * scan's file count shrink. This is the integration Delta/Iceberg
+    * ride (FileSourceScanExec hands dataFilters to
+    * FileIndex.listFiles); [[readTable]] stays the dependency-free
+    * multi-path read, [[scanWhere]] the explicit manifest consult.
+    * Index construction is driver-side and file-count-sized: one
+    * getFileStatus per live file plus the already-collected manifest.
+    */
+  def readIndexed(s: SparkSession, dir: String, asOf: Option[Int] = None): DataFrame = {
+    val man = asOf.fold(manifest(s, dir))(g => manifestAt(s, dir, g))
+    val rows = man.collect()
+    if (rows.isEmpty) return readTable(s, dir, asOf)
+    val statCols = man.columns.filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSeq
+    val hconf = s.sparkContext.hadoopConfiguration
+    val entries = rows.toIndexedSeq.map { r =>
+      val p = new org.apache.hadoop.fs.Path(java.net.URI.create(r.getAs[String]("path")))
+      val stats = statCols.map(c =>
+        c -> ((r.getAs[Any](s"min_$c"), r.getAs[Any](s"max_$c")))).toMap
+      GraftFileIndex.Entry(p.getFileSystem(hconf).getFileStatus(p), stats)
+    }
+    val gen = asOf.getOrElse(committedGen(dir).get)
+    val dataSchema = schemaAt(dir, gen).getOrElse { // pre-schema-log fallback
+      val paths = rows.map(_.getAs[String]("path")).toIndexedSeq
+      s.read.option("mergeSchema", "true").parquet(paths: _*).schema
+    }
+    def planOf(es: IndexedSeq[GraftFileIndex.Entry]): DataFrame = {
+      val relation = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+        new GraftFileIndex(es),
+        partitionSchema = new org.apache.spark.sql.types.StructType(),
+        dataSchema = dataSchema,
+        bucketSpec = None,
+        fileFormat = new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+        options = Map.empty)(s)
+      org.apache.spark.sql.graftbridge.SessionBridge.ofPlan(s,
+        org.apache.spark.sql.execution.datasources.LogicalRelation(relation))
+    }
+    // deletion-vector rows hide here too, with readVisible's split:
+    // clean files keep the raw stat-pruned relation (zero tax), only
+    // vectored files ride the anti-join (`_metadata` resolves through
+    // HadoopFsRelation like any file source); both halves stay behind
+    // GraftFileIndex, so Catalyst still prunes each by the query's
+    // own filters
+    dvFrameAt(s, dir, gen) match {
+      case None => planOf(entries)
+      case Some(dv) =>
+        val dirtyNorm = dv.select("path").distinct().collect()
+          .map(r => normPath(r.getString(0))).toSet
+        val (dirty, clean) = entries.partition(e =>
+          dirtyNorm.contains(normPath(e.status.getPath.toString)))
+        if (dirty.isEmpty) planOf(entries)
+        else if (clean.isEmpty) dvAntiJoin(planOf(dirty), dv)
+        else planOf(clean).unionByName(dvAntiJoin(planOf(dirty), dv))
+    }
+  }
+
+  /** Data-skipping scan: a range read over ANY statted column that
+    * consults the manifest FIRST and opens only files whose
+    * [min_c, max_c] intersects [lo, hi] — the table-layer half of
+    * predicate pushdown. Parquet row-group stats prune WITHIN a file
+    * the engine already opened; this prunes at the FILE list, so a
+    * 100 TB table's footer reads and scheduling cost scale with the
+    * band, not the table. The residual filter still applies (manifest
+    * ranges admit whole files), so results are exact.
+    *
+    * Pruning is sound under missing stats: a manifest entry whose
+    * stats for `colName` are null (a pre-evolution file carried
+    * across the evolution that introduced the column, or a column the
+    * writer doesn't stat) is INCLUDED, never skipped. Selectivity on
+    * a non-key column depends on the physical clustering —
+    * range-written tables cluster only the key; [[writeClustered]]'s
+    * z-order makes multiple columns selective at once.
+    */
+  def scanWhere(s: SparkSession, dir: String, colName: String,
+                lo: Any, hi: Any): DataFrame = {
+    val man = manifest(s, dir)
+    val (minC, maxC) = (s"min_$colName", s"max_$colName")
+    val admit =
+      if (!man.columns.contains(minC)) lit(true) // unstatted: no pruning
+      else (col(maxC).isNull || col(maxC) >= lit(lo)) &&
+        (col(minC).isNull || col(minC) <= lit(hi))
+    val paths = man.filter(admit)
+      .select("path").collect().map(_.getString(0)).toIndexedSeq
+    val gen = committedGen(dir).get
+    if (paths.nonEmpty)
+      readVisible(s, dir, gen, paths)
+        .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
+    else { // band misses every file: empty result, schema from any live file
+      val any = man.select("path").limit(1).collect()
+      if (any.isEmpty) sys.error(s"$dir is empty; no schema for an empty scan")
+      readerFor(s, dir, gen).parquet(any.head.getString(0)).limit(0)
+    }
+  }
+
+  /** Key-band scan — [[scanWhere]] on the table's merge key. */
+  def scanRange(s: SparkSession, dir: String, keyCol: String,
+                lo: Any, hi: Any): DataFrame =
+    scanWhere(s, dir, keyCol, lo, hi)
+
+  /** Incremental-consumer cursor over the commit log: everything that
+    * changed since the consumer's `lastSeenGen`, or None when up to
+    * date. The consumer loop a downstream index / feature store /
+    * replica runs is three lines:
+    * {{{
+    *   var cur = 0
+    *   MergeTable.pollChanges(s, dir, cur, "k").foreach { case (g, delta) =>
+    *     applyDelta(delta); cur = g }
+    * }}}
+    * The delta is [[changesBetween]]'s NET logical diff (time ∝ files
+    * rewritten in the span, never the table), and the generation
+    * number is the exactly-once watermark: persist `cur` beside the
+    * applied state and replay is idempotent. Polling the log is one
+    * pointer read plus a short tail probe (see the checkpointing
+    * section) — no Spark job, no listing, when nothing changed.
+    */
+  /** The change feed as a Structured Streaming source (see
+    * [[graft.sources.CdcSourceProvider]]): each committed generation
+    * becomes a checkpointed micro-batch of net logical changes.
+    * `startGen = -1` requests snapshot-then-follow (first batch =
+    * whole table as inserts). [[pollChanges]] is the pull API for
+    * driver loops; this is the push API for `readStream` topologies.
+    */
+}
