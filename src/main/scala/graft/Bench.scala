@@ -249,8 +249,8 @@ object Bench {
     val runContended = runLooksContended(batchResults, minRows, healRatio)
     val healKeys: Seq[String] =
       if (runContended) batchResults.map(_._1) else contended
-    val healMeasured: Map[String, Double] =
-      if (healKeys.isEmpty) Map.empty
+    val (healMeasured, healErrors): (Map[String, Double], Map[String, String]) =
+      if (healKeys.isEmpty) (Map.empty, Map.empty)
       else {
         val sess = warm.newSession()
         sess.catalog.clearCache() // cold data, like every rep
@@ -260,9 +260,16 @@ object Bench {
           timeAll[(SparkSession, String) => org.apache.spark.sql.DataFrame](
             SparkEntry.queries.toSeq.filter(kv => keySet(kv._1)).sortBy(_._1),
             fn => force(sess)(fn(sess, sfDir)))
-        errs.foreach { case (k, m) => errors(k) = m }
         operators.MergeTable.cleanupFixtures()
-        rows.toMap
+        // a heal-pass failure is loud (stderr above + `heal_errors` in
+        // BENCH_DETAIL.json) but must neither IMPROVE nor VETO the
+        // record: timeAll's elapsed for a throwing query is a partial
+        // run, not the "least-contended FULL observation" the fold
+        // promises, and every heal key already owns a valid median
+        // from the measured reps — so errored keys are dropped before
+        // folding and never reach the exit-1 error map. "Any-rep
+        // failure is loud" stays scoped to the measured reps.
+        (rows.toMap -- errs.keySet, errs)
       }
     val (healedBatch, healedKeys) = healRows(batchResults, healMeasured)
     // heal observations fold into the per-row best, so batch_min stays
@@ -382,8 +389,11 @@ object Bench {
     val prehealJson = mapJson(batchResults.toMap.view
       .filterKeys(healedKeys.toSet).toMap)
     val healJson = mapJson(healMeasured)
+    // heal-pass failures: non-fatal diagnostics (see the fold above)
+    val healErrJson = healErrors.toSeq.sortBy(_._1)
+      .map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","batch_seconds":$batchSecs,"batch_min_seconds":$batchMinSecs,"bench_reps":$reps,"queries":$fullQs,"queries_min":${mapJson(minRowsFinal)},"queries_spread":${mapJson(spreadRows)},"contended":$contFull,"contended_preheal":$contPreheal,"healed":$healedFull,"queries_preheal":$prehealJson,"queries_heal":$healJson,"run_contended":$runContended,"errors":$errFull,"rep_queries":$repJson,"streaming_throughput":$fullThr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","batch_seconds":$batchSecs,"batch_min_seconds":$batchMinSecs,"bench_reps":$reps,"queries":$fullQs,"queries_min":${mapJson(minRowsFinal)},"queries_spread":${mapJson(spreadRows)},"contended":$contFull,"contended_preheal":$contPreheal,"healed":$healedFull,"queries_preheal":$prehealJson,"queries_heal":$healJson,"heal_errors":$healErrJson,"run_contended":$runContended,"errors":$errFull,"rep_queries":$repJson,"streaming_throughput":$fullThr,"sf":"$sfDir"}"""
     // detail goes to the FILE only — r4-r7 all recorded parsed:null
     // because this JSON also went to stderr, whose truncated copy
     // landed inside the harness's 2000-char tail window just before
@@ -590,13 +600,27 @@ object Bench {
     */
   private def mutedBroadcastLogs[T](body: => T): T = {
     val name = "org.apache.spark.broadcast.TorrentBroadcast"
+    val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+      .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+    // restore must return the logger to INHERIT-from-root, not pin a
+    // copied root level: a pinned explicit LoggerConfig survives the
+    // teardown's setLogLevel("OFF") (which only touches the root
+    // config), un-muting exactly the async teardown ERROR this exists
+    // to keep out of the harness's stdout parse window. If an explicit
+    // config pre-existed (it doesn't in Spark's defaults, but a user
+    // log4j2 file could add one), put back its exact level instead.
+    val preExisting =
+      Option(ctx.getConfiguration.getLoggers.get(name)).map(_.getLevel)
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       name, org.apache.logging.log4j.Level.OFF)
     try body
-    finally org.apache.logging.log4j.core.config.Configurator.setLevel(
-      name,
-      org.apache.logging.log4j.LogManager.getRootLogger
-        .asInstanceOf[org.apache.logging.log4j.core.Logger].getLevel)
+    finally preExisting match {
+      case Some(lvl) =>
+        org.apache.logging.log4j.core.config.Configurator.setLevel(name, lvl)
+      case None =>
+        ctx.getConfiguration.removeLogger(name)
+        ctx.updateLoggers()
+    }
   }
 
   /** One end-to-end run of the streaming word-count topology over the

@@ -111,6 +111,11 @@ trait MergeTableGovernance { this: MergeTable.type =>
     * in-flight writer's staging and fresh commit. Run with
     * `minAgeMs` comfortably above the longest in-flight commit when
     * writers may be live; 0 (the default) is only safe quiesced.
+    * UNREFERENCED index artifacts additionally honor `orphanAgeMs`
+    * (default [[defaultOrphanAgeMs]]) even at `minAgeMs = 0`, so a
+    * "quiesced" data vacuum racing concurrent index maintenance
+    * degrades gracefully instead of deleting a builder's
+    * not-yet-published segment.
     *
     * CDC-CONSUMER safety is registration-based: while any
     * [[cdcHorizons]] entry sits BELOW the committed generation, a
@@ -122,7 +127,8 @@ trait MergeTableGovernance { this: MergeTable.type =>
     * as before).
     */
   def vacuum(s: SparkSession, dir: String, minAgeMs: Long = 0L,
-             force: Boolean = false): Int = {
+             force: Boolean = false,
+             orphanAgeMs: Long = defaultOrphanAgeMs): Int = {
     val gen = committedGen(dir).getOrElse(
       sys.error(s"$dir is not a committed keyed table (no commit log)"))
     val lagging = cdcHorizons(dir).filter(_._2 < gen)
@@ -135,7 +141,7 @@ trait MergeTableGovernance { this: MergeTable.type =>
           "vacuumRetaining() to reclaim around them, or pass force = true to " +
           "strand them knowingly")
     }
-    vacuumImpl(s, dir, minAgeMs, Set(gen))
+    vacuumImpl(s, dir, minAgeMs, Set(gen), orphanAgeMs)
   }
 
   /** Retention-aware vacuum — the replication-slot semantic (Kafka
@@ -150,15 +156,33 @@ trait MergeTableGovernance { this: MergeTable.type =>
     * (visible in `table cdc-horizons`), never correctness; time
     * travel below the oldest horizon ends exactly like vacuum's.
     */
-  def vacuumRetaining(s: SparkSession, dir: String, minAgeMs: Long = 0L): Int = {
+  def vacuumRetaining(s: SparkSession, dir: String, minAgeMs: Long = 0L,
+                      orphanAgeMs: Long = defaultOrphanAgeMs): Int = {
     val gen = committedGen(dir).getOrElse(
       sys.error(s"$dir is not a committed keyed table (no commit log)"))
     val floor = cdcHorizons(dir).values.minOption.getOrElse(gen)
-    vacuumImpl(s, dir, minAgeMs, (math.max(0, floor) to gen).toSet + gen)
+    vacuumImpl(s, dir, minAgeMs, (math.max(0, floor) to gen).toSet + gen,
+      orphanAgeMs)
   }
 
+  /** Retention floor for UNREFERENCED index artifacts (orphaned
+    * `_bloomseg-` data dirs, dangling `_bloomptr` entries) — applied
+    * even when `minAgeMs = 0`. Rationale: `minAgeMs = 0` is documented
+    * quiesced-only for DATA sweeps, but the common operational slip is
+    * a "quiesced" vacuum racing concurrent INDEX maintenance (a
+    * builder's freshly written, not-yet-pointer-flipped `_bloomseg-`
+    * dir is indistinguishable from a crashed build's orphan). A
+    * Delta-style age floor makes that case degrade gracefully — the
+    * in-flight build's dir survives, the flip lands, nothing dangles —
+    * while true orphans are reclaimed by any vacuum run later than the
+    * floor. Pass `orphanAgeMs = 0` to sweep fresh orphans immediately
+    * (tests, or a provably quiesced maintenance window).
+    */
+  val defaultOrphanAgeMs: Long = 15L * 60L * 1000L
+
   private def vacuumImpl(s: SparkSession, dir: String, minAgeMs: Long,
-                         protectedGens: Set[Int]): Int = {
+                         protectedGens: Set[Int],
+                         orphanAgeMs: Long): Int = {
     // the CURRENT generation is special: its manifest is the live
     // set's backbone, so a token-less log entry or an unreadable
     // manifest must ABORT the vacuum loudly — a best-effort read here
@@ -189,11 +213,12 @@ trait MergeTableGovernance { this: MergeTable.type =>
     // files (like data files from manifests) — an unreferenced
     // `_bloomseg-` dir is a crashed build/fold/clone-copy's orphan, or
     // a replaced segment whose sweep died between pointer-delete and
-    // dir-delete; either way dead weight. minAgeMs spares an IN-FLIGHT
-    // builder's freshly written dir exactly as it spares in-flight
-    // commits (a 0-age vacuum racing a builder is already documented
-    // as unsafe-quiesced-only, and even then the loser degrades to an
-    // uncovered — sound — index, never a wrong answer).
+    // dir-delete; either way dead weight. An IN-FLIGHT builder's
+    // freshly written, not-yet-flipped dir is spared by the ORPHAN age
+    // floor (max(minAgeMs, orphanAgeMs) — see [[defaultOrphanAgeMs]]),
+    // which holds even for the 0-age quiesced-only data vacuum; and
+    // even a builder that outlives the floor merely degrades to an
+    // uncovered — sound — index, never a wrong answer.
     val bloomRefs: Set[String] = store(dir).list(bloomPtrDirOf(dir))
       .filter(!_.contains(".tmp-"))
       .flatMap(n => store(dir).read(bloomPtrOf(dir, n)))
@@ -220,6 +245,18 @@ trait MergeTableGovernance { this: MergeTable.type =>
           .orElse(try Some(java.nio.file.Files.getLastModifiedTime(p).toMillis)
                   catch { case _: java.io.IOException => None })
           .exists(_ < cutoff)
+    // unreferenced INDEX artifacts get their own floor (see
+    // [[defaultOrphanAgeMs]]): max(minAgeMs, orphanAgeMs), so a 0-age
+    // data vacuum still spares a concurrent builder's fresh dir, and a
+    // missing mtime reads as "too new to sweep"
+    val orphanFloor = math.max(minAgeMs, orphanAgeMs)
+    val orphanCutoff = System.currentTimeMillis() - orphanFloor
+    def orphanOldEnough(p: java.nio.file.Path): Boolean =
+      orphanFloor <= 0L ||
+        store(dir).mtimeMillis(p)
+          .orElse(try Some(java.nio.file.Files.getLastModifiedTime(p).toMillis)
+                  catch { case _: java.io.IOException => None })
+          .exists(_ < orphanCutoff)
     def del(p: java.nio.file.Path): Boolean = {
       val a = store(dir).delete(p)
       val b = java.nio.file.Files.deleteIfExists(p)
@@ -282,8 +319,10 @@ trait MergeTableGovernance { this: MergeTable.type =>
         // (committed legacy sidecars have no .tmp segment and are kept)
         graft.IndexLifecycle.deleteRecursively(p.toString); deleted += 1
       } else if (name.startsWith("_bloomseg-") && !bloomRefs.contains(name) &&
-          oldEnough(p)) {
-        // an unreferenced sidecar data dir (see bloomRefs above)
+          orphanOldEnough(p)) {
+        // an unreferenced sidecar data dir (see bloomRefs above) — on
+        // the ORPHAN floor, not minAgeMs, so a concurrent builder's
+        // not-yet-flipped dir survives even a 0-age vacuum
         graft.IndexLifecycle.deleteRecursively(p.toString); deleted += 1
       } else if (name == "_bloomptr") {
         // inside the pointer dir only crashed staging (`.tmp-` nonce
@@ -299,7 +338,10 @@ trait MergeTableGovernance { this: MergeTable.type =>
               .map(b => new String(b, "UTF-8").trim)
               .forall(t => t.isEmpty || !java.nio.file.Files.exists(
                 java.nio.file.Path.of(dir, t)))
-          if ((n2.contains(".tmp-") || dangling) && oldEnough(e)) {
+          // dangling pointers ride the orphan floor too: they are the
+          // downstream debris of exactly the race the floor defuses
+          if ((n2.contains(".tmp-") && oldEnough(e)) ||
+              (dangling && orphanOldEnough(e))) {
             del(e); deleted += 1
           }
         }

@@ -381,7 +381,17 @@ class BloomIndexSpec extends SparkSpecBase {
     assert(MergeTable.bloomIndexedColumns(dir) == Map("tag" -> 1))
     assert(MergeTable.scanEqualsBloom(spark, dir, "tag", "fresh-tag")
       .select("k").as[Long].collect().toSeq == Seq(50L))
+    // DEFAULT vacuum spares fresh unreferenced index artifacts (the
+    // orphan age floor): a concurrent builder's not-yet-flipped dir
+    // must survive a 0-age data vacuum
     MergeTable.vacuum(spark, dir)
+    assert(java.nio.file.Files.exists(orphan),
+      "orphan floor failed: a FRESH _bloomseg- dir was swept — a " +
+        "concurrent builder's unpublished segment would be lost")
+    assert(java.nio.file.Files.exists(dangling),
+      "orphan floor failed: a fresh dangling pointer was swept")
+    // with the floor waived (provably quiesced / test), orphans go
+    MergeTable.vacuum(spark, dir, orphanAgeMs = 0L)
     assert(!java.nio.file.Files.exists(staged), "staging survived vacuum")
     assert(!java.nio.file.Files.exists(orphan),
       "orphaned _bloomseg- data dir survived vacuum")
