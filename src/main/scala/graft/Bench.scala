@@ -261,15 +261,7 @@ object Bench {
             SparkEntry.queries.toSeq.filter(kv => keySet(kv._1)).sortBy(_._1),
             fn => force(sess)(fn(sess, sfDir)))
         operators.MergeTable.cleanupFixtures()
-        // a heal-pass failure is loud (stderr above + `heal_errors` in
-        // BENCH_DETAIL.json) but must neither IMPROVE nor VETO the
-        // record: timeAll's elapsed for a throwing query is a partial
-        // run, not the "least-contended FULL observation" the fold
-        // promises, and every heal key already owns a valid median
-        // from the measured reps — so errored keys are dropped before
-        // folding and never reach the exit-1 error map. "Any-rep
-        // failure is loud" stays scoped to the measured reps.
-        (rows.toMap -- errs.keySet, errs)
+        (healObservations(rows, errs), errs)
       }
     val (healedBatch, healedKeys) = healRows(batchResults, healMeasured)
     // heal observations fold into the per-row best, so batch_min stays
@@ -506,6 +498,20 @@ object Bench {
     val minSum = medians.map { case (k, _) => mins(k) }.sum
     minSum > 0 && medians.map(_._2).sum / minSum > ratio
   }
+
+  /** The heal pass's usable observations: timed rows MINUS errored
+    * keys. A heal-pass failure is loud (stderr + `heal_errors` in
+    * BENCH_DETAIL.json) but must neither IMPROVE nor VETO the record:
+    * timeAll's elapsed for a throwing query is a partial run, not the
+    * "least-contended FULL observation" the fold promises, and every
+    * heal key already owns a valid median from the measured reps — so
+    * errored keys are dropped before folding and never reach the
+    * exit-1 error map. "Any-rep failure is loud" stays scoped to the
+    * measured reps.
+    */
+  private[graft] def healObservations(
+      rows: Seq[(String, Double)], errs: Map[String, String])
+      : Map[String, Double] = rows.toMap -- errs.keySet
 
   /** Fold end-of-run re-measurements into the record: each healed row
     * is min(median, re-measure) — the least-contended FULL cold-data

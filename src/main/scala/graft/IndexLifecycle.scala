@@ -119,14 +119,22 @@ object IndexLifecycle {
   }
 
   /** Drop a catalog table and its backing files (file: scheme only) —
-    * the shared cleanup for every table-backed index.
+    * the shared cleanup for every table-backed index. A location that
+    * is a `_lshseg-` pointer segment (the LSH vacuum's flipped
+    * layout) cleans its whole HOME dir, or eviction after a rewrite
+    * would leak the home shell and any unswept legacy debris.
     */
   def dropTableWithFiles(s: SparkSession, table: String): Unit = {
     val loc = scala.util.Try(
       s.sql(s"DESCRIBE TABLE EXTENDED $table").filter(col("col_name") === "Location")
         .head().getString(1)).toOption
     s.sql(s"DROP TABLE IF EXISTS $table")
-    loc.filter(_.startsWith("file:")).foreach(l =>
-      deleteRecursively(java.nio.file.Path.of(java.net.URI.create(l)).toString))
+    loc.filter(_.startsWith("file:")).foreach { l =>
+      val p = java.nio.file.Path.of(java.net.URI.create(l))
+        .toAbsolutePath.normalize()
+      val target =
+        if (p.getFileName.toString.startsWith("_lshseg-")) p.getParent else p
+      deleteRecursively(target.toString)
+    }
   }
 }

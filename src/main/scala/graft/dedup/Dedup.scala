@@ -790,25 +790,30 @@ object Dedup {
   }
 
   /** Physically rewrite the index without the tombstoned docs, then
-    * clear the tombstone set. Each table commits via the staged-swap
-    * discipline of the vector-index maintenance ops
-    * (Similarity.compactIvfCells / vacuumVectorTombstones): the
-    * filtered rows are written as a bucketed staged table under a
-    * dot-prefixed dir INSIDE the live table's location (invisible to
-    * readers), the staged files are moved in, and only then are the
-    * old files deleted — never overwrite-insertInto, whose
-    * truncate-then-write window would leave a crashed vacuum with a
-    * partial index and tombstones still set (silently losing pairs on
-    * the next probe AND on the re-run). Here a crash at any point
+    * clear the tombstone set. Each table commits via the write-once +
+    * pointer-flip discipline of the table format's control plane: the
+    * filtered rows are written ONCE into an immutable tokened segment
+    * dir `_lshseg-<token>` under the table's home (`_`-prefixed, so
+    * invisible to the live table's file listing), and the CATALOG is
+    * the pointer — one `ALTER TABLE … SET LOCATION` swaps every reader
+    * from the old segment to the new one atomically. Never
+    * overwrite-insertInto, whose truncate-then-write window would
+    * leave a crashed vacuum with a partial index and tombstones still
+    * set (silently losing pairs on the next probe AND on the re-run) —
+    * and no longer the pre-r15 per-file move-in-before-delete swap
+    * either, whose visible window doubled row multiplicities and whose
+    * renames were copies on an object store. A crash at any point
     * leaves tombstones ACTIVE and the vacuum re-runnable: before the
-    * move the live table is untouched; between move and delete it
-    * carries row duplicates — the governed probe's PAIR SET stays
-    * exact (no pair lost, none invented; multiplicities may double)
-    * and the re-run's full-row dedup converges the table.
-    * File names keep their trailing bucket-id suffix through the
-    * move, so both bucketed layouts — and the exchange-free probe
-    * joins they carry — survive. Maintenance-window cost ∝ index
-    * size, exactly MergeTable.vacuum's posture for the table family.
+    * flip the live table is untouched (the fresh segment is an orphan
+    * the next rewrite sweeps); after it the superseded segment/legacy
+    * root files are orphans swept here and by the next rewrite.
+    * Readers resolve the location per query, so there is no
+    * duplicates window and no missing-dir instant at all. The staged
+    * write reproduces the table's own bucket/sort spec and the flip
+    * keeps the catalog's bucket metadata, so both bucketed layouts —
+    * and the exchange-free probe joins they carry — survive.
+    * Maintenance-window cost ∝ index size, exactly
+    * MergeTable.vacuum's posture for the table family.
     */
   def vacuumLshTombstones(s: SparkSession, indexTable: String): Long = {
     val tomb = tombstonesOf(s, indexTable).localCheckpoint()
@@ -826,12 +831,16 @@ object Dedup {
   }
 
   /** Rewrite a bucketed catalog table's rows as `filter(table)` with
-    * a crash-safe staged-swap commit (see [[vacuumLshTombstones]]).
-    * The staged write reproduces the table's own bucket/sort spec —
-    * bucketBy is only expressible through saveAsTable, so the staging
-    * area is a scratch catalog entry whose data lands in a
-    * dot-prefixed dir inside the live location; the entry is dropped
-    * (external: files stay) before the move-in.
+    * a crash-safe write-once + pointer-flip commit (see
+    * [[vacuumLshTombstones]]). The staged write reproduces the table's
+    * own bucket/sort spec — bucketBy is only expressible through
+    * saveAsTable, so the writer rides a scratch catalog entry whose
+    * data lands in the fresh tokened segment; the entry is dropped
+    * (external: files stay) before the flip. The table's HOME dir
+    * never changes: the live data is either the home itself (the
+    * legacy layout every fresh [[buildLshIndexFrom]] produces) or a
+    * `_lshseg-<token>` segment under it, and the catalog's location
+    * is the single pointer readers resolve.
     */
   private def stagedSwapRewrite(s: SparkSession, tbl: String,
                                 filter: DataFrame => DataFrame): Unit = {
@@ -839,31 +848,39 @@ object Dedup {
     import scala.jdk.CollectionConverters._
     val meta = s.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(tbl))
-    val dir = Path.of(meta.location)
+    val live = Path.of(meta.location).toAbsolutePath.normalize()
     val spec = meta.bucketSpec.getOrElse(throw new IllegalStateException(
       s"$tbl has no bucket spec — not a graft LSH index table"))
+    val isSeg = live.getFileName.toString.startsWith("_lshseg-")
+    val home = if (isSeg) live.getParent else live
     def parquetsIn(p: Path): IndexedSeq[Path] = {
       val ls = Files.list(p)
       try ls.iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet")).toIndexedSeq
       finally ls.close()
     }
-    // sweep a crashed predecessor's staging (catalog entry + dot-dirs);
-    // files a crashed run already moved in are live rows and land in
-    // `old` below, so this run's delete step retires them too
+    // sweep crash debris: a crashed predecessor's scratch catalog
+    // entry, pre-r15 dot-staging dirs, orphan segments (every
+    // `_lshseg-` that is not the live one — a crash BEFORE a flip
+    // left it unreferenced), and — once the live data moved into a
+    // segment — any top-level legacy parquet a crash AFTER a flip
+    // left unretired. Duplicate rows a pre-r15 crash moved in are
+    // live rows; the full-row dedup below converges them.
     val stagedTbl = tbl + "__vacuum"
     s.sql(s"DROP TABLE IF EXISTS $stagedTbl")
-    val sweep = Files.list(dir)
-    try sweep.iterator().asScala
-      .filter(_.getFileName.toString.startsWith(".vacuum-"))
-      .foreach(p => graft.IndexLifecycle.deleteRecursively(p.toString))
-    finally sweep.close()
-    val old = parquetsIn(dir)
+    val sweep = Files.list(home)
+    try sweep.iterator().asScala.foreach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith(".vacuum-") ||
+          (n.startsWith("_lshseg-") && p.toAbsolutePath.normalize() != live))
+        graft.IndexLifecycle.deleteRecursively(p.toString)
+    } finally sweep.close()
+    if (isSeg) parquetsIn(home).foreach(Files.deleteIfExists(_))
     val token = ProcessHandle.current().pid().toString + "-" +
       java.lang.Long.toHexString(System.nanoTime())
-    val staging = dir.resolve(s".vacuum-$token")
-    // full-row dedup: a re-run over a moved-in-but-not-deleted crash
-    // state must converge, not double rows
+    val seg = home.resolve(s"_lshseg-$token")
+    // full-row dedup: a re-run over a pre-r15 crash state (duplicate
+    // moved-in rows) must converge, not double rows
     val writer = filter(s.table(tbl)).dropDuplicates()
       .write.bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
         spec.bucketColumnNames.tail: _*)
@@ -871,16 +888,16 @@ object Dedup {
       case head +: tail => writer.sortBy(head, tail: _*)
       case _ => writer
     }
-    sorted.option("path", staging.toString)
+    sorted.option("path", seg.toString)
       .format(meta.provider.getOrElse("parquet")).saveAsTable(stagedTbl)
     s.sql(s"DROP TABLE $stagedTbl")
-    // commit: move in before delete — the bucket id rides the
-    // trailing _NNNNN suffix of each file name, which the uniquifying
-    // prefix preserves
-    parquetsIn(staging).foreach(f => Files.move(f,
-      dir.resolve(s"vacuumed-$token-${f.getFileName}")))
-    old.foreach(Files.deleteIfExists(_))
-    graft.IndexLifecycle.deleteRecursively(staging.toString)
+    // the flip: for a catalog table the CATALOG is the pointer — one
+    // metadata update and every subsequent read resolves the fresh
+    // segment; the old data is retired AFTER (a crash between leaves
+    // orphans the next rewrite sweeps, never a hole or a duplicate)
+    s.sql(s"ALTER TABLE $tbl SET LOCATION '$seg'")
+    if (isSeg) graft.IndexLifecycle.deleteRecursively(live.toString)
+    else parquetsIn(home).foreach(Files.deleteIfExists(_))
     s.catalog.refreshTable(tbl)
   }
 

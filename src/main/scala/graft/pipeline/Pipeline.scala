@@ -174,23 +174,42 @@ object Pipeline {
     * shard) frame and text joins back in by doc_id for the write,
     * keeping the pinned state corpus-metadata-sized at 100 TB.
     *
-    * Crash-safety is the stage-then-commit discipline of
-    * [[graft.streaming.ExactlyOnceSink]] (data first, marker last):
-    * everything writes under `outDir + ".staging"`, one directory
-    * rename publishes it, and the `_committed` marker is the LAST
-    * write. A crash in any earlier window leaves no marker; replay
-    * deletes the partial staging/output and rewrites from scratch —
-    * determinism makes the rewrite byte-stable. A replay against a
-    * committed dir is a no-op returning the manifest.
+    * Crash-safety is the write-once + pointer-flip discipline of the
+    * table format's control plane ([[graft.operators.CommitStore]];
+    * the bloom sidecar's `_bloomseg`/`_bloomptr` publish is the
+    * in-repo template): data writes ONCE into an immutable tokened
+    * segment dir `outDir/_shardseg-<token>/{manifest,shards}`, and the
+    * `_committed` marker IS the pointer — one atomic
+    * [[graft.operators.CommitStore.putReplace]] whose bytes name the
+    * segment. Nothing is ever renamed, so the commit is atomic on
+    * object stores too (where a dir rename is a copy with a wide torn
+    * window — the pre-r15 layout's weakness). A crash before the flip
+    * leaves no marker (the orphan segment is swept by the next
+    * replay); a crash after it leaves a complete committed output. A
+    * replay against a committed dir is a no-op returning the manifest;
+    * determinism makes a from-scratch rewrite byte-stable. Legacy
+    * pre-r15 dirs (marker body "committed", data at the root) are
+    * still resolved by [[shardDataRoot]].
     */
   def writeShards(s: SparkSession, d: String, outDir: String,
                   shardSize: Int = 128): DataFrame = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.Paths
+    val store = graft.operators.CommitStore.forDir(outDir)
     val marker = Paths.get(outDir, "_committed")
-    if (Files.exists(marker)) return s.read.parquet(s"$outDir/manifest")
-    val staging = outDir + ".staging"
-    graft.IndexLifecycle.deleteRecursively(staging)
+    shardDataRoot(outDir) match {
+      case Some(root) => return s.read.parquet(s"$root/manifest")
+      case None => ()
+    }
+    // not committed: whatever exists is crash debris — a dangling
+    // marker (segment swept mid-replay) goes FIRST so no reader can
+    // resolve a half-cleaned dir, then the debris (legacy staging,
+    // orphan segments, legacy partial output)
+    store.delete(marker)
+    graft.IndexLifecycle.deleteRecursively(outDir + ".staging")
     graft.IndexLifecycle.deleteRecursively(outDir)
+    val seg = "_shardseg-" + ProcessHandle.current().pid().toString + "-" +
+      java.lang.Long.toHexString(System.nanoTime())
+    val segRoot = s"$outDir/$seg"
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("n_chars"),
         md5(col("doc_id").cast("string")).as("k"))
@@ -202,7 +221,7 @@ object Pipeline {
         min("doc_id").as("min_id"), max("doc_id").as("max_id"))
       .orderBy("shard")
       .coalesce(1)
-      .write.parquet(s"$staging/manifest")
+      .write.parquet(s"$segRoot/manifest")
     // one shuffle keyed on shard id → each shard's rows sit in exactly
     // one task → exactly one file per shard=N directory; rows inside a
     // shard file keep the PERMUTED (global-rank) order — a training
@@ -213,10 +232,33 @@ object Pipeline {
       .repartition(col("shard"))
       .sortWithinPartitions("shard", "rn")
       .select("doc_id", "text", "shard")
-      .write.partitionBy("shard").parquet(s"$staging/shards")
-    Files.move(Paths.get(staging), Paths.get(outDir))
-    Files.write(marker, "committed\n".getBytes)
-    s.read.parquet(s"$outDir/manifest")
+      .write.partitionBy("shard").parquet(s"$segRoot/shards")
+    // the flip: one atomic pointer PUT — readers see uncommitted or
+    // the complete segment, never a partial
+    store.putReplace(marker, (seg + "\n").getBytes("UTF-8"))
+    s.read.parquet(s"$segRoot/manifest")
+  }
+
+  /** Resolve a shard dir's committed data root — the directory holding
+    * `manifest/` + `shards/` — or None when `outDir` is uncommitted
+    * (no marker, or a dangling pointer whose segment was swept). Two
+    * marker forms: r15+ pointer bytes name a `_shardseg-` dir; the
+    * legacy body ("committed") published `outDir` itself. The one
+    * discovery point shared by [[writeShards]]'s replay check,
+    * [[readShards]] and the specs, so the publication scheme lives in
+    * exactly one place (the [[graft.operators.MergeTableBloom]]
+    * bloomDirs pattern).
+    */
+  def shardDataRoot(outDir: String): Option[String] = {
+    val store = graft.operators.CommitStore.forDir(outDir)
+    store.read(java.nio.file.Paths.get(outDir, "_committed"))
+      .map(b => new String(b, "UTF-8").trim)
+      .flatMap {
+        case seg if seg.startsWith("_shardseg-") =>
+          Some(s"$outDir/$seg").filter(r =>
+            java.nio.file.Files.exists(java.nio.file.Paths.get(r)))
+        case _ => Some(outDir) // legacy pre-pointer layout
+      }
   }
 
   /** pp12: the WRITTEN manifest — pp08's numbers re-read from the
@@ -257,9 +299,9 @@ object Pipeline {
     * the second key and keep the read narrow.
     */
   def readShards(s: SparkSession, outDir: String, epoch: Long = 0L): DataFrame = {
-    require(java.nio.file.Files.exists(java.nio.file.Paths.get(outDir, "_committed")),
-      s"$outDir is not a committed shard dir (no _committed marker)")
-    s.read.parquet(s"$outDir/shards")
+    val root = shardDataRoot(outDir).getOrElse(throw new IllegalArgumentException(
+      s"$outDir is not a committed shard dir (no resolvable _committed marker)"))
+    s.read.parquet(s"$root/shards")
       .withColumn("__sh", xxhash64(col("shard"), lit(epoch)))
       .withColumn("__dh", xxhash64(col("doc_id"), lit(epoch)))
       .repartitionByRange(col("__sh"), col("__dh"))

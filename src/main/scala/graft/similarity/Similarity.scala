@@ -442,23 +442,37 @@ object Similarity {
     * note and MergeTable.vacuum's default: run with no concurrent
     * probe or append on this index (the ingest loop's maintenance
     * slot). The fold dedups FULL rows, which makes the pass
-    * IDEMPOTENT and crash-rerun-safe: the visible window (staged
-    * file moved in, originals not yet deleted) at worst doubles rows
+    * IDEMPOTENT and crash-rerun-safe: the visible window (folded
+    * files landed, originals not yet deleted) at worst doubles rows
     * a re-run collapses again — so the recovery protocol after any
     * crash is simply "run compaction again". Corollary: appending a
     * byte-identical row twice is idempotent after compaction — the
     * set semantics every other graft index (dd10's fp index, dd11's
     * LSH postings) already has.
+    *
+    * PUBLICATION is write-once, never rename (the repo-wide
+    * object-store discipline): the folded rows append DIRECTLY into
+    * the final `cell=` layout under fresh task-unique file names —
+    * exactly how [[appendToIvfIndex]] itself publishes — and the
+    * superseded fragments (listed BEFORE the fold) are then deleted.
+    * On S3/GCS this is one data write and N deletes; the pre-r15
+    * staged-dir-then-per-file-move version paid an extra copy per
+    * folded byte there and left a wider torn window.
     */
   def compactIvfCells(s: SparkSession, indexDir: String,
                       minFiles: Int = 2): Seq[CellFold] = {
     import java.nio.file.{Files, Path}
     import scala.jdk.CollectionConverters._
     val root = Path.of(indexDir, "vectors")
-    // sweep any prior pass's orphaned staging before starting ours
+    // sweep crash debris: a pre-r15 pass's staged dir, and a crashed
+    // append job's uncommitted task attempts (we are quiesced by
+    // contract, so any _temporary here is dead — and FileOutputCommitter
+    // reuses attempt id 0, so a stale committed-task dir could
+    // otherwise leak stale rows into OUR job's commit)
     val topList = Files.list(root)
     try topList.iterator().asScala
-      .filter(_.getFileName.toString.startsWith(".compact-"))
+      .filter(p => p.getFileName.toString.startsWith(".compact-") ||
+        p.getFileName.toString == "_temporary")
       .foreach(p => graft.IndexLifecycle.deleteRecursively(p.toString))
     finally topList.close()
     val cellsList = Files.list(root)
@@ -467,8 +481,6 @@ object Similarity {
         p.getFileName.toString.startsWith("cell="))
       .toIndexedSeq
     finally cellsList.close()
-    val token = ProcessHandle.current().pid().toString + "-" +
-      java.lang.Long.toHexString(System.nanoTime())
     def parquetFiles(dir: Path): IndexedSeq[Path] = {
       val ls = Files.list(dir)
       try ls.iterator().asScala
@@ -481,32 +493,22 @@ object Similarity {
     // 100k-cell index with broad fragmentation pays one scheduler
     // round-trip, not one per cell. repartition on `cell` lands each
     // cell in a single task, so the partitionBy write emits exactly
-    // one staged file per cell; wall-time stays ∝ fragmented bytes.
+    // one fresh file per cell; wall-time stays ∝ fragmented bytes.
     val frag = cells.map(c => c -> parquetFiles(c)).filter(_._2.size >= minFiles)
     if (frag.isEmpty) return Seq.empty
-    val staging = root.resolve(s".compact-$token")
     s.read.option("basePath", root.toString)
       .parquet(frag.map(_._1.toString): _*) // fragmented cells' rows only
       .dropDuplicates() // full-row: idempotence + crash-rerun safety
       .repartition(frag.size, col("cell"))
-      .write.partitionBy("cell").parquet(staging.toString)
-    // per-cell commit, unchanged protocol: move new in BEFORE
-    // deleting old — a crash mid-sweep leaves duplicates a re-run
-    // collapses, never a data hole
-    val folds = frag.map { case (cellDir, parts) =>
-      val stagedCell = staging.resolve(cellDir.getFileName.toString)
-      // a cell whose fragments held zero rows emits no staged dir —
-      // folding it is just deleting the empty fragments
-      val staged =
-        if (Files.isDirectory(stagedCell)) parquetFiles(stagedCell)
-        else IndexedSeq.empty[Path]
-      staged.foreach(f => Files.move(f,
-        cellDir.resolve(s"compacted-$token-${f.getFileName}")))
+      .write.mode("append").partitionBy("cell").parquet(root.toString)
+    // retire the fragments AFTER the fold landed — a crash between the
+    // job commit and this sweep leaves duplicates a re-run collapses,
+    // never a data hole
+    frag.map { case (cellDir, parts) =>
       parts.foreach(Files.deleteIfExists(_))
-      CellFold(cellDir.getFileName.toString, parts.size, staged.size)
+      CellFold(cellDir.getFileName.toString, parts.size,
+        parquetFiles(cellDir).size)
     }
-    graft.IndexLifecycle.deleteRecursively(staging.toString)
-    folds
   }
 
   // --- takedown governance for the vector index — dd14's
@@ -565,11 +567,13 @@ object Similarity {
   /** Physically rewrite only the CELLS containing tombstoned
     * vec_ids, then clear the tombstone set. One narrow column-pruned
     * scan finds the affected cells; one Spark job rewrites them
-    * (basePath read → anti-join → partitionBy staging), then the
-    * per-cell move-in-before-delete commit compaction uses. Full-row
-    * dedup in the staged write makes a crashed vacuum recoverable by
-    * re-running it (same contract as [[compactIvfCells]]). Returns
-    * the tombstone count processed.
+    * (basePath read → anti-join → append DIRECTLY into the final
+    * `cell=` layout under fresh task-unique names, never a rename —
+    * [[compactIvfCells]]'s publication discipline), then the
+    * pre-listed old files are deleted. Full-row dedup in the rewrite
+    * makes a crashed vacuum recoverable by re-running it (same
+    * contract as [[compactIvfCells]]). Returns the tombstone count
+    * processed.
     */
   def vacuumVectorTombstones(s: SparkSession, indexDir: String): Long = {
     import java.nio.file.{Files, Path}
@@ -586,10 +590,12 @@ object Similarity {
       return 0L
     }
     val root = Path.of(indexDir, "vectors")
-    // sweep a crashed predecessor's staging (compaction's discipline)
+    // sweep crash debris (compaction's discipline): a pre-r15
+    // predecessor's staged dir, and a crashed append job's _temporary
     val sweep = Files.list(root)
     try sweep.iterator().asScala
-      .filter(_.getFileName.toString.startsWith(".vacuum-"))
+      .filter(p => p.getFileName.toString.startsWith(".vacuum-") ||
+        p.getFileName.toString == "_temporary")
       .foreach(p => graft.IndexLifecycle.deleteRecursively(p.toString))
     finally sweep.close()
     // discovery: ONE narrow (vec_id, cell) scan — at production dims
@@ -604,35 +610,25 @@ object Similarity {
       .select("cell").distinct().collect().map(_.getInt(0)).toIndexedSeq
     if (affected.nonEmpty) {
       val cellDirs = affected.map(c => root.resolve(s"cell=$c"))
-      val token = ProcessHandle.current().pid().toString + "-" +
-        java.lang.Long.toHexString(System.nanoTime())
-      val staging = root.resolve(s".vacuum-$token")
+      // the OLD file set, listed BEFORE the rewrite lands (the fresh
+      // files must not enter the retirement sweep)
+      val old = cellDirs.map { cellDir =>
+        val ls = Files.list(cellDir)
+        try cellDir -> (ls.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toIndexedSeq)
+        finally ls.close()
+      }
       s.read.option("basePath", root.toString)
         .parquet(cellDirs.map(_.toString): _*)
         .join(broadcast(tomb), Seq("vec_id"), "left_anti")
         .dropDuplicates()
         .repartition(affected.size, col("cell"))
-        .write.partitionBy("cell").parquet(staging.toString)
-      cellDirs.foreach { cellDir =>
-        val stagedCell = staging.resolve(cellDir.getFileName.toString)
-        val staged =
-          if (Files.isDirectory(stagedCell)) {
-            val ls = Files.list(stagedCell)
-            try ls.iterator().asScala
-              .filter(_.getFileName.toString.endsWith(".parquet")).toIndexedSeq
-            finally ls.close()
-          } else IndexedSeq.empty[Path]
-        val old = {
-          val ls = Files.list(cellDir)
-          try ls.iterator().asScala
-            .filter(_.getFileName.toString.endsWith(".parquet")).toIndexedSeq
-          finally ls.close()
-        }
-        staged.foreach(f => Files.move(f,
-          cellDir.resolve(s"vacuumed-$token-${f.getFileName}")))
-        old.foreach(Files.deleteIfExists(_))
-      }
-      graft.IndexLifecycle.deleteRecursively(staging.toString)
+        .write.mode("append").partitionBy("cell").parquet(root.toString)
+      // retire the old files AFTER the rewrite landed — a crash here
+      // leaves duplicates (suppressed by the still-active tombstone
+      // anti-join) a re-run collapses, never a data hole; a cell whose
+      // every row was tombstoned just empties
+      old.foreach { case (_, parts) => parts.foreach(Files.deleteIfExists(_)) }
     }
     // clear last: a crash before this leaves tombstones active
     // (probes stay governed, vacuum re-runnable)

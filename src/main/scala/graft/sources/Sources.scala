@@ -139,40 +139,90 @@ object Sources {
   }
 
   /** Rewrite a directory into `targetFiles` right-sized files — the
-    * small-files compaction every long-running ingest needs. Writes
-    * to `path + ".compact"`, then swaps it in via two directory
-    * renames. The swap is NOT atomic (no filesystem gives an atomic
-    * two-directory exchange): a concurrent reader can observe a
-    * missing directory for the instant between the renames. What IS
-    * guaranteed is crash-safety: if the second rename fails, the
-    * original directory is restored from the backup, so data is never
-    * lost and `path` always holds a complete dataset afterwards.
-    * Same-filesystem paths only (directory rename does not cross
-    * mount points). For concurrent readers at scale, version the
-    * directory name and flip a pointer (manifest/symlink) instead.
+    * small-files compaction every long-running ingest needs — with
+    * the write-once + pointer-flip commit the repo's table format
+    * uses ([[graft.operators.CommitStore]]): the compacted rows land
+    * ONCE in an immutable tokened generation dir `path/_gen-<token>`,
+    * and `path/_head` — published by one atomic
+    * [[graft.operators.CommitStore.putReplace]] — is the pointer
+    * readers resolve through [[readCompacted]]/[[compactedDataDir]].
+    * A concurrent reader therefore sees the old or the new
+    * generation, never a missing directory (the pre-r15 two-rename
+    * swap's documented gap), and on an object store the commit is a
+    * single PUT instead of a directory copy. Crash-safety: before
+    * the flip the live data is untouched and the fresh generation is
+    * an orphan the next compaction sweeps; after it the superseded
+    * generation (or the migrated plain dir's root files) is the
+    * orphan, retired here and re-swept by the next pass.
+    *
+    * The FIRST compaction migrates a plain directory into this
+    * layout. From then on, plain `spark.read.load(path)` fails
+    * LOUDLY (the `_gen-` dirs are `_`-hidden — no data files to
+    * infer a schema from), never silently half-reads: long-running
+    * ingests read through [[readCompacted]].
     */
   def compact(spark: SparkSession, path: String, targetFiles: Int,
               format: String = "parquet"): Unit = {
-    val tmp = path + ".compact"
-    spark.read.format(format).load(path)
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val store = graft.operators.CommitStore.forDir(path)
+    val head = Paths.get(path, "_head")
+    val live = compactedDataDir(path)
+    val liveName = Paths.get(live).getFileName.toString
+    // sweep crash debris first: orphan generations (a crashed pass's
+    // not-yet-flipped dir), the pre-r15 protocol's `.compact`/`.old`
+    // siblings, and — once migrated — any root files a crashed
+    // post-flip retire left behind
+    Seq(path + ".compact", path + ".old")
+      .foreach(graft.IndexLifecycle.deleteRecursively)
+    val migrated = live != path
+    val ls = Files.list(Paths.get(path))
+    try ls.iterator().asScala.foreach { p =>
+      val n = p.getFileName.toString
+      val orphanGen = n.startsWith("_gen-") && n != liveName
+      val legacyDebris = migrated && !n.startsWith("_") && !n.startsWith(".")
+      if (orphanGen || legacyDebris)
+        graft.IndexLifecycle.deleteRecursively(p.toString)
+    } finally ls.close()
+    val gen = "_gen-" + ProcessHandle.current().pid().toString + "-" +
+      java.lang.Long.toHexString(System.nanoTime())
+    spark.read.format(format).load(live)
       .repartition(targetFiles)
-      .write.format(format).mode("overwrite").save(tmp)
-    val p = java.nio.file.Paths.get(path)
-    val bak = java.nio.file.Paths.get(path + ".old")
-    java.nio.file.Files.move(p, bak)
-    try java.nio.file.Files.move(java.nio.file.Paths.get(tmp), p)
-    catch {
-      case e: Throwable =>
-        // put the original back so `path` never stays empty
-        java.nio.file.Files.move(bak, p)
-        throw e
+      .write.format(format).save(s"$path/$gen")
+    // the flip: one atomic pointer PUT
+    store.putReplace(head, (gen + "\n").getBytes("UTF-8"))
+    // retire the superseded data (orphans if we crash before this —
+    // the sweep above reclaims them on the next pass)
+    if (migrated) graft.IndexLifecycle.deleteRecursively(live)
+    else {
+      val ls2 = Files.list(Paths.get(path))
+      try ls2.iterator().asScala.foreach { p =>
+        val n = p.getFileName.toString
+        if (!n.startsWith("_") && !n.startsWith("."))
+          graft.IndexLifecycle.deleteRecursively(p.toString)
+      } finally ls2.close()
     }
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
-    }
-    rm(bak.toFile)
   }
+
+  /** The live data dir of a possibly-[[compact]]ed directory: the
+    * `_head` pointer's target generation when one is published, else
+    * the directory itself (never compacted — plain layout). A
+    * dangling head (target swept) resolves to the plain dir, which
+    * then fails loudly on read rather than half-reading.
+    */
+  def compactedDataDir(path: String): String =
+    graft.operators.CommitStore.forDir(path)
+      .read(java.nio.file.Paths.get(path, "_head"))
+      .map(b => new String(b, "UTF-8").trim)
+      .filter(g => g.startsWith("_gen-") &&
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path, g)))
+      .map(g => s"$path/$g").getOrElse(path)
+
+  /** Read a directory that [[compact]] may have migrated to the
+    * pointered layout — the reader half of the compaction contract.
+    */
+  def readCompacted(spark: SparkSession, format: String, path: String): DataFrame =
+    spark.read.format(format).load(compactedDataDir(path))
 
   /** Streaming file spout: partition = file, offset = position within
     * the listing — the reference FileSource contract

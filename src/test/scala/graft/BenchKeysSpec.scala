@@ -67,6 +67,22 @@ class BenchKeysSpec extends AnyFunSuite {
     assert(same == medians && none.isEmpty)
   }
 
+  test("an errored heal re-measure never enters the record (partial runs can't fold)") {
+    // timeAll bills elapsed seconds even for a throwing query — a heal
+    // pass that crashed 0.1 s in must not min-fold that partial time
+    // into the healed row or queries_min (the r14 ADVICE low)
+    val rows = Seq("a" -> 0.1, "b" -> 1.2)
+    val usable = Bench.healObservations(rows, Map("a" -> "boom"))
+    assert(usable == Map("b" -> 1.2), s"errored key leaked: $usable")
+    // composed with the fold: the errored key keeps its median, the
+    // clean key heals — and a heal error alone changes nothing
+    val medians = Seq("a" -> 4.0, "b" -> 2.0)
+    val (healed, changed) = Bench.healRows(medians, usable)
+    assert(healed == Seq("a" -> 4.0, "b" -> 1.2) && changed == Seq("b"))
+    assert(Bench.healObservations(rows, rows.toMap.map { case (k, _) =>
+      k -> "err" }).isEmpty)
+  }
+
   test("the whole-run contention gate is the batch/batch_min > 1.15 trust test") {
     val medians = Seq("a" -> 2.0, "b" -> 2.0)
     // 4.0 vs 3.0 best-sum = 1.33x: globally contended even though no

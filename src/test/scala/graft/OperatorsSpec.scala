@@ -761,6 +761,63 @@ class OperatorsSpec extends SparkSpecBase {
       .foreach(t => scala.util.Try(graft.IndexLifecycle.dropTableWithFiles(spark, t)))
   }
 
+  test("dd14 vacuum: a crash on either side of the catalog flip leaves a consistent index") {
+    import java.nio.file.{Files, Path}
+    import scala.jdk.CollectionConverters._
+    import dedup.Dedup
+    val base = Tables.documents(spark, sfDir).filter(col("doc_id") % 10 < 8)
+    val removed = base.filter(col("doc_id") % 7 === 0).select("doc_id")
+    val delta = Dedup.sigsOf(
+      Tables.documents(spark, sfDir).filter(col("doc_id") % 10 >= 8))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("delta_id"), r.getAs[Long]("base_id")))
+      .sorted.toSeq
+    val tbl = "graft_spec_dd14_flip"
+    val path = tmpDir("dd14-flip")
+    Dedup.buildLshIndexFrom(base, tbl, path)
+    try {
+      Dedup.tombstoneDocs(spark, tbl, removed)
+      val truth = pairs(Dedup.neardupDelta(spark, delta, tbl, 0.5,
+        Some(Dedup.tombstonesOf(spark, tbl))))
+      // crash BEFORE the flip: a fully-written but never-published
+      // segment — readers are untouched (the catalog still points at
+      // the old data) and the re-run sweeps it
+      val orphan = Path.of(path, "sigs", "_lshseg-orphantok")
+      Files.createDirectories(orphan)
+      Files.write(orphan.resolve("junk.parquet"), Array[Byte](1, 2, 3))
+      assert(pairs(Dedup.neardupDelta(spark, delta, tbl, 0.5,
+        Some(Dedup.tombstonesOf(spark, tbl)))) == truth,
+        "an unpublished segment leaked into reads")
+      assert(Dedup.vacuumLshTombstones(spark, tbl) == removed.count())
+      assert(!Files.exists(orphan), "orphan segment survived the rewrite sweep")
+      // the flip landed: both tables resolve tokened segments, the
+      // ungoverned probe equals the governed truth, bucket-pruned
+      // plans intact (exchange-free index side is asserted by dd11's
+      // plan spec against the same machinery)
+      Seq("bands", "sigs").foreach { part =>
+        val loc = java.nio.file.Path.of(java.net.URI.create(
+          spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(tbl + "_" + part))
+            .location.toString))
+        assert(loc.getFileName.toString.startsWith("_lshseg-"),
+          s"$part did not flip to a segment location: $loc")
+      }
+      assert(pairs(Dedup.neardupDelta(spark, delta, tbl)) == truth)
+      // crash AFTER a flip, modeled exactly: legacy root files a died
+      // retire left behind — INVISIBLE to readers (the catalog points
+      // at the segment), swept by the next rewrite
+      val strayed = Path.of(path, "sigs", "stray-legacy.parquet")
+      Files.write(strayed, Array[Byte](9, 9))
+      assert(pairs(Dedup.neardupDelta(spark, delta, tbl)) == truth,
+        "post-flip legacy debris leaked into reads")
+      Dedup.tombstoneDocs(spark, tbl,
+        base.filter(col("doc_id") % 11 === 0).select("doc_id"))
+      assert(Dedup.vacuumLshTombstones(spark, tbl) >= 0L)
+      assert(!Files.exists(strayed), "legacy root debris survived the next rewrite")
+    } finally Seq(tbl + "_bands", tbl + "_sigs", tbl + "_tombstones", tbl + "_sigs__vacuum", tbl + "_bands__vacuum")
+      .foreach(t => scala.util.Try(graft.IndexLifecycle.dropTableWithFiles(spark, t)))
+  }
+
   test("dd11 incremental LSH near-dup: index reuse, delta-only band shuffle, ≡ direct") {
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

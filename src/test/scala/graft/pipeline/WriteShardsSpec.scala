@@ -23,8 +23,9 @@ class WriteShardsSpec extends SparkSpecBase {
     // recomputed from the shard parquet itself, chars re-joined from
     // the corpus (shard files carry the payload, not the metadata)
     val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "n_chars")
+    val dataRoot = Pipeline.shardDataRoot(out).get
     val fromFiles = manifestRows(
-      spark.read.parquet(s"$out/shards").join(docs, "doc_id")
+      spark.read.parquet(s"$dataRoot/shards").join(docs, "doc_id")
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
           min("doc_id").as("min_id"), max("doc_id").as("max_id"))
@@ -34,7 +35,7 @@ class WriteShardsSpec extends SparkSpecBase {
     // exactly one data file per shard directory (the repartition-on-
     // shard write contract a training reader relies on)
     import scala.jdk.CollectionConverters._
-    val dirs = Files.list(Paths.get(s"$out/shards")).iterator().asScala.toSeq
+    val dirs = Files.list(Paths.get(s"$dataRoot/shards")).iterator().asScala.toSeq
       .filter(_.getFileName.toString.startsWith("shard="))
     assert(dirs.size == manifest.size, s"${dirs.size} shard dirs vs ${manifest.size} manifest rows")
     dirs.foreach { dir =>
@@ -85,13 +86,22 @@ class WriteShardsSpec extends SparkSpecBase {
   test("writeShards: a mid-write crash replays to a complete committed output") {
     val root = tmpDir("graft-shards-crash")
     val out = root + "/out"
-    // simulate the two crash artifacts: a partial staging dir (write
-    // died mid-shard) and a partial output dir with NO _committed
-    // marker (crash between the publish rename and the marker write)
+    // simulate every crash artifact the protocol (old and new) can
+    // leave: a LEGACY partial staging dir (pre-r15 write died
+    // mid-shard), a partial legacy output with no marker, an orphan
+    // pointer-era segment (crash BEFORE the flip), and a dangling
+    // marker whose segment is gone (segment swept mid-replay)
     Files.createDirectories(Paths.get(s"$out.staging/shards/shard=0"))
     Files.write(Paths.get(s"$out.staging/shards/shard=0/garbage"), "junk".getBytes)
     Files.createDirectories(Paths.get(s"$out/shards"))
     Files.write(Paths.get(s"$out/shards/partial"), "junk".getBytes)
+    Files.createDirectories(Paths.get(s"$out/_shardseg-orphantok/shards/shard=0"))
+    Files.write(Paths.get(s"$out/_shardseg-orphantok/shards/shard=0/garbage"),
+      "junk".getBytes)
+    Files.write(Paths.get(s"$out/_committed"), "_shardseg-gonetok\n".getBytes)
+    // a dangling marker must read as UNCOMMITTED, loudly, not half-read
+    assert(Pipeline.shardDataRoot(out).isEmpty)
+    intercept[IllegalArgumentException] { Pipeline.readShards(spark, out, 0L) }
     val manifest = manifestRows(Pipeline.writeShards(spark, sfDir, out))
     assert(manifest == manifestRows(Pipeline.pp08_shard_pack(spark, sfDir)),
       "replay after crash produced a wrong manifest")
@@ -99,10 +109,75 @@ class WriteShardsSpec extends SparkSpecBase {
     assert(!Files.exists(Paths.get(s"$out.staging")), "staging dir survived the commit")
     assert(!Files.exists(Paths.get(s"$out/shards/partial")),
       "partial pre-crash output leaked into the committed dir")
+    val dataRoot = Pipeline.shardDataRoot(out).get
+    assert(dataRoot != s"$out/_shardseg-orphantok",
+      "replay resolved to the pre-crash orphan segment")
+    assert(!Files.exists(Paths.get(s"$out/_shardseg-orphantok")),
+      "orphan segment survived the replay sweep")
     // the files are complete: every corpus doc lands in exactly one shard
     val nDocs = graft.Tables.documents(spark, sfDir).count()
-    val shardDocs = spark.read.parquet(s"$out/shards")
+    val shardDocs = spark.read.parquet(s"$dataRoot/shards")
     assert(shardDocs.count() == nDocs)
     assert(shardDocs.select("doc_id").distinct().count() == nDocs)
+  }
+
+  test("writeShards: legacy pre-pointer committed dirs still resolve and replay as no-ops") {
+    val out = tmpDir("graft-shards-legacy") + "/out"
+    // build a committed dir, then rewrite it into the LEGACY layout a
+    // pre-r15 writeShards produced: data at the root, marker body
+    // "committed"
+    Pipeline.writeShards(spark, sfDir, out)
+    val seg = Pipeline.shardDataRoot(out).get
+    assert(seg != out && seg.contains("_shardseg-"))
+    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(from).iterator().asScala.foreach { p =>
+        val t = to.resolve(from.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else { Files.createDirectories(t.getParent); Files.copy(p, t) }
+      }
+    }
+    copyTree(Paths.get(seg, "manifest"), Paths.get(out, "manifest"))
+    copyTree(Paths.get(seg, "shards"), Paths.get(out, "shards"))
+    graft.IndexLifecycle.deleteRecursively(seg)
+    Files.write(Paths.get(out, "_committed"), "committed\n".getBytes)
+    assert(Pipeline.shardDataRoot(out).contains(out))
+    // a replay is a no-op returning the legacy manifest, and the
+    // legacy reader path works
+    val manifest = manifestRows(Pipeline.writeShards(spark, sfDir, out))
+    assert(manifest == manifestRows(Pipeline.pp08_shard_pack(spark, sfDir)))
+    assert(Files.exists(Paths.get(out, "shards")), "replay rewrote a legacy dir")
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(Pipeline.readShards(spark, out, 0L).count() == nDocs)
+  }
+
+  test("writeShards: the pointer flip rides a registered CommitStore (crash on either side is consistent)") {
+    val out = tmpDir("graft-shards-store") + "/out"
+    val store = new graft.operators.InMemoryCommitStore
+    graft.operators.CommitStore.register(out, store)
+    try {
+      val manifest = manifestRows(Pipeline.writeShards(spark, sfDir, out))
+      // the marker lives in the STORE, not on the filesystem — the
+      // object-store deployment shape (one conditional PUT, no rename)
+      assert(Files.notExists(Paths.get(out, "_committed")),
+        "marker leaked onto the filesystem past the store")
+      assert(Pipeline.shardDataRoot(out).exists(_.contains("_shardseg-")))
+      assert(Pipeline.readShards(spark, out, 0L).count() ==
+        graft.Tables.documents(spark, sfDir).count())
+      // crash AFTER the flip: the artifact is complete — a replay is a
+      // pure no-op (marker resolves, nothing rewritten)
+      assert(manifestRows(Pipeline.writeShards(spark, sfDir, out)) == manifest)
+      // crash BEFORE the flip, modeled exactly: delete the pointer and
+      // leave the segment — the dir reads as uncommitted (old state),
+      // never as a half-published artifact, and a replay recommits
+      val seg0 = Pipeline.shardDataRoot(out).get
+      store.delete(Paths.get(out, "_committed"))
+      assert(Pipeline.shardDataRoot(out).isEmpty)
+      intercept[IllegalArgumentException] { Pipeline.readShards(spark, out, 0L) }
+      assert(manifestRows(Pipeline.writeShards(spark, sfDir, out)) == manifest)
+      val seg1 = Pipeline.shardDataRoot(out).get
+      assert(seg1 != seg0, "replay resurrected the unpublished segment")
+      assert(!Files.exists(Paths.get(seg0)), "unpublished segment not swept")
+    } finally graft.operators.CommitStore.unregister(out)
   }
 }

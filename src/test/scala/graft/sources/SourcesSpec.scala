@@ -137,16 +137,62 @@ class SourcesSpec extends SparkSpecBase {
     assert(byId(1L).isNullAt(2) && byId(2L).getDouble(2) == 9.5)
   }
 
-  test("compaction: many small files -> targetFiles, data intact") {
+  test("compaction: many small files -> targetFiles via pointer flip, data intact") {
     val path = tmpDir("src-compact") + "/t"
     Tables.lineitem(spark, sfDir).repartition(64).write.parquet(path)
     val before = new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
     assert(before == 64)
     val rows = spark.read.parquet(path).count()
     Sources.compact(spark, path, targetFiles = 2)
-    val after = new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
-    assert(after == 2)
-    assert(spark.read.parquet(path).count() == rows)
+    // migrated to the pointered layout: data lives once in the head's
+    // generation dir, the legacy root files are retired
+    val gen1 = Sources.compactedDataDir(path)
+    assert(gen1 != path && gen1.contains("_gen-"))
+    assert(new java.io.File(gen1).listFiles().count(_.getName.endsWith(".parquet")) == 2)
+    assert(new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet")) == 0,
+      "legacy root files survived the migration")
+    assert(Sources.readCompacted(spark, "parquet", path).count() == rows)
+    // a second compaction flips generation-to-generation and sweeps
+    // the superseded one
+    Sources.compact(spark, path, targetFiles = 1)
+    val gen2 = Sources.compactedDataDir(path)
+    assert(gen2 != gen1, "second compaction did not advance the head")
+    assert(!new java.io.File(gen1).exists(), "superseded generation survived")
+    assert(Sources.readCompacted(spark, "parquet", path).count() == rows)
+    // crash BEFORE a flip, modeled exactly: an orphan generation dir —
+    // readers resolve the committed head, and the next pass sweeps it
+    val orphan = java.nio.file.Paths.get(path, "_gen-orphantok")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("junk.parquet"), Array[Byte](1))
+    assert(Sources.compactedDataDir(path) == gen2)
+    assert(Sources.readCompacted(spark, "parquet", path).count() == rows)
+    Sources.compact(spark, path, targetFiles = 2)
+    assert(!java.nio.file.Files.exists(orphan), "orphan generation not swept")
+    assert(Sources.readCompacted(spark, "parquet", path).count() == rows)
+  }
+
+  test("compaction: the head flip rides a registered CommitStore") {
+    val path = tmpDir("src-compact-store") + "/t"
+    Tables.region(spark, sfDir).repartition(4).write.parquet(path)
+    val rows = spark.read.parquet(path).count()
+    val store = new graft.operators.InMemoryCommitStore
+    graft.operators.CommitStore.register(path, store)
+    try {
+      Sources.compact(spark, path, targetFiles = 1)
+      // the pointer lives in the STORE (object-store shape): nothing
+      // head-shaped on the filesystem, resolution still works
+      assert(java.nio.file.Files.notExists(java.nio.file.Paths.get(path, "_head")),
+        "head pointer leaked onto the filesystem past the store")
+      assert(Sources.compactedDataDir(path).contains("_gen-"))
+      assert(Sources.readCompacted(spark, "parquet", path).count() == rows)
+      // crash on the far side of the flip: pointer gone (store lost /
+      // never landed) — the dir degrades to LOUD failure on read, and
+      // the uncompacted original would still be intact in real life
+      // (here the retire already ran, so resolution falls back to the
+      // plain dir which holds no visible data files)
+      store.delete(java.nio.file.Paths.get(path, "_head"))
+      assert(Sources.compactedDataDir(path) == path)
+    } finally graft.operators.CommitStore.unregister(path)
   }
 
   test("binaryFile read: whole-file rows, glob pruning, exact bytes") {
