@@ -1,0 +1,387 @@
+package graft.sources
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
+
+/** Native Avro container read/write over the Avro CORE library — the
+  * no-connector fallback for the one columnar-adjacent format the
+  * sandbox ships without its Spark connector (`avro-1.12.1.jar` is on
+  * the Spark classpath; `spark-avro` is not). The reference engine has
+  * no Avro source either (its sources are File/Kafka —
+  * InputSource/FileSource.hs, InputSource/KafkaSource.hs); this is the
+  * ingest-completeness extra a lake pipeline expects.
+  *
+  * SCALE SHAPE: the read distributes at container-FILE granularity
+  * (`binaryFiles` → one `DataFileStream` per file in the tasks;
+  * nothing is collected to the driver except one schema header). A
+  * 100 TB Avro lake arrives as many files — the layout every ingest
+  * writer (including [[write]]) produces — so file-granular splits
+  * parallelize naturally; block-level splitting within one huge
+  * container is the spark-avro connector's job, and when that jar is
+  * on the cluster classpath `spark.read.format("avro")` supersedes
+  * this reader verbatim. The write is one Avro container per
+  * partition, streamed through the Hadoop FileSystem API (works on
+  * file:/HDFS/S3A alike), published with the repo's write-once +
+  * pointer-flip discipline: data lands ONCE in an immutable
+  * `_avroseg-<token>` dir and `_head` — one atomic
+  * [[graft.operators.CommitStore.putReplace]] — names it, so a crash
+  * leaves the old generation or the new, never a torn mix, and no
+  * rename is ever issued (an object-store dir rename is a copy).
+  *
+  * TYPE COVERAGE (loud rejection outside it): boolean/int/long/float/
+  * double/string/bytes/fixed, enum (→ string), union [null, T] (→
+  * nullable T), array, map (string keys), nested record; logical
+  * types date (int), timestamp-millis/micros (long), decimal
+  * (bytes/fixed). Multi-branch unions beyond [null, T] have no
+  * DataFrame shape and fail loudly rather than guessing.
+  */
+object AvroSource {
+
+  // ---- schema mapping: avro -> spark ----
+
+  /** (sparkType, nullable) for an Avro schema node. */
+  private[sources] def sparkTypeOf(s: Schema): (DataType, Boolean) = {
+    import Schema.Type._
+    s.getType match {
+      case UNION =>
+        val branches = s.getTypes.asScala.toSeq
+        val (nulls, rest) = branches.partition(_.getType == NULL)
+        if (nulls.isEmpty || rest.size != 1)
+          throw new IllegalArgumentException(
+            s"unsupported Avro union (only [null, T] maps to a DataFrame column): $s")
+        (sparkTypeOf(rest.head)._1, true)
+      case BOOLEAN => (BooleanType, false)
+      case INT =>
+        if (logicalName(s) == "date") (DateType, false) else (IntegerType, false)
+      case LONG => logicalName(s) match {
+        case "timestamp-millis" | "timestamp-micros" => (TimestampType, false)
+        case _ => (LongType, false)
+      }
+      case FLOAT  => (FloatType, false)
+      case DOUBLE => (DoubleType, false)
+      case STRING => (StringType, false)
+      case ENUM   => (StringType, false)
+      case BYTES | FIXED =>
+        if (logicalName(s) == "decimal") {
+          val lt = s.getLogicalType.asInstanceOf[org.apache.avro.LogicalTypes.Decimal]
+          (DecimalType(lt.getPrecision, lt.getScale), false)
+        } else (BinaryType, false)
+      case ARRAY =>
+        val (et, en) = sparkTypeOf(s.getElementType)
+        (ArrayType(et, containsNull = en), false)
+      case MAP =>
+        val (vt, vn) = sparkTypeOf(s.getValueType)
+        (MapType(StringType, vt, valueContainsNull = vn), false)
+      case RECORD =>
+        val fields = s.getFields.asScala.map { f =>
+          val (t, n) = sparkTypeOf(f.schema())
+          StructField(f.name(), t, nullable = n)
+        }
+        (StructType(fields.toSeq), false)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported Avro type $other in $s")
+    }
+  }
+
+  private def logicalName(s: Schema): String =
+    Option(s.getLogicalType).map(_.getName).getOrElse("")
+
+  def sparkSchemaOf(avro: Schema): StructType = {
+    require(avro.getType == Schema.Type.RECORD,
+      s"top-level Avro schema must be a record, got ${avro.getType}")
+    sparkTypeOf(avro)._1.asInstanceOf[StructType]
+  }
+
+  // ---- value conversion: avro runtime objects -> Row-compatible ----
+
+  /** Convert one decoded Avro value to what Row/createDataFrame
+    * expects for the mapped Spark type. Driven by the WRITER schema
+    * (the container's own), so logical types decode correctly.
+    */
+  private[sources] def toSpark(v: Any, s: Schema): Any = {
+    import Schema.Type._
+    if (v == null) return null
+    s.getType match {
+      case UNION =>
+        // [null, T] by construction (sparkTypeOf rejected the rest)
+        toSpark(v, s.getTypes.asScala.find(_.getType != NULL).get)
+      case STRING | ENUM => v.toString
+      case INT =>
+        if (logicalName(s) == "date")
+          java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong)
+        else v
+      case LONG => logicalName(s) match {
+        case "timestamp-millis" =>
+          java.time.Instant.ofEpochMilli(v.asInstanceOf[Long])
+        case "timestamp-micros" =>
+          val us = v.asInstanceOf[Long]
+          java.time.Instant.ofEpochSecond(
+            Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+        case _ => v
+      }
+      case BYTES =>
+        val bb = v.asInstanceOf[java.nio.ByteBuffer]
+        if (logicalName(s) == "decimal") decimalOf(bytesOf(bb), s)
+        else bytesOf(bb)
+      case FIXED =>
+        val bytes = v.asInstanceOf[org.apache.avro.generic.GenericFixed].bytes()
+        if (logicalName(s) == "decimal") decimalOf(bytes, s) else bytes
+      case ARRAY =>
+        val et = s.getElementType
+        v.asInstanceOf[java.util.Collection[Any]].asScala
+          .map(toSpark(_, et)).toSeq
+      case MAP =>
+        val vt = s.getValueType
+        v.asInstanceOf[java.util.Map[Any, Any]].asScala
+          .map { case (k, x) => k.toString -> toSpark(x, vt) }.toMap
+      case RECORD =>
+        val rec = v.asInstanceOf[GenericRecord]
+        Row.fromSeq(s.getFields.asScala.toSeq.map(f =>
+          toSpark(rec.get(f.pos()), f.schema())))
+      case _ => v
+    }
+  }
+
+  private def bytesOf(bb: java.nio.ByteBuffer): Array[Byte] = {
+    val d = bb.duplicate()
+    val out = new Array[Byte](d.remaining()); d.get(out); out
+  }
+
+  private def decimalOf(bytes: Array[Byte], s: Schema): java.math.BigDecimal = {
+    val lt = s.getLogicalType.asInstanceOf[org.apache.avro.LogicalTypes.Decimal]
+    new java.math.BigDecimal(new java.math.BigInteger(bytes), lt.getScale)
+  }
+
+  // ---- read ----
+
+  /** The data dir [[write]] published (head-resolved), or `path`
+    * itself for a plain dir of third-party containers.
+    */
+  def dataDir(path: String): String = {
+    val store = graft.operators.CommitStore.forDir(path)
+    store.read(java.nio.file.Paths.get(path, "_head"))
+      .map(b => new String(b, "UTF-8").trim)
+      .filter(seg => seg.startsWith("_avroseg-") &&
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path, seg)))
+      .map(seg => s"$path/$seg").getOrElse(path)
+  }
+
+  /** Read every `*.avro` container under `path` (or under the segment
+    * its `_head` pointer names) as a DataFrame. The schema is the
+    * FIRST container's writer schema — one driver-side header read;
+    * heterogeneous-schema dirs are the connector's mergeSchema
+    * territory and fail loudly here on decode instead of silently
+    * coercing.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val dir = dataDir(path)
+    val files = listAvro(dir)
+    require(files.nonEmpty, s"no .avro container files under $dir")
+    val avroSchema = {
+      val in = new java.io.FileInputStream(files.head)
+      val st = new org.apache.avro.file.DataFileStream[GenericRecord](
+        in, new GenericDatumReader[GenericRecord]())
+      try st.getSchema finally { st.close(); in.close() }
+    }
+    val sparkSchema = sparkSchemaOf(avroSchema)
+    val schemaStr = avroSchema.toString // Schema is not Serializable pre-1.9-style; ship text
+    val rows = spark.sparkContext
+      .binaryFiles(files.mkString(","), spark.sparkContext.defaultParallelism)
+      .flatMap { case (_, pds) =>
+        val ws = new Schema.Parser().parse(schemaStr)
+        val in = pds.open()
+        val st = new org.apache.avro.file.DataFileStream[GenericRecord](
+          in, new GenericDatumReader[GenericRecord](ws))
+        val fields = ws.getFields.asScala.toSeq
+        // eager drain: the stream must close with the iterator, and a
+        // container file is one task's worth of rows by construction
+        try st.iterator().asScala.map(rec => Row.fromSeq(
+          fields.map(f => toSpark(rec.get(f.pos()), f.schema())))).toVector
+        finally { st.close(); in.close() }
+      }
+    spark.createDataFrame(rows, sparkSchema)
+  }
+
+  private def listAvro(dir: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(p)) return Nil
+    val ls = java.nio.file.Files.list(p)
+    try ls.iterator().asScala.map(_.toString).filter(_.endsWith(".avro"))
+      .toSeq.sorted
+    finally ls.close()
+  }
+
+  // ---- write ----
+
+  /** Spark -> Avro schema (inverse of [[sparkTypeOf]]'s coverage).
+    * Nullable fields become [null, T] unions; names must be valid
+    * Avro identifiers (parquet-legal names already are).
+    */
+  private[sources] def avroTypeOf(t: DataType, nullable: Boolean,
+                                  path: String): Schema = {
+    val base = t match {
+      case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+      case IntegerType => Schema.create(Schema.Type.INT)
+      case ShortType | ByteType => Schema.create(Schema.Type.INT)
+      case LongType => Schema.create(Schema.Type.LONG)
+      case FloatType => Schema.create(Schema.Type.FLOAT)
+      case DoubleType => Schema.create(Schema.Type.DOUBLE)
+      case StringType => Schema.create(Schema.Type.STRING)
+      case BinaryType => Schema.create(Schema.Type.BYTES)
+      case DateType =>
+        org.apache.avro.LogicalTypes.date()
+          .addToSchema(Schema.create(Schema.Type.INT))
+      case TimestampType =>
+        org.apache.avro.LogicalTypes.timestampMicros()
+          .addToSchema(Schema.create(Schema.Type.LONG))
+      case d: DecimalType =>
+        org.apache.avro.LogicalTypes.decimal(d.precision, d.scale)
+          .addToSchema(Schema.create(Schema.Type.BYTES))
+      case ArrayType(et, en) => Schema.createArray(avroTypeOf(et, en, path + ".elem"))
+      case MapType(StringType, vt, vn) =>
+        Schema.createMap(avroTypeOf(vt, vn, path + ".value"))
+      case st: StructType => recordSchemaOf(st, path.replace('.', '_'))
+      case other => throw new IllegalArgumentException(
+        s"unsupported Spark type $other at $path for Avro write")
+    }
+    if (nullable)
+      Schema.createUnion(java.util.List.of(Schema.create(Schema.Type.NULL), base))
+    else base
+  }
+
+  private def recordSchemaOf(st: StructType, name: String): Schema = {
+    val fields = st.fields.map { f =>
+      new Schema.Field(f.name, avroTypeOf(f.dataType, f.nullable, s"$name.${f.name}"),
+        null, null)
+    }
+    Schema.createRecord(name, null, "graft.avro", false, fields.toSeq.asJava)
+  }
+
+  /** Spark value -> Avro runtime value for [[avroTypeOf]]'s mapping.
+    * `s0` is the WRITER schema node for this value (possibly a
+    * [null, T] union) — nested records must carry the writer's OWN
+    * record schema or GenericData's union resolution (which matches
+    * record datums by full name) rejects them.
+    */
+  private[sources] def toAvro(v: Any, t: DataType, s0: Schema): Any = {
+    if (v == null) return null
+    val s = if (s0.getType == Schema.Type.UNION)
+      s0.getTypes.asScala.find(_.getType != Schema.Type.NULL).get else s0
+    t match {
+      case DateType => v match {
+        case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+        case d: java.time.LocalDate => d.toEpochDay.toInt
+      }
+      case TimestampType => v match {
+        case ts: java.sql.Timestamp =>
+          // getTime is integral millis; the sub-millisecond remainder
+          // of the nanos field completes the micros
+          ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+        case i: java.time.Instant =>
+          Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+            i.getNano / 1000L)
+      }
+      case d: DecimalType =>
+        val bd = v match {
+          case x: java.math.BigDecimal => x
+          case x: BigDecimal => x.bigDecimal
+        }
+        java.nio.ByteBuffer.wrap(
+          bd.setScale(d.scale).unscaledValue().toByteArray)
+      case BinaryType => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case ArrayType(et, _) =>
+        v.asInstanceOf[scala.collection.Seq[Any]]
+          .map(toAvro(_, et, s.getElementType)).asJava
+      case MapType(_, vt, _) =>
+        v.asInstanceOf[scala.collection.Map[String, Any]]
+          .map { case (k, x) => k -> toAvro(x, vt, s.getValueType) }.asJava
+      case st: StructType =>
+        val row = v.asInstanceOf[Row]
+        val rec = new GenericData.Record(s)
+        st.fields.zipWithIndex.foreach { case (f, i) =>
+          rec.put(i, toAvro(row.get(i), f.dataType, s.getFields.get(i).schema()))
+        }
+        rec
+      case _ => v
+    }
+  }
+
+  /** Write `df` as one Avro container per partition under an
+    * immutable `_avroseg-<token>` dir, then flip `outDir/_head` to it
+    * (the writeShards discipline — see the object Scaladoc). Task
+    * files stream through the Hadoop FileSystem API with
+    * per-task-attempt names, so a retried task never interleaves with
+    * its predecessor's bytes; losers are simply never referenced and
+    * the next write's sweep reclaims them (publication is BY
+    * REFERENCE, exactly like data files under the commit log).
+    */
+  def write(df: DataFrame, outDir: String): Unit = {
+    val store = graft.operators.CommitStore.forDir(outDir)
+    val head = java.nio.file.Paths.get(outDir, "_head")
+    // sweep unreferenced segments (a crashed writer's orphans)
+    val liveSeg = dataDir(outDir)
+    val root = java.nio.file.Paths.get(outDir)
+    if (java.nio.file.Files.isDirectory(root)) {
+      val ls = java.nio.file.Files.list(root)
+      try ls.iterator().asScala.foreach { p =>
+        if (p.getFileName.toString.startsWith("_avroseg-") &&
+            p.toString != liveSeg)
+          graft.IndexLifecycle.deleteRecursively(p.toString)
+      } finally ls.close()
+    }
+    val seg = "_avroseg-" + ProcessHandle.current().pid().toString + "-" +
+      java.lang.Long.toHexString(System.nanoTime())
+    val segDir = s"$outDir/$seg"
+    val schema = df.schema
+    val avroSchemaStr = recordSchemaOf(schema, "graft_avro").toString
+    df.rdd.mapPartitionsWithIndex { (idx, rows) =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val ws = new Schema.Parser().parse(avroSchemaStr)
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val fs = org.apache.hadoop.fs.FileSystem
+          .get(java.net.URI.create(segDir), conf)
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        val file = new org.apache.hadoop.fs.Path(
+          segDir, f"part-$idx%05d-a$attempt.avro")
+        val out = fs.create(file, false)
+        val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+          new GenericDatumWriter[GenericRecord](ws))
+        w.create(ws, out)
+        var n = 0L
+        try rows.foreach { r =>
+          val rec = new GenericData.Record(ws)
+          schema.fields.zipWithIndex.foreach { case (f, i) =>
+            rec.put(i, toAvro(r.get(i), f.dataType,
+              ws.getFields.get(i).schema()))
+          }
+          w.append(rec); n += 1
+        } finally w.close() // closes the stream
+        Iterator.single(n)
+      }
+    }.count(): Unit
+    // keep exactly one container per partition index: a retried or
+    // speculative attempt left a sibling under a different attempt id
+    // — both are complete (create(overwrite=false) kept them from
+    // interleaving), so keep the lexicographically last and drop the
+    // rest BEFORE publication
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(segDir))
+    listAvro(segDir)
+      .groupBy(f => f.substring(f.lastIndexOf('/') + 1).split('-')(1))
+      .values.foreach { dups =>
+        dups.sorted.dropRight(1).foreach(f =>
+          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f)))
+      }
+    // an empty frame publishes an empty segment dir, so the head
+    // always resolves (readers get a loud "no containers" rather
+    // than a stale previous generation)
+    store.putReplace(head, (seg + "\n").getBytes("UTF-8"))
+    // retire the superseded segment (orphan if we crash first)
+    if (liveSeg != outDir)
+      graft.IndexLifecycle.deleteRecursively(liveSeg)
+  }
+}
