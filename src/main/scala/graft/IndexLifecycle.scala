@@ -119,22 +119,21 @@ object IndexLifecycle {
   }
 
   /** Drop a catalog table and its backing files (file: scheme only) —
-    * the shared cleanup for every table-backed index. A location that
-    * is a `_lshseg-` pointer segment (the LSH vacuum's flipped
-    * layout) cleans its whole HOME dir, or eviction after a rewrite
-    * would leak the home shell and any unswept legacy debris.
+    * the shared cleanup for every table-backed index. Deletes ONLY the
+    * table's own location, never its parent: a `<tbl>__vacuum` scratch
+    * entry left by a crashed LSH rewrite points at an `_lshseg-`
+    * segment INSIDE the live table's home, and a parent-delete
+    * "cleanup" of that scratch entry would destroy the live index.
+    * The cost is an empty home-dir shell left behind when a
+    * location-flipped table is evicted — harmless, and the next
+    * rewrite of a fresh same-path index sweeps stray segments anyway.
     */
   def dropTableWithFiles(s: SparkSession, table: String): Unit = {
     val loc = scala.util.Try(
       s.sql(s"DESCRIBE TABLE EXTENDED $table").filter(col("col_name") === "Location")
         .head().getString(1)).toOption
     s.sql(s"DROP TABLE IF EXISTS $table")
-    loc.filter(_.startsWith("file:")).foreach { l =>
-      val p = java.nio.file.Path.of(java.net.URI.create(l))
-        .toAbsolutePath.normalize()
-      val target =
-        if (p.getFileName.toString.startsWith("_lshseg-")) p.getParent else p
-      deleteRecursively(target.toString)
-    }
+    loc.filter(_.startsWith("file:")).foreach(l =>
+      deleteRecursively(java.nio.file.Path.of(java.net.URI.create(l)).toString))
   }
 }

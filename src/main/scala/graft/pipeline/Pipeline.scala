@@ -193,9 +193,7 @@ object Pipeline {
     */
   def writeShards(s: SparkSession, d: String, outDir: String,
                   shardSize: Int = 128): DataFrame = {
-    import java.nio.file.Paths
-    val store = graft.operators.CommitStore.forDir(outDir)
-    val marker = Paths.get(outDir, "_committed")
+    import graft.operators.SegmentPointer
     shardDataRoot(outDir) match {
       case Some(root) => return s.read.parquet(s"$root/manifest")
       case None => ()
@@ -204,11 +202,10 @@ object Pipeline {
     // marker (segment swept mid-replay) goes FIRST so no reader can
     // resolve a half-cleaned dir, then the debris (legacy staging,
     // orphan segments, legacy partial output)
-    store.delete(marker)
+    SegmentPointer.dropMarker(outDir, "_committed")
     graft.IndexLifecycle.deleteRecursively(outDir + ".staging")
     graft.IndexLifecycle.deleteRecursively(outDir)
-    val seg = "_shardseg-" + ProcessHandle.current().pid().toString + "-" +
-      java.lang.Long.toHexString(System.nanoTime())
+    val seg = SegmentPointer.newSegName("_shardseg-")
     val segRoot = s"$outDir/$seg"
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("n_chars"),
@@ -235,7 +232,7 @@ object Pipeline {
       .write.partitionBy("shard").parquet(s"$segRoot/shards")
     // the flip: one atomic pointer PUT — readers see uncommitted or
     // the complete segment, never a partial
-    store.putReplace(marker, (seg + "\n").getBytes("UTF-8"))
+    SegmentPointer.publish(outDir, "_committed", seg)
     s.read.parquet(s"$segRoot/manifest")
   }
 
@@ -250,15 +247,13 @@ object Pipeline {
     * bloomDirs pattern).
     */
   def shardDataRoot(outDir: String): Option[String] = {
-    val store = graft.operators.CommitStore.forDir(outDir)
-    store.read(java.nio.file.Paths.get(outDir, "_committed"))
-      .map(b => new String(b, "UTF-8").trim)
-      .flatMap {
-        case seg if seg.startsWith("_shardseg-") =>
-          Some(s"$outDir/$seg").filter(r =>
-            java.nio.file.Files.exists(java.nio.file.Paths.get(r)))
-        case _ => Some(outDir) // legacy pre-pointer layout
-      }
+    import graft.operators.SegmentPointer
+    SegmentPointer.markerBody(outDir, "_committed").flatMap {
+      case seg if seg.startsWith("_shardseg-") =>
+        SegmentPointer.resolveName(outDir, "_committed", "_shardseg-")
+          .map(n => s"$outDir/$n")
+      case _ => Some(outDir) // legacy pre-pointer layout
+    }
   }
 
   /** pp12: the WRITTEN manifest — pp08's numbers re-read from the

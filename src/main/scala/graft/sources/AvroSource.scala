@@ -23,13 +23,21 @@ import scala.jdk.CollectionConverters._
   * container is the spark-avro connector's job, and when that jar is
   * on the cluster classpath `spark.read.format("avro")` supersedes
   * this reader verbatim. The write is one Avro container per
-  * partition, streamed through the Hadoop FileSystem API (works on
-  * file:/HDFS/S3A alike), published with the repo's write-once +
-  * pointer-flip discipline: data lands ONCE in an immutable
-  * `_avroseg-<token>` dir and `_head` — one atomic
+  * partition, published with the repo's write-once + pointer-flip
+  * discipline: data lands ONCE in an immutable `_avroseg-<token>` dir
+  * and `_head` — one atomic
   * [[graft.operators.CommitStore.putReplace]] — names it, so a crash
   * leaves the old generation or the new, never a torn mix, and no
   * rename is ever issued (an object-store dir rename is a copy).
+  *
+  * SCHEME SCOPE: the task-side data write streams through the Hadoop
+  * FileSystem API, but this fallback's CONTROL plane (file listing,
+  * attempt reconciliation, the default PosixCommitStore behind the
+  * pointer) is local-filesystem — exactly this sandbox's shape. A
+  * shared-nothing cluster against HDFS/S3 wants the spark-avro
+  * connector (data) and an object-store CommitStore impl (pointer);
+  * the protocol above is already correct for both, which is the point
+  * of the seam.
   *
   * TYPE COVERAGE (loud rejection outside it): boolean/int/long/float/
   * double/string/bytes/fixed, enum (→ string), union [null, T] (→
@@ -160,14 +168,9 @@ object AvroSource {
   /** The data dir [[write]] published (head-resolved), or `path`
     * itself for a plain dir of third-party containers.
     */
-  def dataDir(path: String): String = {
-    val store = graft.operators.CommitStore.forDir(path)
-    store.read(java.nio.file.Paths.get(path, "_head"))
-      .map(b => new String(b, "UTF-8").trim)
-      .filter(seg => seg.startsWith("_avroseg-") &&
-        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path, seg)))
+  def dataDir(path: String): String =
+    graft.operators.SegmentPointer.resolveName(path, "_head", "_avroseg-")
       .map(seg => s"$path/$seg").getOrElse(path)
-  }
 
   /** Read every `*.avro` container under `path` (or under the segment
     * its `_head` pointer names) as a DataFrame. The schema is the
@@ -311,33 +314,29 @@ object AvroSource {
 
   /** Write `df` as one Avro container per partition under an
     * immutable `_avroseg-<token>` dir, then flip `outDir/_head` to it
-    * (the writeShards discipline — see the object Scaladoc). Task
-    * files stream through the Hadoop FileSystem API with
-    * per-task-attempt names, so a retried task never interleaves with
-    * its predecessor's bytes; losers are simply never referenced and
-    * the next write's sweep reclaims them (publication is BY
-    * REFERENCE, exactly like data files under the commit log).
+    * (the writeShards discipline, via
+    * [[graft.operators.SegmentPointer]]). Task files stream through
+    * the Hadoop FileSystem API under per-task-ATTEMPT names, so a
+    * retried task never interleaves with its predecessor's bytes; the
+    * files kept at publication are exactly the ones SUCCESSFUL tasks
+    * reported back (a crashed attempt's file may be a truncated
+    * container — it is deleted, never trusted because it merely
+    * exists). Publication is BY REFERENCE, like data files under the
+    * commit log.
     */
   def write(df: DataFrame, outDir: String): Unit = {
-    val store = graft.operators.CommitStore.forDir(outDir)
-    val head = java.nio.file.Paths.get(outDir, "_head")
+    import graft.operators.SegmentPointer
     // sweep unreferenced segments (a crashed writer's orphans)
-    val liveSeg = dataDir(outDir)
-    val root = java.nio.file.Paths.get(outDir)
-    if (java.nio.file.Files.isDirectory(root)) {
-      val ls = java.nio.file.Files.list(root)
-      try ls.iterator().asScala.foreach { p =>
-        if (p.getFileName.toString.startsWith("_avroseg-") &&
-            p.toString != liveSeg)
-          graft.IndexLifecycle.deleteRecursively(p.toString)
-      } finally ls.close()
-    }
-    val seg = "_avroseg-" + ProcessHandle.current().pid().toString + "-" +
-      java.lang.Long.toHexString(System.nanoTime())
+    val liveSeg = SegmentPointer.resolveName(outDir, "_head", "_avroseg-")
+    SegmentPointer.sweepOrphans(outDir, "_avroseg-", liveSeg)
+    val seg = SegmentPointer.newSegName("_avroseg-")
     val segDir = s"$outDir/$seg"
     val schema = df.schema
     val avroSchemaStr = recordSchemaOf(schema, "graft_avro").toString
-    df.rdd.mapPartitionsWithIndex { (idx, rows) =>
+    // each successful task returns the file name it committed — the
+    // ONLY names trusted below (failed/zombie attempts are not in the
+    // job result, so their partial files never publish)
+    val committed: Array[String] = df.rdd.mapPartitionsWithIndex { (idx, rows) =>
       if (rows.isEmpty) Iterator.empty
       else {
         val ws = new Schema.Parser().parse(avroSchemaStr)
@@ -346,42 +345,36 @@ object AvroSource {
           .get(java.net.URI.create(segDir), conf)
         val attempt = Option(org.apache.spark.TaskContext.get())
           .map(_.taskAttemptId()).getOrElse(0L)
-        val file = new org.apache.hadoop.fs.Path(
-          segDir, f"part-$idx%05d-a$attempt.avro")
-        val out = fs.create(file, false)
+        val name = f"part-$idx%05d-a$attempt.avro"
+        val out = fs.create(new org.apache.hadoop.fs.Path(segDir, name), false)
         val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
           new GenericDatumWriter[GenericRecord](ws))
         w.create(ws, out)
-        var n = 0L
         try rows.foreach { r =>
           val rec = new GenericData.Record(ws)
           schema.fields.zipWithIndex.foreach { case (f, i) =>
             rec.put(i, toAvro(r.get(i), f.dataType,
               ws.getFields.get(i).schema()))
           }
-          w.append(rec); n += 1
+          w.append(rec)
         } finally w.close() // closes the stream
-        Iterator.single(n)
+        Iterator.single(name)
       }
-    }.count(): Unit
-    // keep exactly one container per partition index: a retried or
-    // speculative attempt left a sibling under a different attempt id
-    // — both are complete (create(overwrite=false) kept them from
-    // interleaving), so keep the lexicographically last and drop the
-    // rest BEFORE publication
+    }.collect()
+    // drop every container the job result does NOT vouch for (retried
+    // attempts' leftovers — possibly truncated mid-write)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(segDir))
-    listAvro(segDir)
-      .groupBy(f => f.substring(f.lastIndexOf('/') + 1).split('-')(1))
-      .values.foreach { dups =>
-        dups.sorted.dropRight(1).foreach(f =>
-          java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f)))
-      }
+    val keep = committed.toSet
+    listAvro(segDir).foreach { f =>
+      val name = f.substring(f.lastIndexOf('/') + 1)
+      if (!keep.contains(name))
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f)): Unit
+    }
     // an empty frame publishes an empty segment dir, so the head
     // always resolves (readers get a loud "no containers" rather
     // than a stale previous generation)
-    store.putReplace(head, (seg + "\n").getBytes("UTF-8"))
+    SegmentPointer.publish(outDir, "_head", seg)
     // retire the superseded segment (orphan if we crash first)
-    if (liveSeg != outDir)
-      graft.IndexLifecycle.deleteRecursively(liveSeg)
+    liveSeg.foreach(n => graft.IndexLifecycle.deleteRecursively(s"$outDir/$n"))
   }
 }

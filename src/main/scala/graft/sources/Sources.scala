@@ -12,29 +12,44 @@ import org.apache.spark.sql.streaming.DataStreamReader
   * readers take explicit schemas where inference would scan data.
   */
 object Sources {
-  /** Supported batch formats (all round-trip tested in SourcesSpec).
-    * avro needs the spark-avro connector module, which this
-    * distribution doesn't bundle.
+  /** Supported batch formats (all round-trip tested in SourcesSpec /
+    * AvroSourceSpec). avro routes through [[AvroSource]] — the native
+    * fallback over the avro core library, since this distribution
+    * doesn't bundle the spark-avro connector module.
     */
-  val formats = Seq("parquet", "orc", "csv", "json")
+  val formats = Seq("parquet", "orc", "csv", "json", "avro")
 
   def read(spark: SparkSession, format: String, path: String,
-           options: Map[String, String] = Map.empty): DataFrame = {
-    val r: DataFrameReader = spark.read.format(format).options(options)
-    format match {
-      case "csv" => r.option("header", "true").option("inferSchema", "true").load(path)
-      case _     => r.load(path)
+           options: Map[String, String] = Map.empty): DataFrame =
+    if (format == "avro") {
+      // loud, not silent: the fallback reader takes no options, and a
+      // caller tuning read behavior must know the knob didn't land
+      require(options.isEmpty,
+        s"the fallback avro reader supports no options, got ${options.keys}")
+      AvroSource.read(spark, path)
+    } else {
+      val r: DataFrameReader = spark.read.format(format).options(options)
+      format match {
+        case "csv" => r.option("header", "true").option("inferSchema", "true").load(path)
+        case _     => r.load(path)
+      }
     }
-  }
 
   def write(df: DataFrame, format: String, path: String,
             partitionBy: Seq[String] = Nil,
-            options: Map[String, String] = Map.empty): Unit = {
-    var w = df.write.format(format).mode("overwrite").options(options)
-    if (format == "csv") w = w.option("header", "true")
-    if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
-    w.save(path)
-  }
+            options: Map[String, String] = Map.empty): Unit =
+    if (format == "avro") {
+      require(partitionBy.isEmpty,
+        "avro write partitioning isn't supported by the fallback writer")
+      require(options.isEmpty,
+        s"the fallback avro writer supports no options, got ${options.keys}")
+      AvroSource.write(df, path)
+    } else {
+      var w = df.write.format(format).mode("overwrite").options(options)
+      if (format == "csv") w = w.option("header", "true")
+      if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
+      w.save(path)
+    }
 
   /** Parquet write with ROW-GROUP BLOOM FILTERS on selected columns —
     * scan-level skipping for point-lookup predicates (the fp-gating /
@@ -165,32 +180,53 @@ object Sources {
               format: String = "parquet"): Unit = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
-    val store = graft.operators.CommitStore.forDir(path)
-    val head = Paths.get(path, "_head")
-    val live = compactedDataDir(path)
-    val liveName = Paths.get(live).getFileName.toString
-    // sweep crash debris first: orphan generations (a crashed pass's
-    // not-yet-flipped dir), the pre-r15 protocol's `.compact`/`.old`
-    // siblings, and — once migrated — any root files a crashed
-    // post-flip retire left behind
-    Seq(path + ".compact", path + ".old")
-      .foreach(graft.IndexLifecycle.deleteRecursively)
-    val migrated = live != path
-    val ls = Files.list(Paths.get(path))
-    try ls.iterator().asScala.foreach { p =>
-      val n = p.getFileName.toString
-      val orphanGen = n.startsWith("_gen-") && n != liveName
-      val legacyDebris = migrated && !n.startsWith("_") && !n.startsWith(".")
-      if (orphanGen || legacyDebris)
-        graft.IndexLifecycle.deleteRecursively(p.toString)
-    } finally ls.close()
-    val gen = "_gen-" + ProcessHandle.current().pid().toString + "-" +
-      java.lang.Long.toHexString(System.nanoTime())
+    import graft.operators.SegmentPointer
+    def visibleData(p: java.nio.file.Path): Boolean =
+      Files.isDirectory(p) && {
+        val ls = Files.list(p)
+        try ls.iterator().asScala.exists { e =>
+          val n = e.getFileName.toString
+          !n.startsWith("_") && !n.startsWith(".")
+        } finally ls.close()
+      }
+    val liveSeg = SegmentPointer.resolveName(path, "_head", "_gen-")
+    val live = liveSeg.map(n => s"$path/$n").getOrElse(path)
+    // a pre-r15 compact() could die between its two directory renames,
+    // leaving `path` missing/empty while the ONLY surviving copies sit
+    // in the `.old` backup (original) and `.compact` staging — those
+    // must never be reclaimed as debris while the live dir holds no
+    // data, or the sweep destroys the dataset it exists to protect.
+    // Refuse loudly; the operator restores the backup by hand (the
+    // exact recovery the old protocol documented).
+    val legacySiblings = Seq(path + ".old", path + ".compact")
+      .filter(d => Files.exists(Paths.get(d)))
+    if (liveSeg.isEmpty && !visibleData(Paths.get(path)) &&
+        legacySiblings.nonEmpty)
+      throw new IllegalStateException(
+        s"$path holds no data but pre-r15 compaction siblings exist " +
+          s"(${legacySiblings.mkString(", ")}) — a crashed two-rename swap; " +
+          "restore the backup manually before compacting")
+    // sweep crash debris: orphan generations (a crashed pass's
+    // not-yet-flipped dir), the pre-r15 siblings (safe now — the live
+    // dir verifiably holds data), and — once migrated — any root
+    // files a crashed post-flip retire left behind
+    legacySiblings.foreach(graft.IndexLifecycle.deleteRecursively)
+    SegmentPointer.sweepOrphans(path, "_gen-", liveSeg)
+    val migrated = liveSeg.nonEmpty
+    if (migrated) {
+      val ls = Files.list(Paths.get(path))
+      try ls.iterator().asScala.foreach { p =>
+        val n = p.getFileName.toString
+        if (!n.startsWith("_") && !n.startsWith("."))
+          graft.IndexLifecycle.deleteRecursively(p.toString)
+      } finally ls.close()
+    }
+    val gen = SegmentPointer.newSegName("_gen-")
     spark.read.format(format).load(live)
       .repartition(targetFiles)
       .write.format(format).save(s"$path/$gen")
     // the flip: one atomic pointer PUT
-    store.putReplace(head, (gen + "\n").getBytes("UTF-8"))
+    SegmentPointer.publish(path, "_head", gen)
     // retire the superseded data (orphans if we crash before this —
     // the sweep above reclaims them on the next pass)
     if (migrated) graft.IndexLifecycle.deleteRecursively(live)
@@ -211,11 +247,7 @@ object Sources {
     * then fails loudly on read rather than half-reading.
     */
   def compactedDataDir(path: String): String =
-    graft.operators.CommitStore.forDir(path)
-      .read(java.nio.file.Paths.get(path, "_head"))
-      .map(b => new String(b, "UTF-8").trim)
-      .filter(g => g.startsWith("_gen-") &&
-        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path, g)))
+    graft.operators.SegmentPointer.resolveName(path, "_head", "_gen-")
       .map(g => s"$path/$g").getOrElse(path)
 
   /** Read a directory that [[compact]] may have migrated to the
