@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.DataFrame
 import scala.jdk.CollectionConverters._
 
@@ -18,35 +18,51 @@ import scala.jdk.CollectionConverters._
   */
 object ExactlyOnceSink {
 
+  private def commitsDir(outDir: String) = Paths.get(outDir, "_commits")
+
   /** Returns a foreachBatch function writing each micro-batch to
     * `$outDir/batch=<id>` exactly once: a batch already recorded in
     * the commit log is skipped on redelivery, so replays after a
     * crash cannot duplicate output. Commit order: data first, then
-    * the log line — a crash between the two re-writes the same
-    * batch directory (idempotent overwrite), never double-commits.
+    * the marker — a crash between the two re-writes the same batch
+    * directory (idempotent overwrite), never double-commits.
+    *
+    * The log is one marker FILE per batch (`_commits/b<id>`) through
+    * the [[graft.operators.CommitStore]] seam — not an append-only
+    * line file, because APPEND is the other POSIX-only primitive
+    * (object stores have no append, and a torn concurrent append can
+    * corrupt every earlier line; one putIfAbsent per batch commits
+    * each id at most once even under a zombie replay). Legacy
+    * `_committed` line files from pre-r15 sinks are still READ, so an
+    * existing output dir resumes where it left off.
     */
   def toDir(outDir: String): (DataFrame, Long) => Unit = {
-    val committedPath = Paths.get(outDir, "_committed")
     (batch: DataFrame, batchId: Long) => {
       Files.createDirectories(Paths.get(outDir))
-      val done: Set[Long] =
-        if (Files.exists(committedPath))
-          Files.readAllLines(committedPath).asScala.filter(_.nonEmpty).map(_.toLong).toSet
-        else Set.empty
-      if (!done.contains(batchId)) {
+      if (!committed(outDir).contains(batchId)) {
         batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        Files.write(committedPath, s"$batchId\n".getBytes,
-          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+        graft.operators.CommitStore.forDir(outDir)
+          .putIfAbsent(commitsDir(outDir).resolve(s"b$batchId"),
+            Array.emptyByteArray): Unit
       }
     }
   }
 
-  /** Committed batch ids (the sink-side clock). */
+  /** Committed batch ids (the sink-side clock): the `_commits/b<id>`
+    * markers plus any legacy pre-r15 `_committed` line file.
+    */
   def committed(outDir: String): Set[Long] = {
-    val p = Paths.get(outDir, "_committed")
-    if (Files.exists(p))
-      Files.readAllLines(p).asScala.filter(_.nonEmpty).map(_.toLong).toSet
-    else Set.empty
+    val markers = graft.operators.CommitStore.forDir(outDir)
+      .list(commitsDir(outDir))
+      .flatMap(n => if (n.startsWith("b")) n.drop(1).toLongOption else None)
+      .toSet
+    val legacy = Paths.get(outDir, "_committed")
+    val legacyIds =
+      if (Files.exists(legacy))
+        Files.readAllLines(legacy).asScala.filter(_.nonEmpty)
+          .flatMap(_.toLongOption).toSet
+      else Set.empty[Long]
+    markers ++ legacyIds
   }
 }
 
@@ -125,9 +141,9 @@ final class TopNUpdateSink(outDir: String, n: Int) extends Serializable {
   * ∝ batch × band collisions ([[graft.dedup.Dedup.neardupDelta]]'s
   * contract — corpus text is never rescanned).
   *
-  * Exactly-once: a TWO-PHASE batch log (`data` then `index` lines per
-  * batchId — the clock-keyed snapshot discipline of the reference's
-  * Negotiator.hs, applied to a sink with two effects). On replay a
+  * Exactly-once: a TWO-PHASE batch log (`data` then `index` markers
+  * per batchId — the clock-keyed snapshot discipline of the
+  * reference's Negotiator.hs, applied to a sink with two effects). On replay a
   * batch past `data` skips re-gating (the gate would otherwise see
   * the batch's OWN signatures in the index and drop everything) and
   * resumes at the index phase, re-reading the committed output as the
@@ -147,17 +163,30 @@ final class NearDupIngestSink(indexTable: String, outDir: String,
                               tau: Double = 0.5) extends Serializable {
   import org.apache.spark.sql.functions.col
 
-  private def logPath = Paths.get(outDir, "_phases")
+  // one marker FILE per (batch, phase) through the CommitStore seam —
+  // see ExactlyOnceSink.toDir's rationale (append is POSIX-only);
+  // legacy `_phases` line files from pre-r15 sinks are still read
+  private def marksDir = Paths.get(outDir, "_phasemarks")
+  private def legacyLog = Paths.get(outDir, "_phases")
 
-  private def phases(batchId: Long): Set[String] =
-    if (Files.exists(logPath))
-      Files.readAllLines(logPath).asScala
-        .filter(_.startsWith(s"$batchId:")).map(_.split(':')(1)).toSet
-    else Set.empty
+  private def phases(batchId: Long): Set[String] = {
+    val marks = graft.operators.CommitStore.forDir(outDir)
+      .list(marksDir)
+      .collect { case n if n.startsWith(s"b$batchId-") =>
+        n.stripPrefix(s"b$batchId-") }
+      .toSet
+    val legacy =
+      if (Files.exists(legacyLog))
+        Files.readAllLines(legacyLog).asScala
+          .filter(_.startsWith(s"$batchId:")).map(_.split(':')(1)).toSet
+      else Set.empty[String]
+    marks ++ legacy
+  }
 
   private def mark(batchId: Long, phase: String): Unit =
-    Files.write(logPath, s"$batchId:$phase\n".getBytes,
-      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    graft.operators.CommitStore.forDir(outDir)
+      .putIfAbsent(marksDir.resolve(s"b$batchId-$phase"),
+        Array.emptyByteArray): Unit
 
   def apply(batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
@@ -182,12 +211,20 @@ final class NearDupIngestSink(indexTable: String, outDir: String,
   }
 
   /** Committed (fully ingested) batch ids. */
-  def committed: Set[Long] =
-    if (Files.exists(logPath))
-      Files.readAllLines(logPath).asScala.collect {
-        case l if l.endsWith(":index") => l.split(':')(0).toLong
-      }.toSet
-    else Set.empty
+  def committed: Set[Long] = {
+    val marks = graft.operators.CommitStore.forDir(outDir)
+      .list(marksDir)
+      .collect { case n if n.startsWith("b") && n.endsWith("-index") =>
+        n.stripPrefix("b").stripSuffix("-index") }
+      .flatMap(_.toLongOption).toSet
+    val legacy =
+      if (Files.exists(legacyLog))
+        Files.readAllLines(legacyLog).asScala.collect {
+          case l if l.endsWith(":index") => l.split(':')(0).toLong
+        }.toSet
+      else Set.empty[Long]
+    marks ++ legacy
+  }
 }
 
 object NearDupIngestSink {

@@ -101,8 +101,11 @@ class IngestSpec extends SparkSpecBase {
       // ignoring whatever the re-offered batch would now gate to.
       Seq((7L, novelC)).toDF("doc_id", "text")
         .write.parquet(s"$outDir/batch=7")
+      // written as a LEGACY `_phases` line file (the pre-r15 log form)
+      // — the resumed sink must honor it through the legacy read path
       java.nio.file.Files.write(java.nio.file.Path.of(outDir, "_phases"),
-        "7:data\n".getBytes, java.nio.file.StandardOpenOption.APPEND)
+        "7:data\n".getBytes, java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
       sink(Seq((7L, novelC)).toDF("doc_id", "text"), 7L)
       assert(admitted(outDir, 7) == Set(7L))
       assert(sink.committed == Set(0L, 7L))

@@ -50,6 +50,39 @@ class StreamingSpec extends SparkSpecBase {
     assert(b0 == List(("a", 1L)))
   }
 
+  test("exactly-once sink: the batch log rides the CommitStore and honors legacy line files") {
+    // markers through a registered store: nothing log-shaped on the
+    // filesystem (the object-store deployment shape — no append)
+    val out = tmpDir("eo-store")
+    val store = new graft.operators.InMemoryCommitStore
+    graft.operators.CommitStore.register(out, store)
+    try {
+      val sink = ExactlyOnceSink.toDir(out)
+      sink(Seq(("a", 1L)).toDF("k", "v"), 0L)
+      sink(Seq(("DUPLICATE", 9L)).toDF("k", "v"), 0L)
+      assert(ExactlyOnceSink.committed(out) == Set(0L))
+      assert(java.nio.file.Files.notExists(
+        java.nio.file.Path.of(out, "_commits")),
+        "batch markers leaked onto the filesystem past the store")
+      assert(spark.read.parquet(s"$out/batch=0")
+        .as[(String, Long)].collect().toList == List(("a", 1L)))
+    } finally graft.operators.CommitStore.unregister(out)
+    // a pre-r15 output dir (append-line `_committed` log) resumes
+    // where it left off: its ids read as committed, new ids land as
+    // markers, and the union is the clock
+    val legacy = tmpDir("eo-legacy")
+    java.nio.file.Files.createDirectories(java.nio.file.Path.of(legacy))
+    java.nio.file.Files.write(java.nio.file.Path.of(legacy, "_committed"),
+      "0\n1\n".getBytes)
+    val sink2 = ExactlyOnceSink.toDir(legacy)
+    sink2(Seq(("stale", 0L)).toDF("k", "v"), 1L) // replay of a legacy id
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Path.of(legacy, "batch=1")),
+      "a legacy-committed batch id was rewritten")
+    sink2(Seq(("c", 3L)).toDF("k", "v"), 2L)
+    assert(ExactlyOnceSink.committed(legacy) == Set(0L, 1L, 2L))
+  }
+
   test("monoid bolt: keyed LongSum state accumulates like the countBolt") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[(String, Long)]
