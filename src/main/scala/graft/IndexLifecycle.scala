@@ -136,4 +136,32 @@ object IndexLifecycle {
     loc.filter(_.startsWith("file:")).foreach(l =>
       deleteRecursively(java.nio.file.Path.of(java.net.URI.create(l)).toString))
   }
+
+  /** Drop a LIVE index table that OWNS its home directory — eviction's
+    * cleanup (the lshIdxLife release hook and spec teardowns of
+    * `_bands`/`_sigs`). When the location is an `_lshseg-` segment
+    * (the vacuum's flipped layout), the whole home is deleted: the
+    * caller asserts no other catalog entry lives there, which is true
+    * by construction for the per-index homes buildLshIndexFrom
+    * creates — and exactly what [[dropTableWithFiles]] must NOT
+    * assume (a crashed rewrite's `<tbl>__vacuum` scratch entry points
+    * INTO a live table's home; dropping it location-only is the
+    * safety, but evicting the live index location-only would strand a
+    * full superseded copy after a post-flip crash, since each
+    * lshIndexFor build homes in a fresh temp dir no later rewrite
+    * ever sweeps).
+    */
+  def dropTableWithHome(s: SparkSession, table: String): Unit = {
+    val loc = scala.util.Try(
+      s.sql(s"DESCRIBE TABLE EXTENDED $table").filter(col("col_name") === "Location")
+        .head().getString(1)).toOption
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    loc.filter(_.startsWith("file:")).foreach { l =>
+      val p = java.nio.file.Path.of(java.net.URI.create(l))
+        .toAbsolutePath.normalize()
+      val target =
+        if (p.getFileName.toString.startsWith("_lshseg-")) p.getParent else p
+      deleteRecursively(target.toString)
+    }
+  }
 }

@@ -672,7 +672,7 @@ object Dedup {
     validate = (s, t) => s.catalog.tableExists(t + "_bands") &&
       s.catalog.tableExists(t + "_sigs"),
     release = (s, t) => Seq(t + "_bands", t + "_sigs")
-      .foreach(graft.IndexLifecycle.dropTableWithFiles(s, _)))
+      .foreach(graft.IndexLifecycle.dropTableWithHome(s, _)))
 
   def lshIndexFor(s: SparkSession, d: String): String =
     lshIdxLife.getOrBuild(s, d) {
@@ -876,9 +876,8 @@ object Dedup {
         graft.IndexLifecycle.deleteRecursively(p.toString)
     } finally sweep.close()
     if (isSeg) parquetsIn(home).foreach(Files.deleteIfExists(_))
-    val token = ProcessHandle.current().pid().toString + "-" +
-      java.lang.Long.toHexString(System.nanoTime())
-    val seg = home.resolve(s"_lshseg-$token")
+    val seg = home.resolve(
+      graft.operators.SegmentPointer.newSegName("_lshseg-"))
     // full-row dedup: a re-run over a pre-r15 crash state (duplicate
     // moved-in rows) must converge, not double rows
     val writer = filter(s.table(tbl)).dropDuplicates()

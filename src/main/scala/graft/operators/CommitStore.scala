@@ -50,6 +50,25 @@ trait CommitStore {
   def mtimeMillis(path: Path): Option[Long]
 }
 
+/** Writer-unique token mint shared by every staging/segment namer:
+  * `<pid>-<hexnanos><16-hex-seq>`. `System.nanoTime` alone is NOT
+  * thread-unique — coarse clocks hand racing threads equal readings,
+  * and r15's 4-writer carry-storm spec caught two committers sharing
+  * one staging tmp that way (writer A's cleanup deleted the tmp out
+  * from under writer B's link) — so a JVM-wide monotone sequence
+  * rides the hex tail, FIXED-WIDTH so distinct sequence values can
+  * never concatenate into the same string. The shape stays
+  * `<digits>-<hex>`, which every consumer of
+  * [[PosixCommitStore.isStagingName]] relies on.
+  */
+object WriterToken {
+  private val seq = new java.util.concurrent.atomic.AtomicLong()
+  def next(): String =
+    ProcessHandle.current().pid().toString + "-" +
+      java.lang.Long.toHexString(System.nanoTime()) +
+      String.format("%016x", Long.box(seq.incrementAndGet()))
+}
+
 /** The default store: today's exact POSIX discipline, relocated.
   * putIfAbsent = write a same-directory tmp, `link(2)` it to the
   * final name (link never replaces — a true CAS), delete the tmp;
@@ -59,9 +78,7 @@ trait CommitStore {
   * segment.
   */
 object PosixCommitStore extends CommitStore {
-  private def nonce(): String =
-    ProcessHandle.current().pid().toString + "-" +
-      java.lang.Long.toHexString(System.nanoTime())
+  private def nonce(): String = WriterToken.next()
 
   /** Whether `name` is this store's crash-staging debris — the EXACT
     * `<final>.tmp-<pid>-<hexnanos>` nonce shape the staging writer

@@ -230,12 +230,12 @@ trait MergeTableLog { this: MergeTable.type =>
     schemaAt(dir, gen).map(s.read.schema)
       .getOrElse(s.read.option("mergeSchema", "true"))
 
-  /** Per-writer staging discriminator: pid + nanotime. Two writers
-    * (threads OR processes) never share staging paths.
+  /** Per-writer staging discriminator ([[WriterToken]]: pid +
+    * nanotime + JVM-wide sequence). Two writers — threads OR
+    * processes — never share staging paths; nanotime alone did not
+    * guarantee that for threads (coarse clocks tie).
     */
-  private[operators] def newToken(): String =
-    ProcessHandle.current().pid().toString + "-" +
-      java.lang.Long.toHexString(System.nanoTime())
+  private[operators] def newToken(): String = WriterToken.next()
 
   private[operators] def dataDirOf(dir: String, gen: Int, token: String) =
     s"$dir/files-g$gen~$token"

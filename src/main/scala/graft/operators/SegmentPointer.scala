@@ -26,10 +26,11 @@ object SegmentPointer {
   private def markerPath(root: String, marker: String): java.nio.file.Path =
     java.nio.file.Paths.get(root, marker)
 
-  /** Mint a fresh writer-unique segment name. */
-  def newSegName(prefix: String): String =
-    prefix + ProcessHandle.current().pid().toString + "-" +
-      java.lang.Long.toHexString(System.nanoTime())
+  /** Mint a fresh writer-unique segment name ([[WriterToken]] — pid +
+    * nanotime + JVM-wide sequence, unique across threads AND
+    * processes).
+    */
+  def newSegName(prefix: String): String = prefix + WriterToken.next()
 
   /** The marker's raw trimmed body, if the marker exists. Callers with
     * legacy marker forms (writeShards' "committed") branch on this.
@@ -38,23 +39,40 @@ object SegmentPointer {
     store(root).read(markerPath(root, marker))
       .map(b => new String(b, "UTF-8").trim)
 
-  /** The committed segment NAME: the marker body, when it carries the
-    * segment prefix AND the named dir exists (a dangling pointer —
-    * segment swept mid-replay — resolves to None, never to a
-    * half-artifact).
+  /** Validate a marker BODY into a committed segment name: it must
+    * carry the segment prefix, be a SINGLE path element (the class
+    * invariant the name-compared sweep relies on — a path-shaped body,
+    * whether a caller bug or a corrupted marker, must read as
+    * unresolvable, never alias a live dir out of the sweep's keep
+    * set), and name an existing dir under `root`. Shared by
+    * [[resolveName]] and callers that already hold the body (one
+    * store read, not two).
     */
-  def resolveName(root: String, marker: String, prefix: String): Option[String] =
-    markerBody(root, marker)
+  def resolveBody(root: String, body: String, prefix: String): Option[String] =
+    Some(body)
       .filter(_.startsWith(prefix))
+      .filter(n => !n.contains('/') && !n.contains('\\'))
       .filter(n => java.nio.file.Files.isDirectory(
         java.nio.file.Paths.get(root, n)))
 
+  /** The committed segment NAME: the marker body, when [[resolveBody]]
+    * accepts it (a dangling pointer — segment swept mid-replay —
+    * resolves to None, never to a half-artifact).
+    */
+  def resolveName(root: String, marker: String, prefix: String): Option[String] =
+    markerBody(root, marker).flatMap(resolveBody(root, _, prefix))
+
   /** Publish `segName`: the atomic flip. A crash before leaves the old
     * marker (fresh segment = orphan); after, the new segment is live.
+    * `segName` must be a bare name, not a path — passing `segRoot`
+    * here would publish a marker nothing can resolve.
     */
-  def publish(root: String, marker: String, segName: String): Unit =
+  def publish(root: String, marker: String, segName: String): Unit = {
+    require(!segName.contains('/') && !segName.contains('\\'),
+      s"segment name must be a single path element, got '$segName'")
     store(root).putReplace(markerPath(root, marker),
       (segName + "\n").getBytes("UTF-8"))
+  }
 
   /** Drop the marker (used by writers that must make a dir read as
     * uncommitted before clearing debris).

@@ -248,9 +248,11 @@ object Pipeline {
     */
   def shardDataRoot(outDir: String): Option[String] = {
     import graft.operators.SegmentPointer
+    // ONE marker read: the branch decision and the resolution must see
+    // the same body (and an object-store CommitStore pays one GET)
     SegmentPointer.markerBody(outDir, "_committed").flatMap {
       case seg if seg.startsWith("_shardseg-") =>
-        SegmentPointer.resolveName(outDir, "_committed", "_shardseg-")
+        SegmentPointer.resolveBody(outDir, seg, "_shardseg-")
           .map(n => s"$outDir/$n")
       case _ => Some(outDir) // legacy pre-pointer layout
     }

@@ -181,7 +181,7 @@ object AvroSource {
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     val dir = dataDir(path)
-    val files = listAvro(dir)
+    val files = vouchedFiles(dir).getOrElse(listAvro(dir))
     require(files.nonEmpty, s"no .avro container files under $dir")
     val avroSchema = {
       val in = new java.io.FileInputStream(files.head)
@@ -207,6 +207,21 @@ object AvroSource {
       }
     spark.createDataFrame(rows, sparkSchema)
   }
+
+  /** The file set a graft-written segment VOUCHES for (its `_vouched`
+    * manifest — one container name per line, written from the job
+    * result before the head flip). None for third-party dirs, which
+    * fall back to listing. This is what actually keeps a ZOMBIE task
+    * attempt's container out of reads: a stalled speculative/retried
+    * attempt can materialize its file AFTER the post-job sweep ran, so
+    * existence in the segment dir is not proof of membership — the
+    * job result is.
+    */
+  private def vouchedFiles(dir: String): Option[Seq[String]] =
+    graft.operators.CommitStore.forDir(dir)
+      .read(java.nio.file.Paths.get(dir, "_vouched"))
+      .map(b => new String(b, "UTF-8").linesIterator
+        .filter(_.nonEmpty).map(n => s"$dir/$n").toSeq.sorted)
 
   private def listAvro(dir: String): Seq[String] = {
     val p = java.nio.file.Paths.get(dir)
@@ -318,11 +333,12 @@ object AvroSource {
     * [[graft.operators.SegmentPointer]]). Task files stream through
     * the Hadoop FileSystem API under per-task-ATTEMPT names, so a
     * retried task never interleaves with its predecessor's bytes; the
-    * files kept at publication are exactly the ones SUCCESSFUL tasks
-    * reported back (a crashed attempt's file may be a truncated
-    * container — it is deleted, never trusted because it merely
-    * exists). Publication is BY REFERENCE, like data files under the
-    * commit log.
+    * segment's `_vouched` manifest records exactly the files
+    * SUCCESSFUL tasks reported through the job result, and readers
+    * resolve ONLY those — so a crashed attempt's truncated container,
+    * or a zombie attempt's file materializing after the post-job
+    * sweep, never enters a read. Publication is BY REFERENCE, like
+    * data files under the commit log.
     */
   def write(df: DataFrame, outDir: String): Unit = {
     import graft.operators.SegmentPointer
@@ -361,16 +377,23 @@ object AvroSource {
         Iterator.single(name)
       }
     }.collect()
-    // drop every container the job result does NOT vouch for (retried
-    // attempts' leftovers — possibly truncated mid-write)
+    // the job result is the membership authority: record it as the
+    // segment's `_vouched` manifest (readers resolve EXACTLY these
+    // names — a zombie attempt that materializes its container after
+    // this point is invisible, not merely unlikely), then tidy the
+    // leftovers the result does not vouch for (possibly truncated
+    // mid-write; best-effort — membership never depended on it)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(segDir))
     val keep = committed.toSet
+    graft.operators.CommitStore.forDir(outDir).putReplace(
+      java.nio.file.Paths.get(segDir, "_vouched"),
+      committed.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
     listAvro(segDir).foreach { f =>
       val name = f.substring(f.lastIndexOf('/') + 1)
       if (!keep.contains(name))
         java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f)): Unit
     }
-    // an empty frame publishes an empty segment dir, so the head
+    // an empty frame publishes an empty-manifest segment, so the head
     // always resolves (readers get a loud "no containers" rather
     // than a stale previous generation)
     SegmentPointer.publish(outDir, "_head", seg)

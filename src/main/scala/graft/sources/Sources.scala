@@ -206,14 +206,10 @@ object Sources {
         s"$path holds no data but pre-r15 compaction siblings exist " +
           s"(${legacySiblings.mkString(", ")}) — a crashed two-rename swap; " +
           "restore the backup manually before compacting")
-    // sweep crash debris: orphan generations (a crashed pass's
-    // not-yet-flipped dir), the pre-r15 siblings (safe now — the live
-    // dir verifiably holds data), and — once migrated — any root
-    // files a crashed post-flip retire left behind
-    legacySiblings.foreach(graft.IndexLifecycle.deleteRecursively)
-    SegmentPointer.sweepOrphans(path, "_gen-", liveSeg)
-    val migrated = liveSeg.nonEmpty
-    if (migrated) {
+    // one definition of "retire the plain-layout root files" — used
+    // pre-write (migrated: crashed post-flip leftovers) and post-flip
+    // (first migration's retire); a fix to one must not miss the other
+    def sweepRootFiles(): Unit = {
       val ls = Files.list(Paths.get(path))
       try ls.iterator().asScala.foreach { p =>
         val n = p.getFileName.toString
@@ -221,6 +217,14 @@ object Sources {
           graft.IndexLifecycle.deleteRecursively(p.toString)
       } finally ls.close()
     }
+    // sweep crash debris: orphan generations (a crashed pass's
+    // not-yet-flipped dir), the pre-r15 siblings (safe now — the live
+    // dir verifiably holds data), and — once migrated — any root
+    // files a crashed post-flip retire left behind
+    legacySiblings.foreach(graft.IndexLifecycle.deleteRecursively)
+    SegmentPointer.sweepOrphans(path, "_gen-", liveSeg)
+    val migrated = liveSeg.nonEmpty
+    if (migrated) sweepRootFiles()
     val gen = SegmentPointer.newSegName("_gen-")
     spark.read.format(format).load(live)
       .repartition(targetFiles)
@@ -230,14 +234,7 @@ object Sources {
     // retire the superseded data (orphans if we crash before this —
     // the sweep above reclaims them on the next pass)
     if (migrated) graft.IndexLifecycle.deleteRecursively(live)
-    else {
-      val ls2 = Files.list(Paths.get(path))
-      try ls2.iterator().asScala.foreach { p =>
-        val n = p.getFileName.toString
-        if (!n.startsWith("_") && !n.startsWith("."))
-          graft.IndexLifecycle.deleteRecursively(p.toString)
-      } finally ls2.close()
-    }
+    else sweepRootFiles()
   }
 
   /** The live data dir of a possibly-[[compact]]ed directory: the

@@ -814,6 +814,14 @@ class OperatorsSpec extends SparkSpecBase {
         base.filter(col("doc_id") % 11 === 0).select("doc_id"))
       assert(Dedup.vacuumLshTombstones(spark, tbl) >= 0L)
       assert(!Files.exists(strayed), "legacy root debris survived the next rewrite")
+      // eviction of a location-flipped index reclaims the whole HOME,
+      // not just the live segment — a post-flip crash leaves a full
+      // superseded copy beside it that nothing else ever sweeps (the
+      // production release hook routes through dropTableWithHome)
+      Files.write(Path.of(path, "sigs", "stranded-copy.parquet"), Array[Byte](1))
+      graft.IndexLifecycle.dropTableWithHome(spark, tbl + "_sigs")
+      assert(!Files.exists(Path.of(path, "sigs")),
+        "flipped index eviction left its home (and the stranded copy) behind")
     } finally Seq(tbl + "_bands", tbl + "_sigs", tbl + "_tombstones", tbl + "_sigs__vacuum", tbl + "_bands__vacuum")
       .foreach(t => scala.util.Try(graft.IndexLifecycle.dropTableWithFiles(spark, t)))
   }

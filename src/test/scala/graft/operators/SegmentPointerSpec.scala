@@ -78,4 +78,34 @@ class SegmentPointerSpec extends AnyFunSuite {
     assert(names.forall(_.startsWith("_seg-")))
     assert(names.forall(n => !n.contains('/')), "a name must be one path element")
   }
+
+  test("a path-shaped marker body never resolves (publish refuses, resolveBody rejects)") {
+    val root = freshRoot()
+    intercept[IllegalArgumentException] {
+      SegmentPointer.publish(root, "_head", "_seg-x/sub")
+    }
+    // a corrupted/hand-edited marker naming an existing NESTED dir is
+    // unresolvable — otherwise the name-compared sweep would delete
+    // the live parent out from under it
+    Files.createDirectories(Paths.get(root, "_seg-x", "sub"))
+    CommitStore.forDir(root).putReplace(
+      Paths.get(root, "_head"), "_seg-x/sub\n".getBytes("UTF-8"))
+    assert(SegmentPointer.resolveName(root, "_head", "_seg-").isEmpty)
+  }
+
+  test("tokens are unique under thread contention (nanoTime ties can't share staging)") {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val all = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val n = 8 * 2000
+    val futs = (1 to 8).map(_ => pool.submit(new Runnable {
+      def run(): Unit = (1 to 2000).foreach(_ => all.add(WriterToken.next()): Unit)
+    }))
+    futs.foreach(_.get())
+    pool.shutdown()
+    assert(all.size == n, s"token collision under contention: ${all.size} of $n unique")
+    // and every token keeps the staging-name shape sweeps rely on
+    val sample = all.iterator().next()
+    assert(PosixCommitStore.isStagingName(s"x.tmp-$sample"),
+      s"token '$sample' broke the staging-name contract")
+  }
 }
