@@ -518,7 +518,7 @@ object Similarity {
   // takedown batch is human-scale), and [[vacuumVectorTombstones]]
   // makes removal physical by rewriting ONLY the cells that contain
   // them (cost ∝ affected cells, single Spark job, same staged
-  // move-in-before-delete commit as compaction). A vec_id re-appended
+  // write-once append-then-retire commit as compaction). A vec_id re-appended
   // while still tombstoned stays suppressed until the vacuum clears
   // the set.
 
