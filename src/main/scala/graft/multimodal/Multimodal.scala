@@ -84,6 +84,168 @@ object Multimodal {
     }
   }
 
+  /** REAL image decode over the JDK's built-in `javax.imageio` codecs
+    * (PNG / JPEG / GIF / BMP — no external libs): payload → decoded
+    * raster → 8×8 average-pooled luma grid. This replaces the r1–r15
+    * "stand-in decoder" posture for every format ImageIO ships; bytes
+    * that are NOT a decodable image (e.g. the text corpus payloads)
+    * fall back to a deterministic 64-bin byte histogram so the seam
+    * stays total. Single-band rasters read raw samples (exact — no
+    * color-space pass); multi-band goes through sRGB + integer
+    * BT.601 luma ((299r+587g+114b)/1000), both deterministic.
+    */
+  object ImageIODecoder extends MediaDecoder {
+    val featureDim = 64 // 8×8 pooled grid (also the aHash frame)
+
+    // executors must not write ImageIO's disk cache under /tmp
+    private lazy val init: Unit = javax.imageio.ImageIO.setUseCache(false)
+
+    /** Decoded 8×8 average-pooled luma (0..255 ints, row-major), or
+      * None when the payload is not a decodable image. Integer
+      * sums/counts — same exactness discipline as mm05.
+      */
+    def lumaGrid(bytes: Array[Byte]): Option[Array[Int]] = {
+      init
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val raster = img.getRaster
+        val oneBand = raster.getNumBands == 1
+        val sums = new Array[Long](64); val cnts = new Array[Long](64)
+        var y = 0
+        while (y < h) {
+          val rr = (y * 8) / h
+          var x = 0
+          while (x < w) {
+            val luma =
+              if (oneBand) raster.getSample(x, y, 0)
+              else {
+                val rgb = img.getRGB(x, y)
+                (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                  (rgb & 0xff) * 114) / 1000
+              }
+            val c = rr * 8 + (x * 8) / w
+            sums(c) += luma; cnts(c) += 1
+            x += 1
+          }
+          y += 1
+        }
+        Some(Array.tabulate(64)(i =>
+          if (cnts(i) == 0) 0 else (sums(i) / cnts(i)).toInt))
+      }
+    }
+
+    def decode(bytes: Array[Byte]): Array[Float] =
+      lumaGrid(bytes) match {
+        case Some(g) => g.map(_ / 255f)
+        case None => // non-image payload: 64-bin byte histogram, L1-normalized
+          val h = new Array[Float](featureDim)
+          var i = 0
+          while (i < bytes.length) { h((bytes(i) & 0xff) >> 2) += 1f; i += 1 }
+          val n = math.max(bytes.length, 1).toFloat
+          var j = 0
+          while (j < featureDim) { h(j) /= n; j += 1 }
+          h
+      }
+  }
+
+  /** Grayscale PNG encode/decode over `javax.imageio` — the lossless
+    * codec pair mm08 runs end-to-end under the DuckDB oracle (PNG is
+    * lossless and 8-bit gray rasters round-trip bit-exactly, so the
+    * oracle can recompute the decoded stats from the closed-form
+    * pixel function).
+    */
+  object PngCodec {
+    private lazy val init: Unit = javax.imageio.ImageIO.setUseCache(false)
+
+    def encodeGray(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+      init
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, px(x, y) & 0xff); x += 1 }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "png", out), "no PNG writer")
+      out.toByteArray
+    }
+
+    /** (width, height, row-major samples) from a single-band image. */
+    def decodeGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+      init
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img == null || img.getRaster.getNumBands != 1) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val px = new Array[Int](w * h)
+        img.getRaster.getSamples(0, 0, w, h, 0, px)
+        Some((w, h, px))
+      }
+    }
+  }
+
+  /** 16-bit PCM WAV encode/decode over the JDK's `javax.sound.sampled`
+    * — the audio codec pair mm09 runs end-to-end under the oracle
+    * (PCM in a WAV container is lossless).
+    */
+  object WavCodec {
+    private val RATE = 8000f
+
+    def encodePcm16(samples: Array[Short]): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        RATE, 16, 1, 2, RATE, false) // mono, little-endian
+      val raw = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        raw(2 * i) = (samples(i) & 0xff).toByte
+        raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    def decodePcm16(bytes: Array[Byte]): Option[Array[Short]] = {
+      val ais =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => return None }
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+        else {
+          val raw = ais.readAllBytes()
+          val n = raw.length / 2
+          val out = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            out(i) =
+              if (fmt.isBigEndian)
+                (((raw(2 * i) & 0xff) << 8) | (raw(2 * i + 1) & 0xff)).toShort
+              else
+                (((raw(2 * i + 1) & 0xff) << 8) | (raw(2 * i) & 0xff)).toShort
+            i += 1
+          }
+          Some(out)
+        }
+      } finally ais.close()
+    }
+  }
+
   // --- mm01: binary payload + typed metadata (oracle-checkable) ---
   val mm01_binary_meta: Q = (s, d) =>
     Tables.documents(s, d)
@@ -94,11 +256,15 @@ object Multimodal {
       .orderBy("doc_id")
 
   // --- mm02: per-partition decode -> feature vectors ---
-  // Oracle-checked: the emitted scalar columns (byte length, sniffed
-  // format, feature L2) are all reproducible in SQL over the same
-  // payload. feat_l2 is computed from EXACT integer bin counts
-  // (sqrt(Σc²)/n on integers is bit-identical in both engines) — a
-  // float-accumulated norm would drift below the 4-decimal rounding.
+  // The decoder is REAL since r16 ([[ImageIODecoder]] — javax.imageio
+  // pixel decode for PNG/JPEG/GIF/BMP, deterministic histogram
+  // fallback for non-image payloads; the key keeps its historical
+  // "_stub" name for driver-contract stability). Oracle-checked: the
+  // emitted scalar columns (byte length, sniffed format, feature L2)
+  // are all reproducible in SQL over the same payload. feat_l2 is
+  // computed from EXACT integer bin counts (sqrt(Σc²)/n on integers
+  // is bit-identical in both engines) — a float-accumulated norm
+  // would drift below the 4-decimal rounding.
   val mm02_decode_stub: Q = (s, d) => {
     val spark = s
     val src = Tables.documents(s, d)
@@ -109,10 +275,10 @@ object Multimodal {
       StructField("format", StringType),
       StructField("feature", ArrayType(FloatType)),
       StructField("feat_l2", DoubleType)))
-    val dec: MediaDecoder = FakeDecoder
+    val dec: MediaDecoder = ImageIODecoder
     val rdd = src.rdd.mapPartitions { rows =>
-      // decoder init happens once per partition (where a real codec
-      // would allocate its native context)
+      // decoder init happens once per partition (ImageIO registry +
+      // setUseCache(false) on first use)
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
@@ -153,12 +319,39 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
-  /** aHash-style 64-bit perceptual hash of a binary payload: 64
-    * evenly-spaced samples, bit set where the sample clears the mean.
-    * On a real image this runs on the decoded/downscaled luma grid
-    * (the classic average-hash); here it samples raw payload bytes —
-    * same contract, deterministic, pure JVM. Empty payload hashes
-    * to 0.
+  /** The classic 64-bit average-hash over an 8×8 luma grid: bit set
+    * where the cell clears the grid mean. [[phash64]] feeds it REAL
+    * decoded pixels (ImageIODecoder) when the payload is an image.
+    */
+  def aHash64FromGrid(g: Array[Int]): Long = {
+    var sum = 0L
+    var j = 0
+    while (j < 64) { sum += g(j); j += 1 }
+    val mean = sum / 64.0
+    var h = 0L
+    j = 0
+    while (j < 64) {
+      if (g(j) >= mean) h |= (1L << (63 - j))
+      j += 1
+    }
+    h
+  }
+
+  /** Perceptual hash of a media payload: decodable images hash their
+    * REAL 8×8 average-pooled luma grid (the textbook aHash, via the
+    * JDK codecs); non-image payloads hash 64 evenly-spaced raw bytes
+    * under the same mean-threshold contract, so the op is total over
+    * a mixed binary column.
+    */
+  def phash64(bytes: Array[Byte]): Long =
+    ImageIODecoder.lumaGrid(bytes) match {
+      case Some(g) => aHash64FromGrid(g)
+      case None    => aHash64(bytes)
+    }
+
+  /** aHash-style 64-bit hash of RAW payload bytes: 64 evenly-spaced
+    * samples, bit set where the sample clears the mean — the
+    * non-image fallback of [[phash64]]. Empty payload hashes to 0.
     */
   def aHash64(bytes: Array[Byte]): Long = {
     val n = bytes.length
@@ -209,8 +402,10 @@ object Multimodal {
 
   // --- mm04: image near-dup via perceptual hash — the multimodal
   // dedup pass of a training pipeline. Hashing runs inside the same
-  // per-partition decode seam as mm02 (a real build computes aHash on
-  // the decoded luma plane there); pair generation is banded, so the
+  // per-partition decode seam as mm02, and since r16 it IS the real
+  // aHash: decodable payloads hash their ImageIO-decoded 8×8 luma
+  // grid (spec'd on real PNGs), non-image payloads the raw-byte
+  // fallback; pair generation is banded, so the
   // whole op is one narrow hash pass + one bucket-keyed equi-join.
   // Rows-only: the hash family is engine-defined (like dd05's
   // simhash), not ANSI-SQL-expressible without 64-bit unsigned
@@ -224,7 +419,7 @@ object Multimodal {
       StructField("doc_id", LongType), StructField("sig", LongType)))
     val rdd = src.rdd.mapPartitions { rows =>
       // decoder/hasher init once per partition, as in mm02
-      rows.map(r => Row(r.getLong(0), aHash64(r.getAs[Array[Byte]](1))))
+      rows.map(r => Row(r.getLong(0), phash64(r.getAs[Array[Byte]](1))))
     }
     hammingPairs(spark.createDataFrame(rdd, schema), maxHamming = 10)
       .orderBy("id1", "id2")
@@ -393,6 +588,83 @@ object Multimodal {
     spark.createDataFrame(rdd, schema).orderBy("doc_id")
   }
 
+  // --- mm08: REAL image codec round trip under the DuckDB oracle ---
+  // Each doc derives a closed-form grayscale image (pixel i of doc k
+  // is (k·31 + i·13) mod 256), encodes it to an actual PNG through
+  // javax.imageio, DECODES those bytes back through the same real
+  // codec, and emits stats computed from the DECODED raster. The
+  // oracle recomputes the stats from the closed form — so the hash
+  // gate passes iff the real encode→decode path is bit-faithful
+  // (PNG gray-8 is lossless). `format` comes from ImageHeader.parse
+  // over the REAL container bytes — the magic-byte sniffer finally
+  // sees a genuine PNG header in the oracle-gated path. Pure map,
+  // one row in/out, codec context per partition: the 100 TB shape.
+  val mm08_image_codec: Q = (s, d) => {
+    val spark = s
+    val src = Tables.documents(s, d).select(col("doc_id"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("format", StringType),
+      StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("px_sum", LongType),
+      StructField("px_sq_sum", LongType)))
+    val rdd = src.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = (8 + id % 9).toInt
+        val h = (8 + id % 7).toInt
+        val png = PngCodec.encodeGray(w, h,
+          (x, y) => ((id * 31 + (y.toLong * w + x) * 13) % 256).toInt)
+        val fmt = ImageHeader.parse(png).map(_.format).getOrElse("opaque")
+        val (dw, dh, px) = PngCodec.decodeGray(png).getOrElse(
+          throw new IllegalStateException(s"PNG round trip failed for doc $id"))
+        var sum = 0L; var sq = 0L
+        var i = 0
+        while (i < px.length) { sum += px(i); sq += px(i).toLong * px(i); i += 1 }
+        Row(id, fmt, dw.toLong, dh.toLong, sum, sq)
+      }
+    }
+    spark.createDataFrame(rdd, schema).orderBy("doc_id")
+  }
+
+  // --- mm09: REAL audio codec round trip under the DuckDB oracle ---
+  // Same discipline on the audio column: closed-form 16-bit PCM
+  // samples (sample i of doc k is (k·7919 + i·104729) mod 65536 −
+  // 32768), encoded into an actual WAV container via
+  // javax.sound.sampled, decoded back through AudioSystem, stats
+  // from the DECODED samples vs the oracle's closed form.
+  val mm09_wav_codec: Q = (s, d) => {
+    val spark = s
+    val src = Tables.documents(s, d).select(col("doc_id"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("n_samples", LongType),
+      StructField("sum_abs", LongType),
+      StructField("peak_abs", LongType),
+      StructField("sum_sq", LongType)))
+    val rdd = src.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val n = (64 + id % 97).toInt
+        val samples = Array.tabulate(n)(i =>
+          ((id * 7919 + i.toLong * 104729) % 65536 - 32768).toShort)
+        val wav = WavCodec.encodePcm16(samples)
+        val dec = WavCodec.decodePcm16(wav).getOrElse(
+          throw new IllegalStateException(s"WAV round trip failed for doc $id"))
+        var sumAbs = 0L; var peak = 0L; var sq = 0L
+        var i = 0
+        while (i < dec.length) {
+          val a = math.abs(dec(i).toLong)
+          sumAbs += a; if (a > peak) peak = a; sq += a * a
+          i += 1
+        }
+        Row(id, dec.length.toLong, sumAbs, peak, sq)
+      }
+    }
+    spark.createDataFrame(rdd, schema).orderBy("doc_id")
+  }
+
   val registry: Map[String, Q] = Map(
     "mm01_binary_meta" -> mm01_binary_meta,
     "mm02_decode_stub" -> mm02_decode_stub,
@@ -400,9 +672,38 @@ object Multimodal {
     "mm04_phash_neardup" -> mm04_phash_neardup,
     "mm05_resize" -> mm05_resize,
     "mm06_audio_energy" -> mm06_audio_energy,
-    "mm07_shot_bounds" -> mm07_shot_bounds)
+    "mm07_shot_bounds" -> mm07_shot_bounds,
+    "mm08_image_codec" -> mm08_image_codec,
+    "mm09_wav_codec" -> mm09_wav_codec)
 
   val oracles: Map[String, String] = Map(
+    // mm08: the oracle recomputes the DECODED-raster stats from the
+    // closed-form pixel function — a hash match proves the real PNG
+    // encode→decode pair is bit-faithful
+    "mm08_image_codec" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |           FROM documents),
+        |px AS (SELECT doc_id, (doc_id * 31 + i * 13) % 256 AS v
+        |       FROM (SELECT doc_id, unnest(generate_series(0, w * h - 1)) AS i
+        |             FROM d))
+        |SELECT d.doc_id, 'png' AS format,
+        |  CAST(d.w AS BIGINT) AS width, CAST(d.h AS BIGINT) AS height,
+        |  CAST(sum(px.v) AS BIGINT) AS px_sum,
+        |  CAST(sum(px.v * px.v) AS BIGINT) AS px_sq_sum
+        |FROM d JOIN px USING (doc_id)
+        |GROUP BY d.doc_id, d.w, d.h ORDER BY d.doc_id""".stripMargin,
+    // mm09: same for the WAV/PCM pair (16-bit PCM is lossless)
+    "mm09_wav_codec" ->
+      """WITH d AS (SELECT doc_id, 64 + doc_id % 97 AS n FROM documents),
+        |s AS (SELECT doc_id, (doc_id * 7919 + i * 104729) % 65536 - 32768 AS v
+        |      FROM (SELECT doc_id, unnest(generate_series(0, n - 1)) AS i
+        |            FROM d))
+        |SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_samples,
+        |  CAST(sum(abs(s.v)) AS BIGINT) AS sum_abs,
+        |  CAST(max(abs(s.v)) AS BIGINT) AS peak_abs,
+        |  CAST(sum(s.v * s.v) AS BIGINT) AS sum_sq
+        |FROM d JOIN s USING (doc_id)
+        |GROUP BY d.doc_id, d.n ORDER BY d.doc_id""".stripMargin,
     // mm07: ASCII payloads make the per-frame SADs SQL-reproducible
     // (unicode(char) = byte, like mm05/mm06); all-integer outputs
     "mm07_shot_bounds" ->
@@ -434,7 +735,7 @@ object Multimodal {
         |       WHEN d.len >= 26 AND substr(d.text, 1, 2) = 'BM' THEN 'bmp'
         |       ELSE 'opaque' END AS format,
         |  round(sqrt(CAST(coalesce(s.ss, 0) AS DOUBLE)) / greatest(d.len, 1) * 10000) / 10000 AS feat_l2,
-        |  CAST(16 AS BIGINT) AS feat_dim
+        |  CAST(64 AS BIGINT) AS feat_dim
         |FROM d LEFT JOIN s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
     "mm03_frame_sample" ->

@@ -254,7 +254,12 @@ object Pipeline {
       case seg if seg.startsWith("_shardseg-") =>
         SegmentPointer.resolveBody(outDir, seg, "_shardseg-")
           .map(n => s"$outDir/$n")
-      case _ => Some(outDir) // legacy pre-pointer layout
+      // ONLY the exact legacy body commits the root itself; any other
+      // body (empty, truncated, corrupted) is unresolvable — same
+      // posture as a dangling pointer, so replay rewrites it rather
+      // than serving whatever sits at the root
+      case "committed" => Some(outDir)
+      case _           => None
     }
   }
 

@@ -496,6 +496,14 @@ object Similarity {
     // one fresh file per cell; wall-time stays ∝ fragmented bytes.
     val frag = cells.map(c => c -> parquetFiles(c)).filter(_._2.size >= minFiles)
     if (frag.isEmpty) return Seq.empty
+    // VERSION-SENSITIVE assumption, re-verify on Spark upgrades: this
+    // appends into the same `cell=` tree it reads. Correct today
+    // because (a) the read's InMemoryFileIndex snapshots the source
+    // file listing when the DataFrame is created, so the write job's
+    // fresh files are not re-scanned by its own input, and (b) only
+    // mode("overwrite") trips Spark's cannot-overwrite-path-being-read
+    // guard — append is exempt. If either changes, stage the fold into
+    // a token dir and SegmentPointer-flip it instead.
     s.read.option("basePath", root.toString)
       .parquet(frag.map(_._1.toString): _*) // fragmented cells' rows only
       .dropDuplicates() // full-row: idempotence + crash-rerun safety

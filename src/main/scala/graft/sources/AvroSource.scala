@@ -174,10 +174,12 @@ object AvroSource {
 
   /** Read every `*.avro` container under `path` (or under the segment
     * its `_head` pointer names) as a DataFrame. The schema is the
-    * FIRST container's writer schema — one driver-side header read;
-    * heterogeneous-schema dirs are the connector's mergeSchema
-    * territory and fail loudly here on decode instead of silently
-    * coercing.
+    * FIRST container's writer schema — one driver-side header read.
+    * Heterogeneous-schema dirs are the connector's mergeSchema
+    * territory: each task fingerprint-compares its container's writer
+    * schema against the driver-read schema and throws on mismatch
+    * (Avro's own schema resolution would otherwise silently drop
+    * extra fields / promote types).
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     val dir = dataDir(path)
@@ -193,17 +195,46 @@ object AvroSource {
     val schemaStr = avroSchema.toString // Schema is not Serializable pre-1.9-style; ship text
     val rows = spark.sparkContext
       .binaryFiles(files.mkString(","), spark.sparkContext.defaultParallelism)
-      .flatMap { case (_, pds) =>
+      .flatMap { case (name, pds) =>
         val ws = new Schema.Parser().parse(schemaStr)
         val in = pds.open()
         val st = new org.apache.avro.file.DataFileStream[GenericRecord](
           in, new GenericDatumReader[GenericRecord](ws))
+        // loud heterogeneity check: without this, Avro schema
+        // RESOLUTION (writer schema of THIS container vs the
+        // driver-read reader schema) silently drops extra fields and
+        // promotes types — fingerprint-compare the writer schema and
+        // refuse, pointing at mergeSchema territory
+        if (org.apache.avro.SchemaNormalization.parsingFingerprint64(st.getSchema)
+            != org.apache.avro.SchemaNormalization.parsingFingerprint64(ws)) {
+          val got = st.getSchema.toString
+          st.close(); in.close()
+          throw new IllegalArgumentException(
+            s"heterogeneous Avro dir: container $name writer schema differs " +
+            s"from the first container's — got $got, expected $schemaStr")
+        }
         val fields = ws.getFields.asScala.toSeq
-        // eager drain: the stream must close with the iterator, and a
-        // container file is one task's worth of rows by construction
-        try st.iterator().asScala.map(rec => Row.fromSeq(
-          fields.map(f => toSpark(rec.get(f.pos()), f.schema())))).toVector
-        finally { st.close(); in.close() }
+        // stream, don't drain: a single large third-party container
+        // (exactly the uncontrolled-layout fallback case) must not
+        // buffer whole into the executor. The stream closes on
+        // exhaustion AND on task completion (whichever first —
+        // limit()/take() abandon iterators mid-way).
+        var closed = false
+        def closeOnce(): Unit = if (!closed) { closed = true; st.close(); in.close() }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+        val base = st.iterator().asScala
+        new Iterator[Row] {
+          def hasNext: Boolean = {
+            val h = !closed && base.hasNext
+            if (!h) closeOnce()
+            h
+          }
+          def next(): Row = {
+            val rec = base.next()
+            Row.fromSeq(fields.map(f => toSpark(rec.get(f.pos()), f.schema())))
+          }
+        }
       }
     spark.createDataFrame(rows, sparkSchema)
   }

@@ -170,10 +170,17 @@ final class NearDupIngestSink(indexTable: String, outDir: String,
   private def legacyLog = Paths.get(outDir, "_phases")
 
   private def phases(batchId: Long): Set[String] = {
+    // the name must be EXACTLY b<id>-<phase>: PosixCommitStore's
+    // crash-staging debris (`b<id>-data.tmp-<nonce>`) would otherwise
+    // strip into a phantom "data.tmp-…" phase string — harmless to
+    // today's exact contains() checks, a trap for prefix-style ones
+    // (ExactlyOnceSink.committed filters the analogous debris)
+    val valid = Set("data", "index")
     val marks = graft.operators.CommitStore.forDir(outDir)
       .list(marksDir)
       .collect { case n if n.startsWith(s"b$batchId-") =>
         n.stripPrefix(s"b$batchId-") }
+      .filter(valid)
       .toSet
     val legacy =
       if (Files.exists(legacyLog))

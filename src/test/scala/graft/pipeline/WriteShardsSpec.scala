@@ -151,6 +151,25 @@ class WriteShardsSpec extends SparkSpecBase {
     assert(Pipeline.readShards(spark, out, 0L).count() == nDocs)
   }
 
+  test("writeShards: a corrupted marker body reads as UNCOMMITTED, not as the legacy root form") {
+    val out = tmpDir("graft-shards-corrupt") + "/out"
+    Pipeline.writeShards(spark, sfDir, out)
+    // corrupt the marker: neither a resolvable _shardseg- pointer nor
+    // the exact legacy body "committed" — an empty body and a garbage
+    // body must BOTH read as unresolvable (pre-r16 the legacy branch
+    // swallowed them and routed readers at the root)
+    for (body <- Seq("", "comitted junk", "_shardseg ")) {
+      Files.write(Paths.get(s"$out/_committed"), body.getBytes("UTF-8"))
+      assert(Pipeline.shardDataRoot(out).isEmpty,
+        s"corrupted marker body '$body' resolved instead of reading uncommitted")
+      intercept[IllegalArgumentException] { Pipeline.readShards(spark, out, 0L) }
+    }
+    // and a replay heals it: full rewrite, fresh pointer, readable
+    val manifest = manifestRows(Pipeline.writeShards(spark, sfDir, out))
+    assert(manifest == manifestRows(Pipeline.pp08_shard_pack(spark, sfDir)))
+    assert(Pipeline.shardDataRoot(out).exists(_.contains("_shardseg-")))
+  }
+
   test("writeShards: the pointer flip rides a registered CommitStore (crash on either side is consistent)") {
     val out = tmpDir("graft-shards-store") + "/out"
     val store = new graft.operators.InMemoryCommitStore
