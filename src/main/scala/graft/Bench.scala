@@ -341,10 +341,11 @@ object Bench {
       else errors.keys.toSeq.sorted.map(k => jstr(shortKey(k)))
         .mkString("\"errors\":[", ",", "],")
     // contended/healed rows ride stdout like errors: present only
-    // when nonempty, and CAPPED (see cappedField) — exactly the
-    // degraded runs that produce long lists are the ones that must
-    // not push the stdout line past the harness's parse window. The
-    // full lists live in BENCH_DETAIL.json. `contended` is the
+    // when nonempty, and CAPPED (see cappedField: named keys while
+    // they fit, a count-only `contended_n` past the cap) — exactly
+    // the degraded runs that produce long lists are the ones that
+    // must not push the stdout line past the harness's parse window.
+    // The full lists live in BENCH_DETAIL.json. `contended` is the
     // POST-heal verdict (what a reader must still distrust);
     // `healed` is the COUNT of rows the end-of-run re-measure
     // corrected (a count, not a list: both fields saturated at once
@@ -463,25 +464,22 @@ object Bench {
     case c => c.toString
   } + "\""
 
-  /** A capped stdout list field (`contended`/`healed`): empty string
-    * when clean; else the FIRST `cap` keys plus a `<field>_more`
-    * count — the stdout list must stay bounded on exactly the
-    * degraded runs that grow it (BenchKeysSpec's window model only
-    * covers clean runs; an unbounded list plus errors could crowd the
-    * parse window on the one record a reader most needs to parse).
-    * The full lists live in BENCH_DETAIL.json.
+  /** A capped stdout list field (`contended`): empty string when
+    * clean; the full key list while it fits (≤ `cap` keys — the
+    * common mildly-degraded run, where the reader wants the names);
+    * past the cap it collapses to a COUNT-ONLY `<field>_n` field —
+    * a saturated list is exactly the degraded run that must stay
+    * inside the harness's 2000-char parse window (r16 lesson: the
+    * old first-5-plus-`_more` shape outgrew the window's margin as
+    * bench keys accumulated). Distinct field name for the count form
+    * so a parser never sees one key with two types. The full lists
+    * live in BENCH_DETAIL.json either way.
     */
   private[graft] def cappedField(field: String, shortKeys: Seq[String],
                                  cap: Int = 5): String =
     if (shortKeys.isEmpty) ""
-    else {
-      val head = shortKeys.take(cap).map(jstr)
-        .mkString("\"" + field + "\":[", ",", "],")
-      val more =
-        if (shortKeys.size <= cap) ""
-        else s""""${field}_more":${shortKeys.size - cap},"""
-      head + more
-    }
+    else if (shortKeys.size > cap) s""""${field}_n":${shortKeys.size},"""
+    else shortKeys.map(jstr).mkString("\"" + field + "\":[", ",", "],")
 
   private[graft] def contendedField(shortKeys: Seq[String], cap: Int = 5): String =
     cappedField("contended", shortKeys, cap)

@@ -10,10 +10,11 @@ import org.apache.spark.sql.types._
   * runs per-partition so a real decoder (image/audio lib) would be
   * loaded once per executor, not per row.
   *
-  * The container has no media libraries, so [[FakeDecoder]] stands in
-  * for the decode step with a deterministic byte-histogram "feature";
-  * the Spark-side plumbing — schema, batch shape, partition-wise
-  * execution, feature vector contract — is real and tested.
+  * Pixel decode is REAL (since r16): [[ImageIODecoder]] uses the
+  * JDK's `javax.imageio` codecs (PNG/JPEG/GIF/BMP) and falls back to
+  * a deterministic 64-bin byte histogram for non-image payloads so
+  * the seam stays total; [[PngCodec]]/[[WavCodec]] run actual
+  * encode→decode round trips under the DuckDB hash gate (mm08/mm09).
   */
 object Multimodal {
   type Q = (SparkSession, String) => DataFrame
@@ -24,28 +25,10 @@ object Multimodal {
     def decode(bytes: Array[Byte]): Array[Float]
   }
 
-  /** Deterministic stand-in for a real image/audio decoder: a
-    * 16-bin byte histogram, L1-normalized. A production build swaps
-    * in a JNI/FFI decoder here (e.g. libjpeg / ffmpeg bindings);
-    * everything downstream is shape-compatible.
-    */
-  object FakeDecoder extends MediaDecoder {
-    val featureDim = 16
-    def decode(bytes: Array[Byte]): Array[Float] = {
-      val h = new Array[Float](featureDim)
-      var i = 0
-      while (i < bytes.length) { h((bytes(i) & 0xff) >> 4) += 1f; i += 1 }
-      val n = math.max(bytes.length, 1).toFloat
-      var j = 0
-      while (j < featureDim) { h(j) /= n; j += 1 }
-      h
-    }
-  }
-
-  /** Real (pure-JVM) media-header parsing: container format and pixel
-    * dimensions from magic bytes for PNG / GIF / BMP / JPEG. This is
-    * the non-stubbed part of decode — full pixel decode still goes
-    * through [[MediaDecoder]] (native codec at deploy).
+  /** Pure-JVM media-header parsing: container format and pixel
+    * dimensions straight from magic bytes for PNG / GIF / BMP / JPEG
+    * — a cheap sniff that never touches a codec, for rows where only
+    * the metadata is wanted. Full pixel decode is [[ImageIODecoder]].
     */
   object ImageHeader {
     case class Meta(format: String, width: Int, height: Int)
@@ -114,6 +97,13 @@ object Multimodal {
         val w = img.getWidth; val h = img.getHeight
         val raster = img.getRaster
         val oneBand = raster.getNumBands == 1
+        // >8-bit single-band rasters (e.g. 16-bit grayscale PNG) read
+        // raw samples 0..2^bits-1: shift down to the documented 0..255
+        // grid so deep-gray images stay on-contract with the 8-bit and
+        // multi-band paths (exact — a pure truncating right shift)
+        val grayShift =
+          if (oneBand) math.max(raster.getSampleModel.getSampleSize(0) - 8, 0)
+          else 0
         val sums = new Array[Long](64); val cnts = new Array[Long](64)
         var y = 0
         while (y < h) {
@@ -121,7 +111,7 @@ object Multimodal {
           var x = 0
           while (x < w) {
             val luma =
-              if (oneBand) raster.getSample(x, y, 0)
+              if (oneBand) raster.getSample(x, y, 0) >> grayShift
               else {
                 val rgb = img.getRGB(x, y)
                 (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
@@ -138,18 +128,34 @@ object Multimodal {
       }
     }
 
-    def decode(bytes: Array[Byte]): Array[Float] =
+    /** The feature plus its exact L2 norm, the norm computed in the
+      * INTEGER domain so it is bit-reproducible by a SQL oracle:
+      * image branch ‖g/255‖₂ = √(Σg²)/255 over the decoded luma
+      * grid; fallback branch ‖c/n‖₂ = √(Σc²)/n over the 64 byte-bin
+      * counts. A float-accumulated norm of the emitted array would
+      * drift below mm02's 4-decimal rounding.
+      */
+    def decodeWithNorm(bytes: Array[Byte]): (Array[Float], Double) =
       lumaGrid(bytes) match {
-        case Some(g) => g.map(_ / 255f)
+        case Some(g) =>
+          var ss = 0L; var i = 0
+          while (i < 64) { ss += g(i).toLong * g(i); i += 1 }
+          (g.map(_ / 255f), math.sqrt(ss.toDouble) / 255.0)
         case None => // non-image payload: 64-bin byte histogram, L1-normalized
-          val h = new Array[Float](featureDim)
+          val counts = new Array[Long](featureDim)
           var i = 0
-          while (i < bytes.length) { h((bytes(i) & 0xff) >> 2) += 1f; i += 1 }
-          val n = math.max(bytes.length, 1).toFloat
+          while (i < bytes.length) { counts((bytes(i) & 0xff) >> 2) += 1; i += 1 }
+          val n = math.max(bytes.length, 1)
+          val h = new Array[Float](featureDim)
+          var ss = 0L
           var j = 0
-          while (j < featureDim) { h(j) /= n; j += 1 }
-          h
+          while (j < featureDim) {
+            h(j) = counts(j) / n.toFloat; ss += counts(j) * counts(j); j += 1
+          }
+          (h, math.sqrt(ss.toDouble) / n)
       }
+
+    def decode(bytes: Array[Byte]): Array[Float] = decodeWithNorm(bytes)._1
   }
 
   /** Grayscale PNG encode/decode over `javax.imageio` — the lossless
@@ -226,7 +232,11 @@ object Multimodal {
         catch { case _: Exception => return None }
       try {
         val fmt = ais.getFormat
-        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+        // encoding matters, not just the frame shape: 16-bit mono
+        // PCM_UNSIGNED (or a-law/µ-law that happens to report 16-bit)
+        // byte-reassembled as signed PCM would be silently wrong
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
         else {
           val raw = ais.readAllBytes()
           val n = raw.length / 2
@@ -261,10 +271,13 @@ object Multimodal {
   // fallback for non-image payloads; the key keeps its historical
   // "_stub" name for driver-contract stability). Oracle-checked: the
   // emitted scalar columns (byte length, sniffed format, feature L2)
-  // are all reproducible in SQL over the same payload. feat_l2 is
-  // computed from EXACT integer bin counts (sqrt(Σc²)/n on integers
-  // is bit-identical in both engines) — a float-accumulated norm
-  // would drift below the 4-decimal rounding.
+  // are all reproducible in SQL over the same payload. feat_l2 IS
+  // ‖feature‖₂ of the emitted vector, computed in the integer domain
+  // (decodeWithNorm: √(Σg²)/255 on the decoded luma grid, √(Σc²)/n
+  // on the 64 byte-bin counts for non-image payloads) so both
+  // engines agree bit-for-bit; the oracle models the fallback branch,
+  // which is every row of this text corpus (ImageIO cannot decode
+  // ASCII payloads), and the image branch is MediaCodecSpec-covered.
   val mm02_decode_stub: Q = (s, d) => {
     val spark = s
     val src = Tables.documents(s, d)
@@ -275,20 +288,15 @@ object Multimodal {
       StructField("format", StringType),
       StructField("feature", ArrayType(FloatType)),
       StructField("feat_l2", DoubleType)))
-    val dec: MediaDecoder = ImageIODecoder
     val rdd = src.rdd.mapPartitions { rows =>
       // decoder init happens once per partition (ImageIO registry +
       // setUseCache(false) on first use)
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = r.getAs[Array[Byte]](1)
-        // real header sniffing; pixel decode via the decoder seam
+        // real header sniffing; pixel decode + exact feature norm
         val fmt = ImageHeader.parse(bytes).map(_.format).getOrElse("opaque")
-        val f = dec.decode(bytes)
-        val counts = new Array[Long](16)
-        bytes.foreach(b => counts((b & 0xff) >> 4) += 1)
-        val n = math.max(bytes.length, 1)
-        val l2 = math.sqrt(counts.map(c => c * c).sum.toDouble) / n
+        val (f, l2) = ImageIODecoder.decodeWithNorm(bytes)
         Row(id, bytes.length.toLong, fmt, f.toSeq, math.round(l2 * 10000) / 10000.0)
       }
     }
@@ -374,13 +382,86 @@ object Multimodal {
     h
   }
 
-  /** Near-pairs (hamming ≤ maxHamming) over a (id, phash) frame via
-    * 16-bit band bucketing: candidate generation is an equi-join on
-    * (band, band-bits) — never all pairs — and the exact bit_count
-    * filter verifies. Pigeonhole guarantees full recall only up to
-    * hamming 3 (4 bands); above that banding is approximate, the
-    * standard LSH trade and the same one dd05 makes. Same sublinear
-    * discipline as dd05, applied to the media column.
+  /** Near-pairs via explicit posting-list chunk-spread — the AQE-OFF
+    * remedy for the hot-band corpus (all-black frames: identical sigs
+    * collapse into ONE band bucket whose pair count is quadratic in
+    * the bucket; that volume is inherent to the pair-output contract,
+    * so the job is to DISTRIBUTE it). Oversized postings are cut into
+    * sorted chunks and pairs generated per CHUNK PAIR, repartitioned
+    * so one hot band's work spreads across the cluster instead of
+    * pinning a task — dd02's remedy, carrying (id, sig) structs so no
+    * join-back is needed. Same result set as [[hammingPairs]] (probe
+    * mm04hot asserts it); shipped mm04 uses the join form, which AQE
+    * skew-splits at runtime and which measures faster.
+    */
+  def hammingPairsChunked(sig: DataFrame, maxHamming: Int): DataFrame = {
+    val chunk = 128
+    val postings = sig.toDF("doc_id", "sig")
+      .select(col("doc_id"), col("sig"),
+        posexplode(expr("transform(sequence(0, 3), b -> (sig >> (b * 16)) & 65535L)")))
+      .toDF("doc_id", "sig", "band", "bh")
+      // sorted (doc_id, sig) postings: struct sort is by first field,
+      // so slice-ahead pair generation keeps id1 < id2 for free
+      .groupBy("band", "bh")
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("sig")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    // common case — bucket fits one chunk: direct pair explode
+    val smallPairs = postings.filter(size(col("ds")) <= chunk)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), y ->
+          |    struct(x.doc_id AS id1, x.sig AS sig1,
+          |           y.doc_id AS id2, y.sig AS sig2))))""".stripMargin)).as("p"))
+    // oversized buckets only: chunk-pair rows, repartitioned so one
+    // hot band's ≤ chunk² pair batches spread across tasks
+    val bigPairs = postings.filter(size(col("ds")) > chunk)
+      .select(col("ds"), explode(expr(
+        s"""flatten(transform(sequence(0, int(ceil(size(ds) / $chunk.0)) - 1),
+           |  i -> transform(sequence(i, int(ceil(size(ds) / $chunk.0)) - 1),
+           |    j -> struct(i AS ci, j AS cj))))""".stripMargin)).as("cp"))
+      .select(expr(s"slice(ds, cp.ci * $chunk + 1, $chunk)").as("a"),
+        expr(s"slice(ds, cp.cj * $chunk + 1, $chunk)").as("b"),
+        (col("cp.ci") === col("cp.cj")).as("same"))
+      .repartition(col("a"), col("b"))
+      .select(explode(expr(
+        """CASE WHEN same THEN
+          |  flatten(transform(a, (x, i) ->
+          |    transform(slice(a, i + 2, size(a)), y ->
+          |      struct(x.doc_id AS id1, x.sig AS sig1,
+          |             y.doc_id AS id2, y.sig AS sig2))))
+          |ELSE
+          |  flatten(transform(a, x -> transform(b, y ->
+          |    struct(x.doc_id AS id1, x.sig AS sig1,
+          |           y.doc_id AS id2, y.sig AS sig2))))
+          |END""".stripMargin)).as("p"))
+    smallPairs.unionAll(bigPairs)
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
+        expr("bit_count(p.sig1 ^ p.sig2)").cast("long").as("hamming"))
+      // filter BEFORE distinct: hamming is a function of the pair, so
+      // the order is result-identical, but band collisions far
+      // outnumber verified near-pairs — dedup only the survivors
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** The shipped near-pair plan: the band-bucket EQUI-JOIN. Unlike
+    * dd02's posting-explode (whose chunk² pairs land in one
+    * unsplittable ROW, forcing the chunk-spread above), a join key's
+    * skew is runtime-splittable — AQE's OptimizeSkewedJoin spreads a
+    * hot band's quadratic output across tasks by splitting the
+    * oversized partition and replicating the matching side. Measured
+    * (ScaleProbe `mm04hot`, 2M sigs, 8192-doc hot band, local[32]):
+    * join 44 s (AQE) / 38 s (off) vs 84 s chunked — the posting
+    * groupBy+repartition costs more than it saves at local scale,
+    * where the verify-shuffle dominates (per the probe-honesty
+    * discipline, the local numbers bound overhead; the one-task
+    * pinning they can't exhibit is what AQE's split addresses on a
+    * cluster). [[hammingPairsChunked]] is kept as the explicit
+    * remedy for AQE-off deployments. A truly degenerate corpus
+    * (millions of IDENTICAL sigs) breaks the pair CONTRACT itself —
+    * the clique is quadratic no matter the plan; collapse hamming-0
+    * groups to representatives first (exact groupBy on sig, dd01
+    * style) and band only representatives.
     */
   def hammingPairs(sig: DataFrame, maxHamming: Int): DataFrame = {
     val bands = sig.toDF("doc_id", "sig")
@@ -719,14 +800,15 @@ object Multimodal {
         |  CAST(coalesce(min(CASE WHEN sad > 2000 THEN f + 1 END), -1) AS BIGINT) AS first_cut
         |FROM d LEFT JOIN p USING (doc_id)
         |GROUP BY d.doc_id, nf ORDER BY d.doc_id""".stripMargin,
-    // mm02: the byte-nibble histogram L2 and the magic-byte format
-    // sniff are both SQL-expressible (documents are ASCII, so chars
-    // align with payload bytes; PNG/JPEG magic can't occur in text,
-    // GIF/BMP prefixes mirror ImageHeader.parse's length guards)
+    // mm02: the 64-bin byte-histogram L2 (the fallback feature's true
+    // norm — text payloads never decode as images) and the magic-byte
+    // format sniff are both SQL-expressible (documents are ASCII, so
+    // chars align with payload bytes; PNG/JPEG magic can't occur in
+    // text, GIF/BMP prefixes mirror ImageHeader.parse's length guards)
     "mm02_decode_stub" ->
       """WITH d AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS len FROM documents),
         |bins AS (
-        |  SELECT doc_id, unicode(substr(text, i, 1)) // 16 AS bin, count(*) AS c
+        |  SELECT doc_id, unicode(substr(text, i, 1)) // 4 AS bin, count(*) AS c
         |  FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i FROM d)
         |  GROUP BY doc_id, bin),
         |s AS (SELECT doc_id, sum(c * c) AS ss FROM bins GROUP BY doc_id)

@@ -131,6 +131,16 @@ trait MergeTableBloom { this: MergeTable.type =>
     * leaves a consistent index: before = old segment intact, after =
     * new segment live and the stale data dir awaits vacuum's
     * orphan sweep.
+    *
+    * Deliberately NOT [[SegmentPointer.publish]] (it was distilled
+    * from this code): that protocol is one marker naming THE live
+    * segment of a root, with an all-but-`keep` orphan sweep. The
+    * bloom index is a FAMILY of pointers — one per (column, hash
+    * config) segment name, many live at once — and its sweep keeps
+    * the pointed SET (vacuum side), which the single-`keep` helper
+    * cannot express without growing a second shape. Same store, same
+    * atomic-replace flip, same name-not-path discipline; only the
+    * cardinality is bespoke.
     */
   private[operators] def publishBloomSeg(dir: String, name: String,
                               dataName: String): Unit =

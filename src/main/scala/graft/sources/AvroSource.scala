@@ -221,20 +221,30 @@ object AvroSource {
         // limit()/take() abandon iterators mid-way).
         var closed = false
         def closeOnce(): Unit = if (!closed) { closed = true; st.close(); in.close() }
-        Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+        val taskCtx = Option(org.apache.spark.TaskContext.get())
+        taskCtx.foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
         val base = st.iterator().asScala
-        new Iterator[Row] {
+        val lazyRows = new Iterator[Row] {
           def hasNext: Boolean = {
             val h = !closed && base.hasNext
             if (!h) closeOnce()
             h
           }
-          def next(): Row = {
-            val rec = base.next()
-            Row.fromSeq(fields.map(f => toSpark(rec.get(f.pos()), f.schema())))
-          }
+          // a record that fails Avro decode or Spark conversion must
+          // not strand the container stream open behind the throw
+          def next(): Row =
+            try {
+              val rec = base.next()
+              Row.fromSeq(fields.map(f => toSpark(rec.get(f.pos()), f.schema())))
+            } catch { case e: Throwable => closeOnce(); throw e }
         }
+        // no TaskContext (driver-side direct invocation, e.g. a test
+        // calling the RDD function) means no completion hook: an
+        // ABANDONED iterator would leak the file handle until GC, so
+        // only task execution gets the streaming path — the driver
+        // fallback drains eagerly and closes before returning
+        if (taskCtx.isDefined) lazyRows
+        else try lazyRows.toVector finally closeOnce()
       }
     spark.createDataFrame(rows, sparkSchema)
   }

@@ -175,9 +175,24 @@ object Sources {
     * LOUDLY (the `_gen-` dirs are `_`-hidden — no data files to
     * infer a schema from), never silently half-reads: long-running
     * ingests read through [[readCompacted]].
+    *
+    * `retainMs` is the concurrent-reader grace window (the same
+    * posture as MergeTable vacuum's `minAgeMs`): with a positive
+    * value the superseded generation is NOT deleted at flip time —
+    * a `_retired-<gen>` marker records when it was unlinked from
+    * `_head`, and a later pass's sweep reclaims it only once the
+    * marker is older than `retainMs`, so a reader that resolved the
+    * old pointer just before the flip can finish its scan. The
+    * default 0 keeps immediate retirement, which is safe only for
+    * quiesced directories (no scan in flight across the flip). The
+    * window is generation-to-generation: the one-time plain-layout
+    * migration still retires the root files immediately — quiesce
+    * for that first pass. Crash between flip and marker write
+    * degrades to no-grace for that one generation (the sweep sees an
+    * unmarked orphan); data is never at risk.
     */
   def compact(spark: SparkSession, path: String, targetFiles: Int,
-              format: String = "parquet"): Unit = {
+              format: String = "parquet", retainMs: Long = 0L): Unit = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     import graft.operators.SegmentPointer
@@ -217,12 +232,39 @@ object Sources {
           graft.IndexLifecycle.deleteRecursively(p.toString)
       } finally ls.close()
     }
+    // retire-with-grace bookkeeping: `_retired-<gen>` markers record
+    // WHEN a generation was unlinked from `_head` (marker mtime =
+    // retirement time); the sweep keeps a marked generation until the
+    // marker is older than retainMs
+    def retiredMarker(gen: String) = Paths.get(path, s"_retired-$gen")
+    def sweepGens(): Unit = {
+      val now = System.currentTimeMillis()
+      val ls = Files.list(Paths.get(path))
+      val entries =
+        try ls.iterator().asScala.map(_.getFileName.toString).toVector
+        finally ls.close()
+      val gens = entries.filter(_.startsWith("_gen-")).toSet
+      // dangling markers (crash between gen delete and marker delete)
+      entries.filter(_.startsWith("_retired-"))
+        .filterNot(m => gens.contains(m.stripPrefix("_retired-")))
+        .foreach(m => Files.deleteIfExists(Paths.get(path, m)))
+      gens.filterNot(liveSeg.contains).foreach { g =>
+        val mk = retiredMarker(g)
+        val inGrace = Files.exists(mk) &&
+          now - Files.getLastModifiedTime(mk).toMillis < retainMs
+        if (!inGrace) {
+          graft.IndexLifecycle.deleteRecursively(s"$path/$g")
+          Files.deleteIfExists(mk)
+        }
+      }
+    }
     // sweep crash debris: orphan generations (a crashed pass's
-    // not-yet-flipped dir), the pre-r15 siblings (safe now — the live
-    // dir verifiably holds data), and — once migrated — any root
-    // files a crashed post-flip retire left behind
+    // not-yet-flipped dir; grace-marked retirees wait out retainMs),
+    // the pre-r15 siblings (safe now — the live dir verifiably holds
+    // data), and — once migrated — any root files a crashed
+    // post-flip retire left behind
     legacySiblings.foreach(graft.IndexLifecycle.deleteRecursively)
-    SegmentPointer.sweepOrphans(path, "_gen-", liveSeg)
+    sweepGens()
     val migrated = liveSeg.nonEmpty
     if (migrated) sweepRootFiles()
     val gen = SegmentPointer.newSegName("_gen-")
@@ -232,9 +274,15 @@ object Sources {
     // the flip: one atomic pointer PUT
     SegmentPointer.publish(path, "_head", gen)
     // retire the superseded data (orphans if we crash before this —
-    // the sweep above reclaims them on the next pass)
-    if (migrated) graft.IndexLifecycle.deleteRecursively(live)
-    else sweepRootFiles()
+    // the sweep above reclaims them on the next pass): immediately by
+    // default, or via a timestamped grace marker when retainMs asks
+    // for a concurrent-reader window
+    if (migrated) {
+      if (retainMs > 0L) {
+        try Files.createFile(retiredMarker(liveSeg.get))
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      } else graft.IndexLifecycle.deleteRecursively(live)
+    } else sweepRootFiles()
   }
 
   /** The live data dir of a possibly-[[compact]]ed directory: the

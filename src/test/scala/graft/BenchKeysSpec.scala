@@ -43,13 +43,17 @@ class BenchKeysSpec extends AnyFunSuite {
     val sbtTrailer = 80 // "[success] Total time: ..." after our line
     val est = line.length + sbtTrailer
     assert(est < 1980, s"worst-case bench line + trailer $est chars crowds the 2000-char parse window")
-    // DEGRADED worst case: a fully-saturated capped contended list
-    // plus the count-only healed field — the runs the cap exists for
-    // must fit too (rps contention needs no extra field: rps vs
-    // rps_best is always on the line)
-    val degraded = est +
-      Bench.contendedField((1 to 50).map(i => f"q$i%02d")).length +
-      """"healed":134,""".length
+    // DEGRADED worst case: the contended field at its longest form —
+    // either exactly `cap` keys named (pick the 5 longest real short
+    // keys) or the count-only overflow — plus the count-only healed
+    // field. The runs the cap exists for must fit too (rps contention
+    // needs no extra field: rps vs rps_best is always on the line).
+    val longest5 = Bench.allBenchKeys.map(Bench.shortKey)
+      .sortBy(-_.length).take(5)
+    val contWorst = math.max(
+      Bench.contendedField(longest5).length,
+      Bench.contendedField((1 to 500).map(i => s"q$i")).length)
+    val degraded = est + contWorst + """"healed":134,""".length
     assert(degraded < 1995,
       s"degraded bench line + trailer $degraded chars crowds the parse window")
   }
@@ -94,11 +98,15 @@ class BenchKeysSpec extends AnyFunSuite {
     assert(!Bench.runLooksContended(Seq("a" -> 1.0), Map("a" -> 0.0)))
   }
 
-  test("the stdout contended list is capped at 5 keys plus a count") {
+  test("the stdout contended list names keys up to the cap, then collapses to a count") {
     assert(Bench.contendedField(Nil) == "")
     assert(Bench.contendedField(Seq("a", "b")) == """"contended":["a","b"],""")
+    assert(Bench.contendedField(Seq("a", "b", "c", "d", "e")) ==
+      """"contended":["a","b","c","d","e"],""")
+    // past the cap: count-only (distinct key so one field never has
+    // two JSON types); the full key list rides BENCH_DETAIL.json
     val full = Bench.contendedField(Seq("a", "b", "c", "d", "e", "f", "g"))
-    assert(full == """"contended":["a","b","c","d","e"],"contended_more":2,""")
+    assert(full == """"contended_n":7,""")
     // the field length is bounded no matter how degraded the run
     assert(Bench.contendedField((1 to 500).map(i => s"q$i")).length < 80)
   }

@@ -171,6 +171,37 @@ class SourcesSpec extends SparkSpecBase {
     assert(Sources.readCompacted(spark, "parquet", path).count() == rows)
   }
 
+  test("compaction retainMs: superseded generation survives the grace window, then sweeps") {
+    import java.nio.file.{Files, Paths}
+    val path = tmpDir("src-compact-retain") + "/t"
+    Tables.region(spark, sfDir).repartition(4).write.parquet(path)
+    val rows = spark.read.parquet(path).count()
+    val hour = 3600L * 1000
+    Sources.compact(spark, path, targetFiles = 2, retainMs = hour)
+    val gen1 = Sources.compactedDataDir(path)
+    // generation-to-generation flip inside the grace window: the old
+    // generation stays readable for an in-flight scan that resolved
+    // the pre-flip pointer, and a `_retired-` marker records when it
+    // was unlinked
+    Sources.compact(spark, path, targetFiles = 1, retainMs = hour)
+    val gen2 = Sources.compactedDataDir(path)
+    assert(gen2 != gen1)
+    val marker = Paths.get(path, "_retired-" + Paths.get(gen1).getFileName)
+    assert(Files.exists(Paths.get(gen1)), "retired generation deleted inside grace")
+    assert(Files.exists(marker), "no retirement marker for the superseded generation")
+    assert(spark.read.parquet(gen1).count() == rows, "retiree unreadable inside grace")
+    // a further pass inside the window still keeps it
+    Sources.compact(spark, path, targetFiles = 2, retainMs = hour)
+    assert(Files.exists(Paths.get(gen1)))
+    // age the marker past the window: next pass reclaims dir + marker
+    Files.setLastModifiedTime(marker,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 2 * hour))
+    Sources.compact(spark, path, targetFiles = 1, retainMs = hour)
+    assert(!Files.exists(Paths.get(gen1)), "generation survived past its grace window")
+    assert(!Files.exists(marker), "stale retirement marker survived the sweep")
+    assert(Sources.readCompacted(spark, "parquet", path).count() == rows)
+  }
+
   test("compaction refuses to sweep pre-r15 backups while the live dir holds no data") {
     val path = tmpDir("src-compact-crash") + "/t"
     // model the pre-r15 two-rename crash window exactly: path→path.old
