@@ -344,14 +344,14 @@ object Bench {
     // when nonempty, and CAPPED (see cappedField: named keys while
     // they fit, a count-only `contended_n` past the cap) — exactly
     // the degraded runs that produce long lists are the ones that
-    // must not push the stdout line past the harness's parse window.
+    // must not push the stdout line past the harness's parse window;
+    // assembleLine applies the final shedding ladder at emit time.
     // The full lists live in BENCH_DETAIL.json. `contended` is the
     // POST-heal verdict (what a reader must still distrust);
     // `healed` is the COUNT of rows the end-of-run re-measure
     // corrected (a count, not a list: both fields saturated at once
     // is exactly the degraded run that must stay inside the parse
     // window — the healed KEYS are in BENCH_DETAIL.json).
-    val contShorts = contendedField(contendedFinal.map(shortKey))
     val healShorts =
       if (healedKeys.isEmpty) "" else s""""healed":${healedKeys.size},"""
     // no separate rps_contended ids on stdout: `rps` (medians) and
@@ -409,7 +409,10 @@ object Bench {
     // eats the harness's 2000-char tail window, and BenchKeysSpec
     // fails the build when the worst-case line crowds it
     val sfShort = sfDir.split('/').lastOption.getOrElse(sfDir)
-    println(s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","batch":${fmt(batchSecs, 1)},"batch_min":${fmt(batchMinSecs, 1)},"reps":$reps,"queries":$qs,$errShorts$contShorts$healShorts"rps":$thrJson,"rps_best":$thrBestJson,"sf":"$sfShort"}""")
+    println(assembleLine(
+      s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","batch":${fmt(batchSecs, 1)},"batch_min":${fmt(batchMinSecs, 1)},"reps":$reps,"queries":$qs,""",
+      errShorts, contendedFinal.map(shortKey), healShorts,
+      thrJson, thrBestJson, sfShort))
     System.out.flush()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} row(s) FAILED: " +
@@ -483,6 +486,38 @@ object Bench {
 
   private[graft] def contendedField(shortKeys: Seq[String], cap: Int = 5): String =
     cappedField("contended", shortKeys, cap)
+
+  /** Assemble the stdout record line, shedding optional diagnostics
+    * when the assembled line would crowd the harness's 2000-char tail
+    * window (an sbt trailer of ~80 chars follows it). Ladder, applied
+    * only as needed: (1) the named contended list collapses to the
+    * count-only `contended_n` form; (2) `rps_best` drops (the
+    * per-stage contention ratio then lives only in BENCH_DETAIL).
+    * `errors` is NEVER shed — a failed row must stay visible in the
+    * parsed record — and everything shed is in BENCH_DETAIL.json
+    * verbatim. BenchKeysSpec drives the ladder on the synthetic
+    * worst case, so registry growth fails the build only when even
+    * the fully-shed line cannot fit.
+    */
+  private[graft] def assembleLine(prefix: String, errShorts: String,
+      contendedShorts: Seq[String], healShorts: String,
+      rps: String, rpsBest: String, sfShort: String,
+      budget: Int = 1920): String = {
+    def mk(cont: String, withBest: Boolean): String =
+      prefix + errShorts + cont + healShorts +
+        "\"rps\":" + rps +
+        (if (withBest) ",\"rps_best\":" + rpsBest else "") +
+        ",\"sf\":\"" + sfShort + "\"}"
+    val full = mk(contendedField(contendedShorts), withBest = true)
+    if (full.length <= budget) full
+    else {
+      val countCont =
+        if (contendedShorts.isEmpty) ""
+        else s""""contended_n":${contendedShorts.size},"""
+      val shed1 = mk(countCont, withBest = true)
+      if (shed1.length <= budget) shed1 else mk(countCont, withBest = false)
+    }
+  }
 
   /** Whether the WHOLE run looks contended (globally slow reps the
     * per-row gates can't each catch): the medians' sum sits > 15%

@@ -276,6 +276,32 @@ object Pipeline {
     * two sessions) benching the same corpus dir must not race one
     * shared dir's delete-then-write cycle.
     */
+  /** pp13: overlapping token-window chunking — the embedding/RAG
+    * splitter a retrieval corpus build runs ahead of the embedder:
+    * W-token windows every S tokens (W−S tokens of overlap so no
+    * boundary context is lost), the last window covering the tail.
+    * Chunk count per doc is 1 + ⌈max(n−W, 0)/S⌉ over n tokens; the
+    * ceil runs on a non-negative value so both engines agree (ceil
+    * of a negative ratio rounds toward zero and differs). One narrow
+    * per-row explode, NO shuffle — mm03's frame-sampler shape on the
+    * token axis; at 100 TB this is a pure map stage whose output
+    * feeds ann0x/dd0x over chunks instead of docs.
+    */
+  val pp13_chunk_windows: Q = (s, d) => {
+    val W = 64; val S = 48
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(toksExpr).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), col("t"), explode(expr(
+        s"sequence(0, cast(ceil(greatest(size(t) - $W, 0) / $S.0) as int))")).as("ci"))
+      .select(col("doc_id"),
+        col("ci").cast("long").as("chunk_idx"),
+        (col("ci").cast("long") * S).as("start_tok"),
+        expr(s"size(slice(t, ci * $S + 1, $W))").cast("long").as("n_toks"),
+        expr(s"array_join(slice(t, ci * $S + 1, $W), ' ')").as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val pp12_shard_files: Q = (s, d) => {
     val out = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"),
@@ -559,6 +585,7 @@ object Pipeline {
   }
 
   val registry: Map[String, Q] = Map(
+    "pp13_chunk_windows" -> pp13_chunk_windows,
     "pp12_shard_files" -> pp12_shard_files,
     "pp11_full_build" -> pp11_full_build,
     "pp10_gate_report" -> pp10_gate_report,
@@ -586,6 +613,22 @@ object Pipeline {
       |FROM r GROUP BY shard ORDER BY shard""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // pp13: DuckDB list slicing t[a:b] is 1-based inclusive and
+    // clamps like Spark's slice(t, a, len); the ceil runs on a
+    // greatest(.., 0) value on both sides (negative-ratio ceil
+    // semantics differ between engines)
+    "pp13_chunk_windows" ->
+      s"""WITH x AS (SELECT doc_id, $sqlToks AS t FROM documents),
+         |n AS (SELECT doc_id, t, len(t) AS n FROM x WHERE len(t) > 0),
+         |k AS (SELECT doc_id, t,
+         |        unnest(generate_series(0,
+         |          CAST(ceil(greatest(n - 64, 0) / 48.0) AS BIGINT))) AS ci
+         |      FROM n)
+         |SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+         |  CAST(ci * 48 AS BIGINT) AS start_tok,
+         |  CAST(len(t[ci * 48 + 1 : ci * 48 + 64]) AS BIGINT) AS n_toks,
+         |  array_to_string(t[ci * 48 + 1 : ci * 48 + 64], ' ') AS chunk_text
+         |FROM k ORDER BY doc_id, chunk_idx""".stripMargin,
     // pp11 embeds the tx16 gate oracle and pp05's shingle CTEs
     // verbatim — the same anti-drift discipline as pp10
     "pp11_full_build" ->

@@ -43,19 +43,20 @@ class BenchKeysSpec extends AnyFunSuite {
     val sbtTrailer = 80 // "[success] Total time: ..." after our line
     val est = line.length + sbtTrailer
     assert(est < 1980, s"worst-case bench line + trailer $est chars crowds the 2000-char parse window")
-    // DEGRADED worst case: the contended field at its longest form —
-    // either exactly `cap` keys named (pick the 5 longest real short
-    // keys) or the count-only overflow — plus the count-only healed
-    // field. The runs the cap exists for must fit too (rps contention
-    // needs no extra field: rps vs rps_best is always on the line).
+    // DEGRADED worst case goes through the emit path itself:
+    // assembleLine's shedding ladder (named contended → count-only →
+    // drop rps_best) must land even the saturated-diagnostics line
+    // inside the window. Use the 5 longest real short keys as the
+    // contended set (the named form's longest shape) plus the healed
+    // count field.
     val longest5 = Bench.allBenchKeys.map(Bench.shortKey)
       .sortBy(-_.length).take(5)
-    val contWorst = math.max(
-      Bench.contendedField(longest5).length,
-      Bench.contendedField((1 to 500).map(i => s"q$i")).length)
-    val degraded = est + contWorst + """"healed":134,""".length
-    assert(degraded < 1995,
-      s"degraded bench line + trailer $degraded chars crowds the parse window")
+    val prefix = s"""{"metric":"total","value":9999.9,"unit":"sec","batch":9999.9,"batch_min":9999.9,"reps":99,"queries":$qs,"""
+    val rps = "[999999,999999,999999,999999]"
+    val degraded = Bench.assembleLine(prefix, "", longest5,
+      """"healed":134,""", rps, rps, "sf0.1")
+    assert(degraded.length + sbtTrailer < 2000,
+      s"degraded bench line + trailer ${degraded.length + sbtTrailer} chars crowds the parse window")
   }
 
   test("heal folds a re-measure in by min, never worsens, and names what changed") {
@@ -109,6 +110,29 @@ class BenchKeysSpec extends AnyFunSuite {
     assert(full == """"contended_n":7,""")
     // the field length is bounded no matter how degraded the run
     assert(Bench.contendedField((1 to 500).map(i => s"q$i")).length < 80)
+  }
+
+  test("assembleLine sheds diagnostics only under pressure, errors never") {
+    val prefix = """{"metric":"total","value":1.0,"unit":"sec","queries":{},"""
+    val rps = "[1,2]"
+    def line(budget: Int) = Bench.assembleLine(prefix, """"errors":["x"],""",
+      Seq("a", "b"), """"healed":2,""", rps, rps, "sf", budget)
+    // roomy budget: named contended + rps_best both present
+    val full = line(2000)
+    assert(full.contains(""""contended":["a","b"]""") && full.contains("rps_best"))
+    // tight: contended collapses to the count, rps_best survives
+    val shed1 = line(full.length - 1)
+    assert(shed1.contains(""""contended_n":2""") && shed1.contains("rps_best"))
+    assert(!shed1.contains(""""contended":["""))
+    // tighter still: rps_best drops too; errors and healed stay put
+    val shed2 = line(shed1.length - 1)
+    assert(!shed2.contains("rps_best") && shed2.contains(""""rps":[1,2]"""))
+    assert(shed2.contains(""""errors":["x"]""") && shed2.contains(""""healed":2"""))
+    // every rung is valid JSON shape: one object, balanced braces
+    Seq(full, shed1, shed2).foreach { l =>
+      assert(l.startsWith("{") && l.endsWith("}") &&
+        l.count(_ == '{') == l.count(_ == '}'), l)
+    }
   }
 
   test("contention flags need BOTH gates: >2x the best rep AND >0.25s above it") {

@@ -470,6 +470,37 @@ class OperatorsSpec extends SparkSpecBase {
     assert(packed.values.map(_._2).sum == total, "token volume not conserved across chunks")
   }
 
+  test("pp13 chunks reconstruct the token stream: count formula, tail coverage, overlap") {
+    val W = 64; val S = 48
+    val toks = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq)
+      .filter(_._2.nonEmpty).toMap
+    val chunks = pipeline.Pipeline.pp13_chunk_windows(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+    assert(chunks.keySet == toks.keySet, "chunked doc set != tokenized doc set")
+    toks.foreach { case (id, t) =>
+      val n = t.length
+      val got = chunks(id).sortBy(_.getLong(1))
+      // 1 + ceil(max(n-W,0)/S) windows, indexed densely from 0
+      assert(got.length == 1 + math.ceil(math.max(n - W, 0) / S.toDouble).toInt,
+        s"doc $id: ${got.length} chunks over $n tokens")
+      assert(got.map(_.getLong(1)).toSeq == (0L until got.length.toLong),
+        s"doc $id: chunk_idx not dense")
+      got.foreach { r =>
+        val start = r.getLong(2).toInt
+        val want = t.slice(start, start + W)
+        assert(r.getLong(1) * S == start, s"doc $id: stride broken")
+        assert(r.getLong(3) == want.length, s"doc $id chunk ${r.getLong(1)}: n_toks")
+        assert(r.getString(4) == want.mkString(" "),
+          s"doc $id chunk ${r.getLong(1)}: text != token window")
+      }
+      // the last window reaches the final token: nothing truncated
+      assert(got.last.getLong(2) + got.last.getLong(3) >= n,
+        s"doc $id: tail uncovered")
+    }
+  }
+
   test("pp05 flags exactly the train docs sharing a 5-gram with the eval split") {
     // independent driver-side formulation over the tiny spec corpus
     def grams(text: String): Set[String] = {
