@@ -334,12 +334,14 @@ object Bench {
     // r7 shape (13 broken queries billing 0.05 s each) can no longer
     // masquerade as an improvement.
     def jstr(s: String): String = Bench.jstr(s)
-    // only present when something failed — a clean run keeps the
-    // stdout line inside the harness's 2000-char parse window
+    // only present when something failed — and CAPPED like contended
+    // (names while ≤5 fail, a count-only `errors_n` past that): a
+    // mass-failure run is exactly the record that must stay parseable,
+    // and the field's job on stdout is visibility (the nonzero exit
+    // and BENCH_DETAIL's full messages carry the specifics). The
+    // shedding ladder never touches this field.
     val errShorts =
-      if (errors.isEmpty) ""
-      else errors.keys.toSeq.sorted.map(k => jstr(shortKey(k)))
-        .mkString("\"errors\":[", ",", "],")
+      cappedField("errors", errors.keys.toSeq.sorted.map(shortKey))
     // contended/healed rows ride stdout like errors: present only
     // when nonempty, and CAPPED (see cappedField: named keys while
     // they fit, a count-only `contended_n` past the cap) — exactly
@@ -511,9 +513,10 @@ object Bench {
     val full = mk(contendedField(contendedShorts), withBest = true)
     if (full.length <= budget) full
     else {
-      val countCont =
-        if (contendedShorts.isEmpty) ""
-        else s""""contended_n":${contendedShorts.size},"""
+      // cap 0 = cappedField's count-only form — ONE source for the
+      // `contended_n` spelling whether the collapse happens at cap
+      // time or under budget pressure
+      val countCont = contendedField(contendedShorts, cap = 0)
       val shed1 = mk(countCont, withBest = true)
       if (shed1.length <= budget) shed1 else mk(countCont, withBest = false)
     }

@@ -27,9 +27,9 @@ import org.apache.spark.sql.functions._
   *   ScaleProbe pr     [rows] — pr01's checkpoint cadence (1/3/10)
   *   ScaleProbe bitmap64 [rows] — q58's sparse-sketch rollup table vs
   *                              re-aggregating the facts per level
-  *   ScaleProbe mm04hot [rows [hot]] — hammingPairs' chunk-spread on
+  *   ScaleProbe mm04hot [rows [hot]] — the shipped band join (AQE
+  *                              on/off) vs the chunk-spread remedy on
   *                              a near-constant corpus (one hot band)
-  *                              vs the band self-join it replaced
   *   ScaleProbe restoreclone [rows] — q67/q68's O(manifest) restore +
   *                              shallow clone vs the O(table) deep copy
   *   ScaleProbe bloommaint [rows] — the bloom sidecar's delta-sized
@@ -1432,14 +1432,15 @@ object ScaleProbe {
         // corpus (all-black frames, every sig identical) collapses
         // into ONE band bucket whose pair volume is quadratic in the
         // bucket — inherent to the pair-output contract, so the
-        // question is DISTRIBUTION, not avoidance. Contrast
-        // hammingPairs' chunk-spread (a hot bucket's pair batches
-        // repartitioned across tasks) against the pre-r17 band
-        // self-join, which lands the whole bucket's quadratic output
-        // in the tasks that own one (band, bits) key. Run at 2M rows:
-        // uniform 64-bit sigs keep background buckets tiny, so the
-        // hot bucket dominates and the contrast isolates it.
-        val hot = args.lift(2).map(_.toInt).getOrElse(8192)
+        // question is DISTRIBUTION, not avoidance. Contrast the
+        // SHIPPED band equi-join (hammingPairs — AQE skew-splits its
+        // hot key at runtime; also timed with AQE off) against the
+        // explicit chunk-spread alternative (hammingPairsChunked, the
+        // AQE-off remedy). Run at 2M rows: uniform 64-bit sigs keep
+        // background buckets tiny, so the hot bucket dominates and
+        // the contrast isolates it.
+        val hot = math.min(
+          args.lift(2).map(_.toLong).getOrElse(8192L), rows).toInt
         val sigs = spark.range(rows).select(col("id").as("doc_id"),
           when(col("id") < hot, lit(-1L)) // the all-black aHash: all ones
             .otherwise(xxhash64(col("id"))).as("sig"))
@@ -1451,27 +1452,17 @@ object ScaleProbe {
             f"${(System.nanoTime() - t0) / 1e9}%.2f s, $n pairs")
           n
         }
-        def selfJoin = {
-          val bands = sigs.toDF("doc_id", "sig")
-            .select(col("doc_id"), col("sig"), posexplode(expr(
-              "transform(sequence(0, 3), b -> (sig >> (b * 16)) & 65535L)")))
-            .toDF("doc_id", "sig", "band", "bh")
-          bands.toDF("id1", "sig1", "band", "bh")
-            .join(bands.toDF("id2", "sig2", "band2", "bh2"),
-              col("band") === col("band2") && col("bh") === col("bh2") &&
-                col("id1") < col("id2"))
-            .select(col("id1"), col("id2"),
-              expr("bit_count(sig1 ^ sig2)").cast("long").as("hamming"))
-            .filter(col("hamming") <= 10).distinct()
-        }
+        // the SHIPPED plan itself, not a copy that could drift from it
         val spread = timed("chunk-spread postings")(
           multimodal.Multimodal.hammingPairsChunked(sigs, 10))
-        val naiveOn = timed("band self-join, AQE skew-split on")(selfJoin)
+        val joinOn = timed("shipped band join, AQE skew-split on")(
+          multimodal.Multimodal.hammingPairs(sigs, 10))
         spark.conf.set("spark.sql.adaptive.enabled", false)
-        val naiveOff = timed("band self-join, AQE off")(selfJoin)
+        val joinOff = timed("shipped band join, AQE off")(
+          multimodal.Multimodal.hammingPairs(sigs, 10))
         spark.conf.set("spark.sql.adaptive.enabled", true)
-        require(spread == naiveOn && naiveOn == naiveOff && spread >= expected,
-          s"hot-band pair sets disagree: $spread / $naiveOn / $naiveOff, expected>=$expected")
+        require(spread == joinOn && joinOn == joinOff && spread >= expected,
+          s"hot-band pair sets disagree: $spread / $joinOn / $joinOff, expected>=$expected")
 
       case other =>
         System.err.println(s"unknown probe '$other'; use topn | cumsum | incr | hh | bloom | skew | tri | pr | bitmap64 | annappend | build | tx17vocab | merge | drift | dd13sig | ivfcompact | ivm | bloomidx | bloommaint | partialz | ckpt | dv | dvdiet | mm04hot")

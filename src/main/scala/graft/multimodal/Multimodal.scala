@@ -96,14 +96,17 @@ object Multimodal {
       else {
         val w = img.getWidth; val h = img.getHeight
         val raster = img.getRaster
-        val oneBand = raster.getNumBands == 1
-        // >8-bit single-band rasters (e.g. 16-bit grayscale PNG) read
-        // raw samples 0..2^bits-1: shift down to the documented 0..255
-        // grid so deep-gray images stay on-contract with the 8-bit and
-        // multi-band paths (exact — a pure truncating right shift)
-        val grayShift =
-          if (oneBand) math.max(raster.getSampleModel.getSampleSize(0) - 8, 0)
-          else 0
+        // the raw-sample fast path is only sound for true GRAYSCALE
+        // single-band rasters: an indexed image (GIF, palette PNG/BMP)
+        // is also one band but its samples are PALETTE INDICES, not
+        // brightness — those must resolve through the color model
+        // (getRGB) like any multi-band image. Gray samples scale to
+        // the documented 0..255 grid on both sides of 8 bits: >8-bit
+        // (16-bit gray PNG) truncating right shift, <8-bit (1/2/4-bit
+        // B/W) exact integer expansion v*255/(2^bits−1).
+        val gray = raster.getNumBands == 1 &&
+          !img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]
+        val grayBits = if (gray) raster.getSampleModel.getSampleSize(0) else 8
         val sums = new Array[Long](64); val cnts = new Array[Long](64)
         var y = 0
         while (y < h) {
@@ -111,8 +114,12 @@ object Multimodal {
           var x = 0
           while (x < w) {
             val luma =
-              if (oneBand) raster.getSample(x, y, 0) >> grayShift
-              else {
+              if (gray) {
+                val v = raster.getSample(x, y, 0)
+                if (grayBits > 8) v >> (grayBits - 8)
+                else if (grayBits < 8) v * 255 / ((1 << grayBits) - 1)
+                else v
+              } else {
                 val rgb = img.getRGB(x, y)
                 (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
                   (rgb & 0xff) * 114) / 1000

@@ -180,9 +180,12 @@ object Sources {
     * posture as MergeTable vacuum's `minAgeMs`): with a positive
     * value the superseded generation is NOT deleted at flip time —
     * a `_retired-<gen>` marker records when it was unlinked from
-    * `_head`, and a later pass's sweep reclaims it only once the
-    * marker is older than `retainMs`, so a reader that resolved the
-    * old pointer just before the flip can finish its scan. The
+    * `_head` (mtime) and the granted window (body), and a later
+    * pass's sweep reclaims it only once the marker has outlived ITS
+    * OWN recorded window — the promise travels with the marker, so
+    * a later compact with a different (or default) retainMs cannot
+    * cut short a grace some earlier caller granted. So a reader that
+    * resolved the old pointer just before the flip can finish. The
     * default 0 keeps immediate retirement, which is safe only for
     * quiesced directories (no scan in flight across the flip). The
     * window is generation-to-generation: the one-time plain-layout
@@ -234,8 +237,12 @@ object Sources {
     }
     // retire-with-grace bookkeeping: `_retired-<gen>` markers record
     // WHEN a generation was unlinked from `_head` (marker mtime =
-    // retirement time); the sweep keeps a marked generation until the
-    // marker is older than retainMs
+    // retirement time) and carry the RETIRING call's window as their
+    // body — the promise must travel with the marker, or a later
+    // default-retainMs pass would sweep a generation still inside a
+    // window some other caller granted. An unreadable/garbage body
+    // reads as window 0 (no grace), the same degradation as a crash
+    // between flip and marker write.
     def retiredMarker(gen: String) = Paths.get(path, s"_retired-$gen")
     def sweepGens(): Unit = {
       val now = System.currentTimeMillis()
@@ -250,8 +257,12 @@ object Sources {
         .foreach(m => Files.deleteIfExists(Paths.get(path, m)))
       gens.filterNot(liveSeg.contains).foreach { g =>
         val mk = retiredMarker(g)
-        val inGrace = Files.exists(mk) &&
-          now - Files.getLastModifiedTime(mk).toMillis < retainMs
+        val inGrace = Files.exists(mk) && {
+          val window =
+            try new String(Files.readAllBytes(mk), "UTF-8").trim.toLong
+            catch { case _: Exception => 0L }
+          now - Files.getLastModifiedTime(mk).toMillis < window
+        }
         if (!inGrace) {
           graft.IndexLifecycle.deleteRecursively(s"$path/$g")
           Files.deleteIfExists(mk)
@@ -278,10 +289,10 @@ object Sources {
     // default, or via a timestamped grace marker when retainMs asks
     // for a concurrent-reader window
     if (migrated) {
-      if (retainMs > 0L) {
-        try Files.createFile(retiredMarker(liveSeg.get))
-        catch { case _: java.nio.file.FileAlreadyExistsException => () }
-      } else graft.IndexLifecycle.deleteRecursively(live)
+      if (retainMs > 0L)
+        Files.write(retiredMarker(liveSeg.get),
+          (retainMs.toString + "\n").getBytes("UTF-8"))
+      else graft.IndexLifecycle.deleteRecursively(live)
     } else sweepRootFiles()
   }
 

@@ -46,17 +46,23 @@ class BenchKeysSpec extends AnyFunSuite {
     // DEGRADED worst case goes through the emit path itself:
     // assembleLine's shedding ladder (named contended → count-only →
     // drop rps_best) must land even the saturated-diagnostics line
-    // inside the window. Use the 5 longest real short keys as the
-    // contended set (the named form's longest shape) plus the healed
-    // count field.
+    // inside the window. Saturate EVERY diagnostic at its longest
+    // form: errors capped at 5 named keys (the ladder never sheds
+    // them), contended at the named-form cap with the 5 longest real
+    // short keys, plus the healed count field.
     val longest5 = Bench.allBenchKeys.map(Bench.shortKey)
       .sortBy(-_.length).take(5)
+    val errWorst = Bench.cappedField("errors", longest5)
     val prefix = s"""{"metric":"total","value":9999.9,"unit":"sec","batch":9999.9,"batch_min":9999.9,"reps":99,"queries":$qs,"""
     val rps = "[999999,999999,999999,999999]"
-    val degraded = Bench.assembleLine(prefix, "", longest5,
+    val degraded = Bench.assembleLine(prefix, errWorst, longest5,
       """"healed":134,""", rps, rps, "sf0.1")
     assert(degraded.length + sbtTrailer < 2000,
       s"degraded bench line + trailer ${degraded.length + sbtTrailer} chars crowds the parse window")
+    // the mass-failure record parses too: >cap errors collapse to the
+    // bounded errors_n count, never an unbounded name list
+    assert(Bench.cappedField("errors", (1 to 60).map(i => s"q$i")) ==
+      """"errors_n":60,""")
   }
 
   test("heal folds a re-measure in by min, never worsens, and names what changed") {

@@ -1169,15 +1169,16 @@ class OperatorsSpec extends SparkSpecBase {
     assert(out.nonEmpty)
     assert(out.forall(_.getAs[Long]("feat_dim") == 64L))
     // feat_l2 is the emitted feature's L2 norm: the L1-normalized
-    // histogram fallback bounds it by 1 (Σh=1, h≥0 ⇒ Σh² ≤ 1); a
-    // decoded image's 64-dim luma/255 grid bounds it by √64 = 8.
-    // This ASCII corpus never decodes, so every row takes the tight
-    // bound — keyed off the sniffed format so a future fixture with
-    // real image payloads degrades to the image bound, not a red spec.
+    // histogram fallback bounds it by 1 (Σh=1, h≥0 ⇒ Σh² ≤ 1) and is
+    // strictly positive for any non-empty payload; a decoded image's
+    // 64-dim luma/255 grid bounds it by √64 = 8 and CAN be 0 (an
+    // all-black frame). Keyed off the sniffed format so a future
+    // fixture with real image payloads degrades to the image bound,
+    // not a red spec.
     assert(out.forall { r =>
       val l2 = r.getAs[Double]("feat_l2")
-      val bound = if (r.getAs[String]("format") == "opaque") 1.0 else 8.0
-      l2 > 0 && l2 <= bound
+      if (r.getAs[String]("format") == "opaque") l2 > 0 && l2 <= 1.0
+      else l2 >= 0 && l2 <= 8.0
     })
   }
 

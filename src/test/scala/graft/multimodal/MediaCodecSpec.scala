@@ -79,6 +79,29 @@ class MediaCodecSpec extends SparkSpecBase {
     assert(grid.forall(_ == 255 * 299 / 1000)) // (255*299+0+0)/1000 = 76
   }
 
+  test("ImageIODecoder resolves indexed images (GIF) through the palette, not raw indices") {
+    // a palettized single-band image's samples are palette INDICES —
+    // the decoder must go through the color model. Constant
+    // (100,150,200): BT.601 luma (100*299+150*587+200*114)/1000 = 140
+    val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, (100 << 16) | (150 << 8) | 200)
+    val bos = new ByteArrayOutputStream(); ImageIO.write(img, "gif", bos)
+    val decoded = ImageIO.read(new java.io.ByteArrayInputStream(bos.toByteArray))
+    assert(decoded.getColorModel.isInstanceOf[java.awt.image.IndexColorModel],
+      "fixture did not palettize — test needs a different encoder")
+    val grid = ImageIODecoder.lumaGrid(bos.toByteArray).get
+    assert(grid.forall(_ == 140), s"palette indices leaked as luma: ${grid.toSeq.distinct}")
+  }
+
+  test("ImageIODecoder scales 16-bit grayscale down to the 0..255 grid contract") {
+    val img = new BufferedImage(8, 8, BufferedImage.TYPE_USHORT_GRAY)
+    val r = img.getRaster
+    for (y <- 0 until 8; x <- 0 until 8) r.setSample(x, y, 0, 0x8040) // >> 8 = 0x80
+    val bos = new ByteArrayOutputStream(); ImageIO.write(img, "png", bos)
+    val grid = ImageIODecoder.lumaGrid(bos.toByteArray).get
+    assert(grid.forall(_ == 0x80), s"16-bit samples off the 0..255 grid: ${grid.toSeq.distinct}")
+  }
+
   test("ImageIODecoder falls back to a 64-bin histogram for non-image payloads") {
     val f = ImageIODecoder.decode("some plain text payload".getBytes)
     assert(f.length == 64)

@@ -190,9 +190,11 @@ class SourcesSpec extends SparkSpecBase {
     assert(Files.exists(Paths.get(gen1)), "retired generation deleted inside grace")
     assert(Files.exists(marker), "no retirement marker for the superseded generation")
     assert(spark.read.parquet(gen1).count() == rows, "retiree unreadable inside grace")
-    // a further pass inside the window still keeps it
-    Sources.compact(spark, path, targetFiles = 2, retainMs = hour)
-    assert(Files.exists(Paths.get(gen1)))
+    // the window travels WITH the marker: a later pass using the
+    // DEFAULT retainMs (0) must still honor the hour gen1 was granted
+    Sources.compact(spark, path, targetFiles = 2)
+    assert(Files.exists(Paths.get(gen1)),
+      "a default-retainMs pass cut short an earlier call's grace window")
     // age the marker past the window: next pass reclaims dir + marker
     Files.setLastModifiedTime(marker,
       java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 2 * hour))
