@@ -1,9 +1,7 @@
 package graft.operators
 
-import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import scala.jdk.CollectionConverters._
 
 /** Deletion vectors (segmented, batch-sized dvdelete commits) and the
   * CDC read side (changesBetween / pollChanges / changesStream) that
@@ -88,7 +86,9 @@ trait MergeTableDeltas { this: MergeTable.type =>
     */
   def dvInfo(dir: String, gen: Int): Option[(Seq[String], Long)] = {
     val m = metaAt(dir, gen)
-    m.get("dv").map(n => (n.split(',').toSeq.filter(_.nonEmpty),
+    // one grammar for the dv list: dvSegmentsOf (an inline re-parse
+    // here could silently diverge from the read path's)
+    m.get("dv").map(_ => (dvSegmentsOf(m),
       m.get("dv_rows").flatMap(_.toLongOption).getOrElse(-1L)))
   }
 
@@ -296,11 +296,19 @@ trait MergeTableDeltas { this: MergeTable.type =>
         prevSegs :+ segName
       }
     man.coalesce(1).write.parquet(manifestDirOf(dir, next, token))
-    val prevRows = metaAt(dir, prevGen).get("dv_rows")
-      .flatMap(_.toLongOption).getOrElse(0L)
+    // total hidden rows: additive over disjoint segments — but an
+    // UNKNOWN prior count (a pre-segment-era meta with no dv_rows, or
+    // a recorded -1) must stay unknown, not read as 0: a confidently
+    // wrong small total would mislead dvInfo/CLI AND trip dvFrameAt's
+    // broadcast gate into hashing an arbitrarily large vector
+    val prevRowsOpt = metaAt(dir, prevGen).get("dv_rows")
+      .flatMap(_.toLongOption)
+    val totalRows =
+      if (prevSegs.nonEmpty && prevRowsOpt.forall(_ < 0)) -1L
+      else prevRowsOpt.getOrElse(0L) + fresh
     try commitGen(dir, next, token, Map("op" -> "dvdelete",
       "dv" -> newSegs.mkString(","),
-      "dv_rows" -> (prevRows + fresh).toString,
+      "dv_rows" -> totalRows.toString,
       "deleted" -> fresh.toString) ++
       schemaAt(dir, prevGen).map(sch => Map("schema" -> sch.json)).getOrElse(Map.empty))
     catch {
@@ -311,8 +319,12 @@ trait MergeTableDeltas { this: MergeTable.type =>
     }
     val dvPaths = hits.select("path").distinct().collect()
       .map(r => normPath(r.getString(0))).toSet
-    val touched = allPaths.filter(p => dvPaths.contains(normPath(p)))
-    MergeStats(next, touched, allPaths.filterNot(touched.contains))
+    // one partition pass on the set — Seq.contains per path would be
+    // quadratic at exactly the scattered-GDPR manifest size this op
+    // exists for
+    val (touched, untouched) =
+      allPaths.partition(p => dvPaths.contains(normPath(p)))
+    MergeStats(next, touched, untouched)
   }
 
   /** Convenience overload: keys as literals, typed by the table's
@@ -392,7 +404,13 @@ trait MergeTableDeltas { this: MergeTable.type =>
     // vector-filtered as of its generation: untouched residents
     // cancel in the join and the span's hidden/resurrected rows
     // surface as D/I, with no DML-side bookkeeping.
-    val dvChanged: IndexedSeq[String] = {
+    val dvChanged: IndexedSeq[String] = if (
+      // identical segment LISTS prove identical vectors (segment dirs
+      // are immutable and gen~token-named) — the common CDC span on a
+      // table with a standing vector takes this meta-only exit
+      // instead of full-outer-joining the vector against itself
+      dvSegments(dir, fromGen) == dvSegments(dir, toGen)
+    ) IndexedSeq.empty else {
       val a = dvFrameAt(s, dir, fromGen).map(_.select("path", "pos"))
       val b = dvFrameAt(s, dir, toGen).map(_.select("path", "pos"))
       val changedNorm: Set[String] = (a, b) match {
@@ -427,7 +445,11 @@ trait MergeTableDeltas { this: MergeTable.type =>
     // every untouched row of a rewritten file); the feed's view is the
     // END generation's schema, same posture as the streaming source
     val logCols = schemaAt(dir, toGen).map(_.fieldNames.toSet)
-    val vcols = (o0.columns ++ n0.columns).distinct.filterNot(_ == keyCol)
+    // key excluded case-INSENSITIVELY like every other key resolution
+    // in this API (a caller's 'K' against a table's 'k' must not leak
+    // the key into vcols and emit a duplicate output column)
+    val vcols = (o0.columns ++ n0.columns).distinct
+      .filterNot(_.equalsIgnoreCase(keyCol))
       .filter(c => logCols.forall(_.contains(c))).toSeq
     // align missing columns to the OTHER side's type, not NullType —
     // a typed null keeps the pre/post structs union-compatible below
@@ -443,6 +465,10 @@ trait MergeTableDeltas { this: MergeTable.type =>
       vcols.map(c => col(c).as(s"__n_$c")): _*)
     val differs = vcols.map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
+    // plain (non-null-safe) key equality is sound here because null
+    // keys are unreachable: the gen-0 write guard and merge's batch
+    // gate refuse them (a null-key resident of a rewritten file would
+    // otherwise never match itself and surface as a spurious D+I)
     val joined = o.join(n, Seq(keyCol), "full_outer")
       .withColumn("change_op",
         when(col("__in_n").isNull, lit("D"))

@@ -193,6 +193,15 @@ trait MergeTableDml { this: MergeTable.type =>
       sys.error(s"$dir is not a committed keyed table (no commit log)"))
     val next = prevGen + 1
     val token = newToken()
+    // keyed identity gate (one batch-sized job): a null key can never
+    // be matched by the overlay's equality joins and would poison
+    // every later CDC diff of a rewritten file as a spurious D+I pair
+    // — refuse the batch loudly. Together with the gen-0 write guard
+    // this makes null keys unreachable table-wide, the invariant
+    // changesBetween's full-outer key join relies on.
+    require(changes.filter(col(keyCol).isNull).isEmpty,
+      s"merge batch carries null '$keyCol' keys — a keyed table's key " +
+        "is row identity; null keys can never be matched or diffed")
 
     val man = manifestAt(s, dir, prevGen)
     // manifest path under a reserved alias — a table legitimately
@@ -210,8 +219,9 @@ trait MergeTableDml { this: MergeTable.type =>
         (col("__mn").isNull || col(keyCol) >= col("__mn")) &&
           (col("__mx").isNull || col(keyCol) <= col("__mx")))
       .select("__mf_path").distinct().collect().map(_.getString(0)).toIndexedSeq
+    val touchedSet = touched.toSet // Seq.contains over 10^5 paths is quadratic
     val untouched = man.select("path").collect().map(_.getString(0))
-      .filterNot(touched.contains).toIndexedSeq
+      .filterNot(touchedSet.contains).toIndexedSeq
 
     // Schema evolution: valueCols is the UNION of the table's existing
     // value columns and the batch's. A batch may introduce NEW columns
@@ -357,7 +367,8 @@ trait MergeTableDml { this: MergeTable.type =>
     val next = prevGen + 1
     val token = newToken()
     val touched = small.map(_.getString(0)).toIndexedSeq
-    val untouched = all.filterNot(touched.contains)
+    val touchedSet = touched.toSet // Seq.contains over 10^5 paths is quadratic
+    val untouched = all.filterNot(touchedSet.contains)
     val outFiles = math.max(1,
       math.ceil(small.map(_.getLong(1)).sum.toDouble / targetRows).toInt)
     val staging = dataDirOf(dir, next, token)

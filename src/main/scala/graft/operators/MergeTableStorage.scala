@@ -18,11 +18,24 @@ trait MergeTableStorage { this: MergeTable.type =>
     * per-file key spans are what make min/max pruning selective),
     * stats manifest, marker commit.
     */
+  /** Inline null-key guard for the gen-0 write paths: a keyed
+    * table's key is row identity — a null key can never be matched
+    * by merge/deleteKeys (equality joins skip nulls) and surfaces as
+    * a spurious D+I pair in every CDC diff of a rewritten file. The
+    * guard rides INSIDE the write scan as an assert_true filter
+    * (passes keep every row, a violation throws mid-scan) — a
+    * separate validation count would re-scan a 100 TB load.
+    */
+  private[operators] def requireKeysNotNull(df: DataFrame, keyCol: String): DataFrame =
+    df.filter(assert_true(col(keyCol).isNotNull,
+      lit(s"keyed-table write: null value in key column '$keyCol' — " +
+        "a null key has no row identity (merge/CDC equality never matches it)")).isNull)
+
   def write(s: SparkSession, df: DataFrame, keyCol: String, dir: String,
             nFiles: Int = 16, meta: Map[String, String] = Map.empty): Unit = {
     graft.IndexLifecycle.deleteRecursively(dir)
     val token = newToken()
-    df.repartitionByRange(nFiles, col(keyCol))
+    requireKeysNotNull(df, keyCol).repartitionByRange(nFiles, col(keyCol))
       .write.parquet(dataDirOf(dir, 0, token))
     statsOf(s, dataDirOf(dir, 0, token), keyCol)
       .coalesce(1).write.parquet(manifestDirOf(dir, 0, token))
@@ -58,7 +71,7 @@ trait MergeTableStorage { this: MergeTable.type =>
       case Some(zv) =>
         graft.IndexLifecycle.deleteRecursively(dir)
         val token = newToken()
-        df.withColumn("__zv", zv)
+        requireKeysNotNull(df, keyCol).withColumn("__zv", zv)
           .repartitionByRange(nFiles, col("__zv"))
           .drop("__zv")
           .write.parquet(dataDirOf(dir, 0, token))

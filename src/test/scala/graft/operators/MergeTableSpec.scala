@@ -75,6 +75,32 @@ class MergeTableSpec extends SparkSpecBase {
     assert(got.toSeq == want.toSeq, "pruned merge diverges from whole-table merge")
   }
 
+  test("null keys are refused at every write gate (they have no row identity)") {
+    import spark.implicits._
+    val dir = tmpDir("mergetab-nullkey")
+    // gen-0 write: the inline assert_true guard throws mid-scan
+    val bad = Seq((Some(1L), "a"), (None: Option[Long], "b"))
+      .toDF("k", "seg")
+    val e1 = intercept[Exception] {
+      MergeTable.write(spark, bad, "k", dir, nFiles = 2)
+    }
+    assert(String.valueOf(e1.getMessage).contains("null value in key column") ||
+      Option(e1.getCause).exists(c => String.valueOf(c.getMessage)
+        .contains("null value in key column")), s"wrong error: $e1")
+    // a clean table, then a null-key merge batch: refused before any
+    // staging lands, generation unchanged
+    MergeTable.write(spark, table(100), "k", dir, nFiles = 2)
+    val changes = Seq((Option(10L), "U", "WEB", 1.0),
+      (None: Option[Long], "I", "NEW", 2.0)).toDF("k", "op", "seg", "bal")
+    val e2 = intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, dir, changes, "k")
+    }
+    assert(e2.getMessage.contains("null"), s"wrong error: $e2")
+    assert(MergeTable.committedGen(dir).contains(0),
+      "refused merge advanced the generation")
+    assert(MergeTable.readTable(spark, dir).count() == 100)
+  }
+
   test("crash replay: orphaned staging is invisible, swept by vacuum, committed gen intact") {
     import spark.implicits._
     val dir = tmpDir("mergetab-crash")
