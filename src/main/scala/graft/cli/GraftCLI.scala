@@ -386,7 +386,7 @@ object GraftCLI {
       q.stop()
 
       val last = ExactlyOnceSink.committed(batchOut).max
-      val top = spark.read.parquet(s"$batchOut/batch=$last")
+      val top = spark.read.parquet(ExactlyOnceSink.batchDir(batchOut, last))
         .orderBy(col("cnt").desc, col("word"))
         .collect().map(r => s"${r.getString(0)},${r.getLong(1)}")
       Files.createDirectories(Paths.get(outDir))

@@ -20,32 +20,90 @@ object ExactlyOnceSink {
 
   private def commitsDir(outDir: String) = Paths.get(outDir, "_commits")
 
-  /** Returns a foreachBatch function writing each micro-batch to
-    * `$outDir/batch=<id>` exactly once: a batch already recorded in
-    * the commit log is skipped on redelivery, so replays after a
-    * crash cannot duplicate output. Commit order: data first, then
-    * the marker — a crash between the two re-writes the same batch
-    * directory (idempotent overwrite), never double-commits.
+  /** The committed data dir for `batchId`. Since r17 the marker BODY
+    * names the winning write-once tokened dir (`batch=<id>~<token>`);
+    * an empty pre-r17 marker body or a legacy line-file commit
+    * resolves to the un-tokened `batch=<id>` those writers used. A
+    * path-shaped or wrong-batch body reads as the legacy layout —
+    * the corrupted-marker posture (never alias outside the batch's
+    * own namespace).
+    */
+  def batchDir(outDir: String, batchId: Long): String = {
+    val body = graft.operators.CommitStore.forDir(outDir)
+      .read(commitsDir(outDir).resolve(s"b$batchId"))
+      .map(b => new String(b, "UTF-8").trim).getOrElse("")
+    if (body.startsWith(s"batch=$batchId~") &&
+        !body.contains('/') && !body.contains('\\')) s"$outDir/$body"
+    else s"$outDir/batch=$batchId"
+  }
+
+  /** Returns a foreachBatch function writing each micro-batch under
+    * `outDir` exactly once: a batch already recorded in the commit
+    * log is skipped on redelivery, so replays after a crash cannot
+    * duplicate output. WRITE-ONCE discipline (r17): each attempt
+    * lands in its own tokened `batch=<id>~<token>` dir and one
+    * putIfAbsent of that NAME commits it — a zombie replay that
+    * loses the race deletes its OWN attempt and can never touch the
+    * winner's bytes (the pre-r17 in-place overwrite of `batch=<id>`
+    * let a zombie dying mid-write tear an already-committed batch).
+    * The winner sweeps earlier crashed attempts' orphan dirs; a
+    * zombie's attempt swept mid-write just fails the zombie's job.
     *
     * The log is one marker FILE per batch (`_commits/b<id>`) through
     * the [[graft.operators.CommitStore]] seam — not an append-only
     * line file, because APPEND is the other POSIX-only primitive
     * (object stores have no append, and a torn concurrent append can
-    * corrupt every earlier line; one putIfAbsent per batch commits
-    * each id at most once even under a zombie replay). Legacy
-    * `_committed` line files from pre-r15 sinks are still READ, so an
-    * existing output dir resumes where it left off.
+    * corrupt every earlier line). Legacy `_committed` line files from
+    * pre-r15 sinks are still READ, so an existing output dir resumes
+    * where it left off. Readers resolve dirs via [[batchDir]].
     */
   def toDir(outDir: String): (DataFrame, Long) => Unit = {
     (batch: DataFrame, batchId: Long) => {
       Files.createDirectories(Paths.get(outDir))
-      if (!committed(outDir).contains(batchId)) {
-        batch.write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        graft.operators.CommitStore.forDir(outDir)
-          .putIfAbsent(commitsDir(outDir).resolve(s"b$batchId"),
-            Array.emptyByteArray): Unit
+      val store = graft.operators.CommitStore.forDir(outDir)
+      val marker = commitsDir(outDir).resolve(s"b$batchId")
+      // O(1) fast path on the batch's own marker — the full
+      // committed() listing grows with stream lifetime and was being
+      // paid per micro-batch; the legacy line file is only consulted
+      // when the marker is absent
+      val already = store.exists(marker) ||
+        legacyCommitted(outDir).contains(batchId)
+      if (!already) {
+        val name = s"batch=$batchId~${graft.operators.WriterToken.next()}"
+        batch.write.parquet(s"$outDir/$name")
+        if (store.putIfAbsent(marker, (name + "\n").getBytes("UTF-8")))
+          sweepAttempts(outDir, batchId, keep = name)
+        else graft.IndexLifecycle.deleteRecursively(s"$outDir/$name")
       }
     }
+  }
+
+  /** Reclaim `batch=<id>~*` dirs of crashed earlier attempts once a
+    * winner is named — keeps debris bounded without a per-batch
+    * directory listing on the skip path. Shared with
+    * [[NearDupIngestSink]]'s data phase.
+    */
+  private[streaming] def sweepAttempts(outDir: String, batchId: Long, keep: String): Unit = {
+    val p = Paths.get(outDir)
+    if (!Files.isDirectory(p)) return
+    val ls = Files.list(p)
+    try ls.iterator().asScala.foreach { e =>
+      val n = e.getFileName.toString
+      if (n.startsWith(s"batch=$batchId~") && n != keep)
+        graft.IndexLifecycle.deleteRecursively(e.toString)
+    } finally ls.close()
+  }
+
+  /** Legacy pre-r15 `_committed` line-file ids; torn lines (no
+    * trailing newline + a concatenated next append) fail toLongOption
+    * and read as uncommitted — replay heals.
+    */
+  private def legacyCommitted(outDir: String): Set[Long] = {
+    val legacy = Paths.get(outDir, "_committed")
+    if (Files.exists(legacy))
+      Files.readAllLines(legacy).asScala.filter(_.nonEmpty)
+        .flatMap(_.toLongOption).toSet
+    else Set.empty[Long]
   }
 
   /** Committed batch ids (the sink-side clock): the `_commits/b<id>`
@@ -56,13 +114,21 @@ object ExactlyOnceSink {
       .list(commitsDir(outDir))
       .flatMap(n => if (n.startsWith("b")) n.drop(1).toLongOption else None)
       .toSet
-    val legacy = Paths.get(outDir, "_committed")
-    val legacyIds =
-      if (Files.exists(legacy))
-        Files.readAllLines(legacy).asScala.filter(_.nonEmpty)
-          .flatMap(_.toLongOption).toSet
-      else Set.empty[Long]
-    markers ++ legacyIds
+    markers ++ legacyCommitted(outDir)
+  }
+
+  /** Drop a batch's commit (marker or tokened data dir may outlive
+    * the other by a crash; both are removed, marker first so the id
+    * leaves the committed clock before its bytes do). For retention
+    * sweeps of snapshot-style sinks; legacy line-file ids cannot be
+    * retired (append-only file) and are left listed — their dirs are
+    * still reclaimed.
+    */
+  private[streaming] def retire(outDir: String, batchId: Long): Unit = {
+    val dir = batchDir(outDir, batchId) // resolve BEFORE the marker goes
+    graft.operators.CommitStore.forDir(outDir)
+      .delete(commitsDir(outDir).resolve(s"b$batchId"))
+    graft.IndexLifecycle.deleteRecursively(dir)
   }
 }
 
@@ -82,6 +148,9 @@ object ExactlyOnceSink {
   * top file before replay.
   */
 final class TopNUpdateSink(outDir: String, n: Int) extends Serializable {
+  require(n > 0, s"TopNUpdateSink wants n > 0, got $n") // n=0 would
+  // select the pruning branch on an EMPTY state map and die on
+  // .values.min at the first batch — fail at construction instead
   private val monoid = TopN(n)
   @transient private var state: Map[String, Long] = null
   /** Rows the last batch actually delivered to the driver (after the
@@ -116,12 +185,22 @@ final class TopNUpdateSink(outDir: String, n: Int) extends Serializable {
     import spark.implicits._
     val top = state.toSeq.sortBy { case (k, v) => (-v, k) }.toDF("word", "cnt")
     ExactlyOnceSink.toDir(outDir)(top, batchId)
+    // retention: each batch writes a FULL top-N snapshot and only the
+    // newest is ever restored, so the older (marker, dir) pairs are
+    // reclaimed — otherwise a 1 s-trigger stream accretes ~86k
+    // snapshot dirs/day, and ext4 directories never shrink after
+    // such entry peaks. Delta-style sinks (toDir users whose batches
+    // are each real output) keep everything; snapshots don't.
+    val ids = ExactlyOnceSink.committed(outDir).toSeq.sorted
+    ids.dropRight(keepSnapshots).foreach(ExactlyOnceSink.retire(outDir, _))
   }
+
+  private val keepSnapshots = 8
 
   private def restore(spark: org.apache.spark.sql.SparkSession): Map[String, Long] = {
     val ids = ExactlyOnceSink.committed(outDir)
     if (ids.isEmpty) monoid.empty
-    else spark.read.parquet(s"$outDir/batch=${ids.max}")
+    else spark.read.parquet(ExactlyOnceSink.batchDir(outDir, ids.max))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 }
@@ -169,51 +248,86 @@ final class NearDupIngestSink(indexTable: String, outDir: String,
   private def marksDir = Paths.get(outDir, "_phasemarks")
   private def legacyLog = Paths.get(outDir, "_phases")
 
+  /** Well-formed legacy `_phases` entries: exactly `<digits>:(data|
+    * index)`. A torn pre-r15 append (no trailing newline, the next
+    * append concatenates: `4:dat5:index`, `5:`, `x:index`) reads as
+    * UNCOMMITTED so replay heals — the corrupted-marker posture
+    * everywhere else in the repo. The old prefix/suffix parsing
+    * either crashed on such lines (`split(':')(1)` AIOOBE, unguarded
+    * `.toLong`) or, worse, marked the WRONG batch fully ingested
+    * (`4:dat5:index`.endsWith(":index") credited batch 4).
+    */
+  private def legacyPhases: Seq[(Long, String)] =
+    if (!Files.exists(legacyLog)) Seq.empty
+    else {
+      val wellFormed = "^(\\d+):(data|index)$".r
+      Files.readAllLines(legacyLog).asScala.toSeq.collect {
+        case wellFormed(id, ph) => (id.toLong, ph)
+      }
+    }
+
   private def phases(batchId: Long): Set[String] = {
-    // the name must be EXACTLY b<id>-<phase>: PosixCommitStore's
-    // crash-staging debris (`b<id>-data.tmp-<nonce>`) would otherwise
-    // strip into a phantom "data.tmp-…" phase string — harmless to
-    // today's exact contains() checks, a trap for prefix-style ones
-    // (ExactlyOnceSink.committed filters the analogous debris)
-    val valid = Set("data", "index")
-    val marks = graft.operators.CommitStore.forDir(outDir)
-      .list(marksDir)
-      .collect { case n if n.startsWith(s"b$batchId-") =>
-        n.stripPrefix(s"b$batchId-") }
-      .filter(valid)
-      .toSet
-    val legacy =
-      if (Files.exists(legacyLog))
-        Files.readAllLines(legacyLog).asScala
-          .filter(_.startsWith(s"$batchId:")).map(_.split(':')(1)).toSet
-      else Set.empty[String]
-    marks ++ legacy
+    // O(1) exact-name existence probes (marker names are exactly
+    // b<id>-<phase>, so PosixCommitStore's crash-staging debris
+    // `b<id>-data.tmp-<nonce>` can never match); the pre-r17 full
+    // listing of _phasemarks grew with stream lifetime and was paid
+    // per micro-batch. Legacy line file consulted only when the
+    // markers alone don't already answer.
+    val store = graft.operators.CommitStore.forDir(outDir)
+    val marks = Set("data", "index")
+      .filter(ph => store.exists(marksDir.resolve(s"b$batchId-$ph")))
+    if (marks.size == 2) marks
+    else marks ++ legacyPhases.collect { case (id, ph) if id == batchId => ph }
   }
 
-  private def mark(batchId: Long, phase: String): Unit =
+  private def mark(batchId: Long, phase: String, body: String = ""): Unit =
     graft.operators.CommitStore.forDir(outDir)
       .putIfAbsent(marksDir.resolve(s"b$batchId-$phase"),
-        Array.emptyByteArray): Unit
+        body.getBytes("UTF-8")): Unit
+
+  /** The committed admitted-docs dir for `batchId`: the `data` marker
+    * body names the winning tokened dir (write-once, as in
+    * [[ExactlyOnceSink.batchDir]]); empty pre-r17 bodies and legacy
+    * commits resolve to the un-tokened `batch=<id>`.
+    */
+  def dataDirOf(batchId: Long): String = {
+    val body = graft.operators.CommitStore.forDir(outDir)
+      .read(marksDir.resolve(s"b$batchId-data"))
+      .map(b => new String(b, "UTF-8").trim).getOrElse("")
+    if (body.startsWith(s"batch=$batchId~") &&
+        !body.contains('/') && !body.contains('\\')) s"$outDir/$body"
+    else s"$outDir/batch=$batchId"
+  }
 
   def apply(batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
     Files.createDirectories(Paths.get(outDir))
     val done = phases(batchId)
     if (done.contains("index")) return // fully committed — replay no-op
-    val dataDir = s"$outDir/batch=$batchId"
     if (!done.contains("data")) {
       val dupes = graft.dedup.Dedup
         .neardupDelta(s, graft.dedup.Dedup.sigsOf(batch), indexTable, tau)
         .select(col("delta_id").as("doc_id")).distinct()
+      // write-once: this attempt's own tokened dir; the data marker's
+      // putIfAbsent names the winner. The pre-r17 in-place overwrite
+      // let a ZOMBIE replay racing a new driver re-gate against an
+      // index that already holds this batch's signatures — judging
+      // every doc a self-near-dup and overwriting the committed
+      // output with an EMPTY admitted set under green markers.
+      val name = s"batch=$batchId~${graft.operators.WriterToken.next()}"
       batch.join(dupes, Seq("doc_id"), "left_anti")
-        .write.mode("overwrite").parquet(dataDir)
-      mark(batchId, "data")
+        .write.parquet(s"$outDir/$name")
+      if (graft.operators.CommitStore.forDir(outDir)
+          .putIfAbsent(marksDir.resolve(s"b$batchId-data"),
+            (name + "\n").getBytes("UTF-8")))
+        ExactlyOnceSink.sweepAttempts(outDir, batchId, keep = name)
+      else graft.IndexLifecycle.deleteRecursively(s"$outDir/$name")
     }
     // index phase reads the COMMITTED output back, never the live
     // batch — so a replay resuming here indexes exactly what phase 1
     // admitted, even if the in-flight batch could re-gate differently
     graft.dedup.Dedup.appendToLshIndex(s, indexTable,
-      graft.dedup.Dedup.sigsOf(s.read.parquet(dataDir)))
+      graft.dedup.Dedup.sigsOf(s.read.parquet(dataDirOf(batchId))))
     mark(batchId, "index")
   }
 
@@ -224,13 +338,7 @@ final class NearDupIngestSink(indexTable: String, outDir: String,
       .collect { case n if n.startsWith("b") && n.endsWith("-index") =>
         n.stripPrefix("b").stripSuffix("-index") }
       .flatMap(_.toLongOption).toSet
-    val legacy =
-      if (Files.exists(legacyLog))
-        Files.readAllLines(legacyLog).asScala.collect {
-          case l if l.endsWith(":index") => l.split(':')(0).toLong
-        }.toSet
-      else Set.empty[Long]
-    marks ++ legacy
+    marks ++ legacyPhases.collect { case (id, "index") => id }.toSet
   }
 }
 

@@ -18,7 +18,7 @@ class BackpressureSpec extends SparkSpecBase {
 
   private def topWords(out: String): Map[String, Long] = {
     val last = ExactlyOnceSink.committed(out).max
-    spark.read.parquet(s"$out/batch=$last").collect()
+    spark.read.parquet(graft.streaming.ExactlyOnceSink.batchDir(out, last)).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 

@@ -43,7 +43,9 @@ class IngestSpec extends SparkSpecBase {
   }
 
   private def admitted(outDir: String, batchId: Long): Set[Long] =
-    spark.read.parquet(s"$outDir/batch=$batchId")
+    // resolve through the data marker like the sink's own index phase
+    // (since r17 the winning dir is tokened; legacy dirs stay plain)
+    spark.read.parquet(new NearDupIngestSink("unused", outDir).dataDirOf(batchId))
       .select("doc_id").collect().map(_.getLong(0)).toSet
 
   test("ingest gate drops index near-dups, commits admitted docs, is gated by its own commits") {
@@ -77,6 +79,23 @@ class IngestSpec extends SparkSpecBase {
           "batch 1 must be gated by batch 0's committed docs")
         assert(sink.committed == Set(0L, 1L))
       } finally q.stop()
+    }
+  }
+
+  test("torn legacy _phases lines read as uncommitted — replay heals, never crashes or credits the wrong batch") {
+    withIngest { (table, outDir, sink) =>
+      java.nio.file.Files.createDirectories(java.nio.file.Path.of(outDir))
+      // the pre-r15 torn-append corruption shapes: a concatenated pair
+      // (batch 4 must NOT read as index-committed), a dangling colon,
+      // and a non-numeric id (both crashed the old split-based parse)
+      java.nio.file.Files.write(java.nio.file.Path.of(outDir, "_phases"),
+        "4:dat5:index\n5:\nx:index\n6:index\n".getBytes)
+      assert(sink.committed == Set(6L),
+        s"torn lines mis-read: ${sink.committed}")
+      // batch 4 replays in full (both phases) — heals, not skips
+      sink(Seq((40L, novelA)).toDF("doc_id", "text"), 4L)
+      assert(sink.committed == Set(4L, 6L))
+      assert(admitted(outDir, 4) == Set(40L))
     }
   }
 

@@ -26,7 +26,7 @@ class StreamingSpec extends SparkSpecBase {
       val committed = ExactlyOnceSink.committed(out)
       assert(committed.nonEmpty)
       val last = committed.max
-      val top = spark.read.parquet(s"$out/batch=$last")
+      val top = spark.read.parquet(ExactlyOnceSink.batchDir(out, last))
         .orderBy(col("cnt").desc, col("word"))
         .as[(String, Long)].collect().toList
       // totals over both batches: the=4, cat=2, rest=1 (top3 tie-break asc)
@@ -46,8 +46,33 @@ class StreamingSpec extends SparkSpecBase {
     sink(Seq(("DUPLICATE", 99L)).toDF("k", "v"), 0L)
     sink(Seq(("b", 2L)).toDF("k", "v"), 1L)
     assert(ExactlyOnceSink.committed(out) == Set(0L, 1L))
-    val b0 = spark.read.parquet(s"$out/batch=0").as[(String, Long)].collect().toList
+    val b0 = spark.read.parquet(ExactlyOnceSink.batchDir(out, 0)).as[(String, Long)].collect().toList
     assert(b0 == List(("a", 1L)))
+  }
+
+  test("exactly-once sink: write-once attempts — crash debris swept, committed bytes never rewritten") {
+    val out = tmpDir("eo-attempts")
+    java.nio.file.Files.createDirectories(java.nio.file.Path.of(out))
+    // a crashed earlier attempt's orphan (write ran, marker never
+    // landed): the next successful commit must sweep it
+    val orphan = java.nio.file.Path.of(out, "batch=0~deadattempt")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("junk.parquet"), Array[Byte](1))
+    val sink = ExactlyOnceSink.toDir(out)
+    sink(Seq(("a", 1L)).toDF("k", "v"), 0L)
+    assert(!java.nio.file.Files.exists(orphan), "crashed attempt not swept")
+    val winner = ExactlyOnceSink.batchDir(out, 0)
+    assert(winner.contains("batch=0~"), s"marker body did not name a tokened dir: $winner")
+    assert(spark.read.parquet(winner).as[(String, Long)].collect().toList ==
+      List(("a", 1L)))
+    // replay with different data: the committed dir is untouched —
+    // write-once means no code path ever opens the winner for write
+    val mt = java.nio.file.Files.getLastModifiedTime(java.nio.file.Path.of(winner))
+    sink(Seq(("REWRITE", 9L)).toDF("k", "v"), 0L)
+    assert(spark.read.parquet(ExactlyOnceSink.batchDir(out, 0))
+      .as[(String, Long)].collect().toList == List(("a", 1L)))
+    assert(java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Path.of(winner)) == mt, "committed dir bytes touched on replay")
   }
 
   test("exactly-once sink: the batch log rides the CommitStore and honors legacy line files") {
@@ -64,7 +89,7 @@ class StreamingSpec extends SparkSpecBase {
       assert(java.nio.file.Files.notExists(
         java.nio.file.Path.of(out, "_commits")),
         "batch markers leaked onto the filesystem past the store")
-      assert(spark.read.parquet(s"$out/batch=0")
+      assert(spark.read.parquet(ExactlyOnceSink.batchDir(out, 0))
         .as[(String, Long)].collect().toList == List(("a", 1L)))
     } finally graft.operators.CommitStore.unregister(out)
     // a pre-r15 output dir (append-line `_committed` log) resumes
@@ -76,9 +101,15 @@ class StreamingSpec extends SparkSpecBase {
       "0\n1\n".getBytes)
     val sink2 = ExactlyOnceSink.toDir(legacy)
     sink2(Seq(("stale", 0L)).toDF("k", "v"), 1L) // replay of a legacy id
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Path.of(legacy, "batch=1")),
-      "a legacy-committed batch id was rewritten")
+    // no batch=1 dir in ANY layout (plain or tokened) may appear
+    locally {
+      import scala.jdk.CollectionConverters._
+      val ls = java.nio.file.Files.list(java.nio.file.Path.of(legacy))
+      val rewritten =
+        try ls.iterator().asScala.exists(_.getFileName.toString.startsWith("batch=1"))
+        finally ls.close()
+      assert(!rewritten, "a legacy-committed batch id was rewritten")
+    }
     sink2(Seq(("c", 3L)).toDF("k", "v"), 2L)
     assert(ExactlyOnceSink.committed(legacy) == Set(0L, 1L, 2L))
   }
@@ -260,7 +291,7 @@ class StreamingSpec extends SparkSpecBase {
             s"no rocksdb state metrics in progress: ${metrics.mkString(",")}")
         }
         val last = ExactlyOnceSink.committed(out).max
-        spark.read.parquet(s"$out/batch=$last")
+        spark.read.parquet(ExactlyOnceSink.batchDir(out, last))
           .orderBy(col("cnt").desc, col("word"))
           .as[(String, Long)].collect().toList
       } finally q.stop()
@@ -340,7 +371,7 @@ class StreamingSpec extends SparkSpecBase {
     q2.stop()
 
     val last = ExactlyOnceSink.committed(out).max
-    val counts = spark.read.parquet(s"$out/batch=$last")
+    val counts = spark.read.parquet(ExactlyOnceSink.batchDir(out, last))
       .as[(String, Long)].collect().toMap
     // state accumulated ACROSS the restart: alpha=3 (2 pre + 1 post)
     assert(counts == Map("alpha" -> 3L, "beta" -> 1L, "gamma" -> 1L))

@@ -12,7 +12,7 @@ class TopNUpdateSpec extends SparkSpecBase {
 
   private def lastTop(out: String): List[(String, Long)] = {
     val last = ExactlyOnceSink.committed(out).max
-    spark.read.parquet(s"$out/batch=$last")
+    spark.read.parquet(ExactlyOnceSink.batchDir(out, last))
       .orderBy(col("cnt").desc, col("word"))
       .as[(String, Long)].collect().toList
   }
@@ -59,7 +59,7 @@ class TopNUpdateSpec extends SparkSpecBase {
     assert(sink.lastIntakeRows == 2,
       s"driver saw ${sink.lastIntakeRows} rows of a 1000-key batch")
     val last = ExactlyOnceSink.committed(out).max
-    val top = spark.read.parquet(s"$out/batch=$last")
+    val top = spark.read.parquet(ExactlyOnceSink.batchDir(out, last))
       .orderBy(col("cnt").desc, col("word"))
       .as[(String, Long)].collect().toList
     assert(top == List(("d", 40L), ("a", 30L), ("b", 21L)))
@@ -78,6 +78,26 @@ class TopNUpdateSpec extends SparkSpecBase {
       sink.lastIntakeRows
     }
     assert(intakes == Seq(1L, 1L, 1L), s"sink intake grew with vocabulary: $intakes")
+  }
+
+  test("snapshot retention: only the newest K survive, restore unaffected; n <= 0 refused") {
+    intercept[IllegalArgumentException](new TopNUpdateSink(tmpDir("tn-bad"), 0))
+    val out = tmpDir("tn-retain")
+    val sink = new TopNUpdateSink(out, 3)
+    (0 until 12).foreach(i =>
+      sink(Seq((s"w$i", 10L + i)).toDF("word", "cnt"), i.toLong))
+    // every batch wrote a full snapshot; only the last 8 remain
+    val ids = ExactlyOnceSink.committed(out)
+    assert(ids == (4L to 11L).toSet, s"retention kept: $ids")
+    import scala.jdk.CollectionConverters._
+    val ls = java.nio.file.Files.list(java.nio.file.Path.of(out))
+    val dirs = try ls.iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("batch=")).toList finally ls.close()
+    assert(dirs.size == 8, s"snapshot dirs not reclaimed: $dirs")
+    // a fresh sink restores from the newest surviving snapshot
+    val sink2 = new TopNUpdateSink(out, 3)
+    sink2(Seq(("tail", 1L)).toDF("word", "cnt"), 12L)
+    assert(lastTop(out).map(_._1) == List("w11", "w10", "w9"))
   }
 
   test("update-mode top-N restores sink state across a restart") {
