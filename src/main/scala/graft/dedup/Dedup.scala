@@ -120,34 +120,49 @@ object Dedup {
       .orderBy("src_a", "src_b")
   }
 
-  // --- dd13: sketch-based cross-source overlap — dd12's governance
-  // question answered from ONE pass of tiny mergeable sketches, no
-  // pair set materialized anywhere: per source (a) a sparse-bitmap
-  // sketch of the 64-bit doc-content fps → EXACT shared-identical-doc
-  // counts via inclusion–exclusion on three sketch cardinalities, and
+  // --- dd13: cross-source overlap ranking — dd12's governance
+  // question answered without materializing any per-doc pair set:
+  // per source-pair (a) EXACT shared-identical-doc counts from a
+  // DISTRIBUTED fp → source-set aggregation (shuffle ∝ distinct
+  // fps; the driver sees only the per-source counts and the
+  // sources²-row matrix — the r17 review killed the old per-source
+  // exact bitmap sketch, whose bytes grew ∝ distinct docs and
+  // .collect()ed a corpus-proportional blob at 1B-doc scale), and
   // (b) a bottom-k signature of the hashed shingle universe →
   // estimated shingle-set Jaccard (content overlap that surfaces a
-  // re-crawl even when the copies aren't byte-identical). dd12 stays
-  // the exact per-pair answer; dd13 is the one-scan ranking that
-  // says WHICH source pairs are worth dd12's candidate/verify cost.
-  // At 100 TB: narrow scans (source + hashes), shuffles carrying one
-  // partial-aggregated sketch row per (task, source), and a
-  // sources²-row matrix — driver-sized by definition, like a
-  // centroid table. Rows-only by design (bottom-k estimation and
-  // xxhash64 fp classes aren't ANSI-expressible); DedupSpec bounds
-  // the estimate against the exact Jaccard and asserts the
-  // exact-overlap column equals a direct count.
+  // re-crawl even when the copies aren't byte-identical) — bounded
+  // at k longs per source, genuinely driver-sized. dd12 stays the
+  // exact per-pair answer; dd13 is the one-scan ranking that says
+  // WHICH source pairs are worth dd12's candidate/verify cost.
+  // Rows-only by design (bottom-k estimation and xxhash64 fp
+  // classes aren't ANSI-expressible); DedupSpec bounds the estimate
+  // against the exact Jaccard and asserts the exact-overlap column
+  // equals a direct count.
   val dd13OverlapK = 512
 
   val dd13_cross_source_overlap: Q = (s, d) => {
     val k = dd13OverlapK
     // (a) exact identical-content overlap: dd01's equality classes
-    // (normText), hashed to 64 bits for the sparse bitmap
-    val fpBytes = Tables.documents(s, d)
+    // (normText) hashed to 64 bits; one distinct + two aggregations,
+    // all distributed, with pair explosion bounded by the source
+    // count (a fp shared by m sources yields m(m-1)/2 struct rows)
+    // localCheckpoint: the distinct classes feed two independent
+    // actions (per-source counts, fp→source-set matrix) — materialize
+    // the scan+distinct once instead of re-running it per collect
+    val perSource = Tables.documents(s, d)
       .select(col("source"), xxhash64(normText(col("text"))).as("fp"))
-      .groupBy("source")
-      .agg(graft.functions.GraftFunctions.bitmap64Agg("fp").as("sk"))
-      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+      .distinct().localCheckpoint()
+    val counts = perSource.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sharedCounts = perSource.groupBy("fp")
+      .agg(sort_array(collect_set("source")).as("ss"))
+      .filter(size(col("ss")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ss, (x, i) ->
+          |  transform(slice(ss, i + 2, size(ss)), y ->
+          |    struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .groupBy("p.a", "p.b").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     // (b) bottom-k shingle signature per source. The heap must sample
     // the shingle SET, not its multiplicity — set semantics live IN
     // the aggregate (topKDistinct: duplicate (score, id) pairs occupy
@@ -163,19 +178,19 @@ object Dedup {
       .agg(graft.functions.GraftFunctions.topKDistinct("nsh", "sh", k).as("sig"))
       .collect().map(r => r.getString(0) ->
         r.getSeq[org.apache.spark.sql.Row](1).map(_.getAs[Long]("id")).toArray).toMap
-    val sources = fpBytes.keys.toSeq.sorted
+    val sources = counts.keys.toSeq.sorted
     val out = for {
       i <- sources.indices
       j <- i + 1 until sources.length
     } yield {
       val (a, b) = (sources(i), sources(j))
-      val ska = graft.functions.SparseBitmap.deserialize(fpBytes(a))
-      val skb = graft.functions.SparseBitmap.deserialize(fpBytes(b))
-      val (ca, cb) = (ska.cardinality, skb.cardinality)
-      ska.or(skb) // ska is a fresh per-pair parse — safe to mutate
-      val shared = ca + cb - ska.cardinality
-      (a, b, ca, cb, shared,
-        math.rint(bottomKJaccard(sigs(a), sigs(b), k) * 10000) / 10000)
+      // a source whose docs are all under 3 tokens produces no
+      // shingles and is absent from sigs — an empty signature
+      // estimates Jaccard 0, it must not crash the whole matrix
+      val (sa, sb) = (sigs.getOrElse(a, Array.empty[Long]),
+        sigs.getOrElse(b, Array.empty[Long]))
+      (a, b, counts(a), counts(b), sharedCounts.getOrElse((a, b), 0L),
+        math.rint(bottomKJaccard(sa, sb, k) * 10000) / 10000)
     }
     import s.implicits._
     out.toDF("src_a", "src_b", "n_content_a", "n_content_b",
@@ -408,7 +423,7 @@ object Dedup {
     val idx = cappedIndex(s, d)
     val pairInter = cand
       .join(idx.toDF("id1", "s"), "id1")
-      .join(idx.toDF("id2", "s2").withColumnRenamed("s2", "s"), Seq("id2", "s"))
+      .join(idx.toDF("id2", "s"), Seq("id2", "s"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
     pairInter
       .join(sizes.toDF("id1", "n1"), "id1")
@@ -550,10 +565,21 @@ object Dedup {
     validate = (s, t) => s.catalog.tableExists(t),
     release = (s, t) => graft.IndexLifecycle.dropTableWithFiles(s, t))
 
+  /** Identifier-safe 64-bit digest of a corpus dir for derived table
+    * names. 64 bits, not the old 32-bit MurmurHash: table names live
+    * in a SHARED catalog keyed only by this digest (the memo is
+    * per-(session, dir)), and a 32-bit birthday collision (~50% at
+    * 77k distinct dirs) would let a second corpus's mode("overwrite")
+    * build silently replace the first's live index while the first's
+    * memo still validated against the catalog.
+    */
+  private def dirDigest(d: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(d.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+
   def fpIndexFor(s: SparkSession, d: String): String =
     fpIdxLife.getOrBuild(s, d) {
-      val table = "graft_fp_idx_" + java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(d) & 0xffffffffL)
+      val table = "graft_fp_idx_" + dirDigest(d)
       val path = java.nio.file.Files.createTempDirectory("graft-fpidx").toString
       // a failed build must not leak its partial table/files: the
       // memo has no entry yet, so no evict call could clean it up
@@ -671,13 +697,19 @@ object Dedup {
   private val lshIdxLife = new graft.IndexLifecycle[String]("dd11-lsh-index",
     validate = (s, t) => s.catalog.tableExists(t + "_bands") &&
       s.catalog.tableExists(t + "_sigs"),
-    release = (s, t) => Seq(t + "_bands", t + "_sigs")
-      .foreach(graft.IndexLifecycle.dropTableWithHome(s, _)))
+    release = (s, t) => {
+      Seq(t + "_bands", t + "_sigs")
+        .foreach(graft.IndexLifecycle.dropTableWithHome(s, _))
+      // the takedown tombstone set is part of THIS index's lifecycle:
+      // left behind, it would both leak and silently re-apply stale
+      // takedowns to a REBUILT index for the same corpus dir (the
+      // deterministic name re-derives), dropping legitimate pairs
+      graft.IndexLifecycle.dropTableWithFiles(s, t + "_tombstones")
+    })
 
   def lshIndexFor(s: SparkSession, d: String): String =
     lshIdxLife.getOrBuild(s, d) {
-      val table = "graft_lsh_idx_" + java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(d) & 0xffffffffL)
+      val table = "graft_lsh_idx_" + dirDigest(d)
       val path = java.nio.file.Files.createTempDirectory("graft-lshidx").toString
       // same guard as fpIndexFor: a half-built index (e.g. _bands
       // written, _sigs failed) is invisible to evictLshIndex — clean
