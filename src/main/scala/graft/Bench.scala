@@ -70,6 +70,11 @@ object Bench {
         errors(name) = ("warm_failed: " + e).take(200)
       }
     }
+    try force(warm)(calibWorkload(warm)) // compile the yardstick's codegen too
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warm calib failed: $e")
+      errors("calib") = ("warm_failed: " + e).take(200)
+    }
     runStreaming(warm, sfDir) // warm the streaming plan too
     operators.MergeTable.cleanupFixtures() // warm pass's tmp fixture tables
     // ERROR for the measured passes: stray WARN lines (e.g. the
@@ -98,8 +103,17 @@ object Bench {
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption)
       .filter(_ >= 1).getOrElse(3)
     var lastSession: SparkSession = null
+    val calibTimes = collection.mutable.ArrayBuffer.empty[Double]
     val repResults = (1 to reps).map { rep =>
       val sess = warm.newSession()
+      // calibration FIRST in each rep, so it samples the same host
+      // state the rep's query rows are about to run under
+      guardRows(Seq("calib"), errors) {
+        val t0 = System.nanoTime()
+        force(sess)(calibWorkload(sess))
+        calibTimes += (System.nanoTime() - t0) / 1e9
+        Seq.empty
+      }
       val (rows, errs) =
         timeAll[(SparkSession, String) => org.apache.spark.sql.DataFrame](
           SparkEntry.queries.toSeq.sortBy(_._1),
@@ -387,8 +401,14 @@ object Bench {
     // heal-pass failures: non-fatal diagnostics (see the fold above)
     val healErrJson = healErrors.toSeq.sortBy(_._1)
       .map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
+    // the calibration record: median (the round's denominator) + min
+    // + raw reps; -1 sentinel when the calib itself failed (the error
+    // row already drives exit 1, but the fields must stay numeric)
+    val calibMed = if (calibTimes.isEmpty) -1.0 else calibMedian(calibTimes.toSeq)
+    val calibMin = if (calibTimes.isEmpty) -1.0 else calibTimes.min
+    val calibRepsJson = calibTimes.mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","batch_seconds":$batchSecs,"batch_min_seconds":$batchMinSecs,"bench_reps":$reps,"queries":$fullQs,"queries_min":${mapJson(minRowsFinal)},"queries_spread":${mapJson(spreadRows)},"contended":$contFull,"contended_preheal":$contPreheal,"healed":$healedFull,"queries_preheal":$prehealJson,"queries_heal":$healJson,"heal_errors":$healErrJson,"run_contended":$runContended,"errors":$errFull,"rep_queries":$repJson,"streaming_throughput":$fullThr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","batch_seconds":$batchSecs,"batch_min_seconds":$batchMinSecs,"bench_reps":$reps,"calib":$calibMed,"calib_min":$calibMin,"calib_reps":$calibRepsJson,"queries":$fullQs,"queries_min":${mapJson(minRowsFinal)},"queries_spread":${mapJson(spreadRows)},"contended":$contFull,"contended_preheal":$contPreheal,"healed":$healedFull,"queries_preheal":$prehealJson,"queries_heal":$healJson,"heal_errors":$healErrJson,"run_contended":$runContended,"errors":$errFull,"rep_queries":$repJson,"streaming_throughput":$fullThr,"sf":"$sfDir"}"""
     // detail goes to the FILE only — r4-r7 all recorded parsed:null
     // because this JSON also went to stderr, whose truncated copy
     // landed inside the harness's 2000-char tail window just before
@@ -412,7 +432,7 @@ object Bench {
     // fails the build when the worst-case line crowds it
     val sfShort = sfDir.split('/').lastOption.getOrElse(sfDir)
     println(assembleLine(
-      s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","batch":${fmt(batchSecs, 1)},"batch_min":${fmt(batchMinSecs, 1)},"reps":$reps,"queries":$qs,""",
+      s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","batch":${fmt(batchSecs, 1)},"batch_min":${fmt(batchMinSecs, 1)},"reps":$reps,"calib":${fmt(calibMed, if (calibMed >= 9.995) 1 else 2)},"queries":$qs,""",
       errShorts, contendedFinal.map(shortKey), healShorts,
       thrJson, thrBestJson, sfShort))
     System.out.flush()
@@ -421,6 +441,42 @@ object Bench {
         errors.keys.toSeq.sorted.mkString(", "))
       sys.exit(1)
     }
+  }
+
+  /** The host-calibration workload: a pinned synthetic job — generated
+    * input (`spark.range`, zero IO), a pure-CPU xxhash64 chain, and
+    * exactly ONE shuffle (a 4096-bucket aggregate) — whose plan never
+    * changes round to round, so its measured seconds vary only with
+    * the HOST (contention, CPU frequency, JIT state). Three straight
+    * verdicts spent space pattern-matching ±15-30% per-row swings on
+    * untouched code against host drift; `calib` turns that argument
+    * into one division — compare rounds by row_time/calib, not raw
+    * seconds (the rule is recorded in PLANS.md). Deterministic by
+    * construction (range + xxhash64, no sampling, no time), so the
+    * calibration can never drift for a data reason. Deliberately NOT
+    * part of `total`/`batch` (it measures the machine, not the
+    * engine) and never healed (its whole job is to RECORD the run's
+    * contention, which the heal pass exists to erase).
+    */
+  private[graft] def calibWorkload(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = spark.range(0L, 96L * 1000 * 1000, 1L, 64)
+    val hashed = (1 to 8).foldLeft(base.select(col("id"), col("id").as("h"))) {
+      (df, _) => df.withColumn("h", xxhash64(col("h"), col("id")))
+    }
+    // bit_xor, not sum: summing 48M uniform 64-bit hashes overflows
+    // long under ANSI mode; xor keeps full entropy overflow-free
+    hashed.groupBy(pmod(col("h"), lit(4096)).as("bucket"))
+      .agg(count(lit(1)).as("cnt"), expr("bit_xor(h)").as("hx"))
+  }
+
+  /** Lower median of the per-rep calib observations (same discipline
+    * as the query rows); NaN only on the empty input that main never
+    * produces.
+    */
+  private[graft] def calibMedian(times: Seq[Double]): Double = {
+    val xs = times.sorted
+    xs((xs.size - 1) / 2)
   }
 
   /** Run every (name, fn) through `run`, timing each; a throwing

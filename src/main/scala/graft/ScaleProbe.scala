@@ -1427,6 +1427,17 @@ object ScaleProbe {
               operators.MergeTable.committedGen(dirD).get).get._2,
           "diet reads drifted from dv_rows accounting")
 
+      case "calib" =>
+        // the bench's host-calibration yardstick, standalone: three
+        // noop-forced runs so a reader can sanity-check what a quiet
+        // machine records before dividing a round's rows by it
+        (1 to 3).foreach { i =>
+          val t0 = System.nanoTime()
+          Bench.calibWorkload(spark)
+            .write.format("noop").mode("overwrite").save()
+          println(f"calib rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+
       case "mm04hot" =>
         // mm04's hot-band claim, measured: a near-constant image
         // corpus (all-black frames, every sig identical) collapses
@@ -1457,15 +1468,18 @@ object ScaleProbe {
           multimodal.Multimodal.hammingPairsChunked(sigs, 10))
         val joinOn = timed("shipped band join, AQE skew-split on")(
           multimodal.Multimodal.hammingPairs(sigs, 10))
+        // restore the PRE-probe value, not a hardcoded true — same
+        // save/restore pattern as the ckpt probe above
+        val aqePrev = spark.conf.get("spark.sql.adaptive.enabled")
         spark.conf.set("spark.sql.adaptive.enabled", false)
         val joinOff = timed("shipped band join, AQE off")(
           multimodal.Multimodal.hammingPairs(sigs, 10))
-        spark.conf.set("spark.sql.adaptive.enabled", true)
+        spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
         require(spread == joinOn && joinOn == joinOff && spread >= expected,
           s"hot-band pair sets disagree: $spread / $joinOn / $joinOff, expected>=$expected")
 
       case other =>
-        System.err.println(s"unknown probe '$other'; use topn | cumsum | incr | hh | bloom | skew | tri | pr | bitmap64 | annappend | build | tx17vocab | merge | drift | dd13sig | ivfcompact | ivm | bloomidx | bloommaint | partialz | ckpt | dv | dvdiet | mm04hot")
+        System.err.println(s"unknown probe '$other'; use calib | topn | cumsum | incr | hh | bloom | skew | tri | pr | bitmap64 | annappend | build | tx17vocab | merge | drift | dd13sig | ivfcompact | ivm | bloomidx | bloommaint | partialz | ckpt | dv | dvdiet | mm04hot")
         sys.exit(2)
     }
     spark.stop()

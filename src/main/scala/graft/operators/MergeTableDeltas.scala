@@ -303,8 +303,12 @@ trait MergeTableDeltas { this: MergeTable.type =>
     // broadcast gate into hashing an arbitrarily large vector
     val prevRowsOpt = metaAt(dir, prevGen).get("dv_rows")
       .flatMap(_.toLongOption)
+    // a recorded negative is unknown REGARDLESS of the segment list —
+    // dv_rows=-1 with an empty dv list must not re-enter arithmetic
+    // as Some(-1) and yield a confidently wrong fresh-1
     val totalRows =
-      if (prevSegs.nonEmpty && prevRowsOpt.forall(_ < 0)) -1L
+      if (prevRowsOpt.exists(_ < 0) ||
+          (prevSegs.nonEmpty && prevRowsOpt.isEmpty)) -1L
       else prevRowsOpt.getOrElse(0L) + fresh
     try commitGen(dir, next, token, Map("op" -> "dvdelete",
       "dv" -> newSegs.mkString(","),

@@ -74,6 +74,18 @@ object ExactlyOnceSink {
         if (store.putIfAbsent(marker, (name + "\n").getBytes("UTF-8")))
           sweepAttempts(outDir, batchId, keep = name)
         else graft.IndexLifecycle.deleteRecursively(s"$outDir/$name")
+      } else {
+        // Opportunistic sweep on the redelivery path: a crashed LOSER
+        // (finished its parquet write, died before its self-delete)
+        // is invisible to the winner's commit-time sweep — this batch
+        // id never commits again, so redelivery is the one later
+        // moment anyone looks at it. Redeliveries only happen at
+        // recovery, so the listing is paid per restart, not per batch.
+        // keep="" for legacy commits is right: the legacy winner is
+        // the un-tokened dir, which sweepAttempts never touches.
+        val winner = store.read(marker)
+          .map(b => new String(b, "UTF-8").trim).getOrElse("")
+        sweepAttempts(outDir, batchId, keep = winner)
       }
     }
   }
@@ -117,18 +129,46 @@ object ExactlyOnceSink {
     markers ++ legacyCommitted(outDir)
   }
 
-  /** Drop a batch's commit (marker or tokened data dir may outlive
-    * the other by a crash; both are removed, marker first so the id
-    * leaves the committed clock before its bytes do). For retention
-    * sweeps of snapshot-style sinks; legacy line-file ids cannot be
-    * retired (append-only file) and are left listed — their dirs are
-    * still reclaimed.
+  /** Drop a batch's commit (marker or data dirs may outlive the other
+    * by a crash; all are removed, marker first so the id leaves the
+    * committed clock before its bytes do). ALL of the id's dirs go:
+    * the winner's tokened dir, any crashed-loser attempt orphans, and
+    * the legacy un-tokened layout — so retiring an id cannot strand a
+    * loser dir whose id never commits again. For retention sweeps of
+    * snapshot-style sinks; legacy line-file ids cannot be retired
+    * (append-only file) and are left listed — their dirs are still
+    * reclaimed.
     */
   private[streaming] def retire(outDir: String, batchId: Long): Unit = {
-    val dir = batchDir(outDir, batchId) // resolve BEFORE the marker goes
     graft.operators.CommitStore.forDir(outDir)
       .delete(commitsDir(outDir).resolve(s"b$batchId"))
-    graft.IndexLifecycle.deleteRecursively(dir)
+    sweepAttempts(outDir, batchId, keep = "") // "" matches no tokened name
+    graft.IndexLifecycle.deleteRecursively(s"$outDir/batch=$batchId")
+  }
+
+  /** Reclaim every `batch=*` dir that is not the committed winner of
+    * an id in `keep` — crashed-retire leftovers (marker deleted, dir
+    * delete never ran) and loser orphans of kept ids alike. Only for
+    * BOUNDED snapshot-style sinks ([[TopNUpdateSink]]'s retention
+    * keeps the dir at ~`keepSnapshots` entries, so the listing is
+    * O(keep), not O(stream lifetime)); delta-style sinks keep every
+    * batch and never call this. Deleting a live zombie attempt for a
+    * kept id just fails the zombie's job — the documented posture.
+    */
+  private[streaming] def sweepOrphans(outDir: String, keep: Set[Long]): Unit = {
+    val p = Paths.get(outDir)
+    if (!Files.isDirectory(p)) return
+    val winners: Map[Long, String] = keep.iterator.map { id =>
+      id -> Paths.get(batchDir(outDir, id)).getFileName.toString
+    }.toMap
+    val ls = Files.list(p)
+    try ls.iterator().asScala.foreach { e =>
+      val n = e.getFileName.toString
+      val doomed = n.startsWith("batch=") &&
+        n.stripPrefix("batch=").takeWhile(_ != '~').toLongOption
+          .exists(id => !winners.get(id).contains(n))
+      if (doomed) graft.IndexLifecycle.deleteRecursively(e.toString)
+    } finally ls.close()
   }
 }
 
@@ -193,6 +233,11 @@ final class TopNUpdateSink(outDir: String, n: Int) extends Serializable {
     // are each real output) keep everything; snapshots don't.
     val ids = ExactlyOnceSink.committed(outDir).toSeq.sorted
     ids.dropRight(keepSnapshots).foreach(ExactlyOnceSink.retire(outDir, _))
+    // heal crash debris the per-id paths can't see: a retire that died
+    // between marker-delete and dir-delete stranded a dir whose id is
+    // no longer committed (and never will be again). The dir is
+    // retention-bounded, so this listing is O(keepSnapshots + debris).
+    ExactlyOnceSink.sweepOrphans(outDir, ids.takeRight(keepSnapshots).toSet)
   }
 
   private val keepSnapshots = 8

@@ -39,7 +39,7 @@ class BenchKeysSpec extends AnyFunSuite {
     // rows ≥10 s print one decimal (99.9 is the two-digit worst case)
     val qs = Bench.allBenchKeys.map(k => "\"" + Bench.shortKey(k) + "\":99.9")
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":9999.9,"unit":"sec","batch":9999.9,"batch_min":9999.9,"reps":99,"queries":$qs,"rps":[999999,999999,999999,999999],"rps_best":[999999,999999,999999,999999],"sf":"sf0.1"}"""
+    val line = s"""{"metric":"total","value":9999.9,"unit":"sec","batch":9999.9,"batch_min":9999.9,"reps":99,"calib":99.9,"queries":$qs,"rps":[999999,999999,999999,999999],"rps_best":[999999,999999,999999,999999],"sf":"sf0.1"}"""
     val sbtTrailer = 80 // "[success] Total time: ..." after our line
     val est = line.length + sbtTrailer
     assert(est < 1980, s"worst-case bench line + trailer $est chars crowds the 2000-char parse window")
@@ -53,7 +53,7 @@ class BenchKeysSpec extends AnyFunSuite {
     val longest5 = Bench.allBenchKeys.map(Bench.shortKey)
       .sortBy(-_.length).take(5)
     val errWorst = Bench.cappedField("errors", longest5)
-    val prefix = s"""{"metric":"total","value":9999.9,"unit":"sec","batch":9999.9,"batch_min":9999.9,"reps":99,"queries":$qs,"""
+    val prefix = s"""{"metric":"total","value":9999.9,"unit":"sec","batch":9999.9,"batch_min":9999.9,"reps":99,"calib":99.9,"queries":$qs,"""
     val rps = "[999999,999999,999999,999999]"
     val degraded = Bench.assembleLine(prefix, errWorst, longest5,
       """"healed":134,""", rps, rps, "sf0.1")
@@ -208,6 +208,13 @@ class BenchKeysSpec extends AnyFunSuite {
     assert(even.medianRps == 300000.0 && even.bestRps == 320000.0)
     // degenerate empty stage never divides by zero
     assert(!SweepStage("complete", 100000, Nil).contended)
+  }
+
+  test("calib median is the lower observed median, like every query row") {
+    assert(Bench.calibMedian(Seq(3.0, 1.0, 2.0)) == 2.0)
+    assert(Bench.calibMedian(Seq(7.0)) == 7.0)
+    // even count: the LOWER observed value, not an interpolation
+    assert(Bench.calibMedian(Seq(4.0, 8.0)) == 4.0)
   }
 
   test("medianRows is the per-query lower median across reps") {

@@ -17,4 +17,19 @@ class GraftSpec extends SparkSpecBase {
     assert(ev == 1000)
     assert(Graft.query("q01_wordcount")(spark, sfDir).count() > 0)
   }
+
+  test("calib workload: deterministic, generated input, exactly one shuffle") {
+    // the bench's host-calibration yardstick must never vary for a
+    // DATA reason — same buckets and checksums on independent runs
+    val a = Bench.calibWorkload(spark).orderBy("bucket").collect()
+    val b = Bench.calibWorkload(spark.newSession()).orderBy("bucket").collect()
+    assert(a.nonEmpty && a.toSeq == b.toSeq, "calib workload not deterministic")
+    // one shuffle only (the 4096-bucket aggregate); no file scan —
+    // a read would couple the yardstick to page-cache state. String
+    // check because AQE wraps the physical plan in an adaptive root
+    // whose children aren't traversable pre-execution.
+    val s = Bench.calibWorkload(spark).queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllMatchIn(s).size == 1, s)
+    assert(!s.contains("FileScan") && !s.contains("Scan parquet"), s)
+  }
 }

@@ -75,6 +75,68 @@ class StreamingSpec extends SparkSpecBase {
       java.nio.file.Path.of(winner)) == mt, "committed dir bytes touched on replay")
   }
 
+  test("exactly-once sink: crashed-loser orphan planted AFTER commit is reclaimed") {
+    // the r17 gap: a replay attempt that loses the putIfAbsent race
+    // self-deletes — but if it crashes between finishing its write
+    // and that delete, the orphan postdates the winner's commit-time
+    // sweep and the id never commits again. Redelivery (the recovery
+    // path) must reclaim it.
+    val out = tmpDir("eo-loser")
+    val sink = ExactlyOnceSink.toDir(out)
+    sink(Seq(("a", 1L)).toDF("k", "v"), 0L)
+    val winner = ExactlyOnceSink.batchDir(out, 0)
+    val orphan = java.nio.file.Path.of(out, "batch=0~crashedloser")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("junk.parquet"), Array[Byte](1))
+    sink(Seq(("STALE", 9L)).toDF("k", "v"), 0L) // redelivery skip path
+    assert(!java.nio.file.Files.exists(orphan),
+      "post-commit loser orphan not swept on redelivery")
+    assert(spark.read.parquet(ExactlyOnceSink.batchDir(out, 0))
+      .as[(String, Long)].collect().toList == List(("a", 1L)),
+      "winner bytes disturbed by the redelivery sweep")
+    assert(ExactlyOnceSink.batchDir(out, 0) == winner)
+  }
+
+  test("retire reclaims all of an id's dirs; sweepOrphans heals a crashed retire") {
+    val out = tmpDir("eo-retire")
+    val sink = ExactlyOnceSink.toDir(out)
+    sink(Seq(("a", 1L)).toDF("k", "v"), 0L)
+    sink(Seq(("b", 2L)).toDF("k", "v"), 1L)
+    // batch 0 carries a post-commit loser orphan AND a stray legacy
+    // un-tokened dir — retire must take the winner, the orphan, and
+    // the legacy layout together with the marker
+    val orphan = java.nio.file.Path.of(out, "batch=0~crashedloser")
+    java.nio.file.Files.createDirectories(orphan)
+    val legacyDir = java.nio.file.Path.of(out, "batch=0")
+    java.nio.file.Files.createDirectories(legacyDir)
+    ExactlyOnceSink.retire(out, 0L)
+    assert(ExactlyOnceSink.committed(out) == Set(1L))
+    locally {
+      import scala.jdk.CollectionConverters._
+      val ls = java.nio.file.Files.list(java.nio.file.Path.of(out))
+      val left = try ls.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("batch=0")).toList finally ls.close()
+      assert(left.isEmpty, s"retire left batch-0 dirs behind: $left")
+    }
+    // crashed retire of batch 1: marker went, dir delete never ran —
+    // the id is off the clock forever, so only sweepOrphans can heal
+    val b1dir = java.nio.file.Path.of(ExactlyOnceSink.batchDir(out, 1))
+    graft.operators.CommitStore.forDir(out).delete(
+      java.nio.file.Path.of(out, "_commits", "b1"))
+    assert(java.nio.file.Files.exists(b1dir))
+    ExactlyOnceSink.sweepOrphans(out, keep = Set.empty)
+    assert(!java.nio.file.Files.exists(b1dir),
+      "crashed-retire debris not healed by sweepOrphans")
+    // and sweepOrphans keeps the winner of a kept id while taking its losers
+    sink(Seq(("c", 3L)).toDF("k", "v"), 2L)
+    val w2 = java.nio.file.Path.of(ExactlyOnceSink.batchDir(out, 2))
+    val loser2 = java.nio.file.Path.of(out, "batch=2~anotherloser")
+    java.nio.file.Files.createDirectories(loser2)
+    ExactlyOnceSink.sweepOrphans(out, keep = Set(2L))
+    assert(java.nio.file.Files.exists(w2), "kept winner swept")
+    assert(!java.nio.file.Files.exists(loser2), "kept id's loser survived")
+  }
+
   test("exactly-once sink: the batch log rides the CommitStore and honors legacy line files") {
     // markers through a registered store: nothing log-shaped on the
     // filesystem (the object-store deployment shape — no append)
