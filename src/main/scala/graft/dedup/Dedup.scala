@@ -773,6 +773,22 @@ object Dedup {
     * bucketed layouts are preserved by insertInto (one new file per
     * touched bucket per append — compact() folds them back).
     * `newSigs` must be (doc_id, sig)-shaped, as from [[sigsOf]].
+    *
+    * CONCURRENCY POSTURE (r18, deliberate asymmetry vs the ANN
+    * index): the IVF family graduated to CAS-committed generation
+    * manifests ([[graft.operators.IndexManifest]]) because graft owns
+    * that layout end to end. THIS index is a Spark-catalog BUCKETED
+    * table — the bucket-pruned `s.table(...)` join is the whole point
+    * of the layout, and Spark resolves a bucketed table's files
+    * through its own catalog + directory listing, with no hook to pin
+    * a reader to a manifest's file set. Wrapping these mutators in a
+    * generation CAS would mint numbers without serializing anything
+    * the catalog reads. So the LSH index keeps the QUIESCED
+    * maintenance contract (one mutator at a time; probes race only
+    * appends, which publish via the committer); the structural fix,
+    * if a deployment needs racing mutators here, is to move the
+    * postings off the catalog onto MergeTable — whose log IS the
+    * manifest — and trade bucket pruning for a bloom-pointer scan.
     */
   def appendToLshIndex(s: SparkSession, indexTable: String, newSigs: DataFrame): Unit = {
     bandKeysOf(newSigs).write.mode("append").insertInto(indexTable + "_bands")

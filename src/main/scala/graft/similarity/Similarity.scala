@@ -145,11 +145,206 @@ object Similarity {
     if (n == 0.0) v else v.map(_ / n)
   }
 
+  // --- the vector layout and its generation manifest -----------------
+  //
+  // Data files live under `indexDir/vectors/` in writer-private
+  // tokened SEGMENT dirs (`seg-<token>/pcell=<cell>/part-*.parquet`),
+  // and the set of LIVE files is published atomically through
+  // [[graft.operators.IndexManifest]] (`indexDir/_gens/g<N>`,
+  // CAS-committed via the CommitStore) — the same write-once +
+  // pointer-flip publication MergeTable, the sinks and the shard
+  // writer ride. What this buys over the pre-r18 "append straight
+  // into cell dirs + quiesced maintenance" layout:
+  //
+  //  - concurrent appends never share a Spark output dir (each writes
+  //    its own seg), so two ingest writers can't cross-commit each
+  //    other's `_temporary` task attempts;
+  //  - a crashed append or maintenance pass is INVISIBLE — staged
+  //    bytes are never referenced until the manifest CAS lands;
+  //  - compaction/vacuum swap their inputs for their outputs in ONE
+  //    CAS, and a pass whose inputs were already rewritten by a
+  //    concurrent pass ABORTS and restages instead of resurrecting
+  //    superseded rows;
+  //  - readers resolve a manifest and read exactly its files — no
+  //    directory listing on the probe path at all (the object-store
+  //    posture), and no FileNotFound window when maintenance retires
+  //    fragments mid-query (readers of the PREVIOUS head race only
+  //    the physical delete, a window bounded by query duration —
+  //    retention beyond that is [[graft.operators.MergeTable]]'s
+  //    layer, deliberately not duplicated here).
+  //
+  // Cell pruning moves from Hive-style partition discovery to the
+  // MANIFEST: each file's cell is in its path (`pcell=K`, or `cell=K`
+  // for adopted pre-manifest files), so a probe selects the files of
+  // its probed cells before Spark ever lists anything. Inside the
+  // file bytes the cell rides as a REAL column (duplicated into the
+  // `pcell` partition dir at write time), so manifest-selected files
+  // read plainly, with no basePath/partition-inference coupling.
+  // Pre-manifest indexes (flat `cell=K/` dirs) keep reading through
+  // the legacy dir scan until their first mutation ADOPTS them: the
+  // mutator's first commit lists the legacy files as generation 0.
+
+  private def vectorsRoot(indexDir: String) = s"$indexDir/vectors"
+
+  private val vectorCols = Seq("vec_id", "v", "nrm", "cell", "code")
+
+  private def vectorSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("vec_id", LongType),
+      StructField("v", ArrayType(DoubleType)), StructField("nrm", DoubleType),
+      StructField("cell", IntegerType), StructField("code", LongType)))
+  }
+
+  /** The cell a manifest entry's file holds, parsed from its path
+    * (`seg-<t>/pcell=K/…` for manifest-era files, `cell=K/…` for
+    * adopted pre-manifest files).
+    */
+  private[graft] def cellOfPath(rel: String): Int =
+    rel.split('/').collectFirst {
+      case seg if seg.startsWith("pcell=") => seg.substring(6).toInt
+      case seg if seg.startsWith("cell=") => seg.substring(5).toInt
+    }.getOrElse(sys.error(s"manifest entry without a cell segment: $rel"))
+
+  /** Write `rows` (vectorCols-shaped) as a fresh writer-private
+    * segment and return its file paths relative to the vectors root.
+    * Nothing is published: the caller commits the returned paths (or
+    * abandons them — an unreferenced seg is invisible and swept by
+    * [[sweepUncommittedVectorFiles]]).
+    */
+  private def writeVectorSeg(rows: DataFrame, indexDir: String): Seq[String] = {
+    import java.nio.file.{Files, Path}
+    import scala.jdk.CollectionConverters._
+    val seg = "seg-" + graft.operators.WriterToken.next()
+    val root = Path.of(vectorsRoot(indexDir))
+    rows.select(vectorCols.map(col): _*)
+      .withColumn("pcell", col("cell"))
+      .write.partitionBy("pcell").parquet(root.resolve(seg).toString)
+    val walk = Files.walk(root.resolve(seg))
+    try walk.iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .map(p => root.relativize(p).toString).toIndexedSeq
+    finally walk.close()
+  }
+
+  /** The pre-manifest layout's live files (parquet parts under the
+    * flat `cell=K` dirs), relative to the vectors root — the adoption
+    * base for the first manifest commit on an old index, and the
+    * legacy read set.
+    */
+  private def legacyVectorFiles(indexDir: String): Seq[String] = {
+    import java.nio.file.{Files, Path}
+    import scala.jdk.CollectionConverters._
+    val root = Path.of(vectorsRoot(indexDir))
+    if (!Files.isDirectory(root)) return Nil
+    val ls = Files.list(root)
+    val cells = try ls.iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("cell="))
+      .toIndexedSeq
+    finally ls.close()
+    cells.flatMap { c =>
+      val fl = Files.list(c)
+      try fl.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString).toIndexedSeq
+      finally fl.close()
+    }
+  }
+
+  private def readVectorFiles(s: SparkSession, indexDir: String,
+                              files: Seq[String]): DataFrame = {
+    val root = vectorsRoot(indexDir)
+    // adopted pre-manifest files carry cell only in their dir name →
+    // read them with basePath so the partition column materializes;
+    // manifest-era files carry cell in their bytes → read plainly
+    val (legacy, seg) = files.partition(_.startsWith("cell="))
+    val parts = Seq(
+      Option.when(legacy.nonEmpty)(
+        s.read.option("basePath", root).parquet(legacy.map(f => s"$root/$f"): _*)
+          .select(vectorCols.map(col): _*)),
+      Option.when(seg.nonEmpty)(
+        s.read.parquet(seg.map(f => s"$root/$f"): _*)
+          .select(vectorCols.map(col): _*))).flatten
+    parts.reduceOption(_.unionByName(_)).getOrElse(
+      s.createDataFrame(java.util.List.of[org.apache.spark.sql.Row](), vectorSchema))
+  }
+
+  /** THE read path for the vector layout: the committed manifest's
+    * files, pruned to `cells` at the manifest (no listing, no
+    * partition discovery); pre-manifest indexes fall back to the
+    * legacy dir scan with an in-plan cell filter.
+    */
+  def indexVectors(s: SparkSession, indexDir: String,
+                   cells: Option[Seq[Int]] = None): DataFrame =
+    graft.operators.IndexManifest.head(indexDir) match {
+      case Some(h) =>
+        val picked = cells match {
+          case Some(cs) =>
+            val want = cs.toSet
+            h.files.filter(f => want.contains(cellOfPath(f)))
+          case None => h.files
+        }
+        readVectorFiles(s, indexDir, picked)
+      case None =>
+        val df = s.read.parquet(vectorsRoot(indexDir))
+        cells.fold(df)(cs => df.filter(col("cell").isin(cs: _*)))
+          .select(vectorCols.map(col): _*)
+    }
+
+  private def deleteVectorFiles(indexDir: String, rels: Seq[String]): Unit = {
+    import java.nio.file.{Files, Path}
+    val root = Path.of(vectorsRoot(indexDir))
+    rels.foreach { rel =>
+      val p = root.resolve(rel)
+      Files.deleteIfExists(p)
+      // best-effort empty-dir pruning up to (not including) the root
+      var d = p.getParent
+      while (d != null && d != root &&
+        scala.util.Try(Files.deleteIfExists(d)).getOrElse(false)) d = d.getParent
+    }
+  }
+
+  /** Reclaim data files no manifest references — crashed appends,
+    * maintenance losers, and retire-window leftovers — older than
+    * `graceMs` (which must exceed the longest in-flight write: a
+    * younger unreferenced file may be a commit in progress). A
+    * pre-manifest index has no referenced-set to judge against and
+    * sweeps nothing. Returns the number of parquet files reclaimed.
+    */
+  def sweepUncommittedVectorFiles(indexDir: String,
+                                  graceMs: Long = 3600000L): Int = {
+    import java.nio.file.{Files, Path}
+    import scala.jdk.CollectionConverters._
+    val root = Path.of(vectorsRoot(indexDir))
+    if (!Files.isDirectory(root)) return 0
+    val live = graft.operators.IndexManifest.head(indexDir) match {
+      case Some(h) => h.files.toSet
+      case None => return 0
+    }
+    val cutoff = System.currentTimeMillis() - graceMs
+    val walk = Files.walk(root)
+    val doomed = try walk.iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        !live.contains(root.relativize(p).toString) &&
+        scala.util.Try(Files.getLastModifiedTime(p).toMillis < cutoff)
+          .getOrElse(false))
+      .toIndexedSeq
+    finally walk.close()
+    val n = doomed.count(_.getFileName.toString.endsWith(".parquet"))
+    deleteVectorFiles(indexDir, doomed.map(p => root.relativize(p).toString))
+    n
+  }
+
   /** Build the persisted IVF index for a corpus dir:
-    * `indexDir/centroids` (cell, vb, nb) and `indexDir/vectors`
-    * (vec_id, v, nrm) partitioned by cell. One training run on the
-    * hash sample, then ONE narrow assignment pass over the full
-    * corpus — the only full-corpus work in the build.
+    * `indexDir/centroids` (cell, vb, nb) and the manifest-committed
+    * vector layout (vec_id, v, nrm, cell, code) segmented by cell.
+    * One training run on the hash sample, then ONE narrow assignment
+    * pass over the full corpus — the only full-corpus work in the
+    * build. A REBUILD over a live index swaps the entire file set in
+    * one manifest CAS (probes see the old or the new index, never a
+    * mix); the tiny trained artifacts (centroids/pqbooks) are
+    * overwrite-published by the single build writer — concurrent
+    * BUILDS of one dir were never supported and still aren't.
     */
   def buildIvfIndex(s: SparkSession, d: String, indexDir: String,
                     nCells: Int = 10, iters: Int = 3, sampleMod: Int = 4): Unit = {
@@ -171,10 +366,30 @@ object Similarity {
     // vector (for exact re-rank / full-fidelity fetch) and the
     // 8-byte PQ code — parquet's columnar layout means an ADC probe
     // that selects only (vec_id, code) never reads the vector bytes
-    assignCells(e, cents)
-      .withColumn("code",
+    // repartition by cell before the segment write: without it a
+    // partitioned write emits tasks × cells files (the ivfcompact
+    // probe measured 5k+ fragments from 8 appends), and "live files
+    // ∝ cells" is the manifest's own scaling denominator. One shuffle
+    // of the written rows buys one file per cell; a deployment whose
+    // cells outgrow single files dials maxRecordsPerFile.
+    val mine = writeVectorSeg(
+      assignCells(e, cents).withColumn("code",
         graft.functions.GraftFunctions.pqEncode("v", books, pqBits))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/vectors")
+        .repartition(col("cell")),
+      indexDir)
+    // full-replace commit: everything previously live retires with
+    // the rebuild; a concurrent append rebases in (its files joined
+    // after our snapshot and survive the swap untouched)
+    var done = false
+    while (!done) {
+      val prev = graft.operators.IndexManifest.head(indexDir).map(_.files)
+        .getOrElse(legacyVectorFiles(indexDir).toIndexedSeq)
+      graft.operators.IndexManifest.commitReplace(indexDir, prev.toSet, mine)(
+        legacyVectorFiles(indexDir)) match {
+        case Some(_) => deleteVectorFiles(indexDir, prev); done = true
+        case None => // a maintenance pass rewrote part of prev: re-snapshot
+      }
+    }
   }
 
   private def loadPqBooks(s: SparkSession, indexDir: String): Array[Array[Array[Double]]] = {
@@ -229,8 +444,7 @@ object Similarity {
       explode(graft.functions.GraftFunctions.nearestCells("va", cents, nProbe)))
     val probed = qcells.select("cell").distinct().collect().map(_.getInt(0)).toSeq
     val cands = governed(s, indexDir,
-      s.read.parquet(s"$indexDir/vectors")
-        .filter(col("cell").isin(probed: _*))
+      indexVectors(s, indexDir, Some(probed))
         .select(col("vec_id").as("n_id"), col("v").as("vb"),
           col("nrm").as("nb"), col("cell")), "n_id")
     qcells.join(cands, Seq("cell"))
@@ -280,8 +494,7 @@ object Similarity {
     // ADC scan: only (vec_id, code) leave the parquet reader; each
     // row is scored against just the queries probing its cell
     val shortlist = governed(s, indexDir,
-      s.read.parquet(s"$indexDir/vectors")
-        .filter(col("cell").isin(probed: _*))
+      indexVectors(s, indexDir, Some(probed))
         .select(col("vec_id").as("n_id"), col("code"), col("cell")), "n_id")
       .join(broadcast(qcells), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
@@ -293,8 +506,7 @@ object Similarity {
       .select(col("q_id"), explode(col("tk")).as("p"))
       .select(col("q_id"), col("p.id").as("n_id"))
     // exact re-rank: full-fidelity vectors only for the shortlist
-    val fetch = s.read.parquet(s"$indexDir/vectors")
-      .filter(col("cell").isin(probed: _*))
+    val fetch = indexVectors(s, indexDir, Some(probed))
       .select(col("vec_id").as("n_id"), col("v").as("vb"), col("nrm").as("nb"))
     val q = queries
     fetch.join(broadcast(shortlist), Seq("n_id"))
@@ -390,13 +602,15 @@ object Similarity {
     * holds only the index DIR, and both probe modes re-list the cell
     * partitions per call.
     *
-    * Durability matches every other parquet append in the library:
-    * in-flight task output lives under `_temporary` (invisible to
-    * readers); the visibility window is the job-commit rename. A
-    * crash inside that window can leave a partial batch — an ingest
-    * loop that needs writeShards-grade atomicity should stage the
-    * batch and re-append on replay keyed by its own batch id
-    * (NearDupIngestSink's two-phase log is the worked example).
+    * Durability is the manifest commit: the batch stages into a
+    * writer-private segment (invisible to every reader), then ONE
+    * CAS publishes it — an all-or-nothing batch, so a crashed append
+    * never leaves a partial batch visible (the pre-r18 layout's
+    * job-commit window) and concurrent appends never share a Spark
+    * output dir. A replayed batch that committed before the crash
+    * appears twice until compaction's full-row dedup folds it — an
+    * ingest loop wanting exactly-once should key batches through
+    * NearDupIngestSink's two-phase log as before.
     *
     * DRIFT dial: centroids and codebooks stay fixed, so cell balance
     * and quantization fidelity degrade as the appended distribution
@@ -411,10 +625,16 @@ object Similarity {
     val e = batch
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", graft.functions.GraftFunctions.l2norm("v"))
-    assignCells(e, cents)
-      .withColumn("code",
+    val mine = writeVectorSeg(
+      assignCells(e, cents).withColumn("code",
         graft.functions.GraftFunctions.pqEncode("v", books, pqBits))
-      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/vectors")
+        .repartition(col("cell")), // batch-sized shuffle → 1 file/cell
+      indexDir)
+    if (mine.nonEmpty) {
+      graft.operators.IndexManifest.commitAppend(indexDir, mine)(
+        legacyVectorFiles(indexDir))
+      ()
+    }
   }
 
   /** Cell-occupancy diagnostic backing the drift dial: one row per
@@ -423,100 +643,72 @@ object Similarity {
     * column (partition pruning gives cell for free).
     */
   def ivfCellStats(s: SparkSession, indexDir: String): DataFrame =
-    s.read.parquet(s"$indexDir/vectors")
+    indexVectors(s, indexDir)
       .groupBy("cell").agg(count(lit(1)).as("n"))
 
   /** Per-cell file triage of one compaction pass. */
   final case class CellFold(cell: String, filesBefore: Int, filesAfter: Int)
 
   /** Fold the per-cell file fragments repeated [[appendToIvfIndex]]
-    * batches strew across the partitioned layout — the maintenance
-    * half of the ANN ingest loop, mirroring MergeTable.compact for
-    * the table family. Each cell dir holding ≥ `minFiles` parquet
-    * files is read (that CELL only — cost ∝ fragmented cells, never
-    * the corpus), folded to one file, and swapped in; cells already
-    * compact are never opened. Probes pick the new layout up on
-    * their next scan — the session memo holds only the index dir.
+    * batches strew across the layout — the maintenance half of the
+    * ANN ingest loop, mirroring MergeTable.compact for the table
+    * family. Each cell holding ≥ `minFiles` live files is read (those
+    * FILES only — cost ∝ fragmented cells, never the corpus), folded
+    * to one fresh segment file per cell, and swapped in by ONE
+    * manifest CAS; cells already compact are never opened. Probes
+    * pick the new layout up on their next manifest resolve.
     *
-    * QUIESCED MAINTENANCE, like [[appendToIvfIndex]]'s durability
-    * note and MergeTable.vacuum's default: run with no concurrent
-    * probe or append on this index (the ingest loop's maintenance
-    * slot). The fold dedups FULL rows, which makes the pass
-    * IDEMPOTENT and crash-rerun-safe: the visible window (folded
-    * files landed, originals not yet deleted) at worst doubles rows
-    * a re-run collapses again — so the recovery protocol after any
-    * crash is simply "run compaction again". Corollary: appending a
-    * byte-identical row twice is idempotent after compaction — the
-    * set semantics every other graft index (dd10's fp index, dd11's
-    * LSH postings) already has.
+    * CONCURRENCY (the r18 graduation from the quiesced contract):
+    * the fold stages into a writer-private segment and commits by
+    * [[graft.operators.IndexManifest.commitReplace]] — a concurrent
+    * APPEND rebases in transparently (its files only add), while a
+    * concurrent compact/vacuum that already rewrote any of this
+    * pass's input fragments ABORTS the commit; the pass deletes its
+    * staged seg and re-runs against the new head (bounded retries).
+    * A crashed pass is invisible (staged bytes unreferenced) and its
+    * debris is reclaimed here via [[sweepUncommittedVectorFiles]];
+    * the fold still dedups FULL rows, so a batch replayed around a
+    * crash collapses — the set semantics every other graft index
+    * (dd10's fp index, dd11's LSH postings) already has.
     *
-    * PUBLICATION is write-once, never rename (the repo-wide
-    * object-store discipline): the folded rows append DIRECTLY into
-    * the final `cell=` layout under fresh task-unique file names —
-    * exactly how [[appendToIvfIndex]] itself publishes — and the
-    * superseded fragments (listed BEFORE the fold) are then deleted.
-    * On S3/GCS this is one data write and N deletes; the pre-r15
-    * staged-dir-then-per-file-move version paid an extra copy per
-    * folded byte there and left a wider torn window.
+    * The fold is ONE Spark job over every fragmented cell at once —
+    * a 100k-cell index with broad fragmentation pays one scheduler
+    * round-trip, not one per cell. `repartition` on `cell` lands
+    * each cell in a single task, so the segment write emits exactly
+    * one fresh file per cell; wall-time stays ∝ fragmented bytes.
     */
   def compactIvfCells(s: SparkSession, indexDir: String,
                       minFiles: Int = 2): Seq[CellFold] = {
-    import java.nio.file.{Files, Path}
-    import scala.jdk.CollectionConverters._
-    val root = Path.of(indexDir, "vectors")
-    // sweep crash debris: a pre-r15 pass's staged dir, and a crashed
-    // append job's uncommitted task attempts (we are quiesced by
-    // contract, so any _temporary here is dead — and FileOutputCommitter
-    // reuses attempt id 0, so a stale committed-task dir could
-    // otherwise leak stale rows into OUR job's commit)
-    val topList = Files.list(root)
-    try topList.iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith(".compact-") ||
-        p.getFileName.toString == "_temporary")
-      .foreach(p => graft.IndexLifecycle.deleteRecursively(p.toString))
-    finally topList.close()
-    val cellsList = Files.list(root)
-    val cells = try cellsList.iterator().asScala
-      .filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith("cell="))
-      .toIndexedSeq
-    finally cellsList.close()
-    def parquetFiles(dir: Path): IndexedSeq[Path] = {
-      val ls = Files.list(dir)
-      try ls.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toIndexedSeq
-      finally ls.close()
+    // reclaim old crash debris first (grace-guarded: an in-flight
+    // writer's staged seg is younger than the grace window)
+    sweepUncommittedVectorFiles(indexDir)
+    var attempt = 0
+    while (attempt < 5) {
+      attempt += 1
+      val live = graft.operators.IndexManifest.head(indexDir).map(_.files)
+        .getOrElse(legacyVectorFiles(indexDir).toIndexedSeq)
+      val frag = live.groupBy(cellOfPath).filter(_._2.size >= minFiles)
+      if (frag.isEmpty) return Seq.empty
+      val inputs = frag.valuesIterator.flatten.toIndexedSeq
+      val mine = writeVectorSeg(
+        readVectorFiles(s, indexDir, inputs)
+          .dropDuplicates() // full-row: idempotence across replayed appends
+          .repartition(frag.size, col("cell")),
+        indexDir)
+      graft.operators.IndexManifest.commitReplace(indexDir,
+        inputs.toSet, mine)(legacyVectorFiles(indexDir)) match {
+        case Some(_) =>
+          // retire the fragments AFTER the swap landed — a crash here
+          // leaves unreferenced bytes the next sweep reclaims, never
+          // a reader-visible hole (readers resolve manifests)
+          deleteVectorFiles(indexDir, inputs)
+          return frag.toSeq.sortBy(_._1)
+            .map { case (c, fs) => CellFold(s"cell=$c", fs.size, 1) }
+        case None =>
+          deleteVectorFiles(indexDir, mine) // lost to maintenance: restage
+      }
     }
-    // triage is a driver-side listing; the FOLD is ONE Spark job over
-    // every fragmented cell at once (basePath read keeps the `cell`
-    // partition column and prunes to exactly those dirs) — a
-    // 100k-cell index with broad fragmentation pays one scheduler
-    // round-trip, not one per cell. repartition on `cell` lands each
-    // cell in a single task, so the partitionBy write emits exactly
-    // one fresh file per cell; wall-time stays ∝ fragmented bytes.
-    val frag = cells.map(c => c -> parquetFiles(c)).filter(_._2.size >= minFiles)
-    if (frag.isEmpty) return Seq.empty
-    // VERSION-SENSITIVE assumption, re-verify on Spark upgrades: this
-    // appends into the same `cell=` tree it reads. Correct today
-    // because (a) the read's InMemoryFileIndex snapshots the source
-    // file listing when the DataFrame is created, so the write job's
-    // fresh files are not re-scanned by its own input, and (b) only
-    // mode("overwrite") trips Spark's cannot-overwrite-path-being-read
-    // guard — append is exempt. If either changes, stage the fold into
-    // a token dir and SegmentPointer-flip it instead.
-    s.read.option("basePath", root.toString)
-      .parquet(frag.map(_._1.toString): _*) // fragmented cells' rows only
-      .dropDuplicates() // full-row: idempotence + crash-rerun safety
-      .repartition(frag.size, col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(root.toString)
-    // retire the fragments AFTER the fold landed — a crash between the
-    // job commit and this sweep leaves duplicates a re-run collapses,
-    // never a data hole
-    frag.map { case (cellDir, parts) =>
-      parts.foreach(Files.deleteIfExists(_))
-      CellFold(cellDir.getFileName.toString, parts.size,
-        parquetFiles(cellDir).size)
-    }
+    sys.error(s"compaction lost to concurrent maintenance 5 times: $indexDir")
   }
 
   // --- takedown governance for the vector index — dd14's
@@ -574,18 +766,23 @@ object Similarity {
 
   /** Physically rewrite only the CELLS containing tombstoned
     * vec_ids, then clear the tombstone set. One narrow column-pruned
-    * scan finds the affected cells; one Spark job rewrites them
-    * (basePath read → anti-join → append DIRECTLY into the final
-    * `cell=` layout under fresh task-unique names, never a rename —
-    * [[compactIvfCells]]'s publication discipline), then the
-    * pre-listed old files are deleted. Full-row dedup in the rewrite
-    * makes a crashed vacuum recoverable by re-running it (same
-    * contract as [[compactIvfCells]]). Returns the tombstone count
-    * processed.
+    * scan finds the affected cells; one Spark job rewrites their
+    * files into a fresh segment (anti-joined against the broadcast
+    * tombstone set); ONE manifest CAS swaps old for new —
+    * [[compactIvfCells]]'s publication discipline. Returns the
+    * tombstone count processed.
+    *
+    * The loop structure is the correctness point under concurrency:
+    * the tombstone set is cleared ONLY after a discovery scan of the
+    * CURRENT head finds no tombstoned rows — so an append that lands
+    * a still-tombstoned vec_id while a rewrite is in flight is
+    * caught by the next iteration's discovery instead of being
+    * resurrected by the clear (probes stay governed until the set is
+    * provably physically empty). A crashed vacuum leaves tombstones
+    * active and its staged seg unreferenced: probes stay governed,
+    * the re-run starts clean.
     */
   def vacuumVectorTombstones(s: SparkSession, indexDir: String): Long = {
-    import java.nio.file.{Files, Path}
-    import scala.jdk.CollectionConverters._
     if (!hasVectorTombstones(indexDir)) return 0L
     val tomb = vectorTombstones(s, indexDir).localCheckpoint()
     val n = tomb.count()
@@ -597,51 +794,46 @@ object Similarity {
       graft.IndexLifecycle.deleteRecursively(tombstoneDir(indexDir))
       return 0L
     }
-    val root = Path.of(indexDir, "vectors")
-    // sweep crash debris (compaction's discipline): a pre-r15
-    // predecessor's staged dir, and a crashed append job's _temporary
-    val sweep = Files.list(root)
-    try sweep.iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith(".vacuum-") ||
-        p.getFileName.toString == "_temporary")
-      .foreach(p => graft.IndexLifecycle.deleteRecursively(p.toString))
-    finally sweep.close()
-    // discovery: ONE narrow (vec_id, cell) scan — at production dims
-    // the full-width rewrite dwarfs this by the row-width ratio. The
-    // id-range pre-filter is free and lets parquet row-group stats
-    // prune the scan when a takedown's ids are contiguous (the
-    // one-crawl-slice shape).
     val bounds = tomb.agg(min("vec_id"), max("vec_id")).head()
-    val affected = s.read.parquet(root.toString)
-      .filter(col("vec_id").between(bounds.getLong(0), bounds.getLong(1)))
-      .join(broadcast(tomb), Seq("vec_id"), "left_semi")
-      .select("cell").distinct().collect().map(_.getInt(0)).toIndexedSeq
-    if (affected.nonEmpty) {
-      val cellDirs = affected.map(c => root.resolve(s"cell=$c"))
-      // the OLD file set, listed BEFORE the rewrite lands (the fresh
-      // files must not enter the retirement sweep)
-      val old = cellDirs.map { cellDir =>
-        val ls = Files.list(cellDir)
-        try cellDir -> (ls.iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).toIndexedSeq)
-        finally ls.close()
+    var attempt = 0
+    while (attempt < 8) {
+      attempt += 1
+      val live = graft.operators.IndexManifest.head(indexDir).map(_.files)
+        .getOrElse(legacyVectorFiles(indexDir).toIndexedSeq)
+      // discovery: ONE narrow (vec_id, cell) scan — at production
+      // dims the full-width rewrite dwarfs this by the row-width
+      // ratio. The id-range pre-filter is free and lets parquet
+      // row-group stats prune the scan when a takedown's ids are
+      // contiguous (the one-crawl-slice shape).
+      val affected = readVectorFiles(s, indexDir, live)
+        .filter(col("vec_id").between(bounds.getLong(0), bounds.getLong(1)))
+        .join(broadcast(tomb), Seq("vec_id"), "left_semi")
+        .select("cell").distinct().collect().map(_.getInt(0)).toSet
+      if (affected.isEmpty) {
+        // provably nothing left to remove in the CURRENT head —
+        // clearing is now safe even against concurrent appends
+        graft.IndexLifecycle.deleteRecursively(tombstoneDir(indexDir))
+        return n
       }
-      s.read.option("basePath", root.toString)
-        .parquet(cellDirs.map(_.toString): _*)
-        .join(broadcast(tomb), Seq("vec_id"), "left_anti")
-        .dropDuplicates()
-        .repartition(affected.size, col("cell"))
-        .write.mode("append").partitionBy("cell").parquet(root.toString)
-      // retire the old files AFTER the rewrite landed — a crash here
-      // leaves duplicates (suppressed by the still-active tombstone
-      // anti-join) a re-run collapses, never a data hole; a cell whose
-      // every row was tombstoned just empties
-      old.foreach { case (_, parts) => parts.foreach(Files.deleteIfExists(_)) }
+      val old = live.filter(f => affected.contains(cellOfPath(f)))
+      val mine = writeVectorSeg(
+        readVectorFiles(s, indexDir, old)
+          .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+          .dropDuplicates()
+          .repartition(affected.size, col("cell")),
+        indexDir)
+      graft.operators.IndexManifest.commitReplace(indexDir,
+        old.toSet, mine)(legacyVectorFiles(indexDir)) match {
+        case Some(_) =>
+          // retire AFTER the swap; a cell whose every row was
+          // tombstoned simply leaves the manifest
+          deleteVectorFiles(indexDir, old)
+        case None =>
+          deleteVectorFiles(indexDir, mine) // lost to maintenance: restage
+      }
+      // loop: re-discover against the new head (normally empty → clear)
     }
-    // clear last: a crash before this leaves tombstones active
-    // (probes stay governed, vacuum re-runnable)
-    graft.IndexLifecycle.deleteRecursively(tombstoneDir(indexDir))
-    n
+    sys.error(s"vacuum could not quiesce tombstoned rows after 8 passes: $indexDir")
   }
 
   // --- ann04: random-hyperplane LSH top-k — the LSH-bucketed ANN

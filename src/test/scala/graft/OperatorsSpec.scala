@@ -277,7 +277,7 @@ class OperatorsSpec extends SparkSpecBase {
     // probed cell, i.e. appear in ann02's scored universe. Verify via
     // the exact probe at the same nProbe on the SAME persisted index.
     val idx = similarity.Similarity.ivfIndexFor(spark, sfDir)
-    val cells = spark.read.parquet(s"$idx/vectors").select("vec_id", "cell")
+    val cells = similarity.Similarity.indexVectors(spark, idx).select("vec_id", "cell")
       .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
     val qVecs = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 10)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -297,12 +297,21 @@ class OperatorsSpec extends SparkSpecBase {
     // shortlist fetch and query join are broadcast; nothing windows
     // or nested-loops
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [cell"), s"ADC scan not partition-pruned:\n$plan")
     assert(plan.contains("partial_graft_topk"), s"selection is not the heap aggregate:\n$plan")
     assert(plan.contains("BroadcastHashJoin"), s"shortlist fetch is not broadcast:\n$plan")
     assert(!plan.contains("Window"), s"a window crept into ann06:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"all-pairs join in ann06:\n$plan")
+    // cell pruning moved from Hive partition discovery to the r18
+    // generation MANIFEST: a probed-cell read touches only files of
+    // those cells — asserted at runtime via input_file_name, which is
+    // stronger than the old PartitionFilters plan-string check
+    val someCells = probedOf.values.flatten.toSet.toSeq.sorted.take(2)
+    val touched = similarity.Similarity.indexVectors(spark, idx, Some(someCells))
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(touched.nonEmpty && touched.forall(f => someCells.exists(c =>
+      f.contains(s"pcell=$c/") || f.contains(s"cell=$c/"))),
+      s"probed read touched foreign-cell files:\n${touched.mkString("\n")}")
     // one persisted index serves both probe fidelities: ann02 ran (or
     // runs) against the SAME memoized dir, no rebuild
     assert(similarity.Similarity.ivfIndexFor(spark, sfDir) == idx,
@@ -385,8 +394,18 @@ class OperatorsSpec extends SparkSpecBase {
     val probePlan = probe.queryExecution.executedPlan.toString
     assert(!probePlan.contains("BroadcastNestedLoopJoin"),
       s"probe nested-loops:\n$probePlan")
-    assert(probePlan.contains("PartitionFilters: [cell"),
-      s"probe scan not partition-pruned:\n$probePlan")
+    // cell pruning happens at the r18 generation manifest (files of
+    // probed cells only, before Spark lists anything) — assert it at
+    // runtime: a one-cell read touches no foreign-cell file
+    locally {
+      val c0 = similarity.Similarity.indexVectors(spark, d1)
+        .select("cell").distinct().orderBy("cell").head().getInt(0)
+      val touched = similarity.Similarity.indexVectors(spark, d1, Some(Seq(c0)))
+        .select(input_file_name()).distinct().collect().map(_.getString(0))
+      assert(touched.nonEmpty && touched.forall(f =>
+        f.contains(s"pcell=$c0/") || f.contains(s"cell=$c0/")),
+        s"one-cell read touched foreign-cell files:\n${touched.mkString("\n")}")
+    }
     // top-k selection is the bounded-heap aggregate (map-side partial
     // heaps), NOT a row_number window routing every candidate row for
     // a query to one reducer — the same guard q43/ann03/ann05/ann06
@@ -1224,7 +1243,7 @@ class OperatorsSpec extends SparkSpecBase {
     buildHalf.write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
     val dir = tmpDir("ivf-app-idx")
     similarity.Similarity.buildIvfIndex(spark, corpus, dir)
-    val vectors = () => spark.read.parquet(s"$dir/vectors")
+    val vectors = () => similarity.Similarity.indexVectors(spark, dir)
     val before = vectors().count()
     val residentCells = vectors().select("cell").distinct()
       .collect().map(_.getInt(0)).toSet
@@ -1300,36 +1319,29 @@ class OperatorsSpec extends SparkSpecBase {
     assert(governedIvf.forall(t => !removedIds.contains(t._3)), "IVF probe leaked a tombstoned id")
     assert(governedPq.forall(t => !removedIds.contains(t._3)), "PQ probe leaked a tombstoned id")
 
-    // vacuum: only the affected cells' files change
+    // vacuum: only the affected cells' LIVE files change — read the
+    // truth from the generation manifest, the same source probes use
     val rootV = Path.of(dir, "vectors")
-    def filesNow(): Map[String, Set[String]] = {
-      val ls = Files.list(rootV)
-      val cells = try ls.iterator().asScala
-        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("cell="))
-        .toIndexedSeq
-      finally ls.close()
-      cells.map { c =>
-        val fl = Files.list(c)
-        val names = try fl.iterator().asScala.map(_.getFileName.toString)
-          .filter(_.endsWith(".parquet")).toSet
-        finally fl.close()
-        c.getFileName.toString -> names
-      }.toMap
-    }
-    val affectedCells = spark.read.parquet(rootV.toString)
+    def filesNow(): Map[Int, Set[String]] =
+      graft.operators.IndexManifest.head(dir).get.files
+        .groupBy(similarity.Similarity.cellOfPath).view.mapValues(_.toSet).toMap
+    val affectedCells = similarity.Similarity.indexVectors(spark, dir)
       .filter(col("vec_id").isin(removedIds: _*))
-      .select("cell").distinct().collect().map(r => s"cell=${r.getInt(0)}").toSet
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
     val preVac = filesNow()
     val n = similarity.Similarity.vacuumVectorTombstones(spark, dir)
     assert(n == removedIds.size.toLong)
     val postVac = filesNow()
     preVac.keySet.foreach { c =>
-      if (affectedCells(c)) assert(postVac(c) != preVac(c), s"$c should be rewritten")
-      else assert(postVac(c) == preVac(c), s"untouched $c was rewritten")
+      if (affectedCells(c)) assert(postVac.get(c) != Some(preVac(c)), s"cell $c should be rewritten")
+      else assert(postVac(c) == preVac(c), s"untouched cell $c was rewritten")
     }
-    // physically gone; ungoverned probe now equals the governed one
-    assert(spark.read.parquet(rootV.toString)
+    // physically gone — from the live read AND from the superseded
+    // bytes (vacuum deletes its inputs after the swap)
+    assert(similarity.Similarity.indexVectors(spark, dir)
       .filter(col("vec_id").isin(removedIds: _*)).isEmpty)
+    preVac.view.filterKeys(affectedCells).values.flatten.foreach(f =>
+      assert(!Files.exists(rootV.resolve(f)), s"superseded $f not deleted"))
     assert(similarity.Similarity.vectorTombstones(spark, dir).isEmpty)
     assert(top(similarity.Similarity.probeIvf(spark, dir, probes)) == governedIvf,
       "post-vacuum probe diverges from the governed probe")
@@ -1357,9 +1369,8 @@ class OperatorsSpec extends SparkSpecBase {
     assert(similarity.Similarity.vectorTombstones(spark, dir).isEmpty)
   }
 
-  test("IVF cell compaction: folds append fragments, probes unchanged, crash-rerun-safe") {
+  test("IVF cell compaction: folds append fragments, probes unchanged, crashed pass invisible") {
     import java.nio.file.{Files, Path, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
     import spark.implicits._
     // build on a third, append twice: cells accumulate file fragments
     val all = Tables.embeddings(spark, sfDir)
@@ -1370,23 +1381,13 @@ class OperatorsSpec extends SparkSpecBase {
     similarity.Similarity.buildIvfIndex(spark, corpus, dir)
     Seq(1, 2).foreach(r => similarity.Similarity.appendToIvfIndex(spark, dir,
       all.filter(col("vec_id") % 3 === r).select("vec_id", "embedding")))
-    def cellFiles(): Map[String, Seq[Path]] = {
-      val ls = Files.list(Path.of(dir, "vectors"))
-      val cells = try ls.iterator().asScala
-        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("cell="))
-        .toIndexedSeq
-      finally ls.close()
-      cells.map { c =>
-        val fl = Files.list(c)
-        val fs = try fl.iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).toIndexedSeq
-        finally fl.close()
-        c.getFileName.toString -> fs
-      }.toMap
-    }
+    // the live layout per cell, read from the manifest (probe truth)
+    def cellFiles(): Map[Int, Seq[String]] =
+      graft.operators.IndexManifest.head(dir).get.files
+        .groupBy(similarity.Similarity.cellOfPath).view.mapValues(_.toSeq).toMap
     val fragmented = cellFiles().filter(_._2.size >= 2)
     assert(fragmented.nonEmpty, "appends produced no fragmented cells")
-    val rowsBefore = spark.read.parquet(s"$dir/vectors").count()
+    val rowsBefore = similarity.Similarity.indexVectors(spark, dir).count()
     val probes = all.orderBy("vec_id").limit(5)
       .select((col("vec_id") + 1000000L).as("q_id"),
         col("embedding").cast("array<double>").as("va"))
@@ -1396,29 +1397,35 @@ class OperatorsSpec extends SparkSpecBase {
     val pre = probe()
 
     val folds = similarity.Similarity.compactIvfCells(spark, dir)
-    assert(folds.map(_.cell).toSet == fragmented.keySet,
+    assert(folds.map(_.cell).toSet == fragmented.keySet.map(c => s"cell=$c"),
       "compaction touched a different cell set than the fragmented one")
     assert(folds.forall(_.filesAfter == 1))
     val after = cellFiles()
-    fragmented.keys.foreach(c => assert(after(c).size == 1, s"$c not folded"))
+    fragmented.keys.foreach(c => assert(after(c).size == 1, s"cell $c not folded"))
+    // superseded fragments physically retired with the swap
+    fragmented.values.flatten.foreach(f =>
+      assert(!Files.exists(Path.of(dir, "vectors", f)), s"fragment $f not deleted"))
     // compaction is invisible: same rows, same probe answers
-    assert(spark.read.parquet(s"$dir/vectors").count() == rowsBefore)
+    assert(similarity.Similarity.indexVectors(spark, dir).count() == rowsBefore)
     assert(probe() == pre, "probe answers changed across compaction")
     // a compact index is never reopened: second pass is a no-op
     assert(similarity.Similarity.compactIvfCells(spark, dir).isEmpty)
 
-    // crash simulation: the documented visible window is "staged file
-    // moved in, originals not yet deleted" — fake it by duplicating a
-    // cell's one file; rows double until a re-run collapses them
-    val (cell, files) = cellFiles().find(_._2.size == 1).get
-    Files.copy(files.head,
-      files.head.getParent.resolve("crash-dup-" + files.head.getFileName),
-      StandardCopyOption.COPY_ATTRIBUTES)
-    assert(spark.read.parquet(s"$dir/vectors").count() > rowsBefore)
-    val refolds = similarity.Similarity.compactIvfCells(spark, dir)
-    assert(refolds.map(_.cell) == Seq(cell), s"re-run should fold only $cell")
-    assert(spark.read.parquet(s"$dir/vectors").count() == rowsBefore,
-      "crash-rerun did not restore exactly-once rows")
+    // crash simulation, manifest era: a pass that staged its fold but
+    // died BEFORE the commit leaves an unreferenced segment — readers
+    // never see it (no doubled rows, unlike the pre-r18 window), and
+    // the grace-expired sweep reclaims it
+    val liveFile = cellFiles().values.flatten.head
+    val orphanSeg = Path.of(dir, "vectors", "seg-deadpass", "pcell=0")
+    Files.createDirectories(orphanSeg)
+    Files.copy(Path.of(dir, "vectors", liveFile),
+      orphanSeg.resolve("part-orphan.parquet"), StandardCopyOption.COPY_ATTRIBUTES)
+    assert(similarity.Similarity.indexVectors(spark, dir).count() == rowsBefore,
+      "an uncommitted staged segment leaked into the live read")
     assert(probe() == pre)
+    assert(similarity.Similarity.sweepUncommittedVectorFiles(dir, graceMs = 0L) == 1,
+      "sweep did not reclaim the crashed pass's staged file")
+    assert(!Files.exists(orphanSeg), "orphan seg dir not pruned")
+    assert(similarity.Similarity.indexVectors(spark, dir).count() == rowsBefore)
   }
 }
