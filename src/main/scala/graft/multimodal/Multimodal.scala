@@ -420,15 +420,20 @@ object Multimodal {
           |    struct(x.doc_id AS id1, x.sig AS sig1,
           |           y.doc_id AS id2, y.sig AS sig2))))""".stripMargin)).as("p"))
     // oversized buckets only: chunk-pair rows, repartitioned so one
-    // hot band's ≤ chunk² pair batches spread across tasks
+    // hot band's ≤ chunk² pair batches spread across tasks. The pair
+    // index is generated in TWO chained explodes (ci, then cj >= ci):
+    // each generated array is ≤ nChunks long, and the slices project
+    // out before the exchange — the r17 single flatten built all
+    // nChunks² index structs as ONE in-row array, which for a
+    // multi-million-row hot bucket is quadratic in-row state that can
+    // OOM a task before any spreading happens
     val bigPairs = postings.filter(size(col("ds")) > chunk)
-      .select(col("ds"), explode(expr(
-        s"""flatten(transform(sequence(0, int(ceil(size(ds) / $chunk.0)) - 1),
-           |  i -> transform(sequence(i, int(ceil(size(ds) / $chunk.0)) - 1),
-           |    j -> struct(i AS ci, j AS cj))))""".stripMargin)).as("cp"))
-      .select(expr(s"slice(ds, cp.ci * $chunk + 1, $chunk)").as("a"),
-        expr(s"slice(ds, cp.cj * $chunk + 1, $chunk)").as("b"),
-        (col("cp.ci") === col("cp.cj")).as("same"))
+      .withColumn("nc", expr(s"int(ceil(size(ds) / $chunk.0))"))
+      .select(col("ds"), col("nc"), explode(expr("sequence(0, nc - 1)")).as("ci"))
+      .select(col("ds"), col("ci"), explode(expr("sequence(ci, nc - 1)")).as("cj"))
+      .select(expr(s"slice(ds, ci * $chunk + 1, $chunk)").as("a"),
+        expr(s"slice(ds, cj * $chunk + 1, $chunk)").as("b"),
+        (col("ci") === col("cj")).as("same"))
       .repartition(col("a"), col("b"))
       .select(explode(expr(
         """CASE WHEN same THEN
@@ -486,6 +491,47 @@ object Multimodal {
       // outnumber verified near-pairs — dedup only the survivors
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Collapse hamming-0 groups (byte-identical sigs) to one
+    * representative each: `(reps, edges)` where `reps` is
+    * (doc_id, sig) with one row per DISTINCT sig (the group's min
+    * doc_id) and `edges` is (rep, member) for every collapsed
+    * non-representative. Both sides are flat frames built from one
+    * sig-keyed aggregate + one sig-keyed equi-join — no per-group
+    * array ever materializes, so a million-member group costs a
+    * million ROWS, never a million-element value.
+    */
+  def collapseIdenticalSigs(sig: DataFrame): (DataFrame, DataFrame) = {
+    val s2 = sig.toDF("doc_id", "sig")
+    val reps = s2.groupBy("sig").agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "sig")
+    val edges = s2.join(reps.select(col("sig"), col("doc_id").as("rep")), Seq("sig"))
+      .filter(col("doc_id") =!= col("rep"))
+      .select(col("rep"), col("doc_id").as("member"))
+    (reps, edges)
+  }
+
+  /** [[hammingPairs]] with the representative-collapse pre-pass — the
+    * OPT-IN remedy for the corpus that breaks the pair contract
+    * itself: with millions of byte-identical sigs (an all-black-frame
+    * crawl), the hamming-0 clique is quadratic no matter how the join
+    * is planned, so the fix is to stop ENUMERATING it. Identical sigs
+    * collapse to one representative before banding (pair volume drops
+    * from Σ|group|² to Σ over distinct sigs) and the collapse comes
+    * back as (rep, member) edges: a pair consumer expands lazily —
+    * members inherit every rep-pair of their representative, and
+    * intra-group pairs are hamming 0 by construction (dd06-style
+    * cluster consumers need no expansion at all: union the edges with
+    * the rep-pairs and the connected components are identical to the
+    * full enumeration's). Shipped mm04 keeps the direct form: on a
+    * non-degenerate corpus the collapse's extra shuffle+join buys
+    * nothing (probe `mm04hot` measures the direct forms).
+    */
+  def hammingPairsCollapsed(sig: DataFrame,
+                            maxHamming: Int): (DataFrame, DataFrame) = {
+    val (reps, edges) = collapseIdenticalSigs(sig)
+    (hammingPairs(reps, maxHamming), edges)
   }
 
   // --- mm04: image near-dup via perceptual hash — the multimodal

@@ -89,6 +89,49 @@ class ImageHeaderSpec extends SparkSpecBase {
     assert(joined.contains((400L, 401L, 2L)))
   }
 
+  test("hammingPairsCollapsed: degenerate corpus bounded, clusters equal the full enumeration") {
+    import spark.implicits._
+    // the corpus that breaks the pair contract itself: 5000
+    // byte-identical sigs whose full enumeration is ~12.5M hamming-0
+    // pairs. The collapse must keep output ∝ distinct sigs + members.
+    val hot = (0L until 5000L).map(i => (i, -1L))
+    val near = Seq((9000L, -4L)) // 2 bits off the hot sig
+    val bg = (6000L until 6100L).map(i => (i, i * 0x9e3779b97f4a7c15L))
+    val sig = (hot ++ near ++ bg).toDF("doc_id", "sig")
+    val (repPairs, edges) = Multimodal.hammingPairsCollapsed(sig, maxHamming = 10)
+    val p = repPairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(p.size < 1000, s"collapse did not bound pair output: ${p.size}")
+    // the hot group collapsed to its min doc_id, which still pairs out
+    assert(p.contains((0L, 9000L, 2L)), s"rep lost its near pair: $p")
+    assert(edges.count() == 4999L, "every non-representative emits one edge")
+    assert(edges.filter("rep != 0").isEmpty)
+
+    // dd06-style cluster equivalence on a small corpus: connected
+    // components over (rep-pairs ∪ collapse edges) must equal the
+    // full enumeration's components — the lazy-expansion contract
+    val sSmall = ((0L until 40L).map(i => (i, -1L)) ++
+      Seq((50L, -4L), (51L, -4L)) ++
+      (60L until 70L).map(i => (i, (i * 0x9e3779b97f4a7c15L) | 1L)))
+    val sigSmall = sSmall.toDF("doc_id", "sig")
+    def components(edgeList: Seq[(Long, Long)]): Set[Set[Long]] = {
+      val parent = scala.collection.mutable.Map(sSmall.map(_._1 -> -1L): _*)
+      def find(x: Long): Long =
+        if (parent(x) < 0) x else { val r = find(parent(x)); parent(x) = r; r }
+      edgeList.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      sSmall.map(_._1).groupBy(find).values.map(_.toSet).toSet
+    }
+    val full = Multimodal.hammingPairs(sigSmall, maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val (rp, ed) = Multimodal.hammingPairsCollapsed(sigSmall, maxHamming = 10)
+    val lazyEdges = rp.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ++
+      ed.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(components(lazyEdges) == components(full),
+      "collapsed clusters diverge from the full enumeration's")
+  }
+
   test("mm04 pairs are exact-hamming-verified and ordered") {
     val rows = Multimodal.mm04_phash_neardup(spark, sfDir).collect()
     assert(rows.nonEmpty, "no near-dup payload pairs at spec scale")
