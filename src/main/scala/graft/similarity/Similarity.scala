@@ -735,16 +735,38 @@ object Similarity {
 
   /** Record removed vec_ids (tiny append-only parquet next to the
     * index's own layout — the index is dir-based, so its governance
-    * state is too).
+    * state is too). Each registration stages writer-privately and
+    * publishes ONE token-named file with an atomic same-dir move —
+    * two concurrent registrations never share a Spark output dir
+    * (the r18 seg-dir discipline; a shared `_temporary` can
+    * cross-commit), and a reader never sees a torn file.
     */
   def tombstoneVectors(s: SparkSession, indexDir: String, vecIds: DataFrame): Unit = {
+    import java.nio.file.{Files, Path, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
     // an empty takedown batch must not write a zero-row part file:
     // that would flip hasVectorTombstones and make every probe pay
     // the governed anti-join forever (and vacuum would see null
     // min/max bounds)
     val ids = vecIds.select(col("vec_id").cast("long")).distinct().localCheckpoint()
     if (ids.isEmpty) return
-    ids.coalesce(1).write.mode("append").parquet(tombstoneDir(indexDir))
+    val stage = Files.createTempDirectory("graft-tomb")
+    try {
+      ids.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val ls = Files.list(stage)
+      val part = try ls.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"staged takedown lost its part file: $stage"))
+      finally ls.close()
+      val dest = Path.of(tombstoneDir(indexDir))
+      Files.createDirectories(dest)
+      val token = graft.operators.WriterToken.next()
+      val tmp = dest.resolve(s".takedown-$token.staging")
+      Files.copy(part, tmp)
+      Files.move(tmp, dest.resolve(s"takedown-$token.parquet"),
+        StandardCopyOption.ATOMIC_MOVE)
+      ()
+    } finally graft.IndexLifecycle.deleteRecursively(stage.toString)
   }
 
   /** The current tombstone set (empty frame when none recorded). */
@@ -781,17 +803,55 @@ object Similarity {
     * provably physically empty). A crashed vacuum leaves tombstones
     * active and its staged seg unreferenced: probes stay governed,
     * the re-run starts clean.
+    *
+    * The CLEAR is file-precise for the same reason: the pass
+    * snapshots the tombstone PART FILES it read and deletes exactly
+    * those — a takedown registered while the vacuum ran lands in a
+    * fresh part file that survives the clear, stays governing
+    * probes, and is processed by the next vacuum, instead of being
+    * silently dropped by a whole-dir delete.
     */
   def vacuumVectorTombstones(s: SparkSession, indexDir: String): Long = {
+    import java.nio.file.{Files, Path}
+    import scala.jdk.CollectionConverters._
     if (!hasVectorTombstones(indexDir)) return 0L
-    val tomb = vectorTombstones(s, indexDir).localCheckpoint()
+    // snapshot the tombstone files THIS pass owns (and will clear)
+    val tombRoot = Path.of(tombstoneDir(indexDir))
+    val tombLs = Files.list(tombRoot)
+    val tombFiles = try tombLs.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toIndexedSeq
+    finally tombLs.close()
+    if (tombFiles.isEmpty) return 0L // raced another vacuum's clear
+    def clearSnapshot(): Unit = {
+      tombFiles.foreach { f =>
+        Files.deleteIfExists(f)
+        Files.deleteIfExists(f.resolveSibling("." + f.getFileName + ".crc"))
+      }
+      if (!hasVectorTombstones(indexDir)) {
+        // committer debris (_SUCCESS, stray crc) goes with the last
+        // snapshot — but ONLY non-parquet regular files: a racing
+        // registration's part file survives, and its in-flight
+        // _temporary (a dir) keeps the rmdir failing, so nothing of
+        // a concurrent takedown is ever torn down with the snapshot
+        val ls = Files.list(tombRoot)
+        try ls.iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            !p.getFileName.toString.endsWith(".parquet"))
+          .foreach(Files.deleteIfExists(_))
+        finally ls.close()
+        scala.util.Try(Files.delete(tombRoot)) // rmdir: only when truly empty
+        ()
+      }
+    }
+    val tomb = s.read.parquet(tombFiles.map(_.toString): _*)
+      .distinct().localCheckpoint()
     val n = tomb.count()
     if (n == 0) {
-      // a tombstone dir holding only zero-row part files (e.g. written
-      // by a pre-guard tombstoneVectors) suppresses nothing — clear it
-      // so probes drop the governed anti-join, and skip the rewrite
+      // a snapshot of only zero-row part files (e.g. written by a
+      // pre-guard tombstoneVectors) suppresses nothing — clear it so
+      // probes drop the governed anti-join, and skip the rewrite
       // (whose min/max bounds would NPE on an empty set)
-      graft.IndexLifecycle.deleteRecursively(tombstoneDir(indexDir))
+      clearSnapshot()
       return 0L
     }
     val bounds = tomb.agg(min("vec_id"), max("vec_id")).head()
@@ -810,9 +870,10 @@ object Similarity {
         .join(broadcast(tomb), Seq("vec_id"), "left_semi")
         .select("cell").distinct().collect().map(_.getInt(0)).toSet
       if (affected.isEmpty) {
-        // provably nothing left to remove in the CURRENT head —
-        // clearing is now safe even against concurrent appends
-        graft.IndexLifecycle.deleteRecursively(tombstoneDir(indexDir))
+        // provably nothing of THIS snapshot left in the CURRENT head —
+        // clearing (the snapshot only) is safe even against
+        // concurrent appends and registrations
+        clearSnapshot()
         return n
       }
       val old = live.filter(f => affected.contains(cellOfPath(f)))

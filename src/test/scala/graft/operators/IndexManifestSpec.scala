@@ -183,6 +183,42 @@ class IndexManifestSpec extends SparkSpecBase {
       "undisputed tombstoned ids survived the vacuum")
   }
 
+  test("takedown registered during a vacuum is never silently dropped") {
+    val (_, idx) = freshIndex("tombrace")
+    import spark.implicits._
+    val ids = Similarity.indexVectors(spark, idx).orderBy("vec_id")
+      .select("vec_id").as[Long].collect()
+    val batchA = ids.take(3).toSeq
+    val batchB = ids.slice(3, 6).toSeq
+    Similarity.tombstoneVectors(spark, idx, batchA.toDF("vec_id"))
+    // register batch B concurrently with the vacuum of batch A — the
+    // pre-r18 whole-dir clear could tear B's registration down with
+    // A's snapshot
+    val t = new Thread(() =>
+      Similarity.tombstoneVectors(spark, idx, batchB.toDF("vec_id")))
+    t.start()
+    Similarity.vacuumVectorTombstones(spark, idx)
+    t.join()
+    // batch A was in the snapshot: physically gone, always
+    assert(Similarity.indexVectors(spark, idx)
+      .filter(col("vec_id").isin(batchA: _*)).isEmpty)
+    // batch B, under ANY interleaving: either its file made the
+    // snapshot (rows physically gone) or it survives as LIVE
+    // tombstones still governing probes — never dropped
+    val stillTomb = Similarity.vectorTombstones(spark, idx)
+      .as[Long].collect().toSet
+    val stillLive = Similarity.indexVectors(spark, idx)
+      .filter(col("vec_id").isin(batchB: _*))
+      .select("vec_id").as[Long].collect().toSet
+    assert(stillLive.subsetOf(stillTomb),
+      s"takedown dropped: live $stillLive not covered by tombstones $stillTomb")
+    // the follow-up vacuum converges to fully clean
+    Similarity.vacuumVectorTombstones(spark, idx)
+    assert(Similarity.indexVectors(spark, idx)
+      .filter(col("vec_id").isin((batchA ++ batchB): _*)).isEmpty)
+    assert(Similarity.vectorTombstones(spark, idx).isEmpty)
+  }
+
   test("legacy pre-manifest index: reads fall back, first mutation adopts, eras fold together") {
     // hand-build the pre-r18 layout: flat cell=K dirs, no cell column
     // in the bytes, no manifest — what an old deployment's index
