@@ -19,11 +19,12 @@ import org.apache.spark.sql.functions._
   *    expression — a narrow map over the scan (no join, no window, no
   *    shuffle; the centroid matrix rides into generated code as a
   *    reference object, exactly how Spark MLlib ships centers) — and
-  *    persists the index as a parquet layout PARTITIONED BY CELL plus
-  *    a tiny centroid table.
+  *    persists the index as a cell-segmented parquet layout published
+  *    through a CAS-committed generation manifest (r18;
+  *    [[graft.operators.IndexManifest]]) plus a tiny centroid table.
   *  - [[probeIvf]] routes each query to its nProbe nearest cells with
-  *    the same expression and scans ONLY those cell partitions
-  *    (static partition pruning over the cell-partitioned layout), so
+  *    the same expression and reads ONLY those cells' live files
+  *    (pruned at the MANIFEST, before Spark lists anything), so
   *    probe IO is ~nProbe/nCells of the corpus. Build once, probe
   *    many — the probe never retrains or reassigns anything.
   *
@@ -421,10 +422,10 @@ object Similarity {
 
   /** Probe a persisted index: route each query to its nProbe nearest
     * cells (codegen'd, against the collected tiny centroid table),
-    * then scan ONLY those cell partitions of the vector layout — the
-    * probed-cell set is collected up front (≤ |queries|·nProbe ints)
-    * precisely so the cell filter is STATIC partition pruning the
-    * scan honors at plan time. Candidates shrink to
+    * then read ONLY those cells' live files — the probed-cell set is
+    * collected up front (≤ |queries|·nProbe ints) precisely so the
+    * file set prunes at the MANIFEST before Spark lists or plans
+    * anything. Candidates shrink to
     * ~n·nProbe/nCells; the final top-k is the graft_topk bounded-heap
     * aggregate (map-side partial heaps, shuffle O(queries·k·tasks)) —
     * a row_number window here would route every candidate row for a
@@ -460,7 +461,7 @@ object Similarity {
 
   // --- ann06: IVF-PQ — the faiss-classic composition of the two
   // orthogonal savings: IVF's cell pruning picks WHICH rows to score
-  // (static partition pruning: ~nProbe/nCells of the corpus) and
+  // (manifest file pruning: ~nProbe/nCells of the corpus) and
   // PQ's ADC picks WHAT to read for them (the 8-byte code column —
   // parquet column pruning means the probe scan never touches the
   // vector bytes). Shortlists are heap-selected per query and
@@ -595,7 +596,7 @@ object Similarity {
     * assigned to its nearest EXISTING cell by the same codegen'd
     * NearestCells routing the probe uses and PQ-encoded against the
     * EXISTING codebooks — one narrow map over the batch, then an
-    * append into the cell-partitioned layout. Cost ∝ batch, never
+    * append into the cell-segmented layout. Cost ∝ batch, never
     * corpus (ScaleProbe `annappend` measures it); resident vectors
     * are never reassigned or rewritten. Probes pick the rows up on
     * their next scan with no cache to invalidate: the session memo
@@ -640,7 +641,7 @@ object Similarity {
   /** Cell-occupancy diagnostic backing the drift dial: one row per
     * cell with its resident count — max/avg over this frame is the
     * skew number the rebuild decision reads. Scans only the vec_id
-    * column (partition pruning gives cell for free).
+    * column (the cell column rides in the file bytes).
     */
   def ivfCellStats(s: SparkSession, indexDir: String): DataFrame =
     indexVectors(s, indexDir)
@@ -717,10 +718,10 @@ object Similarity {
   // IMMEDIATELY (broadcast anti-join on the candidate scan — a
   // takedown batch is human-scale), and [[vacuumVectorTombstones]]
   // makes removal physical by rewriting ONLY the cells that contain
-  // them (cost ∝ affected cells, single Spark job, same staged
-  // write-once append-then-retire commit as compaction). A vec_id re-appended
-  // while still tombstoned stays suppressed until the vacuum clears
-  // the set.
+  // them (cost ∝ affected cells, single Spark job, the same staged
+  // seg + manifest-CAS publication as compaction). A vec_id
+  // re-appended while still tombstoned stays suppressed until a
+  // vacuum pass proves it physically gone and clears the set.
 
   private def tombstoneDir(indexDir: String) = s"$indexDir/tombstones"
 
