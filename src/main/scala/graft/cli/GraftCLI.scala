@@ -49,12 +49,13 @@ object GraftCLI {
           }
       }
     case "table" :: cmd :: rest => tableMain(cmd, rest)
+    case "index" :: cmd :: rest => indexMain(cmd, rest)
     case _ => usage()
   }
 
   private def usage(): Nothing = {
     System.err.println(
-      "usage: GraftCLI run_sample -f <file> [outDir] [--update] | show <checkpoint> | init <checkpoint> | emit [rowsPerSec] [--update] | table <cmd> ...")
+      "usage: GraftCLI run_sample -f <file> [outDir] [--update] | show <checkpoint> | init <checkpoint> | emit [rowsPerSec] [--update] | table <cmd> ... | index <cmd> ...")
     sys.exit(2)
   }
 
@@ -335,6 +336,86 @@ object GraftCLI {
           case None => Seq(s"$mv already current with $src")
         }
       case _ => throw new Usage(tableUsage)
+    }
+  }
+
+  private val indexUsage: String =
+    "usage: GraftCLI index stats <indexDir> | compact <indexDir> [minFiles] | " +
+      "vacuum <indexDir> | tombstone <indexDir> <id1,id2,…> | " +
+      "sweep <indexDir> [graceSec]"
+
+  def indexMain(cmd: String, rest: List[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("graft-index")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try index(spark, cmd, rest).foreach(println)
+    catch {
+      case u: Usage =>
+        System.err.println(u.getMessage)
+        sys.exit(2)
+    } finally spark.stop()
+  }
+
+  /** ANN-index ops console (`GraftCLI index <cmd> …`): the
+    * operational verbs for [[graft.similarity.Similarity]]'s
+    * manifest-committed vector index — the maintenance loop
+    * (compact / vacuum / sweep), the governance entry (tombstone),
+    * and the drift dial (stats: cell skew is the rebuild trigger).
+    * Session-scoped and spec-testable like [[table]].
+    */
+  def index(spark: SparkSession, cmd: String, args: List[String]): Seq[String] = {
+    import graft.similarity.Similarity
+    (cmd, args) match {
+      case ("stats", dir :: Nil) =>
+        val genLine = graft.operators.IndexManifest.head(dir) match {
+          case Some(h) =>
+            s"generation ${h.gen} (${h.files.size} live files)"
+          case None => "pre-manifest layout (no generation log; first mutation adopts)"
+        }
+        val cells = Similarity.ivfCellStats(spark, dir)
+          .collect().map(r => (r.getInt(0), r.getLong(1)))
+        val occ =
+          if (cells.isEmpty) Seq("0 cells")
+          else {
+            val total = cells.map(_._2).sum
+            val mx = cells.maxBy(_._2)
+            Seq(s"${cells.length} cells, $total vectors",
+              f"cell skew: max ${mx._2} in cell ${mx._1} " +
+                f"(${mx._2 * cells.length / math.max(1.0, total.toDouble)}%.1fx mean" +
+                ") — rebuild when this crosses the workload's floor")
+          }
+        val tombs = Similarity.vectorTombstones(spark, dir).count()
+        (genLine +: occ) :+
+          (if (tombs == 0) "no live tombstones"
+           else s"$tombs live tombstone(s) governing probes — run vacuum")
+      case ("compact", dir :: more) =>
+        val minFiles = more.headOption.map(intArg(_, "minFiles")).getOrElse(2)
+        val folds = Similarity.compactIvfCells(spark, dir, minFiles)
+        if (folds.isEmpty) Seq(s"$dir already compact (every cell < $minFiles files)")
+        else Seq(s"folded ${folds.size} cell(s): " +
+          s"${folds.map(_.filesBefore).sum} -> ${folds.map(_.filesAfter).sum} files")
+      case ("vacuum", dir :: Nil) =>
+        val n = Similarity.vacuumVectorTombstones(spark, dir)
+        if (n == 0) Seq(s"no tombstones to vacuum on $dir")
+        else Seq(s"vacuumed $n tombstoned vector(s) from $dir")
+      case ("tombstone", dir :: idsArg :: _) =>
+        // total parse — a typo'd id must fail loudly, not register a
+        // takedown for the wrong (or no) vector
+        val ids = idsArg.split(",").toSeq.map(v => v.trim.toLongOption
+          .getOrElse(throw new Usage(s"vec_id not a long: '$v'\n$indexUsage")))
+        import spark.implicits._
+        Similarity.tombstoneVectors(spark, dir, ids.toDF("vec_id"))
+        Seq(s"tombstoned ${ids.distinct.size} vec_id(s) on $dir " +
+          "(probes governed immediately; run vacuum to make removal physical)")
+      case ("sweep", dir :: more) =>
+        val graceSec = more.headOption.map(longArg(_, "graceSec")).getOrElse(3600L)
+        val n = Similarity.sweepUncommittedVectorFiles(dir, graceSec * 1000L)
+        Seq(s"reclaimed $n uncommitted data file(s) older than ${graceSec}s on $dir")
+      case _ => throw new Usage(indexUsage)
     }
   }
 

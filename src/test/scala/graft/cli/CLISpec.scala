@@ -286,6 +286,61 @@ class CLISpec extends SparkSpecBase {
     }
   }
 
+  test("index verbs: stats / tombstone / vacuum / compact / sweep against a real index") {
+    import graft.similarity.Similarity
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    import spark.implicits._
+    val corpus = tmpDir("cli-ix-corpus")
+    spark.range(150).select(col("id").as("vec_id"))
+      .withColumn("embedding", expr("transform(sequence(1, 16), j -> " +
+        "cast(pmod(xxhash64(vec_id * 16 + j), 1000) as float) / 1000.0)"))
+      .withColumn("label", lit("c"))
+      .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    val dir = tmpDir("cli-ix-idx")
+    Similarity.buildIvfIndex(spark, corpus, dir, nCells = 4, iters = 2, sampleMod = 1)
+    val st0 = GraftCLI.index(spark, "stats", List(dir))
+    assert(st0.head.startsWith("generation 0 ("), st0.mkString("\n"))
+    assert(st0.exists(_.contains("4 cells, 150 vectors")), st0.mkString("\n"))
+    assert(st0.last == "no live tombstones")
+    // tombstone two ids: stats flags them, vacuum removes them
+    val tomb = GraftCLI.index(spark, "tombstone", List(dir, "3,7"))
+    assert(tomb.head.startsWith("tombstoned 2 vec_id(s)"), tomb.head)
+    assert(GraftCLI.index(spark, "stats", List(dir))
+      .last.contains("2 live tombstone(s)"))
+    val vac = GraftCLI.index(spark, "vacuum", List(dir))
+    assert(vac.head.startsWith("vacuumed 2 tombstoned"), vac.head)
+    assert(Similarity.indexVectors(spark, dir)
+      .filter(col("vec_id").isin(3L, 7L)).isEmpty)
+    assert(GraftCLI.index(spark, "vacuum", List(dir)).head
+      .startsWith("no tombstones"))
+    // fragment with an append, fold, and confirm the no-op form
+    Similarity.appendToIvfIndex(spark, dir,
+      spark.range(1000, 1040).select(col("id").as("vec_id"))
+        .withColumn("embedding", expr("transform(sequence(1, 16), j -> " +
+          "cast(pmod(xxhash64(vec_id * 16 + j), 1000) as float) / 1000.0)")))
+    val cpt = GraftCLI.index(spark, "compact", List(dir))
+    assert(cpt.head.startsWith("folded"), cpt.head)
+    assert(GraftCLI.index(spark, "compact", List(dir)).head
+      .contains("already compact"))
+    // a planted uncommitted orphan is invisible and sweepable via CLI
+    val orphan = Paths.get(dir, "vectors", "seg-dead", "pcell=0")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("part-junk.parquet"), Array[Byte](1, 2, 3))
+    val n = Similarity.indexVectors(spark, dir).count()
+    assert(n == 148 + 40)
+    val sw = GraftCLI.index(spark, "sweep", List(dir, "0"))
+    assert(sw.head.startsWith("reclaimed 1 uncommitted"), sw.head)
+    assert(!Files.exists(orphan))
+    // malformed invocations raise Usage, not stack traces
+    Seq(
+      GraftCLI.index(spark, _: String, _: List[String])).foreach { f =>
+      intercept[GraftCLI.Usage](f("stats", Nil))
+      intercept[GraftCLI.Usage](f("tombstone", List(dir, "3,x")))
+      intercept[GraftCLI.Usage](f("compact", List(dir, "two")))
+      intercept[GraftCLI.Usage](f("nope", List(dir)))
+    }
+  }
+
   test("run_sample --update: bounded-state top-N path writes the same file") {
     val in = Files.createTempDirectory("cli-in-u")
     Files.write(in.resolve("sample.txt"),
