@@ -1443,6 +1443,55 @@ object ScaleProbe {
           println(f"calib rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
         }
 
+      case "ixman" =>
+        // The r18 index-manifest claims, measured at two fragment
+        // scales (probe-honesty: claim the SLOPE, not absolute wins —
+        // local warm-page scans are ~free): (a) head resolve stays
+        // ms-scale as live files grow 10x (one small-file read; bytes
+        // ∝ files); (b) a one-cell probe read touches EXACTLY that
+        // cell's live files — fileCount/64 of the corpus — verified
+        // by input_file_name, so probe IO is bounded by the manifest,
+        // not the layout's fragmentation.
+        val nCells = 64
+        def mk(batches: Int): String = {
+          val corpus = java.nio.file.Files.createTempDirectory("probe-ixm").toString
+          val src = spark.range(20000).select(col("id").as("vec_id"))
+            .withColumn("embedding", expr("transform(sequence(1, 16), j -> " +
+              "cast(pmod(xxhash64(vec_id * 16 + j), 1000) as float) / 1000.0)"))
+            .withColumn("label", lit("c"))
+          src.write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+          val ix = s"$corpus/idx"
+          similarity.Similarity.buildIvfIndex(spark, corpus, ix, nCells = nCells)
+          (1 to batches).foreach { b =>
+            similarity.Similarity.appendToIvfIndex(spark, ix,
+              spark.range(100000L * b, 100000L * b + 2000)
+                .select(col("id").as("vec_id"))
+                .withColumn("embedding", expr("transform(sequence(1, 16), j -> " +
+                  "cast(pmod(xxhash64(vec_id * 16 + j), 1000) as float) / 1000.0)")))
+          }
+          ix
+        }
+        Seq(8, 80).foreach { batches =>
+          val ix = mk(batches)
+          val live = operators.IndexManifest.head(ix).get.files
+          val t0 = System.nanoTime()
+          (1 to 100).foreach(_ => operators.IndexManifest.head(ix))
+          val resolveMs = (System.nanoTime() - t0) / 1e6 / 100
+          val cell = similarity.Similarity.cellOfPath(live.head)
+          val t1 = System.nanoTime()
+          val touched = similarity.Similarity.indexVectors(spark, ix, Some(Seq(cell)))
+            .select(org.apache.spark.sql.functions.input_file_name())
+            .distinct().count()
+          val oneCellSec = (System.nanoTime() - t1) / 1e9
+          val expect = live.count(f => similarity.Similarity.cellOfPath(f) == cell)
+          println(f"$batches appends: ${live.size} live files, head resolve $resolveMs%.2f ms, " +
+            f"1-cell read touched $touched of ${live.size} files in $oneCellSec%.2f s")
+          require(touched == expect.toLong,
+            s"manifest pruning read $touched files, expected $expect")
+          require(resolveMs < 50,
+            f"head resolve should stay ms-scale, saw $resolveMs%.1f ms")
+        }
+
       case "mm04hot" =>
         // mm04's hot-band claim, measured: a near-constant image
         // corpus (all-black frames, every sig identical) collapses
@@ -1484,7 +1533,7 @@ object ScaleProbe {
           s"hot-band pair sets disagree: $spread / $joinOn / $joinOff, expected>=$expected")
 
       case other =>
-        System.err.println(s"unknown probe '$other'; use calib | topn | cumsum | incr | hh | bloom | skew | tri | pr | bitmap64 | annappend | build | tx17vocab | merge | drift | dd13sig | ivfcompact | ivm | bloomidx | bloommaint | partialz | ckpt | dv | dvdiet | mm04hot")
+        System.err.println(s"unknown probe '$other'; use calib | topn | cumsum | incr | hh | bloom | skew | tri | pr | bitmap64 | annappend | build | tx17vocab | merge | drift | dd13sig | ivfcompact | ivm | bloomidx | bloommaint | partialz | ckpt | dv | dvdiet | mm04hot | ixman")
         sys.exit(2)
     }
     spark.stop()
