@@ -482,10 +482,12 @@ object GraftCLI {
     val offsets = Paths.get(ckpt, "offsets")
     val commits = Paths.get(ckpt, "commits")
     def batches(p: java.nio.file.Path): Seq[String] =
-      if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala.map(_.getFileName.toString)
+      if (Files.isDirectory(p)) {
+        val ls = Files.list(p)
+        try ls.iterator().asScala.map(_.getFileName.toString)
           .filter(_.forall(_.isDigit)).toSeq.sortBy(_.toLong)
-      else Seq.empty
+        finally ls.close()
+      } else Seq.empty
     println(s"offsets: ${batches(offsets).mkString(", ")}")
     println(s"commits: ${batches(commits).mkString(", ")}")
     val latest = batches(offsets).lastOption

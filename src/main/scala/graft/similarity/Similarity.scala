@@ -277,7 +277,19 @@ object Similarity {
     */
   def indexVectors(s: SparkSession, indexDir: String,
                    cells: Option[Seq[Int]] = None): DataFrame =
-    graft.operators.IndexManifest.head(indexDir) match {
+    indexVectorsPinned(s, indexDir,
+      graft.operators.IndexManifest.head(indexDir), cells)
+
+  /** [[indexVectors]] against an ALREADY-RESOLVED head — for callers
+    * that read the layout more than once per logical operation
+    * (probeIvfPq's ADC scan + exact-re-rank fetch) and must see ONE
+    * generation across both reads, not whichever head each resolve
+    * happens to land on while maintenance commits in between.
+    */
+  private def indexVectorsPinned(s: SparkSession, indexDir: String,
+                                 head: Option[graft.operators.IndexManifest.Head],
+                                 cells: Option[Seq[Int]]): DataFrame =
+    head match {
       case Some(h) =>
         val picked = cells match {
           case Some(cs) =>
@@ -477,6 +489,10 @@ object Similarity {
                  nProbe: Int = 3, k: Int = 5, rerankFactor: Int = 8): DataFrame = {
     val books = loadPqBooks(s, indexDir)
     val cents = loadCentroids(s, indexDir)
+    // ONE head for the whole probe: the ADC shortlist and the exact
+    // re-rank fetch must read the same generation, or a maintenance
+    // commit between the two resolves hands one query a mixed index
+    val pinned = graft.operators.IndexManifest.head(indexDir)
     // the query set is driver-sized by definition: routing, LUTs and
     // the (q_id, qi) mapping all come from one collect
     val qRows = queries.collect()
@@ -495,7 +511,7 @@ object Similarity {
     // ADC scan: only (vec_id, code) leave the parquet reader; each
     // row is scored against just the queries probing its cell
     val shortlist = governed(s, indexDir,
-      indexVectors(s, indexDir, Some(probed))
+      indexVectorsPinned(s, indexDir, pinned, Some(probed))
         .select(col("vec_id").as("n_id"), col("code"), col("cell")), "n_id")
       .join(broadcast(qcells), Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
@@ -507,7 +523,7 @@ object Similarity {
       .select(col("q_id"), explode(col("tk")).as("p"))
       .select(col("q_id"), col("p.id").as("n_id"))
     // exact re-rank: full-fidelity vectors only for the shortlist
-    val fetch = indexVectors(s, indexDir, Some(probed))
+    val fetch = indexVectorsPinned(s, indexDir, pinned, Some(probed))
       .select(col("vec_id").as("n_id"), col("v").as("vb"), col("nrm").as("nb"))
     val q = queries
     fetch.join(broadcast(shortlist), Seq("n_id"))
