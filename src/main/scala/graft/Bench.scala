@@ -464,7 +464,7 @@ object Bench {
     val hashed = (1 to 8).foldLeft(base.select(col("id"), col("id").as("h"))) {
       (df, _) => df.withColumn("h", xxhash64(col("h"), col("id")))
     }
-    // bit_xor, not sum: summing 48M uniform 64-bit hashes overflows
+    // bit_xor, not sum: summing 96M uniform 64-bit hashes overflows
     // long under ANSI mode; xor keeps full entropy overflow-free
     hashed.groupBy(pmod(col("h"), lit(4096)).as("bucket"))
       .agg(count(lit(1)).as("cnt"), expr("bit_xor(h)").as("hx"))

@@ -102,21 +102,30 @@ object GraftCLI {
     * what an operator runs in a maintenance window (the reference CLI
     * only drives topologies; the table layer is graft surface).
     */
-  def tableMain(cmd: String, rest: List[String]): Unit = {
+  /** One console-session shape for every verb-family main: build the
+    * local session, print the verb's lines, turn a thrown [[Usage]]
+    * into the stderr text + exit 2 the shell expects. A config or
+    * error-handling change lands once, not per family.
+    */
+  private def consoleMain(appName: String)(
+      body: SparkSession => Seq[String]): Unit = {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .appName("graft-table")
+      .appName(appName)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try table(spark, cmd, rest).foreach(println)
+    try body(spark).foreach(println)
     catch {
       case u: Usage =>
         System.err.println(u.getMessage)
         sys.exit(2)
     } finally spark.stop()
   }
+
+  def tableMain(cmd: String, rest: List[String]): Unit =
+    consoleMain("graft-table")(table(_, cmd, rest))
 
   /** Session-scoped `table` verb dispatch, returning the lines to
     * print (spec-testable without a process boundary).
@@ -344,21 +353,8 @@ object GraftCLI {
       "vacuum <indexDir> | tombstone <indexDir> <id1,id2,…> | " +
       "sweep <indexDir> [graceSec]"
 
-  def indexMain(cmd: String, rest: List[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
-      .appName("graft-index")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    try index(spark, cmd, rest).foreach(println)
-    catch {
-      case u: Usage =>
-        System.err.println(u.getMessage)
-        sys.exit(2)
-    } finally spark.stop()
-  }
+  def indexMain(cmd: String, rest: List[String]): Unit =
+    consoleMain("graft-index")(index(_, cmd, rest))
 
   /** ANN-index ops console (`GraftCLI index <cmd> …`): the
     * operational verbs for [[graft.similarity.Similarity]]'s

@@ -168,11 +168,13 @@ object Similarity {
   //    superseded rows;
   //  - readers resolve a manifest and read exactly its files — no
   //    directory listing on the probe path at all (the object-store
-  //    posture), and no FileNotFound window when maintenance retires
-  //    fragments mid-query (readers of the PREVIOUS head race only
-  //    the physical delete, a window bounded by query duration —
+  //    posture). Readers of a SUPERSEDED head race only the physical
+  //    delete of its files; note the frozen file list lives in the
+  //    returned DataFrame's plan, so the window spans the LIFE of
+  //    that frame (consume probe results promptly; re-executing one
+  //    after a maintenance commit may read retired files). File
   //    retention beyond that is [[graft.operators.MergeTable]]'s
-  //    layer, deliberately not duplicated here).
+  //    layer, deliberately not duplicated here.
   //
   // Cell pruning moves from Hive-style partition discovery to the
   // MANIFEST: each file's cell is in its path (`pcell=K`, or `cell=K`
@@ -217,15 +219,38 @@ object Similarity {
     import scala.jdk.CollectionConverters._
     val seg = "seg-" + graft.operators.WriterToken.next()
     val root = Path.of(vectorsRoot(indexDir))
-    rows.select(vectorCols.map(col): _*)
+    try rows.select(vectorCols.map(col): _*)
       .withColumn("pcell", col("cell"))
       .write.partitionBy("pcell").parquet(root.resolve(seg).toString)
+    catch { case t: Throwable =>
+      // a failed stage leaves no debris for the grace sweep to carry
+      scala.util.Try(
+        graft.IndexLifecycle.deleteRecursively(root.resolve(seg).toString))
+      throw t
+    }
     val walk = Files.walk(root.resolve(seg))
     try walk.iterator().asScala
       .filter(p => Files.isRegularFile(p) &&
         p.getFileName.toString.endsWith(".parquet"))
       .map(p => root.relativize(p).toString).toIndexedSeq
     finally walk.close()
+  }
+
+  /** True when a job failure bottoms out in a missing input file —
+    * the signature of scanning a generation whose files a concurrent
+    * maintenance pass retired mid-read. Spark surfaces task failures
+    * both as cause chains and as message text, so check both.
+    */
+  private def vanishedFiles(t: Throwable): Boolean = {
+    var c: Throwable = t
+    while (c != null) {
+      if (c.isInstanceOf[java.io.FileNotFoundException] ||
+          (c.getMessage != null &&
+            (c.getMessage.contains("FileNotFoundException") ||
+             c.getMessage.contains("does not exist")))) return true
+      c = c.getCause
+    }
+    false
   }
 
   /** The pre-manifest layout's live files (parquet parts under the
@@ -355,12 +380,24 @@ object Similarity {
     * pass over the full corpus — the only full-corpus work in the
     * build. A REBUILD over a live index swaps the entire file set in
     * one manifest CAS (probes see the old or the new index, never a
-    * mix); the tiny trained artifacts (centroids/pqbooks) are
-    * overwrite-published by the single build writer — concurrent
+    * mix), FENCED on the generation the rebuild started from: any
+    * concurrent mutation aborts the swap loudly (see the fence note
+    * in the body). The tiny trained artifacts (centroids/pqbooks)
+    * are overwrite-published by the single build writer — concurrent
     * BUILDS of one dir were never supported and still aren't.
     */
   def buildIvfIndex(s: SparkSession, d: String, indexDir: String,
                     nCells: Int = 10, iters: Int = 3, sampleMod: Int = 4): Unit = {
+    // rebuilds REQUIRE quiesced mutators: a batch appended while new
+    // centroids/codebooks are being trained carries assignments from
+    // the OLD ones — under the new routing its vectors sit in cells
+    // the probe never scans (a silent recall hole) and its PQ codes
+    // score against the wrong codebooks. That staleness cannot be
+    // absorbed, so the rebuild FENCES on the generation it started
+    // from and aborts loudly if anything committed meanwhile, rather
+    // than publishing a mixed index (the pre-r18 quiesced contract,
+    // now enforced instead of assumed).
+    val startHead = graft.operators.IndexManifest.head(indexDir)
     val e = vecs(s, d).select("vec_id", "v", "nrm")
     val cents = trainCentroids(e, nCells, iters, sampleMod)
     val books = trainPqBooksOf(e)
@@ -390,18 +427,20 @@ object Similarity {
         graft.functions.GraftFunctions.pqEncode("v", books, pqBits))
         .repartition(col("cell")),
       indexDir)
-    // full-replace commit: everything previously live retires with
-    // the rebuild; a concurrent append rebases in (its files joined
-    // after our snapshot and survive the swap untouched)
-    var done = false
-    while (!done) {
-      val prev = graft.operators.IndexManifest.head(indexDir).map(_.files)
-        .getOrElse(legacyVectorFiles(indexDir).toIndexedSeq)
-      graft.operators.IndexManifest.commitReplace(indexDir, prev.toSet, mine)(
-        legacyVectorFiles(indexDir)) match {
-        case Some(_) => deleteVectorFiles(indexDir, prev); done = true
-        case None => // a maintenance pass rewrote part of prev: re-snapshot
-      }
+    // full-replace commit, fenced on the entry generation: the swap
+    // lands only if NOTHING committed during the rebuild
+    val prev = startHead.map(_.files)
+      .getOrElse(legacyVectorFiles(indexDir).toIndexedSeq)
+    graft.operators.IndexManifest.commit(indexDir) { cur =>
+      if (cur.map(_.gen) != startHead.map(_.gen)) None else Some(mine)
+    } match {
+      case Some(_) => deleteVectorFiles(indexDir, prev)
+      case None =>
+        deleteVectorFiles(indexDir, mine)
+        throw new IllegalStateException(
+          s"a concurrent index mutation raced the rebuild of $indexDir — " +
+            "rebuilds require quiesced mutators (stale-centroid assignments " +
+            "cannot be absorbed); quiesce and rebuild again")
     }
   }
 
@@ -707,22 +746,38 @@ object Similarity {
       val frag = live.groupBy(cellOfPath).filter(_._2.size >= minFiles)
       if (frag.isEmpty) return Seq.empty
       val inputs = frag.valuesIterator.flatten.toIndexedSeq
-      val mine = writeVectorSeg(
-        readVectorFiles(s, indexDir, inputs)
-          .dropDuplicates() // full-row: idempotence across replayed appends
-          .repartition(frag.size, col("cell")),
-        indexDir)
-      graft.operators.IndexManifest.commitReplace(indexDir,
-        inputs.toSet, mine)(legacyVectorFiles(indexDir)) match {
-        case Some(_) =>
-          // retire the fragments AFTER the swap landed — a crash here
-          // leaves unreferenced bytes the next sweep reclaims, never
-          // a reader-visible hole (readers resolve manifests)
-          deleteVectorFiles(indexDir, inputs)
-          return frag.toSeq.sortBy(_._1)
-            .map { case (c, fs) => CellFold(s"cell=$c", fs.size, 1) }
-        case None =>
-          deleteVectorFiles(indexDir, mine) // lost to maintenance: restage
+      // a concurrent maintenance pass can retire our inputs MID-READ
+      // (before the CAS would catch it) — a vanished-file failure is
+      // the same conflict, answered the same way: restage from the
+      // new head instead of crashing out of the retry loop
+      val staged =
+        try Some(writeVectorSeg(
+          readVectorFiles(s, indexDir, inputs)
+            .dropDuplicates() // full-row: idempotence across replayed appends
+            .repartition(frag.size, col("cell")),
+          indexDir))
+        catch { case t: Throwable if vanishedFiles(t) => None }
+      staged match {
+        case None => // inputs retired under us: loop re-resolves
+        case Some(mine) =>
+          graft.operators.IndexManifest.commitReplace(indexDir,
+            inputs.toSet, mine)(legacyVectorFiles(indexDir)) match {
+            case Some(_) =>
+              // retire the fragments AFTER the swap landed — a crash
+              // here leaves unreferenced bytes the next sweep
+              // reclaims, never a reader-visible hole
+              deleteVectorFiles(indexDir, inputs)
+              // measured, not assumed: with maxRecordsPerFile set a
+              // fold legitimately emits >1 file per cell (and such a
+              // cell needs minFiles dialed above that count to reach
+              // the no-op state)
+              val after = mine.groupBy(cellOfPath)
+              return frag.toSeq.sortBy(_._1).map { case (c, fs) =>
+                CellFold(s"cell=$c", fs.size,
+                  after.get(c).map(_.size).getOrElse(0)) }
+            case None =>
+              deleteVectorFiles(indexDir, mine) // lost to maintenance: restage
+          }
       }
     }
     sys.error(s"compaction lost to concurrent maintenance 5 times: $indexDir")
@@ -812,14 +867,20 @@ object Similarity {
     * tombstone count processed.
     *
     * The loop structure is the correctness point under concurrency:
-    * the tombstone set is cleared ONLY after a discovery scan of the
-    * CURRENT head finds no tombstoned rows — so an append that lands
-    * a still-tombstoned vec_id while a rewrite is in flight is
-    * caught by the next iteration's discovery instead of being
-    * resurrected by the clear (probes stay governed until the set is
-    * provably physically empty). A crashed vacuum leaves tombstones
-    * active and its staged seg unreferenced: probes stay governed,
-    * the re-run starts clean.
+    * the tombstone set is cleared ONLY after (a) a discovery scan of
+    * a resolved head finds no tombstoned rows AND (b) a no-op
+    * manifest commit FENCED on that same generation wins — so an
+    * append that commits a still-tombstoned vec_id between discovery
+    * and clear bumps the generation, fails the fence, and is caught
+    * by the next iteration's discovery instead of being resurrected
+    * (probes stay governed until the set is provably physically
+    * empty AT the fenced generation). An append committing after the
+    * fence is, by definition, after the takedown cleared — the
+    * legitimate re-add dd14's contract allows; a pipeline that must
+    * never re-add stops feeding an id before registering its
+    * takedown. A crashed vacuum leaves tombstones active and its
+    * staged seg unreferenced: probes stay governed, the re-run
+    * starts clean.
     *
     * The CLEAR is file-precise for the same reason: the pass
     * snapshots the tombstone PART FILES it read and deletes exactly
@@ -875,41 +936,67 @@ object Similarity {
     var attempt = 0
     while (attempt < 8) {
       attempt += 1
-      val live = graft.operators.IndexManifest.head(indexDir).map(_.files)
+      val pinned = graft.operators.IndexManifest.head(indexDir)
+      val live = pinned.map(_.files)
         .getOrElse(legacyVectorFiles(indexDir).toIndexedSeq)
       // discovery: ONE narrow (vec_id, cell) scan — at production
       // dims the full-width rewrite dwarfs this by the row-width
       // ratio. The id-range pre-filter is free and lets parquet
       // row-group stats prune the scan when a takedown's ids are
-      // contiguous (the one-crawl-slice shape).
-      val affected = readVectorFiles(s, indexDir, live)
-        .filter(col("vec_id").between(bounds.getLong(0), bounds.getLong(1)))
-        .join(broadcast(tomb), Seq("vec_id"), "left_semi")
-        .select("cell").distinct().collect().map(_.getInt(0)).toSet
-      if (affected.isEmpty) {
-        // provably nothing of THIS snapshot left in the CURRENT head —
-        // clearing (the snapshot only) is safe even against
-        // concurrent appends and registrations
-        clearSnapshot()
-        return n
+      // contiguous (the one-crawl-slice shape). A vanished-file
+      // failure = a concurrent pass retired this generation mid-read:
+      // loop and re-resolve, same answer as a CAS loss.
+      val affectedOpt =
+        try Some(readVectorFiles(s, indexDir, live)
+          .filter(col("vec_id").between(bounds.getLong(0), bounds.getLong(1)))
+          .join(broadcast(tomb), Seq("vec_id"), "left_semi")
+          .select("cell").distinct().collect().map(_.getInt(0)).toSet)
+        catch { case t: Throwable if vanishedFiles(t) => None }
+      affectedOpt match {
+        case None => // generation retired under the scan: re-resolve
+        case Some(affected) if affected.isEmpty =>
+          // nothing of THIS snapshot lives at the discovered head —
+          // but "discovered head" and "now" must be the SAME
+          // generation or an append committing in between could carry
+          // a still-tombstoned id past the clear. The fence is a
+          // no-op manifest commit CAS'd on the discovered generation:
+          // if it wins, every later append is BY DEFINITION after the
+          // clear (a legitimate re-add, the dd14 contract); if it
+          // loses, something committed since discovery — re-discover.
+          val fenced = pinned match {
+            case Some(h) =>
+              graft.operators.IndexManifest.commit(indexDir) { cur =>
+                if (cur.map(_.gen) == Some(h.gen)) Some(h.files) else None
+              }.isDefined
+            case None => true // pre-manifest: the quiesced legacy contract
+          }
+          if (fenced) {
+            clearSnapshot()
+            return n
+          }
+        case Some(affected) =>
+          val old = live.filter(f => affected.contains(cellOfPath(f)))
+          val staged =
+            try Some(writeVectorSeg(
+              readVectorFiles(s, indexDir, old)
+                .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+                .dropDuplicates()
+                .repartition(affected.size, col("cell")),
+              indexDir))
+            catch { case t: Throwable if vanishedFiles(t) => None }
+          staged.foreach { mine =>
+            graft.operators.IndexManifest.commitReplace(indexDir,
+              old.toSet, mine)(legacyVectorFiles(indexDir)) match {
+              case Some(_) =>
+                // retire AFTER the swap; a cell whose every row was
+                // tombstoned simply leaves the manifest
+                deleteVectorFiles(indexDir, old)
+              case None =>
+                deleteVectorFiles(indexDir, mine) // lost to maintenance: restage
+            }
+          }
+        // loop: re-discover against the new head (normally empty → fence+clear)
       }
-      val old = live.filter(f => affected.contains(cellOfPath(f)))
-      val mine = writeVectorSeg(
-        readVectorFiles(s, indexDir, old)
-          .join(broadcast(tomb), Seq("vec_id"), "left_anti")
-          .dropDuplicates()
-          .repartition(affected.size, col("cell")),
-        indexDir)
-      graft.operators.IndexManifest.commitReplace(indexDir,
-        old.toSet, mine)(legacyVectorFiles(indexDir)) match {
-        case Some(_) =>
-          // retire AFTER the swap; a cell whose every row was
-          // tombstoned simply leaves the manifest
-          deleteVectorFiles(indexDir, old)
-        case None =>
-          deleteVectorFiles(indexDir, mine) // lost to maintenance: restage
-      }
-      // loop: re-discover against the new head (normally empty → clear)
     }
     sys.error(s"vacuum could not quiesce tombstoned rows after 8 passes: $indexDir")
   }

@@ -181,6 +181,14 @@ class IndexManifestSpec extends SparkSpecBase {
     assert(Similarity.indexVectors(spark, idx)
       .filter(col("vec_id").isin(doomed.tail: _*)).isEmpty,
       "undisputed tombstoned ids survived the vacuum")
+    // convergence, deterministically: whatever the interleaving left
+    // (a legitimate post-fence re-add included), a fresh registration
+    // plus a quiesced vacuum removes it
+    Similarity.tombstoneVectors(spark, idx, Seq(doomed.head).toDF("vec_id"))
+    Similarity.vacuumVectorTombstones(spark, idx)
+    assert(Similarity.indexVectors(spark, idx)
+      .filter(col("vec_id") === doomed.head).isEmpty)
+    assert(Similarity.vectorTombstones(spark, idx).isEmpty)
   }
 
   test("takedown registered during a vacuum is never silently dropped") {
