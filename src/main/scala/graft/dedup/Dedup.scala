@@ -613,7 +613,11 @@ object Dedup {
     * exchange-free) survives appends — each append adds one file per
     * touched bucket, which is exactly the small-file growth
     * [[graft.sources.Sources.compact]] exists to fold back
-    * periodically.
+    * periodically. Concurrency posture: Spark-catalog bucketed
+    * table, so the quiesced contract applies — see the r18 note at
+    * [[appendToLshIndex]] for why this family cannot ride
+    * [[graft.operators.IndexManifest]] and what the structural fix
+    * is if racing mutators are ever needed here.
     */
   def appendToFpIndex(s: SparkSession, indexTable: String, newFps: DataFrame): Unit =
     newFps.select("fp").distinct()
