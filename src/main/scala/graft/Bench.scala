@@ -470,14 +470,18 @@ object Bench {
       .agg(count(lit(1)).as("cnt"), expr("bit_xor(h)").as("hx"))
   }
 
-  /** Lower median of the per-rep calib observations (same discipline
-    * as the query rows); NaN only on the empty input that main never
-    * produces.
+  /** Lower observed median — THE rep-folding rule, shared by the
+    * query rows ([[medianRows]]) and the calib denominator so the two
+    * can never diverge (the calib normalization divides one by the
+    * other).
     */
-  private[graft] def calibMedian(times: Seq[Double]): Double = {
-    val xs = times.sorted
+  private[graft] def lowerMedian(xs0: Seq[Double]): Double = {
+    val xs = xs0.sorted
     xs((xs.size - 1) / 2)
   }
+
+  private[graft] def calibMedian(times: Seq[Double]): Double =
+    lowerMedian(times)
 
   /** Run every (name, fn) through `run`, timing each; a throwing
     * query records its elapsed time AND lands in the error map — the
@@ -648,8 +652,7 @@ object Bench {
     if (reps.size == 1) return reps.head
     val byKey = reps.flatten.groupBy(_._1)
     reps.head.map { case (k, _) =>
-      val xs = byKey(k).map(_._2).sorted
-      k -> xs((xs.size - 1) / 2)
+      k -> lowerMedian(byKey(k).map(_._2))
     }
   }
 

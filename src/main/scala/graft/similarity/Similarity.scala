@@ -324,9 +324,19 @@ object Similarity {
         }
         readVectorFiles(s, indexDir, picked)
       case None =>
-        val df = s.read.parquet(vectorsRoot(indexDir))
-        cells.fold(df)(cs => df.filter(col("cell").isin(cs: _*)))
-          .select(vectorCols.map(col): _*)
+        // pre-manifest fallback: read the LEGACY FILE SET, not the
+        // raw root — a staged seg-* dir beside the flat cell= layout
+        // (an in-flight or crashed first mutation) would otherwise
+        // break partition discovery for every probe, or worse leak
+        // the crashed writer's uncommitted rows into a live read
+        val files = legacyVectorFiles(indexDir)
+        val picked = cells match {
+          case Some(cs) =>
+            val want = cs.toSet
+            files.filter(f => want.contains(cellOfPath(f)))
+          case None => files
+        }
+        readVectorFiles(s, indexDir, picked)
     }
 
   private def deleteVectorFiles(indexDir: String, rels: Seq[String]): Unit = {
@@ -734,10 +744,13 @@ object Similarity {
     * one fresh file per cell; wall-time stays ∝ fragmented bytes.
     */
   def compactIvfCells(s: SparkSession, indexDir: String,
-                      minFiles: Int = 2): Seq[CellFold] = {
-    // reclaim old crash debris first (grace-guarded: an in-flight
-    // writer's staged seg is younger than the grace window)
-    sweepUncommittedVectorFiles(indexDir)
+                      minFiles: Int = 2,
+                      sweepGraceMs: Long = 3600000L): Seq[CellFold] = {
+    // reclaim old crash debris first. The grace MUST exceed the
+    // longest in-flight write on this index (an unreferenced file
+    // younger than it may be a commit in progress) — tunable here
+    // because the deployment, not this code, knows its batch sizes.
+    sweepUncommittedVectorFiles(indexDir, sweepGraceMs)
     var attempt = 0
     while (attempt < 5) {
       attempt += 1

@@ -232,13 +232,24 @@ final class TopNUpdateSink(outDir: String, n: Int) extends Serializable {
     // such entry peaks. Delta-style sinks (toDir users whose batches
     // are each real output) keep everything; snapshots don't.
     val ids = ExactlyOnceSink.committed(outDir).toSeq.sorted
-    ids.dropRight(keepSnapshots).foreach(ExactlyOnceSink.retire(outDir, _))
+    // retire once per run: a marker-backed id leaves committed() when
+    // its marker goes, but a LEGACY line-file id cannot be un-listed
+    // (append-only file) and would otherwise be re-retired — each
+    // retire now paying a directory listing — on EVERY micro-batch
+    // for the life of the stream. A restart redoes them once: retire
+    // is idempotent.
+    ids.dropRight(keepSnapshots).foreach { id =>
+      if (retiredThisRun.add(id)) ExactlyOnceSink.retire(outDir, id)
+    }
     // heal crash debris the per-id paths can't see: a retire that died
     // between marker-delete and dir-delete stranded a dir whose id is
     // no longer committed (and never will be again). The dir is
     // retention-bounded, so this listing is O(keepSnapshots + debris).
     ExactlyOnceSink.sweepOrphans(outDir, ids.takeRight(keepSnapshots).toSet)
   }
+
+  @transient private lazy val retiredThisRun =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
 
   private val keepSnapshots = 8
 
