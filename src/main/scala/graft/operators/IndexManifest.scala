@@ -33,7 +33,14 @@ import java.nio.file.Path
   */
 object IndexManifest {
 
-  final case class Head(gen: Long, files: IndexedSeq[String])
+  /** A committed generation: the live data files plus the
+    * generation's METADATA (`#k=v` lines in the body — e.g. the ANN
+    * index's trained-artifact pointer), which flips in the SAME CAS
+    * as the file list so derived state can never be seen mixed with
+    * the wrong data generation.
+    */
+  final case class Head(gen: Long, files: IndexedSeq[String],
+                        meta: Map[String, String] = Map.empty)
 
   /** Committed manifests kept behind head — enough that a reader's
     * list-then-read can never miss (it would have to sleep through
@@ -62,9 +69,18 @@ object IndexManifest {
   def committedGen(indexDir: String): Option[Long] =
     committedGens(indexDir).maxOption
 
-  private def parse(body: Array[Byte]): IndexedSeq[String] =
-    new String(body, UTF_8).split('\n').iterator
+  private def parse(gen: Long, body: Array[Byte]): Head = {
+    val lines = new String(body, UTF_8).split('\n').iterator
       .map(_.trim).filter(_.nonEmpty).toIndexedSeq
+    val (metaLines, files) = lines.partition(_.startsWith("#"))
+    val meta = metaLines.iterator.map(_.drop(1)).flatMap { kv =>
+      kv.indexOf('=') match {
+        case -1 => None // malformed metadata reads as absent, loudly nothing
+        case i => Some(kv.take(i) -> kv.drop(i + 1))
+      }
+    }.toMap
+    Head(gen, files, meta)
+  }
 
   /** The committed head, or None when this index has no manifest yet
     * (the pre-manifest layout — callers fall back to their legacy
@@ -79,7 +95,7 @@ object IndexManifest {
         case None => return None
         case Some(g) =>
           store(indexDir).read(genPath(indexDir, g)) match {
-            case Some(b) => return Some(Head(g, parse(b)))
+            case Some(b) => return Some(parse(g, b))
             case None => attempts += 1 // reclaimed under us: newer head exists
           }
       }
@@ -98,21 +114,40 @@ object IndexManifest {
     * Returns the committed head, or None when `next` aborted.
     */
   def commit(indexDir: String)(
-      next: Option[Head] => Option[Seq[String]]): Option[Head] = {
+      next: Option[Head] => Option[Seq[String]]): Option[Head] =
+    // metadata carries FORWARD by default: an append or a maintenance
+    // fold must never drop the head's trained-artifact pointer
+    commitWithMeta(indexDir)(h =>
+      next(h).map(fs => (fs, h.map(_.meta).getOrElse(Map.empty))))
+
+  /** [[commit]] that also sets the generation's metadata — for the
+    * one writer (a rebuild) that REPLACES derived state rather than
+    * carrying it. Keys and values are single-line by construction
+    * (the body is line-framed).
+    */
+  def commitWithMeta(indexDir: String)(
+      next: Option[Head] => Option[(Seq[String], Map[String, String])]): Option[Head] = {
     while (true) {
       val h = head(indexDir)
       next(h) match {
         case None => return None
-        case Some(fs) =>
+        case Some((fs, meta)) =>
+          meta.foreach { case (k, v) =>
+            require(!k.contains('\n') && !v.contains('\n') && !k.contains('='),
+              s"manifest meta must be line-safe, '=': ($k, $v)")
+          }
           val gen = h.map(_.gen + 1L).getOrElse(0L)
           val files = fs.distinct.sorted.toIndexedSeq
-          val body = files.mkString("\n").getBytes(UTF_8)
+          files.foreach(f => require(!f.startsWith("#") && !f.contains('\n'),
+            s"manifest entry not line-safe: $f"))
+          val body = (meta.toSeq.sortBy(_._1).map { case (k, v) => s"#$k=$v" } ++
+            files).mkString("\n").getBytes(UTF_8)
           if (store(indexDir).putIfAbsent(genPath(indexDir, gen), body)) {
             // best-effort retention — a crash here only lengthens a
             // later winner's sweep, never an answer
             committedGens(indexDir).filter(_ <= gen - keepGens)
               .foreach(g => store(indexDir).delete(genPath(indexDir, g)))
-            return Some(Head(gen, files))
+            return Some(Head(gen, files, meta))
           }
         // CAS lost: loop — next() recomputes against the new head
       }

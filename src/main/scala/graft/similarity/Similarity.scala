@@ -189,6 +189,24 @@ object Similarity {
 
   private def vectorsRoot(indexDir: String) = s"$indexDir/vectors"
 
+  /** The trained-artifact root (centroids + pqbooks) a generation
+    * points at: the tokened `trained-<t>` dir named by the head's
+    * manifest metadata — versioned INTO the manifest CAS (r18) so a
+    * probe can never pair one generation's codebooks with another's
+    * vectors — or the index root for legacy indexes whose artifacts
+    * live unversioned beside the layout.
+    */
+  def trainedDir(indexDir: String): String =
+    trainedDirOf(indexDir, graft.operators.IndexManifest.head(indexDir))
+
+  private def trainedDirOf(indexDir: String,
+                           head: Option[graft.operators.IndexManifest.Head]): String =
+    trainedNameOf(head).map(t => s"$indexDir/$t").getOrElse(indexDir)
+
+  private def trainedNameOf(
+      head: Option[graft.operators.IndexManifest.Head]): Option[String] =
+    head.flatMap(_.meta.get("trained"))
+
   private val vectorCols = Seq("vec_id", "v", "nrm", "cell", "code")
 
   private def vectorSchema: org.apache.spark.sql.types.StructType = {
@@ -380,48 +398,65 @@ object Similarity {
     finally walk.close()
     val n = doomed.count(_.getFileName.toString.endsWith(".parquet"))
     deleteVectorFiles(indexDir, doomed.map(p => root.relativize(p).toString))
+    // crashed rebuilds also strand tokened trained-* dirs at the
+    // index root — reclaim any the head doesn't reference, under the
+    // same grace (an in-flight rebuild's artifacts are younger)
+    val trainedLive = trainedNameOf(graft.operators.IndexManifest.head(indexDir))
+    val top = Files.list(Path.of(indexDir))
+    val deadTrained = try top.iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("trained-") &&
+        !trainedLive.contains(p.getFileName.toString) &&
+        scala.util.Try(Files.getLastModifiedTime(p).toMillis < cutoff)
+          .getOrElse(false))
+      .toIndexedSeq
+    finally top.close()
+    deadTrained.foreach(p => graft.IndexLifecycle.deleteRecursively(p.toString))
     n
   }
 
-  /** Build the persisted IVF index for a corpus dir:
-    * `indexDir/centroids` (cell, vb, nb) and the manifest-committed
-    * vector layout (vec_id, v, nrm, cell, code) segmented by cell.
-    * One training run on the hash sample, then ONE narrow assignment
-    * pass over the full corpus — the only full-corpus work in the
-    * build. A REBUILD over a live index swaps the entire file set in
-    * one manifest CAS (probes see the old or the new index, never a
-    * mix), FENCED on the generation the rebuild started from: any
+  /** Build the persisted IVF index for a corpus dir: the trained
+    * artifacts (centroids `(cell, vb, nb)` + PQ codebooks) in a
+    * tokened `trained-<t>` dir and the vector layout
+    * (vec_id, v, nrm, cell, code) segmented by cell — BOTH published
+    * by ONE manifest CAS, the trained dir referenced from the
+    * generation's metadata. One training run on the hash sample,
+    * then ONE narrow assignment pass over the full corpus — the only
+    * full-corpus work in the build. A REBUILD over a live index
+    * therefore swaps vectors AND routing/codebooks atomically
+    * (probes, which pin one head, see the old index or the new one —
+    * never new centroids over old cells, the r18 review's mixed-read
+    * hole), FENCED on the generation the rebuild started from: any
     * concurrent mutation aborts the swap loudly (see the fence note
-    * in the body). The tiny trained artifacts (centroids/pqbooks)
-    * are overwrite-published by the single build writer — concurrent
-    * BUILDS of one dir were never supported and still aren't.
+    * in the body). Concurrent BUILDS of one dir were never supported
+    * and still aren't.
     */
   def buildIvfIndex(s: SparkSession, d: String, indexDir: String,
                     nCells: Int = 10, iters: Int = 3, sampleMod: Int = 4): Unit = {
-    // rebuilds REQUIRE quiesced mutators: a batch appended while new
-    // centroids/codebooks are being trained carries assignments from
-    // the OLD ones — under the new routing its vectors sit in cells
-    // the probe never scans (a silent recall hole) and its PQ codes
-    // score against the wrong codebooks. That staleness cannot be
-    // absorbed, so the rebuild FENCES on the generation it started
-    // from and aborts loudly if anything committed meanwhile, rather
-    // than publishing a mixed index (the pre-r18 quiesced contract,
-    // now enforced instead of assumed).
+    // rebuilds FENCE on their entry generation: a batch appended
+    // while new centroids/codebooks are being trained carries
+    // assignments from the OLD ones — under the new routing its
+    // vectors sit in cells the probe never scans (a silent recall
+    // hole). That staleness cannot be absorbed, so any commit landing
+    // during the rebuild aborts it loudly rather than publishing a
+    // mixed index. (The reverse race — a rebuild landing mid-append —
+    // is closed on the append side: it re-encodes when the trained
+    // pointer moved.)
     val startHead = graft.operators.IndexManifest.head(indexDir)
     val e = vecs(s, d).select("vec_id", "v", "nrm")
     val cents = trainCentroids(e, nCells, iters, sampleMod)
     val books = trainPqBooksOf(e)
     import s.implicits._
+    val trainedName = "trained-" + graft.operators.WriterToken.next()
     cents.toSeq.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "vb")
       .withColumn("nb", graft.functions.GraftFunctions.l2norm("vb"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+      .coalesce(1).write.parquet(s"$indexDir/$trainedName/centroids")
     // PQ codebooks ride beside the centroids (tiny: m × ksub rows) so
     // one persisted index serves both probe modes
     books.zipWithIndex.flatMap { case (cb, j) =>
         cb.zipWithIndex.map { case (c, b) => (j, b, c.toSeq) }
       }.toSeq.toDF("j", "b", "vals")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/pqbooks")
+      .coalesce(1).write.parquet(s"$indexDir/$trainedName/pqbooks")
     // the vector layout carries BOTH fidelities per row: the raw
     // vector (for exact re-rank / full-fidelity fetch) and the
     // 8-byte PQ code — parquet's columnar layout means an ADC probe
@@ -437,16 +472,21 @@ object Similarity {
         graft.functions.GraftFunctions.pqEncode("v", books, pqBits))
         .repartition(col("cell")),
       indexDir)
-    // full-replace commit, fenced on the entry generation: the swap
-    // lands only if NOTHING committed during the rebuild
+    // ONE commit publishes vectors + trained pointer, fenced on the
+    // entry generation: the swap lands only if NOTHING committed
+    // during the rebuild
     val prev = startHead.map(_.files)
       .getOrElse(legacyVectorFiles(indexDir).toIndexedSeq)
-    graft.operators.IndexManifest.commit(indexDir) { cur =>
-      if (cur.map(_.gen) != startHead.map(_.gen)) None else Some(mine)
+    graft.operators.IndexManifest.commitWithMeta(indexDir) { cur =>
+      if (cur.map(_.gen) != startHead.map(_.gen)) None
+      else Some((mine, Map("trained" -> trainedName)))
     } match {
-      case Some(_) => deleteVectorFiles(indexDir, prev)
+      case Some(_) =>
+        deleteVectorFiles(indexDir, prev)
+        retireTrained(indexDir, startHead)
       case None =>
         deleteVectorFiles(indexDir, mine)
+        graft.IndexLifecycle.deleteRecursively(s"$indexDir/$trainedName")
         throw new IllegalStateException(
           s"a concurrent index mutation raced the rebuild of $indexDir — " +
             "rebuilds require quiesced mutators (stale-centroid assignments " +
@@ -454,8 +494,26 @@ object Similarity {
     }
   }
 
-  private def loadPqBooks(s: SparkSession, indexDir: String): Array[Array[Array[Double]]] = {
-    val rows = s.read.parquet(s"$indexDir/pqbooks").collect()
+  /** Retire a superseded generation's trained artifacts: its tokened
+    * dir, or the legacy root-level `centroids`/`pqbooks` when the
+    * superseded head predated versioned artifacts. Runs AFTER the
+    * swap — a reader pinned to the old head races only this physical
+    * delete (the documented window).
+    */
+  private def retireTrained(indexDir: String,
+                            prevHead: Option[graft.operators.IndexManifest.Head]): Unit =
+    trainedNameOf(prevHead) match {
+      case Some(t) =>
+        graft.IndexLifecycle.deleteRecursively(s"$indexDir/$t")
+      case None =>
+        graft.IndexLifecycle.deleteRecursively(s"$indexDir/centroids")
+        graft.IndexLifecycle.deleteRecursively(s"$indexDir/pqbooks")
+    }
+
+  private def loadPqBooks(s: SparkSession, indexDir: String,
+                          head: Option[graft.operators.IndexManifest.Head])
+      : Array[Array[Array[Double]]] = {
+    val rows = s.read.parquet(s"${trainedDirOf(indexDir, head)}/pqbooks").collect()
     val m = rows.map(_.getInt(0)).max + 1
     val out = Array.ofDim[Array[Array[Double]]](m)
     rows.groupBy(_.getInt(0)).foreach { case (j, rs) =>
@@ -501,12 +559,15 @@ object Similarity {
     */
   def probeIvf(s: SparkSession, indexDir: String, queries: DataFrame,
                nProbe: Int = 3, k: Int = 5): DataFrame = {
-    val cents = loadCentroids(s, indexDir)
+    // ONE head for the whole probe: routing centroids and the
+    // candidate scan must come from the same generation
+    val pinned = graft.operators.IndexManifest.head(indexDir)
+    val cents = loadCentroids(s, indexDir, pinned)
     val qcells = queries.withColumn("cell",
       explode(graft.functions.GraftFunctions.nearestCells("va", cents, nProbe)))
     val probed = qcells.select("cell").distinct().collect().map(_.getInt(0)).toSeq
     val cands = governed(s, indexDir,
-      indexVectors(s, indexDir, Some(probed))
+      indexVectorsPinned(s, indexDir, pinned, Some(probed))
         .select(col("vec_id").as("n_id"), col("v").as("vb"),
           col("nrm").as("nb"), col("cell")), "n_id")
     qcells.join(cands, Seq("cell"))
@@ -536,12 +597,13 @@ object Similarity {
 
   def probeIvfPq(s: SparkSession, indexDir: String, queries: DataFrame,
                  nProbe: Int = 3, k: Int = 5, rerankFactor: Int = 8): DataFrame = {
-    val books = loadPqBooks(s, indexDir)
-    val cents = loadCentroids(s, indexDir)
-    // ONE head for the whole probe: the ADC shortlist and the exact
-    // re-rank fetch must read the same generation, or a maintenance
-    // commit between the two resolves hands one query a mixed index
+    // ONE head for the whole probe: the codebooks/centroids, the ADC
+    // shortlist and the exact re-rank fetch must all read the same
+    // generation, or a rebuild/maintenance commit between resolves
+    // hands one query a mixed index
     val pinned = graft.operators.IndexManifest.head(indexDir)
+    val books = loadPqBooks(s, indexDir, pinned)
+    val cents = loadCentroids(s, indexDir, pinned)
     // the query set is driver-sized by definition: routing, LUTs and
     // the (q_id, qi) mapping all come from one collect
     val qRows = queries.collect()
@@ -591,8 +653,10 @@ object Similarity {
     * table ever became sparse (today trainCentroids tabulates all k
     * cells, but that's an invariant worth enforcing, not assuming).
     */
-  private def loadCentroids(s: SparkSession, indexDir: String): Array[Array[Double]] = {
-    val centRows = s.read.parquet(s"$indexDir/centroids")
+  private def loadCentroids(s: SparkSession, indexDir: String,
+                            head: Option[graft.operators.IndexManifest.Head])
+      : Array[Array[Double]] = {
+    val centRows = s.read.parquet(s"${trainedDirOf(indexDir, head)}/centroids")
       .select("cell", "vb").collect()
     val cents = new Array[Array[Double]](centRows.length)
     centRows.foreach { r =>
@@ -609,7 +673,9 @@ object Similarity {
     */
   def probedCellsOf(s: SparkSession, indexDir: String, v: Array[Double],
                     nProbe: Int): Seq[Int] =
-    nearestCellsOf(v, loadCentroids(s, indexDir), nProbe)
+    nearestCellsOf(v,
+      loadCentroids(s, indexDir, graft.operators.IndexManifest.head(indexDir)),
+      nProbe)
 
   /** Driver-side mirror of the NearestCells routing (top-n cells by
     * dot, ties to the lower id) for the collected query set.
@@ -631,9 +697,11 @@ object Similarity {
   // and a half-built dir from a failed build is cleaned up rather
   // than leaked — both behaviors the shared lifecycle standardizes.
   private val ivfLife = new graft.IndexLifecycle[String]("ann02-ivf-index",
+    // the trained artifacts live where the committed head says (the
+    // tokened trained-<t> dir since r18; the index root pre-manifest)
     validate = (_, dir) => java.nio.file.Files.exists(
-      java.nio.file.Path.of(dir, "centroids")) && java.nio.file.Files.exists(
-      java.nio.file.Path.of(dir, "vectors")),
+      java.nio.file.Path.of(trainedDir(dir), "centroids")) &&
+      java.nio.file.Files.exists(java.nio.file.Path.of(dir, "vectors")),
     release = (_, dir) => graft.IndexLifecycle.deleteRecursively(dir))
 
   def ivfIndexFor(s: SparkSession, d: String, nCells: Int = 10,
@@ -686,21 +754,35 @@ object Similarity {
     * crosses the workload's floor.
     */
   def appendToIvfIndex(s: SparkSession, indexDir: String, batch: DataFrame): Unit = {
-    val cents = loadCentroids(s, indexDir)
-    val books = loadPqBooks(s, indexDir)
     val e = batch
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", graft.functions.GraftFunctions.l2norm("v"))
-    val mine = writeVectorSeg(
-      assignCells(e, cents).withColumn("code",
-        graft.functions.GraftFunctions.pqEncode("v", books, pqBits))
-        .repartition(col("cell")), // batch-sized shuffle → 1 file/cell
-      indexDir)
-    if (mine.nonEmpty) {
-      graft.operators.IndexManifest.commitAppend(indexDir, mine)(
-        legacyVectorFiles(indexDir))
-      ()
+    var attempt = 0
+    while (attempt < 5) {
+      attempt += 1
+      // pin the head the batch is ENCODED against; the commit below
+      // refuses if a rebuild moved the trained pointer meanwhile —
+      // vectors assigned/encoded against retired centroids/codebooks
+      // must never join a retrained index (the silent recall hole),
+      // so the batch re-encodes against the new artifacts instead
+      val pinned = graft.operators.IndexManifest.head(indexDir)
+      val cents = loadCentroids(s, indexDir, pinned)
+      val books = loadPqBooks(s, indexDir, pinned)
+      val mine = writeVectorSeg(
+        assignCells(e, cents).withColumn("code",
+          graft.functions.GraftFunctions.pqEncode("v", books, pqBits))
+          .repartition(col("cell")), // batch-sized shuffle → 1 file/cell
+        indexDir)
+      if (mine.isEmpty) return
+      val committed = graft.operators.IndexManifest.commit(indexDir) { cur =>
+        if (trainedNameOf(cur) != trainedNameOf(pinned)) None
+        else Some(cur.map(_.files)
+          .getOrElse(legacyVectorFiles(indexDir).toIndexedSeq) ++ mine)
+      }
+      if (committed.isDefined) return
+      deleteVectorFiles(indexDir, mine) // retrained under us: re-encode
     }
+    sys.error(s"append lost to concurrent retrains 5 times: $indexDir")
   }
 
   /** Cell-occupancy diagnostic backing the drift dial: one row per

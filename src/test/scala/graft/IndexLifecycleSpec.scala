@@ -49,7 +49,8 @@ class IndexLifecycleSpec extends SparkSpecBase {
     // the centroids and the stale-hit release must sweep the
     // corpus-sized vectors before rebuilding at a fresh location
     IndexLifecycle.deleteRecursively(
-      java.nio.file.Path.of(dir2, "centroids").toString)
+      java.nio.file.Path.of(
+        similarity.Similarity.trainedDir(dir2), "centroids").toString)
     val dir3 = similarity.Similarity.ivfIndexFor(spark, sfDir)
     assert(dir3 != dir2, "half-deleted IVF memo hit was trusted")
     assert(!java.nio.file.Files.exists(java.nio.file.Path.of(dir2)),

@@ -1247,8 +1247,9 @@ class OperatorsSpec extends SparkSpecBase {
     val before = vectors().count()
     val residentCells = vectors().select("cell").distinct()
       .collect().map(_.getInt(0)).toSet
-    val trainedFiles = Files.list(Path.of(dir, "centroids")).toArray.toSeq ++
-      Files.list(Path.of(dir, "pqbooks")).toArray.toSeq
+    val trainedRoot = similarity.Similarity.trainedDir(dir)
+    val trainedFiles = Files.list(Path.of(trainedRoot, "centroids")).toArray.toSeq ++
+      Files.list(Path.of(trainedRoot, "pqbooks")).toArray.toSeq
     // probes AT five batch-2 vectors (q_id offset dodges the
     // self-match filter): absent before the append...
     val probes = appendHalf.orderBy("vec_id").limit(5)
@@ -1275,8 +1276,10 @@ class OperatorsSpec extends SparkSpecBase {
     val cellsAfter = vectors().select("cell").distinct().collect().map(_.getInt(0)).toSet
     assert(cellsAfter.subsetOf(residentCells),
       s"append invented cells: ${cellsAfter -- residentCells}")
-    assert((Files.list(Path.of(dir, "centroids")).toArray.toSeq ++
-      Files.list(Path.of(dir, "pqbooks")).toArray.toSeq) == trainedFiles,
+    assert(similarity.Similarity.trainedDir(dir) == trainedRoot,
+      "append moved the trained-artifact pointer")
+    assert((Files.list(Path.of(trainedRoot, "centroids")).toArray.toSeq ++
+      Files.list(Path.of(trainedRoot, "pqbooks")).toArray.toSeq) == trainedFiles,
       "append touched the trained artifacts (centroids/pqbooks)")
     // schema parity with the built layout: the IVF-PQ probe runs
     // unchanged over the mixed (built + appended) files

@@ -91,6 +91,35 @@ class IndexManifestSpec extends SparkSpecBase {
     }
   }
 
+  test("trained artifacts version with the manifest: set by rebuild, carried by appends") {
+    val (corpus, idx) = freshIndex("retrain")
+    val t0 = Similarity.trainedDir(idx)
+    assert(t0 != idx && t0.contains("/trained-"), t0)
+    assert(IndexManifest.head(idx).get.meta.get("trained")
+      .exists(n => s"$idx/$n" == t0))
+    // appends carry the trained pointer forward untouched
+    Similarity.appendToIvfIndex(spark, idx,
+      synthCorpus(10, 555000L).select("vec_id", "embedding"))
+    assert(Similarity.trainedDir(idx) == t0, "append moved the trained pointer")
+    assert(Similarity.indexVectors(spark, idx).count() == 130)
+    // a rebuild swaps the vector files AND the routing/codebook
+    // artifacts in ONE generation — no probe can pair new centroids
+    // with old cells — and retires the superseded trained dir
+    Similarity.buildIvfIndex(spark, corpus, idx, nCells = 4, iters = 2, sampleMod = 1)
+    val t1 = Similarity.trainedDir(idx)
+    assert(t1 != t0, "rebuild did not version the trained artifacts")
+    assert(!java.nio.file.Files.exists(java.nio.file.Path.of(t0)),
+      "superseded trained dir not retired with its generation")
+    // the rebuild re-indexed the CORPUS: the appended rows (not part
+    // of it) retired with the old generation, and probes run clean
+    assert(Similarity.indexVectors(spark, idx).count() == 120)
+    val q = synthCorpus(3).select(
+      (col("vec_id") + 900000L).as("q_id"),
+      col("embedding").cast("array<double>").as("va"))
+      .withColumn("na", graft.functions.GraftFunctions.l2norm("va"))
+    assert(Similarity.probeIvf(spark, idx, q).count() > 0)
+  }
+
   test("6 concurrent appenders: every batch committed, no lost update, both stores") {
     withBothStores("app6") { (flavor, idx) =>
       val base = Similarity.indexVectors(spark, idx).count()
@@ -233,8 +262,9 @@ class IndexManifestSpec extends SparkSpecBase {
     // looks like on disk
     val (_, src) = freshIndex("legacy-src")
     val legacy = tmpDir("ixman-legacy-idx")
+    val srcTrained = Similarity.trainedDir(src)
     Seq("centroids", "pqbooks").foreach { a =>
-      spark.read.parquet(s"$src/$a").write.parquet(s"$legacy/$a")
+      spark.read.parquet(s"$srcTrained/$a").write.parquet(s"$legacy/$a")
     }
     Similarity.indexVectors(spark, src)
       .write.partitionBy("cell").parquet(s"$legacy/vectors")
