@@ -44,10 +44,30 @@ object SessionBolt {
           } else {
             var out = List.empty[SessionOut]
             var cur = state.getOption
+            // batch-local interval for STRAGGLERS that precede the
+            // open session entirely: `us - lastUs <= gapUs` alone
+            // would let an arbitrarily EARLY late event (negative
+            // difference) merge into the open session without
+            // extending its start — counting an event hours outside
+            // the emitted [start, end] window. Stragglers instead
+            // build their own (older) session, which merges with the
+            // open one only if the gap actually closes.
+            var old: Option[OpenSession] = None
             rows.toSeq.sortBy(_._2).foreach { case (_, us, _) =>
               cur match {
-                case Some(s) if us - s.lastUs <= gapUs =>
-                  cur = Some(s.copy(lastUs = math.max(s.lastUs, us), n = s.n + 1))
+                case Some(s) if us >= s.startUs - gapUs && us - s.lastUs <= gapUs =>
+                  cur = Some(OpenSession(math.min(s.startUs, us),
+                    math.max(s.lastUs, us), s.n + 1))
+                case Some(s) if us < s.startUs - gapUs =>
+                  old match {
+                    case Some(o) if us - o.lastUs <= gapUs =>
+                      old = Some(o.copy(lastUs = math.max(o.lastUs, us), n = o.n + 1))
+                    case Some(o) =>
+                      out ::= SessionOut(user, o.startUs, o.lastUs, o.n)
+                      old = Some(OpenSession(us, us, 1))
+                    case None =>
+                      old = Some(OpenSession(us, us, 1))
+                  }
                 case Some(s) =>
                   out ::= SessionOut(user, s.startUs, s.lastUs, s.n)
                   cur = Some(OpenSession(us, us, 1))
@@ -55,14 +75,25 @@ object SessionBolt {
                   cur = Some(OpenSession(us, us, 1))
               }
             }
+            // the straggler interval either grew to within gap of the
+            // open session (merge) or closes as its own session
+            (old, cur) match {
+              case (Some(o), Some(s)) if s.startUs - o.lastUs <= gapUs =>
+                cur = Some(OpenSession(math.min(o.startUs, s.startUs),
+                  math.max(o.lastUs, s.lastUs), o.n + s.n))
+              case (Some(o), _) =>
+                out ::= SessionOut(user, o.startUs, o.lastUs, o.n)
+              case _ =>
+            }
             cur.foreach { s =>
               state.update(s)
               // flush when the watermark passes the session's gap
-              // horizon. Late events (flatMapGroupsWithState does NOT
-              // drop rows behind the watermark) can put that horizon
-              // BEFORE the current watermark — Spark throws on such a
-              // timeout and kills the query — so clamp to just past
-              // the watermark.
+              // horizon. Late-but-allowed events (rows behind the
+              // watermark are filtered by the operator, but anything
+              // inside the allowed lateness still arrives) can put
+              // that horizon BEFORE the current watermark — Spark
+              // throws on such a timeout and kills the query — so
+              // clamp to just past the watermark.
               state.setTimeoutTimestamp(
                 math.max(state.getCurrentWatermarkMs() + 1, (s.lastUs + gapUs) / 1000))
             }

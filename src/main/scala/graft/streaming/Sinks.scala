@@ -139,11 +139,14 @@ object ExactlyOnceSink {
     * (append-only file) and are left listed — their dirs are still
     * reclaimed.
     */
-  private[streaming] def retire(outDir: String, batchId: Long): Unit = {
-    graft.operators.CommitStore.forDir(outDir)
+  private[streaming] def retire(outDir: String, batchId: Long): Boolean = {
+    val hadMarker = graft.operators.CommitStore.forDir(outDir)
       .delete(commitsDir(outDir).resolve(s"b$batchId"))
     sweepAttempts(outDir, batchId, keep = "") // "" matches no tokened name
     graft.IndexLifecycle.deleteRecursively(s"$outDir/batch=$batchId")
+    // false = nothing to un-list (a legacy line-file id, or already
+    // retired) — the caller's skip-cache signal
+    hadMarker
   }
 
   /** Reclaim every `batch=*` dir that is not the committed winner of
@@ -232,14 +235,16 @@ final class TopNUpdateSink(outDir: String, n: Int) extends Serializable {
     // such entry peaks. Delta-style sinks (toDir users whose batches
     // are each real output) keep everything; snapshots don't.
     val ids = ExactlyOnceSink.committed(outDir).toSeq.sorted
-    // retire once per run: a marker-backed id leaves committed() when
-    // its marker goes, but a LEGACY line-file id cannot be un-listed
-    // (append-only file) and would otherwise be re-retired — each
-    // retire now paying a directory listing — on EVERY micro-batch
-    // for the life of the stream. A restart redoes them once: retire
-    // is idempotent.
+    // a marker-backed id leaves committed() when its marker goes, but
+    // a LEGACY line-file id cannot be un-listed (append-only file)
+    // and would otherwise be re-retired — each retire paying a
+    // directory listing — on EVERY micro-batch for the life of the
+    // stream. Cache ONLY those (the set stays bounded by the frozen
+    // legacy file, never one-entry-per-batch); a restart redoes them
+    // once: retire is idempotent.
     ids.dropRight(keepSnapshots).foreach { id =>
-      if (retiredThisRun.add(id)) ExactlyOnceSink.retire(outDir, id)
+      if (!retiredThisRun.contains(id) &&
+          !ExactlyOnceSink.retire(outDir, id)) retiredThisRun.add(id)
     }
     // heal crash debris the per-id paths can't see: a retire that died
     // between marker-delete and dir-delete stranded a dir whose id is
@@ -311,15 +316,21 @@ final class NearDupIngestSink(indexTable: String, outDir: String,
     * everywhere else in the repo. The old prefix/suffix parsing
     * either crashed on such lines (`split(':')(1)` AIOOBE, unguarded
     * `.toLong`) or, worse, marked the WRONG batch fully ingested
-    * (`4:dat5:index`.endsWith(":index") credited batch 4).
+    * (`4:dat5:index`.endsWith(":index") credited batch 4). Ids parse
+    * with toLongOption (legacyCommitted's rule) — a digit
+    * concatenation past Long range must read as uncommitted, never
+    * throw on every restart. The file is FROZEN (pre-r15 writers are
+    * gone), so it parses once per sink instance, not per micro-batch
+    * — the O(1)-probe fast path was otherwise defeated on exactly
+    * the hot path it targets.
     */
-  private def legacyPhases: Seq[(Long, String)] =
+  @transient private lazy val legacyPhases: Seq[(Long, String)] =
     if (!Files.exists(legacyLog)) Seq.empty
     else {
       val wellFormed = "^(\\d+):(data|index)$".r
       Files.readAllLines(legacyLog).asScala.toSeq.collect {
-        case wellFormed(id, ph) => (id.toLong, ph)
-      }
+        case wellFormed(id, ph) => (id, ph)
+      }.flatMap { case (id, ph) => id.toLongOption.map(_ -> ph) }
     }
 
   private def phases(batchId: Long): Set[String] = {
@@ -355,11 +366,27 @@ final class NearDupIngestSink(indexTable: String, outDir: String,
     else s"$outDir/batch=$batchId"
   }
 
+  /** Redelivery-path orphan sweep (ExactlyOnceSink.toDir's r18
+    * discipline): a crashed data-phase LOSER — which re-gated against
+    * an index already holding this batch's signatures and so wrote a
+    * near-EMPTY admitted set — postdates the winner's commit-time
+    * sweep and would otherwise survive forever; a consumer listing
+    * this delta-style sink's `batch=*` dirs would read it alongside
+    * the winner. Paid only at recovery (redeliveries), never per
+    * live batch.
+    */
+  private def sweepLosers(batchId: Long): Unit = {
+    val winner = Paths.get(dataDirOf(batchId)).getFileName.toString
+    ExactlyOnceSink.sweepAttempts(outDir, batchId,
+      keep = if (winner.startsWith(s"batch=$batchId~")) winner else "")
+  }
+
   def apply(batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
     Files.createDirectories(Paths.get(outDir))
     val done = phases(batchId)
-    if (done.contains("index")) return // fully committed — replay no-op
+    if (done.contains("index")) { sweepLosers(batchId); return } // replay no-op
+    if (done.contains("data")) sweepLosers(batchId)
     if (!done.contains("data")) {
       val dupes = graft.dedup.Dedup
         .neardupDelta(s, graft.dedup.Dedup.sigsOf(batch), indexTable, tau)

@@ -51,7 +51,15 @@ object ThroughputHarness {
              q.recentProgress.count(_.numInputRows > 0) < minBatches &&
              System.currentTimeMillis() - t0 < timeoutMs)
         Thread.sleep(100)
-    } finally q.stop()
+    } finally {
+      q.stop()
+      // the measurement only needs the in-memory progress — reclaim
+      // the parquet snapshots + checkpoint, or a 12-run sweep leaks
+      // 24 temp trees per bench invocation (and per the ext4 note,
+      // /tmp dirs never shrink after entry peaks)
+      Seq(out, ckpt).foreach(d =>
+        scala.util.Try(graft.IndexLifecycle.deleteRecursively(d)))
+    }
     // a dead query must fail the measurement, not report 0 rows/s
     q.exception.foreach(throw _)
     // keep only entries that carry BOTH rows and a triggerExecution

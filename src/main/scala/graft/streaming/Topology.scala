@@ -160,8 +160,14 @@ object Bolts {
     val sketch = index
       .agg(graft.functions.GraftFunctions.bitmap64Agg(fpCol).as("sk"))
       .head().getAs[Array[Byte]](0)
+    // null fps pass: Bitmap64Contains is null-safe (null in → null
+    // out), and filter(!null) would silently DROP the row — while
+    // dedupAgainstIndex's left_anti shape keeps it (a null key joins
+    // nothing). The kept-set contract between the bolts covers null
+    // fingerprints too.
     Bolt("dedup-index-bitmap64", df =>
-      df.filter(!graft.functions.GraftFunctions.bitmap64Contains(fpCol, sketch)))
+      df.filter(col(fpCol).isNull ||
+        !graft.functions.GraftFunctions.bitmap64Contains(fpCol, sketch)))
   }
 
   /** Streaming heavy hitters — the reference topNBolt generalized to
@@ -317,7 +323,10 @@ final case class Clock(offsets: Map[String, String]) {
     * identical key sets — comparable only for numeric offsets.
     */
   def gt(other: Clock): Boolean =
-    offsets.keySet == other.offsets.keySet && offsets.forall { case (k, v) =>
+    // an empty clock (no progress yet) is strictly greater than
+    // nothing — forall over zero offsets must not read as advancement
+    offsets.nonEmpty &&
+      offsets.keySet == other.offsets.keySet && offsets.forall { case (k, v) =>
       (for (a <- toLong(v); b <- other.offsets.get(k).flatMap(toLong))
         yield a > b).getOrElse(false)
     }

@@ -88,8 +88,12 @@ class IngestSpec extends SparkSpecBase {
       // the pre-r15 torn-append corruption shapes: a concatenated pair
       // (batch 4 must NOT read as index-committed), a dangling colon,
       // and a non-numeric id (both crashed the old split-based parse)
+      // ...and a digit concatenation past Long range (two torn ids
+      // glued): it matches the digits grammar but must read as
+      // uncommitted via toLongOption, never NumberFormatException on
+      // every restart
       java.nio.file.Files.write(java.nio.file.Path.of(outDir, "_phases"),
-        "4:dat5:index\n5:\nx:index\n6:index\n".getBytes)
+        "4:dat5:index\n5:\nx:index\n99999999999999999999:data\n6:index\n".getBytes)
       assert(sink.committed == Set(6L),
         s"torn lines mis-read: ${sink.committed}")
       // batch 4 replays in full (both phases) — heals, not skips

@@ -484,6 +484,50 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("session bolt: a straggler hours before the open session never merges into it") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val ev = mem.toDF().toDF("ts", "user_id")
+    // a WIDE watermark delay: the operator filters rows behind the
+    // watermark, so the hazardous shape is late-but-ABOVE-watermark —
+    // hours before the open session, inside the allowed lateness
+    val q = SessionBolt.sessions(ev, gapSeconds = 1800, watermark = "12 hours")
+      .writeStream.format("memory").queryName("sb_late")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // open session [10:00, 10:05]
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+        (Timestamp.valueOf("2024-01-01 10:05:00"), 1L))
+      q.processAllAvailable()
+      // two stragglers from 07:xx (flatMapGroupsWithState does NOT
+      // drop late rows): the old `us - lastUs <= gap` test merged
+      // them into the OPEN session — counting events 3 hours outside
+      // its emitted [start, end] — because the difference is negative.
+      // They must instead form their own (gap-closed) session, and
+      // merge with EACH OTHER.
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 07:00:00"), 1L),
+        (Timestamp.valueOf("2024-01-01 07:10:00"), 1L))
+      q.processAllAvailable()
+      // close user 1's open session via the watermark
+      mem.addData((Timestamp.valueOf("2024-01-01 20:00:00"), 9L))
+      q.processAllAvailable()
+      mem.addData((Timestamp.valueOf("2024-01-02 09:00:00"), 9L))
+      q.processAllAvailable()
+      def us(t: String) = Timestamp.valueOf(t).getTime * 1000L
+      val got = spark.table("sb_late").filter(col("user_id") === 1L)
+        .select("start_us", "end_us", "n_events")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got.contains((us("2024-01-01 07:00:00"),
+        us("2024-01-01 07:10:00"), 2L)),
+        s"straggler pair did not form its own session: $got")
+      assert(got.contains((us("2024-01-01 10:00:00"),
+        us("2024-01-01 10:05:00"), 2L)),
+        s"open session's boundaries were disturbed by the straggler: $got")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: duplicates across micro-batches are dropped") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
@@ -567,6 +611,20 @@ class StreamingSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     Seq("Join", "Exchange").foreach(op =>
       assert(!planStr.contains(op), s"bitmap64 gate is not a pure filter:\n$planStr"))
+    // the kept-set contract covers NULL fingerprints: the exact bolt's
+    // left_anti keeps them (a null key joins nothing), so the pure
+    // filter must too — Bitmap64Contains is null-safe and filter(!null)
+    // silently dropped such rows pre-r18
+    locally {
+      val withNull = spark.createDataFrame(
+        Seq((1L, Some(base)), (2L, None: Option[Long]))).toDF("doc_id", "fp")
+      val keptB64 = Bolts.dedupAgainstIndexBitmap64(seen, "fp")
+        .transform(withNull).select("doc_id").as[Long].collect().toSet
+      val keptExact = Bolts.dedupAgainstIndex(seen, "fp")
+        .transform(withNull).select("doc_id").as[Long].collect().toSet
+      assert(keptB64 == keptExact && keptB64 == Set(2L),
+        s"null-fp kept sets diverge: bitmap64=$keptB64 exact=$keptExact")
+    }
     val mem = MemoryStream[(Long, Long)]
     val topo = Topology(
       Spout("mem", _ => mem.toDF().toDF("doc_id", "fp")),
