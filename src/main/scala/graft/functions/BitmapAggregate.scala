@@ -468,9 +468,20 @@ object SparseBitmap {
           if (nRuns < 1 || nRuns > card) corrupt(s"run count $nRuns vs card $card")
           needs(nRuns * 4)
           var r = 0
+          var prevEnd = -1
           while (r < nRuns) {
             val start = bb.getChar().toInt
             val len = bb.getChar().toInt + 1
+            // bounds + order: an overflowing run would index past the
+            // 1024-word container (AIOOBE, not the promised IAE) or
+            // silently wrap through toChar in the array form, and
+            // out-of-order runs would build an unsorted array whose
+            // binarySearch probes then answer wrongly with no error
+            if (start + len > 65536) corrupt(
+              s"run [$start, ${start + len}) exceeds the 16-bit container domain")
+            if (start <= prevEnd) corrupt(
+              s"run start $start not strictly after the previous run's end $prevEnd")
+            prevEnd = start + len - 1
             var v = start
             while (v < start + len) { emit(v); v += 1 }
             r += 1

@@ -65,7 +65,11 @@ case class BloomAgg(
     b
   }
 
-  override def eval(b: BloomBuffer): Any = GraftHashOps.longsToBytes(b.bits)
+  // the PUBLISHED sketch carries the header (built-k travels with the
+  // bytes); the shuffle buffer below stays raw words — it never
+  // leaves the aggregation
+  override def eval(b: BloomBuffer): Any =
+    GraftHashOps.bloomBytesWithHeader(b.bits, numHashes)
 
   override def serialize(b: BloomBuffer): Array[Byte] =
     GraftHashOps.longsToBytes(b.bits)

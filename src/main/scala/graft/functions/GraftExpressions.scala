@@ -98,6 +98,8 @@ case class SimHash64(child: Expression)
   */
 case class RollingHashes(child: Expression, width: Int)
     extends UnaryExpression {
+  require(width >= 1,
+    s"rolling-hash width must be >= 1 (width <= 0 would emit n+1 identical zero hashes): $width")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_rolling_hashes"
 
@@ -173,6 +175,8 @@ case class NearestCells(child: Expression, cents: Array[Array[Double]], n: Int)
 case class HyperplaneBands(child: Expression, planes: Array[Array[Double]],
                            nBands: Int, rowsPerBand: Int)
     extends UnaryExpression {
+  require(rowsPerBand >= 1 && rowsPerBand <= 32,
+    s"rowsPerBand must be in [1, 32] (sign bits share the packed key's low word with the band id): $rowsPerBand")
   require(planes.length >= nBands * rowsPerBand,
     s"need ${nBands * rowsPerBand} hyperplanes, got ${planes.length}")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -470,14 +474,48 @@ object GraftHashOps {
     }
   }
 
+  // 9-byte sketch header (r18): 8 magic bytes + the numHashes the
+  // sketch was BUILT with. The wire formats are structurally disjoint
+  // — raw legacy sketches are whole words (length ≡ 0 mod 8), headered
+  // ones ≡ 1 — so detection is exact, never a probabilistic sniff
+  // that could cost the no-false-negative contract. The header exists
+  // because a probe with the WRONG k reads bit positions the build
+  // never set and silently false-negatives present keys; with it,
+  // that mistake fails loudly instead.
+  private val BloomMagic: Array[Byte] = "GRAFTBLM".getBytes("US-ASCII")
+
+  def bloomBytesWithHeader(bits: Array[Long], numHashes: Int): Array[Byte] = {
+    val words = longsToBytes(bits)
+    val out = new Array[Byte](9 + words.length)
+    System.arraycopy(BloomMagic, 0, out, 0, 8)
+    out(8) = numHashes.toByte
+    System.arraycopy(words, 0, out, 9, words.length)
+    out
+  }
+
+  /** The k a headered sketch was built with; None = legacy raw words. */
+  def bloomHeaderHashes(bloom: Array[Byte]): Option[Int] =
+    if (bloom.length >= 9 && bloom.length % 8 == 1 &&
+        java.util.Arrays.equals(java.util.Arrays.copyOf(bloom, 8), BloomMagic))
+      Some(bloom(8) & 0xff)
+    else None
+
   def bloomMightContain(bloom: Array[Byte], key: Long, numHashes: Int): Boolean = {
-    val m = bloom.length.toLong * 8
+    val off = bloomHeaderHashes(bloom) match {
+      case Some(k) =>
+        if (k != numHashes) throw new IllegalArgumentException(
+          s"bloom probe numHashes=$numHashes != the sketch's built k=$k — " +
+            "a wrong-k probe would silently FALSE-NEGATIVE present keys")
+        9
+      case None => 0
+    }
+    val m = (bloom.length - off).toLong * 8
     val h1 = bloomH1(key)
     val h2 = bloomH2(key)
     var i = 0
     while (i < numHashes) {
       val idx = (h1 + i * h2) & (m - 1)
-      if ((bloom((idx >>> 3).toInt) & (1 << (idx & 7).toInt)) == 0) return false
+      if ((bloom(off + (idx >>> 3).toInt) & (1 << (idx & 7).toInt)) == 0) return false
       i += 1
     }
     true
@@ -538,7 +576,14 @@ object GraftHashOps {
       while (i < n - 1) {
         val a = toks.getUTF8String(i)
         val b = toks.getUTF8String(i + 1)
-        if (a != null && b != null) bg.add(a.toString + " " + b.toString)
+        // length-prefixed pair identity: a plain space join collides
+        // ("x","y z") with ("x y","z") when tokens can contain spaces,
+        // silently inflating n_big_uniq — the prefix pins the boundary
+        // byte-exactly (whitespace tokenizers never produce such
+        // tokens, so oracle parity on the shipped pipelines is
+        // unchanged)
+        if (a != null && b != null)
+          bg.add(a.numBytes() + ":" + a.toString + " " + b.toString)
         i += 1
       }
       bigrams = bg.size.toLong
@@ -599,11 +644,16 @@ object GraftHashOps {
     val n = toks.numElements()
     var i = 0
     while (i < n) {
-      val h = hashString(toks.getUTF8String(i), SEED)
-      var j = 0
-      while (j < 64) {
-        if (((h >>> (63 - j)) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
-        j += 1
+      // null elements skip (tokenStats' rule) — a registered SQL
+      // function must not NPE on array('a', NULL, 'b')
+      val t = toks.getUTF8String(i)
+      if (t != null) {
+        val h = hashString(t, SEED)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> (63 - j)) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
       }
       i += 1
     }
@@ -624,7 +674,10 @@ object GraftHashOps {
         var j = 0
         while (j < width) {
           if (j > 0) sb.append(' ')
-          sb.append(toks.getUTF8String(w + j).toString)
+          // a null element shingles as the empty token instead of
+          // NPE-ing the task (a registered SQL function's posture)
+          val t = toks.getUTF8String(w + j)
+          if (t != null) sb.append(t.toString)
           j += 1
         }
         val base = hashString(UTF8String.fromString(sb.toString), SEED)
@@ -657,6 +710,12 @@ object GraftHashOps {
       var s = 0.0
       var i = 0
       while (i < d) { s += v.getDouble(i) * ct(i); i += 1 }
+      // a NaN dot (NaN centroid or vector) must rank LAST, not first:
+      // the descending insert below never displaces a stored NaN
+      // (every comparison is false), so an unguarded NaN lands at
+      // index 0 and silently wins every routing decision — TopKByScore
+      // excludes NaN for the same ordering reason
+      if (java.lang.Double.isNaN(s)) s = Double.NegativeInfinity
       // strictly-greater displaces, so equal scores stay index-ordered
       var pos = filled
       while (pos > 0 && bestS(pos - 1) < s) pos -= 1
@@ -798,7 +857,12 @@ object GraftHashOps {
     // same shape as SQL xxhash64(acc, x))
     val th = new Array[Long](n)
     var i = 0
-    while (i < n) { th(i) = hashString(toks.getUTF8String(i), SEED); i += 1 }
+    while (i < n) {
+      // null elements hash as the empty token (tokenStats' rule)
+      val t = toks.getUTF8String(i)
+      th(i) = hashString(if (t == null) UTF8String.EMPTY_UTF8 else t, SEED)
+      i += 1
+    }
     val out = new Array[Long](n - width + 1)
     var w = 0
     while (w < out.length) {

@@ -23,34 +23,62 @@ object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
 
+  /** Uniform arity guard: every builder fails a wrong argument count
+    * with the same descriptive IAE instead of half the list throwing
+    * a raw IndexOutOfBounds from `es(i)`.
+    */
+  private def arity(name: String, shape: String, n: Int,
+                    es: Seq[Expression]): Unit =
+    if (es.length != n)
+      throw new IllegalArgumentException(
+        s"$name expects $shape, got ${es.length} arguments")
+
   val definitions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_dot",
       info("graft_dot", "graft_dot(a, b) - dot product of two array<double>"),
-      (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+      (es: Seq[Expression]) => {
+        arity("graft_dot", "(a, b)", 2, es); DotProduct(es(0), es(1))
+      }),
     ("graft_l2norm",
       info("graft_l2norm", "graft_l2norm(a) - L2 norm of array<double>"),
-      (es: Seq[Expression]) => L2Norm(es(0))),
+      (es: Seq[Expression]) => {
+        arity("graft_l2norm", "(a)", 1, es); L2Norm(es(0))
+      }),
     ("graft_simhash64",
       info("graft_simhash64", "graft_simhash64(tokens) - 64-bit simhash of array<string>"),
-      (es: Seq[Expression]) => SimHash64(es(0))),
+      (es: Seq[Expression]) => {
+        arity("graft_simhash64", "(tokens)", 1, es); SimHash64(es(0))
+      }),
     ("graft_rolling_hashes",
       info("graft_rolling_hashes",
         "graft_rolling_hashes(tokens, width) - xxhash64-chained window hashes"),
-      (es: Seq[Expression]) => es(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(w, _) =>
-          RollingHashes(es(0), w.toString.toInt)
-        case other =>
-          throw new IllegalArgumentException(
-            s"graft_rolling_hashes width must be a literal, got $other")
+      (es: Seq[Expression]) => {
+        arity("graft_rolling_hashes", "(tokens, width)", 2, es)
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        es(1) match {
+          // total parse: a NULL literal NPE'd via toString, and
+          // width <= 0 silently emitted n+1 all-zero hashes — every
+          // doc then "contains" every window, all-pairs dedup matches
+          case Literal(w: Int, _) if w >= 1 => RollingHashes(es(0), w)
+          case Literal(w: Long, _) if w >= 1L && w <= Int.MaxValue =>
+            RollingHashes(es(0), w.toInt)
+          case other =>
+            throw new IllegalArgumentException(
+              s"graft_rolling_hashes width must be a positive integer literal, got $other")
+        }
       }),
     ("graft_char_stats",
       info("graft_char_stats",
         "graft_char_stats(text) - struct(n_chars, n_alphabet, entropy) of the char distribution"),
-      (es: Seq[Expression]) => CharStats(es(0))),
+      (es: Seq[Expression]) => {
+        arity("graft_char_stats", "(text)", 1, es); CharStats(es(0))
+      }),
     ("graft_token_stats",
       info("graft_token_stats",
         "graft_token_stats(tokens) - struct(n_tokens, n_uniq, n_big_uniq, top_count) of array<string>"),
-      (es: Seq[Expression]) => TokenStats(es(0))),
+      (es: Seq[Expression]) => {
+        arity("graft_token_stats", "(tokens)", 1, es); TokenStats(es(0))
+      }),
     ("graft_topk",
       info("graft_topk",
         "graft_topk(score, id, k) - bounded top-k (score desc, id asc) aggregate"),
@@ -109,11 +137,15 @@ object GraftExtensions {
     ("graft_bitmap_union",
       info("graft_bitmap_union",
         "graft_bitmap_union(sketch) - OR-merge aggregate of bitmap sketches (binary)"),
-      (es: Seq[Expression]) => BitmapUnionAgg(es(0))),
+      (es: Seq[Expression]) => {
+        arity("graft_bitmap_union", "(sketch)", 1, es); BitmapUnionAgg(es(0))
+      }),
     ("graft_bitmap_count",
       info("graft_bitmap_count",
         "graft_bitmap_count(sketch) - cardinality of a bitmap sketch"),
-      (es: Seq[Expression]) => BitmapCount(es(0))),
+      (es: Seq[Expression]) => {
+        arity("graft_bitmap_count", "(sketch)", 1, es); BitmapCount(es(0))
+      }),
     ("graft_bitmap64",
       info("graft_bitmap64",
         "graft_bitmap64(key) - exact-distinct SPARSE bitmap sketch aggregate over the full 64-bit key domain (binary)"),
@@ -128,11 +160,15 @@ object GraftExtensions {
     ("graft_bitmap64_union",
       info("graft_bitmap64_union",
         "graft_bitmap64_union(sketch) - OR-merge aggregate of sparse bitmap sketches (binary)"),
-      (es: Seq[Expression]) => SparseBitmapUnionAgg(es(0))),
+      (es: Seq[Expression]) => {
+        arity("graft_bitmap64_union", "(sketch)", 1, es); SparseBitmapUnionAgg(es(0))
+      }),
     ("graft_bitmap64_count",
       info("graft_bitmap64_count",
         "graft_bitmap64_count(sketch) - cardinality of a sparse bitmap sketch"),
-      (es: Seq[Expression]) => SparseBitmapCount(es(0))),
+      (es: Seq[Expression]) => {
+        arity("graft_bitmap64_count", "(sketch)", 1, es); SparseBitmapCount(es(0))
+      }),
     ("graft_bitmap64_contains",
       info("graft_bitmap64_contains",
         "graft_bitmap64_contains(sketch, key) - EXACT membership probe against a sparse bitmap sketch"),
@@ -153,12 +189,17 @@ object GraftExtensions {
         if (es.length != 3)
           throw new IllegalArgumentException(
             s"graft_bloom expects (key, numBits, numHashes), got ${es.length} arguments")
-        (es(1), es(2)) match {
-          case (Literal(m: Int, _), Literal(k: Int, _)) =>
-            BloomAgg(Cast(es(0), LongType), m, k)
-          case other =>
+        def asInt(e: Expression): Option[Int] = e match {
+          case Literal(v: Int, _) => Some(v)
+          case Literal(v: Long, _) if v >= Int.MinValue && v <= Int.MaxValue =>
+            Some(v.toInt) // BIGINT literals, like graft_bitmap/graft_topk
+          case _ => None
+        }
+        (asInt(es(1)), asInt(es(2))) match {
+          case (Some(m), Some(k)) => BloomAgg(Cast(es(0), LongType), m, k)
+          case _ =>
             throw new IllegalArgumentException(
-              s"graft_bloom numBits and numHashes must be integer literals, got $other")
+              s"graft_bloom numBits and numHashes must be integer literals, got (${es(1)}, ${es(2)})")
         }
       }),
     ("graft_bloom_might_contain",

@@ -332,7 +332,16 @@ trait MergeTableBloom { this: MergeTable.type =>
           // legacy segment (fully-deleted table) uses the build default
           lazy val resolvedBits: Int = recordedBits.getOrElse {
             val r = foldDf.agg(max(length(col("bloom")))).head()
-            if (r.isNullAt(0)) 1 << 17 else r.getInt(0) * 8
+            if (r.isNullAt(0)) 1 << 17
+            else {
+              // r18 headered sketches carry a 9-byte (magic + k)
+              // prefix; lengths ≡ 1 (mod 8) are headered, raw
+              // otherwise — sizing off the raw header-included length
+              // would compute a non-power-of-two numBits and crash
+              // the fresh-sketch build
+              val len = r.getInt(0)
+              (if (len % 8 == 1) len - 9 else len) * 8
+            }
           }
           // case-insensitive like Spark's own resolution (and like the
           // probe side's type lookup) — a sidecar on 'Tag' must still

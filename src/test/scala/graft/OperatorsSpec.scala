@@ -131,7 +131,9 @@ class OperatorsSpec extends SparkSpecBase {
     val distributed = (0 until 10000).map(_.toLong).toDF("k").repartition(7)
       .agg(graft.functions.GraftFunctions.bloomAgg("k", 1 << 18, 5))
       .head().getAs[Array[Byte]](0)
-    assert(java.util.Arrays.equals(distributed, bytes),
+    // the published sketch carries the r18 (magic + built-k) header
+    assert(java.util.Arrays.equals(distributed,
+      graft.functions.GraftHashOps.bloomBytesWithHeader(bits, 5)),
       "distributed OR-merge diverges from the single-buffer build")
   }
 

@@ -331,6 +331,47 @@ class ExpressionsSpec extends SparkSpecBase {
     assert(rows == Set(10L, 11L, 12L), s"unexpected fp at tiny load: $rows")
   }
 
+  test("r18 hardening: null tokens, NaN routing, bigram boundaries, wrong-k bloom probes") {
+    GraftExtensions.register(spark)
+    // registered SQL functions must not NPE on null array elements
+    val r = spark.sql(
+      """SELECT graft_simhash64(array('a', NULL, 'b')) AS s,
+        |       graft_rolling_hashes(array('a', NULL, 'b'), 2) AS rh,
+        |       graft_token_stats(array('x', 'y z', 'x y', 'z')) AS ts
+        |""".stripMargin).collect()(0)
+    assert(r.getAs[Long]("s") == spark.sql(
+      "SELECT graft_simhash64(array('a', 'b'))").collect()(0).getLong(0),
+      "null token must hash as absent, like tokenStats")
+    assert(r.getAs[collection.Seq[Long]]("rh").size == 2)
+    // bigram identity pins the pair boundary: ("x","y z") != ("x y","z")
+    assert(r.getStruct(r.fieldIndex("ts")).getAs[Long]("n_big_uniq") == 3L,
+      "space-containing tokens collided in the bigram identity")
+    // NaN centroid must rank LAST in routing, not hijack every row
+    val nanCents = Array(Array(Double.NaN, Double.NaN), Array(1.0, 0.0))
+    val routed = GraftHashOps.nearestCells(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(2.0, 0.0)),
+      nanCents, 1)
+    assert(routed.getInt(0) == 1, s"NaN centroid won the routing: $routed")
+    // wrong-k bloom probe fails LOUDLY (the header carries built-k);
+    // the matching k and a legacy raw sketch both probe fine
+    val sketch = spark.sql(
+      "SELECT graft_bloom(id, 1024, 5) FROM range(100)").collect()(0).getAs[Array[Byte]](0)
+    assert(GraftHashOps.bloomHeaderHashes(sketch).contains(5))
+    assert(GraftHashOps.bloomMightContain(sketch, 42L, 5))
+    intercept[IllegalArgumentException](
+      GraftHashOps.bloomMightContain(sketch, 42L, 7))
+    val legacy = java.util.Arrays.copyOfRange(sketch, 9, sketch.length)
+    assert(GraftHashOps.bloomHeaderHashes(legacy).isEmpty)
+    assert(GraftHashOps.bloomMightContain(legacy, 42L, 5),
+      "legacy raw-word sketches must keep probing")
+    // builder hygiene: uniform arity errors, total width parse,
+    // BIGINT literals accepted where siblings accept them
+    intercept[IllegalArgumentException](spark.sql("SELECT graft_dot(array(1.0D))").collect())
+    intercept[Exception](spark.sql("SELECT graft_rolling_hashes(array('a'), 0)").collect())
+    assert(spark.sql("SELECT graft_bloom(id, 1024L, 5) FROM range(10)")
+      .collect().nonEmpty) // BIGINT literal, like graft_bitmap accepts
+  }
+
   test("graft_topk excludes NaN and null scores (monoid order-independence holds)") {
     GraftExtensions.register(spark)
     Seq((Some(Double.NaN), 1L), (Some(5.0), 2L), (Some(Double.NaN), 3L),

@@ -248,11 +248,12 @@ class BloomIndexSpec extends SparkSpecBase {
     MergeTable.merge(spark, dir,
       Seq((50L, "U", "fresh-tag", 0.5)).toDF("k", "op", "tag", "bal"), "k")
     // the fold's FRESH sketches are sized by the recorded numBits, not
-    // the build default — every row (carried and fresh) is 2048 bytes
+    // the build default — every row (carried and fresh) is 2048 word
+    // bytes + the r18 9-byte (magic + k) header
     assert(bloomDirNames(dir) == Seq("_bloom-g1~7b16384~tag"))
     val lens = spark.read.parquet(segDataDir(dir, "_bloom-g1~7b16384~tag"))
       .agg(min(length(col("bloom"))), max(length(col("bloom")))).head()
-    assert(lens.getInt(0) == 2048 && lens.getInt(1) == 2048, lens.toString)
+    assert(lens.getInt(0) == 2057 && lens.getInt(1) == 2057, lens.toString)
     assert(MergeTable.scanEqualsBloom(spark, dir, "tag", "fresh-tag")
       .select("k").as[Long].collect().toSeq == Seq(50L))
   }
@@ -286,7 +287,7 @@ class BloomIndexSpec extends SparkSpecBase {
       "superseded legacy root dir survived the fold's sweep")
     val lens = spark.read.parquet(segDataDir(dir, "_bloom-g1~7b16384~tag"))
       .agg(min(length(col("bloom"))), max(length(col("bloom")))).head()
-    assert(lens.getInt(0) == 2048 && lens.getInt(1) == 2048, lens.toString)
+    assert(lens.getInt(0) == 2057 && lens.getInt(1) == 2057, lens.toString) // 2048 + header
     assert(MergeTable.scanEqualsBloom(spark, dir, "tag", "fresh-tag")
       .select("k").as[Long].collect().toSeq == Seq(50L))
     assert(MergeTable.scanEqualsBloom(spark, dir, "tag", tagOf(333L))
