@@ -156,9 +156,11 @@ object ScaleProbe {
             .write.mode("overwrite").parquet(s"$base/codes")
           def bytesOf(p: String): Long = {
             import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(java.nio.file.Path.of(p)).iterator().asScala
+            val walk = java.nio.file.Files.walk(java.nio.file.Path.of(p))
+            try walk.iterator().asScala
               .filter(java.nio.file.Files.isRegularFile(_))
               .map(java.nio.file.Files.size).sum
+            finally walk.close()
           }
           println(f"raw layout:  ${bytesOf(s"$base/raw") / 1e6}%.1f MB; " +
             f"code layout: ${bytesOf(s"$base/codes") / 1e6}%.1f MB " +

@@ -80,6 +80,12 @@ object Tables {
     // into one (symlink — no data copy)
     val dir = java.nio.file.Files.createTempDirectory("graft-events-stream")
     val link = dir.resolve("events.parquet")
+    // the staged dir must outlive the returned stream (its file index
+    // lists lazily), so reclamation is JVM-exit: register dir THEN
+    // link — deleteOnExit unwinds in reverse registration order, and
+    // an empty-dir delete only succeeds after its child went
+    dir.toFile.deleteOnExit()
+    link.toFile.deleteOnExit()
     try java.nio.file.Files.createSymbolicLink(
       link, java.nio.file.Paths.get(s"$d/events.parquet"))
     catch { case _: UnsupportedOperationException =>

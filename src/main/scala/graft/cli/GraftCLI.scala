@@ -445,14 +445,13 @@ object GraftCLI {
     */
   def runSample(spark: SparkSession, file: String, outDir: String,
                 update: Boolean = false): Unit = {
-    {
-      // stage the file as a streaming source dir (partition = file,
-      // offset = position — the reference's FileSource contract)
-      val inDir = Files.createTempDirectory("graft-sample-in")
-      Files.copy(Paths.get(file), inDir.resolve(Paths.get(file).getFileName))
-      val ckpt = Files.createTempDirectory("graft-sample-ckpt").toString
-      val batchOut = Files.createTempDirectory("graft-sample-out").toString
-
+    // stage the file as a streaming source dir (partition = file,
+    // offset = position — the reference's FileSource contract)
+    val inDir = Files.createTempDirectory("graft-sample-in")
+    Files.copy(Paths.get(file), inDir.resolve(Paths.get(file).getFileName))
+    val ckpt = Files.createTempDirectory("graft-sample-ckpt").toString
+    val batchOut = Files.createTempDirectory("graft-sample-out").toString
+    try {
       val spout = WordCountTopology.fileSpout(inDir.toString, RateLimit())
       val topo =
         if (update) WordCountTopology.updateMode(spout, batchOut, ckpt)
@@ -471,6 +470,13 @@ object GraftCLI {
         (top.mkString("\n") + "\n").getBytes)
       println(s"wrote ${top.length} words to $outDir/top_words.txt")
       println(s"clock: ${clock.offsets}")
+    } finally {
+      // the deliverable is outDir/top_words.txt; the staged input,
+      // checkpoint and batch-output trees are intermediates that would
+      // otherwise persist in the temp dir past process exit (the same
+      // leak class Bench.runStreaming and ThroughputHarness sweep)
+      Seq(inDir.toString, ckpt, batchOut).foreach(d =>
+        scala.util.Try(graft.IndexLifecycle.deleteRecursively(d)))
     }
   }
 
