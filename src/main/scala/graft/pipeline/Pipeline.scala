@@ -66,6 +66,47 @@ object Pipeline {
       .select("doc_id", "n_tokens")
       .orderBy("doc_id")
 
+  /** pp14: leakage-safe train/val/test split — the assignment step a
+    * training pipeline runs AFTER curation and BEFORE packing, where
+    * the correctness property is that near-duplicates never straddle
+    * splits (a test doc whose near-copy sits in train is silent eval
+    * contamination; Lee et al. 2021 measured the inflation). The unit
+    * of assignment is therefore the near-dup GROUP, not the doc:
+    * dd06's connected components give every clustered doc its
+    * component-min representative, singletons are their own group,
+    * and the whole group lands in one split by hashing the GROUP id —
+    * a doc can't disagree with its near-copy by construction.
+    *
+    * The split hash is the first hex char of md5(group_id as string):
+    * deterministic, engine-portable (the oracle reproduces it
+    * verbatim in DuckDB), stable under corpus growth (a doc's split
+    * never changes when unrelated docs arrive — no row_number, no
+    * global ordering), and proportioned in sixteenths: '0'-'1' → test
+    * (1/8), '2'-'3' → val (1/8), rest → train (3/4).
+    *
+    * Scale: the group frame is one left join of the corpus against
+    * the star forest (bounded by clustered-doc count, broadcastable
+    * in practice since dup members are a small fraction); the split
+    * is a narrow projection. Pair generation dominates and is dd06's
+    * documented cost; at 100 TB swap [[graft.dedup.Dedup.jaccardPairs]]
+    * for the LSH path exactly as pp03 does for pp02.
+    */
+  val pp14_split_leakage_safe: Q = (s, d) => {
+    val groups = Tables.documents(s, d).select(col("doc_id"))
+      .join(graft.dedup.ConnectedComponents
+          .stars(graft.dedup.Dedup.jaccardPairs(s, d).select("id1", "id2"))
+          .toDF("doc_id", "cluster_id"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("group_id"))
+    val h = substring(md5(col("group_id").cast("string").cast("binary")), 1, 1)
+    groups.withColumn("split",
+        when(h.isin("0", "1"), "test")
+          .when(h.isin("2", "3"), "val")
+          .otherwise("train"))
+      .orderBy("doc_id")
+  }
+
   /** Non-representative members of near-dup clusters over any
     * (id1, id2) pair set: CC assigns every clustered doc its
     * component minimum, and [[graft.dedup.ConnectedComponents.stars]]
@@ -585,6 +626,7 @@ object Pipeline {
   }
 
   val registry: Map[String, Q] = Map(
+    "pp14_split_leakage_safe" -> pp14_split_leakage_safe,
     "pp13_chunk_windows" -> pp13_chunk_windows,
     "pp12_shard_files" -> pp12_shard_files,
     "pp11_full_build" -> pp11_full_build,
@@ -629,6 +671,19 @@ object Pipeline {
          |  CAST(len(t[ci * 48 + 1 : ci * 48 + 64]) AS BIGINT) AS n_toks,
          |  array_to_string(t[ci * 48 + 1 : ci * 48 + 64], ' ') AS chunk_text
          |FROM k ORDER BY doc_id, chunk_idx""".stripMargin,
+    // pp14 embeds dd06's cluster oracle verbatim (the same anti-drift
+    // discipline as pp10/pp11's tx16 embedding): group = component
+    // min for clustered docs, self for singletons; split = first hex
+    // char of md5(group id), identical expression both engines
+    "pp14_split_leakage_safe" ->
+      s"""WITH cl AS (${graft.dedup.Dedup.oracles("dd06_neardup_clusters")}),
+         |g AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS group_id
+         |      FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+         |SELECT doc_id, group_id,
+         |  CASE WHEN substr(md5(CAST(group_id AS VARCHAR)), 1, 1) IN ('0', '1') THEN 'test'
+         |       WHEN substr(md5(CAST(group_id AS VARCHAR)), 1, 1) IN ('2', '3') THEN 'val'
+         |       ELSE 'train' END AS split
+         |FROM g ORDER BY doc_id""".stripMargin,
     // pp11 embeds the tx16 gate oracle and pp05's shingle CTEs
     // verbatim — the same anti-drift discipline as pp10
     "pp11_full_build" ->

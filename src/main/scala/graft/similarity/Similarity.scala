@@ -95,6 +95,32 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  // --- ann07: exact cosine RANGE search — every neighbor with
+  // cosine ≥ τ, the retrieval dual of ann01's top-k (threshold
+  // semantics instead of rank semantics: RAG recall sets, "everything
+  // this similar" policy pulls, radius joins). Physically SIMPLER
+  // than top-k at scale: the scored stream needs no selection state
+  // at all — one broadcast-query join, one codegen'd cosine, one
+  // pushed filter; output volume ∝ matches, shuffle only for the
+  // final presentation sort. The threshold compares the same
+  // r6-rounded value the oracle rounds to, so the cut is
+  // engine-stable at the boundary; NaN cosines (a zero-norm vector)
+  // are excluded explicitly — this family's documented posture —
+  // rather than riding Spark's NaN-sorts-greatest comparison rule.
+  val ann07_range_search: Q = (s, d) => rangeSearchExact(s, d, 0.30)
+
+  private[graft] def rangeSearchExact(s: SparkSession, d: String,
+                                      tau: Double): DataFrame = {
+    val q = queriesOf(s, d)
+    val c = vecs(s, d).select(col("vec_id").as("n_id"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    q.join(c, col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), r6(cosine).as("cos"))
+      .filter(!isnan(col("cos")) && col("cos") >= tau)
+      .select(col("q_id"), col("n_id"), r4(col("cos")).as("cos_r"))
+      .orderBy("q_id", "n_id")
+  }
+
   /** Lloyd's k-means centroids, trained on a deterministic hash
     * sample (`pmod(xxhash64(vec_id), sampleMod) = 0` — reproducible,
     * no RNG) and returned NORMALIZED, so nearest-by-dot ≡
@@ -580,6 +606,100 @@ object Similarity {
         col("p.id").as("n_id"), r4(col("p.score")).as("cos_r"))
       .orderBy("q_id", "rank")
   }
+
+  /** IVF-pruned RANGE search — ann07's threshold semantics on
+    * ann02's probe path: route each query to its nProbe nearest
+    * cells, scan ONLY those cells' live files (manifest-pruned, same
+    * pinned generation for routing and scan), keep exact-cosine ≥ τ.
+    * Approximation is IVF's alone — a qualifying neighbor outside
+    * the probed cells is missed (recall dial = nProbe) — but every
+    * RETURNED pair carries its true cosine: results are a strict
+    * subset of the exact sweep, never a superset (spec'd). At 100 TB
+    * this is the shape that makes range retrieval affordable: probe
+    * IO ~nProbe/nCells of the corpus and no per-query selection
+    * state, since the threshold needs no heap at all.
+    */
+  def rangeSearchIvf(s: SparkSession, indexDir: String, queries: DataFrame,
+                     tau: Double, nProbe: Int = 3): DataFrame = {
+    val pinned = graft.operators.IndexManifest.head(indexDir)
+    val cents = loadCentroids(s, indexDir, pinned)
+    val qcells = queries.withColumn("cell",
+      explode(graft.functions.GraftFunctions.nearestCells("va", cents, nProbe)))
+    val probed = qcells.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val cands = governed(s, indexDir,
+      indexVectorsPinned(s, indexDir, pinned, Some(probed))
+        .select(col("vec_id").as("n_id"), col("v").as("vb"),
+          col("nrm").as("nb"), col("cell")), "n_id")
+    // each corpus vector lives in exactly one cell, so the cell join
+    // yields every (q, n) pair at most once — no post-join dedup
+    qcells.join(cands, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), r6(cosine).as("cos"))
+      .filter(!isnan(col("cos")) && col("cos") >= tau)
+      .select(col("q_id"), col("n_id"), r4(col("cos")).as("cos_r"))
+      .orderBy("q_id", "n_id")
+  }
+
+  // --- ann08: the range search a production index actually runs —
+  // ann07 is its exact-sweep oracle in the specs (subset containment
+  // + recall floor), rows-only at the driver gate like every
+  // IVF-routed family member.
+  val ann08_range_ivf: Q = (s, d) =>
+    rangeSearchIvf(s, ivfIndexFor(s, d), queriesOf(s, d), 0.30)
+
+  /** IVF-blocked k-NN SELF-JOIN — every corpus vector finds its own
+    * top-k neighbors, the batch companion to [[probeIvf]]'s
+    * driver-sized query set (semantic-dedup candidate generation,
+    * cluster seeding, retrieval-eval ground truth all start here).
+    * The query side is the CORPUS, so nothing about the probe path's
+    * collect-the-queries shape survives: routing must stay in-plan.
+    *
+    * Shape: one codegen'd [[graft.functions.GraftFunctions.nearestCells]]
+    * pass routes every vector to its nProbe nearest cells (narrow —
+    * the centroid matrix rides into generated code exactly as the
+    * build's assignment pass); candidates come from the SAME pinned
+    * generation's cell layout; one cell equi-join (shuffle ∝ corpus ×
+    * nProbe, never all-pairs) scores exact cosine; per-query selection
+    * is the graft_topk bounded heap, partial-aggregated map-side so
+    * the exchange carries O(rows × k × tasks), not the candidate
+    * volume. dd08 : dd03 :: ann09 : brute — same blocking, rank
+    * semantics instead of threshold.
+    *
+    * Approximation is IVF's alone (a true neighbor outside the probed
+    * cells is missed; nProbe dials recall); returned scores are exact.
+    * NaN cosines (zero-norm vectors) are excluded by the heap — the
+    * family posture.
+    */
+  def knnJoinIvf(s: SparkSession, indexDir: String, corpus: DataFrame,
+                 k: Int = 5, nProbe: Int = 2): DataFrame = {
+    val pinned = graft.operators.IndexManifest.head(indexDir)
+    val cents = loadCentroids(s, indexDir, pinned)
+    val q = corpus.select(col("vec_id").as("q_id"), col("v").as("va"),
+        col("nrm").as("na"))
+      .withColumn("cell",
+        explode(graft.functions.GraftFunctions.nearestCells("va", cents, nProbe)))
+    val cands = governed(s, indexDir,
+      indexVectorsPinned(s, indexDir, pinned, None)
+        .select(col("vec_id").as("n_id"), col("v").as("vb"),
+          col("nrm").as("nb"), col("cell")), "n_id")
+    q.join(cands, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), r6(cosine).as("cos"))
+      .groupBy("q_id")
+      .agg(graft.functions.GraftFunctions.topK("cos", "n_id", k).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("i", "p")))
+      .select(col("q_id"), (col("i") + 1).cast("long").as("rank"),
+        col("p.id").as("n_id"), r4(col("p.score")).as("cos_r"))
+      .orderBy("q_id", "rank")
+  }
+
+  // --- ann09: the k-NN join over the whole embeddings table (k=5,
+  // nProbe=3 — the probe family's setting; this corpus's clusters are
+  // weak, so the extra cell buys recall 0.44 → ~0.6 for ~nProbe/nCells
+  // more candidate volume) — rows-only at the gate (IVF recall),
+  // spec'd against a per-row exact driver recompute at sf0.001.
+  val ann09_knn_join: Q = (s, d) =>
+    knnJoinIvf(s, ivfIndexFor(s, d), vecs(s, d), nProbe = 3)
 
   // --- ann06: IVF-PQ — the faiss-classic composition of the two
   // orthogonal savings: IVF's cell pruning picks WHICH rows to score
@@ -1187,8 +1307,9 @@ object Similarity {
   // corpus-independent) → broadcast shortlist-fetch join + exact
   // re-rank. No window over scored rows, no corpus shuffle, nothing
   // all-pairs. At 100 TB the code column is ~1.5 TB; combining with
-  // IVF cell pruning (encode per cell) multiplies the two savings —
-  // noted, not built, since the families are orthogonal here.
+  // IVF cell pruning multiplies the two savings — that composition IS
+  // ann06 (probeIvfPq: ADC over manifest-pruned cells); this row keeps
+  // the standalone exhaustive-scan point of the trade-off curve.
   //
   // Training is per-subspace Lloyd's on a DETERMINISTIC hash-ordered
   // sample capped at `pqSampleCap` collected to the driver — codebook
@@ -1382,7 +1503,10 @@ object Similarity {
     "ann02_ivf_topk" -> ann02_ivf_topk,
     "ann04_lsh_topk" -> ann04_lsh_topk,
     "ann05_pq_topk" -> ann05_pq_topk,
-    "ann06_ivfpq_topk" -> ann06_ivfpq_topk)
+    "ann06_ivfpq_topk" -> ann06_ivfpq_topk,
+    "ann07_range_search" -> ann07_range_search,
+    "ann08_range_ivf" -> ann08_range_ivf,
+    "ann09_knn_join" -> ann09_knn_join)
 
   private val bruteTopkSql =
     """SELECT q_id, rank, n_id, round(cos * 10000) / 10000 AS cos_r FROM (
@@ -1400,5 +1524,15 @@ object Similarity {
     // ann03 computes the same exact result by a different physical
     // strategy — one oracle text, two plans under test
     "ann03_topk_agg" -> bruteTopkSql,
-    "ann01_brute_topk" -> bruteTopkSql)
+    "ann01_brute_topk" -> bruteTopkSql,
+    // ann07: same scored universe as ann01, threshold cut on the same
+    // r6-rounded cosine (boundary-stable across engines), r4 output
+    "ann07_range_search" ->
+      """SELECT q_id, n_id, round(cos * 10000) / 10000 AS cos_r FROM (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+        |    round((list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        |      (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+        |       sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))) * 1000000) / 1000000 AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id <> a.vec_id) s
+        |WHERE cos >= 0.30 ORDER BY q_id, n_id""".stripMargin)
 }

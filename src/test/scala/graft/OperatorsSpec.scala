@@ -320,6 +320,112 @@ class OperatorsSpec extends SparkSpecBase {
       "ann06 probe triggered an index rebuild")
   }
 
+  test("ann07 exact range search: threshold cut, exhaustive vs driver recompute") {
+    val df = similarity.Similarity.ann07_range_search(spark, sfDir)
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty, "range search empty at tau=0.30")
+    assert(got.forall(_._3 >= 0.30), "a below-threshold pair leaked through")
+    // exhaustive ground truth recomputed driver-side from the raw table
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var d = 0.0; var na = 0.0; var nb = 0.0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = for {
+      (q, qv) <- vecs.toSeq if q < 10
+      (n, nv) <- vecs.toSeq if n != q
+      c = math.round(cos(qv, nv) * 1000000) / 1000000.0 if c >= 0.30
+    } yield (q, n)
+    assert(got.map(t => (t._1, t._2)).toSet == want.toSet,
+      s"range result != exhaustive sweep (got ${got.length}, want ${want.size})")
+  }
+
+  test("ann08 IVF range search: subset of exact, recall floor, probed-cell containment") {
+    val exact = similarity.Similarity.ann07_range_search(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val df = similarity.Similarity.ann08_range_ivf(spark, sfDir)
+    val ivf = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(ivf.nonEmpty, "IVF range search empty at tau=0.30")
+    // containment with equal scores: IVF prunes candidates, never
+    // invents or rescores them — every returned pair is an exact-sweep
+    // pair with the identical rounded cosine
+    ivf.foreach { case (pair, c) =>
+      assert(exact.contains(pair), s"pair $pair not in the exact sweep")
+      assert(exact(pair) == c, s"pair $pair rescored: $c != ${exact(pair)}")
+    }
+    val recall = ivf.size.toDouble / exact.size
+    info(f"IVF range recall at nProbe=3: $recall%.2f (${ivf.size}/${exact.size})")
+    assert(recall >= 0.4, f"IVF range recall $recall%.2f below floor 0.4")
+    // every returned neighbor came from a cell its query probed — the
+    // scan never left the manifest-pruned file set
+    val idx = similarity.Similarity.ivfIndexFor(spark, sfDir)
+    val cells = similarity.Similarity.indexVectors(spark, idx).select("vec_id", "cell")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val qVecs = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    ivf.keys.foreach { case (q, n) =>
+      val probed = similarity.Similarity.probedCellsOf(spark, idx, qVecs(q), 3).toSet
+      assert(probed.contains(cells(n)),
+        s"query $q returned $n from unprobed cell ${cells(n)}")
+    }
+    // no per-query selection state: the threshold plan has no heap
+    // aggregate, no window, and no all-pairs join
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("graft_topk"), s"a heap crept into range search:\n$plan")
+    assert(!plan.contains("Window"), s"a window crept into range search:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"all-pairs join in ann08:\n$plan")
+  }
+
+  test("ann09 kNN self-join: every-row coverage, recall floor, heap plan, no all-pairs") {
+    val df = similarity.Similarity.ann09_knn_join(spark, sfDir)
+    val rows = df.collect()
+    val byQ = rows.map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // coverage: the query side is the whole corpus — every vector
+    // must come back (each probes nProbe cells; its own cell is
+    // non-empty by construction since it contains the vector itself)
+    assert(byQ.keySet == vecs.keySet,
+      s"kNN join dropped ${vecs.keySet.size - byQ.keySet.size} query rows")
+    // ranks dense from 1, k respected
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val ranks = rs.map(_.getLong(1)).sorted.toSeq
+      assert(ranks == (1L to ranks.length.toLong) && ranks.length <= 5,
+        s"query $q ranks not dense-from-1 within k: $ranks")
+    }
+    // recall vs a per-row exact driver recompute (500×500 at sf0.001)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var d = 0.0; var na = 0.0; var nb = 0.0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val recalls = vecs.toSeq.map { case (q, qv) =>
+      val exact = vecs.toSeq.filter(_._1 != q)
+        .map { case (n, nv) => (n, math.round(cos(qv, nv) * 1000000) / 1000000.0) }
+        .sortBy { case (n, c) => (-c, n) }.take(5).map(_._1).toSet
+      byQ(q).intersect(exact).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"kNN-join recall@5 over ${recalls.size} rows: mean $mean%.2f, min ${recalls.min}%.1f")
+    assert(mean >= 0.4, f"mean kNN-join recall@5 $mean%.2f below floor 0.4")
+    // selection is the bounded heap, map-side partial; routing stays
+    // in-plan (no driver collect of the corpus-sized query side);
+    // nothing windows, nothing all-pairs
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_topk"), s"selection is not the heap aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"a window crept into ann09:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"all-pairs join in ann09:\n$plan")
+  }
+
   test("ann04 hyperplane-LSH ANN: recall floor, bounded candidates, broadcast plan") {
     def byQuery(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
       rows.map(r => (r.getLong(0), r.getLong(1)))
@@ -520,6 +626,45 @@ class OperatorsSpec extends SparkSpecBase {
       assert(got.last.getLong(2) + got.last.getLong(3) >= n,
         s"doc $id: tail uncovered")
     }
+  }
+
+  test("pp14 split: total partition, group atomicity, zero pair leakage, stable proportions") {
+    val rows = pipeline.Pipeline.pp14_split_leakage_safe(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.length == nDocs, s"${rows.length} assignments over $nDocs docs")
+    val splitOf = rows.map(r => r.getLong(0) -> r.getString(2)).toMap
+    val groupOf = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every doc lands in exactly one of the three splits
+    assert(splitOf.values.toSet.subsetOf(Set("train", "val", "test")))
+    // group atomicity: a group's members all carry one split
+    rows.groupBy(_.getLong(1)).foreach { case (g, ms) =>
+      assert(ms.map(_.getString(2)).distinct.length == 1,
+        s"group $g straddles splits")
+    }
+    // THE property: no near-dup pair straddles splits — eval
+    // contamination is structurally impossible, not just unlikely
+    dedup.Dedup.jaccardPairs(spark, sfDir).select("id1", "id2").collect()
+      .foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        assert(splitOf(a) == splitOf(b),
+          s"near-dup pair ($a, $b) split across ${splitOf(a)}/${splitOf(b)}")
+        assert(groupOf(a) == groupOf(b),
+          s"near-dup pair ($a, $b) landed in different groups")
+      }
+    // singletons are their own group; clustered docs exist on this corpus
+    val clustered = rows.count(r => r.getLong(0) != r.getLong(1))
+    assert(clustered > 0, "corpus has no clustered members — spec is vacuous")
+    // proportions: 2/16 + 2/16 + 12/16 by hash design; loose bounds
+    // absorb group-level hash variance on a 500-doc corpus
+    val frac = rows.groupBy(_.getString(2)).view.mapValues(_.length.toDouble / rows.length)
+    info(f"split fractions: ${frac.toMap}")
+    assert(frac.getOrElse("test", 0.0) > 0.04 && frac.getOrElse("test", 0.0) < 0.25)
+    assert(frac.getOrElse("val", 0.0) > 0.04 && frac.getOrElse("val", 0.0) < 0.25)
+    assert(frac.getOrElse("train", 0.0) > 0.55)
+    // deterministic: a rerun reproduces the assignment bit-for-bit
+    val again = pipeline.Pipeline.pp14_split_leakage_safe(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(again == splitOf, "split assignment not deterministic")
   }
 
   test("pp05 flags exactly the train docs sharing a 5-gram with the eval split") {

@@ -205,6 +205,7 @@ class ScaleSpec extends SparkSpecBase {
     val allowed = Map(
       "ann01_brute_topk" -> "all-pairs compare IS the brute-force semantics",
       "ann03_topk_agg" -> "same all-pairs compare; the selection is the bounded-heap agg",
+      "ann07_range_search" -> "same all-pairs compare; threshold cut instead of rank (IVF path is ann08)",
       "q39_dense_grid" -> "cross of two bounded dims (regions × order statuses)",
       "q40_resample_ffill" -> "single-row broadcast of the global time bounds",
       "q55_resample_interp" -> "single-row broadcast of the global time bounds (q40's grid)",
