@@ -36,6 +36,10 @@ import org.apache.spark.sql.functions._
   *                              fold at merge commits vs the full
   *                              rebuild it avoids; candidates must
   *                              stay ~1/64 across a merge diet
+  *   ScaleProbe knnjoin [rows] — ann09's blocked k-NN self-join:
+  *                              candidate volume and wall across a 4×
+  *                              corpus jump at bounded cell occupancy
+  *                              (linear, vs the n² brute it replaces)
   *   ScaleProbe ckpt [commits] — commit-log checkpoint rollups:
   *                              committedGen/reflectedGen flat across
   *                              a 100x generation-count jump vs the
@@ -846,6 +850,54 @@ object ScaleProbe {
           println(f"delta gen $g (${delivered.get} rows, ~1/$nFiles of table): ${(System.nanoTime() - t1) / 1e9}%.2f s")
         }
         q.stop()
+
+      case "knnjoin" =>
+        // ann09's scale claim, measured: with BOUNDED cell occupancy
+        // (nCells ∝ corpus — the faiss sizing rule), the blocked k-NN
+        // self-join's candidate volume grows LINEARLY in corpus size
+        // (n × nProbe × occupancy), not n² — so wall should track
+        // candidates across a 4× corpus jump (the probe discipline:
+        // claim the SLOPE, not an absolute win). The brute contrast
+        // is claimed by candidate COUNT (n² at 1M vectors is 1e12
+        // cosines — untimeable is the point), not timed. Candidate
+        // volume is EXACT: Σ_cell routed(cell) × |cell| from the
+        // shipped routing pass + the index's own cell stats.
+        val vdim = 64
+        val nProbe = 3
+        val occupancy = 500
+        def synthV(n: Long) = spark.range(n)
+          .select(col("id").as("vec_id"),
+            expr(s"transform(sequence(1, $vdim), j -> " +
+              "cast(pmod(xxhash64(id * 64 + j), 1000) as float) / 1000.0)")
+              .as("embedding"),
+            lit("c").as("label"))
+        Seq(rows / 4, rows).foreach { n =>
+          val corpus = java.nio.file.Files.createTempDirectory("probe-knn").toString
+          try {
+            synthV(n).write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+            val idx = s"$corpus/idx"
+            val nCells = math.max(8, (n / occupancy).toInt)
+            similarity.Similarity.buildIvfIndex(spark, corpus, idx,
+              nCells = nCells, iters = 2,
+              sampleMod = math.max(1, (n / 50000).toInt))
+            val corpusVecs = spark.read.parquet(s"$corpus/embeddings.parquet")
+              .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+              .withColumn("nrm", graft.functions.GraftFunctions.l2norm("v"))
+            val routedPerCell = similarity.Similarity
+              .routedCells(spark, idx, corpusVecs, nProbe)
+              .groupBy("cell").count()
+            val cand = routedPerCell
+              .join(similarity.Similarity.ivfCellStats(spark, idx), Seq("cell"))
+              .agg(sum(col("count") * col("n"))).collect()(0).getLong(0)
+            println(f"$n vecs, $nCells cells: candidates=$cand%,d " +
+              f"(${cand.toDouble / n}%.0f per row; brute n^2 would be ${n.toDouble * n}%.2e)")
+            val t0 = System.nanoTime()
+            similarity.Similarity.knnJoinIvf(spark, idx, corpusVecs,
+                k = 5, nProbe = nProbe)
+              .write.format("noop").mode("overwrite").save()
+            println(f"knn join ($n vecs): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          } finally IndexLifecycle.deleteRecursively(corpus)
+        }
 
       case "ivfvacuum" =>
         // Takedown vacuum on the vector index must cost ∝ the CELLS

@@ -669,6 +669,13 @@ object Similarity {
     * cells is missed; nProbe dials recall); returned scores are exact.
     * NaN cosines (zero-norm vectors) are excluded by the heap — the
     * family posture.
+    *
+    * The real cost axis is CANDIDATE volume: n × nProbe × cell
+    * occupancy. Bounded occupancy — nCells ∝ corpus, the faiss sizing
+    * rule — keeps it linear in n where brute is n². Measured
+    * (ScaleProbe `knnjoin`, occupancy 500, nProbe 3): 250k → 1M
+    * vectors moved candidates 403M → 2.06G (≈ linear; n² would be
+    * 1e12, 486× more) and wall 38 s → 134 s on 32 local threads.
     */
   def knnJoinIvf(s: SparkSession, indexDir: String, corpus: DataFrame,
                  k: Int = 5, nProbe: Int = 2): DataFrame = {
@@ -796,6 +803,22 @@ object Similarity {
     nearestCellsOf(v,
       loadCentroids(s, indexDir, graft.operators.IndexManifest.head(indexDir)),
       nProbe)
+
+  /** Distributed routing introspection: every corpus row's probed
+    * cells as (vec_id, cell) — the same codegen'd pass ann09/probeIvf
+    * route with, exposed so the `knnjoin` scale probe can compute the
+    * EXACT candidate volume (Σ_cell routed(cell) × |cell|) without
+    * re-deriving routing driver-side one vector at a time.
+    */
+  private[graft] def routedCells(s: SparkSession, indexDir: String,
+                                 corpus: DataFrame, nProbe: Int): DataFrame = {
+    val cents = loadCentroids(s, indexDir,
+      graft.operators.IndexManifest.head(indexDir))
+    corpus.select(col("vec_id"), col("v").as("va"))
+      .withColumn("cell",
+        explode(graft.functions.GraftFunctions.nearestCells("va", cents, nProbe)))
+      .select("vec_id", "cell")
+  }
 
   /** Driver-side mirror of the NearestCells routing (top-n cells by
     * dot, ties to the lower id) for the collected query set.
