@@ -371,10 +371,11 @@ object Bench {
     val healShorts =
       if (healedKeys.isEmpty) "" else s""""healed":${healedKeys.size},"""
     // no separate rps_contended ids on stdout: `rps` (medians) and
-    // `rps_best` are BOTH always on the line, so the per-stage
-    // contention ratio is directly computable by any reader — and the
-    // chars are better spent keeping degraded runs inside the parse
-    // window. The explicit per-stage flag rides BENCH_DETAIL.json.
+    // `rps_best` ride the line on every run the budget admits, so the
+    // per-stage contention ratio is directly computable by any reader
+    // — under extreme budget pressure the shed ladder drops rps_best,
+    // then rps (see assembleLine; both always live in
+    // BENCH_DETAIL.json, as does the explicit per-stage flag).
     val errFull = errors.toSeq.sortBy(_._1)
       .map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")
 
@@ -578,7 +579,10 @@ object Bench {
     // `contended_n` spelling whether the collapse happens at cap
     // time or under budget pressure
     val countCont = contendedField(contendedShorts, cap = 0)
-    val rungs: LazyList[String] = LazyList(
+    // eager Seq on purpose: all six candidate strings are a few KB
+    // built once per run — a lazy chain would imply a cost that isn't
+    // there and hide that rungs.last is always safe to take
+    val rungs: Seq[String] = Seq(
       mk(contendedField(contendedShorts), healShorts, withRps = true, withBest = true),
       mk(countCont, healShorts, withRps = true, withBest = true),
       mk(countCont, healShorts, withRps = true, withBest = false),
@@ -740,13 +744,17 @@ object Bench {
       val inDir = java.nio.file.Files.createTempDirectory("bench-st-in").toString
       val out = java.nio.file.Files.createTempDirectory("bench-st-out").toString
       val ckpt = java.nio.file.Files.createTempDirectory("bench-st-ckpt").toString
+      var q: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
       try {
         Tables.documents(spark, sfDir).select("text")
           .coalesce(4).write.mode("overwrite").text(inDir)
-        val q = streaming.WordCountTopology.run(spark, inDir, out, ckpt, backend)
-        q.processAllAvailable()
-        q.stop()
+        q = Some(streaming.WordCountTopology.run(spark, inDir, out, ckpt, backend))
+        q.foreach(_.processAllAvailable())
       } finally {
+        // stop BEFORE deleting: a processAllAvailable failure leaves
+        // the query active, and deleting its dirs under it would turn
+        // one guarded bench error into a run-long async error stream
+        q.foreach(x => scala.util.Try(x.stop()))
         // reclaim the three temp trees (one holds a full text copy of
         // the documents corpus) — the bench runs this four times per
         // invocation, the same per-run leak class the throughput

@@ -451,15 +451,16 @@ object GraftCLI {
     Files.copy(Paths.get(file), inDir.resolve(Paths.get(file).getFileName))
     val ckpt = Files.createTempDirectory("graft-sample-ckpt").toString
     val batchOut = Files.createTempDirectory("graft-sample-out").toString
+    var q: Option[org.apache.spark.sql.streaming.StreamingQuery] = None
     try {
       val spout = WordCountTopology.fileSpout(inDir.toString, RateLimit())
       val topo =
         if (update) WordCountTopology.updateMode(spout, batchOut, ckpt)
         else WordCountTopology(spout, batchOut, ckpt)
-      val q = topo.run(spark)
-      q.processAllAvailable()
-      val clock = Clock.of(q)
-      q.stop()
+      val started = topo.run(spark)
+      q = Some(started)
+      started.processAllAvailable()
+      val clock = Clock.of(started)
 
       val last = ExactlyOnceSink.committed(batchOut).max
       val top = spark.read.parquet(ExactlyOnceSink.batchDir(batchOut, last))
@@ -471,6 +472,10 @@ object GraftCLI {
       println(s"wrote ${top.length} words to $outDir/top_words.txt")
       println(s"clock: ${clock.offsets}")
     } finally {
+      // stop FIRST: a mid-run failure leaves the query active on the
+      // caller-owned session, and deleting its dirs under it would
+      // strand an orphan query failing for the session's lifetime
+      q.foreach(x => scala.util.Try(x.stop()))
       // the deliverable is outDir/top_words.txt; the staged input,
       // checkpoint and batch-output trees are intermediates that would
       // otherwise persist in the temp dir past process exit (the same

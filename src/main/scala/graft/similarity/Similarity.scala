@@ -668,7 +668,12 @@ object Similarity {
     * Approximation is IVF's alone (a true neighbor outside the probed
     * cells is missed; nProbe dials recall); returned scores are exact.
     * NaN cosines (zero-norm vectors) are excluded by the heap — the
-    * family posture.
+    * family posture. A vector whose probed cells hold no OTHER vector
+    * (alone in its cell, other probed cells empty — possible under
+    * dead/tiny k-means cells) has no candidates after the self-pair
+    * filter and returns no rows: absent means "no neighbor found in
+    * the probed region", the standard ANN answer, not top-k of the
+    * full corpus.
     *
     * The real cost axis is CANDIDATE volume: n × nProbe × cell
     * occupancy. Bounded occupancy — nCells ∝ corpus, the faiss sizing
@@ -1549,7 +1554,11 @@ object Similarity {
     "ann03_topk_agg" -> bruteTopkSql,
     "ann01_brute_topk" -> bruteTopkSql,
     // ann07: same scored universe as ann01, threshold cut on the same
-    // r6-rounded cosine (boundary-stable across engines), r4 output
+    // r6-rounded cosine (boundary-stable across engines), r4 output.
+    // NOT isnan mirrors the Spark side's explicit NaN exclusion — in
+    // BOTH engines NaN compares greater than any value, so a zero-norm
+    // vector's 0/0 would otherwise pass the >= cut here while the
+    // Spark side drops it
     "ann07_range_search" ->
       """SELECT q_id, n_id, round(cos * 10000) / 10000 AS cos_r FROM (
         |  SELECT a.vec_id AS q_id, b.vec_id AS n_id,
@@ -1557,5 +1566,5 @@ object Similarity {
         |      (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
         |       sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))) * 1000000) / 1000000 AS cos
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < 10 AND b.vec_id <> a.vec_id) s
-        |WHERE cos >= 0.30 ORDER BY q_id, n_id""".stripMargin)
+        |WHERE NOT isnan(cos) AND cos >= 0.30 ORDER BY q_id, n_id""".stripMargin)
 }

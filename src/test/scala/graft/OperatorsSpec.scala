@@ -368,9 +368,13 @@ class OperatorsSpec extends SparkSpecBase {
     val qVecs = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 10)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    // probed sets hoisted per QUERY (probedCellsOf re-reads the
+    // centroid table each call; pairs >> queries)
+    val probedOf = qVecs.map { case (q, v) =>
+      q -> similarity.Similarity.probedCellsOf(spark, idx, v, 3).toSet
+    }
     ivf.keys.foreach { case (q, n) =>
-      val probed = similarity.Similarity.probedCellsOf(spark, idx, qVecs(q), 3).toSet
-      assert(probed.contains(cells(n)),
+      assert(probedOf(q).contains(cells(n)),
         s"query $q returned $n from unprobed cell ${cells(n)}")
     }
     // no per-query selection state: the threshold plan has no heap
@@ -390,9 +394,10 @@ class OperatorsSpec extends SparkSpecBase {
     val vecs = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
-    // coverage: the query side is the whole corpus — every vector
-    // must come back (each probes nProbe cells; its own cell is
-    // non-empty by construction since it contains the vector itself)
+    // coverage: every vector comes back ON THIS CORPUS (no cell is a
+    // singleton with empty co-probes here — a vector alone in its
+    // probed region legitimately returns nothing, see the scaladoc;
+    // this assertion pins the empirical fact, not a structural law)
     assert(byQ.keySet == vecs.keySet,
       s"kNN join dropped ${vecs.keySet.size - byQ.keySet.size} query rows")
     // ranks dense from 1, k respected
