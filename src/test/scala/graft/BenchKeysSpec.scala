@@ -17,11 +17,21 @@ class BenchKeysSpec extends AnyFunSuite {
       s"short-key collisions (add explicit cases in Bench.shortKey): $collided")
   }
 
-  test("registered queries all reach the bench key list") {
-    // allBenchKeys is maintained by hand for the spec; a registry key
-    // missing from it means the uniqueness check above has a blind spot
-    val missing = SparkEntry.queries.keySet -- Bench.allBenchKeys.toSet
-    assert(missing.isEmpty, s"registry keys missing from allBenchKeys: $missing")
+  test("bench side rows are exactly the ones main emits") {
+    // allBenchKeys DERIVES from the registry (so registry ⊆ it holds
+    // by construction — asserting that would be tautological); the
+    // part that CAN drift is its hand-listed side-row tail vs the row
+    // names Bench.main actually emits. This spec pins that tail as a
+    // literal: adding a split/streaming row in main without extending
+    // allBenchKeys would silently re-open the short-key-collision
+    // blind spot, and this copy is the tripwire.
+    val sideRows = Bench.allBenchKeys.toSet -- SparkEntry.queries.keySet
+    assert(sideRows == Set(
+      "ann02_ivf_build", "ann02_ivf_probe",
+      "dd11_lsh_build", "dd11_lsh_probe",
+      "st01_stream_wordcount", "st02_throughput_sweep",
+      "st03_rocksdb_wordcount"),
+      s"allBenchKeys side rows drifted: $sideRows")
   }
 
   test("worst-case stdout JSON line fits the harness's 2000-char window") {

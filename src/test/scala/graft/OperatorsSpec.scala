@@ -1012,9 +1012,18 @@ class OperatorsSpec extends SparkSpecBase {
       Files.write(strayed, Array[Byte](9, 9))
       assert(pairs(Dedup.neardupDelta(spark, delta, tbl)) == truth,
         "post-flip legacy debris leaked into reads")
-      Dedup.tombstoneDocs(spark, tbl,
-        base.filter(col("doc_id") % 11 === 0).select("doc_id"))
-      assert(Dedup.vacuumLshTombstones(spark, tbl) >= 0L)
+      val doomed = base.filter(col("doc_id") % 11 === 0).select("doc_id")
+      Dedup.tombstoneDocs(spark, tbl, doomed)
+      // the vacuum reports exactly the tombstones it processed, and
+      // the tombstoned docs are PHYSICALLY gone from both tables —
+      // a partial-discovery bug returning a plausible positive count
+      // must fail here, not pass a >= 0 tautology
+      assert(Dedup.vacuumLshTombstones(spark, tbl) == doomed.count())
+      Seq("_sigs", "_bands").foreach { suffix =>
+        assert(spark.table(tbl + suffix)
+          .filter(col("doc_id") % 11 === 0).count() == 0,
+          s"tombstoned docs survived the vacuum in $tbl$suffix")
+      }
       assert(!Files.exists(strayed), "legacy root debris survived the next rewrite")
       // eviction of a location-flipped index reclaims the whole HOME,
       // not just the live segment — a post-flip crash leaves a full

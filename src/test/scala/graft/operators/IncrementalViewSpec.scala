@@ -113,7 +113,11 @@ class IncrementalViewSpec extends SparkSpecBase {
     val ex = intercept[Exception] {
       IncrementalView.applyDelta(base, plainU, spec).collect()
     }
-    assert(ex.getMessage != null)
+    // pin the GUARD, not just "some exception": the raise_error branch
+    // names the preImages contract — an incidental analysis error from
+    // a different bug must not green this test
+    assert(String.valueOf(ex.getMessage).contains("preImages"),
+      s"expected the preImages-feed guard, got: ${ex.getMessage}")
   }
 
   test("persisted view: refresh folds the pending span, is idempotent, matches recompute") {

@@ -32,7 +32,13 @@ class ScaleSpec extends SparkSpecBase {
     val h = Skew.keyHistogram(Tables.lineitem(spark, sfDir), col("l_returnflag"), 3)
       .collect()
     assert(h.length == 3)
-    assert(h.map(_.getAs[Double]("share")).sum > 0.9)
+    // shares are a NORMALIZED distribution: each in (0, 1], and with
+    // all 3 of l_returnflag's values in the top-3 they sum to ~1 —
+    // a regression to raw counts (or a wrong denominator) fails here,
+    // where a bare `sum > 0.9` would not
+    val shares = h.map(_.getAs[Double]("share"))
+    assert(shares.forall(s => s > 0.0 && s <= 1.0), s"share out of (0,1]: ${shares.toSeq}")
+    assert(math.abs(shares.sum - 1.0) < 1e-9, s"shares sum to ${shares.sum}, not 1")
   }
 
   test("bucketed tables join without an exchange") {
@@ -151,7 +157,11 @@ class ScaleSpec extends SparkSpecBase {
         .agg(graft.functions.GraftFunctions.bitmapAgg("o_custkey", maxKey = 2).as("sk"))
         .collect()
     }
-    assert(err.getMessage != null)
+    // pin the DOMAIN guard's actionable message (key + bound + remedy),
+    // not just "something threw" — an argument-plumbing crash must not
+    // green the fail-loudly contract
+    assert(String.valueOf(err.getMessage).contains("outside [0, 2)"),
+      s"expected the graft_bitmap domain guard, got: ${err.getMessage}")
   }
 
   test("q58: sparse bitmap rollup is exact and lossless on a 64-bit key domain") {

@@ -120,9 +120,18 @@ class SourcesSpec extends SparkSpecBase {
       partitionBy = Seq("o_orderstatus"))
     val dirs = new java.io.File(path).listFiles().map(_.getName).filter(_.startsWith("o_orderstatus="))
     assert(dirs.nonEmpty)
-    // partition-pruned read only touches one directory
+    // partition-pruned read only touches one directory: the partition
+    // filter must reach the scan node (a full multi-dir scan would
+    // still return rows, so count alone can't catch a pruning loss)
     val one = Sources.read(spark, "parquet", path).filter(col("o_orderstatus") === "F")
     val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("o_orderstatus"),
+      s"o_orderstatus filter did not reach PartitionFilters:\n$plan")
+    assert(one.select(input_file_name()).distinct().collect()
+      .forall(_.getString(0).contains("o_orderstatus=F")),
+      "pruned read touched files outside the o_orderstatus=F directory")
     assert(one.count() > 0)
   }
 
