@@ -23,7 +23,7 @@ object Explain {
         "tx15_bpe_tokens",
         "ann03_topk_agg", "ann04_lsh_topk", "ann05_pq_topk",
         "ann07_range_search", "ann08_range_ivf", "ann09_knn_join",
-        "pp14_split_leakage_safe",
+        "pp14_split_leakage_safe", "pp15_mixture_sample",
         "q47_heavy_hitters", "q48_funnel", "q49_grouping_sets",
         "mm06_audio_energy", "pp10_gate_report", "q50_peak_concurrency",
         "ann06_ivfpq_topk", "q52_quantile_rollup", "q53_bloom_semijoin",

@@ -429,6 +429,72 @@ object Pipeline {
       .select(col("doc_id"), col("n"), (col("pcum") + col("off")).as("cum"))
   }
 
+  /** [[globalCumSum]] generalized to a KEYED running sum: per-key
+    * cumulative `n` in (orderCol, tieCol) order without ever putting
+    * a whole key in one partition (the naive
+    * `Window.partitionBy(key)` plans one partition per key — a
+    * scale-killer when a key is a corpus source holding terabytes).
+    * Same two-pass shape: range-partition by (key, order, tie) so
+    * each key spans a RUN of buckets, per-(key, bucket) totals form a
+    * keys×buckets-sized side table whose per-key prefix offsets are
+    * cheap, and each bucket's local per-key window adds its offset.
+    * Same eager localCheckpoint pin, same reasons.
+    */
+  private[graft] def keyedCumSum(df: DataFrame, key: String,
+                                 orderCol: String, tieCol: String,
+                                 nCol: String, nParts: Int = 32): DataFrame = {
+    val data = df
+      .repartitionByRange(nParts, col(key), col(orderCol), col(tieCol))
+      .withColumn("bkt", spark_partition_id())
+      .localCheckpoint(true)
+    val wOff = Window.partitionBy(key).orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = data.groupBy(key, "bkt").agg(sum(nCol).as("bn"))
+      .withColumn("off", coalesce(sum("bn").over(wOff), lit(0L)))
+      .select(col(key), col("bkt"), col("off"))
+    val wCum = Window.partitionBy(key, "bkt").orderBy(orderCol, tieCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    data.withColumn("pcum", sum(nCol).over(wCum))
+      .join(broadcast(offsets), Seq(key, "bkt"))
+      .withColumn("cum", col("pcum") + col("off"))
+      .drop("bkt", "pcum", "off")
+  }
+
+  /** pp15: token-budget MIXTURE sampling — the domain-reweighting
+    * step a training-data build runs when the raw corpus's source
+    * proportions are not the mixture the run wants: sample each
+    * source down to a per-source token budget (here the uniform
+    * mixture at half the corpus: budget = 0.5 × total_tokens /
+    * n_sources), so over-represented sources shrink and
+    * under-budget sources keep everything.
+    *
+    * Selection is the greedy md5(doc_id)-ordered PREFIX per source:
+    * keep a doc iff the tokens of docs ordered before it (same
+    * source) are still under budget — so each source overshoots by
+    * at most its boundary doc. Deterministic (no RNG), engine-
+    * portable (md5 hex ordering, the pp08 discipline), and stable:
+    * a new doc perturbs only its own source's boundary.
+    *
+    * Scale: one narrow token-count pass; per-source totals are a
+    * source-count-sized driver collect (driver-sized by definition —
+    * the budget rule needs ONE scalar per source); the running sum is
+    * [[keyedCumSum]] — range-partitioned two-pass, keys×buckets side
+    * table, NO per-source single-partition window anywhere.
+    */
+  val pp15_mixture_sample: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(expr(toksExpr)).cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string").cast("binary")).as("h"))
+    val totals = docs.groupBy("source").agg(sum("n_tokens").as("src_toks"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val budget = 0.5 * totals.map(_._2).sum.toDouble / totals.length
+    keyedCumSum(docs, "source", "h", "doc_id", "n_tokens")
+      .filter(col("cum") - col("n_tokens") < budget)
+      .select("doc_id", "source", "n_tokens")
+      .orderBy("doc_id")
+  }
+
   /** pp05: benchmark decontamination — flag training documents that
     * share any 5-token shingle with the held-out evaluation split
     * (here the deterministic split doc_id % 10 = 0). The join key is
@@ -626,6 +692,7 @@ object Pipeline {
   }
 
   val registry: Map[String, Q] = Map(
+    "pp15_mixture_sample" -> pp15_mixture_sample,
     "pp14_split_leakage_safe" -> pp14_split_leakage_safe,
     "pp13_chunk_windows" -> pp13_chunk_windows,
     "pp12_shard_files" -> pp12_shard_files,
@@ -671,6 +738,22 @@ object Pipeline {
          |  CAST(len(t[ci * 48 + 1 : ci * 48 + 64]) AS BIGINT) AS n_toks,
          |  array_to_string(t[ci * 48 + 1 : ci * 48 + 64], ' ') AS chunk_text
          |FROM k ORDER BY doc_id, chunk_idx""".stripMargin,
+    // pp15: the budget scalar is 0.5 × sum / count over the per-source
+    // totals — both engines compute it from the same BIGINTs in the
+    // same double arithmetic, so the long-vs-double prefix comparison
+    // cuts identically; the exclusive prior is the 1-PRECEDING window
+    // (Spark side: cum − n_tokens)
+    "pp15_mixture_sample" ->
+      s"""WITH t AS (SELECT doc_id, source, len($sqlToks) AS n_tokens,
+         |             md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |s AS (SELECT source, sum(n_tokens) AS src_toks FROM t GROUP BY 1),
+         |b AS (SELECT 0.5 * (SELECT sum(src_toks) FROM s) / (SELECT count(*) FROM s) AS budget),
+         |c AS (SELECT t.*, coalesce(sum(n_tokens) OVER (
+         |        PARTITION BY source ORDER BY h, doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+         |      FROM t)
+         |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens
+         |FROM c, b WHERE prior < budget ORDER BY doc_id""".stripMargin,
     // pp14 embeds dd06's cluster oracle verbatim (the same anti-drift
     // discipline as pp10/pp11's tx16 embedding): group = component
     // min for clustered docs, self for singletons; split = first hex

@@ -672,6 +672,58 @@ class OperatorsSpec extends SparkSpecBase {
     assert(again == splitOf, "split assignment not deterministic")
   }
 
+  test("keyedCumSum matches a per-key driver recompute, ties and all") {
+    import spark.implicits._
+    // keys of very different sizes, duplicate order values (tie broken
+    // by tieCol), and a key spanning several range buckets
+    val rows = (0 until 500).map { i =>
+      (s"k${i % 7}", s"h${i % 13}", i.toLong, (i % 5 + 1).toLong)
+    }
+    val df = rows.toDF("key", "ord", "tie", "n")
+    val got = pipeline.Pipeline.keyedCumSum(df, "key", "ord", "tie", "n", nParts = 8)
+      .select("key", "ord", "tie", "cum").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val want = rows.groupBy(_._1).flatMap { case (_, ks) =>
+      ks.sortBy(t => (t._2, t._3)).scanLeft(("", "", 0L, 0L) -> 0L) {
+        case ((_, acc), t) => t -> (acc + t._4)
+      }.drop(1).map { case (t, c) => (t._1, t._2, t._3) -> c }
+    }
+    assert(got == want, "keyed running sum diverges from the driver recompute")
+  }
+
+  test("pp15 keeps exactly the per-source md5-ordered prefix to the token budget") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(expr(graft.text.TextAnalysis.toksExpr)).cast("long").as("n"),
+        md5(col("doc_id").cast("string").cast("binary")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val bySrc = docs.groupBy(_._2)
+    val budget = 0.5 * docs.map(_._3).sum.toDouble / bySrc.size
+    // driver recompute of the greedy prefix
+    val want = bySrc.values.flatMap { ds =>
+      var acc = 0L
+      ds.sortBy(t => (t._4, t._1)).takeWhile { t =>
+        val in = acc < budget; acc += t._3; in
+      }.map(_._1).toSeq
+    }.toSet
+    val got = pipeline.Pipeline.pp15_mixture_sample(spark, sfDir).collect()
+    assert(got.map(_.getLong(0)).toSet == want,
+      s"keep-list != greedy prefix (${got.length} vs ${want.size})")
+    // the budget discipline: an over-budget source overshoots by less
+    // than its boundary doc; an under-budget source keeps everything
+    got.groupBy(_.getString(1)).foreach { case (src, rs) =>
+      val kept = rs.map(_.getLong(2)).sum
+      val all = bySrc(src).map(_._3).sum
+      if (all.toDouble <= budget)
+        assert(rs.length == bySrc(src).length, s"$src under budget but trimmed")
+      else assert(kept - budget < rs.map(_.getLong(2)).max,
+        s"$src overshot the budget by more than its boundary doc")
+    }
+    // deterministic end to end
+    val again = pipeline.Pipeline.pp15_mixture_sample(spark, sfDir).collect()
+    assert(again.map(_.getLong(0)).toSeq == got.map(_.getLong(0)).toSeq)
+  }
+
   test("pp05 flags exactly the train docs sharing a 5-gram with the eval split") {
     // independent driver-side formulation over the tiny spec corpus
     def grams(text: String): Set[String] = {
