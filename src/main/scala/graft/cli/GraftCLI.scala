@@ -50,13 +50,62 @@ object GraftCLI {
       }
     case "table" :: cmd :: rest => tableMain(cmd, rest)
     case "index" :: cmd :: rest => indexMain(cmd, rest)
+    case "build" :: sfDir :: outDir :: rest =>
+      val shardSize = rest match {
+        case sz :: _ => scala.util.Try(sz.toInt).toOption.filter(_ > 0).getOrElse {
+          System.err.println(s"build: shardSize must be a positive integer, got '$sz'")
+          usage()
+        }
+        case Nil => 128
+      }
+      build(sfDir, outDir, shardSize)
     case _ => usage()
   }
 
   private def usage(): Nothing = {
     System.err.println(
-      "usage: GraftCLI run_sample -f <file> [outDir] [--update] | show <checkpoint> | init <checkpoint> | emit [rowsPerSec] [--update] | table <cmd> ... | index <cmd> ...")
+      "usage: GraftCLI run_sample -f <file> [outDir] [--update] | show <checkpoint> | init <checkpoint> | emit [rowsPerSec] [--update] | table <cmd> ... | index <cmd> ... | build <sfDir> <outDir> [shardSize]")
     sys.exit(2)
+  }
+
+  /** One command from raw documents to a committed training corpus:
+    * pp11's selection (quality gate → exact dedup → eval split-off →
+    * decontamination) written as crash-safe physical shards via
+    * [[graft.pipeline.Pipeline.writeShardsOf]] (tokened segment,
+    * pointer-flip commit). Own-session wrapper, [[runSample]]'s shape.
+    */
+  def build(sfDir: String, outDir: String, shardSize: Int): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("graft-build")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try build(spark, sfDir, outDir, shardSize)
+    finally spark.stop()
+  }
+
+  /** Caller-owned-session build (not stopped here); returns nothing,
+    * prints the committed manifest summary. The curated selection is
+    * lazily checkpointed: writeShardsOf reads its frame twice
+    * (manifest assignment + data write) and the gating chain is the
+    * expensive part of the whole build.
+    */
+  def build(spark: SparkSession, sfDir: String, outDir: String,
+            shardSize: Int = 128): Unit = {
+    import graft.pipeline.Pipeline
+    val train = Pipeline.trainSet(spark, sfDir).select("doc_id")
+      .localCheckpoint(false)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "n_chars")
+      .join(train, Seq("doc_id"), "left_semi")
+    val manifest = Pipeline.writeShardsOf(spark, docs, outDir, shardSize)
+      .collect()
+    val nDocs = manifest.map(_.getAs[Long]("n_docs")).sum
+    val nChars = manifest.map(_.getAs[Long]("sum_chars")).sum
+    println(s"committed ${manifest.length} shard(s), $nDocs docs, " +
+      s"$nChars chars to $outDir")
   }
 
   /** Malformed `table` invocation — carries the usage text; thrown

@@ -233,7 +233,19 @@ object Pipeline {
     * still resolved by [[shardDataRoot]].
     */
   def writeShards(s: SparkSession, d: String, outDir: String,
-                  shardSize: Int = 128): DataFrame = {
+                  shardSize: Int = 128): DataFrame =
+    writeShardsOf(s,
+      Tables.documents(s, d).select("doc_id", "text", "n_chars"),
+      outDir, shardSize)
+
+  /** [[writeShards]] over an arbitrary (doc_id, text, n_chars) frame —
+    * the curated-corpus entry the CLI `build` verb uses (write the
+    * TRAIN set, not the raw table). The frame is read twice (manifest
+    * assignment + the data write); a caller whose frame is an
+    * expensive pipeline should localCheckpoint it first.
+    */
+  def writeShardsOf(s: SparkSession, docsIn: DataFrame, outDir: String,
+                    shardSize: Int = 128): DataFrame = {
     import graft.operators.SegmentPointer
     shardDataRoot(outDir) match {
       case Some(root) => return s.read.parquet(s"$root/manifest")
@@ -248,7 +260,7 @@ object Pipeline {
     graft.IndexLifecycle.deleteRecursively(outDir)
     val seg = SegmentPointer.newSegName("_shardseg-")
     val segRoot = s"$outDir/$seg"
-    val docs = Tables.documents(s, d)
+    val docs = docsIn
       .select(col("doc_id"), col("n_chars"),
         md5(col("doc_id").cast("string")).as("k"))
     val assign = globalRank(docs, Seq("k", "doc_id"))
@@ -265,7 +277,7 @@ object Pipeline {
     // shard file keep the PERMUTED (global-rank) order — a training
     // reader streaming a shard sequentially must not see doc_id-
     // correlated data
-    Tables.documents(s, d).select("doc_id", "text")
+    docsIn.select("doc_id", "text")
       .join(assign.select("doc_id", "shard", "rn"), "doc_id")
       .repartition(col("shard"))
       .sortWithinPartitions("shard", "rn")
@@ -669,8 +681,12 @@ object Pipeline {
     * inherits pp08's range-partitioned rank — no new shuffle shapes,
     * no driver loops, one logical plan end to end.
     */
-  val pp11_full_build: Q = (s, d) => {
-    val shardSize = 128
+  /** The full-build SELECTION (quality gate → exact dedup → eval
+    * split-off → decontamination), shape (doc_id, n_chars) — shared
+    * verbatim by pp11's declarative manifest and the CLI `build`
+    * verb's physical write, so the two can't drift.
+    */
+  private[graft] def trainSet(s: SparkSession, d: String): DataFrame = {
     val keep = graft.text.TextAnalysis.tx16_quality_gate(s, d)
       .filter(col("keep")).select("doc_id")
     val f = Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
@@ -679,9 +695,15 @@ object Pipeline {
     val dedupKeep = kept.groupBy("fp").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
     val contaminated = pp05_decontaminate(s, d).select("doc_id")
-    val train = kept.join(dedupKeep, Seq("doc_id"), "left_semi")
+    kept.join(dedupKeep, Seq("doc_id"), "left_semi")
       .filter(col("doc_id") % 10 =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
+      .select("doc_id", "n_chars")
+  }
+
+  val pp11_full_build: Q = (s, d) => {
+    val shardSize = 128
+    val train = trainSet(s, d)
     globalRank(train.withColumn("k", md5(col("doc_id").cast("string"))),
         Seq("k", "doc_id"))
       .withColumn("shard", floor((col("rn") - 1) / shardSize).cast("long"))

@@ -17,6 +17,34 @@ class CLISpec extends SparkSpecBase {
     assert(lines.contains("alpha,1"))
   }
 
+  test("build: raw documents -> committed curated shards matching pp11's manifest") {
+    import org.apache.spark.sql.functions.col
+    val out = tmpDir("cli-build")
+    GraftCLI.build(spark, sfDir, out)
+    // committed via the pointer flip, and the WRITTEN manifest is
+    // pp11's declarative manifest bit for bit (same selection — the
+    // shared trainSet — same rank/shard rule, same shardSize)
+    assert(graft.pipeline.Pipeline.shardDataRoot(out).isDefined, "build did not commit")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("shard", "n_docs", "sum_chars", "min_id", "max_id")
+      .orderBy("shard").collect().toSeq
+    val root = graft.pipeline.Pipeline.shardDataRoot(out).get
+    assert(rows(spark.read.parquet(s"$root/manifest")) ==
+      rows(graft.pipeline.Pipeline.pp11_full_build(spark, sfDir)),
+      "written manifest diverges from pp11's declarative manifest")
+    // the shard DATA carries exactly the curated train set
+    val shardIds = graft.pipeline.Pipeline.readShards(spark, out)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val trainIds = graft.pipeline.Pipeline.trainSet(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(shardIds == trainIds, "shard data != curated train set")
+    // replay short-circuits on the committed marker (writeShardsOf's
+    // writeShards-inherited contract)
+    GraftCLI.build(spark, sfDir, out)
+    assert(graft.pipeline.Pipeline.shardDataRoot(out).get == root,
+      "a replayed build rewrote a committed dir")
+  }
+
   test("emit: rate-spout load run reports a measured result") {
     // session-scoped variant of the `emit` verb (run_sample_emitter
     // analog): must produce at least one data-carrying batch and a
