@@ -51,12 +51,17 @@ object GraftCLI {
     case "table" :: cmd :: rest => tableMain(cmd, rest)
     case "index" :: cmd :: rest => indexMain(cmd, rest)
     case "build" :: sfDir :: outDir :: rest =>
+      // strict arg posture, matching the malformed-shardSize handling:
+      // trailing garbage is a usage error, not silently ignored input
       val shardSize = rest match {
-        case sz :: _ => scala.util.Try(sz.toInt).toOption.filter(_ > 0).getOrElse {
+        case sz :: Nil => scala.util.Try(sz.toInt).toOption.filter(_ > 0).getOrElse {
           System.err.println(s"build: shardSize must be a positive integer, got '$sz'")
           usage()
         }
         case Nil => 128
+        case _ =>
+          System.err.println(s"build: unexpected arguments ${rest.tail.mkString(" ")}")
+          usage()
       }
       build(sfDir, outDir, shardSize)
     case _ => usage()
@@ -83,6 +88,12 @@ object GraftCLI {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try build(spark, sfDir, outDir, shardSize)
+    catch {
+      case u: Usage =>
+        System.err.println(u.getMessage)
+        spark.stop()
+        sys.exit(2)
+    }
     finally spark.stop()
   }
 
@@ -91,10 +102,36 @@ object GraftCLI {
     * lazily checkpointed: writeShardsOf reads its frame twice
     * (manifest assignment + data write) and the gating chain is the
     * expensive part of the whole build.
+    *
+    * The two raw user paths are validated BEFORE anything destructive
+    * runs: writeShardsOf's replay contract deletes an uncommitted
+    * outDir first (correct for the derived dirs the library owns,
+    * catastrophic for a swapped-arguments or unrelated user dir), so
+    * the CLI layer refuses an input dir without documents.parquet and
+    * an existing non-empty outDir that is neither a committed shard
+    * dir nor recognizable shard-build debris (`_committed` marker /
+    * `_shardseg-*` segments only).
     */
   def build(spark: SparkSession, sfDir: String, outDir: String,
             shardSize: Int = 128): Unit = {
     import graft.pipeline.Pipeline
+    if (!Files.exists(Paths.get(sfDir, "documents.parquet")))
+      throw new Usage(s"build: $sfDir has no documents.parquet — not a corpus dir")
+    // replay: an already-committed dir is a no-op by contract; say so
+    // instead of printing the OLD manifest as though it were fresh
+    Pipeline.shardDataRoot(outDir) match {
+      case Some(root) =>
+        println(s"$outDir is already committed (data at $root) — replay no-op; " +
+          "delete the dir to rebuild")
+        return
+      case None => ()
+    }
+    val existing = Option(new java.io.File(outDir).list()).getOrElse(Array.empty)
+    val debris = (n: String) => n == "_committed" || n.startsWith("_shardseg-")
+    if (!existing.forall(debris))
+      throw new Usage(s"build: refusing to clobber $outDir — it exists and holds " +
+        s"non-shard content (${existing.filterNot(debris).take(3).mkString(", ")}…); " +
+        "pick an empty or derived output dir")
     val train = Pipeline.trainSet(spark, sfDir).select("doc_id")
       .localCheckpoint(false)
     val docs = graft.Tables.documents(spark, sfDir)

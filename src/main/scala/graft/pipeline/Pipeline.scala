@@ -99,7 +99,7 @@ object Pipeline {
         Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("group_id"))
-    val h = substring(md5(col("group_id").cast("string").cast("binary")), 1, 1)
+    val h = substring(md5(col("group_id").cast("string")), 1, 1)
     groups.withColumn("split",
         when(h.isin("0", "1"), "test")
           .when(h.isin("2", "3"), "val")
@@ -277,12 +277,24 @@ object Pipeline {
     // shard file keep the PERMUTED (global-rank) order — a training
     // reader streaming a shard sequentially must not see doc_id-
     // correlated data
-    docsIn.select("doc_id", "text")
+    val shardRows = docsIn.select("doc_id", "text")
       .join(assign.select("doc_id", "shard", "rn"), "doc_id")
       .repartition(col("shard"))
       .sortWithinPartitions("shard", "rn")
       .select("doc_id", "text", "shard")
-      .write.partitionBy("shard").parquet(s"$segRoot/shards")
+    // an EMPTY curated frame is realistic on the writeShardsOf path
+    // (an aggressive gate can empty the train set): a partitioned
+    // write of zero rows emits only _SUCCESS — no schema-carrying
+    // file — and readShards on the committed dir would die on schema
+    // inference. Commit a readable empty layout instead: one 0-row
+    // non-partitioned parquet still carries the schema (the shard
+    // column is a data column in the empty form — readShards reads it
+    // the same either way). The emptiness probe reads the rank pass's
+    // checkpoint, not the caller's frame.
+    if (assign.isEmpty)
+      shardRows.coalesce(1).write.parquet(s"$segRoot/shards")
+    else
+      shardRows.write.partitionBy("shard").parquet(s"$segRoot/shards")
     // the flip: one atomic pointer PUT — readers see uncommitted or
     // the complete segment, never a partial
     SegmentPointer.publish(outDir, "_committed", seg)
@@ -450,26 +462,35 @@ object Pipeline {
     * each key spans a RUN of buckets, per-(key, bucket) totals form a
     * keys×buckets-sized side table whose per-key prefix offsets are
     * cheap, and each bucket's local per-key window adds its offset.
-    * Same eager localCheckpoint pin, same reasons.
+    * Same eager localCheckpoint pin, same reasons. Internal columns
+    * are __-prefixed (Quantiles' collision-hygiene rule — this helper
+    * passes ALL caller columns through); the one appended OUTPUT
+    * column is `cum`. NULL keys are a key like any other: the offset
+    * join is null-safe, so a null-keyed partition gets its own
+    * running sum instead of silently vanishing (grouping and window
+    * partitioning already treat NULL as one group — an EqualTo join
+    * would drop exactly those rows).
     */
   private[graft] def keyedCumSum(df: DataFrame, key: String,
                                  orderCol: String, tieCol: String,
                                  nCol: String, nParts: Int = 32): DataFrame = {
     val data = df
       .repartitionByRange(nParts, col(key), col(orderCol), col(tieCol))
-      .withColumn("bkt", spark_partition_id())
+      .withColumn("__kcs_bkt", spark_partition_id())
       .localCheckpoint(true)
-    val wOff = Window.partitionBy(key).orderBy("bkt")
+    val wOff = Window.partitionBy(key).orderBy("__kcs_bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = data.groupBy(key, "bkt").agg(sum(nCol).as("bn"))
-      .withColumn("off", coalesce(sum("bn").over(wOff), lit(0L)))
-      .select(col(key), col("bkt"), col("off"))
-    val wCum = Window.partitionBy(key, "bkt").orderBy(orderCol, tieCol)
+    val offsets = data.groupBy(key, "__kcs_bkt").agg(sum(nCol).as("__kcs_bn"))
+      .withColumn("__kcs_off", coalesce(sum("__kcs_bn").over(wOff), lit(0L)))
+      .select(col(key).as("__kcs_key"), col("__kcs_bkt").as("__kcs_obkt"),
+        col("__kcs_off"))
+    val wCum = Window.partitionBy(key, "__kcs_bkt").orderBy(orderCol, tieCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    data.withColumn("pcum", sum(nCol).over(wCum))
-      .join(broadcast(offsets), Seq(key, "bkt"))
-      .withColumn("cum", col("pcum") + col("off"))
-      .drop("bkt", "pcum", "off")
+    data.withColumn("__kcs_pcum", sum(nCol).over(wCum))
+      .join(broadcast(offsets),
+        col(key) <=> col("__kcs_key") && col("__kcs_bkt") === col("__kcs_obkt"))
+      .withColumn("cum", col("__kcs_pcum") + col("__kcs_off"))
+      .drop("__kcs_bkt", "__kcs_pcum", "__kcs_off", "__kcs_key", "__kcs_obkt")
   }
 
   /** pp15: token-budget MIXTURE sampling — the domain-reweighting
@@ -487,22 +508,27 @@ object Pipeline {
     * portable (md5 hex ordering, the pp08 discipline), and stable:
     * a new doc perturbs only its own source's boundary.
     *
-    * Scale: one narrow token-count pass; per-source totals are a
-    * source-count-sized driver collect (driver-sized by definition —
-    * the budget rule needs ONE scalar per source); the running sum is
-    * [[keyedCumSum]] — range-partitioned two-pass, keys×buckets side
-    * table, NO per-source single-partition window anywhere.
+    * Scale: tokenization — the expensive stage — runs ONCE:
+    * [[keyedCumSum]]'s eager checkpoint pins the tokenized frame, the
+    * per-source totals read off it as max(cum) per source (a
+    * source-count-sized driver collect — driver-sized by definition,
+    * the budget rule needs ONE scalar per source), and the budget
+    * filter reads the same checkpoint. The running sum itself is the
+    * range-partitioned two-pass — keys×buckets side table, NO
+    * per-source single-partition window anywhere.
     */
   val pp15_mixture_sample: Q = (s, d) => {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         size(expr(toksExpr)).cast("long").as("n_tokens"),
-        md5(col("doc_id").cast("string").cast("binary")).as("h"))
-    val totals = docs.groupBy("source").agg(sum("n_tokens").as("src_toks"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-    val budget = 0.5 * totals.map(_._2).sum.toDouble / totals.length
-    keyedCumSum(docs, "source", "h", "doc_id", "n_tokens")
-      .filter(col("cum") - col("n_tokens") < budget)
+        md5(col("doc_id").cast("string")).as("h"))
+    val cum = keyedCumSum(docs, "source", "h", "doc_id", "n_tokens")
+    // totals from the cumsum's own checkpoint (a source's inclusive
+    // running max IS its total) — the raw corpus is never re-scanned
+    val totals = cum.groupBy("source").agg(max("cum").as("src_toks"))
+      .collect().map(r => r.getLong(1))
+    val budget = 0.5 * totals.sum.toDouble / totals.length
+    cum.filter(col("cum") - col("n_tokens") < budget)
       .select("doc_id", "source", "n_tokens")
       .orderBy("doc_id")
   }

@@ -689,6 +689,17 @@ class OperatorsSpec extends SparkSpecBase {
       }.drop(1).map { case (t, c) => (t._1, t._2, t._3) -> c }
     }
     assert(got == want, "keyed running sum diverges from the driver recompute")
+    // NULL is a key like any other: the offset join is null-safe, so
+    // a null-keyed partition accumulates instead of silently vanishing
+    val withNull = Seq(
+      (Option.empty[String], "a", 1L, 2L),
+      (Option.empty[String], "b", 2L, 3L),
+      (Option("k"), "a", 1L, 5L)).toDF("key", "ord", "tie", "n")
+    val nulled = pipeline.Pipeline.keyedCumSum(withNull, "key", "ord", "tie", "n", nParts = 4)
+      .collect().map(r => (Option(r.getString(0)), r.getString(1)) -> r.getAs[Long]("cum")).toMap
+    assert(nulled == Map(
+      (None, "a") -> 2L, (None, "b") -> 5L, (Some("k"), "a") -> 5L),
+      s"null-keyed rows mishandled: $nulled")
   }
 
   test("pp15 keeps exactly the per-source md5-ordered prefix to the token budget") {

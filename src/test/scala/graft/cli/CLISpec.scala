@@ -45,6 +45,23 @@ class CLISpec extends SparkSpecBase {
       "a replayed build rewrote a committed dir")
   }
 
+  test("build: refuses a non-corpus input and refuses to clobber a non-shard outDir") {
+    // not a corpus dir → refused BEFORE anything destructive runs
+    val notCorpus = tmpDir("cli-build-nocorpus")
+    intercept[GraftCLI.Usage] {
+      GraftCLI.build(spark, notCorpus, tmpDir("cli-build-out1"))
+    }
+    // an existing dir with unrelated content must survive untouched:
+    // writeShardsOf's delete-first replay is for library-owned derived
+    // dirs, never a raw user path (the swapped-arguments case)
+    val precious = tmpDir("cli-build-precious")
+    val keepsake = Paths.get(precious, "keepsake.txt")
+    Files.createDirectories(keepsake.getParent)
+    Files.write(keepsake, "do not delete".getBytes)
+    intercept[GraftCLI.Usage] { GraftCLI.build(spark, sfDir, precious) }
+    assert(Files.exists(keepsake), "build clobbered an unrelated directory")
+  }
+
   test("emit: rate-spout load run reports a measured result") {
     // session-scoped variant of the `emit` verb (run_sample_emitter
     // analog): must produce at least one data-carrying batch and a

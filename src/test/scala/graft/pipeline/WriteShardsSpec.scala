@@ -60,6 +60,21 @@ class WriteShardsSpec extends SparkSpecBase {
       s"replay rewrote committed shard dir $d"))
   }
 
+  test("writeShardsOf: an empty curated frame commits a READABLE empty layout") {
+    import spark.implicits._
+    val out = tmpDir("shards-empty")
+    // realistic on the curated path: an aggressive gate empties the
+    // train set; the committed dir must still honor readShards'
+    // contract (a zero-row partitioned write emits no schema-carrying
+    // file at all)
+    val empty = Seq.empty[(Long, String, Long)].toDF("doc_id", "text", "n_chars")
+    val manifest = Pipeline.writeShardsOf(spark, empty, out)
+    assert(manifest.count() == 0)
+    assert(Pipeline.shardDataRoot(out).isDefined, "empty build did not commit")
+    assert(Pipeline.readShards(spark, out, 0L).count() == 0,
+      "committed empty layout is not readable")
+  }
+
   test("readShards: per-epoch deterministic reshuffle of a committed dir") {
     val out = tmpDir("graft-shards-read") + "/out"
     Pipeline.writeShards(spark, sfDir, out)
