@@ -98,10 +98,20 @@ object ThroughputHarness {
       */
     def contended: Boolean =
       medianRps > 0 && bestRps / medianRps > 1.5 && bestRps - medianRps > 25000
+    /** Reps whose measurement window closed with ZERO data batches —
+      * the run() timeout fired before the first data-carrying batch
+      * landed (a contended host can push an update-mode-at-rate first
+      * batch past the window). A 0 rps from such a rep is "nothing
+      * measured", not "measured zero": without this counter an
+      * all-timeout stage reads as a silent throughput collapse with
+      * `contended: false` (an r18 close-out bench hit exactly that).
+      */
+    def timeouts: Int = reps.count(_.batches == 0)
     def json: String =
       s"""{"mode":"$mode","target_rps":$targetRps,""" +
         s""""median_rps":${math.round(medianRps)},"best_rps":${math.round(bestRps)},""" +
-        s""""contended":$contended,"reps":${reps.map(_.json).mkString("[", ",", "]")}}"""
+        s""""contended":$contended,"timeouts":$timeouts,""" +
+        s""""reps":${reps.map(_.json).mkString("[", ",", "]")}}"""
   }
 
   /** The bench sweep: both sink modes at increasing target rates,
@@ -118,5 +128,14 @@ object ThroughputHarness {
     } yield SweepStage(
       mode = if (update) "update" else "complete",
       targetRps = rps,
-      reps = (1 to reps).map(_ => run(spark, update, rps)))
+      reps = (1 to reps).map { _ =>
+        val first = run(spark, update, rps)
+        // a 0-batch rep measured NOTHING (window closed before the
+        // first data batch — contended-host startup can exceed 20 s
+        // at rate in update mode): one bounded retry at a 3× window
+        // is the honest heal; a second 0 stays 0 and is counted by
+        // SweepStage.timeouts rather than read as zero throughput
+        if (first.batches > 0) first
+        else run(spark, update, rps, timeoutMs = 60000)
+      })
 }

@@ -225,6 +225,15 @@ class BenchKeysSpec extends AnyFunSuite {
     assert(even.medianRps == 300000.0 && even.bestRps == 320000.0)
     // degenerate empty stage never divides by zero
     assert(!SweepStage("complete", 100000, Nil).contended)
+    // a 0-batch rep is "nothing measured", not "measured zero": the
+    // timeouts counter carries it into the record (r18's close-out
+    // bench had an all-timeout stage reading as silent collapse with
+    // contended:false — this field is the tripwire)
+    val timedOut = Result("update", 500000, 100000, 0.0, 0.0, 0, 0)
+    val mixed = SweepStage("update", 500000, Seq(timedOut, res(400000)))
+    assert(mixed.timeouts == 1)
+    assert(mixed.json.contains("\"timeouts\":1"))
+    assert(SweepStage("update", 500000, Seq(timedOut, timedOut)).timeouts == 2)
   }
 
   test("calib median is the lower observed median, like every query row") {
