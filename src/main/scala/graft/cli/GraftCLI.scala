@@ -126,6 +126,13 @@ object GraftCLI {
         return
       case None => ()
     }
+    // a plain FILE at outDir must refuse here: File.list() is null on a
+    // non-directory, and the getOrElse below would read that as "empty
+    // dir", letting writeShardsOf's delete-first replay destroy the file
+    val outPath = Paths.get(outDir)
+    if (Files.exists(outPath) && !Files.isDirectory(outPath))
+      throw new Usage(s"build: refusing to clobber $outDir — it is an existing " +
+        "file, not a directory; pick an empty or derived output dir")
     val existing = Option(new java.io.File(outDir).list()).getOrElse(Array.empty)
     val debris = (n: String) => n == "_committed" || n.startsWith("_shardseg-")
     if (!existing.forall(debris))

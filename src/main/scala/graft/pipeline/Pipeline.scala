@@ -470,10 +470,27 @@ object Pipeline {
     * running sum instead of silently vanishing (grouping and window
     * partitioning already treat NULL as one group — an EqualTo join
     * would drop exactly those rows).
+    *
+    * The offsets side table is keys×buckets-sized, so the per-key
+    * single-partition limit this helper removes would otherwise come
+    * back as a BROADCAST limit on distinct-key count. The broadcast is
+    * therefore gated: the offsets frame is eagerly checkpointed (it is
+    * small relative to `data` and the join reads it anyway), counted,
+    * and broadcast only while ≤ [[KcsBroadcastMaxRows]] rows — past
+    * that the hint is dropped and Spark plans a shuffle join (AQE may
+    * still pick broadcast at runtime if the actual bytes allow).
     */
+  /** Broadcast ceiling for [[keyedCumSum]]'s keys×buckets offsets
+    * table: 1M rows ≈ tens of MB — comfortably under executor memory,
+    * far under driver OOM territory.
+    */
+  private[graft] val KcsBroadcastMaxRows: Long = 1000000L
+
   private[graft] def keyedCumSum(df: DataFrame, key: String,
                                  orderCol: String, tieCol: String,
-                                 nCol: String, nParts: Int = 32): DataFrame = {
+                                 nCol: String, nParts: Int = 32,
+                                 broadcastMaxRows: Long = KcsBroadcastMaxRows)
+      : DataFrame = {
     val data = df
       .repartitionByRange(nParts, col(key), col(orderCol), col(tieCol))
       .withColumn("__kcs_bkt", spark_partition_id())
@@ -484,10 +501,13 @@ object Pipeline {
       .withColumn("__kcs_off", coalesce(sum("__kcs_bn").over(wOff), lit(0L)))
       .select(col(key).as("__kcs_key"), col("__kcs_bkt").as("__kcs_obkt"),
         col("__kcs_off"))
+      .localCheckpoint(true)
+    val offSide =
+      if (offsets.count() <= broadcastMaxRows) broadcast(offsets) else offsets
     val wCum = Window.partitionBy(key, "__kcs_bkt").orderBy(orderCol, tieCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     data.withColumn("__kcs_pcum", sum(nCol).over(wCum))
-      .join(broadcast(offsets),
+      .join(offSide,
         col(key) <=> col("__kcs_key") && col("__kcs_bkt") === col("__kcs_obkt"))
       .withColumn("cum", col("__kcs_pcum") + col("__kcs_off"))
       .drop("__kcs_bkt", "__kcs_pcum", "__kcs_off", "__kcs_key", "__kcs_obkt")

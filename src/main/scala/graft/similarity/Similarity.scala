@@ -681,13 +681,22 @@ object Similarity {
     * (ScaleProbe `knnjoin`, occupancy 500, nProbe 3): 250k → 1M
     * vectors moved candidates 403M → 2.06G (≈ linear; n² would be
     * 1e12, 486× more) and wall 38 s → 134 s on 32 local threads.
+    *
+    * Tombstone governance is SYMMETRIC: the index's live tombstone
+    * set filters the candidate side (a deleted vector never appears
+    * as a neighbor) AND the caller-supplied corpus side by `vec_id`
+    * (a deleted vector never emits result rows as a query either) —
+    * the self-join posture dd14's takedown contract implies. A
+    * caller whose corpus ids are outside the index's id space is
+    * unaffected: the anti-join only removes ids actually tombstoned.
     */
   def knnJoinIvf(s: SparkSession, indexDir: String, corpus: DataFrame,
                  k: Int = 5, nProbe: Int = 2): DataFrame = {
     val pinned = graft.operators.IndexManifest.head(indexDir)
     val cents = loadCentroids(s, indexDir, pinned)
-    val q = corpus.select(col("vec_id").as("q_id"), col("v").as("va"),
-        col("nrm").as("na"))
+    val q = governed(s, indexDir,
+        corpus.select(col("vec_id").as("q_id"), col("v").as("va"),
+          col("nrm").as("na")), "q_id")
       .withColumn("cell",
         explode(graft.functions.GraftFunctions.nearestCells("va", cents, nProbe)))
     val cands = governed(s, indexDir,

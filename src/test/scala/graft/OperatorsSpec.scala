@@ -700,6 +700,24 @@ class OperatorsSpec extends SparkSpecBase {
     assert(nulled == Map(
       (None, "a") -> 2L, (None, "b") -> 5L, (Some("k"), "a") -> 5L),
       s"null-keyed rows mishandled: $nulled")
+    // broadcast gate: past the key-count ceiling the offsets HINT is
+    // dropped — the plan no longer FORCES a driver-bound broadcast on
+    // distinct-key count (AQE may still pick broadcast at runtime when
+    // the actual bytes allow, as they do on this tiny frame — that is
+    // the designed fallback, not a gate failure) — and the answer is
+    // unchanged
+    val unbroadcast = pipeline.Pipeline.keyedCumSum(
+      df, "key", "ord", "tie", "n", nParts = 8, broadcastMaxRows = 0L)
+    val hinted = pipeline.Pipeline.keyedCumSum(
+      df, "key", "ord", "tie", "n", nParts = 8)
+    def hasHint(d: org.apache.spark.sql.DataFrame): Boolean =
+      d.queryExecution.analyzed.toString.toLowerCase.contains("hint")
+    assert(hasHint(hinted), "below the ceiling the offsets join must carry the hint")
+    assert(!hasHint(unbroadcast),
+      "offsets join still hint-forced broadcast past the key-cardinality ceiling")
+    val gotU = unbroadcast.select("key", "ord", "tie", "cum").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(gotU == want, "shuffle-join fallback diverges from the broadcast path")
   }
 
   test("pp15 keeps exactly the per-source md5-ordered prefix to the token budget") {
@@ -1574,6 +1592,30 @@ class OperatorsSpec extends SparkSpecBase {
       "post-vacuum probe diverges from the governed probe")
     // idempotent no-op
     assert(similarity.Similarity.vacuumVectorTombstones(spark, dir) == 0L)
+  }
+
+  test("kNN join governance is symmetric: tombstoned ids vanish as neighbors AND as queries") {
+    import spark.implicits._
+    val corpus = tmpDir("knn-gov-corpus")
+    Tables.embeddings(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    val dir = tmpDir("knn-gov-idx")
+    similarity.Similarity.buildIvfIndex(spark, corpus, dir)
+    val corpusDf = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", graft.functions.GraftFunctions.l2norm("v"))
+    val removed = Seq(3L, 7L, 11L)
+    similarity.Similarity.tombstoneVectors(spark, dir, removed.toDF("vec_id"))
+    val rows = similarity.Similarity.knnJoinIvf(spark, dir, corpusDf, nProbe = 3)
+      .select("q_id", "n_id").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(t => !removed.contains(t._2)),
+      "a tombstoned id leaked as a NEIGHBOR")
+    assert(rows.forall(t => !removed.contains(t._1)),
+      "a tombstoned id leaked as a QUERY — governance must be symmetric")
+    // ids outside the index's id space are unaffected by the anti-join
+    assert(rows.map(_._1).toSet.subsetOf(
+      corpusDf.select("vec_id").as[Long].collect().toSet -- removed))
   }
 
   test("IVF takedown: an empty tombstone set never poisons the index") {

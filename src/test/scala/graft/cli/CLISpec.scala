@@ -60,6 +60,14 @@ class CLISpec extends SparkSpecBase {
     Files.write(keepsake, "do not delete".getBytes)
     intercept[GraftCLI.Usage] { GraftCLI.build(spark, sfDir, precious) }
     assert(Files.exists(keepsake), "build clobbered an unrelated directory")
+    // a plain FILE at outDir must refuse too: File.list() is null on a
+    // non-directory, which the guard must not read as "empty dir"
+    val plainFile = Paths.get(tmpDir("cli-build-filedir"), "target.bin")
+    Files.write(plainFile, "user bytes".getBytes)
+    intercept[GraftCLI.Usage] { GraftCLI.build(spark, sfDir, plainFile.toString) }
+    assert(Files.exists(plainFile) &&
+      new String(Files.readAllBytes(plainFile)) == "user bytes",
+      "build clobbered an existing plain file")
   }
 
   test("emit: rate-spout load run reports a measured result") {
