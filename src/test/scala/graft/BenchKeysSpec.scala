@@ -255,4 +255,21 @@ class BenchKeysSpec extends AnyFunSuite {
     assert(Bench.medianRows(Seq(Seq("q" -> 4.0), Seq("q" -> 8.0))) ==
       Seq("q" -> 4.0))
   }
+
+  test("foldSideReps medians the side rows and survives failed reps") {
+    // the side-row analog of medianRows: a guarded rep that threw
+    // contributed Seq.empty — it must neither crash the fold nor
+    // erase the surviving observations
+    val obs = Seq(
+      Seq("a_build" -> 9.0, "a_probe" -> 1.0),
+      Seq.empty[(String, Double)], // a failed rep
+      Seq("a_build" -> 3.0, "a_probe" -> 5.0),
+      Seq("a_build" -> 5.0, "a_probe" -> 3.0))
+    // three surviving reps → per-key lower median of {9,3,5} / {1,5,3}
+    assert(Bench.foldSideReps(obs) == Seq("a_build" -> 5.0, "a_probe" -> 3.0))
+    // all reps failed → empty record (the errors map drives exit 1)
+    assert(Bench.foldSideReps(Seq(Seq.empty, Seq.empty)).isEmpty)
+    // single surviving observation passes through untouched
+    assert(Bench.foldSideReps(Seq(Seq("x" -> 2.5))) == Seq("x" -> 2.5))
+  }
 }
