@@ -24,6 +24,9 @@ import org.apache.spark.sql.functions._
   *                              static SMJ on a 30%-hot key
   *   ScaleProbe tri    [rows] — pr02's degree-ordered triangle
   *                              orientation vs id-ordered on a hub
+  *   ScaleProbe tripin [rows] — pr02's pinned `oriented` subtree vs
+  *                              recomputing the degree joins on both
+  *                              wedge sides (same graph as `tri`)
   *   ScaleProbe pr     [rows] — pr01's checkpoint cadence (1/3/10)
   *   ScaleProbe bitmap64 [rows] — q58's sparse-sketch rollup table vs
   *                              re-aggregating the facts per level
@@ -375,6 +378,61 @@ object ScaleProbe {
           .agg(sum("n_triangles")).head().getLong(0)
         println(f"degree-oriented (pr02's plan): ${(System.nanoTime() - t0) / 1e9}%.2f s (${deg / 3} triangles)")
         require(x == deg / 3, s"orientations disagree: $x vs ${deg / 3}")
+      case "tripin" =>
+        // what the `oriented` localCheckpoint is worth: unpinned, the
+        // wedge self-join's e1/e2 subtrees each re-execute the two
+        // degree joins (nothing guarantees ReusedExchange fires across
+        // them under AQE); pinned, orientation runs once and the
+        // self-join reads the checkpointed edges twice. Same ring+hub
+        // graph as `tri`, same result set — the delta is pure
+        // double-execution.
+        // third arg: a testdata dir → probe pr02's REAL co-purchase
+        // graph instead of the synthetic ring+hub (the bench row's
+        // own edge distribution)
+        val edges = args.lift(2) match {
+          case Some(dir) => graph.PageRank.copurchaseEdges(spark, dir)
+            .localCheckpoint()
+          case None =>
+            val nRing = rows
+            val hub = 20000L
+            val ring = spark.range(1L, nRing)
+              .select(col("id").as("a"), (col("id") + 1).as("b"))
+              .unionAll(spark.range(1L, nRing - 1)
+                .select(col("id").as("a"), (col("id") + 2).as("b")))
+            val celeb = spark.range(1L, hub + 1)
+              .select(lit(0L).as("a"), col("id").as("b"))
+            ring.unionAll(celeb).distinct().localCheckpoint()
+        }
+        def run3(label: String, pin: Boolean): Long = {
+          // warm once, then report the best of 2 (probe discipline:
+          // least-contended observation of the same plan)
+          def once(): (Long, Double) = {
+            val t0 = System.nanoTime()
+            val c = graph.PageRank.triangleCountsImpl(edges, pinOriented = pin)
+              .agg(sum("n_triangles")).head().getLong(0)
+            (c, (System.nanoTime() - t0) / 1e9)
+          }
+          once()
+          val obs = Seq(once(), once())
+          val best = obs.map(_._2).min
+          println(f"$label: best $best%.2f s (${obs.head._1 / 3} triangles)")
+          obs.head._1
+        }
+        val graphLabel = args.lift(2)
+          .map(d => s"co-purchase graph at $d")
+          .getOrElse(s"$rows-ring + 20000-degree hub")
+        val pinned = run3(s"pinned oriented ($graphLabel)", pin = true)
+        val unpinned = run3("unpinned oriented (degree joins on both wedge sides)", pin = false)
+        require(pinned == unpinned, s"pin variants disagree: $pinned vs $unpinned")
+        // the structural question behind the timing: does the
+        // unpinned plan actually double-execute, or does exchange
+        // reuse already deduplicate the e1/e2 orientation subtrees?
+        val probe = graph.PageRank.triangleCountsImpl(edges, pinOriented = false)
+          .agg(sum("n_triangles"))
+        probe.head()
+        val plan = probe.queryExecution.executedPlan.toString
+        val reused = "ReusedExchange".r.findAllIn(plan).length
+        println(s"unpinned executed plan: $reused ReusedExchange node(s)")
       case "pr" =>
         // pr01's cadence decision, measured: 10 damped iterations on
         // a uniform random graph, varying how often the rank lineage

@@ -185,7 +185,24 @@ object PageRank {
     * Everything is keyed joins + aggregations — no windows, nothing
     * all-pairs beyond the bounded wedge set.
     */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  def triangleCounts(edges: DataFrame): DataFrame =
+    triangleCountsImpl(edges, pinOriented = false)
+
+  /** [[triangleCounts]] with an optional localCheckpoint pin on the
+    * `oriented` subtree, kept ONLY so ScaleProbe (`tripin`) can keep
+    * re-measuring the tradeoff. The wedge self-join reads `oriented`
+    * on both sides and ReusedExchange does NOT fire across the e1/e2
+    * subtrees (probe-verified: 0 nodes), so the two degree joins DO
+    * execute twice — but the recompute is measured CHEAPER than the
+    * pin on both probed graphs (co-purchase graph at sf0.1: 4.58 s
+    * unpinned vs 5.10 s pinned; 5M-edge ring+hub: 6.3 s vs 14.7 s;
+    * 20M: 27.8 s vs 39.7 s): the checkpoint's write-everything
+    * barrier plus the lost pipelining outweighs re-running two
+    * co-partitioned joins whose inputs (`und`, both shuffle-local)
+    * are already pinned. Production callers therefore do NOT pin.
+    */
+  private[graft] def triangleCountsImpl(edges: DataFrame,
+                                        pinOriented: Boolean): DataFrame = {
     // canonicalize INSIDE the operator rather than assuming a < b of
     // the caller: a mirrored duplicate edge (b, a) would survive a
     // plain distinct(), inflate both degrees, and silently miscount —
@@ -200,7 +217,7 @@ object PageRank {
       .distinct().localCheckpoint()
     val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
-    val oriented = und
+    val orientedPlan = und
       .join(deg.withColumnRenamed("n", "a").withColumnRenamed("deg", "da"), "a")
       .join(deg.withColumnRenamed("n", "b").withColumnRenamed("deg", "db"), "b")
       .select(
@@ -208,6 +225,7 @@ object PageRank {
           col("a")).otherwise(col("b")).as("src"),
         when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
           col("b")).otherwise(col("a")).as("dst"))
+    val oriented = if (pinOriented) orientedPlan.localCheckpoint() else orientedPlan
     val wedges = oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
