@@ -22,8 +22,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * shapes, and incomparable types all ADMIT the file and leave the
   * work to the residual filter. Supported shapes: And/Or conjunctions
   * over =, <, <=, >, >=, In, StartsWith on statted columns against
-  * literals (either operand order). Everything else is a no-op, never
-  * a wrong answer.
+  * literals (either operand order), plus Not over any of those (a
+  * `Not(e)` skips a file only when the stats prove EVERY row
+  * evaluates `e` to TRUE-or-NULL — see [[GraftFileIndex.neverFalse]];
+  * e.g. `NOT (k BETWEEN lo AND hi)` skips files wholly inside the
+  * band). A closed BETWEEN itself needs no special case: Catalyst
+  * desugars it to the `lo <= a AND a <= hi` pair, whose And-split
+  * prunes by interval overlap. IsNotNull/IsNull admit explicitly
+  * (min/max stats carry no null counts, so neither is provable).
+  * Everything else is a no-op, never a wrong answer.
   */
 final class GraftFileIndex(entries: Seq[GraftFileIndex.Entry])
     extends FileIndex {
@@ -92,8 +99,78 @@ object GraftFileIndex {
           case _ => true
         }
       }
+    // min/max stats carry no null counts: neither "has a non-null"
+    // nor "has a null" is provable, so both null checks admit.
+    // Explicit (not via the default) so Not(IsNotNull(...)) routes
+    // through neverFalse's conservative default instead of looking
+    // like an unhandled shape.
+    case IsNotNull(_) => true
+    case IsNull(_) => true
+    // Not(e) is satisfied only by rows where e evaluates FALSE
+    // (Not(NULL) = NULL, which a filter drops) — skip iff the stats
+    // prove no row can evaluate e to FALSE
+    case Not(inner) => !neverFalse(inner, stats)
     case _ => true // unsupported shape: admit, residual filter decides
   }
+
+  /** true iff the stats PROVE no row in the file evaluates `e` to
+    * FALSE — every row is TRUE or NULL under SQL three-valued logic —
+    * which is exactly the condition under which `Not(e)` can never be
+    * satisfied (Not(TRUE)=FALSE, Not(NULL)=NULL; only FALSE survives
+    * the filter as TRUE). NULL operands never threaten soundness: a
+    * comparison on a null value evaluates NULL, which this predicate
+    * tolerates, so min/max bounds (computed over non-null values) are
+    * sufficient evidence. Conservative by construction — `false`
+    * whenever unprovable, which makes the caller ADMIT the file.
+    */
+  private[operators] def neverFalse(e: Expression,
+                                    stats: Map[String, (Any, Any)]): Boolean = e match {
+    case And(l, r) => neverFalse(l, stats) && neverFalse(r, stats) // FALSE iff either side FALSE
+    case Or(l, r) => neverFalse(l, stats) || neverFalse(r, stats) // FALSE iff both sides FALSE
+    // Not(x) is FALSE iff x is TRUE; admits() over-approximates
+    // "∃ row where x is TRUE", so its negation proves none exists
+    case Not(inner) => !admits(inner, stats)
+    case EqualTo(a: AttributeReference, Literal(v, _)) => allEqual(stats, a.name, v)
+    case EqualTo(Literal(v, _), a: AttributeReference) => allEqual(stats, a.name, v)
+    case GreaterThan(a: AttributeReference, Literal(v, _)) => // FALSE iff a <= v
+      bound(stats, a.name).exists { case (mn, _) => cmp(mn, v).exists(_ > 0) }
+    case GreaterThan(Literal(v, _), a: AttributeReference) => // v > a ≡ a < v
+      bound(stats, a.name).exists { case (_, mx) => cmp(mx, v).exists(_ < 0) }
+    case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+      bound(stats, a.name).exists { case (mn, _) => cmp(mn, v).exists(_ >= 0) }
+    case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) => // v >= a ≡ a <= v
+      bound(stats, a.name).exists { case (_, mx) => cmp(mx, v).exists(_ <= 0) }
+    case LessThan(a: AttributeReference, Literal(v, _)) => // FALSE iff a >= v
+      bound(stats, a.name).exists { case (_, mx) => cmp(mx, v).exists(_ < 0) }
+    case LessThan(Literal(v, _), a: AttributeReference) => // v < a ≡ a > v
+      bound(stats, a.name).exists { case (mn, _) => cmp(mn, v).exists(_ > 0) }
+    case LessThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+      bound(stats, a.name).exists { case (_, mx) => cmp(mx, v).exists(_ <= 0) }
+    case LessThanOrEqual(Literal(v, _), a: AttributeReference) => // v <= a ≡ a >= v
+      bound(stats, a.name).exists { case (mn, _) => cmp(mn, v).exists(_ >= 0) }
+    case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+      // provable only through a constant column: min == max == some
+      // member (a general subset proof needs value-level stats)
+      vs.exists(l => allEqual(stats, a.name, l.asInstanceOf[Literal].value))
+    case StartsWith(a: AttributeReference, Literal(v, _)) =>
+      // min and max share the prefix → every string lexicographically
+      // between them does too
+      bound(stats, a.name).exists { case (mn, mx) =>
+        val p = String.valueOf(norm(v))
+        (norm(mn), norm(mx)) match {
+          case (sn: String, sx: String) => sn.startsWith(p) && sx.startsWith(p)
+          case _ => false
+        }
+      }
+    case _ => false // unprovable shape (incl. null checks): admit upstream
+  }
+
+  /** Stats prove every non-null value equals `v`: min == max == v. */
+  private def allEqual(stats: Map[String, (Any, Any)],
+                       name: String, v: Any): Boolean =
+    bound(stats, name).exists { case (mn, mx) =>
+      cmp(mn, v).contains(0) && cmp(mx, v).contains(0)
+    }
 
   private def mayContain(stats: Map[String, (Any, Any)],
                          name: String, v: Any): Boolean =

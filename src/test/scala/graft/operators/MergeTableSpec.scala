@@ -818,6 +818,45 @@ class MergeTableSpec extends SparkSpecBase {
     // an un-prunable predicate shape: all files admitted, result exact
     val q2 = MergeTable.readIndexed(spark, dir).filter(col("k") % 97 === 0)
     assert(q2.count() == (1 to 1000).count(_ % 97 == 0))
+    // NOT of a closed band: files wholly INSIDE the band are provably
+    // all-TRUE for the inner predicate, so the negation skips them —
+    // the inverse prune of the band scan above
+    val qn = MergeTable.readIndexed(spark, dir)
+      .filter(!(col("k") >= 100 && col("k") <= 900))
+    val gotN = qn.collect().map(_.getAs[Long]("k")).sorted.toSeq
+    assert(gotN == ((1L to 99L) ++ (901L to 1000L)).toSeq, "NOT-band lost rows")
+    val expectedN = man.count(r =>
+      !(r.getAs[Long]("min_k") >= 100L && r.getAs[Long]("max_k") <= 900L))
+    val admittedN = scanOf(qn).metrics("numFiles").value
+    assert(admittedN == expectedN && expectedN < 8,
+      s"NOT-band admitted $admittedN files, manifest proves $expectedN of 8")
+    // IsNotNull rides every pushed filter set and must trivially admit
+    // (min/max carry no null counts) — numFiles stays the band's count
+    val qnn = MergeTable.readIndexed(spark, dir)
+      .filter(col("k").isNotNull && col("k") >= 100 && col("k") <= 220)
+    assert(qnn.collect().length == 121)
+    assert(scanOf(qnn).metrics("numFiles").value == expected,
+      "IsNotNull changed the band's file admission")
+    // SQL BETWEEN desugars to the closed And pair — same prune as the
+    // explicit bounds
+    MergeTable.readIndexed(spark, dir).createOrReplaceTempView("fidx_t")
+    val qb = spark.sql("SELECT k FROM fidx_t WHERE k BETWEEN 100 AND 220")
+    assert(qb.collect().length == 121)
+    assert(scanOf(qb).metrics("numFiles").value == expected,
+      "SQL BETWEEN prunes differently from the explicit And pair")
+    // NOT-equals against a constant file: provably all-equal → skipped
+    val dirC = tmpDir("mergetab-fidx-const")
+    val mixed = ((1 to 100).map(i => (i.toLong, 7L)) ++
+      (101 to 200).map(i => (i.toLong, i.toLong))).toDF("k", "v")
+    MergeTable.write(spark, mixed, "k", dirC, nFiles = 2)
+    val manC = MergeTable.manifest(spark, dirC).collect()
+    val qc = MergeTable.readIndexed(spark, dirC).filter(col("v") =!= 7L)
+    assert(qc.collect().map(_.getAs[Long]("k")).sorted.toSeq ==
+      (101L to 200L).toSeq, "NOT-equals lost rows")
+    val expectedC = manC.count(r =>
+      !(r.getAs[Long]("min_v") == 7L && r.getAs[Long]("max_v") == 7L))
+    assert(scanOf(qc).metrics("numFiles").value == expectedC && expectedC < 2,
+      s"NOT-equals failed to skip the constant file ($expectedC of 2 expected)")
     // z-layout: pushdown prunes on the SECOND clustered dimension too
     val dirZ = tmpDir("mergetab-fidx-z")
     val grid = (for { x <- 0 until 64; y <- 0 until 64 }
