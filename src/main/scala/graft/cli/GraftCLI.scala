@@ -472,10 +472,19 @@ object GraftCLI {
           else {
             val total = cells.map(_._2).sum
             val mx = cells.maxBy(_._2)
+            val skew = mx._2 * cells.length / math.max(1.0, total.toDouble)
+            val floor = Similarity.IvfRebuildSkewFloor
             Seq(s"${cells.length} cells, $total vectors",
-              f"cell skew: max ${mx._2} in cell ${mx._1} " +
-                f"(${mx._2 * cells.length / math.max(1.0, total.toDouble)}%.1fx mean" +
-                ") — rebuild when this crosses the workload's floor")
+              f"cell skew: max ${mx._2} in cell ${mx._1} ($skew%.1fx mean)") ++
+              // the drift dial's verdict, not just its reading — the
+              // cdc-horizons STALE-flag posture: an operator reading
+              // `stats` output learns what to DO, threshold included
+              (if (skew >= floor)
+                Seq(f"REBUILD-RECOMMENDED: cell skew $skew%.1fx >= $floor%.1fx floor — " +
+                  "appended distribution has drifted from the trained centroids; " +
+                  "rebuild via buildIvfIndex (probes stay live, commit is CAS'd)")
+              else
+                Seq(f"skew under the $floor%.1fx rebuild floor — no action needed"))
           }
         val tombs = Similarity.vectorTombstones(spark, dir).count()
         (genLine +: occ) :+

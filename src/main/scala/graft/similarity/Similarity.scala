@@ -942,6 +942,16 @@ object Similarity {
     sys.error(s"append lost to concurrent retrains 5 times: $indexDir")
   }
 
+  /** Rebuild threshold on [[ivfCellStats]]'s max/mean cell skew — the
+    * measured leading indicator of append-without-train drift: the
+    * drift probe (PLANS.md r18) measured 6.6× skew on an index whose
+    * appended distribution had drifted vs 1.1× after retraining on
+    * the same corpus, so 4.0 sits comfortably between "healthy build
+    * noise" and "probes are scanning one bloated cell". The `index
+    * stats` console flags REBUILD-RECOMMENDED at or past this floor.
+    */
+  val IvfRebuildSkewFloor: Double = 4.0
+
   /** Cell-occupancy diagnostic backing the drift dial: one row per
     * cell with its resident count — max/avg over this frame is the
     * skew number the rebuild decision reads. Scans only the vec_id

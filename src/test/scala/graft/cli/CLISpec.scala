@@ -355,6 +355,10 @@ class CLISpec extends SparkSpecBase {
     assert(st0.head.startsWith("generation 0 ("), st0.mkString("\n"))
     assert(st0.exists(_.contains("4 cells, 150 vectors")), st0.mkString("\n"))
     assert(st0.last == "no live tombstones")
+    // a fresh build sits under the rebuild floor: the dial reads, and
+    // the verdict says no action
+    assert(!st0.exists(_.contains("REBUILD-RECOMMENDED")), st0.mkString("\n"))
+    assert(st0.exists(_.contains("no action needed")), st0.mkString("\n"))
     // tombstone two ids: stats flags them, vacuum removes them
     val tomb = GraftCLI.index(spark, "tombstone", List(dir, "3,7"))
     assert(tomb.head.startsWith("tombstoned 2 vec_id(s)"), tomb.head)
@@ -392,6 +396,40 @@ class CLISpec extends SparkSpecBase {
       intercept[GraftCLI.Usage](f("compact", List(dir, "two")))
       intercept[GraftCLI.Usage](f("nope", List(dir)))
     }
+  }
+
+  test("index stats: drifted appends cross the skew floor and flag REBUILD-RECOMMENDED") {
+    import graft.similarity.Similarity
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    // fresh 8-cell build over spread-out vectors: under the floor
+    val corpus = tmpDir("cli-drift-corpus")
+    spark.range(200).select(col("id").as("vec_id"))
+      .withColumn("embedding", expr("transform(sequence(1, 16), j -> " +
+        "cast(pmod(xxhash64(vec_id * 16 + j), 1000) as float) / 1000.0)"))
+      .withColumn("label", lit("c"))
+      .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    val dir = tmpDir("cli-drift-idx")
+    Similarity.buildIvfIndex(spark, corpus, dir, nCells = 8, iters = 2, sampleMod = 1)
+    val fresh = GraftCLI.index(spark, "stats", List(dir))
+    assert(!fresh.exists(_.contains("REBUILD-RECOMMENDED")), fresh.mkString("\n"))
+    // append a drifted batch — 800 vectors whose DIRECTION is pinned
+    // to the first axis (dim 1 dominates; routing is cosine, so a
+    // tight direction cone — not a positional ball — is what lands in
+    // one cell), which the FIXED build-time centroids (append never
+    // retrains) route together: the drift signature the r18 probe
+    // measured (6.6x drifted vs 1.1x retrained)
+    Similarity.appendToIvfIndex(spark, dir,
+      spark.range(10000, 10800).select(col("id").as("vec_id"))
+        .withColumn("embedding", expr("transform(sequence(1, 16), j -> " +
+          "cast(CASE WHEN j = 1 THEN 100.0 " +
+          "ELSE pmod(xxhash64(vec_id * 16 + j), 1000) / 1000.0 END as float))")))
+    val drifted = GraftCLI.index(spark, "stats", List(dir))
+    val flag = drifted.find(_.startsWith("REBUILD-RECOMMENDED"))
+    assert(flag.isDefined, drifted.mkString("\n"))
+    // the flag carries the threshold and the remedy — an operator
+    // acting on stats output alone has everything needed
+    assert(flag.get.contains(">= 4.0x floor") && flag.get.contains("buildIvfIndex"),
+      flag.get)
   }
 
   test("run_sample --update: bounded-state top-N path writes the same file") {
