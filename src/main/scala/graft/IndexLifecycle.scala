@@ -119,14 +119,10 @@ object IndexLifecycle {
   }
 
   /** Drop a catalog table and its backing files (file: scheme only) —
-    * the shared cleanup for every table-backed index. Deletes ONLY the
-    * table's own location, never its parent: a `<tbl>__vacuum` scratch
-    * entry left by a crashed LSH rewrite points at an `_lshseg-`
-    * segment INSIDE the live table's home, and a parent-delete
-    * "cleanup" of that scratch entry would destroy the live index.
-    * The cost is an empty home-dir shell left behind when a
-    * location-flipped table is evicted — harmless, and the next
-    * rewrite of a fresh same-path index sweeps stray segments anyway.
+    * the shared cleanup for every table-backed index (the fp index;
+    * the LSH index is dir-based since its MergeTable migration and
+    * needs only [[deleteRecursively]]). Deletes ONLY the table's own
+    * location, never its parent.
     */
   def dropTableWithFiles(s: SparkSession, table: String): Unit = {
     val loc = scala.util.Try(
@@ -135,33 +131,5 @@ object IndexLifecycle {
     s.sql(s"DROP TABLE IF EXISTS $table")
     loc.filter(_.startsWith("file:")).foreach(l =>
       deleteRecursively(java.nio.file.Path.of(java.net.URI.create(l)).toString))
-  }
-
-  /** Drop a LIVE index table that OWNS its home directory — eviction's
-    * cleanup (the lshIdxLife release hook and spec teardowns of
-    * `_bands`/`_sigs`). When the location is an `_lshseg-` segment
-    * (the vacuum's flipped layout), the whole home is deleted: the
-    * caller asserts no other catalog entry lives there, which is true
-    * by construction for the per-index homes buildLshIndexFrom
-    * creates — and exactly what [[dropTableWithFiles]] must NOT
-    * assume (a crashed rewrite's `<tbl>__vacuum` scratch entry points
-    * INTO a live table's home; dropping it location-only is the
-    * safety, but evicting the live index location-only would strand a
-    * full superseded copy after a post-flip crash, since each
-    * lshIndexFor build homes in a fresh temp dir no later rewrite
-    * ever sweeps).
-    */
-  def dropTableWithHome(s: SparkSession, table: String): Unit = {
-    val loc = scala.util.Try(
-      s.sql(s"DESCRIBE TABLE EXTENDED $table").filter(col("col_name") === "Location")
-        .head().getString(1)).toOption
-    s.sql(s"DROP TABLE IF EXISTS $table")
-    loc.filter(_.startsWith("file:")).foreach { l =>
-      val p = java.nio.file.Path.of(java.net.URI.create(l))
-        .toAbsolutePath.normalize()
-      val target =
-        if (p.getFileName.toString.startsWith("_lshseg-")) p.getParent else p
-      deleteRecursively(target.toString)
-    }
   }
 }

@@ -43,6 +43,12 @@ import org.apache.spark.sql.functions._
   *                              candidate volume and wall across a 4×
   *                              corpus jump at bounded cell occupancy
   *                              (linear, vs the n² brute it replaces)
+  *   ScaleProbe build [docs] — the CLI `build` capstone end to end
+  *                              (raw documents → committed curated
+  *                              shards) at 1× and 10×: the composed
+  *                              path must stay ~linear, with no stage
+  *                              re-introducing a corpus-sized driver
+  *                              step
   *   ScaleProbe ckpt [commits] — commit-log checkpoint rollups:
   *                              committedGen/reflectedGen flat across
   *                              a 100x generation-count jump vs the
@@ -378,6 +384,43 @@ object ScaleProbe {
           .agg(sum("n_triangles")).head().getLong(0)
         println(f"degree-oriented (pr02's plan): ${(System.nanoTime() - t0) / 1e9}%.2f s (${deg / 3} triangles)")
         require(x == deg / 3, s"orientations disagree: $x vs ${deg / 3}")
+      case "build" =>
+        // R19 item 7: every stage of the corpus build is probed
+        // individually (gate/dedup/decontaminate/cumsum/shards — see
+        // the PLANS.md tables); this leg probes the ONE-COMMAND
+        // composition, raw documents.parquet → committed shard dir,
+        // at 1× and 10×. Synthetic docs are built to PASS tx16's
+        // quality gate (20–90 tokens, stopwords present, unique-ish
+        // tokens, sane word lengths) so the whole gating chain does
+        // real work. shardSize scales with the corpus so the output
+        // file count stays bounded (the CLI default of 128 docs/shard
+        // is an sf0.01-scale setting, not a 10M-doc one).
+        val docsExpr =
+          """concat_ws(' ', transform(sequence(1, 60), j ->
+            |  CASE WHEN j % 17 = 0 THEN 'the'
+            |       WHEN j % 23 = 0 THEN 'and'
+            |       ELSE concat('w', pmod(xxhash64(id * 97 + j), 999983)) END))"""
+            .stripMargin
+        Seq(rows / 10, rows).foreach { n =>
+          val corpus = java.nio.file.Files
+            .createTempDirectory("probe-build-corpus").toString
+          val out = java.nio.file.Files
+            .createTempDirectory("probe-build-out").toString + "/shards"
+          try {
+            spark.range(n)
+              .select(col("id").as("doc_id"), expr(docsExpr).as("text"),
+                lit("en").as("lang"),
+                concat(lit("src"), pmod(col("id"), lit(4))).as("source"))
+              .withColumn("n_chars", length(col("text")).cast("long"))
+              .write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+            val shardSize = math.max(128, n / 512).toInt
+            val t0 = System.nanoTime()
+            graft.cli.GraftCLI.build(spark, corpus, out, shardSize)
+            println(f"cli build ($n docs, shardSize $shardSize): " +
+              f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+          } finally Seq(corpus, java.nio.file.Path.of(out).getParent.toString)
+            .foreach(d => scala.util.Try(IndexLifecycle.deleteRecursively(d)))
+        }
       case "tripin" =>
         // what the `oriented` localCheckpoint is worth: unpinned, the
         // wedge self-join's e1/e2 subtrees each re-execute the two

@@ -614,10 +614,14 @@ object Dedup {
     * touched bucket, which is exactly the small-file growth
     * [[graft.sources.Sources.compact]] exists to fold back
     * periodically. Concurrency posture: Spark-catalog bucketed
-    * table, so the quiesced contract applies — see the r18 note at
-    * [[appendToLshIndex]] for why this family cannot ride
-    * [[graft.operators.IndexManifest]] and what the structural fix
-    * is if racing mutators are ever needed here.
+    * table, so the QUIESCED contract applies (one mutator at a time;
+    * probes race only appends, which publish via the committer) —
+    * Spark resolves a bucketed table's files through its own catalog
+    * listing, with no hook to pin readers to a manifest. The LSH
+    * index (r19) shows the structural alternative if racing mutators
+    * are ever needed here: postings on MergeTable, whose log IS the
+    * manifest — at the price of the bucket-pruned exchange-free join
+    * this table keeps.
     */
   def appendToFpIndex(s: SparkSession, indexTable: String, newFps: DataFrame): Unit =
     newFps.select("fp").distinct()
@@ -669,66 +673,59 @@ object Dedup {
     aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, v) => acc + v).cast("double") / 64.0
 
-  /** Persist the base split's LSH index: `<table>_bands` bucketed on
-    * bkey and `<table>_sigs` bucketed on doc_id — what an ingest
-    * pipeline appends to per committed batch.
+  /** Persist the base split's LSH index: TWO MergeTables under one
+    * root — `<dir>/bands` keyed on bkey and `<dir>/sigs` keyed on
+    * doc_id — what an ingest pipeline appends to per committed batch.
+    * MergeTable's commit log IS the index's manifest: every mutator
+    * (append, takedown vacuum) publishes through the generation CAS,
+    * so racing writers serialize and probes resolve a consistent
+    * committed file set — the concurrency posture the ANN family's
+    * IndexManifest established, now on the table format itself.
     */
-  def buildLshIndex(s: SparkSession, d: String, table: String, path: String,
-                    buckets: Int = 8): Unit =
+  def buildLshIndex(s: SparkSession, d: String, path: String): Unit =
     buildLshIndexFrom(
       Tables.documents(s, d).filter(col("doc_id") % deltaMod < deltaFrom),
-      table, path, buckets)
+      path)
 
   /** Same build from any (doc_id, text)-shaped corpus — the form an
     * ingest pipeline (e.g. streaming.NearDupIngestSink) seeds its
-    * index with.
+    * index with. Sigs commit before bands, see [[appendToLshIndex]].
     */
-  def buildLshIndexFrom(docs: DataFrame, table: String, path: String,
-                        buckets: Int = 8): Unit = {
-    val sigs = sigsOf(docs)
-    bandKeysOf(sigs)
-      .write.bucketBy(buckets, "bkey").sortBy("bkey")
-      .option("path", s"$path/bands").mode("overwrite").format("parquet")
-      .saveAsTable(table + "_bands")
-    sigs
-      .write.bucketBy(buckets, "doc_id").sortBy("doc_id")
-      .option("path", s"$path/sigs").mode("overwrite").format("parquet")
-      .saveAsTable(table + "_sigs")
+  def buildLshIndexFrom(docs: DataFrame, path: String,
+                        nFiles: Int = 8): Unit = {
+    val s = docs.sparkSession
+    // the signature pass feeds both tables — materialize once
+    val sigs = sigsOf(docs).localCheckpoint(false)
+    graft.operators.MergeTable.write(s, sigs, "doc_id", s"$path/sigs", nFiles)
+    graft.operators.MergeTable.write(s, bandKeysOf(sigs), "bkey",
+      s"$path/bands", nFiles)
   }
 
   // Build-once/probe-many within a session, validated against the
-  // shared catalog like [[fpIndexFor]] — BOTH tables must resolve.
+  // on-disk commit logs — BOTH tables must be committed. The handle
+  // is the index ROOT DIR (the tombstone set lives under it too, so
+  // release reclaims governance state with the postings).
   private val lshIdxLife = new graft.IndexLifecycle[String]("dd11-lsh-index",
-    validate = (s, t) => s.catalog.tableExists(t + "_bands") &&
-      s.catalog.tableExists(t + "_sigs"),
-    release = (s, t) => {
-      Seq(t + "_bands", t + "_sigs")
-        .foreach(graft.IndexLifecycle.dropTableWithHome(s, _))
-      // the takedown tombstone set is part of THIS index's lifecycle:
-      // left behind, it would both leak and silently re-apply stale
-      // takedowns to a REBUILT index for the same corpus dir (the
-      // deterministic name re-derives), dropping legitimate pairs
-      graft.IndexLifecycle.dropTableWithFiles(s, t + "_tombstones")
-    })
+    validate = (_, dir) =>
+      graft.operators.MergeTable.committedGen(s"$dir/bands").isDefined &&
+        graft.operators.MergeTable.committedGen(s"$dir/sigs").isDefined,
+    release = (_, dir) => graft.IndexLifecycle.deleteRecursively(dir))
 
   def lshIndexFor(s: SparkSession, d: String): String =
     lshIdxLife.getOrBuild(s, d) {
-      val table = "graft_lsh_idx_" + dirDigest(d)
       val path = java.nio.file.Files.createTempDirectory("graft-lshidx").toString
-      // same guard as fpIndexFor: a half-built index (e.g. _bands
-      // written, _sigs failed) is invisible to evictLshIndex — clean
-      // it here or it leaks for the life of the process
-      try buildLshIndex(s, d, table, path)
+      // same guard as fpIndexFor: a half-built index (sigs committed,
+      // bands failed) is invisible to evictLshIndex — clean it here
+      // or it leaks for the life of the process
+      try buildLshIndex(s, d, path)
       catch { case e: Throwable =>
-        Seq(table + "_bands", table + "_sigs")
-          .foreach(t => scala.util.Try(graft.IndexLifecycle.dropTableWithFiles(s, t)))
         scala.util.Try(graft.IndexLifecycle.deleteRecursively(path))
         throw e
       }
-      table
+      path
     }
 
-  /** Drop a session's LSH index (both tables + files). */
+  /** Drop a session's LSH index (root dir: both tables + tombstones). */
   def evictLshIndex(s: SparkSession, d: String): Unit = lshIdxLife.evict(s, d)
 
   /** The per-batch pass against an already-persisted index: delta
@@ -748,7 +745,7 @@ object Dedup {
     * an explicit frame keeps the probe pure for testing and for
     * per-tenant policies.
     */
-  def neardupDelta(s: SparkSession, deltaSigs: DataFrame, indexTable: String,
+  def neardupDelta(s: SparkSession, deltaSigs: DataFrame, indexDir: String,
                    tau: Double, tombstones: Option[DataFrame]): DataFrame = {
     // the signature scan feeds two independent plan branches (band
     // keys for candidates, the final sig join) with no shared
@@ -757,14 +754,27 @@ object Dedup {
     // tokenize+minhash over the batch twice (gatedDocs' barrier
     // pattern, Pipeline.scala)
     val sigs = deltaSigs.localCheckpoint(false)
+    // index reads resolve the committed generation's file set off the
+    // table log — a probe never sees a mutator's uncommitted files.
+    // Join posture at scale: an ingest batch is small, so Spark
+    // broadcasts the DELTA side and the index side carries ZERO
+    // exchanges (better than the old bucketed layout, which still
+    // shuffled the delta); a corpus-scale "delta" degrades to a
+    // 2-exchange sort-merge join — the priced tradeoff for moving the
+    // postings onto the table format's commit log (measured in
+    // PLANS.md r19).
+    val baseBands = graft.operators.MergeTable.readTable(s, s"$indexDir/bands")
+      .select(col("doc_id").as("base_id"), col("bkey"))
     val cand0 = bandKeysOf(sigs).toDF("delta_id", "bkey")
-      .join(s.table(indexTable + "_bands").toDF("base_id", "bkey"), Seq("bkey"))
+      .join(baseBands, Seq("bkey"))
       .select("delta_id", "base_id").distinct()
     val cand = tombstones.fold(cand0)(t =>
       cand0.join(broadcast(t.select(col("doc_id").as("base_id"))),
         Seq("base_id"), "left_anti"))
+    val baseSigs = graft.operators.MergeTable.readTable(s, s"$indexDir/sigs")
+      .select(col("doc_id").as("base_id"), col("sig").as("base_sig"))
     cand
-      .join(s.table(indexTable + "_sigs").toDF("base_id", "base_sig"), Seq("base_id"))
+      .join(baseSigs, Seq("base_id"))
       .join(sigs.toDF("delta_id", "delta_sig"), Seq("delta_id"))
       .select(col("delta_id"), col("base_id"),
         r4(estJaccard(col("delta_sig"), col("base_sig"))).as("est_jacc"))
@@ -773,30 +783,39 @@ object Dedup {
 
   /** dd11's commit step, mirroring [[appendToFpIndex]]: append the
     * signatures and band keys of docs judged NEW (no near-dup in the
-    * historical corpus) so later batches are gated by them. Both
-    * bucketed layouts are preserved by insertInto (one new file per
-    * touched bucket per append — compact() folds them back).
+    * historical corpus) so later batches are gated by them. Each
+    * append is one [[graft.operators.MergeTable.append]] commit per
+    * table — new files plus a CAS'd generation, so RACING appenders
+    * serialize through the log (the loser retries here, bounded) and
+    * a reader never observes a torn batch. Sigs commit BEFORE bands:
+    * a candidate pair only forms through a band row and then
+    * inner-joins the sig — bands-without-sigs would silently drop
+    * pairs, while sigs-without-bands merely leaves the batch
+    * invisible until the second commit lands (a crash between the two
+    * re-appends on replay; duplicate posting rows are harmless to
+    * gating — they re-yield the same candidate pairs). Appends add
+    * one file per table per batch; MergeTable.compact folds them
+    * back, the same maintenance loop as the table family.
     * `newSigs` must be (doc_id, sig)-shaped, as from [[sigsOf]].
-    *
-    * CONCURRENCY POSTURE (r18, deliberate asymmetry vs the ANN
-    * index): the IVF family graduated to CAS-committed generation
-    * manifests ([[graft.operators.IndexManifest]]) because graft owns
-    * that layout end to end. THIS index is a Spark-catalog BUCKETED
-    * table — the bucket-pruned `s.table(...)` join is the whole point
-    * of the layout, and Spark resolves a bucketed table's files
-    * through its own catalog + directory listing, with no hook to pin
-    * a reader to a manifest's file set. Wrapping these mutators in a
-    * generation CAS would mint numbers without serializing anything
-    * the catalog reads. So the LSH index keeps the QUIESCED
-    * maintenance contract (one mutator at a time; probes race only
-    * appends, which publish via the committer); the structural fix,
-    * if a deployment needs racing mutators here, is to move the
-    * postings off the catalog onto MergeTable — whose log IS the
-    * manifest — and trade bucket pruning for a bloom-pointer scan.
     */
-  def appendToLshIndex(s: SparkSession, indexTable: String, newSigs: DataFrame): Unit = {
-    bandKeysOf(newSigs).write.mode("append").insertInto(indexTable + "_bands")
-    newSigs.write.mode("append").insertInto(indexTable + "_sigs")
+  def appendToLshIndex(s: SparkSession, indexDir: String, newSigs: DataFrame): Unit = {
+    val sigs = newSigs.localCheckpoint(false) // feeds both commits
+    def retrying(dir: String, df: DataFrame, key: String): Unit = {
+      var attempt = 0
+      while (true) {
+        attempt += 1
+        try {
+          graft.operators.MergeTable.append(s, dir, df, key,
+            meta = Map("writer" -> "lsh-append"))
+          return
+        } catch {
+          case e: java.util.ConcurrentModificationException =>
+            if (attempt >= 10) throw e
+        }
+      }
+    }
+    retrying(s"$indexDir/sigs", sigs, "doc_id")
+    retrying(s"$indexDir/bands", bandKeysOf(sigs), "bkey")
   }
 
   val dd11_incremental_lsh: Q = (s, d) => {
@@ -821,135 +840,150 @@ object Dedup {
   // The corpus row itself is MergeTable's problem (file-pruned
   // DELETE, q65) — this operator owns the derived index state.
 
-  private def tombstoneTable(indexTable: String) = indexTable + "_tombstones"
+  private def tombstoneDir(indexDir: String) = s"$indexDir/tombstones"
 
-  /** Record removed doc_ids for `indexTable` (tiny append-only
-    * catalog table; created on first call).
+  private def hasTombstones(indexDir: String): Boolean = {
+    val p = java.nio.file.Path.of(tombstoneDir(indexDir))
+    java.nio.file.Files.isDirectory(p) && {
+      val ls = java.nio.file.Files.list(p)
+      try ls.anyMatch(_.getFileName.toString.endsWith(".parquet"))
+      finally ls.close()
+    }
+  }
+
+  /** Record removed doc_ids for the index at `indexDir` (tiny
+    * append-only parquet next to the index's own layout — the index
+    * is dir-based, so its governance state is too; the ANN family's
+    * takedown discipline, Similarity.tombstoneVectors). Each
+    * registration stages writer-privately and publishes ONE
+    * token-named file with an atomic same-dir move, so concurrent
+    * registrations never share a Spark output dir and a reader never
+    * sees a torn file. An empty batch writes nothing (a zero-row part
+    * file would make every governed probe pay the anti-join forever).
     */
-  def tombstoneDocs(s: SparkSession, indexTable: String, docIds: DataFrame): Unit = {
-    val t = tombstoneTable(indexTable)
-    val rows = docIds.select(col("doc_id").cast("long")).distinct()
-    if (!s.catalog.tableExists(t))
-      rows.write.format("parquet").saveAsTable(t)
-    else rows.write.mode("append").insertInto(t)
+  def tombstoneDocs(s: SparkSession, indexDir: String, docIds: DataFrame): Unit = {
+    import java.nio.file.{Files, Path, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val ids = docIds.select(col("doc_id").cast("long")).distinct().localCheckpoint()
+    if (ids.isEmpty) return
+    val stage = Files.createTempDirectory("graft-lshtomb")
+    try {
+      ids.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val ls = Files.list(stage)
+      val part = try ls.iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"staged takedown lost its part file: $stage"))
+      finally ls.close()
+      val dest = Path.of(tombstoneDir(indexDir))
+      Files.createDirectories(dest)
+      val token = graft.operators.WriterToken.next()
+      val tmp = dest.resolve(s".takedown-$token.staging")
+      Files.copy(part, tmp)
+      Files.move(tmp, dest.resolve(s"takedown-$token.parquet"),
+        StandardCopyOption.ATOMIC_MOVE)
+      ()
+    } finally graft.IndexLifecycle.deleteRecursively(stage.toString)
   }
 
   /** The current tombstone set (empty frame when none recorded). */
-  def tombstonesOf(s: SparkSession, indexTable: String): DataFrame = {
-    val t = tombstoneTable(indexTable)
-    if (s.catalog.tableExists(t)) s.table(t).distinct()
+  def tombstonesOf(s: SparkSession, indexDir: String): DataFrame =
+    if (hasTombstones(indexDir))
+      s.read.parquet(tombstoneDir(indexDir)).distinct()
     else s.range(0).select(col("id").as("doc_id"))
-  }
 
   /** Physically rewrite the index without the tombstoned docs, then
-    * clear the tombstone set. Each table commits via the write-once +
-    * pointer-flip discipline of the table format's control plane: the
-    * filtered rows are written ONCE into an immutable tokened segment
-    * dir `_lshseg-<token>` under the table's home (`_`-prefixed, so
-    * invisible to the live table's file listing), and the CATALOG is
-    * the pointer — one `ALTER TABLE … SET LOCATION` swaps every reader
-    * from the old segment to the new one atomically. Never
-    * overwrite-insertInto, whose truncate-then-write window would
-    * leave a crashed vacuum with a partial index and tombstones still
-    * set (silently losing pairs on the next probe AND on the re-run) —
-    * and no longer the pre-r15 per-file move-in-before-delete swap
-    * either, whose visible window doubled row multiplicities and whose
-    * renames were copies on an object store. A crash at any point
-    * leaves tombstones ACTIVE and the vacuum re-runnable: before the
-    * flip the live table is untouched (the fresh segment is an orphan
-    * the next rewrite sweeps); after it the superseded segment/legacy
-    * root files are orphans swept here and by the next rewrite.
-    * Readers resolve the location per query, so there is no
-    * duplicates window and no missing-dir instant at all. The staged
-    * write reproduces the table's own bucket/sort spec and the flip
-    * keeps the catalog's bucket metadata, so both bucketed layouts —
-    * and the exchange-free probe joins they carry — survive.
-    * Maintenance-window cost ∝ index size, exactly
-    * MergeTable.vacuum's posture for the table family.
+    * clear the tombstone set. Each table rewrites through
+    * [[graft.operators.MergeTable.rewriteAll]] — write-once staged
+    * files published by the table log's generation CAS, so a crash at
+    * any point leaves tombstones ACTIVE, the staged files
+    * unreferenced, and the vacuum re-runnable; readers resolve a
+    * committed generation throughout (no duplicates window, no
+    * missing-file instant). Maintenance-window cost ∝ index size,
+    * exactly MergeTable.vacuum's posture for the table family.
+    *
+    * The loop structure is the correctness point under RACING
+    * appends (the posture the MergeTable migration bought): the
+    * tombstone set is cleared ONLY after (a) a discovery scan at each
+    * table's resolved head finds no tombstoned rows AND (b) a no-op
+    * carry-forward commit FENCED on that same generation wins on BOTH
+    * tables — so an append that commits a still-tombstoned doc_id
+    * between discovery and clear bumps a generation, fails its fence,
+    * and is caught by the next iteration's discovery instead of being
+    * resurrected. An append committing after the fences is, by
+    * definition, after the takedown cleared — the legitimate re-add
+    * dd14's contract allows. The CLEAR is file-precise: the pass
+    * snapshots the tombstone part files it read and deletes exactly
+    * those, so a takedown registered mid-vacuum survives, keeps
+    * governing probes, and is processed by the next pass.
     */
-  def vacuumLshTombstones(s: SparkSession, indexTable: String): Long = {
-    val tomb = tombstonesOf(s, indexTable).localCheckpoint()
-    val n = tomb.count()
-    if (n == 0) return 0L
-    Seq("_bands", "_sigs").foreach { suffix =>
-      stagedSwapRewrite(s, indexTable + suffix,
-        df => df.join(broadcast(tomb), Seq("doc_id"), "left_anti"))
-    }
-    // clear tombstones last: a crash before this point leaves them
-    // active (probe still correct, vacuum re-runnable)
-    s.range(0).select(col("id").as("doc_id"))
-      .write.mode("overwrite").insertInto(tombstoneTable(indexTable))
-    n
-  }
-
-  /** Rewrite a bucketed catalog table's rows as `filter(table)` with
-    * a crash-safe write-once + pointer-flip commit (see
-    * [[vacuumLshTombstones]]). The staged write reproduces the table's
-    * own bucket/sort spec — bucketBy is only expressible through
-    * saveAsTable, so the writer rides a scratch catalog entry whose
-    * data lands in the fresh tokened segment; the entry is dropped
-    * (external: files stay) before the flip. The table's HOME dir
-    * never changes: the live data is either the home itself (the
-    * legacy layout every fresh [[buildLshIndexFrom]] produces) or a
-    * `_lshseg-<token>` segment under it, and the catalog's location
-    * is the single pointer readers resolve.
-    */
-  private def stagedSwapRewrite(s: SparkSession, tbl: String,
-                                filter: DataFrame => DataFrame): Unit = {
+  def vacuumLshTombstones(s: SparkSession, indexDir: String): Long = {
     import java.nio.file.{Files, Path}
     import scala.jdk.CollectionConverters._
-    val meta = s.sessionState.catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(tbl))
-    val live = Path.of(meta.location).toAbsolutePath.normalize()
-    val spec = meta.bucketSpec.getOrElse(throw new IllegalStateException(
-      s"$tbl has no bucket spec — not a graft LSH index table"))
-    val isSeg = live.getFileName.toString.startsWith("_lshseg-")
-    val home = if (isSeg) live.getParent else live
-    def parquetsIn(p: Path): IndexedSeq[Path] = {
-      val ls = Files.list(p)
-      try ls.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toIndexedSeq
-      finally ls.close()
+    if (!hasTombstones(indexDir)) return 0L
+    val tombRoot = Path.of(tombstoneDir(indexDir))
+    val tombLs = Files.list(tombRoot)
+    val tombFiles = try tombLs.iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toIndexedSeq
+    finally tombLs.close()
+    if (tombFiles.isEmpty) return 0L // raced another vacuum's clear
+    def clearSnapshot(): Unit = {
+      tombFiles.foreach { f =>
+        Files.deleteIfExists(f)
+        Files.deleteIfExists(f.resolveSibling("." + f.getFileName + ".crc"))
+      }
+      if (!hasTombstones(indexDir)) {
+        val ls = Files.list(tombRoot)
+        try ls.iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            !p.getFileName.toString.endsWith(".parquet"))
+          .foreach(Files.deleteIfExists(_))
+        finally ls.close()
+        scala.util.Try(Files.delete(tombRoot)) // rmdir: only when truly empty
+        ()
+      }
     }
-    // sweep crash debris: a crashed predecessor's scratch catalog
-    // entry, pre-r15 dot-staging dirs, orphan segments (every
-    // `_lshseg-` that is not the live one — a crash BEFORE a flip
-    // left it unreferenced), and — once the live data moved into a
-    // segment — any top-level legacy parquet a crash AFTER a flip
-    // left unretired. Duplicate rows a pre-r15 crash moved in are
-    // live rows; the full-row dedup below converges them.
-    val stagedTbl = tbl + "__vacuum"
-    s.sql(s"DROP TABLE IF EXISTS $stagedTbl")
-    val sweep = Files.list(home)
-    try sweep.iterator().asScala.foreach { p =>
-      val n = p.getFileName.toString
-      if (n.startsWith(".vacuum-") ||
-          (n.startsWith("_lshseg-") && p.toAbsolutePath.normalize() != live))
-        graft.IndexLifecycle.deleteRecursively(p.toString)
-    } finally sweep.close()
-    if (isSeg) parquetsIn(home).foreach(Files.deleteIfExists(_))
-    val seg = home.resolve(
-      graft.operators.SegmentPointer.newSegName("_lshseg-"))
-    // full-row dedup: a re-run over a pre-r15 crash state (duplicate
-    // moved-in rows) must converge, not double rows
-    val writer = filter(s.table(tbl)).dropDuplicates()
-      .write.bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
-        spec.bucketColumnNames.tail: _*)
-    val sorted = spec.sortColumnNames match {
-      case head +: tail => writer.sortBy(head, tail: _*)
-      case _ => writer
+    val tomb = s.read.parquet(tombFiles.map(_.toString): _*)
+      .distinct().localCheckpoint()
+    val n = tomb.count()
+    if (n == 0) { clearSnapshot(); return 0L } // zero-row debris only
+    val tables = Seq(s"$indexDir/sigs" -> "doc_id", s"$indexDir/bands" -> "bkey")
+    var attempt = 0
+    // bound generous enough for a burst of racing appenders (each
+    // costs at most one lost rewrite CAS or one lost fence per table)
+    while (attempt < 24) {
+      attempt += 1
+      // discovery at each table's resolved head: does any tombstoned
+      // row still live there?
+      val states = tables.map { case (dir, key) =>
+        val g = graft.operators.MergeTable.committedGen(dir).getOrElse(
+          sys.error(s"$dir is not a committed keyed table"))
+        val dirty = !graft.operators.MergeTable.readTable(s, dir, asOf = Some(g))
+          .join(broadcast(tomb), Seq("doc_id"), "left_semi").isEmpty
+        (dir, key, g, dirty)
+      }
+      if (states.exists(_._4)) {
+        states.filter(_._4).foreach { case (dir, key, _, _) =>
+          try {
+            graft.operators.MergeTable.rewriteAll(s, dir, key,
+              df => df.join(broadcast(tomb), Seq("doc_id"), "left_anti"),
+              meta = Map("writer" -> "lsh-takedown-vacuum"))
+            ()
+          } catch { // lost to a racing commit: re-discover and retry
+            case _: java.util.ConcurrentModificationException => ()
+          }
+        }
+      } else {
+        // nothing of THIS snapshot lives at the discovered heads — the
+        // fences pin "discovered" and "now" to the same generations
+        val fenced = states.forall { case (dir, _, g, _) =>
+          graft.operators.MergeTable.commitCarryForwardFenced(dir, g,
+            Map("op" -> "takedown-fence"))
+        }
+        if (fenced) { clearSnapshot(); return n }
+        // a fence lost: something committed since discovery — re-check
+      }
     }
-    sorted.option("path", seg.toString)
-      .format(meta.provider.getOrElse("parquet")).saveAsTable(stagedTbl)
-    s.sql(s"DROP TABLE $stagedTbl")
-    // the flip: for a catalog table the CATALOG is the pointer — one
-    // metadata update and every subsequent read resolves the fresh
-    // segment; the old data is retired AFTER (a crash between leaves
-    // orphans the next rewrite sweeps, never a hole or a duplicate)
-    s.sql(s"ALTER TABLE $tbl SET LOCATION '$seg'")
-    if (isSeg) graft.IndexLifecycle.deleteRecursively(live.toString)
-    else parquetsIn(home).foreach(Files.deleteIfExists(_))
-    s.catalog.refreshTable(tbl)
+    sys.error(s"takedown vacuum lost to concurrent commits $attempt times: $indexDir")
   }
 
   /** Registered probe: the incremental near-dup pass (dd11's shape)

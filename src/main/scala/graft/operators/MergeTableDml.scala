@@ -395,6 +395,112 @@ trait MergeTableDml { this: MergeTable.type =>
     MergeStats(next, touched, untouched)
   }
 
+  // ---- append-only / whole-set commits (fact tables, postings) ----
+
+  /** Append-only commit: `rows` land as NEW key-sorted files under a
+    * fresh generation whose manifest carries every current file by
+    * reference — no key matching, no rewrite, and NO uniqueness
+    * assumption on `keyCol` (facts and postings accumulate; the key
+    * only drives layout and stats, which is why [[merge]]'s overlay
+    * can't serve this shape). The one coordination point is the
+    * generation CAS, so concurrent appenders serialize exactly like
+    * concurrent merges: the loser's staging is deleted and
+    * ConcurrentModificationException thrown for the caller to retry.
+    * An empty batch is a no-op returning the current generation —
+    * generations only advance when bytes landed. Returns the new
+    * (or unchanged) generation.
+    */
+  def append(s: SparkSession, dir: String, rows: DataFrame, keyCol: String,
+             nFiles: Int = 1, meta: Map[String, String] = Map.empty): Int = {
+    val prevGen = committedGen(dir).getOrElse(
+      sys.error(s"$dir is not a committed keyed table (no commit log)"))
+    val next = prevGen + 1
+    val token = newToken()
+    val staging = dataDirOf(dir, next, token)
+    requireKeysNotNull(rows, keyCol)
+      .repartitionByRange(math.max(1, nFiles), col(keyCol))
+      .write.parquet(staging)
+    if (!hasParquetFiles(staging)) {
+      graft.IndexLifecycle.deleteRecursively(staging)
+      return prevGen
+    }
+    // a zero-row batch can still stage an empty part file — the stats
+    // pass (grouped by input_file_name, so 0 rows → 0 entries) is the
+    // authoritative emptiness check; eager so the manifest union below
+    // doesn't recompute it
+    val newStats = statsOf(s, staging, keyCol).localCheckpoint()
+    if (newStats.isEmpty) {
+      graft.IndexLifecycle.deleteRecursively(staging)
+      return prevGen
+    }
+    enforceConstraintsStaged(s, dir, staging, Seq(staging), "append")
+    manifestAt(s, dir, prevGen)
+      .unionByName(newStats, allowMissingColumns = true)
+      .coalesce(1).write.parquet(manifestDirOf(dir, next, token))
+    // schema-in-log: the logged schema plus any columns the batch adds
+    // (mergeSchema semantics — carried files surface new columns null)
+    val sch = schemaAt(dir, prevGen) match {
+      case Some(prev) => org.apache.spark.sql.types.StructType(
+        prev.fields ++ rows.schema.fields.filterNot(f =>
+          prev.fieldNames.contains(f.name)))
+      case None => rows.schema
+    }
+    // deletion-vector state rides forward untouched: appends add
+    // files, they never resurrect rows a vector commit hid
+    try commitGen(dir, next, token, Map("op" -> "append") ++
+      inheritDvMeta(dir, prevGen) ++ meta + ("schema" -> sch.json))
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        Seq(staging, manifestDirOf(dir, next, token))
+          .foreach(graft.IndexLifecycle.deleteRecursively)
+        throw e
+    }
+    maintainBloomSidecars(s, dir, next, staging)
+    next
+  }
+
+  /** Whole-set functional rewrite: stage `transform(live rows)` and
+    * commit it as the complete next generation. The takedown/vacuum
+    * shape for tables whose rows are facts keyed NON-uniquely (a
+    * set-delete there is inexpressible through [[merge]]'s key
+    * overlay and [[deleteWhere]]'s single band). Concurrency is the
+    * generation CAS itself: the rewrite reads generation G's files
+    * and commits at G+1, so a racing append/rewrite that takes G+1
+    * first costs this pass a ConcurrentModificationException — the
+    * caller re-runs against the new head and thereby re-reads
+    * whatever the racer added (the only sound resumption: the staged
+    * output came from a superseded snapshot). Rows hidden by
+    * deletion vectors are excluded from the read and materialize out
+    * physically, like [[compact]]. Returns the new generation.
+    */
+  def rewriteAll(s: SparkSession, dir: String, keyCol: String,
+                 transform: DataFrame => DataFrame, nFiles: Int = 4,
+                 meta: Map[String, String] = Map.empty): Int = {
+    val prevGen = committedGen(dir).getOrElse(
+      sys.error(s"$dir is not a committed keyed table (no commit log)"))
+    val next = prevGen + 1
+    val token = newToken()
+    val staging = dataDirOf(dir, next, token)
+    requireKeysNotNull(transform(readTable(s, dir, asOf = Some(prevGen))), keyCol)
+      .repartitionByRange(math.max(1, nFiles), col(keyCol))
+      .write.parquet(staging)
+    enforceConstraintsStaged(s, dir, staging, Seq(staging), "rewriteAll")
+    val newStats =
+      if (hasParquetFiles(staging)) statsOf(s, staging, keyCol)
+      else manifestAt(s, dir, prevGen).filter(lit(false))
+    newStats.coalesce(1).write.parquet(manifestDirOf(dir, next, token))
+    try commitGen(dir, next, token, Map("op" -> "rewrite") ++ meta ++
+      schemaAt(dir, prevGen).map(sch => Map("schema" -> sch.json)).getOrElse(Map.empty))
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        Seq(staging, manifestDirOf(dir, next, token))
+          .foreach(graft.IndexLifecycle.deleteRecursively)
+        throw e
+    }
+    maintainBloomSidecars(s, dir, next, staging)
+    next
+  }
+
   // ---- predicate DML: DELETE WHERE / UPDATE WHERE ----
 
   /** One predicate-DML commit's file triage. `dropped` files left the

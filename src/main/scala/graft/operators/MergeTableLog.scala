@@ -402,6 +402,41 @@ trait MergeTableLog { this: MergeTable.type =>
     prev + 1
   }
 
+  /** [[commitCarryForward]] FENCED on an expected head: carries
+    * `expectedPrev`'s manifest to `expectedPrev + 1` and returns true
+    * only when that exact CAS wins — false when any other writer
+    * committed since (the caller re-resolves and re-checks). This is
+    * the linearization primitive a takedown clear needs (see
+    * Dedup.vacuumLshTombstones): "no tombstoned rows at generation G"
+    * plus a won fence AT G means every later commit is, by
+    * definition, after the clear — the legitimate re-add the dd14
+    * contract allows — while a commit that slipped in between loses
+    * the fence and gets re-discovered instead of resurrected.
+    */
+  private[graft] def commitCarryForwardFenced(
+      dir: String, expectedPrev: Int, meta: Map[String, String]): Boolean = {
+    val prevToken = metaAt(dir, expectedPrev).getOrElse("token",
+      sys.error(s"commit-log entry for generation $expectedPrev lacks a token"))
+    val token = newToken()
+    val src = java.nio.file.Path.of(manifestDirOf(dir, expectedPrev, prevToken))
+    val dst = java.nio.file.Path.of(manifestDirOf(dir, expectedPrev + 1, token))
+    java.nio.file.Files.createDirectories(dst)
+    val ls = java.nio.file.Files.list(src)
+    try ls.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+      .foreach(f => java.nio.file.Files.copy(f, dst.resolve(f.getFileName)))
+    finally ls.close()
+    try {
+      commitGen(dir, expectedPrev + 1, token,
+        inheritDvMeta(dir, expectedPrev) ++ meta ++
+          schemaAt(dir, expectedPrev).map(s => "schema" -> s.json))
+      true
+    } catch {
+      case _: java.util.ConcurrentModificationException =>
+        graft.IndexLifecycle.deleteRecursively(dst.toString)
+        false
+    }
+  }
+
 }
 
 /** The string-stats truncation bound in its own SERIALIZABLE holder,

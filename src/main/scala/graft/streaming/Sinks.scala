@@ -270,9 +270,11 @@ final class TopNUpdateSink(outDir: String, n: Int) extends Serializable {
   * full ingest-time loop the dedup family builds toward, streamed:
   * each micro-batch of (doc_id, text) documents is gated against the
   * PERSISTED LSH band index ([[graft.dedup.Dedup.buildLshIndex]]'s two
-  * bucketed tables), admitted docs are written exactly-once, and the
-  * admitted docs' signatures+band keys are COMMITTED BACK to the index
-  * so the next batch is gated by this one. [[Bolts.dedupAgainstIndex]]
+  * MergeTables under one root — every index commit rides the table
+  * log's generation CAS since the r19 migration), admitted docs are
+  * written exactly-once, and the admitted docs' signatures+band keys
+  * are COMMITTED BACK to the index so the next batch is gated by this
+  * one. [[Bolts.dedupAgainstIndex]]
   * is this loop's exact-fingerprint little sibling (gate only, no
   * commit); this sink closes the write→commit cycle on the
   * approximate path. Like that bolt it holds ZERO stream state — all
@@ -299,7 +301,7 @@ final class TopNUpdateSink(outDir: String, n: Int) extends Serializable {
   * near-dup pair lands together, like the reference's bolts, which
   * see one tuple at a time against committed state).
   */
-final class NearDupIngestSink(indexTable: String, outDir: String,
+final class NearDupIngestSink(indexDir: String, outDir: String,
                               tau: Double = 0.5) extends Serializable {
   import org.apache.spark.sql.functions.col
 
@@ -389,7 +391,7 @@ final class NearDupIngestSink(indexTable: String, outDir: String,
     if (done.contains("data")) sweepLosers(batchId)
     if (!done.contains("data")) {
       val dupes = graft.dedup.Dedup
-        .neardupDelta(s, graft.dedup.Dedup.sigsOf(batch), indexTable, tau)
+        .neardupDelta(s, graft.dedup.Dedup.sigsOf(batch), indexDir, tau)
         .select(col("delta_id").as("doc_id")).distinct()
       // write-once: this attempt's own tokened dir; the data marker's
       // putIfAbsent names the winner. The pre-r17 in-place overwrite
@@ -409,7 +411,7 @@ final class NearDupIngestSink(indexTable: String, outDir: String,
     // index phase reads the COMMITTED output back, never the live
     // batch — so a replay resuming here indexes exactly what phase 1
     // admitted, even if the in-flight batch could re-gate differently
-    graft.dedup.Dedup.appendToLshIndex(s, indexTable,
+    graft.dedup.Dedup.appendToLshIndex(s, indexDir,
       graft.dedup.Dedup.sigsOf(s.read.parquet(dataDirOf(batchId))))
     mark(batchId, "index")
   }
@@ -427,9 +429,9 @@ final class NearDupIngestSink(indexTable: String, outDir: String,
 
 object NearDupIngestSink {
   /** Topology-composable form. */
-  def sink(indexTable: String, outDir: String, checkpoint: String,
+  def sink(indexDir: String, outDir: String, checkpoint: String,
            tau: Double = 0.5): Sink = {
-    val s = new NearDupIngestSink(indexTable, outDir, tau)
+    val s = new NearDupIngestSink(indexDir, outDir, tau)
     Sink("neardup-ingest", (df, trigger) => {
       val w = df.writeStream
         .option("checkpointLocation", checkpoint)

@@ -11,12 +11,12 @@ class IndexLifecycleSpec extends SparkSpecBase {
     dedup.Dedup.jaccardPairs(spark, sfDir).count()
     dedup.Dedup.minhashPairs(spark, sfDir).count()
     val fpTable = dedup.Dedup.fpIndexFor(spark, sfDir)
-    val lshTable = dedup.Dedup.lshIndexFor(spark, sfDir)
+    val lshDir = dedup.Dedup.lshIndexFor(spark, sfDir)
     val ivfDir = similarity.Similarity.ivfIndexFor(spark, sfDir)
     similarity.Similarity.pqBooksFor(spark, sfDir)
 
     assert(spark.catalog.tableExists(fpTable))
-    assert(spark.catalog.tableExists(lshTable + "_bands"))
+    assert(graft.operators.MergeTable.committedGen(lshDir + "/bands").isDefined)
     assert(java.nio.file.Files.exists(java.nio.file.Path.of(ivfDir)))
     val registered = IndexLifecycle.all.map(l => l.name -> l.registered(spark)).toMap
     Seq("dd02-jaccard-pairs", "dd04-minhash-pairs", "dd10-fp-index",
@@ -30,8 +30,8 @@ class IndexLifecycleSpec extends SparkSpecBase {
     IndexLifecycle.all.foreach(l =>
       assert(l.registered(spark).isEmpty, s"${l.name} still holds entries"))
     assert(!spark.catalog.tableExists(fpTable), "fp index table survived evictAll")
-    assert(!spark.catalog.tableExists(lshTable + "_bands") &&
-      !spark.catalog.tableExists(lshTable + "_sigs"), "lsh tables survived evictAll")
+    assert(!java.nio.file.Files.exists(java.nio.file.Path.of(lshDir)),
+      "lsh index root survived evictAll")
     assert(!java.nio.file.Files.exists(java.nio.file.Path.of(ivfDir)),
       "ivf index files survived evictAll")
     // idempotent: a second sweep has nothing to release

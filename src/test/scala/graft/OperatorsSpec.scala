@@ -947,193 +947,199 @@ class OperatorsSpec extends SparkSpecBase {
         r.getAs[Double]("est_jacc"))).sortBy(t => (t._1, t._2)).toSeq
 
     // ground truth: a probe against an index REBUILT without the docs
-    val cleanTbl = "graft_spec_dd14_clean"
     val cleanPath = tmpDir("dd14-clean")
     Dedup.buildLshIndexFrom(
-      base.join(removed, Seq("doc_id"), "left_anti"), cleanTbl, cleanPath)
-    val truth = pairs(Dedup.neardupDelta(spark, delta, cleanTbl))
-    try {
-      // 1. soft path: the shared index + an explicit tombstone frame
-      val idx = Dedup.lshIndexFor(spark, sfDir)
-      val governed = pairs(Dedup.neardupDelta(spark, delta, idx, 0.5, Some(removed)))
-      assert(governed == truth, "governed probe diverges from rebuilt-without-index")
-      assert(governed != pairs(Dedup.neardupDelta(spark, delta, idx)),
-        "fixture vacuous: no removed doc ever matched")
-      // the registered query is exactly this probe
-      assert(pairs(Dedup.dd14_takedown(spark, sfDir)) == truth)
+      base.join(removed, Seq("doc_id"), "left_anti"), cleanPath)
+    val truth = pairs(Dedup.neardupDelta(spark, delta, cleanPath))
+    // 1. soft path: the shared index + an explicit tombstone frame
+    val idx = Dedup.lshIndexFor(spark, sfDir)
+    val governed = pairs(Dedup.neardupDelta(spark, delta, idx, 0.5, Some(removed)))
+    assert(governed == truth, "governed probe diverges from rebuilt-without-index")
+    assert(governed != pairs(Dedup.neardupDelta(spark, delta, idx)),
+      "fixture vacuous: no removed doc ever matched")
+    // the registered query is exactly this probe
+    assert(pairs(Dedup.dd14_takedown(spark, sfDir)) == truth)
 
-      // 2. hard path on a scratch copy: tombstone → vacuum → plain probe
-      val vTbl = "graft_spec_dd14_vac"
-      val vPath = tmpDir("dd14-vac")
-      Dedup.buildLshIndexFrom(base, vTbl, vPath)
-      try {
-        Dedup.tombstoneDocs(spark, vTbl, removed)
-        val viaCatalog = pairs(Dedup.neardupDelta(spark, delta, vTbl, 0.5,
-          Some(Dedup.tombstonesOf(spark, vTbl))))
-        assert(viaCatalog == truth)
-        val n = Dedup.vacuumLshTombstones(spark, vTbl)
-        assert(n == removed.count(), s"vacuum reported $n tombstones")
-        assert(Dedup.tombstonesOf(spark, vTbl).isEmpty, "tombstones must clear")
-        // after the rewrite the UNGOVERNED probe equals the truth —
-        // the index is byte-equivalent to one never containing them
-        assert(pairs(Dedup.neardupDelta(spark, delta, vTbl)) == truth)
-        // idempotent: vacuum with nothing tombstoned is a no-op
-        assert(Dedup.vacuumLshTombstones(spark, vTbl) == 0L)
-      } finally Seq(vTbl + "_bands", vTbl + "_sigs", vTbl + "_tombstones")
-        .foreach(t => scala.util.Try(graft.IndexLifecycle.dropTableWithFiles(spark, t)))
-    } finally Seq(cleanTbl + "_bands", cleanTbl + "_sigs")
-      .foreach(t => scala.util.Try(graft.IndexLifecycle.dropTableWithFiles(spark, t)))
+    // 2. hard path on a scratch copy: tombstone → vacuum → plain probe
+    val vPath = tmpDir("dd14-vac")
+    Dedup.buildLshIndexFrom(base, vPath)
+    Dedup.tombstoneDocs(spark, vPath, removed)
+    val viaStored = pairs(Dedup.neardupDelta(spark, delta, vPath, 0.5,
+      Some(Dedup.tombstonesOf(spark, vPath))))
+    assert(viaStored == truth)
+    val sigsGen0 = graft.operators.MergeTable.committedGen(s"$vPath/sigs").get
+    val n = Dedup.vacuumLshTombstones(spark, vPath)
+    assert(n == removed.count(), s"vacuum reported $n tombstones")
+    assert(Dedup.tombstonesOf(spark, vPath).isEmpty, "tombstones must clear")
+    // after the rewrite the UNGOVERNED probe equals the truth —
+    // the index is byte-equivalent to one never containing them
+    assert(pairs(Dedup.neardupDelta(spark, delta, vPath)) == truth)
+    // physically gone from both tables' LIVE file sets
+    Seq("sigs", "bands").foreach { t =>
+      assert(graft.operators.MergeTable.readTable(spark, s"$vPath/$t")
+        .join(removed, Seq("doc_id"), "left_semi").isEmpty,
+        s"$t still physically carries tombstoned rows")
+    }
+    // the rewrite + fence published through the commit log (new gens)
+    assert(graft.operators.MergeTable.committedGen(s"$vPath/sigs").get > sigsGen0,
+      "vacuum did not commit through the table log")
+    // idempotent: vacuum with nothing tombstoned is a no-op
+    assert(Dedup.vacuumLshTombstones(spark, vPath) == 0L)
   }
 
-  test("dd14 vacuum survives a crash in its move-in-before-delete window") {
-    import java.nio.file.{Files, Path, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
+  test("dd14 racing appends and vacuum converge through the table log (POSIX store)") {
+    racingAppendVacuum(tmpDir("dd14-race-posix"))
+  }
+
+  test("dd14 racing appends and vacuum converge on a registered CommitStore") {
+    val dir = tmpDir("dd14-race-mem")
+    graft.operators.CommitStore.register(dir,
+      new graft.operators.InMemoryCommitStore)
+    try racingAppendVacuum(dir)
+    finally graft.operators.CommitStore.unregister(dir)
+  }
+
+  /** The racing-mutator contract the MergeTable migration bought: N
+    * appender threads and a concurrent takedown vacuum, no quiesce,
+    * all publishing through the tables' generation CAS. Afterwards:
+    * every appended batch is fully visible (no torn batch), the
+    * tombstoned base docs are physically gone, the tombstone set is
+    * clear, and both logs are dense (one winner per generation).
+    */
+  private def racingAppendVacuum(path: String): Unit = {
     import dedup.Dedup
-    val base = Tables.documents(spark, sfDir).filter(col("doc_id") % 10 < 8)
+    import scala.jdk.CollectionConverters._
+    val docs = Tables.documents(spark, sfDir)
+    val base = docs.filter(col("doc_id") % 10 < 8)
     val removed = base.filter(col("doc_id") % 7 === 0).select("doc_id")
-    val delta = Dedup.sigsOf(
-      Tables.documents(spark, sfDir).filter(col("doc_id") % 10 >= 8))
-    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
-      .map(r => (r.getAs[Long]("delta_id"), r.getAs[Long]("base_id")))
-      .sorted.toSeq
-    val tbl = "graft_spec_dd14_crash"
-    val path = tmpDir("dd14-crash")
-    Dedup.buildLshIndexFrom(base, tbl, path)
-    try {
-      Dedup.tombstoneDocs(spark, tbl, removed)
-      val governed = pairs(Dedup.neardupDelta(spark, delta, tbl, 0.5,
-        Some(Dedup.tombstonesOf(spark, tbl))))
-      // simulate the worst crash window of a previous vacuum: staged
-      // files were moved IN but the old files were not yet deleted —
-      // every sigs/bands row now exists twice, tombstones still set
-      Seq("bands", "sigs").foreach { part =>
-        val d = Path.of(path, part)
-        val ls = Files.list(d)
-        val fs = try ls.iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet")).toIndexedSeq
-        finally ls.close()
-        fs.foreach(f => Files.copy(f,
-          d.resolve(s"vacuumed-deadbeef-${f.getFileName}"),
-          StandardCopyOption.COPY_ATTRIBUTES))
-      }
-      spark.catalog.refreshTable(tbl + "_bands")
-      spark.catalog.refreshTable(tbl + "_sigs")
-      // the crashed state is safe: tombstones active, so the governed
-      // PAIR SET is unchanged — no pair lost, no wrong pair (row
-      // multiplicities may double until the re-run converges)
-      assert(pairs(Dedup.neardupDelta(spark, delta, tbl, 0.5,
-        Some(Dedup.tombstonesOf(spark, tbl)))).distinct == governed,
-        "crash-window probe lost or invented pairs")
-      // re-running the vacuum converges: duplicates collapsed,
-      // tombstoned docs physically gone, ungoverned probe == governed
-      assert(Dedup.vacuumLshTombstones(spark, tbl) == removed.count())
-      val sigs = spark.table(tbl + "_sigs")
-      assert(sigs.count() == sigs.dropDuplicates().count(),
-        "post-recovery index carries duplicate rows")
-      assert(spark.table(tbl + "_sigs").join(removed, Seq("doc_id"), "left_semi").isEmpty)
-      assert(pairs(Dedup.neardupDelta(spark, delta, tbl)) == governed)
-      // and no staging residue survives the commit
-      Seq("bands", "sigs").foreach { part =>
-        val ls = Files.list(Path.of(path, part))
-        val residue = try ls.iterator().asScala
-          .filter(_.getFileName.toString.startsWith(".vacuum-")).toIndexedSeq
-        finally ls.close()
-        assert(residue.isEmpty, s"staging residue left in $part: $residue")
-      }
-    } finally Seq(tbl + "_bands", tbl + "_sigs", tbl + "_tombstones", tbl + "_sigs__vacuum", tbl + "_bands__vacuum")
-      .foreach(t => scala.util.Try(graft.IndexLifecycle.dropTableWithFiles(spark, t)))
+      .localCheckpoint()
+    Dedup.buildLshIndexFrom(base, path)
+    Dedup.tombstoneDocs(spark, path, removed)
+    // appended batches: disjoint doc_id slices, none tombstoned
+    val batches = (0 until 4).map(i =>
+      Dedup.sigsOf(docs.filter(col("doc_id") % 10 === 8 && col("doc_id") % 4 === i))
+        .localCheckpoint())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    batches.foreach { b =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try Dedup.appendToLshIndex(spark, path, b)
+          catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    pool.submit(new Runnable {
+      def run(): Unit =
+        try { Dedup.vacuumLshTombstones(spark, path); () }
+        catch { case t: Throwable => failures.add(t) }
+    })
+    pool.shutdown()
+    assert(pool.awaitTermination(300, java.util.concurrent.TimeUnit.SECONDS))
+    assert(failures.isEmpty,
+      s"racing mutators failed: ${failures.asScala.map(_.toString).toSeq}")
+    // convergence: vacuum may have fenced BEFORE some append landed —
+    // its snapshot is processed; re-run until clean (each pass is the
+    // maintenance loop's next tick). The appended batches contain no
+    // tombstoned ids, so one more pass is the worst case.
+    assert(Dedup.vacuumLshTombstones(spark, path) == 0L,
+      "post-race vacuum found live tombstones (clear not fenced correctly)")
+    val sigs = graft.operators.MergeTable.readTable(spark, s"$path/sigs")
+    val bands = graft.operators.MergeTable.readTable(spark, s"$path/bands")
+    // tombstoned docs physically gone from both tables
+    Seq("sigs" -> sigs, "bands" -> bands).foreach { case (t, df) =>
+      assert(df.join(removed, Seq("doc_id"), "left_semi").isEmpty,
+        s"$t still carries tombstoned rows after the race")
+    }
+    // every appended batch fully visible in BOTH tables (sigs-then-
+    // bands commit order: a torn batch would fail the bands check)
+    val appendedIds = batches.map(_.select("doc_id").collect()
+      .map(_.getLong(0)).toSet).reduce(_ ++ _)
+    val sigIds = sigs.select("doc_id").collect().map(_.getLong(0)).toSet
+    val bandIds = bands.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(appendedIds.subsetOf(sigIds), "an appended batch lost sig rows")
+    assert(appendedIds.subsetOf(bandIds), "an appended batch lost band rows")
+    // the gate works end to end: a probe of batch 9 sees base + appends
+    val b9 = Dedup.sigsOf(docs.filter(col("doc_id") % 10 === 9))
+    val got = Dedup.neardupDelta(spark, b9, path).select("base_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got.intersect(removed.collect().map(_.getLong(0)).toSet).isEmpty,
+      "a probe surfaced a vacuumed doc")
+    // dense logs: generations 0..head all committed, one winner each
+    Seq("sigs", "bands").foreach { t =>
+      val head = graft.operators.MergeTable.committedGen(s"$path/$t").get
+      (0 to head).foreach(g =>
+        assert(graft.operators.MergeTable.metaAt(s"$path/$t", g).contains("token"),
+          s"$t generation $g missing from the log"))
+    }
   }
 
-  test("dd14 vacuum: a crash on either side of the catalog flip leaves a consistent index") {
+  test("dd14 vacuum crash-safety: staged-but-uncommitted rewrites are invisible and re-runnable") {
+    import dedup.Dedup
     import java.nio.file.{Files, Path}
-    import scala.jdk.CollectionConverters._
-    import dedup.Dedup
-    val base = Tables.documents(spark, sfDir).filter(col("doc_id") % 10 < 8)
+    val docs = Tables.documents(spark, sfDir)
+    val base = docs.filter(col("doc_id") % 10 < 8)
     val removed = base.filter(col("doc_id") % 7 === 0).select("doc_id")
-    val delta = Dedup.sigsOf(
-      Tables.documents(spark, sfDir).filter(col("doc_id") % 10 >= 8))
+    val delta = Dedup.sigsOf(docs.filter(col("doc_id") % 10 >= 8))
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("delta_id"), r.getAs[Long]("base_id")))
       .sorted.toSeq
-    val tbl = "graft_spec_dd14_flip"
-    val path = tmpDir("dd14-flip")
-    Dedup.buildLshIndexFrom(base, tbl, path)
-    try {
-      Dedup.tombstoneDocs(spark, tbl, removed)
-      val truth = pairs(Dedup.neardupDelta(spark, delta, tbl, 0.5,
-        Some(Dedup.tombstonesOf(spark, tbl))))
-      // crash BEFORE the flip: a fully-written but never-published
-      // segment — readers are untouched (the catalog still points at
-      // the old data) and the re-run sweeps it
-      val orphan = Path.of(path, "sigs", "_lshseg-orphantok")
-      Files.createDirectories(orphan)
-      Files.write(orphan.resolve("junk.parquet"), Array[Byte](1, 2, 3))
-      assert(pairs(Dedup.neardupDelta(spark, delta, tbl, 0.5,
-        Some(Dedup.tombstonesOf(spark, tbl)))) == truth,
-        "an unpublished segment leaked into reads")
-      assert(Dedup.vacuumLshTombstones(spark, tbl) == removed.count())
-      assert(!Files.exists(orphan), "orphan segment survived the rewrite sweep")
-      // the flip landed: both tables resolve tokened segments, the
-      // ungoverned probe equals the governed truth, bucket-pruned
-      // plans intact (exchange-free index side is asserted by dd11's
-      // plan spec against the same machinery)
-      Seq("bands", "sigs").foreach { part =>
-        val loc = java.nio.file.Path.of(java.net.URI.create(
-          spark.sessionState.catalog.getTableMetadata(
-            org.apache.spark.sql.catalyst.TableIdentifier(tbl + "_" + part))
-            .location.toString))
-        assert(loc.getFileName.toString.startsWith("_lshseg-"),
-          s"$part did not flip to a segment location: $loc")
-      }
-      assert(pairs(Dedup.neardupDelta(spark, delta, tbl)) == truth)
-      // crash AFTER a flip, modeled exactly: legacy root files a died
-      // retire left behind — INVISIBLE to readers (the catalog points
-      // at the segment), swept by the next rewrite
-      val strayed = Path.of(path, "sigs", "stray-legacy.parquet")
-      Files.write(strayed, Array[Byte](9, 9))
-      assert(pairs(Dedup.neardupDelta(spark, delta, tbl)) == truth,
-        "post-flip legacy debris leaked into reads")
-      val doomed = base.filter(col("doc_id") % 11 === 0).select("doc_id")
-      Dedup.tombstoneDocs(spark, tbl, doomed)
-      // the vacuum reports exactly the tombstones it processed, and
-      // the tombstoned docs are PHYSICALLY gone from both tables —
-      // a partial-discovery bug returning a plausible positive count
-      // must fail here, not pass a >= 0 tautology
-      assert(Dedup.vacuumLshTombstones(spark, tbl) == doomed.count())
-      Seq("_sigs", "_bands").foreach { suffix =>
-        assert(spark.table(tbl + suffix)
-          .filter(col("doc_id") % 11 === 0).count() == 0,
-          s"tombstoned docs survived the vacuum in $tbl$suffix")
-      }
-      assert(!Files.exists(strayed), "legacy root debris survived the next rewrite")
-      // eviction of a location-flipped index reclaims the whole HOME,
-      // not just the live segment — a post-flip crash leaves a full
-      // superseded copy beside it that nothing else ever sweeps (the
-      // production release hook routes through dropTableWithHome)
-      Files.write(Path.of(path, "sigs", "stranded-copy.parquet"), Array[Byte](1))
-      graft.IndexLifecycle.dropTableWithHome(spark, tbl + "_sigs")
-      assert(!Files.exists(Path.of(path, "sigs")),
-        "flipped index eviction left its home (and the stranded copy) behind")
-    } finally Seq(tbl + "_bands", tbl + "_sigs", tbl + "_tombstones", tbl + "_sigs__vacuum", tbl + "_bands__vacuum")
-      .foreach(t => scala.util.Try(graft.IndexLifecycle.dropTableWithFiles(spark, t)))
+    val path = tmpDir("dd14-crash")
+    Dedup.buildLshIndexFrom(base, path)
+    Dedup.tombstoneDocs(spark, path, removed)
+    val governed = pairs(Dedup.neardupDelta(spark, delta, path, 0.5,
+      Some(Dedup.tombstonesOf(spark, path))))
+    // simulate a vacuum that crashed mid-rewrite: a fully-written data
+    // dir for the NEXT generation whose commit never landed — readers
+    // resolve the committed head, so the orphan is invisible and the
+    // tombstones stay active
+    val sigsDir = s"$path/sigs"
+    val g = graft.operators.MergeTable.committedGen(sigsDir).get
+    val orphan = Path.of(sigsDir, s"data-g${g + 1}-deadbeef")
+    Files.createDirectories(orphan)
+    Files.write(orphan.resolve("part-junk.parquet"), Array[Byte](1, 2, 3))
+    assert(pairs(Dedup.neardupDelta(spark, delta, path, 0.5,
+      Some(Dedup.tombstonesOf(spark, path)))) == governed,
+      "an uncommitted rewrite leaked into reads")
+    assert(Dedup.tombstonesOf(spark, path).count() == removed.count(),
+      "a crashed vacuum must leave tombstones active")
+    // the re-run converges: tombstoned docs physically gone, the
+    // ungoverned probe equals the governed one, tombstones cleared
+    assert(Dedup.vacuumLshTombstones(spark, path) == removed.count())
+    assert(pairs(Dedup.neardupDelta(spark, delta, path)) == governed)
+    assert(Dedup.tombstonesOf(spark, path).isEmpty)
+    assert(graft.operators.MergeTable.readTable(spark, sigsDir)
+      .join(removed, Seq("doc_id"), "left_semi").isEmpty)
   }
 
   test("dd11 incremental LSH near-dup: index reuse, delta-only band shuffle, ≡ direct") {
     val s2 = spark.newSession()
-    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val idx = dedup.Dedup.lshIndexFor(s2, sfDir)
     assert(dedup.Dedup.lshIndexFor(s2, sfDir) == idx, "index rebuilt on second use")
     val docs = Tables.documents(s2, sfDir)
     val deltaSigs = dedup.Dedup.sigsOf(
       docs.filter(col("doc_id") % dedup.Dedup.deltaMod >= dedup.Dedup.deltaFrom))
-    // the per-batch scale contract: the band join's index side reads
-    // straight off its buckets — the only hash exchange is the delta
-    val bandJoin = dedup.Dedup.bandKeysOf(deltaSigs).toDF("delta_id", "bkey")
-      .join(s2.table(idx + "_bands").toDF("base_id", "bkey"), Seq("bkey"))
-    val plan = bandJoin.queryExecution.executedPlan.toString
+    // the per-batch scale contract after the MergeTable migration: at
+    // ingest-batch scale the DELTA side broadcasts and the index side
+    // carries ZERO shuffle exchanges (the old bucketed layout still
+    // shuffled the delta); with broadcast unavailable the join
+    // degrades to a 2-exchange sort-merge — the priced tradeoff for
+    // postings on the table log, measured in PLANS.md r19
+    def bandJoin(sess: org.apache.spark.sql.SparkSession) =
+      dedup.Dedup.bandKeysOf(deltaSigs).toDF("delta_id", "bkey")
+        .join(graft.operators.MergeTable.readTable(sess, s"$idx/bands")
+          .select(col("doc_id").as("base_id"), col("bkey")), Seq("bkey"))
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+    val planB = bandJoin(s2).queryExecution.executedPlan.toString
+    assert(planB.contains("BroadcastHashJoin"),
+      s"batch-scale band join should broadcast the delta:\n$planB")
+    assert(!planB.contains("Exchange hashpartitioning"),
+      s"index side must carry zero shuffle exchanges at batch scale:\n$planB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plan = bandJoin(s2).queryExecution.executedPlan.toString
     assert(plan.contains("SortMergeJoin"), s"expected a sort-merge band join:\n$plan")
-    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
-      s"expected 1 exchange (delta only):\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
+      s"expected the documented 2-exchange degradation:\n$plan")
     // result ≡ the direct (no persisted index) formulation — the
     // hashes are deterministic, so equality is exact
     val baseSigs = dedup.Dedup.sigsOf(
@@ -1152,11 +1158,14 @@ class OperatorsSpec extends SparkSpecBase {
     val got = dedup.Dedup.dd11_incremental_lsh(s2, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == direct, "indexed path diverges from the direct formulation")
-    // hygiene: evict drops BOTH catalog tables; next use rebuilds
+    // hygiene: evict reclaims the whole index root (both tables + any
+    // tombstone state); next use rebuilds at a fresh dir
     dedup.Dedup.evictLshIndex(s2, sfDir)
-    assert(!s2.catalog.tableExists(idx + "_bands") && !s2.catalog.tableExists(idx + "_sigs"),
-      "evict left catalog tables")
-    assert(dedup.Dedup.lshIndexFor(s2, sfDir) == idx, "rebuild after evict failed")
+    assert(!java.nio.file.Files.exists(java.nio.file.Path.of(idx)),
+      "evict left the index root on disk")
+    val idx2 = dedup.Dedup.lshIndexFor(s2, sfDir)
+    assert(graft.operators.MergeTable.committedGen(s"$idx2/bands").isDefined,
+      "rebuild after evict failed")
     dedup.Dedup.evictLshIndex(s2, sfDir)
   }
 

@@ -75,6 +75,68 @@ class MergeTableSpec extends SparkSpecBase {
     assert(got.toSeq == want.toSeq, "pruned merge diverges from whole-table merge")
   }
 
+  test("append: non-unique keys accumulate, files carry by reference, empty batch is a no-op") {
+    import spark.implicits._
+    val dir = tmpDir("mergetab-append")
+    val facts = (1 to 100).map(k => (k.toLong % 10, s"v$k")).toDF("k", "v")
+    MergeTable.write(spark, facts, "k", dir, nFiles = 2)
+    val paths0 = MergeTable.manifest(spark, dir).collect().map(_.getString(0)).toSeq
+    val mt0 = mtimesOf(paths0)
+    // append a batch sharing EVERY key — rows accumulate (facts, not
+    // upserts: the shape merge's key overlay must never be used for)
+    val g1 = MergeTable.append(spark, dir,
+      (1 to 50).map(k => (k.toLong % 10, s"w$k")).toDF("k", "v"), "k")
+    assert(g1 == 1 && MergeTable.committedGen(dir).contains(1))
+    assert(MergeTable.readTable(spark, dir).count() == 150,
+      "append must accumulate, never overlay")
+    // prior files carried by reference, bytes untouched
+    val man1 = MergeTable.manifest(spark, dir).collect().map(_.getString(0)).toSeq
+    assert(paths0.toSet.subsetOf(man1.toSet), "append dropped carried files")
+    assert(mtimesOf(paths0) == mt0, "append rewrote carried bytes")
+    // an empty batch commits nothing — generations advance only when
+    // bytes landed
+    val g2 = MergeTable.append(spark, dir,
+      facts.filter(lit(false)), "k")
+    assert(g2 == 1 && MergeTable.committedGen(dir).contains(1),
+      "empty append minted a generation")
+    // stats flow: the appended files prune like any others
+    assert(MergeTable.scanWhere(spark, dir, "k", 3L, 3L)
+      .count() == MergeTable.readTable(spark, dir)
+      .filter(col("k") === 3L).count())
+  }
+
+  test("rewriteAll: whole-set transform commits through the log; a racing commit aborts it") {
+    import spark.implicits._
+    val dir = tmpDir("mergetab-rewrite")
+    val facts = (1 to 100).map(k => (k.toLong % 10, k.toLong)).toDF("k", "n")
+    MergeTable.write(spark, facts, "k", dir, nFiles = 2)
+    val g1 = MergeTable.rewriteAll(spark, dir, "k",
+      df => df.filter(col("n") % 2 === 0))
+    assert(g1 == 1)
+    assert(MergeTable.readTable(spark, dir).count() == 50)
+    // time travel still reads the pre-rewrite generation
+    assert(MergeTable.readTable(spark, dir, asOf = Some(0)).count() == 100)
+    // a commit racing the rewrite makes it lose its CAS — the caller
+    // re-runs against the new head (its staged output read a
+    // superseded snapshot); simulate by committing between the
+    // rewrite's read and its commit via the transform hook
+    val boom = intercept[java.util.ConcurrentModificationException] {
+      MergeTable.rewriteAll(spark, dir, "k", { df =>
+        MergeTable.append(spark, dir,
+          Seq((0L, 777L)).toDF("k", "n"), "k")
+        df.filter(col("n") =!= 777L)
+      })
+    }
+    assert(boom.getMessage.contains("committed by a concurrent writer"))
+    // the racer's row is intact; the lost rewrite left no trace
+    assert(MergeTable.readTable(spark, dir).filter(col("n") === 777L).count() == 1,
+      "the winning append's row must survive the lost rewrite")
+    val retry = MergeTable.rewriteAll(spark, dir, "k",
+      df => df.filter(col("n") =!= 777L))
+    assert(retry == 3 && MergeTable.readTable(spark, dir)
+      .filter(col("n") === 777L).isEmpty)
+  }
+
   test("null keys are refused at every write gate (they have no row identity)") {
     import spark.implicits._
     val dir = tmpDir("mergetab-nullkey")

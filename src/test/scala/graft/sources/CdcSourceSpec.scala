@@ -183,9 +183,8 @@ class CdcSourceSpec extends SparkSpecBase {
     val donorId = donor.getAs[Long]("doc_id")
     val donorText = donor.getAs[String]("text")
 
-    val idxTbl = "graft_spec_cdc_ingest"
-    val idxPath = tmpDir("cdc-ing-idx")
-    Dedup.buildLshIndexFrom(base, idxTbl, idxPath)
+    val idxTbl = tmpDir("cdc-ing-idx") // index handle IS its root dir
+    Dedup.buildLshIndexFrom(base, idxTbl)
     val store = tmpDir("cdc-ing-store")
 
     val q = MergeTable.changesStream(spark, corpus, "doc_id")
@@ -242,8 +241,7 @@ class CdcSourceSpec extends SparkSpecBase {
     } finally {
       q.stop()
       base.unpersist()
-      Seq(idxTbl + "_bands", idxTbl + "_sigs", idxTbl + "_tombstones")
-        .foreach(t => scala.util.Try(graft.IndexLifecycle.dropTableWithFiles(spark, t)))
+      scala.util.Try(graft.IndexLifecycle.deleteRecursively(idxTbl))
     }
   }
 

@@ -21,17 +21,12 @@ class IngestSpec extends SparkSpecBase {
     "fermented tea cultures require stable warm temperatures and weekly feeding cycles"
 
   private def withIngest(f: (String, String, NearDupIngestSink) => Unit): Unit = {
-    val table = "graft_ingest_spec_idx"
     val idxDir = java.nio.file.Files.createTempDirectory("ingest-idx").toString
     val outDir = java.nio.file.Files.createTempDirectory("ingest-out").toString
     graft.dedup.Dedup.buildLshIndexFrom(
-      Seq((100L, baseText)).toDF("doc_id", "text"), table, idxDir)
-    try f(table, outDir, new NearDupIngestSink(table, outDir))
-    finally {
-      Seq(table + "_bands", table + "_sigs").foreach(t =>
-        spark.sql(s"DROP TABLE IF EXISTS $t"))
-      Seq(idxDir, outDir).foreach(deleteDir)
-    }
+      Seq((100L, baseText)).toDF("doc_id", "text"), idxDir)
+    try f(idxDir, outDir, new NearDupIngestSink(idxDir, outDir))
+    finally Seq(idxDir, outDir).foreach(deleteDir)
   }
 
   private def deleteDir(dir: String): Unit = {
@@ -52,7 +47,9 @@ class IngestSpec extends SparkSpecBase {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sql = spark.sqlContext
     withIngest { (table, outDir, sink) =>
-      val bandsBefore = spark.table(table + "_bands").count()
+      def bandCount() = graft.operators.MergeTable
+        .readTable(spark, table + "/bands").count()
+      val bandsBefore = bandCount()
       val docs = MemoryStream[(Long, String)]
       val q = docs.toDF().toDF("doc_id", "text").writeStream
         .option("checkpointLocation",
@@ -65,12 +62,9 @@ class IngestSpec extends SparkSpecBase {
         q.processAllAvailable()
         assert(admitted(outDir, 0) == Set(2L),
           "batch 0 must drop the indexed near-dup and admit the novel doc")
-        // the admitted doc's signature was committed back. (The append
-        // ran on the streaming query's CLONED session; this session's
-        // cached relation is stale until refreshed — readers outside
-        // the ingest loop always pay this, the loop itself doesn't.)
-        spark.catalog.refreshTable(table + "_bands")
-        assert(spark.table(table + "_bands").count() > bandsBefore,
+        // the admitted doc's signature was committed back — readers
+        // resolve the table log per read, so no refresh is needed
+        assert(bandCount() > bandsBefore,
           "admitted doc's band keys were not committed to the index")
         // batch 1: a copy of batch 0's ADMITTED doc + another novel one
         docs.addData((3L, novelA), (4L, novelB))
@@ -108,15 +102,16 @@ class IngestSpec extends SparkSpecBase {
       val b0 = Seq((1L, baseText), (2L, novelA)).toDF("doc_id", "text")
       sink(b0, 0L)
       assert(admitted(outDir, 0) == Set(2L))
-      val bands = spark.table(table + "_bands").count()
-      val sigsN = spark.table(table + "_sigs").count()
+      def count(t: String) = graft.operators.MergeTable
+        .readTable(spark, table + "/" + t).count()
+      val bands = count("bands")
+      val sigsN = count("sigs")
       // full replay (crash after commit, batch re-offered): no effect —
       // critically, the re-gate does NOT run, so the batch can't drop
       // its own docs against its own committed signatures
       sink(b0, 0L)
       assert(admitted(outDir, 0) == Set(2L), "replay changed committed output")
-      assert(spark.table(table + "_bands").count() == bands &&
-        spark.table(table + "_sigs").count() == sigsN,
+      assert(count("bands") == bands && count("sigs") == sigsN,
         "replay re-appended to the index")
       // crash between the data and index phases: batch 7's output is
       // on disk and logged `data`, but its index commit never ran.
