@@ -234,10 +234,10 @@ object Bench {
         // informational, so stdout — a stderr line here surfaces as
         // `[error] [bench] …` in the sbt tail and reads as a failure
         // to log scrapers (brace-free by construction: `idx` is a
-        // hex-suffixed table name, so it can't disturb the harness's
-        // first-{-to-last-} JSON extraction either). Once, not per
-        // rep: every stdout char competes with the JSON line for the
-        // harness's tail window.
+        // temp-dir path — slashes and hex, so it can't disturb the
+        // harness's first-{-to-last-} JSON extraction either). Once,
+        // not per rep: every stdout char competes with the JSON line
+        // for the harness's tail window.
         if (r == 1) println(s"bench info: dd11 probe used index $idx")
         Seq("dd11_lsh_build" -> tBuild, "dd11_lsh_probe" -> tProbe)
       }

@@ -756,6 +756,12 @@ object Dedup {
     val sigs = deltaSigs.localCheckpoint(false)
     // index reads resolve the committed generation's file set off the
     // table log — a probe never sees a mutator's uncommitted files.
+    // READ ORDER INVARIANT: bands resolves BEFORE sigs (readTable pins
+    // each table's generation eagerly, at call time), the mirror of
+    // appendToLshIndex's sigs-BEFORE-bands commit order — so a probe
+    // racing an append can see the batch's sigs without its bands
+    // (batch invisible, correct) but never its bands without its sigs
+    // (which would silently drop pairs at the inner sig join).
     // Join posture at scale: an ingest batch is small, so Spark
     // broadcasts the DELTA side and the index side carries ZERO
     // exchanges (better than the old bucketed layout, which still
