@@ -71,6 +71,15 @@ object GraftFileIndex {
     case Or(l, r) => admits(l, stats) || admits(r, stats)
     case EqualTo(a: AttributeReference, Literal(v, _)) => mayContain(stats, a.name, v)
     case EqualTo(Literal(v, _), a: AttributeReference) => mayContain(stats, a.name, v)
+    // null-safe equality: against a non-null literal, <=> is satisfied
+    // exactly where = is (a null row is FALSE, not NULL — but FALSE
+    // doesn't admit either), so the same bounds proof applies; against
+    // a NULL literal it's satisfied by null rows, which min/max stats
+    // say nothing about — admit
+    case EqualNullSafe(a: AttributeReference, Literal(v, _)) =>
+      v == null || mayContain(stats, a.name, v)
+    case EqualNullSafe(Literal(v, _), a: AttributeReference) =>
+      v == null || mayContain(stats, a.name, v)
     case GreaterThan(a: AttributeReference, Literal(v, _)) =>
       bound(stats, a.name).forall { case (_, mx) => cmp(mx, v).forall(_ > 0) }
     case GreaterThan(Literal(v, _), a: AttributeReference) => // v > a ≡ a < v

@@ -906,6 +906,14 @@ class MergeTableSpec extends SparkSpecBase {
     assert(qb.collect().length == 121)
     assert(scanOf(qb).metrics("numFiles").value == expected,
       "SQL BETWEEN prunes differently from the explicit And pair")
+    // null-safe point lookup (<=>): same bounds proof as = against a
+    // non-null literal — prunes to the one intersecting file
+    val qns = MergeTable.readIndexed(spark, dir).filter(col("k") <=> 150L)
+    assert(qns.collect().map(_.getAs[Long]("k")).toSeq == Seq(150L))
+    val expectedNs = man.count(r =>
+      150L >= r.getAs[Long]("min_k") && 150L <= r.getAs[Long]("max_k"))
+    assert(scanOf(qns).metrics("numFiles").value == expectedNs && expectedNs < 8,
+      "null-safe equality failed to prune")
     // NOT-equals against a constant file: provably all-equal → skipped
     val dirC = tmpDir("mergetab-fidx-const")
     val mixed = ((1 to 100).map(i => (i.toLong, 7L)) ++
