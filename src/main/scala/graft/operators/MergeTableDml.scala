@@ -409,6 +409,14 @@ trait MergeTableDml { this: MergeTable.type =>
     * An empty batch is a no-op returning the current generation —
     * generations only advance when bytes landed. Returns the new
     * (or unchanged) generation.
+    *
+    * CDC boundary: changesBetween's key-diff assumes UNIQUE keys for
+    * spans whose OLD side carries rewritten files — a pure-append
+    * span diffs correctly (empty old side: each appended row one I),
+    * but tailing a duplicate-keyed table across a rewriteAll/compact
+    * multiplies the key join. Posting/fact tables built on this
+    * primitive are not CDC-tailed; keep it that way or keep keys
+    * unique.
     */
   def append(s: SparkSession, dir: String, rows: DataFrame, keyCol: String,
              nFiles: Int = 1, meta: Map[String, String] = Map.empty): Int = {

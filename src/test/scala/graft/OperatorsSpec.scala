@@ -1074,6 +1074,32 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("dd11 maintenance loop: compact folds append fragments, probes unchanged") {
+    import dedup.Dedup
+    val docs = Tables.documents(spark, sfDir)
+    val path = tmpDir("dd11-compact")
+    Dedup.buildLshIndexFrom(docs.filter(col("doc_id") % 10 < 6), path)
+    // three appended batches: one file per table per batch
+    (6 to 8).foreach(m => Dedup.appendToLshIndex(spark, path,
+      Dedup.sigsOf(docs.filter(col("doc_id") % 10 === m))))
+    val delta = Dedup.sigsOf(docs.filter(col("doc_id") % 10 === 9))
+    def pairs() = Dedup.neardupDelta(spark, delta, path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = pairs()
+    val filesBefore = graft.operators.MergeTable
+      .manifest(spark, s"$path/sigs").count()
+    // the documented maintenance loop: MergeTable.compact folds the
+    // per-batch fragments back; duplicate-keyed posting rows are
+    // PRESERVED (compact never dedups) and the probe is unchanged
+    Seq("sigs" -> "doc_id", "bands" -> "bkey").foreach { case (t, k) =>
+      graft.operators.MergeTable.compact(spark, s"$path/$t", k,
+        targetRows = 1000000L)
+    }
+    assert(graft.operators.MergeTable.manifest(spark, s"$path/sigs").count()
+      < filesBefore, "compact folded nothing")
+    assert(pairs() == before, "compaction changed probe results")
+  }
+
   test("dd14 vacuum crash-safety: staged-but-uncommitted rewrites are invisible and re-runnable") {
     import dedup.Dedup
     import java.nio.file.{Files, Path}
