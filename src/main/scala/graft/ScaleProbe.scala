@@ -43,6 +43,11 @@ import org.apache.spark.sql.functions._
   *                              candidate volume and wall across a 4×
   *                              corpus jump at bounded cell occupancy
   *                              (linear, vs the n² brute it replaces)
+  *   ScaleProbe lshincr [rows] — dd11's per-batch probe + append
+  *                              against a 1× and a 10× LSH posting
+  *                              store on MergeTable: append must stay
+  *                              ~flat (batch + manifest sized), probe
+  *                              grows only with the index SCAN
   *   ScaleProbe build [docs] — the CLI `build` capstone end to end
   *                              (raw documents → committed curated
   *                              shards) at 1× and 10×: the composed
@@ -384,6 +389,40 @@ object ScaleProbe {
           .agg(sum("n_triangles")).head().getLong(0)
         println(f"degree-oriented (pr02's plan): ${(System.nanoTime() - t0) / 1e9}%.2f s (${deg / 3} triangles)")
         require(x == deg / 3, s"orientations disagree: $x vs ${deg / 3}")
+      case "lshincr" =>
+        // the migration's scale posture, measured: per-batch cost on a
+        // MergeTable-backed posting store. The delta (fixed 10k docs)
+        // broadcasts, so the index side carries zero exchanges; the
+        // probe's only index-proportional cost is the narrow posting
+        // SCAN (both the old bucketed layout and this one pay it — a
+        // band join consults every band bucket), and the append +
+        // manifest resolution must stay flat across a 10× index.
+        def synth(lo: Long, hi: Long) = spark.range(lo, hi)
+          .select(col("id").as("doc_id"),
+            concat_ws(" ", (1 to 12).map(j =>
+              concat(lit(s"w$j"), pmod(xxhash64(col("id") * 31 + j), lit(5000)))): _*)
+              .as("text"))
+        val delta = dedup.Dedup.sigsOf(synth(-10000L, 0L)).localCheckpoint()
+        Seq(rows / 10, rows).foreach { n =>
+          val dir = java.nio.file.Files.createTempDirectory("probe-lsh").toString
+          try {
+            val t0 = System.nanoTime()
+            dedup.Dedup.buildLshIndexFrom(synth(0L, n), dir, nFiles = 32)
+            println(f"lsh build ($n docs): ${(System.nanoTime() - t0) / 1e9}%.2f s")
+            def probe(): Long = {
+              val t = System.nanoTime()
+              val c = dedup.Dedup.neardupDelta(spark, delta, dir).count()
+              println(f"  probe (10k delta vs $n-doc index): " +
+                f"${(System.nanoTime() - t) / 1e9}%.2f s ($c pairs)")
+              c
+            }
+            probe(); probe() // warm + measured
+            val t1 = System.nanoTime()
+            dedup.Dedup.appendToLshIndex(spark, dir, delta)
+            println(f"  append (10k batch into $n-doc index): " +
+              f"${(System.nanoTime() - t1) / 1e9}%.2f s")
+          } finally scala.util.Try(IndexLifecycle.deleteRecursively(dir))
+        }
       case "build" =>
         // R19 item 7: every stage of the corpus build is probed
         // individually (gate/dedup/decontaminate/cumsum/shards — see
