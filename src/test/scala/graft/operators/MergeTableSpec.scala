@@ -105,6 +105,34 @@ class MergeTableSpec extends SparkSpecBase {
       .filter(col("k") === 3L).count())
   }
 
+  test("append inherits standing deletion vectors; a pure-append CDC span is all-I") {
+    import spark.implicits._
+    val dir = tmpDir("mergetab-append-dv")
+    MergeTable.write(spark, table(100), "k", dir, nFiles = 2)
+    // hide rows 1..5 behind a deletion vector (no byte rewrite)
+    MergeTable.deleteKeys(spark, dir, "k", (1L to 5L).map(_.asInstanceOf[Any]))
+    val gDv = MergeTable.committedGen(dir).get
+    assert(MergeTable.readTable(spark, dir).count() == 95)
+    // append new rows: the DV meta must ride forward — appended rows
+    // visible, vector-hidden rows STAY hidden (an append that dropped
+    // the vector pointer would silently resurrect them)
+    MergeTable.append(spark, dir,
+      (200 to 204).map(k => (k.toLong, "new", 0.0)).toDF("k", "seg", "bal"), "k")
+    val after = MergeTable.readTable(spark, dir)
+    assert(after.count() == 100)
+    assert(after.filter(col("k") <= 5L).isEmpty,
+      "append resurrected vector-hidden rows")
+    assert(after.filter(col("k") >= 200L).count() == 5)
+    // the append span's CDC feed: exactly the 5 inserts, nothing else
+    // (the old side is empty, so non-unique keys would also be safe
+    // here — the boundary documented on append)
+    val feed = MergeTable.changesBetween(spark, dir, gDv,
+      MergeTable.committedGen(dir).get, "k")
+      .select("change_op", "k").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(feed.sorted.toSeq == (200L to 204L).map(("I", _)).toSeq,
+      s"pure-append span not all-I: ${feed.toSeq}")
+  }
+
   test("rewriteAll: whole-set transform commits through the log; a racing commit aborts it") {
     import spark.implicits._
     val dir = tmpDir("mergetab-rewrite")
