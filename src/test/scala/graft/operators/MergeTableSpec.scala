@@ -105,6 +105,33 @@ class MergeTableSpec extends SparkSpecBase {
       .filter(col("k") === 3L).count())
   }
 
+  test("append enforces constraints and evolves schema like every other commit") {
+    import spark.implicits._
+    val dir = tmpDir("mergetab-append-gov")
+    MergeTable.write(spark, table(50), "k", dir, nFiles = 1)
+    MergeTable.addCheckConstraint(spark, dir, "bal-positive", "bal > 0")
+    val gen0 = MergeTable.committedGen(dir).get
+    // a violating batch is refused BEFORE the commit — no generation
+    // minted, no rows leaked
+    intercept[IllegalStateException] {
+      MergeTable.append(spark, dir,
+        Seq((500L, "bad", -1.0)).toDF("k", "seg", "bal"), "k")
+    }
+    assert(MergeTable.committedGen(dir).contains(gen0),
+      "a refused append minted a generation")
+    assert(MergeTable.readTable(spark, dir).filter(col("k") === 500L).isEmpty)
+    // schema evolution: a batch with a NEW column appends; carried
+    // files surface it as null under the evolved log schema
+    MergeTable.append(spark, dir,
+      Seq((600L, "ok", 2.0, "extra")).toDF("k", "seg", "bal", "note"), "k")
+    val t = MergeTable.readTable(spark, dir)
+    assert(t.columns.contains("note"))
+    assert(t.filter(col("k") === 600L).select("note").as[String].head() == "extra")
+    assert(t.filter(col("k") === 1L).select("note").isEmpty ||
+      t.filter(col("k") === 1L).select("note").as[String].head() == null,
+      "carried files must surface the evolved column as null")
+  }
+
   test("append inherits standing deletion vectors; a pure-append CDC span is all-I") {
     import spark.implicits._
     val dir = tmpDir("mergetab-append-dv")
