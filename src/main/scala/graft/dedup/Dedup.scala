@@ -897,15 +897,18 @@ object Dedup {
       s.read.parquet(tombstoneDir(indexDir)).distinct()
     else s.range(0).select(col("id").as("doc_id"))
 
-  /** Physically rewrite the index without the tombstoned docs, then
-    * clear the tombstone set. Each table rewrites through
-    * [[graft.operators.MergeTable.rewriteAll]] — write-once staged
-    * files published by the table log's generation CAS, so a crash at
-    * any point leaves tombstones ACTIVE, the staged files
-    * unreferenced, and the vacuum re-runnable; readers resolve a
-    * committed generation throughout (no duplicates window, no
-    * missing-file instant). Maintenance-window cost ∝ index size,
-    * exactly MergeTable.vacuum's posture for the table family.
+  /** Physically rewrite the files holding tombstoned docs, then clear
+    * the tombstone set. Each table rewrites ONLY its affected files
+    * through [[graft.operators.MergeTable.rewriteFiles]] — write-once
+    * staged files published by the table log's generation CAS, every
+    * untouched file carried by reference — so a crash at any point
+    * leaves tombstones ACTIVE, the staged files unreferenced, and the
+    * vacuum re-runnable; readers resolve a committed generation
+    * throughout (no duplicates window, no missing-file instant).
+    * Maintenance-window cost ∝ the files actually holding doomed rows
+    * (takedowns are human-scale), never the index — the ANN family's
+    * affected-cells posture, improved over the pre-r19 layout's
+    * full-table rewrite.
     *
     * The loop structure is the correctness point under RACING
     * appends (the posture the MergeTable migration bought): the
@@ -958,19 +961,27 @@ object Dedup {
     // costs at most one lost rewrite CAS or one lost fence per table)
     while (attempt < 24) {
       attempt += 1
-      // discovery at each table's resolved head: does any tombstoned
-      // row still live there?
+      // discovery at each table's resolved head: WHICH files still
+      // hold a tombstoned row? (manifest `path` values are
+      // input_file_name outputs — statsOf groups by it — so the
+      // discovered names feed rewriteFiles directly.) One narrow
+      // doc_id scan; the rewrite then touches ONLY those files —
+      // takedowns are human-scale, so cost ∝ affected files, never
+      // the index (the ANN family's affected-cells posture).
       val states = tables.map { case (dir, key) =>
         val g = graft.operators.MergeTable.committedGen(dir).getOrElse(
           sys.error(s"$dir is not a committed keyed table"))
-        val dirty = !graft.operators.MergeTable.readTable(s, dir, asOf = Some(g))
-          .join(broadcast(tomb), Seq("doc_id"), "left_semi").isEmpty
+        val dirty = graft.operators.MergeTable.readTable(s, dir, asOf = Some(g))
+          .select(col("doc_id"), input_file_name().as("__lshvac_f"))
+          .join(broadcast(tomb), Seq("doc_id"), "left_semi")
+          .select("__lshvac_f").distinct()
+          .collect().map(_.getString(0)).toIndexedSeq
         (dir, key, g, dirty)
       }
-      if (states.exists(_._4)) {
-        states.filter(_._4).foreach { case (dir, key, _, _) =>
+      if (states.exists(_._4.nonEmpty)) {
+        states.filter(_._4.nonEmpty).foreach { case (dir, key, _, files) =>
           try {
-            graft.operators.MergeTable.rewriteAll(s, dir, key,
+            graft.operators.MergeTable.rewriteFiles(s, dir, key, files,
               df => df.join(broadcast(tomb), Seq("doc_id"), "left_anti"),
               meta = Map("writer" -> "lsh-takedown-vacuum"))
             ()

@@ -509,6 +509,64 @@ trait MergeTableDml { this: MergeTable.type =>
     next
   }
 
+  /** [[rewriteAll]] restricted to a file SUBSET: rewrite
+    * `inputPaths`' visible rows as `transform(them)` and carry every
+    * OTHER live file by reference, bytes untouched — the
+    * affected-files-only takedown/maintenance shape (cost ∝ the files
+    * actually holding the doomed rows, never the table; the ANN
+    * family's affected-cells discipline on the table format). Same
+    * CAS posture as rewriteAll, with one addition: inputs that are no
+    * longer live files of the CURRENT generation (a racing vacuum or
+    * compaction retired them between the caller's discovery and this
+    * call) throw ConcurrentModificationException — semantically a
+    * lost race, so the caller re-discovers against the new head
+    * exactly as for a lost commit. Rewritten files' deletion-vector
+    * entries are pruned like merge's touched files (the replacement
+    * bytes are vector-filtered, so hidden rows materialize out).
+    */
+  def rewriteFiles(s: SparkSession, dir: String, keyCol: String,
+                   inputPaths: Seq[String], transform: DataFrame => DataFrame,
+                   nFiles: Int = 1, meta: Map[String, String] = Map.empty): Int = {
+    require(inputPaths.nonEmpty, "rewriteFiles needs at least one input file")
+    val prevGen = committedGen(dir).getOrElse(
+      sys.error(s"$dir is not a committed keyed table (no commit log)"))
+    val man = manifestAt(s, dir, prevGen)
+    val all = man.select("path").collect().map(_.getString(0)).toIndexedSeq
+    val allNorm = all.map(normPath).toSet
+    if (!inputPaths.forall(p => allNorm.contains(normPath(p))))
+      throw new java.util.ConcurrentModificationException(
+        s"rewriteFiles inputs are not live files of $dir generation $prevGen — " +
+          "a concurrent commit retired them; re-discover and retry")
+    val inNorm = inputPaths.map(normPath).toSet
+    val untouched = all.filterNot(p => inNorm.contains(normPath(p)))
+    val next = prevGen + 1
+    val token = newToken()
+    val staging = dataDirOf(dir, next, token)
+    requireKeysNotNull(
+      transform(readVisible(s, dir, prevGen, inputPaths.toIndexedSeq)), keyCol)
+      .repartitionByRange(math.max(1, nFiles), col(keyCol))
+      .write.parquet(staging)
+    enforceConstraintsStaged(s, dir, staging, Seq(staging), "rewriteFiles")
+    val newStats =
+      if (hasParquetFiles(staging)) statsOf(s, staging, keyCol)
+      else man.filter(lit(false))
+    man.filter(col("path").isin(untouched: _*))
+      .unionByName(newStats, allowMissingColumns = true)
+      .coalesce(1).write.parquet(manifestDirOf(dir, next, token))
+    val dvMeta = dvMetaForCommit(s, dir, prevGen, next, token,
+      inputPaths.toIndexedSeq)
+    try commitGen(dir, next, token, Map("op" -> "rewrite") ++ dvMeta ++ meta ++
+      schemaAt(dir, prevGen).map(sch => Map("schema" -> sch.json)).getOrElse(Map.empty))
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        Seq(staging, manifestDirOf(dir, next, token), s"$dir/${dvNameOf(next, token)}")
+          .foreach(graft.IndexLifecycle.deleteRecursively)
+        throw e
+    }
+    maintainBloomSidecars(s, dir, next, staging)
+    next
+  }
+
   // ---- predicate DML: DELETE WHERE / UPDATE WHERE ----
 
   /** One predicate-DML commit's file triage. `dropped` files left the

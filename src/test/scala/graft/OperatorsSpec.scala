@@ -1074,6 +1074,37 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("dd14 vacuum rewrites only the files holding doomed rows") {
+    import dedup.Dedup
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val path = tmpDir("dd14-prune")
+    Dedup.buildLshIndexFrom(docs.filter(col("doc_id") % 10 < 8), path)
+    // a NARROW takedown: the lowest ids — doc_id-keyed sigs files
+    // outside the band must carry by reference (bands, keyed by the
+    // HASHED bkey, legitimately scatter and may all rewrite)
+    val removed = docs.filter(col("doc_id") % 10 < 8)
+      .orderBy("doc_id").limit(5).select("doc_id").localCheckpoint()
+    val ids = removed.as[Long].collect().toSet
+    def sigsMan() = graft.operators.MergeTable
+      .manifest(spark, s"$path/sigs")
+      .select("path", "min_doc_id", "max_doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val before = sigsMan()
+    val clean = before.filter { case (_, mn, mx) => ids.forall(i => i < mn || i > mx) }
+    assert(clean.nonEmpty, "fixture vacuous: every sigs file intersects the takedown")
+    Dedup.tombstoneDocs(spark, path, removed)
+    assert(Dedup.vacuumLshTombstones(spark, path) == ids.size)
+    val afterPaths = sigsMan().map(_._1).toSet
+    clean.foreach { case (p, _, _) =>
+      assert(afterPaths.contains(p),
+        s"vacuum rewrote a file holding no doomed rows: $p")
+    }
+    // and the doomed rows are gone from the files that WERE rewritten
+    assert(graft.operators.MergeTable.readTable(spark, s"$path/sigs")
+      .filter(col("doc_id").isin(ids.toSeq: _*)).isEmpty)
+  }
+
   test("dd11 maintenance loop: compact folds append fragments, probes unchanged") {
     import dedup.Dedup
     val docs = Tables.documents(spark, sfDir)
