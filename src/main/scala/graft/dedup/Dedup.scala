@@ -741,9 +741,9 @@ object Dedup {
     * (doc_id rows — removed docs) are excluded from the CANDIDATE set
     * before any signature work, via a broadcast anti-join (takedown
     * batches are human-scale: a legal request, not a corpus). The
-    * usual caller reads them from [[tombstonesOf]]'s catalog table;
-    * an explicit frame keeps the probe pure for testing and for
-    * per-tenant policies.
+    * usual caller reads them from [[tombstonesOf]]'s stored set (the
+    * token-named parquet beside the index); an explicit frame keeps
+    * the probe pure for testing and for per-tenant policies.
     */
   def neardupDelta(s: SparkSession, deltaSigs: DataFrame, indexDir: String,
                    tau: Double, tombstones: Option[DataFrame]): DataFrame = {
@@ -839,10 +839,11 @@ object Dedup {
   // effect IMMEDIATELY on the probe path via a broadcast anti-join
   // on the candidate set (no index rewrite on the hot path — a
   // takedown batch is human-scale); (2) [[vacuumLshTombstones]]
-  // physically rewrites both index tables without the tombstoned
-  // docs in the maintenance window (cost ∝ index, preserves the
-  // bucketed layouts), after which the tombstone set is empty and
-  // the probe is byte-identical to an index never containing them.
+  // physically rewrites ONLY the posting files holding the doomed
+  // docs, committed through each table's generation CAS (cost ∝
+  // affected files in the maintenance window), after which the
+  // tombstone set is empty and the probe is byte-identical to an
+  // index never containing them.
   // The corpus row itself is MergeTable's problem (file-pruned
   // DELETE, q65) — this operator owns the derived index state.
 
