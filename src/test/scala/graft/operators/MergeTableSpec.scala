@@ -192,6 +192,36 @@ class MergeTableSpec extends SparkSpecBase {
       .filter(col("n") === 777L).isEmpty)
   }
 
+  test("rewriteFiles: subset rewrite carries the rest by reference; retired inputs are a lost race") {
+    import spark.implicits._
+    val dir = tmpDir("mergetab-rwfiles")
+    MergeTable.write(spark, (1 to 100).map(k => (k.toLong, k.toLong))
+      .toDF("k", "n"), "k", dir, nFiles = 4)
+    val man0 = MergeTable.manifest(spark, dir)
+      .select("path", "min_k", "max_k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val target = man0.minBy(_._2) // the lowest-key file
+    val others = man0.filterNot(_._1 == target._1).map(_._1).toSeq
+    val mt0 = mtimesOf(others)
+    MergeTable.rewriteFiles(spark, dir, "k", Seq(target._1),
+      df => df.filter(col("k") % 2 === 0))
+    // dropped exactly the target file's odd keys; everything else intact
+    val want = (1 to 100).map(_.toLong)
+      .filterNot(k => k >= target._2 && k <= target._3 && k % 2 == 1).sorted
+    assert(MergeTable.readTable(spark, dir).select("k").as[Long]
+      .collect().sorted.toSeq == want)
+    // untouched files carried by reference, bytes untouched
+    val man1 = MergeTable.manifest(spark, dir).collect().map(_.getString(0)).toSet
+    assert(others.forall(man1.contains), "rewriteFiles dropped a carried file")
+    assert(mtimesOf(others) == mt0, "rewriteFiles rewrote carried bytes")
+    // the RETIRED input path is no longer a live file — a caller whose
+    // discovery predates a concurrent commit must read it as a lost
+    // race (re-discover), never as a silent no-op or a wrong rewrite
+    intercept[java.util.ConcurrentModificationException] {
+      MergeTable.rewriteFiles(spark, dir, "k", Seq(target._1), identity)
+    }
+  }
+
   test("null keys are refused at every write gate (they have no row identity)") {
     import spark.implicits._
     val dir = tmpDir("mergetab-nullkey")
