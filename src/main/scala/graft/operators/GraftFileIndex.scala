@@ -28,9 +28,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * e.g. `NOT (k BETWEEN lo AND hi)` skips files wholly inside the
   * band). A closed BETWEEN itself needs no special case: Catalyst
   * desugars it to the `lo <= a AND a <= hi` pair, whose And-split
-  * prunes by interval overlap. IsNotNull/IsNull admit explicitly
-  * (min/max stats carry no null counts, so neither is provable).
-  * Everything else is a no-op, never a wrong answer.
+  * prunes by interval overlap. IsNull/IsNotNull prune through the
+  * manifest's per-file non-null counts (`nn_<c>` vs `n_rows` — the
+  * same stats deleteWhere's all-match proof consumes): `nn == n_rows`
+  * proves the file has no null (IsNull skips), `nn == 0` proves it
+  * has no non-null (IsNotNull skips); a manifest predating the counts
+  * admits both, as ever. Everything else is a no-op, never a wrong
+  * answer.
   */
 final class GraftFileIndex(entries: Seq[GraftFileIndex.Entry])
     extends FileIndex {
@@ -56,16 +60,37 @@ final class GraftFileIndex(entries: Seq[GraftFileIndex.Entry])
 }
 
 object GraftFileIndex {
-  /** One live data file plus its statted-column (min, max) pairs. */
-  final case class Entry(status: FileStatus, stats: Map[String, (Any, Any)])
+  /** One file's skipping evidence: per-column (min, max) bounds over
+    * NON-NULL values, plus the row count and per-column non-null
+    * counts when the manifest carries them (`n_rows` / `nn_<c>` —
+    * absent on pre-r17 manifests, which simply never prove a null
+    * check). Bounds and counts are independent proof systems: bounds
+    * decide comparisons, counts decide null checks, and the two only
+    * meet in EqualNullSafe.
+    */
+  final case class FileStats(bounds: Map[String, (Any, Any)],
+                             nRows: Option[Long] = None,
+                             nonNull: Map[String, Long] = Map.empty)
 
-  private def bound(stats: Map[String, (Any, Any)],
-                    name: String): Option[(Any, Any)] =
-    stats.get(name).filter(t => t._1 != null && t._2 != null)
+  /** One live data file plus its skipping stats. */
+  final case class Entry(status: FileStatus, stats: FileStats)
+
+  private def bound(stats: FileStats, name: String): Option[(Any, Any)] =
+    stats.bounds.get(name).filter(t => t._1 != null && t._2 != null)
+
+  /** Counts PROVE the file holds no null in `name`: its non-null
+    * count equals the file's row count.
+    */
+  private def noNulls(st: FileStats, name: String): Boolean =
+    st.nRows.exists(n => st.nonNull.get(name).contains(n))
+
+  /** Counts PROVE the file holds no non-null value in `name`. */
+  private def noValues(st: FileStats, name: String): Boolean =
+    st.nonNull.get(name).contains(0L)
 
   /** true = the file MAY contain a matching row (keep it). */
   private[operators] def admits(e: Expression,
-                                stats: Map[String, (Any, Any)]): Boolean = e match {
+                                stats: FileStats): Boolean = e match {
     // file-level may-match is compositional: may(l AND r) ⊆ may(l)∧may(r)
     case And(l, r) => admits(l, stats) && admits(r, stats)
     case Or(l, r) => admits(l, stats) || admits(r, stats)
@@ -74,12 +99,12 @@ object GraftFileIndex {
     // null-safe equality: against a non-null literal, <=> is satisfied
     // exactly where = is (a null row is FALSE, not NULL — but FALSE
     // doesn't admit either), so the same bounds proof applies; against
-    // a NULL literal it's satisfied by null rows, which min/max stats
-    // say nothing about — admit
+    // a NULL literal it's satisfied exactly by null rows, so the
+    // non-null counts decide (a file proven null-free skips)
     case EqualNullSafe(a: AttributeReference, Literal(v, _)) =>
-      v == null || mayContain(stats, a.name, v)
+      if (v == null) !noNulls(stats, a.name) else mayContain(stats, a.name, v)
     case EqualNullSafe(Literal(v, _), a: AttributeReference) =>
-      v == null || mayContain(stats, a.name, v)
+      if (v == null) !noNulls(stats, a.name) else mayContain(stats, a.name, v)
     case GreaterThan(a: AttributeReference, Literal(v, _)) =>
       bound(stats, a.name).forall { case (_, mx) => cmp(mx, v).forall(_ > 0) }
     case GreaterThan(Literal(v, _), a: AttributeReference) => // v > a ≡ a < v
@@ -108,12 +133,14 @@ object GraftFileIndex {
           case _ => true
         }
       }
-    // min/max stats carry no null counts: neither "has a non-null"
-    // nor "has a null" is provable, so both null checks admit.
-    // Explicit (not via the default) so Not(IsNotNull(...)) routes
-    // through neverFalse's conservative default instead of looking
-    // like an unhandled shape.
-    case IsNotNull(_) => true
+    // null checks prune through the non-null counts: IsNull is
+    // satisfied only by null rows (skip when nn == n_rows proves
+    // there are none), IsNotNull only by non-null rows (skip when
+    // nn == 0 proves there are none); a manifest without the counts
+    // proves neither and admits — the missing-stats posture
+    case IsNull(a: AttributeReference) => !noNulls(stats, a.name)
+    case IsNotNull(a: AttributeReference) => !noValues(stats, a.name)
+    case IsNotNull(_) => true // null check over a non-column shape: admit
     case IsNull(_) => true
     // Not(e) is satisfied only by rows where e evaluates FALSE
     // (Not(NULL) = NULL, which a filter drops) — skip iff the stats
@@ -133,7 +160,7 @@ object GraftFileIndex {
     * whenever unprovable, which makes the caller ADMIT the file.
     */
   private[operators] def neverFalse(e: Expression,
-                                    stats: Map[String, (Any, Any)]): Boolean = e match {
+                                    stats: FileStats): Boolean = e match {
     case And(l, r) => neverFalse(l, stats) && neverFalse(r, stats) // FALSE iff either side FALSE
     case Or(l, r) => neverFalse(l, stats) || neverFalse(r, stats) // FALSE iff both sides FALSE
     // Not(x) is FALSE iff x is TRUE; admits() over-approximates
@@ -141,6 +168,19 @@ object GraftFileIndex {
     case Not(inner) => !admits(inner, stats)
     case EqualTo(a: AttributeReference, Literal(v, _)) => allEqual(stats, a.name, v)
     case EqualTo(Literal(v, _), a: AttributeReference) => allEqual(stats, a.name, v)
+    // <=> never evaluates NULL, so it is FALSE wherever it isn't TRUE:
+    // against NULL it's TRUE exactly on null rows (neverFalse iff the
+    // file is all-null); against a value it additionally needs the
+    // file null-free (a null row makes <=> FALSE where = made it NULL)
+    case EqualNullSafe(a: AttributeReference, Literal(v, _)) =>
+      if (v == null) noValues(stats, a.name)
+      else allEqual(stats, a.name, v) && noNulls(stats, a.name)
+    case EqualNullSafe(Literal(v, _), a: AttributeReference) =>
+      if (v == null) noValues(stats, a.name)
+      else allEqual(stats, a.name, v) && noNulls(stats, a.name)
+    // IsNull is FALSE exactly on non-null rows; IsNotNull on null rows
+    case IsNull(a: AttributeReference) => noValues(stats, a.name)
+    case IsNotNull(a: AttributeReference) => noNulls(stats, a.name)
     case GreaterThan(a: AttributeReference, Literal(v, _)) => // FALSE iff a <= v
       bound(stats, a.name).exists { case (mn, _) => cmp(mn, v).exists(_ > 0) }
     case GreaterThan(Literal(v, _), a: AttributeReference) => // v > a ≡ a < v
@@ -171,17 +211,16 @@ object GraftFileIndex {
           case _ => false
         }
       }
-    case _ => false // unprovable shape (incl. null checks): admit upstream
+    case _ => false // unprovable shape: admit upstream
   }
 
   /** Stats prove every non-null value equals `v`: min == max == v. */
-  private def allEqual(stats: Map[String, (Any, Any)],
-                       name: String, v: Any): Boolean =
+  private def allEqual(stats: FileStats, name: String, v: Any): Boolean =
     bound(stats, name).exists { case (mn, mx) =>
       cmp(mn, v).contains(0) && cmp(mx, v).contains(0)
     }
 
-  private def mayContain(stats: Map[String, (Any, Any)],
+  private def mayContain(stats: FileStats,
                          name: String, v: Any): Boolean =
     bound(stats, name).forall { case (mn, mx) =>
       cmp(mn, v).forall(_ <= 0) && cmp(mx, v).forall(_ >= 0)

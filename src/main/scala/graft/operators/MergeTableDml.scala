@@ -422,6 +422,19 @@ trait MergeTableDml { this: MergeTable.type =>
              nFiles: Int = 1, meta: Map[String, String] = Map.empty): Int = {
     val prevGen = committedGen(dir).getOrElse(
       sys.error(s"$dir is not a committed keyed table (no commit log)"))
+    // schema evolution admits NEW columns only — a batch re-supplying
+    // an existing column at a DIFFERENT type would commit data files
+    // whose physical type conflicts with the logged schema, so later
+    // explicit-schema reads of the new files fail or misread; refuse
+    // BEFORE staging, the fail-loud half of mergeSchema's contract
+    schemaAt(dir, prevGen).foreach(prev => rows.schema.fields.foreach { f =>
+      prev.fields.find(_.name.equalsIgnoreCase(f.name)).foreach(p =>
+        require(p.dataType == f.dataType,
+          s"append batch re-supplies column '${f.name}' as " +
+            s"${f.dataType.simpleString} but $dir logs it as " +
+            s"${p.dataType.simpleString} — cast the batch (schema " +
+            "evolution adds columns, it never retypes them)"))
+    })
     val next = prevGen + 1
     val token = newToken()
     val staging = dataDirOf(dir, next, token)
@@ -446,11 +459,14 @@ trait MergeTableDml { this: MergeTable.type =>
       .unionByName(newStats, allowMissingColumns = true)
       .coalesce(1).write.parquet(manifestDirOf(dir, next, token))
     // schema-in-log: the logged schema plus any columns the batch adds
-    // (mergeSchema semantics — carried files surface new columns null)
+    // (mergeSchema semantics — carried files surface new columns null,
+    // so an added column is logged NULLABLE regardless of the batch's
+    // own nullability: a non-null field would let Catalyst fold
+    // `IS NULL` over pre-evolution rows to an empty relation)
     val sch = schemaAt(dir, prevGen) match {
       case Some(prev) => org.apache.spark.sql.types.StructType(
         prev.fields ++ rows.schema.fields.filterNot(f =>
-          prev.fieldNames.contains(f.name)))
+          prev.fieldNames.contains(f.name)).map(_.copy(nullable = true)))
       case None => rows.schema
     }
     // deletion-vector state rides forward untouched: appends add

@@ -284,11 +284,15 @@ trait MergeTableLog { this: MergeTable.type =>
     * writes give contiguous lexicographic spans per file).
     *
     * Columns statted: the key (as `min_<key>`/`max_<key>`) plus every
-    * numeric/date/timestamp column — Delta's per-column data-skipping
-    * stats at this layer, consumed by [[scanWhere]]. Non-key string
-    * columns are NOT statted (unbounded text would bloat the
-    * manifest even truncated — a text-valued column's spans prune
-    * nothing anyway).
+    * numeric/date/timestamp/string column — Delta's per-column
+    * data-skipping stats at this layer, consumed by [[scanWhere]] and
+    * [[GraftFileIndex]]. Non-key STRING columns joined the statted
+    * set in r20 so range and StartsWith predicates on tags / uuids /
+    * names prune files (point equality stays the bloom sidecar's
+    * job): the truncation discipline below caps every stored string
+    * stat at [[statsTruncLen]] chars, so a text-valued column costs
+    * the manifest two short bounds per file, never its content.
+    * Binary/array/struct columns stay unstatted (no useful order).
     *
     * String-typed stats (a string KEY — urls, composite names) are
     * TRUNCATED to a [[statsTruncLen]]-char bound (Delta's discipline):
@@ -309,16 +313,19 @@ trait MergeTableLog { this: MergeTable.type =>
     * every NON-NULL value matches but says nothing about null rows —
     * [[deleteWhere]]'s metadata-only drop additionally needs
     * `nn_c == n_rows` to prove the file has no null (hence no
-    * predicate-unknown, hence surviving) row. A manifest predating
-    * this column simply never proves full coverage and falls back to
-    * the rewrite path — sound, just less pruned.
+    * predicate-unknown, hence surviving) row, and (r20) the same two
+    * counts prove IS NULL / IS NOT NULL skips in [[GraftFileIndex]]
+    * and [[scanWhereNull]] (`nn == n_rows` → no nulls, `nn == 0` →
+    * no values). A manifest predating this column simply never proves
+    * full coverage and falls back to the rewrite path — sound, just
+    * less pruned.
     */
   private[operators] def statsOf(s: SparkSession, dataDir: String, keyCol: String): DataFrame = {
     import org.apache.spark.sql.types._
     val df = s.read.parquet(dataDir)
     val statted = df.schema.fields.filter { f =>
       f.name == keyCol || (f.dataType match {
-        case _: NumericType | DateType | TimestampType => true
+        case _: NumericType | DateType | TimestampType | StringType => true
         case _ => false
       })
     }.map(_.name).distinct.toSeq

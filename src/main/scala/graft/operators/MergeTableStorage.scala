@@ -384,12 +384,24 @@ trait MergeTableStorage { this: MergeTable.type =>
     val rows = man.collect()
     if (rows.isEmpty) return readTable(s, dir, asOf)
     val statCols = man.columns.filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSeq
+    // non-null counts feed the index's IsNull/IsNotNull proofs; a
+    // manifest row predating them (pre-nn writer, or unioned across an
+    // evolution with allowMissingColumns) surfaces nulls — dropped
+    // here, so those files admit null checks rather than mis-prove
+    val nnCols = man.columns.filter(_.startsWith("nn_")).map(_.stripPrefix("nn_")).toSeq
+    val hasNRows = man.columns.contains("n_rows")
     val hconf = s.sparkContext.hadoopConfiguration
     val entries = rows.toIndexedSeq.map { r =>
       val p = new org.apache.hadoop.fs.Path(java.net.URI.create(r.getAs[String]("path")))
-      val stats = statCols.map(c =>
+      val bounds = statCols.map(c =>
         c -> ((r.getAs[Any](s"min_$c"), r.getAs[Any](s"max_$c")))).toMap
-      GraftFileIndex.Entry(p.getFileSystem(hconf).getFileStatus(p), stats)
+      val nRows =
+        if (hasNRows) Option(r.getAs[Any]("n_rows")).map(_.asInstanceOf[Long])
+        else None
+      val nn = nnCols.flatMap(c => Option(r.getAs[Any](s"nn_$c"))
+        .map(v => c -> v.asInstanceOf[Long])).toMap
+      GraftFileIndex.Entry(p.getFileSystem(hconf).getFileStatus(p),
+        GraftFileIndex.FileStats(bounds, nRows, nn))
     }
     val gen = asOf.getOrElse(committedGen(dir).get)
     val dataSchema = schemaAt(dir, gen).getOrElse { // pre-schema-log fallback
@@ -468,6 +480,36 @@ trait MergeTableStorage { this: MergeTable.type =>
   def scanRange(s: SparkSession, dir: String, keyCol: String,
                 lo: Any, hi: Any): DataFrame =
     scanWhere(s, dir, keyCol, lo, hi)
+
+  /** Null-check scan: `WHERE c IS NULL` (`wantNull = true`) or
+    * `WHERE c IS NOT NULL` — the quarantine-sweep / pre-evolution-
+    * backfill audit shapes — pruned at the FILE list by the
+    * manifest's non-null counts: `nn_c == n_rows` proves a file
+    * null-free (IS NULL skips it), `nn_c == 0` proves it value-free
+    * (IS NOT NULL skips it) — the same proofs [[readIndexed]] pushes
+    * through GraftFileIndex, exposed as the explicit manifest
+    * consult. Missing counts admit, the residual filter stays.
+    */
+  def scanWhereNull(s: SparkSession, dir: String, colName: String,
+                    wantNull: Boolean): DataFrame = {
+    val man = manifest(s, dir)
+    val nnC = s"nn_$colName"
+    val admit =
+      if (!man.columns.contains(nnC) || !man.columns.contains("n_rows")) lit(true)
+      else if (wantNull)
+        col(nnC).isNull || col("n_rows").isNull || col(nnC) < col("n_rows")
+      else col(nnC).isNull || col(nnC) > 0
+    val paths = man.filter(admit)
+      .select("path").collect().map(_.getString(0)).toIndexedSeq
+    val gen = committedGen(dir).get
+    val residual = if (wantNull) col(colName).isNull else col(colName).isNotNull
+    if (paths.nonEmpty) readVisible(s, dir, gen, paths).filter(residual)
+    else { // every file provably disjoint: empty result, live schema
+      val any = man.select("path").limit(1).collect()
+      if (any.isEmpty) sys.error(s"$dir is empty; no schema for an empty scan")
+      readerFor(s, dir, gen).parquet(any.head.getString(0)).limit(0)
+    }
+  }
 
   /** Incremental-consumer cursor over the commit log: everything that
     * changed since the consumer's `lastSeenGen`, or None when up to

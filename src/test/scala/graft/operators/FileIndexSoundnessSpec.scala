@@ -35,18 +35,25 @@ class FileIndexSoundnessSpec extends SparkSpecBase {
     bound.eval(InternalRow(v)) == true
   }
 
-  private def statsOfRows(name: String, rows: Seq[Any]): Map[String, (Any, Any)] = {
+  /** Stats as statsOf would compute them: non-null (min, max) bounds
+    * plus the row count and non-null count the null-check proofs
+    * (r20) consume.
+    */
+  private def statsOfRows(name: String, rows: Seq[Any]): GraftFileIndex.FileStats = {
     val nonNull = rows.filterNot(_ == null)
-    if (nonNull.isEmpty) Map(name -> ((null, null)))
-    else {
-      val longs = nonNull.collect { case l: java.lang.Long => l.longValue() }
-      if (longs.nonEmpty)
-        Map(name -> ((java.lang.Long.valueOf(longs.min), java.lang.Long.valueOf(longs.max))))
+    val bounds: Map[String, (Any, Any)] =
+      if (nonNull.isEmpty) Map(name -> ((null, null)))
       else {
-        val strs = nonNull.collect { case u: UTF8String => u.toString }
-        Map(name -> ((strs.min, strs.max)))
+        val longs = nonNull.collect { case l: java.lang.Long => l.longValue() }
+        if (longs.nonEmpty)
+          Map(name -> ((java.lang.Long.valueOf(longs.min), java.lang.Long.valueOf(longs.max))))
+        else {
+          val strs = nonNull.collect { case u: UTF8String => u.toString }
+          Map(name -> ((strs.min, strs.max)))
+        }
       }
-    }
+    GraftFileIndex.FileStats(bounds, Some(rows.size.toLong),
+      Map(name -> nonNull.size.toLong))
   }
 
   test("admits == false implies no row satisfies, over randomized files and predicates") {
@@ -60,7 +67,7 @@ class FileIndexSoundnessSpec extends SparkSpecBase {
     }
     def randPred(depth: Int): Expression = {
       val leaf = depth <= 0 || rnd.nextInt(3) == 0
-      if (leaf) rnd.nextInt(9) match {
+      if (leaf) rnd.nextInt(10) match {
         case 0 => val v = lit(randLong())
           if (rnd.nextBoolean()) EqualTo(longAttr, v) else EqualTo(v, longAttr)
         case 1 => val v = lit(randLong())
@@ -76,6 +83,9 @@ class FileIndexSoundnessSpec extends SparkSpecBase {
         case 5 => In(longAttr, Seq.fill(1 + rnd.nextInt(3))(lit(randLong())))
         case 6 => IsNotNull(longAttr)
         case 7 => IsNull(longAttr)
+        case 8 => // null-safe equality against NULL: satisfied by null rows
+          if (rnd.nextBoolean()) EqualNullSafe(longAttr, Literal(null, LongType))
+          else EqualNullSafe(Literal(null, LongType), longAttr)
         case _ => val v = lit(randLong())
           if (rnd.nextBoolean()) EqualNullSafe(longAttr, v)
           else EqualNullSafe(v, longAttr)

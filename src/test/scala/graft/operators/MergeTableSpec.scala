@@ -977,8 +977,9 @@ class MergeTableSpec extends SparkSpecBase {
     val admittedN = scanOf(qn).metrics("numFiles").value
     assert(admittedN == expectedN && expectedN < 8,
       s"NOT-band admitted $admittedN files, manifest proves $expectedN of 8")
-    // IsNotNull rides every pushed filter set and must trivially admit
-    // (min/max carry no null counts) — numFiles stays the band's count
+    // IsNotNull rides every pushed filter set; on a null-free column
+    // it admits every file (nn == n_rows everywhere, so no IsNotNull
+    // skip fires) — numFiles stays the band's count
     val qnn = MergeTable.readIndexed(spark, dir)
       .filter(col("k").isNotNull && col("k") >= 100 && col("k") <= 220)
     assert(qnn.collect().length == 121)
@@ -1266,5 +1267,137 @@ class MergeTableSpec extends SparkSpecBase {
     }
     // the int literal was cast to the column type: the table still
     // reads under the unchanged log schema (exercised by the reads above)
+  }
+
+  test("null checks prune files via the manifest's non-null counts (r20)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec = {
+      def find(p: SparkPlan): Option[FileSourceScanExec] =
+        p.collectFirst { case f: FileSourceScanExec => f }
+          .orElse(p.collectFirst { case a: AdaptiveSparkPlanExec => a }
+            .flatMap(a => find(a.executedPlan)))
+      find(df.queryExecution.executedPlan).getOrElse(
+        fail("no FileSourceScanExec in plan"))
+    }
+    val dir = tmpDir("mergetab-nullskip")
+    // k-ranged layout where v's nullness CLUSTERS with the key: low
+    // files all-null, high files null-free, one boundary file mixed
+    val t = (1 to 600).map { k =>
+      val v = if (k <= 290) null
+        else if (k <= 310 && k % 2 == 0) null
+        else java.lang.Long.valueOf(k * 10L)
+      (k.toLong, v)
+    }.toDF("k", "v")
+    MergeTable.write(spark, t, "k", dir, nFiles = 6)
+    val man = MergeTable.manifest(spark, dir).collect()
+    val mayNull = man.count(r => r.getAs[Long]("nn_v") < r.getAs[Long]("n_rows"))
+    val mayValue = man.count(r => r.getAs[Long]("nn_v") > 0)
+    assert(mayNull < 6 && mayValue < 6,
+      s"fixture must leave both checks provable somewhere ($mayNull/$mayValue of 6)")
+    // IS NULL through Catalyst pushdown: opens only may-null files
+    val qn = MergeTable.readIndexed(spark, dir).filter(col("v").isNull)
+    val nNull = qn.collect().length // execute THIS plan before reading its metric
+    assert(nNull == (1 to 600).count(k => k <= 290 || (k <= 310 && k % 2 == 0)))
+    assert(scanOf(qn).metrics("numFiles").value == mayNull,
+      s"IS NULL admitted ${scanOf(qn).metrics("numFiles").value}, counts prove $mayNull")
+    // IS NOT NULL: opens only may-value files
+    val qv = MergeTable.readIndexed(spark, dir).filter(col("v").isNotNull)
+    val nVal = qv.collect().length
+    assert(nVal == (1 to 600).count(k => k > 310 || (k > 290 && k % 2 == 1)))
+    assert(scanOf(qv).metrics("numFiles").value == mayValue,
+      s"IS NOT NULL admitted ${scanOf(qv).metrics("numFiles").value}, counts prove $mayValue")
+    // null-safe equality against NULL prunes like IS NULL
+    val qns = MergeTable.readIndexed(spark, dir)
+      .filter(col("v") <=> lit(null).cast("long"))
+    assert(qns.collect().length == nNull)
+    assert(scanOf(qns).metrics("numFiles").value == mayNull,
+      "<=> NULL prunes differently from IS NULL")
+    // the explicit manifest-consult scan agrees with pushdown
+    val sn = MergeTable.scanWhereNull(spark, dir, "v", wantNull = true)
+    assert(sn.count() == nNull)
+    assert(sn.inputFiles.length == mayNull,
+      s"scanWhereNull(IS NULL) opened ${sn.inputFiles.length} files, want $mayNull")
+    val sv = MergeTable.scanWhereNull(spark, dir, "v", wantNull = false)
+    assert(sv.count() == nVal)
+    assert(sv.inputFiles.length == mayValue,
+      s"scanWhereNull(IS NOT NULL) opened ${sv.inputFiles.length} files, want $mayValue")
+    // soundness across an evolution: files predating the column carry
+    // NO nn_v stats and must ADMIT both checks (their rows are
+    // all-null under the log schema, reachable only via IS NULL)
+    val dir2 = tmpDir("mergetab-nullskip-evo")
+    MergeTable.write(spark, (1 to 100).map(k => (k.toLong, s"s$k")).toDF("k", "s"),
+      "k", dir2, nFiles = 2)
+    MergeTable.append(spark, dir2,
+      (101 to 200).map(k => (k.toLong, s"s$k", k * 2L)).toDF("k", "s", "v"), "k")
+    val evoNull = MergeTable.readIndexed(spark, dir2).filter(col("v").isNull)
+    assert(evoNull.count() == 100, "pre-evolution all-null rows lost")
+    val evoVal = MergeTable.scanWhereNull(spark, dir2, "v", wantNull = false)
+    assert(evoVal.count() == 100)
+    // a batch RE-supplying an existing column at a different type is
+    // refused before staging (physical type would conflict with the
+    // logged schema on later explicit-schema reads)
+    val retyped = intercept[IllegalArgumentException] {
+      MergeTable.append(spark, dir2,
+        (201 to 210).map(k => (k.toLong, s"s$k", k.toString)).toDF("k", "s", "v"),
+        "k")
+    }
+    assert(retyped.getMessage.contains("re-supplies column 'v'"))
+  }
+
+  test("non-key string columns are statted: StartsWith and ranges prune files (r20)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec = {
+      def find(p: SparkPlan): Option[FileSourceScanExec] =
+        p.collectFirst { case f: FileSourceScanExec => f }
+          .orElse(p.collectFirst { case a: AdaptiveSparkPlanExec => a }
+            .flatMap(a => find(a.executedPlan)))
+      find(df.queryExecution.executedPlan).getOrElse(
+        fail("no FileSourceScanExec in plan"))
+    }
+    val dir = tmpDir("mergetab-strstat")
+    // tag clusters with the key layout (the z-order / ingest-order
+    // case): per-file tag spans are contiguous and prefix-disjoint
+    val t = (1 to 800).map { k =>
+      (k.toLong, f"T${k / 100}%02d-${k % 100}%03d", k * 1.0)
+    }.toDF("k", "tag", "bal")
+    MergeTable.write(spark, t, "k", dir, nFiles = 8)
+    val man = MergeTable.manifest(spark, dir).collect()
+    assert(man.head.schema.fieldNames.contains("min_tag"),
+      "non-key string column not statted")
+    // every stored string stat obeys the truncation cap
+    man.foreach { r =>
+      assert(r.getAs[String]("min_tag").length <= 32 &&
+        r.getAs[String]("max_tag").length <= 32)
+    }
+    // StartsWith pushdown: only files whose [min,max] admits the prefix
+    val qp = MergeTable.readIndexed(spark, dir).filter(col("tag").startsWith("T03-"))
+    assert(qp.collect().length == (1 to 800).count(_ / 100 == 3))
+    val admittedP = scanOf(qp).metrics("numFiles").value
+    assert(admittedP < 8, s"StartsWith failed to prune: $admittedP/8 files")
+    // string range band through the explicit manifest consult
+    val sb = MergeTable.scanWhere(spark, dir, "tag", "T02-000", "T02-999")
+    assert(sb.count() == (1 to 800).count(_ / 100 == 2))
+    assert(sb.inputFiles.length < 8,
+      s"string band failed to prune: ${sb.inputFiles.length}/8 files")
+    // equality pushdown on the string column prunes too
+    val qe = MergeTable.readIndexed(spark, dir).filter(col("tag") === "T05-050")
+    assert(qe.collect().length == 1)
+    assert(scanOf(qe).metrics("numFiles").value < 8)
+    // truncation soundness: values LONGER than the cap still land in
+    // files the widened bounds admit (min = prefix lower bound, max =
+    // incremented-prefix upper bound)
+    val dirL = tmpDir("mergetab-strstat-long")
+    val long = (1 to 200).map { k =>
+      (k.toLong, f"U${k / 50}%02d-" + ("x" * 60) + f"-${k % 50}%03d")
+    }.toDF("k", "tag")
+    MergeTable.write(spark, long, "k", dirL, nFiles = 4)
+    val qlong = MergeTable.readIndexed(spark, dirL)
+      .filter(col("tag").startsWith("U02-"))
+    assert(qlong.count() == (1 to 200).count(_ / 50 == 2),
+      "truncated bounds lost rows under StartsWith")
   }
 }
