@@ -15,13 +15,20 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * over a keyed table.
   *
   * The maintained aggregates are count + named SUMs (avg derives as
-  * sum/count downstream). These are the self-maintainable aggregates:
-  * insert adds, delete retracts, update retracts the pre-image and
-  * adds the post-image — which is exactly why [[applyDelta]] demands
-  * the `preImages = true` CDC shape (`U_pre`/`U_post`); a post-only
-  * feed cannot retract what it never saw. min/max are deliberately
-  * out of scope: a deleted extremum forces a re-read of the group,
-  * which is no longer "incremental" (the standard IVM limitation).
+  * sum/count downstream) plus, since r20, named MIN/MAX. Count/sum
+  * are self-maintainable: insert adds, delete retracts, update
+  * retracts the pre-image and adds the post-image — which is exactly
+  * why [[applyDelta]] demands the `preImages = true` CDC shape
+  * (`U_pre`/`U_post`); a post-only feed cannot retract what it never
+  * saw. min/max are NOT self-maintainable (deleting the extremum
+  * can't be folded from the delta — the standard IVM limitation), so
+  * they ride the OTHER mechanism refresh already has: the affected
+  * groups are re-read anyway (broadcast semi-join on the delta's
+  * group keys), and [[applyDeltaWithSource]] recomputes min/max for
+  * exactly those groups from the SOURCE rows — cost stays ∝ delta +
+  * affected groups, never the base table, and `max(event_ts)`
+  * freshness views (the single most common real view) become
+  * maintainable.
   *
   * Exactness: each sum also maintains its non-null contribution
   * count, so a group whose inputs are all NULL reports SQL's NULL
@@ -48,26 +55,35 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object IncrementalView {
 
   /** View definition: group columns plus named sum expressions (SQL
-    * expression strings over the base table's columns). `count(*)` is
-    * always maintained as `mv_count`; each sum `name -> exprSql`
-    * surfaces as column `name` with its non-null contribution count
-    * in `__nn_name`.
+    * expression strings over the base table's columns), and optional
+    * named min/max expressions (r20). `count(*)` is always maintained
+    * as `mv_count`; each sum `name -> exprSql` surfaces as column
+    * `name` with its non-null contribution count in `__nn_name`; each
+    * min/max surfaces as column `name` (maintained by affected-group
+    * recomputation — see the object scaladoc).
     */
-  final case class ViewSpec(groupCols: Seq[String], sums: Seq[(String, String)]) {
+  final case class ViewSpec(groupCols: Seq[String], sums: Seq[(String, String)],
+                            mins: Seq[(String, String)] = Nil,
+                            maxs: Seq[(String, String)] = Nil) {
     require(groupCols.nonEmpty, "a view needs at least one group column")
-    require(sums.map(_._1).distinct.size == sums.size,
-      s"duplicate sum names in ${sums.map(_._1).mkString(",")}")
-    // the spec round-trips through the store's commit meta (one
-    // `mv_sums` line, entries ';'-joined) so refresh needs no
+    private val aggNames = (sums ++ mins ++ maxs).map(_._1)
+    require(aggNames.distinct.size == aggNames.size,
+      s"duplicate aggregate names in ${aggNames.mkString(",")}")
+    // the spec round-trips through the store's commit meta (one line
+    // per family, entries ';'-joined) so refresh needs no
     // re-declaration — names stay identifiers, exprs single-line
-    sums.foreach { case (n, e) =>
+    (sums ++ mins ++ maxs).foreach { case (n, e) =>
       require(n.matches("[A-Za-z_][A-Za-z0-9_]*"),
-        s"sum name '$n' must be an identifier")
+        s"aggregate name '$n' must be an identifier")
       require(!e.exists(c => c == ';' || c == '\n' || c == '\r'),
-        s"sum expression '$e' must be single-line without ';'")
+        s"aggregate expression '$e' must be single-line without ';'")
     }
     groupCols.foreach(c => require(!c.exists(ch => ch == ',' || ch == '\n'),
       s"group column '$c' must not contain ',' or newlines"))
+    /** The extremum columns in stable order: mins then maxs. */
+    def extremes: Seq[(String, String, Boolean)] =
+      mins.map { case (n, e) => (n, e, true) } ++
+        maxs.map { case (n, e) => (n, e, false) }
   }
 
   private def nn(name: String) = s"__nn_$name"
@@ -94,9 +110,11 @@ object IncrementalView {
     */
   def compute(table: DataFrame, spec: ViewSpec): DataFrame = {
     assertExactSumTypes(table, spec)
-    val aggs = count(lit(1L)).as("mv_count") +:
+    val aggs = (count(lit(1L)).as("mv_count") +:
       spec.sums.flatMap { case (n, e) =>
-        Seq(sum(expr(e)).as(n), count(expr(e)).as(nn(n))) }
+        Seq(sum(expr(e)).as(n), count(expr(e)).as(nn(n))) }) ++
+      spec.extremes.map { case (n, e, isMin) =>
+        (if (isMin) min(expr(e)) else max(expr(e))).as(n) }
     table.groupBy(spec.groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -120,6 +138,10 @@ object IncrementalView {
     * legitimately contains U+0001).
     */
   def applyDelta(state: DataFrame, changes: DataFrame, spec: ViewSpec): DataFrame = {
+    require(spec.mins.isEmpty && spec.maxs.isEmpty,
+      "applyDelta maintains counts and sums only — min/max retraction " +
+        "cannot fold from the delta alone; use applyDeltaWithSource " +
+        "(or refresh, which supplies the source rows)")
     assertExactSumTypes(changes, spec)
     val w = when(col("change_op").isin("I", "U_post"), lit(1L))
       .when(col("change_op").isin("D", "U_pre"), lit(-1L))
@@ -159,6 +181,47 @@ object IncrementalView {
     joined.select(outCols: _*).filter(col("mv_count") > 0)
   }
 
+  /** [[applyDelta]] for specs carrying min/max aggregates: counts and
+    * sums fold from the delta exactly as there; min/max are
+    * RECOMPUTED for the affected groups from `source` (the base table
+    * at the delta's END generation), restricted by a broadcast
+    * semi-join on the delta's group keys — a deleted extremum cannot
+    * be folded back from the delta, but the affected groups' source
+    * rows decide it exactly. Unaffected groups keep their state
+    * extremes untouched. Cost: ∝ |delta| + affected groups' source
+    * rows (file-pruned where the source clusters on the group
+    * dimension), never the base table.
+    */
+  def applyDeltaWithSource(state: DataFrame, changes: DataFrame, spec: ViewSpec,
+                           source: DataFrame): DataFrame = {
+    val exts = spec.extremes
+    if (exts.isEmpty) return applyDelta(state, changes, spec)
+    val folded = applyDelta(state.drop(exts.map(_._1): _*), changes,
+      spec.copy(mins = Nil, maxs = Nil))
+    val deltaKeys = changes.select(keyExpr(spec).as("__gk")).distinct()
+    val aggs = exts.map { case (n, e, isMin) =>
+      (if (isMin) min(expr(e)) else max(expr(e))).as(s"__x_$n") }
+    val recomputed = source.join(broadcast(deltaKeys),
+        keyExpr(spec) === col("__gk"), "left_semi")
+      .groupBy(spec.groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(keyExpr(spec).as("__gk") +: exts.map(t => col(s"__x_${t._1}")): _*)
+    val oldExt = state.select(keyExpr(spec).as("__gk") +:
+      exts.map(t => col(t._1).as(s"__o_${t._1}")): _*)
+    // stitch on the null-safe encoded key: affected groups (flagged by
+    // the delta-key join) take the recomputed extremum — which is
+    // legitimately NULL when the group's inputs are all null — the
+    // rest carry the state's value; both side frames are group-count-
+    // sized (recomputed: affected groups; oldExt: the state, which the
+    // persisted path already restricts to affected groups)
+    folded.withColumn("__gk", keyExpr(spec))
+      .join(broadcast(deltaKeys.withColumn("__aff", lit(true))), Seq("__gk"), "left")
+      .join(oldExt, Seq("__gk"), "left")
+      .join(broadcast(recomputed), Seq("__gk"), "left")
+      .select(folded.columns.map(col) ++ exts.map { case (n, _, _) =>
+        when(col("__aff"), col(s"__x_$n")).otherwise(col(s"__o_$n")).as(n) }: _*)
+  }
+
   // ---- persisted views (state = its own MergeTable) ----
 
   /** Composite group key for the backing store: group values joined on
@@ -174,7 +237,9 @@ object IncrementalView {
     "mv_src_gen" -> srcGen.toString,
     "mv_src_key" -> srcKeyCol,
     "mv_group" -> spec.groupCols.mkString(","),
-    "mv_sums" -> spec.sums.map { case (n, e) => s"$n=$e" }.mkString(";"))
+    "mv_sums" -> spec.sums.map { case (n, e) => s"$n=$e" }.mkString(";"),
+    "mv_mins" -> spec.mins.map { case (n, e) => s"$n=$e" }.mkString(";"),
+    "mv_maxs" -> spec.maxs.map { case (n, e) => s"$n=$e" }.mkString(";"))
 
   /** The view's consumer id in the SOURCE's CDC-horizon registry: a
     * persisted view IS an incremental consumer — its refresh replays
@@ -291,7 +356,10 @@ object IncrementalView {
     // refresh with the explicit spec still works on such a store.
     val sums = m.getOrElse("mv_sums", sys.error(
       s"$mvDir commit meta lacks mv_sums — refresh with an explicit ViewSpec"))
-    ViewSpec(grp, parseSums(sums))
+    // pre-r20 stores have no mins/maxs keys: they simply maintain none
+    ViewSpec(grp, parseSums(sums),
+      m.get("mv_mins").map(parseSums).getOrElse(Nil),
+      m.get("mv_maxs").map(parseSums).getOrElse(Nil))
   }
 
   /** An explicit spec must MATCH the persisted view definition when
@@ -304,13 +372,17 @@ object IncrementalView {
     val m = srcMetaMap(mvDir)
     (m.get("mv_group"), m.get("mv_sums")) match {
       case (Some(grp), Some(sums)) =>
-        val persisted = ViewSpec(grp.split(",").toSeq, parseSums(sums))
-        require(persisted.groupCols == spec.groupCols && persisted.sums == spec.sums,
+        val persisted = ViewSpec(grp.split(",").toSeq, parseSums(sums),
+          m.get("mv_mins").map(parseSums).getOrElse(Nil),
+          m.get("mv_maxs").map(parseSums).getOrElse(Nil))
+        def render(v: ViewSpec) =
+          s"group=[${v.groupCols.mkString(",")}] " +
+            s"sums=[${v.sums.map { case (n, e) => s"$n=$e" }.mkString(";")}] " +
+            s"mins=[${v.mins.map { case (n, e) => s"$n=$e" }.mkString(";")}] " +
+            s"maxs=[${v.maxs.map { case (n, e) => s"$n=$e" }.mkString(";")}]"
+        require(persisted == spec,
           s"spec for $mvDir does not match the persisted view definition " +
-            s"(persisted: group=[${persisted.groupCols.mkString(",")}] " +
-            s"sums=[${persisted.sums.map { case (n, e) => s"$n=$e" }.mkString(";")}]; " +
-            s"passed: group=[${spec.groupCols.mkString(",")}] " +
-            s"sums=[${spec.sums.map { case (n, e) => s"$n=$e" }.mkString(";")}]) — " +
+            s"(persisted: ${render(persisted)}; passed: ${render(spec)}) — " +
             "use specOf(mvDir), or re-materialize to change the definition")
       case _ => () // pre-meta store: caller owns spec fidelity
     }
@@ -371,7 +443,14 @@ object IncrementalView {
     val deltaKeys = changes.select(keyExpr(spec).as("__gk")).distinct()
     val stateAff = state.join(broadcast(deltaKeys),
       col(keyColName) === col("__gk"), "left_semi")
-    val newAff = applyDelta(stateAff.drop(keyColName), changes, spec)
+    // min/max specs route through the source-assisted fold: the base
+    // table AT THE SPAN'S END generation decides the affected groups'
+    // extremes (the state here is already affected-groups-only, so
+    // every output row takes the recomputed branch)
+    val newAff = (if (spec.extremes.isEmpty)
+        applyDelta(stateAff.drop(keyColName), changes, spec)
+      else applyDeltaWithSource(stateAff.drop(keyColName), changes, spec,
+        MergeTable.readTable(s, srcDir, asOf = Some(newSrcGen))))
       .withColumn(keyColName, keyExpr(spec))
     // delete-then-insert per affected group: same-key D+I in one merge
     // generation nets to an exact replace (no coalesce-keeps-old-value

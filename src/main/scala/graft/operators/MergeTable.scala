@@ -339,6 +339,33 @@ object MergeTable
       .orderBy("seg")
   }
 
+  /** q76: IVM with MIN/MAX under the gate (r20) — q69's per-seg view
+    * extended with min(bal)/max(bal), advanced through the merge's
+    * pre-image delta. min/max cannot fold from the delta (the merge
+    * DELETES rows, some of them group extremes — retraction forces a
+    * re-read), so [[IncrementalView.applyDeltaWithSource]] recomputes
+    * the extremes for exactly the AFFECTED groups from the source at
+    * the span's end generation while counts/sums still fold; the
+    * oracle recomputes everything declaratively over the merged CTEs,
+    * so a stitch that loses a retracted max, leaks an unaffected
+    * group's stale extreme, or mis-scopes the recompute fails the
+    * hash.
+    */
+  val q76_mv_minmax: Q = (s, d) => {
+    val dir = mergedFixture(s, d, "mvminmax")
+    val spec = IncrementalView.ViewSpec(Seq("seg"),
+      Seq("cents" -> "cast(round(bal * 100) as decimal(38,0))"),
+      mins = Seq("min_bal" -> "bal"),
+      maxs = Seq("max_bal" -> "bal"))
+    val base = IncrementalView.compute(readTable(s, dir, asOf = Some(0)), spec)
+    val delta = changesBetween(s, dir, 0, 1, "k", preImages = true)
+    IncrementalView.applyDeltaWithSource(base, delta, spec, readTable(s, dir))
+      .select(col("seg"), col("mv_count").as("cnt"),
+        (col("cents").cast("double") / 100).as("sum_bal"),
+        r2(col("min_bal")).as("min_bal"), r2(col("max_bal")).as("max_bal"))
+      .orderBy("seg")
+  }
+
   /** q70: Bloom-sidecar POINT LOOKUP under the gate — equality probe
     * on a high-cardinality column (md5 of the name: deterministic,
     * reproducible in DuckDB, and uncorrelated with the key layout, so
@@ -532,6 +559,7 @@ object MergeTable
     "q67_restore" -> q67_restore,
     "q68_clone" -> q68_clone,
     "q69_incremental_mv" -> q69_incremental_mv,
+    "q76_mv_minmax" -> q76_mv_minmax,
     "q70_bloom_lookup" -> q70_bloom_lookup,
     "q71_dropcol_merge" -> q71_dropcol_merge,
     "q72_reclustered_read" -> q72_reclustered_read,
@@ -622,6 +650,29 @@ object MergeTable
         |  UNION ALL
         |  SELECT k, seg, bal FROM ins)
         |SELECT seg, count(*) AS cnt, sum(round(bal * 100)) / 100 AS sum_bal
+        |FROM merged GROUP BY seg ORDER BY seg""".stripMargin,
+    // q69's CTEs with min/max added: the source-assisted maintenance
+    // (fold counts/sums, recompute affected groups' extremes) must
+    // equal the declarative recomputation
+    "q76_mv_minmax" ->
+      """WITH t AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+        |           FROM customer),
+        |mx AS (SELECT max(c_custkey) AS m FROM customer),
+        |upd AS (SELECT k, 'WEB' AS u_seg, bal + 100 AS u_bal
+        |        FROM t, mx WHERE k * 8 <= m AND k % 5 = 0 AND k % 7 <> 0),
+        |del AS (SELECT k FROM t, mx WHERE k * 8 <= m AND k % 7 = 0),
+        |ins AS (SELECT k + 10000000 AS k, seg, bal
+        |        FROM t, mx WHERE k * 8 <= m AND k % 5 = 1),
+        |merged AS (
+        |  SELECT t.k, coalesce(u.u_seg, t.seg) AS seg,
+        |    coalesce(u.u_bal, t.bal) AS bal
+        |  FROM t LEFT JOIN upd u USING (k)
+        |  WHERE t.k NOT IN (SELECT k FROM del)
+        |  UNION ALL
+        |  SELECT k, seg, bal FROM ins)
+        |SELECT seg, count(*) AS cnt, sum(round(bal * 100)) / 100 AS sum_bal,
+        |  round(min(bal) * 100) / 100 AS min_bal,
+        |  round(max(bal) * 100) / 100 AS max_bal
         |FROM merged GROUP BY seg ORDER BY seg""".stripMargin,
     // the declarative needle filter — the bloom-pruned read must
     // surface exactly the matching row(s)

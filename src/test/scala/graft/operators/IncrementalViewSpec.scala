@@ -175,6 +175,65 @@ class IncrementalViewSpec extends SparkSpecBase {
     assert(rowsOf(MergeTable.readTable(spark, mv).drop(IncrementalView.keyColName)) == before)
   }
 
+
+  test("min/max views: affected groups recompute, retraction of the extremum re-reads (r20)") {
+    val dir = tmpDir("ivmminmax")
+    val mv = tmpDir("ivmminmax-mv")
+    MergeTable.write(spark, table(400), "k", dir, nFiles = 4)
+    val mmSpec = IncrementalView.ViewSpec(Seq("seg"),
+      Seq("sb" -> "cast(bal as decimal(28,6))"),
+      mins = Seq("lo" -> "bal"), maxs = Seq("hi" -> "bal"))
+    def rowsMm(df: DataFrame): Seq[(String, Long, Option[Double], Option[Double])] =
+      df.select(col("seg"), col("mv_count"), col("lo"), col("hi"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        .toSeq.sortBy(r => Option(r._1).getOrElse(""))
+    IncrementalView.materialize(spark, dir, "k", mv, mmSpec)
+    // the persisted spec round-trips mins/maxs through the commit meta
+    assert(IncrementalView.specOf(mv) == mmSpec)
+    // delete seg0's MAX (k=400, bal=600.0): the fold alone cannot know
+    // the new max — refresh must re-read the group's source rows
+    MergeTable.merge(spark, dir,
+      Seq((400L, "D", null, 0.0)).toDF("k", "op", "seg", "bal"), "k")
+    assert(IncrementalView.refresh(spark, dir, mv).contains(1))
+    val got1 = rowsMm(MergeTable.readTable(spark, mv))
+    assert(got1 == rowsMm(
+      IncrementalView.compute(MergeTable.readTable(spark, dir), mmSpec)),
+      "post-retraction view diverges from recompute")
+    val seg0 = got1.find(_._1 == "seg0").get
+    assert(seg0._4.contains(594.0), s"retracted max not re-read: $seg0")
+    // UNAFFECTED groups carried their extremes (no recompute touched
+    // them): seg1's max is k=397 → 595.5
+    assert(got1.find(_._1 == "seg1").get._4.contains(595.5))
+    // inserts extend extremes; updates retract-and-assert through the
+    // same source recompute; all groups still equal recomputation
+    MergeTable.merge(spark, dir, Seq(
+      (900L, "I", "seg1", 9999.0), (3L, "U", "seg3", -1.0))
+      .toDF("k", "op", "seg", "bal"), "k")
+    assert(IncrementalView.refresh(spark, dir, mv).contains(2))
+    val got2 = rowsMm(MergeTable.readTable(spark, mv))
+    assert(got2 == rowsMm(
+      IncrementalView.compute(MergeTable.readTable(spark, dir), mmSpec)))
+    assert(got2.find(_._1 == "seg1").get._4.contains(9999.0))
+    assert(got2.find(_._1 == "seg3").get._3.contains(-1.0))
+    // idempotence: nothing pending, view unchanged
+    assert(IncrementalView.refresh(spark, dir, mv).isEmpty)
+    assert(rowsMm(MergeTable.readTable(spark, mv)) == got2)
+    // the delta-only entry point refuses min/max specs loudly
+    val e = intercept[IllegalArgumentException] {
+      IncrementalView.applyDelta(
+        MergeTable.readTable(spark, mv).drop(IncrementalView.keyColName),
+        MergeTable.changesBetween(spark, dir, 0, 1, "k", preImages = true),
+        mmSpec)
+    }
+    assert(e.getMessage.contains("applyDeltaWithSource"))
+    // a mismatched extremes spec is refused like a mismatched sum
+    intercept[IllegalArgumentException] {
+      IncrementalView.refresh(spark, dir, mv, mmSpec.copy(maxs = Nil))
+    }
+  }
+
   test("property: maintained state tracks recomputation under random generation sequences") {
     val rnd = new scala.util.Random(42)
     val groups = Seq(Some("g0"), Some("g1"), Some("g2"), None)
