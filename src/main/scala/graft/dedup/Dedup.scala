@@ -892,24 +892,40 @@ object Dedup {
     } finally graft.IndexLifecycle.deleteRecursively(stage.toString)
   }
 
-  /** The current tombstone set (empty frame when none recorded). */
+  /** The current tombstone set (empty frame when none recorded).
+    * Reads with ignoreMissingFiles: a racing vacuum's clear deletes
+    * part files between this scan's listing and its execution, and a
+    * governed probe must see the post-clear set (docs the vacuum just
+    * made physical), not crash on the window — wrong-failure, never
+    * wrong-result either way, since a cleared tombstone's absence is
+    * exactly what the clear published.
+    */
   def tombstonesOf(s: SparkSession, indexDir: String): DataFrame =
     if (hasTombstones(indexDir))
-      s.read.parquet(tombstoneDir(indexDir)).distinct()
+      s.read.option("ignoreMissingFiles", "true")
+        .parquet(tombstoneDir(indexDir)).distinct()
     else s.range(0).select(col("id").as("doc_id"))
 
-  /** Physically rewrite the files holding tombstoned docs, then clear
-    * the tombstone set. Each table rewrites ONLY its affected files
-    * through [[graft.operators.MergeTable.rewriteFiles]] — write-once
-    * staged files published by the table log's generation CAS, every
-    * untouched file carried by reference — so a crash at any point
-    * leaves tombstones ACTIVE, the staged files unreferenced, and the
-    * vacuum re-runnable; readers resolve a committed generation
-    * throughout (no duplicates window, no missing-file instant).
-    * Maintenance-window cost ∝ the files actually holding doomed rows
-    * (takedowns are human-scale), never the index — the ANN family's
-    * affected-cells posture, improved over the pre-r19 layout's
-    * full-table rewrite.
+  /** Purge tombstoned docs from both posting tables, then clear the
+    * tombstone set. Each table takes the purge shape its LAYOUT
+    * affords (r20): sigs is doc_id-keyed, so doomed rows cluster and
+    * [[graft.operators.MergeTable.rewriteFiles]] physically rewrites
+    * only the affected files (write-once staged files published by
+    * the generation CAS, untouched files carried by reference); bands
+    * is keyed by the hashed bkey, so doomed doc_ids SCATTER — a
+    * physical rewrite's dirty set approaches every file — and the
+    * purge is instead a positional deletion-vector commit
+    * ([[graft.operators.MergeTable.deleteKeys]] locating by the
+    * non-key doc_id column): metadata cost ∝ the batch, zero bands
+    * files rewritten, the vector drains physically at the next
+    * compact. Either way a crash at any point leaves tombstones
+    * ACTIVE, staged artifacts unreferenced, and the vacuum
+    * re-runnable; readers resolve a committed generation throughout
+    * (no duplicates window, no missing-file instant), and a
+    * post-vacuum probe is byte-equivalent to an index never
+    * containing the docs (bands rows hide behind the vector on every
+    * read path). Maintenance-window cost ∝ the takedown, never the
+    * index.
     *
     * The loop structure is the correctness point under RACING
     * appends (the posture the MergeTable migration bought): the
@@ -944,8 +960,15 @@ object Dedup {
       if (!hasTombstones(indexDir)) {
         val ls = Files.list(tombRoot)
         try ls.iterator().asScala
-          .filter(p => Files.isRegularFile(p) &&
-            !p.getFileName.toString.endsWith(".parquet"))
+          .filter { p =>
+            val name = p.getFileName.toString
+            Files.isRegularFile(p) && !name.endsWith(".parquet") &&
+              // another writer's PRIVATE staging file (tombstoneDocs
+              // stages `.takedown-<token>.staging` here before its
+              // atomic publish move) — sweeping it would crash the
+              // racing registration's ATOMIC_MOVE
+              !(name.startsWith(".takedown-") && name.endsWith(".staging"))
+          }
           .foreach(Files.deleteIfExists(_))
         finally ls.close()
         scala.util.Try(Files.delete(tombRoot)) // rmdir: only when truly empty
@@ -956,49 +979,68 @@ object Dedup {
       .distinct().localCheckpoint()
     val n = tomb.count()
     if (n == 0) { clearSnapshot(); return 0L } // zero-row debris only
-    val tables = Seq(s"$indexDir/sigs" -> "doc_id", s"$indexDir/bands" -> "bkey")
+    val sigsDir = s"$indexDir/sigs"
+    val bandsDir = s"$indexDir/bands"
     var attempt = 0
     // bound generous enough for a burst of racing appenders (each
     // costs at most one lost rewrite CAS or one lost fence per table)
     while (attempt < 24) {
       attempt += 1
-      // discovery at each table's resolved head: WHICH files still
-      // hold a tombstoned row? (manifest `path` values are
-      // input_file_name outputs — statsOf groups by it — so the
-      // discovered names feed rewriteFiles directly.) One narrow
-      // doc_id scan; the rewrite then touches ONLY those files —
-      // takedowns are human-scale, so cost ∝ affected files, never
-      // the index (the ANN family's affected-cells posture).
-      val states = tables.map { case (dir, key) =>
-        val g = graft.operators.MergeTable.committedGen(dir).getOrElse(
-          sys.error(s"$dir is not a committed keyed table"))
-        val dirty = graft.operators.MergeTable.readTable(s, dir, asOf = Some(g))
-          .select(col("doc_id"), input_file_name().as("__lshvac_f"))
-          .join(broadcast(tomb), Seq("doc_id"), "left_semi")
-          .select("__lshvac_f").distinct()
-          .collect().map(_.getString(0)).toIndexedSeq
-        (dir, key, g, dirty)
-      }
-      if (states.exists(_._4.nonEmpty)) {
-        states.filter(_._4.nonEmpty).foreach { case (dir, key, _, files) =>
-          try {
-            graft.operators.MergeTable.rewriteFiles(s, dir, key, files,
-              df => df.join(broadcast(tomb), Seq("doc_id"), "left_anti"),
-              meta = Map("writer" -> "lsh-takedown-vacuum"))
-            ()
-          } catch { // lost to a racing commit: re-discover and retry
-            case _: java.util.ConcurrentModificationException => ()
-          }
+      // SIGS (doc_id-keyed — doomed rows cluster in few files):
+      // discovery at the resolved head names WHICH files still hold a
+      // tombstoned row (manifest `path` values are input_file_name
+      // outputs — statsOf groups by it — so the discovered names feed
+      // rewriteFiles directly), then the rewrite touches ONLY those
+      // files — takedowns are human-scale, so cost ∝ affected files
+      // (the ANN family's affected-cells posture).
+      val gSigs = graft.operators.MergeTable.committedGen(sigsDir).getOrElse(
+        sys.error(s"$sigsDir is not a committed keyed table"))
+      val dirtySigs = graft.operators.MergeTable.readTable(s, sigsDir, asOf = Some(gSigs))
+        .select(col("doc_id"), input_file_name().as("__lshvac_f"))
+        .join(broadcast(tomb), Seq("doc_id"), "left_semi")
+        .select("__lshvac_f").distinct()
+        .collect().map(_.getString(0)).toIndexedSeq
+      // BANDS (keyed by the HASHED bkey — doomed doc_ids scatter, so a
+      // physical rewrite's dirty set approaches EVERY file, the r19
+      // honest boundary): the purge is a positional deletion-vector
+      // commit instead, located by the NON-key doc_id column — one
+      // narrow column scan, write cost ∝ batch, zero data files
+      // rewritten; the standing vector drains physically at the next
+      // MergeTable.compact (the index's existing maintenance tick),
+      // exactly q75's scattered-key shape. Readers see through the
+      // vector immediately, so "clean" below means LOGICALLY clean —
+      // a probe is already byte-equivalent to a never-containing index.
+      val bandsClean =
+        try {
+          val st = graft.operators.MergeTable.deleteKeys(s, bandsDir, "doc_id", tomb)
+          if (st.touched.isEmpty) Some(st.gen) else None // hid rows: re-verify next pass
+        } catch { // lost the vector commit's CAS: re-discover and retry
+          case _: java.util.ConcurrentModificationException => None
         }
-      } else {
-        // nothing of THIS snapshot lives at the discovered heads — the
-        // fences pin "discovered" and "now" to the same generations
-        val fenced = states.forall { case (dir, _, g, _) =>
-          graft.operators.MergeTable.commitCarryForwardFenced(dir, g,
-            Map("op" -> "takedown-fence"))
+      if (dirtySigs.nonEmpty) {
+        try {
+          graft.operators.MergeTable.rewriteFiles(s, sigsDir, "doc_id", dirtySigs,
+            df => df.join(broadcast(tomb), Seq("doc_id"), "left_anti"),
+            meta = Map("writer" -> "lsh-takedown-vacuum"))
+          ()
+        } catch { // lost to a racing commit: re-discover and retry
+          case _: java.util.ConcurrentModificationException => ()
         }
-        if (fenced) { clearSnapshot(); return n }
+      } else bandsClean match {
+        case Some(gBands) =>
+          // nothing of THIS snapshot visible at the discovered heads —
+          // the fences pin "discovered" and "now" to the same
+          // generations (an append that committed a still-tombstoned
+          // id since bumps a generation, fails its fence, and is
+          // re-discovered instead of resurrected)
+          val fenced =
+            graft.operators.MergeTable.commitCarryForwardFenced(sigsDir, gSigs,
+              Map("op" -> "takedown-fence")) &&
+            graft.operators.MergeTable.commitCarryForwardFenced(bandsDir, gBands,
+              Map("op" -> "takedown-fence"))
+          if (fenced) { clearSnapshot(); return n }
         // a fence lost: something committed since discovery — re-check
+        case None => ()
       }
     }
     sys.error(s"takedown vacuum lost to concurrent commits $attempt times: $indexDir")

@@ -222,6 +222,17 @@ trait MergeTableDeltas { this: MergeTable.type =>
     * never re-enter it, so segments stay disjoint and `dv_rows`
     * additive. Returns MergeStats(gen, files that gained vector
     * entries, rest); a batch hitting nothing commits nothing.
+    *
+    * `keyCol` may be ANY column, not just the table's merge key
+    * (r20): row identity here is positional (`_metadata`), so the
+    * locate column only drives candidate pruning and hit matching —
+    * "delete every row whose doc_id is doomed" on a table KEYED by
+    * something else is exactly the LSH bands takedown (the doomed ids
+    * scatter under the hashed key, so a rewrite would touch every
+    * file while this commits O(batch) vector rows). An UNSTATTED
+    * locate column admits every file as candidate — still one narrow
+    * column scan, never a rewrite. Duplicate matches are fine (a
+    * non-unique locate column hides every matching position).
     */
   def deleteKeys(s: SparkSession, dir: String, keyCol: String,
                  keys: DataFrame): MergeStats = {
@@ -254,9 +265,15 @@ trait MergeTableDeltas { this: MergeTable.type =>
     }
     // manifest path rides under a reserved alias: the TABLE's key may
     // itself be named 'path', and a bare select("path") after the
-    // range join would be ambiguous
-    val ranges = man.select(col("path").as("__mf_path"),
-      col(s"min_$keyCol").as("__mn"), col(s"max_$keyCol").as("__mx"))
+    // range join would be ambiguous; an unstatted locate column
+    // yields all-null bounds → every file admits (null-admits, like
+    // every stats consumer)
+    val ranges =
+      if (man.columns.contains(s"min_$keyCol"))
+        man.select(col("path").as("__mf_path"),
+          col(s"min_$keyCol").as("__mn"), col(s"max_$keyCol").as("__mx"))
+      else man.select(col("path").as("__mf_path"),
+        lit(null).as("__mn"), lit(null).as("__mx"))
     // null-admits like every stats consumer (merge's touched logic)
     val cands = keyDf.join(broadcast(ranges),
         (col("__mn").isNull || col(keyCol) >= col("__mn")) &&

@@ -1105,6 +1105,67 @@ class OperatorsSpec extends SparkSpecBase {
       .filter(col("doc_id").isin(ids.toSeq: _*)).isEmpty)
   }
 
+  test("dd14 vacuum: bands purge is a metadata commit, zero files rewritten; compact drains it (r20)") {
+    import dedup.Dedup
+    import java.nio.file.{Files, Path}
+    val docs = Tables.documents(spark, sfDir)
+    val base = docs.filter(col("doc_id") % 10 < 8)
+    val path = tmpDir("dd14-bandsdv")
+    Dedup.buildLshIndexFrom(base, path)
+    val removed = base.filter(col("doc_id") % 7 === 0).select("doc_id")
+      .localCheckpoint()
+    val bandsDir = s"$path/bands"
+    def bandsPaths() = graft.operators.MergeTable.manifest(spark, bandsDir)
+      .select("path").collect().map(_.getString(0)).toSet
+    val before = bandsPaths()
+    val mtimes = before.map(p => p -> Files.getLastModifiedTime(
+      Path.of(java.net.URI.create(p))).toMillis).toMap
+    Dedup.tombstoneDocs(spark, path, removed)
+    assert(Dedup.vacuumLshTombstones(spark, path) == removed.count())
+    // ZERO bands files rewritten: same live file set, bytes untouched
+    // (doomed doc_ids scatter under the hashed bkey — a rewrite here
+    // would have touched ~every file; the purge is a deletion-vector
+    // commit instead)
+    val after = bandsPaths()
+    assert(after == before, "bands takedown rewrote files")
+    after.foreach { p =>
+      assert(Files.getLastModifiedTime(Path.of(java.net.URI.create(p))).toMillis
+        == mtimes(p), s"bands file bytes touched: $p")
+    }
+    val gAfter = graft.operators.MergeTable.committedGen(bandsDir).get
+    assert(graft.operators.MergeTable.dvInfo(bandsDir, gAfter).isDefined,
+      "bands takedown did not commit a deletion vector")
+    // the standing vector covers exactly the doomed rows: reads hide
+    // them, raw bytes still carry them until the maintenance compact
+    assert(graft.operators.MergeTable.readTable(spark, bandsDir)
+      .join(removed, Seq("doc_id"), "left_semi").isEmpty,
+      "vector failed to hide doomed bands rows")
+    val rawHas = spark.read.parquet(after.toSeq: _*)
+      .join(removed, Seq("doc_id"), "left_semi").count()
+    assert(rawHas > 0, "fixture vacuous: no doomed row ever lived in bands")
+    // compact IS the physical drain: vector cleared, bytes purged
+    graft.operators.MergeTable.compact(spark, bandsDir, "bkey",
+      targetRows = 1000000L)
+    val gC = graft.operators.MergeTable.committedGen(bandsDir).get
+    assert(graft.operators.MergeTable.dvInfo(bandsDir, gC).isEmpty,
+      "compact did not materialize the vector out")
+    val liveAfterCompact = bandsPaths()
+    assert(spark.read.parquet(liveAfterCompact.toSeq: _*)
+      .join(removed, Seq("doc_id"), "left_semi").isEmpty,
+      "doomed rows survive in post-compact bytes")
+    // a racing registration's PRIVATE staging file survives the
+    // vacuum's debris sweep (only published tombstones are cleared)
+    Dedup.tombstoneDocs(spark, path,
+      base.orderBy("doc_id").limit(1).select("doc_id"))
+    val tombRoot = Path.of(s"$path/tombstones")
+    val staged = tombRoot.resolve(".takedown-racer.staging")
+    Files.write(staged, Array[Byte](1, 2, 3))
+    assert(Dedup.vacuumLshTombstones(spark, path) == 1L)
+    assert(Files.exists(staged),
+      "vacuum swept another writer's in-flight staging file")
+    Files.delete(staged)
+  }
+
   test("dd11 maintenance loop: compact folds append fragments, probes unchanged") {
     import dedup.Dedup
     val docs = Tables.documents(spark, sfDir)

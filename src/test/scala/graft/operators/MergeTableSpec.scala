@@ -1400,4 +1400,35 @@ class MergeTableSpec extends SparkSpecBase {
     assert(qlong.count() == (1 to 200).count(_ / 50 == 2),
       "truncated bounds lost rows under StartsWith")
   }
+
+  test("readTable's manifest-path memo: warm reads skip the manifest job, never stale (r20)") {
+    import spark.implicits._
+    val dir = tmpDir("mergetab-memo")
+    MergeTable.write(spark, (1 to 100).map(k => (k.toLong, k * 2L)).toDF("k", "v"),
+      "k", dir, nFiles = 4)
+    assert(MergeTable.readTable(spark, dir).count() == 100)
+    // warm read: same committed generation resolves the memoized path
+    // list (content identical)
+    assert(MergeTable.readTable(spark, dir).count() == 100)
+    // a NEW COMMIT changes the generation, so the memo misses by key
+    // and the read reflects the append
+    MergeTable.append(spark, dir,
+      (101 to 120).map(k => (k.toLong, k * 2L)).toDF("k", "v"), "k")
+    assert(MergeTable.readTable(spark, dir).count() == 120,
+      "stale memo served a pre-append path list")
+    // a deletion-vector commit is also a new generation; hidden rows
+    // disappear through the memoized resolution too
+    MergeTable.deleteKeys(spark, dir, "k", Seq(5L, 6L, 7L))
+    assert(MergeTable.readTable(spark, dir).count() == 117)
+    // time travel through the memo: the old generation's list is
+    // keyed separately and still resolves
+    assert(MergeTable.readTable(spark, dir, asOf = Some(0)).count() == 100)
+    // RE-CREATING the table mints a fresh gen-0 token: the old
+    // (dir, 0, token) entry can't alias the new table
+    MergeTable.write(spark, (1 to 7).map(k => (k.toLong, k * 3L)).toDF("k", "v"),
+      "k", dir, nFiles = 2)
+    assert(MergeTable.readTable(spark, dir).count() == 7,
+      "memo aliased a re-created table's generation 0")
+    assert(MergeTable.readTable(spark, dir, asOf = Some(0)).count() == 7)
+  }
 }
