@@ -442,7 +442,8 @@ object GraftCLI {
   }
 
   private val indexUsage: String =
-    "usage: GraftCLI index stats <indexDir> | compact <indexDir> [minFiles] | " +
+    "usage: GraftCLI index stats <indexDir> | rebuild <indexDir> [nCells] | " +
+      "compact <indexDir> [minFiles] | " +
       "vacuum <indexDir> | tombstone <indexDir> <id1,id2,…> | " +
       "sweep <indexDir> [graceSec]"
 
@@ -482,7 +483,7 @@ object GraftCLI {
               (if (skew >= floor)
                 Seq(f"REBUILD-RECOMMENDED: cell skew $skew%.1fx >= $floor%.1fx floor — " +
                   "appended distribution has drifted from the trained centroids; " +
-                  "rebuild via buildIvfIndex (probes stay live, commit is CAS'd)")
+                  "run `index rebuild` (probes stay live, commit is CAS'd)")
               else
                 Seq(f"skew under the $floor%.1fx rebuild floor — no action needed"))
           }
@@ -490,6 +491,23 @@ object GraftCLI {
         (genLine +: occ) :+
           (if (tombs == 0) "no live tombstones"
            else s"$tombs live tombstone(s) governing probes — run vacuum")
+      case ("rebuild", dir :: more) =>
+        // the REBUILD-RECOMMENDED flag's remedy as a command (stats
+        // renders the verdict; this closes the loop): retrain + swap
+        // from the index's own vectors under the manifest CAS with
+        // the entry-generation fence — probes stay live throughout,
+        // a concurrent mutation aborts the swap loudly
+        val nCells = more.headOption.map(intArg(_, "rebuild [nCells]")).getOrElse(0)
+        Similarity.rebuildIvfIndex(spark, dir, nCells)
+        val cells = Similarity.ivfCellStats(spark, dir)
+          .collect().map(r => (r.getInt(0), r.getLong(1)))
+        val total = cells.map(_._2).sum
+        val skew =
+          if (cells.isEmpty) 0.0
+          else cells.map(_._2).max * cells.length / math.max(1.0, total.toDouble)
+        Seq(s"rebuilt $dir: ${cells.length} cells retrained over $total vectors",
+          f"cell skew now $skew%.1fx mean (rebuild floor " +
+            f"${Similarity.IvfRebuildSkewFloor}%.1fx)")
       case ("compact", dir :: more) =>
         val minFiles = more.headOption.map(intArg(_, "minFiles")).getOrElse(2)
         val folds = Similarity.compactIvfCells(spark, dir, minFiles)

@@ -458,6 +458,35 @@ object Similarity {
     */
   def buildIvfIndex(s: SparkSession, d: String, indexDir: String,
                     nCells: Int = 10, iters: Int = 3, sampleMod: Int = 4): Unit = {
+    val startHead = graft.operators.IndexManifest.head(indexDir)
+    buildIvfIndexFrom(s, vecs(s, d).select("vec_id", "v", "nrm"),
+      indexDir, nCells, iters, sampleMod, startHead)
+  }
+
+  /** Retrain + swap IN PLACE from the index's OWN stored vectors —
+    * the remedy `index stats`' REBUILD-RECOMMENDED flag names, as a
+    * single operation needing no corpus dir (the layout stores the
+    * raw vectors precisely so full-fidelity rebuilds stay local to
+    * the index). `nCells = 0` keeps the current cell count. Same
+    * fence as [[buildIvfIndex]]: any commit landing during the
+    * retrain aborts the swap loudly. Tombstones are ORTHOGONAL and
+    * survive the rebuild: the doomed vectors relocate with everything
+    * else, probes stay governed by the same anti-join, and vacuum
+    * remains the physical purge (rebuild is layout maintenance, not
+    * governance).
+    */
+  def rebuildIvfIndex(s: SparkSession, indexDir: String, nCells: Int = 0,
+                      iters: Int = 3, sampleMod: Int = 4): Unit = {
+    val startHead = graft.operators.IndexManifest.head(indexDir)
+    val k = if (nCells > 0) nCells else loadCentroids(s, indexDir, startHead).length
+    buildIvfIndexFrom(s,
+      indexVectorsPinned(s, indexDir, startHead, None).select("vec_id", "v", "nrm"),
+      indexDir, k, iters, sampleMod, startHead)
+  }
+
+  private def buildIvfIndexFrom(s: SparkSession, e: DataFrame, indexDir: String,
+                                nCells: Int, iters: Int, sampleMod: Int,
+                                startHead: Option[graft.operators.IndexManifest.Head]): Unit = {
     // rebuilds FENCE on their entry generation: a batch appended
     // while new centroids/codebooks are being trained carries
     // assignments from the OLD ones — under the new routing its
@@ -467,8 +496,6 @@ object Similarity {
     // mixed index. (The reverse race — a rebuild landing mid-append —
     // is closed on the append side: it re-encodes when the trained
     // pointer moved.)
-    val startHead = graft.operators.IndexManifest.head(indexDir)
-    val e = vecs(s, d).select("vec_id", "v", "nrm")
     val cents = trainCentroids(e, nCells, iters, sampleMod)
     val books = trainPqBooksOf(e)
     import s.implicits._

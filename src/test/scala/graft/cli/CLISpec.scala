@@ -428,8 +428,25 @@ class CLISpec extends SparkSpecBase {
     assert(flag.isDefined, drifted.mkString("\n"))
     // the flag carries the threshold and the remedy — an operator
     // acting on stats output alone has everything needed
-    assert(flag.get.contains(">= 4.0x floor") && flag.get.contains("buildIvfIndex"),
+    assert(flag.get.contains(">= 4.0x floor") && flag.get.contains("index rebuild"),
       flag.get)
+    // the remedy IS a command (r20): rebuild retrains from the
+    // index's own vectors, swaps under the CAS, and the flag clears
+    val probeBefore = Similarity.indexVectors(spark, dir).count()
+    val reb = GraftCLI.index(spark, "rebuild", List(dir))
+    assert(reb.head.startsWith("rebuilt"), reb.mkString("\n"))
+    val after = GraftCLI.index(spark, "stats", List(dir))
+    assert(!after.exists(_.contains("REBUILD-RECOMMENDED")),
+      after.mkString("\n"))
+    // probes answer through the NEW generation: every vector
+    // (original + drifted appends) survived the retrain-and-swap
+    assert(Similarity.indexVectors(spark, dir).count() == probeBefore,
+      "rebuild lost vectors")
+    val q1 = Similarity.indexVectors(spark, dir)
+      .filter(col("vec_id") === 10000L)
+      .select(col("vec_id").as("q_id"), col("v").as("va"), col("nrm").as("na"))
+    val probed = Similarity.probeIvf(spark, dir, q1, nProbe = 3, k = 5)
+    assert(probed.count() == 5, "post-rebuild probe returned no neighbors")
   }
 
   test("run_sample --update: bounded-state top-N path writes the same file") {
