@@ -511,7 +511,9 @@ object Bench {
     // fails the build when the worst-case line crowds it
     val sfShort = sfDir.split('/').lastOption.getOrElse(sfDir)
     println(assembleLine(
-      s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","batch":${fmt(batchSecs, 1)},"batch_min":${fmt(batchMinSecs, 1)},"reps":$reps,"calib":${fmt(calibMed, if (calibMed >= 9.995) 1 else 2)},"queries":$qs,""",
+      s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec",""",
+      s""""batch":${fmt(batchSecs, 1)},"batch_min":${fmt(batchMinSecs, 1)},"reps":$reps,"calib":${fmt(calibMed, if (calibMed >= 9.995) 1 else 2)},""",
+      s""""queries":$qs,""",
       errShorts, contendedFinal.map(shortKey), healShorts,
       thrJson, thrBestJson, sfShort))
     System.out.flush()
@@ -635,20 +637,26 @@ object Bench {
     * count-only `contended_n` form; (2) `rps_best` drops (the
     * per-stage contention ratio then lives only in BENCH_DETAIL);
     * (3) `rps` drops too; (4) the `healed` count drops; (5) the
-    * contended count drops. `errors` and the per-query rows are NEVER
-    * shed — a failed row must stay visible in the parsed record, and
-    * the rows ARE the record — and everything shed is in
-    * BENCH_DETAIL.json verbatim. BenchKeysSpec drives the ladder on
-    * the synthetic worst case, so registry growth fails the build
-    * only when even the fully-shed line cannot fit.
+    * contended count drops; (6) the bench-internal diagnostics
+    * (`batch`/`batch_min`/`reps`/`calib` — the r20 rung, added when
+    * the 143-row registry left the old fully-shed line exactly at the
+    * window edge) drop last. The CONTRACT fields
+    * (metric/value/unit/queries/sf) and `errors` are NEVER shed — a
+    * failed row must stay visible in the parsed record, and the rows
+    * ARE the record — and everything shed is in BENCH_DETAIL.json
+    * verbatim. BenchKeysSpec drives the ladder on the synthetic worst
+    * case, so registry growth fails the build only when even the
+    * fully-shed line cannot fit.
     */
-  private[graft] def assembleLine(prefix: String, errShorts: String,
+  private[graft] def assembleLine(prefix: String, diag: String, queriesField: String,
+      errShorts: String,
       contendedShorts: Seq[String], healShorts: String,
       rps: String, rpsBest: String, sfShort: String,
-      budget: Int = 1920): String = {
-    def mk(cont: String, heal: String, withRps: Boolean,
+      budget: Int = 1900): String = {
+    def mk(withDiag: Boolean, cont: String, heal: String, withRps: Boolean,
            withBest: Boolean): String =
-      prefix + errShorts + cont + heal +
+      prefix + (if (withDiag) diag else "") + queriesField + errShorts +
+        cont + heal +
         (if (withRps) "\"rps\":" + rps +
           (if (withBest) ",\"rps_best\":" + rpsBest else "") + ","
          else "") +
@@ -657,16 +665,18 @@ object Bench {
     // `contended_n` spelling whether the collapse happens at cap
     // time or under budget pressure
     val countCont = contendedField(contendedShorts, cap = 0)
-    // eager Seq on purpose: all six candidate strings are a few KB
+    // eager Seq on purpose: all seven candidate strings are a few KB
     // built once per run — a lazy chain would imply a cost that isn't
     // there and hide that rungs.last is always safe to take
     val rungs: Seq[String] = Seq(
-      mk(contendedField(contendedShorts), healShorts, withRps = true, withBest = true),
-      mk(countCont, healShorts, withRps = true, withBest = true),
-      mk(countCont, healShorts, withRps = true, withBest = false),
-      mk(countCont, healShorts, withRps = false, withBest = false),
-      mk(countCont, "", withRps = false, withBest = false),
-      mk("", "", withRps = false, withBest = false))
+      mk(withDiag = true, contendedField(contendedShorts), healShorts,
+        withRps = true, withBest = true),
+      mk(withDiag = true, countCont, healShorts, withRps = true, withBest = true),
+      mk(withDiag = true, countCont, healShorts, withRps = true, withBest = false),
+      mk(withDiag = true, countCont, healShorts, withRps = false, withBest = false),
+      mk(withDiag = true, countCont, "", withRps = false, withBest = false),
+      mk(withDiag = true, "", "", withRps = false, withBest = false),
+      mk(withDiag = false, "", "", withRps = false, withBest = false))
     rungs.find(_.length <= budget).getOrElse(rungs.last)
   }
 

@@ -48,6 +48,10 @@ import org.apache.spark.sql.functions._
   *                              store on MergeTable: append must stay
   *                              ~flat (batch + manifest sized), probe
   *                              grows only with the index SCAN
+  *   ScaleProbe dd11bulk [_ [sfDir]] — the registered dd11 row's
+  *                              bulk 20%-corpus replay: shipped SMJ
+  *                              vs raised broadcast threshold vs an
+  *                              explicit delta-broadcast hint
   *   ScaleProbe build [docs] — the CLI `build` capstone end to end
   *                              (raw documents → committed curated
   *                              shards) at 1× and 10×: the composed
@@ -423,6 +427,60 @@ object ScaleProbe {
               f"${(System.nanoTime() - t1) / 1e9}%.2f s")
           } finally scala.util.Try(IndexLifecycle.deleteRecursively(dir))
         }
+      case "dd11bulk" =>
+        // R20 item 7 (verdict): the REGISTERED dd11 row replays a
+        // 20%-corpus delta against the posting store — a bulk
+        // rebuild-shaped batch whose band join degrades to the
+        // 2-exchange sort-merge (the ingest loop's human-scale batches
+        // broadcast; this row deliberately measures the bulk shape).
+        // Question: does letting the delta's band keys broadcast (a
+        // higher threshold, or an explicit hint) recover the r18
+        // level, or is the SMJ optimal for this shape? Counts must
+        // agree across variants.
+        val sfDir = args.lift(2).getOrElse("/root/testdata/sf0.1")
+        val idx = java.nio.file.Files.createTempDirectory("probe-dd11bulk").toString
+        try {
+          dedup.Dedup.buildLshIndex(spark, sfDir, idx)
+          val delta = dedup.Dedup.sigsOf(Tables.documents(spark, sfDir)
+            .filter(col("doc_id") % dedup.Dedup.deltaMod >= dedup.Dedup.deltaFrom))
+            .localCheckpoint()
+          def rep(label: String)(body: => Long): Long = {
+            var n = 0L
+            (1 to 3).foreach { i =>
+              val t0 = System.nanoTime()
+              n = body
+              println(f"  $label rep $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n pairs)")
+            }
+            n
+          }
+          val a = rep("shipped (default threshold)") {
+            dedup.Dedup.neardupDelta(spark, delta, idx).count()
+          }
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "67108864")
+          val b = rep("threshold 64m") {
+            dedup.Dedup.neardupDelta(spark, delta, idx).count()
+          }
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+          // explicit hint: the inline dd11 join shape with the delta
+          // side force-broadcast — the upper bound a planner change
+          // could buy (NOT shippable unconditionally: a corpus-scale
+          // delta force-broadcast OOMs the executors at 100 TB)
+          val c = rep("explicit broadcast hint") {
+            val cand = broadcast(dedup.Dedup.bandKeysOf(delta).toDF("delta_id", "bkey"))
+              .join(graft.operators.MergeTable.readTable(spark, s"$idx/bands")
+                .select(col("doc_id").as("base_id"), col("bkey")), Seq("bkey"))
+              .select("delta_id", "base_id").distinct()
+            val baseSigs = graft.operators.MergeTable.readTable(spark, s"$idx/sigs")
+              .select(col("doc_id").as("base_id"), col("sig").as("base_sig"))
+            cand.join(baseSigs, Seq("base_id"))
+              .join(delta.toDF("delta_id", "delta_sig"), Seq("delta_id"))
+              .select(col("delta_id"), col("base_id"),
+                (round(dedup.Dedup.estJaccard(col("delta_sig"), col("base_sig")) * 10000) / 10000)
+                  .as("est_jacc"))
+              .filter(col("est_jacc") >= 0.5).count()
+          }
+          require(a == b && b == c, s"variant counts diverged: $a / $b / $c")
+        } finally scala.util.Try(IndexLifecycle.deleteRecursively(idx))
       case "build" =>
         // R19 item 7: every stage of the corpus build is probed
         // individually (gate/dedup/decontaminate/cumsum/shards — see

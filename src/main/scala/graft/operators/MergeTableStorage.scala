@@ -368,18 +368,26 @@ trait MergeTableStorage { this: MergeTable.type =>
 
   private[operators] def livePathsAt(s: SparkSession, dir: String,
                                      gen: Int): IndexedSeq[String] = {
-    val token = metaAt(dir, gen).getOrElse("token",
-      sys.error(s"commit-log entry for generation $gen of $dir lacks a token"))
     if (manifestPathMemo.size > 512) manifestPathMemo.clear()
-    val key = (dir, gen, token)
-    val hit = manifestPathMemo.get(key)
-    if (hit != null && java.nio.file.Files.exists(
-        java.nio.file.Path.of(manifestDirOf(dir, gen, token)))) hit
-    else {
-      val fresh = manifestAt(s, dir, gen).select("path")
-        .collect().map(_.getString(0)).toIndexedSeq
-      manifestPathMemo.put(key, fresh)
-      fresh
+    metaAt(dir, gen).get("token") match {
+      case Some(token) =>
+        val key = (dir, gen, token)
+        val hit = manifestPathMemo.get(key)
+        if (hit != null && java.nio.file.Files.exists(
+            java.nio.file.Path.of(manifestDirOf(dir, gen, token)))) hit
+        else {
+          val fresh = manifestAt(s, dir, gen).select("path")
+            .collect().map(_.getString(0)).toIndexedSeq
+          manifestPathMemo.put(key, fresh)
+          fresh
+        }
+      case None =>
+        // no commit-log entry: NOT a committed generation (an asOf
+        // past the head, or a crashed writer's orphan dirs) —
+        // manifestAt raises the canonical uncommitted/vacuumed
+        // diagnostics instead of a bare missing-token error
+        manifestAt(s, dir, gen).select("path")
+          .collect().map(_.getString(0)).toIndexedSeq
     }
   }
 

@@ -55,9 +55,12 @@ class BenchKeysSpec extends AnyFunSuite {
     // the budget, so the ladder — not line-construction luck — is what
     // guarantees the fit; a clean run under pressure sheds rps_best,
     // which lives verbatim in BENCH_DETAIL.json)
-    val cleanPrefix = s"""{"metric":"total","value":9999.9,"unit":"sec","batch":9999.9,"batch_min":9999.9,"reps":99,"calib":99.9,"queries":$qs,"""
+    val cleanPrefix = """{"metric":"total","value":9999.9,"unit":"sec","""
+    val diag = """"batch":9999.9,"batch_min":9999.9,"reps":99,"calib":99.9,"""
+    val queriesField = s""""queries":$qs,"""
     val cleanRps = "[999999,999999,999999,999999]"
-    val clean = Bench.assembleLine(cleanPrefix, "", Nil, "", cleanRps, cleanRps, "sf0.1")
+    val clean = Bench.assembleLine(cleanPrefix, diag, queriesField,
+      "", Nil, "", cleanRps, cleanRps, "sf0.1")
     assert(clean.length + sbtTrailer < 2000,
       s"worst-case clean line + trailer ${clean.length + sbtTrailer} chars crowds the 2000-char parse window")
     // DEGRADED worst case goes through the emit path itself:
@@ -70,9 +73,9 @@ class BenchKeysSpec extends AnyFunSuite {
     val longest5 = Bench.allBenchKeys.map(Bench.shortKey)
       .sortBy(-_.length).take(5)
     val errWorst = Bench.cappedField("errors", longest5)
-    val prefix = s"""{"metric":"total","value":9999.9,"unit":"sec","batch":9999.9,"batch_min":9999.9,"reps":99,"calib":99.9,"queries":$qs,"""
     val rps = "[999999,999999,999999,999999]"
-    val degraded = Bench.assembleLine(prefix, errWorst, longest5,
+    val degraded = Bench.assembleLine(cleanPrefix, diag, queriesField,
+      errWorst, longest5,
       """"healed":134,""", rps, rps, "sf0.1")
     assert(degraded.length + sbtTrailer < 2000,
       s"degraded bench line + trailer ${degraded.length + sbtTrailer} chars crowds the parse window")
@@ -136,9 +139,11 @@ class BenchKeysSpec extends AnyFunSuite {
   }
 
   test("assembleLine sheds diagnostics only under pressure, errors never") {
-    val prefix = """{"metric":"total","value":1.0,"unit":"sec","queries":{},"""
+    val prefix = """{"metric":"total","value":1.0,"unit":"sec","""
+    val diag = """"batch":1.0,"calib":1.0,"""
     val rps = "[1,2]"
-    def line(budget: Int) = Bench.assembleLine(prefix, """"errors":["x"],""",
+    def line(budget: Int) = Bench.assembleLine(prefix, diag,
+      """"queries":{},""", """"errors":["x"],""",
       Seq("a", "b"), """"healed":2,""", rps, rps, "sf", budget)
     // roomy budget: named contended + rps_best both present
     val full = line(2000)
@@ -151,8 +156,13 @@ class BenchKeysSpec extends AnyFunSuite {
     val shed2 = line(shed1.length - 1)
     assert(!shed2.contains("rps_best") && shed2.contains(""""rps":[1,2]"""))
     assert(shed2.contains(""""errors":["x"]""") && shed2.contains(""""healed":2"""))
+    // the last rung (r20) drops the bench-internal diagnostics but
+    // never the contract fields or errors
+    val shed3 = line(1)
+    assert(!shed3.contains(""""batch""""), shed3)
+    assert(shed3.contains(""""queries"""") && shed3.contains(""""errors":["x"]"""))
     // every rung is valid JSON shape: one object, balanced braces
-    Seq(full, shed1, shed2).foreach { l =>
+    Seq(full, shed1, shed2, shed3).foreach { l =>
       assert(l.startsWith("{") && l.endsWith("}") &&
         l.count(_ == '{') == l.count(_ == '}'), l)
     }
