@@ -453,6 +453,10 @@ object ScaleProbe {
             }
             n
           }
+          // save the session's ACTUAL threshold: variants a and c must
+          // run at the same (shipped) setting, whatever it is, and the
+          // probe must not leave the session mutated
+          val threshold0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
           val a = rep("shipped (default threshold)") {
             dedup.Dedup.neardupDelta(spark, delta, idx).count()
           }
@@ -460,7 +464,7 @@ object ScaleProbe {
           val b = rep("threshold 64m") {
             dedup.Dedup.neardupDelta(spark, delta, idx).count()
           }
-          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold0)
           // explicit hint: the inline dd11 join shape with the delta
           // side force-broadcast — the upper bound a planner change
           // could buy (NOT shippable unconditionally: a corpus-scale

@@ -473,7 +473,7 @@ object GraftCLI {
           else {
             val total = cells.map(_._2).sum
             val mx = cells.maxBy(_._2)
-            val skew = mx._2 * cells.length / math.max(1.0, total.toDouble)
+            val skew = Similarity.cellSkewOf(cells.toSeq)
             val floor = Similarity.IvfRebuildSkewFloor
             Seq(s"${cells.length} cells, $total vectors",
               f"cell skew: max ${mx._2} in cell ${mx._1} ($skew%.1fx mean)") ++
@@ -502,9 +502,7 @@ object GraftCLI {
         val cells = Similarity.ivfCellStats(spark, dir)
           .collect().map(r => (r.getInt(0), r.getLong(1)))
         val total = cells.map(_._2).sum
-        val skew =
-          if (cells.isEmpty) 0.0
-          else cells.map(_._2).max * cells.length / math.max(1.0, total.toDouble)
+        val skew = Similarity.cellSkewOf(cells.toSeq)
         Seq(s"rebuilt $dir: ${cells.length} cells retrained over $total vectors",
           f"cell skew now $skew%.1fx mean (rebuild floor " +
             f"${Similarity.IvfRebuildSkewFloor}%.1fx)")

@@ -975,7 +975,12 @@ object Dedup {
         ()
       }
     }
-    val tomb = s.read.parquet(tombFiles.map(_.toString): _*)
+    // ignoreMissingFiles like tombstonesOf: a racing vacuum's clear
+    // can delete part files between this pass's listing and its read —
+    // surviving files still read, an emptied snapshot falls into the
+    // n == 0 no-op below instead of crashing on the window
+    val tomb = s.read.option("ignoreMissingFiles", "true")
+      .parquet(tombFiles.map(_.toString): _*)
       .distinct().localCheckpoint()
     val n = tomb.count()
     if (n == 0) { clearSnapshot(); return 0L } // zero-row debris only

@@ -463,10 +463,15 @@ trait MergeTableDml { this: MergeTable.type =>
     // so an added column is logged NULLABLE regardless of the batch's
     // own nullability: a non-null field would let Catalyst fold
     // `IS NULL` over pre-evolution rows to an empty relation)
+    // case-INSENSITIVE existence test, matching the type guard above:
+    // a case-variant of an existing column must be treated as THAT
+    // column, not logged as a duplicate that poisons every later read
+    // under Spark's case-insensitive analysis
     val sch = schemaAt(dir, prevGen) match {
       case Some(prev) => org.apache.spark.sql.types.StructType(
         prev.fields ++ rows.schema.fields.filterNot(f =>
-          prev.fieldNames.contains(f.name)).map(_.copy(nullable = true)))
+          prev.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+          .map(_.copy(nullable = true)))
       case None => rows.schema
     }
     // deletion-vector state rides forward untouched: appends add

@@ -369,6 +369,9 @@ trait MergeTableStorage { this: MergeTable.type =>
   private[operators] def livePathsAt(s: SparkSession, dir: String,
                                      gen: Int): IndexedSeq[String] = {
     if (manifestPathMemo.size > 512) manifestPathMemo.clear()
+    // manifestAt raises the canonical uncommitted/vacuumed diagnostics
+    def fresh(): IndexedSeq[String] = manifestAt(s, dir, gen)
+      .select("path").collect().map(_.getString(0)).toIndexedSeq
     metaAt(dir, gen).get("token") match {
       case Some(token) =>
         val key = (dir, gen, token)
@@ -376,18 +379,15 @@ trait MergeTableStorage { this: MergeTable.type =>
         if (hit != null && java.nio.file.Files.exists(
             java.nio.file.Path.of(manifestDirOf(dir, gen, token)))) hit
         else {
-          val fresh = manifestAt(s, dir, gen).select("path")
-            .collect().map(_.getString(0)).toIndexedSeq
-          manifestPathMemo.put(key, fresh)
-          fresh
+          val paths = fresh()
+          manifestPathMemo.put(key, paths)
+          paths
         }
       case None =>
         // no commit-log entry: NOT a committed generation (an asOf
-        // past the head, or a crashed writer's orphan dirs) —
-        // manifestAt raises the canonical uncommitted/vacuumed
-        // diagnostics instead of a bare missing-token error
-        manifestAt(s, dir, gen).select("path")
-          .collect().map(_.getString(0)).toIndexedSeq
+        // past the head, or a crashed writer's orphan dirs) — never
+        // memoized, so the canonical error stays loud on every call
+        fresh()
     }
   }
 

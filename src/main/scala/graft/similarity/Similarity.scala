@@ -979,6 +979,17 @@ object Similarity {
     */
   val IvfRebuildSkewFloor: Double = 4.0
 
+  /** The max/mean cell-occupancy skew over [[ivfCellStats]]'s
+    * (cell, count) rows — the ONE formula both `index stats` (the
+    * REBUILD-RECOMMENDED verdict) and `index rebuild` (the post-swap
+    * report) render, kept beside the floor it is compared against so
+    * the two console renderings can't drift. Empty index → 0.
+    */
+  def cellSkewOf(cells: Seq[(Int, Long)]): Double =
+    if (cells.isEmpty) 0.0
+    else cells.map(_._2).max * cells.size /
+      math.max(1.0, cells.map(_._2).sum.toDouble)
+
   /** Cell-occupancy diagnostic backing the drift dial: one row per
     * cell with its resident count — max/avg over this frame is the
     * skew number the rebuild decision reads. Scans only the vec_id

@@ -14,6 +14,22 @@ class MergeTableSpec extends SparkSpecBase {
     paths.map(p => p -> Files.getLastModifiedTime(
       Path.of(java.net.URI.create(p))).toMillis).toMap
 
+  /** The executed plan's FileSourceScanExec (unwrapping AQE) — the
+    * numFiles-metric hook the pushdown tests share. Execute the frame
+    * (collect) BEFORE reading metrics off it.
+    */
+  private def scanOf(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.execution.FileSourceScanExec = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def find(p: SparkPlan): Option[FileSourceScanExec] =
+      p.collectFirst { case f: FileSourceScanExec => f }
+        .orElse(p.collectFirst { case a: AdaptiveSparkPlanExec => a }
+          .flatMap(a => find(a.executedPlan)))
+    find(df.queryExecution.executedPlan).getOrElse(
+      fail("no FileSourceScanExec in plan"))
+  }
+
   private def table(n: Int) = {
     import spark.implicits._
     (1 to n).map(k => (k.toLong, s"seg${k % 4}", k * 1.5)).toDF("k", "seg", "bal")
@@ -939,16 +955,6 @@ class MergeTableSpec extends SparkSpecBase {
 
   test("readIndexed: Catalyst pushes query filters into the manifest-backed file index") {
     import spark.implicits._
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec = {
-      def find(p: SparkPlan): Option[FileSourceScanExec] =
-        p.collectFirst { case f: FileSourceScanExec => f }
-          .orElse(p.collectFirst { case a: AdaptiveSparkPlanExec => a }
-            .flatMap(a => find(a.executedPlan)))
-      find(df.queryExecution.executedPlan).getOrElse(
-        fail("no FileSourceScanExec in plan"))
-    }
     val dir = tmpDir("mergetab-fidx")
     MergeTable.write(spark, table(1000), "k", dir, nFiles = 8)
     val man = MergeTable.manifest(spark, dir).collect()
@@ -1030,16 +1036,6 @@ class MergeTableSpec extends SparkSpecBase {
 
   test("readIndexed: date and timestamp bands prune files via the manifest") {
     import spark.implicits._
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec = {
-      def find(p: SparkPlan): Option[FileSourceScanExec] =
-        p.collectFirst { case f: FileSourceScanExec => f }
-          .orElse(p.collectFirst { case a: AdaptiveSparkPlanExec => a }
-            .flatMap(a => find(a.executedPlan)))
-      find(df.queryExecution.executedPlan).getOrElse(
-        fail("no FileSourceScanExec in plan"))
-    }
     // k-ordered writes make the correlated date/ts columns contiguous
     // per file — the single most common fact-table layout (time-ordered
     // ingest) whose date-band filters the index must prune
@@ -1271,16 +1267,6 @@ class MergeTableSpec extends SparkSpecBase {
 
   test("null checks prune files via the manifest's non-null counts (r20)") {
     import spark.implicits._
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec = {
-      def find(p: SparkPlan): Option[FileSourceScanExec] =
-        p.collectFirst { case f: FileSourceScanExec => f }
-          .orElse(p.collectFirst { case a: AdaptiveSparkPlanExec => a }
-            .flatMap(a => find(a.executedPlan)))
-      find(df.queryExecution.executedPlan).getOrElse(
-        fail("no FileSourceScanExec in plan"))
-    }
     val dir = tmpDir("mergetab-nullskip")
     // k-ranged layout where v's nullness CLUSTERS with the key: low
     // files all-null, high files null-free, one boundary file mixed
@@ -1348,16 +1334,6 @@ class MergeTableSpec extends SparkSpecBase {
 
   test("non-key string columns are statted: StartsWith and ranges prune files (r20)") {
     import spark.implicits._
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    def scanOf(df: org.apache.spark.sql.DataFrame): FileSourceScanExec = {
-      def find(p: SparkPlan): Option[FileSourceScanExec] =
-        p.collectFirst { case f: FileSourceScanExec => f }
-          .orElse(p.collectFirst { case a: AdaptiveSparkPlanExec => a }
-            .flatMap(a => find(a.executedPlan)))
-      find(df.queryExecution.executedPlan).getOrElse(
-        fail("no FileSourceScanExec in plan"))
-    }
     val dir = tmpDir("mergetab-strstat")
     // tag clusters with the key layout (the z-order / ingest-order
     // case): per-file tag spans are contiguous and prefix-disjoint
