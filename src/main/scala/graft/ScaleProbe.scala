@@ -48,6 +48,9 @@ import org.apache.spark.sql.functions._
   *                              store on MergeTable: append must stay
   *                              ~flat (batch + manifest sized), probe
   *                              grows only with the index SCAN
+  *   ScaleProbe statskip [rows] — IS NULL + StartsWith file skipping
+  *                              (nn-count / string-stats proofs) vs
+  *                              the full-scan contrast at 1/4× and 1×
   *   ScaleProbe dd11bulk [_ [sfDir]] — the registered dd11 row's
   *                              bulk 20%-corpus replay: shipped SMJ
   *                              vs raised broadcast threshold vs an
@@ -425,6 +428,64 @@ object ScaleProbe {
             dedup.Dedup.appendToLshIndex(spark, dir, delta)
             println(f"  append (10k batch into $n-doc index): " +
               f"${(System.nanoTime() - t1) / 1e9}%.2f s")
+          } finally scala.util.Try(IndexLifecycle.deleteRecursively(dir))
+        }
+      case "statskip" =>
+        // R20 items 1+3 at probe scale: the IS NULL audit and the
+        // string-prefix band against a keyed table whose nullness /
+        // tag prefix cluster with the layout (the ingest-ordered
+        // shape). Claim: the pruned read's cost ∝ the matching band
+        // across a 4× table jump, while the unpruned contrast scans
+        // the table. Both variants must agree on counts.
+        Seq(rows / 4, rows).foreach { n =>
+          val dir = java.nio.file.Files.createTempDirectory("probe-statskip").toString
+          try {
+            val t = spark.range(n).select(col("id").as("k"),
+              // v: null on the low tenth of the key space (a staged
+              // backfill's untouched span); tag: prefix follows k
+              when(col("id") < n / 10, lit(null).cast("long"))
+                .otherwise(col("id") * 7).as("v"),
+              concat(lit("T"), format_string("%04d", (col("id") * 100 / n).cast("int")),
+                lit("-"), col("id")).as("tag"))
+            operators.MergeTable.write(spark, t, "k", dir, nFiles = 64)
+            // STRUCTURAL admission off the manifest (what the spec
+            // pins the plan to at small scale): wall-clock on a warm
+            // local[32] page cache is ~free either way — the claim
+            // here is the file-count slope, which is what survives
+            // on a 100 TB cold object store
+            val man = operators.MergeTable.manifest(spark, dir).collect()
+            val nullAdmit = man.count(r =>
+              r.getAs[Long]("nn_v") < r.getAs[Long]("n_rows"))
+            val pfxAdmit = man.count { r =>
+              val (mn, mx) = (r.getAs[String]("min_tag"), r.getAs[String]("max_tag"))
+              mx >= "T0042-" && mn <= "T0042-￿"
+            }
+            println(s"  admission ($n rows, ${man.length} files): " +
+              s"IS NULL opens $nullAdmit, prefix band opens $pfxAdmit")
+            def timed(label: String)(body: => Long): Long = {
+              val t0 = System.nanoTime()
+              val c = body
+              println(f"  $label ($n rows): ${(System.nanoTime() - t0) / 1e9}%.2f s ($c rows)")
+              c
+            }
+            val a = timed("IS NULL pruned (readIndexed)") {
+              operators.MergeTable.readIndexed(spark, dir)
+                .filter(col("v").isNull).count()
+            }
+            val b = timed("IS NULL full-scan contrast") {
+              operators.MergeTable.readTable(spark, dir)
+                .filter(col("v").isNull).count()
+            }
+            require(a == b, s"null-skip counts diverged: $a vs $b")
+            val c1 = timed("StartsWith pruned (readIndexed)") {
+              operators.MergeTable.readIndexed(spark, dir)
+                .filter(col("tag").startsWith("T0042-")).count()
+            }
+            val c2 = timed("StartsWith full-scan contrast") {
+              operators.MergeTable.readTable(spark, dir)
+                .filter(col("tag").startsWith("T0042-")).count()
+            }
+            require(c1 == c2, s"string-skip counts diverged: $c1 vs $c2")
           } finally scala.util.Try(IndexLifecycle.deleteRecursively(dir))
         }
       case "dd11bulk" =>
