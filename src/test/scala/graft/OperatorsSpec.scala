@@ -1721,6 +1721,50 @@ class OperatorsSpec extends SparkSpecBase {
     assert(similarity.Similarity.vacuumVectorTombstones(spark, dir) == 0L)
   }
 
+  test("index rebuild: tombstones relocate with the swap and keep governing (r20)") {
+    import spark.implicits._
+    val corpus = tmpDir("ivf-reb-corpus")
+    Tables.embeddings(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    val dir = tmpDir("ivf-reb-idx")
+    similarity.Similarity.buildIvfIndex(spark, corpus, dir)
+    val probes = Tables.embeddings(spark, sfDir).orderBy("vec_id").limit(8)
+      .select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("va"))
+      .withColumn("na", graft.functions.GraftFunctions.l2norm("va"))
+      .select(col("q_id"), col("va"), col("na"))
+    def top(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "rank", "n_id").as[(Long, Long, Long)].collect().toSeq
+    val removedIds = top(similarity.Similarity.probeIvf(spark, dir, probes))
+      .filter(_._2 == 1L).map(_._3).distinct
+    similarity.Similarity.tombstoneVectors(spark, dir, removedIds.toDF("vec_id"))
+    val governed = top(similarity.Similarity.probeIvf(spark, dir, probes))
+    val nBefore = similarity.Similarity.indexVectors(spark, dir).count()
+    // rebuild is layout maintenance, NOT governance: the doomed
+    // vectors relocate with everything else and the tombstones keep
+    // governing through the new generation
+    similarity.Similarity.rebuildIvfIndex(spark, dir)
+    assert(similarity.Similarity.indexVectors(spark, dir).count() == nBefore,
+      "rebuild changed the vector population")
+    assert(similarity.Similarity.vectorTombstones(spark, dir).count()
+      == removedIds.size.toLong, "rebuild dropped the tombstone set")
+    val governedAfter = top(similarity.Similarity.probeIvf(spark, dir, probes))
+    assert(governedAfter.forall(t => !removedIds.contains(t._3)),
+      "a rebuilt index leaked a tombstoned id into probes")
+    // vacuum remains the physical purge on the REBUILT layout
+    assert(similarity.Similarity.vacuumVectorTombstones(spark, dir)
+      == removedIds.size.toLong)
+    assert(similarity.Similarity.indexVectors(spark, dir)
+      .filter(col("vec_id").isin(removedIds: _*)).isEmpty)
+    assert(top(similarity.Similarity.probeIvf(spark, dir, probes))
+      .forall(t => !removedIds.contains(t._3)))
+    // governed answers stay sane across the retrain: every governed
+    // probe (pre- and post-rebuild) excludes the doomed ids; exact
+    // rank equality is NOT asserted — retraining legitimately
+    // re-routes cells
+    assert(governed.forall(t => !removedIds.contains(t._3)))
+  }
+
   test("kNN join governance is symmetric: tombstoned ids vanish as neighbors AND as queries") {
     import spark.implicits._
     val corpus = tmpDir("knn-gov-corpus")
