@@ -40,11 +40,16 @@ import scala.jdk.CollectionConverters._
   * of the seam.
   *
   * TYPE COVERAGE (loud rejection outside it): boolean/int/long/float/
-  * double/string/bytes/fixed, enum (→ string), union [null, T] (→
-  * nullable T), array, map (string keys), nested record; logical
-  * types date (int), timestamp-millis/micros (long), decimal
-  * (bytes/fixed). Multi-branch unions beyond [null, T] have no
-  * DataFrame shape and fail loudly rather than guessing.
+  * double/string/bytes/fixed, enum (→ string), array, map (string
+  * keys), nested record; logical types date (int),
+  * timestamp-millis/micros (long), decimal (bytes/fixed). UNIONS map
+  * the way the spark-avro connector maps them (r20): [null, T] →
+  * nullable T; plain [int, long] → long, [float, double] → double;
+  * any other multi-branch union → a struct of nullable `memberN`
+  * fields, exactly one set per value. Reading is the interop
+  * direction; [[write]] never emits multi-branch unions (nullable
+  * Spark columns become [null, T]), so a member-struct round-trips
+  * as a record — documented, like the connector.
   */
 object AvroSource {
 
@@ -55,12 +60,26 @@ object AvroSource {
     import Schema.Type._
     s.getType match {
       case UNION =>
+        // the spark-avro connector's exact union mapping (r20 —
+        // multi-branch unions previously failed loudly): [null, T] →
+        // nullable T; plain [int, long] → long and [float, double] →
+        // double (lossless promotions, but only when neither branch
+        // carries a logical type — [date-int, long] must not collapse
+        // into a bare long); anything else → a struct with one
+        // NULLABLE `memberN` field per non-null branch, exactly one
+        // set per value (the connector's member-struct convention).
         val branches = s.getTypes.asScala.toSeq
         val (nulls, rest) = branches.partition(_.getType == NULL)
-        if (nulls.isEmpty || rest.size != 1)
-          throw new IllegalArgumentException(
-            s"unsupported Avro union (only [null, T] maps to a DataFrame column): $s")
-        (sparkTypeOf(rest.head)._1, true)
+        require(rest.nonEmpty, s"Avro union with no non-null branch: $s")
+        val nullable = nulls.nonEmpty
+        val restTypes = rest.map(_.getType).toSet
+        val plain = rest.forall(b => logicalName(b).isEmpty)
+        if (rest.size == 1) (sparkTypeOf(rest.head)._1, nullable)
+        else if (plain && restTypes == Set(INT, LONG)) (LongType, nullable)
+        else if (plain && restTypes == Set(FLOAT, DOUBLE)) (DoubleType, nullable)
+        else (StructType(rest.zipWithIndex.map { case (b, i) =>
+          StructField(s"member$i", sparkTypeOf(b)._1, nullable = true)
+        }), nullable)
       case BOOLEAN => (BooleanType, false)
       case INT =>
         if (logicalName(s) == "date") (DateType, false) else (IntegerType, false)
@@ -114,8 +133,25 @@ object AvroSource {
     if (v == null) return null
     s.getType match {
       case UNION =>
-        // [null, T] by construction (sparkTypeOf rejected the rest)
-        toSpark(v, s.getTypes.asScala.find(_.getType != NULL).get)
+        // mirror sparkTypeOf's mapping exactly (see its union note)
+        val branches = s.getTypes.asScala.toSeq
+        val rest = branches.filter(_.getType != NULL)
+        val restTypes = rest.map(_.getType).toSet
+        val plain = rest.forall(b => logicalName(b).isEmpty)
+        if (rest.size == 1) toSpark(v, rest.head)
+        else if (plain && restTypes == Set(INT, LONG))
+          java.lang.Long.valueOf(v.asInstanceOf[Number].longValue())
+        else if (plain && restTypes == Set(FLOAT, DOUBLE))
+          java.lang.Double.valueOf(v.asInstanceOf[Number].doubleValue())
+        else {
+          // Avro's own runtime branch resolution (by type, records by
+          // full name) — the value sets exactly its branch's member
+          val idx = org.apache.avro.generic.GenericData.get().resolveUnion(s, v)
+          val branch = branches(idx)
+          val memberIdx = rest.indexWhere(_ eq branch)
+          Row.fromSeq(rest.indices.map(i =>
+            if (i == memberIdx) toSpark(v, branch) else null))
+        }
       case STRING | ENUM => v.toString
       case INT =>
         if (logicalName(s) == "date")

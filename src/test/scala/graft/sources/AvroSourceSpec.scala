@@ -123,20 +123,60 @@ class AvroSourceSpec extends SparkSpecBase {
     assert(AvroSource.read(spark, out).count() == 1)
   }
 
-  test("unsupported shapes fail loudly: multi-branch unions, no containers") {
-    val dir = tmpDir("avro-bad")
-    val avro = SchemaBuilder.record("Bad").fields()
-      .name("u").`type`().unionOf().intType().and().stringType().endUnion()
+  test("multi-branch unions map like the connector: promotions, member structs (r20)") {
+    val dir = tmpDir("avro-union")
+    val avro = SchemaBuilder.record("U").fields()
+      .requiredLong("id")
+      // plain [int, long] and [null, float, double]: lossless promotions
+      .name("n").`type`().unionOf().intType().and().longType().endUnion()
         .noDefault()
+      .name("x").`type`().unionOf().nullType().and().floatType().and()
+        .doubleType().endUnion().nullDefault()
+      // [null, string, long]: the member-struct convention
+      .name("u").`type`().unionOf().nullType().and().stringType().and()
+        .longType().endUnion().nullDefault()
       .endRecord()
-    val f = new java.io.File(dir, "bad.avro")
+    val f = new java.io.File(dir, "u.avro")
     val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
       new GenericDatumWriter[GenericRecord](avro))
     w.create(avro, f)
-    val r = new GenericData.Record(avro); r.put("u", 5)
-    w.append(r); w.close()
-    val e = intercept[IllegalArgumentException] { AvroSource.read(spark, dir) }
-    assert(e.getMessage.contains("union"))
+    def rec(id: Long, n: Any, x: Any, u: Any): GenericRecord = {
+      val r = new GenericData.Record(avro)
+      r.put("id", id); r.put("n", n); r.put("x", x); r.put("u", u)
+      r
+    }
+    w.append(rec(1L, Integer.valueOf(7), java.lang.Float.valueOf(1.5f), "tagged"))
+    w.append(rec(2L, java.lang.Long.valueOf(1L << 40),
+      java.lang.Double.valueOf(2.25), java.lang.Long.valueOf(42L)))
+    w.append(rec(3L, Integer.valueOf(-3), null, null))
+    w.close()
+    val df = AvroSource.read(spark, dir)
+    assert(df.schema == StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("x", DoubleType, nullable = true),
+      StructField("u", StructType(Seq(
+        StructField("member0", StringType, nullable = true),
+        StructField("member1", LongType, nullable = true))), nullable = true))))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getLong(1) == 7L && rows(0).getDouble(2) == 1.5)
+    assert(rows(0).getStruct(3).getString(0) == "tagged" &&
+      rows(0).getStruct(3).isNullAt(1))
+    assert(rows(1).getLong(1) == (1L << 40) && rows(1).getDouble(2) == 2.25)
+    assert(rows(1).getStruct(3).isNullAt(0) &&
+      rows(1).getStruct(3).getLong(1) == 42L)
+    assert(rows(2).getLong(1) == -3L && rows(2).isNullAt(2) && rows(2).isNullAt(3))
+    // a logical-typed branch blocks the promotion (a [date-int, long]
+    // collapsed to long would silently erase the date semantics)
+    val dSchema = org.apache.avro.LogicalTypes.date()
+      .addToSchema(org.apache.avro.Schema.create(org.apache.avro.Schema.Type.INT))
+    val guarded = org.apache.avro.Schema.createUnion(
+      dSchema, org.apache.avro.Schema.create(org.apache.avro.Schema.Type.LONG))
+    val (t, _) = AvroSource.sparkTypeOf(guarded)
+    assert(t == StructType(Seq(
+      StructField("member0", DateType, nullable = true),
+      StructField("member1", LongType, nullable = true))), t)
+    // no containers still fails loudly
     intercept[IllegalArgumentException] {
       AvroSource.read(spark, tmpDir("avro-empty"))
     }
