@@ -234,6 +234,37 @@ class IncrementalViewSpec extends SparkSpecBase {
     }
   }
 
+  test("maintainStream routes min/max specs through the source-assisted fold (r20)") {
+    val dir = tmpDir("ivmmmstream")
+    val mv = tmpDir("ivmmmstream-mv")
+    val ckpt = tmpDir("ivmmmstream-ckpt")
+    MergeTable.write(spark, table(300), "k", dir, nFiles = 4)
+    val mmSpec = IncrementalView.ViewSpec(Seq("seg"),
+      Seq("sb" -> "cast(bal as decimal(28,6))"),
+      maxs = Seq("hi" -> "bal"))
+    def rowsMm(df: DataFrame): Seq[(String, Long, Option[Double])] =
+      df.select(col("seg"), col("mv_count"), col("hi"))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        .toSeq.sortBy(r => Option(r._1).getOrElse(""))
+    IncrementalView.materialize(spark, dir, "k", mv, mmSpec)
+    val q = IncrementalView.maintainStream(spark, dir, mv, mmSpec, ckpt)
+    try {
+      // delete seg0's max (k=300 → bal 450.0): the streamed fold must
+      // re-read the group from the source, exactly like refresh
+      MergeTable.merge(spark, dir,
+        Seq((300L, "D", null, 0.0)).toDF("k", "op", "seg", "bal"), "k")
+      q.processAllAvailable()
+      assert(IncrementalView.reflectedGen(mv) == 1)
+      val got = rowsMm(MergeTable.readTable(spark, mv))
+      assert(got == rowsMm(
+        IncrementalView.compute(MergeTable.readTable(spark, dir), mmSpec)),
+        "streamed min/max view diverges from recompute")
+      assert(got.find(_._1 == "seg0").get._3.contains(444.0),
+        s"retracted max not re-read through the stream: $got")
+    } finally q.stop()
+  }
+
   test("property: maintained state tracks recomputation under random generation sequences") {
     val rnd = new scala.util.Random(42)
     val groups = Seq(Some("g0"), Some("g1"), Some("g2"), None)
