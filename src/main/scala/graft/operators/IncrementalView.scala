@@ -198,7 +198,15 @@ object IncrementalView {
     if (exts.isEmpty) return applyDelta(state, changes, spec)
     val folded = applyDelta(state.drop(exts.map(_._1): _*), changes,
       spec.copy(mins = Nil, maxs = Nil))
+    // materialize the (tiny, group-count-sized) affected-key set once:
+    // it feeds THREE plan branches below (the source semi-join, the
+    // __aff flag, and via them two broadcasts) with no shared exchange
+    // for ReuseExchange to dedupe — without the barrier each branch
+    // re-runs the whole CDC diff that produced `changes` (the q76 plan
+    // audit found three FullOuter diff subtrees where one suffices;
+    // applyChanges' own checkpoint covers only ITS caller)
     val deltaKeys = changes.select(keyExpr(spec).as("__gk")).distinct()
+      .localCheckpoint(false)
     val aggs = exts.map { case (n, e, isMin) =>
       (if (isMin) min(expr(e)) else max(expr(e))).as(s"__x_$n") }
     val recomputed = source.join(broadcast(deltaKeys),
