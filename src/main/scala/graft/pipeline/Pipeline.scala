@@ -193,13 +193,20 @@ object Pipeline {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("n_chars"),
         md5(col("doc_id").cast("string")).as("k"))
-    globalRank(docs, Seq("k", "doc_id"))
-      .withColumn("shard", floor((col("rn") - 1) / shardSize).cast("long"))
-      .groupBy("shard")
+    shardManifest(globalRank(docs, Seq("k", "doc_id"))
+      .withColumn("shard", floor((col("rn") - 1) / shardSize).cast("long")))
+  }
+
+  /** The shard manifest's ONE aggregation shape — pp08's declarative
+    * manifest, writeShards' physical one and pp11's build all render
+    * it from here, so the three can't drift from each other (the
+    * pp12 gate then pins them to the shared oracle text).
+    */
+  private def shardManifest(assign: DataFrame): DataFrame =
+    assign.groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
         min("doc_id").as("min_id"), max("doc_id").as("max_id"))
       .orderBy("shard")
-  }
 
   /** pp08's manifest made PHYSICAL: materialize the shard FILES a
     * training pipeline actually reads, crash-safely. Layout:
@@ -266,10 +273,7 @@ object Pipeline {
     val assign = globalRank(docs, Seq("k", "doc_id"))
       .withColumn("shard", floor((col("rn") - 1) / shardSize).cast("long"))
       .select("doc_id", "n_chars", "shard", "rn")
-    assign.groupBy("shard")
-      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
-        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
-      .orderBy("shard")
+    shardManifest(assign)
       .coalesce(1)
       .write.parquet(s"$segRoot/manifest")
     // one shuffle keyed on shard id → each shard's rows sit in exactly
@@ -437,20 +441,25 @@ object Pipeline {
     * measured plan IS the shipped plan.
     */
   private[graft] def globalCumSum(toks: DataFrame, nParts: Int = 32): DataFrame = {
+    // internal columns __-prefixed (Quantiles' collision-hygiene rule,
+    // the discipline globalRank/keyedCumSum already follow): a caller
+    // legitimately carrying a `bkt`/`off` column must not be clobbered
     val data = toks
       .repartitionByRange(nParts, col("doc_id"))
-      .withColumn("bkt", spark_partition_id())
+      .withColumn("__gcs_bkt", spark_partition_id())
       .localCheckpoint(true) // pin bucket bounds across the two passes
-    val wOff = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val wOff = Window.orderBy("__gcs_bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
     // nParts rows: the unpartitioned prefix window is bucket-count-sized
-    val offsets = data.groupBy("bkt").agg(sum("n").as("bn"))
-      .withColumn("off", coalesce(sum("bn").over(wOff), lit(0L)))
-      .select("bkt", "off")
-    val wCum = Window.partitionBy("bkt").orderBy("doc_id")
+    val offsets = data.groupBy("__gcs_bkt").agg(sum("n").as("__gcs_bn"))
+      .withColumn("__gcs_off", coalesce(sum("__gcs_bn").over(wOff), lit(0L)))
+      .select("__gcs_bkt", "__gcs_off")
+    val wCum = Window.partitionBy("__gcs_bkt").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    data.withColumn("pcum", sum("n").over(wCum))
-      .join(broadcast(offsets), Seq("bkt"))
-      .select(col("doc_id"), col("n"), (col("pcum") + col("off")).as("cum"))
+    data.withColumn("__gcs_pcum", sum("n").over(wCum))
+      .join(broadcast(offsets), Seq("__gcs_bkt"))
+      .select(col("doc_id"), col("n"),
+        (col("__gcs_pcum") + col("__gcs_off")).as("cum"))
   }
 
   /** [[globalCumSum]] generalized to a KEYED running sum: per-key
@@ -736,7 +745,7 @@ object Pipeline {
     val keep = graft.text.TextAnalysis.tx16_quality_gate(s, d)
       .filter(col("keep")).select("doc_id")
     val f = Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
-      md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+      md5(graft.text.TextAnalysis.normText(col("text"))).as("fp"))
     val kept = f.join(keep, Seq("doc_id"))
     val dedupKeep = kept.groupBy("fp").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
@@ -750,13 +759,10 @@ object Pipeline {
   val pp11_full_build: Q = (s, d) => {
     val shardSize = 128
     val train = trainSet(s, d)
-    globalRank(train.withColumn("k", md5(col("doc_id").cast("string"))),
-        Seq("k", "doc_id"))
-      .withColumn("shard", floor((col("rn") - 1) / shardSize).cast("long"))
-      .groupBy("shard")
-      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
-        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
-      .orderBy("shard")
+    shardManifest(
+      globalRank(train.withColumn("k", md5(col("doc_id").cast("string"))),
+          Seq("k", "doc_id"))
+        .withColumn("shard", floor((col("rn") - 1) / shardSize).cast("long")))
   }
 
   val registry: Map[String, Q] = Map(

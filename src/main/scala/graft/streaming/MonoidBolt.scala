@@ -54,6 +54,12 @@ final case class TopN(n: Int) extends Monoid[Map[String, Long]] {
       acc.updated(k, math.max(acc.getOrElse(k, Long.MinValue), v))
     }
     if (merged.size <= n) merged
+    else if (merged.size == n + 1)
+      // the per-row reduce path at capacity: evict the single minimum
+      // (smallest count, ties to the LARGEST key — exactly the entry
+      // the sort-and-truncate drops last) in one O(n) scan instead of
+      // sorting the whole buffer per input row — the PSQueue shape
+      merged - merged.maxBy { case (k, v) => (-v, k) }._1
     else merged.toSeq.sortBy { case (k, v) => (-v, k) }.take(n).toMap
   }
 }

@@ -69,7 +69,22 @@ object SessionBolt {
                       old = Some(OpenSession(us, us, 1))
                   }
                 case Some(s) =>
-                  out ::= SessionOut(user, s.startUs, s.lastUs, s.n)
+                  // closing the open session MID-BATCH: earlier
+                  // late-but-allowed merges may have lowered its start
+                  // to within gap of the straggler interval — fold it
+                  // in exactly like the end-of-batch check below, or
+                  // one true session splits into two with wrong
+                  // bounds/counts (r20 review find: state [100,200],
+                  // batch 30,45,55,300 at gap 50 emitted [30,45] +
+                  // [55,200] instead of [30,200])
+                  old match {
+                    case Some(o) if s.startUs - o.lastUs <= gapUs =>
+                      out ::= SessionOut(user, math.min(o.startUs, s.startUs),
+                        math.max(o.lastUs, s.lastUs), o.n + s.n)
+                      old = None
+                    case _ =>
+                      out ::= SessionOut(user, s.startUs, s.lastUs, s.n)
+                  }
                   cur = Some(OpenSession(us, us, 1))
                 case None =>
                   cur = Some(OpenSession(us, us, 1))

@@ -58,6 +58,13 @@ object ExactlyOnceSink {
     * where it left off. Readers resolve dirs via [[batchDir]].
     */
   def toDir(outDir: String): (DataFrame, Long) => Unit = {
+    // the legacy `_committed` line file is FROZEN (only pre-r15 sinks
+    // appended to it; this sink writes markers) — parse it once per
+    // sink instance, not per micro-batch: NearDupIngestSink's
+    // legacyPhases memo discipline, where the per-batch re-parse had
+    // "defeated the O(1)-probe fast path" (a 1-second-trigger stream
+    // paid the read 86k times a day)
+    lazy val legacy = legacyCommitted(outDir)
     (batch: DataFrame, batchId: Long) => {
       Files.createDirectories(Paths.get(outDir))
       val store = graft.operators.CommitStore.forDir(outDir)
@@ -66,8 +73,7 @@ object ExactlyOnceSink {
       // committed() listing grows with stream lifetime and was being
       // paid per micro-batch; the legacy line file is only consulted
       // when the marker is absent
-      val already = store.exists(marker) ||
-        legacyCommitted(outDir).contains(batchId)
+      val already = store.exists(marker) || legacy.contains(batchId)
       if (!already) {
         val name = s"batch=$batchId~${graft.operators.WriterToken.next()}"
         batch.write.parquet(s"$outDir/$name")

@@ -528,6 +528,42 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("session bolt: a mid-batch close folds the chained straggler interval (r20)") {
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val ev = mem.toDF().toDF("ts", "user_id")
+    val q = SessionBolt.sessions(ev, gapSeconds = 1800, watermark = "12 hours")
+      .writeStream.format("memory").queryName("sb_chain")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // open session [10:00, 10:50] (steps within the 30-min gap)
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+        (Timestamp.valueOf("2024-01-01 10:25:00"), 1L),
+        (Timestamp.valueOf("2024-01-01 10:50:00"), 1L))
+      q.processAllAvailable()
+      // one batch: stragglers 09:00/09:15 build the old interval; a
+      // late 09:40 sits ABOVE cur.start - gap (09:30), so it MERGES
+      // into the open session and lowers its start to within gap of
+      // the interval (09:40 - 09:15 = 25 min); then 13:00 closes it —
+      // the emitted session must be the CHAINED [09:00, 10:50] with
+      // all six events, not a [09:40,10:50] + [09:00,09:15] split
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 09:00:00"), 1L),
+        (Timestamp.valueOf("2024-01-01 09:15:00"), 1L),
+        (Timestamp.valueOf("2024-01-01 09:40:00"), 1L),
+        (Timestamp.valueOf("2024-01-01 13:00:00"), 1L))
+      q.processAllAvailable()
+      def us(t: String) = Timestamp.valueOf(t).getTime * 1000L
+      val got = spark.table("sb_chain").filter(col("user_id") === 1L)
+        .select("start_us", "end_us", "n_events")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((us("2024-01-01 09:00:00"),
+        us("2024-01-01 10:50:00"), 6L)),
+        s"mid-batch close split or mis-bounded the chained session: $got")
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: duplicates across micro-batches are dropped") {
     implicit val sql = spark.sqlContext
     val mem = MemoryStream[(Long, String)]
