@@ -449,8 +449,19 @@ object SparseBitmap {
       fmt match {
         case FmtArray =>
           needs(card * 2)
+          // strictly-ascending check, FmtRuns' discipline: an unsorted
+          // or duplicated payload would build an array whose
+          // binarySearch probes answer wrongly with no error, and
+          // duplicates would make the header card overcount
           var i = 0
-          while (i < card) { emit(bb.getChar()); i += 1 }
+          var prev = -1
+          while (i < card) {
+            val v = bb.getChar().toInt
+            if (v <= prev) corrupt(
+              s"array value $v not strictly after the previous value $prev")
+            prev = v
+            emit(v); i += 1
+          }
         case FmtBitmap =>
           if (asArray) corrupt(s"bitmap form with card $card ≤ $ArrayCap is not canonical")
           needs(WordBytes)
@@ -651,19 +662,30 @@ object SparseBitmap {
     fresh.contains(key)
   }
 
-  /** Container-header walk — cardinality without touching payloads. */
+  /** Container-header walk — cardinality without touching payloads.
+    * Same loud-IAE truncation posture as [[deserialize]]: a sketch
+    * cut mid-container must not surface as a raw BufferUnderflow /
+    * IllegalArgument-from-position from inside the walk.
+    */
   def countSerialized(bytes: Array[Byte]): Long = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     checkMagic(bb)
+    def corrupt(what: String): Nothing =
+      throw new IllegalArgumentException(s"corrupt sparse sketch: $what")
+    def needs(n: Int): Unit = if (bb.remaining < n) corrupt("truncated payload")
+    needs(4)
     val nChunks = bb.getInt()
+    if (nChunks < 0) corrupt(s"negative chunk count $nChunks")
     var total = 0L
     var c = 0
     while (c < nChunks) {
+      needs(13) // hi(8) + card(4) + fmt(1)
       bb.getLong()
       val card = bb.getInt()
       total += card
       val len = payloadLen(bb, card, bb.get())
-      require(len >= 0, "corrupt sparse sketch container header")
+      if (len < 0) corrupt("bad container header")
+      needs(len)
       bb.position(bb.position() + len)
       c += 1
     }

@@ -33,6 +33,24 @@ object GraftExtensions {
       throw new IllegalArgumentException(
         s"$name expects $shape, got ${es.length} arguments")
 
+  /** Integer literal argument: INT, or a BIGINT within Int range —
+    * an out-of-range BIGINT refuses loudly instead of silently
+    * truncating through .toInt (a 2^32+1 literal would otherwise
+    * read as 1), and a non-literal names itself. One definition for
+    * every builder that takes a size/k/capacity argument.
+    */
+  private def intLit(name: String, arg: String, e: Expression): Int = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    e match {
+      case Literal(v: Int, _) => v
+      case Literal(v: Long, _) if v >= Int.MinValue && v <= Int.MaxValue => v.toInt
+      case Literal(v: Long, _) => throw new IllegalArgumentException(
+        s"$name $arg $v is outside Int range")
+      case other => throw new IllegalArgumentException(
+        s"$name $arg must be an integer literal, got $other")
+    }
+  }
+
   val definitions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_dot",
       info("graft_dot", "graft_dot(a, b) - dot product of two array<double>"),
@@ -86,53 +104,32 @@ object GraftExtensions {
         // apply the same coercions as the Scala builder
         // (GraftFunctions.topK): update() unboxes Double/Long, so an
         // uncast INT/FLOAT/DECIMAL child would CCE at execution
-        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+        import org.apache.spark.sql.catalyst.expressions.Cast
         import org.apache.spark.sql.types.{DoubleType, LongType}
-        if (es.length != 3)
-          throw new IllegalArgumentException(
-            s"graft_topk expects (score, id, k), got ${es.length} arguments")
-        es(2) match {
-          case Literal(kv: Int, _) => TopKByScore(
-            Cast(es(0), DoubleType), Cast(es(1), LongType), kv)
-          case Literal(kv: Long, _) => TopKByScore(
-            Cast(es(0), DoubleType), Cast(es(1), LongType), kv.toInt)
-          case other =>
-            throw new IllegalArgumentException(
-              s"graft_topk k must be an integer literal, got $other")
-        }
+        arity("graft_topk", "(score, id, k)", 3, es)
+        TopKByScore(Cast(es(0), DoubleType), Cast(es(1), LongType),
+          intLit("graft_topk", "k", es(2)))
       }),
     ("graft_heavy_hitters",
       info("graft_heavy_hitters",
         "graft_heavy_hitters(item, capacity) - bounded Misra-Gries frequency summary: struct(total, items array<struct<tok, lb>>)"),
       (es: Seq[Expression]) => {
-        import org.apache.spark.sql.catalyst.expressions.Literal
-        if (es.length != 2)
-          throw new IllegalArgumentException(
-            s"graft_heavy_hitters expects (item, capacity), got ${es.length} arguments")
-        es(1) match {
-          case Literal(c: Int, _) => HeavyHitters(es(0), c)
-          case Literal(c: Long, _) => HeavyHitters(es(0), c.toInt)
-          case other =>
-            throw new IllegalArgumentException(
-              s"graft_heavy_hitters capacity must be an integer literal, got $other")
-        }
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        import org.apache.spark.sql.types.StringType
+        arity("graft_heavy_hitters", "(item, capacity)", 2, es)
+        // the buffer unboxes UTF8String — an uncast BIGINT item would
+        // CCE at execution, the same hazard the topk coercions note
+        HeavyHitters(Cast(es(0), StringType),
+          intLit("graft_heavy_hitters", "capacity", es(1)))
       }),
     ("graft_bitmap",
       info("graft_bitmap",
         "graft_bitmap(key, maxKey) - exact-distinct bitmap sketch aggregate (binary)"),
       (es: Seq[Expression]) => {
-        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+        import org.apache.spark.sql.catalyst.expressions.Cast
         import org.apache.spark.sql.types.LongType
-        if (es.length != 2)
-          throw new IllegalArgumentException(
-            s"graft_bitmap expects (key, maxKey), got ${es.length} arguments")
-        es(1) match {
-          case Literal(m: Int, _) => BitmapAgg(Cast(es(0), LongType), m)
-          case Literal(m: Long, _) => BitmapAgg(Cast(es(0), LongType), m.toInt)
-          case other =>
-            throw new IllegalArgumentException(
-              s"graft_bitmap maxKey must be an integer literal, got $other")
-        }
+        arity("graft_bitmap", "(key, maxKey)", 2, es)
+        BitmapAgg(Cast(es(0), LongType), intLit("graft_bitmap", "maxKey", es(1)))
       }),
     ("graft_bitmap_union",
       info("graft_bitmap_union",
@@ -152,9 +149,7 @@ object GraftExtensions {
       (es: Seq[Expression]) => {
         import org.apache.spark.sql.catalyst.expressions.Cast
         import org.apache.spark.sql.types.LongType
-        if (es.length != 1)
-          throw new IllegalArgumentException(
-            s"graft_bitmap64 expects (key), got ${es.length} arguments")
+        arity("graft_bitmap64", "(key)", 1, es)
         SparseBitmapAgg(Cast(es(0), LongType))
       }),
     ("graft_bitmap64_union",
@@ -175,49 +170,29 @@ object GraftExtensions {
       (es: Seq[Expression]) => {
         import org.apache.spark.sql.catalyst.expressions.Cast
         import org.apache.spark.sql.types.LongType
-        if (es.length != 2)
-          throw new IllegalArgumentException(
-            s"graft_bitmap64_contains expects (sketch, key), got ${es.length} arguments")
+        arity("graft_bitmap64_contains", "(sketch, key)", 2, es)
         SparseBitmapContains(es(0), Cast(es(1), LongType))
       }),
     ("graft_bloom",
       info("graft_bloom",
         "graft_bloom(key, numBits, numHashes) - mergeable bloom-filter sketch aggregate (binary)"),
       (es: Seq[Expression]) => {
-        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+        import org.apache.spark.sql.catalyst.expressions.Cast
         import org.apache.spark.sql.types.LongType
-        if (es.length != 3)
-          throw new IllegalArgumentException(
-            s"graft_bloom expects (key, numBits, numHashes), got ${es.length} arguments")
-        def asInt(e: Expression): Option[Int] = e match {
-          case Literal(v: Int, _) => Some(v)
-          case Literal(v: Long, _) if v >= Int.MinValue && v <= Int.MaxValue =>
-            Some(v.toInt) // BIGINT literals, like graft_bitmap/graft_topk
-          case _ => None
-        }
-        (asInt(es(1)), asInt(es(2))) match {
-          case (Some(m), Some(k)) => BloomAgg(Cast(es(0), LongType), m, k)
-          case _ =>
-            throw new IllegalArgumentException(
-              s"graft_bloom numBits and numHashes must be integer literals, got (${es(1)}, ${es(2)})")
-        }
+        arity("graft_bloom", "(key, numBits, numHashes)", 3, es)
+        BloomAgg(Cast(es(0), LongType),
+          intLit("graft_bloom", "numBits", es(1)),
+          intLit("graft_bloom", "numHashes", es(2)))
       }),
     ("graft_bloom_might_contain",
       info("graft_bloom_might_contain",
         "graft_bloom_might_contain(sketch, key, numHashes) - bloom membership probe (no false negatives)"),
       (es: Seq[Expression]) => {
-        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+        import org.apache.spark.sql.catalyst.expressions.Cast
         import org.apache.spark.sql.types.LongType
-        if (es.length != 3)
-          throw new IllegalArgumentException(
-            s"graft_bloom_might_contain expects (sketch, key, numHashes), got ${es.length} arguments")
-        es(2) match {
-          case Literal(k: Int, _) =>
-            BloomMightContain(es(0), Cast(es(1), LongType), k)
-          case other =>
-            throw new IllegalArgumentException(
-              s"graft_bloom_might_contain numHashes must be an integer literal, got $other")
-        }
+        arity("graft_bloom_might_contain", "(sketch, key, numHashes)", 3, es)
+        BloomMightContain(es(0), Cast(es(1), LongType),
+          intLit("graft_bloom_might_contain", "numHashes", es(2)))
       }))
 
   /** Imperative registration on an existing session (test/driver use). */

@@ -50,17 +50,33 @@ object Multimodal {
       else if (b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
         Some(Meta("gif", le16(b, 6), le16(b, 8)))
       else if (b.length >= 26 && b(0) == 'B' && b(1) == 'M')
-        Some(Meta("bmp", le32(b, 18), le32(b, 22)))
+        // biHeight < 0 means TOP-DOWN row order per the BMP spec; the
+        // pixel height is its magnitude either way
+        Some(Meta("bmp", le32(b, 18), math.abs(le32(b, 22))))
       else if (b.length >= 4 && b(0) == 0xff.toByte && b(1) == 0xd8.toByte) {
-        // JPEG: walk segments to the first SOFn frame header
+        // JPEG: walk segments to the first SOFn frame header. Markers
+        // may be preceded by any number of 0xFF FILL bytes (spec-legal
+        // padding — treating one as a segment start read garbage as
+        // the length and mis-walked valid files), and the standalone
+        // markers (TEM, RST0-7, SOI/EOI) carry NO length field.
         var i = 2
-        while (i + 9 < b.length) {
+        while (i + 1 < b.length) {
           if (b(i) != 0xff.toByte) return None
-          val marker = b(i + 1) & 0xff
+          var j = i + 1
+          while (j < b.length && b(j) == 0xff.toByte) j += 1 // fill bytes
+          if (j >= b.length) return None
+          val marker = b(j) & 0xff
           if (marker >= 0xc0 && marker <= 0xcf &&
-              marker != 0xc4 && marker != 0xc8 && marker != 0xcc)
-            return Some(Meta("jpeg", be16(b, i + 7), be16(b, i + 5)))
-          i += 2 + be16(b, i + 2)
+              marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+            if (j + 8 >= b.length) return None
+            return Some(Meta("jpeg", be16(b, j + 6), be16(b, j + 4)))
+          }
+          if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9))
+            i = j + 1 // standalone marker: no length field
+          else {
+            if (j + 2 >= b.length) return None
+            i = j + 1 + be16(b, j + 1)
+          }
         }
         None
       } else None
@@ -107,10 +123,17 @@ object Multimodal {
         val gray = raster.getNumBands == 1 &&
           !img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]
         val grayBits = if (gray) raster.getSampleModel.getSampleSize(0) else 8
+        // multi-band/indexed path: ONE bulk getRGB per row — the
+        // per-pixel call paid a ColorModel conversion and bounds check
+        // per pixel on exactly the per-partition hot seam this decoder
+        // exists for (r20 review find); the bulk form converts the row
+        // in one pass with identical sRGB results
+        val rowBuf = if (gray) null else new Array[Int](w)
         val sums = new Array[Long](64); val cnts = new Array[Long](64)
         var y = 0
         while (y < h) {
           val rr = (y * 8) / h
+          if (!gray) img.getRGB(0, y, w, 1, rowBuf, 0, w)
           var x = 0
           while (x < w) {
             val luma =
@@ -120,7 +143,7 @@ object Multimodal {
                 else if (grayBits < 8) v * 255 / ((1 << grayBits) - 1)
                 else v
               } else {
-                val rgb = img.getRGB(x, y)
+                val rgb = rowBuf(x)
                 (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
                   (rgb & 0xff) * 114) / 1000
               }
@@ -325,6 +348,11 @@ object Multimodal {
     Tables.documents(s, d)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .select(col("doc_id"), octet_length(col("payload")).as("len"))
+      // an EMPTY payload has no frames: the old greatest(..., 0) clamp
+      // emitted a phantom frame-0 descriptor (byte_off 0, window 64)
+      // for zero bytes — a downstream frame reader would seek into
+      // nothing (r20 review find; mm05/mm06 already skip len == 0)
+      .filter(col("len") > 0)
       .select(col("doc_id"),
         posexplode(expr(s"sequence(0, greatest(cast(len / $stride as int) - 1, 0))")))
       .toDF("doc_id", "frame_idx", "frame_no")
@@ -541,6 +569,13 @@ object Multimodal {
   // grid (spec'd on real PNGs), non-image payloads the raw-byte
   // fallback; pair generation is banded, so the
   // whole op is one narrow hash pass + one bucket-keyed equi-join.
+  // APPROXIMATE by the banding, like dd04/dd05: 4×16-bit bands
+  // GUARANTEE a collision only for hamming ≤ 3 (pigeonhole — 4+ bits
+  // CAN spread one per band and miss), so candidates ⊆ true pairs ≤
+  // maxHamming and the exact-hamming verify removes false positives
+  // only; never invents pairs. Raising recall toward the hamming-10
+  // filter bound means more/narrower bands (the LSH dial), paid in
+  // candidate volume — the standard trade, chosen like dd05's.
   // Rows-only: the hash family is engine-defined (like dd05's
   // simhash), not ANSI-SQL-expressible without 64-bit unsigned
   // gymnastics; specs pin hash determinism, banding recall, and the
@@ -876,7 +911,8 @@ object Multimodal {
     "mm03_frame_sample" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
         |  CAST(i * 64 AS BIGINT) AS byte_off, CAST(64 AS BIGINT) AS window_len
-        |FROM (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS len FROM documents) t,
+        |FROM (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS len
+        |      FROM documents WHERE octet_length(CAST(text AS BLOB)) > 0) t,
         |     LATERAL (SELECT unnest(generate_series(0, greatest(len // 64 - 1, 0))) AS i) u
         |ORDER BY doc_id, frame_idx""".stripMargin,
     "mm01_binary_meta" ->
