@@ -63,9 +63,11 @@ object Quantiles {
     require(key != "q" && key != "q_value" && !key.startsWith(P),
       s"key column '$key' collides with the output schema (key, q, q_value)")
     val k: Column = col(key)
-    // nulls are excluded, matching percentile/quantile_cont: unfiltered
-    // they'd sort first and shift every rank. (An all-null group thus
-    // has no output row, where the aggregates return NULL.)
+    // null VALUES are excluded, matching percentile/quantile_cont:
+    // unfiltered they'd sort first and shift every rank. (An all-null
+    // group thus has no output row, where the aggregates return NULL.)
+    // Null KEYS are a group like any other — see the null-safe joins
+    // below.
     val data = df
       .select(k, col(value).cast("double").as(s"${P}v"))
       .filter(col(s"${P}v").isNotNull)
@@ -91,10 +93,20 @@ object Quantiles {
       .select(k, col(s"${P}q"), col(s"${P}rank_lo"), col(s"${P}rank_hi"),
         col(s"${P}frac"))
     val wRank = Window.partitionBy(col(s"${P}bkt"), k).orderBy(s"${P}v")
+    // NULL-SAFE key joins: a null key is a group like any other under
+    // groupBy (and under percentile/quantile_cont, which emit a row
+    // for it) — a USING join here would silently drop every null-key
+    // row and lose the group's quantiles entirely. <=> is a valid
+    // hash-join key, so the broadcasts stay broadcasts.
+    val offsetsR = offsets.select(col(s"${P}bkt").as(s"${P}obkt"),
+      k.as(s"${P}okey"), col(s"${P}off"))
+    val targetsR = targets.select(k.as(s"${P}tkey"), col(s"${P}q"),
+      col(s"${P}rank_lo"), col(s"${P}rank_hi"), col(s"${P}frac"))
     data.withColumn(s"${P}rn", row_number().over(wRank).cast("long"))
-      .join(broadcast(offsets), Seq(s"${P}bkt", key))
+      .join(broadcast(offsetsR),
+        col(s"${P}bkt") === col(s"${P}obkt") && (k <=> col(s"${P}okey")))
       .withColumn(s"${P}grank", col(s"${P}off") + col(s"${P}rn"))
-      .join(broadcast(targets), Seq(key))
+      .join(broadcast(targetsR), k <=> col(s"${P}tkey"))
       .filter(col(s"${P}grank") === col(s"${P}rank_lo") ||
         col(s"${P}grank") === col(s"${P}rank_hi"))
       // ≤ 2 surviving rows per (key, q); frac is (key, q)-constant

@@ -369,7 +369,13 @@ object Relational {
   // never a range self-join. Both engines compute the identical
   // IEEE expression (same parenthesization, same casts), so the
   // interpolated doubles hash-match under the r2 idiom.
-  val q55_resample_interp: Q = (s, d) => {
+  /** The resample family's shared subplan (q40 ffill, q55 interp):
+    * per-(user, µs) dedup'd observations unioned with the hourly grid,
+    * tagged 0 = observation / 1 = grid row — ONE definition so the two
+    * resamplers can't drift on the dedup aggregate, the grid bounds,
+    * or the union shape.
+    */
+  private def resampleUnion(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .groupBy(col("user_id"), unix_micros(col("ts")).as("us"))
       .agg(max("value").as("v"))
@@ -380,9 +386,13 @@ object Relational {
       .crossJoin(broadcast(bounds))
       .select(col("user_id"),
         explode(sequence(col("h0"), col("h1"), lit(3600000000L))).as("us"))
-    val unioned = ev.select(col("user_id"), col("us"), lit(0).as("tag"), col("v"))
+    ev.select(col("user_id"), col("us"), lit(0).as("tag"), col("v"))
       .unionAll(grid.select(col("user_id"), col("us"), lit(1).as("tag"),
         lit(null).cast("double").as("v")))
+  }
+
+  val q55_resample_interp: Q = (s, d) => {
+    val unioned = resampleUnion(s, d)
       .withColumn("ev_us", when(col("tag") === 0, col("us")))
     // both directions as RUNNING accumulator frames: the forward pass
     // ordered (us, tag) asc, the backward pass ordered desc — a
@@ -972,19 +982,7 @@ object Relational {
   // last-non-null window does the fill — one shuffle on user_id,
   // the same shape at any corpus size. Oracle: DuckDB ASOF join.
   val q40_resample_ffill: Q = (s, d) => {
-    val ev = Tables.events(s, d)
-      .groupBy(col("user_id"), unix_micros(col("ts")).as("us"))
-      .agg(max("value").as("v"))
-    val bounds = Tables.events(s, d)
-      .agg(unix_micros(date_trunc("hour", min("ts"))).as("h0"),
-        unix_micros(date_trunc("hour", max("ts"))).as("h1"))
-    val grid = Tables.events(s, d).select("user_id").distinct()
-      .crossJoin(broadcast(bounds))
-      .select(col("user_id"),
-        explode(sequence(col("h0"), col("h1"), lit(3600000000L))).as("us"))
-    val unioned = ev.select(col("user_id"), col("us"), lit(0).as("tag"), col("v"))
-      .unionAll(grid.select(col("user_id"), col("us"), lit(1).as("tag"),
-        lit(null).cast("double").as("v")))
+    val unioned = resampleUnion(s, d)
     val w = Window.partitionBy("user_id").orderBy(col("us"), col("tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned

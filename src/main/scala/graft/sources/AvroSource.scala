@@ -229,6 +229,16 @@ object AvroSource {
     }
     val sparkSchema = sparkSchemaOf(avroSchema)
     val schemaStr = avroSchema.toString // Schema is not Serializable pre-1.9-style; ship text
+    // binaryFiles takes ONE comma-joined path string and glob-expands
+    // each element (the Hadoop input API) — a path containing a comma
+    // would silently split into two nonexistent paths, and glob
+    // metacharacters could match the WRONG files. Refuse loudly; such
+    // names are rare enough that a rename beats a quoting scheme the
+    // underlying API doesn't offer.
+    files.find(f => f.exists(c => ",{}[]*?".indexOf(c) >= 0)).foreach(f =>
+      throw new IllegalArgumentException(
+        s"avro container path contains characters the Hadoop path list " +
+          s"cannot quote (one of , { } [ ] * ?): $f — rename the file/dir"))
     val rows = spark.sparkContext
       .binaryFiles(files.mkString(","), spark.sparkContext.defaultParallelism)
       .flatMap { case (name, pds) =>

@@ -28,11 +28,17 @@ object Sources {
         s"the fallback avro reader supports no options, got ${options.keys}")
       AvroSource.read(spark, path)
     } else {
-      val r: DataFrameReader = spark.read.format(format).options(options)
-      format match {
-        case "csv" => r.option("header", "true").option("inferSchema", "true").load(path)
-        case _     => r.load(path)
+      // csv defaults apply FIRST so a caller's explicit options win —
+      // the old order silently clobbered header=false/inferSchema=false
+      // (losing a data row per file, or forcing the inference scan the
+      // module doc promises to avoid)
+      val r: DataFrameReader = format match {
+        case "csv" => spark.read.format(format)
+          .option("header", "true").option("inferSchema", "true")
+          .options(options)
+        case _ => spark.read.format(format).options(options)
       }
+      r.load(path)
     }
 
   def write(df: DataFrame, format: String, path: String,
@@ -45,8 +51,10 @@ object Sources {
         s"the fallback avro writer supports no options, got ${options.keys}")
       AvroSource.write(df, path)
     } else {
-      var w = df.write.format(format).mode("overwrite").options(options)
+      // default-then-caller-options, like read: explicit options win
+      var w = df.write.format(format).mode("overwrite")
       if (format == "csv") w = w.option("header", "true")
+      w = w.options(options)
       if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
       w.save(path)
     }
@@ -196,6 +204,14 @@ object Sources {
     */
   def compact(spark: SparkSession, path: String, targetFiles: Int,
               format: String = "parquet", retainMs: Long = 0L): Unit = {
+    // avro dirs are published by AvroSource's OWN _avroseg-/_head
+    // pointer layout, which this compactor's _gen- resolution would
+    // miss (and spark.read.format("avro") needs the absent connector);
+    // an avro rewrite IS AvroSource.write — refuse loudly
+    require(format != "avro",
+      "compact does not handle the avro fallback layout — " +
+        "rewrite via AvroSource.write (its publish already replaces " +
+        "the whole segment atomically)")
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     import graft.operators.SegmentPointer
@@ -279,9 +295,16 @@ object Sources {
     val migrated = liveSeg.nonEmpty
     if (migrated) sweepRootFiles()
     val gen = SegmentPointer.newSegName("_gen-")
-    spark.read.format(format).load(live)
-      .repartition(targetFiles)
-      .write.format(format).save(s"$path/$gen")
+    // the same csv header discipline as read/write: the old raw read
+    // ingested each file's header line as a DATA row and re-emitted no
+    // header, so the next header=true read stripped an arbitrary data
+    // row per file — silent corruption on a csv compact
+    val rd = if (format == "csv")
+      spark.read.format(format).option("header", "true").load(live)
+    else spark.read.format(format).load(live)
+    val wr = rd.repartition(targetFiles).write.format(format)
+    (if (format == "csv") wr.option("header", "true") else wr)
+      .save(s"$path/$gen")
     // the flip: one atomic pointer PUT
     SegmentPointer.publish(path, "_head", gen)
     // retire the superseded data (orphans if we crash before this —

@@ -42,6 +42,22 @@ class QuantilesSpec extends SparkSpecBase {
     assert(got == Map("a" -> 2.0), s"got $got")
   }
 
+  test("a NULL key is a group like any other (null-safe rank joins, r20)") {
+    val df = Seq(
+      (Option("a"), 1.0), (Option("a"), 3.0),
+      (Option.empty[String], 10.0), (Option.empty[String], 20.0),
+      (Option.empty[String], 30.0))
+      .toDF("k", "v")
+    val got = Quantiles.groupQuantile(df, "k", "v", 0.5, nParts = 4)
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    // percentile's groupBy emits a row for the null group; the old
+    // USING joins silently dropped every null-key row
+    val expected = df.groupBy("k").agg(expr("percentile(v, 0.5D)").as("e"))
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    assert(got == expected, s"got $got, want $expected")
+    assert(got.contains(None) && got(None) == 20.0)
+  }
+
   test("multi-quantile pass agrees with per-quantile calls") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0),
       ("b", 10.0), ("b", 20.0), ("b", 30.0)).toDF("k", "v")
