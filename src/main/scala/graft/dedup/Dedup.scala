@@ -731,11 +731,18 @@ object Dedup {
   /** The per-batch pass against an already-persisted index: delta
     * band keys → candidate (delta, base) pairs → signature-estimated
     * Jaccard ≥ τ. Exposed separately from [[dd11_incremental_lsh]]
-    * so callers can run many batches against one build.
+    * so callers can run many batches against one build. GOVERNED BY
+    * DEFAULT (r20): registered takedowns are read from the stored set
+    * and excluded — dd14's "tombstones take effect IMMEDIATELY on the
+    * probe path" contract previously held only for callers that
+    * passed the frame themselves, so the ingest sink kept judging
+    * arrivals against erased docs until a vacuum ran. A tombstone-free
+    * index pays nothing (one dir-listing gate, no plan node).
     */
   def neardupDelta(s: SparkSession, deltaSigs: DataFrame, indexTable: String,
                    tau: Double = 0.5): DataFrame =
-    neardupDelta(s, deltaSigs, indexTable, tau, None)
+    neardupDelta(s, deltaSigs, indexTable, tau,
+      if (hasTombstones(indexTable)) Some(tombstonesOf(s, indexTable)) else None)
 
   /** [[neardupDelta]] with takedown governance: `tombstones`
     * (doc_id rows — removed docs) are excluded from the CANDIDATE set
@@ -847,16 +854,12 @@ object Dedup {
   // The corpus row itself is MergeTable's problem (file-pruned
   // DELETE, q65) — this operator owns the derived index state.
 
-  private def tombstoneDir(indexDir: String) = s"$indexDir/tombstones"
-
-  private def hasTombstones(indexDir: String): Boolean = {
-    val p = java.nio.file.Path.of(tombstoneDir(indexDir))
-    java.nio.file.Files.isDirectory(p) && {
-      val ls = java.nio.file.Files.list(p)
-      try ls.anyMatch(_.getFileName.toString.endsWith(".parquet"))
-      finally ls.close()
-    }
-  }
+  // the registry primitives (layout, staged-publish registration,
+  // racing-clear-tolerant reads, file-precise clears) are the shared
+  // graft.operators.TombstoneStore (r20 — both index families ride
+  // one implementation, so a hardening can't land on one copy only)
+  private def hasTombstones(indexDir: String): Boolean =
+    graft.operators.TombstoneStore.has(indexDir)
 
   /** Record removed doc_ids for the index at `indexDir` (tiny
     * append-only parquet next to the index's own layout — the index
@@ -868,29 +871,8 @@ object Dedup {
     * sees a torn file. An empty batch writes nothing (a zero-row part
     * file would make every governed probe pay the anti-join forever).
     */
-  def tombstoneDocs(s: SparkSession, indexDir: String, docIds: DataFrame): Unit = {
-    import java.nio.file.{Files, Path, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
-    val ids = docIds.select(col("doc_id").cast("long")).distinct().localCheckpoint()
-    if (ids.isEmpty) return
-    val stage = Files.createTempDirectory("graft-lshtomb")
-    try {
-      ids.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      val ls = Files.list(stage)
-      val part = try ls.iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(sys.error(s"staged takedown lost its part file: $stage"))
-      finally ls.close()
-      val dest = Path.of(tombstoneDir(indexDir))
-      Files.createDirectories(dest)
-      val token = graft.operators.WriterToken.next()
-      val tmp = dest.resolve(s".takedown-$token.staging")
-      Files.copy(part, tmp)
-      Files.move(tmp, dest.resolve(s"takedown-$token.parquet"),
-        StandardCopyOption.ATOMIC_MOVE)
-      ()
-    } finally graft.IndexLifecycle.deleteRecursively(stage.toString)
-  }
+  def tombstoneDocs(s: SparkSession, indexDir: String, docIds: DataFrame): Unit =
+    graft.operators.TombstoneStore.register(s, indexDir, docIds, "doc_id")
 
   /** The current tombstone set (empty frame when none recorded).
     * Reads with ignoreMissingFiles: a racing vacuum's clear deletes
@@ -901,10 +883,7 @@ object Dedup {
     * exactly what the clear published.
     */
   def tombstonesOf(s: SparkSession, indexDir: String): DataFrame =
-    if (hasTombstones(indexDir))
-      s.read.option("ignoreMissingFiles", "true")
-        .parquet(tombstoneDir(indexDir)).distinct()
-    else s.range(0).select(col("id").as("doc_id"))
+    graft.operators.TombstoneStore.read(s, indexDir, "doc_id")
 
   /** Purge tombstoned docs from both posting tables, then clear the
     * tombstone set. Each table takes the purge shape its LAYOUT
@@ -946,42 +925,12 @@ object Dedup {
     import java.nio.file.{Files, Path}
     import scala.jdk.CollectionConverters._
     if (!hasTombstones(indexDir)) return 0L
-    val tombRoot = Path.of(tombstoneDir(indexDir))
-    val tombLs = Files.list(tombRoot)
-    val tombFiles = try tombLs.iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toIndexedSeq
-    finally tombLs.close()
+    val tombFiles = graft.operators.TombstoneStore.snapshot(indexDir)
     if (tombFiles.isEmpty) return 0L // raced another vacuum's clear
-    def clearSnapshot(): Unit = {
-      tombFiles.foreach { f =>
-        Files.deleteIfExists(f)
-        Files.deleteIfExists(f.resolveSibling("." + f.getFileName + ".crc"))
-      }
-      if (!hasTombstones(indexDir)) {
-        val ls = Files.list(tombRoot)
-        try ls.iterator().asScala
-          .filter { p =>
-            val name = p.getFileName.toString
-            Files.isRegularFile(p) && !name.endsWith(".parquet") &&
-              // another writer's PRIVATE staging file (tombstoneDocs
-              // stages `.takedown-<token>.staging` here before its
-              // atomic publish move) — sweeping it would crash the
-              // racing registration's ATOMIC_MOVE
-              !(name.startsWith(".takedown-") && name.endsWith(".staging"))
-          }
-          .foreach(Files.deleteIfExists(_))
-        finally ls.close()
-        scala.util.Try(Files.delete(tombRoot)) // rmdir: only when truly empty
-        ()
-      }
-    }
-    // ignoreMissingFiles like tombstonesOf: a racing vacuum's clear
-    // can delete part files between this pass's listing and its read —
-    // surviving files still read, an emptied snapshot falls into the
-    // n == 0 no-op below instead of crashing on the window
-    val tomb = s.read.option("ignoreMissingFiles", "true")
-      .parquet(tombFiles.map(_.toString): _*)
-      .distinct().localCheckpoint()
+    def clearSnapshot(): Unit =
+      graft.operators.TombstoneStore.clearSnapshot(indexDir, tombFiles)
+    val tomb = graft.operators.TombstoneStore.readSnapshot(s, tombFiles)
+      .localCheckpoint()
     val n = tomb.count()
     if (n == 0) { clearSnapshot(); return 0L } // zero-row debris only
     val sigsDir = s"$indexDir/sigs"

@@ -1094,58 +1094,24 @@ object Similarity {
   // re-appended while still tombstoned stays suppressed until a
   // vacuum pass proves it physically gone and clears the set.
 
-  private def tombstoneDir(indexDir: String) = s"$indexDir/tombstones"
+  // the registry itself (layout, staged-publish registration,
+  // racing-clear-tolerant reads, file-precise clears) is the shared
+  // graft.operators.TombstoneStore — extracted in r20 after this
+  // hand-copy missed the Dedup twin's hardenings (the debris sweep
+  // sparing an in-flight registration's staging file; reads under
+  // ignoreMissingFiles)
+  private def hasVectorTombstones(indexDir: String): Boolean =
+    graft.operators.TombstoneStore.has(indexDir)
 
-  private def hasVectorTombstones(indexDir: String): Boolean = {
-    val p = java.nio.file.Path.of(tombstoneDir(indexDir))
-    java.nio.file.Files.isDirectory(p) && {
-      val ls = java.nio.file.Files.list(p)
-      try ls.anyMatch(_.getFileName.toString.endsWith(".parquet"))
-      finally ls.close()
-    }
-  }
-
-  /** Record removed vec_ids (tiny append-only parquet next to the
-    * index's own layout — the index is dir-based, so its governance
-    * state is too). Each registration stages writer-privately and
-    * publishes ONE token-named file with an atomic same-dir move —
-    * two concurrent registrations never share a Spark output dir
-    * (the r18 seg-dir discipline; a shared `_temporary` can
-    * cross-commit), and a reader never sees a torn file.
+  /** Record removed vec_ids — [[graft.operators.TombstoneStore]]'s
+    * staged-publish registration (empty batch writes nothing).
     */
-  def tombstoneVectors(s: SparkSession, indexDir: String, vecIds: DataFrame): Unit = {
-    import java.nio.file.{Files, Path, StandardCopyOption}
-    import scala.jdk.CollectionConverters._
-    // an empty takedown batch must not write a zero-row part file:
-    // that would flip hasVectorTombstones and make every probe pay
-    // the governed anti-join forever (and vacuum would see null
-    // min/max bounds)
-    val ids = vecIds.select(col("vec_id").cast("long")).distinct().localCheckpoint()
-    if (ids.isEmpty) return
-    val stage = Files.createTempDirectory("graft-tomb")
-    try {
-      ids.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      val ls = Files.list(stage)
-      val part = try ls.iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(sys.error(s"staged takedown lost its part file: $stage"))
-      finally ls.close()
-      val dest = Path.of(tombstoneDir(indexDir))
-      Files.createDirectories(dest)
-      val token = graft.operators.WriterToken.next()
-      val tmp = dest.resolve(s".takedown-$token.staging")
-      Files.copy(part, tmp)
-      Files.move(tmp, dest.resolve(s"takedown-$token.parquet"),
-        StandardCopyOption.ATOMIC_MOVE)
-      ()
-    } finally graft.IndexLifecycle.deleteRecursively(stage.toString)
-  }
+  def tombstoneVectors(s: SparkSession, indexDir: String, vecIds: DataFrame): Unit =
+    graft.operators.TombstoneStore.register(s, indexDir, vecIds, "vec_id")
 
   /** The current tombstone set (empty frame when none recorded). */
   def vectorTombstones(s: SparkSession, indexDir: String): DataFrame =
-    if (hasVectorTombstones(indexDir))
-      s.read.parquet(tombstoneDir(indexDir)).distinct()
-    else s.range(0).select(col("id").as("vec_id"))
+    graft.operators.TombstoneStore.read(s, indexDir, "vec_id")
 
   /** Governance filter for a probe's candidate scan: anti-join the
     * broadcast tombstone set on the index side's id column. No-op
@@ -1194,35 +1160,12 @@ object Similarity {
     import scala.jdk.CollectionConverters._
     if (!hasVectorTombstones(indexDir)) return 0L
     // snapshot the tombstone files THIS pass owns (and will clear)
-    val tombRoot = Path.of(tombstoneDir(indexDir))
-    val tombLs = Files.list(tombRoot)
-    val tombFiles = try tombLs.iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toIndexedSeq
-    finally tombLs.close()
+    val tombFiles = graft.operators.TombstoneStore.snapshot(indexDir)
     if (tombFiles.isEmpty) return 0L // raced another vacuum's clear
-    def clearSnapshot(): Unit = {
-      tombFiles.foreach { f =>
-        Files.deleteIfExists(f)
-        Files.deleteIfExists(f.resolveSibling("." + f.getFileName + ".crc"))
-      }
-      if (!hasVectorTombstones(indexDir)) {
-        // committer debris (_SUCCESS, stray crc) goes with the last
-        // snapshot — but ONLY non-parquet regular files: a racing
-        // registration's part file survives, and its in-flight
-        // _temporary (a dir) keeps the rmdir failing, so nothing of
-        // a concurrent takedown is ever torn down with the snapshot
-        val ls = Files.list(tombRoot)
-        try ls.iterator().asScala
-          .filter(p => Files.isRegularFile(p) &&
-            !p.getFileName.toString.endsWith(".parquet"))
-          .foreach(Files.deleteIfExists(_))
-        finally ls.close()
-        scala.util.Try(Files.delete(tombRoot)) // rmdir: only when truly empty
-        ()
-      }
-    }
-    val tomb = s.read.parquet(tombFiles.map(_.toString): _*)
-      .distinct().localCheckpoint()
+    def clearSnapshot(): Unit =
+      graft.operators.TombstoneStore.clearSnapshot(indexDir, tombFiles)
+    val tomb = graft.operators.TombstoneStore.readSnapshot(s, tombFiles)
+      .localCheckpoint()
     val n = tomb.count()
     if (n == 0) {
       // a snapshot of only zero-row part files (e.g. written by a

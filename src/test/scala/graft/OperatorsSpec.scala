@@ -987,6 +987,57 @@ class OperatorsSpec extends SparkSpecBase {
     assert(Dedup.vacuumLshTombstones(spark, vPath) == 0L)
   }
 
+  test("dd14: the default probe overload is governed by the STORED tombstone set (r20)") {
+    import dedup.Dedup
+    val docs = Tables.documents(spark, sfDir)
+    val base = docs.filter(col("doc_id") % 10 < 8)
+    val removed = base.filter(col("doc_id") % 7 === 0).select("doc_id")
+      .localCheckpoint()
+    val delta = Dedup.sigsOf(docs.filter(col("doc_id") % 10 >= 8))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("delta_id"), r.getAs[Long]("base_id")))
+      .sorted.toSeq
+    val path = tmpDir("dd14-defgov")
+    Dedup.buildLshIndexFrom(base, path)
+    val ungoverned = pairs(Dedup.neardupDelta(spark, delta, path))
+    Dedup.tombstoneDocs(spark, path, removed)
+    // the 4-arg convenience overload (the ingest sink's path) must
+    // honor the registration IMMEDIATELY — dd14's contract; before
+    // r20 it hard-coded tombstones = None until a vacuum ran
+    val viaDefault = pairs(Dedup.neardupDelta(spark, delta, path))
+    val viaExplicit = pairs(Dedup.neardupDelta(spark, delta, path, 0.5,
+      Some(Dedup.tombstonesOf(spark, path))))
+    assert(viaDefault == viaExplicit,
+      "default overload ignored the stored tombstones")
+    assert(viaDefault != ungoverned, "fixture vacuous: no removed doc matched")
+    // post-vacuum the set clears and the default probe returns to the
+    // physical truth
+    assert(Dedup.vacuumLshTombstones(spark, path) == removed.count())
+    assert(pairs(Dedup.neardupDelta(spark, delta, path)) == viaExplicit)
+  }
+
+  test("IVF vacuum debris sweep spares a racing registration's staging file (r20)") {
+    import java.nio.file.{Files, Path}
+    val corpus = tmpDir("ivf-stage-corpus")
+    Tables.embeddings(spark, sfDir)
+      .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+    val dir = tmpDir("ivf-stage-idx")
+    similarity.Similarity.buildIvfIndex(spark, corpus, dir)
+    import spark.implicits._
+    similarity.Similarity.tombstoneVectors(spark, dir, Seq(3L).toDF("vec_id"))
+    // another writer's PRIVATE in-flight staging file sits beside the
+    // published set while this vacuum clears — the shared
+    // TombstoneStore's sweep must spare it (the hardening the
+    // hand-copied Similarity registry had missed)
+    val tombRoot = Path.of(s"$dir/tombstones")
+    val staged = tombRoot.resolve(".takedown-racer.staging")
+    Files.write(staged, Array[Byte](1, 2, 3))
+    assert(similarity.Similarity.vacuumVectorTombstones(spark, dir) == 1L)
+    assert(Files.exists(staged),
+      "IVF vacuum swept another writer's in-flight staging file")
+    Files.delete(staged)
+  }
+
   test("dd14 racing appends and vacuum converge through the table log (POSIX store)") {
     racingAppendVacuum(tmpDir("dd14-race-posix"))
   }
