@@ -420,11 +420,21 @@ trait MergeTableBloom { this: MergeTable.type =>
     * per sketch row.
     */
   def bloomCandidatePathsIn(s: SparkSession, dir: String, colName: String,
-                            values: Seq[Any]): (Seq[String], Int, Int) = {
+                            values: Seq[Any]): (Seq[String], Int, Int) =
+    bloomCandidatePathsInAt(s, dir, colName, values,
+      committedGen(dir).getOrElse(
+        sys.error(s"$dir is not a committed keyed table (no commit log)")))
+
+  /** [[bloomCandidatePathsIn]] against an ALREADY-RESOLVED generation
+    * — for callers that pair the candidate set with other reads of
+    * the same generation (scanEqualsBloomIn's vector-aware read): a
+    * separate head resolution could straddle a concurrent commit and
+    * pair generation G's candidates with G+1's deletion-vector state.
+    */
+  private def bloomCandidatePathsInAt(s: SparkSession, dir: String, colName: String,
+                                      values: Seq[Any], gen: Int): (Seq[String], Int, Int) = {
     require(values.nonEmpty && values.size <= 1024,
       s"bloom probe batch must be 1..1024 values, got ${values.size}")
-    val gen = committedGen(dir).getOrElse(
-      sys.error(s"$dir is not a committed keyed table (no commit log)"))
     val live = manifestAt(s, dir, gen).select("path").collect()
       .map(_.getString(0)).toIndexedSeq
     // normally ONE segment; after a crashed rebuild that changed
@@ -469,10 +479,15 @@ trait MergeTableBloom { this: MergeTable.type =>
     */
   def scanEqualsBloomIn(s: SparkSession, dir: String, colName: String,
                         values: Seq[Any]): DataFrame = {
-    val (cands, _, _) = bloomCandidatePathsIn(s, dir, colName, values)
-    val gen = committedGen(dir).get
+    // ONE generation for the whole probe: candidates and the
+    // vector-aware read must come from the same commit (resolving the
+    // head twice could pair G's file list with G+1's vector state and
+    // resurrect dv-hidden rows mid-commit)
+    val gen = committedGen(dir).getOrElse(
+      sys.error(s"$dir is not a committed keyed table (no commit log)"))
+    val (cands, _, _) = bloomCandidatePathsInAt(s, dir, colName, values, gen)
     val base =
-      if (cands.isEmpty) readTable(s, dir).limit(0)
+      if (cands.isEmpty) readTable(s, dir, asOf = Some(gen)).limit(0)
       else readVisible(s, dir, gen, cands)
     base.filter(col(colName).isin(values: _*))
   }

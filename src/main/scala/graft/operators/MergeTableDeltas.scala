@@ -450,8 +450,25 @@ trait MergeTableDeltas { this: MergeTable.type =>
     }
     val onlyA = (pathsA -- pathsB).toIndexedSeq ++ dvChanged
     val onlyB = (pathsB -- pathsA).toIndexedSeq ++ dvChanged
-    val anyPath = (onlyA ++ onlyB ++ pathsA ++ pathsB).headOption.getOrElse(
-      sys.error(s"$dir has no data files in either generation; no schema to diff"))
+    val anyPathOpt = (onlyA ++ onlyB ++ pathsA ++ pathsB).headOption
+    if (anyPathOpt.isEmpty) {
+      // BOTH endpoints fully deleted (metadata-only commits between
+      // empty generations — a dropColumn or carry-forward after a
+      // delete-everything): the net delta is EMPTY, and a tailing
+      // consumer must receive it typed from the log schema, not crash
+      // into a permanent poll loop
+      val sch = schemaAt(dir, toGen).orElse(schemaAt(dir, fromGen)).getOrElse(
+        sys.error(s"$dir has no data files in either generation and no " +
+          "log schema to type an empty delta"))
+      val keyField = sch.fields.find(_.name.equalsIgnoreCase(keyCol)).getOrElse(
+        sys.error(s"log schema of $dir lacks key column '$keyCol'"))
+      val out = org.apache.spark.sql.types.StructType(
+        keyField +: org.apache.spark.sql.types.StructField("change_op",
+          org.apache.spark.sql.types.StringType, nullable = false) +:
+          sch.fields.filterNot(_.name.equalsIgnoreCase(keyCol)))
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], out)
+    }
+    val anyPath = anyPathOpt.get
     def side(paths: IndexedSeq[String], gen: Int) =
       if (paths.nonEmpty) readVisible(s, dir, gen, paths)
       else readerFor(s, dir, gen).parquet(anyPath).limit(0)

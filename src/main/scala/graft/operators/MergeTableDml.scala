@@ -202,6 +202,18 @@ trait MergeTableDml { this: MergeTable.type =>
     require(changes.filter(col(keyCol).isNull).isEmpty,
       s"merge batch carries null '$keyCol' keys — a keyed table's key " +
         "is row identity; null keys can never be matched or diffed")
+    // ops outside {U, D, I} (or null) must refuse, not silently
+    // vanish: the filter-based routing below would drop them while
+    // the commit still lands and the feed's watermark advances —
+    // permanent silent data loss from one sloppy producer ('u',
+    // 'UPDATE', ...)
+    val badOps = changes
+      .filter(!coalesce(col("op").isin("U", "D", "I"), lit(false)))
+      .select("op").distinct().limit(4).collect()
+      .map(r => String.valueOf(r.get(0)))
+    require(badOps.isEmpty,
+      s"merge batch contains unsupported op value(s) ${badOps.mkString(", ")} " +
+        "— the change column must be exactly 'U', 'D' or 'I'")
 
     val man = manifestAt(s, dir, prevGen)
     // manifest path under a reserved alias — a table legitimately
@@ -245,6 +257,17 @@ trait MergeTableDml { this: MergeTable.type =>
           .map(f => f.name -> f.dataType)
       }
     val tableType = tableVals.toMap
+    // a case-VARIANT of an existing column must refuse loudly: treated
+    // as new it would log duplicate-modulo-case fields (poisoning
+    // every later read under Spark's case-insensitive analysis), and
+    // silently mapping it onto the existing column would need a rename
+    // the caller didn't ask for — append's discipline, merge's overlay
+    changeVals.foreach { c =>
+      tableVals.map(_._1).find(t => t.equalsIgnoreCase(c) && t != c).foreach(t =>
+        throw new IllegalArgumentException(
+          s"merge batch column '$c' is a case-variant of table column '$t' " +
+            "— rename the batch column to match exactly"))
+    }
     val valueCols = tableVals.map(_._1) ++
       changeVals.filterNot(tableVals.map(_._1).contains)
     // retired-name guard (see dropColumn): a batch re-introducing a
@@ -303,11 +326,23 @@ trait MergeTableDml { this: MergeTable.type =>
     man.filter(col("path").isin(untouched: _*))
       .unionByName(newStats, allowMissingColumns = true)
       .coalesce(1).write.parquet(manifestDirOf(dir, next, token))
-    // the union schema rides the commit-log entry (schema-in-log);
+    // the union schema rides the commit-log entry (schema-in-log).
+    // Nullability is UNIONED with the previous schema: carried files
+    // may hold nulls in a column the batch supplied non-null (and a
+    // NEW column is null in every carried file), so logging the
+    // batch's narrower nullability would let Catalyst fold IS NULL
+    // over those rows to an empty relation — append's r20 lesson,
+    // applied to the whole field set
+    val prevNullable = schemaAt(dir, prevGen)
+      .map(_.fields.map(f => f.name.toLowerCase -> f.nullable).toMap)
+      .getOrElse(Map.empty[String, Boolean])
+    val loggedSchema = org.apache.spark.sql.types.StructType(
+      newRows.schema.fields.map(f => f.copy(nullable =
+        f.nullable || prevNullable.getOrElse(f.name.toLowerCase, true))))
     // the deletion vector carries minus the rewritten files' entries
     val dvMeta = dvMetaForCommit(s, dir, prevGen, next, token, touched)
     try commitGen(dir, next, token,
-      Map("op" -> "merge") ++ meta ++ dvMeta + ("schema" -> newRows.schema.json))
+      Map("op" -> "merge") ++ meta ++ dvMeta + ("schema" -> loggedSchema.json))
     catch {
       case e: java.util.ConcurrentModificationException =>
         Seq(staging, manifestDirOf(dir, next, token), s"$dir/${dvNameOf(next, token)}")
@@ -913,7 +948,13 @@ trait MergeTableDml { this: MergeTable.type =>
       var attempts = 0
       var done = false
       while (!done) {
-        val applied = committedMeta(dir).get("batch").map(_.toLong)
+        // the watermark is the NEWEST batch meta at or below the head,
+        // resolved flat via the checkpoint rollup — reading only the
+        // head's meta let any interleaved maintenance commit (compact/
+        // recluster/dvdelete carries no batch key) hide it, and a
+        // restarted stream re-merged an already-applied batch,
+        // duplicating its I rows (r20 review find)
+        val applied = newestSinkBatch(dir)
         if (applied.exists(_ >= batchId)) done = true // replay: no-op
         else {
           attempts += 1

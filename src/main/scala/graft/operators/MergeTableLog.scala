@@ -172,6 +172,39 @@ trait MergeTableLog { this: MergeTable.type =>
   private[graft] def checkpointAt(dir: String, gen: Int): Map[String, String] =
     readKvFile(store(dir), checkpointFileOf(dir, gen))
 
+  /** The sink-batch rollup a checkpoint carries (the upsert sink's
+    * watermark at or below it).
+    */
+  private[graft] def checkpointSinkBatch(dir: String, gen: Int): Option[Long] =
+    checkpointAt(dir, gen).get("sink.batch").flatMap(_.toLongOption)
+
+  /** The newest-cluster-commit rollup a checkpoint carries:
+    * (generation, cluster_cols).
+    */
+  private[graft] def checkpointClusterOf(dir: String, gen: Int): Option[(Int, String)] = {
+    val m = checkpointAt(dir, gen)
+    m.get("cluster.gen").flatMap(_.toIntOption)
+      .map(g => (g, m.getOrElse("cluster.cols", "")))
+  }
+
+  /** The newest sink batch watermark at or below the head — FLAT in
+    * generation count: the short tail above the last checkpoint, then
+    * the checkpoint's rollup. Reading only the HEAD's meta was the
+    * r20 review's duplicate-apply hole: any interleaved maintenance
+    * commit (compact/recluster/dvdelete) hid the watermark and a
+    * restarted stream re-merged an already-applied batch.
+    */
+  private[graft] def newestSinkBatch(dir: String): Option[Long] =
+    committedGen(dir).flatMap { cur =>
+      val ckpt = lastCheckpointGen(dir)
+      val floor = ckpt.map(_ + 1).getOrElse(0)
+      (cur to floor by -1).iterator
+        .map(g => metaAt(dir, g).get("batch"))
+        .collectFirst { case Some(b) => b }
+        .flatMap(_.toLongOption)
+        .orElse(ckpt.flatMap(g => checkpointSinkBatch(dir, g)))
+    }
+
   /** The view-watermark rollup a checkpoint carries: the newest commit
     * meta at or below it containing `mv_src_gen` (None when the table
     * had no view watermark anywhere in gens 0..checkpoint).
@@ -193,17 +226,39 @@ trait MergeTableLog { this: MergeTable.type =>
     val prevCkpt = Iterator.from(1).map(i => gen - i * checkpointInterval)
       .takeWhile(_ > 0)
       .find(g => store(dir).exists(checkpointFileOf(dir, g)))
-    val mvMeta: Option[Map[String, String]] =
+    // the "newest meta at or below the checkpoint carrying KEY"
+    // rollup, shared by every watermark family below (mv_src_gen for
+    // views, batch for the upsert sink, op=cluster for partial
+    // reclustering): fold the tail since the previous checkpoint,
+    // fall back to the previous checkpoint's own rollup, cover gen 0
+    // when there is no previous checkpoint
+    def newestWith(pred: Map[String, String] => Boolean,
+                   fromPrev: Int => Option[(Int, Map[String, String])])
+        : Option[(Int, Map[String, String])] =
       (gen to (prevCkpt.getOrElse(0) + 1) by -1).iterator
-        .map(g => metaAt(dir, g))
-        .collectFirst { case m if m.contains("mv_src_gen") => m }
-        .orElse(prevCkpt.flatMap(g => checkpointMvMeta(dir, g)))
-        .orElse( // no prev checkpoint: gen 0 is the only gen left
-          if (prevCkpt.isEmpty && metaAt(dir, 0).contains("mv_src_gen"))
-            Some(metaAt(dir, 0)) else None)
+        .map(g => g -> metaAt(dir, g))
+        .collectFirst { case (g, m) if pred(m) => (g, m) }
+        .orElse(prevCkpt.flatMap(fromPrev))
+        .orElse(
+          if (prevCkpt.isEmpty && pred(metaAt(dir, 0))) Some((0, metaAt(dir, 0)))
+          else None)
+    val mvMeta = newestWith(_.contains("mv_src_gen"),
+      g => checkpointMvMeta(dir, g).map((-1, _))).map(_._2)
+    val sinkBatch = newestWith(_.contains("batch"),
+      g => checkpointSinkBatch(dir, g).map(b => (-1, Map("batch" -> b.toString))))
+      .flatMap(_._2.get("batch"))
+    val cluster = newestWith(_.get("op").contains("cluster"),
+      g => checkpointClusterOf(dir, g).map { case (cg, cols) =>
+        (cg, Map("op" -> "cluster", "cluster_cols" -> cols, "__gen" -> cg.toString)) })
+      .map { case (g, m) =>
+        (m.get("__gen").flatMap(_.toIntOption).getOrElse(g),
+          m.getOrElse("cluster_cols", "")) }
     val body = (Seq("gen" -> gen.toString) ++
       metaAt(dir, gen).toSeq.sorted.map { case (k, v) => s"meta.$k" -> v } ++
       mvMeta.toSeq.flatMap(_.toSeq.sorted.map { case (k, v) => s"mv.$k" -> v }) ++
+      sinkBatch.map(b => "sink.batch" -> b).toSeq ++
+      cluster.toSeq.flatMap { case (cg, cols) =>
+        Seq("cluster.gen" -> cg.toString, "cluster.cols" -> cols) } ++
       cdcHorizons(dir).toSeq.sorted.map { case (c, g) => s"horizon.$c" -> g.toString })
       .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
     store(dir).putReplace(checkpointFileOf(dir, gen), body.getBytes("UTF-8"))
@@ -256,6 +311,17 @@ trait MergeTableLog { this: MergeTable.type =>
     val stamped =
       if (meta.contains("ts")) meta
       else meta + ("ts" -> System.currentTimeMillis().toString)
+    // line-safety: the entry format is k=v LINES, so a newline in a
+    // value would smuggle arbitrary control keys (dv, schema, token)
+    // into the parse and a '=' in a KEY would shift the split — one
+    // hostile or sloppy metadata string must not brick the table head
+    // (IndexManifest.commitWithMeta's existing discipline)
+    (("token" -> token) +: stamped.toSeq).foreach { case (k, v) =>
+      require(k.nonEmpty && !k.exists(c => c == '=' || c == '\n' || c == '\r'),
+        s"commit meta key '$k' must be non-empty without '=' or newlines")
+      require(!v.exists(c => c == '\n' || c == '\r'),
+        s"commit meta value for '$k' must be single-line")
+    }
     val body = (("token" -> token) +: stamped.toSeq.sorted)
       .map { case (k, v) => s"$k=$v" }.mkString("", "\n", "\n")
     if (!store(dir).putIfAbsent(markerOf(dir, gen), body.getBytes))
@@ -386,26 +452,15 @@ trait MergeTableLog { this: MergeTable.type =>
     */
   private[graft] def commitCarryForward(dir: String,
                                         meta: Map[String, String]): Int = {
+    // the unfenced form IS the fenced one against the current head —
+    // one body (token resolve, manifest copy loop, CME cleanup), two
+    // loss behaviors (throw here, false there)
     val prev = committedGen(dir).getOrElse(
       sys.error(s"$dir is not a committed keyed table (no commit log)"))
-    val prevToken = metaAt(dir, prev).getOrElse("token",
-      sys.error(s"commit-log entry for generation $prev lacks a token"))
-    val token = newToken()
-    val src = java.nio.file.Path.of(manifestDirOf(dir, prev, prevToken))
-    val dst = java.nio.file.Path.of(manifestDirOf(dir, prev + 1, token))
-    java.nio.file.Files.createDirectories(dst)
-    val ls = java.nio.file.Files.list(src)
-    try ls.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
-      .foreach(f => java.nio.file.Files.copy(f, dst.resolve(f.getFileName)))
-    finally ls.close()
-    try commitGen(dir, prev + 1, token,
-      inheritDvMeta(dir, prev) ++ meta ++
-        schemaAt(dir, prev).map(s => "schema" -> s.json))
-    catch {
-      case e: java.util.ConcurrentModificationException =>
-        graft.IndexLifecycle.deleteRecursively(dst.toString)
-        throw e
-    }
+    if (!commitCarryForwardFenced(dir, prev, meta))
+      throw new java.util.ConcurrentModificationException(
+        s"generation ${prev + 1} of $dir was committed by a concurrent " +
+          "writer; recompute from the new committed base and retry")
     prev + 1
   }
 

@@ -256,12 +256,25 @@ trait MergeTableStorage { this: MergeTable.type =>
     // they match ANY request is exactly the silent-selectivity-loss
     // this check exists to prevent.
     val wanted = clusterCols.mkString(",")
-    val baseline: Set[String] =
-      (prevGen to 0 by -1).find { g =>
+    // baseline resolution is FLAT in generation count (r20): walk only
+    // the short tail above the last commit-log checkpoint, then read
+    // the checkpoint's newest-cluster rollup — the unbounded walk paid
+    // O(total commits) of marker reads on the streaming-sink tables
+    // the checkpoint layer exists for. A matching baseline hidden
+    // BELOW a newer non-matching cluster commit that itself predates
+    // the checkpoint is missed → degenerates to the full rewrite
+    // (correct, just not partial — the documented no-baseline posture).
+    val ckptFloor = lastCheckpointGen(dir)
+    val floor = ckptFloor.map(_ + 1).getOrElse(0)
+    val baselineGen: Option[Int] =
+      (prevGen to math.max(0, floor) by -1).find { g =>
         val m = metaAt(dir, g)
         m.get("op").contains("cluster") &&
           m.get("cluster_cols").contains(wanted)
-      }.flatMap { g =>
+      }.orElse(ckptFloor.flatMap(g => checkpointClusterOf(dir, g)
+        .collect { case (cg, cols) if cols == wanted => cg }))
+    val baseline: Set[String] =
+      baselineGen.flatMap { g =>
         scala.util.Try(manifestAt(s, dir, g).select("path").collect()
           .map(_.getString(0)).toSet).toOption // vacuumed baseline: full rewrite
       }.getOrElse(Set.empty)
@@ -425,9 +438,16 @@ trait MergeTableStorage { this: MergeTable.type =>
     * getFileStatus per live file plus the already-collected manifest.
     */
   def readIndexed(s: SparkSession, dir: String, asOf: Option[Int] = None): DataFrame = {
-    val man = asOf.fold(manifest(s, dir))(g => manifestAt(s, dir, g))
+    // ONE generation for the whole read: the manifest, the log schema
+    // and the deletion-vector state below must come from the same
+    // commit — resolving the head more than once could straddle a
+    // concurrent commit and pair G's file list with G+1's vector
+    // state (resurrecting dv-hidden rows) or schema
+    val gen = asOf.getOrElse(committedGen(dir).getOrElse(
+      sys.error(s"$dir is not a committed keyed table (no commit log)")))
+    val man = manifestAt(s, dir, gen)
     val rows = man.collect()
-    if (rows.isEmpty) return readTable(s, dir, asOf)
+    if (rows.isEmpty) return readTable(s, dir, Some(gen))
     val statCols = man.columns.filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSeq
     // non-null counts feed the index's IsNull/IsNotNull proofs; a
     // manifest row predating them (pre-nn writer, or unioned across an
@@ -448,7 +468,6 @@ trait MergeTableStorage { this: MergeTable.type =>
       GraftFileIndex.Entry(p.getFileSystem(hconf).getFileStatus(p),
         GraftFileIndex.FileStats(bounds, nRows, nn))
     }
-    val gen = asOf.getOrElse(committedGen(dir).get)
     val dataSchema = schemaAt(dir, gen).getOrElse { // pre-schema-log fallback
       val paths = rows.map(_.getAs[String]("path")).toIndexedSeq
       s.read.option("mergeSchema", "true").parquet(paths: _*).schema
@@ -502,7 +521,10 @@ trait MergeTableStorage { this: MergeTable.type =>
     */
   def scanWhere(s: SparkSession, dir: String, colName: String,
                 lo: Any, hi: Any): DataFrame = {
-    val man = manifest(s, dir)
+    // one generation for manifest + read (see readIndexed's note)
+    val gen = committedGen(dir).getOrElse(
+      sys.error(s"$dir is not a committed keyed table (no commit log)"))
+    val man = manifestAt(s, dir, gen)
     val (minC, maxC) = (s"min_$colName", s"max_$colName")
     val admit =
       if (!man.columns.contains(minC)) lit(true) // unstatted: no pruning
@@ -510,14 +532,27 @@ trait MergeTableStorage { this: MergeTable.type =>
         (col(minC).isNull || col(minC) <= lit(hi))
     val paths = man.filter(admit)
       .select("path").collect().map(_.getString(0)).toIndexedSeq
-    val gen = committedGen(dir).get
     if (paths.nonEmpty)
       readVisible(s, dir, gen, paths)
         .filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
-    else { // band misses every file: empty result, schema from any live file
-      val any = man.select("path").limit(1).collect()
-      if (any.isEmpty) sys.error(s"$dir is empty; no schema for an empty scan")
+    else emptyBandResult(s, dir, gen, man)
+  }
+
+  /** A band that misses every file (or a fully-deleted table): an
+    * EMPTY result typed by a live file's schema, or by the log schema
+    * when no file is live — readTable's posture; a retention job that
+    * banded-deletes a table to empty must not crash its downstream
+    * band scans.
+    */
+  private def emptyBandResult(s: SparkSession, dir: String, gen: Int,
+                              man: DataFrame): DataFrame = {
+    val any = man.select("path").limit(1).collect()
+    if (any.nonEmpty)
       readerFor(s, dir, gen).parquet(any.head.getString(0)).limit(0)
+    else {
+      val sch = schemaAt(dir, gen).getOrElse(sys.error(
+        s"$dir generation $gen is empty and its commit-log entry has no schema"))
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], sch)
     }
   }
 
@@ -537,7 +572,10 @@ trait MergeTableStorage { this: MergeTable.type =>
     */
   def scanWhereNull(s: SparkSession, dir: String, colName: String,
                     wantNull: Boolean): DataFrame = {
-    val man = manifest(s, dir)
+    // one generation for manifest + read (see readIndexed's note)
+    val gen = committedGen(dir).getOrElse(
+      sys.error(s"$dir is not a committed keyed table (no commit log)"))
+    val man = manifestAt(s, dir, gen)
     val nnC = s"nn_$colName"
     val admit =
       if (!man.columns.contains(nnC) || !man.columns.contains("n_rows")) lit(true)
@@ -546,14 +584,9 @@ trait MergeTableStorage { this: MergeTable.type =>
       else col(nnC).isNull || col(nnC) > 0
     val paths = man.filter(admit)
       .select("path").collect().map(_.getString(0)).toIndexedSeq
-    val gen = committedGen(dir).get
     val residual = if (wantNull) col(colName).isNull else col(colName).isNotNull
     if (paths.nonEmpty) readVisible(s, dir, gen, paths).filter(residual)
-    else { // every file provably disjoint: empty result, live schema
-      val any = man.select("path").limit(1).collect()
-      if (any.isEmpty) sys.error(s"$dir is empty; no schema for an empty scan")
-      readerFor(s, dir, gen).parquet(any.head.getString(0)).limit(0)
-    }
+    else emptyBandResult(s, dir, gen, man)
   }
 
   /** Incremental-consumer cursor over the commit log: everything that

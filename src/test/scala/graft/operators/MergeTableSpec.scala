@@ -1407,4 +1407,115 @@ class MergeTableSpec extends SparkSpecBase {
       "memo aliased a re-created table's generation 0")
     assert(MergeTable.readTable(spark, dir, asOf = Some(0)).count() == 7)
   }
+
+  test("upsertSink replay is a no-op even across interleaved maintenance commits (r20)") {
+    import spark.implicits._
+    val dir = tmpDir("mergetab-sinkreplay")
+    MergeTable.write(spark, (1 to 50).map(k => (k.toLong, k * 1.0)).toDF("k", "v"),
+      "k", dir, nFiles = 2)
+    val sink = MergeTable.upsertSink(dir, "k")
+    sink((51 to 60).map(k => (k.toLong, "I", k * 1.0)).toDF("k", "op", "v"), 7L)
+    assert(MergeTable.readTable(spark, dir).count() == 60)
+    // a maintenance commit lands between the batch and its replay —
+    // its meta carries no batch key, so a head-only watermark read
+    // would forget batch 7 and the replay would re-insert 10 rows
+    MergeTable.compact(spark, dir, "k", targetRows = 1000000L)
+    MergeTable.deleteKeys(spark, dir, "k", Seq(1L))
+    sink((51 to 60).map(k => (k.toLong, "I", k * 1.0)).toDF("k", "op", "v"), 7L)
+    assert(MergeTable.readTable(spark, dir).count() == 59,
+      "replayed batch re-applied across a maintenance commit")
+    assert(MergeTable.readTable(spark, dir)
+      .groupBy("k").count().filter(col("count") > 1).isEmpty,
+      "duplicate keys after the replay")
+    // and the NEXT batch still applies
+    sink(Seq((61L, "I", 61.0)).toDF("k", "op", "v"), 8L)
+    assert(MergeTable.readTable(spark, dir).count() == 60)
+  }
+
+  test("merge guards: bad ops refuse, case-variant columns refuse, meta stays line-safe (r20)") {
+    import spark.implicits._
+    val dir = tmpDir("mergetab-guards")
+    MergeTable.write(spark, (1 to 40).map(k => (k.toLong, s"s$k")).toDF("k", "seg"),
+      "k", dir, nFiles = 2)
+    // an op outside U/D/I (or null) must refuse loudly, not silently
+    // drop the row while the commit lands
+    val badOp = intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, dir,
+        Seq((1L, "u", "x")).toDF("k", "op", "seg"), "k")
+    }
+    assert(badOp.getMessage.contains("unsupported op"))
+    // a case-variant of an existing column would log duplicate-modulo-
+    // case fields and poison every later read
+    val caseVar = intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, dir,
+        Seq((1L, "U", "x")).toDF("k", "op", "SEG"), "k")
+    }
+    assert(caseVar.getMessage.contains("case-variant"))
+    // a newline in commit meta would smuggle control keys into the
+    // k=v marker parse and brick the table head
+    val badMeta = intercept[IllegalArgumentException] {
+      MergeTable.merge(spark, dir,
+        Seq((1L, "U", "x")).toDF("k", "op", "seg"), "k",
+        meta = Map("note" -> "x\ndv=dv-g9~bogus"))
+    }
+    assert(badMeta.getMessage.contains("single-line"))
+    assert(MergeTable.committedGen(dir).contains(0), "a refused merge committed")
+  }
+
+  test("merge logs batch-narrower nullability unioned with the prev schema (r20)") {
+    import spark.implicits._
+    val dir = tmpDir("mergetab-nullability")
+    MergeTable.write(spark, (1 to 100).map(k => (k.toLong, s"s$k")).toDF("k", "seg"),
+      "k", dir, nFiles = 2)
+    // pure-INSERT batch introducing a NON-NULLABLE new column: carried
+    // gen-0 files surface it as null, so the logged field must be
+    // nullable or Catalyst folds IS NULL over those rows to empty
+    MergeTable.merge(spark, dir,
+      (101 to 110).map(k => (k.toLong, "I", s"s$k", k * 2L)).toDF("k", "op", "seg", "src"),
+      "k")
+    assert(MergeTable.readTable(spark, dir).filter(col("src").isNull).count() == 100,
+      "pre-evolution rows lost from the null audit")
+    assert(MergeTable.readIndexed(spark, dir).filter(col("src").isNull).count() == 100)
+  }
+
+  test("band scans and CDC survive a table deleted to empty (r20)") {
+    import spark.implicits._
+    val dir = tmpDir("mergetab-emptyscan")
+    MergeTable.write(spark, (1 to 30).map(k => (k.toLong, k * 1.0)).toDF("k", "v"),
+      "k", dir, nFiles = 2)
+    MergeTable.deleteWhere(spark, dir, "k", "k", None, None) // delete everything
+    // a retention job that banded-deletes to empty must not crash the
+    // downstream band scans — empty TYPED frames, readTable's posture
+    assert(MergeTable.scanRange(spark, dir, "k", 1L, 10L).isEmpty)
+    assert(MergeTable.scanWhereNull(spark, dir, "v", wantNull = true).isEmpty)
+    assert(MergeTable.scanRange(spark, dir, "k", 1L, 10L).columns.toSeq ==
+      Seq("k", "v"))
+    // a metadata-only commit after the delete: the CDC span between
+    // two EMPTY generations is an empty typed delta, not a crash loop
+    val g = MergeTable.commitCarryForward(dir, Map("op" -> "stamp"))
+    val delta = MergeTable.changesBetween(spark, dir, g - 1, g, "k")
+    assert(delta.isEmpty && delta.columns.contains("change_op"))
+  }
+
+  test("partial recluster's baseline survives past a commit-log checkpoint (r20)") {
+    import spark.implicits._
+    val dir = tmpDir("mergetab-clusterckpt")
+    val t = (for { x <- 0 until 32; y <- 0 until 32 }
+      yield (x.toLong * 32 + y, x.toLong, y.toLong)).toDF("k", "x", "y")
+    MergeTable.writeClustered(spark, t, "k", Seq("x", "y"), dir, nFiles = 8)
+    // push the cluster commit PAST a checkpoint with maintenance noise
+    (1 to MergeTable.checkpointInterval + 2).foreach(i =>
+      MergeTable.commitCarryForward(dir, Map("op" -> "stamp", "i" -> i.toString)))
+    assert(MergeTable.lastCheckpointGen(dir).isDefined, "fixture never checkpointed")
+    // degrade the layout with a small merge, then partial-recluster:
+    // the baseline (gen 0) resolves through the checkpoint's rollup —
+    // the bounded tail walk alone would miss it and fall back to a
+    // FULL rewrite
+    MergeTable.merge(spark, dir,
+      Seq((5L, "U", 99L, 99L)).toDF("k", "op", "x", "y"), "k")
+    val st = MergeTable.reclusterPartial(spark, dir, "k", Seq("x", "y"))
+    assert(st.untouched.nonEmpty,
+      "baseline lost past the checkpoint: partial degenerated to a full rewrite")
+    assert(st.touched.nonEmpty && st.touched.size < st.untouched.size)
+  }
 }
