@@ -16,10 +16,13 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   *    caller's session (e.g. a MemoryStream), so the plan has to be
   *    transplanted rather than rebuilt.
   *
-  * This is the lone file outside the `graft` namespace; it exists so
-  * the provider override can live on a private session instead of
-  * being set-then-restored on the caller's (which a concurrent
-  * query on the same session could capture mid-window).
+  * One of the three sanctioned files outside the `graft` namespace
+  * (with [[org.apache.spark.sql.graft.ColumnBridge]] and
+  * [[org.apache.spark.sql.graft.StreamingShim]] — each a narrow,
+  * documented `private[sql]` seam); this one exists so the provider
+  * override can live on a private session instead of being
+  * set-then-restored on the caller's (which a concurrent query on
+  * the same session could capture mid-window).
   */
 object SessionBridge {
 

@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
 class LshStoreModelSpec extends SparkSpecBase {
   import spark.implicits._
 
+  // fuzz knobs — same contract as MergeTableModelSpec's: committed
+  // defaults are the suite's cost envelope, a hunt raises them by env
+  private val nSteps = sys.env.get("SPARK_GRAFT_MODEL_STEPS")
+    .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(8)
+  private val seed = sys.env.get("SPARK_GRAFT_MODEL_SEED")
+    .flatMap(_.toLongOption).getOrElse(20260816L)
+
   /** Synthetic corpus: ids 0..n-1 with 12-token texts; every doc with
     * id % 3 == 0 shares its text with id+1 (guaranteed est=1.0 pairs,
     * so probes are never vacuously empty).
@@ -56,7 +63,7 @@ class LshStoreModelSpec extends SparkSpecBase {
   }
 
   test("random append/tombstone/vacuum/compact sequences match the model's probe") {
-    val rnd = new scala.util.Random(20260816L)
+    val rnd = new scala.util.Random(seed)
     val idx = tmpDir("lsh-model")
     var live: Set[Long] = (0L until 120L).toSet
     var tombed: Set[Long] = Set.empty
@@ -77,7 +84,7 @@ class LshStoreModelSpec extends SparkSpecBase {
     }
 
     check("build")
-    (1 to 8).foreach { step =>
+    (1 to nSteps).foreach { step =>
       rnd.nextInt(4) match {
         case 0 => // append a fresh batch (ids aligned to the 3-cycle so
           // some share texts with EXISTING bases via the same formula)

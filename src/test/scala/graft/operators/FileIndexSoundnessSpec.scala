@@ -20,6 +20,13 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class FileIndexSoundnessSpec extends SparkSpecBase {
 
+  // fuzz knobs — same contract as the model specs': committed
+  // defaults are the suite's cost envelope, a hunt raises them by env
+  private val nCases = sys.env.get("SPARK_GRAFT_MODEL_STEPS")
+    .flatMap(_.toIntOption).filter(_ >= 1).map(_ * 2000).getOrElse(20000)
+  private val seed = sys.env.get("SPARK_GRAFT_MODEL_SEED")
+    .flatMap(_.toLongOption).getOrElse(20260816L)
+
   private val longAttr = AttributeReference("c", LongType)()
   private val strAttr = AttributeReference("t",
     org.apache.spark.sql.types.StringType)()
@@ -57,7 +64,7 @@ class FileIndexSoundnessSpec extends SparkSpecBase {
   }
 
   test("admits == false implies no row satisfies, over randomized files and predicates") {
-    val rnd = new scala.util.Random(20260816L)
+    val rnd = new scala.util.Random(seed)
     def lit(v: Long) = Literal(v, LongType)
     def randLong(): Long = rnd.nextInt(21).toLong - 10
     def randRows(): Seq[Any] = {
@@ -96,7 +103,7 @@ class FileIndexSoundnessSpec extends SparkSpecBase {
       }
     }
     var skips = 0
-    (1 to 20000).foreach { i =>
+    (1 to nCases).foreach { i =>
       val rows = randRows()
       val stats = statsOfRows("c", rows)
       val pred = randPred(3)
@@ -110,8 +117,9 @@ class FileIndexSoundnessSpec extends SparkSpecBase {
       }
     }
     // the prover must actually prove things, or the property is vacuous
-    assert(skips > 1000, s"prover too timid to test: only $skips skips in 20000 cases")
-    info(s"$skips/20000 random (file, predicate) pairs provably skipped — all sound")
+    assert(skips > nCases / 20,
+      s"prover too timid to test: only $skips skips in $nCases cases")
+    info(s"$skips/$nCases random (file, predicate) pairs provably skipped — all sound")
   }
 
   test("string StartsWith proofs stay sound under truncation-shaped bounds") {

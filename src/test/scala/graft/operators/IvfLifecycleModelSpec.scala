@@ -25,8 +25,14 @@ class IvfLifecycleModelSpec extends SparkSpecBase {
         "cast(pmod(xxhash64(vec_id * 16 + j), 1000) as float) / 1000.0)")
         .as("embedding"))
 
+  // fuzz knobs — same contract as MergeTableModelSpec's
+  private val nSteps = sys.env.get("SPARK_GRAFT_MODEL_STEPS")
+    .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(8)
+  private val seed = sys.env.get("SPARK_GRAFT_MODEL_SEED")
+    .flatMap(_.toLongOption).getOrElse(20260816L)
+
   test("random append/tombstone/vacuum/compact/rebuild sequences keep the model's invariants") {
-    val rnd = new scala.util.Random(20260816L)
+    val rnd = new scala.util.Random(seed)
     val corpus = tmpDir("ivf-model-corpus")
     embOf((0L until 150L).toSeq).withColumn("label", lit("c"))
       .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
@@ -57,7 +63,7 @@ class IvfLifecycleModelSpec extends SparkSpecBase {
     }
 
     check("build")
-    (1 to 8).foreach { step =>
+    (1 to nSteps).foreach { step =>
       rnd.nextInt(5) match {
         case 0 =>
           val ids = (0 until 10 + rnd.nextInt(20)).map { _ => nextId += 1; nextId }

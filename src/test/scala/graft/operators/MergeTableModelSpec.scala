@@ -14,9 +14,32 @@ import org.apache.spark.sql.functions._
   * deletion vector surviving a recluster, a restore swapping vectors,
   * a compact materializing them) that per-operator specs exercise
   * only in hand-picked pairs. Seeded, so a failure reproduces.
+  *
+  * Two ops close the lifecycle loop (r20 fuzz campaign): VACUUM
+  * prunes the model's snapshot map to the current generation and
+  * asserts every swept generation now fails time travel AND restore
+  * LOUDLY (never silently re-resolving); CLONE pins the model at
+  * clone time and the end-of-run check asserts each clone still
+  * reads exactly its pinned snapshot — unless a SOURCE vacuum ran
+  * after the clone, in which case the documented shallow-clone trade
+  * applies: the read may fail loudly, but a SUCCESSFUL read must
+  * still be exactly the pinned rows (loud-or-right, never partial).
+  *
+  * Fuzz knobs (committed defaults = the suite's cost envelope):
+  * SPARK_GRAFT_MODEL_SEQS / SPARK_GRAFT_MODEL_STEPS /
+  * SPARK_GRAFT_MODEL_SEED let a hunt run hundreds of sequences
+  * without a code edit; a failure's seq/step/op all print with the
+  * seed, so any hit replays exactly.
   */
 class MergeTableModelSpec extends SparkSpecBase {
   import spark.implicits._
+
+  private def envInt(name: String, dflt: Int): Int =
+    sys.env.get(name).flatMap(_.toIntOption).filter(_ >= 1).getOrElse(dflt)
+  private val nSeqs = envInt("SPARK_GRAFT_MODEL_SEQS", 2)
+  private val nSteps = envInt("SPARK_GRAFT_MODEL_STEPS", 10)
+  private val seed = sys.env.get("SPARK_GRAFT_MODEL_SEED")
+    .flatMap(_.toLongOption).getOrElse(20260816L)
 
   private type Model = Map[Long, (String, Double)]
 
@@ -30,14 +53,19 @@ class MergeTableModelSpec extends SparkSpecBase {
       .map(r => r.getLong(0) -> ((r.getString(1), r.getDouble(2)))).toMap
 
   test("random DML sequences: reads, time travel and CDC all match the model") {
-    val rnd = new scala.util.Random(20260816L)
-    (1 to 2).foreach { seq =>
+    val rnd = new scala.util.Random(seed)
+    (1 to nSeqs).foreach { seq =>
       val dir = tmpDir(s"mergetab-model$seq")
       var model: Model = (1 to 200).map(k =>
         k.toLong -> ((s"s${k % 5}", k * 1.5))).toMap
       MergeTable.write(spark, frameOf(model), "k", dir, nFiles = 8)
-      // committed-generation → model snapshot (restore/time-travel truth)
+      // committed-generation → model snapshot (restore/time-travel truth);
+      // vacuum prunes this to the current generation — swept manifests
+      // must fail loudly, so they leave the truth map too
       val snaps = scala.collection.mutable.Map(0 -> model)
+      // clone dir → (pinned model, whether a SOURCE vacuum ran after)
+      val clones = scala.collection.mutable.Map
+        .empty[String, (Model, Boolean)]
       var nextKey = 1000L
 
       def commitIfAdvanced(op: String): Unit = {
@@ -50,9 +78,9 @@ class MergeTableModelSpec extends SparkSpecBase {
             s"missing=${(model.keySet -- got.keySet).toSeq.sorted.take(5)}")
       }
 
-      (1 to 10).foreach { step =>
+      (1 to nSteps).foreach { step =>
         val live = model.keys.toIndexedSeq.sorted
-        rnd.nextInt(8) match {
+        rnd.nextInt(10) match {
           case 0 => // banded merge: U/D on existing keys, I on fresh
             val us = rnd.shuffle(live).take(1 + rnd.nextInt(8))
             val ds = rnd.shuffle(live.filterNot(us.contains)).take(rnd.nextInt(6))
@@ -112,21 +140,65 @@ class MergeTableModelSpec extends SparkSpecBase {
               MergeTable.reclusterPartial(spark, dir, "k", Seq("k", "bal"))
               commitIfAdvanced("reclusterPartial")
             }
-          case _ => // restore to a random earlier generation
+          case 7 => // restore to a random earlier LIVE generation (a
+            // vacuum prunes snaps, so swept targets never get picked —
+            // the vacuum op itself asserts they fail loudly)
             val g = MergeTable.committedGen(dir).get
-            if (g > 0) {
-              val target = rnd.nextInt(g)
+            val targets = snaps.keys.filter(_ < g).toIndexedSeq.sorted
+            if (targets.nonEmpty) {
+              val target = targets(rnd.nextInt(targets.size))
               MergeTable.restore(spark, dir, target)
               model = snaps(target)
               commitIfAdvanced(s"restore($target)")
             }
+          case 8 => // shallow clone: pin the model; re-checked at end of
+            // run (later SOURCE ops must never leak into the clone)
+            val dst = tmpDir(s"mergetab-model$seq-clone") + "/t"
+            MergeTable.cloneTable(spark, dir, dst)
+            clones(dst) = (model, false)
+            assert(read(dst) == model,
+              s"seq $seq step $step: fresh clone diverged from the model")
+          case _ => // vacuum: every swept generation must fail time
+            // travel AND restore loudly — never silently re-resolve
+            val g = MergeTable.committedGen(dir).get
+            MergeTable.vacuum(spark, dir)
+            snaps.keys.filter(_ != g).toSeq.sorted.foreach { og =>
+              val t = intercept[Exception](read(dir, asOf = Some(og)))
+              assert(String.valueOf(t.getMessage).contains("vacuum"),
+                s"seq $seq: time travel to swept gen $og failed with the " +
+                  s"wrong shape: $t")
+              val r = intercept[Exception](MergeTable.restore(spark, dir, og))
+              assert(String.valueOf(r.getMessage).contains("vacuum"),
+                s"seq $seq: restore to swept gen $og failed with the " +
+                  s"wrong shape: $r")
+            }
+            snaps.filterInPlace((k, _) => k == g)
+            clones.mapValuesInPlace((_, v) => (v._1, true))
+            commitIfAdvanced("vacuum") // gen pinned; reads still ≡ model
         }
       }
 
-      // time travel: every committed generation reproduces its snapshot
+      // time travel: every still-live generation reproduces its snapshot
       snaps.keys.toSeq.sorted.foreach { g =>
         assert(read(dir, asOf = Some(g)) == snaps(g),
           s"seq $seq: time travel to gen $g diverged from its snapshot")
+      }
+      // clones: loud-or-right. A clone whose source never vacuumed
+      // after it must read exactly its pinned snapshot; once a source
+      // vacuum ran, the documented shallow-clone trade allows a LOUD
+      // failure — but a successful read must still be the pinned rows
+      clones.foreach { case (cdir, (pinned, srcVacuumedAfter)) =>
+        scala.util.Try(read(cdir)) match {
+          case scala.util.Success(got) =>
+            assert(got == pinned,
+              s"seq $seq: clone $cdir diverged from its pinned snapshot — " +
+                s"extra=${(got.keySet -- pinned.keySet).take(3)} " +
+                s"missing=${(pinned.keySet -- got.keySet).take(3)}")
+          case scala.util.Failure(e) =>
+            assert(srcVacuumedAfter,
+              s"seq $seq: clone $cdir unreadable with NO source vacuum " +
+                s"after it: $e")
+        }
       }
       // CDC: each adjacent committed span's post-only diff applied to
       // the earlier snapshot yields the later one (I/U put, D remove)
