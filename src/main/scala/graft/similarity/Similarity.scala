@@ -383,6 +383,33 @@ object Similarity {
         readVectorFiles(s, indexDir, picked)
     }
 
+  /** Retire previously-REFERENCED data files after a successful
+    * manifest swap: leave the bytes on disk for
+    * [[sweepUncommittedVectorFiles]] and restart their grace clock
+    * (mtime = now). Rationale: a reader that resolved the PRE-swap
+    * manifest still holds these paths in its planned scan — deleting
+    * them at commit time fails that reader mid-stage with
+    * FILE_NOT_EXIST (the transient wrong-failure the concurrent
+    * ingest property surfaced); retirement lets it finish, and the
+    * next maintenance pass's opening sweep reclaims the bytes once
+    * they outlive the grace. Only for files an EARLIER manifest
+    * referenced (compact inputs, a rebuild's previous layout) — a
+    * CAS loser's own staging was never visible to any reader and
+    * still deletes immediately; the takedown vacuum also still
+    * DELETES its rewritten files at commit, because prompt physical
+    * erasure is that operator's entire purpose (its probes are
+    * governed either way; a racing reader retries).
+    */
+  private def retireVectorFiles(indexDir: String, rels: Seq[String]): Unit = {
+    import java.nio.file.{Files, Path}
+    val root = Path.of(vectorsRoot(indexDir))
+    val now = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis())
+    rels.foreach { rel =>
+      scala.util.Try(Files.setLastModifiedTime(root.resolve(rel), now))
+      ()
+    }
+  }
+
   private def deleteVectorFiles(indexDir: String, rels: Seq[String]): Unit = {
     import java.nio.file.{Files, Path}
     val root = Path.of(vectorsRoot(indexDir))
@@ -413,12 +440,16 @@ object Similarity {
       case Some(h) => h.files.toSet
       case None => return 0
     }
+    // INCLUSIVE cutoff: graceMs = 0 must mean "no grace — reclaim
+    // every unreferenced file now", including one retired in this
+    // same millisecond (the strict form made a 0-grace sweep racing
+    // its own retirement timing-flaky)
     val cutoff = System.currentTimeMillis() - graceMs
     val walk = Files.walk(root)
     val doomed = try walk.iterator().asScala
       .filter(p => Files.isRegularFile(p) &&
         !live.contains(root.relativize(p).toString) &&
-        scala.util.Try(Files.getLastModifiedTime(p).toMillis < cutoff)
+        scala.util.Try(Files.getLastModifiedTime(p).toMillis <= cutoff)
           .getOrElse(false))
       .toIndexedSeq
     finally walk.close()
@@ -432,7 +463,7 @@ object Similarity {
     val deadTrained = try top.iterator().asScala
       .filter(p => p.getFileName.toString.startsWith("trained-") &&
         !trainedLive.contains(p.getFileName.toString) &&
-        scala.util.Try(Files.getLastModifiedTime(p).toMillis < cutoff)
+        scala.util.Try(Files.getLastModifiedTime(p).toMillis <= cutoff)
           .getOrElse(false))
       .toIndexedSeq
     finally top.close()
@@ -535,7 +566,9 @@ object Similarity {
       else Some((mine, Map("trained" -> trainedName)))
     } match {
       case Some(_) =>
-        deleteVectorFiles(indexDir, prev)
+        // retire, don't delete: a probe that resolved the pre-rebuild
+        // manifest finishes its scan; the sweep reclaims after grace
+        retireVectorFiles(indexDir, prev)
         retireTrained(indexDir, startHead)
       case None =>
         deleteVectorFiles(indexDir, mine)
@@ -557,8 +590,17 @@ object Similarity {
                             prevHead: Option[graft.operators.IndexManifest.Head]): Unit =
     trainedNameOf(prevHead) match {
       case Some(t) =>
-        graft.IndexLifecycle.deleteRecursively(s"$indexDir/$t")
+        // retire like the vector layout: a probe that pinned the
+        // pre-rebuild head still loads these centroids/codebooks —
+        // restart the dir's grace clock and let the sweep (which
+        // already reclaims unreferenced trained-* dirs) collect it
+        scala.util.Try(java.nio.file.Files.setLastModifiedTime(
+          java.nio.file.Path.of(s"$indexDir/$t"),
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis())))
+        ()
       case None =>
+        // pre-manifest legacy artifacts: no sweep knows these names,
+        // and the legacy contract is quiesced — delete immediately
         graft.IndexLifecycle.deleteRecursively(s"$indexDir/centroids")
         graft.IndexLifecycle.deleteRecursively(s"$indexDir/pqbooks")
     }
@@ -1063,10 +1105,11 @@ object Similarity {
           graft.operators.IndexManifest.commitReplace(indexDir,
             inputs.toSet, mine)(legacyVectorFiles(indexDir)) match {
             case Some(_) =>
-              // retire the fragments AFTER the swap landed — a crash
-              // here leaves unreferenced bytes the next sweep
-              // reclaims, never a reader-visible hole
-              deleteVectorFiles(indexDir, inputs)
+              // retire the fragments AFTER the swap landed — bytes
+              // stay on disk under a fresh grace clock so a reader
+              // that planned against the pre-fold manifest finishes
+              // its scan; the next pass's opening sweep reclaims them
+              retireVectorFiles(indexDir, inputs)
               // measured, not assumed: with maxRecordsPerFile set a
               // fold legitimately emits >1 file per cell (and such a
               // cell needs minFiles dialed above that count to reach

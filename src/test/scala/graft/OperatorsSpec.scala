@@ -1893,9 +1893,21 @@ class OperatorsSpec extends SparkSpecBase {
     assert(folds.forall(_.filesAfter == 1))
     val after = cellFiles()
     fragmented.keys.foreach(c => assert(after(c).size == 1, s"cell $c not folded"))
-    // superseded fragments physically retired with the swap
-    fragmented.values.flatten.foreach(f =>
-      assert(!Files.exists(Path.of(dir, "vectors", f)), s"fragment $f not deleted"))
+    // superseded fragments are RETIRED with the swap, not deleted: a
+    // reader that planned its scan against the pre-fold manifest
+    // finishes instead of failing FILE_NOT_EXIST mid-stage (the
+    // wrong-failure the concurrent ingest property surfaced) — the
+    // bytes stay on disk, unreferenced, on a fresh grace clock
+    val retired = fragmented.values.flatten.toSeq
+    retired.foreach(f => assert(Files.exists(Path.of(dir, "vectors", f)),
+      s"fragment $f should be retired (still readable), not deleted"))
+    assert(spark.read.parquet(retired.map(f => s"$dir/vectors/$f"): _*)
+      .count() > 0, "retired fragments must stay readable")
+    // ...and the grace-expired sweep is what reclaims them
+    assert(similarity.Similarity.sweepUncommittedVectorFiles(dir, graceMs = 0L)
+      == retired.size, "sweep did not reclaim exactly the retired fragments")
+    retired.foreach(f => assert(!Files.exists(Path.of(dir, "vectors", f)),
+      s"retired fragment $f survived the grace-expired sweep"))
     // compaction is invisible: same rows, same probe answers
     assert(similarity.Similarity.indexVectors(spark, dir).count() == rowsBefore)
     assert(probe() == pre, "probe answers changed across compaction")

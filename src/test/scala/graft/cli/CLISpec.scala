@@ -379,6 +379,11 @@ class CLISpec extends SparkSpecBase {
     assert(cpt.head.startsWith("folded"), cpt.head)
     assert(GraftCLI.index(spark, "compact", List(dir)).head
       .contains("already compact"))
+    // the fold RETIRES its input fragments (reader-safe; see the
+    // compact spec) — reclaim them first so the orphan sweep below
+    // counts exactly the planted file
+    assert(GraftCLI.index(spark, "sweep", List(dir, "0"))
+      .head.startsWith("reclaimed"), "retired-fragment sweep failed")
     // a planted uncommitted orphan is invisible and sweepable via CLI
     val orphan = Paths.get(dir, "vectors", "seg-dead", "pcell=0")
     Files.createDirectories(orphan)

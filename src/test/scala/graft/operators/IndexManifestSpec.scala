@@ -108,8 +108,14 @@ class IndexManifestSpec extends SparkSpecBase {
     Similarity.buildIvfIndex(spark, corpus, idx, nCells = 4, iters = 2, sampleMod = 1)
     val t1 = Similarity.trainedDir(idx)
     assert(t1 != t0, "rebuild did not version the trained artifacts")
+    // the superseded trained dir is RETIRED, not deleted: a probe that
+    // pinned the pre-rebuild head still loads these centroids — the
+    // bytes stay under a fresh grace clock until the sweep reclaims
+    assert(java.nio.file.Files.exists(java.nio.file.Path.of(t0)),
+      "superseded trained dir should be retired (still loadable), not deleted")
+    Similarity.sweepUncommittedVectorFiles(idx, graceMs = 0L)
     assert(!java.nio.file.Files.exists(java.nio.file.Path.of(t0)),
-      "superseded trained dir not retired with its generation")
+      "retired trained dir survived the grace-expired sweep")
     // the rebuild re-indexed the CORPUS: the appended rows (not part
     // of it) retired with the old generation, and probes run clean
     assert(Similarity.indexVectors(spark, idx).count() == 120)
