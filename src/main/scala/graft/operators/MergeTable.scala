@@ -105,13 +105,28 @@ object MergeTable
     n
   }
 
+  /** max over the freshly-written table's manifest `max_<c>` stats —
+    * the driver-priced replacement for a whole-table max() scan in
+    * the fixture builds (r21). Exact for long keys: long stats are
+    * never truncated, and max(col) ≡ max over per-file maxes. Any
+    * null stat falls back to the scan so the value can never drift.
+    */
+  private def manifestMaxLong(s: SparkSession, dir: String, c: String,
+                              asOf: Option[Int] = None): Option[Long] = {
+    val man = asOf.map(manifestAt(s, dir, _)).getOrElse(manifest(s, dir))
+    val rows = man.select(col(s"max_$c").cast("long")).collect()
+    if (rows.isEmpty || rows.exists(_.isNullAt(0))) None
+    else Some(rows.map(_.getLong(0)).max)
+  }
+
   private def mergedFixture(s: SparkSession, d: String, tag: String): String = {
     val dir = fixtureDir(s, d, tag)
     val t = Tables.customer(s, d)
       .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
         col("c_acctbal").as("bal"))
     write(s, t, "k", dir, nFiles = 16)
-    val maxK = t.agg(max(col("k")).cast("long")).head().getLong(0)
+    val maxK = manifestMaxLong(s, dir, "k").getOrElse(
+      t.agg(max(col("k")).cast("long")).head().getLong(0))
     val band = col("k") * 8 <= lit(maxK)
     val upd = t.filter(band && col("k") % 5 === 0 && col("k") % 7 =!= 0)
       .select(col("k"), lit("U").as("op"), lit("WEB").as("seg"),
@@ -154,7 +169,17 @@ object MergeTable
     */
   val q61_compacted_read: Q = (s, d) => {
     val dir = mergedFixture(s, d, "mergecpt")
-    val total = readTable(s, dir).count()
+    // visible row count off the manifest (driver-priced, r21): the
+    // fixture is vector-free and its n_rows stats are footer-exact,
+    // so Σ n_rows ≡ readTable().count(); any null stat or a standing
+    // deletion vector falls back to the scan-based count
+    val manRows = manifest(s, dir).select("n_rows").collect()
+    val gen = committedGen(dir).getOrElse(0)
+    val total =
+      if (dvSegments(dir, gen).isEmpty && manRows.nonEmpty &&
+          !manRows.exists(_.isNullAt(0)))
+        manRows.map(_.getLong(0)).sum
+      else readTable(s, dir).count()
     compact(s, dir, "k", targetRows = math.max(1L, total))
     readTable(s, dir)
       .select(col("k"), col("seg"), r2(col("bal")).as("bal"))
@@ -169,8 +194,12 @@ object MergeTable
     */
   val q62_skipped_scan: Q = (s, d) => {
     val dir = mergedFixture(s, d, "mergescan")
-    val maxK = Tables.customer(s, d)
-      .agg(max(col("c_custkey")).cast("long")).head().getLong(0)
+    // max(c_custkey) ≡ the GEN-0 manifest's max_k (the base write is
+    // exactly the customer projection; the merged head would include
+    // the +10M inserts) — driver-priced instead of a source scan
+    val maxK = manifestMaxLong(s, dir, "k", asOf = Some(0)).getOrElse(
+      Tables.customer(s, d)
+        .agg(max(col("c_custkey")).cast("long")).head().getLong(0))
     scanRange(s, dir, "k", maxK / 4, maxK / 2)
       .select(col("k"), col("seg"), r2(col("bal")).as("bal"))
       .orderBy("k")
@@ -215,8 +244,9 @@ object MergeTable
     */
   val q64_indexed_scan: Q = (s, d) => {
     val dir = mergedFixture(s, d, "mergeidx")
-    val maxK = Tables.customer(s, d)
-      .agg(max(col("c_custkey")).cast("long")).head().getLong(0)
+    val maxK = manifestMaxLong(s, dir, "k", asOf = Some(0)).getOrElse(
+      Tables.customer(s, d)
+        .agg(max(col("c_custkey")).cast("long")).head().getLong(0))
     readIndexed(s, dir)
       .filter(col("k") >= maxK / 4 && col("k") <= maxK / 2)
       .select(col("k"), col("seg"), r2(col("bal")).as("bal"))
@@ -235,7 +265,8 @@ object MergeTable
       .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
         col("c_acctbal").as("bal"))
     write(s, t, "k", dir, nFiles = 16)
-    val maxK = t.agg(max(col("k")).cast("long")).head().getLong(0)
+    val maxK = manifestMaxLong(s, dir, "k").getOrElse(
+      t.agg(max(col("k")).cast("long")).head().getLong(0))
     (dir, maxK)
   }
 
@@ -383,7 +414,8 @@ object MergeTable
       col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"))
     write(s, base, "k", dir, nFiles = 16)
     buildBloomIndex(s, dir, "tag")
-    val maxK = c.agg(max(col("c_custkey")).cast("long")).head().getLong(0)
+    val maxK = manifestMaxLong(s, dir, "k").getOrElse(
+      c.agg(max(col("c_custkey")).cast("long")).head().getLong(0))
     val needle = base.filter(col("k") === maxK / 3).select("tag").head().getString(0)
     scanEqualsBloom(s, dir, "tag", needle)
       .select(col("k"), col("tag"), col("seg"), r2(col("bal")).as("bal"))
@@ -405,7 +437,8 @@ object MergeTable
         col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"))
     write(s, t, "k", dir, nFiles = 16)
     dropColumn(s, dir, "k", "note")
-    val maxK = t.agg(max(col("k")).cast("long")).head().getLong(0)
+    val maxK = manifestMaxLong(s, dir, "k").getOrElse(
+      t.agg(max(col("k")).cast("long")).head().getLong(0))
     val band = col("k") * 8 <= lit(maxK)
     val upd = t.filter(band && col("k") % 5 === 0 && col("k") % 7 =!= 0)
       .select(col("k"), lit("U").as("op"), lit("WEB").as("seg"),
@@ -457,7 +490,8 @@ object MergeTable
       col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"))
     write(s, base, "k", dir, nFiles = 16)
     buildBloomIndex(s, dir, "tag")
-    val maxK = c.agg(max(col("c_custkey")).cast("long")).head().getLong(0)
+    val maxK = manifestMaxLong(s, dir, "k").getOrElse(
+      c.agg(max(col("c_custkey")).cast("long")).head().getLong(0))
     val bandC = col("c_custkey") * 8 <= lit(maxK)
     val upd = c.filter(bandC && col("c_custkey") % 5 === 0 && col("c_custkey") % 7 =!= 0)
       .select(col("c_custkey").as("k"), lit("U").as("op"),
@@ -498,7 +532,8 @@ object MergeTable
       .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
         col("c_acctbal").as("bal"))
     writeClustered(s, t, "k", Seq("k", "bal"), dir, nFiles = 16)
-    val maxK = t.agg(max(col("k")).cast("long")).head().getLong(0)
+    val maxK = manifestMaxLong(s, dir, "k").getOrElse(
+      t.agg(max(col("k")).cast("long")).head().getLong(0))
     val band = col("k") * 8 <= lit(maxK)
     val upd = t.filter(band && col("k") % 5 === 0 && col("k") % 7 =!= 0)
       .select(col("k"), lit("U").as("op"), lit("WEB").as("seg"),

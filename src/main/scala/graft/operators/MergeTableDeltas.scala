@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Deletion vectors (segmented, batch-sized dvdelete commits) and the
   * CDC read side (changesBetween / pollChanges / changesStream) that
@@ -249,8 +250,12 @@ trait MergeTableDeltas { this: MergeTable.type =>
         "rename the column or use merge/deleteWhere"))
     val next = prevGen + 1
     val token = newToken()
-    val man = manifestAt(s, dir, prevGen)
-    val allPaths = man.select("path").collect().map(_.getString(0)).toIndexedSeq
+    // one driver-side manifest collect serves the path list, the
+    // range probe and (by byte copy) the verbatim manifest carry (r21)
+    val man0 = manifestAt(s, dir, prevGen)
+    val manRows = man0.collect().toIndexedSeq
+    val man = s.createDataFrame(manRows.asJava, man0.schema)
+    val allPaths = manRows.map(_.getString(man0.schema.fieldIndex("path")))
     // resolve the key column BY NAME when the frame carries it (a
     // multi-column frame with the key second must not silently hide
     // rows keyed by some other column's values); a frame without the
@@ -312,7 +317,7 @@ trait MergeTableDeltas { this: MergeTable.type =>
         hits.coalesce(4).write.parquet(s"$dir/$segName")
         prevSegs :+ segName
       }
-    man.coalesce(1).write.parquet(manifestDirOf(dir, next, token))
+    copyManifestGen(dir, prevGen, next, token)
     // total hidden rows: additive over disjoint segments — but an
     // UNKNOWN prior count (a pre-segment-era meta with no dv_rows, or
     // a recorded -1) must stay unknown, not read as 0: a confidently
@@ -411,10 +416,11 @@ trait MergeTableDeltas { this: MergeTable.type =>
   def changesBetween(s: SparkSession, dir: String, fromGen: Int, toGen: Int,
                      keyCol: String, preImages: Boolean = false): DataFrame = {
     require(fromGen < toGen, s"need fromGen < toGen, got $fromGen >= $toGen")
-    val pathsA = manifestAt(s, dir, fromGen).select("path")
-      .collect().map(_.getString(0)).toSet
-    val pathsB = manifestAt(s, dir, toGen).select("path")
-      .collect().map(_.getString(0)).toSet
+    // memoized manifest-path resolution (livePathsAt): the reads that
+    // precede a CDC call in the same session already collected these
+    // lists; a memo hit skips both manifest parquet jobs (r21)
+    val pathsA = livePathsAt(s, dir, fromGen).toSet
+    val pathsB = livePathsAt(s, dir, toGen).toSet
     // deletion vectors: a file in BOTH manifests still changes VISIBLY
     // when the span changed its vector ENTRIES (a dvdelete hid rows
     // without touching bytes — and a restore can swap a vector for an

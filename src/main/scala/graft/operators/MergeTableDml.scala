@@ -39,8 +39,9 @@ trait MergeTableDml { this: MergeTable.type =>
   def restore(s: SparkSession, dir: String, toGen: Int): Int = {
     val cur = committedGen(dir).getOrElse(
       sys.error(s"$dir is not a committed keyed table (no commit log)"))
-    val man = manifestAt(s, dir, toGen) // loud when the manifest was vacuumed
-    val missing = man.select("path").collect().map(_.getString(0))
+    // memoized path resolution; raises the canonical vacuumed/
+    // uncommitted diagnostics exactly like a manifest read
+    val missing = livePathsAt(s, dir, toGen)
       .filterNot(p => java.nio.file.Files.exists(
         java.nio.file.Path.of(java.net.URI.create(p))))
     require(missing.isEmpty,
@@ -54,7 +55,9 @@ trait MergeTableDml { this: MergeTable.type =>
         s"segment $n was vacuumed"))
     val next = cur + 1
     val token = newToken()
-    man.coalesce(1).write.parquet(manifestDirOf(dir, next, token))
+    // verbatim manifest re-reference: a driver-side byte copy (r21 —
+    // see copyManifestFiles), no Spark job for a metadata-only commit
+    copyManifestGen(dir, toGen, next, token)
     val schemaJson = schemaAt(dir, toGen).map(_.json)
       .orElse(schemaAt(dir, cur).map(_.json))
     commitGen(dir, next, token, schemaJson.map("schema" -> _).toMap +
@@ -84,8 +87,13 @@ trait MergeTableDml { this: MergeTable.type =>
       s"clone target $dstDir is already a committed table")
     java.nio.file.Files.createDirectories(java.nio.file.Path.of(dstDir))
     val token = newToken()
-    manifestAt(s, srcDir, g).coalesce(1)
-      .write.parquet(manifestDirOf(dstDir, 0, token))
+    // the clone's gen-0 manifest is the source's verbatim — a driver-
+    // side byte copy (r21), not a Spark read-rewrite job
+    val srcToken = metaAt(srcDir, g).getOrElse("token",
+      sys.error(s"commit-log entry for generation $g lacks a token"))
+    copyManifestFiles(
+      java.nio.file.Path.of(manifestDirOf(srcDir, g, srcToken)),
+      java.nio.file.Path.of(manifestDirOf(dstDir, 0, token)))
     val meta = schemaAt(srcDir, g).map(sch => "schema" -> sch.json).toMap +
       ("op" -> "clone") + ("cloned_from" -> s"$srcDir@g$g")
     // governance state rides the clone: the clone shares the source's
@@ -193,13 +201,45 @@ trait MergeTableDml { this: MergeTable.type =>
       sys.error(s"$dir is not a committed keyed table (no commit log)"))
     val next = prevGen + 1
     val token = newToken()
-    // keyed identity gate (one batch-sized job): a null key can never
-    // be matched by the overlay's equality joins and would poison
-    // every later CDC diff of a rewritten file as a spurious D+I pair
-    // — refuse the batch loudly. Together with the gen-0 write guard
-    // this makes null keys unreachable table-wide, the invariant
-    // changesBetween's full-outer key join relies on.
-    require(changes.filter(col(keyCol).isNull).isEmpty,
+    // ONE pass over the change batch (r21) serves all three openers
+    // that each cost a batch-sized job before: the null-key identity
+    // gate, the op-vocabulary gate, and the manifest-range pruning
+    // probe. The manifest is collected ONCE driver-side (file-count-
+    // sized, the same bound every path list here already assumes) and
+    // re-enters the plans below as a local relation, so neither the
+    // probe nor the final manifest write re-reads manifest parquet.
+    val man = manifestAt(s, dir, prevGen)
+    val manRows = man.collect().toIndexedSeq
+    val manLocal = s.createDataFrame(manRows.asJava, man.schema)
+    // manifest path under a reserved alias — a table legitimately
+    // keyed by a column NAMED 'path' must not make the post-join
+    // projection ambiguous
+    val ranges = manLocal.select(col("path").as("__mf_path"),
+      col(s"min_$keyCol").as("__mn"), col(s"max_$keyCol").as("__mx"))
+    // null-admits, like every other stats consumer: a null bound (a
+    // pre-evolution carry, or a truncated string stat whose prefix
+    // had no ASCII char to increment) proves nothing, so the file is
+    // TOUCHED for any U/D key — dropping it would silently discard
+    // the change. The left-outer keeps every batch row visible to the
+    // two gates (a U/D key can match several files — harmless: the
+    // gates' rows can't match, and collect_set dedups paths).
+    val probe = changes.join(broadcast(ranges),
+        col("op").isin("U", "D") &&
+          (col("__mn").isNull || col(keyCol) >= col("__mn")) &&
+          (col("__mx").isNull || col(keyCol) <= col("__mx")),
+        "left_outer")
+      .agg(
+        count(when(col(keyCol).isNull, lit(1))).as("__null_keys"),
+        collect_set(when(!coalesce(col("op").isin("U", "D", "I"), lit(false)),
+          coalesce(col("op").cast("string"), lit("null")))).as("__bad_ops"),
+        collect_set(col("__mf_path")).as("__touched"))
+      .head()
+    // a null key can never be matched by the overlay's equality joins
+    // and would poison every later CDC diff of a rewritten file as a
+    // spurious D+I pair — refuse the batch loudly. Together with the
+    // gen-0 write guard this makes null keys unreachable table-wide,
+    // the invariant changesBetween's full-outer key join relies on.
+    require(probe.getLong(0) == 0L,
       s"merge batch carries null '$keyCol' keys — a keyed table's key " +
         "is row identity; null keys can never be matched or diffed")
     // ops outside {U, D, I} (or null) must refuse, not silently
@@ -207,32 +247,14 @@ trait MergeTableDml { this: MergeTable.type =>
     // the commit still lands and the feed's watermark advances —
     // permanent silent data loss from one sloppy producer ('u',
     // 'UPDATE', ...)
-    val badOps = changes
-      .filter(!coalesce(col("op").isin("U", "D", "I"), lit(false)))
-      .select("op").distinct().limit(4).collect()
-      .map(r => String.valueOf(r.get(0)))
+    val badOps = probe.getSeq[String](1).sorted.take(4)
     require(badOps.isEmpty,
       s"merge batch contains unsupported op value(s) ${badOps.mkString(", ")} " +
         "— the change column must be exactly 'U', 'D' or 'I'")
-
-    val man = manifestAt(s, dir, prevGen)
-    // manifest path under a reserved alias — a table legitimately
-    // keyed by a column NAMED 'path' must not make the post-join
-    // projection ambiguous
-    val ranges = man.select(col("path").as("__mf_path"),
-      col(s"min_$keyCol").as("__mn"), col(s"max_$keyCol").as("__mx"))
-    // null-admits, like every other stats consumer: a null bound (a
-    // pre-evolution carry, or a truncated string stat whose prefix
-    // had no ASCII char to increment) proves nothing, so the file is
-    // TOUCHED for any U/D key — dropping it would silently discard
-    // the change
-    val touched = changes.filter(col("op").isin("U", "D"))
-      .join(broadcast(ranges),
-        (col("__mn").isNull || col(keyCol) >= col("__mn")) &&
-          (col("__mx").isNull || col(keyCol) <= col("__mx")))
-      .select("__mf_path").distinct().collect().map(_.getString(0)).toIndexedSeq
+    val touched = probe.getSeq[String](2).toIndexedSeq
     val touchedSet = touched.toSet // Seq.contains over 10^5 paths is quadratic
-    val untouched = man.select("path").collect().map(_.getString(0))
+    val pathIdx = man.schema.fieldIndex("path")
+    val untouched = manRows.map(_.getString(pathIdx))
       .filterNot(touchedSet.contains).toIndexedSeq
 
     // Schema evolution: valueCols is the UNION of the table's existing
@@ -319,11 +341,13 @@ trait MergeTableDml { this: MergeTable.type =>
 
     val newStats =
       if (hasParquetFiles(staging)) statsOf(s, staging, keyCol)
-      else man.filter(lit(false)) // everything deleted, nothing inserted
+      else manLocal.filter(lit(false)) // everything deleted, nothing inserted
     // allowMissingColumns: a schema evolution adds stat columns the
     // carried entries don't have — they union as null, and every
-    // stats consumer treats null as "can't prune, include"
-    man.filter(col("path").isin(untouched: _*))
+    // stats consumer treats null as "can't prune, include". Both
+    // sides are local relations (collected manifest + footer stats),
+    // so this write job re-reads no parquet.
+    manLocal.filter(col("path").isin(untouched: _*))
       .unionByName(newStats, allowMissingColumns = true)
       .coalesce(1).write.parquet(manifestDirOf(dir, next, token))
     // the union schema rides the commit-log entry (schema-in-log).
@@ -393,19 +417,26 @@ trait MergeTableDml { this: MergeTable.type =>
               targetRows: Long): MergeStats = {
     val prevGen = committedGen(dir).getOrElse(
       sys.error(s"$dir is not a committed keyed table (no commit log)"))
+    // ONE driver-side manifest collect serves the triage, the path
+    // list and the carried-rows side of the new manifest (r21 — the
+    // separate filter/select jobs each re-read manifest parquet)
     val man = manifestAt(s, dir, prevGen)
-    val small = man.filter(col("n_rows") < targetRows)
-      .select("path", "n_rows").collect()
-    val all = man.select("path").collect().map(_.getString(0)).toIndexedSeq
+    val manRows = man.collect().toIndexedSeq
+    val manLocal = s.createDataFrame(manRows.asJava, man.schema)
+    val pathIdx = man.schema.fieldIndex("path")
+    val nRowsIdx = man.schema.fieldIndex("n_rows")
+    val small = manRows.filter(r =>
+      !r.isNullAt(nRowsIdx) && r.getLong(nRowsIdx) < targetRows)
+    val all = manRows.map(_.getString(pathIdx))
     if (small.length < 2)
       return MergeStats(prevGen, Nil, all) // nothing to fold together
     val next = prevGen + 1
     val token = newToken()
-    val touched = small.map(_.getString(0)).toIndexedSeq
+    val touched = small.map(_.getString(pathIdx)).toIndexedSeq
     val touchedSet = touched.toSet // Seq.contains over 10^5 paths is quadratic
     val untouched = all.filterNot(touchedSet.contains)
     val outFiles = math.max(1,
-      math.ceil(small.map(_.getLong(1)).sum.toDouble / targetRows).toInt)
+      math.ceil(small.map(_.getLong(nRowsIdx)).sum.toDouble / targetRows).toInt)
     val staging = dataDirOf(dir, next, token)
     // log-schema read: the fold set may span an evolution; the
     // compacted files must carry the union schema. Vector-filtered:
@@ -414,7 +445,7 @@ trait MergeTableDml { this: MergeTable.type =>
     readVisible(s, dir, prevGen, touched)
       .repartitionByRange(outFiles, col(keyCol))
       .write.parquet(staging)
-    man.filter(col("path").isin(untouched: _*))
+    manLocal.filter(col("path").isin(untouched: _*))
       .unionByName(statsOf(s, staging, keyCol), allowMissingColumns = true)
       .coalesce(1).write.parquet(manifestDirOf(dir, next, token))
     val dvMeta = dvMetaForCommit(s, dir, prevGen, next, token, touched)
@@ -701,7 +732,10 @@ trait MergeTableDml { this: MergeTable.type =>
                   lo: Option[Any], hi: Option[Any]): DmlStats = {
     val prevGen = committedGen(dir).getOrElse(
       sys.error(s"$dir is not a committed keyed table (no commit log)"))
-    val man = manifestAt(s, dir, prevGen)
+    // one driver-side manifest collect; the triage and the manifest
+    // write below both run off the local relation (r21)
+    val man0 = manifestAt(s, dir, prevGen)
+    val man = s.createDataFrame(man0.collect().toIndexedSeq.asJava, man0.schema)
     val (dropped, rewrite, carried) = triage(man, colName, lo, hi)
     if (dropped.isEmpty && rewrite.isEmpty)
       return DmlStats(prevGen, Nil, Nil, carried) // provably no row matches
@@ -766,7 +800,9 @@ trait MergeTableDml { this: MergeTable.type =>
     require(!set.contains(keyCol),
       s"updateWhere cannot reassign the table key '$keyCol' — " +
         "model a key change as merge(D old, I new)")
-    val man = manifestAt(s, dir, prevGen)
+    // same one-collect discipline as deleteWhere (r21)
+    val man0 = manifestAt(s, dir, prevGen)
+    val man = s.createDataFrame(man0.collect().toIndexedSeq.asJava, man0.schema)
     val (inBand, rewrite0, carried) = triage(man, colName, lo, hi)
     val rewrite = (inBand ++ rewrite0).toIndexedSeq // all-match still rewrites
     if (rewrite.isEmpty)
@@ -867,9 +903,9 @@ trait MergeTableDml { this: MergeTable.type =>
     }
     val next = prevGen + 1
     val token = newToken()
-    // same files, re-manifested verbatim; only the log schema changes
-    manifestAt(s, dir, prevGen)
-      .coalesce(1).write.parquet(manifestDirOf(dir, next, token))
+    // same files, re-manifested verbatim (driver-side byte copy, r21);
+    // only the log schema changes
+    copyManifestGen(dir, prevGen, next, token)
     val newSch = org.apache.spark.sql.types.StructType(
       sch.fields.filterNot(_.name == colName))
     // retire BEFORE the commit link: a crash between the two leaves a

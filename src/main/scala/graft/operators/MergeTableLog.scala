@@ -386,7 +386,176 @@ trait MergeTableLog { this: MergeTable.type =>
     * full coverage and falls back to the rewrite path — sound, just
     * less pruned.
     */
-  private[operators] def statsOf(s: SparkSession, dataDir: String, keyCol: String): DataFrame = {
+  private[operators] def statsOf(s: SparkSession, dataDir: String, keyCol: String): DataFrame =
+    footerStatsOf(s, dataDir, keyCol).getOrElse(statsOfJob(s, dataDir, keyCol))
+
+  /** Footer-derived manifest stats — the zero-extra-scan fast path of
+    * [[statsOf]] (r21). The written parquet files' footers already
+    * carry exactly what the manifest stores (per-row-group min/max/
+    * null-count in the writer's unsigned UTF8/native order, the same
+    * order Spark's own min/max aggregates use), so the stats pass
+    * reads K footers driver-side instead of re-scanning every data
+    * byte through a groupBy(input_file_name) shuffle — at 100 TB the
+    * difference between "a merge writes the changed files" and "a
+    * merge reads everything it just wrote a second time". Bytes on
+    * disk stay authoritative (footers ARE the written bytes — the
+    * metadata-drift argument for the job path holds unchanged).
+    *
+    * Sound by the same null-admits contract as every stats consumer:
+    * a column chunk whose footer stats are absent/invalid (dropped
+    * oversized binary stats, NaN-poisoned float stats, a pre-1.8
+    * writer) yields null min/max (and null nn when the null count is
+    * unset) — can't-prune, never wrong. Statistics semantics the job
+    * path relies on are reproduced exactly: string bounds truncate
+    * through the same [[StatsTrunc]] pair (min via UTF8String's own
+    * substring so code-point semantics match Spark's `substring`),
+    * zero-row files contribute no manifest row, and `path` uses
+    * input_file_name's URI form so bloom-sidecar joins and cross-
+    * generation carries stay bit-identical. Types outside the proven
+    * set (decimal, timestamp, boolean keys) or any footer surprise
+    * fall back wholesale to [[statsOfJob]] — behavior, not speed, is
+    * the invariant.
+    */
+  private def footerStatsOf(s: SparkSession, dataDir: String,
+                            keyCol: String): Option[DataFrame] = try {
+    import org.apache.spark.sql.types._
+    val hconf = s.sparkContext.hadoopConfiguration
+    val dirPath = new org.apache.hadoop.fs.Path(dataDir)
+    val fs = dirPath.getFileSystem(hconf)
+    if (!fs.exists(dirPath)) return None // canonical error via the job path
+    val files = fs.listStatus(dirPath)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    if (files.isEmpty) return None
+    val footers = files.toIndexedSeq.map { st =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, hconf))
+      try (st.getPath, r.getFooter) finally r.close()
+    }
+    // the Spark schema the writer recorded — the exact type set the
+    // job path would stat
+    val schemaJson = footers.iterator
+      .map(_._2.getFileMetaData.getKeyValueMetaData
+        .get("org.apache.spark.sql.parquet.row.metadata"))
+      .collectFirst { case j if j != null => j }
+    val schema = schemaJson.map(j =>
+      DataType.fromJson(j).asInstanceOf[StructType]).getOrElse(return None)
+    val statted = schema.fields.filter { f =>
+      f.name == keyCol || (f.dataType match {
+        case _: NumericType | DateType | TimestampType | StringType => true
+        case _ => false
+      })
+    }.toIndexedSeq
+    // proven type set only — anything else takes the job path whole
+    val supported = statted.forall(_.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | StringType | DateType => true
+      case _ => false
+    })
+    if (!supported) return None
+    val rows = footers.flatMap { case (path, footer) =>
+      val blocks = footer.getBlocks.asScala.toIndexedSeq
+      val nRows = blocks.map(_.getRowCount).sum
+      // a zero-row staged part file contributes NO manifest row — the
+      // job path's groupBy(input_file_name) semantics, which append()
+      // uses as its authoritative emptiness check
+      if (nRows == 0L) None
+      else {
+        val statCells = statted.flatMap { f =>
+          val chunks = blocks.map(_.getColumns.asScala
+            .find(_.getPath.toDotString == f.name).orNull)
+          foldFooterStats(chunks, nRows, f.dataType)
+        }
+        Some(org.apache.spark.sql.Row.fromSeq(
+          manifestPathOf(path) +: nRows +: statCells))
+      }
+    }
+    val outSchema = StructType(
+      StructField("path", StringType, nullable = false) +:
+        StructField("n_rows", LongType, nullable = false) +:
+        statted.flatMap(f => Seq(
+          StructField(s"min_${f.name}", f.dataType),
+          StructField(s"max_${f.name}", f.dataType),
+          StructField(s"nn_${f.name}", LongType))))
+    Some(s.createDataFrame(rows.asJava, outSchema))
+  } catch {
+    case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[graft] footer stats for $dataDir failed " +
+        s"(falling back to the scan-based stats pass): $e")
+      None
+  }
+
+  /** A data file's manifest `path` string — input_file_name()'s exact
+    * form: Spark's scan publishes `SparkPath.fromPath(status.getPath)`
+    * whose url-encoded form is `getPath.toUri.toString`, so building
+    * the string the same way keeps footer-written manifests
+    * bit-compatible with scan-written ones (bloom-sidecar joins,
+    * cross-generation carries and reclusterPartial's baseline sets
+    * all compare these strings verbatim).
+    */
+  private def manifestPathOf(p: org.apache.hadoop.fs.Path): String =
+    p.toUri.toString
+
+  /** One statted column's (min, max, nn) cells for one file, folded
+    * across its row groups. Any absent/invalid chunk statistics yield
+    * the null can't-prune cells (and an unset null count yields null
+    * nn) — the same "missing stats admit" value every consumer
+    * honors. String bounds truncate through [[StatsTrunc]] exactly
+    * like the job path's post-aggregation projection.
+    */
+  private def foldFooterStats(
+      chunks: Seq[org.apache.parquet.hadoop.metadata.ColumnChunkMetaData],
+      nRows: Long,
+      dt: org.apache.spark.sql.types.DataType): Seq[Any] = {
+    import org.apache.spark.sql.types._
+    if (chunks.exists(c => c == null || c.getStatistics == null ||
+        c.getStatistics.isEmpty))
+      return Seq(null, null, null)
+    val stats = chunks.map(_.getStatistics)
+    val nn: Any =
+      if (stats.forall(_.isNumNullsSet)) nRows - stats.map(_.getNumNulls).sum
+      else null
+    val withValues = stats.filter(_.hasNonNullValue)
+    if (withValues.isEmpty) return Seq(null, null, nn) // all-null column
+    val cmp = withValues.head.comparator
+      .asInstanceOf[java.util.Comparator[Any]]
+    val rawMin = withValues.map(_.genericGetMin.asInstanceOf[Any])
+      .reduce((a, b) => if (cmp.compare(a, b) <= 0) a else b)
+    val rawMax = withValues.map(_.genericGetMax.asInstanceOf[Any])
+      .reduce((a, b) => if (cmp.compare(a, b) >= 0) a else b)
+    def cvt(v: Any, isMin: Boolean): Any = dt match {
+      case LongType => v.asInstanceOf[Long]
+      case IntegerType => v.asInstanceOf[Int]
+      case ShortType => v.asInstanceOf[Int].toShort
+      case ByteType => v.asInstanceOf[Int].toByte
+      case DoubleType =>
+        val d = v.asInstanceOf[Double]; if (d.isNaN) null else d
+      case FloatType =>
+        val f = v.asInstanceOf[Float]; if (f.isNaN) null else f
+      case DateType => org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .toJavaDate(v.asInstanceOf[Int])
+      case StringType =>
+        val str = v.asInstanceOf[org.apache.parquet.io.api.Binary]
+          .toStringUsingUTF8
+        if (isMin) org.apache.spark.unsafe.types.UTF8String.fromString(str)
+          .substringSQL(1, statsTruncLen).toString
+        else truncUpperBound(str)
+      case other => sys.error(s"unreachable: unsupported stat type $other")
+    }
+    val mn = cvt(rawMin, isMin = true)
+    val mx = cvt(rawMax, isMin = false)
+    // a NaN bound poisons the pair (the job path's min/max never see
+    // NaN ordering artifacts) — degrade both to can't-prune
+    if ((mn == null || mx == null) && (dt == DoubleType || dt == FloatType))
+      Seq(null, null, nn)
+    else Seq(mn, mx, nn)
+  }
+
+  /** The original scan-based stats pass — [[statsOf]]'s fallback for
+    * types/footers outside the footer path's proven set (and the
+    * equivalence oracle FooterStatsSpec holds the footer path to).
+    */
+  private[operators] def statsOfJob(s: SparkSession, dataDir: String, keyCol: String): DataFrame = {
     import org.apache.spark.sql.types._
     val df = s.read.parquet(dataDir)
     val statted = df.schema.fields.filter { f =>
@@ -464,6 +633,32 @@ trait MergeTableLog { this: MergeTable.type =>
     prev + 1
   }
 
+  /** Verbatim manifest carry as a DRIVER-SIDE file copy — manifests
+    * are file-count-sized parquet, so copying the bytes is strictly
+    * cheaper than a Spark read-rewrite job AND preserves the source
+    * rows bit-exactly. Shared by the fenced carry-forward and (r21)
+    * every metadata-only commit that previously re-wrote the manifest
+    * through a Spark job (restore, shallow clone, dropColumn).
+    */
+  private[operators] def copyManifestFiles(src: java.nio.file.Path,
+                                           dst: java.nio.file.Path): Unit = {
+    java.nio.file.Files.createDirectories(dst)
+    val ls = java.nio.file.Files.list(src)
+    try ls.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+      .foreach(f => java.nio.file.Files.copy(f, dst.resolve(f.getFileName)))
+    finally ls.close()
+  }
+
+  /** [[copyManifestFiles]] between two generations of one table. */
+  private[operators] def copyManifestGen(dir: String, fromGen: Int,
+                                         toGen: Int, token: String): Unit = {
+    val prevToken = metaAt(dir, fromGen).getOrElse("token",
+      sys.error(s"commit-log entry for generation $fromGen lacks a token"))
+    copyManifestFiles(
+      java.nio.file.Path.of(manifestDirOf(dir, fromGen, prevToken)),
+      java.nio.file.Path.of(manifestDirOf(dir, toGen, token)))
+  }
+
   /** [[commitCarryForward]] FENCED on an expected head: carries
     * `expectedPrev`'s manifest to `expectedPrev + 1` and returns true
     * only when that exact CAS wins — false when any other writer
@@ -480,13 +675,9 @@ trait MergeTableLog { this: MergeTable.type =>
     val prevToken = metaAt(dir, expectedPrev).getOrElse("token",
       sys.error(s"commit-log entry for generation $expectedPrev lacks a token"))
     val token = newToken()
-    val src = java.nio.file.Path.of(manifestDirOf(dir, expectedPrev, prevToken))
     val dst = java.nio.file.Path.of(manifestDirOf(dir, expectedPrev + 1, token))
-    java.nio.file.Files.createDirectories(dst)
-    val ls = java.nio.file.Files.list(src)
-    try ls.iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
-      .foreach(f => java.nio.file.Files.copy(f, dst.resolve(f.getFileName)))
-    finally ls.close()
+    copyManifestFiles(
+      java.nio.file.Path.of(manifestDirOf(dir, expectedPrev, prevToken)), dst)
     try {
       commitGen(dir, expectedPrev + 1, token,
         inheritDvMeta(dir, expectedPrev) ++ meta ++

@@ -171,8 +171,7 @@ trait MergeTableStorage { this: MergeTable.type =>
     val next = prevGen + 1
     val token = newToken()
     val df = readTable(s, dir, asOf = Some(prevGen))
-    val prevPaths = manifestAt(s, dir, prevGen).select("path").collect()
-      .map(_.getString(0)).toIndexedSeq
+    val prevPaths = livePathsAt(s, dir, prevGen) // memoized (r21)
     val staging = dataDirOf(dir, next, token)
     zValueOf(df, clusterCols) match {
       case Some(zv) =>
@@ -243,9 +242,14 @@ trait MergeTableStorage { this: MergeTable.type =>
         s"z-order cluster column '$c' must be numeric " +
           "(lattice normalization is min/max arithmetic)")
     })
-    val man0 = manifestAt(s, dir, prevGen)
-    val livePaths = man0.select("path").collect()
-      .map(_.getString(0)).toIndexedSeq
+    // one driver-side manifest collect (r21): the path list, the
+    // global lattice bounds and the carried-rows manifest write below
+    // all run off the local rows instead of three parquet jobs
+    val manSrc = manifestAt(s, dir, prevGen)
+    val manRows = manSrc.collect().toIndexedSeq
+    val man0 = s.createDataFrame(manRows.asJava, manSrc.schema)
+    val pathIdx = manSrc.schema.fieldIndex("path")
+    val livePaths = manRows.map(_.getString(pathIdx))
     // the baseline must be a cluster commit on the SAME columns:
     // carrying files tiled in a DIFFERENT z-space as "still
     // clustered" would report the layout repaired while the carried
