@@ -192,10 +192,16 @@ object IncrementalView {
     * rows (file-pruned where the source clusters on the group
     * dimension), never the base table.
     */
-  def applyDeltaWithSource(state: DataFrame, changes: DataFrame, spec: ViewSpec,
+  def applyDeltaWithSource(state: DataFrame, changes0: DataFrame, spec: ViewSpec,
                            source: DataFrame): DataFrame = {
     val exts = spec.extremes
-    if (exts.isEmpty) return applyDelta(state, changes, spec)
+    if (exts.isEmpty) return applyDelta(state, changes0, spec)
+    // materialize the delta once (r21): it feeds BOTH the count/sum
+    // fold and the deltaKeys derivation below — unbarriered, a caller
+    // handing the raw CDC diff (q76's direct-call shape) paid the
+    // full-outer diff join twice; the delta is batch-sized by the CDC
+    // contract, exactly what refresh() already materializes upstream
+    val changes = changes0.localCheckpoint(false)
     val folded = applyDelta(state.drop(exts.map(_._1): _*), changes,
       spec.copy(mins = Nil, maxs = Nil))
     // materialize the (tiny, group-count-sized) affected-key set once:

@@ -506,17 +506,23 @@ object MergeTable
         md5(concat(lit("Z"), col("c_name")).cast("binary")).as("tag"),
         col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"))
     merge(s, dir, upd.unionByName(del).unionByName(ins), "k")
-    // needles, each derived deterministically on both engines
-    val kRewrote = c.filter(bandC && col("c_custkey") % 5 === 0 &&
-        col("c_custkey") % 7 =!= 0)
-      .agg(max(col("c_custkey")).cast("long")).head().getLong(0)
-    val kIns = c.filter(bandC && col("c_custkey") % 5 === 1)
-      .agg(max(col("c_custkey")).cast("long")).head().getLong(0)
-    def tagOf(k: Long, z: Boolean) = c.filter(col("c_custkey") === k)
-      .select(md5((if (z) concat(lit("Z"), col("c_name")) else col("c_name"))
-        .cast("binary"))).head().getString(0)
-    val needles = Seq(tagOf(kRewrote, z = false), tagOf(maxK / 2, z = false),
-      tagOf(kIns, z = true))
+    // needles, each derived deterministically on both engines — ONE
+    // aggregation job for both band maxima and ONE lookup job for the
+    // three tags (r21: was 2 agg jobs + 3 filter-head jobs, five
+    // customer scans for five scalars)
+    val maxima = c.agg(
+      max(when(bandC && col("c_custkey") % 5 === 0 && col("c_custkey") % 7 =!= 0,
+        col("c_custkey"))).cast("long"),
+      max(when(bandC && col("c_custkey") % 5 === 1, col("c_custkey"))).cast("long")
+    ).head()
+    val (kRewrote, kIns) = (maxima.getLong(0), maxima.getLong(1))
+    val tagRows = c.filter(col("c_custkey").isin(kRewrote, maxK / 2, kIns))
+      .select(col("c_custkey").cast("long"),
+        md5(col("c_name").cast("binary")).as("t"),
+        md5(concat(lit("Z"), col("c_name")).cast("binary")).as("tz"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val needles = Seq(tagRows(kRewrote)._1, tagRows(maxK / 2)._1,
+      tagRows(kIns)._2)
     scanEqualsBloomIn(s, dir, "tag", needles)
       .select(col("k"), col("tag"), col("seg"), r2(col("bal")).as("bal"))
       .orderBy("k")

@@ -195,12 +195,23 @@ trait MergeTableDml { this: MergeTable.type =>
     *     `ConcurrentModificationException` after this writer's own
     *     staging is cleaned up — recompute on the new base and retry.
     */
-  def merge(s: SparkSession, dir: String, changes: DataFrame,
+  def merge(s: SparkSession, dir: String, changes0: DataFrame,
             keyCol: String, meta: Map[String, String] = Map.empty): MergeStats = {
     val prevGen = committedGen(dir).getOrElse(
       sys.error(s"$dir is not a committed keyed table (no commit log)"))
     val next = prevGen + 1
     val token = newToken()
+    // materialize the change batch ONCE (r21 — Delta's
+    // merge.materializeSource posture): the batch subtree feeds the
+    // validation/pruning probe plus the U/D/I routing filters, and the
+    // range write evaluates those again for its sampling pass — an
+    // unbarriered batch derived from a scan was re-computed up to ~7×
+    // per merge. localCheckpoint is lazy (first action pays it), the
+    // storage is spillable, and — the correctness half — a
+    // NON-DETERMINISTIC source (a sampled or rand-salted batch) now
+    // yields ONE consistent view across all phases instead of
+    // re-drawing per phase.
+    val changes = changes0.localCheckpoint(false)
     // ONE pass over the change batch (r21) serves all three openers
     // that each cost a batch-sized job before: the null-key identity
     // gate, the op-vocabulary gate, and the manifest-range pruning

@@ -760,8 +760,13 @@ object Relational {
       .select(col("l_returnflag"), r2(col("q_value")).as("price_p95"))
     // left join: a group whose prices are all NULL has no p95 row but
     // must keep its quantity percentiles (price_p95 NULL), matching
-    // the single-aggregate shape
-    qty.join(p95, Seq("l_returnflag"), "left_outer").orderBy("l_returnflag")
+    // the single-aggregate shape. Explicit broadcast (r21): both sides
+    // are group-count-sized (|distinct l_returnflag|) but arrive from
+    // aggregations whose size estimates are useless, so the planner
+    // fell back to a SortMergeJoin — 2 exchanges + 2 sorts over 3-row
+    // inputs; the hint pins the group-count-bounded side hashed.
+    qty.join(broadcast(p95), Seq("l_returnflag"), "left_outer")
+      .orderBy("l_returnflag")
   }
 
   // --- q24: argmax per group (min_by/max_by semantics, deterministic) ---
