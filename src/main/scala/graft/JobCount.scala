@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Plan-audit main beside [[Explain]]: runs the named queries through
@@ -25,9 +25,22 @@ object JobCount {
     spark.sparkContext.setLogLevel("ERROR")
     val jobs = new java.util.concurrent.atomic.AtomicLong
     val tasks = new java.util.concurrent.atomic.AtomicLong
+    // per-job wall + call site, for the optional -v breakdown
+    val verbose = sys.env.get("SPARK_GRAFT_JOBCOUNT_VERBOSE").contains("1")
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val lines = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit =
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        starts.put(js.jobId, (System.nanoTime(),
+          Option(js.properties.getProperty("callSite.short")).getOrElse("?")))
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        val st = starts.remove(je.jobId)
+        if (st != null && verbose) lines.add(
+          f"  job ${je.jobId}%3d ${(System.nanoTime() - st._1) / 1e9}%6.2fs ${st._2}")
+      }
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
         tasks.incrementAndGet()
     })
@@ -46,8 +59,10 @@ object JobCount {
     names.foreach(runOnce)
     operators.MergeTable.cleanupFixtures()
     names.foreach { n =>
+      lines.clear()
       val (j, t, secs) = runOnce(n)
       println(f"jobcount $n jobs=$j tasks=$t secs=$secs%.2f")
+      lines.forEach(println(_))
     }
     operators.MergeTable.cleanupFixtures()
     spark.stop()

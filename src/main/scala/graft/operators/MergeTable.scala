@@ -113,10 +113,16 @@ object MergeTable
     */
   private def manifestMaxLong(s: SparkSession, dir: String, c: String,
                               asOf: Option[Int] = None): Option[Long] = {
-    val man = asOf.map(manifestAt(s, dir, _)).getOrElse(manifest(s, dir))
-    val rows = man.select(col(s"max_$c").cast("long")).collect()
-    if (rows.isEmpty || rows.exists(_.isNullAt(0))) None
-    else Some(rows.map(_.getLong(0)).max)
+    val gen = asOf.orElse(committedGen(dir)).getOrElse(return None)
+    val (schema, rows) = manifestRowsAt(s, dir, gen)
+    val i = schema.fieldNames.indexOf(s"max_$c")
+    if (i < 0 || rows.isEmpty) return None
+    val vals = rows.map(_.get(i) match {
+      case n: java.lang.Long => n.longValue
+      case n: java.lang.Integer => n.longValue
+      case _ => return None // null or non-integral stat: scan fallback
+    })
+    Some(vals.max)
   }
 
   private def mergedFixture(s: SparkSession, d: String, tag: String): String = {
@@ -173,12 +179,13 @@ object MergeTable
     // fixture is vector-free and its n_rows stats are footer-exact,
     // so Σ n_rows ≡ readTable().count(); any null stat or a standing
     // deletion vector falls back to the scan-based count
-    val manRows = manifest(s, dir).select("n_rows").collect()
     val gen = committedGen(dir).getOrElse(0)
+    val (manSchema, manRows) = manifestRowsAt(s, dir, gen)
+    val nIdx = manSchema.fieldNames.indexOf("n_rows")
     val total =
-      if (dvSegments(dir, gen).isEmpty && manRows.nonEmpty &&
-          !manRows.exists(_.isNullAt(0)))
-        manRows.map(_.getLong(0)).sum
+      if (dvSegments(dir, gen).isEmpty && nIdx >= 0 && manRows.nonEmpty &&
+          !manRows.exists(_.isNullAt(nIdx)))
+        manRows.map(_.getLong(nIdx)).sum
       else readTable(s, dir).count()
     compact(s, dir, "k", targetRows = math.max(1L, total))
     readTable(s, dir)

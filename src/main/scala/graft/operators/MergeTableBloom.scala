@@ -299,7 +299,9 @@ trait MergeTableBloom { this: MergeTable.type =>
                                     newGen: Int, staging: String): Unit = {
     val segs = bloomDirs(dir)
     if (segs.isEmpty) return
-    val liveDf = manifestAt(s, dir, newGen).select("path")
+    // local relation (driver-side manifest read, r21): the broadcast
+    // build below stops paying a manifest parquet job per fold
+    val liveDf = manifestLocalAt(s, dir, newGen).select("path")
     val stagedDf =
       if (hasParquetFiles(staging)) Some(s.read.parquet(staging)) else None
     segs.map(_.col).distinct.foreach { c =>
@@ -435,8 +437,7 @@ trait MergeTableBloom { this: MergeTable.type =>
                                       values: Seq[Any], gen: Int): (Seq[String], Int, Int) = {
     require(values.nonEmpty && values.size <= 1024,
       s"bloom probe batch must be 1..1024 values, got ${values.size}")
-    val live = manifestAt(s, dir, gen).select("path").collect()
-      .map(_.getString(0)).toIndexedSeq
+    val live = livePathsAt(s, dir, gen) // memoized driver-side read (r21)
     // normally ONE segment; after a crashed rebuild that changed
     // numHashes, the newest segment per k-family — each is sound for
     // the files it covers, so a file is pruned when ANY covering

@@ -250,12 +250,11 @@ trait MergeTableDeltas { this: MergeTable.type =>
         "rename the column or use merge/deleteWhere"))
     val next = prevGen + 1
     val token = newToken()
-    // one driver-side manifest collect serves the path list, the
+    // one driver-side manifest read serves the path list, the
     // range probe and (by byte copy) the verbatim manifest carry (r21)
-    val man0 = manifestAt(s, dir, prevGen)
-    val manRows = man0.collect().toIndexedSeq
-    val man = s.createDataFrame(manRows.asJava, man0.schema)
-    val allPaths = manRows.map(_.getString(man0.schema.fieldIndex("path")))
+    val (manSchema, manRows) = manifestRowsAt(s, dir, prevGen)
+    val man = s.createDataFrame(manRows.asJava, manSchema)
+    val allPaths = manRows.map(_.getString(manSchema.fieldIndex("path")))
     // resolve the key column BY NAME when the frame carries it (a
     // multi-column frame with the key second must not silently hide
     // rows keyed by some other column's values); a frame without the

@@ -219,9 +219,8 @@ trait MergeTableDml { this: MergeTable.type =>
     // sized, the same bound every path list here already assumes) and
     // re-enters the plans below as a local relation, so neither the
     // probe nor the final manifest write re-reads manifest parquet.
-    val man = manifestAt(s, dir, prevGen)
-    val manRows = man.collect().toIndexedSeq
-    val manLocal = s.createDataFrame(manRows.asJava, man.schema)
+    val (manSchema, manRows) = manifestRowsAt(s, dir, prevGen)
+    val manLocal = s.createDataFrame(manRows.asJava, manSchema)
     // manifest path under a reserved alias — a table legitimately
     // keyed by a column NAMED 'path' must not make the post-join
     // projection ambiguous
@@ -264,7 +263,7 @@ trait MergeTableDml { this: MergeTable.type =>
         "— the change column must be exactly 'U', 'D' or 'I'")
     val touched = probe.getSeq[String](2).toIndexedSeq
     val touchedSet = touched.toSet // Seq.contains over 10^5 paths is quadratic
-    val pathIdx = man.schema.fieldIndex("path")
+    val pathIdx = manSchema.fieldIndex("path")
     val untouched = manRows.map(_.getString(pathIdx))
       .filterNot(touchedSet.contains).toIndexedSeq
 
@@ -431,11 +430,10 @@ trait MergeTableDml { this: MergeTable.type =>
     // ONE driver-side manifest collect serves the triage, the path
     // list and the carried-rows side of the new manifest (r21 — the
     // separate filter/select jobs each re-read manifest parquet)
-    val man = manifestAt(s, dir, prevGen)
-    val manRows = man.collect().toIndexedSeq
-    val manLocal = s.createDataFrame(manRows.asJava, man.schema)
-    val pathIdx = man.schema.fieldIndex("path")
-    val nRowsIdx = man.schema.fieldIndex("n_rows")
+    val (manSchema, manRows) = manifestRowsAt(s, dir, prevGen)
+    val manLocal = s.createDataFrame(manRows.asJava, manSchema)
+    val pathIdx = manSchema.fieldIndex("path")
+    val nRowsIdx = manSchema.fieldIndex("n_rows")
     val small = manRows.filter(r =>
       !r.isNullAt(nRowsIdx) && r.getLong(nRowsIdx) < targetRows)
     val all = manRows.map(_.getString(pathIdx))
@@ -532,7 +530,7 @@ trait MergeTableDml { this: MergeTable.type =>
       return prevGen
     }
     enforceConstraintsStaged(s, dir, staging, Seq(staging), "append")
-    manifestAt(s, dir, prevGen)
+    manifestLocalAt(s, dir, prevGen)
       .unionByName(newStats, allowMissingColumns = true)
       .coalesce(1).write.parquet(manifestDirOf(dir, next, token))
     // schema-in-log: the logged schema plus any columns the batch adds
@@ -593,7 +591,7 @@ trait MergeTableDml { this: MergeTable.type =>
     enforceConstraintsStaged(s, dir, staging, Seq(staging), "rewriteAll")
     val newStats =
       if (hasParquetFiles(staging)) statsOf(s, staging, keyCol)
-      else manifestAt(s, dir, prevGen).filter(lit(false))
+      else manifestLocalAt(s, dir, prevGen).filter(lit(false))
     newStats.coalesce(1).write.parquet(manifestDirOf(dir, next, token))
     try commitGen(dir, next, token, Map("op" -> "rewrite") ++ meta ++
       schemaAt(dir, prevGen).map(sch => Map("schema" -> sch.json)).getOrElse(Map.empty))
@@ -628,8 +626,11 @@ trait MergeTableDml { this: MergeTable.type =>
     require(inputPaths.nonEmpty, "rewriteFiles needs at least one input file")
     val prevGen = committedGen(dir).getOrElse(
       sys.error(s"$dir is not a committed keyed table (no commit log)"))
-    val man = manifestAt(s, dir, prevGen)
-    val all = man.select("path").collect().map(_.getString(0)).toIndexedSeq
+    val man = manifestLocalAt(s, dir, prevGen)
+    val all = {
+      val i = man.schema.fieldIndex("path")
+      man.collect().map(_.getString(i)).toIndexedSeq
+    }
     val allNorm = all.map(normPath).toSet
     if (!inputPaths.forall(p => allNorm.contains(normPath(p))))
       throw new java.util.ConcurrentModificationException(
@@ -743,10 +744,9 @@ trait MergeTableDml { this: MergeTable.type =>
                   lo: Option[Any], hi: Option[Any]): DmlStats = {
     val prevGen = committedGen(dir).getOrElse(
       sys.error(s"$dir is not a committed keyed table (no commit log)"))
-    // one driver-side manifest collect; the triage and the manifest
+    // one driver-side manifest read; the triage and the manifest
     // write below both run off the local relation (r21)
-    val man0 = manifestAt(s, dir, prevGen)
-    val man = s.createDataFrame(man0.collect().toIndexedSeq.asJava, man0.schema)
+    val man = manifestLocalAt(s, dir, prevGen)
     val (dropped, rewrite, carried) = triage(man, colName, lo, hi)
     if (dropped.isEmpty && rewrite.isEmpty)
       return DmlStats(prevGen, Nil, Nil, carried) // provably no row matches
@@ -811,9 +811,8 @@ trait MergeTableDml { this: MergeTable.type =>
     require(!set.contains(keyCol),
       s"updateWhere cannot reassign the table key '$keyCol' — " +
         "model a key change as merge(D old, I new)")
-    // same one-collect discipline as deleteWhere (r21)
-    val man0 = manifestAt(s, dir, prevGen)
-    val man = s.createDataFrame(man0.collect().toIndexedSeq.asJava, man0.schema)
+    // same one-read discipline as deleteWhere (r21)
+    val man = manifestLocalAt(s, dir, prevGen)
     val (inBand, rewrite0, carried) = triage(man, colName, lo, hi)
     val rewrite = (inBand ++ rewrite0).toIndexedSeq // all-match still rewrites
     if (rewrite.isEmpty)

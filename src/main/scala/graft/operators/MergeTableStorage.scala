@@ -245,10 +245,9 @@ trait MergeTableStorage { this: MergeTable.type =>
     // one driver-side manifest collect (r21): the path list, the
     // global lattice bounds and the carried-rows manifest write below
     // all run off the local rows instead of three parquet jobs
-    val manSrc = manifestAt(s, dir, prevGen)
-    val manRows = manSrc.collect().toIndexedSeq
-    val man0 = s.createDataFrame(manRows.asJava, manSrc.schema)
-    val pathIdx = manSrc.schema.fieldIndex("path")
+    val (manSchema, manRows) = manifestRowsAt(s, dir, prevGen)
+    val man0 = s.createDataFrame(manRows.asJava, manSchema)
+    val pathIdx = manSchema.fieldIndex("path")
     val livePaths = manRows.map(_.getString(pathIdx))
     // the baseline must be a cluster commit on the SAME columns:
     // carrying files tiled in a DIFFERENT z-space as "still
@@ -279,8 +278,8 @@ trait MergeTableStorage { this: MergeTable.type =>
         .collect { case (cg, cols) if cols == wanted => cg }))
     val baseline: Set[String] =
       baselineGen.flatMap { g =>
-        scala.util.Try(manifestAt(s, dir, g).select("path").collect()
-          .map(_.getString(0)).toSet).toOption // vacuumed baseline: full rewrite
+        // vacuumed baseline: full rewrite (memoized driver-side read)
+        scala.util.Try(livePathsAt(s, dir, g).toSet).toOption
       }.getOrElse(Set.empty)
     val degraded = livePaths.filterNot(baseline.contains)
     val carried = livePaths.filter(baseline.contains)
@@ -351,6 +350,13 @@ trait MergeTableStorage { this: MergeTable.type =>
     * readable through here, readers can't see past the marker.
     */
   def manifestAt(s: SparkSession, dir: String, gen: Int): DataFrame = {
+    s.read.parquet(manifestDirChecked(s, dir, gen))
+  }
+
+  /** manifestAt's resolution + canonical diagnostics, factored so the
+    * driver-side row reader (r21) raises the exact same errors.
+    */
+  private def manifestDirChecked(s: SparkSession, dir: String, gen: Int): String = {
     val committed = committedGen(dir).getOrElse(
       sys.error(s"$dir is not a committed keyed table (no commit log)"))
     require(gen <= committed,
@@ -360,7 +366,32 @@ trait MergeTableStorage { this: MergeTable.type =>
     val mdir = manifestDirOf(dir, gen, token)
     require(java.nio.file.Files.exists(java.nio.file.Path.of(mdir)),
       s"generation $gen unavailable: its manifest was vacuumed")
-    s.read.parquet(mdir)
+    mdir
+  }
+
+  /** The manifest's collected rows — DRIVER-SIDE parquet read when
+    * provable (zero Spark jobs; see [[ManifestReader]]), the Spark
+    * read otherwise. The manifest is file-count-sized by design, the
+    * same driver bound every `.collect()` call site here already
+    * assumed; this just stops paying a scheduled job per resolution.
+    */
+  private[operators] def manifestRowsAt(s: SparkSession, dir: String, gen: Int)
+      : (org.apache.spark.sql.types.StructType,
+         IndexedSeq[org.apache.spark.sql.Row]) = {
+    val mdir = manifestDirChecked(s, dir, gen)
+    ManifestReader.readRows(s, mdir).getOrElse {
+      val df = s.read.parquet(mdir)
+      (df.schema, df.collect().toIndexedSeq)
+    }
+  }
+
+  /** [[manifestRowsAt]] re-entered as a LOCAL relation — the shape the
+    * commit paths filter/union into the next generation's manifest
+    * without ever re-reading manifest parquet inside a write job.
+    */
+  private[operators] def manifestLocalAt(s: SparkSession, dir: String, gen: Int): DataFrame = {
+    val (schema, rows) = manifestRowsAt(s, dir, gen)
+    s.createDataFrame(rows.asJava, schema)
   }
 
   /** Manifest PATH memo for [[readTable]]'s hot resolution: the
@@ -386,9 +417,14 @@ trait MergeTableStorage { this: MergeTable.type =>
   private[operators] def livePathsAt(s: SparkSession, dir: String,
                                      gen: Int): IndexedSeq[String] = {
     if (manifestPathMemo.size > 512) manifestPathMemo.clear()
-    // manifestAt raises the canonical uncommitted/vacuumed diagnostics
-    def fresh(): IndexedSeq[String] = manifestAt(s, dir, gen)
-      .select("path").collect().map(_.getString(0)).toIndexedSeq
+    // manifestRowsAt raises the canonical uncommitted/vacuumed
+    // diagnostics; a memo miss is a driver-side footer+row read, not
+    // a Spark job (r21)
+    def fresh(): IndexedSeq[String] = {
+      val (schema, rows) = manifestRowsAt(s, dir, gen)
+      val i = schema.fieldIndex("path")
+      rows.map(_.getString(i))
+    }
     metaAt(dir, gen).get("token") match {
       case Some(token) =>
         val key = (dir, gen, token)
@@ -449,18 +485,18 @@ trait MergeTableStorage { this: MergeTable.type =>
     // state (resurrecting dv-hidden rows) or schema
     val gen = asOf.getOrElse(committedGen(dir).getOrElse(
       sys.error(s"$dir is not a committed keyed table (no commit log)")))
-    val man = manifestAt(s, dir, gen)
-    val rows = man.collect()
+    val (manSchema, rows) = manifestRowsAt(s, dir, gen)
     if (rows.isEmpty) return readTable(s, dir, Some(gen))
-    val statCols = man.columns.filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSeq
+    val manCols = manSchema.fieldNames
+    val statCols = manCols.filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSeq
     // non-null counts feed the index's IsNull/IsNotNull proofs; a
     // manifest row predating them (pre-nn writer, or unioned across an
     // evolution with allowMissingColumns) surfaces nulls — dropped
     // here, so those files admit null checks rather than mis-prove
-    val nnCols = man.columns.filter(_.startsWith("nn_")).map(_.stripPrefix("nn_")).toSeq
-    val hasNRows = man.columns.contains("n_rows")
+    val nnCols = manCols.filter(_.startsWith("nn_")).map(_.stripPrefix("nn_")).toSeq
+    val hasNRows = manCols.contains("n_rows")
     val hconf = s.sparkContext.hadoopConfiguration
-    val entries = rows.toIndexedSeq.map { r =>
+    val entries = rows.map { r =>
       val p = new org.apache.hadoop.fs.Path(java.net.URI.create(r.getAs[String]("path")))
       val bounds = statCols.map(c =>
         c -> ((r.getAs[Any](s"min_$c"), r.getAs[Any](s"max_$c")))).toMap
@@ -525,10 +561,11 @@ trait MergeTableStorage { this: MergeTable.type =>
     */
   def scanWhere(s: SparkSession, dir: String, colName: String,
                 lo: Any, hi: Any): DataFrame = {
-    // one generation for manifest + read (see readIndexed's note)
+    // one generation for manifest + read (see readIndexed's note);
+    // the manifest consult is a driver-side read + local filter (r21)
     val gen = committedGen(dir).getOrElse(
       sys.error(s"$dir is not a committed keyed table (no commit log)"))
-    val man = manifestAt(s, dir, gen)
+    val man = manifestLocalAt(s, dir, gen)
     val (minC, maxC) = (s"min_$colName", s"max_$colName")
     val admit =
       if (!man.columns.contains(minC)) lit(true) // unstatted: no pruning
@@ -579,7 +616,7 @@ trait MergeTableStorage { this: MergeTable.type =>
     // one generation for manifest + read (see readIndexed's note)
     val gen = committedGen(dir).getOrElse(
       sys.error(s"$dir is not a committed keyed table (no commit log)"))
-    val man = manifestAt(s, dir, gen)
+    val man = manifestLocalAt(s, dir, gen)
     val nnC = s"nn_$colName"
     val admit =
       if (!man.columns.contains(nnC) || !man.columns.contains("n_rows")) lit(true)
