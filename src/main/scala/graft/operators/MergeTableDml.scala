@@ -350,16 +350,17 @@ trait MergeTableDml { this: MergeTable.type =>
     enforceConstraintsStaged(s, dir, staging, Seq(staging), "merge")
 
     val newStats =
-      if (hasParquetFiles(staging)) statsOf(s, staging, keyCol)
-      else manLocal.filter(lit(false)) // everything deleted, nothing inserted
-    // allowMissingColumns: a schema evolution adds stat columns the
-    // carried entries don't have — they union as null, and every
-    // stats consumer treats null as "can't prune, include". Both
-    // sides are local relations (collected manifest + footer stats),
-    // so this write job re-reads no parquet.
-    manLocal.filter(col("path").isin(untouched: _*))
-      .unionByName(newStats, allowMissingColumns = true)
-      .coalesce(1).write.parquet(manifestDirOf(dir, next, token))
+      if (hasParquetFiles(staging)) statsRowsOf(s, staging, keyCol)
+      else (manSchema, IndexedSeq.empty[org.apache.spark.sql.Row]) // all deleted
+    // allowMissingColumns semantics: a schema evolution adds stat
+    // columns the carried entries don't have — they union as null,
+    // and every stats consumer treats null as "can't prune, include".
+    // Carried rows + footer stats are both local, so the manifest
+    // write is driver-side (zero Spark jobs — see writeManifestUnion).
+    val untouchedSet = untouched.toSet
+    writeManifestUnion(s, manifestDirOf(dir, next, token),
+      (manSchema, manRows.filter(r => untouchedSet(r.getString(pathIdx)))),
+      newStats)
     // the union schema rides the commit-log entry (schema-in-log).
     // Nullability is UNIONED with the previous schema: carried files
     // may hold nulls in a column the batch supplied non-null (and a
@@ -431,7 +432,6 @@ trait MergeTableDml { this: MergeTable.type =>
     // list and the carried-rows side of the new manifest (r21 — the
     // separate filter/select jobs each re-read manifest parquet)
     val (manSchema, manRows) = manifestRowsAt(s, dir, prevGen)
-    val manLocal = s.createDataFrame(manRows.asJava, manSchema)
     val pathIdx = manSchema.fieldIndex("path")
     val nRowsIdx = manSchema.fieldIndex("n_rows")
     val small = manRows.filter(r =>
@@ -454,9 +454,10 @@ trait MergeTableDml { this: MergeTable.type =>
     readVisible(s, dir, prevGen, touched)
       .repartitionByRange(outFiles, col(keyCol))
       .write.parquet(staging)
-    manLocal.filter(col("path").isin(untouched: _*))
-      .unionByName(statsOf(s, staging, keyCol), allowMissingColumns = true)
-      .coalesce(1).write.parquet(manifestDirOf(dir, next, token))
+    val untouchedSet = untouched.toSet
+    writeManifestUnion(s, manifestDirOf(dir, next, token),
+      (manSchema, manRows.filter(r => untouchedSet(r.getString(pathIdx)))),
+      statsRowsOf(s, staging, keyCol))
     val dvMeta = dvMetaForCommit(s, dir, prevGen, next, token, touched)
     try commitGen(dir, next, token, Map("op" -> "compact") ++ dvMeta ++
       schemaAt(dir, prevGen).map(sch => Map("schema" -> sch.json)).getOrElse(Map.empty))
@@ -521,18 +522,17 @@ trait MergeTableDml { this: MergeTable.type =>
       return prevGen
     }
     // a zero-row batch can still stage an empty part file — the stats
-    // pass (grouped by input_file_name, so 0 rows → 0 entries) is the
-    // authoritative emptiness check; eager so the manifest union below
-    // doesn't recompute it
-    val newStats = statsOf(s, staging, keyCol).localCheckpoint()
-    if (newStats.isEmpty) {
+    // pass (zero-row files contribute no manifest row) is the
+    // authoritative emptiness check; rows are local, so the check and
+    // the union below share one computation
+    val newStats = statsRowsOf(s, staging, keyCol)
+    if (newStats._2.isEmpty) {
       graft.IndexLifecycle.deleteRecursively(staging)
       return prevGen
     }
     enforceConstraintsStaged(s, dir, staging, Seq(staging), "append")
-    manifestLocalAt(s, dir, prevGen)
-      .unionByName(newStats, allowMissingColumns = true)
-      .coalesce(1).write.parquet(manifestDirOf(dir, next, token))
+    writeManifestUnion(s, manifestDirOf(dir, next, token),
+      manifestRowsAt(s, dir, prevGen), newStats)
     // schema-in-log: the logged schema plus any columns the batch adds
     // (mergeSchema semantics — carried files surface new columns null,
     // so an added column is logged NULLABLE regardless of the batch's
@@ -590,9 +590,11 @@ trait MergeTableDml { this: MergeTable.type =>
       .write.parquet(staging)
     enforceConstraintsStaged(s, dir, staging, Seq(staging), "rewriteAll")
     val newStats =
-      if (hasParquetFiles(staging)) statsOf(s, staging, keyCol)
-      else manifestLocalAt(s, dir, prevGen).filter(lit(false))
-    newStats.coalesce(1).write.parquet(manifestDirOf(dir, next, token))
+      if (hasParquetFiles(staging)) statsRowsOf(s, staging, keyCol)
+      else (manifestRowsAt(s, dir, prevGen)._1,
+        IndexedSeq.empty[org.apache.spark.sql.Row])
+    writeManifestParquet(s, manifestDirOf(dir, next, token),
+      newStats._1, newStats._2)
     try commitGen(dir, next, token, Map("op" -> "rewrite") ++ meta ++
       schemaAt(dir, prevGen).map(sch => Map("schema" -> sch.json)).getOrElse(Map.empty))
     catch {
@@ -626,11 +628,9 @@ trait MergeTableDml { this: MergeTable.type =>
     require(inputPaths.nonEmpty, "rewriteFiles needs at least one input file")
     val prevGen = committedGen(dir).getOrElse(
       sys.error(s"$dir is not a committed keyed table (no commit log)"))
-    val man = manifestLocalAt(s, dir, prevGen)
-    val all = {
-      val i = man.schema.fieldIndex("path")
-      man.collect().map(_.getString(i)).toIndexedSeq
-    }
+    val (manSchema, manRows) = manifestRowsAt(s, dir, prevGen)
+    val pathIdx = manSchema.fieldIndex("path")
+    val all = manRows.map(_.getString(pathIdx))
     val allNorm = all.map(normPath).toSet
     if (!inputPaths.forall(p => allNorm.contains(normPath(p))))
       throw new java.util.ConcurrentModificationException(
@@ -647,11 +647,12 @@ trait MergeTableDml { this: MergeTable.type =>
       .write.parquet(staging)
     enforceConstraintsStaged(s, dir, staging, Seq(staging), "rewriteFiles")
     val newStats =
-      if (hasParquetFiles(staging)) statsOf(s, staging, keyCol)
-      else man.filter(lit(false))
-    man.filter(col("path").isin(untouched: _*))
-      .unionByName(newStats, allowMissingColumns = true)
-      .coalesce(1).write.parquet(manifestDirOf(dir, next, token))
+      if (hasParquetFiles(staging)) statsRowsOf(s, staging, keyCol)
+      else (manSchema, IndexedSeq.empty[org.apache.spark.sql.Row])
+    val untouchedSet = untouched.toSet
+    writeManifestUnion(s, manifestDirOf(dir, next, token),
+      (manSchema, manRows.filter(r => untouchedSet(r.getString(pathIdx)))),
+      newStats)
     val dvMeta = dvMetaForCommit(s, dir, prevGen, next, token,
       inputPaths.toIndexedSeq)
     try commitGen(dir, next, token, Map("op" -> "rewrite") ++ dvMeta ++ meta ++
@@ -744,9 +745,11 @@ trait MergeTableDml { this: MergeTable.type =>
                   lo: Option[Any], hi: Option[Any]): DmlStats = {
     val prevGen = committedGen(dir).getOrElse(
       sys.error(s"$dir is not a committed keyed table (no commit log)"))
-    // one driver-side manifest read; the triage and the manifest
-    // write below both run off the local relation (r21)
-    val man = manifestLocalAt(s, dir, prevGen)
+    // one driver-side manifest read; the triage runs off the local
+    // relation (Spark expression semantics for the band comparisons),
+    // the manifest write off the rows (r21)
+    val (manSchema, manRows) = manifestRowsAt(s, dir, prevGen)
+    val man = s.createDataFrame(manRows.asJava, manSchema)
     val (dropped, rewrite, carried) = triage(man, colName, lo, hi)
     if (dropped.isEmpty && rewrite.isEmpty)
       return DmlStats(prevGen, Nil, Nil, carried) // provably no row matches
@@ -762,11 +765,13 @@ trait MergeTableDml { this: MergeTable.type =>
         .write.parquet(staging)
     }
     val newStats =
-      if (hasParquetFiles(staging)) statsOf(s, staging, keyCol)
-      else man.filter(lit(false))
-    man.filter(col("path").isin(carried: _*))
-      .unionByName(newStats, allowMissingColumns = true)
-      .coalesce(1).write.parquet(manifestDirOf(dir, next, token))
+      if (hasParquetFiles(staging)) statsRowsOf(s, staging, keyCol)
+      else (manSchema, IndexedSeq.empty[org.apache.spark.sql.Row])
+    val carriedSet = carried.toSet
+    val pathIdx = manSchema.fieldIndex("path")
+    writeManifestUnion(s, manifestDirOf(dir, next, token),
+      (manSchema, manRows.filter(r => carriedSet(r.getString(pathIdx)))),
+      newStats)
     // the all-match metadata drop stays sound under a vector: every
     // PHYSICAL row matching implies every VISIBLE row matches, and the
     // dropped file takes its vector entries with it
@@ -812,7 +817,8 @@ trait MergeTableDml { this: MergeTable.type =>
       s"updateWhere cannot reassign the table key '$keyCol' — " +
         "model a key change as merge(D old, I new)")
     // same one-read discipline as deleteWhere (r21)
-    val man = manifestLocalAt(s, dir, prevGen)
+    val (manSchema, manRows) = manifestRowsAt(s, dir, prevGen)
+    val man = s.createDataFrame(manRows.asJava, manSchema)
     val (inBand, rewrite0, carried) = triage(man, colName, lo, hi)
     val rewrite = (inBand ++ rewrite0).toIndexedSeq // all-match still rewrites
     if (rewrite.isEmpty)
@@ -833,9 +839,11 @@ trait MergeTableDml { this: MergeTable.type =>
     updated.repartitionByRange(math.max(1, rewrite.size), col(keyCol))
       .write.parquet(staging)
     enforceConstraintsStaged(s, dir, staging, Seq(staging), "updateWhere")
-    man.filter(col("path").isin(carried: _*))
-      .unionByName(statsOf(s, staging, keyCol), allowMissingColumns = true)
-      .coalesce(1).write.parquet(manifestDirOf(dir, next, token))
+    val carriedSet = carried.toSet
+    val pathIdx = manSchema.fieldIndex("path")
+    writeManifestUnion(s, manifestDirOf(dir, next, token),
+      (manSchema, manRows.filter(r => carriedSet(r.getString(pathIdx)))),
+      statsRowsOf(s, staging, keyCol))
     val dvMeta = dvMetaForCommit(s, dir, prevGen, next, token, rewrite)
     try commitGen(dir, next, token, Map("op" -> "update") ++ dvMeta ++
       schemaAt(dir, prevGen).map(sch => Map("schema" -> sch.json)).getOrElse(Map.empty))

@@ -387,7 +387,48 @@ trait MergeTableLog { this: MergeTable.type =>
     * less pruned.
     */
   private[operators] def statsOf(s: SparkSession, dataDir: String, keyCol: String): DataFrame =
-    footerStatsOf(s, dataDir, keyCol).getOrElse(statsOfJob(s, dataDir, keyCol))
+    footerStatsRows(s, dataDir, keyCol)
+      .map { case (schema, rows) => s.createDataFrame(rows.asJava, schema) }
+      .getOrElse(statsOfJob(s, dataDir, keyCol))
+
+  /** [[statsOf]] as LOCAL rows — what the driver-side manifest writer
+    * consumes; the scan-based fallback collects (file-count-sized,
+    * like every stats relation here).
+    */
+  private[operators] def statsRowsOf(s: SparkSession, dataDir: String, keyCol: String)
+      : (org.apache.spark.sql.types.StructType, IndexedSeq[org.apache.spark.sql.Row]) =
+    footerStatsRows(s, dataDir, keyCol).getOrElse {
+      val df = statsOfJob(s, dataDir, keyCol)
+      (df.schema, df.collect().toIndexedSeq)
+    }
+
+  /** Write a generation's manifest from LOCAL rows: driver-side
+    * parquet when provable (zero Spark jobs — see
+    * [[ManifestReader.writeRows]]), the Spark write otherwise.
+    */
+  private[operators] def writeManifestParquet(s: SparkSession, mdir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      rows: Seq[org.apache.spark.sql.Row]): Unit =
+    if (!ManifestReader.writeRows(s, mdir, schema, rows))
+      s.createDataFrame(rows.asJava, schema)
+        .coalesce(1).write.parquet(mdir)
+
+  /** The rewriting-commit manifest write: carried rows ∪ fresh stats
+    * under unionByName(allowMissingColumns) semantics, driver-side
+    * when provable; Spark owns the union when a shared column's types
+    * disagree (the reconciliation unionByName implements).
+    */
+  private[operators] def writeManifestUnion(s: SparkSession, mdir: String,
+      carried: (org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row]),
+      fresh: (org.apache.spark.sql.types.StructType, Seq[org.apache.spark.sql.Row])): Unit =
+    ManifestReader.unionRows(carried, fresh) match {
+      case Some((schema, rows)) => writeManifestParquet(s, mdir, schema, rows)
+      case None =>
+        s.createDataFrame(carried._2.asJava, carried._1)
+          .unionByName(s.createDataFrame(fresh._2.asJava, fresh._1),
+            allowMissingColumns = true)
+          .coalesce(1).write.parquet(mdir)
+    }
 
   /** Footer-derived manifest stats — the zero-extra-scan fast path of
     * [[statsOf]] (r21). The written parquet files' footers already
@@ -416,8 +457,9 @@ trait MergeTableLog { this: MergeTable.type =>
     * fall back wholesale to [[statsOfJob]] — behavior, not speed, is
     * the invariant.
     */
-  private def footerStatsOf(s: SparkSession, dataDir: String,
-                            keyCol: String): Option[DataFrame] = try {
+  private def footerStatsRows(s: SparkSession, dataDir: String, keyCol: String)
+      : Option[(org.apache.spark.sql.types.StructType,
+                IndexedSeq[org.apache.spark.sql.Row])] = try {
     import org.apache.spark.sql.types._
     val hconf = s.sparkContext.hadoopConfiguration
     val dirPath = new org.apache.hadoop.fs.Path(dataDir)
@@ -477,7 +519,7 @@ trait MergeTableLog { this: MergeTable.type =>
           StructField(s"min_${f.name}", f.dataType),
           StructField(s"max_${f.name}", f.dataType),
           StructField(s"nn_${f.name}", LongType))))
-    Some(s.createDataFrame(rows.asJava, outSchema))
+    Some((outSchema, rows))
   } catch {
     case scala.util.control.NonFatal(e) =>
       System.err.println(s"[graft] footer stats for $dataDir failed " +

@@ -37,8 +37,8 @@ trait MergeTableStorage { this: MergeTable.type =>
     val token = newToken()
     requireKeysNotNull(df, keyCol).repartitionByRange(nFiles, col(keyCol))
       .write.parquet(dataDirOf(dir, 0, token))
-    statsOf(s, dataDirOf(dir, 0, token), keyCol)
-      .coalesce(1).write.parquet(manifestDirOf(dir, 0, token))
+    val (ss, sr) = statsRowsOf(s, dataDirOf(dir, 0, token), keyCol)
+    writeManifestParquet(s, manifestDirOf(dir, 0, token), ss, sr)
     commitGen(dir, 0, token,
       Map("op" -> "write") ++ meta + ("schema" -> df.schema.json))
   }
@@ -75,8 +75,8 @@ trait MergeTableStorage { this: MergeTable.type =>
           .repartitionByRange(nFiles, col("__zv"))
           .drop("__zv")
           .write.parquet(dataDirOf(dir, 0, token))
-        statsOf(s, dataDirOf(dir, 0, token), keyCol)
-          .coalesce(1).write.parquet(manifestDirOf(dir, 0, token))
+        val (ss, sr) = statsRowsOf(s, dataDirOf(dir, 0, token), keyCol)
+        writeManifestParquet(s, manifestDirOf(dir, 0, token), ss, sr)
         commitGen(dir, 0, token, Map("op" -> "cluster",
           "cluster_cols" -> clusterCols.mkString(","),
           "schema" -> df.schema.json))
@@ -182,9 +182,11 @@ trait MergeTableStorage { this: MergeTable.type =>
         df.repartitionByRange(nFiles, col(keyCol)).write.parquet(staging)
     }
     val newStats =
-      if (hasParquetFiles(staging)) statsOf(s, staging, keyCol)
-      else manifestAt(s, dir, prevGen).filter(lit(false))
-    newStats.coalesce(1).write.parquet(manifestDirOf(dir, next, token))
+      if (hasParquetFiles(staging)) statsRowsOf(s, staging, keyCol)
+      else (manifestRowsAt(s, dir, prevGen)._1,
+        IndexedSeq.empty[org.apache.spark.sql.Row])
+    writeManifestParquet(s, manifestDirOf(dir, next, token),
+      newStats._1, newStats._2)
     try commitGen(dir, next, token, Map("op" -> "cluster",
       "cluster_cols" -> clusterCols.mkString(",")) ++
       schemaAt(dir, prevGen).map(sch => Map("schema" -> sch.json)).getOrElse(Map.empty))
@@ -318,11 +320,12 @@ trait MergeTableStorage { this: MergeTable.type =>
         df.repartitionByRange(outFiles, col(keyCol)).write.parquet(staging)
     }
     val newStats =
-      if (hasParquetFiles(staging)) statsOf(s, staging, keyCol)
-      else man0.filter(lit(false))
-    man0.filter(col("path").isin(carried: _*))
-      .unionByName(newStats, allowMissingColumns = true)
-      .coalesce(1).write.parquet(manifestDirOf(dir, next, token))
+      if (hasParquetFiles(staging)) statsRowsOf(s, staging, keyCol)
+      else (manSchema, IndexedSeq.empty[org.apache.spark.sql.Row])
+    val carriedSet = carried.toSet
+    writeManifestUnion(s, manifestDirOf(dir, next, token),
+      (manSchema, manRows.filter(r => carriedSet(r.getString(pathIdx)))),
+      newStats)
     val dvMeta = dvMetaForCommit(s, dir, prevGen, next, token, degraded)
     try commitGen(dir, next, token, Map("op" -> "cluster",
       "cluster_cols" -> wanted,
