@@ -425,20 +425,16 @@ object Bench {
     // shedding ladder never touches this field.
     val errShorts =
       cappedField("errors", errors.keys.toSeq.sorted.map(shortKey))
-    // contended/healed rows ride stdout like errors: present only
-    // when nonempty, and CAPPED (see cappedField: named keys while
-    // they fit, a count-only `contended_n` past the cap) — exactly
-    // the degraded runs that produce long lists are the ones that
-    // must not push the stdout line past the harness's parse window;
-    // assembleLine applies the final shedding ladder at emit time.
-    // The full lists live in BENCH_DETAIL.json. `contended` is the
-    // POST-heal verdict (what a reader must still distrust);
-    // `healed` is the COUNT of rows the end-of-run re-measure
-    // corrected (a count, not a list: both fields saturated at once
-    // is exactly the degraded run that must stay inside the parse
-    // window — the healed KEYS are in BENCH_DETAIL.json).
-    val healShorts =
-      if (healedKeys.isEmpty) "" else s""""healed":${healedKeys.size},"""
+    // contended/healed ride stdout as ALWAYS-PRESENT counts (r22):
+    // `contended_n` and `healed` are emitted even when 0, so the
+    // parsed record carries a FIXED field set run to run — r21's
+    // record omitted `contended` entirely on a clean run and the
+    // driver's PERF parser recorded parsed:null on both r20 and r21.
+    // The named `contended` key list additionally rides while short
+    // (≤5 keys); the full lists live in BENCH_DETAIL.json either way.
+    // `contended` is the POST-heal verdict (what a reader must still
+    // distrust); `healed` the COUNT of rows the end-of-run re-measure
+    // corrected (keys in BENCH_DETAIL.json).
     // no separate rps_contended ids on stdout: `rps` (medians) and
     // `rps_best` ride the line on every run the budget admits, so the
     // per-stage contention ratio is directly computable by any reader
@@ -486,8 +482,21 @@ object Bench {
       .map { case (k, vs) => "\"" + k + "\":" + vs.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val sweepCalibJson = sweepCalib.mkString("[", ",", "]")
+    // per-mode sustained-rps MEDIANS as NAMED fields (r22): the sweep
+    // stages previously lived only inside the streaming_throughput
+    // array — a reader comparing rounds had to index into it by
+    // position; these four fields name each (mode, target) directly
+    val rpsModeFields = thrRows.map(r =>
+      s""""rps_${r.mode}_${r.targetRps}":${math.round(r.medianRps)}""")
+      .mkString(",")
+    val rpsModes = if (rpsModeFields.isEmpty) "" else rpsModeFields + ","
+    // manifest-stats job fallbacks this run (r22): a footer-stats
+    // fallback re-scans every just-written byte — silent until now; a
+    // nonzero count here says some commit paid the slow stats pass
+    // (type outside the proven set, or a footer surprise)
+    val statsFallbacks = operators.MergeTable.statsJobFallbackCount
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","batch_seconds":$batchSecs,"batch_min_seconds":$batchMinSecs,"bench_reps":$reps,"calib":$calibMed,"calib_min":$calibMin,"calib_reps":$calibRepsJson,"queries":$fullQs,"queries_min":${mapJson(minRowsFinal ++ sideMin)},"queries_spread":${mapJson(spreadRows ++ sideSpread)},"contended":$contFull,"contended_preheal":$contPreheal,"healed":$healedFull,"queries_preheal":$prehealJson,"queries_heal":$healJson,"heal_errors":$healErrJson,"run_contended":$runContended,"errors":$errFull,"rep_queries":$repJson,"side_reps":$sideRepsJson,"sweep_calib":$sweepCalibJson,"streaming_throughput":$fullThr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","batch_seconds":$batchSecs,"batch_min_seconds":$batchMinSecs,"bench_reps":$reps,"calib":$calibMed,"calib_min":$calibMin,"calib_reps":$calibRepsJson,"queries":$fullQs,"queries_min":${mapJson(minRowsFinal ++ sideMin)},"queries_spread":${mapJson(spreadRows ++ sideSpread)},"contended":$contFull,"contended_preheal":$contPreheal,"healed":$healedFull,"queries_preheal":$prehealJson,"queries_heal":$healJson,"heal_errors":$healErrJson,"run_contended":$runContended,"errors":$errFull,"rep_queries":$repJson,"side_reps":$sideRepsJson,"sweep_calib":$sweepCalibJson,${rpsModes}"stats_fallbacks":$statsFallbacks,"streaming_throughput":$fullThr,"sf":"$sfDir"}"""
     // detail goes to the FILE only — r4-r7 all recorded parsed:null
     // because this JSON also went to stderr, whose truncated copy
     // landed inside the harness's 2000-char tail window just before
@@ -510,12 +519,22 @@ object Bench {
     // eats the harness's 2000-char tail window, and BenchKeysSpec
     // fails the build when the worst-case line crowds it
     val sfShort = sfDir.split('/').lastOption.getOrElse(sfDir)
-    println(assembleLine(
+    val line = assembleLine(
       s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec",""",
       s""""batch":${fmt(batchSecs, 1)},"batch_min":${fmt(batchMinSecs, 1)},"reps":$reps,"calib":${fmt(calibMed, if (calibMed >= 9.995) 1 else 2)},""",
       s""""queries":$qs,""",
-      errShorts, contendedFinal.map(shortKey), healShorts,
-      thrJson, thrBestJson, sfShort))
+      errShorts, contendedFinal.map(shortKey), healedKeys.size,
+      thrJson, thrBestJson, sfShort)
+    // the IDENTICAL line lands in a bare file too (r22): both r20 and
+    // r21 driver runs printed the line yet recorded parsed:null — the
+    // stdout copy is sbt-decorated (`[info] ` prefix) and competes
+    // with the log tail for the parse window, so the contract line
+    // also exists undecorated where no log can crowd it
+    try java.nio.file.Files.writeString(
+      java.nio.file.Path.of("BENCH_LINE.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] line-file write failed: $e") }
+    println(line)
     System.out.flush()
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} row(s) FAILED: " +
@@ -627,56 +646,56 @@ object Bench {
     else if (shortKeys.size > cap) s""""${field}_n":${shortKeys.size},"""
     else shortKeys.map(jstr).mkString("\"" + field + "\":[", ",", "],")
 
-  private[graft] def contendedField(shortKeys: Seq[String], cap: Int = 5): String =
-    cappedField("contended", shortKeys, cap)
-
   /** Assemble the stdout record line, shedding optional diagnostics
     * when the assembled line would crowd the harness's 2000-char tail
-    * window (an sbt trailer of ~80 chars follows it). Ladder, applied
-    * only as needed: (1) the named contended list collapses to the
-    * count-only `contended_n` form; (2) `rps_best` drops (the
-    * per-stage contention ratio then lives only in BENCH_DETAIL);
-    * (3) `rps` drops too; (4) the `healed` count drops; (5) the
-    * contended count drops; (6) the bench-internal diagnostics
-    * (`batch`/`batch_min`/`reps`/`calib` — the r20 rung, added when
-    * the 143-row registry left the old fully-shed line exactly at the
-    * window edge) drop last. The CONTRACT fields
-    * (metric/value/unit/queries/sf) and `errors` are NEVER shed — a
-    * failed row must stay visible in the parsed record, and the rows
-    * ARE the record — and everything shed is in BENCH_DETAIL.json
-    * verbatim. BenchKeysSpec drives the ladder on the synthetic worst
-    * case, so registry growth fails the build only when even the
-    * fully-shed line cannot fit.
+    * window (an sbt trailer of ~80 chars follows it).
+    *
+    * STABLE FIELDS (r22): `contended_n` and `healed` are always
+    * present as numbers — 0 included — so the parsed record carries a
+    * fixed field set run to run (the r20/r21 driver parses both
+    * recorded null; a field that appears only on degraded runs is
+    * exactly the drift a brittle parser trips on). The named
+    * `contended` key list additionally rides while short (≤5 keys).
+    *
+    * Ladder, applied only as needed: (1) the named contended list
+    * drops (the count stays); (2) `rps_best` drops; (3) `rps` drops;
+    * (4) the contended_n/healed counts drop; (5) the bench-internal
+    * diagnostics (`batch`/`batch_min`/`reps`/`calib`) drop last. The
+    * CONTRACT fields (metric/value/unit/queries/sf) and `errors` are
+    * NEVER shed — a failed row must stay visible in the parsed
+    * record, and the rows ARE the record — and everything shed is in
+    * BENCH_DETAIL.json verbatim. BenchKeysSpec drives the ladder on
+    * the synthetic worst case, so registry growth fails the build
+    * only when even the fully-shed line cannot fit.
     */
   private[graft] def assembleLine(prefix: String, diag: String, queriesField: String,
       errShorts: String,
-      contendedShorts: Seq[String], healShorts: String,
+      contendedShorts: Seq[String], healedCount: Int,
       rps: String, rpsBest: String, sfShort: String,
       budget: Int = 1900): String = {
-    def mk(withDiag: Boolean, cont: String, heal: String, withRps: Boolean,
-           withBest: Boolean): String =
+    val stable = s""""contended_n":${contendedShorts.size},"healed":$healedCount,"""
+    val named =
+      if (contendedShorts.nonEmpty && contendedShorts.size <= 5)
+        contendedShorts.map(jstr).mkString("\"contended\":[", ",", "],")
+      else ""
+    def mk(withDiag: Boolean, withStable: Boolean, namedCont: String,
+           withRps: Boolean, withBest: Boolean): String =
       prefix + (if (withDiag) diag else "") + queriesField + errShorts +
-        cont + heal +
+        (if (withStable) stable else "") + namedCont +
         (if (withRps) "\"rps\":" + rps +
           (if (withBest) ",\"rps_best\":" + rpsBest else "") + ","
          else "") +
         "\"sf\":\"" + sfShort + "\"}"
-    // cap 0 = cappedField's count-only form — ONE source for the
-    // `contended_n` spelling whether the collapse happens at cap
-    // time or under budget pressure
-    val countCont = contendedField(contendedShorts, cap = 0)
-    // eager Seq on purpose: all seven candidate strings are a few KB
+    // eager Seq on purpose: all six candidate strings are a few KB
     // built once per run — a lazy chain would imply a cost that isn't
     // there and hide that rungs.last is always safe to take
     val rungs: Seq[String] = Seq(
-      mk(withDiag = true, contendedField(contendedShorts), healShorts,
-        withRps = true, withBest = true),
-      mk(withDiag = true, countCont, healShorts, withRps = true, withBest = true),
-      mk(withDiag = true, countCont, healShorts, withRps = true, withBest = false),
-      mk(withDiag = true, countCont, healShorts, withRps = false, withBest = false),
-      mk(withDiag = true, countCont, "", withRps = false, withBest = false),
-      mk(withDiag = true, "", "", withRps = false, withBest = false),
-      mk(withDiag = false, "", "", withRps = false, withBest = false))
+      mk(withDiag = true, withStable = true, named, withRps = true, withBest = true),
+      mk(withDiag = true, withStable = true, "", withRps = true, withBest = true),
+      mk(withDiag = true, withStable = true, "", withRps = true, withBest = false),
+      mk(withDiag = true, withStable = true, "", withRps = false, withBest = false),
+      mk(withDiag = true, withStable = false, "", withRps = false, withBest = false),
+      mk(withDiag = false, withStable = false, "", withRps = false, withBest = false))
     rungs.find(_.length <= budget).getOrElse(rungs.last)
   }
 

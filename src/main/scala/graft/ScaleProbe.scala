@@ -949,6 +949,237 @@ object ScaleProbe {
             !(col("os") <=> col("ns")) || !(col("ob") <=> col("nb"))).count()
         println(f"full-snapshot diff ($naiveDelta net changes): ${(System.nanoTime() - t4) / 1e9}%.2f s")
         require(naiveDelta == delta, s"CDC diverged: pruned $delta vs full $naiveDelta")
+      case "dd02split" =>
+        // r22: where do dd02's seconds go — tokenize+shingle, the
+        // df-capped index, the posting build, or pair gen + scoring?
+        val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        val reps = args.lift(1).map(_.toInt).getOrElse(3)
+        def t(label: String)(mk: => DataFrame): Unit = {
+          mk.write.format("noop").mode("overwrite").save() // warm
+          val obs = (1 to reps).map { _ =>
+            val t0 = System.nanoTime()
+            mk.write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"dd02split $label: median ${obs.sorted.apply((reps - 1) / 2)}%.2f s (min ${obs.min}%.2f)")
+        }
+        t("shingles")(dedup.Dedup.probeShingles(spark, sfDir))
+        t("cappedIndex")(dedup.Dedup.probeCappedIndex(spark, sfDir))
+        t("postings")(dedup.Dedup.probePostings(spark, sfDir))
+        t("full pairs")(dedup.Dedup.probePairs(spark, sfDir))
+      case "gencorpus" =>
+        // r22 (VERDICT item 9): synthesize a LARGER corpus by key-
+        // offset replication of sf0.1 (the driver's generator isn't
+        // available and /root/testdata is read-only), so the top-10
+        // heaviest rows can be scaling-sampled at 8 vs 32 cores on a
+        // corpus ~10× the bench SF. Referential integrity is
+        // preserved per copy (order/part/supplier/customer keys
+        // offset consistently); document texts are vowel-rotated and
+        // embeddings perturbed per copy so the near-dup operators
+        // don't face a 100× cross-copy duplicate explosion that no
+        // real sf1 corpus would have. Usage:
+        //   gencorpus <outDir> [copies]   (source from SPARK_GRAFT_SF_DIR)
+        val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        val out = args.lift(1).getOrElse("/tmp/sf1synth")
+        val copies = args.lift(2).map(_.toInt).getOrElse(10)
+        val (kC, kS, kP, kO, kD, kV, kE) =
+          (1000000L, 1000000L, 1000000L, 10000000L, 1000000L, 1000000L, 10000000L)
+        def rep(t: String)(f: (DataFrame, Int) => DataFrame): Unit = {
+          val base = spark.read.parquet(s"$src/$t.parquet")
+          val all = (0 until copies).map(i => f(base, i)).reduce(_ unionByName _)
+          all.write.mode("overwrite").parquet(s"$out/$t.parquet")
+          println(s"gencorpus $t written x$copies")
+        }
+        Seq("region", "nation").foreach(t => spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$out/$t.parquet"))
+        rep("customer")((df, i) => df.select(
+          (col("c_custkey") + i * kC).as("c_custkey"),
+          concat(col("c_name"), lit(s"#$i")).as("c_name"),
+          col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")))
+        rep("supplier")((df, i) => df.select(
+          (col("s_suppkey") + i * kS).as("s_suppkey"),
+          concat(col("s_name"), lit(s"#$i")).as("s_name"),
+          col("s_nationkey"), col("s_acctbal")))
+        rep("part")((df, i) => df.select(
+          (col("p_partkey") + i * kP).as("p_partkey"),
+          col("p_name"), col("p_brand"), col("p_type"), col("p_size"),
+          col("p_retailprice")))
+        rep("orders")((df, i) => df.select(
+          (col("o_orderkey") + i * kO).as("o_orderkey"),
+          (col("o_custkey") + i * kC).as("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+          col("o_orderpriority")))
+        rep("lineitem")((df, i) => df.select(
+          (col("l_orderkey") + i * kO).as("l_orderkey"),
+          (col("l_partkey") + i * kP).as("l_partkey"),
+          (col("l_suppkey") + i * kS).as("l_suppkey"),
+          col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"), col("l_returnflag"),
+          col("l_linestatus"), col("l_shipdate")))
+        rep("documents")((df, i) => df.select(
+          (col("doc_id") + i * kD).as("doc_id"),
+          translate(col("text"), "aeiou",
+            "aeiou".drop(i % 5) + "aeiou".take(i % 5)).as("text"),
+          col("lang"), col("source"), col("n_chars")))
+        rep("embeddings")((df, i) => df.select(
+          (col("vec_id") + i * kV).as("vec_id"),
+          expr(s"transform(embedding, (x, k) -> " +
+            s"cast(x + ((($i * 31 + k) % 7) - 3) * 0.001 as float))").as("embedding"),
+          col("label")))
+        rep("events")((df, i) => df.select(
+          (col("event_id") + i * kE).as("event_id"), col("ts"),
+          (col("user_id") + i * kC).as("user_id"),
+          col("event_type"), col("value"), col("props")))
+      case "dd02pack" =>
+        // r22: pair-generation formulation probe for dd02 — (a) the
+        // shipped slice+struct lambdas, (b) index-based generation
+        // (element_at, no per-element slice copies), (c) index-based
+        // with the pair packed into ONE long (ids < 2^32). Scores via
+        // the same count-aggregate + sizes joins so the measured
+        // deltas are end-to-end.
+        val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        val reps = args.lift(1).map(_.toInt).getOrElse(3)
+        val chunk = 128
+        def postings = dedup.Dedup.probePostings(spark, sfDir)
+        def sizes = dedup.Dedup.probeShingles(spark, sfDir)
+          .groupBy("doc_id").agg(count(lit(1)).as("n"))
+        def score(pairs: DataFrame): DataFrame = pairs
+          .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+          .join(sizes.toDF("d1", "n1"), col("id1") === col("d1"))
+          .join(sizes.toDF("d2", "n2"), col("id2") === col("d2"))
+          .select(col("id1"), col("id2"),
+            (round((col("inter").cast("double") /
+              (col("n1") + col("n2") - col("inter"))) * 10000) / 10000).as("jacc"))
+          .filter(col("jacc") >= 0.2)
+        // (b) index-based struct pairs (small postings only + big chunks)
+        def idxStruct: DataFrame = {
+          val small = postings
+            .filter(size(col("ds")) <= chunk && size(col("ds")) >= 2)
+            .select(explode(expr(
+              """flatten(transform(sequence(0, size(ds) - 2), i ->
+                |  transform(sequence(i + 1, size(ds) - 1), j ->
+                |    struct(element_at(ds, i + 1) AS id1, element_at(ds, j + 1) AS id2))))"""
+                .stripMargin)).as("p"))
+            .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+          small
+        }
+        // (c) index-based packed-long pairs
+        def idxPacked: DataFrame = {
+          val small = postings
+            .filter(size(col("ds")) <= chunk && size(col("ds")) >= 2)
+            .select(explode(expr(
+              """flatten(transform(sequence(0, size(ds) - 2), i ->
+                |  transform(sequence(i + 1, size(ds) - 1), j ->
+                |    element_at(ds, i + 1) * 4294967296L + element_at(ds, j + 1))))"""
+                .stripMargin)).as("pk"))
+            .select((col("pk") / 4294967296L).cast("long").as("id1"),
+              pmod(col("pk"), lit(4294967296L)).as("id2"))
+          small
+        }
+        // (a) shipped formulation, small postings only (apples to apples)
+        def shipped: DataFrame = postings.filter(size(col("ds")) <= chunk)
+          .select(explode(expr(
+            """flatten(transform(ds, (x, i) ->
+              |  transform(slice(ds, i + 2, size(ds)), y -> struct(x AS id1, y AS id2))))"""
+              .stripMargin)).as("p"))
+          .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+        def t(label: String)(mk: => DataFrame): Unit = {
+          mk.write.format("noop").mode("overwrite").save() // warm
+          val obs = (1 to reps).map { _ =>
+            val t0 = System.nanoTime()
+            mk.write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"dd02pack $label: median ${obs.sorted.apply((reps - 1) / 2)}%.2f s (min ${obs.min}%.2f)")
+        }
+        t("shipped slice+struct")(score(shipped))
+        t("idx struct")(score(idxStruct))
+        t("idx packed-long")(score(idxPacked))
+        // content equality of the three pair sets
+        val a = score(shipped).collect().map(_.toSeq).toSet
+        val b = score(idxStruct).collect().map(_.toSeq).toSet
+        val c = score(idxPacked).collect().map(_.toSeq).toSet
+        require(a == b && b == c, s"pair sets diverge: ${a.size}/${b.size}/${c.size}")
+        println(s"dd02pack verified: ${a.size} pairs identical across formulations")
+      case "prcadence" =>
+        // r22: pr01's lineage-truncation cadence × the node-broadcast
+        // hint, A/B'd on the real fulfillment graph (pass the sf dir
+        // as the `rows` arg slot via env SPARK_GRAFT_SF_DIR). Cadence
+        // trades checkpoint materializations (low cadence) against
+        // re-evaluating the unmaterialized tail per broadcast build
+        // (high cadence).
+        val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        val reps = args.lift(1).map(_.toInt).getOrElse(3)
+        def onceCad(cad: Int, bcast: Boolean): Double = {
+          spark.conf.set("spark.graft.pagerank.broadcastMaxNodes",
+            if (bcast) "2000000" else "0")
+          val t0 = System.nanoTime()
+          graph.PageRank.pageRank(
+              graph.PageRank.fulfillmentEdges(spark, sfDir),
+              checkpointEvery = cad)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        onceCad(3, bcast = true) // warm codegen
+        for (bcast <- Seq(true, false); cad <- Seq(2, 3, 5)) {
+          val obs = (1 to reps).map(_ => onceCad(cad, bcast))
+          println(f"pr cadence=$cad bcast=$bcast: median ${obs.sorted.apply((reps - 1) / 2)}%.2f s (min ${obs.min}%.2f)")
+        }
+        spark.conf.set("spark.graft.pagerank.broadcastMaxNodes", "2000000")
+      case "rangebarrier" =>
+        // r22: the range-write double evaluation, A/B-measured. Every
+        // repartitionByRange(n>1) evaluates its input twice (bounds
+        // sample + shuffle); the lazy localCheckpoint barrier
+        // (spark.graft.rangeWriteBarrier, default on) evaluates once
+        // and re-reads blocks. Arms interleave on one session so both
+        // see the same host state; medians over reps.
+        val reps = args.lift(2).map(_.toInt).getOrElse(5)
+        val nFiles = 16
+        // PARQUET-backed source, not spark.range: the bench fixtures
+        // and every production staged write read files — recomputing a
+        // generated range is free, re-scanning parquet is not, and the
+        // barrier's value is exactly the avoided second scan
+        val srcDir = java.nio.file.Files.createTempDirectory("probe-rb-src").toString
+        spark.range(rows).select(col("id").as("k"),
+            concat(lit("seg"), pmod(col("id"), lit(7))).as("seg"),
+            (pmod(xxhash64(col("id")), lit(100000)) / 100.0).as("bal"))
+          .write.mode("overwrite").parquet(srcDir)
+        val src = spark.read.parquet(srcDir)
+        def once(on: Boolean): (Double, Double) = {
+          spark.conf.set("spark.graft.rangeWriteBarrier", on.toString)
+          val dir = java.nio.file.Files.createTempDirectory("probe-rb").toString
+          val t0 = System.nanoTime()
+          operators.MergeTable.write(spark, src, "k", dir, nFiles)
+          val wSecs = (System.nanoTime() - t0) / 1e9
+          val band = col("k") * 8 <= lit(rows - 1)
+          val changes = src.filter(band && col("k") % 5 === 0 && col("k") % 7 =!= 0)
+            .select(col("k"), lit("U").as("op"), lit("WEB").as("seg"),
+              (col("bal") + 100).as("bal"))
+            .unionByName(src.filter(band && col("k") % 7 === 0)
+              .select(col("k"), lit("D").as("op"),
+                lit(null).cast("string").as("seg"),
+                lit(null).cast("double").as("bal")))
+            .unionByName(src.filter(band && col("k") % 5 === 1)
+              .select((col("k") + rows).as("k"), lit("I").as("op"),
+                col("seg"), col("bal")))
+          val t1 = System.nanoTime()
+          operators.MergeTable.merge(spark, dir, changes, "k")
+          val mSecs = (System.nanoTime() - t1) / 1e9
+          graft.IndexLifecycle.deleteRecursively(dir)
+          (wSecs, mSecs)
+        }
+        once(on = true); once(on = false) // warm both plans' codegen
+        val obs = (1 to reps).flatMap(_ =>
+          Seq(true, false).map(on => on -> once(on)))
+        def med(xs: Seq[Double]) = xs.sorted.apply((xs.size - 1) / 2)
+        Seq(true, false).foreach { on =>
+          val ws = obs.filter(_._1 == on).map(_._2._1)
+          val ms = obs.filter(_._1 == on).map(_._2._2)
+          println(f"barrier=$on ($rows rows, $nFiles files, $reps reps): " +
+            f"write median ${med(ws)}%.2f s (min ${ws.min}%.2f), " +
+            f"merge median ${med(ms)}%.2f s (min ${ms.min}%.2f)")
+        }
+        spark.conf.set("spark.graft.rangeWriteBarrier", "true")
       case "restoreclone" =>
         // q67/q68's 100 TB claim, measured: RESTORE and SHALLOW CLONE
         // are O(manifest) — a directory listing, a file-count-sized

@@ -221,6 +221,19 @@ object Dedup {
     inter.toDouble / kk
   }
 
+  // stage-split probe surface for ScaleProbe dd02split (r22) — the
+  // private pipeline stages exposed read-only for measurement; no
+  // registered query consumes these
+  private[graft] def probeShingles(s: SparkSession, d: String): DataFrame =
+    shingles(s, d)
+  private[graft] def probeCappedIndex(s: SparkSession, d: String): DataFrame =
+    cappedIndex(s, d)
+  private[graft] def probePostings(s: SparkSession, d: String): DataFrame =
+    cappedIndex(s, d).groupBy("s")
+      .agg(sort_array(collect_set("doc_id")).as("ds"))
+  private[graft] def probePairs(s: SparkSession, d: String): DataFrame =
+    buildJaccardPairs(s, d)
+
   private def buildJaccardPairs(s: SparkSession, d: String): DataFrame = {
     // no explicit cache: the shingle subplan appears three times in
     // this one plan and Spark's ReuseExchange already dedupes it —
@@ -242,11 +255,21 @@ object Dedup {
     val postings = idx.groupBy("s")
       .agg(sort_array(collect_set("doc_id")).as("ds"))
     // common case — posting fits one chunk: direct pair explode, no
-    // extra exchange
-    val smallPairs = postings.filter(size(col("ds")) <= chunk)
+    // extra exchange. INDEX-BASED generation (r22): the old
+    // slice-per-element form copied O(n²) array elements per posting
+    // (slice allocates a fresh array for every suffix) — element_at
+    // over index sequences generates the same pairs with no copies
+    // (ScaleProbe dd02pack: 2.81 → 2.28 s median end-to-end at sf0.1;
+    // a packed-long pair key measured 2.16 s but constrains doc ids
+    // to < 2^32, unacceptable at corpus scale — probed, not shipped).
+    // Single-doc postings are filtered (they generate no pairs, and
+    // sequence(0, -1) would be a descending range).
+    val smallPairs = postings
+      .filter(size(col("ds")) <= chunk && size(col("ds")) >= 2)
       .select(explode(expr(
-        """flatten(transform(ds, (x, i) ->
-          |  transform(slice(ds, i + 2, size(ds)), y -> struct(x AS id1, y AS id2))))"""
+        """flatten(transform(sequence(0, size(ds) - 2), i ->
+          |  transform(sequence(i + 1, size(ds) - 1), j ->
+          |    struct(element_at(ds, i + 1) AS id1, element_at(ds, j + 1) AS id2))))"""
           .stripMargin)).as("p"))
     // oversized postings only: chunk-pair rows, repartitioned so one
     // hot shingle's ≤ chunk² pair batches spread across tasks

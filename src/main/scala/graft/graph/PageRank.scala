@@ -56,15 +56,33 @@ object PageRank {
       .distinct().localCheckpoint()
     val n = nodes.count()
     require(n > 0, "pageRank on an empty edge set")
+    // SCALE-ADAPTIVE broadcast of the node-sized frames (r22, §3.1):
+    // every iteration's contribution join shuffled the EDGE table
+    // (both sides of a sort-merge join, every round — the checkpointed
+    // frames are LogicalRDDs whose size the planner can't estimate,
+    // so it never broadcast anything). Ranks/degrees are node-sized;
+    // when the node count — already computed for the teleport
+    // constant — fits comfortably in a broadcast, hinting them turns
+    // each iteration into scan-the-checkpointed-edges → BroadcastHash
+    // → partial agg, with only a node-sized exchange left. Past the
+    // threshold (a graph whose node set is itself huge) the plan
+    // stays the sort-merge one — the hint is per-graph, not a config
+    // constant. Results are unchanged: the same damped sums, modulo
+    // float reassociation both engines already exhibit (the output
+    // rounds at 1e-9 for exactly that reason).
+    val bcastNodes = edges.sparkSession.conf
+      .get("spark.graft.pagerank.broadcastMaxNodes", "2000000").toLong
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (n <= bcastNodes) broadcast(df) else df
     val outDeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val withDeg = edges.join(outDeg, "src").localCheckpoint()
+    val withDeg = edges.join(maybeBcast(outDeg), "src").localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     var lastCheckpoint: DataFrame = null
     var itersRun = 0
     var converged = false
     for (i <- 1 to iters if !converged) {
       val contribs = withDeg
-        .join(ranks, col("src") === col("node"))
+        .join(maybeBcast(ranks), col("src") === col("node"))
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
         .groupBy("node").agg(sum("c").as("contrib"))
       // rank parked on dangling nodes (no out-edges) this round —
@@ -73,9 +91,9 @@ object PageRank {
       // iteration never blocks: only the periodic checkpoint runs a
       // job, materializing `checkpointEvery` iterations at once
       val dangling = ranks
-        .join(outDeg, col("node") === col("src"), "left_anti")
+        .join(maybeBcast(outDeg), col("node") === col("src"), "left_anti")
         .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
-      ranks = nodes.join(contribs, Seq("node"), "left_outer")
+      ranks = nodes.join(maybeBcast(contribs), Seq("node"), "left_outer")
         .crossJoin(broadcast(dangling))
         .select(col("node"),
           (lit((1.0 - damping) / n) +
@@ -215,11 +233,29 @@ object PageRank {
         greatest(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct().localCheckpoint()
+    // SCALE-ADAPTIVE broadcasts (r22, §3.1): the wedge set is
+    // O(m^1.5) rows — by far the largest frame in the plan — and the
+    // closing sort-merge join SHUFFLED all of it to match against the
+    // m-row canonical edge set (the checkpointed frames are
+    // LogicalRDDs with no size estimates, so the planner never
+    // broadcast anything). When the edge set fits a broadcast (the
+    // count is one cheap job over the already-materialized checkpoint
+    // blocks), hinting the edge/degree sides makes wedges stream
+    // through BroadcastHashJoins and die in the partial aggregation —
+    // ZERO wedge-sized exchanges. Past the threshold the sort-merge
+    // plan stays (the wedge set of a 100 TB graph must spill through
+    // a shuffle; its edge side wouldn't fit an executor). Triangle
+    // counts are exact integers — join strategy cannot change them.
+    val bcastMax = edges.sparkSession.conf
+      .get("spark.graft.triangles.broadcastMaxEdges", "2000000").toLong
+    val mEdges = und.count()
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (mEdges <= bcastMax) broadcast(df) else df
     val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
     val orientedPlan = und
-      .join(deg.withColumnRenamed("n", "a").withColumnRenamed("deg", "da"), "a")
-      .join(deg.withColumnRenamed("n", "b").withColumnRenamed("deg", "db"), "b")
+      .join(maybeBcast(deg.withColumnRenamed("n", "a").withColumnRenamed("deg", "da")), "a")
+      .join(maybeBcast(deg.withColumnRenamed("n", "b").withColumnRenamed("deg", "db")), "b")
       .select(
         when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
           col("a")).otherwise(col("b")).as("src"),
@@ -227,10 +263,10 @@ object PageRank {
           col("b")).otherwise(col("a")).as("dst"))
     val oriented = if (pinOriented) orientedPlan.localCheckpoint() else orientedPlan
     val wedges = oriented.as("e1")
-      .join(oriented.as("e2"),
+      .join(maybeBcast(oriented.as("e2")),
         col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
       .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
-    val closed = wedges.join(und,
+    val closed = wedges.join(maybeBcast(und),
       col("v") === col("a") && col("w") === col("b"))
       .select(col("u"), col("v"), col("w"))
     closed.select(explode(array(col("u"), col("v"), col("w"))).as("node"))

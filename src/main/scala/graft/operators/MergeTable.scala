@@ -114,6 +114,9 @@ object MergeTable
   private def manifestMaxLong(s: SparkSession, dir: String, c: String,
                               asOf: Option[Int] = None): Option[Long] = {
     val gen = asOf.orElse(committedGen(dir)).getOrElse(return None)
+    // per-file max stats are the exact table max only when no deletion
+    // vector hides rows (a hidden row could BE the max) — scan fallback
+    if (dvSegments(dir, gen).nonEmpty) return None
     val (schema, rows) = manifestRowsAt(s, dir, gen)
     val i = schema.fieldNames.indexOf(s"max_$c")
     if (i < 0 || rows.isEmpty) return None

@@ -233,8 +233,13 @@ trait MergeTableDml { this: MergeTable.type =>
     // the change. The left-outer keeps every batch row visible to the
     // two gates (a U/D key can match several files — harmless: the
     // gates' rows can't match, and collect_set dedups paths).
+    // keyCol.isNotNull in the join condition (r22): a null-key U/D row
+    // must never select files into __touched (it matched any file with
+    // null bounds before — safe only through the fragile ordering of
+    // the __null_keys require below); the left-outer still preserves
+    // the row once, so the null-key count stays exact
     val probe = changes.join(broadcast(ranges),
-        col("op").isin("U", "D") &&
+        col(keyCol).isNotNull && col("op").isin("U", "D") &&
           (col("__mn").isNull || col(keyCol) >= col("__mn")) &&
           (col("__mx").isNull || col(keyCol) <= col("__mx")),
         "left_outer")
@@ -345,8 +350,13 @@ trait MergeTableDml { this: MergeTable.type =>
     } else None
     val newRows = (rewritten.toSeq :+ ins).reduce(_ unionByName _)
     val staging = dataDirOf(dir, next, token)
-    newRows.repartitionByRange(math.max(1, touched.size), col(keyCol))
-      .write.parquet(staging)
+    // one evaluation of the rewrite join + inserts (r22): the range
+    // write's sampling pass previously re-ran the touched-file read
+    // and overlay joins a second time — the touched files' own
+    // manifest stats supply the bounds instead (out-of-band inserts
+    // fold into the edge buckets; see stageRangeWrite / statsSplitPoints)
+    stageRangeWrite(newRows, touched.size, Seq(col(keyCol)), staging,
+      splits = statsSplitPoints(s, manSchema, manRows, touched, keyCol, touched.size))
     enforceConstraintsStaged(s, dir, staging, Seq(staging), "merge")
 
     val newStats =
@@ -451,9 +461,9 @@ trait MergeTableDml { this: MergeTable.type =>
     // compacted files must carry the union schema. Vector-filtered:
     // compaction is also the deletion-vector MATERIALIZATION pass —
     // folded files shed their hidden rows physically
-    readVisible(s, dir, prevGen, touched)
-      .repartitionByRange(outFiles, col(keyCol))
-      .write.parquet(staging)
+    stageRangeWrite(readVisible(s, dir, prevGen, touched), outFiles,
+      Seq(col(keyCol)), staging,
+      splits = statsSplitPoints(s, manSchema, manRows, touched, keyCol, outFiles))
     val untouchedSet = untouched.toSet
     writeManifestUnion(s, manifestDirOf(dir, next, token),
       (manSchema, manRows.filter(r => untouchedSet(r.getString(pathIdx)))),
@@ -514,9 +524,8 @@ trait MergeTableDml { this: MergeTable.type =>
     val next = prevGen + 1
     val token = newToken()
     val staging = dataDirOf(dir, next, token)
-    requireKeysNotNull(rows, keyCol)
-      .repartitionByRange(math.max(1, nFiles), col(keyCol))
-      .write.parquet(staging)
+    stageRangeWrite(requireKeysNotNull(rows, keyCol), nFiles,
+      Seq(col(keyCol)), staging)
     if (!hasParquetFiles(staging)) {
       graft.IndexLifecycle.deleteRecursively(staging)
       return prevGen
@@ -585,9 +594,9 @@ trait MergeTableDml { this: MergeTable.type =>
     val next = prevGen + 1
     val token = newToken()
     val staging = dataDirOf(dir, next, token)
-    requireKeysNotNull(transform(readTable(s, dir, asOf = Some(prevGen))), keyCol)
-      .repartitionByRange(math.max(1, nFiles), col(keyCol))
-      .write.parquet(staging)
+    stageRangeWrite(
+      requireKeysNotNull(transform(readTable(s, dir, asOf = Some(prevGen))), keyCol),
+      nFiles, Seq(col(keyCol)), staging)
     enforceConstraintsStaged(s, dir, staging, Seq(staging), "rewriteAll")
     val newStats =
       if (hasParquetFiles(staging)) statsRowsOf(s, staging, keyCol)
@@ -641,10 +650,9 @@ trait MergeTableDml { this: MergeTable.type =>
     val next = prevGen + 1
     val token = newToken()
     val staging = dataDirOf(dir, next, token)
-    requireKeysNotNull(
-      transform(readVisible(s, dir, prevGen, inputPaths.toIndexedSeq)), keyCol)
-      .repartitionByRange(math.max(1, nFiles), col(keyCol))
-      .write.parquet(staging)
+    stageRangeWrite(requireKeysNotNull(
+      transform(readVisible(s, dir, prevGen, inputPaths.toIndexedSeq)), keyCol),
+      nFiles, Seq(col(keyCol)), staging)
     enforceConstraintsStaged(s, dir, staging, Seq(staging), "rewriteFiles")
     val newStats =
       if (hasParquetFiles(staging)) statsRowsOf(s, staging, keyCol)
@@ -761,8 +769,8 @@ trait MergeTableDml { this: MergeTable.type =>
       // a deletion-vector commit already hid
       val survivors = readVisible(s, dir, prevGen, rewrite)
         .filter(!coalesce(bandPredicate(colName, lo, hi), lit(false)))
-      survivors.repartitionByRange(math.max(1, rewrite.size), col(keyCol))
-        .write.parquet(staging)
+      stageRangeWrite(survivors, rewrite.size, Seq(col(keyCol)), staging,
+        splits = statsSplitPoints(s, manSchema, manRows, rewrite, keyCol, rewrite.size))
     }
     val newStats =
       if (hasParquetFiles(staging)) statsRowsOf(s, staging, keyCol)
@@ -836,8 +844,8 @@ trait MergeTableDml { this: MergeTable.type =>
         when(band, v.cast(t.schema(c).dataType)).otherwise(col(c)).as(c))
         .getOrElse(col(c))
     }: _*)
-    updated.repartitionByRange(math.max(1, rewrite.size), col(keyCol))
-      .write.parquet(staging)
+    stageRangeWrite(updated, rewrite.size, Seq(col(keyCol)), staging,
+      splits = statsSplitPoints(s, manSchema, manRows, rewrite, keyCol, rewrite.size))
     enforceConstraintsStaged(s, dir, staging, Seq(staging), "updateWhere")
     val carriedSet = carried.toSet
     val pathIdx = manSchema.fieldIndex("path")

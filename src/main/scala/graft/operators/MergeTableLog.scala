@@ -389,7 +389,10 @@ trait MergeTableLog { this: MergeTable.type =>
   private[operators] def statsOf(s: SparkSession, dataDir: String, keyCol: String): DataFrame =
     footerStatsRows(s, dataDir, keyCol)
       .map { case (schema, rows) => s.createDataFrame(rows.asJava, schema) }
-      .getOrElse(statsOfJob(s, dataDir, keyCol))
+      .getOrElse {
+        statsJobFallbacks.incrementAndGet()
+        statsOfJob(s, dataDir, keyCol)
+      }
 
   /** [[statsOf]] as LOCAL rows — what the driver-side manifest writer
     * consumes; the scan-based fallback collects (file-count-sized,
@@ -398,9 +401,20 @@ trait MergeTableLog { this: MergeTable.type =>
   private[operators] def statsRowsOf(s: SparkSession, dataDir: String, keyCol: String)
       : (org.apache.spark.sql.types.StructType, IndexedSeq[org.apache.spark.sql.Row]) =
     footerStatsRows(s, dataDir, keyCol).getOrElse {
+      statsJobFallbacks.incrementAndGet()
       val df = statsOfJob(s, dataDir, keyCol)
       (df.schema, df.collect().toIndexedSeq)
     }
+
+  /** How many commits this JVM paid the scan-based stats fallback —
+    * a footer-stats fallback re-scans every just-written byte, so a
+    * drift here (a schema change flipping a statted column outside
+    * the proven footer type set, or a footer surprise) must not
+    * masquerade as a plain regression; BENCH_DETAIL surfaces the
+    * count per run (r22 — the r21 verdict's "silent fallback" item).
+    */
+  private val statsJobFallbacks = new java.util.concurrent.atomic.AtomicLong
+  def statsJobFallbackCount: Long = statsJobFallbacks.get()
 
   /** Write a generation's manifest from LOCAL rows: driver-side
     * parquet when provable (zero Spark jobs — see
@@ -475,26 +489,58 @@ trait MergeTableLog { this: MergeTable.type =>
       try (st.getPath, r.getFooter) finally r.close()
     }
     // the Spark schema the writer recorded — the exact type set the
-    // job path would stat
-    val schemaJson = footers.iterator
+    // job path would stat. ALL files must agree (r22, mirroring
+    // ManifestReader.readRows' drift check): a mixed-schema data dir
+    // would stat columns positionally against the wrong layout — fall
+    // back to the job path, whose mergeSchema read reconciles.
+    val schemaJsons = footers.iterator
       .map(_._2.getFileMetaData.getKeyValueMetaData
         .get("org.apache.spark.sql.parquet.row.metadata"))
-      .collectFirst { case j if j != null => j }
-    val schema = schemaJson.map(j =>
-      DataType.fromJson(j).asInstanceOf[StructType]).getOrElse(return None)
+      .filter(_ != null).toIndexedSeq.distinct
+    if (schemaJsons.size != 1) return None
+    val schema = DataType.fromJson(schemaJsons.head).asInstanceOf[StructType]
     val statted = schema.fields.filter { f =>
       f.name == keyCol || (f.dataType match {
         case _: NumericType | DateType | TimestampType | StringType => true
         case _ => false
       })
     }.toIndexedSeq
-    // proven type set only — anything else takes the job path whole
+    // proven type set only — anything else takes the job path whole.
+    // TimestampType joined in r22: Spark 4 writes it as INT64 micros
+    // (or millis under outputTimestampType=TIMESTAMP_MILLIS), a fixed
+    // monotone mapping to java.sql.Timestamp — the physical layout is
+    // verified per column chunk below, and any surprise (INT96 legacy
+    // writer, NTZ annotation) falls back wholesale.
     val supported = statted.forall(_.dataType match {
       case ByteType | ShortType | IntegerType | LongType | FloatType |
-           DoubleType | StringType | DateType => true
+           DoubleType | StringType | DateType | TimestampType => true
       case _ => false
     })
     if (!supported) return None
+    // TimestampType is proven only on the INT64 micros/millis layout
+    // (isAdjustedToUTC): Spark's DEFAULT writer still produces INT96
+    // (spark.sql.parquet.outputTimestampType=INT96), whose deprecated
+    // binary statistics parquet-mr does not expose reliably — INT96
+    // files take the job path wholesale, exactly the pre-r22 behavior
+    if (statted.exists(_.dataType == TimestampType)) {
+      val msg = footers.head._2.getFileMetaData.getSchema
+      val int64Ts = statted.filter(_.dataType == TimestampType).forall { f =>
+        msg.containsField(f.name) && {
+          val t = msg.getType(msg.getFieldIndex(f.name))
+          t.isPrimitive &&
+            t.asPrimitiveType().getPrimitiveTypeName ==
+              org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64 &&
+            (t.getLogicalTypeAnnotation match {
+              case a: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                a.isAdjustedToUTC &&
+                  (a.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS ||
+                   a.getUnit == org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MILLIS)
+              case _ => false
+            })
+        }
+      }
+      if (!int64Ts) return None
+    }
     val rows = footers.flatMap { case (path, footer) =>
       val blocks = footer.getBlocks.asScala.toIndexedSeq
       val nRows = blocks.map(_.getRowCount).sum
@@ -565,6 +611,27 @@ trait MergeTableLog { this: MergeTable.type =>
       .reduce((a, b) => if (cmp.compare(a, b) <= 0) a else b)
     val rawMax = withValues.map(_.genericGetMax.asInstanceOf[Any])
       .reduce((a, b) => if (cmp.compare(a, b) >= 0) a else b)
+    // timestamp physical-layout guard (r22): the INT64 micros/millis
+    // mapping below is only valid for the annotation Spark's writer
+    // produces for TimestampType (isAdjustedToUTC=true). Anything
+    // else (INT96 legacy, NTZ) throws — caught by footerStatsRows'
+    // guard, falling back WHOLESALE to the job path, so behavior
+    // (not speed) stays the invariant.
+    lazy val tsUnit: java.util.concurrent.TimeUnit = {
+      val lt = chunks.head.getPrimitiveType.getLogicalTypeAnnotation
+      lt match {
+        case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+            if t.isAdjustedToUTC =>
+          t.getUnit match {
+            case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS =>
+              java.util.concurrent.TimeUnit.MICROSECONDS
+            case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MILLIS =>
+              java.util.concurrent.TimeUnit.MILLISECONDS
+            case u => sys.error(s"unsupported timestamp unit $u")
+          }
+        case other => sys.error(s"unsupported timestamp annotation $other")
+      }
+    }
     def cvt(v: Any, isMin: Boolean): Any = dt match {
       case LongType => v.asInstanceOf[Long]
       case IntegerType => v.asInstanceOf[Int]
@@ -576,6 +643,10 @@ trait MergeTableLog { this: MergeTable.type =>
         val f = v.asInstanceOf[Float]; if (f.isNaN) null else f
       case DateType => org.apache.spark.sql.catalyst.util.DateTimeUtils
         .toJavaDate(v.asInstanceOf[Int])
+      case TimestampType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp(
+          java.util.concurrent.TimeUnit.MICROSECONDS.convert(
+            v.asInstanceOf[Long], tsUnit))
       case StringType =>
         val str = v.asInstanceOf[org.apache.parquet.io.api.Binary]
           .toStringUsingUTF8
@@ -691,13 +762,26 @@ trait MergeTableLog { this: MergeTable.type =>
     finally ls.close()
   }
 
-  /** [[copyManifestFiles]] between two generations of one table. */
+  /** [[copyManifestFiles]] between two generations of one table —
+    * with the canonical uncommitted/vacuumed diagnostics (r22): a
+    * metadata-only commit (restore, clone, dropColumn) byte-copies
+    * the source manifest, so without these requires a vacuumed source
+    * surfaced as a raw NoSuchFileException from the copy loop and an
+    * out-of-range gen as a misleading 'lacks a token' error.
+    */
   private[operators] def copyManifestGen(dir: String, fromGen: Int,
                                          toGen: Int, token: String): Unit = {
+    val committed = committedGen(dir).getOrElse(
+      sys.error(s"$dir is not a committed keyed table (no commit log)"))
+    require(fromGen <= committed,
+      s"generation $fromGen not committed yet (table is at $committed)")
     val prevToken = metaAt(dir, fromGen).getOrElse("token",
       sys.error(s"commit-log entry for generation $fromGen lacks a token"))
+    val src = manifestDirOf(dir, fromGen, prevToken)
+    require(java.nio.file.Files.exists(java.nio.file.Path.of(src)),
+      s"generation $fromGen unavailable: its manifest was vacuumed")
     copyManifestFiles(
-      java.nio.file.Path.of(manifestDirOf(dir, fromGen, prevToken)),
+      java.nio.file.Path.of(src),
       java.nio.file.Path.of(manifestDirOf(dir, toGen, token)))
   }
 

@@ -31,12 +31,136 @@ trait MergeTableStorage { this: MergeTable.type =>
       lit(s"keyed-table write: null value in key column '$keyCol' — " +
         "a null key has no row identity (merge/CDC equality never matches it)")).isNull)
 
+  /** Stage `df` into `staging` as ≤ `nFiles` range-partitioned parquet
+    * files on `partCols`, evaluating the input subtree ONCE where the
+    * range bounds are already known (r22). `repartitionByRange(n > 1,
+    * …)` costs TWO evaluations of its input — RangePartitioner
+    * samples the child RDD to place the bounds, then the write's
+    * shuffle evaluates it again — so every data commit (gen-0 write,
+    * merge staging, compaction, DML rewrite) paid its scan/join
+    * subtree twice.
+    *
+    * Three paths:
+    *  - `splits` provided (manifest-stats-derived — see
+    *    [[statsSplitPoints]]): rows route to their bucket by a plain
+    *    comparison chain against the LITERAL split points and shuffle
+    *    once through [[SessionBridge.repartitionByBucket]] — NO
+    *    sampling pass, one evaluation, one shuffle. Capped at
+    *    `spark.graft.explicitRangeBounds.max` (default 128) splits:
+    *    the chain is a linear scan per row, so very wide rewrites
+    *    keep the sampled plan.
+    *  - `nFiles == 1`: RangePartitioner computes no bounds for a
+    *    single partition — never evaluated twice to begin with.
+    *  - otherwise: the classic sampled `repartitionByRange`.
+    *    `spark.graft.rangeWriteBarrier=true` additionally pins the
+    *    input with a lazy localCheckpoint so the sample reads blocks
+    *    — MEASURED SLOWER than the re-evaluation on this host for
+    *    both generated and parquet-backed inputs (ScaleProbe
+    *    `rangebarrier`: write 2.59 vs 2.14 s, merge 3.75 vs 3.14 s at
+    *    20M rows), so it defaults OFF and exists for re-measuring on
+    *    hosts where input recomputation is genuinely expensive.
+    */
+  private[operators] def stageRangeWrite(df: DataFrame, nFiles: Int,
+      partCols: Seq[Column], staging: String,
+      dropCols: Seq[String] = Nil,
+      splits: Option[IndexedSeq[Any]] = None): Unit = {
+    val n = math.max(1, nFiles)
+    val cap = df.sparkSession.conf
+      .get("spark.graft.explicitRangeBounds.max", "128").toInt
+    val spOpt = if (n > 1) splits.filter(sp => sp.nonEmpty && sp.size < cap)
+                else None
+    spOpt match {
+      case Some(sp) =>
+        val key = partCols.head
+        val bucket = sp.zipWithIndex.foldRight(lit(sp.size)) {
+          case ((v, i), acc) => when(key <= lit(v), lit(i)).otherwise(acc)
+        }.cast("int")
+        val parted = org.apache.spark.sql.graftbridge.SessionBridge
+          .repartitionByBucket(df.withColumn("__rb", bucket), "__rb", sp.size + 1)
+        (dropCols :+ "__rb").foldLeft(parted)(_ drop _).write.parquet(staging)
+      case None =>
+        val barrier = n > 1 && df.sparkSession.conf
+          .get("spark.graft.rangeWriteBarrier", "false") == "true"
+        val pinned = if (barrier) df.localCheckpoint(false) else df
+        dropCols.foldLeft(pinned.repartitionByRange(n, partCols: _*))(_ drop _)
+          .write.parquet(staging)
+    }
+  }
+
+  /** Sampling-free range split points for a SUBSET rewrite, derived
+    * from the rewritten files' manifest stats (r22): when the file
+    * set forms a clean ascending band chain on the key (every file's
+    * min/max/n_rows present, files pairwise non-overlapping once
+    * sorted by min — the layout every range write here produces), the
+    * per-file maxes ARE valid range bounds, so the staged write needs
+    * no RangePartitioner sample of its input. `nOut` buckets get
+    * approximately equi-depth splits off the per-file row counts
+    * (exact file-per-band when nOut == files). Returns None — and the
+    * caller keeps the sampled plan — for overlapping layouts
+    * (z-ordered rewrites), missing/null stats, or unknown paths;
+    * bounds quality only ever affects file SIZES, never results (the
+    * new manifest's stats are computed from the written bytes as
+    * always).
+    *
+    * ROW-COUNT GATED (`spark.graft.explicitRangeBounds.maxRows`,
+    * default 4M): the bucket shuffle pays an interpreted per-row hop
+    * the native codegen'd exchange doesn't, so past a few million
+    * rewritten rows the avoided sampling evaluation stops paying for
+    * it (ScaleProbe `rangebarrier`: merge 1.03 vs 1.26 s at 2M rows
+    * — bounds win 18% — but 4.3 vs 3.46 s at 20M — sampled wins).
+    * Small frequent band rewrites (the streaming upsert sink's
+    * micro-batches, DML against a day's band) are scheduling-bound
+    * and skip the sampling job; bulk maintenance rewrites stay on the
+    * sampled plan. Σ n_rows is already driver-local, so the gate is
+    * free.
+    */
+  private[operators] def statsSplitPoints(
+      s: SparkSession,
+      manSchema: org.apache.spark.sql.types.StructType,
+      manRows: Seq[org.apache.spark.sql.Row],
+      paths: Seq[String], keyCol: String, nOut: Int): Option[IndexedSeq[Any]] = try {
+    if (nOut <= 1 || paths.size <= 1) return None // single bucket: no bounds needed
+    val pathIdx = manSchema.fieldIndex("path")
+    val minIdx = manSchema.fieldNames.indexOf(s"min_$keyCol")
+    val maxIdx = manSchema.fieldNames.indexOf(s"max_$keyCol")
+    val nIdx = manSchema.fieldNames.indexOf("n_rows")
+    if (minIdx < 0 || maxIdx < 0 || nIdx < 0) return None
+    val want = paths.toSet
+    val rows = manRows.filter(r => want(r.getString(pathIdx)))
+    if (rows.size != want.size) return None
+    if (rows.exists(r => r.isNullAt(minIdx) || r.isNullAt(maxIdx) || r.isNullAt(nIdx)))
+      return None
+    def cmp(a: Any, b: Any): Int = a.asInstanceOf[Comparable[Any]].compareTo(b)
+    val chain = rows.sortWith((x, y) => cmp(x.get(minIdx), y.get(minIdx)) < 0)
+    val banded = chain.zip(chain.tail).forall {
+      case (a, b) => cmp(a.get(maxIdx), b.get(minIdx)) < 0 }
+    if (!banded) return None
+    val total = chain.map(_.getLong(nIdx)).sum
+    if (total <= 0L) return None
+    val maxRows = s.conf
+      .get("spark.graft.explicitRangeBounds.maxRows", "4000000").toLong
+    if (total > maxRows) return None
+    val n = math.min(nOut, chain.size)
+    val splits = IndexedSeq.newBuilder[Any]
+    var cum = 0L
+    var j = 1
+    chain.init.foreach { r =>
+      cum += r.getLong(nIdx)
+      if (j < n && cum >= (j * total + n - 1) / n) { // ceil(j·total/n)
+        splits += r.get(maxIdx)
+        j += 1
+      }
+    }
+    val sp = splits.result()
+    if (sp.isEmpty) None else Some(sp)
+  } catch { case _: ClassCastException => None } // non-Comparable stat type
+
   def write(s: SparkSession, df: DataFrame, keyCol: String, dir: String,
             nFiles: Int = 16, meta: Map[String, String] = Map.empty): Unit = {
     graft.IndexLifecycle.deleteRecursively(dir)
     val token = newToken()
-    requireKeysNotNull(df, keyCol).repartitionByRange(nFiles, col(keyCol))
-      .write.parquet(dataDirOf(dir, 0, token))
+    stageRangeWrite(requireKeysNotNull(df, keyCol), nFiles, Seq(col(keyCol)),
+      dataDirOf(dir, 0, token))
     val (ss, sr) = statsRowsOf(s, dataDirOf(dir, 0, token), keyCol)
     writeManifestParquet(s, manifestDirOf(dir, 0, token), ss, sr)
     commitGen(dir, 0, token,
@@ -71,10 +195,9 @@ trait MergeTableStorage { this: MergeTable.type =>
       case Some(zv) =>
         graft.IndexLifecycle.deleteRecursively(dir)
         val token = newToken()
-        requireKeysNotNull(df, keyCol).withColumn("__zv", zv)
-          .repartitionByRange(nFiles, col("__zv"))
-          .drop("__zv")
-          .write.parquet(dataDirOf(dir, 0, token))
+        stageRangeWrite(requireKeysNotNull(df, keyCol).withColumn("__zv", zv),
+          nFiles, Seq(col("__zv")), dataDirOf(dir, 0, token),
+          dropCols = Seq("__zv"))
         val (ss, sr) = statsRowsOf(s, dataDirOf(dir, 0, token), keyCol)
         writeManifestParquet(s, manifestDirOf(dir, 0, token), ss, sr)
         commitGen(dir, 0, token, Map("op" -> "cluster",
@@ -175,11 +298,10 @@ trait MergeTableStorage { this: MergeTable.type =>
     val staging = dataDirOf(dir, next, token)
     zValueOf(df, clusterCols) match {
       case Some(zv) =>
-        df.withColumn("__zv", zv)
-          .repartitionByRange(nFiles, col("__zv")).drop("__zv")
-          .write.parquet(staging)
+        stageRangeWrite(df.withColumn("__zv", zv), nFiles, Seq(col("__zv")),
+          staging, dropCols = Seq("__zv"))
       case None => // degenerate input: fall back to key order
-        df.repartitionByRange(nFiles, col(keyCol)).write.parquet(staging)
+        stageRangeWrite(df, nFiles, Seq(col(keyCol)), staging)
     }
     val newStats =
       if (hasParquetFiles(staging)) statsRowsOf(s, staging, keyCol)
@@ -313,11 +435,10 @@ trait MergeTableStorage { this: MergeTable.type =>
       .orElse(zValueOf(df, clusterCols))
     zv match {
       case Some(z) =>
-        df.withColumn("__zv", z)
-          .repartitionByRange(outFiles, col("__zv")).drop("__zv")
-          .write.parquet(staging)
+        stageRangeWrite(df.withColumn("__zv", z), outFiles, Seq(col("__zv")),
+          staging, dropCols = Seq("__zv"))
       case None => // degenerate fold set: key order
-        df.repartitionByRange(outFiles, col(keyCol)).write.parquet(staging)
+        stageRangeWrite(df, outFiles, Seq(col(keyCol)), staging)
     }
     val newStats =
       if (hasParquetFiles(staging)) statsRowsOf(s, staging, keyCol)

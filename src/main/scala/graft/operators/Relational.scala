@@ -750,7 +750,15 @@ object Relational {
   // sort + rank selection instead (same quantile_cont semantics, no
   // per-group buffer).
   val q23_percentiles: Q = (s, d) => {
+    // ONE lineitem scan for both percentile families (r22): the qty
+    // aggregate and the p95 distributed sort each consumed their own
+    // full scan (and the sort's range sampling re-evaluated its input
+    // a second time). A lazy localCheckpoint of the 3-column
+    // projection pins the scan once; the aggregate, the range
+    // sampler and the sort shuffle all read the pinned blocks.
     val li = Tables.lineitem(s, d)
+      .select("l_returnflag", "l_quantity", "l_extendedprice")
+      .localCheckpoint(false)
     val qty = li.groupBy("l_returnflag")
       .agg(
         r2(expr("percentile(l_quantity, 0.25)")).as("p25"),

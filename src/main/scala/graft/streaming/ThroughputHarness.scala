@@ -115,27 +115,47 @@ object ThroughputHarness {
   }
 
   /** The bench sweep: both sink modes at increasing target rates,
-    * each stage repeated `reps` times (SPARK_GRAFT_ST02_REPS, default
-    * 3 like the batch rows). The extra wall-clock is sweep-duration,
-    * not engine time — st02 is already excluded from batch seconds.
+    * each stage repeated UP TO `reps` times (SPARK_GRAFT_ST02_REPS,
+    * default 3 like the batch rows) within a PER-STAGE WALL BUDGET
+    * (SPARK_GRAFT_ST02_STAGE_BUDGET_MS, default 25 s). The sweep's
+    * wall clock is dominated by waiting on the rate source to produce
+    * load — not engine work — and it GREW with core count (r21:
+    * 147.8 s at 32 cores vs 52.7 s at 8, inverted scaling), so the
+    * budget bounds it: each stage always gets its FIRST rep (with the
+    * 0-batch retry), later reps run only while the stage is inside
+    * its budget. Declared worst case: 4 stages × (budget + one
+    * in-flight run ≤ 60 s retry window) ≈ 6 minutes at any core
+    * count; the typical quiet-host sweep is unchanged (3 reps × ~5 s
+    * per stage sits inside the budget). A budget-trimmed stage simply
+    * records fewer reps — visible in BENCH_DETAIL's per-rep arrays.
     */
   def sweep(spark: SparkSession,
             reps: Int = sys.env.get("SPARK_GRAFT_ST02_REPS")
-              .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3)): Seq[SweepStage] =
+              .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(3),
+            stageBudgetMs: Long = sys.env.get("SPARK_GRAFT_ST02_STAGE_BUDGET_MS")
+              .flatMap(_.toLongOption).filter(_ > 0).getOrElse(25000L)): Seq[SweepStage] =
     for {
       update <- Seq(false, true)
       rps <- Seq(100000, 500000)
     } yield SweepStage(
       mode = if (update) "update" else "complete",
       targetRps = rps,
-      reps = (1 to reps).map { _ =>
-        val first = run(spark, update, rps)
-        // a 0-batch rep measured NOTHING (window closed before the
-        // first data batch — contended-host startup can exceed 20 s
-        // at rate in update mode): one bounded retry at a 3× window
-        // is the honest heal; a second 0 stays 0 and is counted by
-        // SweepStage.timeouts rather than read as zero throughput
-        if (first.batches > 0) first
-        else run(spark, update, rps, timeoutMs = 60000)
+      reps = {
+        val t0 = System.currentTimeMillis()
+        (1 to reps).flatMap { i =>
+          if (i > 1 && System.currentTimeMillis() - t0 > stageBudgetMs) None
+          else Some {
+            val first = run(spark, update, rps)
+            // a 0-batch rep measured NOTHING (window closed before the
+            // first data batch — contended-host startup can exceed 20 s
+            // at rate in update mode): one bounded retry at a 3× window
+            // is the honest heal (budget permitting); a second 0 stays 0
+            // and is counted by SweepStage.timeouts rather than read as
+            // zero throughput
+            if (first.batches > 0 ||
+                System.currentTimeMillis() - t0 > stageBudgetMs) first
+            else run(spark, update, rps, timeoutMs = 60000)
+          }
+        }
       })
 }

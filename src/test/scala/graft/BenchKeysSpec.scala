@@ -60,9 +60,13 @@ class BenchKeysSpec extends AnyFunSuite {
     val queriesField = s""""queries":$qs,"""
     val cleanRps = "[999999,999999,999999,999999]"
     val clean = Bench.assembleLine(cleanPrefix, diag, queriesField,
-      "", Nil, "", cleanRps, cleanRps, "sf0.1")
+      "", Nil, 0, cleanRps, cleanRps, "sf0.1")
     assert(clean.length + sbtTrailer < 2000,
       s"worst-case clean line + trailer ${clean.length + sbtTrailer} chars crowds the 2000-char parse window")
+    // a clean run's line still carries the stable count fields (r22:
+    // field presence must not vary run to run — the driver's parser
+    // failed on exactly that drift in r20/r21)
+    assert(clean.contains(""""contended_n":0""") && clean.contains(""""healed":0"""))
     // DEGRADED worst case goes through the emit path itself:
     // assembleLine's shedding ladder (named contended → count-only →
     // drop rps_best) must land even the saturated-diagnostics line
@@ -76,7 +80,7 @@ class BenchKeysSpec extends AnyFunSuite {
     val rps = "[999999,999999,999999,999999]"
     val degraded = Bench.assembleLine(cleanPrefix, diag, queriesField,
       errWorst, longest5,
-      """"healed":134,""", rps, rps, "sf0.1")
+      134, rps, rps, "sf0.1")
     assert(degraded.length + sbtTrailer < 2000,
       s"degraded bench line + trailer ${degraded.length + sbtTrailer} chars crowds the parse window")
     // the mass-failure record parses too: >cap errors collapse to the
@@ -125,17 +129,22 @@ class BenchKeysSpec extends AnyFunSuite {
     assert(!Bench.runLooksContended(Seq("a" -> 1.0), Map("a" -> 0.0)))
   }
 
-  test("the stdout contended list names keys up to the cap, then collapses to a count") {
-    assert(Bench.contendedField(Nil) == "")
-    assert(Bench.contendedField(Seq("a", "b")) == """"contended":["a","b"],""")
-    assert(Bench.contendedField(Seq("a", "b", "c", "d", "e")) ==
-      """"contended":["a","b","c","d","e"],""")
-    // past the cap: count-only (distinct key so one field never has
-    // two JSON types); the full key list rides BENCH_DETAIL.json
-    val full = Bench.contendedField(Seq("a", "b", "c", "d", "e", "f", "g"))
-    assert(full == """"contended_n":7,""")
-    // the field length is bounded no matter how degraded the run
-    assert(Bench.contendedField((1 to 500).map(i => s"q$i")).length < 80)
+  test("the stdout contended count is always present; names ride up to the cap") {
+    val prefix = """{"metric":"total","value":1.0,"unit":"sec","""
+    def line(keys: Seq[String]) = Bench.assembleLine(prefix, "",
+      """"queries":{},""", "", keys, 0, "[1]", "[1]", "sf")
+    // clean run: count 0, no named list — field presence is stable
+    assert(line(Nil).contains(""""contended_n":0"""))
+    assert(!line(Nil).contains(""""contended":["""))
+    // short list: both the count and the names
+    val two = line(Seq("a", "b"))
+    assert(two.contains(""""contended_n":2""") &&
+      two.contains(""""contended":["a","b"]"""))
+    // past the cap: count-only — the field length is bounded no
+    // matter how degraded the run; full keys ride BENCH_DETAIL.json
+    val many = line((1 to 500).map(i => s"q$i"))
+    assert(many.contains(""""contended_n":500""") &&
+      !many.contains(""""contended":["""))
   }
 
   test("assembleLine sheds diagnostics only under pressure, errors never") {
@@ -144,20 +153,21 @@ class BenchKeysSpec extends AnyFunSuite {
     val rps = "[1,2]"
     def line(budget: Int) = Bench.assembleLine(prefix, diag,
       """"queries":{},""", """"errors":["x"],""",
-      Seq("a", "b"), """"healed":2,""", rps, rps, "sf", budget)
+      Seq("a", "b"), 2, rps, rps, "sf", budget)
     // roomy budget: named contended + rps_best both present
     val full = line(2000)
     assert(full.contains(""""contended":["a","b"]""") && full.contains("rps_best"))
-    // tight: contended collapses to the count, rps_best survives
+    assert(full.contains(""""contended_n":2""") && full.contains(""""healed":2"""))
+    // tight: the named list drops, the stable counts and rps_best stay
     val shed1 = line(full.length - 1)
     assert(shed1.contains(""""contended_n":2""") && shed1.contains("rps_best"))
     assert(!shed1.contains(""""contended":["""))
-    // tighter still: rps_best drops too; errors and healed stay put
+    // tighter still: rps_best drops too; errors and the counts stay
     val shed2 = line(shed1.length - 1)
     assert(!shed2.contains("rps_best") && shed2.contains(""""rps":[1,2]"""))
     assert(shed2.contains(""""errors":["x"]""") && shed2.contains(""""healed":2"""))
-    // the last rung (r20) drops the bench-internal diagnostics but
-    // never the contract fields or errors
+    // the last rungs drop the counts and then the bench-internal
+    // diagnostics, but never the contract fields or errors
     val shed3 = line(1)
     assert(!shed3.contains(""""batch""""), shed3)
     assert(shed3.contains(""""queries"""") && shed3.contains(""""errors":["x"]"""))

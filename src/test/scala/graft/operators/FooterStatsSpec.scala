@@ -74,6 +74,96 @@ class FooterStatsSpec extends SparkSpecBase {
     assertAgree(dir, "k")
   }
 
+  test("footer stats ≡ scan stats: timestamp key and value columns (r22)") {
+    import spark.implicits._
+    def tsFrame = (1 to 300).map { i =>
+      (java.sql.Timestamp.from(
+         java.time.Instant.parse("2030-01-01T00:00:00Z").plusSeconds(i * 37L)),
+       i.toLong,
+       if (i % 9 == 0) null
+       else java.sql.Timestamp.from(
+         java.time.Instant.parse("2031-06-15T12:00:00Z").plusMillis(i * 13L)))
+    }.toDF("ts", "k", "seen")
+    // INT64 micros layout (isAdjustedToUTC) — the r22 extension of the
+    // proven footer type set; min/max over micros is the same monotone
+    // order the scan's min/max use
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    val dir = tmpDir("fstats-ts64")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      tsFrame.repartitionByRange(3, col("ts")).write.mode("overwrite").parquet(dir)
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    val before = MergeTable.statsJobFallbackCount
+    // as a non-key statted column and as the key itself — both footer
+    assertAgree(dir, "k")
+    assertAgree(dir, "ts")
+    assert(MergeTable.statsJobFallbackCount == before,
+      "INT64 timestamp layout unexpectedly took the job fallback")
+
+    // the DEFAULT writer layout (INT96, whose deprecated stats
+    // parquet-mr does not expose reliably) takes the COUNTED job
+    // fallback wholesale — behavior, not speed, stays the invariant
+    assert(prev == "INT96", s"Spark's default timestamp layout changed to $prev " +
+      "— re-examine the INT96 fallback gate")
+    val dir96 = tmpDir("fstats-ts96")
+    tsFrame.repartitionByRange(3, col("ts")).write.mode("overwrite").parquet(dir96)
+    val b96 = MergeTable.statsJobFallbackCount
+    val out = MergeTable.statsOf(spark, dir96, "ts")
+    assert(MergeTable.statsJobFallbackCount == b96 + 1,
+      "INT96 timestamp layout did not take the counted job fallback")
+    val slow = MergeTable.statsOfJob(spark, dir96, "ts")
+    assert(out.collect().map(_.toSeq).toSet == slow.collect().map(_.toSeq).toSet)
+  }
+
+  test("NaN-poisoned double bounds: footer degrades to can't-prune null (r22)") {
+    import spark.implicits._
+    // parquet drops NaN-poisoned float/double column statistics, so
+    // the footer path records null (can't-prune) bounds where the
+    // scan's max() yields NaN — the one DOCUMENTED divergence from
+    // cell equivalence, pinned here: always the SOUND direction
+    // (admit, never prune), and nn still agrees
+    val dir = tmpDir("fstats-nan")
+    val df = (1 to 80).map(i =>
+      (i.toLong, if (i % 10 == 0) Double.NaN else i * 0.5))
+      .toDF("k", "v")
+    df.coalesce(2).write.mode("overwrite").parquet(dir)
+    val fast = MergeTable.statsOf(spark, dir, "k").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val slow = MergeTable.statsOfJob(spark, dir, "k").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(fast.keySet == slow.keySet)
+    for ((p, f) <- fast) {
+      val s = slow(p)
+      // the key column (NaN-free) stays cell-equivalent
+      assert(f.getAs[Any]("min_k") == s.getAs[Any]("min_k"))
+      assert(f.getAs[Any]("max_k") == s.getAs[Any]("max_k"))
+      // v: footer yields null bounds (sound), scan yields NaN max
+      assert(f.isNullAt(f.fieldIndex("min_v")) && f.isNullAt(f.fieldIndex("max_v")),
+        s"expected can't-prune null bounds for NaN-poisoned v at $p: $f")
+      assert(s.getAs[Double]("max_v").isNaN)
+      // the null counts agree (NaN is not null)
+      assert(f.getAs[Long]("nn_v") == s.getAs[Long]("nn_v"))
+    }
+  }
+
+  test("mixed-schema data dir falls back to the scan pass (r22 drift check)") {
+    import spark.implicits._
+    val dir = tmpDir("fstats-drift")
+    (1 to 40).map(i => (i.toLong, i * 1.0)).toDF("k", "bal")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    // a second file with an extra column — two distinct footer schemas
+    (41 to 80).map(i => (i.toLong, i * 1.0, s"s$i")).toDF("k", "bal", "extra")
+      .coalesce(1).write.mode("append").parquet(dir)
+    // statsOf must take the job path, not stat columns positionally
+    // against one arbitrary file's layout
+    val before = MergeTable.statsJobFallbackCount
+    val out = MergeTable.statsOf(spark, dir, "k")
+    assert(MergeTable.statsJobFallbackCount == before + 1,
+      "mixed-schema dir did not take the counted job fallback")
+    val slow = MergeTable.statsOfJob(spark, dir, "k")
+    assert(out.collect().map(_.toSeq).toSet == slow.collect().map(_.toSeq).toSet)
+  }
+
   test("unsupported statted type (decimal) falls back to the scan pass") {
     import spark.implicits._
     val dir = tmpDir("fstats-decimal")
