@@ -74,7 +74,12 @@ object PageRank {
       .get("spark.graft.pagerank.broadcastMaxNodes", "2000000").toLong
     def maybeBcast(df: DataFrame): DataFrame =
       if (n <= bcastNodes) broadcast(df) else df
+    // outDeg is ITERATION-INVARIANT but was re-derived from the edge
+    // table inside every iteration's dangling-mass join — 10 extra
+    // edge-sized aggregations per run (r22). One eager checkpoint
+    // pins the node-sized result; every later use reads blocks.
     val outDeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     val withDeg = edges.join(maybeBcast(outDeg), "src").localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     var lastCheckpoint: DataFrame = null

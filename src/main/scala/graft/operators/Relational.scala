@@ -376,13 +376,33 @@ object Relational {
     * or the union shape.
     */
   private def resampleUnion(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
+    // ONE events scan for all three consumers (r22, the q23 pattern):
+    // the per-µs dedup aggregate, the grid bounds and the user grid
+    // each consumed their own full scan — a lazy localCheckpoint of
+    // the 3-column projection pins the scan once and all three read
+    // the pinned blocks. SIZE-GATED (driver-side file stat): the pin
+    // measured 1.6× faster at a 10× corpus (q55 12.2 → 7.5 s at 32
+    // cores) but ~0.3 s SLOWER at sf0.1, where three column-pruned
+    // scans of a 2 MB file cost less than materializing blocks — so
+    // small inputs keep the re-scan plan (the same
+    // recompute-vs-materialize trade change 1's barrier probe
+    // measured, decided per input).
+    val pinMinBytes = s.conf
+      .get("spark.graft.resample.pinMinBytes", (8L << 20).toString).toLong
+    val evPath = new java.io.File(s"$d/events.parquet")
+    val evBytes =
+      if (evPath.isDirectory)
+        Option(evPath.listFiles()).map(_.map(_.length()).sum).getOrElse(0L)
+      else evPath.length()
+    val base0 = Tables.events(s, d).select("user_id", "ts", "value")
+    val base = if (evBytes >= pinMinBytes) base0.localCheckpoint(false) else base0
+    val ev = base
       .groupBy(col("user_id"), unix_micros(col("ts")).as("us"))
       .agg(max("value").as("v"))
-    val bounds = Tables.events(s, d)
+    val bounds = base
       .agg(unix_micros(date_trunc("hour", min("ts"))).as("h0"),
         unix_micros(date_trunc("hour", max("ts"))).as("h1"))
-    val grid = Tables.events(s, d).select("user_id").distinct()
+    val grid = base.select("user_id").distinct()
       .crossJoin(broadcast(bounds))
       .select(col("user_id"),
         explode(sequence(col("h0"), col("h1"), lit(3600000000L))).as("us"))
