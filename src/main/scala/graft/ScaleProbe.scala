@@ -638,6 +638,34 @@ object ScaleProbe {
         val plan = probe.queryExecution.executedPlan.toString
         val reused = "ReusedExchange".r.findAllIn(plan).length
         println(s"unpinned executed plan: $reused ReusedExchange node(s)")
+      case "trideg" =>
+        // what an eager pin of the node-sized `deg` aggregate is
+        // worth: unpinned, the plan consumes deg FOUR times (da/db on
+        // the e1 side + again inside e2's broadcast subtree), each a
+        // 2m-row union + aggregation, and exchange reuse does not
+        // fire across them; pinned, the union+agg runs once into a
+        // node-sized checkpoint. Interleaved arms on pr02's real
+        // co-purchase graph (pass the sf dir via SPARK_GRAFT_SF_DIR);
+        // results asserted identical.
+        val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        val reps = args.lift(1).map(_.toInt).getOrElse(3)
+        def onceDeg(pin: Boolean): (Double, Long) = {
+          val t0 = System.nanoTime()
+          val c = graph.PageRank.triangleCountsImpl(
+              graph.PageRank.copurchaseEdges(spark, sfDir),
+              pinOriented = false, pinDeg = pin)
+            .agg(sum("n_triangles")).head().getLong(0)
+          ((System.nanoTime() - t0) / 1e9, c)
+        }
+        onceDeg(pin = true); onceDeg(pin = false) // warm codegen
+        val obsD = (1 to reps).flatMap(_ =>
+          Seq(true, false).map(p => p -> onceDeg(p)))
+        val sums = obsD.map(_._2._2).distinct
+        require(sums.size == 1, s"pin arms disagree: $sums")
+        Seq(true, false).foreach { p =>
+          val ts = obsD.filter(_._1 == p).map(_._2._1)
+          println(f"trideg pinDeg=$p: median ${ts.sorted.apply((ts.size - 1) / 2)}%.2f s (min ${ts.min}%.2f)")
+        }
       case "pr" =>
         // pr01's cadence decision, measured: 10 damped iterations on
         // a uniform random graph, varying how often the rank lineage
@@ -967,6 +995,51 @@ object ScaleProbe {
         t("cappedIndex")(dedup.Dedup.probeCappedIndex(spark, sfDir))
         t("postings")(dedup.Dedup.probePostings(spark, sfDir))
         t("full pairs")(dedup.Dedup.probePairs(spark, sfDir))
+      case "dd09pair" =>
+        // r22 follow-up: dd09's pair form A/B — the original single
+        // interpreted flatten(transform) explode vs the shared
+        // two-level index explode (allPairs, oversized branch
+        // statically absent). Interleaved arms, identical results
+        // asserted.
+        val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        val reps = args.lift(1).map(_.toInt).getOrElse(3)
+        val width = 8
+        val dfCap = 64
+        def posts = {
+          val wh = Tables.documents(spark, sfDir)
+            .select(col("doc_id"), expr(text.TextAnalysis.toksExpr).as("t"))
+            .filter(size(col("t")) >= width)
+            .select(col("doc_id"), explode(array_distinct(
+              functions.GraftFunctions.rollingHashes("t", width))).as("h"))
+          wh.groupBy("h").agg(sort_array(collect_set("doc_id")).as("ds"))
+            .filter(size(col("ds")).between(2, dfCap))
+        }
+        def finish(pairs: DataFrame): DataFrame = pairs
+          .groupBy("id1", "id2").agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2).orderBy("id1", "id2")
+        def lambdaArm: DataFrame = finish(posts.select(explode(expr(
+            """flatten(transform(ds, (x, i) ->
+              |  transform(slice(ds, i + 2, size(ds)), y -> struct(x AS id1, y AS id2))))"""
+              .stripMargin)).as("p"))
+          .select(col("p.id1").as("id1"), col("p.id2").as("id2")))
+        def newArm: DataFrame = finish(
+          dedup.Dedup.allPairs(posts, chunk = dfCap, mayExceedChunk = false))
+        val la = lambdaArm.collect().map(_.toSeq).toSeq
+        val na = newArm.collect().map(_.toSeq).toSeq
+        require(la == na, s"dd09 arms diverge: ${la.size} vs ${na.size}")
+        println(s"dd09 arms identical (${la.size} rows)")
+        def onceP(useNew: Boolean): Double = {
+          val t0 = System.nanoTime()
+          (if (useNew) newArm else lambdaArm)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        onceP(useNew = true); onceP(useNew = false) // warm
+        val obsP = (1 to reps).flatMap(_ => Seq(true, false).map(u => u -> onceP(u)))
+        Seq(true, false).foreach { u =>
+          val ts = obsP.filter(_._1 == u).map(_._2)
+          println(f"dd09 newForm=$u: median ${ts.sorted.apply((ts.size - 1) / 2)}%.2f s (min ${ts.min}%.2f)")
+        }
       case "gencorpus" =>
         // r22 (VERDICT item 9): synthesize a LARGER corpus by key-
         // offset replication of sf0.1 (the driver's generator isn't
@@ -1092,14 +1165,28 @@ object ScaleProbe {
           }
           println(f"dd02pack $label: median ${obs.sorted.apply((reps - 1) / 2)}%.2f s (min ${obs.min}%.2f)")
         }
+        // (d) two-level explode over index sequences — NO interpreted
+        // lambdas anywhere and no per-posting pair-array
+        // materialization: both Generates and the element_at
+        // projection are whole-stage codegen
+        def twoExplode: DataFrame = postings
+          .filter(size(col("ds")) <= chunk && size(col("ds")) >= 2)
+          .select(col("ds"), explode(expr("sequence(0, size(ds) - 2)")).as("i"))
+          .select(col("ds"),
+            expr("element_at(ds, i + 1)").as("id1"),
+            explode(expr("sequence(i + 1, size(ds) - 1)")).as("j"))
+          .select(col("id1"), expr("element_at(ds, j + 1)").as("id2"))
         t("shipped slice+struct")(score(shipped))
         t("idx struct")(score(idxStruct))
         t("idx packed-long")(score(idxPacked))
-        // content equality of the three pair sets
+        t("two-level explode")(score(twoExplode))
+        // content equality of the four pair sets
         val a = score(shipped).collect().map(_.toSeq).toSet
         val b = score(idxStruct).collect().map(_.toSeq).toSet
         val c = score(idxPacked).collect().map(_.toSeq).toSet
-        require(a == b && b == c, s"pair sets diverge: ${a.size}/${b.size}/${c.size}")
+        val e4 = score(twoExplode).collect().map(_.toSeq).toSet
+        require(a == b && b == c && c == e4,
+          s"pair sets diverge: ${a.size}/${b.size}/${c.size}/${e4.size}")
         println(s"dd02pack verified: ${a.size} pairs identical across formulations")
       case "prcadence" =>
         // r22: pr01's lineage-truncation cadence × the node-broadcast

@@ -234,6 +234,59 @@ object Dedup {
   private[graft] def probePairs(s: SparkSession, d: String): DataFrame =
     buildJaccardPairs(s, d)
 
+  /** Unordered i<j pairs of every posting's sorted `ds` array, as flat
+    * (id1, id2) rows with per-posting multiplicity preserved — the
+    * shared pair generator behind dd02 and dd09. TWO-LEVEL INDEX
+    * EXPLODE (r22 follow-up): the index-lambda form still evaluated
+    * its `transform` lambdas interpreted and materialized every
+    * posting's full pair array before Generate could stream it; two
+    * chained explodes over int `sequence`s plus an `element_at`
+    * projection stay inside whole-stage codegen end to end and never
+    * materialize a pair array (ScaleProbe dd02pack, end-to-end to
+    * scored pairs at sf0.1: slice+struct 2.72 s, index lambdas 2.19,
+    * packed-long 2.09 — still constrained to ids < 2^32, still not
+    * shipped — two-level explode **1.73 s**, pair sets verified
+    * identical). Postings larger than `chunk` are cut into sorted
+    * chunks and spread per CHUNK-PAIR row exactly as before (the
+    * hot-shingle salt guard); `sequence` args are arranged so no
+    * branch can produce a descending range (a single-element trailing
+    * same-chunk yields an empty index array, not [0,-1]).
+    */
+  private[graft] def allPairs(postings: DataFrame, chunk: Int,
+                              mayExceedChunk: Boolean = true): DataFrame = {
+    val small = postings
+      .filter(size(col("ds")) <= chunk && size(col("ds")) >= 2)
+      .select(col("ds"), explode(expr("sequence(0, size(ds) - 2)")).as("i"))
+      .select(col("ds"), expr("element_at(ds, i + 1)").as("id1"),
+        explode(expr("sequence(i + 1, size(ds) - 1)")).as("j"))
+      .select(col("id1"), expr("element_at(ds, j + 1)").as("id2"))
+    // a caller whose df-cap already bounds postings at the chunk size
+    // (dd09) must not carry the oversized branch: even always-empty,
+    // its union arm schedules the chunk-split + repartition exchange
+    // every run (measured +0.5 s on dd09 at sf0.1 before this flag)
+    if (!mayExceedChunk) return small
+    val big = postings.filter(size(col("ds")) > chunk)
+      .select(col("ds"), explode(expr(
+        s"""flatten(transform(sequence(0, int(ceil(size(ds) / $chunk.0)) - 1),
+           |  i -> transform(sequence(i, int(ceil(size(ds) / $chunk.0)) - 1),
+           |    j -> struct(i AS ci, j AS cj))))""".stripMargin)).as("cp"))
+      .select(expr(s"slice(ds, cp.ci * $chunk + 1, $chunk)").as("a"),
+        expr(s"slice(ds, cp.cj * $chunk + 1, $chunk)").as("b"),
+        (col("cp.ci") === col("cp.cj")).as("same"))
+      .repartition(col("a"), col("b"))
+      .select(col("a"), col("b"), col("same"), explode(expr(
+        """CASE WHEN same AND size(a) >= 2 THEN sequence(0, size(a) - 2)
+          |     WHEN NOT same THEN sequence(0, size(a) - 1)
+          |     ELSE slice(sequence(0, 0), 2, 1) END""".stripMargin)).as("i"))
+      .select(col("a"), col("b"), col("same"),
+        expr("element_at(a, i + 1)").as("id1"),
+        explode(expr(
+          """CASE WHEN same THEN sequence(i + 1, size(a) - 1)
+            |     ELSE sequence(0, size(b) - 1) END""".stripMargin)).as("j"))
+      .select(col("id1"), expr("element_at(IF(same, a, b), j + 1)").as("id2"))
+    small.unionAll(big)
+  }
+
   private def buildJaccardPairs(s: SparkSession, d: String): DataFrame = {
     // no explicit cache: the shingle subplan appears three times in
     // this one plan and Spark's ReuseExchange already dedupes it —
@@ -254,43 +307,10 @@ object Dedup {
     val idx = cappedIndex(s, d)
     val postings = idx.groupBy("s")
       .agg(sort_array(collect_set("doc_id")).as("ds"))
-    // common case — posting fits one chunk: direct pair explode, no
-    // extra exchange. INDEX-BASED generation (r22): the old
-    // slice-per-element form copied O(n²) array elements per posting
-    // (slice allocates a fresh array for every suffix) — element_at
-    // over index sequences generates the same pairs with no copies
-    // (ScaleProbe dd02pack: 2.81 → 2.28 s median end-to-end at sf0.1;
-    // a packed-long pair key measured 2.16 s but constrains doc ids
-    // to < 2^32, unacceptable at corpus scale — probed, not shipped).
-    // Single-doc postings are filtered (they generate no pairs, and
-    // sequence(0, -1) would be a descending range).
-    val smallPairs = postings
-      .filter(size(col("ds")) <= chunk && size(col("ds")) >= 2)
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(ds) - 2), i ->
-          |  transform(sequence(i + 1, size(ds) - 1), j ->
-          |    struct(element_at(ds, i + 1) AS id1, element_at(ds, j + 1) AS id2))))"""
-          .stripMargin)).as("p"))
-    // oversized postings only: chunk-pair rows, repartitioned so one
-    // hot shingle's ≤ chunk² pair batches spread across tasks
-    val bigPairs = postings.filter(size(col("ds")) > chunk)
-      .select(col("ds"), explode(expr(
-        s"""flatten(transform(sequence(0, int(ceil(size(ds) / $chunk.0)) - 1),
-           |  i -> transform(sequence(i, int(ceil(size(ds) / $chunk.0)) - 1),
-           |    j -> struct(i AS ci, j AS cj))))""".stripMargin)).as("cp"))
-      .select(expr(s"slice(ds, cp.ci * $chunk + 1, $chunk)").as("a"),
-        expr(s"slice(ds, cp.cj * $chunk + 1, $chunk)").as("b"),
-        (col("cp.ci") === col("cp.cj")).as("same"))
-      .repartition(col("a"), col("b"))
-      .select(explode(expr(
-        """CASE WHEN same THEN
-          |  flatten(transform(a, (x, i) ->
-          |    transform(slice(a, i + 2, size(a)), y -> struct(x AS id1, y AS id2))))
-          |ELSE
-          |  flatten(transform(a, x -> transform(b, y -> struct(x AS id1, y AS id2))))
-          |END""".stripMargin)).as("p"))
-    val pairs = smallPairs.unionAll(bigPairs)
-      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+    // pair generation lives in [[allPairs]] (two-level codegen'd index
+    // explode; chunked + salted past `chunk` docs — see its scaladoc
+    // for the measured formulation history)
+    val pairs = allPairs(postings, chunk)
       .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
     pairs
       .join(sizes.toDF("d1", "n1"), col("id1") === col("d1"))
@@ -530,11 +550,11 @@ object Dedup {
         graft.functions.GraftFunctions.rollingHashes("t", width))).as("h"))
     val postings = wh.groupBy("h").agg(sort_array(collect_set("doc_id")).as("ds"))
       .filter(size(col("ds")).between(2, dfCap))
-    postings.select(explode(expr(
-      """flatten(transform(ds, (x, i) ->
-        |  transform(slice(ds, i + 2, size(ds)), y -> struct(x AS id1, y AS id2))))"""
-        .stripMargin)).as("p"))
-      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
+    // same two-level codegen'd pair explode as dd02 (allPairs); the
+    // dfCap filter bounds every posting at the chunk size, so the
+    // oversized branch is statically absent (mayExceedChunk = false)
+    allPairs(postings, chunk = dfCap, mayExceedChunk = false)
+      .groupBy("id1", "id2")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 2)
       .orderBy("id1", "id2")

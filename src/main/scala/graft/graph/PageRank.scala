@@ -211,6 +211,10 @@ object PageRank {
   def triangleCounts(edges: DataFrame): DataFrame =
     triangleCountsImpl(edges, pinOriented = false)
 
+  private[graft] def triangleCountsImpl(edges: DataFrame,
+                                        pinOriented: Boolean): DataFrame =
+    triangleCountsImpl(edges, pinOriented, pinDeg = false)
+
   /** [[triangleCounts]] with an optional localCheckpoint pin on the
     * `oriented` subtree, kept ONLY so ScaleProbe (`tripin`) can keep
     * re-measuring the tradeoff. The wedge self-join reads `oriented`
@@ -225,7 +229,8 @@ object PageRank {
     * are already pinned. Production callers therefore do NOT pin.
     */
   private[graft] def triangleCountsImpl(edges: DataFrame,
-                                        pinOriented: Boolean): DataFrame = {
+                                        pinOriented: Boolean,
+                                        pinDeg: Boolean): DataFrame = {
     // canonicalize INSIDE the operator rather than assuming a < b of
     // the caller: a mirrored duplicate edge (b, a) would survive a
     // plain distinct(), inflate both degrees, and silently miscount —
@@ -256,8 +261,20 @@ object PageRank {
     val mEdges = und.count()
     def maybeBcast(df: DataFrame): DataFrame =
       if (mEdges <= bcastMax) broadcast(df) else df
-    val deg = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
+    // deg is one row per NODE (tiny next to the edge set) and the plan
+    // consumes it FOUR times — da/db for e1's orientation and again
+    // inside e2's broadcast subtree — with no ReusedExchange across
+    // those consumers, so the 2m-row union + aggregation runs four
+    // times. Pinning it with an eager checkpoint was PROBED AND LOSES
+    // (ScaleProbe `trideg`, co-purchase graph at sf0.1: 11.76 s pinned
+    // vs 9.82 unpinned medians): AQE materializes the four redundant
+    // subtrees as CONCURRENT broadcast-build stages, so their wall
+    // cost mostly overlaps, while the eager pin serializes a blocking
+    // job in front of every downstream stage. `pinDeg` exists ONLY so
+    // ScaleProbe (`trideg`) can keep re-measuring the trade.
+    val degPlan = und.select(col("a").as("n")).unionAll(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
+    val deg = if (pinDeg) degPlan.localCheckpoint() else degPlan
     val orientedPlan = und
       .join(maybeBcast(deg.withColumnRenamed("n", "a").withColumnRenamed("deg", "da")), "a")
       .join(maybeBcast(deg.withColumnRenamed("n", "b").withColumnRenamed("deg", "db")), "b")
