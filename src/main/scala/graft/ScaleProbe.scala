@@ -995,6 +995,91 @@ object ScaleProbe {
         t("cappedIndex")(dedup.Dedup.probeCappedIndex(spark, sfDir))
         t("postings")(dedup.Dedup.probePostings(spark, sfDir))
         t("full pairs")(dedup.Dedup.probePairs(spark, sfDir))
+      case "tripart" =>
+        // r22 follow-up: is pr02's wedge-enumeration stage starved of
+        // parallelism? The und checkpoint's partition count is set by
+        // AQE from its INPUT bytes (~13 MB at sf0.1 → coalesced to ~1
+        // partition), but the stage's OUTPUT is the O(m^1.5) wedge
+        // set — generator-heavy stages need parallelism ∝ output.
+        // Prints the checkpoint partition counts and every stage's
+        // (tasks, wall) for one pr02 run.
+        val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        val stages = java.util.Collections.synchronizedList(
+          new java.util.ArrayList[(Int, Int, Double)]())
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onStageCompleted(
+                sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+              val si = sc.stageInfo
+              stages.add((si.stageId, si.numTasks,
+                (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3))
+            }
+          })
+        val edges = graph.PageRank.copurchaseEdges(spark, sfDir)
+        val und = edges.toDF("a", "b")
+          .select(least(col("a"), col("b")).as("a"),
+            greatest(col("a"), col("b")).as("b"))
+          .filter(col("a") =!= col("b"))
+          .distinct().localCheckpoint()
+        println(s"und: ${und.count()} edges, ${und.rdd.getNumPartitions} partitions")
+        graph.PageRank.triangleCounts(edges)
+          .write.format("noop").mode("overwrite").save()
+        Thread.sleep(500)
+        stages.toArray(Array.empty[(Int, Int, Double)]).sortBy(-_._3).take(8)
+          .foreach { case (id, n, s) =>
+            println(f"stage $id%4d: $n%4d tasks, $s%7.2f s") }
+      case "stageprof" =>
+        // generic stage profile: run one registered query through the
+        // noop sink and print the slowest stages' (tasks, wall) — the
+        // AQE-starvation detector (a long stage with few tasks on a
+        // 32-core box). Usage: stageprof 0 <query> (the main parses
+        // args(1) as the numeric rows slot; the query rides args(2)).
+        val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        val qname = args.lift(2).getOrElse("dd08_embed_neardup_ivf")
+        val stages = java.util.Collections.synchronizedList(
+          new java.util.ArrayList[(Int, Int, Double)]())
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onStageCompleted(
+                sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+              val si = sc.stageInfo
+              stages.add((si.stageId, si.numTasks,
+                (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1e3))
+            }
+          })
+        SparkEntry.queries(qname)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save() // warm
+        stages.clear()
+        SparkEntry.queries(qname)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        Thread.sleep(500)
+        println(s"stage profile: $qname")
+        stages.toArray(Array.empty[(Int, Int, Double)]).sortBy(-_._3).take(8)
+          .foreach { case (id, n, s) =>
+            println(f"stage $id%4d: $n%4d tasks, $s%7.2f s") }
+      case "trifan" =>
+        // r22 follow-up: A/B the wedge-stage fan-out (repartition the
+        // e1 side to defaultParallelism on the broadcast path) against
+        // the inherited checkpoint partitioning. Interleaved arms,
+        // identical triangle totals asserted.
+        val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        val reps = args.lift(1).map(_.toInt).getOrElse(3)
+        def onceFan(fan: Boolean): (Double, Long) = {
+          val t0 = System.nanoTime()
+          val c = graph.PageRank.triangleCountsImpl(
+              graph.PageRank.copurchaseEdges(spark, sfDir),
+              pinOriented = false, pinDeg = false, fanOut = fan)
+            .agg(sum("n_triangles")).head().getLong(0)
+          ((System.nanoTime() - t0) / 1e9, c)
+        }
+        onceFan(fan = true); onceFan(fan = false) // warm codegen
+        val obsF = (1 to reps).flatMap(_ => Seq(true, false).map(f => f -> onceFan(f)))
+        require(obsF.map(_._2._2).distinct.size == 1,
+          s"fan arms disagree: ${obsF.map(_._2._2).distinct}")
+        Seq(true, false).foreach { f =>
+          val ts = obsF.filter(_._1 == f).map(_._2._1)
+          println(f"trifan fanOut=$f: median ${ts.sorted.apply((ts.size - 1) / 2)}%.2f s (min ${ts.min}%.2f)")
+        }
       case "dd09pair" =>
         // r22 follow-up: dd09's pair form A/B — the original single
         // interpreted flatten(transform) explode vs the shared

@@ -213,7 +213,7 @@ object PageRank {
 
   private[graft] def triangleCountsImpl(edges: DataFrame,
                                         pinOriented: Boolean): DataFrame =
-    triangleCountsImpl(edges, pinOriented, pinDeg = false)
+    triangleCountsImpl(edges, pinOriented, pinDeg = false, fanOut = true)
 
   /** [[triangleCounts]] with an optional localCheckpoint pin on the
     * `oriented` subtree, kept ONLY so ScaleProbe (`tripin`) can keep
@@ -230,7 +230,8 @@ object PageRank {
     */
   private[graft] def triangleCountsImpl(edges: DataFrame,
                                         pinOriented: Boolean,
-                                        pinDeg: Boolean): DataFrame = {
+                                        pinDeg: Boolean,
+                                        fanOut: Boolean = true): DataFrame = {
     // canonicalize INSIDE the operator rather than assuming a < b of
     // the caller: a mirrored duplicate edge (b, a) would survive a
     // plain distinct(), inflate both degrees, and silently miscount —
@@ -284,7 +285,21 @@ object PageRank {
         when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
           col("b")).otherwise(col("a")).as("dst"))
     val oriented = if (pinOriented) orientedPlan.localCheckpoint() else orientedPlan
-    val wedges = oriented.as("e1")
+    // FAN OUT the generator stage (r22 follow-up): on the broadcast
+    // path the wedge enumeration + closing probe + partial aggregation
+    // fuse into ONE stage whose partitioning is inherited from the
+    // `und` checkpoint — which AQE coalesced from its INPUT bytes
+    // (~20 MB at sf0.1 → 10 partitions), leaving most cores idle
+    // while each task enumerates its share of the O(m^1.5) wedge set.
+    // Generator-heavy stages need parallelism ∝ OUTPUT, which AQE
+    // cannot see; one cheap round-robin exchange of the m-row e1 side
+    // spreads the enumeration across every core (probe `trifan`).
+    // Only on the broadcast path: past the gate the wedge join is a
+    // sort-merge whose exchange already repartitions e1.
+    val e1 = if (fanOut && mEdges <= bcastMax)
+      oriented.repartition(edges.sparkSession.sparkContext.defaultParallelism)
+    else oriented
+    val wedges = e1.as("e1")
       .join(maybeBcast(oriented.as("e2")),
         col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
       .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
